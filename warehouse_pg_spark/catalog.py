@@ -1,0 +1,114 @@
+"""Table catalog: registry of parquet-backed tables + distribution metadata.
+
+WHPG tracks each relation's distribution policy (hash keys / random /
+replicated) in gp_distribution_policy (reference:
+src/include/catalog/gp_distribution_policy.h:87-89) and its partition
+layout in the PG catalogs. In Spark, distribution is a *performance*
+property, never a correctness one (SURVEY §1.1), so the catalog stores it
+as a hint: `distribution=("hash", keys)` prompts `repartition(keys)` on
+write and informs bucketing; `("replicated", ())` marks broadcast-worthy
+dims.
+
+The catalog is deliberately thin — Spark's own catalog handles name
+resolution once views are registered; this layer adds the WHPG-style
+DDL metadata and the fixture loading convention
+(`{sf_dir}/{table}.parquet`).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver's fixture tables (TESTDATA.md).
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Distribution hints mirroring the reference TPC-H DDL
+# (reference: src/test/regress/sql/tpch500GB.sql:56 —
+#  `create table customer (...) distributed by (c_custkey)`).
+# Small dims are "replicated" -> always broadcast-joinable.
+DEFAULT_DISTRIBUTION: dict[str, tuple[str, tuple[str, ...]]] = {
+    "region": ("replicated", ()),
+    "nation": ("replicated", ()),
+    "supplier": ("replicated", ()),
+    "part": ("hash", ("p_partkey",)),
+    "customer": ("hash", ("c_custkey",)),
+    "orders": ("hash", ("o_orderkey",)),
+    "lineitem": ("hash", ("l_orderkey",)),
+    "events": ("hash", ("user_id",)),
+    "documents": ("hash", ("doc_id",)),
+    "embeddings": ("hash", ("vec_id",)),
+}
+
+
+@dataclass
+class TableInfo:
+    name: str
+    path: str
+    distribution: tuple[str, tuple[str, ...]] = ("random", ())
+    partition_cols: tuple[str, ...] = ()
+
+
+@dataclass
+class Catalog:
+    """Registry of parquet tables for one SparkSession."""
+
+    spark: SparkSession
+    tables: dict[str, TableInfo] = field(default_factory=dict)
+
+    def register_parquet(
+        self,
+        name: str,
+        path: str,
+        distribution: tuple[str, tuple[str, ...]] | None = None,
+        partition_cols: tuple[str, ...] = (),
+        create_view: bool = True,
+    ) -> TableInfo:
+        info = TableInfo(
+            name=name,
+            path=path,
+            distribution=distribution or DEFAULT_DISTRIBUTION.get(name, ("random", ())),
+            partition_cols=partition_cols,
+        )
+        self.tables[name] = info
+        if create_view:
+            self.spark.read.parquet(path).createOrReplaceTempView(name)
+        return info
+
+    def register_fixtures(self, sf_dir: str, create_views: bool = True) -> None:
+        """Register every driver fixture table found under sf_dir."""
+        for name in FIXTURE_TABLES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                self.register_parquet(name, path, create_view=create_views)
+
+    def load(self, name: str) -> DataFrame:
+        info = self.tables[name]
+        return self.spark.read.parquet(info.path)
+
+    def is_broadcastable(self, name: str) -> bool:
+        info = self.tables.get(name)
+        return bool(info and info.distribution[0] == "replicated")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Convenience: load all fixture tables as DataFrames keyed by name."""
+    out = {}
+    for name in FIXTURE_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
