@@ -1,1 +1,346 @@
-"""Placeholder — populated incrementally (round 1)."""
+"""Scalar function library coverage (SURVEY §2.9, utils/adt/ 111 files).
+
+One wide SELECT per family, each expression aliased identically in the
+Spark and DuckDB forms. Cross-dialect gotchas handled here:
+  - date formatting: Spark date_format (Java patterns) vs DuckDB
+    strftime (C patterns) — picked equivalent format strings.
+  - instr/strpos naming, log naming (ln), string slicing semantics.
+  - generate_series → Spark sequence()+explode.
+PG-specific functions (split_part, initcap, levenshtein, md5,
+width_bucket, translate) exist natively in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warehouse_pg_spark.queries.registry import register, table
+
+
+@register(
+    "fn_strings",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up, lower(c_mktsegment) AS lo,
+           substr(c_name, 1, 8) AS sub8,
+           length(c_name) AS len,
+           concat(c_name, '#', c_mktsegment) AS conc,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           rpad(c_mktsegment, 12, '.') AS rpadded,
+           trim('  x' || c_mktsegment || 'x  ') AS trimmed,
+           replace(c_name, 'Customer', 'Cust') AS repl,
+           reverse(c_mktsegment) AS rev,
+           split_part(c_name, '#', 2) AS part2,
+           strpos(c_name, '#') AS pos_hash,
+           md5(c_name) AS name_md5,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS transl,
+           repeat(substr(c_mktsegment, 1, 2), 3) AS rep3,
+           left(c_name, 4) AS l4, right(c_name, 3) AS r3,
+           contains(c_name, '1') AS has1,
+           starts_with(c_mktsegment, 'BU') AS is_bu,
+           regexp_replace(c_name, '[0-9]+', 'N') AS digits_masked,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits
+    FROM customer
+    """,
+    tags=("functions", "strings"),
+)
+def fn_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family (varlena.c, oracle_compat.c, regexp.c)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("cust_fn")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               upper(c_name) AS up, lower(c_mktsegment) AS lo,
+               substr(c_name, 1, 8) AS sub8,
+               length(c_name) AS len,
+               concat(c_name, '#', c_mktsegment) AS conc,
+               lpad(CAST(c_custkey AS STRING), 8, '0') AS padded,
+               rpad(c_mktsegment, 12, '.') AS rpadded,
+               trim(concat('  x', c_mktsegment, 'x  ')) AS trimmed,
+               replace(c_name, 'Customer', 'Cust') AS repl,
+               reverse(c_mktsegment) AS rev,
+               split_part(c_name, '#', 2) AS part2,
+               instr(c_name, '#') AS pos_hash,
+               md5(c_name) AS name_md5,
+               translate(c_mktsegment, 'AEIOU', 'aeiou') AS transl,
+               repeat(substr(c_mktsegment, 1, 2), 3) AS rep3,
+               left(c_name, 4) AS l4, right(c_name, 3) AS r3,
+               contains(c_name, '1') AS has1,
+               startswith(c_mktsegment, 'BU') AS is_bu,
+               regexp_replace(c_name, '[0-9]+', 'N') AS digits_masked,
+               regexp_extract(c_name, '([0-9]+)', 1) AS digits
+        FROM cust_fn
+        """
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT p_partkey,
+           abs(p_retailprice - 1000) AS absdiff,
+           CAST(ceil(p_retailprice) AS DOUBLE) AS c, CAST(floor(p_retailprice) AS DOUBLE) AS f,
+           round(p_retailprice, 1) AS r1,
+           CAST(sign(p_retailprice - 1200) AS DOUBLE) AS sgn,
+           ROUND(sqrt(p_retailprice), 8) AS sq,
+           ROUND(cbrt(p_retailprice), 8) AS cb,
+           ROUND(exp(p_size / 25.0), 8) AS ex,
+           ROUND(ln(p_retailprice), 10) AS lnp,
+           ROUND(log10(p_retailprice), 10) AS lg,
+           ROUND(power(p_size, 2.5), 6) AS pw,
+           mod(p_partkey, 7) AS m7,
+           greatest(p_size, 25) AS g25, least(p_size, 25) AS l25,
+           ROUND(sin(p_size), 10) AS sn, ROUND(atan2(p_size, 10), 10) AS at2,
+           CAST(p_size // 10 AS BIGINT) AS intdiv,
+           pi() AS pival
+    FROM part
+    """,
+    tags=("functions", "math"),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (float.c, int.c, numeric.c).
+
+    Transcendentals rounded: libm results may differ in the final ulp
+    across platforms; round(x, 8-10) removes that while keeping 8+
+    significant checks."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_fn")
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               abs(p_retailprice - 1000) AS absdiff,
+               CAST(ceil(p_retailprice) AS DOUBLE) AS c, CAST(floor(p_retailprice) AS DOUBLE) AS f,
+               round(p_retailprice, 1) AS r1,
+               CAST(sign(p_retailprice - 1200) AS DOUBLE) AS sgn,
+               ROUND(sqrt(p_retailprice), 8) AS sq,
+               ROUND(cbrt(p_retailprice), 8) AS cb,
+               ROUND(exp(p_size / 25.0), 8) AS ex,
+               ROUND(ln(p_retailprice), 10) AS lnp,
+               ROUND(log10(p_retailprice), 10) AS lg,
+               ROUND(power(p_size, 2.5), 6) AS pw,
+               mod(p_partkey, 7) AS m7,
+               greatest(p_size, 25) AS g25, least(p_size, 25) AS l25,
+               ROUND(sin(p_size), 10) AS sn, ROUND(atan2(p_size, 10), 10) AS at2,
+               CAST(p_size DIV 10 AS BIGINT) AS intdiv,
+               pi() AS pival
+        FROM part_fn
+        """
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_trunc('year', o_orderdate) AS DATE) AS year_start,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dy,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow,
+           CAST(EXTRACT(doy FROM o_orderdate) AS INT) AS doy,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+           strftime(o_orderdate, '%Y/%m') AS ym,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+           CAST(o_orderdate - INTERVAL 3 MONTH AS DATE) AS minus3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95,
+           make_date(2020, 6, least(CAST(EXTRACT(day FROM o_orderdate) AS INT), 28)) AS md
+    FROM orders
+    """,
+    tags=("functions", "datetime"),
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (timestamp.c, date.c, formatting.c to_char engine).
+
+    PG dow: Sunday=0 — matches DuckDB dow and Spark dayofweek-1."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("ord_fn")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               CAST(date_trunc('year', o_orderdate) AS DATE) AS year_start,
+               year(o_orderdate) AS yr,
+               month(o_orderdate) AS mo,
+               day(o_orderdate) AS dy,
+               quarter(o_orderdate) AS qtr,
+               dayofweek(o_orderdate) - 1 AS dow,
+               dayofyear(o_orderdate) AS doy,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS iso_day,
+               date_format(o_orderdate, 'yyyy/MM') AS ym,
+               CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+               CAST(o_orderdate - INTERVAL 3 MONTH AS DATE) AS minus3m,
+               last_day(CAST(o_orderdate AS DATE)) AS eom,
+               datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS days_since_95,
+               make_date(2020, 6, least(day(o_orderdate), 28)) AS md
+        FROM ord_fn
+        """
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           coalesce(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+           nullif(o_orderpriority, '4-NOT SPECIFIED') AS prio_or_null,
+           CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE 0 END AS status_code,
+           if(o_totalprice > 200000, 'big', 'small') AS size_flag
+    FROM orders
+    """,
+    tags=("functions", "conditional"),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE / COALESCE / NULLIF / IF (conditional family)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("ord_cond")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 300000 THEN 'high'
+                    WHEN o_totalprice > 150000 THEN 'mid'
+                    ELSE 'low' END AS bucket,
+               coalesce(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+               nullif(o_orderpriority, '4-NOT SPECIFIED') AS prio_or_null,
+               CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE 0 END AS status_code,
+               if(o_totalprice > 200000, 'big', 'small') AS size_flag
+        FROM ord_cond
+        """
+    )
+
+
+@register(
+    "fn_casts",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_quantity AS BIGINT) AS qty_int,
+           CAST(l_quantity AS VARCHAR) AS qty_str,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+           CAST(l_linenumber AS DOUBLE) AS line_dbl,
+           CAST(l_shipdate AS DATE) AS ship_day,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
+           TRY_CAST(l_returnflag AS INT) AS bad_cast
+    FROM lineitem
+    """,
+    tags=("functions", "casts"),
+)
+def fn_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix (parse_coerce.c): numeric↔string↔date + TRY_CAST."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_cast")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(l_quantity AS BIGINT) AS qty_int,
+               CAST(l_quantity AS STRING) AS qty_str,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS STRING) AS price_str,
+               CAST(l_linenumber AS DOUBLE) AS line_dbl,
+               CAST(l_shipdate AS DATE) AS ship_day,
+               CAST(CAST(l_shipdate AS DATE) AS STRING) AS ship_str,
+               TRY_CAST(l_returnflag AS INT) AS bad_cast
+        FROM li_cast
+        """
+    )
+
+
+@register(
+    "fn_generate_series",
+    oracle="""
+    SELECT n, n * n AS sq
+    FROM (SELECT unnest(generate_series(1, 50)) AS n) t
+    """,
+    tags=("functions", "srf"),
+)
+def fn_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generate_series SRF (ProjectSet, nodeProjectSet.c) → sequence+explode."""
+    return spark.sql(
+        "SELECT n, n * n AS sq FROM (SELECT explode(sequence(1, 50)) AS n)"
+    ).select(F.col("n").cast("long").alias("n"), F.col("sq").cast("long").alias("sq"))
+
+
+@register(
+    "fn_arrays",
+    oracle="""
+    WITH a AS (
+      SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS names
+      FROM nation GROUP BY n_regionkey
+    )
+    SELECT n_regionkey,
+           len(names) AS n_names,
+           names[1] AS first_name,
+           list_contains(names, 'NATION_3') AS has_n3,
+           array_to_string(names, '|') AS joined,
+           list_sort(list_distinct(names || ['NATION_0'])) AS with_n0
+    FROM a
+    """,
+    tags=("functions", "arrays"),
+)
+def fn_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family (arrayfuncs.c): length, index, contains, concat, distinct."""
+    n = table(spark, sf_dir, "nation")
+    a = n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("names")
+    )
+    return a.select(
+        "n_regionkey",
+        F.size("names").cast("long").alias("n_names"),
+        F.col("names")[0].alias("first_name"),
+        F.array_contains("names", "NATION_3").alias("has_n3"),
+        F.array_join("names", "|").alias("joined"),
+        F.sort_array(
+            F.array_distinct(F.concat("names", F.array(F.lit("NATION_0"))))
+        ).alias("with_n0"),
+    )
+
+
+@register(
+    "fn_levenshtein",
+    oracle="""
+    SELECT a.n_name AS n1, b.n_name AS n2, levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 2
+    """,
+    tags=("functions", "fuzzy"),
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance (levenshtein.c) — fuzzy-match seed for dedup."""
+    a = table(spark, sf_dir, "nation").alias("a")
+    b = table(spark, sf_dir, "nation").alias("b")
+    return (
+        a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .select(
+            F.col("a.n_name").alias("n1"),
+            F.col("b.n_name").alias("n2"),
+            F.levenshtein(F.col("a.n_name"), F.col("b.n_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
+@register(
+    "fn_width_bucket",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 0
+                WHEN c_acctbal >= 10000 THEN 11
+                ELSE CAST(FLOOR((c_acctbal - 0) / (10000 - 0) * 10) AS BIGINT) + 1
+           END AS bucket, COUNT(*) AS n
+    FROM customer GROUP BY 1
+    """,
+    tags=("functions", "math"),
+)
+def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """width_bucket histogram binning (PG numeric.c).
+
+    DuckDB has no width_bucket — the oracle inlines PG's definition."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.width_bucket("c_acctbal", F.lit(0), F.lit(10000), F.lit(10)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )

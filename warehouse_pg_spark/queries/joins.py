@@ -1,1 +1,278 @@
-"""Placeholder — populated incrementally (round 1)."""
+"""All join shapes from SURVEY §2.3.
+
+Reference coverage: nodeHashjoin.c (inner/left/right/full/semi/anti/
+anti-NotIn, :182 ExecHashJoinImpl), nodeMergejoin.c (:1504),
+nodeNestloop.c (:364 theta/cross), and ORCA's CPhysical*Join variants.
+Spark picks broadcast/shuffled-hash/sort-merge via Catalyst + AQE; the
+queries below pin broadcast() where a dim is replicated-table-like.
+
+Null-aware NOT IN (reference CPhysicalLeftAntiSemiHashJoinNotIn) maps to
+Spark's NullAwareAntiJoin — exercised both with and without NULLs in the
+subquery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warehouse_pg_spark.queries.registry import dec, dsum, register, table
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT n_name, COUNT(c_custkey) AS n_customers,
+           CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS total_bal
+    FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER: every nation, customer metrics where present."""
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        nation.join(cust, nation.n_nationkey == cust.c_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.coalesce(F.sum(dec("c_acctbal")), F.lit(0))
+            .cast("decimal(38,2)")
+            .alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (supplier → nation)."""
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(cn.k, sn.k) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates (nations with customers xor suppliers)."""
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    cn = cust.groupBy(F.col("c_nationkey").alias("ck")).agg(
+        F.count("*").alias("n_cust")
+    )
+    sn = supp.groupBy(F.col("s_nationkey").alias("sk")).agg(
+        F.count("*").alias("n_supp")
+    )
+    return cn.join(sn, cn.ck == sn.sk, "full").select(
+        F.coalesce(cn.ck, sn.sk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_semi_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    tags=("join", "subquery"),
+)
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with a big order."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "subquery"),
+)
+def join_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_notin_no_nulls",
+    oracle="""
+    SELECT COUNT(*) AS n
+    FROM lineitem
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+    """,
+    tags=("join", "subquery"),
+)
+def join_notin_no_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a null-free subquery → anti join (reference LASJ NotIn)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_nn")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supp_nn")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n FROM li_nn
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supp_nn WHERE s_acctbal > 5000)
+        """
+    )
+
+
+@register(
+    "join_notin_with_nulls",
+    oracle="""
+    SELECT COUNT(*) AS n
+    FROM customer
+    WHERE c_nationkey NOT IN (SELECT NULLIF(s_nationkey, 3) FROM supplier)
+    """,
+    tags=("join", "subquery"),
+)
+def join_notin_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN whose subquery yields a NULL → PG 3-valued logic (0 rows).
+
+    Exercises Spark's NullAwareAntiJoin (the reference's
+    CPhysicalLeftAntiSemiHashJoinNotIn null semantics)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("cust_nw")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supp_nw")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n FROM cust_nw
+        WHERE c_nationkey NOT IN (SELECT NULLIF(s_nationkey, 3) FROM supp_nw)
+        """
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join (CartesianProduct / BroadcastNestedLoop)."""
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT a.s_suppkey AS low_supp, b.s_suppkey AS high_supp
+    FROM supplier a JOIN supplier b
+      ON a.s_acctbal < b.s_acctbal AND a.s_nationkey <> b.s_nationkey
+    """,
+    tags=("join", "theta"),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join — NestLoop analogue (nodeNestloop.c:364)."""
+    a = table(spark, sf_dir, "supplier").alias("a")
+    b = table(spark, sf_dir, "supplier").alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_acctbal") < F.col("b.s_acctbal"))
+        & (F.col("a.s_nationkey") != F.col("b.s_nationkey")),
+    ).select(
+        F.col("a.s_suppkey").alias("low_supp"),
+        F.col("b.s_suppkey").alias("high_supp"),
+    )
+
+
+@register(
+    "join_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+    tags=("join", "subquery"),
+)
+def join_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (InitPlan, nodeSubplan.c)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("cust_ss")
+    return spark.sql(
+        """
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        FROM cust_ss WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM cust_ss)
+        """
+    )
+
+
+@register(
+    "join_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (SELECT 2 * (CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+                          FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+    tags=("join", "subquery"),
+)
+def join_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery → decorrelated to join (CSubqueryHandler).
+
+    The threshold is computed as decimal-sum → double → divide so both
+    engines evaluate the identical IEEE expression (parity rule 2)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("ord_cs")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_cs")
+    return spark.sql(
+        """
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM ord_cs o
+        WHERE o_totalprice > (SELECT 2 * (CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+                              FROM li_cs l WHERE l.l_orderkey = o.o_orderkey)
+        """
+    )
+
+
+@register(
+    "join_in_subquery",
+    oracle="""
+    SELECT COUNT(*) AS n FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+    """,
+    tags=("join", "subquery"),
+)
+def join_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery → semi join (hashed IN, nodeSubplan.c)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("ord_in")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("cust_in")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n FROM ord_in
+        WHERE o_custkey IN (SELECT c_custkey FROM cust_in WHERE c_mktsegment = 'MACHINERY')
+        """
+    )

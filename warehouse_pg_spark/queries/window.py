@@ -1,1 +1,241 @@
-"""Placeholder — populated incrementally (round 1)."""
+"""Window-function surface from SURVEY §2.5.
+
+Reference coverage: nodeWindowAgg.c (3,881 LoC; frames :1454-1480),
+windowfuncs.c ranking (:82-211) and analytic (:338-449) functions; ORCA
+CPhysicalSequenceProject. Spark WindowExec covers ROWS/RANGE frames;
+ranking/analytic functions are name-identical.
+
+row_number/lag/lead require a total order per partition — every query
+orders by a unique key (tiebreaks) so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from warehouse_pg_spark.queries.registry import dec, register, table
+
+
+@register(
+    "window_ranking",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROW_NUMBER()   OVER w AS rn,
+           RANK()         OVER w AS rnk,
+           DENSE_RANK()   OVER w AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+           ROUND(CUME_DIST()    OVER w, 6) AS cd,
+           NTILE(4)       OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window",),
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six ranking functions (windowfuncs.c:82-211)."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS prev_price,
+           LEAD(CAST(o_totalprice AS DECIMAL(18,2)), 2, CAST(-1 AS DECIMAL(18,2))) OVER w AS next2_price,
+           CAST(LAG(o_orderdate) OVER w AS DATE) AS prev_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with offset + default (windowfuncs.c:338-449)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag(dec("o_totalprice"), 1).over(w).alias("prev_price"),
+        F.lead(dec("o_totalprice"), 2, -1).over(w).cast("decimal(18,2)").alias("next2_price"),
+        F.lag("o_orderdate").over(w).cast("date").alias("prev_date"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS running_total
+    FROM orders
+    """,
+    tags=("window", "bench"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total — any aggregate as a window fn over a ROWS frame."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("decimal(38,2)").alias("running_total"),
+    )
+
+
+@register(
+    "window_moving_frame",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                OVER w AS DECIMAL(38,2)) AS qty_window,
+           MIN(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS qty_min
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_quantity, l_partkey, l_suppkey, l_extendedprice
+                 ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
+    """,
+    tags=("window",),
+)
+def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frame (nodeWindowAgg.c:1454-1480 frame options).
+
+    (l_orderkey, l_linenumber) is NOT unique in the fixtures — the
+    ORDER BY includes every observable column so tie permutations can't
+    change the result (remaining ties are interchangeable rows)."""
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(
+            "l_linenumber", "l_quantity", "l_partkey", "l_suppkey", "l_extendedprice"
+        )
+        .rowsBetween(-2, 1)
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(dec("l_quantity")).over(w).cast("decimal(38,2)").alias("qty_window"),
+        F.min(dec("l_quantity")).over(w).alias("qty_min"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           COUNT(*) OVER (ORDER BY c_acctbal RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS peers_within_500
+    FROM customer
+    """,
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with numeric offsets (value-based framing)."""
+    w = Window.orderBy("c_acctbal").rangeBetween(-500, 500)
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", "c_acctbal", F.count("*").over(w).alias("peers_within_500")
+    )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FIRST_VALUE(l_partkey) OVER w AS first_part,
+           LAST_VALUE(l_partkey)  OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber, l_partkey, l_suppkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_part,
+           NTH_VALUE(l_partkey, 2) OVER w AS second_part
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey)
+    """,
+    tags=("window",),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value incl. the classic full-frame LAST_VALUE.
+
+    Tiebreakers cover l_partkey (the observed value) since
+    (l_orderkey, l_linenumber) is not unique in the fixtures."""
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_partkey").over(w).alias("first_part"),
+        F.last("l_partkey").over(wfull).alias("last_part"),
+        F.nth_value("l_partkey", 2).over(w).alias("second_part"),
+    )
+
+
+@register(
+    "window_partition_agg",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_mktsegment) AS DECIMAL(38,2)) AS seg_total,
+           COUNT(*) OVER (PARTITION BY c_mktsegment) AS seg_n
+    FROM customer
+    """,
+    tags=("window",),
+)
+def window_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition window aggregate (no ORDER BY → full frame)."""
+    w = Window.partitionBy("c_mktsegment")
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.sum(dec("c_acctbal")).over(w).cast("decimal(38,2)").alias("seg_total"),
+        F.count("*").over(w).alias("seg_n"),
+    )
+
+
+@register(
+    "window_topn_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT n_name, c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) t WHERE rn <= 3
+    """,
+    tags=("window", "bench"),
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group — the canonical window+filter pattern."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            dec("c_acctbal").alias("c_acctbal"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
