@@ -1,1 +1,333 @@
-"""Placeholder — populated incrementally (round 1)."""
+"""Deduplication operators over the documents table (north-star module;
+closest reference seeds: utils/adt/levenshtein.c fuzzy matching and the
+distinct/dedup executor machinery).
+
+Scale design: every variant is a groupBy/join on a derived key — no
+cross join of the corpus. MinHash-LSH gives candidate generation at
+O(n·k) with banding; exact n-gram Jaccard runs only on candidates that
+share a shingle (blocked self-join).
+
+Cross-engine determinism: signature hashes are `min(md5(salt || shingle))`
+under lexicographic order — md5 is identical everywhere and min-of-string
+is a valid minhash permutation, so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from warehouse_pg_spark.queries.registry import register, table
+
+_NUM_HASHES = 8
+_SALTS = [f"s{i}:" for i in range(_NUM_HASHES)]
+
+
+def _norm_text(col):
+    """lower, strip non-alnum (keep spaces), collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+_NORM_SQL = "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT keep_id, n_copies FROM (
+      SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text)
+    ) t
+    """,
+    tags=("dedup", "bench"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, keep lowest doc_id.
+
+    At 100 TB this is the cheapest dedup: one shuffle on md5(text)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+@register(
+    "dedup_fingerprint",
+    oracle=f"""
+    SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fp FROM documents) t
+    GROUP BY fp HAVING COUNT(*) > 1
+    """,
+    tags=("dedup",),
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint dedup (casefold + punctuation strip
+    + whitespace collapse → md5). Catches near-exact duplicates."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(_norm_text(F.col("text"))).alias("fp")
+    return (
+        d.select("doc_id", fp)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _shingles(col, n=3):
+    """Word n-gram shingles of normalized text (array of strings)."""
+    words = F.split(_norm_text(col), " ")
+    # shingle i = words[i..i+n-1] joined; sequence over 0..len-n
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+_SHINGLES_SQL = """
+list_distinct(list_transform(
+  range(0, greatest(len(words) - 3, 0) + 1),
+  i -> array_to_string(words[i+1:i+3], ' ')
+))
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS words
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM norm
+    ), sizes AS (
+      SELECT doc_id, COUNT(DISTINCT shingle) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(DISTINCT a.shingle) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.2).
+
+    Blocked self-join on shared shingles — pairs with zero overlap are
+    never materialized, so cost tracks true near-duplicates, not n²."""
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("c")
+    )
+    return (
+        common.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.2)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_sig_cols():
+    """k minhash components: min over shingles of md5(salt_i || shingle)."""
+    return [
+        F.min(F.md5(F.concat(F.lit(s), F.col("shingle")))).alias(f"h{i}")
+        for i, s in enumerate(_SALTS)
+    ]
+
+
+_MINHASH_SIG_SQL = ",\n".join(
+    f"MIN(md5('{s}' || shingle)) AS h{i}" for i, s in enumerate(_SALTS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS words
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM norm
+    ), sig AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL}
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band, h0 || h1 AS bval FROM sig UNION ALL
+      SELECT doc_id, 1, h2 || h3 FROM sig UNION ALL
+      SELECT doc_id, 2, h4 || h5 FROM sig UNION ALL
+      SELECT doc_id, 3, h6 || h7 FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT cand.id_a, cand.id_b,
+           ROUND((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
+                  CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
+                  CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
+                  CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END +
+                  CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END +
+                  CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END +
+                  CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END +
+                  CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) / 8.0, 6) AS est_jaccard
+    FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+              JOIN sig sb ON sb.doc_id = cand.id_b
+    """,
+    tags=("dedup", "minhash", "bench"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates (k=8 hashes, 4 bands × 2).
+
+    Signature component i = min over shingles of md5('s{i}:'||shingle) —
+    a lexicographic minhash that's engine-portable and deterministic.
+    Candidates = pairs agreeing on any band; est_jaccard = matching
+    signature fraction. Scales as O(n·k) + bucket-local joins."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    ).distinct()
+    sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
+
+    bands = None
+    for band in range(_NUM_HASHES // 2):
+        part = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.concat(F.col(f"h{2*band}"), F.col(f"h{2*band+1}")).alias("bval"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(_NUM_HASHES)
+    )
+    return (
+        cand.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches / F.lit(float(_NUM_HASHES)), 6).alias("est_jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS words
+      FROM documents
+    ), tok AS (
+      SELECT DISTINCT doc_id, unnest(words) AS token FROM norm WHERE len(words) > 0
+    ), bits AS (
+      SELECT doc_id, md5(token) AS h FROM tok
+    ), digits AS (
+      SELECT doc_id,
+             strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS d0,
+             strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS d1,
+             strpos('0123456789abcdef', substr(h, 3, 1)) - 1 AS d2,
+             strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS d3
+      FROM bits
+    )
+    SELECT doc_id,
+           CAST(
+             (CASE WHEN SUM(CASE WHEN d0 // 8 % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 2048 ELSE 0 END) +
+             (CASE WHEN SUM(CASE WHEN d0 // 4 % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 1024 ELSE 0 END) +
+             (CASE WHEN SUM(CASE WHEN d0 // 2 % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 512 ELSE 0 END) +
+             (CASE WHEN SUM(CASE WHEN d0 % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 256 ELSE 0 END) +
+             (CASE WHEN SUM(CASE WHEN d1 // 8 % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 128 ELSE 0 END) +
+             (CASE WHEN SUM(CASE WHEN d1 // 4 % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 64 ELSE 0 END) +
+             (CASE WHEN SUM(CASE WHEN d1 // 2 % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 32 ELSE 0 END) +
+             (CASE WHEN SUM(CASE WHEN d1 % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 16 ELSE 0 END) +
+             (CASE WHEN SUM(CASE WHEN d2 // 8 % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 8 ELSE 0 END) +
+             (CASE WHEN SUM(CASE WHEN d2 // 4 % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 4 ELSE 0 END) +
+             (CASE WHEN SUM(CASE WHEN d2 // 2 % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 2 ELSE 0 END) +
+             (CASE WHEN SUM(CASE WHEN d2 % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS simhash
+    FROM digits GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-bit SimHash per document from token md5 bits.
+
+    Bit b of the fingerprint = sign of sum over distinct tokens of
+    (+1 / -1) per token-hash bit b. Pure integer arithmetic on md5 hex
+    digits → engine-portable. Near-dups = small Hamming distance."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(_norm_text(F.col("text")), " ")
+    tok = (
+        d.select("doc_id", F.explode(words).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+    h = F.md5("token")
+    digits = tok.select(
+        "doc_id",
+        *[
+            (F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1).alias(
+                f"d{i}"
+            )
+            for i in range(3)
+        ],
+    )
+    bit_terms = []
+    weight = 2048
+    for digit_idx in range(3):
+        for shift in (8, 4, 2, 1):
+            bit = (F.col(f"d{digit_idx}") / F.lit(shift)).cast("int") % 2
+            term = F.when(
+                F.sum(F.when(bit == 1, 1).otherwise(-1)) > 0, F.lit(weight)
+            ).otherwise(0)
+            bit_terms.append(term)
+            weight //= 2
+    simhash = sum(bit_terms[1:], bit_terms[0]).cast("long").alias("simhash")
+    return digits.groupBy("doc_id").agg(simhash)

@@ -1,1 +1,189 @@
-"""Placeholder — populated incrementally (round 1)."""
+"""events table: JSON extraction, sessionization, pivot, tumbling windows.
+
+JSON: reference utils/adt/jsonfuncs.c / jsonpath_exec.c →
+get_json_object / from_json. Sessionization + tumbling buckets are the
+batch-equivalent of the streaming module (SURVEY §2.10) so they get
+DuckDB oracles; the true Structured Streaming path lives in
+warehouse_pg_spark/streaming/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from warehouse_pg_spark.queries.registry import davg, dec, dsum, register, table
+
+_SESSION_GAP_MS = 30 * 60 * 1000  # 30 min
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("json",),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction + aggregation (jsonfuncs.c → get_json_object)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "events_from_json_struct",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+    """,
+    tags=("json",),
+)
+def events_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct, then field access + filter."""
+    e = table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.select("event_id", F.col("p.k").alias("k")).filter(
+        F.col("k") > 90
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > {_SESSION_GAP_MS}
+                       OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           CAST(MAX(cnt) AS BIGINT) AS max_session_events
+    FROM (
+      SELECT user_id, session_id, COUNT(*) AS cnt
+      FROM sessions GROUP BY user_id, session_id
+    ) s
+    GROUP BY user_id
+    """,
+    tags=("window", "timeseries", "bench"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum.
+
+    The batch analogue of streaming session windows; one shuffle on
+    user_id, everything else window functions — scales linearly."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_millis("ts") - F.unix_millis(prev_ts)) > _SESSION_GAP_MS),
+        1,
+    ).otherwise(0)
+    sessions = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(new_session).over(wrun).alias("session_id"),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("cnt")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.max("cnt").cast("long").alias("max_session_events"),
+    )
+
+
+@register(
+    "events_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS purchase
+    FROM events GROUP BY user_id
+    """,
+    tags=("pivot",),
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (GP pivot_sum analogue, reference utils/adt/pivot.c:31)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(dsum(dec("value")))
+    )
+
+
+@register(
+    "events_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+             COUNT(CASE WHEN event_type = 'view'  THEN 1 END) AS views
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, kind, CAST(cnt AS BIGINT) AS cnt
+    FROM wide UNPIVOT (cnt FOR kind IN (clicks, views))
+    """,
+    tags=("pivot",),
+)
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (Spark 3.4+ unpivot; GP pivot.c family)."""
+    e = table(spark, sf_dir, "events")
+    wide = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+    )
+    return wide.unpivot("user_id", ["clicks", "views"], "kind", "cnt")
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT epoch_ms(ts) - epoch_ms(ts) % 300000 AS bucket_start_ms,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "streaming-batch"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window aggregation (batch form of the streaming
+    module's window() — SURVEY §2.10)."""
+    e = table(spark, sf_dir, "events")
+    bucket = (
+        F.unix_millis("ts") - (F.unix_millis("ts") % F.lit(300000))
+    ).alias("bucket_start_ms")
+    return e.groupBy(bucket, "event_type").agg(
+        F.count("*").alias("n"),
+        dsum(dec("value")).alias("total"),
+    )

@@ -1,1 +1,234 @@
-"""Placeholder — populated incrementally (round 1)."""
+"""Similarity search over the embeddings table (north-star module;
+reference seed: gpcontrib/gp_sparse_vector/ svec dot/l2 operators).
+
+Brute-force cosine is the correctness baseline; the label-blocked and
+IVF-style variants are the 100 TB scale path (prune candidates before
+computing distances).
+
+Parity: dot products fold left-to-right over the 64-dim array in both
+engines after casting to double; results rounded to 6 decimals (sum
+order is identical element order, so divergence is ≤ last-ulp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from warehouse_pg_spark.queries.registry import register, table
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    d = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"({d}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND({_cosine_sql('embedding', 'qv')}, 6) AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY {_cosine_sql('embedding', 'qv')} DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "bench"),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0.
+
+    The query vector is broadcast (single row) → no shuffle of the
+    corpus; top-K via TakeOrderedAndProject."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = _cosine(F.col("embedding"), F.col("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "sim_label_knn",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+             {_cosine_sql('a.embedding', 'b.embedding')} AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ), ranked AS (
+      SELECT id_a, id_b, label, ROUND(cos, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos DESC, id_a, id_b) AS rn
+      FROM pairs
+    )
+    SELECT id_a, id_b, label, cosine FROM ranked WHERE rn <= 5
+    """,
+    tags=("similarity",),
+)
+def sim_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most-similar pairs per label (blocked self-join — the
+    candidate-pruning pattern: block key keeps the join off n²)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _cosine(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.col("a.label").alias("label"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos").desc(), F.col("id_a"), F.col("id_b")
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", "label",
+            F.round("cos", 6).alias("cosine"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("id_a", "id_b", "label", "cosine")
+    )
+
+
+@register(
+    "sim_ivf_bucketed",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_cosine_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cents c
+      WHERE e.vec_id >= 8
+    ), assigned AS (
+      SELECT vec_id, embedding, cid FROM scored WHERE rn = 1
+    ), q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), qscored AS (
+      SELECT c.cid,
+             ROW_NUMBER() OVER (ORDER BY {_cosine_sql('q.qv', 'c.cv')} DESC, c.cid) AS rn
+      FROM cents c, q
+    ), qcid AS (
+      SELECT cid FROM qscored WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cid,
+           ROUND({_cosine_sql('a.embedding', 'q.qv')}, 6) AS cosine
+    FROM assigned a, q, qcid
+    WHERE a.cid = qcid.cid
+    ORDER BY {_cosine_sql('a.embedding', 'q.qv')} DESC, a.vec_id
+    LIMIT 5
+    """,
+    tags=("similarity", "ivf"),
+)
+def sim_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign vectors to nearest of 8 fixed centroids
+    (vec_id 0-7 as deterministic seeds), search only the query's cell.
+
+    At scale: centroids broadcast, assignment is a map-only pass, the
+    probe touches 1/8 of the corpus (recall/latency tradeoff)."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    rest = e.filter(F.col("vec_id") >= 8)
+
+    cos_c = _cosine(F.col("embedding"), F.col("cv"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("_c").desc(), F.col("cid"))
+    assigned = (
+        rest.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "embedding", "cid", cos_c.alias("_c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "_c")
+    )
+
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qcid = (
+        q.crossJoin(F.broadcast(cents))
+        .select("cid", _cosine(F.col("qv"), F.col("cv")).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("cid"))
+        .limit(1)
+        .select(F.col("cid").alias("qcid"))
+    )
+
+    cos_q = _cosine(F.col("embedding"), F.col("qv"))
+    return (
+        assigned.join(F.broadcast(qcid), assigned.cid == F.col("qcid"))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "cid", cos_q.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col("vec_id"))
+        .limit(5)
+        .select("vec_id", "cid", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "sim_embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.95
+    """,
+    tags=("similarity", "dedup"),
+)
+def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.95),
+    label-blocked — the semantic-dedup primitive."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("_cos"),
+        )
+        .filter(F.col("_cos") >= 0.95)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
+    )

@@ -1,1 +1,167 @@
-"""Placeholder — populated incrementally (round 1)."""
+"""Text-analysis operators over documents (north-star module):
+language ID, quality scoring, token counting — the pre-training-data
+pipeline primitives. All pure pyspark.sql.functions (JVM-side, no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warehouse_pg_spark.queries.registry import register, table
+
+# n-gram-heuristic language ID: per-language marker words.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "a"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "que", "y"),
+}
+
+
+def _tokens(col):
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.split(F.trim(c), " ")
+
+
+_TOKENS_SQL = (
+    "string_split(trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+)
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + char stats (BPE-precursor metrics)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+        ).cast("long").alias("n_spaces"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKENS_SQL} AS toks, CAST(length(text) AS DOUBLE) AS nc
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(CAST(len(toks) AS DOUBLE) / greatest(nc, 1.0), 6) AS token_density,
+           ROUND(nc / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS avg_token_len,
+           ROUND(CAST(len(list_filter(toks, x -> x IN ('the','and','of','a','to','in')))
+                 AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS vocab,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS ttr
+    FROM t
+    """,
+    tags=("text", "bench"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality metrics: token density, avg token length,
+    stopword ratio, type-token ratio (filtering signals for training
+    data curation)."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    nt = F.size(toks).cast("double")
+    nc = F.length("text").cast("double")
+    stop = F.size(
+        F.filter(
+            toks,
+            lambda x: x.isin("the", "and", "of", "a", "to", "in"),
+        )
+    ).cast("double")
+    vocab = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        F.round(nt / F.greatest(nc, F.lit(1.0)), 6).alias("token_density"),
+        F.round(nc / F.greatest(nt, F.lit(1.0)), 6).alias("avg_token_len"),
+        F.round(stop / F.greatest(nt, F.lit(1.0)), 6).alias("stopword_ratio"),
+        vocab.cast("long").alias("vocab"),
+        F.round(vocab.cast("double") / F.greatest(nt, F.lit(1.0)), 6).alias("ttr"),
+    )
+
+
+def _marker_score(toks, markers):
+    return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> x IN ('the','and','of','a')))   AS s_en,
+        len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS s_de,
+        len(list_filter(toks, x -> x IN ('le','la','et','les')))   AS s_fr,
+        len(list_filter(toks, x -> x IN ('el','los','que','y')))   AS s_es
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es'
+           END AS pred_lang
+    FROM scores
+    """,
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram heuristic; deterministic argmax
+    with fixed precedence en > de > fr > es)."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    s = {k: _marker_score(toks, m) for k, m in _LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]),
+            F.lit("en"),
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), F.lit("de"))
+        .when(s["fr"] >= s["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@register(
+    "text_source_stats",
+    oracle=f"""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY source, lang
+    """,
+    tags=("text",),
+)
+def text_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report by (source, lang) — the dataset-card
+    numbers for a curated corpus."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(_tokens(F.col("text"))).cast("long")).alias("total_tokens"),
+    )

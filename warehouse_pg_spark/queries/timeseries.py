@@ -1,1 +1,191 @@
-"""Placeholder — populated incrementally (round 1)."""
+"""Time-series operators: as-of join, range join, downsampling,
+linear interpolation (reference: utils/adt/interpolate.c:236,
+timeseries.sql regress; SURVEY §2.3 range/as-of row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from warehouse_pg_spark.operators.asof import asof_join
+from warehouse_pg_spark.queries.registry import davg, dec, register, table
+
+
+@register(
+    "ts_asof_join",
+    oracle="""
+    SELECT p.event_id,
+           epoch_ms(p.ts) AS purchase_ms,
+           (SELECT epoch_ms(MAX(c.ts)) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts)
+             AS last_click_ms
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    tags=("timeseries", "asof", "bench"),
+)
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's latest click at-or-before.
+
+    Implemented with the distributed union+window algorithm
+    (operators/asof.py) — one shuffle on user_id, no nested loop."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=[],
+    )
+    return joined.select(
+        "event_id",
+        F.unix_millis("ts").alias("purchase_ms"),
+        F.unix_millis("asof_ts").alias("last_click_ms"),
+    )
+
+
+@register(
+    "ts_range_join_buckets",
+    oracle="""
+    WITH buckets(bucket_id, lo, hi) AS (
+      VALUES (0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 150.0), (3, 150.0, 1e9)
+    )
+    SELECT bucket_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+    FROM events JOIN buckets ON value >= lo AND value < hi
+    GROUP BY bucket_id
+    """,
+    tags=("timeseries", "range-join"),
+)
+def ts_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join against a broadcast bucket table.
+
+    The small side is broadcast → BroadcastNestedLoopJoin; at scale the
+    bucket table stays tiny so this never shuffles the fact side."""
+    e = table(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [(0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 150.0), (3, 150.0, 1e9)],
+        ["bucket_id", "lo", "hi"],
+    )
+    from warehouse_pg_spark.queries.registry import dsum
+
+    return (
+        e.join(
+            F.broadcast(buckets),
+            (e.value >= buckets.lo) & (e.value < buckets.hi),
+        )
+        .groupBy("bucket_id")
+        .agg(F.count("*").alias("n"), dsum(dec("value")).alias("total"))
+    )
+
+
+@register(
+    "ts_daily_downsample",
+    oracle="""
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("timeseries",),
+)
+def ts_daily_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample to daily grain (date_trunc + agg)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"), davg(dec("value")).alias("avg_value"))
+
+
+@register(
+    "ts_linear_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), grid AS (
+      SELECT u.user_id, g.day
+      FROM (SELECT DISTINCT user_id FROM daily) u
+      CROSS JOIN (SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day) g
+    ), joined AS (
+      SELECT g.user_id, g.day, d.v FROM grid g
+      LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    ), bounds AS (
+      SELECT user_id, day, v,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x0,
+        LAST_VALUE(v IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y0,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS x1,
+        FIRST_VALUE(v IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS y1
+      FROM joined
+    )
+    SELECT user_id, day,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN y0 IS NULL THEN y1
+             WHEN y1 IS NULL THEN y0
+             WHEN x1 = x0 THEN y0
+             ELSE y0 + (y1 - y0) * (CAST(day - x0 AS DOUBLE) / CAST(x1 - x0 AS DOUBLE))
+           END, 6) AS v_filled
+    FROM bounds
+    """,
+    tags=("timeseries", "interpolate"),
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling linear interpolation over a daily grid — the
+    linear_interpolate capability (reference interpolate.c:236) as a
+    window-function composition: last/first non-null bound + lerp."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(davg(dec("value")).alias("v"))
+    users = daily.select("user_id").distinct()
+    grid_days = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30', interval 1 day)) AS day"
+    )
+    grid = users.crossJoin(F.broadcast(grid_days))
+    joined = grid.join(daily, ["user_id", "day"], "left")
+
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    day_if_v = F.when(F.col("v").isNotNull(), F.col("day"))
+    bounds = joined.select(
+        "user_id",
+        "day",
+        "v",
+        F.last(day_if_v, ignorenulls=True).over(wb).alias("x0"),
+        F.last("v", ignorenulls=True).over(wb).alias("y0"),
+        F.first(day_if_v, ignorenulls=True).over(wf).alias("x1"),
+        F.first("v", ignorenulls=True).over(wf).alias("y1"),
+    )
+    frac = F.datediff("day", "x0").cast("double") / F.datediff("x1", "x0").cast(
+        "double"
+    )
+    v_filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("y0").isNull(), F.col("y1"))
+        .when(F.col("y1").isNull(), F.col("y0"))
+        .when(F.col("x1") == F.col("x0"), F.col("y0"))
+        .otherwise(F.col("y0") + (F.col("y1") - F.col("y0")) * frac)
+    )
+    return bounds.select(
+        "user_id", "day", F.round(v_filled, 6).alias("v_filled")
+    )
