@@ -1,0 +1,127 @@
+"""Engine facade, dialect shim, DML, external sources, PG functions."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from warehouse_pg_spark.engine import Engine
+from warehouse_pg_spark.sql_dialect import rewrite
+from warehouse_pg_spark.sources import ExternalTableError, read_external
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir, tmp_path_factory):
+    eng = Engine(spark=spark, warehouse_dir=str(tmp_path_factory.mktemp("wh")))
+    eng.attach_fixtures(sf_dir)
+    return eng
+
+
+# ------------------------------------------------------------------ dialect
+def test_dialect_cast_operator():
+    assert rewrite("SELECT a::text FROM t") == "SELECT CAST(a AS STRING) FROM t"
+    assert rewrite("SELECT '5'::int8") == "SELECT CAST('5' AS BIGINT)"
+    assert (
+        rewrite("SELECT x::numeric(10,2)") == "SELECT CAST(x AS DECIMAL(10,2))"
+    )
+
+
+def test_dialect_json_arrows():
+    assert (
+        rewrite("SELECT props ->> 'k' FROM events")
+        == "SELECT get_json_object(props, '$.k') FROM events"
+    )
+
+
+def test_dialect_generate_series():
+    out = rewrite("SELECT n FROM generate_series(1, 10) AS t(n)")
+    assert "explode(sequence(1, 10))" in out
+
+
+def test_dialect_sql_end_to_end(engine):
+    rows = engine.sql(
+        "SELECT c_custkey::text AS k FROM customer ORDER BY c_custkey LIMIT 1"
+    ).collect()
+    assert rows[0].k == "0"
+
+
+def test_pg_function_registration(engine):
+    assert engine.sql("SELECT strpos('hello', 'll') AS p").collect()[0].p == 3
+    assert engine.sql("SELECT log_pg(100.0) AS l").collect()[0].l == 2.0
+    assert (
+        engine.sql("SELECT width_bucket_pg(5.0, 0.0, 10.0, 10) AS b").collect()[0].b
+        == 6
+    )
+    li = engine.sql(
+        "SELECT linear_interpolate(5.0, 0.0, 0.0, 10.0, 100.0) AS y"
+    ).collect()[0]
+    assert li.y == 50.0
+
+
+def test_create_sql_function(engine):
+    engine.create_sql_function("double_it", "x BIGINT", "BIGINT", "x * 2")
+    assert engine.sql("SELECT double_it(21) AS v").collect()[0].v == 42
+
+
+def test_create_python_udf(engine):
+    engine.create_function("py_rev", lambda s: s[::-1], "string")
+    assert engine.sql("SELECT py_rev('abc') AS v").collect()[0].v == "cba"
+
+
+def test_ddl_distributed_by(engine):
+    engine.sql(
+        "CREATE TABLE IF NOT EXISTS dist_t (a INT, b STRING) USING PARQUET "
+        "DISTRIBUTED BY (a)"
+    )
+    assert engine.catalog.tables["dist_t"].distribution == ("hash", ("a",))
+    engine.spark.sql("DROP TABLE IF EXISTS dist_t")
+
+
+# ---------------------------------------------------------------------- DML
+def test_dml_insert_update_delete(engine, spark, tmp_path):
+    path = str(tmp_path / "dml_t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "s", "v"]
+    )
+    base.write.parquet(path)
+    t = engine.writable(path)
+
+    t.insert(spark.createDataFrame([(4, "d", 40.0)], ["id", "s", "v"]))
+    assert t.read().count() == 4
+
+    n = t.update({"v": F.col("v") * 2}, F.col("id") <= 2)
+    assert n == 2
+    vals = {r.id: r.v for r in t.read().collect()}
+    assert vals[1] == 20.0 and vals[2] == 40.0 and vals[3] == 30.0
+
+    n = t.delete(F.col("id") == 3)
+    assert n == 1
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 4]
+
+
+# ------------------------------------------------------------------ matview
+def test_materialized_view(engine):
+    engine.create_materialized_view(
+        "mv_seg", "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1"
+    )
+    n1 = engine.table("mv_seg").count()
+    assert n1 == 5
+    engine.refresh_materialized_view("mv_seg")
+    assert engine.table("mv_seg").count() == n1
+
+
+# ----------------------------------------------------------- external table
+def test_external_csv_sreh(spark, tmp_path):
+    p = tmp_path / "ext.csv"
+    p.write_text("a,b\n1,x\n2,y\nnotanint,z\n3,w\n")
+    good, bad = read_external(
+        spark, str(p), fmt="csv", schema="a INT, b STRING", reject_limit=2
+    )
+    assert good.count() == 3
+    assert bad.count() == 1
+    with pytest.raises(ExternalTableError):
+        read_external(
+            spark, str(p), fmt="csv", schema="a INT, b STRING", reject_limit=0
+        )

@@ -1,0 +1,150 @@
+"""Unit tests: as-of join edge cases, recursive fixpoint, multimodal
+plumbing, approx sketch tolerance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from warehouse_pg_spark.operators.asof import asof_join
+from warehouse_pg_spark.operators.recursive import recursive_union
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100.0),
+            (1, _ts("2024-01-01T10:05:00"), 101.0),
+            (2, _ts("2024-01-01T10:01:00"), 200.0),
+        ],
+        ["key", "qts", "price"],
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:03:00"), 5),   # matches 10:00 quote
+            (1, _ts("2024-01-01T10:05:00"), 6),   # equal-ts -> 10:05 quote
+            (2, _ts("2024-01-01T10:00:00"), 7),   # before any quote -> null
+            (3, _ts("2024-01-01T10:00:00"), 8),   # key never quoted -> null
+        ],
+        ["key", "tts", "qty"],
+    )
+    return trades, quotes
+
+
+def test_asof_basic(spark, asof_frames):
+    trades, quotes = asof_frames
+    out = asof_join(
+        trades, quotes, on=["key"], left_ts="tts", right_ts="qts",
+        right_values=["price"],
+    )
+    rows = {(r.key, r.qty): (r.asof_price, r.asof_ts) for r in out.collect()}
+    assert rows[(1, 5)][0] == 100.0
+    assert rows[(1, 6)][0] == 101.0  # inclusive match at equal ts
+    assert rows[(2, 7)][0] is None
+    assert rows[(3, 8)][0] is None
+    assert out.count() == trades.count()  # left rows preserved
+
+
+def test_asof_strict(spark, asof_frames):
+    trades, quotes = asof_frames
+    out = asof_join(
+        trades, quotes, on=["key"], left_ts="tts", right_ts="qts",
+        right_values=["price"], strict=True,
+    )
+    rows = {(r.key, r.qty): r.asof_price for r in out.collect()}
+    assert rows[(1, 6)] == 100.0  # strictly-before excludes equal ts
+
+
+def test_asof_tolerance(spark, asof_frames):
+    trades, quotes = asof_frames
+    out = asof_join(
+        trades, quotes, on=["key"], left_ts="tts", right_ts="qts",
+        right_values=["price"], tolerance_ms=60_000,
+    )
+    rows = {(r.key, r.qty): r.asof_price for r in out.collect()}
+    assert rows[(1, 5)] is None  # 3 min > 1 min tolerance
+    assert rows[(1, 6)] == 101.0
+
+
+def test_recursive_union_all_semantics(spark):
+    base = spark.createDataFrame([(1,)], ["n"])
+    out = recursive_union(
+        base,
+        lambda t: t.filter(F.col("n") < 5).select((F.col("n") + 1).alias("n")),
+        distinct=False,
+    )
+    assert sorted(r.n for r in out.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_recursive_distinct_terminates_on_cycle(spark):
+    # 3-node cycle: UNION-distinct must converge, not loop forever
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], ["src", "dst"])
+
+    def step(t):
+        e = edges.select(F.col("src").alias("s2"), F.col("dst").alias("d2"))
+        return t.join(e, t.dst == F.col("s2")).select(
+            t.src.alias("src"), F.col("d2").alias("dst")
+        )
+
+    out = recursive_union(edges, step, distinct=True, max_iterations=10)
+    assert out.count() == 9  # full closure of a 3-cycle
+
+
+def test_recursive_max_iterations(spark):
+    base = spark.createDataFrame([(1,)], ["n"])
+    with pytest.raises(RuntimeError, match="converge"):
+        recursive_union(
+            base,
+            lambda t: t.select((F.col("n") + 1).alias("n")),  # never empty
+            distinct=False,
+            max_iterations=3,
+        )
+
+
+def test_multimodal_feature_extraction(spark):
+    from warehouse_pg_spark.multimodal.columns import (
+        MEDIA_SCHEMA,
+        extract_features,
+        frame_sample_plan,
+    )
+
+    rows = [
+        (1, "image", b"img-bytes-1", ("image/png", 64, 64, None)),
+        (2, "image", b"img-bytes-2", ("image/png", 32, 32, None)),
+        (3, "video", b"vid-bytes", ("video/mp4", 640, 480, 3000)),
+        (4, "image", None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media).collect()
+    by_id = {r.media_id: r for r in feats}
+    assert len(by_id[1].features) == 8
+    assert by_id[1].digest != by_id[2].digest
+    assert by_id[4].features is None
+    # determinism: same payload -> same features
+    feats2 = {r.media_id: r.features for r in extract_features(media).collect()}
+    assert feats2[1] == by_id[1].features
+
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert len(frames) == 4  # 0,1000,2000,3000 for the single video
+
+
+def test_multimodal_real_decode_is_stubbed():
+    from warehouse_pg_spark.multimodal.columns import decode_real
+
+    with pytest.raises(NotImplementedError):
+        decode_real(b"x", "image")
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    from warehouse_pg_spark.queries import REGISTRY
+
+    df = REGISTRY["agg_approx_count_distinct"].fn(spark, sf_dir).collect()
+    for r in df:
+        assert abs(r.approx_nd_parts - r.exact_nd_parts) / max(r.exact_nd_parts, 1) < 0.1

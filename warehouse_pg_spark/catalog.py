@@ -21,6 +21,28 @@ import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with physical-type normalization.
+
+    Parquet TIMESTAMP(NANOS) columns (fixture events.ts) are illegal to
+    Spark's reader — read them as long nanos and rebuild microsecond
+    timestamps (integer `div`: double division loses precision on
+    1.7e18-scale nanosecond epochs)."""
+    try:
+        df = spark.read.parquet(path)
+        _ = df.schema
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    # Re-read under nanosAsLong leaves ns columns as bigint; detect the
+    # known shape (events.ts) generically: any *ts* bigint col whose
+    # values are ns-scale would be wrong to guess — only rebuild 'ts'.
+    if "ts" in df.columns and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 # The driver's fixture tables (TESTDATA.md).
 FIXTURE_TABLES = (
@@ -85,7 +107,7 @@ class Catalog:
         )
         self.tables[name] = info
         if create_view:
-            self.spark.read.parquet(path).createOrReplaceTempView(name)
+            read_parquet_table(self.spark, path).createOrReplaceTempView(name)
         return info
 
     def register_fixtures(self, sf_dir: str, create_views: bool = True) -> None:
@@ -97,7 +119,7 @@ class Catalog:
 
     def load(self, name: str) -> DataFrame:
         info = self.tables[name]
-        return self.spark.read.parquet(info.path)
+        return read_parquet_table(self.spark, info.path)
 
     def is_broadcastable(self, name: str) -> bool:
         info = self.tables.get(name)
@@ -110,5 +132,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in FIXTURE_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = read_parquet_table(spark, path)
     return out

@@ -1,0 +1,130 @@
+"""PG-dialect function library.
+
+Registers PostgreSQL/Greenplum function spellings that Spark lacks as
+SQL scalar UDFs (Spark 4 `CREATE FUNCTION ... RETURN <expr>` — pure
+Catalyst expressions, codegen'd, no Python in the hot path), plus
+Column-level helpers for the DataFrame API.
+
+SURVEY §2.9's mapping table realized. Reference anchors:
+utils/adt/varlena.c (strings), oracle_compat.c, timestamp.c /
+formatting.c (to_char engine), interpolate.c:236 (linear_interpolate),
+numeric.c (width_bucket), pivot.c:31 (pivot helpers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# DataFrame-API helpers
+# ---------------------------------------------------------------------------
+
+
+def string_agg(col: Column | str, sep: str = ",", order: bool = True) -> Column:
+    """PG string_agg(x, sep ORDER BY x) — deterministic via sort_array
+    (Spark aggregates have no ORDER BY; SURVEY §2.4 ordered aggregates)."""
+    lst = F.collect_list(col)
+    if order:
+        lst = F.sort_array(lst)
+    return F.array_join(lst, sep)
+
+
+def array_agg_ordered(col: Column | str) -> Column:
+    """PG array_agg(x ORDER BY x)."""
+    return F.sort_array(F.collect_list(col))
+
+
+def median(col: Column | str) -> Column:
+    """GP median() = percentile_cont(0.5) (pg_proc.dat:11586)."""
+    return F.percentile(F.col(col) if isinstance(col, str) else col, F.lit(0.5))
+
+
+def linear_interpolate(
+    x: Column, x0: Column, y0: Column, x1: Column, y1: Column
+) -> Column:
+    """GP linear_interpolate(x, x0, y0, x1, y1) (interpolate.c:236)."""
+    num = x.cast("double") - x0.cast("double")
+    den = x1.cast("double") - x0.cast("double")
+    return F.when(den == 0, y0.cast("double")).otherwise(
+        y0.cast("double") + (y1.cast("double") - y0.cast("double")) * num / den
+    )
+
+
+def age_months(a: Column, b: Column) -> Column:
+    """PG age() at month grain."""
+    return F.floor(F.months_between(a, b)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# SQL scalar UDF registration (PG spellings valid inside engine.sql())
+# ---------------------------------------------------------------------------
+
+# name -> (typed signature, return type, body in Spark SQL)
+_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
+    "strpos": ("s STRING, sub STRING", "INT", "instr(s, sub)"),
+    "to_hex": ("n BIGINT", "STRING", "lower(hex(n))"),
+    "quote_literal": (
+        "s STRING",
+        "STRING",
+        "concat('''', replace(s, '''', ''''''), '''')",
+    ),
+    "quote_ident": ("s STRING", "STRING", 'concat(\'"\', s, \'"\')'),
+    "initcap_pg": ("s STRING", "STRING", "initcap(s)"),
+    "log_pg": ("x DOUBLE", "DOUBLE", "log10(x)"),  # PG log(x) = base 10
+    "trunc_num": (
+        "x DOUBLE",
+        "DOUBLE",
+        "CASE WHEN x >= 0 THEN floor(x) ELSE ceil(x) END",
+    ),
+    "div_pg": ("a BIGINT, b BIGINT", "BIGINT", "a div b"),
+    "width_bucket_pg": (
+        "x DOUBLE, lo DOUBLE, hi DOUBLE, n BIGINT",
+        "BIGINT",
+        "CASE WHEN x < lo THEN 0 WHEN x >= hi THEN n + 1 "
+        "ELSE CAST(floor((x - lo) / (hi - lo) * n) AS BIGINT) + 1 END",
+    ),
+    "age_in_months": (
+        "a TIMESTAMP, b TIMESTAMP",
+        "BIGINT",
+        "CAST(floor(months_between(a, b)) AS BIGINT)",
+    ),
+    "json_extract_text": (
+        "j STRING, p STRING",
+        "STRING",
+        "get_json_object(j, p)",
+    ),
+    "linear_interpolate": (
+        "x DOUBLE, x0 DOUBLE, y0 DOUBLE, x1 DOUBLE, y1 DOUBLE",
+        "DOUBLE",
+        "CASE WHEN x1 = x0 THEN y0 ELSE y0 + (y1 - y0) * (x - x0) / (x1 - x0) END",
+    ),
+    # to_char with the common numeric/date patterns used in the regress corpus
+    "to_char_ts": (
+        "ts TIMESTAMP, fmt STRING",
+        "STRING",
+        "CASE fmt WHEN 'YYYY-MM-DD' THEN date_format(ts, 'yyyy-MM-dd') "
+        "WHEN 'YYYY-MM-DD HH24:MI:SS' THEN date_format(ts, 'yyyy-MM-dd HH:mm:ss') "
+        "WHEN 'MM/DD/YYYY' THEN date_format(ts, 'MM/dd/yyyy') "
+        "WHEN 'YYYY' THEN date_format(ts, 'yyyy') "
+        "WHEN 'Month' THEN date_format(ts, 'MMMM') "
+        "WHEN 'Day' THEN date_format(ts, 'EEEE') "
+        "ELSE date_format(ts, 'yyyy-MM-dd HH:mm:ss') END",
+    ),
+}
+
+_REGISTERED_SESSIONS: set[int] = set()
+
+
+def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]:
+    """Register PG-name SQL scalar functions (idempotent per session)."""
+    key = id(spark)
+    if key in _REGISTERED_SESSIONS and not force:
+        return sorted(_SQL_FUNCTIONS)
+    for name, (sig, ret, body) in _SQL_FUNCTIONS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
+            f"RETURNS {ret} RETURN {body}"
+        )
+    _REGISTERED_SESSIONS.add(key)
+    return sorted(_SQL_FUNCTIONS)

@@ -57,20 +57,13 @@ def register(
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a fixture table, normalizing physical-type quirks.
+    """Load a fixture table, normalizing physical-type quirks
+    (TIMESTAMP(NANOS) → µs; see catalog.read_parquet_table)."""
+    from warehouse_pg_spark.catalog import read_parquet_table
 
-    events.ts is parquet TIMESTAMP(NANOS), which Spark refuses natively
-    (PARQUET_TYPE_ILLEGAL) — read it as long nanos and rebuild a
-    microsecond timestamp (DuckDB applies the same ns→µs truncation)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            # integer `div`: double division would lose precision on
-            # 1.7e18-scale nanosecond epochs (double holds 53 bits)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_parquet_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 # ---------------------------------------------------------------- parity utils

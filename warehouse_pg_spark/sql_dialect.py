@@ -1,0 +1,87 @@
+"""PG → Spark SQL dialect shim (SURVEY §3.1: 'our engine adds a thin
+SQL-dialect shim in front of spark.sql plus our function registry').
+
+Conservative, token-aware textual rewrites for the PG-isms that appear
+in the reference regress corpus but aren't Spark SQL:
+
+  expr::type            -> CAST(expr AS type)       (simple operands)
+  j ->> 'k'  /  -> 'k'  -> get_json_object(j, '$.k')
+  generate_series(a,b[,s]) in FROM -> LATERAL explode(sequence(...))
+  text/int4/int8/float8 type names -> STRING/INT/BIGINT/DOUBLE
+  TRUE/FALSE literals, ILIKE, string concat ||  -> native (already valid)
+
+The shim never parses full SQL — each rewrite is a bounded regex with
+word-boundary guards; anything it doesn't recognize passes through to
+Spark's parser untouched.
+"""
+
+from __future__ import annotations
+
+import re
+
+_TYPE_MAP = {
+    "text": "STRING",
+    "varchar": "STRING",
+    "bpchar": "STRING",
+    "int2": "SMALLINT",
+    "int4": "INT",
+    "int8": "BIGINT",
+    "float4": "FLOAT",
+    "float8": "DOUBLE",
+    "bool": "BOOLEAN",
+    "numeric": "DECIMAL(38,18)",
+    "timestamptz": "TIMESTAMP",
+}
+
+# expr::type for simple operands: identifier, quoted literal, number,
+# or a parenthesized tail like fn(x)::text (matches the closing paren).
+_CAST_RE = re.compile(
+    r"(\w+\([^()]*\)|'[^']*'|\"[^\"]*\"|[\w.]+)\s*::\s*([a-zA-Z_][\w]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+)
+
+_ARROW2_RE = re.compile(r"([\w.\)\]]+)\s*->>\s*'([^']+)'")
+_ARROW1_RE = re.compile(r"([\w.\)\]]+)\s*->\s*'([^']+)'")
+
+_GENSERIES_FROM_RE = re.compile(
+    r"\bFROM\s+generate_series\s*\(([^()]*)\)\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _map_type(t: str) -> str:
+    base = t.split("(")[0].strip().lower()
+    mapped = _TYPE_MAP.get(base)
+    if mapped is None:
+        return t
+    if "(" in t and base in ("varchar", "bpchar", "numeric"):
+        if base == "numeric":
+            return "DECIMAL" + t[t.index("(") :]
+        return "STRING"
+    return mapped
+
+
+def rewrite(sql: str) -> str:
+    """Apply all PG→Spark rewrites to a SQL string."""
+    out = sql
+
+    # j ->> 'k' / j -> 'k'  (->> first so -> doesn't eat it)
+    out = _ARROW2_RE.sub(lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", out)
+    out = _ARROW1_RE.sub(lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", out)
+
+    # expr::type  (repeat: chained casts a::text::int)
+    prev = None
+    while prev != out:
+        prev = out
+        out = _CAST_RE.sub(
+            lambda m: f"CAST({m.group(1)} AS {_map_type(m.group(2))})", out
+        )
+
+    # FROM generate_series(a, b[, s]) [AS] t(n)
+    out = _GENSERIES_FROM_RE.sub(
+        lambda m: (
+            f"FROM (SELECT explode(sequence({m.group(1)})) AS {m.group(3)}) {m.group(2)}"
+        ),
+        out,
+    )
+
+    return out

@@ -1,0 +1,147 @@
+"""Structured Streaming pipelines over event tables (SURVEY §2.10).
+
+The reference has no streaming operators — its continuous ingest is
+external web tables + gpload micro-batches (access/external/
+url_execute.c, gpMgmt/bin/gpload.py). This module is the
+beyond-reference north-star surface, built entirely on stock
+Structured Streaming primitives:
+
+    readStream (file source) → withWatermark → window()/
+    session_window() aggregation → sink (parquet via foreachBatch,
+    or memory for tests)
+
+Every builder returns a *streaming* DataFrame; `run_available_now`
+executes it over the currently-available input (deterministic, used by
+tests and backfills — identical code path to a 24/7 stream).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class EventStream:
+    """A watermarked stream of events(ts, user_id, event_type, value...)."""
+
+    df: DataFrame
+    ts_col: str = "ts"
+    watermark: str = "10 minutes"
+
+    @classmethod
+    def from_parquet_dir(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema,
+        ts_col: str = "ts",
+        watermark: str = "10 minutes",
+        max_files_per_trigger: int | None = None,
+    ) -> "EventStream":
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        df = reader.parquet(path)
+        return cls(df.withWatermark(ts_col, watermark), ts_col, watermark)
+
+    # ------------------------------------------------------------ windows
+    def tumbling_counts(self, width: str = "5 minutes") -> DataFrame:
+        """Tumbling-window counts+sums per event_type (late data beyond
+        the watermark is dropped — the reference has no such concept)."""
+        return (
+            self.df.groupBy(
+                F.window(self.ts_col, width).alias("win"), "event_type"
+            )
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .select(
+                F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "event_type",
+                "n",
+                "total",
+            )
+        )
+
+    def sliding_avg(self, width: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+        """Sliding-window average value per user."""
+        return (
+            self.df.groupBy(
+                F.window(self.ts_col, width, slide).alias("win"), "user_id"
+            )
+            .agg(F.avg("value").alias("avg_value"), F.count("*").alias("n"))
+            .select(
+                F.col("win.start").alias("window_start"),
+                "user_id",
+                "avg_value",
+                "n",
+            )
+        )
+
+    def session_windows(self, gap: str = "30 minutes") -> DataFrame:
+        """Session windows per user (session_window — the streaming
+        twin of the batch events_sessionize query)."""
+        return (
+            self.df.groupBy(
+                F.session_window(self.ts_col, gap).alias("win"), "user_id"
+            )
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("total"))
+            .select(
+                F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"),
+                "user_id",
+                "n_events",
+                "total",
+            )
+        )
+
+    def dedup_within_watermark(self, keys: list[str]) -> DataFrame:
+        """Stateful stream dedup (dropDuplicatesWithinWatermark)."""
+        return self.df.dropDuplicatesWithinWatermark(keys)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    sink_path: str | None = None,
+    query_name: str = "q",
+    output_mode: str | None = None,
+):
+    """Execute a streaming plan over all currently-available input and
+    stop (Trigger.AvailableNow) — deterministic batch-equivalent run.
+
+    sink_path=None → in-memory sink (test/debug); else parquet+checkpoint.
+    output_mode defaults to 'complete' for aggregations (memory sink
+    holds final state) and 'append' for row-level streams (dedup/map).
+    Returns the StreamingQuery after completion."""
+    if output_mode is None:
+        output_mode = "complete" if stream_df.isStreaming and _has_agg(stream_df) else "append"
+    if sink_path is None:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    else:
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", sink_path)
+            .option("checkpointLocation", sink_path + "_chk")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    return q
+
+
+def _has_agg(df: DataFrame) -> bool:
+    """True if the streaming plan contains an aggregation node."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True
+    return "Aggregate" in plan
