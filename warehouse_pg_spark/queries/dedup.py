@@ -126,10 +126,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Blocked self-join on shared shingles — pairs with zero overlap are
     never materialized, so cost tracks true near-duplicates, not n²."""
-    d = table(spark, sf_dir, "documents")
+    # Fixture files are a single row group → one scan task; fan the
+    # CPU-heavy shingle stage across all cores first (cheap shuffle of
+    # the small input), and cache the shared shingle set — it feeds the
+    # self-join twice plus the sizes agg (ShareInputScan analogue,
+    # reference nodeShareInputScan.c:1-35).
+    par = spark.sparkContext.defaultParallelism
+    d = table(spark, sf_dir, "documents").repartition(par, "doc_id")
     sh = (
         d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
         .distinct()
+        .cache()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
@@ -213,11 +220,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a lexicographic minhash that's engine-portable and deterministic.
     Candidates = pairs agreeing on any band; est_jaccard = matching
     signature fraction. Scales as O(n·k) + bucket-local joins."""
-    d = table(spark, sf_dir, "documents")
+    # Parallelize the shingle+md5 stage (single-row-group input) and
+    # cache the signature table: it feeds the band build AND both sides
+    # of the candidate verification join (3 consumers).
+    par = spark.sparkContext.defaultParallelism
+    d = table(spark, sf_dir, "documents").repartition(par, "doc_id")
     sh = d.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
     ).distinct()
-    sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
+    sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols()).cache()
 
     bands = None
     for band in range(_NUM_HASHES // 2):
@@ -302,7 +313,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bit b of the fingerprint = sign of sum over distinct tokens of
     (+1 / -1) per token-hash bit b. Pure integer arithmetic on md5 hex
     digits → engine-portable. Near-dups = small Hamming distance."""
-    d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    d = table(spark, sf_dir, "documents").repartition(par, "doc_id")
     words = F.split(_norm_text(F.col("text")), " ")
     tok = (
         d.select("doc_id", F.explode(words).alias("token"))
