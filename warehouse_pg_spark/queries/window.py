@@ -212,6 +212,162 @@ def window_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_groups_frame",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+             DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS dr
+      FROM lineitem WHERE l_orderkey % 101 = 0
+    )
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_returnflag ORDER BY dr
+                      RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                AS DECIMAL(38,2)) AS groups_sum
+    FROM ranked
+    """,
+    tags=("window", "frames"),
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS frame (nodeWindowAgg.c:1454-1480) — Spark has no GROUPS
+    mode; lowered via dense_rank + RANGE frame
+    (operators/window_ext.groups_frame_agg). DuckDB hasn't implemented
+    GROUPS either, so the oracle uses the SQL form of the same
+    dense_rank identity (independent engine, same algebra)."""
+    from warehouse_pg_spark.operators.window_ext import groups_frame_agg
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    out = groups_frame_agg(
+        li,
+        agg=lambda v: F.sum(dec(v)),
+        value="l_quantity",
+        partition_by=["l_returnflag"],
+        order_by=["l_quantity"],
+        start=-1,
+        end=1,
+        out="groups_sum",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.col("groups_sum").cast("decimal(38,2)").alias("groups_sum"),
+    )
+
+
+@register(
+    "window_exclude_current_row",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                      EXCLUDE CURRENT ROW)
+                AS DECIMAL(38,2)) AS excl_sum
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    """,
+    tags=("window", "frames"),
+)
+def window_exclude_current_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE CURRENT ROW — lowered to frame_sum - current_value
+    (operators/window_ext.sum_exclude)."""
+    from warehouse_pg_spark.operators.window_ext import sum_exclude
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    out = sum_exclude(
+        li,
+        value=dec("l_quantity"),
+        partition_by=["l_returnflag"],
+        order_by=["l_quantity"],
+        start=-2,
+        end=2,
+        exclude="current row",
+        out="excl_sum",
+        frame_type="range",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.col("excl_sum").cast("decimal(38,2)").alias("excl_sum"),
+    )
+
+
+@register(
+    "window_exclude_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                      EXCLUDE GROUP)
+                AS DECIMAL(38,2)) AS excl_sum
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    """,
+    tags=("window", "frames"),
+)
+def window_exclude_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE GROUP — frame_sum minus the peer-group sum."""
+    from warehouse_pg_spark.operators.window_ext import sum_exclude
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    out = sum_exclude(
+        li,
+        value=dec("l_quantity"),
+        partition_by=["l_returnflag"],
+        order_by=["l_quantity"],
+        start=-2,
+        end=2,
+        exclude="group",
+        out="excl_sum",
+        frame_type="range",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.col("excl_sum").cast("decimal(38,2)").alias("excl_sum"),
+    )
+
+
+@register(
+    "window_exclude_ties",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                      EXCLUDE TIES)
+                AS DECIMAL(38,2)) AS excl_sum
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    """,
+    tags=("window", "frames"),
+)
+def window_exclude_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE TIES — frame_sum - peer_sum + current_value."""
+    from warehouse_pg_spark.operators.window_ext import sum_exclude
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    out = sum_exclude(
+        li,
+        value=dec("l_quantity"),
+        partition_by=["l_returnflag"],
+        order_by=["l_quantity"],
+        start=-2,
+        end=2,
+        exclude="ties",
+        out="excl_sum",
+        frame_type="range",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.col("excl_sum").cast("decimal(38,2)").alias("excl_sum"),
+    )
+
+
+@register(
     "window_topn_per_group",
     oracle="""
     SELECT * FROM (
