@@ -125,10 +125,11 @@ class Engine:
         """CREATE AGGREGATE via vectorized pandas GROUPED_AGG UDF
         (reference commands/aggregatecmds.c; partial-merge caveat
         documented in SURVEY §7.5)."""
-        import pandas as pd  # noqa: F401
-        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-        self.spark.udf.register(name, pandas_udf(fn, return_type, "grouped_agg"))
+        self.spark.udf.register(
+            name, pandas_udf(fn, return_type, PandasUDFType.GROUPED_AGG)
+        )
 
     # ----------------------------------------------------------------- DML
     def writable(self, path: str) -> ParquetTable:

@@ -21,6 +21,7 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
     similarity,
     textops,
     recursive,
+    srf_udf,
 )
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,195 @@
+"""Set-returning functions, UDTFs, table functions, UDAs (SURVEY §2.2
+ProjectSet, §2.1 FunctionScan/TableFunction, §2.11 UDF surface).
+
+Reference: nodeProjectSet.c (SRFs in targetlist), nodeFunctionscan.c
+(SRF in FROM), nodeTableFunction.c (GP anytable in/out),
+commands/aggregatecmds.c (CREATE AGGREGATE).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warehouse_pg_spark.queries.registry import dec, dsum, register, table
+
+
+@register(
+    "srf_unnest_explode",
+    oracle="""
+    WITH a AS (
+      SELECT n_regionkey, array_agg(n_nationkey ORDER BY n_nationkey) AS keys
+      FROM nation GROUP BY n_regionkey
+    )
+    SELECT n_regionkey, unnest(keys) AS nationkey FROM a
+    """,
+    tags=("srf",),
+)
+def srf_unnest_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unnest/explode — SRF in targetlist (ProjectSet)."""
+    n = table(spark, sf_dir, "nation")
+    a = n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_nationkey")).alias("keys")
+    )
+    return a.select("n_regionkey", F.explode("keys").alias("nationkey"))
+
+
+@register(
+    "srf_posexplode_ordinality",
+    oracle="""
+    WITH a AS (
+      SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS names
+      FROM nation GROUP BY n_regionkey
+    )
+    SELECT n_regionkey,
+           CAST(generate_subscripts(names, 1) - 1 AS INT) AS pos,
+           unnest(names) AS name
+    FROM a
+    """,
+    tags=("srf",),
+)
+def srf_posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode = unnest WITH ORDINALITY (0-based pos to match Spark)."""
+    n = table(spark, sf_dir, "nation")
+    a = n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("names")
+    )
+    return a.select("n_regionkey", F.posexplode("names").alias("pos", "name"))
+
+
+@register(
+    "udtf_python_split_words",
+    oracle=None,  # Python UDTF — no SQL oracle; rows-only + unit test
+    tags=("srf", "udtf"),
+)
+def udtf_python_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+) — RETURNS SETOF analogue
+    (execSRF.c / nodeFunctionscan.c): split region names into rows."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                yield w, i
+
+    spark.udtf.register("split_words", SplitWords)
+    table(spark, sf_dir, "region").createOrReplaceTempView("region_udtf")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.word, t.pos
+        FROM region_udtf r, LATERAL split_words(r.r_name) t
+        """
+    )
+
+
+@register(
+    "tablefunc_map_in_pandas",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+    FROM orders WHERE o_totalprice > 100000
+    GROUP BY o_orderstatus
+    """,
+    tags=("tablefunc",),
+)
+def tablefunc_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GP TableFunction (anytable in → table out, nodeTableFunction.c:581)
+    as mapInPandas: an Arrow-batched table-in/table-out transform
+    (here: a filter+project stage) feeding a normal aggregation.
+
+    The Python stage is the *capability* demo; the values stay
+    oracle-checkable because the transform is deterministic."""
+    o = table(spark, sf_dir, "orders")
+
+    def big_orders(batches):
+        for pdf in batches:
+            out = pdf[pdf["o_totalprice"] > 100000]
+            yield out[["o_orderstatus", "o_totalprice"]]
+
+    transformed = o.mapInPandas(
+        big_orders, "o_orderstatus string, o_totalprice double"
+    )
+    return transformed.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        dsum(dec("o_totalprice")).alias("total"),
+    )
+
+
+@register(
+    "uda_pandas_grouped",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_sq
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("uda",),
+)
+def uda_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE AGGREGATE analogue: vectorized pandas GROUPED_AGG UDA
+    (commands/aggregatecmds.c). mean-of-squares with decimal-exact
+    accumulation so the oracle matches bit-for-bit."""
+    from decimal import Decimal
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mean_sq(v: pd.Series) -> float:
+        # accumulate in Decimal (exact, order-independent) then one
+        # double division — mirrors the engine-wide parity rules
+        total = sum(
+            (Decimal(str(round(x, 2))) * Decimal(str(round(x, 2))) for x in v),
+            Decimal(0),
+        )
+        return round(float(total) / len(v), 4)
+
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(mean_sq("c_acctbal").alias("mean_sq"))
+
+
+@register(
+    "sample_bernoulli_rowsonly",
+    oracle=None,  # nondeterministic across engines by nature
+    tags=("sample",),
+)
+def sample_bernoulli_rowsonly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True TABLESAMPLE (nodeSamplescan.c, bernoulli.c:47): seeded
+    df.sample — deterministic within Spark, not across engines →
+    rows-only check; the unit test asserts the sampled fraction."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).agg(
+        F.count("*").alias("n"),
+        dsum(dec("l_quantity")).alias("qty"),
+    )
+
+
+@register(
+    "order_nulls_last",
+    oracle="""
+    SELECT prio_or_null, o_orderkey FROM (
+      SELECT NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio_or_null, o_orderkey
+      FROM orders WHERE o_orderkey % 53 = 0
+    ) t
+    ORDER BY prio_or_null ASC NULLS LAST, o_orderkey
+    LIMIT 25
+    """,
+    tags=("sort",),
+)
+def order_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG NULL ordering: ASC defaults to NULLS LAST (Spark defaults
+    NULLS FIRST) — the engine's lowering always emits explicit
+    asc_nulls_last (SURVEY §7.2)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 53 == 0)
+    return (
+        o.select(
+            F.nullif("o_orderpriority", F.lit("4-NOT SPECIFIED")).alias(
+                "prio_or_null"
+            ),
+            "o_orderkey",
+        )
+        .orderBy(F.col("prio_or_null").asc_nulls_last(), F.col("o_orderkey"))
+        .limit(25)
+    )
