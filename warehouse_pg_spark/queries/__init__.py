@@ -10,6 +10,7 @@ from warehouse_pg_spark.queries.registry import REGISTRY, Query, register
 # Import side-effect: each module registers its queries.
 from warehouse_pg_spark.queries import (  # noqa: F401, E402
     tpch,
+    tpch_full,
     joins,
     aggregates,
     window,
