@@ -148,3 +148,31 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
     df = REGISTRY["agg_approx_count_distinct"].fn(spark, sf_dir).collect()
     for r in df:
         assert abs(r.approx_nd_parts - r.exact_nd_parts) / max(r.exact_nd_parts, 1) < 0.1
+
+
+def test_hll_partial_merge_accuracy(spark, sf_dir):
+    """Union-merged HLL sketch NDV must be within 5% of the exact
+    per-region distinct customer count (gp_hyperloglog.c analogue)."""
+    from pyspark.sql import functions as F
+
+    from warehouse_pg_spark.queries import REGISTRY
+    from warehouse_pg_spark.queries.registry import table
+
+    est = {
+        r.n_regionkey: r.ndv_customers
+        for r in REGISTRY["agg_hll_partial_merge"].fn(spark, sf_dir).collect()
+    }
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    exact = {
+        r.n_regionkey: r.nd
+        for r in cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("nd"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert abs(est[k] - v) / max(v, 1) < 0.05

@@ -23,6 +23,7 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
     textops,
     recursive,
     srf_udf,
+    gp_types,
 )
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,287 @@
+"""GP-specific type & function families (SURVEY §1.2 / §2.9):
+
+  - complex number arithmetic      (reference: utils/adt/complex_type.c)
+  - sparse vectors (svec) dot ops  (reference: gpcontrib/gp_sparse_vector/
+                                    sparse_vector.c, operators.c)
+  - matrix ops                     (reference: utils/adt/matrix.c:45)
+  - ordered-set aggregates: deterministic mode(), percentile_disc
+                                   (reference: utils/adt/orderedsetaggs.c:423)
+  - HyperLogLog partial/merge      (reference: utils/hyperloglog/
+                                    gp_hyperloglog.c, analyze.c:693)
+
+Complex numbers are StructType(re, im) realized as flat double columns
+in query outputs (parity rule 3 — flat columns compare cleanly).
+Sparse vectors are (index, value) entry lists; the dot product is
+computed the MPP way — explode entries, join on dimension, partial-sum —
+which is exactly how a 100 TB sparse corpus would be laid out (inverted
+index over dimensions, shuffle on dimension id, then per-vector final
+agg). Quantization uses floor() (identical semantics in Spark/DuckDB;
+round() tie-breaking differs between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from warehouse_pg_spark.queries.registry import register, table
+
+
+# --------------------------------------------------------------- ordered-set
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT l_returnflag, l_quantity AS mode_qty, cnt
+    FROM (SELECT l_returnflag, l_quantity, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY count(*) DESC, l_quantity) AS rn
+          FROM lineitem GROUP BY l_returnflag, l_quantity)
+    WHERE rn = 1
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "orderedset"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG mode() WITHIN GROUP (orderedsetaggs.c) with the PG tie-break
+    (smallest value among equally-frequent) made explicit, so the result
+    is deterministic across engines. count-per-value + row_number —
+    fully distributed, no per-group materialization."""
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), "cnt")
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           MIN(CASE WHEN cd >= 0.25 THEN l_quantity END) AS p25,
+           MIN(CASE WHEN cd >= 0.50 THEN l_quantity END) AS p50,
+           MIN(CASE WHEN cd >= 0.90 THEN l_quantity END) AS p90
+    FROM (SELECT l_returnflag, l_quantity,
+                 cume_dist() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_quantity) AS cd
+          FROM lineitem)
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "orderedset", "window"),
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG percentile_disc(p) WITHIN GROUP (ORDER BY x)
+    (orderedsetaggs.c:423): the first value whose cumulative
+    distribution reaches p. cume_dist window + conditional MIN —
+    distributed, exact, no interpolation (contrast percentile_cont)."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    cd = F.cume_dist().over(w)
+    base = li.select("l_returnflag", "l_quantity", cd.alias("cd"))
+    return (
+        base.groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("cd") >= 0.25, F.col("l_quantity"))).alias("p25"),
+            F.min(F.when(F.col("cd") >= 0.50, F.col("l_quantity"))).alias("p50"),
+            F.min(F.when(F.col("cd") >= 0.90, F.col("l_quantity"))).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ----------------------------------------------------------------- complex
+
+
+@register(
+    "fn_complex_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity + (l_linenumber + 1) AS sum_re,
+           CAST(l_linenumber AS DOUBLE) + 2.0 AS sum_im,
+           l_quantity * (l_linenumber + 1) - l_linenumber * 2.0 AS prod_re,
+           l_quantity * 2.0 + l_linenumber * (l_linenumber + 1) AS prod_im,
+           sqrt(l_quantity * l_quantity + l_linenumber * l_linenumber) AS magnitude
+    FROM lineitem
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("functions", "complex"),
+)
+def fn_complex_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GP complex type arithmetic (complex_type.c): + , * , |z| over
+    struct(re, im) pairs built from integral-valued columns (products
+    and sums of small integers are exact doubles → bit-identical)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    c1 = F.struct(
+        F.col("l_quantity").alias("re"),
+        F.col("l_linenumber").cast("double").alias("im"),
+    )
+    c2 = F.struct(
+        (F.col("l_linenumber") + 1).cast("double").alias("re"),
+        F.lit(2.0).alias("im"),
+    )
+    a, b = c1.alias("a"), c2.alias("b")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (a.re + b.re).alias("sum_re"),
+        (a.im + b.im).alias("sum_im"),
+        (a.re * b.re - a.im * b.im).alias("prod_re"),
+        (a.re * b.im + a.im * b.re).alias("prod_im"),
+        F.sqrt(a.re * a.re + a.im * a.im).alias("magnitude"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# -------------------------------------------------------------------- svec
+
+
+_QUANT_SQL = "CAST(floor(CAST({v}[i] AS DOUBLE) * 64) AS BIGINT)"
+
+
+@register(
+    "fn_svec_sparse_dot",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           CAST(list_sum(list_transform(range(1, 65),
+             i -> CASE WHEN {_QUANT_SQL.format(v='embedding')} <> 0
+                        AND {_QUANT_SQL.format(v='qv')} <> 0
+                       THEN {_QUANT_SQL.format(v='embedding')} * {_QUANT_SQL.format(v='qv')}
+                       ELSE 0 END)) AS BIGINT) AS dot
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY dot DESC, vec_id
+    LIMIT 20
+    """,
+    tags=("similarity", "svec"),
+)
+def fn_svec_sparse_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GP svec sparse dot product (gp_sparse_vector/operators.c) the
+    MPP way: quantize, drop zero entries, explode to (dim, val) rows,
+    hash-join the (tiny, broadcast) query vector's entries on dim,
+    partial-sum per vec_id. At 100 TB this is the inverted-index
+    layout: shuffle is on vec_id only for the final agg; the dim join
+    is broadcast. Integer arithmetic → exact parity."""
+    e = table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 64).cast("long")
+    )
+    entries = (
+        e.select("vec_id", F.posexplode(quant).alias("dim", "val"))
+        .filter(F.col("val") != 0)
+    )
+    q_entries = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.posexplode(quant).alias("dim", "qval"))
+        .filter(F.col("qval") != 0)
+    )
+    return (
+        entries.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q_entries), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+        .orderBy(F.col("dot").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+# ------------------------------------------------------------------ matrix
+
+
+@register(
+    "fn_matrix_ops",
+    oracle="""
+    SELECT l_orderkey,
+           SUM(l_quantity + l_linenumber)      AS m00,
+           SUM(l_quantity - l_linenumber)      AS m01,
+           SUM(l_quantity * 2)                 AS m10,
+           SUM(CAST(l_linenumber AS DOUBLE))   AS m11
+    FROM lineitem
+    WHERE l_orderkey < 100
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    tags=("functions", "matrix"),
+)
+def fn_matrix_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GP matrix_add aggregate (matrix.c:45): per-row 2x2 matrices
+    (nested arrays) summed element-wise across the group via
+    zip_with-based matrix_add, then flattened for output. Integral
+    doubles → exact sums in any order."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    row_matrix = F.array(
+        F.array(
+            F.col("l_quantity") + F.col("l_linenumber"),
+            F.col("l_quantity") - F.col("l_linenumber"),
+        ),
+        F.array(
+            F.col("l_quantity") * 2,
+            F.col("l_linenumber").cast("double"),
+        ),
+    )
+
+    def matrix_add(acc, m):
+        return F.zip_with(
+            acc, m, lambda ra, rb: F.zip_with(ra, rb, lambda x, y: x + y)
+        )
+
+    zero = F.array(
+        F.array(F.lit(0.0), F.lit(0.0)), F.array(F.lit(0.0), F.lit(0.0))
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.aggregate(
+                F.collect_list(row_matrix), zero, matrix_add
+            ).alias("m")
+        )
+        .select(
+            "l_orderkey",
+            F.col("m")[0][0].alias("m00"),
+            F.col("m")[0][1].alias("m01"),
+            F.col("m")[1][0].alias("m10"),
+            F.col("m")[1][1].alias("m11"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+# --------------------------------------------------------------------- HLL
+
+
+@register(
+    "agg_hll_partial_merge",
+    oracle=None,  # sketch estimates are approximate — rows-only gate;
+    # tests/test_operators.py asserts the estimate is within 5% of exact
+    tags=("agg", "sketch"),
+)
+def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gp_hyperloglog two-phase NDV (gp_hyperloglog.c; incremental
+    ANALYZE merges per-leaf sketches, analyze.c:693): build per-nation
+    customer sketches (partial), union-merge them per region (final),
+    estimate. The sketch column is what a 100 TB incremental-stats
+    pipeline would persist per partition."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    partials = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sketch"))
+    )
+    return (
+        partials.groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("ndv_customers")
+        )
+        .orderBy("n_regionkey")
+    )
