@@ -24,6 +24,7 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
     recursive,
     srf_udf,
     gp_types,
+    pg_sql,
 )
 
 __all__ = ["REGISTRY", "Query", "register"]

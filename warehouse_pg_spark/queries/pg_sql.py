@@ -1,0 +1,194 @@
+"""End-to-end PG-dialect SQL queries through the Engine facade.
+
+Each query here enters the engine as *PostgreSQL SQL text* — the
+interface a WHPG user actually has (reference: tcop/postgres.c
+exec_simple_query, parser gram.y) — and flows through
+sql_dialect.rewrite → spark.sql. This is the integration surface the
+other registry modules exercise piecewise via the DataFrame API.
+
+PG-isms covered: `::` casts (incl. numeric(p,s)), `->>` JSON
+extraction, FROM generate_series(...) AS t(n), ILIKE, `||` concat,
+DISTINCT ON (...), date_trunc / interval arithmetic, type names
+text/int4/int8/float8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from warehouse_pg_spark.queries.registry import register
+
+
+def _engine_sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_fixtures(sf_dir)
+    return eng.sql(text)
+
+
+@register(
+    "pgsql_q1_text",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("dialect", "agg"),
+)
+def pgsql_q1_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (reduced) as PG SQL text: `::numeric(p,s)` casts and a
+    `::timestamp` literal exercise the cast-operator rewrite."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity::numeric(18,2))::numeric(38,2) AS sum_qty,
+               sum(l_extendedprice::numeric(18,2)
+                   * (1 - l_discount::numeric(18,2)))::numeric(38,4) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= '1998-09-02'::timestamp
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    )
+
+
+@register(
+    "pgsql_json_arrow_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("dialect", "json"),
+)
+def pgsql_json_arrow_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG `props ->> 'k'` JSON extraction (jsonfuncs.c operators) via
+    the arrow-operator rewrite, with `::int8` casts."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT event_type,
+               sum((props ->> 'k')::int8) AS k_total,
+               count(*) AS n
+        FROM events
+        WHERE (props ->> 'k')::int8 >= 50
+        GROUP BY event_type ORDER BY event_type
+        """,
+    )
+
+
+@register(
+    "pgsql_generate_series_from",
+    oracle="""
+    SELECT n, n * n AS square, CAST(SUM(n) OVER (ORDER BY n) AS BIGINT) AS running
+    FROM generate_series(1, 100) t(n)
+    ORDER BY n
+    """,
+    tags=("dialect", "srf"),
+)
+def pgsql_generate_series_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG `FROM generate_series(a, b) t(n)` set-returning function in
+    FROM (nodeFunctionscan.c) → explode(sequence(...)) rewrite, plus a
+    running-sum window on the generated rows."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n, n * n AS square, sum(n) OVER (ORDER BY n) AS running
+        FROM generate_series(1, 100) t(n)
+        ORDER BY n
+        """,
+    )
+
+
+@register(
+    "pgsql_ilike_concat",
+    oracle="""
+    SELECT c_custkey, c_name || '/' || c_mktsegment AS tag
+    FROM customer
+    WHERE c_mktsegment ILIKE '%build%' AND c_custkey < 200
+    ORDER BY c_custkey
+    """,
+    tags=("dialect", "strings"),
+)
+def pgsql_ilike_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ILIKE (like.c case-insensitive path) and `||` concatenation —
+    both valid Spark SQL, passing through the shim untouched."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_name || '/' || c_mktsegment AS tag
+        FROM customer
+        WHERE c_mktsegment ILIKE '%build%' AND c_custkey < 200
+        ORDER BY c_custkey
+        """,
+    )
+
+
+@register(
+    "pgsql_distinct_on_latest_order",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+    """,
+    tags=("dialect", "window"),
+)
+def pgsql_distinct_on_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG `SELECT DISTINCT ON (k) ... ORDER BY k, tiebreak` (each
+    customer's latest order) → row_number-window rewrite. DuckDB runs
+    the PG form natively, making it its own oracle."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+               o_orderdate::date AS o_orderdate
+        FROM orders
+        WHERE o_custkey < 100
+        ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+        """,
+    )
+
+
+@register(
+    "pgsql_date_trunc_interval",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate + INTERVAL 30 DAY < TIMESTAMP '1997-01-01'
+    GROUP BY month ORDER BY month
+    """,
+    tags=("dialect", "datetime"),
+)
+def pgsql_date_trunc_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG date_trunc + interval arithmetic (timestamp.c, datetime.c):
+    identical spellings in Spark SQL; the `::date`/`::timestamp` casts
+    go through the shim."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT date_trunc('month', o_orderdate)::date AS month,
+               count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate + INTERVAL '30' DAY < '1997-01-01'::timestamp
+        GROUP BY month ORDER BY month
+        """,
+    )

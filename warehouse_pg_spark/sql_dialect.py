@@ -48,6 +48,31 @@ _GENSERIES_FROM_RE = re.compile(
 )
 
 
+_DISTINCT_ON_RE = re.compile(
+    r"^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s+FROM\s+(.*?)"
+    r"(?:\s+ORDER\s+BY\s+(.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """PG `SELECT DISTINCT ON (k) cols FROM ... ORDER BY k, tiebreak`
+    (parser gram.y distinct_clause) → row_number window, keep first row
+    per key. Only the whole-statement shape is handled; anything more
+    nested passes through (and Spark reports the syntax error)."""
+    m = _DISTINCT_ON_RE.match(sql)
+    if m is None:
+        return sql
+    on_cols, select_list, tail, order_by = m.groups()
+    order = order_by.strip() if order_by else on_cols.strip()
+    return (
+        f"SELECT * EXCEPT (__rn) FROM ("
+        f"SELECT {select_list.strip()}, row_number() OVER ("
+        f"PARTITION BY {on_cols.strip()} ORDER BY {order}) AS __rn "
+        f"FROM {tail.strip()}) __distinct_on WHERE __rn = 1"
+    )
+
+
 def _map_type(t: str) -> str:
     base = t.split("(")[0].strip().lower()
     mapped = _TYPE_MAP.get(base)
@@ -62,7 +87,7 @@ def _map_type(t: str) -> str:
 
 def rewrite(sql: str) -> str:
     """Apply all PG→Spark rewrites to a SQL string."""
-    out = sql
+    out = _rewrite_distinct_on(sql)
 
     # j ->> 'k' / j -> 'k'  (->> first so -> doesn't eat it)
     out = _ARROW2_RE.sub(lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", out)
@@ -75,6 +100,14 @@ def rewrite(sql: str) -> str:
         out = _CAST_RE.sub(
             lambda m: f"CAST({m.group(1)} AS {_map_type(m.group(2))})", out
         )
+
+    # Fallback for operands _CAST_RE can't bound (nested parens): Spark 4
+    # parses `expr::type` natively, so just map the PG type name.
+    out = re.sub(
+        r"::\s*([a-zA-Z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
+        lambda m: "::" + _map_type(m.group(1)),
+        out,
+    )
 
     # FROM generate_series(a, b[, s]) [AS] t(n)
     out = _GENSERIES_FROM_RE.sub(
