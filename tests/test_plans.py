@@ -107,3 +107,49 @@ def test_notin_null_aware(spark, sf_dir):
     CPhysicalLeftAntiSemiHashJoinNotIn)."""
     plan = plan_of(spark, sf_dir, "join_notin_with_nulls")
     assert "LeftAnti" in plan
+
+
+def test_q4_semi_join_with_nonequi_predicate(spark, sf_dir):
+    """EXISTS with an extra date qual must stay a hash semi join (the
+    equi key carries it), never a nested-loop."""
+    plan = plan_of(spark, sf_dir, "tpch_q4_order_priority", "simple")
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_q19_or_predicate_stays_hash_join(spark, sf_dir):
+    """OR-of-ANDs with a common equi key: Catalyst must extract
+    l_partkey = p_partkey and keep a hash join, not a cartesian."""
+    plan = plan_of(spark, sf_dir, "tpch_q19_discounted_revenue", "simple")
+    assert "HashJoin" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q21_semi_anti_shapes(spark, sf_dir):
+    """EXISTS -> semi, NOT EXISTS -> anti, both hash joins on the
+    shared l_orderkey key; top-K avoids a global sort."""
+    plan = plan_of(spark, sf_dir, "tpch_q21_waiting_suppliers", "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q16_anti_join_and_distinct_agg(spark, sf_dir):
+    """NOT IN over non-null keys -> plain anti join; COUNT(DISTINCT)
+    expands to a two-phase aggregate."""
+    plan = plan_of(spark, sf_dir, "tpch_q16_supplier_part_counts", "simple")
+    assert "LeftAnti" in plan
+    assert "HashAggregate" in plan
+
+
+def test_q17_decorrelated_avg_no_cartesian(spark, sf_dir):
+    """Correlated AVG subquery decorrelated to agg+join must not
+    produce a nested-loop over lineitem."""
+    plan = plan_of(spark, sf_dir, "tpch_q17_small_quantity_revenue", "simple")
+    assert "Cartesian" not in plan
+
+
+def test_svec_dot_broadcasts_query_entries(spark, sf_dir):
+    """Sparse-dot joins the query vector's entries broadcast-side; the
+    corpus entries never shuffle before the per-vector agg."""
+    plan = plan_of(spark, sf_dir, "fn_svec_sparse_dot", "simple")
+    assert "BroadcastHashJoin" in plan

@@ -99,6 +99,17 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "DOUBLE",
         "CASE WHEN x1 = x0 THEN y0 ELSE y0 + (y1 - y0) * (x - x0) / (x1 - x0) END",
     ),
+    # PG to_char(numeric, fmt) for the common numeric patterns
+    # (formatting.c NUM_* engine): fixed decimal places, FM prefix.
+    # Unknown patterns fall back to 2-decimal money formatting.
+    "to_char_num": (
+        "x DOUBLE, fmt STRING",
+        "STRING",
+        "CASE WHEN fmt RLIKE '\\\\.(9|0){2}$' THEN CAST(CAST(x AS DECIMAL(38,2)) AS STRING) "
+        "WHEN fmt RLIKE '\\\\.(9|0)$' THEN CAST(CAST(x AS DECIMAL(38,1)) AS STRING) "
+        "WHEN fmt RLIKE '^(FM)?(9|0)+$' THEN CAST(CAST(round(x, 0) AS BIGINT) AS STRING) "
+        "ELSE CAST(CAST(x AS DECIMAL(38,2)) AS STRING) END",
+    ),
     # to_char with the common numeric/date patterns used in the regress corpus
     "to_char_ts": (
         "ts TIMESTAMP, fmt STRING",

@@ -344,3 +344,40 @@ def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "fn_strings_hash_format",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS h_md5,
+           sha256(c_name) AS h_sha256,
+           to_base64(encode(c_name)) AS b64,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr,
+           substring(c_name, 1, 2) || 'XX' || substring(c_name, 5) AS ov,
+           printf('%s:%d', c_mktsegment, c_custkey) AS fmt,
+           CAST(CAST(c_acctbal AS DECIMAL(38,2)) AS VARCHAR) AS money_txt
+    FROM customer
+    WHERE c_custkey < 100
+    ORDER BY c_custkey
+    """,
+    tags=("functions", "strings"),
+)
+def fn_strings_hash_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash/encode/format string family (cryptohashes.c, encode.c,
+    oracle_compat.c translate/overlay, varlena.c format, formatting.c
+    to_char numeric shim)."""
+    from warehouse_pg_spark.functions.pg import register_pg_functions
+
+    register_pg_functions(spark)
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return cust.select(
+        "c_custkey",
+        F.md5("c_name").alias("h_md5"),
+        F.sha2(F.col("c_name"), 256).alias("h_sha256"),
+        F.base64(F.col("c_name").cast("binary")).alias("b64"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("tr"),
+        F.overlay(F.col("c_name"), F.lit("XX"), F.lit(3), F.lit(2)).alias("ov"),
+        F.format_string("%s:%d", F.col("c_mktsegment"), F.col("c_custkey")).alias("fmt"),
+        F.expr("to_char_num(c_acctbal, 'FM999999990.00')").alias("money_txt"),
+    ).orderBy("c_custkey")
