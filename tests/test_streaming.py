@@ -61,3 +61,29 @@ def test_streaming_dedup(spark, events_dir):
     got = spark.table("dd")
     assert got.count() == got.select("event_id").distinct().count()
     q.stop()
+
+
+def test_streaming_stateful_user_totals_matches_batch(spark, sf_dir, events_dir):
+    """applyInPandasWithState custom stateful operator: final per-user
+    (count, total) must equal the batch groupBy over the same input."""
+    path, schema = events_dir
+    stream = EventStream.from_parquet_dir(spark, path, schema, watermark="1 minute")
+    run_available_now(
+        stream.stateful_user_totals(), query_name="stateful", output_mode="update"
+    )
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.table("stateful").collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for uid, (n, total) in batch.items():
+        gn, gt = got[uid]
+        assert gn == n
+        assert abs(gt - total) < 1e-6 * max(abs(total), 1.0)

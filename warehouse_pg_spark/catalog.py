@@ -121,6 +121,48 @@ class Catalog:
         info = self.tables[name]
         return read_parquet_table(self.spark, info.path)
 
+    def materialize_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        keys: tuple[str, ...],
+        num_buckets: int = 32,
+        sort: bool = True,
+    ) -> DataFrame:
+        """Materialize df as a bucketed managed table — the engine's
+        realization of `DISTRIBUTED BY (keys)` data placement
+        (reference: gp_distribution_policy.h, cdbhash.c): tables
+        bucketed on the same keys with the same bucket count join
+        WITHOUT a shuffle (locus-matched co-located join,
+        cdbpath.c:94 cdbpath_motion_for_join).
+
+        At 100 TB, bucket the fact tables on their dominant join key
+        (lineitem/orders on orderkey) once at load; every downstream
+        join re-uses the placement, exactly like GP's hash
+        distribution."""
+        # Idempotence across sessions: a previous session's managed-table
+        # location survives while the (in-memory) catalog entry does not,
+        # so saveAsTable would fail with LOCATION_ALREADY_EXISTS.
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        stale = os.path.join(warehouse.removeprefix("file:"), name)
+        if os.path.isdir(stale):
+            import shutil
+
+            shutil.rmtree(stale, ignore_errors=True)
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, keys[0], *keys[1:])
+        )
+        if sort:
+            writer = writer.sortBy(keys[0], *keys[1:])
+        writer.saveAsTable(name)
+        self.tables[name] = TableInfo(
+            name=name, path="", distribution=("hash", tuple(keys))
+        )
+        return self.spark.table(name)
+
     def is_broadcastable(self, name: str) -> bool:
         info = self.tables.get(name)
         return bool(info and info.distribution[0] == "replicated")

@@ -145,6 +145,31 @@ class Engine:
         self.catalog.register_parquet(name, path, partition_cols=partition_by)
         return ParquetTable(self.spark, path)
 
+    def create_bucketed_table(
+        self,
+        name: str,
+        df: DataFrame,
+        keys: tuple[str, ...],
+        num_buckets: int = 32,
+    ) -> DataFrame:
+        """`CREATE TABLE ... DISTRIBUTED BY (keys)` with real data
+        placement: bucketed managed table (see
+        Catalog.materialize_bucketed)."""
+        return self.catalog.materialize_bucketed(name, df, keys, num_buckets)
+
+    def analyze(self, name: str, columns: tuple[str, ...] = ()) -> None:
+        """ANALYZE (commands/analyze.c): compute table + column stats
+        feeding Catalyst CBO join reordering (ORCA's statistics
+        derivation analogue, SURVEY §4.1). Works on catalog tables
+        (bucketed/CTAS), not temp views."""
+        stmt = f"ANALYZE TABLE {name} COMPUTE STATISTICS"
+        self.spark.sql(stmt)
+        if columns:
+            self.spark.sql(
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS "
+                + ", ".join(columns)
+            )
+
     # ------------------------------------------------------------ matviews
     def create_materialized_view(self, name: str, sql: str) -> DataFrame:
         """CREATE MATERIALIZED VIEW (commands/matview.c analogue):

@@ -101,6 +101,41 @@ class EventStream:
         """Stateful stream dedup (dropDuplicatesWithinWatermark)."""
         return self.df.dropDuplicatesWithinWatermark(keys)
 
+    def stateful_user_totals(self) -> DataFrame:
+        """Custom stateful operator via applyInPandasWithState: per-user
+        running (event count, value total), state carried across
+        micro-batches by the state store.
+
+        This is the pattern for any operator Structured Streaming lacks
+        natively (the brief's 'custom stateful operators' path): state
+        is partitioned by the group key, so it scales horizontally —
+        each executor owns the state for its key range, the exact
+        shape of a per-segment stateful op in an MPP engine."""
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        out_schema = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+        state_schema = "n BIGINT, total DOUBLE"
+
+        def update_fn(key, pdfs, state):
+            import pandas as pd
+
+            n, total = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        return self.df.groupBy("user_id").applyInPandasWithState(
+            update_fn,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
 
 def run_available_now(
     stream_df: DataFrame,
