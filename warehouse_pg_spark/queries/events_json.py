@@ -187,3 +187,55 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dsum(dec("value")).alias("total"),
     )
+
+
+@register(
+    "agg_json_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           to_json(list_sort(list(o_orderkey))) AS keys_json,
+           count(*) AS n
+    FROM orders
+    WHERE o_custkey < 20
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "json"),
+)
+def agg_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG json_agg(x ORDER BY x) (utils/adt/json.c json_agg_transfn):
+    collect_list sorted for determinism, serialized with to_json —
+    the ordered-aggregate shim composed with JSON output."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.to_json(F.sort_array(F.collect_list("o_orderkey"))).alias("keys_json"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tablefunc_json_table",
+    oracle="""
+    SELECT event_id, 'k' AS prop_key,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_value
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+    tags=("tablefunc", "json"),
+)
+def tablefunc_json_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableFuncScan / XMLTABLE analogue (nodeTableFuncscan.c) over
+    JSON: shred each props document into (key, value) rows via
+    from_json(map) + explode. The Spark side is generic over any key
+    set; the fixture's props happen to hold a single key 'k', which is
+    what the oracle spells out literally."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    kv = F.explode(F.from_json("props", "map<string,bigint>")).alias(
+        "prop_key", "prop_value"
+    )
+    return e.select("event_id", kv).orderBy("event_id")
