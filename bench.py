@@ -45,7 +45,9 @@ def main() -> None:
         for _ in range(max(1, RUNS)):
             t0 = time.perf_counter()
             df = q.fn(spark, SF_DIR)
-            df.collect()
+            # noop sink: full materialization on executors without the
+            # driver-side py4j row transfer (engine time, not IPC time)
+            df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)

@@ -125,3 +125,18 @@ def test_external_csv_sreh(spark, tmp_path):
         read_external(
             spark, str(p), fmt="csv", schema="a INT, b STRING", reject_limit=0
         )
+
+
+def test_parameterized_query(engine, sf_dir):
+    """PREPARE/EXECUTE analogue (SURVEY §3.2, plancache.c): named
+    parameters through engine.sql(args)."""
+    engine.attach_fixtures(sf_dir)
+    df = engine.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_orderpriority = :prio",
+        prio="1-URGENT",
+    )
+    n = df.collect()[0].n
+    df2 = engine.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_orderpriority = '1-URGENT'"
+    )
+    assert n == df2.collect()[0].n and n > 0

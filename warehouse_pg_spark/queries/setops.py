@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from warehouse_pg_spark.queries.registry import register, table
+from warehouse_pg_spark.queries.registry import dec, register, table
 
 
 def _cust_nations(spark, sf_dir):
@@ -182,4 +182,60 @@ def setop_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return li.agg(
         F.count("*").alias("n"), dsum(dec("l_quantity")).alias("qty")
+    )
+
+
+@register(
+    "sort_limit_offset",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25 OFFSET 50
+    """,
+    tags=("sort", "limit"),
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT + OFFSET pagination (nodeLimit.c:240 ExecLimit with
+    offset state): Spark 3.4+ DataFrame.offset; unique-key tiebreak
+    keeps the page deterministic."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", dec("o_totalprice").alias("o_totalprice"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(50)
+        .limit(25)
+    )
+
+
+@register(
+    "cte_shared_reuse",
+    oracle="""
+    WITH s AS (
+      SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT s.l_suppkey, s.rev
+    FROM s
+    WHERE s.rev > (SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) FROM s)
+    ORDER BY s.rev DESC, s.l_suppkey
+    """,
+    tags=("cte", "subquery"),
+)
+def cte_shared_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE consumed twice (ShareInputScan, nodeShareInputScan.c:1-35 /
+    ORCA CTEProducer-Consumer): suppliers with above-average revenue.
+    Spark SQL WITH + scalar subquery; Catalyst reuses the shared agg
+    subtree via ReuseExchange at scale."""
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_cte_src")
+    return spark.sql(
+        """
+        WITH s AS (
+          SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+          FROM lineitem_cte_src GROUP BY l_suppkey)
+        SELECT s.l_suppkey, s.rev
+        FROM s
+        WHERE s.rev > (SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) FROM s)
+        ORDER BY s.rev DESC, s.l_suppkey
+        """
     )
