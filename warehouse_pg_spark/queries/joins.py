@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from warehouse_pg_spark.queries.registry import dec, dsum, register, table
 
@@ -275,4 +276,81 @@ def join_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COUNT(*) AS n FROM ord_in
         WHERE o_custkey IN (SELECT c_custkey FROM cust_in WHERE c_mktsegment = 'MACHINERY')
         """
+    )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS top_price
+    FROM customer,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders
+                  WHERE o_custkey = c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 1) best
+    WHERE c_custkey < 200
+    ORDER BY c_custkey
+    """,
+    tags=("join", "lateral", "topk"),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG LATERAL subquery (nodeNestloop.c parameterized inner): each
+    customer's single most expensive order. Spark SQL supports lateral
+    correlated subqueries; equivalently (and how it should run at
+    scale) a row_number window per customer — that is the plan used
+    here: one shuffle on o_custkey, no per-row re-execution."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    best = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", dec("o_totalprice").alias("top_price"))
+    )
+    return (
+        cust.join(best, cust.c_custkey == best.o_custkey)
+        .select("c_custkey", "o_orderkey", "top_price")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_correlated_select_list",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+           (SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            FROM orders WHERE o_custkey = c_custkey) AS max_price
+    FROM customer
+    WHERE c_custkey < 100
+    ORDER BY c_custkey
+    """,
+    tags=("join", "subquery"),
+)
+def join_correlated_select_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries in the SELECT list with aggregates
+    (SubPlan, nodeSubplan.c; the shape §4.1 flags as a Spark risk) —
+    expressed via decorrelation: one grouped aggregate + left join,
+    COUNT's empty-group NULL fixed up with coalesce (the exact
+    CXformInnerApply2InnerJoin-style rewrite ORCA would emit)."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    per_cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max(dec("o_totalprice")).alias("max_price"),
+        )
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left_outer")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+            "max_price",
+        )
+        .orderBy("c_custkey")
     )
