@@ -192,3 +192,56 @@ def pgsql_date_trunc_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY month ORDER BY month
         """,
     )
+
+
+_RECURSIVE_SERIES = """
+    WITH RECURSIVE t(n) AS (
+      SELECT 1
+      UNION ALL
+      SELECT n + 1 FROM t WHERE n < 50
+    )
+    SELECT n, n * n AS sq, CAST(SUM(n) OVER (ORDER BY n) AS BIGINT) AS running
+    FROM t ORDER BY n
+"""
+
+_RECURSIVE_CHAIN = """
+    WITH RECURSIVE chain(custkey, root, depth) AS (
+      SELECT c_custkey, c_custkey, 0
+      FROM customer WHERE c_custkey < 3
+      UNION ALL
+      SELECT c.c_custkey, ch.root, ch.depth + 1
+      FROM customer c JOIN chain ch
+        ON CAST(floor(c.c_custkey / 10) AS BIGINT) = ch.custkey
+       AND c.c_custkey <> ch.custkey
+    )
+    SELECT root, depth, count(*) AS n_members
+    FROM chain
+    GROUP BY root, depth
+    ORDER BY root, depth
+"""
+
+
+@register(
+    "pgsql_recursive_series",
+    oracle=_RECURSIVE_SERIES,
+    tags=("dialect", "recursive"),
+)
+def pgsql_recursive_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE numeric series (nodeRecursiveunion.c) as PG SQL
+    text — Spark 4 executes recursive CTEs natively (the DataFrame-level
+    fixpoint in operators/recursive.py remains the pre-4.0 fallback and
+    the hook for iteration caps / checkpointing)."""
+    return _engine_sql(spark, sf_dir, _RECURSIVE_SERIES)
+
+
+@register(
+    "pgsql_recursive_referral_chain",
+    oracle=_RECURSIVE_CHAIN,
+    tags=("dialect", "recursive", "join"),
+)
+def pgsql_recursive_referral_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE over a fixture table: referral chains rooted at
+    customers 0-2 via the derived parent key floor(c_custkey/10); each
+    iteration is a distributed join of customer against the frontier
+    (the worktable), exactly the RecursiveUnion execution shape."""
+    return _engine_sql(spark, sf_dir, _RECURSIVE_CHAIN)
