@@ -191,3 +191,45 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     floor20 = min(r.cosine for r in brute)  # brute query is top-10
     for r in ivf:
         assert r.cosine >= floor20 - 0.15, (r.vec_id, r.cosine, floor20)
+
+
+def test_tree_aggregate_var_pop_matches_builtin(spark, sf_dir):
+    """TreeAggregate (CREATE AGGREGATE with combinefunc, SURVEY §7.5)
+    must reproduce var_pop through its partial→merge→final pipeline."""
+    from pyspark.sql import functions as F
+
+    from warehouse_pg_spark.operators.uda import var_pop_uda
+    from warehouse_pg_spark.queries.registry import table
+
+    li = table(spark, sf_dir, "lineitem")
+    got = {
+        r.l_returnflag: r.var_pop
+        for r in var_pop_uda("l_quantity").apply(li, ["l_returnflag"]).collect()
+    }
+    expected = {
+        r.l_returnflag: r.v
+        for r in li.groupBy("l_returnflag")
+        .agg(F.var_pop("l_quantity").alias("v"))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-9 * max(abs(v), 1.0), (k, got[k], v)
+
+
+def test_tree_aggregate_merges_across_partitions(spark):
+    """The merge path must actually fire: input forced to many
+    partitions, each contributing a partial state."""
+    from pyspark.sql import functions as F
+
+    from warehouse_pg_spark.operators.uda import var_pop_uda
+
+    df = (
+        spark.range(0, 10_000)
+        .repartition(16)
+        .select(F.lit("g").alias("k"), (F.col("id") % 100).cast("double").alias("x"))
+    )
+    out = var_pop_uda("x").apply(df, ["k"]).collect()
+    assert len(out) == 1
+    expected = df.agg(F.var_pop("x")).collect()[0][0]
+    assert abs(out[0].var_pop - expected) < 1e-9

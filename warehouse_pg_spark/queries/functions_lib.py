@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from warehouse_pg_spark.queries.registry import register, table
+from warehouse_pg_spark.queries.registry import dec, register, table
 
 
 @register(
@@ -381,3 +381,47 @@ def fn_strings_hash_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%s:%d", F.col("c_mktsegment"), F.col("c_custkey")).alias("fmt"),
         F.expr("to_char_num(c_acctbal, 'FM999999990.00')").alias("money_txt"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "fn_numeric_edge_semantics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey // (l_linenumber + 1) AS idiv,
+           (l_linenumber - 3) % 3 AS imod,
+           round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS rnd_pos,
+           round(-CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS rnd_neg,
+           CAST(CASE WHEN l_discount - 0.04 >= 0 THEN floor((l_discount - 0.04) * 100)
+                ELSE ceil((l_discount - 0.04) * 100) END AS BIGINT) AS trunc_signed,
+           CAST(sign(l_linenumber - 3) AS INT) AS sgn,
+           CAST(factorial(l_linenumber) AS BIGINT) AS fact
+    FROM lineitem
+    WHERE l_orderkey < 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("functions", "numeric"),
+)
+def fn_numeric_edge_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG numeric edge semantics (int.c, numeric.c; SURVEY §7.2):
+    integer division truncates toward zero, modulo takes the dividend's
+    sign, numeric round() breaks .5 ties away from zero (both signs),
+    trunc() cuts toward zero, factorial on small ints — each verified
+    value-for-value against the oracle."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    money = dec("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_orderkey div (l_linenumber + 1)").alias("idiv"),
+        ((F.col("l_linenumber") - 3) % 3).alias("imod"),
+        F.round(money, 1).alias("rnd_pos"),
+        F.round(-money, 1).alias("rnd_neg"),
+        F.when(
+            F.col("l_discount") - 0.04 >= 0,
+            F.floor((F.col("l_discount") - 0.04) * 100),
+        )
+        .otherwise(F.ceil((F.col("l_discount") - 0.04) * 100))
+        .alias("trunc_signed"),
+        F.signum(F.col("l_linenumber") - 3).cast("int").alias("sgn"),
+        F.factorial(F.col("l_linenumber")).alias("fact"),
+    ).orderBy("l_orderkey", "l_linenumber")
