@@ -425,3 +425,39 @@ def fn_numeric_edge_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(F.col("l_linenumber") - 3).cast("int").alias("sgn"),
         F.factorial(F.col("l_linenumber")).alias("fact"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "fn_regex_family",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)$', 1) AS tail_digits,
+           CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS tail_num,
+           regexp_replace(c_name, '0+', '-', 'g') AS squashed,
+           string_split_regex(c_name, '#') AS parts,
+           regexp_matches(c_name, '^Customer#0*[0-9]+$') AS well_formed,
+           regexp_extract_all(translate(c_name, '#', '0'), '[0-9]+') AS runs
+    FROM customer
+    WHERE c_custkey < 300
+    ORDER BY c_custkey
+    """,
+    tags=("functions", "regex"),
+)
+def fn_regex_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family (regexp.c: regexp_match/replace/split_to_array,
+    like.c RLIKE): capture-group extract, global replace, regex split,
+    anchored match, extract-all. Spark's regexp_replace is global by
+    default — the oracle passes DuckDB the 'g' option to match PG's
+    regexp_replace(..., 'g')."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("tail_digits"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("bigint").alias("tail_num"),
+        F.regexp_replace("c_name", "0+", "-").alias("squashed"),
+        F.split("c_name", "#").alias("parts"),
+        F.col("c_name").rlike("^Customer#0*[0-9]+$").alias("well_formed"),
+        F.regexp_extract_all(
+            F.translate("c_name", "#", "0"), F.lit("[0-9]+"), 0
+        ).alias("runs"),
+    ).orderBy("c_custkey")

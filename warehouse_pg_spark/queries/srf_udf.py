@@ -61,7 +61,14 @@ def srf_posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udtf_python_split_words",
-    oracle=None,  # Python UDTF — no SQL oracle; rows-only + unit test
+    oracle="""
+    SELECT r_name, u.word, u.pos
+    FROM (SELECT r_name,
+                 unnest(list_transform(string_split(r_name, ' '),
+                        (w, i) -> struct_pack(word := w,
+                                              pos := CAST(i - 1 AS INT)))) AS u
+          FROM region)
+    """,
     tags=("srf", "udtf"),
 )
 def udtf_python_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:

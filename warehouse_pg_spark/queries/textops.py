@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from warehouse_pg_spark.queries.registry import register, table
 
@@ -164,4 +165,70 @@ def text_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.size(_tokens(F.col("text"))).cast("long")).alias("total_tokens"),
+    )
+
+
+@register(
+    "pipeline_training_data_prep",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, text, {_TOKENS_SQL} AS t
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, text, CAST(len(t) AS BIGINT) AS n_tokens,
+             len(list_filter(t, x -> list_contains(['the','and','of','a','to','in'], x)))
+               / greatest(CAST(len(t) AS DOUBLE), 1.0) AS stop_ratio
+      FROM toks
+    ), kept AS (
+      SELECT doc_id, source, text, n_tokens
+      FROM scored
+      WHERE n_tokens >= 5 AND stop_ratio >= 0.02
+    ), deduped AS (
+      SELECT DISTINCT ON (md5(text)) doc_id, source, n_tokens
+      FROM kept
+      ORDER BY md5(text), doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM deduped
+    GROUP BY source ORDER BY source
+    """,
+    tags=("pipeline", "dedup", "text", "bench"),
+)
+def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation pipeline composed from the
+    north-star primitives: tokenize → quality gate (min length +
+    stopword-ratio) → exact dedup on content hash (keep lowest doc_id,
+    the deterministic DISTINCT ON policy) → per-source corpus stats.
+
+    One declarative plan: the filters fold into the scan, the dedup is
+    one hash shuffle on md5(text), the stats reuse that partitioning.
+    This is the shape a 100 TB curation run takes — no driver loops,
+    no UDFs, everything whole-stage-codegen."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    nt = F.size(toks).cast("long")
+    stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "and", "of", "a", "to", "in"))
+    ).cast("double")
+    kept = (
+        d.select("doc_id", "source", "text", nt.alias("n_tokens"),
+                 (stop / F.greatest(nt.cast("double"), F.lit(1.0))).alias("stop_ratio"))
+        .filter((F.col("n_tokens") >= 5) & (F.col("stop_ratio") >= 0.02))
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source")
     )
