@@ -332,3 +332,84 @@ def agg_avg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_mktsegment").agg(
         davg(dec("c_acctbal")).alias("avg_bal"), F.count("*").alias("n")
     )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DECIMAL(38,2)) AS open_value,
+           CAST(MAX(CAST(o_orderdate AS DATE))
+                FILTER (WHERE o_orderstatus = 'P') AS DATE) AS last_partial
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("agg", "filter-clause"),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG `agg(x) FILTER (WHERE cond)` (SQL:2003, parse_agg.c aggfilter)
+    lowered to conditional aggregation — `agg(CASE WHEN cond THEN x END)`.
+    Stays a single HashAggregate pass (one shuffle), exactly how PG
+    evaluates the filter inside the agg transition loop (nodeAgg.c)."""
+    o = table(spark, sf_dir, "orders")
+    fin = F.when(F.col("o_orderstatus") == "F", 1)
+    openv = F.when(F.col("o_orderstatus") == "O", dec("o_totalprice"))
+    part = F.when(F.col("o_orderstatus") == "P", F.to_date("o_orderdate"))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count(fin).alias("n_finished"),
+            dsum(openv).alias("open_value"),
+            F.max(part).alias("last_partial"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_hypothetical_rank",
+    oracle="""
+    SELECT o_orderpriority,
+           1 + COUNT(*) FILTER (WHERE o_totalprice < 50000.0) AS h_rank,
+           1 + COUNT(DISTINCT o_totalprice) FILTER (WHERE o_totalprice < 50000.0)
+               AS h_dense_rank,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice < 50000.0) AS DOUBLE)
+               / COUNT(*) AS h_percent_rank,
+           CAST(1 + COUNT(*) FILTER (WHERE o_totalprice <= 50000.0) AS DOUBLE)
+               / (COUNT(*) + 1) AS h_cume_dist
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("agg", "orderedset"),
+)
+def agg_hypothetical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG hypothetical-set aggregates (orderedsetaggs.c:1300+
+    hypothetical_rank_common): `rank(50000.0) WITHIN GROUP (ORDER BY
+    o_totalprice)` et al. Spark has no WITHIN GROUP — lowered to their
+    defining counting forms (rank = 1 + |{x < v}|, dense_rank over
+    distinct, percent_rank = |{x<v}|/n, cume_dist = (1+|{x<=v}|)/(n+1)),
+    which is literally how the PG executor computes them."""
+    o = table(spark, sf_dir, "orders")
+    v = F.lit(50000.0)
+    below = F.when(F.col("o_totalprice") < v, 1)
+    below_d = F.when(F.col("o_totalprice") < v, F.col("o_totalprice"))
+    at_or_below = F.when(F.col("o_totalprice") <= v, 1)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            (F.count(below) + 1).alias("h_rank"),
+            (F.count_distinct(below_d) + 1).alias("h_dense_rank"),
+            (F.count(below).cast("double") / F.count("*")).alias(
+                "h_percent_rank"
+            ),
+            (
+                (F.count(at_or_below) + 1).cast("double")
+                / (F.count("*") + 1)
+            ).alias("h_cume_dist"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -239,3 +239,41 @@ def tablefunc_json_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prop_key", "prop_value"
     )
     return e.select("event_id", kv).orderBy("event_id")
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    WITH assigned AS (
+      SELECT u.ws AS window_start, user_id, value
+      FROM events,
+           unnest([ (epoch_ms(ts) // 300000) * 300 - 300,
+                    (epoch_ms(ts) // 300000) * 300 ]) AS u(ws)
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+    FROM assigned GROUP BY window_start ORDER BY window_start
+    """,
+    tags=("timeseries", "streaming-batch"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (batch form of the
+    streaming sliding-window agg, SURVEY §2.10). Spark's window()
+    replicates each event into length/slide = 2 windows — the oracle
+    makes that explicit by unnesting the two covering window starts.
+    Output key = window start in epoch seconds (no raw timestamps,
+    parity rule 3)."""
+    e = table(spark, sf_dir, "events")
+    w = F.window(F.col("ts").cast("timestamp"), "10 minutes", "5 minutes")
+    return (
+        e.select(w.alias("w"), "user_id", dec("value").alias("v"))
+        .groupBy(F.unix_seconds(F.col("w.start")).alias("window_start"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            dsum(F.col("v")).alias("total_value"),
+        )
+        .orderBy("window_start")
+    )

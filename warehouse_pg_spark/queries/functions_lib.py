@@ -461,3 +461,130 @@ def fn_regex_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.translate("c_name", "#", "0"), F.lit("[0-9]+"), 0
         ).alias("runs"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "fn_datetime_extended",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(extract(dow FROM CAST(o_orderdate AS DATE)) AS INT) AS dow,
+           CAST(extract(doy FROM CAST(o_orderdate AS DATE)) AS INT) AS doy,
+           CAST(extract(week FROM CAST(o_orderdate AS DATE)) AS INT) AS iso_week,
+           CAST(extract(quarter FROM CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+           epoch_ms(o_orderdate) AS epoch_millis,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           dayname(CAST(o_orderdate AS DATE)) AS day_name,
+           make_date(2024, CAST(extract(month FROM o_orderdate) AS INT), 1)
+               AS normalized,
+           (CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+            AND DATE '1995-01-01' < CAST(o_orderdate AS DATE) + 30)
+               AS overlaps_1995h1
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+    tags=("functions", "datetime"),
+)
+def fn_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date/time family (timestamp.c, date.c, datetime.c):
+    EXTRACT fields (dow/doy/week/quarter/epoch), last_day,
+    date_trunc-to-date, day names, make_date, and the SQL OVERLAPS
+    predicate lowered to its defining comparison (s1 < e2 AND s2 < e1).
+    PG dow is 0=Sunday; Spark dayofweek is 1=Sunday, so the lowering
+    subtracts 1."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        (F.dayofweek(d) - 1).alias("dow"),
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("iso_week"),
+        F.quarter(d).alias("qtr"),
+        # fixture timestamps are NTZ; session tz is UTC so the LTZ cast
+        # is the same instant DuckDB's naive epoch_ms sees
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+            "epoch_millis"
+        ),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        F.date_format(d, "EEEE").alias("day_name"),
+        F.make_date(F.lit(2024), F.month(d), F.lit(1)).alias("normalized"),
+        (
+            (d < F.lit("1996-01-01").cast("date"))
+            & (F.lit("1995-01-01").cast("date") < F.date_add(d, 30))
+        ).alias("overlaps_1995h1"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_interval_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+           CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus_45d,
+           CAST(o_orderdate - INTERVAL 1 YEAR AS DATE) AS minus_1y,
+           CAST(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS DATE)
+               AS next_month_start,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1996-12-31')
+               AS days_to_eoy96,
+           (epoch_ms(TIMESTAMP '1996-12-31 00:00:00') - epoch_ms(o_orderdate))
+               // 3600000 AS hours_to_eoy96
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+    tags=("functions", "datetime", "interval"),
+)
+def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic (datetime.c, timestamp_pl_interval):
+    date/timestamp +- month/day/year intervals, month rollover
+    semantics (Jan 31 + 1 month = Feb 28 in both engines), day and
+    hour differences. Month math via add_months (calendar-aware);
+    day math via date_add/datediff (calendar-day exact)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.to_date("o_orderdate")
+    eoy_ms = F.unix_millis(F.lit("1996-12-31 00:00:00").cast("timestamp"))
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus_3mo"),
+        F.date_add(d, 45).alias("plus_45d"),
+        F.add_months(d, -12).alias("minus_1y"),
+        F.add_months(F.trunc(d, "month"), 1).alias("next_month_start"),
+        F.datediff(F.lit("1996-12-31").cast("date"), d).cast("long").alias(
+            "days_to_eoy96"
+        ),
+        F.floor(
+            (eoy_ms - F.unix_millis(F.col("o_orderdate").cast("timestamp")))
+            / F.lit(3600000)
+        ).alias("hours_to_eoy96"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT c_custkey,
+           c_custkey & 255 AS band,
+           c_custkey | 4096 AS bor,
+           xor(c_custkey, 170) AS bxor,
+           c_custkey << 2 AS shl,
+           c_custkey >> 3 AS shr,
+           ~c_custkey AS bnot,
+           bit_count(c_custkey) AS popcount
+    FROM customer WHERE c_custkey < 500 ORDER BY c_custkey
+    """,
+    tags=("functions", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (PG int.c/int8.c: & | # << >> ~ plus
+    bit_count). PG spells xor `#`; DuckDB spells it xor(); Spark `^`.
+    All JVM-side Catalyst expressions, codegen'd."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    k = F.col("c_custkey")
+    return c.select(
+        "c_custkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(170)).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.expr("~c_custkey").alias("bnot"),
+        F.bit_count(k).alias("popcount"),
+    ).orderBy("c_custkey")

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from warehouse_pg_spark.queries.registry import register, table
+from warehouse_pg_spark.queries.registry import dec, register, table
 
 
 # --------------------------------------------------------------- ordered-set
@@ -285,3 +285,51 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "fn_range_types",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS lo,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 25000 AS DECIMAL(18,2)) AS hi
+      FROM orders WHERE o_orderkey < 400
+    )
+    SELECT o_orderkey, lo, hi,
+           (lo < 100000.0 AND 50000.0 < hi) AS overlaps_probe,
+           (lo <= 75000.0 AND 75000.0 < hi) AS contains_75k,
+           CAST(CASE WHEN lo < 100000.0 AND 50000.0 < hi
+                THEN greatest(lo, CAST(50000.0 AS DECIMAL(18,2))) END
+                AS DECIMAL(18,2)) AS isect_lo,
+           CAST(CASE WHEN lo < 100000.0 AND 50000.0 < hi
+                THEN least(hi, CAST(100000.0 AS DECIMAL(18,2))) END
+                AS DECIMAL(18,2)) AS isect_hi,
+           (hi <= 50000.0) AS strictly_left
+    FROM r ORDER BY o_orderkey
+    """,
+    tags=("functions", "rangetypes"),
+)
+def fn_range_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG range types (rangetypes.c) via the SURVEY §1.2 struct shim:
+    a half-open numrange [lo, hi) is (lo, hi) columns; the operators
+    lower to their defining comparisons — && overlap (lo1<hi2 AND
+    lo2<hi1), @> containment, * intersection (greatest/least, NULL when
+    empty), << strictly-left. Probe range: [50000, 100000)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    lo = dec("o_totalprice")
+    hi = (lo + 25000).cast("decimal(18,2)")
+    plo, phi = F.lit(50000.0).cast("decimal(18,2)"), F.lit(100000.0).cast(
+        "decimal(18,2)"
+    )
+    ovl = (lo < phi) & (plo < hi)
+    return o.select(
+        "o_orderkey",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        ovl.alias("overlaps_probe"),
+        ((lo <= 75000.0) & (F.lit(75000.0) < hi)).alias("contains_75k"),
+        F.when(ovl, F.greatest(lo, plo)).alias("isect_lo"),
+        F.when(ovl, F.least(hi, phi)).alias("isect_hi"),
+        (hi <= plo).alias("strictly_left"),
+    ).orderBy("o_orderkey")

@@ -232,3 +232,68 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             regexp_extract_all(text, '{_BPE_PATTERN}') AS t
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(len(t)) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]+$')))) AS BIGINT)
+               AS n_word,
+           CAST(SUM(len(list_filter(t, x -> regexp_matches(x, '^[0-9]+$')))) AS BIGINT)
+               AS n_num,
+           CAST(SUM(len(list_filter(t, x -> NOT regexp_matches(x, '^[A-Za-z0-9]')))) AS BIGINT)
+               AS n_punct,
+           CAST(floor(CAST(SUM(list_sum(list_transform(t, x -> length(x)))) AS DOUBLE)
+                      / SUM(len(t))) AS BIGINT) AS avg_tok_len_floor
+    FROM toks GROUP BY source ORDER BY source
+    """,
+    tags=("text", "tokenize"),
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (GPT-2-style pre-tokenizer classes:
+    letter runs | digit runs | single punctuation) with per-source
+    class counts — the token-budget accounting pass of a pre-training
+    pipeline. Pure regexp_extract_all + higher-order functions: stays
+    in whole-stage codegen, no Python."""
+    d = table(spark, sf_dir, "documents")
+    t = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    n_all = F.size(t).cast("long")
+    word = F.size(F.filter(t, lambda x: x.rlike("^[A-Za-z]+$"))).cast("long")
+    num = F.size(F.filter(t, lambda x: x.rlike("^[0-9]+$"))).cast("long")
+    punct = F.size(F.filter(t, lambda x: ~x.rlike("^[A-Za-z0-9]"))).cast(
+        "long"
+    )
+    chars = F.aggregate(
+        F.transform(t, F.length), F.lit(0), lambda a, x: a + x
+    ).cast("long")
+    return (
+        d.select(
+            "source",
+            n_all.alias("na"),
+            word.alias("nw"),
+            num.alias("nn"),
+            punct.alias("np"),
+            chars.alias("nc"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("na").alias("n_tokens"),
+            F.sum("nw").alias("n_word"),
+            F.sum("nn").alias("n_num"),
+            F.sum("np").alias("n_punct"),
+            (F.sum("nc") / F.sum("na")).cast("long").alias(
+                "avg_tok_len_floor"
+            ),
+        )
+        .orderBy("source")
+    )
