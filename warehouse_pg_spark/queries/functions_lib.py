@@ -588,3 +588,155 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("~c_custkey").alias("bnot"),
         F.bit_count(k).alias("popcount"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "fn_array_advanced",
+    oracle="""
+    WITH a AS (
+      SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS names
+      FROM nation GROUP BY n_regionkey
+    )
+    SELECT n_regionkey,
+           names[2:4] AS middle,
+           CAST(list_position(names, 'NATION_3') AS INT) AS pos_n3,
+           list_filter(names, x -> x <> 'NATION_0') AS removed,
+           list_has_any(names, ['NATION_1', 'NATION_2']) AS overlaps_12,
+           list_has_all(names, ['NATION_1', 'NATION_2']) AS contains_12,
+           flatten([names[1:2], names[3:3]]) AS reflattened,
+           list_reverse(names) AS rev
+    FROM a
+    """,
+    tags=("functions", "arrays"),
+)
+def fn_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advanced array family (arrayfuncs.c): slicing (PG arr[2:4],
+    1-based inclusive), array_position, array_remove, && overlap,
+    @> containment, 2-D flatten, reverse. All Catalyst built-ins —
+    arrays stay columnar, no Python."""
+    n = table(spark, sf_dir, "nation")
+    a = n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("names")
+    )
+    probe = F.array(F.lit("NATION_1"), F.lit("NATION_2"))
+    return a.select(
+        "n_regionkey",
+        F.slice("names", 2, 3).alias("middle"),
+        F.array_position("names", "NATION_3").cast("int").alias("pos_n3"),
+        F.array_remove("names", "NATION_0").alias("removed"),
+        F.arrays_overlap("names", probe).alias("overlaps_12"),
+        F.forall(probe, lambda x: F.array_contains(F.col("names"), x)).alias(
+            "contains_12"
+        ),
+        F.flatten(
+            F.array(F.slice("names", 1, 2), F.slice("names", 3, 1))
+        ).alias("reflattened"),
+        F.reverse("names").alias("rev"),
+    )
+
+
+@register(
+    "fn_generate_series_ts",
+    oracle="""
+    WITH months AS (
+      SELECT CAST(g.m AS DATE) AS month_start
+      FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-12-01',
+                           INTERVAL 1 MONTH) AS g(m)
+    )
+    SELECT m.month_start, COUNT(o.o_orderkey) AS n_orders
+    FROM months m
+    LEFT JOIN orders o
+      ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.month_start
+    GROUP BY m.month_start ORDER BY m.month_start
+    """,
+    tags=("functions", "srf", "datetime"),
+)
+def fn_generate_series_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generate_series(timestamp, timestamp, interval) (timestamp.c
+    SRF) → sequence(date, date, interval) + explode, then the classic
+    calendar-grid left join that keeps empty months (the gap-filling
+    report shape). The 12-row series is broadcast — no shuffle on the
+    orders side beyond the final group-by."""
+    o = table(spark, sf_dir, "orders")
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-12-01").cast("date"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    per_order = o.select(F.trunc("o_orderdate", "month").alias("om"), "o_orderkey")
+    return (
+        months.join(
+            per_order, per_order["om"] == months["month_start"], "left"
+        )
+        .groupBy("month_start")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("month_start")
+    )
+
+
+@register(
+    "agg_percentile_multi",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles,
+           quantile_disc(l_quantity, [0.1, 0.9]) AS deciles_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile", "orderedset"),
+)
+def agg_percentile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_cont/disc with an ARRAY of fractions (PG
+    orderedsetaggs.c:557 percentile_cont_multi_final) — one sort per
+    group serves every requested quantile, exactly PG's multi-fraction
+    path. Spark's percentile/percentile_approx accept fraction arrays
+    natively."""
+    li = table(spark, sf_dir, "lineitem")
+    fracs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", fracs).alias("quartiles"),
+            F.percentile_approx(
+                "l_quantity", F.array(F.lit(0.1), F.lit(0.9)), F.lit(2147483647)
+            ).alias("deciles_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "fn_trig_family",
+    oracle="""
+    SELECT n_nationkey,
+           round(sin(CAST(n_nationkey AS DOUBLE) / 7), 10) AS sin_v,
+           round(cos(CAST(n_nationkey AS DOUBLE) / 7), 10) AS cos_v,
+           round(atan2(CAST(n_nationkey AS DOUBLE), 5.0), 10) AS atan2_v,
+           round(degrees(CAST(n_nationkey AS DOUBLE) / 7), 10) AS deg_v,
+           round(radians(CAST(n_nationkey AS DOUBLE)), 10) AS rad_v,
+           round(pi(), 10) AS pi_v,
+           round(cbrt(CAST(n_nationkey AS DOUBLE) + 1), 10) AS cbrt_v
+    FROM nation ORDER BY n_nationkey
+    """,
+    tags=("functions", "math"),
+)
+def fn_trig_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric / angular family (float.c: sin, cos, atan2,
+    degrees, radians, pi, cbrt). Results rounded to 10 decimals —
+    JVM Math and C libm agree to well past that, and PG float8 display
+    itself truncates at 15-17 significant digits."""
+    n = table(spark, sf_dir, "nation")
+    x = F.col("n_nationkey").cast("double")
+    return n.select(
+        "n_nationkey",
+        F.round(F.sin(x / 7), 10).alias("sin_v"),
+        F.round(F.cos(x / 7), 10).alias("cos_v"),
+        F.round(F.atan2(x, F.lit(5.0)), 10).alias("atan2_v"),
+        F.round(F.degrees(x / 7), 10).alias("deg_v"),
+        F.round(F.radians(x), 10).alias("rad_v"),
+        F.round(F.lit(3.141592653589793), 10).alias("pi_v"),
+        F.round(F.cbrt(x + 1), 10).alias("cbrt_v"),
+    ).orderBy("n_nationkey")

@@ -245,3 +245,122 @@ def pgsql_recursive_referral_chain(spark: SparkSession, sf_dir: str) -> DataFram
     iteration is a distributed join of customer against the frontier
     (the worktable), exactly the RecursiveUnion execution shape."""
     return _engine_sql(spark, sf_dir, _RECURSIVE_CHAIN)
+
+
+@register(
+    "pgsql_within_group",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS med_price,
+           quantile_disc(o_totalprice, 0.9) AS p90_disc,
+           mode() WITHIN GROUP (ORDER BY o_orderstatus) AS modal_status
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("dialect", "orderedset"),
+)
+def pgsql_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ordered-set aggregates as SQL text (orderedsetaggs.c:423/:557):
+    percentile_cont / percentile_disc / mode WITHIN GROUP (ORDER BY ...)
+    — Spark 4 parses WITHIN GROUP natively, no rewrite needed. mode()
+    ties are broken by taking the smallest value (PG sorts the input),
+    deterministic here because each priority has one modal status."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)
+                   AS med_price,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_disc,
+               mode() WITHIN GROUP (ORDER BY o_orderstatus) AS modal_status
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    )
+
+
+@register(
+    "pgsql_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS members,
+           string_agg(DISTINCT substr(n_name, 1, 7), ',' ORDER BY substr(n_name, 1, 7))
+               AS prefixes
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    tags=("dialect", "ordered-agg"),
+)
+def pgsql_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG string_agg(x, sep ORDER BY y) (varlena.c string_agg_transfn;
+    SURVEY §2.4 ordered aggregates) — the dialect shim moves the
+    in-paren ORDER BY out to Spark 4 listagg's WITHIN GROUP clause;
+    DISTINCT passes through."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n_regionkey,
+               string_agg(n_name, '|' ORDER BY n_name) AS members,
+               listagg(DISTINCT substring(n_name, 1, 7), ',')
+                   WITHIN GROUP (ORDER BY substring(n_name, 1, 7)) AS prefixes
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+        """,
+    )
+
+
+@register(
+    "pgsql_extract_epoch",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(extract(epoch FROM o_orderdate) AS BIGINT) AS epoch_s,
+           (CAST(extract(epoch FROM o_orderdate) AS BIGINT) % 86400 = 0) AS is_midnight
+    FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+    """,
+    tags=("dialect", "datetime"),
+)
+def pgsql_extract_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG EXTRACT(EPOCH FROM ts) (timestamp.c date_part) — rewritten to
+    unix_seconds by the dialect shim; Spark's EXTRACT has no epoch
+    field. Session tz is UTC so naive and LTZ epochs agree."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               extract(epoch FROM o_orderdate) AS epoch_s,
+               (extract(epoch FROM o_orderdate) % 86400 = 0) AS is_midnight
+        FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+        """,
+    )
+
+
+@register(
+    "pgsql_filter_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           GROUPING(o_orderpriority, o_orderstatus) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+    ORDER BY gid, o_orderpriority, o_orderstatus
+    """,
+    tags=("dialect", "agg", "groupingsets", "filter-clause"),
+)
+def pgsql_filter_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG GROUPING SETS + agg FILTER + GROUPING() id, all as SQL text
+    (planner.c:170-262 grouping-sets preprocessing; parse_agg.c
+    aggfilter) — both parse natively in Spark SQL; the grouping-id
+    bit order matches PG's."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               grouping_id(o_orderpriority, o_orderstatus) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderpriority, o_orderstatus
+        """,
+    )

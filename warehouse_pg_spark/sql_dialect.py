@@ -48,6 +48,22 @@ _GENSERIES_FROM_RE = re.compile(
 )
 
 
+# EXTRACT(EPOCH FROM expr) — Spark's Extract has no epoch field
+_EXTRACT_EPOCH_RE = re.compile(
+    r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+([^()]+|\([^()]*\))\s*\)",
+    re.IGNORECASE,
+)
+
+# PG string_agg(x, 'sep' ORDER BY cols) → listagg WITHIN GROUP (the
+# ORDER BY sits inside the call parens in PG, after them in Spark)
+_STRING_AGG_ORDER_RE = re.compile(
+    r"\bstring_agg\s*\(([^(),]+),\s*('[^']*')\s+ORDER\s+BY\s+([^()]+)\)",
+    re.IGNORECASE,
+)
+_STRING_AGG_RE = re.compile(
+    r"\bstring_agg\s*\(([^(),]+),\s*('[^']*')\s*\)", re.IGNORECASE
+)
+
 _DISTINCT_ON_RE = re.compile(
     r"^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s+FROM\s+(.*?)"
     r"(?:\s+ORDER\s+BY\s+(.*?))?\s*;?\s*$",
@@ -107,6 +123,24 @@ def rewrite(sql: str) -> str:
         r"::\s*([a-zA-Z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
         lambda m: "::" + _map_type(m.group(1)),
         out,
+    )
+
+    # EXTRACT(EPOCH FROM x) → unix_seconds (PG timestamp.c epoch field)
+    out = _EXTRACT_EPOCH_RE.sub(
+        lambda m: f"unix_seconds(CAST({m.group(1).strip()} AS TIMESTAMP))",
+        out,
+    )
+
+    # string_agg → listagg (Spark 4); in-paren ORDER BY → WITHIN GROUP
+    out = _STRING_AGG_ORDER_RE.sub(
+        lambda m: (
+            f"listagg({m.group(1).strip()}, {m.group(2)}) "
+            f"WITHIN GROUP (ORDER BY {m.group(3).strip()})"
+        ),
+        out,
+    )
+    out = _STRING_AGG_RE.sub(
+        lambda m: f"listagg({m.group(1).strip()}, {m.group(2)})", out
     )
 
     # FROM generate_series(a, b[, s]) [AS] t(n)
