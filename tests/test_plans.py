@@ -153,3 +153,42 @@ def test_svec_dot_broadcasts_query_entries(spark, sf_dir):
     corpus entries never shuffle before the per-vector agg."""
     plan = plan_of(spark, sf_dir, "fn_svec_sparse_dot", "simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_pipeline_prep_two_shuffles_and_pruning(spark, sf_dir):
+    """The curation pipeline costs exactly two hash exchanges — one for
+    the content-hash dedup window, one for the per-source stats — and
+    the documents scan reads only the 3 needed columns of 5."""
+    plan = plan_of(spark, sf_dir, "pipeline_training_data_prep", "simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    f = plan_of(spark, sf_dir, "pipeline_training_data_prep")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", f)
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"doc_id", "text", "source"}, read_cols
+
+
+def test_bpe_tokens_single_shuffle_and_pruning(spark, sf_dir):
+    """Token accounting = one partial/final agg shuffle; the per-doc
+    regex work happens map-side before the exchange."""
+    plan = plan_of(spark, sf_dir, "text_bpe_tokens", "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_" in plan_of(spark, sf_dir, "text_bpe_tokens")
+    f = plan_of(spark, sf_dir, "text_bpe_tokens")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", f)
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"text", "source"}, read_cols
+
+
+def test_sliding_window_dqa_two_phase(spark, sf_dir):
+    """Sliding windows + COUNT(DISTINCT user) — the DQA expand rewrite
+    (TupleSplit analogue) costs at most two exchanges."""
+    plan = plan_of(spark, sf_dir, "events_sliding_window", "simple")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_filter_clause_single_agg_pass(spark, sf_dir):
+    """FILTER-qualified aggregates stay one partial/final HashAggregate
+    pair — no per-filter scan duplication."""
+    plan = plan_of(spark, sf_dir, "agg_filter_clause", "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_" in plan_of(spark, sf_dir, "agg_filter_clause")

@@ -277,3 +277,50 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@register(
+    "events_session_window_native",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > {_SESSION_GAP_MS}
+                       OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_ms(MIN(ts)) // 1000 AS session_start_s,
+           (epoch_ms(MAX(ts)) + {_SESSION_GAP_MS}) // 1000 AS session_end_s,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_start_s
+    """,
+    tags=("timeseries", "streaming-batch", "window"),
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window() in batch mode (the same operator
+    Structured Streaming uses for stateful session aggregation, SURVEY
+    §2.10): 30-min gap, emits [first_event, last_event + gap) bounds.
+    The oracle reconstructs identical sessions with the lag/running-sum
+    gap-split. One shuffle on user_id; state merging is Spark-internal."""
+    e = table(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        e.groupBy("user_id", sw.alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_seconds(F.col("w.start")).alias("session_start_s"),
+            F.unix_seconds(F.col("w.end")).alias("session_end_s"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_s")
+    )
