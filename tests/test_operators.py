@@ -233,3 +233,52 @@ def test_tree_aggregate_merges_across_partitions(spark):
     assert len(out) == 1
     expected = df.agg(F.var_pop("x")).collect()[0][0]
     assert abs(out[0].var_pop - expected) < 1e-9
+
+
+def test_assert_op_scalar_subquery_raises(spark, sf_dir):
+    """AssertOp analogue (nodeAssertOp.c:151): a scalar subquery that
+    returns more than one row must raise at runtime — Spark enforces
+    this natively (SCALAR_SUBQUERY_TOO_MANY_ROWS)."""
+    import pytest as _pytest
+
+    from warehouse_pg_spark.queries.registry import table as _table
+
+    _table(spark, sf_dir, "nation").createOrReplaceTempView("assert_nation")
+    df = spark.sql(
+        "SELECT n_name, (SELECT n_regionkey FROM assert_nation) AS r "
+        "FROM assert_nation"
+    )
+    with _pytest.raises(Exception, match="(?i)more than one row|TOO_MANY_ROWS"):
+        df.collect()
+
+
+def test_assert_true_gate(spark, sf_dir):
+    """F.assert_true as the explicit AssertOp surface: passes rows
+    through when the predicate holds, errors when violated."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from warehouse_pg_spark.queries.registry import table as _table
+
+    n = _table(spark, sf_dir, "nation")
+    ok = n.select(F.assert_true(F.col("n_nationkey") >= 0), "n_name")
+    assert ok.count() == n.count()
+    bad = n.select(F.assert_true(F.col("n_nationkey") > 5), "n_name")
+    with _pytest.raises(Exception):
+        bad.collect()
+
+
+def test_engine_metrics_introspection(spark, sf_dir):
+    """gp_toolkit-style table metrics: every fixture table reports
+    rows/bytes/files plus its distribution hint."""
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_fixtures(sf_dir)
+    m = {r.table_name: r for r in eng.metrics().collect()}
+    assert "lineitem" in m and "nation" in m
+    assert m["lineitem"].n_rows > 1000
+    assert m["lineitem"].n_bytes > 0 and m["lineitem"].n_files >= 1
+    assert m["nation"].distribution == "replicated"
+    assert m["lineitem"].distribution == "hash"
+    assert m["lineitem"].dist_keys == ["l_orderkey"]

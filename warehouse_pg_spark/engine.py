@@ -184,3 +184,31 @@ class Engine:
     def refresh_materialized_view(self, name: str) -> DataFrame:
         mv = self._matviews[name]
         return self.create_materialized_view(mv.name, mv.sql)
+
+    # -------------------------------------------------------- introspection
+    def metrics(self) -> DataFrame:
+        """Cluster/table introspection (gp_toolkit / gp_size_of_* and
+        pg_relation_size analogues, SURVEY §2.9 misc): one row per
+        registered table with row count, on-disk bytes, file count, and
+        the distribution hint. Sizes come from the filesystem (the
+        storage layer a DBA actually bills), row counts from a
+        metadata-only parquet count."""
+        rows = []
+        for name, info in sorted(self.catalog.tables.items()):
+            n_bytes, n_files = 0, 0
+            if os.path.isdir(info.path):
+                for root, _dirs, files in os.walk(info.path):
+                    for f in files:
+                        if not f.startswith(("_", ".")):
+                            n_files += 1
+                            n_bytes += os.path.getsize(os.path.join(root, f))
+            elif os.path.exists(info.path):
+                n_files, n_bytes = 1, os.path.getsize(info.path)
+            n_rows = self.catalog.load(name).count()
+            policy, keys = info.distribution
+            rows.append((name, n_rows, n_bytes, n_files, policy, list(keys)))
+        return self.spark.createDataFrame(
+            rows,
+            "table_name string, n_rows long, n_bytes long, n_files long, "
+            "distribution string, dist_keys array<string>",
+        )

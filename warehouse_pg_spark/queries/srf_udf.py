@@ -200,3 +200,35 @@ def order_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("prio_or_null").asc_nulls_last(), F.col("o_orderkey"))
         .limit(25)
     )
+
+
+@register(
+    "srf_unnest_multi",
+    oracle="""
+    WITH a AS (
+      SELECT n_regionkey,
+             array_agg(n_name ORDER BY n_name) AS names,
+             array_agg(n_nationkey ORDER BY n_name) AS keys
+      FROM nation GROUP BY n_regionkey
+    )
+    SELECT n_regionkey, unnest(names) AS name, unnest(keys) AS key
+    FROM a
+    """,
+    tags=("srf",),
+)
+def srf_unnest_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG multi-argument unnest(a, b) — parallel array expansion
+    (arrayfuncs.c unnest, zipped row-wise like PG's SRF-in-FROM
+    multi-unnest) → arrays_zip + explode. Equal-length arrays here;
+    PG NULL-pads ragged ones, arrays_zip does the same."""
+    n = table(spark, sf_dir, "nation")
+    a = n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list(F.struct("n_name", "n_nationkey"))).alias("z")
+    )
+    return a.select(
+        "n_regionkey", F.explode("z").alias("e")
+    ).select(
+        "n_regionkey",
+        F.col("e.n_name").alias("name"),
+        F.col("e.n_nationkey").alias("key"),
+    )
