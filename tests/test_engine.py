@@ -101,6 +101,38 @@ def test_dml_insert_update_delete(engine, spark, tmp_path):
     assert sorted(r.id for r in t.read().collect()) == [1, 2, 4]
 
 
+def test_dml_merge_upsert(engine, spark, tmp_path):
+    """MERGE = PG INSERT ... ON CONFLICT DO UPDATE (nodeModifyTable.c
+    speculative insert) as a copy-on-write full-outer-join rewrite."""
+    path = str(tmp_path / "merge_t")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "s", "v"]
+    ).write.parquet(path)
+    t = engine.writable(path)
+
+    src = spark.createDataFrame(
+        [(2, "B", 200.0), (4, "d", 40.0), (4, "dup", 41.0)], ["id", "s", "v"]
+    )
+    stats = t.merge(src, on=["id"])
+    assert stats == {"updated": 1, "inserted": 1}
+    rows = {r.id: (r.s, r.v) for r in t.read().collect()}
+    assert rows[2] == ("B", 200.0)  # matched → source image
+    assert rows[1] == ("a", 10.0) and rows[3] == ("c", 30.0)
+    assert rows[4][1] in (40.0, 41.0)  # deduped source, deterministic pick
+    assert len(rows) == 4
+
+    # explicit update-expressions + no-insert (MERGE ... WHEN MATCHED only)
+    stats = t.merge(
+        spark.createDataFrame([(1, 5.0), (99, 1.0)], ["id", "v"]),
+        on=["id"],
+        update={"v": F.col("t.v") + F.col("s.v")},
+        insert=False,
+    )
+    assert stats == {"updated": 1, "inserted": 0}
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert rows[1] == 15.0 and 99 not in rows and len(rows) == 4
+
+
 # ------------------------------------------------------------------ matview
 def test_materialized_view(engine):
     engine.create_materialized_view(

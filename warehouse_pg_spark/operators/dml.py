@@ -72,3 +72,82 @@ class ParquetTable:
                 cols.append(F.col(c))
         self._swap_in(df.select(*cols))
         return n_updated
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        update: dict[str, Column] | None = None,
+        insert: bool = True,
+        delete_unmatched_source: bool = False,
+    ) -> dict[str, int]:
+        """MERGE / upsert as copy-on-write (PG `INSERT ... ON CONFLICT DO
+        UPDATE` / SQL:2003 MERGE; reference executor/nodeModifyTable.c
+        speculative-insert path).
+
+        - matched target rows: replaced by the updated image built from
+          `update` (source columns addressable via the joined source row);
+          with update=None, matched rows are replaced wholesale by the
+          source row (last-writer-wins upsert).
+        - unmatched source rows: appended when insert=True.
+        - matched-by-source deletion (`WHEN NOT MATCHED BY SOURCE THEN
+          DELETE`) when delete_unmatched_source=True.
+
+        Scale note: one shuffle on the merge keys (sort-merge or broadcast
+        if the source is small); the rewrite is a full-table pass, the
+        same worst case as SplitUpdate redistributing every affected row.
+        The source is deduplicated on the keys first (PG raises on
+        duplicate conflict rows; we keep an arbitrary-but-deterministic
+        first by key ordering to stay a function).
+        """
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        target = self.read()
+        src = (
+            source.withColumn(
+                "__rn", F.row_number().over(
+                    Window.partitionBy(*on).orderBy(*[F.col(k) for k in source.columns])
+                )
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+        t = target.withColumn("__t", F.lit(1)).alias("t")
+        s = src.withColumn("__s", F.lit(1)).alias("s")
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
+        joined = t.join(s, cond, "full_outer")
+        matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+        t_only = F.col("s.__s").isNull()
+
+        out_cols = []
+        for c in target.columns:
+            upd_expr = (
+                update[c]
+                if update is not None and c in update
+                else (F.col(f"s.{c}") if update is None and c in src.columns else F.col(f"t.{c}"))
+            )
+            ins_expr = F.col(f"s.{c}") if c in src.columns else F.lit(None).cast(target.schema[c].dataType)
+            col = (
+                F.when(matched, upd_expr)
+                .when(t_only, F.col(f"t.{c}"))
+                .otherwise(ins_expr)
+                .alias(c)
+            )
+            out_cols.append(col)
+
+        result = joined.select(*out_cols)
+        if not insert:
+            result = joined.filter(F.col(f"t.{on[0]}").isNotNull()).select(*out_cols)
+        if delete_unmatched_source:
+            result = joined.filter(~t_only if insert else matched).select(*out_cols)
+
+        n_matched = joined.filter(matched).count()
+        n_total_src = src.count()
+        stats = {
+            "updated": n_matched,
+            "inserted": (n_total_src - n_matched) if insert else 0,
+        }
+        self._swap_in(result)
+        return stats

@@ -324,3 +324,29 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_s")
     )
+
+
+@register(
+    "srf_json_each",
+    oracle="""
+    SELECT k AS key, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT))
+                AS BIGINT) AS total
+    FROM (SELECT props, unnest(json_keys(props)) AS k FROM events) t
+    GROUP BY k
+    """,
+    tags=("srf", "json"),
+)
+def srf_json_each(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG json_each / jsonb_each SRF (utils/adt/jsonfuncs.c): explode
+    every key/value pair of an untyped JSON document column. Lowered to
+    from_json into MapType + explode — schema-free, so it survives
+    ragged documents, unlike the typed from_json struct path."""
+    e = table(spark, sf_dir, "events")
+    kv = e.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "val")
+    )
+    return kv.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("val").cast("bigint")).alias("total"),
+    )

@@ -333,3 +333,91 @@ def fn_range_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ovl, F.least(hi, phi)).alias("isect_hi"),
         (hi <= plo).alias("strictly_left"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_misc_type_shims",
+    oracle="""
+    SELECT c_custkey,
+           substr(md5(c_name), 1, 8) || '-' || substr(md5(c_name), 9, 4)
+             || '-' || substr(md5(c_name), 13, 4) || '-'
+             || substr(md5(c_name), 17, 4) || '-' || substr(md5(c_name), 21, 12)
+             AS uuid,
+           printf('$%.2f', CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE))
+             AS money,
+           '10.' || CAST(c_custkey // 65536 % 256 AS VARCHAR) || '.'
+                 || CAST(c_custkey // 256 % 256 AS VARCHAR) || '.'
+                 || CAST(c_custkey % 256 AS VARCHAR) || '/24' AS inet,
+           split_part('10.' || CAST(c_custkey // 65536 % 256 AS VARCHAR) || '.'
+                 || CAST(c_custkey // 256 % 256 AS VARCHAR) || '.'
+                 || CAST(c_custkey % 256 AS VARCHAR) || '/24', '/', 1) AS host,
+           CAST(split_part('x/24', '/', 2) AS INT) AS masklen
+    FROM customer WHERE c_custkey < 40
+    """,
+    tags=("functions", "types"),
+)
+def fn_misc_type_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §1.2 low-priority type shims, made concrete: uuid
+    (utils/adt/uuid.c) as deterministic md5-derived 8-4-4-4-12 text;
+    money (utils/adt/cash.c) as exact-decimal currency formatting;
+    inet/cidr (utils/adt/network.c) as text + host()/masklen()
+    accessors. All JVM-side string builtins — the point is that PG's
+    exotic types degrade to cheap, codegen-friendly string/struct
+    shims rather than UDFs."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 40)
+    h = F.md5(F.col("c_name"))
+    uuid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    k = F.col("c_custkey")
+    ip = F.concat(
+        F.lit("10."),
+        ((k / 65536).cast("bigint") % 256).cast("string"),
+        F.lit("."),
+        ((k / 256).cast("bigint") % 256).cast("string"),
+        F.lit("."),
+        (k % 256).cast("string"),
+        F.lit("/24"),
+    )
+    return c.select(
+        "c_custkey",
+        uuid.alias("uuid"),
+        F.format_string("$%.2f", dec("c_acctbal").cast("double")).alias("money"),
+        ip.alias("inet"),
+        F.split_part(ip, F.lit("/"), F.lit(1)).alias("host"),
+        F.split_part(ip, F.lit("/"), F.lit(2)).cast("int").alias("masklen"),
+    )
+
+
+@register(
+    "fn_enum_ordering",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(array_position(['1-URGENT','2-HIGH','3-MEDIUM',
+                                '4-NOT SPECIFIED','5-LOW'], o_orderpriority)
+                AS INT) AS enum_ord,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("functions", "types", "enum"),
+)
+def fn_enum_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TYPE ... AS ENUM (utils/adt/enum.c): enum values are
+    strings with a catalog-defined sort order. Shim = the label list as
+    an array literal; enum_ord (= enumsortorder) via array_position,
+    usable in ORDER BY / comparisons. Ingest-side domain checking is
+    the same expression != NULL."""
+    labels = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(F.count("*").alias("n")).select(
+        "o_orderpriority",
+        F.array_position(
+            F.array(*[F.lit(x) for x in labels]), F.col("o_orderpriority")
+        ).cast("int").alias("enum_ord"),
+        "n",
+    )

@@ -354,3 +354,58 @@ def join_correlated_select_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "join_quantified_all_any",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           CAST(SUM(CASE WHEN c.c_acctbal > ALL
+                         (SELECT s.s_acctbal FROM supplier s
+                          WHERE s.s_nationkey = c.c_nationkey)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dominant,
+           CAST(SUM(CASE WHEN c.c_acctbal < ANY
+                         (SELECT s.s_acctbal FROM supplier s
+                          WHERE s.s_nationkey = c.c_nationkey)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_below_some
+    FROM customer c
+    GROUP BY c.c_nationkey
+    """,
+    tags=("join", "subquery", "quantified"),
+)
+def join_quantified_all_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison subqueries (`> ALL`, `< ANY`) — ORCA's
+    CSubqueryHandler quantified-subquery decorrelation (SURVEY §4.1).
+    Spark SQL has no ALL/ANY, so the lowering is the classic rewrite:
+    `x > ALL (S)` → per-group MAX(S) left-joined back, true when the
+    group is empty (vacuous truth) or x > max; `x < ANY (S)` → true
+    when the group is non-empty and x < max. The fixtures leave most
+    nations supplier-less, so the empty-group branch is exercised for
+    real. One broadcast join (25-row aggregate), one shuffle for the
+    final groupBy."""
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    per_nation = supp.groupBy("s_nationkey").agg(
+        F.max("s_acctbal").alias("max_bal")
+    )
+    no_suppliers = F.col("max_bal").isNull()
+    return (
+        cust.join(
+            F.broadcast(per_nation),
+            cust.c_nationkey == per_nation.s_nationkey,
+            "left",
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum(
+                F.when(
+                    no_suppliers | (F.col("c_acctbal") > F.col("max_bal")), 1
+                ).otherwise(0)
+            ).alias("n_dominant"),
+            F.sum(
+                F.when(
+                    ~no_suppliers & (F.col("c_acctbal") < F.col("max_bal")), 1
+                ).otherwise(0)
+            ).alias("n_below_some"),
+        )
+    )

@@ -232,3 +232,49 @@ def srf_unnest_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.n_name").alias("name"),
         F.col("e.n_nationkey").alias("key"),
     )
+
+
+@register(
+    "external_csv_scan",
+    oracle="""
+    SELECT n.n_regionkey,
+           COUNT(*) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS members
+    FROM nation n GROUP BY n.n_regionkey ORDER BY n.n_regionkey
+    """,
+    tags=("external", "scan"),
+)
+def external_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-table scan (CREATE EXTERNAL TABLE ... FORMAT 'CSV',
+    external.c:412-811): the nation table staged to CSV, read back
+    through the PERMISSIVE ingest path (sources/external.py — the
+    SEGMENT REJECT LIMIT machinery), then aggregated. Proves the
+    full unload → parallel-CSV-scan → query loop is lossless."""
+    import hashlib
+    import os
+
+    from warehouse_pg_spark.functions.pg import string_agg
+    from warehouse_pg_spark.sources.external import read_external
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    csv_dir = f"/tmp/warehouse_ext_nation_{tag}"
+    if not os.path.exists(os.path.join(csv_dir, "_SUCCESS")):
+        table(spark, sf_dir, "nation").coalesce(1).write.mode(
+            "overwrite"
+        ).option("header", "true").csv(csv_dir)
+    good, bad = read_external(
+        spark,
+        csv_dir,
+        fmt="csv",
+        schema="n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT",
+        reject_limit=0,
+    )
+    assert bad.isEmpty()
+    return (
+        good.groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n_nations"),
+            string_agg("n_name", ",").alias("members"),
+        )
+        .orderBy("n_regionkey")
+    )

@@ -297,3 +297,51 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_fts_rank",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(ts, t -> t = 'spark')) +
+                len(list_filter(ts, t -> t = 'join')) AS BIGINT) AS n_hits,
+           CAST(len(list_filter(ts, t -> t = 'spark')) +
+                len(list_filter(ts, t -> t = 'join')) AS DOUBLE)
+             / CAST(len(ts) AS DOUBLE) AS rank
+    FROM toks
+    WHERE len(list_filter(ts, t -> t = 'spark')) > 0
+      AND len(list_filter(ts, t -> t = 'join')) > 0
+    """,
+    tags=("text", "fts"),
+)
+def text_fts_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text search shim (tsvector.c / tsrank.c): documents matching
+    plainto_tsquery('spark & join') ranked by term frequency — the
+    to_tsvector @@ tsquery → ts_rank pipeline re-expressed as a
+    tokenize → per-term containment filter → frequency score, all
+    JVM-side array builtins (no UDF). Scale: embarrassingly parallel
+    map over the corpus; the WHERE is a pushable per-row predicate."""
+    TERMS = ["spark", "join"]
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+    )
+    d = d.select("doc_id", toks.alias("ts"))
+    hit = lambda term: F.size(F.filter(F.col("ts"), lambda t: t == F.lit(term)))
+    n_hits = sum((hit(t) for t in TERMS), F.lit(0))
+    return (
+        d.filter((hit(TERMS[0]) > 0) & (hit(TERMS[1]) > 0))
+        .select(
+            "doc_id",
+            n_hits.cast("bigint").alias("n_hits"),
+            (
+                n_hits.cast("double") / F.size(F.col("ts")).cast("double")
+            ).alias("rank"),
+        )
+    )

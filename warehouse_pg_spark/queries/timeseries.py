@@ -189,3 +189,38 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounds.select(
         "user_id", "day", F.round(v_filled, 6).alias("v_filled")
     )
+
+
+@register(
+    "ts_locf_gap_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,2)) END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+    tags=("timeseries", "window", "interpolate"),
+)
+def ts_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last observation carried forward) — the step-function
+    sibling of linear_interpolate (reference utils/adt/interpolate.c,
+    timeseries.sql regress): every event carries the user's most recent
+    purchase value at-or-before it. Lowered to last(expr, ignorenulls)
+    over a running ROWS frame — one shuffle on user_id, no self-join."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_v = F.when(
+        F.col("event_type") == "purchase", dec(F.col("value"))
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(purchase_v, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )

@@ -395,3 +395,41 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "window_range_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+               AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+               AS DECIMAL(38,2)) AS v_last_hour
+    FROM events
+    """,
+    tags=("window", "timeseries"),
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with a time-interval offset (nodeWindowAgg.c
+    RANGE ... PRECEDING over timestamp ORDER BY) — the trailing-hour
+    rolling metric. Spark's rangeBetween is numeric-only, so the
+    lowering orders by epoch millis with a -3,600,000 lower bound;
+    value-based inclusive bounds match PG/DuckDB exactly, including
+    peer-row ties."""
+    from warehouse_pg_spark.queries.registry import dec
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum(dec("value")).over(w).cast("decimal(38,2)").alias("v_last_hour"),
+    )
