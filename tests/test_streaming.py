@@ -87,3 +87,38 @@ def test_streaming_stateful_user_totals_matches_batch(spark, sf_dir, events_dir)
         gn, gt = got[uid]
         assert gn == n
         assert abs(gt - total) < 1e-6 * max(abs(total), 1.0)
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join == the batch theta join on the same
+    predicate (click within 30 min at-or-before a purchase)."""
+    path, schema = events_dir
+    purchases = EventStream.from_parquet_dir(
+        spark, path, schema, watermark="1 minute"
+    )
+    clicks = EventStream.from_parquet_dir(
+        spark, path, schema, watermark="1 minute"
+    )
+    purchases.df = purchases.df.filter(F.col("event_type") == "purchase")
+    clicks.df = clicks.df.filter(F.col("event_type") == "click")
+    joined = purchases.interval_join(clicks, horizon="30 minutes")
+    q = run_available_now(joined, query_name="sjoin", output_mode="append")
+    got = spark.table("sjoin").count()
+
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")
+    )
+    expected = p.join(
+        c,
+        F.expr(
+            "l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL 30 minutes AND l_ts"
+        ),
+    ).count()
+    assert got == expected and got > 0
+    q.stop()

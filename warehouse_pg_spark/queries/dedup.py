@@ -343,3 +343,85 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             weight //= 2
     simhash = sum(bit_terms[1:], bit_terms[0]).cast("long").alias("simhash")
     return digits.groupBy("doc_id").agg(simhash)
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS words
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM norm
+    ), sizes AS (
+      SELECT doc_id, COUNT(DISTINCT shingle) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(DISTINCT a.shingle) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), edges1 AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM edges1
+      UNION SELECT id_b, id_a FROM edges1
+    ), reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+    tags=("dedup", "graph", "recursive"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: connected components over the
+    word-3-gram Jaccard candidate graph (threshold 0.2), cluster id =
+    min doc_id in the component. The iterative min-label propagation is
+    the RecursiveUnion fixpoint (nodeRecursiveunion.c) applied to
+    graphs — each round one shuffle-join of labels against edges;
+    converges in component-diameter rounds. At 100 TB this is the
+    standard large-scale dedup-cluster algorithm (alternating
+    small-star/large-star is the same loop with smarter edges)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    for _ in range(20):  # cap >> expected diameter
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

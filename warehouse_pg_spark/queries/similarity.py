@@ -232,3 +232,60 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_cos") >= 0.95)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
     )
+
+
+@register(
+    "embed_scalar_quantize",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), rng AS (
+      SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM base
+    ), q AS (
+      SELECT vec_id, mn, mx,
+             list_transform(v, x -> CAST(floor((x - mn) / (mx - mn) * 255.0)
+                                         AS BIGINT)) AS codes
+      FROM rng WHERE mx > mn
+    )
+    SELECT vec_id,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_min(codes) AS BIGINT) AS code_min,
+           CAST(list_max(codes) AS BIGINT) AS code_max,
+           CAST(len(codes) AS INT) AS n_dims
+    FROM q
+    """,
+    tags=("similarity", "multimodal", "pipeline"),
+)
+def embed_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8-style scalar quantization of embeddings — the
+    compression step before ANN index build (4× smaller than float32,
+    the IVF/SQ layout every large-scale vector store uses). Pure
+    JVM-side array math (transform/aggregate): code_i =
+    floor((x_i - min) / (max - min) * 255). Identical IEEE double ops
+    on both engines → codes match exactly. Embarrassingly parallel;
+    at 100 TB this runs as a map over the embedding table with no
+    shuffle."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = e.select("vec_id", v.alias("v"))
+    e = e.select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("mn"),
+        F.array_max("v").alias("mx"),
+    ).filter(F.col("mx") > F.col("mn"))
+    codes = F.transform(
+        F.col("v"),
+        lambda x: F.floor((x - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255.0),
+    )
+    e = e.select("vec_id", codes.alias("codes"))
+    return e.select(
+        "vec_id",
+        F.aggregate(
+            "codes", F.lit(0).cast("bigint"), lambda acc, c: acc + c
+        ).alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        F.size("codes").alias("n_dims"),
+    )

@@ -345,3 +345,135 @@ def text_fts_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(raw,
+               '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+               '555-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+    tags=("text", "pii", "pipeline"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training-data curation: detect + scrub email
+    addresses and phone numbers with JVM-side regex (regexp_count /
+    regexp_replace — no UDF). The fixture corpus is synthetic, so the
+    PII is injected deterministically per-row first; the md5 of the
+    scrubbed text proves both engines produced byte-identical
+    redactions. Embarrassingly parallel map — no shuffle at any scale."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email_re = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+    phone_re = "555-[0-9]{4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(email_re)).cast("int").alias("n_emails"),
+        F.regexp_count(raw, F.lit(phone_re)).cast("int").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 20
+    """,
+    tags=("sample", "pipeline", "text"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling — up to 20 docs per language stratum, the
+    balanced-corpus step of a training-data pipeline (TABLESAMPLE
+    has no per-group form in PG; this is the standard window lowering).
+    Hash-ordering by md5(doc_id) makes the draw pseudorandom but
+    deterministic and engine-independent. One shuffle on the stratum
+    key; at 100 TB the per-group top-K stays bounded by K per reducer
+    (rank-filter pushes the limit into the sort)."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rn")
+        )
+        .filter(F.col("rn") <= 20)
+    )
+
+
+@register(
+    "text_shard_packing",
+    oracle="""
+    WITH cum AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS csum
+      FROM documents
+    )
+    SELECT CAST((csum - n_chars) // 50000 AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM cum GROUP BY 1
+    """,
+    tags=("text", "pipeline"),
+)
+def text_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: assign documents (in stable doc_id
+    order) to contiguous training shards of ~50k chars via an exclusive
+    running sum — the deterministic "pack examples into shards"
+    step before tokenized-example writing. The global running sum is a
+    single-partition window here; at 100 TB the same result comes from
+    the two-pass form (per-range partial sums on doc_id ranges, then a
+    tiny driver-side prefix of per-range offsets broadcast back), which
+    operators/window_ext.py documents — semantics identical."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = d.select(
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(w).alias("csum"),
+    )
+    shard = ((F.col("csum") - F.col("n_chars")) / 50000).cast("bigint")
+    return (
+        cum.groupBy(shard.alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

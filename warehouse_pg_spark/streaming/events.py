@@ -101,6 +101,34 @@ class EventStream:
         """Stateful stream dedup (dropDuplicatesWithinWatermark)."""
         return self.df.dropDuplicatesWithinWatermark(keys)
 
+    def interval_join(
+        self, other: "EventStream", horizon: str = "30 minutes"
+    ) -> DataFrame:
+        """Stream-stream inner join with an event-time interval bound:
+        each left event pairs with right events of the same user within
+        [left.ts - horizon, left.ts]. Both sides are watermarked, so the
+        join state is bounded — Spark evicts buffered rows once the
+        watermark passes the interval (the streaming twin of the batch
+        as-of/range join in operators/asof.py). State is partitioned by
+        user_id → scales horizontally like any keyed stateful op."""
+        lhs = self.df.select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("user_id").alias("l_user"),
+            F.col(self.ts_col).alias("l_ts"),
+        )
+        rhs = other.df.select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("user_id").alias("r_user"),
+            F.col(other.ts_col).alias("r_ts"),
+        )
+        return lhs.join(
+            rhs,
+            F.expr(
+                f"l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL {horizon} AND l_ts"
+            ),
+            "inner",
+        )
+
     def stateful_user_totals(self) -> DataFrame:
         """Custom stateful operator via applyInPandasWithState: per-user
         running (event count, value total), state carried across
