@@ -30,6 +30,46 @@ _DISTRIBUTED_BY_RE = re.compile(
     re.IGNORECASE,
 )
 
+_INSERT_RE = re.compile(r"^INSERT\s+INTO\s+([\w.]+)\s+(.*)$", re.IGNORECASE | re.DOTALL)
+_UPDATE_RE = re.compile(
+    r"^UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?$", re.IGNORECASE | re.DOTALL
+)
+_CTAS_RE = re.compile(
+    r"^CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(SELECT\b.*)$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _split_assignments(s: str) -> list[tuple[str, str]]:
+    """Split `a = e1, b = e2` on top-level commas (paren/quote aware)."""
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    out = []
+    for p in parts:
+        col, _, expr = p.partition("=")
+        out.append((col.strip(), expr.strip()))
+    return out
+
 
 @dataclass
 class MaterializedView:
@@ -62,6 +102,9 @@ class Engine:
         ddl = self._maybe_ddl(lowered)
         if ddl is not None:
             return ddl
+        dml = self._maybe_dml(lowered)
+        if dml is not None:
+            return dml
         if named_args:
             return self.spark.sql(lowered, args=named_args)
         return self.spark.sql(lowered)
@@ -99,6 +142,102 @@ class Engine:
                 name=tname, path="", distribution=(policy, keys)
             )
         return out
+
+    # ----------------------------------------------------------- SQL DML
+    def _maybe_dml(self, text: str) -> DataFrame | None:
+        """SQL-statement DML against engine-managed parquet tables —
+        the ModifyTable front-end (reference executor/nodeModifyTable.c,
+        commands/copy.c §3.3): INSERT INTO .. VALUES/SELECT, UPDATE ..
+        SET .. WHERE, DELETE FROM .. WHERE, CREATE TABLE .. AS SELECT.
+        Statements over names not registered as writable parquet tables
+        fall through to Spark (which raises its own errors). Returns a
+        1-row `rows_affected` DataFrame (the PG command tag)."""
+        import pyspark.sql.functions as F
+
+        s = text.strip().rstrip(";").strip()
+
+        m = _CTAS_RE.match(s)
+        if m:
+            name, select = m.group(1).split(".")[-1], m.group(2)
+            df = self.spark.sql(select)
+            self.create_table_from(name, df)
+            n = self.spark.read.parquet(
+                os.path.join(self.warehouse_dir, name)
+            ).count()
+            return self._tag(n)
+
+        m = _INSERT_RE.match(s)
+        if m:
+            name, rest = m.group(1).split(".")[-1], m.group(2).strip()
+            t = self._writable_by_name(name)
+            if t is None:
+                return None
+            cols: list[str] | None = None
+            cm = re.match(r"^\(([^)]*)\)\s*(.*)$", rest, re.DOTALL)
+            if cm:
+                cols = [c.strip() for c in cm.group(1).split(",")]
+                rest = cm.group(2).strip()
+            if re.match(r"^VALUES\b", rest, re.IGNORECASE):
+                df = self.spark.sql(f"SELECT * FROM {rest}")
+            else:
+                df = self.spark.sql(rest)
+            target = t.read()
+            names = cols or target.columns
+            df = df.toDF(*names)
+            for c in target.columns:  # missing cols → NULL, PG default-less
+                if c not in names:
+                    df = df.withColumn(
+                        c, F.lit(None).cast(target.schema[c].dataType)
+                    )
+            df = df.select(
+                *[
+                    F.col(c).cast(target.schema[c].dataType).alias(c)
+                    for c in target.columns
+                ]
+            )
+            n = df.count()
+            t.insert(df)
+            self._refresh_view(name, t)
+            return self._tag(n)
+
+        m = _UPDATE_RE.match(s)
+        if m:
+            name = m.group(1).split(".")[-1]
+            t = self._writable_by_name(name)
+            if t is None:
+                return None
+            assigns = {
+                col: F.expr(expr)
+                for col, expr in _split_assignments(m.group(2))
+            }
+            where = F.expr(m.group(3)) if m.group(3) else F.lit(True)
+            n = t.update(assigns, where)
+            self._refresh_view(name, t)
+            return self._tag(n)
+
+        m = _DELETE_RE.match(s)
+        if m:
+            name = m.group(1).split(".")[-1]
+            t = self._writable_by_name(name)
+            if t is None:
+                return None
+            where = F.expr(m.group(2)) if m.group(2) else F.lit(True)
+            n = t.delete(where)
+            self._refresh_view(name, t)
+            return self._tag(n)
+        return None
+
+    def _writable_by_name(self, name: str) -> ParquetTable | None:
+        info = self.catalog.tables.get(name)
+        if info is None or not info.path or not os.path.isdir(info.path):
+            return None
+        return ParquetTable(self.spark, info.path)
+
+    def _refresh_view(self, name: str, t: ParquetTable) -> None:
+        t.read().createOrReplaceTempView(name)
+
+    def _tag(self, n: int) -> DataFrame:
+        return self.spark.createDataFrame([(n,)], "rows_affected BIGINT")
 
     # ------------------------------------------------------------- catalog
     def attach_fixtures(self, sf_dir: str) -> None:
