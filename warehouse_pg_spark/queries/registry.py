@@ -7,8 +7,18 @@ bit-identical between Spark and the DuckDB oracle):
    in different orders, so double aggregation diverges in the last ulp.
    Fix: cast money-like inputs (2-decimal doubles in the fixtures) to
    DECIMAL *before* arithmetic; decimal +,* are exact and associative in
-   both engines. Final results cast to an explicit DECIMAL(38,s) so the
-   schema matches too.
+   both engines.
+1b. **Decimal NEVER appears in a final output schema.** The driver
+   compares results through pandas: Spark DecimalType -> pandas gives
+   `Decimal('138014.00')` objects while DuckDB DECIMAL -> pandas gives
+   float64 `138014.0`; the stringified representations differ whenever a
+   value has a trailing zero at its declared scale (root cause of 20/50
+   driver hash failures in round 1). A single cast of the identical exact
+   decimal value to DOUBLE is correctly rounded in both engines and thus
+   bit-identical. `register()` enforces this mechanically: every
+   registered query's output is wrapped so DecimalType columns are
+   final-cast to double. DuckDB decimals already arrive as float64 via
+   `.df()`, so oracles need no change.
 2. **Averages** = CAST(decimal_sum AS DOUBLE) / count — a single IEEE
    division of identical operands is bit-identical across engines.
 3. **No raw timestamps in outputs** — Spark TimestampType is
@@ -42,14 +52,72 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+def _canonize(df: DataFrame) -> DataFrame:
+    """Driver-safe final projection (parity rules 1b/3/6).
+
+    The driver compares Spark and DuckDB results through *pandas*, where
+    type representations diverge even when values are identical:
+
+    - DecimalType  -> pandas `Decimal('138014.00')` vs DuckDB float64
+      `138014.0` (round-1 root cause, 20/50 hash failures) → cast double.
+    - DateType     -> pandas `datetime.date` objects vs DuckDB
+      `datetime64[us]`; equal under `astype(str)` but NOT under per-cell
+      `str()` ('1994-01-01' vs '1994-01-01 00:00:00') → ISO string.
+    - TimestampType -> Spark is tz-aware LTZ, DuckDB naive → formatted
+      string.
+    - ArrayType    -> crashes the driver canonicalizer
+      (`sort_values` → `TypeError: unhashable type: 'list'`) →
+      comma-joined string ('NULL' for null elements).
+
+    Matching oracles emit CAST(... AS VARCHAR) / array_to_string so both
+    sides are plain str/float64/int64 in pandas — identical under any
+    plausible hash.
+    """
+    from pyspark.sql.types import ArrayType, DateType, DecimalType, TimestampType
+
+    def fix(f):
+        c = F.col(f.name)
+        if isinstance(f.dataType, DecimalType):
+            return c.cast("double").alias(f.name)
+        if isinstance(f.dataType, DateType):
+            return F.date_format(c, "yyyy-MM-dd").alias(f.name)
+        if isinstance(f.dataType, TimestampType):
+            return F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(f.name)
+        if isinstance(f.dataType, ArrayType):
+            inner = f.dataType.elementType
+            if isinstance(inner, DecimalType):
+                c = c.cast("array<double>")
+            return F.array_join(c.cast("array<string>"), ",", "NULL").alias(f.name)
+        return c
+
+    if not any(
+        isinstance(f.dataType, (DecimalType, DateType, TimestampType, ArrayType))
+        for f in df.schema.fields
+    ):
+        return df
+    return df.select(*[fix(f) for f in df.schema.fields])
+
+
 def register(
     name: str, oracle: str | None = None, tags: tuple[str, ...] = ()
 ) -> Callable:
-    """Decorator: register fn(spark, sf_dir) -> DataFrame under `name`."""
+    """Decorator: register fn(spark, sf_dir) -> DataFrame under `name`.
+
+    The registered callable is wrapped with `_canonize` so no decimal /
+    date / timestamp / array column ever reaches the driver's
+    pandas-channel comparison.
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _canonize(fn(spark, sf_dir))
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__module__ = fn.__module__
+        wrapped.__wrapped__ = fn
         REGISTRY[name] = Query(
-            name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "")
+            name=name, fn=wrapped, oracle=oracle, tags=tags, doc=(fn.__doc__ or "")
         )
         return fn
 
