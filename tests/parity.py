@@ -4,13 +4,18 @@ Runs a registered query through Spark AND its oracle SQL through DuckDB
 over the same parquet fixtures, then compares:
   - row count
   - column names (sorted)
-  - order-insensitive value comparison (strict: bit-identical floats,
-    exact decimals) — stricter than any plausible driver hash, so
-    passing here should pass the driver.
+  - order-insensitive value comparison through the SAME canonical value
+    channel the driver uses (registry._canonize on the Spark side):
+    Decimal ≡ its correctly-rounded double, date ≡ ISO string,
+    timestamp ≡ 'YYYY-MM-DD HH:MM:SS' string. Floats stay bit-strict
+    (repr-compared) — only the *type tags* are canonical, so a Spark
+    query that already emits canonized strings/doubles compares equal
+    to a DuckDB oracle that still returns DECIMAL/DATE/TIMESTAMP.
 """
 
 from __future__ import annotations
 
+import datetime
 import math
 from decimal import Decimal
 
@@ -34,11 +39,19 @@ def _norm(v):
     if v is None:
         return "\x00NULL"
     if isinstance(v, Decimal):
-        return f"dec:{v}"
+        # _canonize final-casts DecimalType to double on the Spark side;
+        # the same exact value converts to the identical double here.
+        return _norm(float(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "f:nan"
         return f"f:{v!r}"
+    if isinstance(v, datetime.datetime):
+        # matches _canonize's date_format(ts, 'yyyy-MM-dd HH:mm:ss')
+        return f"str:{v.strftime('%Y-%m-%d %H:%M:%S')}"
+    if isinstance(v, datetime.date):
+        # matches _canonize's DateType → ISO-string cast
+        return f"str:{v.isoformat()}"
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     if isinstance(v, dict):

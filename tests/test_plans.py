@@ -192,3 +192,18 @@ def test_filter_clause_single_agg_pass(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_filter_clause", "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial_" in plan_of(spark, sf_dir, "agg_filter_clause")
+
+
+def test_shard_packing_no_single_partition_exchange(spark, sf_dir):
+    """The global running sum must use the two-pass prefix-sum rewrite:
+    no Exchange SinglePartition anywhere (the 100 TB bottleneck)."""
+    plan = plan_of(spark, sf_dir, "text_shard_packing", "simple")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan  # pass 1: range repartition
+
+
+def test_range_frame_no_single_partition_exchange(spark, sf_dir):
+    """The global RANGE frame must use the value-banded rewrite: the
+    window is partitioned by band, never a single-partition sort."""
+    plan = plan_of(spark, sf_dir, "window_range_frame", "simple")
+    assert "Exchange SinglePartition" not in plan, plan

@@ -334,16 +334,27 @@ class Engine:
         metadata-only parquet count."""
         rows = []
         for name, info in sorted(self.catalog.tables.items()):
+            # Pathless entries are bucketed managed tables
+            # (materialize_bucketed stores path=""): resolve through the
+            # Spark catalog and size the warehouse directory instead.
+            path = info.path
+            if not path:
+                warehouse = self.spark.conf.get(
+                    "spark.sql.warehouse.dir", "spark-warehouse"
+                )
+                path = os.path.join(warehouse.removeprefix("file:"), name)
             n_bytes, n_files = 0, 0
-            if os.path.isdir(info.path):
-                for root, _dirs, files in os.walk(info.path):
+            if os.path.isdir(path):
+                for root, _dirs, files in os.walk(path):
                     for f in files:
                         if not f.startswith(("_", ".")):
                             n_files += 1
                             n_bytes += os.path.getsize(os.path.join(root, f))
-            elif os.path.exists(info.path):
-                n_files, n_bytes = 1, os.path.getsize(info.path)
-            n_rows = self.catalog.load(name).count()
+            elif os.path.exists(path):
+                n_files, n_bytes = 1, os.path.getsize(path)
+            n_rows = (
+                self.catalog.load(name) if info.path else self.spark.table(name)
+            ).count()
             policy, keys = info.distribution
             rows.append((name, n_rows, n_bytes, n_files, policy, list(keys)))
         return self.spark.createDataFrame(

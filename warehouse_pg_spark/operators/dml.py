@@ -139,7 +139,10 @@ class ParquetTable:
 
         result = joined.select(*out_cols)
         if not insert:
-            result = joined.filter(F.col(f"t.{on[0]}").isNotNull()).select(*out_cols)
+            # keep exactly the target-side rows; gate on the __t marker,
+            # not on a key column — the join is eqNullSafe, so a target
+            # row with a NULL first key is a real row, not a non-match
+            result = joined.filter(F.col("t.__t").isNotNull()).select(*out_cols)
         if delete_unmatched_source:
             result = joined.filter(~t_only if insert else matched).select(*out_cols)
 

@@ -19,8 +19,14 @@ Rewrite by self-subtraction on distributive aggregates:
   EXCLUDE GROUP:       frame_agg - peer_group_agg
   EXCLUDE TIES:        frame_agg - peer_group_agg + current_row_value
 where peer_group_agg is the same aggregate over a rangeBetween(0, 0)
-frame (exactly the peers). Works for sum/count/avg(=sum/count);
-min/max need the anti-frame union instead (not provided here).
+frame (exactly the peers). Works for sum/count/avg(=sum/count).
+
+min/max (non-subtractable aggregates) use the *anti-frame union*
+instead (minmax_exclude): the post-exclusion frame is split into the
+two contiguous sub-frames on either side of the excluded rows and the
+results combined with least/greatest — exactly how the reference
+evaluates non-invertible aggregates over EXCLUDE frames
+(nodeWindowAgg.c:1454-1480 re-aggregates the frame minus exclusion).
 """
 
 from __future__ import annotations
@@ -87,20 +93,93 @@ def sum_exclude(
         .rangeBetween(0, 0)
     )
     frame_sum = F.sum(val).over(base_w)
-    frame_cnt = F.count(val).over(base_w)
+    frame_cnt = F.count(val).over(base_w)  # non-null values in frame
     group_sum = F.sum(val).over(peers_w)
     group_cnt = F.count(val).over(peers_w)
     mode = exclude.lower()
-    # PG semantics: an empty post-exclusion frame aggregates to NULL,
-    # not 0 — gate each form on the surviving row count.
+    # PG semantics (nodeWindowAgg.c): SUM over the post-exclusion frame
+    # is NULL iff no *non-null* value survives. A NULL value excluded
+    # from the frame must not poison the subtraction (SUM ignores NULLs)
+    # — so subtract coalesce(x, 0) and count survivors with the non-null
+    # counts, not row counts.
+    val_nn = F.when(val.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    zero = F.lit(0)
     if mode == "current row":
-        expr = F.when(frame_cnt > 1, frame_sum - val)
+        surviving = frame_cnt - val_nn
+        expr = F.when(surviving > 0, frame_sum - F.coalesce(val, zero))
     elif mode == "group":
-        expr = F.when(frame_cnt - group_cnt > 0, frame_sum - group_sum)
+        surviving = frame_cnt - group_cnt
+        expr = F.when(surviving > 0, frame_sum - F.coalesce(group_sum, zero))
     elif mode == "ties":
-        expr = frame_sum - group_sum + val  # current row always survives
+        surviving = frame_cnt - group_cnt + val_nn
+        expr = F.when(
+            surviving > 0,
+            frame_sum - F.coalesce(group_sum, zero) + F.coalesce(val, zero),
+        )
     elif mode == "no others":
         expr = frame_sum
     else:
         raise ValueError(f"unknown EXCLUDE mode: {exclude}")
+    return df.withColumn(out, expr)
+
+
+def minmax_exclude(
+    df: DataFrame,
+    value: Column | str,
+    partition_by: list[str],
+    order_by: list[str],
+    start: int,
+    end: int,
+    agg: str = "min",
+    exclude: str = "group",
+    out: str = "minmax_excl",
+    frame_type: str = "rows",
+) -> DataFrame:
+    """MIN/MAX(value) OVER (... ROWS/RANGE BETWEEN start AND end
+    EXCLUDE CURRENT ROW | GROUP | TIES) via anti-frame union.
+
+    min/max are not subtractable, so the excluded rows can't be backed
+    out of the full-frame aggregate. Instead evaluate the aggregate over
+    the two contiguous sub-frames flanking the exclusion and combine:
+
+      ROWS  + EXCLUDE CURRENT ROW: rows [start,-1] ∪ rows [1,end]
+      RANGE + EXCLUDE GROUP:       range [start,-1] ∪ range [1,end]
+        (the peer group occupies exactly the range offset 0, so integer
+         ±1 bounds skip it — requires a discrete ORDER BY key, which is
+         also PG's RANGE-with-offset constraint for non-numeric keys)
+      RANGE + EXCLUDE TIES:        EXCLUDE GROUP result ∪ current value
+
+    least()/greatest() skip NULLs (all-NULL → NULL), matching PG's
+    "empty post-exclusion frame aggregates to NULL".
+    """
+    if agg not in ("min", "max"):
+        raise ValueError(f"agg must be min|max, got {agg}")
+    mode = exclude.lower()
+    val = F.col(value) if isinstance(value, str) else value
+    agg_fn = F.min if agg == "min" else F.max
+    comb = F.least if agg == "min" else F.greatest
+
+    base = Window.partitionBy(*partition_by).orderBy(*order_by)
+    if frame_type == "rows":
+        if mode != "current row":
+            # ROWS frames can't address the peer group as a contiguous
+            # row interval around the current row.
+            raise NotImplementedError(
+                "ROWS frame supports EXCLUDE CURRENT ROW only; "
+                "use frame_type='range' for GROUP/TIES"
+            )
+        lo_w, hi_w = base.rowsBetween(start, -1), base.rowsBetween(1, end)
+        expr = comb(agg_fn(val).over(lo_w), agg_fn(val).over(hi_w))
+    elif mode in ("group", "ties"):
+        lo_w, hi_w = base.rangeBetween(start, -1), base.rangeBetween(1, end)
+        expr = comb(agg_fn(val).over(lo_w), agg_fn(val).over(hi_w))
+        if mode == "ties":  # current row itself stays in the frame
+            expr = comb(expr, val)
+    elif mode == "no others":
+        expr = agg_fn(val).over(base.rangeBetween(start, end))
+    else:
+        raise NotImplementedError(
+            "RANGE frame + EXCLUDE CURRENT ROW needs per-row peer "
+            "re-aggregation; use EXCLUDE GROUP/TIES or a ROWS frame"
+        )
     return df.withColumn(out, expr)

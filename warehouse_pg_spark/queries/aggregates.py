@@ -259,7 +259,7 @@ def agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_array_agg_ordered",
     oracle="""
     SELECT c_mktsegment,
-           array_agg(c_custkey ORDER BY c_custkey) AS custkeys
+           array_to_string(array_agg(c_custkey ORDER BY c_custkey), ',') AS custkeys
     FROM customer
     WHERE c_acctbal > 9000
     GROUP BY c_mktsegment
@@ -276,18 +276,31 @@ def agg_array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    oracle=None,  # sketch values differ per implementation; rows-only + local tolerance test
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_nd_parts,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("agg", "sketch"),
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL NDV sketch (gp_hyperloglog.c analogue → approx_count_distinct).
 
-    Not oracle-comparable (HLL++ vs DuckDB's sketch differ); the test
-    suite checks ±5%% of exact instead."""
+    Raw sketch values aren't cross-engine comparable (HLL++ registers vs
+    DuckDB's sketch), so the checkable contract is: exact NDV plus a
+    Spark-computed boolean asserting the sketch landed within ±5% of
+    exact — the oracle emits the exact NDV and literal TRUE."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_nd_parts"),
         F.countDistinct("l_partkey").alias("exact_nd_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey")
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.05 * F.countDistinct("l_partkey")
+        ).alias("within_5pct"),
     )
 
 

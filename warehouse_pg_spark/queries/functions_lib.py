@@ -272,7 +272,7 @@ def fn_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
            names[1] AS first_name,
            list_contains(names, 'NATION_3') AS has_n3,
            array_to_string(names, '|') AS joined,
-           list_sort(list_distinct(names || ['NATION_0'])) AS with_n0
+           array_to_string(list_sort(list_distinct(names || ['NATION_0'])), ',') AS with_n0
     FROM a
     """,
     tags=("functions", "arrays"),
@@ -434,9 +434,9 @@ def fn_numeric_edge_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_extract(c_name, '([0-9]+)$', 1) AS tail_digits,
            CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS tail_num,
            regexp_replace(c_name, '0+', '-', 'g') AS squashed,
-           string_split_regex(c_name, '#') AS parts,
+           array_to_string(string_split_regex(c_name, '#'), ',') AS parts,
            regexp_matches(c_name, '^Customer#0*[0-9]+$') AS well_formed,
-           regexp_extract_all(translate(c_name, '#', '0'), '[0-9]+') AS runs
+           array_to_string(regexp_extract_all(translate(c_name, '#', '0'), '[0-9]+'), ',') AS runs
     FROM customer
     WHERE c_custkey < 300
     ORDER BY c_custkey
@@ -598,13 +598,13 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM nation GROUP BY n_regionkey
     )
     SELECT n_regionkey,
-           names[2:4] AS middle,
+           array_to_string(names[2:4], ',') AS middle,
            CAST(list_position(names, 'NATION_3') AS INT) AS pos_n3,
-           list_filter(names, x -> x <> 'NATION_0') AS removed,
+           array_to_string(list_filter(names, x -> x <> 'NATION_0'), ',') AS removed,
            list_has_any(names, ['NATION_1', 'NATION_2']) AS overlaps_12,
            list_has_all(names, ['NATION_1', 'NATION_2']) AS contains_12,
-           flatten([names[1:2], names[3:3]]) AS reflattened,
-           list_reverse(names) AS rev
+           array_to_string(flatten([names[1:2], names[3:3]]), ',') AS reflattened,
+           array_to_string(list_reverse(names), ',') AS rev
     FROM a
     """,
     tags=("functions", "arrays"),
@@ -682,8 +682,10 @@ def fn_generate_series_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile_multi",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles,
-           quantile_disc(l_quantity, [0.1, 0.9]) AS deciles_disc
+           array_to_string(list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+                                          x -> round(x, 6)), ',') AS quartiles,
+           array_to_string(list_transform(quantile_disc(l_quantity, [0.1, 0.9]),
+                                          x -> round(x, 6)), ',') AS deciles_disc
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     tags=("agg", "percentile", "orderedset"),
@@ -699,9 +701,14 @@ def agg_percentile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.percentile("l_quantity", fracs).alias("quartiles"),
-            F.percentile_approx(
-                "l_quantity", F.array(F.lit(0.1), F.lit(0.9)), F.lit(2147483647)
+            F.transform(
+                F.percentile("l_quantity", fracs), lambda x: F.round(x, 6)
+            ).alias("quartiles"),
+            F.transform(
+                F.percentile_approx(
+                    "l_quantity", F.array(F.lit(0.1), F.lit(0.9)), F.lit(2147483647)
+                ),
+                lambda x: F.round(x, 6),
             ).alias("deciles_disc"),
         )
         .orderBy("l_returnflag")

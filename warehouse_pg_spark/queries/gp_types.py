@@ -261,8 +261,13 @@ def fn_matrix_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_partial_merge",
-    oracle=None,  # sketch estimates are approximate — rows-only gate;
-    # tests/test_operators.py asserts the estimate is within 5% of exact
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(DISTINCT c_custkey) AS exact_ndv,
+           TRUE AS within_5pct
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
     tags=("agg", "sketch"),
 )
 def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,18 +275,33 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANALYZE merges per-leaf sketches, analyze.c:693): build per-nation
     customer sketches (partial), union-merge them per region (final),
     estimate. The sketch column is what a 100 TB incremental-stats
-    pipeline would persist per partition."""
+    pipeline would persist per partition.
+
+    Raw sketch estimates aren't cross-engine comparable, so the
+    checkable contract is exact NDV per region plus a Spark-computed
+    boolean asserting the merged-sketch estimate is within ±5% of exact
+    (oracle emits exact NDV + literal TRUE)."""
     cust = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
-    partials = (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("n_regionkey", "n_nationkey")
-        .agg(F.hll_sketch_agg("c_custkey").alias("sketch"))
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    partials = joined.groupBy("n_regionkey", "n_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sketch")
+    )
+    merged = partials.groupBy("n_regionkey").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("hll_ndv")
+    )
+    exact = joined.groupBy("n_regionkey").agg(
+        F.countDistinct("c_custkey").alias("exact_ndv")
     )
     return (
-        partials.groupBy("n_regionkey")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("ndv_customers")
+        exact.join(F.broadcast(merged), "n_regionkey")
+        .select(
+            "n_regionkey",
+            "exact_ndv",
+            (
+                F.abs(F.col("hll_ndv") - F.col("exact_ndv"))
+                <= 0.05 * F.col("exact_ndv")
+            ).alias("within_5pct"),
         )
         .orderBy("n_regionkey")
     )

@@ -69,9 +69,11 @@ def _canonize(df: DataFrame) -> DataFrame:
       (`sort_values` → `TypeError: unhashable type: 'list'`) →
       comma-joined string ('NULL' for null elements).
 
-    Matching oracles emit CAST(... AS VARCHAR) / array_to_string so both
-    sides are plain str/float64/int64 in pandas — identical under any
-    plausible hash.
+    Oracles whose final output is a LIST (DuckDB) wrap it in
+    array_to_string(..., ',') to match the array branch below; scalar
+    decimal/date oracles need no change — the driver's pandas channel
+    already reads DuckDB DECIMAL as float64 and DATE as datetime64, and
+    tests/parity.py normalizes those to the same canonical values.
     """
     from pyspark.sql.types import ArrayType, DateType, DecimalType, TimestampType
 
@@ -80,7 +82,8 @@ def _canonize(df: DataFrame) -> DataFrame:
         if isinstance(f.dataType, DecimalType):
             return c.cast("double").alias(f.name)
         if isinstance(f.dataType, DateType):
-            return F.date_format(c, "yyyy-MM-dd").alias(f.name)
+            # plain cast is ISO 'yyyy-MM-dd' and cheaper than date_format
+            return c.cast("string").alias(f.name)
         if isinstance(f.dataType, TimestampType):
             return F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(f.name)
         if isinstance(f.dataType, ArrayType):

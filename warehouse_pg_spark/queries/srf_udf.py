@@ -159,17 +159,26 @@ def uda_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_bernoulli_rowsonly",
-    oracle=None,  # nondeterministic across engines by nature
+    oracle="""
+    SELECT COUNT(*) AS total_rows, TRUE AS frac_in_bounds FROM lineitem
+    """,
     tags=("sample",),
 )
 def sample_bernoulli_rowsonly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True TABLESAMPLE (nodeSamplescan.c, bernoulli.c:47): seeded
-    df.sample — deterministic within Spark, not across engines →
-    rows-only check; the unit test asserts the sampled fraction."""
+    df.sample — deterministic within Spark, not across engines, so the
+    checkable contract is the population size plus a Spark-computed
+    boolean asserting the sampled fraction is 0.1 ± 0.05 (oracle emits
+    COUNT(*) + literal TRUE)."""
     li = table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).agg(
-        F.count("*").alias("n"),
-        dsum(dec("l_quantity")).alias("qty"),
+    samp = li.sample(fraction=0.1, seed=42).agg(F.count("*").alias("n_sampled"))
+    tot = li.agg(F.count("*").alias("total_rows"))
+    return tot.crossJoin(F.broadcast(samp)).select(
+        "total_rows",
+        (
+            F.abs(F.col("n_sampled") - 0.1 * F.col("total_rows"))
+            <= 0.05 * F.col("total_rows")
+        ).alias("frac_in_bounds"),
     )
 
 

@@ -453,20 +453,15 @@ def text_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing: assign documents (in stable doc_id
     order) to contiguous training shards of ~50k chars via an exclusive
     running sum — the deterministic "pack examples into shards"
-    step before tokenized-example writing. The global running sum is a
-    single-partition window here; at 100 TB the same result comes from
-    the two-pass form (per-range partial sums on doc_id ranges, then a
-    tiny driver-side prefix of per-range offsets broadcast back), which
-    operators/window_ext.py documents — semantics identical."""
-    d = table(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = d.select(
-        "doc_id",
-        "n_chars",
-        F.sum("n_chars").over(w).alias("csum"),
-    )
+    step before tokenized-example writing. The global running sum is
+    the two-pass distributed prefix sum (operators/prefix.running_sum):
+    per-range local sums + broadcast per-range offsets — no
+    Exchange SinglePartition anywhere in the plan (gated by
+    tests/test_plans.py)."""
+    from warehouse_pg_spark.operators.prefix import running_sum
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cum = running_sum(d, order_by="doc_id", value="n_chars", out="csum")
     shard = ((F.col("csum") - F.col("n_chars")) / 50000).cast("bigint")
     return (
         cum.groupBy(shard.alias("shard"))

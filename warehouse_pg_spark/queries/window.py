@@ -148,12 +148,25 @@ def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame with numeric offsets (value-based framing)."""
-    w = Window.orderBy("c_acctbal").rangeBetween(-500, 500)
-    c = table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey", "c_acctbal", F.count("*").over(w).alias("peers_within_500")
+    """RANGE frame with numeric offsets (value-based framing).
+
+    The frame has no PARTITION BY, which would plan as Exchange
+    SinglePartition; instead the value-banded rewrite
+    (operators/prefix.banded_range_agg) replicates each row into its
+    ±1 value band and runs the same RANGE frame partitioned by band —
+    full parallelism, identical result (gated by tests/test_plans.py).
+    """
+    from warehouse_pg_spark.operators.prefix import banded_range_agg
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = banded_range_agg(
+        c,
+        value_col="c_acctbal",
+        lo=-500,
+        hi=500,
+        agg_exprs={"peers_within_500": F.count("*")},
     )
+    return out.select("c_custkey", "c_acctbal", "peers_within_500")
 
 
 @register(
@@ -365,6 +378,89 @@ def window_exclude_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         F.col("excl_sum").cast("decimal(38,2)").alias("excl_sum"),
     )
+
+
+@register(
+    "window_exclude_group_minmax",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           MIN(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                                 RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                                 EXCLUDE GROUP) AS excl_min,
+           MAX(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                                 RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                                 EXCLUDE GROUP) AS excl_max
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    """,
+    tags=("window", "frames"),
+)
+def window_exclude_group_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE GROUP for non-subtractable min/max — anti-frame union
+    (operators/window_ext.minmax_exclude): min/max over the two RANGE
+    sub-frames flanking the peer group, combined with least/greatest
+    (nodeWindowAgg.c:1454-1480)."""
+    from warehouse_pg_spark.operators.window_ext import minmax_exclude
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    out = minmax_exclude(
+        li,
+        value="l_quantity",
+        partition_by=["l_returnflag"],
+        order_by=["l_quantity"],
+        start=-2,
+        end=2,
+        agg="min",
+        exclude="group",
+        out="excl_min",
+        frame_type="range",
+    )
+    out = minmax_exclude(
+        out,
+        value="l_quantity",
+        partition_by=["l_returnflag"],
+        order_by=["l_quantity"],
+        start=-2,
+        end=2,
+        agg="max",
+        exclude="group",
+        out="excl_max",
+        frame_type="range",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "excl_min", "excl_max"
+    )
+
+
+@register(
+    "window_exclude_ties_minmax",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           MAX(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                                 RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                                 EXCLUDE TIES) AS excl_max
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    """,
+    tags=("window", "frames"),
+)
+def window_exclude_ties_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE TIES for max — anti-frame union plus the surviving
+    current-row value."""
+    from warehouse_pg_spark.operators.window_ext import minmax_exclude
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    out = minmax_exclude(
+        li,
+        value="l_quantity",
+        partition_by=["l_returnflag"],
+        order_by=["l_quantity"],
+        start=-2,
+        end=2,
+        agg="max",
+        exclude="ties",
+        out="excl_max",
+        frame_type="range",
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_quantity", "excl_max")
 
 
 @register(
