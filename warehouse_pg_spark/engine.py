@@ -35,6 +35,11 @@ _UPDATE_RE = re.compile(
     r"^UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_UPDATE_FROM_RE = re.compile(
+    r"^UPDATE\s+([\w.]+)\s+SET\s+(.*?)\s+FROM\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?"
+    r"\s+WHERE\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DELETE_RE = re.compile(
     r"^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?$", re.IGNORECASE | re.DOTALL
 )
@@ -200,6 +205,10 @@ class Engine:
             self._refresh_view(name, t)
             return self._tag(n)
 
+        m = _UPDATE_FROM_RE.match(s)
+        if m:
+            return self._update_from(*m.groups())
+
         m = _UPDATE_RE.match(s)
         if m:
             name = m.group(1).split(".")[-1]
@@ -227,6 +236,65 @@ class Engine:
             return self._tag(n)
         return None
 
+    def _update_from(
+        self,
+        tname: str,
+        set_clause: str,
+        src_name: str,
+        src_alias: str | None,
+        where: str,
+    ) -> DataFrame | None:
+        """PG `UPDATE t SET c = expr FROM s WHERE join_cond` (gram.y
+        UpdateStmt from_clause; planner turns it into a join whose inner
+        is the target — same plan here): left-join the target onto the
+        source on the WHERE condition, apply SET expressions to matched
+        rows, pass unmatched rows through, rewrite copy-on-write.
+
+        PG picks an arbitrary source row when several match one target
+        row; we pick deterministically (first by the source's column
+        ordering) so the statement stays a function.
+        """
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        tname = tname.split(".")[-1]
+        t = self._writable_by_name(tname)
+        if t is None:
+            return None
+        salias = src_alias or src_name.split(".")[-1]
+        target = t.read()
+        src = self.spark.table(src_name).withColumn("__s", F.lit(1)).alias(salias)
+        tagged = target.withColumn(
+            "__tid", F.monotonically_increasing_id()
+        ).alias(tname)
+
+        joined = tagged.join(src, F.expr(where), "left")
+        pick_w = Window.partitionBy("__tid").orderBy(
+            *[F.col(f"{salias}.{c}") for c in self.spark.table(src_name).columns]
+        )
+        picked = (
+            joined.withColumn("__rn", F.row_number().over(pick_w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        assigns = dict(_split_assignments(set_clause))
+        matched = F.col("__s").isNotNull()
+        out_cols = []
+        for c in target.columns:
+            if c in assigns:
+                out_cols.append(
+                    F.when(matched, F.expr(assigns[c]))
+                    .otherwise(F.col(f"{tname}.{c}"))
+                    .cast(target.schema[c].dataType)
+                    .alias(c)
+                )
+            else:
+                out_cols.append(F.col(f"{tname}.{c}").alias(c))
+        n = picked.filter(matched).count()
+        t._swap_in(picked.select(*out_cols))
+        self._refresh_view(tname, t)
+        return self._tag(n)
+
     def _writable_by_name(self, name: str) -> ParquetTable | None:
         info = self.catalog.tables.get(name)
         if info is None or not info.path or not os.path.isdir(info.path):
@@ -247,10 +315,27 @@ class Engine:
         self.catalog.register_parquet(name, path, **kw)
 
     # ----------------------------------------------------------------- UDF
-    def create_function(self, name: str, fn, return_type) -> None:
+    def create_function(
+        self, name: str, fn, return_type, volatility: str = "immutable"
+    ) -> None:
         """CREATE FUNCTION for Python callables (§2.11). Row-at-a-time —
-        the slow path; prefer create_sql_function / pandas UDFs."""
-        self.spark.udf.register(name, fn, return_type)
+        the slow path; prefer create_sql_function / pandas UDFs.
+
+        volatility mirrors PG's classes (pg_proc.provolatile,
+        CREATE FUNCTION ... IMMUTABLE | STABLE | VOLATILE):
+        immutable/stable UDFs stay deterministic (Catalyst may collapse
+        duplicate calls, constant-fold, reorder past filters); volatile
+        marks the UDF non-deterministic so the optimizer evaluates it
+        exactly as written (no dedup, no pushdown past it) — Spark's
+        asNondeterministic is precisely PG's volatile contract."""
+        from pyspark.sql.functions import udf
+
+        if volatility.lower() == "volatile":
+            self.spark.udf.register(
+                name, udf(fn, return_type).asNondeterministic()
+            )
+        else:
+            self.spark.udf.register(name, fn, return_type)
 
     def create_sql_function(self, name: str, signature: str, returns: str, body: str) -> None:
         """CREATE FUNCTION as a pure-SQL expression (fast path: Catalyst

@@ -1,0 +1,155 @@
+"""PG to_char() format engine (reference: utils/adt/formatting.c — the
+DCH_* datetime keywords and NUM_* numeric picture parser, ~6k LoC).
+
+Spark-first design: the PG *format string* is a plan-time literal, so
+the translation happens once in Python and compiles to pure Catalyst
+expressions (date_format / format_number / concat / upper / lpad) —
+JVM codegen, no Python in the hot path, unlike a per-row UDF port.
+
+to_char_datetime(col, fmt)
+    Tokenizes the PG pattern (longest-match, case-sensitive the way
+    formatting.c is: MON/Mon/mon pick the output case) and emits a
+    concat of date_format segments. Case-transformed name tokens
+    (MONTH/DAY families) flush into their own segment wrapped in
+    upper()/lower(); unknown letters become literals; punctuation stays
+    inside the running date_format pattern.
+
+to_char_numeric(x, fmt)
+    Implements the common NUM_ picture elements: 9/0 digit slots,
+    decimal point, ',' grouping, FM fill-mode, leading '$'. Without FM,
+    PG right-aligns into the picture width with a leading sign slot
+    (to_char(123, '999') = ' 123'); FM strips that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# PG DCH token → (java date_format pattern, case transform or None).
+# Ordered longest-first for the tokenizer.
+_DCH_TOKENS: list[tuple[str, str, str | None]] = [
+    ("HH24", "HH", None),
+    ("HH12", "hh", None),
+    ("YYYY", "yyyy", None),
+    ("IYYY", "YYYY", None),  # ISO week-year
+    ("MONTH", "MMMM", "upper"),
+    ("Month", "MMMM", None),
+    ("month", "MMMM", "lower"),
+    ("DDD", "DDD", None),
+    ("MON", "MMM", "upper"),
+    ("Mon", "MMM", None),
+    ("mon", "MMM", "lower"),
+    ("DAY", "EEEE", "upper"),
+    ("Day", "EEEE", None),
+    ("day", "EEEE", "lower"),
+    ("DY", "EEE", "upper"),
+    ("Dy", "EEE", None),
+    ("dy", "EEE", "lower"),
+    ("HH", "hh", None),
+    ("MI", "mm", None),
+    ("SS", "ss", None),
+    ("MS", "SSS", None),
+    ("US", "SSSSSS", None),
+    ("YYY", "yyy", None),
+    ("YY", "yy", None),
+    ("Y", "y", None),
+    ("MM", "MM", None),
+    ("DD", "dd", None),
+    ("IW", "ww", None),
+    ("WW", "ww", None),
+    ("AM", "a", None),
+    ("PM", "a", None),
+    ("am", "a", "lower"),
+    ("pm", "a", "lower"),
+    ("Q", "q", None),
+]
+
+# punctuation that can sit inside a Java pattern unquoted
+_SAFE_PUNCT = set(" -/:.,;()")
+
+
+def to_char_datetime(col: Column | str, fmt: str) -> Column:
+    """PG to_char(timestamp/date, fmt) → concat of date_format segments."""
+    c = F.col(col) if isinstance(col, str) else col
+    parts: list[Column] = []
+    buf = ""  # pending java pattern chars
+
+    def flush():
+        nonlocal buf
+        if buf:
+            parts.append(F.date_format(c, buf))
+            buf = ""
+
+    i, n = 0, len(fmt)
+    while i < n:
+        if fmt[i] == '"':  # quoted literal
+            j = fmt.find('"', i + 1)
+            j = n if j < 0 else j
+            flush()
+            parts.append(F.lit(fmt[i + 1 : j]))
+            i = j + 1
+            continue
+        if fmt.startswith("FM", i):  # fill mode: date side is a no-op
+            i += 2
+            continue
+        if fmt[i] == "D" and not fmt.startswith(("DD", "DY", "Dy", "DAY", "Day"), i):
+            # PG D = day of week, Sunday=1 — matches Spark dayofweek()
+            flush()
+            parts.append(F.dayofweek(c).cast("string"))
+            i += 1
+            continue
+        for tok, java, case in _DCH_TOKENS:
+            if fmt.startswith(tok, i):
+                if case is None:
+                    buf += java
+                else:
+                    flush()
+                    seg = F.date_format(c, java)
+                    parts.append(F.upper(seg) if case == "upper" else F.lower(seg))
+                i += len(tok)
+                break
+        else:
+            ch = fmt[i]
+            if ch in _SAFE_PUNCT:
+                buf += ch
+            else:  # unknown letter → literal, never a stray pattern char
+                flush()
+                parts.append(F.lit(ch))
+            i += 1
+    flush()
+    if not parts:
+        return F.lit("")
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+
+def to_char_numeric(col: Column | str, fmt: str) -> Column:
+    """PG to_char(numeric, fmt) for 9/0/./,/FM/$ picture patterns."""
+    x = F.col(col) if isinstance(col, str) else col
+    fill_mode = fmt.startswith("FM")
+    pic = fmt[2:] if fill_mode else fmt
+    currency = pic.startswith(("$", "L"))
+    if currency:
+        pic = pic[1:]
+    int_part, _, frac_part = pic.partition(".")
+    decimals = sum(1 for ch in frac_part if ch in "90")
+    grouping = "," in int_part
+    zero_pad = int_part.replace(",", "").startswith("0")
+    int_width = sum(1 for ch in int_part if ch in "90")
+
+    body = F.format_number(x.cast("double"), decimals)
+    if not grouping:
+        body = F.replace(body, F.lit(","), F.lit(""))
+    if zero_pad:
+        # zero-fill the integer digits to the picture width
+        pad_w = int_width + (1 + decimals if decimals else 0)
+        neg = x < 0
+        body = F.when(
+            neg, F.concat(F.lit("-"), F.lpad(F.replace(body, F.lit("-"), F.lit("")), pad_w, "0"))
+        ).otherwise(F.lpad(body, pad_w, "0"))
+    if currency:
+        body = F.concat(F.lit("$"), body)
+    if not fill_mode:
+        # PG reserves a sign slot: non-negative values get a leading space
+        body = F.when(x < 0, body).otherwise(F.concat(F.lit(" "), body))
+    return body

@@ -96,48 +96,44 @@ list_distinct(list_transform(
 ))
 """
 
+# Document-frequency cap: shingles appearing in more than this many
+# documents are dropped before the blocked self-join. A single hot
+# shingle ("click here to ...") otherwise produces a df² candidate
+# bucket — the classic 100 TB blow-up. Hot shingles carry no
+# discriminative signal for near-dup detection, so dropping them is the
+# standard mitigation (same trick MinHash-LSH pipelines use).
+_DF_CAP = 100
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH norm AS (
-      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS words
-      FROM documents
-    ), sh AS (
-      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM norm
-    ), sizes AS (
-      SELECT doc_id, COUNT(DISTINCT shingle) AS sz FROM sh GROUP BY doc_id
-    ), common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(DISTINCT a.shingle) AS c
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+# SQL fragment mirroring the cap (inserted after an `sh` CTE): keeps
+# only shingles whose document frequency is <= cap.
+_DF_CAP_SQL = f"""
+      hot AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {_DF_CAP}
+    ), shk AS (
+      SELECT sh.doc_id, sh.shingle FROM sh ANTI JOIN hot USING (shingle)
     )
-    SELECT id_a, id_b,
-           ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2
-    """,
-    tags=("dedup", "similarity"),
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.2).
+"""
 
-    Blocked self-join on shared shingles — pairs with zero overlap are
-    never materialized, so cost tracks true near-duplicates, not n²."""
-    # Fixture files are a single row group → one scan task; fan the
-    # CPU-heavy shingle stage across all cores first (cheap shuffle of
-    # the small input), and cache the shared shingle set — it feeds the
-    # self-join twice plus the sizes agg (ShareInputScan analogue,
-    # reference nodeShareInputScan.c:1-35).
-    par = spark.sparkContext.defaultParallelism
-    d = table(spark, sf_dir, "documents").repartition(par, "doc_id")
-    sh = (
+
+def ngram_jaccard_pairs(
+    d: DataFrame, df_cap: int = _DF_CAP, threshold: float = 0.2
+) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs over a documents frame
+    (doc_id, text). Blocked self-join on shared shingles, with hot
+    shingles (df > df_cap) dropped first so no join bucket exceeds
+    df_cap² candidates."""
+    sh_all = (
         d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
         .distinct()
         .cache()
     )
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    sh = sh_all.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -160,9 +156,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         common.join(sa, F.col("id_a") == F.col("sa.doc_id"))
         .join(sb, F.col("id_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.2)
+        .filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS words
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM norm
+    ), {_DF_CAP_SQL}, sizes AS (
+      SELECT doc_id, COUNT(DISTINCT shingle) AS sz FROM shk GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(DISTINCT a.shingle) AS c
+      FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.2).
+
+    Blocked self-join on shared shingles — pairs with zero overlap are
+    never materialized, so cost tracks true near-duplicates, not n² —
+    with hot shingles (document frequency > 100) dropped before the
+    join so no bucket exceeds df_cap²."""
+    # Fixture files are a single row group → one scan task; fan the
+    # CPU-heavy shingle stage across all cores first (cheap shuffle of
+    # the small input); the shared shingle set is cached inside
+    # ngram_jaccard_pairs (ShareInputScan analogue,
+    # reference nodeShareInputScan.c:1-35).
+    par = spark.sparkContext.defaultParallelism
+    d = table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    return ngram_jaccard_pairs(d)
 
 
 def _minhash_sig_cols():
@@ -353,11 +390,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), sh AS (
       SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM norm
-    ), sizes AS (
-      SELECT doc_id, COUNT(DISTINCT shingle) AS sz FROM sh GROUP BY doc_id
+    ), {_DF_CAP_SQL}, sizes AS (
+      SELECT doc_id, COUNT(DISTINCT shingle) AS sz FROM shk GROUP BY doc_id
     ), common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(DISTINCT a.shingle) AS c
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ), edges1 AS (
       SELECT id_a, id_b FROM common

@@ -747,3 +747,49 @@ def fn_trig_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(3.141592653589793), 10).alias("pi_v"),
         F.round(F.cbrt(x + 1), 10).alias("cbrt_v"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "fn_to_char_formats",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS iso_day,
+           strftime(CAST(o_orderdate AS DATE), '%d %b %Y') AS pretty_day,
+           upper(strftime(CAST(o_orderdate AS DATE), '%A')) AS dow_upper,
+           CAST(EXTRACT(quarter FROM CAST(o_orderdate AS DATE)) AS VARCHAR)
+               || strftime(CAST(o_orderdate AS DATE), '%m') AS q_tag,
+           printf('%.2f', CAST(o_totalprice AS DECIMAL(18,2))) AS price_fm,
+           ' ' || format('{:,}', CAST(floor(o_totalprice) AS BIGINT)) || '.' ||
+               printf('%02d', CAST(round((CAST(o_totalprice AS DECIMAL(18,2))
+                   - floor(o_totalprice)) * 100) AS INT)) AS price_grouped,
+           printf('%07d', o_orderkey) AS key_padded
+    FROM orders WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+    tags=("functions", "datetime", "formatting"),
+)
+def fn_to_char_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG to_char() format engine (utils/adt/formatting.c DCH_*/NUM_*
+    keywords) — plan-time pattern translation to date_format /
+    format_number concat segments (functions/to_char.py), pure Catalyst
+    codegen. Exercises date codes (YYYY-MM-DD, DD Mon YYYY, DAY upper,
+    literal passthrough), FM numeric pictures, comma grouping with the
+    PG sign slot, and zero-padded integers."""
+    from warehouse_pg_spark.functions.to_char import (
+        to_char_datetime,
+        to_char_numeric,
+    )
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    d = F.col("o_orderdate")
+    price = dec("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        to_char_datetime(d, "YYYY-MM-DD").alias("iso_day"),
+        to_char_datetime(d, "DD Mon YYYY").alias("pretty_day"),
+        to_char_datetime(d, "DAY").alias("dow_upper"),
+        to_char_datetime(d, "QMM").alias("q_tag"),
+        to_char_numeric(price, "FM9999999.99").alias("price_fm"),
+        to_char_numeric(price, "9,999,999.99").alias("price_grouped"),
+        to_char_numeric(F.col("o_orderkey"), "FM0000000").alias("key_padded"),
+    ).orderBy("o_orderkey")

@@ -364,3 +364,161 @@ def pgsql_filter_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, o_orderpriority, o_orderstatus
         """,
     )
+
+
+@register(
+    "pgsql_regex_match_ops",
+    oracle="""
+    SELECT c_custkey, c_name,
+           regexp_matches(c_name, '00[0-9]$') AS tail_00x,
+           regexp_matches(c_name, 'customer', 'i') AS ci_hit,
+           NOT regexp_matches(c_name, '9') AS no_nine
+    FROM customer
+    WHERE regexp_matches(c_name, '0{3}[0-9]$') AND c_custkey < 500
+    ORDER BY c_custkey
+    """,
+    tags=("dialect", "regex"),
+)
+def pgsql_regex_match_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG POSIX regex operators `~` / `~*` / `!~` (regexp.c:468
+    textregexeq, texticregexeq, textregexne) → RLIKE rewrites; `~*`
+    lowers to an inline (?i) flag."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_name,
+               c_name ~ '00[0-9]$' AS tail_00x,
+               c_name ~* 'CUSTOMER' AS ci_hit,
+               c_name !~ '9' AS no_nine
+        FROM customer
+        WHERE c_name ~ '0{3}[0-9]$' AND c_custkey < 500
+        ORDER BY c_custkey
+        """,
+    )
+
+
+@register(
+    "pgsql_like_tilde_ops",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment LIKE 'BUILD%' AND c_name ILIKE 'customer%'
+          AND c_mktsegment NOT LIKE '%ZZZ%'
+          AND c_custkey < 200
+    ORDER BY c_custkey
+    """,
+    tags=("dialect", "strings"),
+)
+def pgsql_like_tilde_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG LIKE-operator spellings `~~` / `~~*` / `!~~` (like.c textlike,
+    texticlike) → LIKE / ILIKE / NOT LIKE."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE c_mktsegment ~~ 'BUILD%' AND c_name ~~* 'CUSTOMER%'
+              AND c_mktsegment !~~ '%ZZZ%'
+              AND c_custkey < 200
+        ORDER BY c_custkey
+        """,
+    )
+
+
+@register(
+    "pgsql_array_ctor_ops",
+    oracle="""
+    WITH a AS (
+      SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS names
+      FROM nation GROUP BY n_regionkey
+    )
+    SELECT n_regionkey,
+           array_to_string(names, ',') AS names,
+           list_has_all(names, ['NATION_3']) AS has_n3,
+           list_has_any(names, ['NATION_1', 'NATION_2']) AS touches_12,
+           array_to_string(['probe_a', 'probe_b'], ',') AS probes
+    FROM a
+    WHERE list_has_all(names, ['NATION_0']) OR n_regionkey >= 0
+    ORDER BY n_regionkey
+    """,
+    tags=("dialect", "arrays"),
+)
+def pgsql_array_ctor_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG `ARRAY[...]` constructor (gram.y:15365) and the array
+    operators `@>` containment / `&&` overlap (arrayfuncs.c) →
+    array(...) + forall/array_contains + arrays_overlap rewrites."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        WITH a AS (
+          SELECT n_regionkey, sort_array(collect_list(n_name)) AS names
+          FROM nation GROUP BY n_regionkey
+        )
+        SELECT n_regionkey,
+               names,
+               names @> ARRAY['NATION_3'] AS has_n3,
+               names && ARRAY['NATION_1', 'NATION_2'] AS touches_12,
+               ARRAY['probe_a', 'probe_b'] AS probes
+        FROM a
+        WHERE names @> ARRAY['NATION_0'] OR n_regionkey >= 0
+        ORDER BY n_regionkey
+        """,
+    )
+
+
+@register(
+    "pgsql_nulls_default_order",
+    oracle="""
+    SELECT NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio, o_orderkey
+    FROM orders WHERE o_orderkey % 97 = 0
+    ORDER BY prio ASC NULLS LAST, o_orderkey
+    LIMIT 30
+    """,
+    tags=("dialect", "sort"),
+)
+def pgsql_nulls_default_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG's default NULL ordering (ASC → NULLS LAST, gram.y:10114
+    opt_nulls_order) — the SQL text carries no explicit NULLS clause;
+    the shim injects it so Spark (default NULLS FIRST) matches PG."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio, o_orderkey
+        FROM orders WHERE o_orderkey % 97 = 0
+        ORDER BY prio, o_orderkey
+        LIMIT 30
+        """,
+    )
+
+
+@register(
+    "pgsql_chained_json_arrows",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(
+               '{"outer": ' || props || '}', '$.outer.k') AS BIGINT)) AS BIGINT)
+               AS k_total
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("dialect", "json"),
+)
+def pgsql_chained_json_arrows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained JSON arrows `j -> 'outer' ->> 'k'` (jsonfuncs.c operator
+    chains) fold into ONE get_json_object path ('$.outer.k') — the
+    round-2 half-rewrite bug class, now exercised end-to-end."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT event_type,
+               sum((('{"outer": ' || props || '}') -> 'outer' ->> 'k')::int8)
+                   AS k_total
+        FROM events
+        GROUP BY event_type ORDER BY event_type
+        """,
+    )

@@ -287,3 +287,55 @@ def external_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "tablefunc_xmltable",
+    oracle="""
+    WITH src AS (SELECT * FROM orders WHERE o_orderkey < 300)
+    SELECT o_orderkey, CAST(1 AS BIGINT) AS line_no,
+           o_orderpriority AS prio,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount
+    FROM src
+    UNION ALL
+    SELECT o_orderkey, CAST(2 AS BIGINT), o_orderstatus,
+           CAST(o_custkey AS DOUBLE)
+    FROM src
+    """,
+    tags=("tablefunc", "xml", "srf"),
+)
+def tablefunc_xmltable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XMLTABLE (nodeTableFuncscan.c, xml.c): serialize each order to an
+    XML doc, then shred it back relationally — one output row per
+    <line> element, attributes + child-element text extracted through
+    the operators/xmltab.py mapInPandas table function. The oracle
+    reconstructs the same rows straight from the source columns, so the
+    whole XML round-trip is value-checked."""
+    from warehouse_pg_spark.operators.xmltab import xmltable
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey"),
+        F.lit('"><line no="1"><tag>'),
+        F.col("o_orderpriority"),
+        F.lit("</tag><amt>"),
+        dec("o_totalprice").cast("string"),
+        F.lit('</amt></line><line no="2"><tag>'),
+        F.col("o_orderstatus"),
+        F.lit("</tag><amt>"),
+        F.col("o_custkey"),
+        F.lit("</amt></line></order>"),
+    )
+    docs = o.select("o_orderkey", xml.alias("doc"))
+    return xmltable(
+        docs,
+        xml_col="doc",
+        row_path="line",
+        columns={
+            "line_no": ("@no", "long"),
+            "prio": ("tag", "string"),
+            "amount": ("amt", "double"),
+        },
+        keep=("o_orderkey",),
+    )

@@ -5,14 +5,29 @@ Conservative, token-aware textual rewrites for the PG-isms that appear
 in the reference regress corpus but aren't Spark SQL:
 
   expr::type            -> CAST(expr AS type)       (simple operands)
-  j ->> 'k'  /  -> 'k'  -> get_json_object(j, '$.k')
-  generate_series(a,b[,s]) in FROM -> LATERAL explode(sequence(...))
+  j ->> 'k'  /  -> 'k'  -> get_json_object(j, '$.k')   (chains fold
+                           into one path: j->'a'->>'b' -> '$.a.b')
+  expr ~ 'pat' (~* !~ !~*) -> [NOT] expr RLIKE 'pat'  (regexp.c
+                           textregexeq; ~* prefixes '(?i)')
+  ARRAY[a, b, ...]      -> array(a, b, ...)         (gram.y ARRAY[])
+  a @> b / a <@ b       -> forall(contains) rewrites (arrayfuncs.c)
+  a && b                -> arrays_overlap(a, b)
+  ORDER BY x [ASC|DESC] -> explicit NULLS LAST/FIRST injected per item
+                           (PG defaults ASC NULLS LAST, gram.y
+                           opt_nulls_order; Spark defaults NULLS FIRST)
+  generate_series(a,b[,s]) in FROM -> explode(sequence(...))
+  string_agg(x, sep ORDER BY k) -> listagg ... WITHIN GROUP
+  EXTRACT(EPOCH FROM x) -> unix_seconds(CAST(x AS TIMESTAMP))
+  SELECT DISTINCT ON (k) ... -> row_number window, first row per key
   text/int4/int8/float8 type names -> STRING/INT/BIGINT/DOUBLE
   TRUE/FALSE literals, ILIKE, string concat ||  -> native (already valid)
 
-The shim never parses full SQL — each rewrite is a bounded regex with
-word-boundary guards; anything it doesn't recognize passes through to
-Spark's parser untouched.
+String literals and comments are masked out before any regex pass, so
+content inside '...' (e.g. a literal 'a::text') is never rewritten,
+and comments can't confuse the patterns. The shim never parses full
+SQL — each rewrite is a bounded regex with word-boundary guards;
+anything it doesn't recognize passes through to Spark's parser
+untouched.
 """
 
 from __future__ import annotations
@@ -33,20 +48,93 @@ _TYPE_MAP = {
     "timestamptz": "TIMESTAMP",
 }
 
-# expr::type for simple operands: identifier, quoted literal, number,
+# ------------------------------------------------------------------ masking
+# Literals are replaced by \x01<idx>\x01 before any rewrite runs and
+# restored at the end; comments are dropped. \x01 never occurs in SQL.
+_MASK_RE = re.compile("\x01(\\d+)\x01")
+_LIT = r"\x01\d+\x01"  # placeholder token, usable inside patterns
+
+
+def _mask(sql: str) -> tuple[str, list[str]]:
+    lits: list[str] = []
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(f"\x01{len(lits)}\x01")
+            lits.append(sql[i : j + 1])
+            i = j + 1
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i)
+            out.append(" ")
+            i = n if j < 0 else j + 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), lits
+
+
+def _unmask(sql: str, lits: list[str]) -> str:
+    return _MASK_RE.sub(lambda m: lits[int(m.group(1))], sql)
+
+
+def _lit_value(tok: str, lits: list[str]) -> str:
+    """Unquoted content of a masked literal token."""
+    raw = lits[int(_MASK_RE.match(tok).group(1))]
+    return raw[1:-1].replace("''", "'")
+
+
+def _new_lit(value: str, lits: list[str]) -> str:
+    lits.append("'" + value.replace("'", "''") + "'")
+    return f"\x01{len(lits) - 1}\x01"
+
+
+# ------------------------------------------------------------------ patterns
+# expr::type for simple operands: identifier, masked literal, number,
 # or a parenthesized tail like fn(x)::text (matches the closing paren).
 _CAST_RE = re.compile(
-    r"(\w+\([^()]*\)|'[^']*'|\"[^\"]*\"|[\w.]+)\s*::\s*([a-zA-Z_][\w]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    rf"(\w+\([^()]*\)|{_LIT}|[\w.]+)\s*::\s*"
+    r"([a-zA-Z_][\w]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
 )
 
-_ARROW2_RE = re.compile(r"([\w.\)\]]+)\s*->>\s*'([^']+)'")
-_ARROW1_RE = re.compile(r"([\w.\)\]]+)\s*->\s*'([^']+)'")
+# one JSON arrow step: -> 'key' / ->> 'key' / -> 0 (array index). The
+# RHS must be a literal or integer, so SQL lambdas (`x -> expr`) never
+# match. LHS is found by scanning backwards (balanced parens allowed).
+_ARROW_STEP_RE = re.compile(rf"->(>?)\s*({_LIT}|\d+)")
+_GJO_BASE_RE = None  # built lazily in _rewrite_arrows (needs _LIT)
+
+# POSIX regex match: expr ~ 'pat' / ~* / !~ / !~* (regexp.c textregexeq
+# family) and LIKE spellings ~~ / ~~* / !~~ / !~~* (like.c). Right side
+# must be a literal so `~` can't be confused with a prefix operator.
+_REGEX_MATCH_RE = re.compile(
+    rf"([\w.\)\]]+|{_LIT})\s*(!~~\*|!~~|~~\*|~~|!~\*|!~|~\*|~)\s*({_LIT})"
+)
+
+_ARRAY_CTOR_RE = re.compile(r"\bARRAY\s*\[([^\[\]]*)\]", re.IGNORECASE)
+
+# array operands for @> / <@ / && : array(...) call, identifier, or
+# parenthesized tail
+_ARR_OPERAND = r"(?:array\s*\([^()]*\)|[\w.\)\]]+)"
+_ARR_CONTAINS_RE = re.compile(rf"({_ARR_OPERAND})\s*@>\s*({_ARR_OPERAND})")
+_ARR_CONTAINED_RE = re.compile(rf"({_ARR_OPERAND})\s*<@\s*({_ARR_OPERAND})")
+_ARR_OVERLAP_RE = re.compile(rf"({_ARR_OPERAND})\s*&&\s*({_ARR_OPERAND})")
 
 _GENSERIES_FROM_RE = re.compile(
     r"\bFROM\s+generate_series\s*\(([^()]*)\)\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\)",
     re.IGNORECASE,
 )
-
 
 # EXTRACT(EPOCH FROM expr) — Spark's Extract has no epoch field
 _EXTRACT_EPOCH_RE = re.compile(
@@ -57,11 +145,11 @@ _EXTRACT_EPOCH_RE = re.compile(
 # PG string_agg(x, 'sep' ORDER BY cols) → listagg WITHIN GROUP (the
 # ORDER BY sits inside the call parens in PG, after them in Spark)
 _STRING_AGG_ORDER_RE = re.compile(
-    r"\bstring_agg\s*\(([^(),]+),\s*('[^']*')\s+ORDER\s+BY\s+([^()]+)\)",
+    rf"\bstring_agg\s*\(([^(),]+),\s*({_LIT})\s+ORDER\s+BY\s+([^()]+)\)",
     re.IGNORECASE,
 )
 _STRING_AGG_RE = re.compile(
-    r"\bstring_agg\s*\(([^(),]+),\s*('[^']*')\s*\)", re.IGNORECASE
+    rf"\bstring_agg\s*\(([^(),]+),\s*({_LIT})\s*\)", re.IGNORECASE
 )
 
 _DISTINCT_ON_RE = re.compile(
@@ -101,13 +189,174 @@ def _map_type(t: str) -> str:
     return mapped
 
 
+def _rewrite_arrows(sql: str, lits: list[str]) -> str:
+    """Rewrite JSON arrows to get_json_object, folding chains into ONE
+    path (j -> 'a' ->> 'b' ≡ get_json_object(j, '$.a.b'), j -> 0 ≡
+    '$[0]'). Left-to-right one step at a time: after the first step the
+    LHS of the next arrow IS a get_json_object call, whose path the
+    fold extends — this fixes the round-2 half-rewritten-chain bug
+    (->> running before ->). The LHS is located by scanning backwards,
+    so parenthesized bases like ('{...}' || j) -> 'k' work too."""
+    gjo_base = re.compile(rf"get_json_object\((.*),\s*({_LIT})\)$", re.DOTALL)
+    while True:
+        m = _ARROW_STEP_RE.search(sql)
+        if m is None:
+            return sql
+        # scan LHS backwards: identifier / masked literal / balanced
+        # paren group (optionally a call: name(...))
+        i = m.start() - 1
+        while i >= 0 and sql[i].isspace():
+            i -= 1
+        end = i + 1
+        if i >= 0 and sql[i] == ")":
+            depth = 0
+            while i >= 0:
+                if sql[i] == ")":
+                    depth += 1
+                elif sql[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i -= 1
+            j = i - 1
+            while j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
+                j -= 1
+            start = j + 1
+        else:
+            j = i
+            while j >= 0 and (sql[j].isalnum() or sql[j] in "_.\x01"):
+                j -= 1
+            start = j + 1
+        base = sql[start:end]
+        key = m.group(2)
+        step = (
+            "." + _lit_value(key, lits) if _MASK_RE.match(key) else f"[{key}]"
+        )
+        fold = gjo_base.match(base)
+        if fold:  # extend the existing path instead of nesting calls
+            path = _lit_value(fold.group(2), lits) + step
+            repl = f"get_json_object({fold.group(1)}, {_new_lit(path, lits)})"
+        else:
+            repl = f"get_json_object({base}, {_new_lit('$' + step, lits)})"
+        sql = sql[:start] + repl + sql[m.end() :]
+
+
+def _rewrite_regex_match(sql: str, lits: list[str]) -> str:
+    def sub(m: re.Match) -> str:
+        lhs, op, pat = m.groups()
+        if "~~" in op:  # LIKE-family spelling
+            kw = "ILIKE" if "*" in op else "LIKE"
+            expr = f"{lhs} {kw} {pat}"
+        else:
+            if "*" in op:  # case-insensitive: inline (?i) flag
+                pat = _new_lit("(?i)" + _lit_value(pat, lits), lits)
+            expr = f"{lhs} RLIKE {pat}"
+        return f"NOT ({expr})" if op.startswith("!") else expr
+
+    return _REGEX_MATCH_RE.sub(sub, sql)
+
+
+# ORDER BY items end at these keywords (masked text, depth 0) or at the
+# enclosing paren. ROWS/RANGE/GROUPS terminate window ORDER BYs.
+_ORDER_TERMINATOR_RE = re.compile(
+    r"\b(LIMIT|OFFSET|FETCH|UNION|EXCEPT|INTERSECT|WINDOW|ROWS|RANGE|GROUPS)\b",
+    re.IGNORECASE,
+)
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_NULLS_RE = re.compile(r"\bNULLS\s+(FIRST|LAST)\b", re.IGNORECASE)
+_DESC_TAIL_RE = re.compile(r"\bDESC\s*$", re.IGNORECASE)
+_ORDINAL_RE = re.compile(r"^\d+$")
+
+
+def _inject_nulls_ordering(sql: str) -> str:
+    """PG defaults ASC → NULLS LAST, DESC → NULLS FIRST (gram.y
+    opt_nulls_order / SortByNulls); Spark defaults the opposite way
+    round. Make every ORDER BY item explicit unless it already says
+    NULLS FIRST/LAST. Bare ordinals (ORDER BY 1) are left alone —
+    Spark resolves them before sort options apply."""
+    out = sql
+    # process right-to-left so earlier offsets stay valid after edits
+    for m in reversed(list(_ORDER_BY_RE.finditer(sql))):
+        start = m.end()
+        # find clause end: depth-0 terminator keyword, unbalanced ')',
+        # or end of string
+        depth = 0
+        i, n = start, len(sql)
+        end = n
+        while i < n:
+            ch = sql[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0:
+                t = _ORDER_TERMINATOR_RE.match(sql, i)
+                if t and re.match(r"\W", sql[i - 1]):
+                    end = i
+                    break
+            i += 1
+        clause = sql[start:end]
+        # split items on depth-0 commas
+        items, buf, depth = [], [], 0
+        for ch in clause:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                items.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        items.append("".join(buf))
+        fixed = []
+        for item in items:
+            body = item.strip()
+            if not body or _NULLS_RE.search(body) or _ORDINAL_RE.match(body):
+                fixed.append(item)
+            elif _DESC_TAIL_RE.search(body):
+                fixed.append(item.rstrip() + " NULLS FIRST")
+            else:
+                fixed.append(item.rstrip() + " NULLS LAST")
+        out = (
+            out[:start] + " " + ", ".join(f.strip() for f in fixed) + " " + out[end:]
+        )
+    return out
+
+
 def rewrite(sql: str) -> str:
     """Apply all PG→Spark rewrites to a SQL string."""
-    out = _rewrite_distinct_on(sql)
+    out, lits = _mask(sql)
 
-    # j ->> 'k' / j -> 'k'  (->> first so -> doesn't eat it)
-    out = _ARROW2_RE.sub(lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", out)
-    out = _ARROW1_RE.sub(lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", out)
+    out = _rewrite_distinct_on(out)
+
+    # ARRAY[a, b] → array(a, b), innermost-first for nesting
+    prev = None
+    while prev != out:
+        prev = out
+        out = _ARRAY_CTOR_RE.sub(lambda m: f"array({m.group(1)})", out)
+
+    # chained JSON arrows fold into one get_json_object path
+    out = _rewrite_arrows(out, lits)
+
+    # POSIX regex matches → RLIKE
+    out = _rewrite_regex_match(out, lits)
+
+    # array containment / overlap operators
+    out = _ARR_CONTAINS_RE.sub(
+        lambda m: f"forall({m.group(2)}, __x -> array_contains({m.group(1)}, __x))",
+        out,
+    )
+    out = _ARR_CONTAINED_RE.sub(
+        lambda m: f"forall({m.group(1)}, __x -> array_contains({m.group(2)}, __x))",
+        out,
+    )
+    out = _ARR_OVERLAP_RE.sub(
+        lambda m: f"arrays_overlap({m.group(1)}, {m.group(2)})", out
+    )
 
     # expr::type  (repeat: chained casts a::text::int)
     prev = None
@@ -151,4 +400,7 @@ def rewrite(sql: str) -> str:
         out,
     )
 
-    return out
+    # PG NULLS-ordering defaults, made explicit per ORDER BY item
+    out = _inject_nulls_ordering(out)
+
+    return _unmask(out, lits)
