@@ -472,3 +472,99 @@ def text_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+from warehouse_pg_spark.queries.dedup import _NORM_SQL, _SHINGLES_SQL
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             string_split({_NORM_SQL.format(c='text')}, ' ') AS words
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source, unnest({_SHINGLES_SQL}) AS shingle FROM norm
+    ), probe AS (
+      SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
+    ), corpus AS (
+      SELECT DISTINCT doc_id, shingle FROM sh WHERE source <> 'src0'
+    ), hot AS (
+      SELECT shingle FROM corpus GROUP BY shingle HAVING COUNT(*) > 100
+    ), kept AS (
+      SELECT corpus.doc_id, corpus.shingle FROM corpus
+      ANTI JOIN hot USING (shingle)
+    )
+    SELECT doc_id, COUNT(*) AS n_hits
+    FROM kept JOIN probe USING (shingle)
+    GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing word
+    3-grams with a held-out eval set (source 'src0' plays the
+    benchmark) — the standard pre-training hygiene pass that keeps
+    eval answers out of the training corpus. Corpus-side hot shingles
+    (df > 100) are dropped first, same bound as the near-dup join, so
+    at 100 TB the probe join stays bucket-local: probe shingles are a
+    benchmark-sized (small) set, broadcast to the corpus scan."""
+    from warehouse_pg_spark.queries.dedup import _shingles
+
+    d = table(spark, sf_dir, "documents")
+    sh = lambda df: df.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    ).distinct()
+    probe = (
+        sh(d.filter(F.col("source") == "src0")).select("shingle").distinct()
+    )
+    corpus = sh(d.filter(F.col("source") != "src0"))
+    hot = (
+        corpus.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 100)
+        .select("shingle")
+    )
+    kept = corpus.join(hot, "shingle", "left_anti")
+    return (
+        kept.join(F.broadcast(probe), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+@register(
+    "sample_source_weighted",
+    oracle="""
+    WITH kept AS (
+      SELECT lang, n_chars FROM documents
+      WHERE lang = 'en' OR substr(md5(text), 1, 2) < '80'
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+    tags=("sample", "pipeline", "text"),
+)
+def sample_source_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language/source mixing by deterministic hash thresholds — the
+    'temperature resampling' step of a training-data pipeline: keep all
+    English docs, downsample every other language to 50% by comparing a
+    content-hash prefix to a hex cutoff ('80' = 128/256). Deterministic
+    (same doc always keeps/drops, both engines agree on md5), map-only
+    until the final tiny per-language aggregate — no per-row RNG, no
+    shuffle before the agg."""
+    d = table(spark, sf_dir, "documents")
+    keep = (F.col("lang") == "en") | (
+        F.substring(F.md5("text"), 1, 2) < "80"
+    )
+    return (
+        d.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
