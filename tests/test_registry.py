@@ -78,3 +78,29 @@ def test_no_rows_only_entries_anywhere():
     'no_oracle' rows)."""
     holes = [n for n, q in REGISTRY.items() if q.oracle is None]
     assert not holes, f"rows-only entries: {holes}"
+
+
+def test_canonize_handles_nested_types(spark):
+    """MapType/StructType (and arrays of them / of timestamps) must
+    leave _canonize as plain strings — anything else is unhashable in
+    the driver's pandas comparison channel."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from warehouse_pg_spark.queries.registry import _canonize
+
+    df = spark.createDataFrame(
+        [(1, {"k": 2}, (3, "x"), [dt.date(2020, 1, 2)],
+          [dt.datetime(2020, 1, 2, 3, 4, 5)])],
+        "id int, m map<string,int>, s struct<a:int,b:string>, "
+        "ds array<date>, ts array<timestamp>",
+    ).withColumn("nested", F.array(F.struct(F.lit(1).alias("q"))))
+    out = _canonize(df)
+    kinds = dict(out.dtypes)
+    assert kinds == {
+        "id": "int", "m": "string", "s": "string",
+        "ds": "string", "ts": "string", "nested": "string",
+    }, kinds
+    row = out.collect()[0]
+    assert row.ds == "2020-01-02" and row.ts == "2020-01-02 03:04:05"
+    assert "k" in row.m and "q" in row.nested

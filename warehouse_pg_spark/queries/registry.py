@@ -75,7 +75,16 @@ def _canonize(df: DataFrame) -> DataFrame:
     already reads DuckDB DECIMAL as float64 and DATE as datetime64, and
     tests/parity.py normalizes those to the same canonical values.
     """
-    from pyspark.sql.types import ArrayType, DateType, DecimalType, TimestampType
+    from pyspark.sql.types import (
+        ArrayType,
+        DateType,
+        DecimalType,
+        MapType,
+        StructType,
+        TimestampType,
+    )
+
+    unsafe = (DecimalType, DateType, TimestampType, ArrayType, MapType, StructType)
 
     def fix(f):
         c = F.col(f.name)
@@ -90,13 +99,17 @@ def _canonize(df: DataFrame) -> DataFrame:
             inner = f.dataType.elementType
             if isinstance(inner, DecimalType):
                 c = c.cast("array<double>")
+            elif isinstance(inner, TimestampType):
+                c = F.transform(c, lambda x: F.date_format(x, "yyyy-MM-dd HH:mm:ss"))
+            elif isinstance(inner, (ArrayType, MapType, StructType)):
+                return F.to_json(c).alias(f.name)
             return F.array_join(c.cast("array<string>"), ",", "NULL").alias(f.name)
+        if isinstance(f.dataType, (MapType, StructType)):
+            # would be unhashable objects in the driver's pandas channel
+            return F.to_json(c).alias(f.name)
         return c
 
-    if not any(
-        isinstance(f.dataType, (DecimalType, DateType, TimestampType, ArrayType))
-        for f in df.schema.fields
-    ):
+    if not any(isinstance(f.dataType, unsafe) for f in df.schema.fields):
         return df
     return df.select(*[fix(f) for f in df.schema.fields])
 

@@ -289,3 +289,74 @@ def embed_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("codes").alias("code_max"),
         F.size("codes").alias("n_dims"),
     )
+
+
+@register(
+    "sim_label_knn_capped",
+    oracle=f"""
+    WITH capped AS (
+      SELECT vec_id, label, embedding FROM (
+        SELECT vec_id, label, embedding,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY {_DOT_SQL.format(a='embedding', b='embedding')} DESC,
+                                           vec_id) AS rn
+        FROM embeddings
+      ) t WHERE rn <= 64
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+             {_cosine_sql('a.embedding', 'b.embedding')} AS cos
+      FROM capped a JOIN capped b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ), ranked AS (
+      SELECT id_a, id_b, label, ROUND(cos, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos DESC, id_a, id_b) AS rn
+      FROM pairs
+    )
+    SELECT id_a, id_b, label, cosine FROM ranked WHERE rn <= 5
+    """,
+    tags=("similarity", "skew"),
+)
+def sim_label_knn_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-bounded per-label KNN: a mega-label would turn the blocked
+    self-join quadratic (sim_label_knn's scale caveat), so each label's
+    candidate set is first capped to its 64 highest-energy vectors
+    (deterministic: squared-norm desc, vec_id tiebreak) — the
+    production-pipeline mitigation that bounds every block at cap², the
+    same trade IVF makes per cell. Both engines apply the identical cap
+    so the result stays oracle-exact."""
+    e = table(spark, sf_dir, "embeddings")
+    energy = _dot(F.col("embedding"), F.col("embedding"))
+    cap_w = Window.partitionBy("label").orderBy(
+        energy.desc(), F.col("vec_id")
+    )
+    capped = (
+        e.select("vec_id", "label", "embedding",
+                 F.row_number().over(cap_w).alias("__rn"))
+        .filter(F.col("__rn") <= 64)
+        .drop("__rn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cos = _cosine(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.col("a.label").alias("label"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos").desc(), F.col("id_a"), F.col("id_b")
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", "label",
+            F.round("cos", 6).alias("cosine"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("id_a", "id_b", "label", "cosine")
+    )
