@@ -122,3 +122,45 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir, events_dir):
     ).count()
     assert got == expected and got > 0
     q.stop()
+
+
+def test_streaming_upsert_into_parquet_table(spark, sf_dir, events_dir, tmp_path):
+    """CDC-style continuous MERGE: per-user running totals streamed in
+    update mode, each micro-batch upserted into a copy-on-write parquet
+    table; the converged table equals the batch aggregate."""
+    from warehouse_pg_spark.operators.dml import ParquetTable
+    from warehouse_pg_spark.streaming.events import (
+        EventStream,
+        upsert_available_now,
+    )
+
+    path, schema = events_dir
+    # seed an empty target with the right schema
+    tpath = str(tmp_path / "user_totals")
+    spark.createDataFrame([], "user_id long, n long, total double").write.parquet(
+        tpath
+    )
+    target = ParquetTable(spark, tpath)
+
+    stream = EventStream.from_parquet_dir(
+        spark, path, schema, watermark="1 minute", max_files_per_trigger=1
+    )
+    totals = stream.df.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total")
+    )
+    upsert_available_now(
+        totals, target, on=["user_id"], checkpoint=str(tmp_path / "chk")
+    )
+
+    got = {r.user_id: (r.n, r.total) for r in target.read().collect()}
+    batch = table(spark, sf_dir, "events")
+    expected = {
+        r.user_id: (r.n, r.total)
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for k, (n, tot) in expected.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - tot) < 1e-6

@@ -201,6 +201,38 @@ def run_available_now(
     return q
 
 
+def upsert_available_now(
+    stream_df: DataFrame,
+    target,
+    on: list[str],
+    checkpoint: str,
+) -> None:
+    """Continuous MERGE sink (CDC-style warehouse ingest): every
+    micro-batch upserts into a copy-on-write ParquetTable via
+    foreachBatch + merge — the streaming analogue of the reference's
+    gpload micro-batch MERGE mode (gpMgmt/bin/gpload.py update/merge).
+
+    Aggregated streams run in 'update' output mode, so each batch
+    carries only the groups whose state changed; merging them on the
+    group key converges the table to the final aggregate. Runs with
+    Trigger.AvailableNow (same code path as a 24/7 stream)."""
+    mode = "update" if _has_agg(stream_df) else "append"
+
+    def _merge_batch(bdf: DataFrame, _epoch: int) -> None:
+        if bdf.isEmpty():
+            return
+        target.merge(bdf, on=on)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge_batch)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _has_agg(df: DataFrame) -> bool:
     """True if the streaming plan contains an aggregation node."""
     try:
