@@ -207,3 +207,42 @@ def test_range_frame_no_single_partition_exchange(spark, sf_dir):
     window is partitioned by band, never a single-partition sort."""
     plan = plan_of(spark, sf_dir, "window_range_frame", "simple")
     assert "Exchange SinglePartition" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_exact",
+        "window_moving_frame",
+        "window_groups_frame",
+        "window_exclude_current_row",
+        "sample_source_weighted",
+        "events_tumbling_window",
+    ],
+)
+def test_single_shuffle_operators(spark, sf_dir, name):
+    """Operators whose algebra needs exactly one hash exchange must not
+    acquire extra shuffles (and never a single-partition stage)."""
+    plan = plan_of(spark, sf_dir, name, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_lsh", "dedup_ngram_jaccard", "text_decontaminate",
+     "sim_ivf_bucketed", "sim_label_knn_capped"],
+)
+def test_blocked_joins_never_cartesian(spark, sf_dir, name):
+    """Candidate-generation self-joins must stay blocked (hash joins on
+    the block key) — a CartesianProduct here is the n² failure mode."""
+    plan = plan_of(spark, sf_dir, name, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_ivf_broadcasts_centroids(spark, sf_dir):
+    """IVF assignment must broadcast the centroid table (map-only
+    assignment pass — the 100 TB path)."""
+    plan = plan_of(spark, sf_dir, "sim_ivf_bucketed", "simple")
+    assert "BroadcastExchange" in plan
