@@ -793,3 +793,78 @@ def fn_to_char_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_char_numeric(price, "9,999,999.99").alias("price_grouped"),
         to_char_numeric(F.col("o_orderkey"), "FM0000000").alias("key_padded"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_format_family",
+    oracle="""
+    SELECT c_custkey,
+           printf('%s has %d in segment %s',
+                  c_name, CAST(c_custkey * 10 AS BIGINT), c_mktsegment) AS msg,
+           printf('%08d', c_custkey) AS padded_key,
+           printf('%.3f', CAST(c_acctbal AS DECIMAL(18,2))) AS bal3,
+           array_to_string(string_split(c_name, '0'), '|') AS split_on_zero,
+           concat_ws('/', c_mktsegment, NULL, c_name) AS ws_joined,
+           CAST((c_name IS NOT NULL) AS INT)
+             + CAST((NULLIF(c_mktsegment, 'BUILDING') IS NOT NULL) AS INT)
+             AS n_nonnulls
+    FROM customer WHERE c_custkey < 250
+    ORDER BY c_custkey
+    """,
+    tags=("functions", "strings", "formatting"),
+)
+def fn_format_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG format()/printf-style string composition (varlena.c
+    text_format), zero-padding, fixed decimals, string_to_array round
+    trip (with empty-element preservation), NULL-skipping concat_ws,
+    and num_nonnulls-style counting — all Catalyst built-ins."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 250)
+    return c.select(
+        "c_custkey",
+        F.format_string(
+            "%s has %d in segment %s",
+            F.col("c_name"),
+            (F.col("c_custkey") * 10).cast("bigint"),
+            F.col("c_mktsegment"),
+        ).alias("msg"),
+        F.format_string("%08d", F.col("c_custkey")).alias("padded_key"),
+        F.format_string("%.3f", dec("c_acctbal").cast("double")).alias("bal3"),
+        F.array_join(F.split("c_name", "0"), "|").alias("split_on_zero"),
+        F.concat_ws("/", "c_mktsegment", F.lit(None), "c_name").alias("ws_joined"),
+        (
+            F.col("c_name").isNotNull().cast("int")
+            + F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+            .isNotNull()
+            .cast("int")
+        ).alias("n_nonnulls"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "fn_encode_family",
+    oracle="""
+    SELECT c_custkey,
+           to_base64(encode(c_name)) AS b64,
+           hex(c_name) AS hexed,
+           sha256(c_name) AS sha,
+           md5(c_name) AS md,
+           CAST(octet_length(encode(c_name)) AS BIGINT) AS n_bytes
+    FROM customer WHERE c_custkey < 200
+    ORDER BY c_custkey
+    """,
+    tags=("functions", "encode", "hash"),
+)
+def fn_encode_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encode/digest family (encode.c, utils/adt/varlena.c
+    byteaout; pgcrypto digest): base64/hex encodings and SHA-256/MD5
+    digests over UTF-8 bytes, plus octet_length — the content-addressing
+    primitives the dedup operators build on."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.select(
+        "c_custkey",
+        F.base64(F.col("c_name").cast("binary")).alias("b64"),
+        F.hex(F.col("c_name")).alias("hexed"),
+        F.lower(F.sha2(F.col("c_name"), 256)).alias("sha"),
+        F.md5("c_name").alias("md"),
+        F.octet_length("c_name").cast("long").alias("n_bytes"),
+    ).orderBy("c_custkey")
