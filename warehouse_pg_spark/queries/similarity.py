@@ -360,3 +360,108 @@ def sim_label_knn_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("id_a", "id_b", "label", "cosine")
     )
+
+
+@register(
+    "embed_matryoshka_truncate",
+    oracle=f"""
+    WITH t AS (
+      SELECT vec_id, label,
+             list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS sub
+      FROM embeddings WHERE vec_id < 200
+    ), n AS (
+      SELECT vec_id, label, sub,
+             sqrt(list_sum(list_transform(sub, x -> x * x))) AS nrm
+      FROM t
+    )
+    SELECT vec_id, label,
+           ROUND(nrm, 6) AS sub_norm,
+           array_to_string(list_transform(sub, x -> printf('%.6f', x / nrm)), ',')
+               AS unit_sub
+    FROM n ORDER BY vec_id
+    """,
+    tags=("similarity", "multimodal", "pipeline"),
+)
+def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation: keep the first 16 dims of
+    each embedding and re-normalize to unit length — the
+    cost/quality knob of MRL-trained embedding stores. Map-only
+    (slice + transform + aggregate), no shuffle; at 100 TB this is a
+    pure scan-side projection that shrinks the vector store 4x."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    sub = F.transform(F.slice("embedding", 1, 16), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(sub, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    unit = F.transform(sub, lambda x: F.round(x / F.col("sub_norm_raw"), 6))
+    return (
+        e.select("vec_id", "label", sub.alias("sub"), nrm.alias("sub_norm_raw"))
+        .select(
+            "vec_id",
+            "label",
+            F.round("sub_norm_raw", 6).alias("sub_norm"),
+            F.array_join(
+                F.transform(
+                    F.col("sub"),
+                    lambda x: F.format_string(
+                        "%.6f", x / F.col("sub_norm_raw")
+                    ),
+                ),
+                ",",
+            ).alias("unit_sub"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "embed_label_centroids",
+    oracle="""
+    WITH expl AS (
+      SELECT label, u.pos, u.val FROM (
+        SELECT label,
+               unnest(list_transform(embedding,
+                      (x, i) -> struct_pack(pos := CAST(i - 1 AS INT),
+                                            val := CAST(x AS DOUBLE)))) AS u
+        FROM embeddings
+      )
+    ), dims AS (
+      SELECT label, pos, AVG(val) AS dim_mean
+      FROM expl GROUP BY label, pos
+    )
+    SELECT label,
+           array_to_string(list_transform(list(dim_mean ORDER BY pos),
+                                          x -> printf('%.6f', x)), ',') AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_dims
+    FROM dims GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "ivf", "pipeline"),
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors — the k-means M-step a real IVF index
+    build runs at scale: posexplode each embedding to (label, dim,
+    value), partial/final average per (label, dim) (one shuffle,
+    map-side combine), reassemble ordered dense vectors. The classic
+    'aggregate a vector column element-wise' pattern without any
+    Python."""
+    e = table(spark, sf_dir, "embeddings")
+    expl = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select("label", "pos", F.col("val").cast("double").alias("val"))
+    dims = expl.groupBy("label", "pos").agg(F.avg("val").alias("dim_mean"))
+    return (
+        dims.groupBy("label")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "dim_mean"))
+                    ),
+                    lambda s: F.format_string("%.6f", s["dim_mean"]),
+                ),
+                ",",
+            ).alias("centroid"),
+            F.count("*").alias("n_dims"),
+        )
+        .orderBy("label")
+    )
