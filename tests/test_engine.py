@@ -214,3 +214,20 @@ def test_udf_volatility_classes(engine, spark):
     plan = spark.sql("SELECT vol_rand() AS r").queryExecution if False else None
     analyzed = spark.sql("SELECT vol_rand() AS r")._jdf.queryExecution().analyzed().toString()
     assert "nondeterministic" in analyzed.lower() or "vol_rand" in analyzed
+
+
+def test_vacuum_compacts_small_files(engine, spark, tmp_path):
+    """VACUUM FULL analogue: many small files (the copy-on-write DML
+    residue) coalesce to ~target-size files; data is unchanged."""
+    path = str(tmp_path / "frag_t")
+    spark.range(0, 5000).selectExpr(
+        "id", "id * 2 AS v"
+    ).repartition(40).write.parquet(path)
+    engine.attach_parquet("frag_t", path)
+
+    before = engine.table("frag_t").agg({"v": "sum"}).collect()[0][0]
+    stats = engine.vacuum("frag_t", target_file_mb=128)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] == 1  # 5k rows << 128 MB
+    assert engine.table("frag_t").agg({"v": "sum"}).collect()[0][0] == before
+    assert engine.table("frag_t").count() == 5000

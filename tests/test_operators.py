@@ -391,3 +391,25 @@ def test_ngram_dedup_hot_shingle_cap(spark):
     # without the cap the 150 boilerplate docs would form 150*149/2 =
     # 11175 candidate pairs; with it, none survive
     assert all(a >= 900 for a, _ in ids), ids
+
+
+def test_asof_forward_and_nearest(spark, asof_frames):
+    trades, quotes = asof_frames
+    fwd = asof_join(
+        trades, quotes, on=["key"], left_ts="tts", right_ts="qts",
+        right_values=["price"], direction="forward",
+    )
+    rows = {(r.key, r.qty): r.asof_price for r in fwd.collect()}
+    assert rows[(1, 5)] == 101.0   # next quote at 10:05
+    assert rows[(1, 6)] == 101.0   # equal ts matches forward too
+    assert rows[(2, 7)] == 200.0   # 10:01 quote is ahead of 10:00 trade
+    assert rows[(3, 8)] is None    # key never quoted
+
+    near = asof_join(
+        trades, quotes, on=["key"], left_ts="tts", right_ts="qts",
+        right_values=["price"], direction="nearest",
+    )
+    rows = {(r.key, r.qty): r.asof_price for r in near.collect()}
+    assert rows[(1, 5)] == 101.0   # 2 min forward beats 3 min back
+    assert rows[(1, 6)] == 101.0   # exact hit
+    assert rows[(2, 7)] == 200.0   # only forward exists

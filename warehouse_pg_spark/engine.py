@@ -381,6 +381,17 @@ class Engine:
         Catalog.materialize_bucketed)."""
         return self.catalog.materialize_bucketed(name, df, keys, num_buckets)
 
+    def vacuum(self, name: str, target_file_mb: int = 128) -> dict[str, int]:
+        """VACUUM FULL (commands/vacuum.c): compact a writable parquet
+        table's small files into ~target_file_mb files and refresh its
+        view. Returns {files_before, files_after, bytes}."""
+        t = self._writable_by_name(name)
+        if t is None:
+            raise ValueError(f"not a writable parquet table: {name}")
+        stats = t.compact(target_file_mb * 1024 * 1024)
+        self._refresh_view(name, t)
+        return stats
+
     def analyze(self, name: str, columns: tuple[str, ...] = ()) -> None:
         """ANALYZE (commands/analyze.c): compute table + column stats
         feeding Catalyst CBO join reordering (ORCA's statistics

@@ -14,6 +14,14 @@ implement the idiomatic *distributed* as-of algorithm:
 
 One shuffle, no range-explosion, no skewed nested loop — this is the
 plan that survives 100 TB (a naive theta join is O(n·m) per key).
+
+Directions (pandas merge_asof parity):
+  backward (default): most recent right row with right.ts <= left.ts
+  forward:            earliest right row with right.ts >= left.ts
+  nearest:            the closer of the two (tie → backward)
+forward is the same window over the reversed timestamp order; nearest
+evaluates both windows in the one shuffled partition (two sorts, still
+one exchange) and picks per-row by distance.
 """
 
 from __future__ import annotations
@@ -34,22 +42,26 @@ def asof_join(
     right_values: Sequence[str],
     strict: bool = False,
     tolerance_ms: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    right.ts <= left.ts (or < if strict), matching on `on` keys.
+    """For each left row, attach the right row selected by `direction`
+    (backward: most recent right.ts <= left.ts; forward: earliest
+    right.ts >= left.ts; nearest: closer of the two), matching on `on`
+    keys.
 
-    right_values: right columns to carry (prefixed as given).
-    tolerance_ms: if set, matches older than this are nulled out.
-    Timestamps tie-break: right rows at the same ts as the left row
-    match when strict=False (DuckDB ASOF semantics).
+    right_values: right columns to carry (prefixed `asof_`).
+    strict: exclude right rows at exactly left.ts.
+    tolerance_ms: matches farther than this are nulled out.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest: {direction}")
     on = list(on)
     lcols = left.columns
 
     l_tagged = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),  # left sorts after right at equal ts
+        F.lit(1).alias("__side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
     )
     r_tagged = right.select(
@@ -66,44 +78,64 @@ def asof_join(
     )
 
     unioned = l_tagged.unionByName(r_tagged)
-    # strict: left rows must see only strictly-earlier right rows → left
-    # sorts before same-ts right rows.
-    side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), side_order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.select(
-        *lcols,
-        "__ts",
-        "__side",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in right_values
-        ],
-        F.last(
-            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
-        ).over(w).alias("__match_ts"),
-    )
-    out = filled.filter(F.col("__side") == 1)
-    if tolerance_ms is not None:
-        in_tol: Column = (
-            F.unix_millis(F.col("__ts")) - F.unix_millis(F.col("__match_ts"))
-        ) <= F.lit(tolerance_ms)
-        out = out.select(
-            *lcols,
-            F.col("__match_ts"),
-            *[
-                F.when(in_tol, F.col(f"__f_{c}")).alias(f"asof_{c}")
-                for c in right_values
-            ],
-            F.when(in_tol, F.col("__match_ts")).alias("asof_ts"),
-        ).drop("__match_ts")
-    else:
-        out = out.select(
-            *lcols,
-            *[F.col(f"__f_{c}").alias(f"asof_{c}") for c in right_values],
-            F.col("__match_ts").alias("asof_ts"),
+
+    def fill_cols(ts_desc: bool, prefix: str) -> list[Column]:
+        # non-strict: right rows at equal ts must precede the left row
+        # in scan order (side 0 first); strict flips that.
+        side_order = F.col("__side").desc() if strict else F.col("__side").asc()
+        ts_order = F.col("__ts").desc() if ts_desc else F.col("__ts").asc()
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(ts_order, side_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-    return out
+        return [
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{prefix}_{c}")
+            for c in right_values
+        ] + [
+            F.last(
+                F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+            ).over(w).alias(f"{prefix}_ts")
+        ]
+
+    want_back = direction in ("backward", "nearest")
+    want_fwd = direction in ("forward", "nearest")
+    cols: list[Column] = []
+    if want_back:
+        cols += fill_cols(ts_desc=False, prefix="__b")
+    if want_fwd:
+        cols += fill_cols(ts_desc=True, prefix="__f")
+    filled = unioned.select(*lcols, "__ts", "__side", *cols).filter(
+        F.col("__side") == 1
+    )
+
+    ms = F.unix_millis
+    if direction == "backward":
+        pick = {c: F.col(f"__b_{c}") for c in right_values}
+        match_ts = F.col("__b_ts")
+        dist = ms(F.col("__ts")) - ms(match_ts)
+    elif direction == "forward":
+        pick = {c: F.col(f"__f_{c}") for c in right_values}
+        match_ts = F.col("__f_ts")
+        dist = ms(match_ts) - ms(F.col("__ts"))
+    else:  # nearest: closer match wins, tie → backward
+        d_b = ms(F.col("__ts")) - ms(F.col("__b_ts"))
+        d_f = ms(F.col("__f_ts")) - ms(F.col("__ts"))
+        use_b = F.col("__f_ts").isNull() | (
+            F.col("__b_ts").isNotNull() & (d_b <= d_f)
+        )
+        pick = {
+            c: F.when(use_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}"))
+            for c in right_values
+        }
+        match_ts = F.when(use_b, F.col("__b_ts")).otherwise(F.col("__f_ts"))
+        dist = F.when(use_b, d_b).otherwise(d_f)
+
+    in_tol: Column = (
+        F.lit(True) if tolerance_ms is None else dist <= F.lit(tolerance_ms)
+    )
+    return filled.select(
+        *lcols,
+        *[F.when(in_tol, pick[c]).alias(f"asof_{c}") for c in right_values],
+        F.when(in_tol, match_ts).alias("asof_ts"),
+    )

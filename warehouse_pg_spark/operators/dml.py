@@ -44,6 +44,36 @@ class ParquetTable:
         os.rename(tmp, self.path)
         shutil.rmtree(old, ignore_errors=True)
 
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict[str, int]:
+        """VACUUM FULL analogue (reference commands/vacuum.c /
+        vacuumlazy.c — reclaim + rewrite): coalesce the table's files to
+        ~target size. Copy-on-write DML appends and rewrites leave many
+        small files over time; small files are the classic 100 TB scan
+        killer (per-file open cost, tiny row groups, no skipping).
+        One read → repartition(ceil(bytes/target)) → atomic swap."""
+        import math
+
+        n_bytes = 0
+        files_before = 0
+        for root, _dirs, files in os.walk(self.path):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    files_before += 1
+                    n_bytes += os.path.getsize(os.path.join(root, f))
+        n_out = max(1, math.ceil(n_bytes / target_file_bytes))
+        self._swap_in(self.read().repartition(n_out))
+        files_after = sum(
+            1
+            for _root, _dirs, files in os.walk(self.path)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+        return {
+            "files_before": files_before,
+            "files_after": files_after,
+            "bytes": n_bytes,
+        }
+
     def delete(self, where: Column) -> int:
         """DELETE WHERE → keep non-matching rows. Returns rows deleted."""
         df = self.read()

@@ -224,3 +224,55 @@ def ts_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(purchase_v, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@register(
+    "ts_asof_forward_nearest",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT p.event_id, epoch_ms(p.ts) AS purchase_ms,
+             (SELECT epoch_ms(MAX(c.ts)) FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts)
+               AS back_ms,
+             (SELECT epoch_ms(MIN(c.ts)) FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts >= p.ts)
+               AS fwd_ms
+      FROM p
+    )
+    SELECT event_id, purchase_ms, fwd_ms AS next_click_ms,
+           CASE
+             WHEN fwd_ms IS NULL THEN back_ms
+             WHEN back_ms IS NULL THEN fwd_ms
+             WHEN purchase_ms - back_ms <= fwd_ms - purchase_ms THEN back_ms
+             ELSE fwd_ms
+           END AS nearest_click_ms
+    FROM m
+    """,
+    tags=("timeseries", "asof"),
+)
+def ts_asof_forward_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward and nearest as-of joins (pandas merge_asof direction
+    parity): for each purchase, the user's next click at-or-after, and
+    the nearest click either way (tie → backward). Same union+window
+    algorithm, still one shuffle on user_id — nearest evaluates both
+    scan directions inside the one shuffled partition."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    fwd = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_values=[], direction="forward",
+    ).select("event_id", "user_id", "ts", F.col("asof_ts").alias("fwd_ts"))
+    near = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_values=[], direction="nearest",
+    ).select("event_id", F.col("asof_ts").alias("near_ts"))
+    return fwd.join(near, "event_id").select(
+        "event_id",
+        F.unix_millis("ts").alias("purchase_ms"),
+        F.unix_millis("fwd_ts").alias("next_click_ms"),
+        F.unix_millis("near_ts").alias("nearest_click_ms"),
+    )
