@@ -231,3 +231,52 @@ def test_vacuum_compacts_small_files(engine, spark, tmp_path):
     assert stats["files_after"] == 1  # 5k rows << 128 MB
     assert engine.table("frag_t").agg({"v": "sum"}).collect()[0][0] == before
     assert engine.table("frag_t").count() == 5000
+
+
+def test_explain_returns_physical_plan(engine):
+    plan = engine.explain(
+        "SELECT c_mktsegment, count(*) FROM customer "
+        "WHERE c_acctbal::float8 > 0 GROUP BY 1"
+    )
+    assert "Physical Plan" in plan or "HashAggregate" in plan
+    assert "PushedFilters" in plan or "Scan" in plan
+
+
+def test_insert_on_conflict_upsert(engine, spark, tmp_path):
+    """PG INSERT ... ON CONFLICT (insert_conflict.sql): DO NOTHING keeps
+    existing rows; DO UPDATE applies EXCLUDED.* expressions."""
+    path = str(tmp_path / "conflict_t")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "s", "v"]
+    ).write.parquet(path)
+    engine.attach_parquet("conf_t", path)
+
+    out = engine.sql(
+        "INSERT INTO conf_t VALUES (2, 'B', 200.0), (3, 'c', 30.0) "
+        "ON CONFLICT (id) DO NOTHING"
+    )
+    assert out.collect()[0].rows_affected == 2  # 1 matched-kept + 1 inserted
+    rows = {r.id: (r.s, r.v) for r in engine.table("conf_t").collect()}
+    assert rows[2] == ("b", 20.0)  # DO NOTHING kept the old row
+    assert rows[3] == ("c", 30.0)
+
+    engine.sql(
+        "INSERT INTO conf_t VALUES (1, 'z', 5.0) "
+        "ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v, s = upper(EXCLUDED.s)"
+    )
+    rows = {r.id: (r.s, r.v) for r in engine.table("conf_t").collect()}
+    assert rows[1] == ("Z", 5.0)
+    assert len(rows) == 3
+
+
+def test_dialect_decode_rewrite(engine):
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    out = rewrite("SELECT DECODE(x, 1, 'one', 2, 'two', 'other') FROM t")
+    assert out == "SELECT CASE x WHEN 1 THEN 'one' WHEN 2 THEN 'two' ELSE 'other' END FROM t"
+    # 2-arg Spark decode(bin, charset) passes through
+    assert rewrite("SELECT decode(b, 'UTF-8') FROM t") == "SELECT decode(b, 'UTF-8') FROM t"
+    df = engine.sql(
+        "SELECT DECODE(c_mktsegment, 'BUILDING', 1, 0) AS is_b FROM customer LIMIT 5"
+    )
+    assert set(r.is_b for r in df.collect()) <= {0, 1}

@@ -83,3 +83,20 @@ def test_partition_values_cover_fixture_years(spark, sf_dir, orders_by_year):
     assert years == list(range(0, 7))
     orders = table(spark, sf_dir, "orders")
     assert fact.count() == orders.count()
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across file generations (ALTER TABLE ADD COLUMN
+    analogue for immutable parquet): old files lack the new column,
+    mergeSchema unifies, old rows read NULL."""
+    path = str(tmp_path / "evolving")
+    spark.range(0, 100).selectExpr("id", "id * 1.0 AS v").write.parquet(path)
+    spark.range(100, 200).selectExpr(
+        "id", "id * 1.0 AS v", "'tagged' AS note"
+    ).write.mode("append").parquet(path)
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "v", "note"}
+    assert df.count() == 200
+    assert df.filter("note IS NULL").count() == 100
+    assert df.filter("note = 'tagged'").count() == 100

@@ -17,7 +17,7 @@ import os
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from warehouse_pg_spark import sql_dialect
 from warehouse_pg_spark.catalog import Catalog
@@ -45,6 +45,10 @@ _DELETE_RE = re.compile(
 )
 _CTAS_RE = re.compile(
     r"^CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(SELECT\b.*)$", re.IGNORECASE | re.DOTALL
+)
+_ON_CONFLICT_RE = re.compile(
+    r"\sON\s+CONFLICT\s*\(([^)]*)\)\s*DO\s+(NOTHING|UPDATE)\s*(?:SET\s+(.*))?$",
+    re.IGNORECASE | re.DOTALL,
 )
 
 
@@ -117,6 +121,17 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
+    def explain(self, text: str, mode: str = "formatted") -> str:
+        """EXPLAIN (commands/explain.c; psql's main introspection UX):
+        return the physical plan for a PG-dialect SQL string without
+        executing it. mode: simple|extended|codegen|cost|formatted."""
+        df = self.spark.sql(sql_dialect.rewrite(text))
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                mode
+            )
+        )
+
     # ----------------------------------------------------------------- DDL
     def _maybe_ddl(self, text: str) -> DataFrame | None:
         """Handle GP DDL Spark's parser rejects: DISTRIBUTED BY clauses.
@@ -177,6 +192,12 @@ class Engine:
             t = self._writable_by_name(name)
             if t is None:
                 return None
+            # PG INSERT ... ON CONFLICT (k) DO NOTHING | DO UPDATE SET ...
+            # (insert_conflict.sql; speculative-insert upsert) — lowered
+            # onto the MERGE machinery.
+            conflict = _ON_CONFLICT_RE.search(rest)
+            if conflict:
+                rest = rest[: conflict.start()].strip()
             cols: list[str] | None = None
             cm = re.match(r"^\(([^)]*)\)\s*(.*)$", rest, re.DOTALL)
             if cm:
@@ -200,6 +221,21 @@ class Engine:
                     for c in target.columns
                 ]
             )
+            if conflict:
+                keys = [k.strip() for k in conflict.group(1).split(",")]
+                if conflict.group(2).upper() == "NOTHING":
+                    update: dict[str, Column] | None = {}  # matched rows untouched
+                else:
+                    # EXCLUDED.col (the proposed row) → the merge source side
+                    update = {
+                        col: F.expr(
+                            re.sub(r"\bEXCLUDED\.", "s.", expr, flags=re.IGNORECASE)
+                        )
+                        for col, expr in _split_assignments(conflict.group(3))
+                    }
+                stats = t.merge(df, on=keys, update=update)
+                self._refresh_view(name, t)
+                return self._tag(stats["updated"] + stats["inserted"])
             n = df.count()
             t.insert(df)
             self._refresh_view(name, t)

@@ -131,6 +131,25 @@ _ARR_CONTAINS_RE = re.compile(rf"({_ARR_OPERAND})\s*@>\s*({_ARR_OPERAND})")
 _ARR_CONTAINED_RE = re.compile(rf"({_ARR_OPERAND})\s*<@\s*({_ARR_OPERAND})")
 _ARR_OVERLAP_RE = re.compile(rf"({_ARR_OPERAND})\s*&&\s*({_ARR_OPERAND})")
 
+_DECODE_RE = re.compile(r"\bDECODE\s*\(([^()]*)\)", re.IGNORECASE)
+
+
+def _rewrite_decode(m: re.Match) -> str:
+    args = [a.strip() for a in m.group(1).split(",")]
+    if len(args) < 3:
+        return m.group(0)
+    expr, rest = args[0], args[1:]
+    pairs, default = [], None
+    while len(rest) >= 2:
+        pairs.append((rest[0], rest[1]))
+        rest = rest[2:]
+    if rest:
+        default = rest[0]
+    whens = " ".join(f"WHEN {s} THEN {r}" for s, r in pairs)
+    tail = f" ELSE {default}" if default is not None else ""
+    return f"CASE {expr} {whens}{tail} END"
+
+
 _GENSERIES_FROM_RE = re.compile(
     r"\bFROM\s+generate_series\s*\(([^()]*)\)\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\)",
     re.IGNORECASE,
@@ -373,6 +392,14 @@ def rewrite(sql: str) -> str:
         lambda m: "::" + _map_type(m.group(1)),
         out,
     )
+
+    # DECODE(e, s1, r1[, s2, r2...][, default]) → CASE (GP/Oracle
+    # decode_expr.sql; only the ≥3-arg form — Spark's own 2-arg
+    # decode(bin, charset) passes through)
+    prev = None
+    while prev != out:
+        prev = out
+        out = _DECODE_RE.sub(_rewrite_decode, out)
 
     # EXTRACT(EPOCH FROM x) → unix_seconds (PG timestamp.c epoch field)
     out = _EXTRACT_EPOCH_RE.sub(
