@@ -269,6 +269,71 @@ def test_insert_on_conflict_upsert(engine, spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_dml_returning(engine, spark, tmp_path):
+    """PG RETURNING (returning.sql; nodeModifyTable.c projects the
+    new/old tuple through the returning list): INSERT returns the
+    inserted rows, UPDATE the post-image, DELETE the removed rows."""
+    path = str(tmp_path / "ret_t")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "s", "v"]
+    ).write.parquet(path)
+    engine.attach_parquet("ret_t", path)
+
+    out = engine.sql(
+        "INSERT INTO ret_t VALUES (4, 'd', 40.0) RETURNING id, upper(s) AS S2"
+    ).collect()
+    assert len(out) == 1 and out[0].id == 4 and out[0].S2 == "D"
+
+    out = engine.sql(
+        "UPDATE ret_t SET v = v * 2 WHERE id <= 2 RETURNING *"
+    ).collect()
+    assert {r.id: r.v for r in out} == {1: 20.0, 2: 40.0}
+    # post-image visible in the table too
+    rows = {r.id: r.v for r in engine.table("ret_t").collect()}
+    assert rows[1] == 20.0 and rows[2] == 40.0
+
+    out = engine.sql("DELETE FROM ret_t WHERE id = 3 RETURNING id, v").collect()
+    assert len(out) == 1 and out[0].id == 3 and out[0].v == 30.0
+    assert sorted(r.id for r in engine.table("ret_t").collect()) == [1, 2, 4]
+
+
+def test_sequences(engine, spark):
+    """PG sequences (commands/sequence.c; regress sequence.sql):
+    scalar nextval/currval/setval, per-VALUES-row allocation, and the
+    distributed block-allocation path for bulk id assignment."""
+    engine.sql("CREATE SEQUENCE seq_a START WITH 10")
+    assert engine.sql("SELECT nextval('seq_a') AS v").collect()[0].v == 10
+    assert engine.sql("SELECT nextval('seq_a') AS v").collect()[0].v == 11
+    assert engine.sql("SELECT currval('seq_a') AS v").collect()[0].v == 11
+    assert engine.sql("SELECT setval('seq_a', 100) AS v").collect()[0].v == 100
+    assert engine.sql("SELECT nextval('seq_a') AS v").collect()[0].v == 101
+
+    # one allocation per VALUES row
+    row = engine.sql(
+        "SELECT nextval('seq_a') AS a, nextval('seq_a') AS b"
+    ).collect()[0]
+    assert (row.a, row.b) == (102, 103)
+
+    # per-row streams must go through the block allocator
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        engine.sql("SELECT nextval('seq_a') FROM customer LIMIT 5")
+
+    df = spark.range(0, 1000).repartition(7)
+    out = engine.assign_sequence_ids(df, "rid", "seq_a")
+    ids = [r.rid for r in out.collect()]
+    assert len(ids) == 1000 and len(set(ids)) == 1000
+    assert min(ids) == 104 and max(ids) == 1103
+    assert engine.sql("SELECT currval('seq_a') AS v").collect()[0].v == 1103
+
+    engine.sql("ALTER SEQUENCE seq_a RESTART")
+    assert engine.sql("SELECT nextval('seq_a') AS v").collect()[0].v == 10
+    engine.sql("DROP SEQUENCE seq_a")
+    with _pytest.raises(KeyError):
+        engine.sql("SELECT nextval('seq_a') AS v")
+
+
 def test_dialect_decode_rewrite(engine):
     from warehouse_pg_spark.sql_dialect import rewrite
 

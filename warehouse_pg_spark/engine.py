@@ -50,6 +50,46 @@ _ON_CONFLICT_RE = re.compile(
     r"\sON\s+CONFLICT\s*\(([^)]*)\)\s*DO\s+(NOTHING|UPDATE)\s*(?:SET\s+(.*))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_RETURNING_RE = re.compile(r"\sRETURNING\s+(.*)$", re.IGNORECASE | re.DOTALL)
+_CREATE_SEQ_RE = re.compile(
+    r"^CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
+    r"(?:\s+START(?:\s+WITH)?\s+(\d+))?\s*$",
+    re.IGNORECASE,
+)
+_DROP_SEQ_RE = re.compile(
+    r"^DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
+)
+_ALTER_SEQ_RE = re.compile(
+    r"^ALTER\s+SEQUENCE\s+([\w.]+)\s+RESTART(?:\s+WITH\s+(\d+))?\s*$",
+    re.IGNORECASE,
+)
+_NEXTVAL_RE = re.compile(r"nextval\(\s*'([\w.]+)'\s*\)", re.IGNORECASE)
+_CURRVAL_RE = re.compile(r"currval\(\s*'([\w.]+)'\s*\)", re.IGNORECASE)
+_SETVAL_RE = re.compile(r"setval\(\s*'([\w.]+)'\s*,\s*(\d+)\s*\)", re.IGNORECASE)
+
+
+def _split_exprs(s: str) -> list[str]:
+    """Split an expression list on top-level commas (paren/quote aware)."""
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf).strip())
+    return [p for p in parts if p]
 
 
 def _split_assignments(s: str) -> list[tuple[str, str]]:
@@ -102,11 +142,22 @@ class Engine:
             os.getcwd(), "spark-warehouse-data"
         )
         self._matviews: dict[str, MaterializedView] = {}
+        # sequence name -> {"next": next value to hand out, "start": origin}.
+        # Like GP, sequence state lives on the coordinator (reference
+        # commands/sequence.c; GP routes segment nextval calls to the
+        # master's seqserver) — here: driver-side, since executors never
+        # call nextval directly (bulk assignment goes through
+        # assign_sequence_ids' block allocation instead).
+        self._sequences: dict[str, dict[str, int]] = {}
         register_pg_functions(self.spark)
 
     # ---------------------------------------------------------------- query
     def sql(self, text: str, **named_args) -> DataFrame:
         """Execute SQL through the PG→Spark dialect shim."""
+        seq = self._maybe_sequence(text)
+        if seq is not None:
+            return seq
+        text = self._substitute_sequence_calls(text)
         lowered = sql_dialect.rewrite(text)
         ddl = self._maybe_ddl(lowered)
         if ddl is not None:
@@ -131,6 +182,125 @@ class Engine:
                 mode
             )
         )
+
+    # ----------------------------------------------------------- sequences
+    def _maybe_sequence(self, text: str) -> DataFrame | None:
+        """PG sequence DDL (commands/sequence.c; regress sequence.sql):
+        CREATE/DROP/ALTER ... RESTART. State is coordinator-side ints."""
+        s = text.strip().rstrip(";").strip()
+        m = _CREATE_SEQ_RE.match(s)
+        if m:
+            name = m.group(1).split(".")[-1]
+            start = int(m.group(2) or 1)
+            if name not in self._sequences:
+                self._sequences[name] = {"next": start, "start": start}
+            return self._tag(0)
+        m = _DROP_SEQ_RE.match(s)
+        if m:
+            self._sequences.pop(m.group(1).split(".")[-1], None)
+            return self._tag(0)
+        m = _ALTER_SEQ_RE.match(s)
+        if m:
+            name = m.group(1).split(".")[-1]
+            seq = self._seq(name)
+            seq["next"] = int(m.group(2) or seq["start"])
+            return self._tag(0)
+        return None
+
+    def _seq(self, name: str) -> dict[str, int]:
+        if name not in self._sequences:
+            raise KeyError(f"sequence {name!r} does not exist")
+        return self._sequences[name]
+
+    def _substitute_sequence_calls(self, text: str) -> str:
+        """Replace nextval/currval/setval('seq') literals in a statement.
+
+        Each textual nextval occurrence allocates one value (PG evaluates
+        nextval once per VALUES row — regress sequence.sql). Per-row
+        streams (`SELECT nextval(..) FROM t`) can't be expressed as a
+        driver-side substitution; those callers use assign_sequence_ids,
+        which block-allocates like GP's segment value caches."""
+        if not (
+            _NEXTVAL_RE.search(text)
+            or _CURRVAL_RE.search(text)
+            or _SETVAL_RE.search(text)
+        ):
+            return text
+
+        def _setval(m: re.Match) -> str:
+            seq = self._seq(m.group(1).split(".")[-1])
+            val = int(m.group(2))
+            seq["next"] = val + 1
+            seq["last"] = val
+            return str(val)
+
+        text = _SETVAL_RE.sub(_setval, text)
+
+        if _NEXTVAL_RE.search(text) and re.search(r"\bFROM\b", text, re.IGNORECASE):
+            raise NotImplementedError(
+                "per-row nextval() over a FROM clause: use "
+                "Engine.assign_sequence_ids(df, col, seq) for bulk allocation"
+            )
+
+        def _nextval(m: re.Match) -> str:
+            seq = self._seq(m.group(1).split(".")[-1])
+            val = seq["next"]
+            seq["next"] = val + 1
+            seq["last"] = val
+            return str(val)
+
+        text = _NEXTVAL_RE.sub(_nextval, text)
+
+        def _currval(m: re.Match) -> str:
+            seq = self._seq(m.group(1).split(".")[-1])
+            if "last" not in seq:
+                raise RuntimeError(
+                    f"currval of sequence {m.group(1)!r} is not yet defined"
+                )
+            return str(seq["last"])
+
+        return _CURRVAL_RE.sub(_currval, text)
+
+    def assign_sequence_ids(self, df: DataFrame, col: str, seq_name: str) -> DataFrame:
+        """Assign one sequence value per row of `df`, distributed.
+
+        The scale path for `SELECT nextval('s') FROM big_table`: a block
+        allocation (GP's per-segment sequence value cache, sequence.c
+        cache_value) done as two passes — count rows per Spark partition
+        (tiny collect: one long per partition), hand each partition a
+        contiguous offset range, then number rows partition-locally
+        (`row_number` partitioned by partition id — no global sort, no
+        single-partition exchange). Values are unique and dense; like PG,
+        assignment order across partitions is not a correctness contract.
+        """
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        seq = self._seq(seq_name)
+        tagged = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+            "__mid", F.monotonically_increasing_id()
+        )
+        counts = {
+            r["__pid"]: r["cnt"]
+            for r in tagged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        run = seq["next"]
+        offsets = []
+        for pid in sorted(counts):
+            offsets.extend([F.lit(pid), F.lit(run)])
+            run += counts[pid]
+        omap = F.create_map(*offsets) if offsets else F.create_map()
+        w = Window.partitionBy("__pid").orderBy("__mid")
+        out = (
+            tagged.withColumn(
+                col,
+                (omap[F.col("__pid")] + F.row_number().over(w) - 1).cast("long"),
+            )
+            .drop("__pid", "__mid")
+        )
+        seq["next"] = run
+        seq["last"] = run - 1
+        return out
 
     # ----------------------------------------------------------------- DDL
     def _maybe_ddl(self, text: str) -> DataFrame | None:
@@ -171,10 +341,27 @@ class Engine:
         SET .. WHERE, DELETE FROM .. WHERE, CREATE TABLE .. AS SELECT.
         Statements over names not registered as writable parquet tables
         fall through to Spark (which raises its own errors). Returns a
-        1-row `rows_affected` DataFrame (the PG command tag)."""
+        1-row `rows_affected` DataFrame (the PG command tag), or — with
+        a RETURNING clause (returning.sql) — the affected rows
+        themselves, projected through the RETURNING select list."""
         import pyspark.sql.functions as F
 
         s = text.strip().rstrip(";").strip()
+        returning: str | None = None
+        rm = _RETURNING_RE.search(s)
+        if rm and re.match(r"^(INSERT|UPDATE|DELETE)\b", s, re.IGNORECASE):
+            returning = rm.group(1).strip()
+            s = s[: rm.start()].strip()
+
+        def _ret(image: DataFrame) -> DataFrame:
+            """Project the affected-row image through the RETURNING list,
+            materialized (localCheckpoint) before the copy-on-write swap
+            invalidates the files it was computed from."""
+            if returning == "*":
+                out = image
+            else:
+                out = image.selectExpr(*_split_exprs(returning))
+            return out.localCheckpoint(eager=True)
 
         m = _CTAS_RE.match(s)
         if m:
@@ -233,16 +420,23 @@ class Engine:
                         )
                         for col, expr in _split_assignments(conflict.group(3))
                     }
+                if returning:
+                    raise NotImplementedError(
+                        "RETURNING with ON CONFLICT is not supported"
+                    )
                 stats = t.merge(df, on=keys, update=update)
                 self._refresh_view(name, t)
                 return self._tag(stats["updated"] + stats["inserted"])
+            ret = _ret(df) if returning else None
             n = df.count()
             t.insert(df)
             self._refresh_view(name, t)
-            return self._tag(n)
+            return ret if ret is not None else self._tag(n)
 
         m = _UPDATE_FROM_RE.match(s)
         if m:
+            if returning:
+                raise NotImplementedError("RETURNING with UPDATE...FROM")
             return self._update_from(*m.groups())
 
         m = _UPDATE_RE.match(s)
@@ -256,9 +450,19 @@ class Engine:
                 for col, expr in _split_assignments(m.group(2))
             }
             where = F.expr(m.group(3)) if m.group(3) else F.lit(True)
+            ret = None
+            if returning:
+                tgt = t.read()
+                image = tgt.filter(where).select(
+                    *[
+                        (assigns[c].cast(tgt.schema[c].dataType) if c in assigns else F.col(c)).alias(c)
+                        for c in tgt.columns
+                    ]
+                )
+                ret = _ret(image)
             n = t.update(assigns, where)
             self._refresh_view(name, t)
-            return self._tag(n)
+            return ret if ret is not None else self._tag(n)
 
         m = _DELETE_RE.match(s)
         if m:
@@ -267,9 +471,10 @@ class Engine:
             if t is None:
                 return None
             where = F.expr(m.group(2)) if m.group(2) else F.lit(True)
+            ret = _ret(t.read().filter(where)) if returning else None
             n = t.delete(where)
             self._refresh_view(name, t)
-            return self._tag(n)
+            return ret if ret is not None else self._tag(n)
         return None
 
     def _update_from(

@@ -522,3 +522,39 @@ def pgsql_chained_json_arrows(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type ORDER BY event_type
         """,
     )
+
+
+@register(
+    "pgsql_named_window_clause",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           rank() OVER w AS balance_rank,
+           ROUND(avg(c_acctbal) OVER w2, 2) AS nation_avg
+    FROM customer
+    WHERE c_custkey <= 500
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+           w2 AS (PARTITION BY c_nationkey)
+    ORDER BY c_nationkey, balance_rank
+    """,
+    tags=("dialect", "window"),
+)
+def pgsql_named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG named WINDOW clause (gram.y window_clause; multiple OVER
+    references sharing one definition — transformWindowDefinitions in
+    parse_clause.c). Spark SQL supports the clause natively, so the
+    text passes through the dialect shim untouched; Catalyst collapses
+    both window specs over the same partition into a single shuffle."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_nationkey,
+               rank() OVER w AS balance_rank,
+               ROUND(avg(c_acctbal) OVER w2, 2) AS nation_avg
+        FROM customer
+        WHERE c_custkey <= 500
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+               w2 AS (PARTITION BY c_nationkey)
+        ORDER BY c_nationkey, balance_rank
+        """,
+    )

@@ -568,3 +568,63 @@ def sample_source_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_repetition_gopher",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, toks,
+             list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(CAST(list_max(list_transform(list_distinct(toks),
+                       x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
+                 / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS top_word_frac,
+           ROUND(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                 / greatest(CAST(len(bigrams) AS DOUBLE), 1.0), 6) AS dup_bigram_frac,
+           CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM g
+    """,
+    tags=("text", "quality"),
+)
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    'Scaling Language Models', table A1): fraction of tokens taken by
+    the single most frequent word, and fraction of duplicated word
+    bigrams. High values flag boilerplate / spam for training-data
+    filtering. All per-row array ops (higher-order functions, JVM-side):
+    map-only, no shuffle, no UDF — scale-safe at 100 TB.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    nt = F.size(toks)
+    # counts of each distinct token inside the row's own array
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda x: F.size(F.filter(toks, lambda y: y == x)),
+        )
+    )
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(nt - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
+    )
+    nb = F.size(bigrams).cast("double")
+    return d.select(
+        "doc_id",
+        F.round(
+            top_cnt.cast("double") / F.greatest(nt.cast("double"), F.lit(1.0)), 6
+        ).alias("top_word_frac"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double")
+            / F.greatest(nb, F.lit(1.0)),
+            6,
+        ).alias("dup_bigram_frac"),
+        nt.cast("long").alias("n_tokens"),
+    )
