@@ -334,6 +334,39 @@ def test_sequences(engine, spark):
         engine.sql("SELECT nextval('seq_a') AS v")
 
 
+def test_truncate_and_temp_table(engine, spark, tmp_path):
+    """PG TRUNCATE (tablecmds.c) and CREATE TEMP TABLE AS (temp.sql)."""
+    path = str(tmp_path / "trunc_t")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"]).write.parquet(path)
+    engine.attach_parquet("trunc_t", path)
+
+    out = engine.sql("CREATE TEMP TABLE snap AS SELECT * FROM trunc_t WHERE id = 1")
+    assert out.collect()[0].rows_affected == 1
+
+    assert engine.sql("TRUNCATE trunc_t").collect()[0].rows_affected == 2
+    assert engine.table("trunc_t").count() == 0
+    assert [f.name for f in engine.table("trunc_t").schema.fields] == ["id", "s"]
+    # the temp snapshot was materialized before the truncate
+    assert engine.table("snap").collect()[0].id == 1
+
+
+def test_catalog_introspection_views(engine):
+    """pg_tables / information_schema.columns shims (system_views.sql,
+    infoschema.sql) — the first queries any PG client/ORM issues."""
+    tabs = {r.tablename for r in engine.sql(
+        "SELECT tablename FROM pg_tables WHERE schemaname = 'public'"
+    ).collect()}
+    assert {"customer", "orders", "lineitem"} <= tabs
+
+    cols = engine.sql(
+        "SELECT column_name, data_type, ordinal_position "
+        "FROM information_schema.columns WHERE table_name = 'nation' "
+        "ORDER BY ordinal_position"
+    ).collect()
+    assert [c.column_name for c in cols][:2] == ["n_nationkey", "n_name"]
+    assert all(c.data_type for c in cols)
+
+
 def test_dialect_decode_rewrite(engine):
     from warehouse_pg_spark.sql_dialect import rewrite
 

@@ -63,6 +63,17 @@ _ALTER_SEQ_RE = re.compile(
     r"^ALTER\s+SEQUENCE\s+([\w.]+)\s+RESTART(?:\s+WITH\s+(\d+))?\s*$",
     re.IGNORECASE,
 )
+_TRUNCATE_RE = re.compile(
+    r"^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$", re.IGNORECASE
+)
+_TEMP_CTAS_RE = re.compile(
+    r"^CREATE\s+(?:TEMP|TEMPORARY)\s+TABLE\s+([\w.]+)\s+AS\s+(SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CATALOG_VIEW_RE = re.compile(
+    r"\b(pg_catalog\.pg_tables|pg_tables|information_schema\.columns)\b",
+    re.IGNORECASE,
+)
 _NEXTVAL_RE = re.compile(r"nextval\(\s*'([\w.]+)'\s*\)", re.IGNORECASE)
 _CURRVAL_RE = re.compile(r"currval\(\s*'([\w.]+)'\s*\)", re.IGNORECASE)
 _SETVAL_RE = re.compile(r"setval\(\s*'([\w.]+)'\s*,\s*(\d+)\s*\)", re.IGNORECASE)
@@ -158,6 +169,17 @@ class Engine:
         if seq is not None:
             return seq
         text = self._substitute_sequence_calls(text)
+        if _CATALOG_VIEW_RE.search(text):
+            self._ensure_catalog_views()
+            text = re.sub(
+                r"\bpg_catalog\.pg_tables\b", "pg_tables", text, flags=re.IGNORECASE
+            )
+            text = re.sub(
+                r"\binformation_schema\.columns\b",
+                "information_schema_columns",
+                text,
+                flags=re.IGNORECASE,
+            )
         lowered = sql_dialect.rewrite(text)
         ddl = self._maybe_ddl(lowered)
         if ddl is not None:
@@ -302,6 +324,48 @@ class Engine:
         seq["last"] = run - 1
         return out
 
+    def _ensure_catalog_views(self) -> None:
+        """System-catalog shims (pg_tables from system_views.sql,
+        information_schema.columns — the two introspection relations a
+        PG user's first `\\d`-ish query touches). Rebuilt lazily per
+        statement from the engine catalog + Spark schemas; dotted
+        `information_schema.columns` is rewritten to a flat temp-view
+        name since temp views can't live inside a Spark database."""
+        trows = [
+            ("public", name, "spark", None, False, False, False)
+            for name in sorted(self.catalog.tables)
+        ]
+        self.spark.createDataFrame(
+            trows,
+            "schemaname string, tablename string, tableowner string, "
+            "tablespace string, hasindexes boolean, hasrules boolean, "
+            "hastriggers boolean",
+        ).createOrReplaceTempView("pg_tables")
+        crows = []
+        for name in sorted(self.catalog.tables):
+            try:
+                schema = self.spark.table(name).schema
+            except Exception:
+                continue
+            for i, f in enumerate(schema.fields, start=1):
+                crows.append(
+                    (
+                        "spark",
+                        "public",
+                        name,
+                        f.name,
+                        i,
+                        f.dataType.simpleString(),
+                        "YES" if f.nullable else "NO",
+                    )
+                )
+        self.spark.createDataFrame(
+            crows,
+            "table_catalog string, table_schema string, table_name string, "
+            "column_name string, ordinal_position int, data_type string, "
+            "is_nullable string",
+        ).createOrReplaceTempView("information_schema_columns")
+
     # ----------------------------------------------------------------- DDL
     def _maybe_ddl(self, text: str) -> DataFrame | None:
         """Handle GP DDL Spark's parser rejects: DISTRIBUTED BY clauses.
@@ -362,6 +426,27 @@ class Engine:
             else:
                 out = image.selectExpr(*_split_exprs(returning))
             return out.localCheckpoint(eager=True)
+
+        m = _TEMP_CTAS_RE.match(s)
+        if m:
+            # PG CREATE TEMP TABLE ... AS (temp.sql): session-scoped, never
+            # durable — a Spark temp view over the materialized select.
+            name, select = m.group(1).split(".")[-1], m.group(2)
+            df = self.spark.sql(select).localCheckpoint(eager=True)
+            df.createOrReplaceTempView(name)
+            return self._tag(df.count())
+
+        m = _TRUNCATE_RE.match(s)
+        if m:
+            # PG TRUNCATE (tablecmds.c ExecuteTruncate): empty the
+            # relation, keep the schema.
+            name = m.group(1).split(".")[-1]
+            t = self._writable_by_name(name)
+            if t is None:
+                return None
+            n = t.delete(F.lit(True))
+            self._refresh_view(name, t)
+            return self._tag(n)
 
         m = _CTAS_RE.match(s)
         if m:
