@@ -367,6 +367,24 @@ def test_catalog_introspection_views(engine):
     assert all(c.data_type for c in cols)
 
 
+def test_explain_analyze_and_gp_segment_id(engine):
+    """EXPLAIN ANALYZE (explain.c instrumented plan) and the
+    gp_segment_id skew probe (cdbvars.h → spark_partition_id)."""
+    out = engine.sql(
+        "EXPLAIN ANALYZE SELECT c_mktsegment, count(*) FROM customer GROUP BY 1"
+    ).collect()
+    text = "\n".join(r["QUERY PLAN"] for r in out)
+    assert "HashAggregate" in text or "Aggregate" in text
+    assert "Actual Rows: 5" in text
+    assert "Execution Time:" in text
+
+    seg = engine.sql(
+        "SELECT gp_segment_id AS seg, count(*) AS n FROM customer GROUP BY 1"
+    ).collect()
+    assert sum(r.n for r in seg) == engine.table("customer").count()
+    assert all(r.seg >= 0 for r in seg)
+
+
 def test_dialect_decode_rewrite(engine):
     from warehouse_pg_spark.sql_dialect import rewrite
 

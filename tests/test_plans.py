@@ -246,3 +246,16 @@ def test_ivf_broadcasts_centroids(spark, sf_dir):
     assignment pass — the 100 TB path)."""
     plan = plan_of(spark, sf_dir, "sim_ivf_bucketed", "simple")
     assert "BroadcastExchange" in plan
+
+
+def test_repetition_gopher_map_only(spark, sf_dir):
+    """Gopher repetition signals are per-row array ops: the plan must be
+    a pure scan→project pipeline — no Exchange, no BatchEvalPython (the
+    higher-order functions stay JVM-side)."""
+    plan = plan_of(spark, sf_dir, "text_repetition_gopher")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"doc_id", "text"}, read_cols

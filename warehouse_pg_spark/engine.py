@@ -63,6 +63,9 @@ _ALTER_SEQ_RE = re.compile(
     r"^ALTER\s+SEQUENCE\s+([\w.]+)\s+RESTART(?:\s+WITH\s+(\d+))?\s*$",
     re.IGNORECASE,
 )
+_EXPLAIN_ANALYZE_RE = re.compile(
+    r"^EXPLAIN\s+ANALYZE\s+(.*)$", re.IGNORECASE | re.DOTALL
+)
 _TRUNCATE_RE = re.compile(
     r"^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$", re.IGNORECASE
 )
@@ -168,6 +171,9 @@ class Engine:
         seq = self._maybe_sequence(text)
         if seq is not None:
             return seq
+        ea = _EXPLAIN_ANALYZE_RE.match(text.strip().rstrip(";"))
+        if ea:
+            return self._explain_analyze(ea.group(1))
         text = self._substitute_sequence_calls(text)
         if _CATALOG_VIEW_RE.search(text):
             self._ensure_catalog_views()
@@ -203,6 +209,31 @@ class Engine:
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 mode
             )
+        )
+
+    def _explain_analyze(self, body: str) -> DataFrame:
+        """PG EXPLAIN ANALYZE (explain.c ExplainOnePlan): execute the
+        query, then return the plan annotated with actual row count and
+        wall time, one text row per line (PG's `QUERY PLAN` result
+        shape). Uses the AQE-final plan — the distributed analogue of
+        PG's instrumented actual plan."""
+        import time
+
+        df = self.spark.sql(sql_dialect.rewrite(body))
+        t0 = time.perf_counter()
+        n_rows = df.count()
+        elapsed_ms = (time.perf_counter() - t0) * 1000.0
+        plan = df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        lines = plan.rstrip().splitlines() + [
+            f"Actual Rows: {n_rows}",
+            f"Execution Time: {elapsed_ms:.3f} ms",
+        ]
+        return self.spark.createDataFrame(
+            [(ln,) for ln in lines], "`QUERY PLAN` string"
         )
 
     # ----------------------------------------------------------- sequences

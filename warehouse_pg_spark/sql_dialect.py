@@ -401,6 +401,11 @@ def rewrite(sql: str) -> str:
         prev = out
         out = _DECODE_RE.sub(_rewrite_decode, out)
 
+    # gp_segment_id pseudo-column (GP cdbvars.h; the canonical
+    # distribution-skew probe `SELECT gp_segment_id, count(*) ... GROUP
+    # BY 1`) → the executing Spark partition id.
+    out = re.sub(r"\bgp_segment_id\b", "spark_partition_id()", out)
+
     # EXTRACT(EPOCH FROM x) → unix_seconds (PG timestamp.c epoch field)
     out = _EXTRACT_EPOCH_RE.sub(
         lambda m: f"unix_seconds(CAST({m.group(1).strip()} AS TIMESTAMP))",
