@@ -367,6 +367,43 @@ def test_catalog_introspection_views(engine):
     assert all(c.data_type for c in cols)
 
 
+def test_dml_subquery_where_and_delete_using(engine, spark, tmp_path):
+    """PG DML with subquery predicates (regress update.sql / delete.sql):
+    DELETE WHERE IN (SELECT), DELETE USING join, UPDATE WHERE scalar
+    subquery — resolved through a rowid-tagged snapshot since Spark
+    allows IN/EXISTS subqueries only in filter context."""
+    path = str(tmp_path / "subq_t")
+    spark.createDataFrame(
+        [(i, "grp%d" % (i % 3), float(i * 10)) for i in range(1, 10)],
+        ["id", "grp", "v"],
+    ).write.parquet(path)
+    engine.attach_parquet("subq_t", path)
+    spark.createDataFrame([("grp0",), ("grp2",)], ["g"]).createOrReplaceTempView(
+        "kill_list"
+    )
+
+    out = engine.sql(
+        "DELETE FROM subq_t WHERE grp IN (SELECT g FROM kill_list WHERE g = 'grp0')"
+    )
+    assert out.collect()[0].rows_affected == 3  # ids 3, 6, 9
+    assert sorted(r.id for r in engine.table("subq_t").collect()) == [1, 2, 4, 5, 7, 8]
+
+    out = engine.sql(
+        "DELETE FROM subq_t USING kill_list k WHERE subq_t.grp = k.g RETURNING id"
+    )
+    assert sorted(r.id for r in out.collect()) == [2, 5, 8]  # grp2
+    assert sorted(r.id for r in engine.table("subq_t").collect()) == [1, 4, 7]
+
+    out = engine.sql(
+        "UPDATE subq_t SET v = v + 1 "
+        "WHERE v < (SELECT avg(v) FROM subq_t) RETURNING id, v"
+    )
+    # avg(10,40,70)=40 → ids 1 (10) and 4 (40 is not < 40): only id 1
+    assert {(r.id, r.v) for r in out.collect()} == {(1, 11.0)}
+    vals = {r.id: r.v for r in engine.table("subq_t").collect()}
+    assert vals == {1: 11.0, 4: 40.0, 7: 70.0}
+
+
 def test_explain_analyze_and_gp_segment_id(engine):
     """EXPLAIN ANALYZE (explain.c instrumented plan) and the
     gp_segment_id skew probe (cdbvars.h → spark_partition_id)."""

@@ -43,6 +43,12 @@ _UPDATE_FROM_RE = re.compile(
 _DELETE_RE = re.compile(
     r"^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?$", re.IGNORECASE | re.DOTALL
 )
+_DELETE_USING_RE = re.compile(
+    r"^DELETE\s+FROM\s+([\w.]+)\s+USING\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?"
+    r"\s+WHERE\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SUBQUERY_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
 _CTAS_RE = re.compile(
     r"^CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(SELECT\b.*)$", re.IGNORECASE | re.DOTALL
 )
@@ -555,12 +561,41 @@ class Engine:
                 raise NotImplementedError("RETURNING with UPDATE...FROM")
             return self._update_from(*m.groups())
 
+        m = _DELETE_USING_RE.match(s)
+        if m:
+            # PG `DELETE FROM t USING s WHERE cond` (gram.y DeleteStmt
+            # using_clause): delete target rows with a join partner.
+            name = m.group(1).split(".")[-1]
+            t = self._writable_by_name(name)
+            if t is None:
+                return None
+            src = m.group(2)
+            alias = f" AS {m.group(3)}" if m.group(3) else ""
+            base = self._rid_view(t, name)
+            matched = self.spark.sql(
+                f"SELECT DISTINCT {name}.__rid FROM __dml_target AS {name} "
+                f"JOIN {src}{alias} ON ({m.group(4)})"
+            )
+            ret = (
+                _ret(base.join(matched, "__rid", "left_semi").drop("__rid"))
+                if returning
+                else None
+            )
+            n = matched.count()
+            t._swap_in(base.join(matched, "__rid", "left_anti").drop("__rid"))
+            self._refresh_view(name, t)
+            return ret if ret is not None else self._tag(n)
+
         m = _UPDATE_RE.match(s)
         if m:
             name = m.group(1).split(".")[-1]
             t = self._writable_by_name(name)
             if t is None:
                 return None
+            if m.group(3) and _SUBQUERY_RE.search(m.group(3)):
+                return self._update_subquery(
+                    name, t, m.group(2), m.group(3), returning, _ret
+                )
             assigns = {
                 col: F.expr(expr)
                 for col, expr in _split_assignments(m.group(2))
@@ -586,12 +621,85 @@ class Engine:
             t = self._writable_by_name(name)
             if t is None:
                 return None
+            if m.group(2) and _SUBQUERY_RE.search(m.group(2)):
+                # IN/EXISTS/scalar subqueries are only legal in a filter
+                # context — resolve matches through spark.sql over a
+                # rowid-tagged snapshot, then anti-join.
+                base = self._rid_view(t, name)
+                matched = self.spark.sql(
+                    f"SELECT __rid FROM __dml_target WHERE {m.group(2)}"
+                )
+                ret = (
+                    _ret(base.join(matched, "__rid", "left_semi").drop("__rid"))
+                    if returning
+                    else None
+                )
+                n = matched.count()
+                t._swap_in(base.join(matched, "__rid", "left_anti").drop("__rid"))
+                self._refresh_view(name, t)
+                return ret if ret is not None else self._tag(n)
             where = F.expr(m.group(2)) if m.group(2) else F.lit(True)
             ret = _ret(t.read().filter(where)) if returning else None
             n = t.delete(where)
             self._refresh_view(name, t)
             return ret if ret is not None else self._tag(n)
         return None
+
+    def _rid_view(self, t: ParquetTable, name: str) -> DataFrame:
+        """Snapshot the target with a stable rowid and expose it as
+        `__dml_target` (plus the table's own name, so WHERE text that
+        qualifies columns keeps resolving). localCheckpoint pins the
+        snapshot — the copy-on-write swap would otherwise invalidate
+        the files mid-plan. The COW rewrite materializes the full table
+        anyway, so the checkpoint adds no asymptotic cost."""
+        import pyspark.sql.functions as F
+
+        base = (
+            t.read()
+            .withColumn("__rid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
+        base.createOrReplaceTempView("__dml_target")
+        return base
+
+    def _update_subquery(
+        self,
+        name: str,
+        t: ParquetTable,
+        set_clause: str,
+        where: str,
+        returning: str | None,
+        _ret,
+    ) -> DataFrame:
+        """UPDATE whose WHERE carries a subquery (IN/EXISTS/scalar —
+        regress update.sql): match rowids via spark.sql, apply SET to
+        the semi-joined half, union the anti-joined rest, swap."""
+        import pyspark.sql.functions as F
+
+        base = self._rid_view(t, name)
+        matched = self.spark.sql(
+            f"SELECT __rid FROM __dml_target WHERE {where}"
+        )
+        assigns = dict(_split_assignments(set_clause))
+        schema = t.read().schema
+        hit = base.join(matched, "__rid", "left_semi")
+        updated = hit.select(
+            "__rid",
+            *[
+                (
+                    F.expr(assigns[c]).cast(schema[c].dataType)
+                    if c in assigns
+                    else F.col(c)
+                ).alias(c)
+                for c in schema.fieldNames()
+            ],
+        )
+        ret = _ret(updated.drop("__rid")) if returning else None
+        n = matched.count()
+        rest = base.join(matched, "__rid", "left_anti")
+        t._swap_in(updated.unionByName(rest).drop("__rid"))
+        self._refresh_view(name, t)
+        return ret if ret is not None else self._tag(n)
 
     def _update_from(
         self,

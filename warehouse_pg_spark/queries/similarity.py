@@ -465,3 +465,97 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# Deterministic sign-random-projection hyperplanes: 8 hyperplanes × 64
+# dims, each entry ±1 derived from md5 so Spark and the oracle share the
+# exact same literals (no RNG; stable across engines and runs).
+def _srp_signs(bits: int = 6, dim: int = 64) -> list[list[float]]:
+    import hashlib
+
+    planes = []
+    for j in range(bits):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"srp:{j}:{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+_SRP = _srp_signs()
+
+
+def _srp_sig_sql(col: str) -> str:
+    terms = []
+    for j, plane in enumerate(_SRP):
+        lit = "[" + ", ".join(str(s) for s in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({col}, {lit}::DOUBLE[]) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _srp_sig(col: Column) -> Column:
+    sig = F.lit(0)
+    for j, plane in enumerate(_SRP):
+        dot = F.aggregate(
+            F.zip_with(
+                col,
+                F.array(*[F.lit(s) for s in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig
+
+
+@register(
+    "sim_srp_lsh_pairs",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding, {_srp_sig_sql('embedding')} AS sig
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(a.sig AS BIGINT) AS sig,
+           ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.35
+    """,
+    tags=("similarity", "lsh"),
+)
+def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine LSH via sign random projection (Charikar 2002, STOC —
+    SimHash for real vectors; the embedding-space analogue of the
+    MinHash-LSH banding in dedup.py): 6 fixed ±1 hyperplanes give every
+    vector a 6-bit signature; same-signature vectors become candidate
+    pairs (P[bit match] = 1 − θ/π), then exact cosine ≥ 0.35 confirms (threshold sized to the synthetic corpus, whose planted similarity tops out near 0.5).
+
+    Scale shape: signature assignment is map-only (zip_with/aggregate,
+    JVM-side, no shuffle); the self-join shuffles on `sig`, so work is
+    bucket-local — 2^bits buckets bound the blow-up exactly like LSH
+    bands, never an n² cross join.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    s = e.select("vec_id", "embedding", _srp_sig(F.col("embedding")).alias("sig"))
+    a, b = s.alias("a"), s.alias("b")
+    cos = _cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.sig").cast("long").alias("sig"),
+            cos.alias("_cos"),
+        )
+        .filter(F.col("_cos") >= 0.35)
+        .select("id_a", "id_b", "sig", F.round("_cos", 6).alias("cosine"))
+    )
