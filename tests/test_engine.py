@@ -367,6 +367,40 @@ def test_catalog_introspection_views(engine):
     assert all(c.data_type for c in cols)
 
 
+def test_returning_update_from_and_on_conflict(engine, spark, tmp_path):
+    """RETURNING over the join-DML forms: UPDATE..FROM post-image;
+    ON CONFLICT DO NOTHING returns only inserted rows, DO UPDATE
+    returns inserted+updated (insert_conflict.sql RETURNING)."""
+    path = str(tmp_path / "retjoin_t")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "s", "v"]
+    ).write.parquet(path)
+    engine.attach_parquet("retjoin_t", path)
+    spark.createDataFrame([(1, 5.0)], ["sid", "bump"]).createOrReplaceTempView(
+        "bump_src"
+    )
+
+    out = engine.sql(
+        "UPDATE retjoin_t SET v = retjoin_t.v + b.bump FROM bump_src b "
+        "WHERE retjoin_t.id = b.sid RETURNING id, v"
+    ).collect()
+    assert [(r.id, r.v) for r in out] == [(1, 15.0)]
+
+    out = engine.sql(
+        "INSERT INTO retjoin_t VALUES (2, 'x', 1.0), (3, 'c', 30.0) "
+        "ON CONFLICT (id) DO NOTHING RETURNING id, s"
+    ).collect()
+    assert [(r.id, r.s) for r in out] == [(3, "c")]  # only the insert
+
+    out = engine.sql(
+        "INSERT INTO retjoin_t VALUES (3, 'C', 31.0), (4, 'd', 40.0) "
+        "ON CONFLICT (id) DO UPDATE SET s = EXCLUDED.s, v = EXCLUDED.v "
+        "RETURNING id, s, v"
+    ).collect()
+    assert sorted((r.id, r.s, r.v) for r in out) == [(3, "C", 31.0), (4, "d", 40.0)]
+    assert engine.table("retjoin_t").count() == 4
+
+
 def test_dml_subquery_where_and_delete_using(engine, spark, tmp_path):
     """PG DML with subquery predicates (regress update.sql / delete.sql):
     DELETE WHERE IN (SELECT), DELETE USING join, UPDATE WHERE scalar

@@ -542,12 +542,25 @@ class Engine:
                         )
                         for col, expr in _split_assignments(conflict.group(3))
                     }
+                pre = None
                 if returning:
-                    raise NotImplementedError(
-                        "RETURNING with ON CONFLICT is not supported"
+                    # PG returns post-image rows: inserted ones for DO
+                    # NOTHING, inserted+updated for DO UPDATE
+                    # (insert_conflict.sql RETURNING cases).
+                    pre = (
+                        t.read().select(*keys).distinct()
+                        .localCheckpoint(eager=True)
                     )
                 stats = t.merge(df, on=keys, update=update)
                 self._refresh_view(name, t)
+                if returning:
+                    src_keys = df.select(*keys).distinct()
+                    if conflict.group(2).upper() == "NOTHING":
+                        src_keys = src_keys.join(pre, keys, "left_anti")
+                    image = t.read().join(
+                        F.broadcast(src_keys), keys, "left_semi"
+                    )
+                    return _ret(image)
                 return self._tag(stats["updated"] + stats["inserted"])
             ret = _ret(df) if returning else None
             n = df.count()
@@ -557,9 +570,7 @@ class Engine:
 
         m = _UPDATE_FROM_RE.match(s)
         if m:
-            if returning:
-                raise NotImplementedError("RETURNING with UPDATE...FROM")
-            return self._update_from(*m.groups())
+            return self._update_from(*m.groups(), returning=returning, _ret=_ret)
 
         m = _DELETE_USING_RE.match(s)
         if m:
@@ -708,6 +719,8 @@ class Engine:
         src_name: str,
         src_alias: str | None,
         where: str,
+        returning: str | None = None,
+        _ret=None,
     ) -> DataFrame | None:
         """PG `UPDATE t SET c = expr FROM s WHERE join_cond` (gram.y
         UpdateStmt from_clause; planner turns it into a join whose inner
@@ -756,9 +769,14 @@ class Engine:
             else:
                 out_cols.append(F.col(f"{tname}.{c}").alias(c))
         n = picked.filter(matched).count()
+        ret = (
+            _ret(picked.filter(matched).select(*out_cols))
+            if returning
+            else None
+        )
         t._swap_in(picked.select(*out_cols))
         self._refresh_view(tname, t)
-        return self._tag(n)
+        return ret if ret is not None else self._tag(n)
 
     def _writable_by_name(self, name: str) -> ParquetTable | None:
         info = self.catalog.tables.get(name)
