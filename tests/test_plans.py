@@ -259,3 +259,13 @@ def test_repetition_gopher_map_only(spark, sf_dir):
     assert m is not None
     read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert read_cols == {"doc_id", "text"}, read_cols
+
+
+def test_srp_lsh_join_is_hash_on_signature(spark, sf_dir):
+    """SRP-LSH candidates must join on the signature (hash or broadcast
+    hash), with cosine as a post-join filter — never a cartesian /
+    nested-loop expansion."""
+    plan = plan_of(spark, sf_dir, "sim_srp_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
