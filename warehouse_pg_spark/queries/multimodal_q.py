@@ -87,3 +87,96 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=1000).orderBy(
         "media_id", "frame_ts_ms"
     )
+
+
+_HEXD = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+
+
+@register(
+    "multimodal_phash_near_dup",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             md5({{norm}}) AS h
+      FROM documents
+    ), c AS (
+      SELECT media_id,
+             CAST(({_HEXD.format(h='h', i=1)}) * 4096
+                + ({_HEXD.format(h='h', i=2)}) * 256
+                + ({_HEXD.format(h='h', i=3)}) * 16
+                + ({_HEXD.format(h='h', i=4)}) AS BIGINT) AS phash
+      FROM m
+    ), b AS (
+      SELECT media_id, phash,
+             phash // 1024 AS b0, (phash // 16) % 64 AS b1, phash % 16 AS b2
+      FROM c
+    ), cand AS (
+      SELECT a.media_id AS id_a, z.media_id AS id_b, a.phash AS pa, z.phash AS pb
+      FROM b a JOIN b z ON a.b0 = z.b0 AND a.media_id < z.media_id
+      UNION
+      SELECT a.media_id, z.media_id, a.phash, z.phash
+      FROM b a JOIN b z ON a.b1 = z.b1 AND a.media_id < z.media_id
+      UNION
+      SELECT a.media_id, z.media_id, a.phash, z.phash
+      FROM b a JOIN b z ON a.b2 = z.b2 AND a.media_id < z.media_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(pa, pb)) <= 2
+    """.format(
+        norm="trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    ),
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate media pairs — the binary-modality
+    leg of the dedup matrix (text MinHash-LSH in dedup.py, embedding
+    SRP-LSH in similarity.py). A real pHash needs the stubbed codec
+    (multimodal/columns.py decode_real); the deterministic stand-in
+    hashes the *perceptually normalized* payload (case/whitespace/
+    punctuation-invariant, like pHash's resize+grayscale step), so
+    variant encodings of the same content land at Hamming 0 and the
+    pipeline shape is fully oracle-checkable.
+
+    Scale shape: 16-bit codes, Hamming ≤ 2 found exactly via the
+    pigeonhole band trick (3 bands: 6+6+4 bits; 2 flips can't touch
+    all 3), band-local self-joins then exact bit_count(xor) confirm —
+    the same candidates-then-confirm structure as every LSH here. At
+    100 TB you'd widen the code (64-bit, 5 bands) so bands keep
+    cardinality; the plan shape is unchanged.
+    """
+    media = _media_frame(spark, sf_dir)
+    from warehouse_pg_spark.queries.dedup import _norm_text
+
+    norm = _norm_text(F.decode(F.col("payload"), "UTF-8"))
+    code = F.conv(F.substring(F.md5(F.encode(norm, "UTF-8")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    b = media.select(
+        F.col("media_id"),
+        code.alias("phash"),
+        (code / 1024).cast("long").alias("b0"),
+        ((code / 16).cast("long") % 64).alias("b1"),
+        (code % 16).alias("b2"),
+    )
+    a, z = b.alias("a"), b.alias("z")
+    cands = None
+    for band in ("b0", "b1", "b2"):
+        c = a.join(
+            z,
+            (F.col(f"a.{band}") == F.col(f"z.{band}"))
+            & (F.col("a.media_id") < F.col("z.media_id")),
+        ).select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("z.media_id").alias("id_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("z.phash").alias("pb"),
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        cands.distinct()
+        .filter(hamming <= 2)
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+    )
