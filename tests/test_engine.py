@@ -456,6 +456,20 @@ def test_explain_analyze_and_gp_segment_id(engine):
     assert all(r.seg >= 0 for r in seg)
 
 
+def test_date_bin_time_bucket(engine):
+    """PG 14 date_bin (timestamp.c timestamp_bin) + Timescale-style
+    time_bucket: floor onto a stride grid, incl. pre-origin sources."""
+    rows = engine.sql(
+        "SELECT CAST(date_bin(INTERVAL '15' MINUTE, "
+        "TIMESTAMP '2024-05-05 10:07:30', TIMESTAMP '2024-05-05 00:02:00') AS STRING) AS a, "
+        "CAST(time_bucket(INTERVAL '1' HOUR, TIMESTAMP '2024-05-05 10:59:59') AS STRING) AS b, "
+        "CAST(time_bucket(INTERVAL '15' MINUTE, TIMESTAMP '1969-12-31 23:59:00') AS STRING) AS c"
+    ).collect()[0]
+    assert rows.a.startswith("2024-05-05 10:02:00")  # grid anchored at :02
+    assert rows.b.startswith("2024-05-05 10:00:00")
+    assert rows.c.startswith("1969-12-31 23:45:00")  # floor, not trunc-to-zero
+
+
 def test_dialect_decode_rewrite(engine):
     from warehouse_pg_spark.sql_dialect import rewrite
 

@@ -61,6 +61,13 @@ def age_months(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 # name -> (typed signature, return type, body in Spark SQL)
+_STRIDE_US = (
+    "CAST(extract(SECOND FROM stride) * 1000000 "
+    "+ extract(MINUTE FROM stride) * 60000000 "
+    "+ extract(HOUR FROM stride) * 3600000000 "
+    "+ extract(DAY FROM stride) * 86400000000 AS BIGINT)"
+)
+
 _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "strpos": ("s STRING, sub STRING", "INT", "instr(s, sub)"),
     "to_hex": ("n BIGINT", "STRING", "lower(hex(n))"),
@@ -121,6 +128,34 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "WHEN 'Month' THEN date_format(ts, 'MMMM') "
         "WHEN 'Day' THEN date_format(ts, 'EEEE') "
         "ELSE date_format(ts, 'yyyy-MM-dd HH:mm:ss') END",
+    ),
+    # PG 14 date_bin(stride, source, origin) (timestamp.c
+    # timestamp_bin): floor `source` onto the stride grid anchored at
+    # `origin`. Integer microsecond arithmetic — `div` truncates toward
+    # zero, so shift negatives down one stride to get floor semantics
+    # for sources before the origin.
+    "date_bin": (
+        "stride INTERVAL DAY TO SECOND, source TIMESTAMP, origin TIMESTAMP",
+        "TIMESTAMP",
+        # stride length in integer microseconds (extract(SECOND) is a
+        # DECIMAL(8,6) — the whole sum must be cast back to BIGINT for
+        # timestamp_micros / div)
+        "timestamp_micros(unix_micros(origin) + "
+        "((unix_micros(source) - unix_micros(origin)) div "
+        + _STRIDE_US
+        + " - CASE WHEN unix_micros(source) < unix_micros(origin) "
+        "        AND (unix_micros(source) - unix_micros(origin)) % "
+        + _STRIDE_US
+        + " != 0 THEN 1 ELSE 0 END) * "
+        + _STRIDE_US
+        + ")",
+    ),
+    # TimescaleDB-style time_bucket(width, ts) — date_bin anchored at
+    # the epoch (the hypertable rollup primitive).
+    "time_bucket": (
+        "width INTERVAL DAY TO SECOND, ts TIMESTAMP",
+        "TIMESTAMP",
+        "date_bin(width, ts, TIMESTAMP '1970-01-01 00:00:00')",
     ),
 }
 

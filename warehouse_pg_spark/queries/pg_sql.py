@@ -558,3 +558,43 @@ def pgsql_named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_nationkey, balance_rank
         """,
     )
+
+
+@register(
+    "pgsql_time_bucket_rollup",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS total_value
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY 1, 2
+    ORDER BY bucket, event_type
+    LIMIT 200
+    """,
+    tags=("dialect", "timeseries", "functions"),
+)
+def pgsql_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB-style time_bucket / PG 14 date_bin hypertable rollup
+    (timestamp.c timestamp_bin; the continuous-aggregate primitive).
+    Registered as SQL scalar functions (functions/pg.py) so they inline
+    into whole-stage codegen — the bucketing is integer microsecond
+    arithmetic on the scan, then one partial/final aggregate; at 100 TB
+    this is the same map-side-combine shape as any GROUP BY."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT date_format(time_bucket(INTERVAL '15' MINUTE, ts),
+                           'yyyy-MM-dd HH:mm:ss') AS bucket,
+               event_type,
+               count(*) AS n_events,
+               ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS total_value
+        FROM events
+        WHERE event_type IN ('purchase', 'click')
+        GROUP BY 1, 2
+        ORDER BY bucket, event_type
+        LIMIT 200
+        """,
+    )
