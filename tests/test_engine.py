@@ -456,6 +456,40 @@ def test_explain_analyze_and_gp_segment_id(engine):
     assert all(r.seg >= 0 for r in seg)
 
 
+def test_cluster_zorder_locality(engine, spark, tmp_path):
+    """Z-order clustering: after the rewrite, each output file covers a
+    small hyper-rectangle of BOTH key ranges (the multi-dim locality
+    parquet min/max pruning needs), vs ~full-range files before."""
+    import glob
+    import random
+
+    rnd = random.Random(7)
+    rows = [(rnd.randrange(10_000), rnd.randrange(10_000)) for _ in range(20_000)]
+    path = str(tmp_path / "z_t")
+    spark.createDataFrame(rows, ["x", "y"]).repartition(8).write.parquet(path)
+    engine.attach_parquet("z_t", path)
+
+    def avg_span(col):
+        spans = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            mn, mx = (
+                spark.read.parquet(f)
+                .agg(F.min(col), F.max(col))
+                .collect()[0]
+            )
+            spans.append((mx - mn) / 10_000.0)
+        return sum(spans) / len(spans)
+
+    # randomly partitioned: every file spans ~the full range of both keys
+    assert avg_span("x") > 0.9 and avg_span("y") > 0.9
+
+    out = engine.cluster_zorder("z_t", ("x", "y"), bits=10, n_partitions=16)
+    assert out["partitions"] == 16
+    assert engine.table("z_t").count() == 20_000
+    # z-ordered: files cover small rectangles in BOTH dims
+    assert avg_span("x") < 0.6 and avg_span("y") < 0.6
+
+
 def test_date_bin_time_bucket(engine):
     """PG 14 date_bin (timestamp.c timestamp_bin) + Timescale-style
     time_bucket: floor onto a stride grid, incl. pre-origin sources."""
