@@ -366,6 +366,14 @@ def test_catalog_introspection_views(engine):
     assert [c.column_name for c in cols][:2] == ["n_nationkey", "n_name"]
     assert all(c.data_type for c in cols)
 
+    stat = {
+        r.relname: r.n_live_tup
+        for r in engine.sql(
+            "SELECT relname, n_live_tup FROM pg_stat_user_tables"
+        ).collect()
+    }
+    assert stat["nation"] == 25 and stat["region"] == 5
+
 
 def test_returning_update_from_and_on_conflict(engine, spark, tmp_path):
     """RETURNING over the join-DML forms: UPDATE..FROM post-image;

@@ -83,6 +83,7 @@ _CATALOG_VIEW_RE = re.compile(
     r"\b(pg_catalog\.pg_tables|pg_tables|information_schema\.columns)\b",
     re.IGNORECASE,
 )
+_PG_STAT_RE = re.compile(r"\bpg_stat_user_tables\b", re.IGNORECASE)
 _NEXTVAL_RE = re.compile(r"nextval\(\s*'([\w.]+)'\s*\)", re.IGNORECASE)
 _CURRVAL_RE = re.compile(r"currval\(\s*'([\w.]+)'\s*\)", re.IGNORECASE)
 _SETVAL_RE = re.compile(r"setval\(\s*'([\w.]+)'\s*,\s*(\d+)\s*\)", re.IGNORECASE)
@@ -181,6 +182,20 @@ class Engine:
         if ea:
             return self._explain_analyze(ea.group(1))
         text = self._substitute_sequence_calls(text)
+        if _PG_STAT_RE.search(text):
+            # pg_stat_user_tables (system_views.sql; the DBA's row-count
+            # dashboard): relname + n_live_tup from the engine's
+            # metrics() introspection. Gated on its own regex because it
+            # runs a count per registered table.
+            import pyspark.sql.functions as F
+
+            self.metrics().select(
+                F.lit("public").alias("schemaname"),
+                F.col("table_name").alias("relname"),
+                F.col("n_rows").alias("n_live_tup"),
+                F.col("n_bytes"),
+                F.col("n_files"),
+            ).createOrReplaceTempView("pg_stat_user_tables")
         if _CATALOG_VIEW_RE.search(text):
             self._ensure_catalog_views()
             text = re.sub(
