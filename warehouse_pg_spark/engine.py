@@ -49,6 +49,16 @@ _DELETE_USING_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _SUBQUERY_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+_COPY_TO_RE = re.compile(
+    r"^COPY\s+(?:\((.+)\)|([\w.]+))\s+TO\s+'([^']+)'"
+    r"\s*(?:WITH\s*)?(?:\(([^)]*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COPY_FROM_RE = re.compile(
+    r"^COPY\s+([\w.]+)\s+FROM\s+'([^']+)'"
+    r"\s*(?:WITH\s*)?(?:\(([^)]*)\))?\s*$",
+    re.IGNORECASE,
+)
 _CTAS_RE = re.compile(
     r"^CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(SELECT\b.*)$", re.IGNORECASE | re.DOTALL
 )
@@ -479,6 +489,14 @@ class Engine:
                 out = image.selectExpr(*_split_exprs(returning))
             return out.localCheckpoint(eager=True)
 
+        m = _COPY_TO_RE.match(s)
+        if m:
+            return self._copy_to(m.group(1), m.group(2), m.group(3), m.group(4))
+
+        m = _COPY_FROM_RE.match(s)
+        if m:
+            return self._copy_from(m.group(1), m.group(2), m.group(3))
+
         m = _TEMP_CTAS_RE.match(s)
         if m:
             # PG CREATE TEMP TABLE ... AS (temp.sql): session-scoped, never
@@ -670,6 +688,73 @@ class Engine:
             self._refresh_view(name, t)
             return ret if ret is not None else self._tag(n)
         return None
+
+    @staticmethod
+    def _copy_options(opts: str | None) -> dict[str, str]:
+        """Parse `(FORMAT CSV, HEADER true, DELIMITER '|')`-style COPY
+        options (commands/copy.c ProcessCopyOptions). Defaults mirror
+        PG text format: tab delimiter, no header."""
+        out = {"format": "csv", "header": "false", "sep": "\t"}
+        for item in _split_exprs(opts or ""):
+            kv = item.strip().split(None, 1)
+            key = kv[0].lower()
+            val = kv[1].strip().strip("'") if len(kv) > 1 else "true"
+            if key == "format":
+                out["format"] = val.lower()
+            elif key == "header":
+                out["header"] = "true" if val.lower() in ("true", "on", "") else "false"
+            elif key == "delimiter":
+                out["sep"] = val
+        return out
+
+    def _copy_to(
+        self, select: str | None, name: str | None, path: str, opts: str | None
+    ) -> DataFrame:
+        """COPY table|(query) TO 'path' (commands/copy.c DoCopyTo).
+        Writes a *directory* of per-partition files — GP's
+        `COPY ... TO '<file>' ON SEGMENT` semantics (each segment
+        unloads its slice), which is the only shape that scales; a
+        single-file unload would serialize 100 TB through one writer."""
+        df = (
+            self.spark.sql(sql_dialect.rewrite(select))
+            if select
+            else self.spark.table(name.split(".")[-1])
+        )
+        o = self._copy_options(opts)
+        n = df.count()
+        w = df.write.mode("overwrite")
+        if o["format"] == "parquet":
+            w.parquet(path)
+        else:
+            w.option("header", o["header"]).option("sep", o["sep"]).csv(path)
+        return self._tag(n)
+
+    def _copy_from(self, name: str, path: str, opts: str | None) -> DataFrame:
+        """COPY table FROM 'path' (commands/copy.c DoCopyFrom): read
+        with the target's schema (PG casts input text through each
+        column's input function), append via the table's insert path."""
+        name = name.split(".")[-1]
+        t = self._writable_by_name(name)
+        if t is None:
+            raise KeyError(f"{name!r} is not a writable parquet table")
+        o = self._copy_options(opts)
+        schema = t.read().schema
+        if o["format"] == "parquet":
+            df = self.spark.read.parquet(path)
+            df = df.select(
+                *[df[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+        else:
+            df = (
+                self.spark.read.schema(schema)
+                .option("header", o["header"])
+                .option("sep", o["sep"])
+                .csv(path)
+            )
+        n = df.count()
+        t.insert(df)
+        self._refresh_view(name, t)
+        return self._tag(n)
 
     def _rid_view(self, t: ParquetTable, name: str) -> DataFrame:
         """Snapshot the target with a stable rowid and expose it as
@@ -1000,9 +1085,17 @@ class Engine:
                             n_bytes += os.path.getsize(os.path.join(root, f))
             elif os.path.exists(path):
                 n_files, n_bytes = 1, os.path.getsize(path)
-            n_rows = (
-                self.catalog.load(name) if info.path else self.spark.table(name)
-            ).count()
+            try:
+                n_rows = (
+                    self.catalog.load(name) if info.path else self.spark.table(name)
+                ).count()
+            except Exception:
+                # Catalog entries can outlive their backing relation
+                # (DDL-registered names dropped mid-session, stale temp
+                # views): report them absent rather than failing the
+                # whole introspection sweep — pg_stat rows for dropped
+                # relations simply disappear in PG too.
+                continue
             policy, keys = info.distribution
             rows.append((name, n_rows, n_bytes, n_files, policy, list(keys)))
         return self.spark.createDataFrame(
