@@ -464,6 +464,22 @@ def test_explain_analyze_and_gp_segment_id(engine):
     assert all(r.seg >= 0 for r in seg)
 
 
+def test_txn_and_index_shims(engine):
+    """BEGIN/COMMIT no-ops (auto-commit engine), ROLLBACK refuses,
+    CREATE INDEX records an advisory layout hint (indexcmds.c surface
+    so PG DDL scripts run unchanged)."""
+    import pytest as _pytest
+
+    assert engine.sql("BEGIN").collect()[0].rows_affected == 0
+    assert engine.sql("COMMIT").collect()[0].rows_affected == 0
+    with _pytest.raises(NotImplementedError):
+        engine.sql("ROLLBACK")
+
+    engine.sql("CREATE INDEX idx_cust ON customer (c_custkey, c_nationkey)")
+    assert engine._index_hints["customer"] == [("c_custkey", "c_nationkey")]
+    assert engine.sql("DROP INDEX idx_cust").collect()[0].rows_affected == 0
+
+
 def test_copy_to_from(engine, spark, tmp_path):
     """COPY TO/FROM statement forms (commands/copy.c; GP ON SEGMENT
     per-partition unload): CSV roundtrip with options, query unload."""

@@ -49,6 +49,20 @@ _DELETE_USING_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _SUBQUERY_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+_CREATE_INDEX_RE = re.compile(
+    r"^CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(\w+)?\s*ON\s+([\w.]+)\s*(?:USING\s+\w+\s*)?\(([^)]*)\)\s*$",
+    re.IGNORECASE,
+)
+_DROP_INDEX_RE = re.compile(
+    r"^DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+EXISTS\s+)?([\w.]+)\s*$",
+    re.IGNORECASE,
+)
+_TXN_RE = re.compile(
+    r"^(BEGIN(?:\s+(?:WORK|TRANSACTION))?|START\s+TRANSACTION|COMMIT(?:\s+WORK)?|END(?:\s+TRANSACTION)?)\s*$",
+    re.IGNORECASE,
+)
+_ROLLBACK_RE = re.compile(r"^ROLLBACK\b", re.IGNORECASE)
 _COPY_TO_RE = re.compile(
     r"^COPY\s+(?:\((.+)\)|([\w.]+))\s+TO\s+'([^']+)'"
     r"\s*(?:WITH\s*)?(?:\(([^)]*)\))?\s*$",
@@ -180,6 +194,9 @@ class Engine:
         # call nextval directly (bulk assignment goes through
         # assign_sequence_ids' block allocation instead).
         self._sequences: dict[str, dict[str, int]] = {}
+        # table -> list of column tuples from advisory CREATE INDEX
+        # statements (candidate Z-order / sort keys).
+        self._index_hints: dict[str, list[tuple[str, ...]]] = {}
         register_pg_functions(self.spark)
 
     # ---------------------------------------------------------------- query
@@ -488,6 +505,33 @@ class Engine:
             else:
                 out = image.selectExpr(*_split_exprs(returning))
             return out.localCheckpoint(eager=True)
+
+        if _TXN_RE.match(s):
+            # BEGIN/COMMIT accepted as no-ops: the engine is
+            # auto-commit (each DML's copy-on-write swap is the atomic
+            # unit — SURVEY §1.1; there is no multi-statement snapshot),
+            # so scripts wrapped in transactions run unchanged.
+            return self._tag(0)
+        if _ROLLBACK_RE.match(s):
+            raise NotImplementedError(
+                "ROLLBACK: no multi-statement transactions — each DML "
+                "commits atomically via its copy-on-write table swap"
+            )
+
+        m = _CREATE_INDEX_RE.match(s)
+        if m:
+            # CREATE INDEX (indexcmds.c) is advisory here: Spark scans
+            # prune via parquet min/max + Z-order layout instead of
+            # b-trees. Record the indexed columns as a clustering hint
+            # so DDL scripts run unchanged.
+            tname = m.group(2).split(".")[-1]
+            cols = tuple(
+                c.strip().split()[0] for c in m.group(3).split(",") if c.strip()
+            )
+            self._index_hints.setdefault(tname, []).append(cols)
+            return self._tag(0)
+        if _DROP_INDEX_RE.match(s):
+            return self._tag(0)
 
         m = _COPY_TO_RE.match(s)
         if m:
