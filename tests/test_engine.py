@@ -464,6 +464,24 @@ def test_explain_analyze_and_gp_segment_id(engine):
     assert all(r.seg >= 0 for r in seg)
 
 
+def test_fetch_first_and_select_into(engine):
+    """SQL:2008 FETCH FIRST / LIMIT ALL rewrites + PG SELECT INTO
+    (pre-CTAS materialization spelling)."""
+    rows = engine.sql(
+        "SELECT c_custkey FROM customer ORDER BY c_custkey "
+        "FETCH FIRST 3 ROWS ONLY"
+    ).collect()
+    assert len(rows) == 3
+    assert [r.c_custkey for r in rows] == sorted(r.c_custkey for r in rows)
+    assert len(engine.sql("SELECT n_name FROM nation LIMIT ALL").collect()) == 25
+
+    out = engine.sql(
+        "SELECT n_nationkey, n_name INTO nation_copy FROM nation WHERE n_regionkey = 1"
+    )
+    assert out.collect()[0].rows_affected == 5
+    assert engine.table("nation_copy").count() == 5
+
+
 def test_txn_and_index_shims(engine):
     """BEGIN/COMMIT no-ops (auto-commit engine), ROLLBACK refuses,
     CREATE INDEX records an advisory layout hint (indexcmds.c surface

@@ -76,6 +76,9 @@ _COPY_FROM_RE = re.compile(
 _CTAS_RE = re.compile(
     r"^CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(SELECT\b.*)$", re.IGNORECASE | re.DOTALL
 )
+_SELECT_INTO_RE = re.compile(
+    r"^(SELECT\b.*?)\sINTO\s+([\w.]+)\s+(FROM\s.*)$", re.IGNORECASE | re.DOTALL
+)
 _ON_CONFLICT_RE = re.compile(
     r"\sON\s+CONFLICT\s*\(([^)]*)\)\s*DO\s+(NOTHING|UPDATE)\s*(?:SET\s+(.*))?$",
     re.IGNORECASE | re.DOTALL,
@@ -561,6 +564,12 @@ class Engine:
             n = t.delete(F.lit(True))
             self._refresh_view(name, t)
             return self._tag(n)
+
+        m = _SELECT_INTO_RE.match(s)
+        if m:
+            # PG SELECT ... INTO tbl FROM ... (gram.y into_clause —
+            # the pre-CTAS spelling): same materialization as CTAS.
+            s = f"CREATE TABLE {m.group(2)} AS {m.group(1)} {m.group(3)}"
 
         m = _CTAS_RE.match(s)
         if m:

@@ -432,6 +432,15 @@ def rewrite(sql: str) -> str:
         out,
     )
 
+    # SQL:2008 fetch clause (gram.y limit_clause) and LIMIT ALL
+    out = re.sub(
+        r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b",
+        lambda m: f"LIMIT {m.group(1)}",
+        out,
+        flags=re.IGNORECASE,
+    )
+    out = re.sub(r"\bLIMIT\s+ALL\b", "", out, flags=re.IGNORECASE)
+
     # PG NULLS-ordering defaults, made explicit per ORDER BY item
     out = _inject_nulls_ordering(out)
 
