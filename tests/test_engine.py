@@ -497,6 +497,15 @@ def test_txn_and_index_shims(engine):
     assert engine._index_hints["customer"] == [("c_custkey", "c_nationkey")]
     assert engine.sql("DROP INDEX idx_cust").collect()[0].rows_affected == 0
 
+    # pg_dump metadata statements replay as no-ops
+    for stmt in (
+        "COMMENT ON TABLE customer IS 'TPC-H customers'",
+        "GRANT SELECT ON customer TO analyst",
+        "REVOKE ALL ON customer FROM public",
+        "ALTER TABLE customer OWNER TO dba",
+    ):
+        assert engine.sql(stmt).collect()[0].rows_affected == 0
+
 
 def test_copy_to_from(engine, spark, tmp_path):
     """COPY TO/FROM statement forms (commands/copy.c; GP ON SEGMENT

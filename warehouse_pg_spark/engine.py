@@ -63,6 +63,10 @@ _TXN_RE = re.compile(
     re.IGNORECASE,
 )
 _ROLLBACK_RE = re.compile(r"^ROLLBACK\b", re.IGNORECASE)
+_NOOP_DDL_RE = re.compile(
+    r"^(COMMENT\s+ON\b|GRANT\b|REVOKE\b|ALTER\s+TABLE\s+[\w.]+\s+OWNER\s+TO\b)",
+    re.IGNORECASE,
+)
 _COPY_TO_RE = re.compile(
     r"^COPY\s+(?:\((.+)\)|([\w.]+))\s+TO\s+'([^']+)'"
     r"\s*(?:WITH\s*)?(?:\(([^)]*)\))?\s*$",
@@ -508,6 +512,12 @@ class Engine:
             else:
                 out = image.selectExpr(*_split_exprs(returning))
             return out.localCheckpoint(eager=True)
+
+        if _NOOP_DDL_RE.match(s):
+            # COMMENT ON / GRANT / REVOKE / OWNER TO: metadata-only in
+            # PG (commands/comment.c, aclchk.c) with no analogue here —
+            # accepted as no-ops so pg_dump scripts replay unchanged.
+            return self._tag(0)
 
         if _TXN_RE.match(s):
             # BEGIN/COMMIT accepted as no-ops: the engine is
