@@ -164,3 +164,42 @@ def test_streaming_upsert_into_parquet_table(spark, sf_dir, events_dir, tmp_path
     for k, (n, tot) in expected.items():
         assert got[k][0] == n
         assert abs(got[k][1] - tot) < 1e-6
+
+
+def test_streaming_near_dup_filter(spark, tmp_path):
+    """Streaming fingerprint dedup: case/punctuation variants of the
+    same content collapse to one surviving row, matching the batch
+    fingerprint-dedup count."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    import datetime
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("props", StringType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "Hello, World!"),
+        (2, t0 + datetime.timedelta(seconds=10), "hello   world"),  # near-dup of 1
+        (3, t0 + datetime.timedelta(seconds=20), "Something else"),
+        (4, t0 + datetime.timedelta(seconds=30), "SOMETHING ELSE!!"),  # near-dup of 3
+        (5, t0 + datetime.timedelta(seconds=40), "unique content"),
+    ]
+    src = str(tmp_path / "nd_src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    stream = EventStream.from_parquet_dir(spark, src, schema, watermark="1 minute")
+    q = run_available_now(stream.near_dup_filter("props"), query_name="nd")
+    got = spark.table("nd")
+    assert got.count() == 3
+    assert sorted(r.event_id for r in got.collect())[0] in (1, 2)
+    q.stop()

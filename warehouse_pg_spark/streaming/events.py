@@ -101,6 +101,25 @@ class EventStream:
         """Stateful stream dedup (dropDuplicatesWithinWatermark)."""
         return self.df.dropDuplicatesWithinWatermark(keys)
 
+    def near_dup_filter(self, content_col: str = "props") -> DataFrame:
+        """Streaming ingest near-dedup on a normalized content
+        fingerprint — the training-data-pipeline dedup applied at the
+        stream boundary instead of in a batch sweep (batch twins:
+        dedup_fingerprint / multimodal_phash_near_dup). Normalization
+        (casefold, strip punctuation, collapse whitespace) makes
+        variant encodings of the same content collide; the fingerprint
+        is the dedup key, so state is one digest per distinct content,
+        evicted by the watermark — bounded, unlike a global batch
+        distinct. All map-only until the stateful dedup operator."""
+        c = F.lower(F.col(content_col))
+        c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+        return (
+            self.df.withColumn("__fp", F.md5(F.encode(c, "UTF-8")))
+            .dropDuplicatesWithinWatermark(["__fp"])
+            .drop("__fp")
+        )
+
     def interval_join(
         self, other: "EventStream", horizon: str = "30 minutes"
     ) -> DataFrame:
