@@ -76,6 +76,7 @@ def main() -> None:
         name: q for name, q in REGISTRY.items() if "bench" in q.tags
     }
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in sorted(bench_queries.items()):
         # Bench the raw query plan. q.fn is wrapped with the registry's
         # _canonize output-formatting projection (decimal→double,
@@ -83,27 +84,48 @@ def main() -> None:
         # channel; engine throughput is the unwrapped plan.
         fn = getattr(q.fn, "__wrapped__", q.fn)
         best = float("inf")
-        for _ in range(max(1, RUNS)):
-            t0 = time.perf_counter()
-            df = fn(spark, query_dir)
-            # noop sink: full materialization on executors without the
-            # driver-side py4j row transfer (engine time, not IPC time)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(max(1, RUNS)):
+                t0 = time.perf_counter()
+                df = fn(spark, query_dir)
+                # noop sink: full materialization on executors without
+                # the driver-side py4j row transfer (engine time, not
+                # IPC time)
+                df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # one broken query costs one entry,
+            # never the round's whole performance signal
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_of(SF_DIR),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(SF_DIR),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # still emit the JSON line on harness death
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_sec",
+                    "value": None,
+                    "unit": "sec",
+                    "queries": {},
+                    "sf": sf_of(SF_DIR),
+                    "errors": {"__harness__": f"{type(exc).__name__}: {exc}"[:500]},
+                }
+            )
+        )
+        raise

@@ -118,3 +118,61 @@ def test_distinct_on_rewrite_shape(on_col, other):
     assert "row_number() OVER" in out
     assert f"PARTITION BY {on_col}" in out
     assert "__rn = 1" in out
+
+
+def test_jsonpath_exists_and_match_lowering():
+    """@? / @@ jsonpath predicates (jsonpath_exec.c subset) lower to
+    get_json_object / exists() — and literals inside the jsonpath are
+    never mangled by other rewrite passes."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    assert (
+        "get_json_object(props, '$.k') IS NOT NULL"
+        in rewrite("SELECT 1 FROM e WHERE props @? '$.k'")
+    )
+    assert (
+        "CAST(get_json_object(props, '$.k') AS DOUBLE) > 50"
+        in rewrite("SELECT 1 FROM e WHERE props @? '$.k ? (@ > 50)'")
+    )
+    assert (
+        "CAST(get_json_object(props, '$.k') AS DOUBLE) >= 95"
+        in rewrite("SELECT 1 FROM e WHERE props @@ '$.k >= 95'")
+    )
+    out = rewrite("SELECT 1 FROM e WHERE t @? '$.tags[*] ? (@ == \"x\")'")
+    assert "exists(from_json(get_json_object(t, '$.tags'), 'array<string>')" in out
+    assert "__j = 'x'" in out
+    assert (
+        "get_json_object(j, '$.name') RLIKE '^ab'"
+        in rewrite("SELECT 1 FROM e WHERE j @@ '$.name like_regex \"^ab\"'")
+    )
+    # null/boolean values and the @> non-collision
+    assert "IS NULL" in rewrite("SELECT 1 WHERE j @@ '$.x == null'")
+    out = rewrite("SELECT 1 WHERE a @> b AND j @? '$.k'")
+    assert "forall(" in out and "get_json_object" in out
+    # unrecognized jsonpath passes through untouched
+    assert "@?" in rewrite("SELECT 1 WHERE j @? '$..broken[?]'")
+
+
+def test_jsonpath_predicates_execute(spark):
+    """End-to-end: jsonpath predicates run through spark.sql."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    spark.createDataFrame(
+        [('{"k": 3, "tags": ["a", "b"]}',), ('{"k": 99}',), ("{}",)],
+        ["j"],
+    ).createOrReplaceTempView("jp_t")
+    got = spark.sql(
+        rewrite("SELECT count(*) AS n FROM jp_t WHERE j @? '$.k ? (@ > 50)'")
+    ).collect()[0].n
+    assert got == 1
+    got = spark.sql(
+        rewrite(
+            "SELECT count(*) AS n FROM jp_t "
+            "WHERE j @? '$.tags[*] ? (@ == \"b\")'"
+        )
+    ).collect()[0].n
+    assert got == 1
+    got = spark.sql(
+        rewrite("SELECT count(*) AS n FROM jp_t WHERE j @@ '$.k <= 3'")
+    ).collect()[0].n
+    assert got == 1

@@ -332,6 +332,45 @@ def test_minmax_exclude_matches_duckdb(spark):
     assert got == exp
 
 
+def test_minmax_exclude_range_current_row_matches_duckdb(spark):
+    """RANGE + EXCLUDE CURRENT ROW (the formerly-punted combination):
+    flanking RANGE frames plus peers-minus-self via ROWS flanks inside
+    a peer-keyed partition, vs DuckDB's native evaluation. Duplicate
+    values in the peer group are the tricky case — excluding the
+    current row must NOT exclude its ties."""
+    import duckdb
+
+    from warehouse_pg_spark.operators.window_ext import minmax_exclude
+
+    data = [("a", i) for i in [1, 2, 2, 3, 5, 5, 8]] + [("b", i) for i in [4, 4, 6]]
+    df = spark.createDataFrame(data, ["p", "v"])
+    got_df = minmax_exclude(
+        df, "v", ["p"], ["v"], -2, 2,
+        agg="min", exclude="current row", out="m", frame_type="range",
+    )
+    got_df = minmax_exclude(
+        got_df, "v", ["p"], ["v"], -2, 2,
+        agg="max", exclude="current row", out="x", frame_type="range",
+    )
+    got = sorted((r.p, r.v, r.m, r.x) for r in got_df.collect())
+    con = duckdb.connect()
+    exp = sorted(
+        con.execute(
+            """SELECT p, v,
+               MIN(v) OVER (PARTITION BY p ORDER BY v
+                 RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                 EXCLUDE CURRENT ROW),
+               MAX(v) OVER (PARTITION BY p ORDER BY v
+                 RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                 EXCLUDE CURRENT ROW)
+               FROM (SELECT unnest(['a','a','a','a','a','a','a','b','b','b']) p,
+                            unnest([1,2,2,3,5,5,8,4,4,6]) v)"""
+        ).fetchall()
+    )
+    con.close()
+    assert got == exp
+
+
 def test_merge_no_insert_keeps_null_key_rows(spark, tmp_path):
     """merge(insert=False) must keep target rows whose first merge key
     is NULL — the join is eqNullSafe, so a NULL key is a real row."""

@@ -104,3 +104,97 @@ def test_canonize_handles_nested_types(spark):
     row = out.collect()[0]
     assert row.ds == "2020-01-02" and row.ts == "2020-01-02 03:04:05"
     assert "k" in row.m and "q" in row.nested
+
+
+# Post-catalog dtypes for every fixture table, pinned exactly. This is
+# the schema-drift tripwire: PySpark 4.1 silently re-typed parquet
+# timestamp[us] (isAdjustedToUTC=false) as TIMESTAMP_NTZ, which broke
+# unix_millis()/withWatermark() across 3 driver queries, 13 local tests
+# and the round-4 bench. Any future reader-inference drift must fail
+# HERE, loudly, not in a query three layers up.
+EXPECTED_DTYPES = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [
+        ("n_nationkey", "int"),
+        ("n_name", "string"),
+        ("n_regionkey", "int"),
+    ],
+    "customer": [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp"),
+    ],
+    "events": [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ],
+}
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_DTYPES))
+def test_fixture_schema_pinned(spark, sf_dir, name):
+    from warehouse_pg_spark.queries.registry import table
+
+    got = table(spark, sf_dir, name).dtypes
+    assert got == EXPECTED_DTYPES[name], (
+        f"{name}: post-catalog schema drifted.\n got: {got}\n "
+        f"want: {EXPECTED_DTYPES[name]}"
+    )
+    # the engine-wide timestamp policy: NTZ never escapes the catalog
+    assert not any(t == "timestamp_ntz" for _, t in got), name

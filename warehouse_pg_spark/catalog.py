@@ -30,7 +30,16 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     Parquet TIMESTAMP(NANOS) columns (fixture events.ts) are illegal to
     Spark's reader — read them as long nanos and rebuild microsecond
     timestamps (integer `div`: double division loses precision on
-    1.7e18-scale nanosecond epochs)."""
+    1.7e18-scale nanosecond epochs).
+
+    PG timestamps are tz-naive (reference:
+    src/backend/utils/adt/timestamp.c); the engine's policy is that all
+    timestamps are session-TZ TIMESTAMP, normalized once at ingest.
+    Spark 4.x infers non-UTC-adjusted parquet timestamp[us] as
+    TIMESTAMP_NTZ, which unix_millis()/withWatermark() reject — with
+    the session TZ pinned to UTC the NTZ→LTZ cast is value-preserving,
+    so normalize every timestamp_ntz column here, at the one read
+    boundary every query goes through."""
     try:
         df = spark.read.parquet(path)
         _ = df.schema
@@ -42,6 +51,11 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     # values are ns-scale would be wrong to guess — only rebuild 'ts'.
     if "ts" in df.columns and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
     return df
 
 # The driver's fixture tables (TESTDATA.md).

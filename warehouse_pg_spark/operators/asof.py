@@ -60,14 +60,14 @@ def asof_join(
 
     l_tagged = left.select(
         *[F.col(c) for c in lcols],
-        F.col(left_ts).alias("__ts"),
+        F.col(left_ts).cast("timestamp").alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
         *[F.col(k) for k in on],
-        F.col(right_ts).alias("__ts"),
+        F.col(right_ts).cast("timestamp").alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in right_values],
     ).select(  # align column order with l_tagged

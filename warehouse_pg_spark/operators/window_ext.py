@@ -177,9 +177,31 @@ def minmax_exclude(
             expr = comb(expr, val)
     elif mode == "no others":
         expr = agg_fn(val).over(base.rangeBetween(start, end))
-    else:
-        raise NotImplementedError(
-            "RANGE frame + EXCLUDE CURRENT ROW needs per-row peer "
-            "re-aggregation; use EXCLUDE GROUP/TIES or a ROWS frame"
+    elif mode == "current row":
+        # RANGE + EXCLUDE CURRENT ROW: the post-exclusion frame is
+        #   range [start,-1]  ∪  range [1,end]  ∪  (peer group \ self).
+        # "peers minus self" can't be a RANGE frame (every peer shares
+        # the offset-0 interval), but inside a partition keyed by
+        # (partition_by, order key) every row IS a peer, so two ROWS
+        # frames flanking the current row enumerate exactly the peers
+        # minus self — in any intra-group order, since the union of the
+        # two flanks is order-invariant (nodeWindowAgg.c:1454-1480
+        # re-aggregates the same set row-by-row).
+        peer_part = Window.partitionBy(*partition_by, *order_by).orderBy(
+            *order_by
         )
+        peers_lo = agg_fn(val).over(
+            peer_part.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        peers_hi = agg_fn(val).over(
+            peer_part.rowsBetween(1, Window.unboundedFollowing)
+        )
+        lo_w, hi_w = base.rangeBetween(start, -1), base.rangeBetween(1, end)
+        expr = comb(
+            agg_fn(val).over(lo_w),
+            agg_fn(val).over(hi_w),
+            comb(peers_lo, peers_hi),
+        )
+    else:
+        raise ValueError(f"unknown EXCLUDE mode: {exclude}")
     return df.withColumn(out, expr)

@@ -39,10 +39,18 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
 # as-of join, sessionization, streaming-batch windows, dedup (exact + LSH),
 # similarity (brute-force + IVF), the training-data pipeline, multimodal, and
 # the PG SQL dialect. Everything else keeps its relative order after slot 50.
+#
+# Rotation policy (round 5): the driver can only ever score the first 50, so
+# each round ~8 NON-ANCHOR slots rotate to queries the driver has never
+# scored (r1-r4 union), keeping one green representative per family pinned.
+# r5 swaps: full-outer→events_pivot, correlated-subq→text_decontaminate,
+# array_agg→dedup_simhash, hll_merge→dedup_cluster_components,
+# datetime→fn_to_char_formats, ranking→pgsql_distinct_on,
+# nulls_last→fn_range_types, values_scan→ts_locf_gap_fill.
 DRIVER_PREFIX: tuple[str, ...] = (
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
-    "join_full_outer",
+    "events_pivot",
     "agg_dqa_multi",
     "agg_grouping_sets",
     "agg_median_percentile",
@@ -68,26 +76,26 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "tpch_q3_shipping_priority",
     "join_notin_with_nulls",
     "join_lateral_topn",
-    "join_correlated_subquery",
+    "text_decontaminate",
     "join_quantified_all_any",
     "agg_string_agg_ordered",
-    "agg_array_agg_ordered",
+    "dedup_simhash",
     "agg_approx_count_distinct",
-    "agg_hll_partial_merge",
+    "dedup_cluster_components",
     "agg_filter_clause",
     "agg_hypothetical_rank",
     "agg_mode_deterministic",
-    "window_ranking",
-    "setop_values_scan",
+    "pgsql_distinct_on_latest_order",
+    "ts_locf_gap_fill",
     "setop_sample_deterministic",
-    "order_nulls_last",
+    "fn_range_types",
     "cte_shared_reuse",
     "uda_pandas_grouped",
     "tablefunc_map_in_pandas",
     "external_csv_scan",
     "fn_strings_hash_format",
     "fn_regex_family",
-    "fn_datetime_extended",
+    "fn_to_char_formats",
     "fn_array_advanced",
     "events_json_extract",
 )

@@ -100,7 +100,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(
         prev_ts.isNull()
-        | ((F.unix_millis("ts") - F.unix_millis(prev_ts)) > _SESSION_GAP_MS),
+        | (
+            (
+                F.unix_millis(F.col("ts").cast("timestamp"))
+                - F.unix_millis(prev_ts.cast("timestamp"))
+            )
+            > _SESSION_GAP_MS
+        ),
         1,
     ).otherwise(0)
     sessions = e.select(
@@ -180,9 +186,8 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling window aggregation (batch form of the streaming
     module's window() — SURVEY §2.10)."""
     e = table(spark, sf_dir, "events")
-    bucket = (
-        F.unix_millis("ts") - (F.unix_millis("ts") % F.lit(300000))
-    ).alias("bucket_start_ms")
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    bucket = (ts_ms - (ts_ms % F.lit(300000))).alias("bucket_start_ms")
     return e.groupBy(bucket, "event_type").agg(
         F.count("*").alias("n"),
         dsum(dec("value")).alias("total"),

@@ -598,3 +598,65 @@ def pgsql_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 200
         """,
     )
+
+
+@register(
+    "pgsql_jsonpath_filter",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_total
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+      AND CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("dialect", "json"),
+)
+def pgsql_jsonpath_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG jsonpath predicate operators (jsonpath_exec.c): `@?` with a
+    `? (@ > 50)` filter (jsonb_path_exists) and a bare-`@?` existence
+    probe, lowered by the dialect shim to get_json_object comparisons —
+    pure Catalyst expressions on the scan, no Python boundary."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT event_type,
+               count(*) AS n,
+               sum((props ->> 'k')::int8) AS k_total
+        FROM events
+        WHERE props @? '$.k'
+          AND props @? '$.k ? (@ > 50)'
+        GROUP BY event_type ORDER BY event_type
+        """,
+    )
+
+
+@register(
+    "pgsql_jsonpath_match",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 95
+      AND event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    tags=("dialect", "json"),
+)
+def pgsql_jsonpath_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG `@@` jsonb_path_match (jsonpath_exec.c executeJsonPath
+    predicate form): `props @@ '$.k >= 95'` lowered to a cast-compare
+    on get_json_object — stays inside whole-stage codegen."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT event_id, event_type, (props ->> 'k')::int8 AS k
+        FROM events
+        WHERE props @@ '$.k >= 95' AND event_type = 'purchase'
+        ORDER BY event_id
+        """,
+    )

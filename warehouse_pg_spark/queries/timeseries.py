@@ -45,8 +45,10 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "event_id",
-        F.unix_millis("ts").alias("purchase_ms"),
-        F.unix_millis("asof_ts").alias("last_click_ms"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("purchase_ms"),
+        F.unix_millis(F.col("asof_ts").cast("timestamp")).alias(
+            "last_click_ms"
+        ),
     )
 
 
@@ -272,7 +274,11 @@ def ts_asof_forward_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", F.col("asof_ts").alias("near_ts"))
     return fwd.join(near, "event_id").select(
         "event_id",
-        F.unix_millis("ts").alias("purchase_ms"),
-        F.unix_millis("fwd_ts").alias("next_click_ms"),
-        F.unix_millis("near_ts").alias("nearest_click_ms"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("purchase_ms"),
+        F.unix_millis(F.col("fwd_ts").cast("timestamp")).alias(
+            "next_click_ms"
+        ),
+        F.unix_millis(F.col("near_ts").cast("timestamp")).alias(
+            "nearest_click_ms"
+        ),
     )

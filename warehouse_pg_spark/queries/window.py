@@ -464,6 +464,58 @@ def window_exclude_ties_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_exclude_range_current",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           MIN(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                                 RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                                 EXCLUDE CURRENT ROW) AS excl_min,
+           MAX(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                                 RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                                 EXCLUDE CURRENT ROW) AS excl_max
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    """,
+    tags=("window", "frames"),
+)
+def window_exclude_range_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame + EXCLUDE CURRENT ROW for non-subtractable min/max —
+    the last frame-mode combination (nodeWindowAgg.c:1454-1480): the
+    post-exclusion frame is the two flanking RANGE sub-frames plus the
+    peer group minus self, the latter via ROWS flanks inside a
+    peer-keyed partition (operators/window_ext.minmax_exclude)."""
+    from warehouse_pg_spark.operators.window_ext import minmax_exclude
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    out = minmax_exclude(
+        li,
+        value="l_quantity",
+        partition_by=["l_returnflag"],
+        order_by=["l_quantity"],
+        start=-2,
+        end=2,
+        agg="min",
+        exclude="current row",
+        out="excl_min",
+        frame_type="range",
+    )
+    out = minmax_exclude(
+        out,
+        value="l_quantity",
+        partition_by=["l_returnflag"],
+        order_by=["l_quantity"],
+        start=-2,
+        end=2,
+        agg="max",
+        exclude="current row",
+        out="excl_max",
+        frame_type="range",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "excl_min", "excl_max"
+    )
+
+
+@register(
     "window_topn_per_group",
     oracle="""
     SELECT * FROM (

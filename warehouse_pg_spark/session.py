@@ -71,7 +71,11 @@ class SessionConfig:
             "spark.sql.session.timeZone": self.session_tz,
             # ANSI off: PG-like silent nulls beat runtime errors for OLAP scans
             "spark.sql.ansi.enabled": "false",
-            # Stable timestamp semantics for parquet written by other engines
+            # Stable timestamp semantics for parquet written by other engines.
+            # Engine policy: every timestamp is session-TZ TIMESTAMP — never
+            # infer NTZ from parquet (Spark 4.x default drift); catalog.py
+            # additionally casts any residual timestamp_ntz at read time.
+            "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
             "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
             "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
             # Quieter local runs

@@ -11,6 +11,9 @@ in the reference regress corpus but aren't Spark SQL:
                            textregexeq; ~* prefixes '(?i)')
   ARRAY[a, b, ...]      -> array(a, b, ...)         (gram.y ARRAY[])
   a @> b / a <@ b       -> forall(contains) rewrites (arrayfuncs.c)
+  j @? 'path' / j @@ 'pred' -> get_json_object / exists() predicates
+                           (jsonpath_exec.c subset: member chains,
+                           ? (@ OP v) filters, [*] wildcards)
   a && b                -> arrays_overlap(a, b)
   ORDER BY x [ASC|DESC] -> explicit NULLS LAST/FIRST injected per item
                            (PG defaults ASC NULLS LAST, gram.y
@@ -132,6 +135,87 @@ _ARR_CONTAINED_RE = re.compile(rf"({_ARR_OPERAND})\s*<@\s*({_ARR_OPERAND})")
 _ARR_OVERLAP_RE = re.compile(rf"({_ARR_OPERAND})\s*&&\s*({_ARR_OPERAND})")
 
 _DECODE_RE = re.compile(r"\bDECODE\s*\(([^()]*)\)", re.IGNORECASE)
+
+# jsonpath predicate operators (jsonpath_exec.c executeJsonPath):
+#   j @? 'path'        jsonb_path_exists  — any item at path?
+#   j @@ 'path PRED'   jsonb_path_match   — predicate result
+# Supported jsonpath subset (the shapes that appear in practice):
+#   $.a.b                      plain member chain
+#   $.a ? (@ OP value)         scalar filter
+#   $.a[*] ? (@ OP value)      array-wildcard filter (any element)
+#   $.a OP value / $.a[*] OP value   (@@ predicate forms)
+# with OP in == != <> < <= > >= like_regex and value a number,
+# "string", true/false or null.
+_JSONPATH_LHS = r"(?:[\w.\)\]]+)"
+_JSONPATH_EXISTS_RE = re.compile(rf"({_JSONPATH_LHS})\s*@\?\s*({_LIT})")
+_JSONPATH_MATCH_RE = re.compile(rf"({_JSONPATH_LHS})\s*@@\s*({_LIT})")
+_JP_OPS = {"==": "=", "!=": "!=", "<>": "!=", "<": "<", "<=": "<=",
+           ">": ">", ">=": ">=", "like_regex": "RLIKE"}
+_JP_OP_RE = r"(==|!=|<>|<=|>=|<|>|like_regex)"
+_JP_FILTER_RE = re.compile(
+    rf"^\s*(\$[\w.]*?)(\[\*\])?\s*\?\s*\(\s*@\s*{_JP_OP_RE}\s*(.+?)\s*\)\s*$"
+)
+_JP_PRED_RE = re.compile(
+    rf"^\s*(\$[\w.]*?)(\[\*\])?\s*{_JP_OP_RE}\s*(.+?)\s*$"
+)
+
+
+def _jp_compare(item_sql: str, op: str, raw_val: str, lits: list[str]) -> str:
+    """Comparison of one extracted JSON item (a STRING from
+    get_json_object / from_json) against a jsonpath literal value."""
+    sql_op = _JP_OPS[op]
+    v = raw_val.strip()
+    if re.fullmatch(r'"(?:[^"\\]|\\.)*"', v):  # jsonpath string literal
+        tok = _new_lit(v[1:-1].replace('\\"', '"'), lits)
+        return f"{item_sql} {sql_op} {tok}"
+    if v.lower() in ("true", "false"):
+        return f"CAST({item_sql} AS BOOLEAN) {sql_op} {v.upper()}"
+    if v.lower() == "null":
+        return (
+            f"{item_sql} IS NULL" if op == "==" else f"{item_sql} IS NOT NULL"
+        )
+    return f"CAST({item_sql} AS DOUBLE) {sql_op} {v}"
+
+
+def _jp_lower(lhs: str, path: str, wildcard: bool, op: str | None,
+              val: str | None, lits: list[str]) -> str:
+    """Lower one jsonpath predicate to a Spark boolean expression."""
+    path_tok = _new_lit(path, lits)
+    if wildcard:
+        arr = f"from_json(get_json_object({lhs}, {path_tok}), 'array<string>')"
+        if op is None:  # existence: any element at all
+            return f"(size({arr}) > 0)"
+        return f"exists({arr}, __j -> {_jp_compare('__j', op, val, lits)})"
+    item = f"get_json_object({lhs}, {path_tok})"
+    if op is None:
+        return f"({item} IS NOT NULL)"
+    return f"({_jp_compare(item, op, val, lits)})"
+
+
+def _rewrite_jsonpath(sql: str, lits: list[str]) -> str:
+    def sub_exists(m: re.Match) -> str:
+        lhs, tok = m.groups()
+        jp = _lit_value(tok, lits)
+        f = _JP_FILTER_RE.match(jp)
+        if f:
+            path, star, op, val = f.groups()
+            return _jp_lower(lhs, path, bool(star), op, val, lits)
+        p = re.fullmatch(r"\s*(\$[\w.]*?)(\[\*\])?\s*", jp)
+        if p:
+            return _jp_lower(lhs, p.group(1), bool(p.group(2)), None, None, lits)
+        return m.group(0)  # unrecognized jsonpath: pass through
+
+    def sub_match(m: re.Match) -> str:
+        lhs, tok = m.groups()
+        jp = _lit_value(tok, lits)
+        p = _JP_PRED_RE.match(jp)
+        if p:
+            path, star, op, val = p.groups()
+            return _jp_lower(lhs, path, bool(star), op, val, lits)
+        return m.group(0)
+
+    sql = _JSONPATH_EXISTS_RE.sub(sub_exists, sql)
+    return _JSONPATH_MATCH_RE.sub(sub_match, sql)
 
 
 def _rewrite_decode(m: re.Match) -> str:
@@ -360,6 +444,9 @@ def rewrite(sql: str) -> str:
 
     # chained JSON arrows fold into one get_json_object path
     out = _rewrite_arrows(out, lits)
+
+    # jsonpath predicates @? / @@ (jsonpath_exec.c subset)
+    out = _rewrite_jsonpath(out, lits)
 
     # POSIX regex matches → RLIKE
     out = _rewrite_regex_match(out, lits)

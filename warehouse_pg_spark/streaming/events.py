@@ -45,6 +45,10 @@ class EventStream:
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         df = reader.parquet(path)
+        # Engine timestamp policy (catalog.py): event time must be
+        # session-TZ TIMESTAMP — withWatermark rejects TIMESTAMP_NTZ.
+        if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         return cls(df.withWatermark(ts_col, watermark), ts_col, watermark)
 
     # ------------------------------------------------------------ windows
