@@ -176,3 +176,34 @@ def test_jsonpath_predicates_execute(spark):
         rewrite("SELECT count(*) AS n FROM jp_t WHERE j @@ '$.k <= 3'")
     ).collect()[0].n
     assert got == 1
+
+
+def test_is_distinct_from_and_similar_to_lowering():
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    assert rewrite("SELECT 1 WHERE a IS DISTINCT FROM b").count("<=>") == 1
+    assert "(f(x) <=> 'q')" in rewrite(
+        "SELECT 1 WHERE f(x) IS NOT DISTINCT FROM 'q'"
+    )
+    out = rewrite("SELECT 1 WHERE name SIMILAR TO 'ab%_[0-9_%]+'")
+    # % and _ translate outside a character class, never inside one
+    assert "RLIKE '^(?:ab.*.[0-9_%]+)$'" in out
+    assert "(NOT (name RLIKE" in rewrite(
+        "SELECT 1 WHERE name NOT SIMILAR TO '%(b|d)%'"
+    )
+    # escaped wildcard stays a literal % (not translated to .*)
+    assert "RLIKE '^(?:a%b)$'" in rewrite(r"SELECT 1 WHERE s SIMILAR TO 'a\%b'")
+
+
+def test_is_distinct_from_executes(spark):
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    rows = spark.sql(
+        rewrite(
+            "SELECT x IS DISTINCT FROM y AS d, x IS NOT DISTINCT FROM y AS nd "
+            "FROM VALUES (1, 1), (1, NULL), (CAST(NULL AS INT), NULL) t(x, y)"
+        )
+    ).collect()
+    assert [(r.d, r.nd) for r in rows] == [
+        (False, True), (True, False), (False, True),
+    ]

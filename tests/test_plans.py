@@ -278,3 +278,27 @@ def test_phash_band_joins_never_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "multimodal_phash_near_dup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_forced_broadcast_on_linear_growth_tables():
+    """Broadcast-policy lint: F.broadcast() may only be forced on
+    scale-invariant frames (nation/region — 25/5 rows at any SF) or
+    1-row scalar aggregates. A forced broadcast on customer/supplier/
+    part (or a per-key aggregate over them) works at bench SF and OOMs
+    the driver at 100 TB — the planner/AQE must make that call from
+    actual sizes instead."""
+    import pathlib
+    import re
+
+    qdir = pathlib.Path(__file__).resolve().parent.parent / (
+        "warehouse_pg_spark/queries"
+    )
+    forbidden = re.compile(
+        r"F\.broadcast\(\s*(cust|supp|part|asia_supp|best|bad_supp|avg_qty)\s*[),]"
+    )
+    hits = []
+    for f in sorted(qdir.glob("*.py")):
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if forbidden.search(line):
+                hits.append(f"{f.name}:{i}: {line.strip()}")
+    assert not hits, "forced broadcast on linear-growth frame:\n" + "\n".join(hits)

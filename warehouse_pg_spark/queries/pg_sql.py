@@ -660,3 +660,62 @@ def pgsql_jsonpath_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_id
         """,
     )
+
+
+@register(
+    "pgsql_is_distinct_from",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE NULLIF(o_orderstatus, 'F') IS DISTINCT FROM 'O'
+      AND o_orderpriority IS NOT DISTINCT FROM NULLIF(o_orderpriority, '')
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    tags=("dialect", "functions"),
+)
+def pgsql_is_distinct_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG `IS [NOT] DISTINCT FROM` null-safe comparison (gram.y a_expr,
+    execExprInterp.c) lowered to Spark's `<=>` operator — NULLIF
+    synthesizes NULLs so the null-vs-value branches are exercised."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE NULLIF(o_orderstatus, 'F') IS DISTINCT FROM 'O'
+          AND o_orderpriority IS NOT DISTINCT FROM NULLIF(o_orderpriority, '')
+        GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderstatus, o_orderpriority
+        """,
+    )
+
+
+@register(
+    "pgsql_similar_to",
+    oracle="""
+    SELECT p_type, COUNT(*) AS n
+    FROM part
+    WHERE regexp_matches(p_type, '^(?:(ECO|STA).*)$')
+      AND NOT regexp_matches(p_name, '^(?:part#.*[13579])$')
+    GROUP BY p_type ORDER BY p_type
+    """,
+    tags=("dialect", "regex"),
+)
+def pgsql_similar_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG `[NOT] SIMILAR TO` SQL-regex (like_support.c similar_escape):
+    % → .* and _ → . with regex metachars live, anchored both ends —
+    lowered to RLIKE. The DuckDB oracle spells the translated regex
+    directly since DuckDB's SIMILAR TO is plain regex (no %/_)."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p_type, count(*) AS n
+        FROM part
+        WHERE p_type SIMILAR TO '(ECO|STA)%'
+          AND p_name NOT SIMILAR TO 'part#%[13579]'
+        GROUP BY p_type ORDER BY p_type
+        """,
+    )

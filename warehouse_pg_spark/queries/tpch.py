@@ -11,10 +11,16 @@ columns. Each exercises a SURVEY §2 operator cluster:
   q6  — scan-dominant filter → scalar agg
   q10 — outer fact join + group by many keys → top-K
 
-Scale notes: lineitem is the only big table; all dims are
-broadcast-joined (replicated-table analogue). At 100 TB, lineitem joins
-shuffle-hash on l_orderkey = o_orderkey — the catalog's hash
-distribution hints keep those co-partitioned if tables are bucketed.
+Scale notes: lineitem is the only big table. Broadcast policy:
+F.broadcast() is FORCED only for dims whose size is scale-invariant
+(nation, region: 25/5 rows at any SF) or provably tiny (scalar
+subquery results). Linear-growth tables (customer, supplier, part)
+carry no hint — the static planner / AQE broadcasts them while their
+actual size is under spark.sql.autoBroadcastJoinThreshold and falls
+back to shuffle joins at 100 TB, where forcing the broadcast would
+OOM the driver. At 100 TB, lineitem joins shuffle-hash on
+l_orderkey = o_orderkey — the catalog's hash distribution hints keep
+those co-partitioned if tables are bucketed.
 """
 
 from __future__ import annotations
@@ -112,7 +118,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(_disc_price(), 4).alias("revenue"))
         .select(
@@ -154,9 +160,9 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -226,7 +232,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(_disc_price(), 4).alias("revenue"))

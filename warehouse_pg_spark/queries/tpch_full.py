@@ -28,11 +28,15 @@ TESTDATA.md), while preserving each query's characteristic plan shape:
 
 Scale notes (100 TB): lineitem is the fact; joins to orders shuffle on
 orderkey (co-partitioned if both bucketed by orderkey via the catalog's
-DISTRIBUTED BY hints). part/supplier/nation/region/customer are
-broadcast — at production scale customer may exceed the broadcast
-threshold, and AQE will fall back to shuffle join automatically; the
-`broadcast()` hints here mirror the reference's replicated-table locus
-(cdbpathlocus.h CdbLocusType_Replicated). Self-joins of lineitem (q21)
+DISTRIBUTED BY hints). Broadcast policy: `F.broadcast()` is forced only
+where the size is scale-INVARIANT — nation/region (25/5 rows at any SF,
+the reference's replicated-table locus, cdbpathlocus.h
+CdbLocusType_Replicated) and 1-row scalar frames (q11 threshold, q15
+max_rev, q22 avg_bal). Linear-growth tables (customer, supplier, part)
+and per-key aggregates over them carry NO hint: the static planner /
+AQE broadcasts them while they fit under
+spark.sql.autoBroadcastJoinThreshold and falls back to a shuffle join
+at 100 TB, where a forced broadcast would OOM. Self-joins of lineitem (q21)
 reuse one scan and shuffle on l_orderkey for all three branches, so the
 exchange is shared (ReuseExchange).
 """
@@ -97,17 +101,17 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     pairs = li.join(
-        F.broadcast(asia_supp), li.l_suppkey == asia_supp.s_suppkey
+        asia_supp, li.l_suppkey == asia_supp.s_suppkey
     ).select("l_partkey", "s_acctbal", "s_name", "n_name")
     best = pairs.groupBy("l_partkey").agg(F.max("s_acctbal").alias("max_bal"))
     return (
         pairs.join(
-            F.broadcast(best),
+            best,
             (pairs.l_partkey == best.l_partkey)
             & (pairs.s_acctbal == best.max_bal),
         )
         .drop(best.l_partkey)
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .select(
             dec("s_acctbal").alias("s_acctbal"),
             "s_name",
@@ -198,8 +202,8 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = F.col("cust_nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .filter(
@@ -259,10 +263,10 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("volume")
     zero = F.lit(0).cast("decimal(38,4)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .join(F.broadcast(region), F.col("n2_rkey") == region.r_regionkey)
@@ -315,9 +319,9 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         * dec("l_quantity", "decimal(12,2)")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -356,7 +360,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     base = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_extendedprice")).alias("value_raw"))
@@ -467,7 +471,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _disc_price().cast("decimal(38,4)")
     zero = F.lit(0).cast("decimal(38,4)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100).cast("double")
@@ -511,7 +515,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(max_rev),
             revenue.total_revenue == max_rev.max_revenue,
         )
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -544,8 +548,8 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -573,8 +577,8 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(avg_qty), li.l_partkey == F.col("ak"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ak"))
         .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
         .agg(
             (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
@@ -614,7 +618,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
         .join(li, orders.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("sum_qty"))
         .select(
@@ -656,7 +660,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((br == "Brand#33") & q.between(20, 40) & sz.between(1, 25))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(dsum(_disc_price(), 4).alias("revenue"))
     )
@@ -688,7 +692,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     movers = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 300)
@@ -762,7 +766,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        only_late.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        only_late.join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

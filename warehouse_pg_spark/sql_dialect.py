@@ -14,6 +14,8 @@ in the reference regress corpus but aren't Spark SQL:
   j @? 'path' / j @@ 'pred' -> get_json_object / exists() predicates
                            (jsonpath_exec.c subset: member chains,
                            ? (@ OP v) filters, [*] wildcards)
+  a IS [NOT] DISTINCT FROM b -> [NOT] (a <=> b)  (null-safe equality)
+  s [NOT] SIMILAR TO 'pat'  -> RLIKE with %→.* _→. anchored translation
   a && b                -> arrays_overlap(a, b)
   ORDER BY x [ASC|DESC] -> explicit NULLS LAST/FIRST injected per item
                            (PG defaults ASC NULLS LAST, gram.y
@@ -135,6 +137,67 @@ _ARR_CONTAINED_RE = re.compile(rf"({_ARR_OPERAND})\s*<@\s*({_ARR_OPERAND})")
 _ARR_OVERLAP_RE = re.compile(rf"({_ARR_OPERAND})\s*&&\s*({_ARR_OPERAND})")
 
 _DECODE_RE = re.compile(r"\bDECODE\s*\(([^()]*)\)", re.IGNORECASE)
+
+# IS [NOT] DISTINCT FROM (gram.y a_expr DISTINCT FROM; execExprInterp.c
+# null-safe comparison) → Spark's null-safe equality operator <=>.
+_DISTINCT_OPERAND = rf"(?:{_LIT}|[\w.]+\([^()]*\)|[\w.]+|\([^()]*\))"
+_DISTINCT_FROM_RE = re.compile(
+    rf"({_DISTINCT_OPERAND})\s+IS\s+(NOT\s+)?DISTINCT\s+FROM\s+"
+    rf"({_DISTINCT_OPERAND})",
+    re.IGNORECASE,
+)
+
+# [NOT] SIMILAR TO (like_support.c similar_escape): SQL-regex where
+# % → .* and _ → . while regex metachars ( | * + ? [ ] ) work as-is;
+# anchored both ends. Lowered to RLIKE with a translated pattern.
+_SIMILAR_TO_RE = re.compile(
+    rf"({_DISTINCT_OPERAND})\s+(NOT\s+)?SIMILAR\s+TO\s+({_LIT})",
+    re.IGNORECASE,
+)
+
+
+def _similar_to_regex(pat: str) -> str:
+    """Translate a SQL SIMILAR TO pattern to an anchored Java regex."""
+    out = []
+    in_class = False
+    i, n = 0, len(pat)
+    while i < n:
+        ch = pat[i]
+        if ch == "\\" and i + 1 < n:  # escape: next char is literal
+            out.append(re.escape(pat[i + 1]))
+            i += 2
+            continue
+        if in_class:
+            out.append(ch)
+            in_class = ch != "]"
+        elif ch == "[":
+            out.append(ch)
+            in_class = True
+        elif ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(ch)
+        i += 1
+    return "^(?:" + "".join(out) + ")$"
+
+
+def _rewrite_distinct_similar(sql: str, lits: list[str]) -> str:
+    def sub_distinct(m: re.Match) -> str:
+        a, neg, b = m.groups()
+        eq = f"({a} <=> {b})"
+        return eq if neg else f"(NOT {eq})"
+
+    def sub_similar(m: re.Match) -> str:
+        lhs, neg, tok = m.groups()
+        rx = _new_lit(_similar_to_regex(_lit_value(tok, lits)), lits)
+        expr = f"{lhs} RLIKE {rx}"
+        return f"(NOT ({expr}))" if neg else f"({expr})"
+
+    sql = _DISTINCT_FROM_RE.sub(sub_distinct, sql)
+    return _SIMILAR_TO_RE.sub(sub_similar, sql)
+
 
 # jsonpath predicate operators (jsonpath_exec.c executeJsonPath):
 #   j @? 'path'        jsonb_path_exists  — any item at path?
@@ -447,6 +510,9 @@ def rewrite(sql: str) -> str:
 
     # jsonpath predicates @? / @@ (jsonpath_exec.c subset)
     out = _rewrite_jsonpath(out, lits)
+
+    # IS [NOT] DISTINCT FROM / [NOT] SIMILAR TO
+    out = _rewrite_distinct_similar(out, lits)
 
     # POSIX regex matches → RLIKE
     out = _rewrite_regex_match(out, lits)
