@@ -452,3 +452,44 @@ def test_asof_forward_and_nearest(spark, asof_frames):
     assert rows[(1, 5)] == 101.0   # 2 min forward beats 3 min back
     assert rows[(1, 6)] == 101.0   # exact hit
     assert rows[(2, 7)] == 200.0   # only forward exists
+
+
+def test_xpath_modes_and_malformed_xml(spark):
+    """xpath() element/text/attr modes (xml.c:4245) + malformed-doc
+    skip; xmlagg unordered form."""
+    from warehouse_pg_spark.functions.xml import xmlagg, xpath
+
+    df = spark.createDataFrame(
+        [
+            (1, '<r><a k="x"><b>t1</b></a><a k="y"><b>t2</b></a></r>'),
+            (2, "<r></r>"),
+            (3, "not-xml"),
+            (4, None),
+        ],
+        ["id", "doc"],
+    )
+    rows = {
+        r.id: (r.els, r.txt, r.attrs)
+        for r in df.select(
+            "id",
+            xpath("doc", "a").alias("els"),
+            xpath("doc", "a/b/text()").alias("txt"),
+            xpath("doc", "a/@k").alias("attrs"),
+        ).collect()
+    }
+    assert rows[1][1] == ["t1", "t2"]
+    assert rows[1][2] == ["x", "y"]
+    assert rows[1][0][0].startswith('<a k="x">')
+    assert rows[2] == ([], [], [])
+    assert rows[3] == ([], [], [])  # malformed: empty, not error
+    assert rows[4] == (None, None, None)
+
+    agg = (
+        df.filter(df.id == 1)
+        .select(xpath("doc", "a/b/text()").alias("t"))
+        .select(F.explode("t").alias("t"))
+        .agg(xmlagg("t").alias("x"))
+        .collect()[0]
+        .x
+    )
+    assert agg == "t1t2"

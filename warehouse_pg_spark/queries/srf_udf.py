@@ -339,3 +339,70 @@ def tablefunc_xmltable(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         keep=("o_orderkey",),
     )
+
+
+@register(
+    "fn_xpath_extract",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS tag1,
+           o_orderstatus AS tag2,
+           CAST(2 AS BIGINT) AS n_lines,
+           TRUE AS has_line2
+    FROM orders WHERE o_orderkey < 300
+    """,
+    tags=("functions", "xml"),
+)
+def fn_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG xpath()/xpath_exists() (utils/adt/xml.c:4245): serialize each
+    order to XML, extract child text, and probe a predicate path — the
+    whole round-trip value-checked against the source columns. The
+    xpath UDF is one Arrow-batched map over the scan; everything after
+    (element_at, size) is Catalyst."""
+    from warehouse_pg_spark.functions.xml import xpath, xpath_exists
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    doc = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey"),
+        F.lit('"><line no="1"><tag>'),
+        F.col("o_orderpriority"),
+        F.lit('</tag></line><line no="2"><tag>'),
+        F.col("o_orderstatus"),
+        F.lit("</tag></line></order>"),
+    )
+    d = o.select("o_orderkey", doc.alias("doc"))
+    tags = xpath("doc", "line/tag/text()")
+    return d.select(
+        "o_orderkey",
+        F.element_at(tags, 1).alias("tag1"),
+        F.element_at(tags, 2).alias("tag2"),
+        F.size(xpath("doc", "line/@no")).cast("bigint").alias("n_lines"),
+        xpath_exists("doc", "line[@no='2']").alias("has_line2"),
+    )
+
+
+@register(
+    "agg_xmlagg_members",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg('<n name="' || n_name || '"/>', '' ORDER BY n_name)
+               AS members_xml
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    tags=("ordered-agg", "xml"),
+)
+def agg_xmlagg_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG xmlagg(frag ORDER BY k) (xml.c; pg_proc xmlagg): XML fragment
+    concatenation per group — pure JVM collect/sort/join, no Python on
+    the aggregation path."""
+    from warehouse_pg_spark.functions.xml import xmlagg
+
+    n = table(spark, sf_dir, "nation")
+    frag = F.concat(F.lit('<n name="'), F.col("n_name"), F.lit('"/>'))
+    return (
+        n.select("n_regionkey", frag.alias("frag"), "n_name")
+        .groupBy("n_regionkey")
+        .agg(xmlagg("frag", "n_name").alias("members_xml"))
+        .orderBy("n_regionkey")
+    )
