@@ -207,3 +207,22 @@ def test_is_distinct_from_executes(spark):
     assert [(r.d, r.nd) for r in rows] == [
         (False, True), (True, False), (False, True),
     ]
+
+
+def test_overlaps_rewrite():
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    out = rewrite("SELECT 1 WHERE (a, b) OVERLAPS (c, d)")
+    assert "least(a, b) < greatest(c, d)" in out
+    assert "least(c, d) < greatest(a, b)" in out
+    # reversed bounds still overlap (PG normalizes each pair)
+    from warehouse_pg_spark.session import SessionConfig, get_spark
+
+    spark = get_spark(SessionConfig())
+    r = spark.sql(
+        rewrite(
+            "SELECT (DATE '2020-01-10', DATE '2020-01-01') "
+            "OVERLAPS (DATE '2020-01-05', DATE '2020-01-20') AS o"
+        )
+    ).collect()[0].o
+    assert r is True

@@ -302,3 +302,16 @@ def test_no_forced_broadcast_on_linear_growth_tables():
             if forbidden.search(line):
                 hits.append(f"{f.name}:{i}: {line.strip()}")
     assert not hits, "forced broadcast on linear-growth frame:\n" + "\n".join(hits)
+
+
+def test_passage_dedup_is_agg_not_window(spark, sf_dir):
+    """Passage dedup must reduce first-occurrence via partial-aggregated
+    groupBy (hot boilerplate passages collapse map-side), never a
+    window over the passage key (which would pile every duplicate of a
+    hot passage into one partition) — and never a cartesian."""
+    plan = plan_of(spark, sf_dir, "text_passage_dedup", "simple")
+    assert "partial_min" in plan or "partial" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan

@@ -56,6 +56,18 @@ def age_months(a: Column, b: Column) -> Column:
     return F.floor(F.months_between(a, b)).cast("long")
 
 
+def array_replace(arr: Column | str, frm, to) -> Column:
+    """PG array_replace(arr, from, to) (arrayfuncs.c array_replace):
+    every element equal to `from` (NULL-safely — a NULL `from` replaces
+    NULL elements, per PG) becomes `to`. Pure transform(), codegen'd."""
+    arr_c = F.col(arr) if isinstance(arr, str) else arr
+    frm_c = frm if isinstance(frm, Column) else F.lit(frm)
+    to_c = to if isinstance(to, Column) else F.lit(to)
+    return F.transform(
+        arr_c, lambda x: F.when(x.eqNullSafe(frm_c), to_c).otherwise(x)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL scalar UDF registration (PG spellings valid inside engine.sql())
 # ---------------------------------------------------------------------------

@@ -426,3 +426,30 @@ def agg_hypothetical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bit_and(o_custkey) AS BIGINT) AS k_and,
+           CAST(bit_or(o_custkey) AS BIGINT) AS k_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS k_xor
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("agg", "bitwise"),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG bit_and/bit_or aggregates (numeric.c int8and/int8or; pg_proc
+    bit_and/bit_or) + xor — Spark's builtin bit aggregates, straight
+    partial/final pipeline."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("bit_and(o_custkey)").cast("bigint").alias("k_and"),
+            F.expr("bit_or(o_custkey)").cast("bigint").alias("k_or"),
+            F.expr("bit_xor(o_orderkey)").cast("bigint").alias("k_xor"),
+        )
+        .orderBy("o_orderstatus")
+    )

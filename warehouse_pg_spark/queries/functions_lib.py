@@ -868,3 +868,31 @@ def fn_encode_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("c_name").alias("md"),
         F.octet_length("c_name").cast("long").alias("n_bytes"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "fn_array_replace",
+    oracle="""
+    SELECT n_nationkey,
+           array_to_string(list_transform(
+             string_split(n_name, 'A'),
+             x -> CASE WHEN x = '' THEN '_' ELSE x END
+           ), '|') AS parts
+    FROM nation ORDER BY n_nationkey
+    """,
+    tags=("functions", "arrays"),
+)
+def fn_array_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG array_replace (arrayfuncs.c array_replace): split each nation
+    name on 'A' and replace empty fragments — transform() lambda, fully
+    codegen'd, no UDF. LIST output stringified on both sides (parity
+    channel convention)."""
+    from warehouse_pg_spark.functions.pg import array_replace
+
+    n = table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.array_join(
+            array_replace(F.split("n_name", "A"), "", "_"), "|"
+        ).alias("parts"),
+    ).orderBy("n_nationkey")

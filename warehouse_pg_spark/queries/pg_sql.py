@@ -719,3 +719,32 @@ def pgsql_similar_to(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_type ORDER BY p_type
         """,
     )
+
+
+@register(
+    "pgsql_overlaps_predicate",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-02-01'
+      AND TIMESTAMP '1997-01-01' < o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("dialect", "datetime"),
+)
+def pgsql_overlaps_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL `(s1, e1) OVERLAPS (s2, e2)` (gram.y a_expr OVERLAPS;
+    timestamp.c overlaps_timestamp) — rewritten to the normalized
+    half-open interval predicate; the oracle spells that predicate
+    directly (each order's 30-day window vs January 1997)."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE (o_orderdate, o_orderdate + INTERVAL '30' DAY)
+              OVERLAPS (TIMESTAMP '1997-01-01', TIMESTAMP '1997-02-01')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    )

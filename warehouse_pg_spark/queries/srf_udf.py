@@ -406,3 +406,22 @@ def agg_xmlagg_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(xmlagg("frag", "n_name").alias("members_xml"))
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "srf_regexp_split_to_table",
+    oracle="""
+    SELECT doc_id, unnest(string_split_regex(text, '[^A-Za-z0-9]+')) AS tok
+    FROM documents WHERE doc_id < 50
+    """,
+    tags=("srf", "regex"),
+)
+def srf_regexp_split_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG regexp_split_to_table(text, pat) set-returning function
+    (utils/adt/regexp.c:1423) — explode(split(...)): the split stays in
+    codegen, the SRF expansion is Spark's generator, no Python."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.explode(F.split("text", "[^A-Za-z0-9]+")).alias("tok"),
+    )

@@ -628,3 +628,78 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_bigram_frac"),
         nt.cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "text_passage_dedup",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, ci, array_to_string(l[ci*10+1 : ci*10+10], ' ') AS passage
+      FROM words, unnest(range(CAST(ceil(len(l)/10.0) AS BIGINT))) AS t(ci)
+    ),
+    firsts AS (
+      SELECT passage, MIN(doc_id * 100000 + ci) AS fk
+      FROM chunks GROUP BY passage
+    )
+    SELECT c.doc_id,
+           string_agg(c.passage, ' ' ORDER BY c.ci) AS dedup_text,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM chunks c
+    JOIN firsts f
+      ON c.passage = f.passage AND c.doc_id * 100000 + c.ci = f.fk
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (the C4/RefinedWeb line-dedup shape):
+    chunk each document into consecutive 10-word passages, keep only
+    each passage's FIRST corpus-wide occurrence (min (doc_id, pos)),
+    and rebuild the surviving text in order.
+
+    Scale design: first-occurrence is a groupBy(passage).min — a
+    partial-aggregatable reduction, deliberately NOT a window over the
+    passage key: a passage duplicated millions of times (boilerplate,
+    the exact thing this op removes) would pile into one window
+    partition, while map-side combine collapses it to one row per
+    partition before the shuffle. Two shuffles total (passage agg +
+    doc_id rebuild), both on high-cardinality keys.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select("doc_id", F.split("text", " ").alias("l"))
+    n_chunks = F.ceil(F.size("l") / F.lit(10.0)).cast("int")
+    chunks = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice("l", i * 10 + 1, 10), " "),
+            )
+        ).alias("ci", "passage"),
+    )
+    okey = (F.col("doc_id") * 100000 + F.col("ci")).alias("okey")
+    keyed = chunks.select("doc_id", "ci", "passage", okey)
+    firsts = keyed.groupBy("passage").agg(F.min("okey").alias("fk")).select(
+        F.col("passage").alias("f_passage"), "fk"
+    )
+    kept = keyed.join(
+        firsts,
+        (keyed.passage == firsts.f_passage) & (keyed.okey == firsts.fk),
+    ).select("doc_id", "ci", "passage")
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ci").alias("k"), F.col("passage").alias("v")))
+        ),
+        lambda s: s.getField("v"),
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(ordered, " ").alias("dedup_text"),
+            F.count("*").alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -138,6 +138,27 @@ _ARR_OVERLAP_RE = re.compile(rf"({_ARR_OPERAND})\s*&&\s*({_ARR_OPERAND})")
 
 _DECODE_RE = re.compile(r"\bDECODE\s*\(([^()]*)\)", re.IGNORECASE)
 
+# (s1, e1) OVERLAPS (s2, e2) (gram.y a_expr OVERLAPS; timestamp.c
+# overlaps_timestamp): each pair is normalized so start <= end, then
+# the intervals overlap iff s1 < e2 AND s2 < e1 (half-open semantics).
+_OVERLAPS_RE = re.compile(
+    r"\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)\s+"
+    r"OVERLAPS\s+\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_overlaps(sql: str) -> str:
+    def sub(m: re.Match) -> str:
+        s1, e1, s2, e2 = (g.strip() for g in m.groups())
+        return (
+            f"(least({s1}, {e1}) < greatest({s2}, {e2}) "
+            f"AND least({s2}, {e2}) < greatest({s1}, {e1}))"
+        )
+
+    return _OVERLAPS_RE.sub(sub, sql)
+
+
 # IS [NOT] DISTINCT FROM (gram.y a_expr DISTINCT FROM; execExprInterp.c
 # null-safe comparison) → Spark's null-safe equality operator <=>.
 _DISTINCT_OPERAND = rf"(?:{_LIT}|[\w.]+\([^()]*\)|[\w.]+|\([^()]*\))"
@@ -513,6 +534,9 @@ def rewrite(sql: str) -> str:
 
     # IS [NOT] DISTINCT FROM / [NOT] SIMILAR TO
     out = _rewrite_distinct_similar(out, lits)
+
+    # (s1, e1) OVERLAPS (s2, e2)
+    out = _rewrite_overlaps(out)
 
     # POSIX regex matches → RLIKE
     out = _rewrite_regex_match(out, lits)
