@@ -595,3 +595,54 @@ def test_dialect_decode_rewrite(engine):
         "SELECT DECODE(c_mktsegment, 'BUILDING', 1, 0) AS is_b FROM customer LIMIT 5"
     )
     assert set(r.is_b for r in df.collect()) <= {0, 1}
+
+
+def test_prepare_execute_deallocate(engine):
+    """PREPARE/EXECUTE/DEALLOCATE (commands/prepare.c): $n parameter
+    substitution, re-PREPARE error, EXECUTE-after-DEALLOCATE error."""
+    import pytest
+
+    engine.sql("DEALLOCATE ALL")
+    engine.sql(
+        "PREPARE ord_by_prio (text, int8) AS "
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_orderpriority = $1 AND o_orderkey < $2"
+    )
+    n_all = engine.sql(
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 1000"
+    ).collect()[0].n
+    got = engine.sql("EXECUTE ord_by_prio ('1-URGENT', 1000)").collect()[0].n
+    assert got == n_all
+    with pytest.raises(ValueError, match="already exists"):
+        engine.sql("PREPARE ord_by_prio AS SELECT 1")
+    engine.sql("DEALLOCATE ord_by_prio")
+    with pytest.raises(KeyError, match="does not exist"):
+        engine.sql("EXECUTE ord_by_prio (1)")
+
+
+def test_set_show_gucs(engine):
+    """SET/SHOW session GUCs (guc.c): arbitrary GUCs round-trip,
+    timezone maps onto the live Spark conf, SHOW of an unknown GUC
+    errors like PG, and Spark's own SHOW TABLES / SET spark.* still
+    pass through."""
+    import pytest
+
+    engine.sql("SET work_mem = '256MB'")
+    assert engine.sql("SHOW work_mem").collect()[0][0] == "256MB"
+    engine.sql("SET search_path TO public")
+    assert engine.sql("SHOW search_path").collect()[0][0] == "public"
+    tz0 = engine.spark.conf.get("spark.sql.session.timeZone")
+    try:
+        engine.sql("SET timezone = 'UTC'")
+        assert engine.spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert engine.sql("SHOW timezone").collect()[0][0] == "UTC"
+    finally:
+        engine.spark.conf.set("spark.sql.session.timeZone", tz0)
+    with pytest.raises(KeyError, match="unrecognized"):
+        engine.sql("SHOW definitely_not_a_guc")
+    # Spark surfaces unharmed
+    engine.sql("SHOW TABLES")
+    engine.sql("SET spark.sql.shuffle.partitions=32")
+    names = {r.name for r in engine.sql("SHOW ALL").collect()}
+    assert "work_mem" in names

@@ -315,3 +315,12 @@ def test_passage_dedup_is_agg_not_window(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_incremental_lsh_band_join_is_hash(spark, sf_dir):
+    """Incremental corpus dedup: the batch→corpus band join must be a
+    hash join on the band key (per-ingest cost scales with the batch),
+    never a cartesian expansion."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental_lsh", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -103,6 +103,21 @@ _ALTER_SEQ_RE = re.compile(
 _EXPLAIN_ANALYZE_RE = re.compile(
     r"^EXPLAIN\s+ANALYZE\s+(.*)$", re.IGNORECASE | re.DOTALL
 )
+_PREPARE_RE = re.compile(
+    r"^PREPARE\s+(\w+)\s*(?:\(([^)]*)\))?\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXECUTE_STMT_RE = re.compile(
+    r"^EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*$", re.IGNORECASE | re.DOTALL
+)
+_DEALLOCATE_RE = re.compile(
+    r"^DEALLOCATE\s+(?:PREPARE\s+)?(\w+|ALL)\s*$", re.IGNORECASE
+)
+_SET_GUC_RE = re.compile(
+    r"^SET\s+(?:SESSION\s+|LOCAL\s+)?([\w.]+)\s*(?:=|\bTO\b)\s*(.+)$",
+    re.IGNORECASE,
+)
+_SHOW_GUC_RE = re.compile(r"^SHOW\s+([\w.]+|ALL)\s*$", re.IGNORECASE)
 _TRUNCATE_RE = re.compile(
     r"^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$", re.IGNORECASE
 )
@@ -204,6 +219,12 @@ class Engine:
         # table -> list of column tuples from advisory CREATE INDEX
         # statements (candidate Z-order / sort keys).
         self._index_hints: dict[str, list[tuple[str, ...]]] = {}
+        # PREPARE name AS <body with $n params> (commands/prepare.c) —
+        # body stored raw; EXECUTE substitutes and re-enters sql().
+        self._prepared: dict[str, str] = {}
+        # session GUCs (SET/SHOW, guc.c): stored verbatim; timezone maps
+        # onto the live Spark session conf.
+        self._gucs: dict[str, str] = {}
         register_pg_functions(self.spark)
 
     # ---------------------------------------------------------------- query
@@ -212,6 +233,9 @@ class Engine:
         seq = self._maybe_sequence(text)
         if seq is not None:
             return seq
+        sess = self._maybe_session_stmt(text)
+        if sess is not None:
+            return sess
         ea = _EXPLAIN_ANALYZE_RE.match(text.strip().rstrip(";"))
         if ea:
             return self._explain_analyze(ea.group(1))
@@ -290,6 +314,107 @@ class Engine:
         return self.spark.createDataFrame(
             [(ln,) for ln in lines], "`QUERY PLAN` string"
         )
+
+    # ------------------------------------------- prepared statements / GUCs
+    def _maybe_session_stmt(self, text: str) -> DataFrame | None:
+        """PREPARE/EXECUTE/DEALLOCATE (commands/prepare.c) and SET/SHOW
+        session GUCs (utils/misc/guc.c) — the session-protocol surface
+        every PG client drives."""
+        s = text.strip().rstrip(";").strip()
+        m = _PREPARE_RE.match(s)
+        if m:
+            name = m.group(1).lower()
+            # PG: re-PREPARE of a live name is an error (prepare.c)
+            if name in self._prepared:
+                raise ValueError(f'prepared statement "{name}" already exists')
+            self._prepared[name] = m.group(3).strip()
+            return self._tag(0)
+        m = _DEALLOCATE_RE.match(s)
+        if m:
+            name = m.group(1).lower()
+            if name == "all":
+                self._prepared.clear()
+            else:
+                self._prepared.pop(name, None)
+            return self._tag(0)
+        m = _EXECUTE_STMT_RE.match(s)
+        if m:
+            name = m.group(1).lower()
+            if name not in self._prepared:
+                # EXECUTE of an unknown name may be Spark's own EXECUTE
+                # IMMEDIATE etc. — only claim names we prepared.
+                if m.group(2) is None:
+                    return None
+                raise KeyError(f'prepared statement "{name}" does not exist')
+            body = self._prepared[name]
+            args = self._split_args(m.group(2) or "")
+            for i in range(len(args), 0, -1):  # $10 before $1
+                body = body.replace(f"${i}", args[i - 1])
+            return self.sql(body)
+        m = _SET_GUC_RE.match(s)
+        if m and not m.group(1).lower().startswith("spark."):
+            # spark.* keys fall through to Spark's own SET statement
+            key, val = m.group(1).lower(), m.group(2).strip().rstrip(";")
+            val = val.strip("'\"")
+            self._gucs[key] = val
+            if key in ("timezone", "time zone"):
+                self.spark.conf.set("spark.sql.session.timeZone", val)
+            return self._tag(0)
+        m = _SHOW_GUC_RE.match(s)
+        if m and m.group(1).upper() not in (
+            "TABLES", "DATABASES", "SCHEMAS", "NAMESPACES", "CATALOGS",
+            "VIEWS", "FUNCTIONS", "PARTITIONS", "COLUMNS", "TBLPROPERTIES",
+        ) and not m.group(1).lower().startswith("spark."):
+            key = m.group(1).lower()
+            if key == "all":
+                rows = sorted(self._gucs.items()) or [("", "")]
+                return self.spark.createDataFrame(
+                    rows, "name STRING, setting STRING"
+                )
+            if key in ("timezone", "time zone"):
+                val = self.spark.conf.get("spark.sql.session.timeZone")
+            else:
+                val = self._gucs.get(key)
+                if val is None:
+                    raise KeyError(f'unrecognized configuration parameter "{key}"')
+            return self.spark.createDataFrame([(val,)], f"{key} STRING")
+        return None
+
+    @staticmethod
+    def _split_args(raw: str) -> list[str]:
+        """Split EXECUTE argument list on top-level commas (quote- and
+        paren-aware)."""
+        args, buf, depth, q = [], [], 0, False
+        i, n = 0, len(raw)
+        while i < n:
+            ch = raw[i]
+            if q:
+                buf.append(ch)
+                if ch == "'":
+                    if i + 1 < n and raw[i + 1] == "'":
+                        buf.append("'")
+                        i += 1
+                    else:
+                        q = False
+            elif ch == "'":
+                q = True
+                buf.append(ch)
+            elif ch == "(":
+                depth += 1
+                buf.append(ch)
+            elif ch == ")":
+                depth -= 1
+                buf.append(ch)
+            elif ch == "," and depth == 0:
+                args.append("".join(buf).strip())
+                buf = []
+            else:
+                buf.append(ch)
+            i += 1
+        tail = "".join(buf).strip()
+        if tail:
+            args.append(tail)
+        return args
 
     # ----------------------------------------------------------- sequences
     def _maybe_sequence(self, text: str) -> DataFrame | None:

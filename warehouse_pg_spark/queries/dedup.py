@@ -462,3 +462,118 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS words
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM norm
+    ), sig AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL}
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band, h0 || h1 AS bval FROM sig UNION ALL
+      SELECT doc_id, 1, h2 || h3 FROM sig UNION ALL
+      SELECT doc_id, 2, h4 || h5 FROM sig UNION ALL
+      SELECT doc_id, 3, h6 || h7 FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bval = b.bval
+      WHERE a.doc_id >= 400 AND b.doc_id < 400
+    ), scored AS (
+      SELECT cand.batch_id, cand.corpus_id,
+             (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
+              CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
+              CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
+              CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END +
+              CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END +
+              CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END +
+              CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END +
+              CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) AS matches
+      FROM cand JOIN sig sa ON sa.doc_id = cand.batch_id
+                JOIN sig sb ON sb.doc_id = cand.corpus_id
+      WHERE (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
+             CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
+             CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
+             CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END +
+             CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END +
+             CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END +
+             CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END +
+             CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) >= 4
+    )
+    SELECT batch_id,
+           CAST(MAX(matches * 1000000 + corpus_id) % 1000000 AS BIGINT)
+               AS best_corpus_match,
+           ROUND(CAST(MAX(matches * 1000000 + corpus_id) // 1000000 AS BIGINT)
+                 / 8.0, 6) AS est_jaccard
+    FROM scored GROUP BY batch_id ORDER BY batch_id
+    """,
+    tags=("dedup", "minhash", "pipeline"),
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the production ingest form: an
+    incoming BATCH (doc_id >= 400) is near-dup-checked against the
+    existing CORPUS (doc_id < 400) only. The band join is
+    batch-bands ⋈ corpus-bands (hash join on (band, bval)), NEVER
+    corpus × corpus: at 100 TB the corpus signatures are a precomputed
+    table and per-ingest work scales with the batch, not the corpus.
+    Verdict per batch doc: its best corpus match (deterministic argmax
+    via the matches*1e6+id scalar encoding) at est_jaccard >= 0.5."""
+    par = spark.sparkContext.defaultParallelism
+    d = table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    sh = d.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    ).distinct()
+    sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols()).cache()
+
+    bands = None
+    for band in range(_NUM_HASHES // 2):
+        part = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.concat(F.col(f"h{2*band}"), F.col(f"h{2*band+1}")).alias("bval"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+
+    a = bands.filter(F.col("doc_id") >= 400).alias("a")   # incoming batch
+    b = bands.filter(F.col("doc_id") < 400).alias("b")    # existing corpus
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval")),
+        )
+        .select(
+            F.col("a.doc_id").alias("batch_id"),
+            F.col("b.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(_NUM_HASHES)
+    )
+    scored = (
+        cand.join(sa, F.col("batch_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("corpus_id") == F.col("sb.doc_id"))
+        .select("batch_id", "corpus_id", matches.alias("matches"))
+        .filter(F.col("matches") >= _NUM_HASHES // 2)
+    )
+    enc = F.max(F.col("matches") * 1000000 + F.col("corpus_id"))
+    return (
+        scored.groupBy("batch_id")
+        .agg(
+            (enc % 1000000).cast("bigint").alias("best_corpus_match"),
+            F.round((enc - enc % 1000000) / 1000000 / 8.0, 6).alias(
+                "est_jaccard"
+            ),
+        )
+        .orderBy("batch_id")
+    )
