@@ -222,7 +222,14 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "topk", "bench"),
 )
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10: returned-item revenue by customer, top 20."""
+    """TPC-H Q10: returned-item revenue by customer, top 20 — via LATE
+    MATERIALIZATION: revenue needs only lineitem ⋈ orders, and
+    c_custkey determines (c_name, c_acctbal, n_name), so aggregate by
+    the bare custkey (narrow bigint shuffle rows), take the top 20 on
+    the aggregate, and only then join the 20-row result (broadcast, the
+    scale-invariant side) to customer/nation for the display columns.
+    At 100 TB this removes an entire fact-side customer join and
+    shrinks the agg shuffle from 4 wide key columns to one bigint."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
@@ -230,12 +237,17 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = table(spark, sf_dir, "nation")
-    return (
+    top = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .groupBy("o_custkey")
         .agg(dsum(_disc_price(), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+        .limit(20)
+    )
+    return (
+        F.broadcast(top)
+        .join(cust, top.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select(
             "c_custkey",
             "c_name",
@@ -244,5 +256,4 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        .limit(20)
     )
