@@ -226,3 +226,54 @@ def test_overlaps_rewrite():
         )
     ).collect()[0].o
     assert r is True
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    sql=st.sampled_from(
+        [
+            "SELECT a::int4 FROM t WHERE j ->> 'k' = 'v'",
+            "SELECT 1 WHERE a IS DISTINCT FROM b AND s SIMILAR TO 'x%'",
+            "SELECT 1 WHERE props @? '$.k ? (@ > 5)' AND t ~ '^a'",
+            "SELECT 1 WHERE (a, b) OVERLAPS (c, d)",
+            "SELECT ARRAY[1,2] FROM t ORDER BY x DESC",
+            "SELECT string_agg(x, ',' ORDER BY x) FROM t",
+            "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC",
+        ]
+    )
+)
+def test_rewrite_is_idempotent(sql):
+    """rewrite(rewrite(x)) == rewrite(x): every lowered form must be a
+    fixed point — a rewrite that re-triggers on its own output would
+    corrupt SQL that round-trips through the engine twice (views,
+    prepared statements, matview definitions)."""
+    once = sql_dialect.rewrite(sql)
+    assert sql_dialect.rewrite(once) == once
+
+
+def test_with_ties_and_row_compare(spark):
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    out = rewrite(
+        "SELECT x FROM t ORDER BY x FETCH FIRST 2 ROWS WITH TIES"
+    )
+    assert "rank() OVER" in out and "__rk <= 2" in out
+    # plain FETCH ... ONLY unaffected
+    assert "LIMIT 3" in rewrite("SELECT x FROM t FETCH FIRST 3 ROWS ONLY")
+    out = rewrite("SELECT 1 WHERE (a, b) > (1, 2)")
+    assert "struct(a, b) > struct(1 AS a, 2 AS b)" in out
+    # executes: ties survive, keyset resumes
+    rows = spark.sql(
+        rewrite(
+            "SELECT x FROM VALUES (1),(2),(2),(3) t(x) "
+            "ORDER BY x FETCH FIRST 2 ROWS WITH TIES"
+        )
+    ).collect()
+    assert sorted(r.x for r in rows) == [1, 2, 2]
+    rows = spark.sql(
+        rewrite(
+            "SELECT a, b FROM VALUES (1,1),(1,2),(2,1) t(a, b) "
+            "WHERE (a, b) > (1, 1) ORDER BY a, b"
+        )
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, 2), (2, 1)]

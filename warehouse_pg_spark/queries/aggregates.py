@@ -453,3 +453,46 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "agg_percentile_approx",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_cont(CAST(l_quantity AS DECIMAL(18,2)), 0.5)
+                AS DOUBLE) AS exact_p50,
+           CAST(quantile_cont(CAST(l_quantity AS DECIMAL(18,2)), 0.95)
+                AS DOUBLE) AS exact_p95,
+           TRUE AS p50_close, TRUE AS p95_close
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "sketch", "percentile"),
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantile sketch (the t-digest/GK analogue of the
+    reference's ordered-set percentile path, orderedsetaggs.c):
+    percentile_approx is the 100-TB route — mergeable per-partition
+    sketches, no global sort — while exact percentile needs the full
+    ordered group. Contract mirrors the HLL entry: exact values plus
+    Spark-certified closeness booleans (±2% of the value range), so the
+    sketch is checkable without being bit-identical across engines."""
+    li = table(spark, sf_dir, "lineitem")
+    q = dec("l_quantity")
+    span = F.max(q) - F.min(q)
+    close = lambda p: (  # noqa: E731
+        F.abs(
+            F.percentile_approx(q, p, 10000).cast("double")
+            - F.percentile(q, p).cast("double")
+        )
+        <= 0.02 * span.cast("double")
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(q, 0.5).cast("double").alias("exact_p50"),
+            F.percentile(q, 0.95).cast("double").alias("exact_p95"),
+            close(0.5).alias("p50_close"),
+            close(0.95).alias("p95_close"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -748,3 +748,64 @@ def pgsql_overlaps_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
     )
+
+
+@register(
+    "pgsql_fetch_with_ties",
+    oracle="""
+    SELECT l_orderkey, l_quantity FROM (
+      SELECT l_orderkey, l_quantity,
+             RANK() OVER (ORDER BY l_quantity DESC) AS rk
+      FROM lineitem WHERE l_orderkey < 1000
+    ) t WHERE rk <= 10 ORDER BY l_quantity DESC, l_orderkey
+    """,
+    tags=("dialect", "limit", "sort"),
+)
+def pgsql_fetch_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG 13 `FETCH FIRST n ROWS WITH TIES` (gram.y
+    LIMIT_OPTION_WITH_TIES) — rows tying with the n-th survive the
+    limit; lowered to a rank() window. Output re-sorted for the compare
+    channel."""
+    from pyspark.sql import functions as F
+
+    df = _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_orderkey, l_quantity
+        FROM lineitem WHERE l_orderkey < 1000
+        ORDER BY l_quantity DESC
+        FETCH FIRST 10 ROWS WITH TIES
+        """,
+    )
+    return df.orderBy(F.col("l_quantity").desc(), F.col("l_orderkey"))
+
+
+@register(
+    "pgsql_keyset_pagination",
+    oracle="""
+    SELECT o_orderdate, o_orderkey, o_totalprice
+    FROM orders
+    WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '1997-06-01', 2000)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 25
+    """,
+    tags=("dialect", "sort", "limit"),
+)
+def pgsql_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG row-wise comparison for keyset pagination (gram.y row expr;
+    rowtypes.c row_gt) — `(k1, k2) > (v1, v2)` resumes an ordered scan
+    after the last-seen key. Spark compares the row constructor
+    natively; at 100 TB this is THE stateless pagination pattern (no
+    OFFSET re-scan)."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderdate, o_orderkey, o_totalprice
+        FROM orders
+        WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '1997-06-01', 2000)
+        ORDER BY o_orderdate, o_orderkey
+        LIMIT 25
+        """,
+    )

@@ -16,6 +16,9 @@ in the reference regress corpus but aren't Spark SQL:
                            ? (@ OP v) filters, [*] wildcards)
   a IS [NOT] DISTINCT FROM b -> [NOT] (a <=> b)  (null-safe equality)
   s [NOT] SIMILAR TO 'pat'  -> RLIKE with %→.* _→. anchored translation
+  (s1,e1) OVERLAPS (s2,e2)  -> normalized half-open interval predicate
+  (k1,k2) > (v1,v2)         -> struct comparison with aligned field names
+  FETCH FIRST n ROWS WITH TIES -> rank() window (ties survive the limit)
   a && b                -> arrays_overlap(a, b)
   ORDER BY x [ASC|DESC] -> explicit NULLS LAST/FIRST injected per item
                            (PG defaults ASC NULLS LAST, gram.y
@@ -146,6 +149,28 @@ _OVERLAPS_RE = re.compile(
     r"OVERLAPS\s+\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
     re.IGNORECASE,
 )
+
+
+# Row-wise comparison (gram.y row expr; rowtypes.c row_gt/row_lt):
+# `(k1, k2) > (v1, v2)` — the keyset-pagination predicate. Spark
+# compares structs lexicographically but requires matching field
+# names, so the literal side's fields are aliased to the column side's.
+_ROW_CMP_RE = re.compile(
+    rf"\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\)\s*(<=|>=|<|>)\s*"
+    rf"\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)"
+)
+
+
+def _rewrite_row_compare(sql: str) -> str:
+    def sub(m: re.Match) -> str:
+        a, b, op, v1, v2 = (g.strip() for g in m.groups())
+        an, bn = a.split(".")[-1], b.split(".")[-1]
+        return (
+            f"(struct({a}, {b}) {op} "
+            f"struct({v1} AS {an}, {v2} AS {bn}))"
+        )
+
+    return _ROW_CMP_RE.sub(sub, sql)
 
 
 def _rewrite_overlaps(sql: str) -> str:
@@ -364,6 +389,30 @@ def _rewrite_distinct_on(sql: str) -> str:
     )
 
 
+_WITH_TIES_RE = re.compile(
+    r"^(.*)\bORDER\s+BY\s+(.+?)\s+"
+    r"FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+WITH\s+TIES\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_with_ties(sql: str) -> str:
+    """PG 13 `FETCH FIRST n ROWS WITH TIES` (gram.y limit_clause,
+    LIMIT_OPTION_WITH_TIES) → rank() window: rows tying with the n-th
+    row on the ORDER BY key survive the limit. Whole-statement shape
+    only; ORDER BY items must name output columns (they become the
+    rank window's keys over the wrapped subquery)."""
+    m = _WITH_TIES_RE.match(sql.strip())
+    if m is None:
+        return sql
+    head, order, n = m.group(1).strip(), m.group(2).strip(), m.group(3)
+    return (
+        f"SELECT * EXCEPT (__rk) FROM ("
+        f"SELECT __q.*, rank() OVER (ORDER BY {order}) AS __rk "
+        f"FROM ({head}) __q) __ties WHERE __rk <= {n} ORDER BY {order}"
+    )
+
+
 def _map_type(t: str) -> str:
     base = t.split("(")[0].strip().lower()
     mapped = _TYPE_MAP.get(base)
@@ -519,6 +568,7 @@ def rewrite(sql: str) -> str:
     out, lits = _mask(sql)
 
     out = _rewrite_distinct_on(out)
+    out = _rewrite_with_ties(out)
 
     # ARRAY[a, b] → array(a, b), innermost-first for nesting
     prev = None
@@ -537,6 +587,10 @@ def rewrite(sql: str) -> str:
 
     # (s1, e1) OVERLAPS (s2, e2)
     out = _rewrite_overlaps(out)
+
+    # (k1, k2) > (v1, v2) row comparison (after OVERLAPS so the
+    # keyword form wins; comparison ops can't collide with IN tuples)
+    out = _rewrite_row_compare(out)
 
     # POSIX regex matches → RLIKE
     out = _rewrite_regex_match(out, lits)
