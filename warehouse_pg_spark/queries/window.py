@@ -516,6 +516,74 @@ def window_exclude_range_current(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_exclude_groups_frame",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+             DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS dr
+      FROM lineitem WHERE l_orderkey % 101 = 0
+    )
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_returnflag ORDER BY dr
+                      RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                      EXCLUDE GROUP)
+                AS DECIMAL(38,2)) AS excl_sum,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_returnflag ORDER BY dr
+                      RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                      EXCLUDE CURRENT ROW)
+                AS DECIMAL(38,2)) AS excl_cur_sum
+    FROM ranked
+    """,
+    tags=("window", "frames"),
+)
+def window_exclude_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS frame + EXCLUDE GROUP / EXCLUDE CURRENT ROW — the last
+    cell of the frame-mode × exclusion matrix (nodeWindowAgg.c
+    frameOptions): a GROUPS frame over the ORDER BY key IS a RANGE
+    frame over dense_rank (peers share a rank), so the existing
+    range-frame exclusion machinery (operators/window_ext.sum_exclude)
+    composes directly on the rank key. DuckDB has no GROUPS mode
+    either, so the oracle spells the same dense_rank identity with its
+    native RANGE + EXCLUDE."""
+    from warehouse_pg_spark.operators.window_ext import sum_exclude
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    rank_w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    ranked = li.withColumn("__dr", F.dense_rank().over(rank_w))
+    out = sum_exclude(
+        ranked,
+        value=dec("l_quantity"),
+        partition_by=["l_returnflag"],
+        order_by=["__dr"],
+        start=-1,
+        end=1,
+        exclude="group",
+        out="excl_sum",
+        frame_type="range",
+    )
+    out = sum_exclude(
+        out,
+        value=dec("l_quantity"),
+        partition_by=["l_returnflag"],
+        order_by=["__dr"],
+        start=-1,
+        end=1,
+        exclude="current row",
+        out="excl_cur_sum",
+        frame_type="range",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.col("excl_sum").cast("decimal(38,2)").alias("excl_sum"),
+        F.col("excl_cur_sum").cast("decimal(38,2)").alias("excl_cur_sum"),
+    )
+
+
+@register(
     "window_topn_per_group",
     oracle="""
     SELECT * FROM (
