@@ -203,3 +203,53 @@ def test_streaming_near_dup_filter(spark, tmp_path):
     assert got.count() == 3
     assert sorted(r.event_id for r in got.collect())[0] in (1, 2)
     q.stop()
+
+
+def test_minhash_ingest_dedup_matches_batch_incremental(spark, sf_dir, tmp_path):
+    """Streaming MinHash ingest dedup vs the batch incremental query —
+    the streaming-vs-batch consistency oracle: stream documents in two
+    micro-batches (corpus docs first, then the incoming batch); the
+    docs the stream drops in batch 2 must be exactly the doc_ids the
+    batch dedup_incremental_lsh query flags for the same split."""
+    import time
+
+    from warehouse_pg_spark.queries import REGISTRY
+    from warehouse_pg_spark.queries.registry import table
+    from warehouse_pg_spark.streaming.ingest_dedup import (
+        minhash_ingest_dedup_available_now,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_total = docs.count()
+    src = str(tmp_path / "docs_src")
+    # two files with strictly increasing mtimes -> two ordered batches
+    docs.filter("doc_id < 400").coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)
+    docs.filter("doc_id >= 400").coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "docs_out")
+    store = str(tmp_path / "sig_store")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    minhash_ingest_dedup_available_now(
+        spark, stream, out, store, str(tmp_path / "chk"),
+    )
+
+    kept = spark.read.parquet(out)
+    expected_drops = {
+        r.batch_id
+        for r in REGISTRY["dedup_incremental_lsh"].fn(spark, sf_dir).collect()
+    }
+    dropped = {
+        r.doc_id
+        for r in docs.join(kept, "doc_id", "left_anti").collect()
+    }
+    assert dropped == expected_drops, (sorted(dropped), sorted(expected_drops))
+    assert kept.count() == n_total - len(expected_drops)
+    # the store holds signatures for every KEPT doc (k=8 columns)
+    sig = spark.read.parquet(store)
+    assert sig.count() == n_total - len(expected_drops)
+    assert {f"h{i}" for i in range(8)}.issubset(set(sig.columns))
