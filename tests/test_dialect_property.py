@@ -277,3 +277,21 @@ def test_with_ties_and_row_compare(spark):
         )
     ).collect()
     assert [(r.a, r.b) for r in rows] == [(1, 2), (2, 1)]
+
+
+def test_tablesample_and_escape_strings(spark):
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    assert "TABLESAMPLE (10 PERCENT)" in rewrite(
+        "SELECT * FROM t TABLESAMPLE BERNOULLI(10)"
+    )
+    assert "TABLESAMPLE (2.5 PERCENT)" in rewrite(
+        "SELECT * FROM t TABLESAMPLE SYSTEM(2.5)"
+    )
+    # E'' prefix drops; Spark's non-ANSI literal keeps the escapes
+    out = rewrite(r"SELECT E'a\nb' AS s, E'it''s' AS t")
+    assert "E'" not in out
+    row = spark.sql(out).collect()[0]
+    assert row.s == "a\nb" and row.t == "it's"
+    # a column named E... must not lose its E
+    assert "Extra" in rewrite("SELECT Extra FROM t")

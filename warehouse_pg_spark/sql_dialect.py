@@ -663,6 +663,23 @@ def rewrite(sql: str) -> str:
         out,
     )
 
+    # PG TABLESAMPLE method spellings (gram.y opt_sample;
+    # tablesample/bernoulli.c, system.c) → Spark's percent form.
+    # BERNOULLI is row-level sampling = Spark's row-Bernoulli PERCENT;
+    # SYSTEM (page-level in PG) has no page analogue — approximated by
+    # the same row sampling, documented deviation.
+    out = re.sub(
+        r"\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([\d.]+)\s*\)",
+        lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)",
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    # PG E'...' escape-string literals (scan.l xe state): Spark's
+    # non-ANSI parser interprets backslash escapes in plain literals
+    # identically, so dropping the E prefix preserves the value.
+    out = re.sub(rf"\bE(?={_LIT})", "", out)
+
     # SQL:2008 fetch clause (gram.y limit_clause) and LIMIT ALL
     out = re.sub(
         r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b",
