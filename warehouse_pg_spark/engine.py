@@ -117,7 +117,12 @@ _SET_GUC_RE = re.compile(
     r"^SET\s+(?:SESSION\s+|LOCAL\s+)?([\w.]+)\s*(?:=|\bTO\b)\s*(.+)$",
     re.IGNORECASE,
 )
-_SHOW_GUC_RE = re.compile(r"^SHOW\s+([\w.]+|ALL)\s*$", re.IGNORECASE)
+_SHOW_GUC_RE = re.compile(
+    r"^SHOW\s+(TIME\s+ZONE|[\w.]+|ALL)\s*$", re.IGNORECASE
+)
+_SET_TIME_ZONE_RE = re.compile(
+    r"^SET\s+(?:SESSION\s+|LOCAL\s+)?TIME\s+ZONE\s+(.+)$", re.IGNORECASE
+)
 _TRUNCATE_RE = re.compile(
     r"^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$", re.IGNORECASE
 )
@@ -348,8 +353,24 @@ class Engine:
                 raise KeyError(f'prepared statement "{name}" does not exist')
             body = self._prepared[name]
             args = self._split_args(m.group(2) or "")
-            for i in range(len(args), 0, -1):  # $10 before $1
-                body = body.replace(f"${i}", args[i - 1])
+            # Single-pass \$(\d+) substitution over the literal-masked
+            # body: $12 never half-matches as $1, $n inside string
+            # literals is untouched, and out-of-range indexes error as
+            # PG does (prepare.c EvaluateParams).
+            from warehouse_pg_spark.sql_dialect import _mask, _unmask
+
+            masked, lits = _mask(body)
+
+            def _param(pm: re.Match) -> str:
+                idx = int(pm.group(1))
+                if not 1 <= idx <= len(args):
+                    raise IndexError(
+                        f"there is no parameter ${idx} "
+                        f"(statement has {len(args)} arguments)"
+                    )
+                return args[idx - 1]
+
+            body = _unmask(re.sub(r"\$(\d+)", _param, masked), lits)
             return self.sql(body)
         m = _SET_GUC_RE.match(s)
         if m and not m.group(1).lower().startswith("spark."):
@@ -357,22 +378,30 @@ class Engine:
             key, val = m.group(1).lower(), m.group(2).strip().rstrip(";")
             val = val.strip("'\"")
             self._gucs[key] = val
-            if key in ("timezone", "time zone"):
+            if key == "timezone":
                 self.spark.conf.set("spark.sql.session.timeZone", val)
+            return self._tag(0)
+        m = _SET_TIME_ZONE_RE.match(s)
+        if m:
+            # SET TIME ZONE 'x' (gram.y zone_value) — the two-word
+            # spelling _SET_GUC_RE's [\w.]+ key cannot match.
+            val = m.group(1).strip().strip("'\"")
+            self._gucs["timezone"] = val
+            self.spark.conf.set("spark.sql.session.timeZone", val)
             return self._tag(0)
         m = _SHOW_GUC_RE.match(s)
         if m and m.group(1).upper() not in (
             "TABLES", "DATABASES", "SCHEMAS", "NAMESPACES", "CATALOGS",
             "VIEWS", "FUNCTIONS", "PARTITIONS", "COLUMNS", "TBLPROPERTIES",
         ) and not m.group(1).lower().startswith("spark."):
-            key = m.group(1).lower()
+            key = re.sub(r"\s+", " ", m.group(1).lower())
             if key == "all":
-                rows = sorted(self._gucs.items()) or [("", "")]
                 return self.spark.createDataFrame(
-                    rows, "name STRING, setting STRING"
+                    sorted(self._gucs.items()), "name STRING, setting STRING"
                 )
             if key in ("timezone", "time zone"):
                 val = self.spark.conf.get("spark.sql.session.timeZone")
+                key = "timezone"
             else:
                 val = self._gucs.get(key)
                 if val is None:

@@ -174,11 +174,15 @@ def _rewrite_row_compare(sql: str) -> str:
 
 
 def _rewrite_overlaps(sql: str) -> str:
+    # timestamp.c overlaps_timestamp: after normalizing each interval so
+    # start <= end, equal starts overlap unconditionally (covers point
+    # intervals, where the strict < form would return false).
     def sub(m: re.Match) -> str:
         s1, e1, s2, e2 = (g.strip() for g in m.groups())
         return (
-            f"(least({s1}, {e1}) < greatest({s2}, {e2}) "
-            f"AND least({s2}, {e2}) < greatest({s1}, {e1}))"
+            f"((least({s1}, {e1}) < greatest({s2}, {e2}) "
+            f"AND least({s2}, {e2}) < greatest({s1}, {e1})) "
+            f"OR least({s1}, {e1}) = least({s2}, {e2}))"
         )
 
     return _OVERLAPS_RE.sub(sub, sql)
@@ -209,8 +213,11 @@ def _similar_to_regex(pat: str) -> str:
     i, n = 0, len(pat)
     while i < n:
         ch = pat[i]
-        if ch == "\\" and i + 1 < n:  # escape: next char is literal
-            out.append(re.escape(pat[i + 1]))
+        if ch == "\\" and i + 1 < n:
+            # Escape: pass `\x` through verbatim — preserves both
+            # literal-metachar escapes (\%, \() and regex class escapes
+            # (\d, \w) exactly as similar_escape does (regexp.c).
+            out.append("\\" + pat[i + 1])
             i += 2
             continue
         if in_class:
@@ -223,6 +230,10 @@ def _similar_to_regex(pat: str) -> str:
             out.append(".*")
         elif ch == "_":
             out.append(".")
+        elif ch in ".^$\\":
+            # Literals in SQL SIMILAR TO (only % _ | * + ? ( ) [ ] { }
+            # are metacharacters) — similar_escape escapes them.
+            out.append("\\" + ch)
         else:
             out.append(ch)
         i += 1
