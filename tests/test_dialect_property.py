@@ -191,8 +191,11 @@ def test_is_distinct_from_and_similar_to_lowering():
     assert "(NOT (name RLIKE" in rewrite(
         "SELECT 1 WHERE name NOT SIMILAR TO '%(b|d)%'"
     )
-    # escaped wildcard stays a literal % (not translated to .*)
-    assert "RLIKE '^(?:a%b)$'" in rewrite(r"SELECT 1 WHERE s SIMILAR TO 'a\%b'")
+    # escaped wildcard stays a literal % (not translated to .*); PG's
+    # similar_escape re-emits backslash+char, and the emitted SQL
+    # literal doubles it so Spark's literal parser hands the Java regex
+    # a single \% (literal percent).
+    assert "RLIKE '^(?:a\\\\%b)$'" in rewrite(r"SELECT 1 WHERE s SIMILAR TO 'a\%b'")
 
 
 def test_is_distinct_from_executes(spark):
@@ -295,3 +298,52 @@ def test_tablesample_and_escape_strings(spark):
     assert row.s == "a\nb" and row.t == "it's"
     # a column named E... must not lose its E
     assert "Extra" in rewrite("SELECT Extra FROM t")
+
+
+def test_overlaps_point_intervals(spark):
+    """timestamp.c overlaps_timestamp: equal starts overlap even for
+    zero-length (point) intervals, where strict < would say no."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].o
+
+    # point vs containing interval
+    assert run(
+        "SELECT (DATE '2020-01-05', DATE '2020-01-05') "
+        "OVERLAPS (DATE '2020-01-01', DATE '2020-01-10') AS o"
+    ) is True
+    # two identical points overlap
+    assert run(
+        "SELECT (DATE '2020-01-05', DATE '2020-01-05') "
+        "OVERLAPS (DATE '2020-01-05', DATE '2020-01-05') AS o"
+    ) is True
+    # point exactly at the other interval's end: PG half-open [) — no
+    assert run(
+        "SELECT (DATE '2020-01-10', DATE '2020-01-10') "
+        "OVERLAPS (DATE '2020-01-01', DATE '2020-01-10') AS o"
+    ) is False
+    # equal starts, different ends → overlap
+    assert run(
+        "SELECT (DATE '2020-01-01', DATE '2020-01-03') "
+        "OVERLAPS (DATE '2020-01-01', DATE '2020-01-09') AS o"
+    ) is True
+
+
+def test_similar_to_escapes_execute(spark):
+    """SIMILAR TO escape handling (regexp.c similar_escape): \\d stays
+    a regex class escape, \\% and escaped metachars match literally,
+    and unescaped '.' is a literal dot — verified by execution."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def match(s, pat):
+        q = f"SELECT '{s}' SIMILAR TO '{pat}' AS o"
+        return spark.sql(rewrite(q)).collect()[0].o
+
+    assert match("a7b", r"a\db") is True          # \d = digit class
+    assert match("adb", r"a\db") is False
+    assert match("a%b", r"a\%b") is True          # \% = literal %
+    assert match("aXb", r"a\%b") is False
+    assert match("a.b", "a.b") is True            # '.' literal in SQL regex
+    assert match("aXb", "a.b") is False           # must NOT act as wildcard
+    assert match("aXb", "a_b") is True            # _ is the any-char form

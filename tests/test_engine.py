@@ -646,3 +646,60 @@ def test_set_show_gucs(engine):
     engine.sql("SET spark.sql.shuffle.partitions=32")
     names = {r.name for r in engine.sql("SHOW ALL").collect()}
     assert "work_mem" in names
+
+
+def test_set_show_time_zone(engine):
+    """SET/SHOW TIME ZONE two-word spelling (gram.y zone_value):
+    quoted zone applies to the live Spark conf, DEFAULT/LOCAL restore
+    the session's startup timezone instead of storing the literal."""
+    tz0 = engine.spark.conf.get("spark.sql.session.timeZone")
+    try:
+        engine.sql("SET TIME ZONE 'America/New_York'")
+        assert (
+            engine.spark.conf.get("spark.sql.session.timeZone")
+            == "America/New_York"
+        )
+        assert (
+            engine.sql("SHOW TIME ZONE").collect()[0][0]
+            == "America/New_York"
+        )
+        engine.sql("SET TIME ZONE DEFAULT")
+        assert engine.spark.conf.get("spark.sql.session.timeZone") == tz0
+        engine.sql("SET TIME ZONE 'UTC'")
+        engine.sql("SET TIME ZONE LOCAL")
+        assert engine.spark.conf.get("spark.sql.session.timeZone") == tz0
+        # one-word GUC spelling resets the same way
+        engine.sql("SET timezone = 'UTC'")
+        engine.sql("SET timezone TO DEFAULT")
+        assert engine.spark.conf.get("spark.sql.session.timeZone") == tz0
+    finally:
+        engine.spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_execute_param_substitution_and_count(engine):
+    """EXECUTE $n substitution (prepare.c EvaluateParams): $10 must not
+    half-match as $1, $n inside string literals is untouched, and a
+    wrong argument count errors like PG."""
+    import pytest
+
+    engine.sql("DEALLOCATE ALL")
+    # $10 vs $1: single-pass substitution must keep them distinct
+    engine.sql(
+        "PREPARE p10 AS SELECT $1 AS a, $10 AS j, '$1 literal' AS lit"
+    )
+    row = engine.sql(
+        "EXECUTE p10 (1, 2, 3, 4, 5, 6, 7, 8, 9, 42)"
+    ).collect()[0]
+    assert (row.a, row.j, row.lit) == (1, 42, "$1 literal")
+    # surplus arguments error (EvaluateParams), not silently ignored
+    with pytest.raises(ValueError, match="wrong number of parameters"):
+        engine.sql("EXECUTE p10 (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)")
+    # missing arguments error too
+    with pytest.raises(ValueError, match="wrong number of parameters"):
+        engine.sql("EXECUTE p10 (1, 2)")
+    # declared-type count wins over referenced count
+    engine.sql("PREPARE p2 (int, int) AS SELECT $1 AS a")
+    with pytest.raises(ValueError, match="wrong number of parameters"):
+        engine.sql("EXECUTE p2 (7)")
+    assert engine.sql("EXECUTE p2 (7, 8)").collect()[0].a == 7
+    engine.sql("DEALLOCATE ALL")

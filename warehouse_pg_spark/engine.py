@@ -225,11 +225,17 @@ class Engine:
         # statements (candidate Z-order / sort keys).
         self._index_hints: dict[str, list[tuple[str, ...]]] = {}
         # PREPARE name AS <body with $n params> (commands/prepare.c) —
-        # body stored raw; EXECUTE substitutes and re-enters sql().
-        self._prepared: dict[str, str] = {}
+        # (raw body, declared param count or None); EXECUTE substitutes
+        # and re-enters sql().
+        self._prepared: dict[str, tuple[str, int | None]] = {}
         # session GUCs (SET/SHOW, guc.c): stored verbatim; timezone maps
         # onto the live Spark session conf.
         self._gucs: dict[str, str] = {}
+        # snapshot for SET TIME ZONE DEFAULT/LOCAL (gram.y zone_value
+        # resets to the session's startup default)
+        self._default_timezone = self.spark.conf.get(
+            "spark.sql.session.timeZone"
+        )
         register_pg_functions(self.spark)
 
     # ---------------------------------------------------------------- query
@@ -332,7 +338,13 @@ class Engine:
             # PG: re-PREPARE of a live name is an error (prepare.c)
             if name in self._prepared:
                 raise ValueError(f'prepared statement "{name}" already exists')
-            self._prepared[name] = m.group(3).strip()
+            declared = m.group(2)
+            nparams = (
+                len([p for p in declared.split(",") if p.strip()])
+                if declared is not None
+                else None
+            )
+            self._prepared[name] = (m.group(3).strip(), nparams)
             return self._tag(0)
         m = _DEALLOCATE_RE.match(s)
         if m:
@@ -351,7 +363,7 @@ class Engine:
                 if m.group(2) is None:
                     return None
                 raise KeyError(f'prepared statement "{name}" does not exist')
-            body = self._prepared[name]
+            body, nparams = self._prepared[name]
             args = self._split_args(m.group(2) or "")
             # Single-pass \$(\d+) substitution over the literal-masked
             # body: $12 never half-matches as $1, $n inside string
@@ -360,6 +372,18 @@ class Engine:
             from warehouse_pg_spark.sql_dialect import _mask, _unmask
 
             masked, lits = _mask(body)
+            # EvaluateParams (prepare.c): supplied count must equal the
+            # declared count (or, when PREPARE declared no types, the
+            # highest $n the body references).
+            refs = [int(x) for x in re.findall(r"\$(\d+)", masked)]
+            expected = nparams if nparams is not None else (
+                max(refs) if refs else 0
+            )
+            if len(args) != expected:
+                raise ValueError(
+                    "wrong number of parameters for prepared statement "
+                    f'"{name}": expected {expected}, got {len(args)}'
+                )
 
             def _param(pm: re.Match) -> str:
                 idx = int(pm.group(1))
@@ -376,7 +400,10 @@ class Engine:
         if m and not m.group(1).lower().startswith("spark."):
             # spark.* keys fall through to Spark's own SET statement
             key, val = m.group(1).lower(), m.group(2).strip().rstrip(";")
-            val = val.strip("'\"")
+            if key == "timezone" and val.upper() in ("DEFAULT", "LOCAL"):
+                val = self._default_timezone
+            else:
+                val = val.strip("'\"")
             self._gucs[key] = val
             if key == "timezone":
                 self.spark.conf.set("spark.sql.session.timeZone", val)
@@ -385,7 +412,13 @@ class Engine:
         if m:
             # SET TIME ZONE 'x' (gram.y zone_value) — the two-word
             # spelling _SET_GUC_RE's [\w.]+ key cannot match.
-            val = m.group(1).strip().strip("'\"")
+            # DEFAULT/LOCAL (unquoted) reset to the session's startup
+            # timezone rather than storing the literal word.
+            raw = m.group(1).strip()
+            if raw.upper() in ("DEFAULT", "LOCAL"):
+                val = self._default_timezone
+            else:
+                val = raw.strip("'\"")
             self._gucs["timezone"] = val
             self.spark.conf.set("spark.sql.session.timeZone", val)
             return self._tag(0)

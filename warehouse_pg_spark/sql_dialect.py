@@ -248,8 +248,12 @@ def _rewrite_distinct_similar(sql: str, lits: list[str]) -> str:
 
     def sub_similar(m: re.Match) -> str:
         lhs, neg, tok = m.groups()
-        rx = _new_lit(_similar_to_regex(_lit_value(tok, lits)), lits)
-        expr = f"{lhs} RLIKE {rx}"
+        # Double backslashes when re-embedding: Spark's non-ANSI
+        # literal parser halves them again, so the Java regex receives
+        # exactly what _similar_to_regex produced (\d stays a class
+        # escape, \% a literal %).
+        rx = _similar_to_regex(_lit_value(tok, lits)).replace("\\", "\\\\")
+        expr = f"{lhs} RLIKE {_new_lit(rx, lits)}"
         return f"(NOT ({expr}))" if neg else f"({expr})"
 
     sql = _DISTINCT_FROM_RE.sub(sub_distinct, sql)
