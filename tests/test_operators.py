@@ -493,3 +493,154 @@ def test_xpath_modes_and_malformed_xml(spark):
         .x
     )
     assert agg == "t1t2"
+
+
+def test_rows_exclude_group_ties_matches_duckdb(spark):
+    """Bounded ROWS frame + EXCLUDE GROUP/TIES (the last two cells of
+    the frame x exclusion matrix, nodeWindowAgg.c:1454-1480) via the
+    collect-filter evaluator. Aggregating the ORDER BY key itself makes
+    per-row outputs position-functions, so sorted tuples are invariant
+    under tie-order — cross-engine comparable even with peer groups
+    wider than the frame (the over-subtraction trap)."""
+    import duckdb
+
+    from warehouse_pg_spark.operators.window_ext import rows_exclude_agg
+
+    vals_a = [1, 2, 2, 2, 2, 3, 5, 5, 8]  # peer block of 4 > frame width
+    vals_b = [4, 4, 6]
+    data = [("a", v) for v in vals_a] + [("b", v) for v in vals_b]
+    df = spark.createDataFrame(data, ["p", "v"])
+    con = duckdb.connect()
+    ps = ["a"] * len(vals_a) + ["b"] * len(vals_b)
+    src = (
+        f"(SELECT unnest({ps}) p, unnest({vals_a + vals_b}) v)"
+    )
+    for agg, dk in [("sum", "SUM"), ("min", "MIN"), ("max", "MAX"),
+                    ("count", "COUNT"), ("avg", "AVG")]:
+        for mode, dm in [("group", "GROUP"), ("ties", "TIES"),
+                         ("current row", "CURRENT ROW")]:
+            out = rows_exclude_agg(
+                df, "v", ["p"], ["v"], -2, 1, agg=agg, exclude=mode, out="r"
+            )
+            got = sorted(
+                ((r.p, r.v, None if r.r is None else float(r.r))
+                 for r in out.collect()),
+                key=lambda t: (t[0], t[1], t[2] is not None, t[2] or 0.0),
+            )
+            exp = sorted(
+                ((p, v, None if r is None else float(r))
+                 for p, v, r in con.execute(
+                    f"""SELECT p, v, {dk}(v) OVER (
+                          PARTITION BY p ORDER BY v
+                          ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING
+                          EXCLUDE {dm}) FROM {src}"""
+                ).fetchall()),
+                key=lambda t: (t[0], t[1], t[2] is not None, t[2] or 0.0),
+            )
+            assert got == exp, (agg, mode)
+    con.close()
+
+
+def test_rows_exclude_unbounded_matches_duckdb(spark):
+    """ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING + EXCLUDE
+    GROUP/TIES — the deterministic-under-ties form — computed without
+    collection (partition subtraction / prefix-suffix flanks)."""
+    import duckdb
+
+    from pyspark.sql.window import Window
+
+    from warehouse_pg_spark.operators.window_ext import rows_exclude_agg
+
+    vals_a = [1, 2, 2, 3, 5, 5, 8]
+    vals_b = [4, 4, 6]
+    data = [("a", v) for v in vals_a] + [("b", v) for v in vals_b]
+    df = spark.createDataFrame(data, ["p", "v"])
+    con = duckdb.connect()
+    ps = ["a"] * len(vals_a) + ["b"] * len(vals_b)
+    src = (
+        f"(SELECT unnest({ps}) p, unnest({vals_a + vals_b}) v)"
+    )
+    for agg, dk in [("sum", "SUM"), ("min", "MIN"), ("max", "MAX")]:
+        for mode, dm in [("group", "GROUP"), ("ties", "TIES"),
+                         ("current row", "CURRENT ROW")]:
+            out = rows_exclude_agg(
+                df, "v", ["p"], ["v"],
+                Window.unboundedPreceding, Window.unboundedFollowing,
+                agg=agg, exclude=mode, out="r",
+            )
+            got = sorted(
+                ((r.p, r.v, None if r.r is None else float(r.r))
+                 for r in out.collect()),
+                key=lambda t: (t[0], t[1], t[2] is not None, t[2] or 0.0),
+            )
+            exp = sorted(
+                ((p, v, None if r is None else float(r))
+                 for p, v, r in con.execute(
+                    f"""SELECT p, v, {dk}(v) OVER (
+                          PARTITION BY p ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING
+                          EXCLUDE {dm}) FROM {src}"""
+                ).fetchall()),
+                key=lambda t: (t[0], t[1], t[2] is not None, t[2] or 0.0),
+            )
+            assert got == exp, (agg, mode)
+    con.close()
+
+
+def test_rows_exclude_null_semantics(spark):
+    """NULL values in the frame: excluded NULLs must not poison the
+    result; an all-NULL survivor set aggregates to NULL (PG)."""
+    from warehouse_pg_spark.operators.window_ext import rows_exclude_agg
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 2, 4.0), ("a", 3, None)],
+        ["p", "k", "v"],
+    )
+    rows = rows_exclude_agg(
+        df, "v", ["p"], ["k"], -3, 3, agg="sum", exclude="group", out="r"
+    ).collect()
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r.k, []).append(r.r)
+    assert by_k[1] == [4.0]          # exclude {10} → {NULL, 4, NULL}
+    assert by_k[2] == [10.0, 10.0]   # exclude the k=2 block
+    assert by_k[3] == [14.0]         # exclude {NULL} → 10 + 4
+
+
+def test_minmax_exclude_rows_group_delegates(spark):
+    """minmax_exclude no longer raises for ROWS + GROUP/TIES — it
+    routes to the collect-filter evaluator."""
+    from warehouse_pg_spark.operators.window_ext import minmax_exclude
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 2), ("a", 3)], ["p", "v"]
+    )
+    out = minmax_exclude(
+        df, "v", ["p"], ["v"], -1, 1, agg="min", exclude="group",
+        out="m", frame_type="rows",
+    )
+    assert {r.v for r in out.collect()} == {1, 2, 3}
+
+
+def test_minmax_exclude_rejects_continuous_range_key(spark):
+    """RANGE + EXCLUDE GROUP's ±1 flank bounds are only sound on
+    discrete keys — a float ORDER BY column must raise, not silently
+    drop near-peers (window_ext._require_discrete_order_key)."""
+    import pytest
+
+    from warehouse_pg_spark.operators.window_ext import minmax_exclude
+
+    df = spark.createDataFrame(
+        [("a", 1.5), ("a", 1.9), ("a", 3.0)], ["p", "v"]
+    )
+    with pytest.raises(ValueError, match="discrete.*ORDER BY"):
+        minmax_exclude(
+            df, "v", ["p"], ["v"], -2, 2, agg="min", exclude="group",
+            out="m", frame_type="range",
+        ).collect()
+    # explicit opt-in for integer-valued floats still works
+    minmax_exclude(
+        df, "v", ["p"], ["v"], -2, 2, agg="min", exclude="group",
+        out="m", frame_type="range", assume_discrete=True,
+    ).collect()

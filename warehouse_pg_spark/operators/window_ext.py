@@ -37,6 +37,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window, WindowSpec
 
+# ROWS offsets beyond this magnitude are treated as unbounded
+# (Window.unboundedPreceding/Following are ±2^63-ish sentinels).
+_UNBOUNDED = 1 << 40
+
 
 def groups_frame_agg(
     df: DataFrame,
@@ -80,8 +84,17 @@ def sum_exclude(
     Uses a ROWS frame (start/end ints) for the base aggregate and a
     peers RANGE(0,0) frame for the group term."""
     val = F.col(value) if isinstance(value, str) else value
+    mode = exclude.lower()
     base = Window.partitionBy(*partition_by).orderBy(*order_by)
     if frame_type == "rows":
+        if mode in ("group", "ties"):
+            # Subtraction over-subtracts when the peer group extends
+            # beyond a bounded ROWS frame (peers outside the frame were
+            # never in it) — the collect-filter evaluator is exact.
+            return rows_exclude_agg(
+                df, val, partition_by, order_by, start, end,
+                agg="sum", exclude=mode, out=out,
+            )
         base_w = base.rowsBetween(start, end)
     else:
         # RANGE base frame: deterministic under ORDER BY ties (frame is
@@ -96,7 +109,6 @@ def sum_exclude(
     frame_cnt = F.count(val).over(base_w)  # non-null values in frame
     group_sum = F.sum(val).over(peers_w)
     group_cnt = F.count(val).over(peers_w)
-    mode = exclude.lower()
     # PG semantics (nodeWindowAgg.c): SUM over the post-exclusion frame
     # is NULL iff no *non-null* value survives. A NULL value excluded
     # from the frame must not poison the subtraction (SUM ignores NULLs)
@@ -134,6 +146,7 @@ def minmax_exclude(
     exclude: str = "group",
     out: str = "minmax_excl",
     frame_type: str = "rows",
+    assume_discrete: bool = False,
 ) -> DataFrame:
     """MIN/MAX(value) OVER (... ROWS/RANGE BETWEEN start AND end
     EXCLUDE CURRENT ROW | GROUP | TIES) via anti-frame union.
@@ -161,16 +174,29 @@ def minmax_exclude(
 
     base = Window.partitionBy(*partition_by).orderBy(*order_by)
     if frame_type == "rows":
-        if mode != "current row":
-            # ROWS frames can't address the peer group as a contiguous
-            # row interval around the current row.
-            raise NotImplementedError(
-                "ROWS frame supports EXCLUDE CURRENT ROW only; "
-                "use frame_type='range' for GROUP/TIES"
+        if mode in ("group", "ties"):
+            # The peer group is not a constant row interval around the
+            # current row — delegate to the collect-filter evaluator
+            # (rows_exclude_agg), which re-aggregates the frame minus
+            # the exclusion exactly.
+            return rows_exclude_agg(
+                df, val, partition_by, order_by, start, end,
+                agg=agg, exclude=mode, out=out,
             )
         lo_w, hi_w = base.rowsBetween(start, -1), base.rowsBetween(1, end)
         expr = comb(agg_fn(val).over(lo_w), agg_fn(val).over(hi_w))
     elif mode in ("group", "ties"):
+        # The ±1 bounds that skip the peer group assume a discrete
+        # (integer-stepped) ORDER BY key; on a continuous key they
+        # would silently drop non-peer rows within 1.0 of the current
+        # value. Refuse rather than mis-answer (PG's RANGE-offset
+        # in_range machinery has the analogous type constraint); pass
+        # assume_discrete=True for float columns known to hold
+        # integer-stepped values.
+        if not assume_discrete:
+            _require_discrete_order_key(
+                df, order_by, "RANGE + EXCLUDE " + mode
+            )
         lo_w, hi_w = base.rangeBetween(start, -1), base.rangeBetween(1, end)
         expr = comb(agg_fn(val).over(lo_w), agg_fn(val).over(hi_w))
         if mode == "ties":  # current row itself stays in the frame
@@ -205,3 +231,224 @@ def minmax_exclude(
     else:
         raise ValueError(f"unknown EXCLUDE mode: {exclude}")
     return df.withColumn(out, expr)
+
+
+def rows_exclude_agg(
+    df: DataFrame,
+    value: Column | str,
+    partition_by: list[str],
+    order_by: list[str],
+    start: int,
+    end: int,
+    agg: str = "sum",
+    exclude: str = "group",
+    out: str = "rows_excl",
+) -> DataFrame:
+    """agg(value) OVER (... ROWS BETWEEN start AND end
+    EXCLUDE CURRENT ROW | GROUP | TIES) — the last two cells of the
+    frame x exclusion matrix (nodeWindowAgg.c:1454-1480), for
+    agg in {sum, count, avg, min, max}.
+
+    Bounded frames: materialize row_number over the partition order
+    (fixing the tie-break once), collect (rn, order-key, value) structs
+    over the ROWS frame — bounded frame ⇒ constant per-row state —
+    drop the excluded rows with a JVM-side higher-order filter, and
+    re-aggregate the survivors with array-native functions. This is
+    exactly the reference's re-aggregate-the-frame-minus-exclusion,
+    vectorized and with no Python in the loop. With tied ORDER BY keys
+    a bounded ROWS frame is tie-order-dependent in PG as well; results
+    here are exact for the materialized tie-break.
+
+    Unbounded-both frames (the deterministic-under-ties form): the
+    frame is the whole partition, so EXCLUDE GROUP/TIES reduce to
+    partition-aggregate minus peer-group-aggregate (sum/count/avg) or
+    a prefix/suffix flank combine (min/max) — no collection, one
+    shuffle, any orderable key type.
+    """
+    if agg not in ("sum", "count", "avg", "min", "max"):
+        raise ValueError(f"unsupported agg for rows_exclude_agg: {agg}")
+    mode = exclude.lower()
+    if mode not in ("current row", "group", "ties", "no others"):
+        raise ValueError(f"unknown EXCLUDE mode: {exclude}")
+    val = F.col(value) if isinstance(value, str) else value
+    base = Window.partitionBy(*partition_by).orderBy(*order_by)
+    agg_fns = {
+        "sum": F.sum, "count": F.count, "avg": F.avg,
+        "min": F.min, "max": F.max,
+    }
+    if mode == "no others":
+        return df.withColumn(
+            out, agg_fns[agg](val).over(base.rowsBetween(start, end))
+        )
+    unb_lo, unb_hi = start <= -_UNBOUNDED, end >= _UNBOUNDED
+    if unb_lo and unb_hi:
+        return _exclude_over_partition(
+            df, val, partition_by, order_by, agg, mode, out
+        )
+    if unb_lo or unb_hi:
+        raise NotImplementedError(
+            "half-unbounded ROWS frame with EXCLUDE: use the RANGE "
+            "form (sum_exclude/minmax_exclude with frame_type='range') "
+            "or a bounded ROWS frame"
+        )
+
+    rn_c, arr_c = "__xrn", "__xfr"
+    ranked = df.withColumn(rn_c, F.row_number().over(base))
+    frame_w = (
+        Window.partitionBy(*partition_by).orderBy(rn_c).rowsBetween(start, end)
+    )
+    struct_cols = [F.col(rn_c).alias("__rn"), val.alias("__v")] + [
+        F.col(c).alias(f"__k{i}") for i, c in enumerate(order_by)
+    ]
+    ranked = ranked.withColumn(
+        arr_c, F.collect_list(F.struct(*struct_cols)).over(frame_w)
+    )
+
+    def _is_peer(x: Column) -> Column:
+        cond = F.lit(True)
+        for i, c in enumerate(order_by):
+            cond = cond & x[f"__k{i}"].eqNullSafe(F.col(c))
+        return cond
+
+    if mode == "current row":
+        keep = lambda x: x["__rn"] != F.col(rn_c)  # noqa: E731
+    elif mode == "group":
+        keep = lambda x: ~_is_peer(x)  # noqa: E731
+    else:  # ties: peers go, the current row itself stays
+        keep = lambda x: (x["__rn"] == F.col(rn_c)) | ~_is_peer(x)  # noqa: E731
+
+    vals = F.filter(
+        F.transform(F.filter(F.col(arr_c), keep), lambda x: x["__v"]),
+        lambda v: v.isNotNull(),
+    )
+    n = F.size(vals)
+    if agg == "count":
+        expr = n.cast("long")
+    else:
+        if agg == "min":
+            body = F.array_min(vals)
+        elif agg == "max":
+            body = F.array_max(vals)
+        else:
+            # fold seeded with the first element — no type gymnastics
+            s = F.aggregate(
+                F.slice(vals, F.lit(2), F.greatest(n - 1, F.lit(0))),
+                F.element_at(vals, 1),
+                lambda acc, v: acc + v,
+            )
+            body = s if agg == "sum" else s / n
+        expr = F.when(n > 0, body)  # empty survivor set → NULL (PG)
+    return ranked.withColumn(out, expr).drop(rn_c, arr_c)
+
+
+def _exclude_over_partition(
+    df: DataFrame,
+    val: Column,
+    partition_by: list[str],
+    order_by: list[str],
+    agg: str,
+    mode: str,
+    out: str,
+) -> DataFrame:
+    """ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING + EXCLUDE: frame =
+    whole partition, so exclusion is partition-minus-group (or -self).
+    Deterministic under ORDER BY ties — the form oracle queries use."""
+    part_w = Window.partitionBy(*partition_by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    group_w = Window.partitionBy(*partition_by, *order_by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    val_nn = F.when(val.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    zero = F.lit(0)
+    if agg in ("sum", "count", "avg"):
+        part_sum, part_cnt = F.sum(val).over(part_w), F.count(val).over(part_w)
+        grp_sum, grp_cnt = F.sum(val).over(group_w), F.count(val).over(group_w)
+        if mode == "current row":
+            surv_cnt = part_cnt - val_nn
+            surv_sum = part_sum - F.coalesce(val, zero)
+        elif mode == "group":
+            surv_cnt = part_cnt - grp_cnt
+            surv_sum = part_sum - F.coalesce(grp_sum, zero)
+        else:  # ties
+            surv_cnt = part_cnt - grp_cnt + val_nn
+            surv_sum = (
+                part_sum - F.coalesce(grp_sum, zero) + F.coalesce(val, zero)
+            )
+        if agg == "count":
+            expr = surv_cnt.cast("long")
+        elif agg == "sum":
+            expr = F.when(surv_cnt > 0, surv_sum)
+        else:
+            expr = F.when(surv_cnt > 0, surv_sum / surv_cnt)
+        return df.withColumn(out, expr)
+
+    # min/max: not subtractable — prefix/suffix flanks around the peer
+    # group (works for any orderable key type, unlike value-space RANGE
+    # flanks). Everything shares one (partition_by) shuffle.
+    agg_fn = F.min if agg == "min" else F.max
+    comb = F.least if agg == "min" else F.greatest
+    base = Window.partitionBy(*partition_by).orderBy(*order_by)
+    rn_c = "__xrn"
+    ranked = df.withColumn(rn_c, F.row_number().over(base))
+    rn = F.col(rn_c)
+    pre = agg_fn(val).over(
+        Window.partitionBy(*partition_by)
+        .orderBy(rn_c)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    suf = agg_fn(val).over(
+        Window.partitionBy(*partition_by)
+        .orderBy(rn_c)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    if mode == "current row":
+        expr = comb(pre, suf)
+        return ranked.withColumn(out, expr).drop(rn_c)
+    g_lo, g_hi = F.min(rn).over(group_w), F.max(rn).over(group_w)
+    ranked = ranked.withColumn("__xpre", pre).withColumn("__xsuf", suf)
+    ranked = ranked.withColumn("__xglo", g_lo).withColumn("__xghi", g_hi)
+    # the flank value *at the group boundary row*, broadcast to the group
+    grp_pre = F.max(
+        F.when(rn == F.col("__xglo"), F.col("__xpre"))
+    ).over(group_w)
+    grp_suf = F.max(
+        F.when(rn == F.col("__xghi"), F.col("__xsuf"))
+    ).over(group_w)
+    expr = comb(grp_pre, grp_suf)
+    if mode == "ties":
+        expr = comb(expr, val)
+    return ranked.withColumn(out, expr).drop(
+        rn_c, "__xpre", "__xsuf", "__xglo", "__xghi"
+    )
+
+
+def _require_discrete_order_key(
+    df: DataFrame, order_by: list[str], what: str
+) -> None:
+    """Raise unless every ORDER BY column has an integer-stepped type.
+
+    The value-space ±1 RANGE bounds used to skip a peer group are only
+    sound when adjacent distinct key values differ by ≥ 1 — true for
+    integral and date types, not for float/double/fractional decimal.
+    """
+    from pyspark.sql import types as T
+
+    discrete = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.DateType, T.BooleanType)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for c in order_by:
+        name = c if isinstance(c, str) else None
+        dt = fields.get(name)
+        if dt is None:
+            continue  # computed expression — caller's responsibility
+        ok = isinstance(dt, discrete) or (
+            isinstance(dt, T.DecimalType) and dt.scale == 0
+        )
+        if not ok:
+            raise ValueError(
+                f"{what} requires a discrete (integer-stepped) ORDER BY "
+                f"key; column {name!r} has type {dt.simpleString()}. "
+                "Use a ROWS frame, cast the key, or pass "
+                "assume_discrete=True if values are integer-stepped."
+            )

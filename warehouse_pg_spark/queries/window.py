@@ -413,6 +413,8 @@ def window_exclude_group_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         exclude="group",
         out="excl_min",
         frame_type="range",
+        # l_quantity is integer-stepped (1..50) though stored as double
+        assume_discrete=True,
     )
     out = minmax_exclude(
         out,
@@ -425,6 +427,7 @@ def window_exclude_group_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         exclude="group",
         out="excl_max",
         frame_type="range",
+        assume_discrete=True,
     )
     return out.select(
         "l_orderkey", "l_linenumber", "l_quantity", "excl_min", "excl_max"
@@ -459,6 +462,8 @@ def window_exclude_ties_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         exclude="ties",
         out="excl_max",
         frame_type="range",
+        # l_quantity is integer-stepped (1..50) though stored as double
+        assume_discrete=True,
     )
     return out.select("l_orderkey", "l_linenumber", "l_quantity", "excl_max")
 
@@ -649,3 +654,80 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_last_hour"),
         F.sum(dec("value")).over(w).cast("decimal(38,2)").alias("v_last_hour"),
     )
+
+
+@register(
+    "window_rows_exclude_group",
+    oracle="""
+    SELECT l_returnflag, l_quantity,
+           CAST(SUM(l_quantity)
+                OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING
+                      EXCLUDE GROUP)
+                AS DECIMAL(38,2)) AS excl_sum
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    """,
+    tags=("window", "frames"),
+)
+def window_rows_exclude_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frame + EXCLUDE GROUP — the formerly-missing cell of the
+    frame x exclusion matrix (nodeWindowAgg.c:1454-1480). Collect-filter
+    evaluator (operators/window_ext.rows_exclude_agg): bounded frame ⇒
+    constant per-row state, higher-order filter drops the peer group,
+    array fold re-aggregates — all JVM-side.
+
+    Aggregating the ORDER BY key itself keeps the output multiset
+    tie-order-invariant (per-row results are position functions), so
+    the sorted-rows value hash is engine-comparable."""
+    from warehouse_pg_spark.operators.window_ext import rows_exclude_agg
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    out = rows_exclude_agg(
+        li,
+        value="l_quantity",
+        partition_by=["l_returnflag"],
+        order_by=["l_quantity"],
+        start=-2,
+        end=1,
+        agg="sum",
+        exclude="group",
+        out="excl_sum",
+    )
+    return out.select(
+        "l_returnflag",
+        "l_quantity",
+        F.col("excl_sum").cast("decimal(38,2)").alias("excl_sum"),
+    )
+
+
+@register(
+    "window_rows_exclude_ties",
+    oracle="""
+    SELECT l_returnflag, l_quantity,
+           MAX(l_quantity)
+               OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                     ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING
+                     EXCLUDE TIES) AS excl_max
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    """,
+    tags=("window", "frames"),
+)
+def window_rows_exclude_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frame + EXCLUDE TIES (peers leave, the current row stays) —
+    the other formerly-missing matrix cell, same collect-filter
+    evaluator, max over the survivors via array_max."""
+    from warehouse_pg_spark.operators.window_ext import rows_exclude_agg
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    out = rows_exclude_agg(
+        li,
+        value="l_quantity",
+        partition_by=["l_returnflag"],
+        order_by=["l_quantity"],
+        start=-2,
+        end=1,
+        agg="max",
+        exclude="ties",
+        out="excl_max",
+    )
+    return out.select("l_returnflag", "l_quantity", "excl_max")
