@@ -40,25 +40,38 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
 # similarity (brute-force + IVF), the training-data pipeline, multimodal, and
 # the PG SQL dialect. Everything else keeps its relative order after slot 50.
 #
-# Rotation policy (round 5): the driver can only ever score the first 50, so
-# each round ~8 NON-ANCHOR slots rotate to queries the driver has never
-# scored (r1-r4 union), keeping one green representative per family pinned.
-# r5 swaps: full-outer→events_pivot, correlated-subq→text_decontaminate,
-# array_agg→dedup_simhash, hll_merge→dedup_cluster_components,
-# datetime→fn_to_char_formats, ranking→pgsql_distinct_on,
-# nulls_last→fn_range_types, values_scan→ts_locf_gap_fill.
+# Rotation policy: the driver can only ever score the first 50, so each
+# round ~10-13 NON-ANCHOR slots rotate to queries the driver has never
+# scored (union of CORRECTNESS_r1..r6), keeping one green representative
+# per family pinned.
+# r7 swaps (13), risk-first — 4 pgsql_* exercise the sql_dialect rewrite
+# path where the r6/r7 code changes landed; the 2 window_rows_exclude_*
+# are this round's new frame-matrix cells:
+#   events_pivot→pgsql_similar_to, ts_locf_gap_fill→pgsql_overlaps_predicate,
+#   agg_string_agg_ordered→pgsql_regex_match_ops,
+#   agg_hypothetical_rank→pgsql_jsonpath_filter,
+#   fn_to_char_formats→fn_datetime, fn_array_advanced→fn_numeric_edge_semantics,
+#   window_moving_frame→window_rows_exclude_group,
+#   window_exclude_current_row→window_rows_exclude_ties,
+#   setop_sample_deterministic→setop_union_all,
+#   text_decontaminate→text_quality_score, agg_mode_deterministic→agg_bitwise,
+#   dedup_simhash→fn_width_bucket, dedup_cluster_components→ts_range_join_buckets,
+#   window_range_frame→pgsql_string_agg (ordered-agg tag),
+#   setop_except_all→pgsql_within_group (orderedset tag),
+#   fn_range_types→sample_stratified (sample tag),
+#   pgsql_distinct_on_latest_order→fn_arrays (arrays tag)
 DRIVER_PREFIX: tuple[str, ...] = (
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
-    "events_pivot",
+    "pgsql_similar_to",
     "agg_dqa_multi",
     "agg_grouping_sets",
     "agg_median_percentile",
-    "window_moving_frame",
-    "window_range_frame",
+    "window_rows_exclude_group",
+    "pgsql_string_agg",
     "window_groups_frame",
-    "window_exclude_current_row",
-    "setop_except_all",
+    "window_rows_exclude_ties",
+    "pgsql_within_group",
     "sort_limit_offset",
     "recursive_graph_closure",
     "srf_unnest_explode",
@@ -76,27 +89,27 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "tpch_q3_shipping_priority",
     "join_notin_with_nulls",
     "join_lateral_topn",
-    "text_decontaminate",
+    "text_quality_score",
     "join_quantified_all_any",
-    "agg_string_agg_ordered",
-    "dedup_simhash",
+    "pgsql_regex_match_ops",
+    "fn_width_bucket",
     "agg_approx_count_distinct",
-    "dedup_cluster_components",
+    "ts_range_join_buckets",
     "agg_filter_clause",
-    "agg_hypothetical_rank",
-    "agg_mode_deterministic",
-    "pgsql_distinct_on_latest_order",
-    "ts_locf_gap_fill",
-    "setop_sample_deterministic",
-    "fn_range_types",
+    "pgsql_jsonpath_filter",
+    "agg_bitwise",
+    "fn_arrays",
+    "pgsql_overlaps_predicate",
+    "setop_union_all",
+    "sample_stratified",
     "cte_shared_reuse",
     "uda_pandas_grouped",
     "tablefunc_map_in_pandas",
     "external_csv_scan",
     "fn_strings_hash_format",
     "fn_regex_family",
-    "fn_to_char_formats",
-    "fn_array_advanced",
+    "fn_datetime",
+    "fn_numeric_edge_semantics",
     "events_json_extract",
 )
 
