@@ -644,3 +644,76 @@ def test_minmax_exclude_rejects_continuous_range_key(spark):
         df, "v", ["p"], ["v"], -2, 2, agg="min", exclude="group",
         out="m", frame_type="range", assume_discrete=True,
     ).collect()
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Bucketed two-sided range join vs a brute-force theta join:
+    intervals spanning many buckets (replication > 2), touching
+    endpoints (closed vs half-open), equi keys, and no duplicate pairs
+    from multi-bucket co-occurrence."""
+    from warehouse_pg_spark.operators.range_join import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 0, 25), (2, "a", 10, 12), (3, "b", 5, 40), (4, "a", 30, 30)],
+        ["lid", "k", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [(10, "a", 20, 35), (11, "a", 12, 14), (12, "b", 0, 100),
+         (13, "a", 30, 50), (14, "c", 0, 99)],
+        ["rid", "k", "rs", "re"],
+    )
+    for closed in (False, True):
+        for on in ([], ["k"]):
+            got = sorted(
+                (r.lid, r.rid)
+                for r in interval_overlap_join(
+                    left, right, "ls", "le", "rs", "re",
+                    bucket_width=10, on=on, closed=closed,
+                ).collect()
+            )
+            cmp_ = "<=" if closed else "<"
+            cond = f"l.ls {cmp_} r.re AND r.rs {cmp_} l.le"
+            if on:
+                cond += " AND l.k = r.k"
+            exp = sorted(
+                (r.lid, r.rid)
+                for r in left.alias("l")
+                .join(right.alias("r"), F.expr(cond))
+                .select("l.lid", "r.rid")
+                .collect()
+            )
+            assert got == exp, (closed, on)
+
+
+def test_interval_overlap_join_is_hash_join(spark):
+    """With broadcast disabled (the big x big case) the bucketed range
+    join must still plan as an equi hash/sort-merge join — never
+    BroadcastNestedLoopJoin or CartesianProduct."""
+    from warehouse_pg_spark.operators.range_join import interval_overlap_join
+
+    left = spark.range(1000).select(
+        F.col("id").alias("lid"),
+        (F.col("id") * 7 % 5000).alias("ls"),
+        (F.col("id") * 7 % 5000 + 50).alias("le"),
+    )
+    right = spark.range(1000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 13 % 5000).alias("rs"),
+        (F.col("id") * 13 % 5000 + 50).alias("re"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            interval_overlap_join(
+                left, right, "ls", "le", "rs", "re", bucket_width=64
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)

@@ -59,7 +59,8 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
 #   window_range_frame→pgsql_string_agg (ordered-agg tag),
 #   setop_except_all→pgsql_within_group (orderedset tag),
 #   fn_range_types→sample_stratified (sample tag),
-#   pgsql_distinct_on_latest_order→fn_arrays (arrays tag)
+#   pgsql_distinct_on_latest_order→fn_arrays (arrays tag),
+#   sim_topk_bruteforce→ts_range_join_bucketed (new two-sided range join)
 DRIVER_PREFIX: tuple[str, ...] = (
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
@@ -80,7 +81,7 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "events_sessionize",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "sim_topk_bruteforce",
+    "ts_range_join_bucketed",
     "sim_ivf_bucketed",
     "pipeline_training_data_prep",
     "multimodal_feature_extract",

@@ -282,3 +282,54 @@ def ts_asof_forward_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nearest_click_ms"
         ),
     )
+
+
+@register(
+    "ts_range_join_bucketed",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, epoch_ms(ts) AS ls, epoch_ms(ts) + 600000 AS le
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT epoch_ms(ts) AS rs, epoch_ms(ts) + 600000 AS re
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, CAST(COUNT(c.rs) AS BIGINT) AS n_overlap
+    FROM p LEFT JOIN c ON p.ls < c.re AND c.rs < p.le
+    GROUP BY 1
+    """,
+    tags=("timeseries", "range-join"),
+)
+def ts_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided big x big interval-overlap join — neither side
+    broadcastable at scale. Bucketed overlap algorithm
+    (operators/range_join.interval_overlap_join): replicate each
+    10-minute window to its covering time buckets, hash-join on bucket
+    id, post-filter exact overlap, anchor to the first common bucket so
+    pairs emit once. Equi hash join end-to-end — no nested loop
+    (reference: nodeMergejoin.c:1504 range quals after motion)."""
+    from warehouse_pg_spark.operators.range_join import interval_overlap_join
+
+    e = table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    win = 600_000  # 10-minute window on both sides
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", ms.alias("ls"), (ms + win).alias("le")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        ms.alias("rs"), (ms + win).alias("re")
+    )
+    pairs = interval_overlap_join(
+        p, c, "ls", "le", "rs", "re", bucket_width=win
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        p.select("event_id")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
