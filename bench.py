@@ -100,10 +100,24 @@ def main() -> None:
             continue
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
+    # Rounds 1-6 benched exactly these 15; the subtotal keeps the
+    # round-over-round trend comparable as new anchors join the set.
+    core15 = {
+        "agg_dqa_multi", "dedup_exact", "dedup_minhash_lsh",
+        "events_sessionize", "pipeline_training_data_prep",
+        "sim_topk_bruteforce", "text_quality_score",
+        "tpch_q10_returned_items", "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+        "tpch_q6_forecast_revenue", "ts_asof_join",
+        "window_running_sum", "window_topn_per_group",
+    }
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        "core15_sec": round(
+            sum(t for n, t in timings.items() if n in core15), 4
+        ),
         "queries": timings,
         "sf": sf_of(SF_DIR),
     }

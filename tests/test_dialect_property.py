@@ -216,8 +216,8 @@ def test_overlaps_rewrite():
     from warehouse_pg_spark.sql_dialect import rewrite
 
     out = rewrite("SELECT 1 WHERE (a, b) OVERLAPS (c, d)")
-    assert "least(a, b) < greatest(c, d)" in out
-    assert "least(c, d) < greatest(a, b)" in out
+    assert "OVERLAPS" not in out.upper()
+    assert "least(a, b)" in out and "greatest(c, d)" in out
     # reversed bounds still overlap (PG normalizes each pair)
     from warehouse_pg_spark.session import SessionConfig, get_spark
 
@@ -328,6 +328,39 @@ def test_overlaps_point_intervals(spark):
         "SELECT (DATE '2020-01-01', DATE '2020-01-03') "
         "OVERLAPS (DATE '2020-01-01', DATE '2020-01-09') AS o"
     ) is True
+
+
+def test_overlaps_null_endpoints(spark):
+    """timestamp.c overlaps_timestamp NULL verdicts: both endpoints
+    NULL => NULL; a lone NULL endpoint acts as an open end — the result
+    is TRUE when the known endpoint already proves overlap, NULL when
+    the verdict would need the open end, never a bare skip-the-NULL
+    least/greatest guess."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    d = {1: "DATE '2020-01-01'", 5: "DATE '2020-01-05'",
+         10: "DATE '2020-01-10'", 20: "DATE '2020-01-20'"}
+
+    def run(a, b, c, e):
+        g = lambda x: d.get(x, "NULL")
+        q = (f"SELECT ({g(a)}, {g(b)}) OVERLAPS ({g(c)}, {g(e)}) AS o")
+        return spark.sql(rewrite(q)).collect()[0].o
+
+    cases = [
+        ((None, None, 1, 10), None),   # both endpoints NULL
+        ((None, 5, 1, 10), True),      # open start, known end inside
+        ((None, 20, 1, 10), None),     # start beyond te2, own end open
+        ((1, 10, None, 5), True),      # symmetric: other side open
+        ((1, 10, None, 20), None),
+        ((5, None, 5, 10), None),      # equal starts, one end open
+        ((5, None, 1, 10), True),      # open end but start proves it
+        ((10, None, 1, 5), None),      # start past te2, end open
+        ((1, 5, 10, None), None),
+        ((1, None, 5, None), None),    # both ends open, starts differ
+    ]
+    for args, want in cases:
+        got = run(*args)
+        assert got is want or got == want, (args, want, got)
 
 
 def test_similar_to_escapes_execute(spark):

@@ -411,7 +411,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
     """,
-    tags=("dedup", "graph", "recursive"),
+    tags=("dedup", "graph", "recursive", "bench"),
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clustering: connected components over the

@@ -301,7 +301,7 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE p_name LIKE '%widget%') profit
     GROUP BY nation, o_year ORDER BY nation, o_year DESC
     """,
-    tags=("join", "agg"),
+    tags=("join", "agg", "bench"),
 )
 def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation and order year (cost
@@ -600,7 +600,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 100
     """,
-    tags=("join", "semi", "having", "topk"),
+    tags=("join", "semi", "having", "topk", "bench"),
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: customers with large-volume orders (IN over a HAVING

@@ -174,15 +174,42 @@ def _rewrite_row_compare(sql: str) -> str:
 
 
 def _rewrite_overlaps(sql: str) -> str:
-    # timestamp.c overlaps_timestamp: after normalizing each interval so
-    # start <= end, equal starts overlap unconditionally (covers point
-    # intervals, where the strict < form would return false).
+    # timestamp.c overlaps_timestamp, including its NULL verdicts:
+    # each interval is normalized so the start is the lesser non-null
+    # endpoint (a lone NULL endpoint becomes the open end); both
+    # endpoints NULL => NULL; when the three-way start comparison needs
+    # an open end the result is NULL; equal starts => TRUE only when
+    # both ends are known. Spark's least()/greatest() skip NULLs, so
+    # least(s,e) is already "lesser non-null endpoint" and the
+    # normalized end needs explicit both-non-null gating.
     def sub(m: re.Match) -> str:
         s1, e1, s2, e2 = (g.strip() for g in m.groups())
+        ns1 = f"least({s1}, {e1})"
+        ns2 = f"least({s2}, {e2})"
+        ne1 = (
+            f"CASE WHEN {s1} IS NOT NULL AND {e1} IS NOT NULL "
+            f"THEN greatest({s1}, {e1}) END"
+        )
+        ne2 = (
+            f"CASE WHEN {s2} IS NOT NULL AND {e2} IS NOT NULL "
+            f"THEN greatest({s2}, {e2}) END"
+        )
+        null = "CAST(NULL AS BOOLEAN)"
         return (
-            f"((least({s1}, {e1}) < greatest({s2}, {e2}) "
-            f"AND least({s2}, {e2}) < greatest({s1}, {e1})) "
-            f"OR least({s1}, {e1}) = least({s2}, {e2}))"
+            "(CASE "
+            f"WHEN {ns1} IS NULL OR {ns2} IS NULL THEN {null} "
+            f"WHEN {ns1} > {ns2} THEN CASE "
+            f"WHEN ({ne2}) IS NULL THEN {null} "
+            f"WHEN {ns1} < ({ne2}) THEN TRUE "
+            f"WHEN ({ne1}) IS NULL THEN {null} "
+            "ELSE FALSE END "
+            f"WHEN {ns1} < {ns2} THEN CASE "
+            f"WHEN ({ne1}) IS NULL THEN {null} "
+            f"WHEN {ns2} < ({ne1}) THEN TRUE "
+            f"WHEN ({ne2}) IS NULL THEN {null} "
+            "ELSE FALSE END "
+            f"ELSE CASE WHEN ({ne1}) IS NULL OR ({ne2}) IS NULL "
+            f"THEN {null} ELSE TRUE END END)"
         )
 
     return _OVERLAPS_RE.sub(sub, sql)
