@@ -1,0 +1,186 @@
+"""PL/pgSQL subset compiled to Catalyst expressions (plpgsql.py;
+reference src/pl/plpgsql/src/pl_exec.c, pl_gram.y) plus the SQL-text
+CREATE FUNCTION / DROP FUNCTION surface (commands/functioncmds.c)."""
+
+import pytest
+
+from warehouse_pg_spark.plpgsql import PlpgsqlError, compile_plpgsql
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from warehouse_pg_spark.engine import Engine
+
+    return Engine(spark)
+
+
+def _one(engine, sql):
+    return engine.sql(sql).collect()[0][0]
+
+
+# ------------------------------------------------------------- compiler
+def test_straightline_assignments():
+    e = compile_plpgsql(
+        [("x", "INT")],
+        "INT",
+        "DECLARE a int := 2; BEGIN a := a + x; a := a * 3; RETURN a; END",
+    )
+    # fully substituted over the parameter — no variables left
+    assert "a" not in e.replace("CAST", "").replace("AS", "")
+
+
+def test_if_becomes_case_with_tail():
+    e = compile_plpgsql(
+        [("x", "INT")],
+        "STRING",
+        """
+        DECLARE label text := 'none';
+        BEGIN
+          IF x > 100 THEN label := 'big';
+          ELSIF x > 10 THEN label := 'mid';
+          ELSE label := 'small';
+          END IF;
+          RETURN label;
+        END
+        """,
+    )
+    assert e.upper().startswith("CASE WHEN")
+    assert "'big'" in e and "'mid'" in e and "'small'" in e
+
+
+def test_missing_return_compiles_to_null():
+    e = compile_plpgsql([], "INT", "BEGIN NULL; END")
+    assert "NULL" in e.upper()
+
+
+def test_rejections_are_clear():
+    for body, frag in [
+        ("BEGIN WHILE x > 0 LOOP x := x - 1; END LOOP; END", "WHILE"),
+        ("BEGIN RAISE NOTICE 'hi'; END", "RAISE"),
+        ("BEGIN SELECT 1 INTO x; END", "SELECT INTO"),
+        ("BEGIN FOR i IN 1..x LOOP y := i; END LOOP; END", "constant"),
+    ]:
+        with pytest.raises(PlpgsqlError, match=frag):
+            compile_plpgsql([("x", "INT")], "INT", body)
+
+
+# ------------------------------------------- engine CREATE FUNCTION path
+def test_plpgsql_function_executes(engine, spark):
+    engine.sql(
+        """
+        CREATE OR REPLACE FUNCTION bucket_label(x int) RETURNS text
+        LANGUAGE plpgsql AS $$
+        DECLARE label text := 'none';
+        BEGIN
+          IF x > 100 THEN label := 'big';
+          ELSIF x > 10 THEN label := 'mid';
+          ELSE label := 'small';
+          END IF;
+          RETURN label;
+        END
+        $$
+        """
+    )
+    rows = spark.sql(
+        "SELECT bucket_label(x) AS l FROM VALUES (5), (50), (500) AS t(x)"
+    ).collect()
+    assert [r.l for r in rows] == ["small", "mid", "big"]
+
+
+def test_plpgsql_for_loop_unrolls(engine, spark):
+    engine.sql(
+        """
+        CREATE FUNCTION fact5() RETURNS bigint LANGUAGE plpgsql AS $$
+        DECLARE acc bigint := 1;
+        BEGIN
+          FOR i IN 1..5 LOOP acc := acc * i; END LOOP;
+          RETURN acc;
+        END
+        $$
+        """
+    )
+    assert spark.sql("SELECT fact5() AS v").collect()[0].v == 120
+    # the call is one Catalyst expression: no Python UDF in the plan
+    plan = spark.sql("SELECT fact5()")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_plpgsql_reverse_loop_and_early_return(engine, spark):
+    engine.sql(
+        """
+        CREATE FUNCTION first_div(n int) RETURNS int LANGUAGE plpgsql AS $$
+        BEGIN
+          FOR i IN REVERSE 9..2 LOOP
+            IF n % i = 0 THEN RETURN i; END IF;
+          END LOOP;
+          RETURN 1;
+        END
+        $$
+        """
+    )
+    got = {
+        n: spark.sql(f"SELECT first_div({n}) AS v").collect()[0].v
+        for n in (12, 35, 13)
+    }
+    assert got == {12: 6, 35: 7, 13: 1}
+
+
+def test_sql_language_function_and_strict(engine, spark):
+    engine.sql(
+        "CREATE FUNCTION double_it(x int) RETURNS int STRICT "
+        "LANGUAGE sql AS $$ SELECT x * 2 $$"
+    )
+    rows = spark.sql(
+        "SELECT double_it(x) AS v FROM VALUES (3), (NULL) AS t(x)"
+    ).collect()
+    assert [r.v for r in rows] == [6, None]
+
+
+def test_sql_standard_return_body(engine, spark):
+    engine.sql(
+        "CREATE FUNCTION add_one(x int) RETURNS int RETURN x + 1"
+    )
+    assert spark.sql("SELECT add_one(41) AS v").collect()[0].v == 42
+
+
+def test_body_uses_pg_dialect(engine, spark):
+    # ::casts and || inside the body go through the dialect rewrite
+    engine.sql(
+        """
+        CREATE FUNCTION tagit(x int) RETURNS text LANGUAGE plpgsql AS $$
+        BEGIN
+          RETURN 'v' || (x * 2)::text;
+        END
+        $$
+        """
+    )
+    assert spark.sql("SELECT tagit(21) AS v").collect()[0].v == "v42"
+
+
+def test_drop_function(engine, spark):
+    engine.sql("CREATE FUNCTION gone() RETURNS int RETURN 7")
+    assert spark.sql("SELECT gone() AS v").collect()[0].v == 7
+    engine.sql("DROP FUNCTION gone")
+    with pytest.raises(Exception):
+        spark.sql("SELECT gone() AS v").collect()
+    engine.sql("DROP FUNCTION IF EXISTS gone")  # idempotent
+
+
+def test_numeric_param_types(engine, spark):
+    engine.sql(
+        "CREATE FUNCTION pct(part numeric(10,2), whole numeric(10,2)) "
+        "RETURNS double precision LANGUAGE plpgsql AS $$ "
+        "BEGIN IF whole = 0 THEN RETURN NULL; END IF; "
+        "RETURN part / whole * 100; END $$"
+    )
+    v = spark.sql("SELECT pct(25.00, 50.00) AS v").collect()[0].v
+    assert abs(v - 50.0) < 1e-9
+    assert spark.sql("SELECT pct(1.0, 0.0) AS v").collect()[0].v is None
+
+
+def test_setof_rejected(engine):
+    with pytest.raises(NotImplementedError, match="SETOF"):
+        engine.sql(
+            "CREATE FUNCTION bad() RETURNS SETOF int LANGUAGE sql "
+            "AS $$ SELECT 1 $$"
+        )

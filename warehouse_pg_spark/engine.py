@@ -113,6 +113,18 @@ _EXECUTE_STMT_RE = re.compile(
 _DEALLOCATE_RE = re.compile(
     r"^DEALLOCATE\s+(?:PREPARE\s+)?(\w+|ALL)\s*$", re.IGNORECASE
 )
+_CREATE_FUNC_HEAD_RE = re.compile(
+    r"^CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+([\w.]+)\s*\(", re.IGNORECASE
+)
+_RETURNS_CLAUSE_RE = re.compile(
+    r"^\s*RETURNS\s+((?:SETOF\s+)?\w+(?:\s+precision|\s+varying)?"
+    r"(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_FUNC_RE = re.compile(
+    r"^DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?([\w.]+)\s*(?:\([^)]*\))?\s*$",
+    re.IGNORECASE,
+)
 _SET_GUC_RE = re.compile(
     r"^SET\s+(?:SESSION\s+|LOCAL\s+)?([\w.]+)\s*(?:=|\bTO\b)\s*(.+)$",
     re.IGNORECASE,
@@ -247,6 +259,9 @@ class Engine:
         sess = self._maybe_session_stmt(text)
         if sess is not None:
             return sess
+        fn = self._maybe_create_function(text)
+        if fn is not None:
+            return fn
         ea = _EXPLAIN_ANALYZE_RE.match(text.strip().rstrip(";"))
         if ea:
             return self._explain_analyze(ea.group(1))
@@ -325,6 +340,133 @@ class Engine:
         return self.spark.createDataFrame(
             [(ln,) for ln in lines], "`QUERY PLAN` string"
         )
+
+    # --------------------------------------------------- CREATE FUNCTION
+    def _maybe_create_function(self, text: str) -> DataFrame | None:
+        """SQL-text CREATE FUNCTION (commands/functioncmds.c;
+        pl/plpgsql for LANGUAGE plpgsql bodies). Runs BEFORE the dialect
+        rewrite so dollar-quoted bodies survive intact; the compiled
+        expression is then itself dialect-rewritten, so PG-isms inside
+        the body (::casts, ||, SIMILAR TO, ...) lower normally.
+
+        Both LANGUAGE sql and LANGUAGE plpgsql register a Spark
+        TEMPORARY SQL FUNCTION whose body is ONE Catalyst expression —
+        calls inline into whole-stage codegen with no Python boundary.
+        plpgsql bodies are compiled (plpgsql.py), not interpreted:
+        assignments become substitutions, IF becomes CASE, constant
+        FOR loops unroll. STRICT / RETURNS NULL ON NULL INPUT wraps the
+        expression in a null-gate, matching fmgr's strict-call
+        short-circuit."""
+        s = text.strip().rstrip(";").strip()
+        m = _DROP_FUNC_RE.match(s)
+        if m:
+            self.spark.sql(
+                f"DROP TEMPORARY FUNCTION IF EXISTS {m.group(2).split('.')[-1]}"
+            )
+            return self._tag(0)
+        m = _CREATE_FUNC_HEAD_RE.match(s)
+        if m is None:
+            return None
+        from warehouse_pg_spark import sql_dialect
+        from warehouse_pg_spark.plpgsql import compile_plpgsql
+        from warehouse_pg_spark.sql_dialect import map_decl_type
+
+        name = m.group(1).split(".")[-1]
+        # arg list ends at the MATCHING close paren (types like
+        # numeric(10,2) nest)
+        depth, i, quote = 1, m.end(), None
+        while i < len(s) and depth:
+            ch = s[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch == "'":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError("CREATE FUNCTION: unbalanced parameter list")
+        rawargs = s[m.end(): i - 1]
+        rm = _RETURNS_CLAUSE_RE.match(s[i:])
+        if rm is None:
+            raise NotImplementedError(
+                "CREATE FUNCTION requires an explicit RETURNS type"
+            )
+        rettype, tail = rm.group(1).strip(), rm.group(2)
+        if re.match(r"SETOF\b", rettype, re.IGNORECASE):
+            raise NotImplementedError(
+                "CREATE FUNCTION RETURNS SETOF: use create_udtf / "
+                "FunctionScan (§2.1) for set-returning functions"
+            )
+        params: list[tuple[str, str]] = []
+        for a in (x.strip() for x in _split_exprs(rawargs) if x.strip()):
+            if re.search(r"\bDEFAULT\b|=", a, re.IGNORECASE):
+                raise NotImplementedError(
+                    "CREATE FUNCTION parameter DEFAULTs are not supported"
+                )
+            toks = a.split()
+            if toks[0].upper() in ("IN", "OUT", "INOUT", "VARIADIC"):
+                if toks[0].upper() != "IN":
+                    raise NotImplementedError(
+                        f"{toks[0].upper()} parameters are not supported"
+                    )
+                toks = toks[1:]
+            if len(toks) < 2:
+                raise ValueError(f"parameter needs name and type: {a!r}")
+            params.append((toks[0], map_decl_type(" ".join(toks[1:]))))
+        lang_m = re.search(r"\bLANGUAGE\s+'?(\w+)'?", tail, re.IGNORECASE)
+        lang = (lang_m.group(1) if lang_m else "sql").lower()
+        strict = bool(
+            re.search(
+                r"\bSTRICT\b|\bRETURNS\s+NULL\s+ON\s+NULL\s+INPUT\b",
+                tail,
+                re.IGNORECASE,
+            )
+        )
+        # NB: the tag group uses an empty alternative, not `?` — a
+        # Python backref to a non-participating group never matches,
+        # which would silently skip plain $$ bodies.
+        body_m = re.search(
+            r"\$([A-Za-z_]\w*|)\$(.*)\$\1\$", tail, re.DOTALL
+        ) or re.search(r"\bAS\s+('(?:[^']|'')*')", tail, re.IGNORECASE | re.DOTALL)
+        ret_spark = map_decl_type(rettype)
+        if body_m:
+            body = body_m.group(2 if body_m.re.groups == 2 else 1)
+            if body.startswith("'"):  # AS '...' spelling
+                body = body[1:-1].replace("''", "'")
+        else:
+            rb = re.search(r"\bRETURN\b(.*)$", tail, re.IGNORECASE | re.DOTALL)
+            if not rb:
+                raise ValueError(
+                    "CREATE FUNCTION needs AS $$...$$ / AS '...' / RETURN expr"
+                )
+            body, lang = f"SELECT {rb.group(1).strip()}", "sql"
+        if lang == "plpgsql":
+            expr = compile_plpgsql(params, ret_spark, body)
+        elif lang in ("sql", "internal"):
+            # PG SQL functions return the last statement's result; the
+            # supported subset is expression-bodied SELECTs.
+            last = [x for x in body.split(";") if x.strip()][-1].strip()
+            expr = re.sub(r"^SELECT\b", "", last, flags=re.IGNORECASE).strip()
+            expr = f"CAST(({expr}) AS {ret_spark})"
+        else:
+            raise NotImplementedError(f"LANGUAGE {lang} is not supported")
+        expr = sql_dialect.rewrite(expr)
+        if strict and params:
+            null_any = " OR ".join(f"{p} IS NULL" for p, _t in params)
+            expr = (
+                f"CASE WHEN {null_any} THEN CAST(NULL AS {ret_spark}) "
+                f"ELSE {expr} END"
+            )
+        arglist = ", ".join(f"{p} {t}" for p, t in params)
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({arglist}) "
+            f"RETURNS {ret_spark} RETURN {expr}"
+        )
+        return self._tag(0)
 
     # ------------------------------------------- prepared statements / GUCs
     def _maybe_session_stmt(self, text: str) -> DataFrame | None:

@@ -1,0 +1,368 @@
+"""PL/pgSQL (subset) compiled to a single Catalyst SQL expression.
+
+The reference interprets PL/pgSQL bodies statement-by-statement in the
+backend (src/pl/plpgsql/src/pl_exec.c; grammar pl_gram.y). On Spark the
+idiomatic equivalent for scalar functions is COMPILATION, not
+interpretation: every supported body lowers to one SQL expression over
+the parameters, registered with `CREATE TEMPORARY FUNCTION ... RETURN
+<expr>` — so calls inline into Catalyst, whole-stage codegen applies,
+and there is no per-row Python boundary at all.
+
+Supported statement forms (pl_gram.y subset):
+    DECLARE v type [:= expr | DEFAULT expr];   -- uninitialized => NULL
+    v := expr;   /   v = expr;
+    IF c THEN ... [ELSIF c THEN ...]* [ELSE ...] END IF;
+    FOR i IN [REVERSE] a .. b LOOP ... END LOOP;   -- constant bounds,
+                                                   -- unrolled at compile
+    RETURN [expr];
+    NULL;
+    CASE / WHILE / SELECT INTO / RAISE  -- rejected with a clear error
+                                       -- (documented deviation)
+
+Lowering model: straight-line code is single-assignment substitution
+(each variable's current value is a fully-substituted SQL expression
+over the parameters); IF becomes CASE WHEN with the statement TAIL
+compiled into every branch (so control flow after the IF sees each
+branch's assignments); constant-bound FOR loops unroll. Falling off the
+end of the function returns NULL, as PG does for a missing RETURN only
+at runtime — we compile it to NULL.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["compile_plpgsql", "PlpgsqlError"]
+
+
+class PlpgsqlError(ValueError):
+    """Unsupported or malformed PL/pgSQL (the compile-time analogue of
+    pl_gram.y syntax errors / pl_exec.c runtime errors)."""
+
+
+# --------------------------------------------------------------- masking
+_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _mask(text: str) -> tuple[str, list[str]]:
+    lits: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    return _LIT_RE.sub(sub, text), lits
+
+
+def _unmask(text: str, lits: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], text)
+
+
+def _strip_comments(text: str) -> str:
+    text = re.sub(r"--[^\n]*", "", text)
+    # block comments, non-nested (PG nests; bodies in practice don't)
+    return re.sub(r"/\*.*?\*/", "", text, flags=re.DOTALL)
+
+
+# ----------------------------------------------------------------- parse
+# Statements as a tiny AST: ("assign", var, expr) ("return", expr|None)
+# ("if", [(cond, stmts), ...], else_stmts) ("for", var, lo, hi, rev,
+# stmts) ("null",)
+
+_ASSIGN_RE = re.compile(r"^([A-Za-z_]\w*)\s*:?=\s*(.+)$", re.DOTALL)
+_FOR_RE = re.compile(
+    r"^FOR\s+([A-Za-z_]\w*)\s+IN\s+(REVERSE\s+)?(.+?)\s*\.\.\s*(.+?)\s+LOOP\b",
+    re.IGNORECASE | re.DOTALL,
+)
+_WORD_RE = re.compile(r"[A-Za-z_]\w*|;|\S")
+
+_REJECTED = {
+    "WHILE": "WHILE loops (data-dependent trip counts cannot lower to "
+    "one expression; use FOR with constant bounds)",
+    "RAISE": "RAISE",
+    "PERFORM": "PERFORM",
+    "EXECUTE": "dynamic EXECUTE",
+    "SELECT": "SELECT INTO / embedded queries",
+    "GET": "GET DIAGNOSTICS",
+    "OPEN": "cursors",
+    "FETCH": "cursors",
+    "EXIT": "EXIT/CONTINUE",
+    "CONTINUE": "EXIT/CONTINUE",
+    "CASE": "statement-form CASE (expression CASE is fine inside exprs)",
+}
+
+
+def _split_statements(body: str) -> list[str]:
+    """Split a masked block body into top-level statements; IF/FOR/LOOP
+    blocks stay intact (their inner semicolons don't split)."""
+    stmts: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        # skip leading whitespace
+        while i < n and body[i].isspace():
+            i += 1
+        if i >= n:
+            break
+        head = body[i:]
+        mword = re.match(r"[A-Za-z_]\w*", head)
+        kw = mword.group(0).upper() if mword else ""
+        if kw in ("IF", "FOR", "LOOP"):
+            j = _find_block_end(body, i)
+            stmts.append(body[i:j].strip())
+            i = j
+        else:
+            j = body.find(";", i)
+            if j < 0:
+                j = n
+            stmt = body[i:j].strip()
+            if stmt:
+                stmts.append(stmt)
+            i = j + 1
+    return stmts
+
+
+def _find_block_end(body: str, start: int) -> int:
+    """Index just past the `;` that closes the IF/LOOP block opened at
+    start. Tracks IF/LOOP nesting by keywords (literals are masked)."""
+    depth = 0
+    i = start
+    n = len(body)
+    opener = None
+    for m in re.finditer(r"[A-Za-z_]\w*|;", body[start:]):
+        w = m.group(0).upper()
+        pos = start + m.start()
+        if w == "IF":
+            # END IF's trailing IF must not re-open
+            prev = body[:pos].rstrip()
+            if prev.upper().endswith("END"):
+                continue
+            depth += 1
+            opener = opener or "IF"
+        elif w == "LOOP":
+            prev = body[:pos].rstrip()
+            if prev.upper().endswith("END"):
+                depth -= 1
+                if depth == 0:
+                    j = body.find(";", pos)
+                    return (j + 1) if j >= 0 else n
+            else:
+                depth += 1
+                opener = opener or "LOOP"
+        elif w == "END":
+            # END IF handled on the IF token; END LOOP on LOOP token
+            nxt = re.match(r"\s*(IF|LOOP)\b", body[pos + 3:], re.IGNORECASE)
+            if nxt and nxt.group(1).upper() == "IF":
+                depth -= 1
+                if depth == 0:
+                    semi = body.find(";", pos)
+                    return (semi + 1) if semi >= 0 else n
+    raise PlpgsqlError("unterminated IF/LOOP block")
+    return i
+
+
+def _parse_stmts(stmts: list[str]) -> list[tuple]:
+    out: list[tuple] = []
+    for s in stmts:
+        mword = re.match(r"[A-Za-z_]\w*", s)
+        kw = mword.group(0).upper() if mword else ""
+        if kw == "RETURN":
+            expr = s[len("RETURN"):].strip().rstrip(";").strip()
+            out.append(("return", expr or None))
+        elif kw == "NULL":
+            out.append(("null",))
+        elif kw == "IF":
+            out.append(_parse_if(s))
+        elif kw == "FOR":
+            out.append(_parse_for(s))
+        elif kw in _REJECTED:
+            raise PlpgsqlError(
+                f"unsupported PL/pgSQL statement: {_REJECTED[kw]} "
+                "(see README 'Known deviations')"
+            )
+        else:
+            m = _ASSIGN_RE.match(s)
+            if not m:
+                raise PlpgsqlError(f"cannot parse statement: {s[:80]!r}")
+            out.append(("assign", m.group(1).lower(), m.group(2).strip()))
+    return out
+
+
+def _top_level_branch_splits(body: str) -> list[tuple[int, str]]:
+    """Positions of ELSIF/ELSE/END-IF at nesting depth 0 of an IF body."""
+    depth = 0
+    hits: list[tuple[int, str]] = []
+    for m in re.finditer(r"[A-Za-z_]\w*", body):
+        w = m.group(0).upper()
+        pos = m.start()
+        prev = body[:pos].rstrip()
+        if w == "IF" and not prev.upper().endswith("END"):
+            depth += 1
+        elif w == "LOOP" and not prev.upper().endswith("END"):
+            depth += 1
+        elif w == "END":
+            nxt = re.match(r"\s*(IF|LOOP)\b", body[pos + 3:], re.IGNORECASE)
+            if nxt:
+                depth -= 1
+                if depth == 0 and nxt.group(1).upper() == "IF":
+                    hits.append((pos, "ENDIF"))
+        elif w in ("ELSIF", "ELSEIF", "ELSE") and depth == 1:
+            hits.append((pos, w))
+    return hits
+
+
+def _parse_if(s: str) -> tuple:
+    body = s  # starts with IF
+    m = re.match(r"IF\b", body, re.IGNORECASE)
+    splits = _top_level_branch_splits(body)
+    if not splits or splits[-1][1] != "ENDIF":
+        raise PlpgsqlError("IF without END IF")
+    end_pos = splits[-1][0]
+    # segment boundaries: IF .. THEN .., ELSIF .. THEN .., ELSE ..
+    bounds = [(0, "IF")] + splits[:-1] + [(end_pos, "ENDIF")]
+    arms: list[tuple[str | None, list[tuple]]] = []
+    for (pos, kind), (npos, _) in zip(bounds, bounds[1:]):
+        seg = body[pos:npos]
+        if kind in ("IF", "ELSIF", "ELSEIF"):
+            seg = re.sub(r"^(IF|ELSIF|ELSEIF)\b", "", seg, flags=re.IGNORECASE)
+            mt = re.search(r"\bTHEN\b", seg, re.IGNORECASE)
+            if not mt:
+                raise PlpgsqlError("IF/ELSIF without THEN")
+            cond = seg[: mt.start()].strip()
+            arms.append((cond, _parse_stmts(_split_statements(seg[mt.end():]))))
+        else:  # ELSE
+            seg = re.sub(r"^ELSE\b", "", seg, flags=re.IGNORECASE)
+            arms.append((None, _parse_stmts(_split_statements(seg))))
+    cond_arms = [(c, b) for c, b in arms if c is not None]
+    else_body = next((b for c, b in arms if c is None), [])
+    return ("if", cond_arms, else_body)
+
+
+def _parse_for(s: str) -> tuple:
+    m = _FOR_RE.match(s)
+    if not m:
+        raise PlpgsqlError(
+            "only integer-range FOR loops are supported "
+            f"(FOR v IN [REVERSE] a..b LOOP): {s[:80]!r}"
+        )
+    var, rev, lo, hi = m.group(1).lower(), bool(m.group(2)), m.group(3), m.group(4)
+    inner_start = m.end()
+    # strip the trailing END LOOP;
+    tail = re.search(r"END\s+LOOP\s*;?\s*$", s, re.IGNORECASE)
+    if not tail:
+        raise PlpgsqlError("FOR without END LOOP")
+    inner = s[inner_start: tail.start()]
+    return ("for", var, lo.strip(), hi.strip(), rev,
+            _parse_stmts(_split_statements(inner)))
+
+
+# --------------------------------------------------------------- compile
+_MAX_UNROLL = 64
+
+
+def _subst(expr: str, env: dict[str, str]) -> str:
+    """Replace variable references with their current SQL value.
+    Identifiers followed by '(' are function calls, left alone."""
+    def sub(m: re.Match) -> str:
+        name = m.group(0).lower()
+        return env.get(name, m.group(0))
+
+    return re.sub(r"\b[A-Za-z_]\w*\b(?!\s*\()", sub, expr)
+
+
+def _const_int(expr: str) -> int:
+    m = re.fullmatch(r"\s*\(*\s*(-?\d+)\s*\)*\s*", expr)
+    if not m:
+        raise PlpgsqlError(
+            f"FOR bound must be a compile-time integer constant: {expr!r}"
+        )
+    return int(m.group(1))
+
+
+def _compile_seq(stmts: list[tuple], env: dict[str, str], returns: str) -> str:
+    """Compile a statement list to one SQL expression. env maps
+    lowercase var -> SQL expr over the parameters only."""
+    if not stmts:
+        return f"CAST(NULL AS {returns})"
+    head, tail = stmts[0], stmts[1:]
+    kind = head[0]
+    if kind == "null":
+        return _compile_seq(tail, env, returns)
+    if kind == "return":
+        expr = head[1]
+        if expr is None:
+            return f"CAST(NULL AS {returns})"
+        return f"CAST(({_subst(expr, env)}) AS {returns})"
+    if kind == "assign":
+        _, var, expr = head
+        env2 = dict(env)
+        env2[var] = f"({_subst(expr, env)})"
+        return _compile_seq(tail, env2, returns)
+    if kind == "if":
+        _, cond_arms, else_body = head
+        parts = ["CASE"]
+        for cond, body in cond_arms:
+            parts.append(f"WHEN ({_subst(cond, env)}) THEN "
+                         f"{_compile_seq(body + tail, env, returns)}")
+        parts.append(f"ELSE {_compile_seq(else_body + tail, env, returns)}")
+        parts.append("END")
+        return " ".join(parts)
+    if kind == "for":
+        _, var, lo, hi, rev, body = head
+        lo_i = _const_int(_subst(lo, env))
+        hi_i = _const_int(_subst(hi, env))
+        seq = range(lo_i, hi_i + 1)
+        if rev:
+            # PG: FOR i IN REVERSE hi..lo counts down; the first bound
+            # is the start. Our (lo, hi) are source order.
+            seq = range(lo_i, hi_i - 1, -1)
+        if len(seq) > _MAX_UNROLL:
+            raise PlpgsqlError(
+                f"FOR loop unrolls {len(seq)} iterations "
+                f"(limit {_MAX_UNROLL})"
+            )
+        unrolled: list[tuple] = []
+        for i in seq:
+            unrolled.append(("assign", var, str(i)))
+            unrolled.extend(body)
+        return _compile_seq(unrolled + tail, env, returns)
+    raise PlpgsqlError(f"unknown statement kind {kind!r}")
+
+
+def compile_plpgsql(
+    params: list[tuple[str, str]], returns: str, body: str
+) -> str:
+    """Compile a PL/pgSQL body to one SQL expression over the params.
+
+    params: [(name, sql_type), ...] — names stay free identifiers in
+    the output (they become the CREATE FUNCTION argument names).
+    """
+    masked, lits = _mask(_strip_comments(body))
+    m = re.search(
+        r"^\s*(?:DECLARE\b(?P<decl>.*?))?\s*BEGIN\b(?P<body>.*)\bEND\s*;?\s*$",
+        masked,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise PlpgsqlError("body must be [DECLARE ...] BEGIN ... END")
+    env: dict[str, str] = {p.lower(): p for p, _t in params}
+    decl = m.group("decl") or ""
+    for d in [x.strip() for x in decl.split(";") if x.strip()]:
+        dm = re.match(
+            r"^([A-Za-z_]\w*)\s+(?:CONSTANT\s+)?"
+            r"((?:[A-Za-z_]\w*\s*)+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+            r"(?:\s*(?::=|DEFAULT)\s*(.+))?$",
+            d,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not dm:
+            raise PlpgsqlError(f"cannot parse declaration: {d[:80]!r}")
+        from warehouse_pg_spark.sql_dialect import map_decl_type
+
+        name, typ, init = dm.group(1).lower(), dm.group(2).strip(), dm.group(3)
+        typ = map_decl_type(typ)
+        if init is not None:
+            env[name] = f"(CAST(({_subst(init.strip(), env)}) AS {typ}))"
+        else:
+            env[name] = f"(CAST(NULL AS {typ}))"
+    stmts = _parse_stmts(_split_statements(m.group("body")))
+    return _unmask(_compile_seq(stmts, env, returns), lits)

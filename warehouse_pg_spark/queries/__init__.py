@@ -60,7 +60,8 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
 #   setop_except_all→pgsql_within_group (orderedset tag),
 #   fn_range_types→sample_stratified (sample tag),
 #   pgsql_distinct_on_latest_order→fn_arrays (arrays tag),
-#   sim_topk_bruteforce→ts_range_join_bucketed (new two-sided range join)
+#   sim_topk_bruteforce→ts_range_join_bucketed (new two-sided range join),
+#   pgsql_q1_text→pgsql_plpgsql_function (new LANGUAGE plpgsql surface)
 DRIVER_PREFIX: tuple[str, ...] = (
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
@@ -85,7 +86,7 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "sim_ivf_bucketed",
     "pipeline_training_data_prep",
     "multimodal_feature_extract",
-    "pgsql_q1_text",
+    "pgsql_plpgsql_function",
     "events_tumbling_window",
     "tpch_q3_shipping_priority",
     "join_notin_with_nulls",

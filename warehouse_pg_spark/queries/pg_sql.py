@@ -809,3 +809,54 @@ def pgsql_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 25
         """,
     )
+
+
+@register(
+    "pgsql_plpgsql_function",
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 150000 THEN 'mid'
+                ELSE 'low' END AS band,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+    FROM orders
+    GROUP BY band
+    ORDER BY band
+    """,
+    tags=("dialect", "plpgsql", "udf"),
+)
+def pgsql_plpgsql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE FUNCTION ... LANGUAGE plpgsql (src/pl/plpgsql/src/
+    pl_exec.c; pl_gram.y) compiled to ONE Catalyst expression
+    (plpgsql.py): DECLARE + IF/ELSIF lower to CASE WHEN, so calling the
+    function in a 100-TB scan stays inside whole-stage codegen — no
+    interpreter, no Python boundary, and the oracle is the CASE the
+    body compiles to."""
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_fixtures(sf_dir)
+    eng.sql(
+        """
+        CREATE OR REPLACE FUNCTION price_band(p double precision)
+        RETURNS text LANGUAGE plpgsql AS $$
+        DECLARE band text := 'low';
+        BEGIN
+          IF p >= 300000 THEN band := 'high';
+          ELSIF p >= 150000 THEN band := 'mid';
+          END IF;
+          RETURN band;
+        END
+        $$
+        """
+    )
+    return eng.sql(
+        """
+        SELECT price_band(o_totalprice) AS band,
+               count(*) AS n,
+               sum(o_totalprice::numeric(18,2))::numeric(38,2) AS total
+        FROM orders
+        GROUP BY band
+        ORDER BY band
+        """
+    )

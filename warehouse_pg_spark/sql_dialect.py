@@ -455,6 +455,18 @@ def _rewrite_with_ties(sql: str) -> str:
     )
 
 
+def map_decl_type(t: str) -> str:
+    """PG type spelling -> Spark type for declared contexts (function
+    parameters / RETURNS / PL/pgSQL DECLARE), including the multiword
+    spellings the `::cast` rewrite never sees."""
+    tl = re.sub(r"\s+", " ", t.strip().lower())
+    if tl == "double precision":
+        return "DOUBLE"
+    if tl.startswith("character varying") or tl == "character":
+        return "STRING"
+    return _map_type(t)
+
+
 def _map_type(t: str) -> str:
     base = t.split("(")[0].strip().lower()
     mapped = _TYPE_MAP.get(base)
