@@ -100,18 +100,23 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
-    pairs = li.join(
-        asia_supp, li.l_suppkey == asia_supp.s_suppkey
-    ).select("l_partkey", "s_acctbal", "s_name", "n_name")
-    best = pairs.groupBy("l_partkey").agg(F.max("s_acctbal").alias("max_bal"))
+    # Per-partkey MAX is unchanged by restricting to the qualifying
+    # partkeys, so the selective part filter joins BEFORE the
+    # correlated max, and the max itself is a window over the reduced
+    # pairs — one shuffle on (filtered) l_partkey instead of a
+    # full-pairs aggregate plus a join back.
+    from pyspark.sql import Window
+
+    pairs = (
+        li.join(asia_supp, li.l_suppkey == asia_supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .select("l_partkey", "s_acctbal", "s_name", "n_name",
+                "p_partkey", "p_type")
+    )
+    w = Window.partitionBy("l_partkey")
     return (
-        pairs.join(
-            best,
-            (pairs.l_partkey == best.l_partkey)
-            & (pairs.s_acctbal == best.max_bal),
-        )
-        .drop(best.l_partkey)
-        .join(part, F.col("l_partkey") == part.p_partkey)
+        pairs.withColumn("max_bal", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("max_bal"))
         .select(
             dec("s_acctbal").alias("s_acctbal"),
             "s_name",
@@ -573,12 +578,17 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
-        F.avg("l_quantity").alias("avg_qty")
-    )
+    # Per-partkey AVG is unchanged by restricting to the qualifying
+    # partkeys, so join the selective part filter FIRST (broadcast),
+    # then compute the correlated avg as a window over the REDUCED
+    # fact — one shuffle of the filtered rows, not a full-lineitem
+    # aggregate plus a second join back.
+    from pyspark.sql import Window
+
+    li_small = li.join(part, li.l_partkey == part.p_partkey)
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(avg_qty, li.l_partkey == F.col("ak"))
+        li_small.withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
         .agg(
             (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
@@ -605,22 +615,25 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: customers with large-volume orders (IN over a HAVING
     aggregate → semi join). Quantities are integral doubles, so sums
-    are exact in any order."""
+    are exact in any order.
+
+    Single-pass plan: the HAVING aggregate already IS the query's
+    sum_qty (the final group keys are order-level), so the qualifying
+    orders carry their sum out of ONE lineitem shuffle — no second
+    lineitem join + re-aggregation, which at 100 TB would double the
+    dominant fact shuffle. The filtered survivor set is tiny, so AQE
+    broadcasts it into orders."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
-        .filter(F.col("q") > 150)
-        .select("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
     )
     return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
         .select(
             "c_name",
             "c_custkey",
