@@ -324,3 +324,22 @@ def test_incremental_lsh_band_join_is_hash(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_incremental_lsh", "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_single_lineitem_pass(spark, sf_dir):
+    """Q18's HAVING aggregate IS the output sum_qty, so the plan must
+    scan lineitem exactly once — a second scan means the redundant
+    re-join + re-aggregation crept back (at 100 TB it doubles the
+    dominant fact shuffle)."""
+    plan = plan_of(spark, sf_dir, "tpch_q18_large_volume_customer")
+    assert plan.count("lineitem") <= 1, plan
+
+
+def test_q17_q2_window_decorrelation(spark, sf_dir):
+    """Q17/Q2 correlated aggregates lower to a window over the
+    part-filtered fact: one lineitem scan, no aggregate-plus-join-back
+    (the selective filter must run BEFORE the correlated agg)."""
+    for name in ("tpch_q17_small_quantity_revenue", "tpch_q2_min_cost_supplier"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("lineitem") <= 1, (name, plan)
+        assert "Window" in plan, name
