@@ -860,3 +860,142 @@ def pgsql_plpgsql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY band
         """
     )
+
+
+@register(
+    "pgsql_lateral_topn_text",
+    oracle="""
+    SELECT n.n_name, top.c_name,
+           CAST(top.c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2) top
+    ORDER BY n.n_name, c_acctbal DESC, top.c_name
+    """,
+    tags=("dialect", "join", "lateral"),
+)
+def pgsql_lateral_topn_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT as PG SQL text
+    (gram.y lateral_clause; the executor's parameterized rescan,
+    nodeNestloop.c): top-2 customers per nation. Spark plans the
+    correlated lateral as a ranked window join — per-group top-K with
+    no driver loop, which is the scale-safe shape."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n.n_name, top.c_name, top.c_acctbal::numeric(18,2) AS c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) top
+        ORDER BY n.n_name, c_acctbal DESC, top.c_name
+        """,
+    )
+
+
+@register(
+    "pgsql_exists_correlated_text",
+    oracle="""
+    SELECT n_name, COUNT(*) AS heavy_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("dialect", "semi", "subquery"),
+)
+def pgsql_exists_correlated_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS as PG SQL text (parse_expr.c EXISTS sublink →
+    semi join): nations' suppliers that ever shipped a max-quantity
+    line. Catalyst decorrelates to a LeftSemi hash join on l_suppkey —
+    never a per-row rescan."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n_name, count(*) AS heavy_suppliers
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+        GROUP BY n_name
+        ORDER BY n_name
+        """,
+    )
+
+
+@register(
+    "pgsql_prepared_execute",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_totalprice > 250000 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("dialect", "prepared"),
+)
+def pgsql_prepared_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREPARE ... ($1, $2) / EXECUTE through the engine (commands/
+    prepare.c): the driver-scored path now covers parameter
+    substitution end-to-end, not just unit tests. The prepared body is
+    planned per EXECUTE (Catalyst re-optimizes with the literals —
+    equivalent to PG's custom plan, which is the right trade at scale
+    since literal pushdown beats generic-plan reuse)."""
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_fixtures(sf_dir)
+    eng.sql(
+        """
+        PREPARE big_orders(numeric, text) AS
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_totalprice > $1 AND o_orderstatus = $2
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+    try:
+        return eng.sql("EXECUTE big_orders(250000, 'F')")
+    finally:
+        eng.sql("DEALLOCATE big_orders")
+
+
+@register(
+    "pgsql_values_join",
+    oracle="""
+    SELECT v.grp, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
+    FROM customer c
+    JOIN (VALUES ('BUILDING','b2c'), ('AUTOMOBILE','b2c'),
+                 ('MACHINERY','b2b'), ('FURNITURE','b2b'),
+                 ('HOUSEHOLD','b2c')) AS v(seg, grp)
+      ON c.c_mktsegment = v.seg
+    GROUP BY v.grp
+    ORDER BY v.grp
+    """,
+    tags=("dialect", "values", "join"),
+)
+def pgsql_values_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES list as an inline relation joined to a fact (ValuesScan,
+    nodeValuesscan.c) — the idiomatic small-mapping-table join. The
+    literal relation is driver-side and broadcast, so the join is
+    map-only at any scale."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT v.grp, count(*) AS n,
+               sum(c_acctbal::numeric(18,2))::numeric(38,2) AS bal
+        FROM customer c
+        JOIN (VALUES ('BUILDING','b2c'), ('AUTOMOBILE','b2c'),
+                     ('MACHINERY','b2b'), ('FURNITURE','b2b'),
+                     ('HOUSEHOLD','b2c')) AS v(seg, grp)
+          ON c.c_mktsegment = v.seg
+        GROUP BY v.grp
+        ORDER BY v.grp
+        """,
+    )
