@@ -703,3 +703,175 @@ def test_execute_param_substitution_and_count(engine):
         engine.sql("EXECUTE p2 (7)")
     assert engine.sql("EXECUTE p2 (7, 8)").collect()[0].a == 7
     engine.sql("DEALLOCATE ALL")
+
+
+def test_merge_statement_full(engine, spark, tmp_path):
+    """SQL-text MERGE (PG 15, parse_merge.c / ExecMerge): conditional
+    UPDATE, DELETE, and INSERT clauses evaluated in order — first
+    passing clause wins."""
+    path = str(tmp_path / "merge_t")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        ["id", "s", "v"],
+    ).write.parquet(path)
+    engine.attach_parquet("merge_t", path)
+    spark.createDataFrame(
+        [(1, 100.0), (2, -1.0), (5, 500.0), (6, -6.0)], ["sid", "sv"]
+    ).createOrReplaceTempView("merge_src")
+
+    out = engine.sql(
+        """
+        MERGE INTO merge_t AS t USING merge_src AS s ON t.id = s.sid
+        WHEN MATCHED AND s.sv < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.sv, s = upper(t.s)
+        WHEN NOT MATCHED AND s.sv > 0 THEN INSERT (id, s, v) VALUES (s.sid, 'new', s.sv)
+        """
+    )
+    # affected: update id=1, delete id=2, insert id=5 (id=6 fails the
+    # insert condition, ids 3/4 untouched)
+    assert out.collect()[0].rows_affected == 3
+    rows = {r.id: (r.s, r.v) for r in engine.table("merge_t").collect()}
+    assert rows[1] == ("A", 100.0)
+    assert 2 not in rows
+    assert rows[3] == ("c", 30.0) and rows[4] == ("d", 40.0)
+    assert rows[5] == ("new", 500.0)
+    assert 6 not in rows
+
+
+def test_merge_subquery_source_and_do_nothing(engine, spark, tmp_path):
+    path = str(tmp_path / "merge_t2")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], ["id", "v"]
+    ).write.parquet(path)
+    engine.attach_parquet("merge_t2", path)
+    spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], ["sid", "sv"]
+    ).createOrReplaceTempView("merge_src2")
+
+    out = engine.sql(
+        """
+        MERGE INTO merge_t2 USING
+          (SELECT sid, sv * 10 AS sv FROM merge_src2) AS s
+          ON merge_t2.id = s.sid
+        WHEN MATCHED AND s.sid = 1 THEN DO NOTHING
+        WHEN MATCHED THEN UPDATE SET v = s.sv
+        WHEN NOT MATCHED THEN DO NOTHING
+        """
+    )
+    assert out.collect()[0].rows_affected == 1  # only id=2 updates
+    rows = {r.id: r.v for r in engine.table("merge_t2").collect()}
+    assert rows == {1: 10.0, 2: 20.0}
+
+
+def test_merge_positional_insert(engine, spark, tmp_path):
+    """INSERT without a column list maps VALUES positionally to the
+    target schema."""
+    path = str(tmp_path / "merge_t3")
+    spark.createDataFrame([(1, "x")], ["id", "s"]).write.parquet(path)
+    engine.attach_parquet("merge_t3", path)
+    spark.createDataFrame([(2, "y")], ["sid", "ss"]).createOrReplaceTempView(
+        "merge_src3"
+    )
+    engine.sql(
+        """
+        MERGE INTO merge_t3 USING merge_src3 AS s ON merge_t3.id = s.sid
+        WHEN MATCHED THEN UPDATE SET s = s.ss
+        WHEN NOT MATCHED THEN INSERT VALUES (s.sid, s.ss)
+        """
+    )
+    rows = {r.id: r.s for r in engine.table("merge_t3").collect()}
+    assert rows == {1: "x", 2: "y"}
+
+
+def test_reset_and_discard(engine, spark):
+    """RESET (guc.c) restores a GUC's default; DISCARD ALL
+    (commands/discard.c) resets the whole session state."""
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        engine.sql("SET TIME ZONE 'Asia/Tokyo'")
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
+        engine.sql("RESET TIME ZONE")
+        assert spark.conf.get("spark.sql.session.timeZone") == tz0
+        engine.sql("SET work_mem = '64MB'")
+        engine.sql("RESET work_mem")
+        import pytest as _pt
+        with _pt.raises(KeyError):
+            engine.sql("SHOW work_mem").collect()
+        engine.sql("SET search_path TO public")
+        engine.sql("PREPARE rd AS SELECT 1 AS x")
+        engine.sql("DISCARD ALL")
+        with _pt.raises(KeyError):
+            engine.sql("SHOW search_path").collect()
+        with _pt.raises(KeyError):
+            engine.sql("EXECUTE rd()").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_vacuum_analyze_statements(engine, spark, tmp_path):
+    """SQL-text VACUUM compacts a writable table's files; ANALYZE and
+    table-less VACUUM are accepted (advisory) so pg maintenance scripts
+    replay unchanged."""
+    import os
+
+    path = str(tmp_path / "vac_t")
+    spark.range(0, 1000).repartition(8).write.parquet(path)
+    engine.attach_parquet("vac_t", path)
+    files_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert files_before >= 8
+    engine.sql("VACUUM FULL vac_t")
+    files_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert files_after < files_before
+    assert engine.table("vac_t").count() == 1000
+    engine.sql("VACUUM")                 # whole-db: no-op
+    engine.sql("ANALYZE vac_t")          # temp-view stats: advisory
+    engine.sql("ANALYZE")                # database-wide: no-op
+
+
+def test_current_setting_set_config(engine, spark):
+    """current_setting/set_config (guc.c SQL accessors) inline the
+    session value as a constant — always the current value."""
+    import pytest as _pt
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        engine.sql("SET application_name = 'etl_job'")
+        r = engine.sql("SELECT current_setting('application_name') AS v")
+        assert r.collect()[0].v == "etl_job"
+        engine.sql("SET application_name = 'etl_job2'")  # must not be stale
+        assert engine.sql(
+            "SELECT current_setting('application_name') AS v"
+        ).collect()[0].v == "etl_job2"
+        # missing_ok=true -> NULL; without it -> error
+        assert engine.sql(
+            "SELECT current_setting('no_such_guc', true) AS v"
+        ).collect()[0].v is None
+        with _pt.raises(KeyError):
+            engine.sql("SELECT current_setting('no_such_guc') AS v")
+        # set_config mutates and returns the new value
+        assert engine.sql(
+            "SELECT set_config('statement_timeout', '5min', false) AS v"
+        ).collect()[0].v == "5min"
+        assert engine.sql(
+            "SELECT current_setting('statement_timeout') AS v"
+        ).collect()[0].v == "5min"
+        assert engine.sql(
+            "SELECT current_setting('TimeZone') AS v"
+        ).collect()[0].v == spark.conf.get("spark.sql.session.timeZone")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_cluster_reindex_statements(engine, spark, tmp_path):
+    """CLUSTER applies the advisory index's Z-order layout; REINDEX is
+    an accepted no-op (indexes are scan hints here)."""
+    path = str(tmp_path / "clu_t")
+    spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(1000)], ["id", "k", "v"]
+    ).write.parquet(path)
+    engine.attach_parquet("clu_t", path)
+    engine.sql("CREATE INDEX clu_idx ON clu_t (k, id)")
+    engine.sql("CLUSTER clu_t USING clu_idx")
+    assert engine.table("clu_t").count() == 1000
+    engine.sql("REINDEX TABLE clu_t")
+    engine.sql("CLUSTER")  # database-wide: no-op

@@ -113,6 +113,31 @@ _EXECUTE_STMT_RE = re.compile(
 _DEALLOCATE_RE = re.compile(
     r"^DEALLOCATE\s+(?:PREPARE\s+)?(\w+|ALL)\s*$", re.IGNORECASE
 )
+_RESET_RE = re.compile(r"^RESET\s+(ALL|[\w.]+(?:\s+\w+)?)\s*$", re.IGNORECASE)
+_CURRENT_SETTING_RE = re.compile(
+    r"current_setting\(\s*'([^']+)'\s*(?:,\s*(true|false)\s*)?\)",
+    re.IGNORECASE,
+)
+_SET_CONFIG_RE = re.compile(
+    r"set_config\(\s*'([^']+)'\s*,\s*'([^']*)'\s*,\s*(?:true|false)\s*\)",
+    re.IGNORECASE,
+)
+_CLUSTER_RE = re.compile(
+    r"^CLUSTER(?:\s+VERBOSE)?(?:\s+([\w.]+)(?:\s+USING\s+\w+)?)?\s*$",
+    re.IGNORECASE,
+)
+_REINDEX_RE = re.compile(
+    r"^REINDEX\s+(?:INDEX|TABLE|SCHEMA|DATABASE|SYSTEM)\b", re.IGNORECASE
+)
+_DISCARD_RE = re.compile(r"^DISCARD\s+(ALL|PLANS|SEQUENCES|TEMP|TEMPORARY)\s*$", re.IGNORECASE)
+_VACUUM_RE = re.compile(
+    r"^VACUUM(?:\s+(FULL|FREEZE|ANALYZE|VERBOSE))*(?:\s+([\w.]+))?\s*$",
+    re.IGNORECASE,
+)
+_ANALYZE_RE = re.compile(
+    r"^ANALYZE(?:\s+VERBOSE)?(?:\s+([\w.]+)(?:\s*\(([^)]*)\))?)?\s*$",
+    re.IGNORECASE,
+)
 _CREATE_FUNC_HEAD_RE = re.compile(
     r"^CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+([\w.]+)\s*\(", re.IGNORECASE
 )
@@ -266,6 +291,7 @@ class Engine:
         if ea:
             return self._explain_analyze(ea.group(1))
         text = self._substitute_sequence_calls(text)
+        text = self._substitute_setting_calls(text)
         if _PG_STAT_RE.search(text):
             # pg_stat_user_tables (system_views.sql; the DBA's row-count
             # dashboard): relname + n_live_tup from the engine's
@@ -470,10 +496,72 @@ class Engine:
 
     # ------------------------------------------- prepared statements / GUCs
     def _maybe_session_stmt(self, text: str) -> DataFrame | None:
-        """PREPARE/EXECUTE/DEALLOCATE (commands/prepare.c) and SET/SHOW
-        session GUCs (utils/misc/guc.c) — the session-protocol surface
-        every PG client drives."""
+        """PREPARE/EXECUTE/DEALLOCATE (commands/prepare.c), SET/SHOW/
+        RESET session GUCs (utils/misc/guc.c), DISCARD (commands/
+        discard.c), and the maintenance statements VACUUM/ANALYZE
+        (commands/vacuum.c, analyze.c) — the session-protocol surface
+        every PG client and pg_dump script drives."""
         s = text.strip().rstrip(";").strip()
+        m = _RESET_RE.match(s)
+        if m:
+            key = m.group(1).lower()
+            if key == "all":
+                self._gucs.clear()
+                self.spark.conf.set(
+                    "spark.sql.session.timeZone", self._default_timezone
+                )
+            else:
+                self._gucs.pop(key, None)
+                if key in ("timezone", "time zone"):
+                    self.spark.conf.set(
+                        "spark.sql.session.timeZone", self._default_timezone
+                    )
+            return self._tag(0)
+        if _DISCARD_RE.match(s):
+            # DISCARD ALL (commands/discard.c): session back to pristine
+            self._prepared.clear()
+            self._gucs.clear()
+            self.spark.conf.set(
+                "spark.sql.session.timeZone", self._default_timezone
+            )
+            return self._tag(0)
+        m = _VACUUM_RE.match(s)
+        if m:
+            name = (m.group(2) or "").split(".")[-1]
+            # table-less VACUUM (whole database) and VACUUM on
+            # non-writable relations are advisory no-ops here
+            if name and self._writable_by_name(name) is not None:
+                self.vacuum(name)
+            return self._tag(0)
+        m = _ANALYZE_RE.match(s)
+        if m:
+            name = (m.group(1) or "").split(".")[-1]
+            cols = tuple(
+                c.strip() for c in (m.group(2) or "").split(",") if c.strip()
+            )
+            if name:
+                try:
+                    self.analyze(name, cols)
+                except Exception:
+                    # stats are advisory: temp views / attached parquet
+                    # have no catalog entry for Spark's ANALYZE TABLE
+                    pass
+            return self._tag(0)
+        m = _CLUSTER_RE.match(s)
+        if m:
+            # CLUSTER tbl [USING idx] (commands/cluster.c): physically
+            # reorder by the advisory index (CREATE INDEX records its
+            # columns); our layout analogue is the Z-order rewrite.
+            # No recorded index, or a non-writable relation → no-op.
+            name = (m.group(1) or "").split(".")[-1]
+            hints = self._index_hints.get(name, [])
+            if name and hints and self._writable_by_name(name) is not None:
+                self.cluster_zorder(name, hints[-1])
+            return self._tag(0)
+        if _REINDEX_RE.match(s):
+            # REINDEX (indexcmds.c): indexes are advisory scan hints
+            # here, nothing to rebuild
+            return self._tag(0)
         m = _PREPARE_RE.match(s)
         if m:
             name = m.group(1).lower()
@@ -648,6 +736,41 @@ class Engine:
         if name not in self._sequences:
             raise KeyError(f"sequence {name!r} does not exist")
         return self._sequences[name]
+
+    def _substitute_setting_calls(self, text: str) -> str:
+        """current_setting('k' [, missing_ok]) / set_config('k', 'v',
+        is_local) (utils/misc/guc.c SQL accessors) as driver-side
+        literal substitution: the session GUC store lives on the
+        coordinator, so the value inlines as a constant and the query
+        stays wholly JVM-side — and it is always the CURRENT value
+        (a pickled-closure UDF would freeze registration-time state)."""
+        if "current_setting" not in text.lower() and "set_config" not in text.lower():
+            return text
+
+        def _get(k: str) -> str | None:
+            if k in ("timezone", "time zone"):
+                return self.spark.conf.get("spark.sql.session.timeZone")
+            return self._gucs.get(k)
+
+        def setc(m: re.Match) -> str:
+            k, v = m.group(1).lower(), m.group(2)
+            self._gucs[k] = v
+            if k == "timezone":
+                self.spark.conf.set("spark.sql.session.timeZone", v)
+            return "'" + v.replace("'", "''") + "'"
+
+        def cur(m: re.Match) -> str:
+            k = m.group(1).lower()
+            missing_ok = (m.group(2) or "").lower() == "true"
+            v = _get(k)
+            if v is None:
+                if missing_ok:
+                    return "CAST(NULL AS STRING)"
+                raise KeyError(f'unrecognized configuration parameter "{k}"')
+            return "'" + v.replace("'", "''") + "'"
+
+        text = _SET_CONFIG_RE.sub(setc, text)
+        return _CURRENT_SETTING_RE.sub(cur, text)
 
     def _substitute_sequence_calls(self, text: str) -> str:
         """Replace nextval/currval/setval('seq') literals in a statement.
@@ -920,6 +1043,11 @@ class Engine:
             ).count()
             return self._tag(n)
 
+        if re.match(r"^MERGE\s+INTO\b", s, re.IGNORECASE):
+            out = self._merge_stmt(s)
+            if out is not None:
+                return out
+
         m = _INSERT_RE.match(s)
         if m:
             name, rest = m.group(1).split(".")[-1], m.group(2).strip()
@@ -1145,6 +1273,185 @@ class Engine:
             )
         n = df.count()
         t.insert(df)
+        self._refresh_view(name, t)
+        return self._tag(n)
+
+    def _merge_stmt(self, s: str) -> DataFrame | None:
+        """SQL-text MERGE (PG 15; reference parser/parse_merge.c,
+        executor/nodeModifyTable.c ExecMerge):
+
+            MERGE INTO tgt [AS t] USING src|(subquery) [AS s] ON cond
+              WHEN MATCHED [AND c] THEN UPDATE SET ... | DELETE
+              WHEN NOT MATCHED [AND c] THEN
+                  INSERT [(cols)] VALUES (exprs) | DO NOTHING
+
+        Lowered to ONE full-outer join on the merge condition plus an
+        action column: WHEN clauses are evaluated in order (first
+        passing clause wins, PG's semantics), actions select the output
+        image per row, DELETE/skip rows are filtered, and the result
+        swaps in copy-on-write. One shuffle on the join keys — the same
+        cost envelope as SplitUpdate redistributing affected rows.
+
+        Deviation (documented): PG errors when one target row matches
+        multiple source rows ('MERGE command cannot affect row a second
+        time'); here each (target, source) pair is merged independently.
+        """
+        import pyspark.sql.functions as F
+
+        from warehouse_pg_spark.sql_dialect import _mask, _unmask
+
+        masked, lits = _mask(s)
+        parts = re.split(
+            r"\bWHEN\s+(?=MATCHED\b|NOT\s+MATCHED\b)", masked,
+            flags=re.IGNORECASE,
+        )
+        if len(parts) < 2:
+            raise ValueError("MERGE requires at least one WHEN clause")
+        header, clause_texts = parts[0], parts[1:]
+        hm = re.match(
+            r"^MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+",
+            header,
+            re.IGNORECASE,
+        )
+        if hm is None:
+            raise ValueError(f"cannot parse MERGE header: {header[:80]!r}")
+        name = hm.group(1).split(".")[-1]
+        t = self._writable_by_name(name)
+        if t is None:
+            return None
+        ta = hm.group(2) or name
+        rest = header[hm.end():].strip()
+        if rest.startswith("("):
+            depth, i = 1, 1
+            while i < len(rest) and depth:
+                depth += {"(": 1, ")": -1}.get(rest[i], 0)
+                i += 1
+            src_sql, rest = _unmask(rest[1: i - 1], lits), rest[i:].strip()
+            src_df = self.spark.sql(src_sql)
+            sa = None
+        else:
+            sm = re.match(r"^([\w.]+)", rest)
+            src_name = sm.group(1).split(".")[-1]
+            src_df = self.spark.table(src_name)
+            sa, rest = src_name, rest[sm.end():].strip()
+        am = re.match(r"^(?:AS\s+)?(\w+)\s+", rest, re.IGNORECASE)
+        if am and am.group(1).upper() != "ON":
+            sa, rest = am.group(1), rest[am.end():].strip()
+        if sa is None:
+            raise ValueError("MERGE subquery source needs an alias")
+        om = re.match(r"^ON\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
+        if om is None:
+            raise ValueError("MERGE requires ON <condition>")
+        on_cond = _unmask(om.group(1).strip(), lits)
+
+        # parse WHEN clauses: (is_matched, cond|None, kind, payload)
+        clauses: list[tuple] = []
+        for cl in clause_texts:
+            cm = re.match(
+                r"^(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+(.*)$",
+                cl.strip(),
+                re.IGNORECASE | re.DOTALL,
+            )
+            if cm is None:
+                raise ValueError(f"cannot parse MERGE WHEN clause: {cl[:80]!r}")
+            is_matched = cm.group(1) is None
+            cond = _unmask(cm.group(2), lits) if cm.group(2) else None
+            action = cm.group(3).strip()
+            um = re.match(r"^UPDATE\s+SET\s+(.*)$", action, re.IGNORECASE | re.DOTALL)
+            im = re.match(
+                r"^INSERT\s*(?:\(([^)]*)\))?\s*VALUES\s*\((.*)\)\s*$",
+                action,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if um:
+                if not is_matched:
+                    raise ValueError("WHEN NOT MATCHED cannot UPDATE")
+                assigns = {
+                    c: _unmask(e, lits)
+                    for c, e in _split_assignments(um.group(1))
+                }
+                clauses.append((is_matched, cond, "update", assigns))
+            elif re.match(r"^DELETE\s*$", action, re.IGNORECASE):
+                if not is_matched:
+                    raise ValueError("WHEN NOT MATCHED cannot DELETE")
+                clauses.append((is_matched, cond, "delete", None))
+            elif im:
+                if is_matched:
+                    raise ValueError("WHEN MATCHED cannot INSERT")
+                target_cols = (
+                    [c.strip() for c in im.group(1).split(",")]
+                    if im.group(1)
+                    else None
+                )
+                vals = [_unmask(v, lits) for v in _split_exprs(im.group(2))]
+                clauses.append((is_matched, cond, "insert", (target_cols, vals)))
+            elif re.match(r"^DO\s+NOTHING\s*$", action, re.IGNORECASE):
+                clauses.append((is_matched, cond, "nothing", None))
+            else:
+                raise ValueError(f"unsupported MERGE action: {action[:60]!r}")
+
+        target = t.read()
+        tj = target.withColumn("__t", F.lit(1)).alias(ta)
+        sj = src_df.withColumn("__s", F.lit(1)).alias(sa)
+        joined = tj.join(sj, F.expr(on_cond), "full_outer")
+        matched = (
+            F.col(f"{ta}.__t").isNotNull() & F.col(f"{sa}.__s").isNotNull()
+        )
+        src_only = F.col(f"{ta}.__t").isNull()
+
+        act = None
+        for i, (is_m, cond, kind, _p) in enumerate(clauses):
+            c = matched if is_m else src_only
+            if cond:
+                c = c & F.expr(cond)
+            act = (act.when if act is not None else F.when)(c, F.lit(f"a{i}"))
+        act = act.when(F.col(f"{ta}.__t").isNotNull(), F.lit("keep")).otherwise(
+            F.lit("skip")
+        )
+        staged = joined.withColumn("__act", act).localCheckpoint(eager=True)
+
+        # DELETE drops its target row; DO NOTHING drops only when the
+        # row is source-only (a matched DO NOTHING keeps the target row
+        # untouched — it merely stops later clauses from firing)
+        drop_ids = ["skip"] + [
+            f"a{i}"
+            for i, cl in enumerate(clauses)
+            if cl[2] == "delete" or (cl[2] == "nothing" and not cl[0])
+        ]
+        out = staged.filter(~F.col("__act").isin(drop_ids))
+        cols = []
+        for c in target.columns:
+            dt = target.schema[c].dataType
+            w = None
+            for i, (_is_m, _cond, kind, payload) in enumerate(clauses):
+                if kind == "update":
+                    v = (
+                        F.expr(payload[c]).cast(dt)
+                        if c in payload
+                        else F.col(f"{ta}.{c}")
+                    )
+                elif kind == "insert":
+                    tcols, vals = payload
+                    order = tcols if tcols is not None else target.columns
+                    v = (
+                        F.expr(vals[order.index(c)]).cast(dt)
+                        if c in order and order.index(c) < len(vals)
+                        else F.lit(None).cast(dt)
+                    )
+                else:
+                    continue
+                w = (w.when if w is not None else F.when)(
+                    F.col("__act") == f"a{i}", v
+                )
+            base_col = F.col(f"{ta}.{c}")
+            cols.append((w.otherwise(base_col) if w is not None else base_col).alias(c))
+        result = out.select(*cols)
+        n = staged.filter(
+            F.col("__act").isin([
+                f"a{i}" for i, cl in enumerate(clauses) if cl[2] != "nothing"
+            ])
+        ).count()
+        t._swap_in(result)
         self._refresh_view(name, t)
         return self._tag(n)
 
