@@ -61,7 +61,8 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
 #   fn_range_types→sample_stratified (sample tag),
 #   pgsql_distinct_on_latest_order→fn_arrays (arrays tag),
 #   sim_topk_bruteforce→ts_range_join_bucketed (new two-sided range join),
-#   pgsql_q1_text→pgsql_plpgsql_function (new LANGUAGE plpgsql surface)
+#   pgsql_q1_text→pgsql_plpgsql_function (new LANGUAGE plpgsql surface),
+#   fn_strings_hash_format→pgsql_merge_upsert (new SQL-text MERGE surface)
 DRIVER_PREFIX: tuple[str, ...] = (
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
@@ -108,7 +109,7 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "uda_pandas_grouped",
     "tablefunc_map_in_pandas",
     "external_csv_scan",
-    "fn_strings_hash_format",
+    "pgsql_merge_upsert",
     "fn_regex_family",
     "fn_datetime",
     "fn_numeric_edge_semantics",

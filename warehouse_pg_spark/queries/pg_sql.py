@@ -999,3 +999,66 @@ def pgsql_values_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY v.grp
         """,
     )
+
+
+@register(
+    "pgsql_merge_upsert",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal, c_mktsegment AS seg
+      FROM customer WHERE c_custkey <= 400
+    ),
+    src AS (
+      SELECT o_custkey, COUNT(*) AS n
+      FROM orders WHERE o_custkey <= 800 GROUP BY o_custkey
+    )
+    SELECT c_custkey,
+           CAST(CASE WHEN s.o_custkey IS NULL THEN t.bal
+                     WHEN s.n >= 12 THEN t.bal + 1000
+                     ELSE t.bal + s.n END AS DECIMAL(18,2)) AS bal,
+           seg
+    FROM tgt t LEFT JOIN src s ON t.c_custkey = s.o_custkey
+    UNION ALL
+    SELECT s.o_custkey AS c_custkey, CAST(s.n AS DECIMAL(18,2)) AS bal,
+           'NEW' AS seg
+    FROM src s LEFT JOIN tgt t ON t.c_custkey = s.o_custkey
+    WHERE t.c_custkey IS NULL
+    ORDER BY c_custkey
+    """,
+    tags=("dialect", "dml", "merge"),
+)
+def pgsql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text MERGE end-to-end (PG 15; parser/parse_merge.c,
+    nodeModifyTable.c ExecMerge): CTAS a target slice, MERGE an
+    aggregated source with ordered conditional UPDATE clauses plus a
+    NOT MATCHED INSERT, read the merged table back. The oracle states
+    the merged image as a pure SELECT (left join + anti-join UNION) —
+    exactly the full-outer-join plan the engine lowers MERGE to, ONE
+    shuffle on the merge keys at any scale."""
+    import tempfile
+
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark, warehouse_dir=tempfile.mkdtemp(prefix="merge_wh_"))
+    eng.attach_fixtures(sf_dir)
+    eng.sql(
+        """
+        CREATE TABLE merge_tgt AS
+        SELECT c_custkey, c_acctbal::numeric(18,2) AS bal,
+               c_mktsegment AS seg
+        FROM customer WHERE c_custkey <= 400
+        """
+    )
+    eng.sql(
+        """
+        MERGE INTO merge_tgt AS t USING
+          (SELECT o_custkey, count(*) AS n FROM orders
+           WHERE o_custkey <= 800 GROUP BY o_custkey) AS s
+          ON t.c_custkey = s.o_custkey
+        WHEN MATCHED AND s.n >= 12 THEN UPDATE SET bal = t.bal + 1000
+        WHEN MATCHED THEN UPDATE SET bal = t.bal + s.n
+        WHEN NOT MATCHED THEN
+          INSERT (c_custkey, bal, seg) VALUES (s.o_custkey, s.n, 'NEW')
+        """
+    )
+    return eng.sql("SELECT c_custkey, bal, seg FROM merge_tgt ORDER BY c_custkey")
