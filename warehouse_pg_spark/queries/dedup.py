@@ -440,23 +440,23 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # carry old+new label through ONE checkpointed frame so the
+        # convergence check is a filter-count on it, not an extra join
+        merged = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
             )
+            .localCheckpoint(eager=True)  # cut lineage
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(
+            F.col("label") != F.col("old_label")
+        ).count()
+        labels = merged.select("node", "label")
         if changed == 0:
             break
     return labels.select(
