@@ -875,3 +875,60 @@ def test_cluster_reindex_statements(engine, spark, tmp_path):
     assert engine.table("clu_t").count() == 1000
     engine.sql("REINDEX TABLE clu_t")
     engine.sql("CLUSTER")  # database-wide: no-op
+
+
+def test_matview_sql_text(engine, spark, tmp_path):
+    """CREATE / REFRESH / DROP MATERIALIZED VIEW as SQL text
+    (commands/matview.c): the view persists results; REFRESH re-runs
+    the stored query and readers of the name see the new image."""
+    import pytest as _pt
+
+    path = str(tmp_path / "mv_src")
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "v"]).write.parquet(path)
+    engine.attach_parquet("mv_src", path)
+    engine.sql(
+        "CREATE MATERIALIZED VIEW mv_sum AS "
+        "SELECT count(*) AS n, sum(v) AS total FROM mv_src"
+    )
+    r = spark.sql("SELECT * FROM mv_sum").collect()[0]
+    assert (r.n, r.total) == (2, 30.0)
+    # base table changes; matview is stale until REFRESH
+    engine.sql("INSERT INTO mv_src VALUES (3, 30.0)")
+    assert spark.sql("SELECT n FROM mv_sum").collect()[0].n == 2
+    engine.sql("REFRESH MATERIALIZED VIEW mv_sum")
+    r = spark.sql("SELECT * FROM mv_sum").collect()[0]
+    assert (r.n, r.total) == (3, 60.0)
+    engine.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS mv_sum AS SELECT 1 AS x")
+    assert spark.sql("SELECT n FROM mv_sum").collect()[0].n == 3  # kept
+    engine.sql("DROP MATERIALIZED VIEW mv_sum")
+    with _pt.raises(Exception):
+        spark.sql("SELECT * FROM mv_sum").collect()
+    engine.sql("DROP MATERIALIZED VIEW IF EXISTS mv_sum")  # idempotent
+    with _pt.raises(KeyError):
+        engine.sql("DROP MATERIALIZED VIEW mv_sum")
+
+
+def test_new_pg_function_spellings(engine, spark):
+    """PG function spellings added as Catalyst SQL functions
+    (varlena.c starts_with, float.c isfinite/random_normal, uuid.c
+    gen_random_uuid, misc.c parse_ident/num_nulls)."""
+    row = engine.sql(
+        "SELECT starts_with('hello', 'he') AS a,"
+        "       isfinite(1.5) AS b,"
+        "       isfinite(double('Infinity')) AS c,"
+        "       element_at(parse_ident('warehouse.orders'), 2) AS d,"
+        "       num_nulls2(NULL, 'x') AS e,"
+        "       num_nonnulls2(NULL, 'x') AS f,"
+        "       random_normal(10.0, 0.0) AS g,"
+        "       length(gen_random_uuid()) AS h"
+    ).collect()[0]
+    assert (row.a, row.b, row.c) == (True, True, False)
+    assert row.d == "orders"
+    assert (row.e, row.f) == (1, 1)
+    assert row.g == 10.0 and row.h == 36
+    # clock/statement/transaction timestamps resolve and agree
+    r2 = engine.sql(
+        "SELECT clock_timestamp() IS NOT NULL AS a, "
+        "statement_timestamp() = transaction_timestamp() AS b"
+    ).collect()[0]
+    assert r2.a is True and r2.b is True

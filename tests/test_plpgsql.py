@@ -184,3 +184,96 @@ def test_setof_rejected(engine):
             "CREATE FUNCTION bad() RETURNS SETOF int LANGUAGE sql "
             "AS $$ SELECT 1 $$"
         )
+
+
+def test_case_statement_searched(engine, spark):
+    """Statement-form searched CASE (pl_gram.y stmt_case) desugars to
+    the IF arm chain."""
+    engine.sql(
+        """
+        CREATE OR REPLACE FUNCTION sgn_label(x int) RETURNS text
+        LANGUAGE plpgsql AS $$
+        DECLARE r text;
+        BEGIN
+          CASE
+            WHEN x > 0 THEN r := 'pos';
+            WHEN x < 0 THEN r := 'neg';
+            ELSE r := 'zero';
+          END CASE;
+          RETURN r;
+        END
+        $$
+        """
+    )
+    rows = spark.sql(
+        "SELECT sgn_label(x) AS l FROM VALUES (-5), (0), (7) AS t(x)"
+    ).collect()
+    assert [r.l for r in rows] == ["neg", "zero", "pos"]
+
+
+def test_case_statement_simple_form(engine, spark):
+    """Simple CASE expr WHEN v1, v2 THEN ... — value lists OR together;
+    IF blocks nest inside arms."""
+    engine.sql(
+        """
+        CREATE OR REPLACE FUNCTION day_kind(d int) RETURNS text
+        LANGUAGE plpgsql AS $$
+        BEGIN
+          CASE d
+            WHEN 6, 7 THEN RETURN 'weekend';
+            WHEN 1 THEN
+              IF d = 1 THEN RETURN 'monday'; END IF;
+            ELSE RETURN 'weekday';
+          END CASE;
+        END
+        $$
+        """
+    )
+    got = {
+        d: spark.sql(f"SELECT day_kind({d}) AS v").collect()[0].v
+        for d in (1, 3, 6, 7)
+    }
+    assert got == {1: "monday", 3: "weekday", 6: "weekend", 7: "weekend"}
+
+
+def test_case_statement_not_found_raises(engine, spark):
+    """No matching arm and no ELSE => CASE_NOT_FOUND at runtime
+    (pl_exec.c exec_stmt_case), not a silent NULL."""
+    engine.sql(
+        """
+        CREATE OR REPLACE FUNCTION strict_case(x int) RETURNS int
+        LANGUAGE plpgsql AS $$
+        BEGIN
+          CASE x WHEN 1 THEN RETURN 10; END CASE;
+        END
+        $$
+        """
+    )
+    assert spark.sql("SELECT strict_case(1) AS v").collect()[0].v == 10
+    with pytest.raises(Exception, match="case not found"):
+        spark.sql("SELECT strict_case(2) AS v").collect()
+
+
+def test_expression_case_still_works_in_bodies(engine, spark):
+    """Expression CASE inside conditions/assignments must not confuse
+    the block tracker."""
+    engine.sql(
+        """
+        CREATE OR REPLACE FUNCTION expr_case(x int) RETURNS int
+        LANGUAGE plpgsql AS $$
+        DECLARE y int;
+        BEGIN
+          y := CASE WHEN x > 0 THEN x ELSE -x END;
+          IF (CASE WHEN y > 10 THEN 1 ELSE 0 END) = 1 THEN
+            RETURN y * 2;
+          END IF;
+          RETURN y;
+        END
+        $$
+        """
+    )
+    got = {
+        x: spark.sql(f"SELECT expr_case({x}) AS v").collect()[0].v
+        for x in (-3, 5, 20)
+    }
+    assert got == {-3: 3, 5: 5, 20: 40}

@@ -114,6 +114,18 @@ _DEALLOCATE_RE = re.compile(
     r"^DEALLOCATE\s+(?:PREPARE\s+)?(\w+|ALL)\s*$", re.IGNORECASE
 )
 _RESET_RE = re.compile(r"^RESET\s+(ALL|[\w.]+(?:\s+\w+)?)\s*$", re.IGNORECASE)
+_CREATE_MV_RE = re.compile(
+    r"^CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MV_RE = re.compile(
+    r"^REFRESH\s+MATERIALIZED\s+VIEW\s+(?:CONCURRENTLY\s+)?([\w.]+)\s*$",
+    re.IGNORECASE,
+)
+_DROP_MV_RE = re.compile(
+    r"^DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$",
+    re.IGNORECASE,
+)
 _CURRENT_SETTING_RE = re.compile(
     r"current_setting\(\s*'([^']+)'\s*(?:,\s*(true|false)\s*)?\)",
     re.IGNORECASE,
@@ -546,6 +558,32 @@ class Engine:
                     # stats are advisory: temp views / attached parquet
                     # have no catalog entry for Spark's ANALYZE TABLE
                     pass
+            return self._tag(0)
+        m = _CREATE_MV_RE.match(s)
+        if m:
+            # CREATE MATERIALIZED VIEW ... AS SELECT (commands/matview.c)
+            if m.group(1) and m.group(2).split(".")[-1] in self._matviews:
+                return self._tag(0)  # IF NOT EXISTS
+            self.create_materialized_view(m.group(2).split(".")[-1], m.group(3))
+            return self._tag(0)
+        m = _REFRESH_MV_RE.match(s)
+        if m:
+            # REFRESH MATERIALIZED VIEW [CONCURRENTLY] — re-runs the
+            # stored query; CONCURRENTLY is moot (temp-view swap is
+            # atomic to readers of the name)
+            self.refresh_materialized_view(m.group(1).split(".")[-1])
+            return self._tag(0)
+        m = _DROP_MV_RE.match(s)
+        if m:
+            name = m.group(2).split(".")[-1]
+            mv = self._matviews.pop(name, None)
+            if mv is None and not m.group(1):
+                raise KeyError(f'materialized view "{name}" does not exist')
+            if mv is not None:
+                self.spark.catalog.dropTempView(name)
+                import shutil
+
+                shutil.rmtree(mv.path, ignore_errors=True)
             return self._tag(0)
         m = _CLUSTER_RE.match(s)
         if m:

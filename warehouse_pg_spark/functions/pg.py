@@ -118,6 +118,46 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "DOUBLE",
         "CASE WHEN x1 = x0 THEN y0 ELSE y0 + (y1 - y0) * (x - x0) / (x1 - x0) END",
     ),
+    # PG 11 starts_with (varlena.c text_starts_with)
+    "starts_with": ("s STRING, p STRING", "BOOLEAN", "startswith(s, p)"),
+    # isfinite(double) (float.c float8_isfinite); PG also overloads
+    # date/timestamp for its +-infinity sentinels, which don't exist here
+    "isfinite": (
+        "x DOUBLE",
+        "BOOLEAN",
+        "NOT (isnan(x) OR x = double('Infinity') OR x = double('-Infinity'))",
+    ),
+    # to_number(text, fmt): Spark's BUILT-IN to_number implements the
+    # same NUM-format family (9/0/,/./$/S) natively — not shadowed here.
+    # pgcrypto/PG 13 gen_random_uuid (uuid.c)
+    "gen_random_uuid": ("", "STRING", "uuid()"),
+    # PG 16 random_normal(mean, stddev) (float.c)
+    "random_normal": (
+        "mean DOUBLE, stddev DOUBLE",
+        "DOUBLE",
+        "randn() * stddev + mean",
+    ),
+    # clock/statement/transaction timestamps (utils/adt/timestamp.c):
+    # one micro-batch has one statement time, so all three collapse to
+    # current_timestamp — per-call clock drift inside a distributed
+    # query is not reproducible and deliberately not emulated
+    "clock_timestamp": ("", "TIMESTAMP", "current_timestamp()"),
+    "statement_timestamp": ("", "TIMESTAMP", "current_timestamp()"),
+    "transaction_timestamp": ("", "TIMESTAMP", "current_timestamp()"),
+    # parse_ident('a.b.c') (misc.c) — no quoted-ident unwrapping
+    "parse_ident": ("s STRING", "ARRAY<STRING>", "split(s, '\\\\.')"),
+    # num_nulls/num_nonnulls (misc.c) — PG is variadic; the dominant
+    # 2- and 3-argument call shapes
+    "num_nulls2": (
+        "a STRING, b STRING",
+        "INT",
+        "CAST(a IS NULL AS INT) + CAST(b IS NULL AS INT)",
+    ),
+    "num_nonnulls2": (
+        "a STRING, b STRING",
+        "INT",
+        "CAST(a IS NOT NULL AS INT) + CAST(b IS NOT NULL AS INT)",
+    ),
     # PG to_char(numeric, fmt) for the common numeric patterns
     # (formatting.c NUM_* engine): fixed decimal places, FM prefix.
     # Unknown patterns fall back to 2-decimal money formatting.

@@ -16,8 +16,11 @@ Supported statement forms (pl_gram.y subset):
                                                    -- unrolled at compile
     RETURN [expr];
     NULL;
-    CASE / WHILE / SELECT INTO / RAISE  -- rejected with a clear error
-                                       -- (documented deviation)
+    CASE [expr] WHEN .. THEN .. [ELSE ..] END CASE;  -- searched + simple
+                  -- forms; a missing ELSE raises CASE_NOT_FOUND at
+                  -- runtime via raise_error(), as pl_exec.c does
+    WHILE / SELECT INTO / RAISE / EXIT / cursors  -- rejected with a
+                                       -- clear error (documented)
 
 Lowering model: straight-line code is single-assignment substitution
 (each variable's current value is a fully-substituted SQL expression
@@ -88,7 +91,6 @@ _REJECTED = {
     "FETCH": "cursors",
     "EXIT": "EXIT/CONTINUE",
     "CONTINUE": "EXIT/CONTINUE",
-    "CASE": "statement-form CASE (expression CASE is fine inside exprs)",
 }
 
 
@@ -106,7 +108,7 @@ def _split_statements(body: str) -> list[str]:
         head = body[i:]
         mword = re.match(r"[A-Za-z_]\w*", head)
         kw = mword.group(0).upper() if mword else ""
-        if kw in ("IF", "FOR", "LOOP"):
+        if kw in ("IF", "FOR", "LOOP", "CASE"):
             j = _find_block_end(body, i)
             stmts.append(body[i:j].strip())
             i = j
@@ -122,42 +124,25 @@ def _split_statements(body: str) -> list[str]:
 
 
 def _find_block_end(body: str, start: int) -> int:
-    """Index just past the `;` that closes the IF/LOOP block opened at
-    start. Tracks IF/LOOP nesting by keywords (literals are masked)."""
-    depth = 0
-    i = start
+    """Index just past the `;` that closes the IF/LOOP/CASE block opened
+    at start. Uniform nesting: every IF/LOOP/CASE token (statement or
+    expression form — expression CASE also closes with one END) opens a
+    level, every END closes one. Literals are masked upstream."""
     n = len(body)
-    opener = None
-    for m in re.finditer(r"[A-Za-z_]\w*|;", body[start:]):
+    depth = 0
+    for m in re.finditer(r"[A-Za-z_]\w*", body[start:]):
         w = m.group(0).upper()
         pos = start + m.start()
-        if w == "IF":
-            # END IF's trailing IF must not re-open
-            prev = body[:pos].rstrip()
-            if prev.upper().endswith("END"):
-                continue
-            depth += 1
-            opener = opener or "IF"
-        elif w == "LOOP":
-            prev = body[:pos].rstrip()
-            if prev.upper().endswith("END"):
-                depth -= 1
-                if depth == 0:
-                    j = body.find(";", pos)
-                    return (j + 1) if j >= 0 else n
-            else:
+        prev = body[:pos].rstrip()
+        if w in ("IF", "LOOP", "CASE"):
+            if not prev.upper().endswith("END"):
                 depth += 1
-                opener = opener or "LOOP"
         elif w == "END":
-            # END IF handled on the IF token; END LOOP on LOOP token
-            nxt = re.match(r"\s*(IF|LOOP)\b", body[pos + 3:], re.IGNORECASE)
-            if nxt and nxt.group(1).upper() == "IF":
-                depth -= 1
-                if depth == 0:
-                    semi = body.find(";", pos)
-                    return (semi + 1) if semi >= 0 else n
-    raise PlpgsqlError("unterminated IF/LOOP block")
-    return i
+            depth -= 1
+            if depth == 0:
+                j = body.find(";", pos)
+                return (j + 1) if j >= 0 else n
+    raise PlpgsqlError("unterminated IF/LOOP/CASE block")
 
 
 def _parse_stmts(stmts: list[str]) -> list[tuple]:
@@ -174,6 +159,8 @@ def _parse_stmts(stmts: list[str]) -> list[tuple]:
             out.append(_parse_if(s))
         elif kw == "FOR":
             out.append(_parse_for(s))
+        elif kw == "CASE":
+            out.append(_parse_case(s))
         elif kw in _REJECTED:
             raise PlpgsqlError(
                 f"unsupported PL/pgSQL statement: {_REJECTED[kw]} "
@@ -188,53 +175,130 @@ def _parse_stmts(stmts: list[str]) -> list[tuple]:
 
 
 def _top_level_branch_splits(body: str) -> list[tuple[int, str]]:
-    """Positions of ELSIF/ELSE/END-IF at nesting depth 0 of an IF body."""
+    """Positions of ELSIF/ELSE/WHEN arms at nesting depth 1 of an
+    IF/CASE block, plus its closing END at depth 0. Nested blocks and
+    expression CASEs sit at depth >= 2 and are skipped."""
     depth = 0
     hits: list[tuple[int, str]] = []
     for m in re.finditer(r"[A-Za-z_]\w*", body):
         w = m.group(0).upper()
         pos = m.start()
         prev = body[:pos].rstrip()
-        if w == "IF" and not prev.upper().endswith("END"):
-            depth += 1
-        elif w == "LOOP" and not prev.upper().endswith("END"):
-            depth += 1
+        if w in ("IF", "LOOP", "CASE"):
+            if not prev.upper().endswith("END"):
+                depth += 1
         elif w == "END":
-            nxt = re.match(r"\s*(IF|LOOP)\b", body[pos + 3:], re.IGNORECASE)
-            if nxt:
-                depth -= 1
-                if depth == 0 and nxt.group(1).upper() == "IF":
-                    hits.append((pos, "ENDIF"))
-        elif w in ("ELSIF", "ELSEIF", "ELSE") and depth == 1:
+            depth -= 1
+            if depth == 0:
+                hits.append((pos, "END"))
+        elif w in ("ELSIF", "ELSEIF", "ELSE", "WHEN") and depth == 1:
             hits.append((pos, w))
     return hits
+
+
+def _find_top_then(seg: str) -> int | None:
+    """Start index of the first THEN at nesting depth 0 (expression
+    CASEs inside the condition carry their own THENs at depth >= 1)."""
+    import re as _re
+
+    depth = 0
+    for m in _re.finditer(r"[A-Za-z_]\w*", seg):
+        w = m.group(0).upper()
+        prev = seg[:m.start()].rstrip()
+        if w in ("IF", "LOOP", "CASE"):
+            if not prev.upper().endswith("END"):
+                depth += 1
+        elif w == "END":
+            depth -= 1
+        elif w == "THEN" and depth == 0:
+            return m.start()
+    return None
 
 
 def _parse_if(s: str) -> tuple:
     body = s  # starts with IF
     m = re.match(r"IF\b", body, re.IGNORECASE)
-    splits = _top_level_branch_splits(body)
-    if not splits or splits[-1][1] != "ENDIF":
+    splits = [
+        h for h in _top_level_branch_splits(body) if h[1] != "WHEN"
+    ]
+    if not splits or splits[-1][1] != "END":
         raise PlpgsqlError("IF without END IF")
     end_pos = splits[-1][0]
     # segment boundaries: IF .. THEN .., ELSIF .. THEN .., ELSE ..
-    bounds = [(0, "IF")] + splits[:-1] + [(end_pos, "ENDIF")]
+    bounds = [(0, "IF")] + splits[:-1] + [(end_pos, "END")]
     arms: list[tuple[str | None, list[tuple]]] = []
     for (pos, kind), (npos, _) in zip(bounds, bounds[1:]):
         seg = body[pos:npos]
         if kind in ("IF", "ELSIF", "ELSEIF"):
             seg = re.sub(r"^(IF|ELSIF|ELSEIF)\b", "", seg, flags=re.IGNORECASE)
-            mt = re.search(r"\bTHEN\b", seg, re.IGNORECASE)
-            if not mt:
+            tpos = _find_top_then(seg)
+            if tpos is None:
                 raise PlpgsqlError("IF/ELSIF without THEN")
-            cond = seg[: mt.start()].strip()
-            arms.append((cond, _parse_stmts(_split_statements(seg[mt.end():]))))
+            cond = seg[:tpos].strip()
+            arms.append(
+                (cond, _parse_stmts(_split_statements(seg[tpos + 4:])))
+            )
         else:  # ELSE
             seg = re.sub(r"^ELSE\b", "", seg, flags=re.IGNORECASE)
             arms.append((None, _parse_stmts(_split_statements(seg))))
     cond_arms = [(c, b) for c, b in arms if c is not None]
     else_body = next((b for c, b in arms if c is None), [])
     return ("if", cond_arms, else_body)
+
+
+def _parse_case(s: str) -> tuple:
+    """Statement-form CASE (pl_gram.y stmt_case): both the searched
+    form (CASE WHEN cond THEN ...) and the simple form
+    (CASE expr WHEN v1 [, v2] THEN ...), closing with END CASE. Desugars
+    to the IF arm list; a missing ELSE compiles to PG's CASE_NOT_FOUND
+    runtime error (pl_exec.c exec_stmt_case) via raise_error()."""
+    splits = _top_level_branch_splits(s)
+    if not splits or splits[-1][1] != "END":
+        raise PlpgsqlError("CASE without END CASE")
+    whens = [h for h in splits if h[1] in ("WHEN", "ELSE")]
+    if not whens:
+        raise PlpgsqlError("CASE needs at least one WHEN arm")
+    head = s[len("CASE"): whens[0][0]].strip()  # simple-form operand or ''
+    bounds = whens + [splits[-1]]
+    cond_arms: list[tuple[str, list[tuple]]] = []
+    else_body: list[tuple] | None = None
+    for (pos, kind), (npos, _k) in zip(bounds, bounds[1:]):
+        seg = s[pos:npos]
+        if kind == "WHEN":
+            seg = re.sub(r"^WHEN\b", "", seg, flags=re.IGNORECASE)
+            tpos = _find_top_then(seg)
+            if tpos is None:
+                raise PlpgsqlError("CASE WHEN without THEN")
+            sel = seg[:tpos].strip()
+            if head:
+                # simple form: comma list of match values
+                vals = [v.strip() for v in _split_top_commas(sel)]
+                cond = " OR ".join(f"(({head}) = ({v}))" for v in vals)
+            else:
+                cond = sel
+            cond_arms.append(
+                (cond, _parse_stmts(_split_statements(seg[tpos + 4:])))
+            )
+        else:  # ELSE
+            seg = re.sub(r"^ELSE\b", "", seg, flags=re.IGNORECASE)
+            else_body = _parse_stmts(_split_statements(seg))
+    return ("case", cond_arms, else_body)
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, depth, buf = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    return [p for p in parts if p.strip()]
 
 
 def _parse_for(s: str) -> tuple:
@@ -297,13 +361,23 @@ def _compile_seq(stmts: list[tuple], env: dict[str, str], returns: str) -> str:
         env2 = dict(env)
         env2[var] = f"({_subst(expr, env)})"
         return _compile_seq(tail, env2, returns)
-    if kind == "if":
+    if kind in ("if", "case"):
         _, cond_arms, else_body = head
         parts = ["CASE"]
         for cond, body in cond_arms:
             parts.append(f"WHEN ({_subst(cond, env)}) THEN "
                          f"{_compile_seq(body + tail, env, returns)}")
-        parts.append(f"ELSE {_compile_seq(else_body + tail, env, returns)}")
+        if kind == "case" and else_body is None:
+            # pl_exec.c exec_stmt_case: no arm matched and no ELSE =>
+            # CASE_NOT_FOUND runtime error
+            parts.append(
+                "ELSE CAST(raise_error('case not found') "
+                f"AS {returns})"
+            )
+        else:
+            parts.append(
+                f"ELSE {_compile_seq((else_body or []) + tail, env, returns)}"
+            )
         parts.append("END")
         return " ".join(parts)
     if kind == "for":
