@@ -380,3 +380,61 @@ def test_similar_to_escapes_execute(spark):
     assert match("a.b", "a.b") is True            # '.' literal in SQL regex
     assert match("aXb", "a.b") is False           # must NOT act as wildcard
     assert match("aXb", "a_b") is True            # _ is the any-char form
+
+
+def test_scalar_array_any_all(spark):
+    """x OP ANY/ALL/SOME(array) (parse_oper.c make_scalar_array_op) →
+    exists()/forall(), keeping PG's three-valued NULL semantics."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    assert run("SELECT 2 = ANY(ARRAY[1,2,3]) AS v") is True
+    assert run("SELECT 9 = ANY(ARRAY[1,2,3]) AS v") is False
+    assert run("SELECT 9 = ANY(ARRAY[1,NULL,3]) AS v") is None  # unknown
+    assert run("SELECT 2 = ANY(ARRAY[1,NULL,2]) AS v") is True  # found wins
+    assert run("SELECT 4 > ALL(ARRAY[1,2,3]) AS v") is True
+    assert run("SELECT 2 <> ALL(ARRAY[1,3]) AS v") is True
+    assert run("SELECT 2 <> ALL(ARRAY[1,2]) AS v") is False
+    assert run("SELECT 7 = SOME(ARRAY[7]) AS v") is True
+    # quantified SUBQUERY form must be left alone (handled as joins)
+    out = rewrite("SELECT 1 WHERE x > ALL (SELECT y FROM t)")
+    assert "forall" not in out and "ALL" in out
+
+
+def test_extract_dow_isodow_pg_numbering(spark):
+    """PG dow: Sunday=0..Saturday=6; isodow: Monday=1..Sunday=7
+    (timestamp.c timestamp_part) — Spark's dayofweek/weekday differ by
+    one in both directions."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    # 2026-08-14 is a Friday; 2026-08-16 a Sunday
+    assert run("SELECT extract(dow FROM DATE '2026-08-14') AS v") == 5
+    assert run("SELECT extract(isodow FROM DATE '2026-08-14') AS v") == 5
+    assert run("SELECT extract(dow FROM DATE '2026-08-16') AS v") == 0
+    assert run("SELECT extract(isodow FROM DATE '2026-08-16') AS v") == 7
+
+
+def test_between_symmetric_collate_like_any(spark):
+    """BETWEEN SYMMETRIC swaps bounds (gram.y a_expr); COLLATE clauses
+    strip (Spark compares binary = PG "C"); LIKE/ILIKE quantified over
+    arrays lower to exists()/forall()."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    assert run("SELECT 5 BETWEEN SYMMETRIC 10 AND 1 AS v") is True
+    assert run("SELECT 0 BETWEEN SYMMETRIC 10 AND 1 AS v") is False
+    assert run("SELECT 5 NOT BETWEEN SYMMETRIC 10 AND 1 AS v") is False
+    assert run("SELECT 'a' COLLATE \"C\" < 'b' AS v") is True
+    assert run("SELECT 'Hello' LIKE ANY(ARRAY['He%','X%']) AS v") is True
+    assert run("SELECT 'Hello' ILIKE ALL(ARRAY['he%','%o']) AS v") is True
+    assert run("SELECT 'Hello' NOT LIKE ALL(ARRAY['X%','Y%']) AS v") is True
+    # plain BETWEEN untouched
+    assert rewrite("SELECT 1 WHERE x BETWEEN 1 AND 2") == \
+        "SELECT 1 WHERE x BETWEEN 1 AND 2"

@@ -1062,3 +1062,35 @@ def pgsql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return eng.sql("SELECT c_custkey, bal, seg FROM merge_tgt ORDER BY c_custkey")
+
+
+@register(
+    "pgsql_any_array_dow",
+    oracle="""
+    SELECT CAST(EXTRACT(dow FROM o_orderdate) AS INTEGER) AS dow,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY dow
+    ORDER BY dow
+    """,
+    tags=("dialect", "datetime", "arrays"),
+)
+def pgsql_any_array_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar `= ANY(array)` (parse_oper.c make_scalar_array_op →
+    exists()) plus EXTRACT(DOW) with PG's Sunday=0 numbering
+    (timestamp.c timestamp_part; Spark's dayofweek is Sunday=1):
+    urgent-order counts by day of week. The exists() lowering keeps
+    three-valued NULL semantics and stays in codegen."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT extract(dow FROM o_orderdate)::int4 AS dow,
+               count(*) AS n
+        FROM orders
+        WHERE o_orderpriority = ANY(ARRAY['1-URGENT', '2-HIGH'])
+        GROUP BY dow
+        ORDER BY dow
+        """,
+    )

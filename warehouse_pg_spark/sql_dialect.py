@@ -396,6 +396,77 @@ _EXTRACT_EPOCH_RE = re.compile(
     re.IGNORECASE,
 )
 
+# EXTRACT(DOW/ISODOW FROM expr) — PG numbers days Sunday=0..Saturday=6
+# (dow) / Monday=1..Sunday=7 (isodow); Spark's dayofweek is Sunday=1
+# and weekday is Monday=0 (timestamp.c timestamp_part)
+_EXTRACT_DOW_RE = re.compile(
+    r"\bEXTRACT\s*\(\s*(DOW|ISODOW)\s+FROM\s+([^()]+|\([^()]*\))\s*\)",
+    re.IGNORECASE,
+)
+
+# scalar `x OP ANY/ALL/SOME (array)` (parse_oper.c make_scalar_array_op;
+# NOT the quantified-subquery form — a SELECT inside the parens is left
+# alone). Lowered to Spark's higher-order exists()/forall(), whose
+# three-valued NULL semantics match ExecEvalScalarArrayOp.
+_OP_ANY_ALL_RE = re.compile(
+    rf"({_DISTINCT_OPERAND})\s*(=|<>|!=|<=|>=|<|>)\s*"
+    rf"(ANY|ALL|SOME)\s*\(\s*(?!\s*SELECT\b)"
+    rf"((?:[^()]|\([^()]*\))+)\s*\)",
+    re.IGNORECASE,
+)
+
+
+# pattern-match quantified over arrays: s [NOT] LIKE/ILIKE ANY/ALL (...)
+_LIKE_ANY_ALL_RE = re.compile(
+    rf"({_DISTINCT_OPERAND})\s+(NOT\s+)?(LIKE|ILIKE)\s+"
+    rf"(ANY|ALL|SOME)\s*\(\s*(?!\s*SELECT\b)"
+    rf"((?:[^()]|\([^()]*\))+)\s*\)",
+    re.IGNORECASE,
+)
+
+# BETWEEN SYMMETRIC a AND b (gram.y a_expr BETWEEN SYMMETRIC;
+# Spark has no SYMMETRIC) — PG swaps the bounds when a > b
+_BETWEEN_SYM_RE = re.compile(
+    rf"\bBETWEEN\s+SYMMETRIC\s+({_DISTINCT_OPERAND})\s+AND\s+"
+    rf"({_DISTINCT_OPERAND})",
+    re.IGNORECASE,
+)
+
+# COLLATE "C" / COLLATE pg_catalog.default (gram.y a_expr COLLATE):
+# collation is a per-expression sort locale in PG; Spark strings
+# compare binary (= "C"), so the clause strips
+_COLLATE_RE = re.compile(r'\s+COLLATE\s+("[^"]+"|[\w.]+)', re.IGNORECASE)
+
+
+def _rewrite_op_any_all(sql: str) -> str:
+    def sub(m: re.Match) -> str:
+        x, op, quant, arr = (g.strip() for g in m.groups())
+        fn = "forall" if quant.upper() == "ALL" else "exists"
+        if op == "<>":
+            op = "!="
+        return f"{fn}({arr}, __qe -> ({x}) {op} __qe)"
+
+    def sub_like(m: re.Match) -> str:
+        x, neg, op, quant, arr = (
+            (g or "").strip() for g in m.groups()
+        )
+        fn = "forall" if quant.upper() == "ALL" else "exists"
+        pred = f"({x}) {op.upper()} __qe"
+        if neg:
+            pred = f"NOT ({pred})"
+        return f"{fn}({arr}, __qe -> {pred})"
+
+    sql = _LIKE_ANY_ALL_RE.sub(sub_like, sql)
+    return _OP_ANY_ALL_RE.sub(sub, sql)
+
+
+def _rewrite_between_symmetric(sql: str) -> str:
+    def sub(m: re.Match) -> str:
+        a, b = (g.strip() for g in m.groups())
+        return f"BETWEEN least({a}, {b}) AND greatest({a}, {b})"
+
+    return _BETWEEN_SYM_RE.sub(sub, sql)
+
 # PG string_agg(x, 'sep' ORDER BY cols) → listagg WITHIN GROUP (the
 # ORDER BY sits inside the call parens in PG, after them in Spark)
 _STRING_AGG_ORDER_RE = re.compile(
@@ -696,6 +767,25 @@ def rewrite(sql: str) -> str:
         lambda m: f"unix_seconds(CAST({m.group(1).strip()} AS TIMESTAMP))",
         out,
     )
+
+    # EXTRACT(DOW/ISODOW FROM x) → PG day numbering
+    out = _EXTRACT_DOW_RE.sub(
+        lambda m: (
+            f"(dayofweek({m.group(2).strip()}) - 1)"
+            if m.group(1).upper() == "DOW"
+            else f"(weekday({m.group(2).strip()}) + 1)"
+        ),
+        out,
+    )
+
+    # x OP ANY/ALL/SOME (array) → exists()/forall(); LIKE/ILIKE forms too
+    out = _rewrite_op_any_all(out)
+
+    # BETWEEN SYMMETRIC → least/greatest bound swap
+    out = _rewrite_between_symmetric(out)
+
+    # COLLATE clauses strip (Spark compares binary, PG's "C")
+    out = _COLLATE_RE.sub("", out)
 
     # string_agg → listagg (Spark 4); in-paren ORDER BY → WITHIN GROUP
     out = _STRING_AGG_ORDER_RE.sub(
