@@ -438,3 +438,27 @@ def test_between_symmetric_collate_like_any(spark):
     # plain BETWEEN untouched
     assert rewrite("SELECT 1 WHERE x BETWEEN 1 AND 2") == \
         "SELECT 1 WHERE x BETWEEN 1 AND 2"
+
+
+def test_dollar_quotes_and_wide_extract(spark):
+    """Dollar-quoted literals (gram.y xdolq) convert to standard
+    quoting via a scanner that respects normal literals; EXTRACT
+    CENTURY/DECADE/MILLENNIUM lower to year() arithmetic
+    (timestamp.c timestamp_part)."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    assert run("SELECT $$it's fine$$ AS v") == "it's fine"
+    assert run("SELECT $q$has $$ inside$q$ AS v") == "has $$ inside"
+    # $$ inside ordinary literals is NOT a delimiter
+    assert run("SELECT 'price $$ tag' AS v") == "price $$ tag"
+    assert run("SELECT concat('a $$ b', $$x'y$$, 'c $$ d') AS v") == \
+        "a $$ bx'yc $$ d"
+    assert run("SELECT EXTRACT(century FROM DATE '2020-01-10') AS v") == 21
+    assert run("SELECT EXTRACT(century FROM DATE '2000-01-10') AS v") == 20
+    assert run("SELECT EXTRACT(decade FROM DATE '2026-01-10') AS v") == 202
+    assert run(
+        "SELECT EXTRACT(millennium FROM DATE '2020-01-10') AS v"
+    ) == 3

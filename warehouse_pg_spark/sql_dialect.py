@@ -404,6 +404,20 @@ _EXTRACT_DOW_RE = re.compile(
     re.IGNORECASE,
 )
 
+# EXTRACT(CENTURY/DECADE/MILLENNIUM) — PG's wide fields (timestamp.c
+# timestamp_part) that Spark's Extract lacks: century 2020 → 21,
+# decade → 202, millennium → 3 (AD-era formulas; BC not modeled)
+_EXTRACT_WIDE_RE = re.compile(
+    r"\bEXTRACT\s*\(\s*(CENTURY|DECADE|MILLENNIUM)\s+FROM\s+"
+    r"([^()]+|\([^()]*\))\s*\)",
+    re.IGNORECASE,
+)
+_WIDE_FORMULAS = {
+    "CENTURY": "(CAST(floor((year({x}) - 1) / 100) AS INT) + 1)",
+    "DECADE": "CAST(floor(year({x}) / 10) AS INT)",
+    "MILLENNIUM": "(CAST(floor((year({x}) - 1) / 1000) AS INT) + 1)",
+}
+
 # scalar `x OP ANY/ALL/SOME (array)` (parse_oper.c make_scalar_array_op;
 # NOT the quantified-subquery form — a SELECT inside the parens is left
 # alone). Lowered to Spark's higher-order exists()/forall(), whose
@@ -688,8 +702,54 @@ def _inject_nulls_ordering(sql: str) -> str:
     return out
 
 
+# dollar-quoted string literals (gram.y xdolq scanner states):
+# $$...$$ / $tag$...$tag$ → standard quoted literal. Runs BEFORE the
+# literal masker, which only knows '...' quoting — so this is a real
+# left-to-right scan over both quote forms: a $$ inside a normal
+# literal is never a delimiter, and quotes inside a dollar body double
+# on the way out. `$1` parameters don't match the $tag$ opener.
+_DOLLAR_TAG_RE = re.compile(r"\$([A-Za-z_]\w*|)\$")
+
+
+def _rewrite_dollar_quotes(sql: str) -> str:
+    if "$" not in sql:
+        return sql
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i: j + 1])
+            i = j + 1
+        elif ch == "$":
+            m = _DOLLAR_TAG_RE.match(sql, i)
+            if m:
+                tag = m.group(0)
+                end = sql.find(tag, i + len(tag))
+                if end >= 0:
+                    body = sql[i + len(tag): end]
+                    out.append("'" + body.replace("'", "''") + "'")
+                    i = end + len(tag)
+                    continue
+            out.append(ch)
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def rewrite(sql: str) -> str:
     """Apply all PG→Spark rewrites to a SQL string."""
+    sql = _rewrite_dollar_quotes(sql)
     out, lits = _mask(sql)
 
     out = _rewrite_distinct_on(out)
@@ -774,6 +834,14 @@ def rewrite(sql: str) -> str:
             f"(dayofweek({m.group(2).strip()}) - 1)"
             if m.group(1).upper() == "DOW"
             else f"(weekday({m.group(2).strip()}) + 1)"
+        ),
+        out,
+    )
+
+    # EXTRACT(CENTURY/DECADE/MILLENNIUM) → year() arithmetic
+    out = _EXTRACT_WIDE_RE.sub(
+        lambda m: _WIDE_FORMULAS[m.group(1).upper()].format(
+            x=m.group(2).strip()
         ),
         out,
     )
