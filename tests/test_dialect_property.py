@@ -462,3 +462,25 @@ def test_dollar_quotes_and_wide_extract(spark):
     assert run(
         "SELECT EXTRACT(millennium FROM DATE '2020-01-10') AS v"
     ) == 3
+
+
+def test_srf_with_ordinality_and_rows_from(spark):
+    """SRF WITH ORDINALITY (nodeFunctionscan.c ordinality counter) →
+    posexplode with PG's 1-based ordinal; single-function ROWS FROM
+    collapses to a plain function scan."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    rows = spark.sql(rewrite(
+        "SELECT x.v, x.ord FROM unnest(ARRAY['a','b']) "
+        "WITH ORDINALITY AS x(v, ord) ORDER BY ord"
+    )).collect()
+    assert [(r.v, r.ord) for r in rows] == [("a", 1), ("b", 2)]
+    rows = spark.sql(rewrite(
+        "SELECT t.g, t.o FROM generate_series(5, 7) "
+        "WITH ORDINALITY AS t(g, o) ORDER BY o"
+    )).collect()
+    assert [(r.g, r.o) for r in rows] == [(5, 1), (6, 2), (7, 3)]
+    rows = spark.sql(rewrite(
+        "SELECT a.n FROM ROWS FROM (generate_series(1,2)) AS a(n) ORDER BY n"
+    )).collect()
+    assert [r.n for r in rows] == [1, 2]

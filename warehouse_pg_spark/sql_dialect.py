@@ -390,6 +390,37 @@ _GENSERIES_FROM_RE = re.compile(
     re.IGNORECASE,
 )
 
+# SRF WITH ORDINALITY (gram.y func_table; nodeFunctionscan.c ordinality
+# counter): unnest(arr)/generate_series(..) WITH ORDINALITY AS t(v, o)
+# → posexplode, with PG's 1-based ordinal
+_SRF_ORDINALITY_RE = re.compile(
+    r"\b(?:FROM|JOIN)\s+(unnest|generate_series)\s*"
+    r"\(((?:[^()]|\([^()]*\))*)\)\s+WITH\s+ORDINALITY\s+"
+    r"(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)",
+    re.IGNORECASE,
+)
+
+# ROWS FROM (fn(...)) AS t(c) (gram.y rows_from single-function form) —
+# equivalent to plain FROM fn(...); the multi-function zipping form is
+# not supported
+_ROWS_FROM_RE = re.compile(
+    r"\bFROM\s+ROWS\s+FROM\s*\(\s*(\w+\s*\((?:[^()]|\([^()]*\))*\))\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_srf_ordinality(sql: str) -> str:
+    def sub(m: re.Match) -> str:
+        kw = "JOIN" if m.group(0).upper().startswith("JOIN") else "FROM"
+        fn, args, alias, vcol, ocol = (g.strip() for g in m.groups())
+        src = f"sequence({args})" if fn.lower() == "generate_series" else args
+        return (
+            f"{kw} (SELECT __v AS {vcol}, CAST(__p + 1 AS BIGINT) AS {ocol} "
+            f"FROM (SELECT posexplode({src}) AS (__p, __v))) {alias}"
+        )
+
+    return _SRF_ORDINALITY_RE.sub(sub, sql)
+
 # EXTRACT(EPOCH FROM expr) — Spark's Extract has no epoch field
 _EXTRACT_EPOCH_RE = re.compile(
     r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+([^()]+|\([^()]*\))\s*\)",
@@ -866,6 +897,12 @@ def rewrite(sql: str) -> str:
     out = _STRING_AGG_RE.sub(
         lambda m: f"listagg({m.group(1).strip()}, {m.group(2)})", out
     )
+
+    # ROWS FROM (fn(..)) single-function form → plain FROM fn(..)
+    out = _ROWS_FROM_RE.sub(lambda m: f"FROM {m.group(1)}", out)
+
+    # unnest/generate_series WITH ORDINALITY → posexplode (1-based)
+    out = _rewrite_srf_ordinality(out)
 
     # FROM generate_series(a, b[, s]) [AS] t(n)
     out = _GENSERIES_FROM_RE.sub(
