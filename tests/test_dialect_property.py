@@ -484,3 +484,38 @@ def test_srf_with_ordinality_and_rows_from(spark):
         "SELECT a.n FROM ROWS FROM (generate_series(1,2)) AS a(n) ORDER BY n"
     )).collect()
     assert [r.n for r in rows] == [1, 2]
+
+
+def test_pg_math_operators(spark):
+    """PG operator spellings (pg_operator.dat): ^ is POWER (Spark's ^
+    is XOR — a silent-wrong-answer trap), # is int XOR, @ abs,
+    |/ sqrt, ||/ cbrt; chains left-associate as in PG."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    assert run("SELECT 2 ^ 3 AS v") == 8.0
+    assert run("SELECT 2 ^ 2 ^ 3 AS v") == 64.0  # (2^2)^3, PG left-assoc
+    assert run("SELECT 5 # 3 AS v") == 6
+    assert run("SELECT @ -5 AS v") == 5
+    assert run("SELECT |/ 25.0 AS v") == 5.0
+    assert run("SELECT ||/ 27.0 AS v") == 3.0
+    # email-ish literals and jsonpath operators must not trip @ / #
+    assert run("SELECT 'x@y' AS v") == "x@y"
+    assert run("SELECT '{\"a\":1}' ->> 'a' AS v") == "1"
+
+
+def test_substring_regex_form(spark):
+    """substring(x FROM 'regex') (varlena.c textregexsubstr): whole
+    match, or capture group 1 when present; NULL on no match."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    assert run("SELECT substring('hello' FROM 'l+') AS v") == "ll"
+    assert run("SELECT substring('a12b' FROM '([0-9]+)') AS v") == "12"
+    assert run("SELECT substring('abc' FROM 'z+') AS v") is None
+    # positional FROM/FOR form stays native
+    assert run("SELECT substring('hello' FROM 2 FOR 3) AS v") == "ell"

@@ -483,6 +483,54 @@ _BETWEEN_SYM_RE = re.compile(
 _COLLATE_RE = re.compile(r'\s+COLLATE\s+("[^"]+"|[\w.]+)', re.IGNORECASE)
 
 
+# PG math operators Spark lacks or re-purposes (numeric.c, float.c;
+# pg_operator.dat): ^ is POWER in PG but XOR in Spark, # is int XOR,
+# @ is abs, |/ sqrt, ||/ cbrt. Order matters: ^→power() runs before
+# #→^ so the emitted XOR never re-maps.
+_POWER_RE = re.compile(
+    rf"({_DISTINCT_OPERAND})\s*\^\s*({_DISTINCT_OPERAND})"
+)
+_INT_XOR_RE = re.compile(
+    rf"({_DISTINCT_OPERAND})\s*#(?![>#])\s*({_DISTINCT_OPERAND})"
+)
+_CBRT_RE = re.compile(rf"\|\|/\s*({_DISTINCT_OPERAND})")
+_SQRT_RE = re.compile(rf"(?<!\|)\|/\s*({_DISTINCT_OPERAND})")
+_ABS_AT_RE = re.compile(
+    rf"(?<![\w)\]])@\s*(?![>@?=])(-?\s*{_DISTINCT_OPERAND})"
+)
+
+# substring(x FROM 'regex') (varlena.c textregexsubstr): returns the
+# first match — capture group 1 when the pattern has one, else the
+# whole match; NULL on no match
+_SUBSTR_REGEX_RE = re.compile(
+    rf"\bsubstring\s*\(\s*({_DISTINCT_OPERAND})\s+FROM\s+({_LIT})\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_pg_math_ops(sql: str) -> str:
+    prev = None
+    while prev != sql:  # chains like a ^ b ^ c resolve left-to-right
+        prev = sql
+        sql = _POWER_RE.sub(lambda m: f"power({m.group(1)}, {m.group(2)})", sql)
+    sql = _INT_XOR_RE.sub(lambda m: f"({m.group(1)} ^ {m.group(2)})", sql)
+    sql = _CBRT_RE.sub(lambda m: f"cbrt({m.group(1)})", sql)
+    sql = _SQRT_RE.sub(lambda m: f"sqrt({m.group(1)})", sql)
+    sql = _ABS_AT_RE.sub(lambda m: f"abs({m.group(1)})", sql)
+    return sql
+
+
+def _rewrite_substring_regex(sql: str, lits: list[str]) -> str:
+    def sub(m: re.Match) -> str:
+        x, lit_tok = m.group(1).strip(), m.group(2)
+        body = lits[int(_MASK_RE.match(lit_tok).group(1))]
+        # capture-group detection on the unquoted pattern text
+        idx = 1 if re.search(r"(?<!\\)\((?!\?)", body[1:-1]) else 0
+        return f"nullif(regexp_extract({x}, {lit_tok}, {idx}), '')"
+
+    return _SUBSTR_REGEX_RE.sub(sub, sql)
+
+
 def _rewrite_op_any_all(sql: str) -> str:
     def sub(m: re.Match) -> str:
         x, op, quant, arr = (g.strip() for g in m.groups())
@@ -879,6 +927,12 @@ def rewrite(sql: str) -> str:
 
     # x OP ANY/ALL/SOME (array) → exists()/forall(); LIKE/ILIKE forms too
     out = _rewrite_op_any_all(out)
+
+    # PG math operators: ^ power, # xor, @ abs, |/ sqrt, ||/ cbrt
+    out = _rewrite_pg_math_ops(out)
+
+    # substring(x FROM 'regex') → regexp_extract with PG group rules
+    out = _rewrite_substring_regex(out, lits)
 
     # BETWEEN SYMMETRIC → least/greatest bound swap
     out = _rewrite_between_symmetric(out)
