@@ -1094,3 +1094,38 @@ def pgsql_any_array_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY dow
         """,
     )
+
+
+@register(
+    "pgsql_math_operator_spellings",
+    oracle="""
+    SELECT p_partkey,
+           pow(p_size, 2) AS size_sq,
+           CAST(xor(p_size, 3) AS BIGINT) AS size_xor,
+           CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+           sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+           NULLIF(regexp_extract(p_name, '[0-9]+', 0), '') AS first_num
+    FROM part WHERE p_partkey <= 100
+    ORDER BY p_partkey
+    """,
+    tags=("dialect", "math"),
+)
+def pgsql_math_operator_spellings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG operator spellings (pg_operator.dat): ^ power (Spark's ^ is
+    XOR — silent wrong answers without the rewrite), # int XOR, @ abs,
+    |/ sqrt, plus regex-form substring (varlena.c textregexsubstr).
+    All lower to codegen'd Catalyst expressions."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey,
+               p_size ^ 2 AS size_sq,
+               (p_size # 3)::int8 AS size_xor,
+               (@ (p_size - 25))::int8 AS size_dev,
+               |/ p_size::float8 AS size_sqrt,
+               substring(p_name FROM '[0-9]+') AS first_num
+        FROM part WHERE p_partkey <= 100
+        ORDER BY p_partkey
+        """,
+    )
