@@ -932,3 +932,45 @@ def test_new_pg_function_spellings(engine, spark):
         "statement_timestamp() = transaction_timestamp() AS b"
     ).collect()[0]
     assert r2.a is True and r2.b is True
+
+
+def test_gp_partition_by_range_ctas(engine, spark, tmp_path):
+    """GP `CREATE TABLE .. AS SELECT .. PARTITION BY RANGE (col)
+    (START .. EVERY ..)` (gram.y OptTabPartitionSpec) materializes as
+    directory-partitioned parquet with the derived range-partition id —
+    the EVERY child-partition rule over directories."""
+    import os as _os
+
+    engine.sql(
+        """
+        CREATE TABLE orders_by_month AS
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders WHERE o_orderkey <= 2000
+        DISTRIBUTED BY (o_orderkey)
+        PARTITION BY RANGE (o_orderdate)
+          (START ('1995-01-01') END ('1999-01-01') EVERY (INTERVAL '6 months'))
+        """
+    )
+    path = _os.path.join(engine.warehouse_dir, "orders_by_month")
+    parts = [d for d in _os.listdir(path) if d.startswith("__part=")]
+    assert len(parts) > 2  # several 6-month buckets materialized
+    base = spark.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_orderkey <= 2000"
+    ).collect()[0].n
+    assert engine.table("orders_by_month").count() == base
+    # directory pruning: a __part filter reads a subset of partitions
+    one = engine.sql(
+        "SELECT count(*) AS n FROM orders_by_month WHERE __part = 0"
+    ).collect()[0].n
+    assert 0 < one < base
+
+    # numeric EVERY buckets by width
+    engine.sql(
+        """
+        CREATE TABLE cust_by_bal AS
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 500
+        PARTITION BY RANGE (c_acctbal) (START (-1000.0) EVERY (2000.0))
+        """
+    )
+    p2 = _os.path.join(engine.warehouse_dir, "cust_by_bal")
+    assert any(d.startswith("__part=") for d in _os.listdir(p2))

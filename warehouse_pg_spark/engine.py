@@ -29,6 +29,11 @@ _DISTRIBUTED_BY_RE = re.compile(
     r"\s+DISTRIBUTED\s+BY\s*\(([^)]*)\)|\s+DISTRIBUTED\s+(RANDOMLY|REPLICATED)",
     re.IGNORECASE,
 )
+_PARTITION_RANGE_RE = re.compile(
+    r"\s+PARTITION\s+BY\s+RANGE\s*\(\s*(\w+)\s*\)\s*"
+    r"\(((?:[^()]|\([^()]*\))*)\)",
+    re.IGNORECASE,
+)
 
 _INSERT_RE = re.compile(r"^INSERT\s+INTO\s+([\w.]+)\s+(.*)$", re.IGNORECASE | re.DOTALL)
 _UPDATE_RE = re.compile(
@@ -944,12 +949,20 @@ class Engine:
 
     # ----------------------------------------------------------------- DDL
     def _maybe_ddl(self, text: str) -> DataFrame | None:
-        """Handle GP DDL Spark's parser rejects: DISTRIBUTED BY clauses.
+        """Handle GP DDL Spark's parser rejects: DISTRIBUTED BY and
+        PARTITION BY RANGE (col) (START .. [END ..] EVERY ..) clauses.
 
         `CREATE TABLE ... DISTRIBUTED BY (k)` (reference parser
         gram.y:5597-5605, gp_distribution_policy.h) — distribution is a
         perf hint under Spark (SURVEY §1.1): recorded in the catalog,
-        stripped from the DDL."""
+        stripped from the DDL. The GP partition spec (gram.y
+        OptTabPartitionSpec; partition child creation in tablecmds.c)
+        maps onto directory partitioning: a CTAS with the clause
+        materializes with a derived range-partition id column, so
+        partition pruning works exactly as GP's Dynamic*Scan would."""
+        pm = _PARTITION_RANGE_RE.search(text)
+        if pm is not None:
+            return self._partitioned_ctas(text, pm)
         m = _DISTRIBUTED_BY_RE.search(text)
         if m is None:
             return None
@@ -972,6 +985,61 @@ class Engine:
                 name=tname, path="", distribution=(policy, keys)
             )
         return out
+
+    def _partitioned_ctas(self, text: str, pm: re.Match) -> DataFrame:
+        """CTAS with a GP range-partition spec → directory-partitioned
+        parquet. Numeric EVERY buckets by width; INTERVAL EVERY buckets
+        by year/month/day counted from START (sources/partitioned.py
+        range_partition_expr — the EVERY child-partition rule)."""
+        from warehouse_pg_spark.sources.partitioned import (
+            range_partition_expr,
+        )
+
+        col = pm.group(1)
+        spec = pm.group(2)
+        stripped = (
+            text[: pm.start()] + text[pm.end():]
+        ).strip().rstrip(";")
+        stripped = _DISTRIBUTED_BY_RE.sub("", stripped)
+        cm = _CTAS_RE.match(stripped.strip())
+        if cm is None:
+            raise NotImplementedError(
+                "PARTITION BY RANGE is supported on CREATE TABLE ... AS "
+                "SELECT (directory-partitioned materialization)"
+            )
+        name, select = cm.group(1).split(".")[-1], cm.group(2)
+        sm = re.search(
+            r"START\s*\(\s*'?([^')]+?)'?\s*\)", spec, re.IGNORECASE
+        )
+        em = re.search(
+            r"EVERY\s*\(\s*(?:INTERVAL\s+'(\d+)\s+(\w+?)s?'|(\d+(?:\.\d+)?))\s*\)",
+            spec,
+            re.IGNORECASE,
+        )
+        if sm is None or em is None:
+            raise ValueError(
+                f"cannot parse partition spec (need START/EVERY): {spec!r}"
+            )
+        start = sm.group(1).strip()
+        df = self.spark.sql(select)
+        def _num(s: str) -> float | int:
+            return float(s) if "." in s else int(s)
+
+        if em.group(3) is not None:  # numeric width
+            expr = range_partition_expr(col, _num(start), _num(em.group(3)))
+        else:
+            expr = range_partition_expr(
+                col, start, int(em.group(1)), em.group(2).lower()
+            )
+        path = os.path.join(self.warehouse_dir, name)
+        df.withColumn("__part", expr).write.mode("overwrite").partitionBy(
+            "__part"
+        ).parquet(path)
+        self.catalog.register_parquet(
+            name, path, partition_cols=("__part",)
+        )
+        n = self.spark.read.parquet(path).count()
+        return self._tag(n)
 
     # ----------------------------------------------------------- SQL DML
     def _maybe_dml(self, text: str) -> DataFrame | None:
