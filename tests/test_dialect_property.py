@@ -519,3 +519,28 @@ def test_substring_regex_form(spark):
     assert run("SELECT substring('abc' FROM 'z+') AS v") is None
     # positional FROM/FOR form stays native
     assert run("SELECT substring('hello' FROM 2 FOR 3) AS v") == "ell"
+
+
+def test_create_table_pg_column_defs():
+    """CREATE TABLE column defs: PG type names map (int4/text/serial/
+    timestamptz/time), constraint clauses Spark rejects drop (PRIMARY
+    KEY/CHECK/DEFAULT/REFERENCES), NOT NULL survives, table-level
+    constraints drop, CTAS passes through untouched."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    out = rewrite(
+        "CREATE TABLE t (id serial PRIMARY KEY, name text NOT NULL, "
+        "bal numeric(10,2) DEFAULT 0.0, created timestamptz DEFAULT now(), "
+        "d double precision, v character varying(30), "
+        "tt time without time zone, "
+        "CONSTRAINT pk PRIMARY KEY (id), CHECK (bal > 0))"
+    )
+    assert out == (
+        "CREATE TABLE t (id INT, name STRING NOT NULL, "
+        "bal DECIMAL(10,2), created TIMESTAMP, d DOUBLE, v STRING, "
+        "tt STRING)"
+    )
+    ctas = "CREATE TABLE t2 AS SELECT 1 AS a"
+    assert rewrite(ctas) == ctas
+    out = rewrite("ALTER TABLE t ADD COLUMN extra float8")
+    assert "extra DOUBLE" in out

@@ -619,6 +619,104 @@ def _rewrite_with_ties(sql: str) -> str:
     )
 
 
+_SERIAL_TYPES = {
+    "serial": "INT",
+    "serial4": "INT",
+    "bigserial": "BIGINT",
+    "serial8": "BIGINT",
+    "smallserial": "SMALLINT",
+    "serial2": "SMALLINT",
+}
+
+_CREATE_TABLE_DEFS_RE = re.compile(
+    r"^(CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"[\w.]+\s*)\(",
+    re.IGNORECASE,
+)
+
+_ALTER_ADD_COL_RE = re.compile(
+    r"(\bADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?\w+\s+)"
+    r"((?:[A-Za-z_]\w*\s*)+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
+    re.IGNORECASE,
+)
+
+# per-column constraint clauses Spark's parser rejects (gram.y
+# ColConstraint): dropped — PG enforces them, a lakehouse records them
+# at best. NOT NULL survives (Spark parses it).
+_COL_CONSTRAINT_RE = re.compile(
+    r"\s+(?:PRIMARY\s+KEY|UNIQUE|REFERENCES\s+[\w.]+(?:\s*\([^)]*\))?"
+    r"|CHECK\s*\((?:[^()]|\([^()]*\))*\)"
+    r"|DEFAULT\s+(?:[\w.]+\s*\([^()]*\)|'[^']*'|[\w.+-]+))",
+    re.IGNORECASE,
+)
+_TABLE_CONSTRAINT_RE = re.compile(
+    r"^\s*(?:CONSTRAINT\s+\w+\s+)?"
+    r"(?:PRIMARY\s+KEY|UNIQUE|CHECK|FOREIGN\s+KEY|EXCLUDE)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_create_table_defs(sql: str) -> str:
+    """CREATE TABLE (col pgtype constraints, ...) — map PG type names
+    (int4/text/serial/...) to Spark types and drop the constraint
+    clauses Spark's parser rejects (tablecmds.c enforces them; a
+    parquet lakehouse records them at best). CTAS has no column-def
+    list and passes through."""
+    m = _CREATE_TABLE_DEFS_RE.match(sql.strip())
+    if m is None:
+        return sql
+    s = sql.strip()
+    # matching close paren of the column list
+    depth, i = 1, m.end()
+    while i < len(s) and depth:
+        depth += {"(": 1, ")": -1}.get(s[i], 0)
+        i += 1
+    if depth:
+        return sql
+    head, defs, tail = s[: m.end()], s[m.end(): i - 1], s[i - 1:]
+    cols = []
+    for item in _split_top_level_commas(defs):
+        item = item.strip()
+        if not item or _TABLE_CONSTRAINT_RE.match(item):
+            continue  # table-level constraints drop entirely
+        cm = re.match(
+            r"^(\w+)\s+"
+            r"(double\s+precision"
+            r"|character\s+varying(?:\(\s*\d+\s*\))?"
+            r"|timestamp(?:\s+with(?:out)?\s+time\s+zone)?"
+            r"|time(?:\s+with(?:out)?\s+time\s+zone)?"
+            r"|[A-Za-z_]\w*(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+            r"(\s+.*)?$",
+            item,
+            re.DOTALL | re.IGNORECASE,
+        )
+        if cm is None:
+            cols.append(item)
+            continue
+        name, typ, rest = cm.group(1), cm.group(2).strip(), cm.group(3) or ""
+        low = re.sub(r"\s+", " ", typ.lower())
+        typ = _SERIAL_TYPES.get(low) or map_decl_type(typ)
+        rest = _COL_CONSTRAINT_RE.sub("", rest).strip()
+        cols.append(f"{name} {typ}" + (f" {rest}" if rest else ""))
+    return f"{head}{', '.join(cols)}{tail}"
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    parts, depth, buf = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
 def map_decl_type(t: str) -> str:
     """PG type spelling -> Spark type for declared contexts (function
     parameters / RETURNS / PL/pgSQL DECLARE), including the multiword
@@ -627,6 +725,10 @@ def map_decl_type(t: str) -> str:
     if tl == "double precision":
         return "DOUBLE"
     if tl.startswith("character varying") or tl == "character":
+        return "STRING"
+    if tl.startswith("timestamp"):  # with/without time zone spellings
+        return "TIMESTAMP"
+    if tl.startswith("time"):  # no TIME type in Spark; HH:MM:SS sorts
         return "STRING"
     return _map_type(t)
 
@@ -829,6 +931,10 @@ def _rewrite_dollar_quotes(sql: str) -> str:
 def rewrite(sql: str) -> str:
     """Apply all PG→Spark rewrites to a SQL string."""
     sql = _rewrite_dollar_quotes(sql)
+    sql = _rewrite_create_table_defs(sql)
+    sql = _ALTER_ADD_COL_RE.sub(
+        lambda m: m.group(1) + map_decl_type(m.group(2)), sql
+    )
     out, lits = _mask(sql)
 
     out = _rewrite_distinct_on(out)
