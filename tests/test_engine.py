@@ -974,3 +974,33 @@ def test_gp_partition_by_range_ctas(engine, spark, tmp_path):
     )
     p2 = _os.path.join(engine.warehouse_dir, "cust_by_bal")
     assert any(d.startswith("__part=") for d in _os.listdir(p2))
+
+
+def test_multi_column_set_default_values_truncate_list(engine, spark, tmp_path):
+    """PG DML forms: multi-column `SET (a,b) = (e1,e2)` (gram.y
+    multiple_set_clause), INSERT ... DEFAULT VALUES (all-defaults row =
+    NULLs here), and TRUNCATE of a table list with identity/cascade
+    options accepted."""
+    path = str(tmp_path / "forms_t")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], ["id", "s", "v"]
+    ).write.parquet(path)
+    engine.attach_parquet("forms_t", path)
+
+    out = engine.sql(
+        "UPDATE forms_t SET (s, v) = (upper(s), v * 10) WHERE id = 1"
+    )
+    assert out.collect()[0].rows_affected == 1
+    rows = {r.id: (r.s, r.v) for r in engine.table("forms_t").collect()}
+    assert rows[1] == ("A", 10.0) and rows[2] == ("b", 2.0)
+
+    engine.sql("INSERT INTO forms_t DEFAULT VALUES")
+    assert engine.table("forms_t").count() == 3
+    assert engine.table("forms_t").filter("id IS NULL").count() == 1
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="number of columns"):
+        engine.sql("UPDATE forms_t SET (s, v) = ('x') WHERE id = 2")
+
+    out = engine.sql("TRUNCATE forms_t RESTART IDENTITY CASCADE")
+    assert engine.table("forms_t").count() == 0

@@ -36,6 +36,10 @@ _PARTITION_RANGE_RE = re.compile(
 )
 
 _INSERT_RE = re.compile(r"^INSERT\s+INTO\s+([\w.]+)\s+(.*)$", re.IGNORECASE | re.DOTALL)
+_MULTI_SET_RE = re.compile(
+    r"\bSET\s*\(([^)]*)\)\s*=\s*\(((?:[^()]|\([^()]*\))*)\)",
+    re.IGNORECASE,
+)
 _UPDATE_RE = re.compile(
     r"^UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
     re.IGNORECASE | re.DOTALL,
@@ -178,7 +182,9 @@ _SET_TIME_ZONE_RE = re.compile(
     r"^SET\s+(?:SESSION\s+|LOCAL\s+)?TIME\s+ZONE\s+(.+)$", re.IGNORECASE
 )
 _TRUNCATE_RE = re.compile(
-    r"^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$", re.IGNORECASE
+    r"^TRUNCATE\s+(?:TABLE\s+)?(?:ONLY\s+)?([\w.]+(?:\s*,\s*[\w.]+)*)"
+    r"(?:\s+(?:RESTART|CONTINUE)\s+IDENTITY)?(?:\s+(?:CASCADE|RESTRICT))?\s*$",
+    re.IGNORECASE,
 )
 _TEMP_CTAS_RE = re.compile(
     r"^CREATE\s+(?:TEMP|TEMPORARY)\s+TABLE\s+([\w.]+)\s+AS\s+(SELECT\b.*)$",
@@ -1071,6 +1077,23 @@ class Engine:
                 out = image.selectExpr(*_split_exprs(returning))
             return out.localCheckpoint(eager=True)
 
+        mm = _MULTI_SET_RE.search(s)
+        if mm and re.match(r"^UPDATE\b", s, re.IGNORECASE):
+            # PG multi-column assignment `SET (a, b) = (e1, e2)`
+            # (gram.y set_clause multiple_set_clause) → column-wise form
+            cols = [c.strip() for c in mm.group(1).split(",")]
+            vals = _split_exprs(mm.group(2))
+            if len(cols) != len(vals):
+                raise ValueError(
+                    "number of columns does not match number of values"
+                )
+            s = (
+                s[: mm.start()]
+                + "SET "
+                + ", ".join(f"{c} = {v}" for c, v in zip(cols, vals))
+                + s[mm.end():]
+            )
+
         if _NOOP_DDL_RE.match(s):
             # COMMENT ON / GRANT / REVOKE / OWNER TO: metadata-only in
             # PG (commands/comment.c, aclchk.c) with no analogue here —
@@ -1124,14 +1147,21 @@ class Engine:
         m = _TRUNCATE_RE.match(s)
         if m:
             # PG TRUNCATE (tablecmds.c ExecuteTruncate): empty the
-            # relation, keep the schema.
-            name = m.group(1).split(".")[-1]
-            t = self._writable_by_name(name)
-            if t is None:
+            # relation(s), keep the schema. RESTART/CONTINUE IDENTITY
+            # and CASCADE/RESTRICT are accepted (sequences restart via
+            # ALTER SEQUENCE; there are no FK cascades to chase).
+            total, seen = 0, 0
+            for raw in m.group(1).split(","):
+                name = raw.strip().split(".")[-1]
+                t = self._writable_by_name(name)
+                if t is None:
+                    continue
+                seen += 1
+                total += t.delete(F.lit(True))
+                self._refresh_view(name, t)
+            if seen == 0:
                 return None
-            n = t.delete(F.lit(True))
-            self._refresh_view(name, t)
-            return self._tag(n)
+            return self._tag(total)
 
         m = _SELECT_INTO_RE.match(s)
         if m:
@@ -1171,7 +1201,20 @@ class Engine:
             if cm:
                 cols = [c.strip() for c in cm.group(1).split(",")]
                 rest = cm.group(2).strip()
-            if re.match(r"^VALUES\b", rest, re.IGNORECASE):
+            if re.match(r"^DEFAULT\s+VALUES$", rest, re.IGNORECASE):
+                # PG INSERT ... DEFAULT VALUES (gram.y insert_rest):
+                # one row of all defaults — NULLs here (no stored
+                # column defaults)
+                target0 = t.read()
+                df = self.spark.sql(
+                    "SELECT "
+                    + ", ".join(
+                        f"CAST(NULL AS {f.dataType.simpleString()}) AS {f.name}"
+                        for f in target0.schema.fields
+                    )
+                )
+                cols = None
+            elif re.match(r"^VALUES\b", rest, re.IGNORECASE):
                 df = self.spark.sql(f"SELECT * FROM {rest}")
             else:
                 df = self.spark.sql(rest)
