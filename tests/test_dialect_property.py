@@ -544,3 +544,26 @@ def test_create_table_pg_column_defs():
     assert rewrite(ctas) == ctas
     out = rewrite("ALTER TABLE t ADD COLUMN extra float8")
     assert "extra DOUBLE" in out
+
+
+def test_lock_clause_and_only_strip(spark):
+    """FOR UPDATE/SHARE row locks (gram.y for_locking_clause) and
+    inheritance ONLY strip — no transactions, no inheritance."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    spark.range(5).createOrReplaceTempView("lk_t")
+    assert spark.sql(rewrite(
+        "SELECT * FROM lk_t WHERE id = 1 FOR UPDATE"
+    )).count() == 1
+    assert spark.sql(rewrite(
+        "SELECT * FROM lk_t FOR NO KEY UPDATE SKIP LOCKED"
+    )).count() == 5
+    assert spark.sql(rewrite(
+        "SELECT * FROM lk_t FOR SHARE OF lk_t NOWAIT"
+    )).count() == 5
+    assert spark.sql(rewrite(
+        "SELECT id FROM ONLY lk_t WHERE id < 2"
+    )).count() == 2
+    # FOR inside window frames / loops must not strip
+    out = rewrite("SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
+    assert "ROWS BETWEEN" in out

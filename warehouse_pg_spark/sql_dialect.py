@@ -482,6 +482,22 @@ _BETWEEN_SYM_RE = re.compile(
 # compare binary (= "C"), so the clause strips
 _COLLATE_RE = re.compile(r'\s+COLLATE\s+("[^"]+"|[\w.]+)', re.IGNORECASE)
 
+# SELECT ... FOR [NO KEY] UPDATE / FOR [KEY] SHARE [OF tables]
+# [NOWAIT | SKIP LOCKED] (gram.y for_locking_clause) — row locks have
+# no analogue without transactions; accepted and stripped
+_LOCK_CLAUSE_RE = re.compile(
+    r"\s+FOR\s+(?:NO\s+KEY\s+UPDATE|KEY\s+SHARE|UPDATE|SHARE)"
+    r"(?:\s+OF\s+[\w.]+(?:\s*,\s*[\w.]+)*)?"
+    r"(?:\s+(?:NOWAIT|SKIP\s+LOCKED))?\s*$",
+    re.IGNORECASE,
+)
+
+# FROM/JOIN/UPDATE ONLY tbl (gram.y relation_expr) — table inheritance
+# doesn't exist here, ONLY is the identity
+_FROM_ONLY_RE = re.compile(
+    r"\b(FROM|JOIN|UPDATE|INTO)\s+ONLY\s+", re.IGNORECASE
+)
+
 
 # PG math operators Spark lacks or re-purposes (numeric.c, float.c;
 # pg_operator.dat): ^ is POWER in PG but XOR in Spark, # is int XOR,
@@ -1045,6 +1061,11 @@ def rewrite(sql: str) -> str:
 
     # COLLATE clauses strip (Spark compares binary, PG's "C")
     out = _COLLATE_RE.sub("", out)
+
+    # row-lock clauses strip (nodeLockRows.c; no transactions here) and
+    # inheritance ONLY strips (no table inheritance)
+    out = _LOCK_CLAUSE_RE.sub("", out)
+    out = _FROM_ONLY_RE.sub(lambda m: m.group(1) + " ", out)
 
     # string_agg → listagg (Spark 4); in-paren ORDER BY → WITHIN GROUP
     out = _STRING_AGG_ORDER_RE.sub(
