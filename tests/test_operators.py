@@ -608,6 +608,136 @@ def test_rows_exclude_null_semantics(spark):
     assert by_k[3] == [14.0]         # exclude {NULL} → 10 + 4
 
 
+def _brute_rows_exclude(rows, start, end, agg, mode):
+    """Reference evaluator for ROWS frames + EXCLUDE over ONE sorted
+    partition (rows = [(key, value)]), mirroring nodeWindowAgg.c's
+    re-aggregate-the-frame-minus-exclusion. start/end of None mean
+    unbounded. (DuckDB is NOT used as the oracle here: with a
+    negative-offset frame end + EXCLUDE it returns [unb, rn-1]-shaped
+    results regardless of the bound, diverging from PG.)"""
+    n = len(rows)
+    out = []
+    for i, (k, _v) in enumerate(rows):
+        lo = 0 if start is None else max(0, i + start)
+        hi = n - 1 if end is None else min(n - 1, i + end)
+        idx = set(range(lo, hi + 1))
+        in_frame = lo <= i <= hi
+        if mode == "current row":
+            idx.discard(i)
+        elif mode == "group":
+            idx = {j for j in idx if rows[j][0] != k}
+        else:  # ties: peers leave, self stays (if in frame)
+            idx = {j for j in idx if rows[j][0] != k}
+            if in_frame:
+                idx.add(i)
+        vals = [rows[j][1] for j in idx if rows[j][1] is not None]
+        if agg == "count":
+            out.append(float(len(vals)))
+        elif not vals:
+            out.append(None)
+        elif agg == "sum":
+            out.append(float(sum(vals)))
+        elif agg == "min":
+            out.append(float(min(vals)))
+        elif agg == "max":
+            out.append(float(max(vals)))
+        else:
+            out.append(sum(vals) / len(vals))
+    return out
+
+
+def test_rows_exclude_half_unbounded_matches_bruteforce(spark):
+    """Half-unbounded ROWS frames + EXCLUDE — the final cell of the
+    frame x exclusion matrix (nodeWindowAgg.c:1454-1480), both
+    directions, positive AND negative finite offsets, against a
+    transparent brute-force evaluator. Peer blocks share their value,
+    so every per-row result is invariant under the (PG-undefined) tie
+    order and multisets compare exactly."""
+    from pyspark.sql.window import Window
+
+    from warehouse_pg_spark.operators.window_ext import rows_exclude_agg
+
+    # (key, value): multi-row peer blocks share the value (else the PG
+    # tie order would leak into per-row results); NULL coverage via an
+    # all-NULL block, a NULL singleton, and a NULL-key block
+    blocks_a = [(1, 10), (2, 20), (2, 20), (2, 20), (3, 7), (5, 40),
+                (5, 40), (7, None), (7, None), (8, 1), (9, 33)]
+    blocks_b = [(4, 5), (4, 5), (6, None), (None, 2), (None, 2)]
+    data = [("a", k, v) for k, v in blocks_a] + [
+        ("b", k, v) for k, v in blocks_b
+    ]
+    df = spark.createDataFrame(data, "p string, k int, v int")
+    # Spark ascending default is NULLS FIRST — sort the reference the
+    # same way (None key block first)
+    key = lambda kv: (kv[0] is not None, kv[0])  # noqa: E731
+    parts = {"a": sorted(blocks_a, key=key), "b": sorted(blocks_b, key=key)}
+    UNB_P, UNB_F = Window.unboundedPreceding, Window.unboundedFollowing
+    frames = [(UNB_P, 0), (UNB_P, 2), (UNB_P, -2),
+              (0, UNB_F), (-2, UNB_F), (2, UNB_F)]
+    for start, end in frames:
+        b_start = None if start == UNB_P else start
+        b_end = None if end == UNB_F else end
+        for agg in ("sum", "min", "max", "count", "avg"):
+            for mode in ("group", "ties", "current row"):
+                out = rows_exclude_agg(
+                    df, "v", ["p"], ["k"], start, end,
+                    agg=agg, exclude=mode, out="r",
+                )
+                got = {}
+                for r in out.collect():
+                    got.setdefault(r.p, []).append(
+                        (r.k, None if r.r is None else round(float(r.r), 9))
+                    )
+                exp = {}
+                for p, rows in parts.items():
+                    res = _brute_rows_exclude(rows, b_start, b_end, agg, mode)
+                    exp[p] = [
+                        (k, None if x is None else round(x, 9))
+                        for (k, _v), x in zip(rows, res)
+                    ]
+                for p in exp:
+                    canon = lambda t: (  # noqa: E731
+                        t[0] is not None, t[0] or 0,
+                        t[1] is not None, t[1] or 0.0,
+                    )
+                    assert sorted(got[p], key=canon) == sorted(
+                        exp[p], key=canon
+                    ), (start, end, agg, mode, p)
+
+
+def test_rows_exclude_half_unbounded_ties_deterministic(spark):
+    """UNBOUNDED PRECEDING..CURRENT ROW + EXCLUDE GROUP/TIES over a
+    tied key: survivors are exactly the rows with a strictly-smaller
+    key (+ self for TIES) — tie-order-invariant, the oracle-safe form
+    the registry query uses."""
+    from pyspark.sql.window import Window
+
+    from warehouse_pg_spark.operators.window_ext import rows_exclude_agg
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 2, 21), ("a", 2, 22),
+         ("a", 3, 30)],
+        "p string, k int, v int",
+    )
+    rows = rows_exclude_agg(
+        df, "v", ["p"], ["k"], Window.unboundedPreceding, 0,
+        agg="sum", exclude="group", out="r",
+    ).collect()
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r.k, []).append(r.r)
+    assert by_k[1] == [None]               # nothing strictly before
+    assert sorted(by_k[2]) == [10, 10, 10]  # the k=2 block all excluded
+    assert by_k[3] == [10 + 20 + 21 + 22]
+    rows = rows_exclude_agg(
+        df, "v", ["p"], ["k"], Window.unboundedPreceding, 0,
+        agg="max", exclude="ties", out="r",
+    ).collect()
+    got = sorted((r.k, r.v, r.r) for r in rows)
+    assert got == [(1, 10, 10), (2, 20, 20), (2, 21, 21), (2, 22, 22),
+                   (3, 30, 30)]
+
+
 def test_minmax_exclude_rows_group_delegates(spark):
     """minmax_exclude no longer raises for ROWS + GROUP/TIES — it
     routes to the collect-filter evaluator."""

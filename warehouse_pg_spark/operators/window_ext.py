@@ -264,6 +264,11 @@ def rows_exclude_agg(
     partition-aggregate minus peer-group-aggregate (sum/count/avg) or
     a prefix/suffix flank combine (min/max) — no collection, one
     shuffle, any orderable key type.
+
+    Half-unbounded frames (UNBOUNDED PRECEDING..end, start..UNBOUNDED
+    FOLLOWING): prefix-aggregate subtraction / flank combine with the
+    peer group's in-frame slice resolved from broadcast group bounds —
+    see _exclude_half_unbounded; nothing unbounded is collected.
     """
     if agg not in ("sum", "count", "avg", "min", "max"):
         raise ValueError(f"unsupported agg for rows_exclude_agg: {agg}")
@@ -286,10 +291,17 @@ def rows_exclude_agg(
             df, val, partition_by, order_by, agg, mode, out
         )
     if unb_lo or unb_hi:
-        raise NotImplementedError(
-            "half-unbounded ROWS frame with EXCLUDE: use the RANGE "
-            "form (sum_exclude/minmax_exclude with frame_type='range') "
-            "or a bounded ROWS frame"
+        # Half-unbounded: [UNBOUNDED PRECEDING, end] directly, or the
+        # mirror [start, UNBOUNDED FOLLOWING] as [UNBOUNDED PRECEDING,
+        # -start] over the reversed order (same peer groups, same
+        # exclusion set; ROWS tie-breaks are order-dependent in PG too).
+        if unb_lo:
+            return _exclude_half_unbounded(
+                df, val, partition_by, order_by, end, agg, mode, out
+            )
+        return _exclude_half_unbounded(
+            df, val, partition_by, order_by, -start, agg, mode, out,
+            descending=True,
         )
 
     rn_c, arr_c = "__xrn", "__xfr"
@@ -421,6 +433,173 @@ def _exclude_over_partition(
     return ranked.withColumn(out, expr).drop(
         rn_c, "__xpre", "__xsuf", "__xglo", "__xghi"
     )
+
+
+def _exclude_half_unbounded(
+    df: DataFrame,
+    val: Column,
+    partition_by: list[str],
+    order_by: list[str],
+    end: int,
+    agg: str,
+    mode: str,
+    out: str,
+    descending: bool = False,
+) -> DataFrame:
+    """ROWS BETWEEN UNBOUNDED PRECEDING AND `end` + EXCLUDE — the last
+    cell of the frame x exclusion matrix (nodeWindowAgg.c:1454-1480).
+    `descending=True` evaluates the mirrored [start, UNBOUNDED
+    FOLLOWING] frame over the reversed partition order.
+
+    Unlike the bounded-frame collect evaluator, the frame prefix here
+    grows with the partition, so nothing unbounded is ever collected:
+
+    - sum/count/avg: frame aggregate minus the peer-group-within-frame
+      aggregate. The group's in-frame slice is [g_lo, min(g_hi, rn+end)]
+      (peers are contiguous in row_number), so its sum falls out of
+      prefix aggregates: whole group in frame → group aggregate; frame
+      cuts into the group → C(rn+end) − C(g_lo−1), where C(rn+end) IS
+      the frame aggregate and C(g_lo−1) is the prefix-exclusive
+      aggregate at the group's first row, broadcast over the group.
+    - min/max (non-subtractable): survivors = [unb, g_lo−1] ∪ (non-peer
+      rows of the bounded tail (g_hi, rn+end]]. The first flank is the
+      prefix-exclusive min/max broadcast from the group's first row;
+      the tail is a bounded (≤ end rows) struct collect filtered to
+      non-peers — constant per-row state, all JVM-side.
+
+    One (partition_by) shuffle feeds every window; the extra group
+    windows share the same exchange after partial-key re-sort.
+    """
+    ob = [F.col(c).desc() if descending else F.col(c) for c in order_by]
+    rn_c = "__xrn"
+    ranked = df.withColumn(
+        rn_c, F.row_number().over(Window.partitionBy(*partition_by).orderBy(*ob))
+    )
+    rn = F.col(rn_c)
+    rw = Window.partitionBy(*partition_by).orderBy(rn_c)
+    unb, unf = Window.unboundedPreceding, Window.unboundedFollowing
+    frame_w = rw.rowsBetween(unb, end)
+    gw = Window.partitionBy(*partition_by, *order_by).rowsBetween(unb, unf)
+    ranked = ranked.withColumn("__glo", F.min(rn).over(gw)).withColumn(
+        "__ghi", F.max(rn).over(gw)
+    )
+    glo, ghi = F.col("__glo"), F.col("__ghi")
+    in_frame = end >= 0  # current row (offset 0) inside [unb, end]?
+    helpers = [rn_c, "__glo", "__ghi"]
+
+    if agg in ("sum", "count", "avg"):
+        zero = F.lit(0)
+        val_nn = F.when(val.isNotNull(), F.lit(1)).otherwise(zero)
+        cum_sum = F.sum(val).over(rw.rowsBetween(unb, 0))
+        cum_cnt = F.count(val).over(rw.rowsBetween(unb, 0))
+        ranked = (
+            ranked.withColumn("__fs", F.sum(val).over(frame_w))
+            .withColumn("__fc", F.count(val).over(frame_w))
+            .withColumn(
+                "__ps", F.coalesce(cum_sum - F.coalesce(val, zero), zero)
+            )
+            .withColumn("__pc", cum_cnt - val_nn)
+        )
+        # prefix-exclusive aggregates C(g_lo − 1), broadcast over group
+        ranked = (
+            ranked.withColumn(
+                "__bs", F.max(F.when(rn == glo, F.col("__ps"))).over(gw)
+            )
+            .withColumn(
+                "__bc", F.max(F.when(rn == glo, F.col("__pc"))).over(gw)
+            )
+            .withColumn("__gs", F.coalesce(F.sum(val).over(gw), zero))
+            .withColumn("__gc", F.count(val).over(gw))
+        )
+        helpers += ["__fs", "__fc", "__ps", "__pc", "__bs", "__bc",
+                    "__gs", "__gc"]
+        fs = F.coalesce(F.col("__fs"), zero)
+        fc = F.col("__fc")
+        frame_end = rn + F.lit(end)
+        pif_sum = (
+            F.when(frame_end < glo, zero)
+            .when(ghi <= frame_end, F.col("__gs"))
+            .otherwise(fs - F.col("__bs"))
+        )
+        pif_cnt = (
+            F.when(frame_end < glo, zero)
+            .when(ghi <= frame_end, F.col("__gc"))
+            .otherwise(fc - F.col("__bc"))
+        )
+        cur_sum = F.coalesce(val, zero) if in_frame else zero
+        cur_cnt = val_nn if in_frame else zero
+        if mode == "current row":
+            surv_sum, surv_cnt = fs - cur_sum, fc - cur_cnt
+        elif mode == "group":
+            surv_sum, surv_cnt = fs - pif_sum, fc - pif_cnt
+        else:  # ties: peers leave, the current row itself stays
+            surv_sum = fs - pif_sum + cur_sum
+            surv_cnt = fc - pif_cnt + cur_cnt
+        if agg == "count":
+            expr = surv_cnt.cast("long")
+        elif agg == "sum":
+            expr = F.when(surv_cnt > 0, surv_sum)
+        else:
+            expr = F.when(surv_cnt > 0, surv_sum / surv_cnt)
+        return ranked.withColumn(out, expr).drop(*helpers)
+
+    agg_fn = F.min if agg == "min" else F.max
+    comb = F.least if agg == "min" else F.greatest
+    ranked = ranked.withColumn(
+        "__pre", agg_fn(val).over(rw.rowsBetween(unb, -1))
+    ).withColumn("__fa", agg_fn(val).over(frame_w))
+    helpers += ["__pre", "__fa"]
+    if mode == "current row":
+        if end < 0:  # current row not in frame: exclusion is a no-op
+            expr = F.col("__fa")
+        elif end == 0:
+            expr = F.col("__pre")
+        else:
+            expr = comb(
+                F.col("__pre"), agg_fn(val).over(rw.rowsBetween(1, end))
+            )
+        return ranked.withColumn(out, expr).drop(*helpers)
+
+    # group / ties: [unb, g_lo−1] flank ∪ non-peers of the bounded tail
+    ranked = ranked.withColumn(
+        "__gpre", F.max(F.when(rn == glo, F.col("__pre"))).over(gw)
+    )
+    helpers.append("__gpre")
+    if end < 0:
+        # frame may stop before the group (no exclusion) or cut into it
+        # (survivors are exactly the [unb, g_lo−1] flank)
+        expr = F.when(rn + F.lit(end) < glo, F.col("__fa")).otherwise(
+            F.col("__gpre")
+        )
+    elif end == 0:
+        expr = F.col("__gpre")
+    else:
+        struct_cols = [val.alias("__v")] + [
+            F.col(c).alias(f"__k{i}") for i, c in enumerate(order_by)
+        ]
+        ranked = ranked.withColumn(
+            "__tail",
+            F.collect_list(F.struct(*struct_cols)).over(
+                rw.rowsBetween(1, end)
+            ),
+        )
+        helpers.append("__tail")
+
+        def _not_peer(x: Column) -> Column:
+            cond = F.lit(False)
+            for i, c in enumerate(order_by):
+                cond = cond | ~x[f"__k{i}"].eqNullSafe(F.col(c))
+            return cond
+
+        tail_vals = F.filter(
+            F.transform(F.filter(F.col("__tail"), _not_peer), lambda x: x["__v"]),
+            lambda v: v.isNotNull(),
+        )
+        m3 = F.array_min(tail_vals) if agg == "min" else F.array_max(tail_vals)
+        expr = comb(F.col("__gpre"), m3)
+    if mode == "ties" and in_frame:
+        expr = comb(expr, val)
+    return ranked.withColumn(out, expr).drop(*helpers)
 
 
 def _require_discrete_order_key(

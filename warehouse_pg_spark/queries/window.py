@@ -731,3 +731,62 @@ def window_rows_exclude_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="excl_max",
     )
     return out.select("l_returnflag", "l_quantity", "excl_max")
+
+
+@register(
+    "window_rows_unbounded_exclude",
+    oracle="""
+    SELECT l_returnflag, l_quantity,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      EXCLUDE GROUP)
+                AS DOUBLE) AS run_sum_excl,
+           MAX(l_quantity)
+               OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                     EXCLUDE TIES) AS suffix_max_excl
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    """,
+    tags=("window", "frames"),
+)
+def window_rows_unbounded_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-unbounded ROWS frames + EXCLUDE — the final frame x
+    exclusion matrix cell (nodeWindowAgg.c:1454-1480), both directions:
+    a running sum that excludes the whole peer group (survivors = rows
+    with a strictly smaller key — tie-order-invariant), and a mirrored
+    suffix max EXCLUDE TIES (strictly greater keys + self), evaluated
+    over the reversed order by the same prefix/flank machinery
+    (operators/window_ext._exclude_half_unbounded). Nothing unbounded
+    is ever collected; both columns share one partition shuffle."""
+    from warehouse_pg_spark.operators.window_ext import rows_exclude_agg
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    out = rows_exclude_agg(
+        li.withColumn("__price", dec(F.col("l_extendedprice"))),
+        value="__price",
+        partition_by=["l_returnflag"],
+        order_by=["l_quantity"],
+        start=Window.unboundedPreceding,
+        end=0,
+        agg="sum",
+        exclude="group",
+        out="run_sum_excl",
+    )
+    out = rows_exclude_agg(
+        out,
+        value="l_quantity",
+        partition_by=["l_returnflag"],
+        order_by=["l_quantity"],
+        start=0,
+        end=Window.unboundedFollowing,
+        agg="max",
+        exclude="ties",
+        out="suffix_max_excl",
+    )
+    return out.select(
+        "l_returnflag",
+        "l_quantity",
+        F.col("run_sum_excl").cast("double").alias("run_sum_excl"),
+        "suffix_max_excl",
+    )
