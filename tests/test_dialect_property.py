@@ -398,6 +398,11 @@ def test_scalar_array_any_all(spark):
     assert run("SELECT 2 <> ALL(ARRAY[1,3]) AS v") is True
     assert run("SELECT 2 <> ALL(ARRAY[1,2]) AS v") is False
     assert run("SELECT 7 = SOME(ARRAY[7]) AS v") is True
+    # arithmetic left operand: comparison binds LOWER than '+' in PG
+    # (gram.y a_expr), so 'a + b = ANY' quantifies over (a + b)
+    assert run("SELECT 1 + 1 = ANY(ARRAY[2, 5]) AS v") is True
+    assert run("SELECT 2 * 3 = ANY(ARRAY[5, 7]) AS v") is False
+    assert run("SELECT 10 - 2 - 3 = ANY(ARRAY[5]) AS v") is True
     # quantified SUBQUERY form must be left alone (handled as joins)
     out = rewrite("SELECT 1 WHERE x > ALL (SELECT y FROM t)")
     assert "forall" not in out and "ALL" in out
@@ -431,6 +436,15 @@ def test_between_symmetric_collate_like_any(spark):
     assert run("SELECT 5 BETWEEN SYMMETRIC 10 AND 1 AS v") is True
     assert run("SELECT 0 BETWEEN SYMMETRIC 10 AND 1 AS v") is False
     assert run("SELECT 5 NOT BETWEEN SYMMETRIC 10 AND 1 AS v") is False
+    # NULL bound: gram.y expands to ((x>=a AND x<=b) OR (x>=b AND x<=a)),
+    # so the verdict is NULL — least/greatest bound-swapping (skips
+    # NULLs) would say FALSE
+    assert run("SELECT 5 BETWEEN SYMMETRIC 3 AND NULL AS v") is None
+    assert run("SELECT 5 BETWEEN SYMMETRIC NULL AND 6 AS v") is None
+    assert run("SELECT 5 NOT BETWEEN SYMMETRIC 3 AND NULL AS v") is None
+    # NULL tested value: both disjuncts unknown
+    assert run("SELECT CAST(NULL AS INT) BETWEEN SYMMETRIC 1 AND 2 AS v") \
+        is None
     assert run("SELECT 'a' COLLATE \"C\" < 'b' AS v") is True
     assert run("SELECT 'Hello' LIKE ANY(ARRAY['He%','X%']) AS v") is True
     assert run("SELECT 'Hello' ILIKE ALL(ARRAY['he%','%o']) AS v") is True
@@ -497,6 +511,15 @@ def test_pg_math_operators(spark):
 
     assert run("SELECT 2 ^ 3 AS v") == 8.0
     assert run("SELECT 2 ^ 2 ^ 3 AS v") == 64.0  # (2^2)^3, PG left-assoc
+    # unary-minus exponent: PG '2 ^ -2' is power, 0.25 — NOT Spark XOR
+    assert run("SELECT 2 ^ -2 AS v") == 0.25
+    assert run("SELECT 10 ^ - 1 AS v") == 0.1
+    # a '^' whose operands the rewriter can't bind fails loudly rather
+    # than silently evaluating as Spark XOR
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="power"):
+        rewrite("SELECT ((1 + 1)) ^ 2 AS v")
     assert run("SELECT 5 # 3 AS v") == 6
     assert run("SELECT @ -5 AS v") == 5
     assert run("SELECT |/ 25.0 AS v") == 5.0
@@ -517,6 +540,10 @@ def test_substring_regex_form(spark):
     assert run("SELECT substring('hello' FROM 'l+') AS v") == "ll"
     assert run("SELECT substring('a12b' FROM '([0-9]+)') AS v") == "12"
     assert run("SELECT substring('abc' FROM 'z+') AS v") is None
+    # empty-string MATCH is '', not NULL (textregexsubstr returns NULL
+    # only on no-match) — nullif() can't tell the two apart
+    assert run("SELECT substring('abc' FROM 'z*') AS v") == ""
+    assert run("SELECT substring('abc' FROM '([0-9]*)') AS v") == ""
     # positional FROM/FOR form stays native
     assert run("SELECT substring('hello' FROM 2 FOR 3) AS v") == "ell"
 

@@ -1004,3 +1004,8 @@ def test_multi_column_set_default_values_truncate_list(engine, spark, tmp_path):
 
     out = engine.sql("TRUNCATE forms_t RESTART IDENTITY CASCADE")
     assert engine.table("forms_t").count() == 0
+
+    # PG errors on ANY missing relation in the list (tablecmds.c
+    # ExecuteTruncate) — no truncate-and-report-success for typos
+    with _pt.raises(KeyError, match="typo_t"):
+        engine.sql("TRUNCATE forms_t, typo_t")

@@ -1150,17 +1150,23 @@ class Engine:
             # relation(s), keep the schema. RESTART/CONTINUE IDENTITY
             # and CASCADE/RESTRICT are accepted (sequences restart via
             # ALTER SEQUENCE; there are no FK cascades to chase).
-            total, seen = 0, 0
-            for raw in m.group(1).split(","):
-                name = raw.strip().split(".")[-1]
-                t = self._writable_by_name(name)
-                if t is None:
-                    continue
-                seen += 1
+            names = [r.strip().split(".")[-1] for r in m.group(1).split(",")]
+            resolved = [(n, self._writable_by_name(n)) for n in names]
+            if all(t is None for _, t in resolved):
+                return None  # nothing engine-managed: not ours to handle
+            # PG errors on ANY missing relation (tablecmds.c
+            # ExecuteTruncate → RangeVarGetRelid), same as single-table
+            # DML — no partial truncate-and-report-success.
+            missing = [n for n, t in resolved if t is None]
+            if missing:
+                raise KeyError(
+                    f"TRUNCATE: relation(s) do not exist: "
+                    f"{', '.join(missing)}"
+                )
+            total = 0
+            for name, t in resolved:
                 total += t.delete(F.lit(True))
                 self._refresh_view(name, t)
-            if seen == 0:
-                return None
             return self._tag(total)
 
         m = _SELECT_INTO_RE.match(s)

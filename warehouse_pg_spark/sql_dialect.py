@@ -452,9 +452,13 @@ _WIDE_FORMULAS = {
 # scalar `x OP ANY/ALL/SOME (array)` (parse_oper.c make_scalar_array_op;
 # NOT the quantified-subquery form — a SELECT inside the parens is left
 # alone). Lowered to Spark's higher-order exists()/forall(), whose
-# three-valued NULL semantics match ExecEvalScalarArrayOp.
+# three-valued NULL semantics match ExecEvalScalarArrayOp. The left
+# operand is an additive/multiplicative chain (PG gives comparison
+# operators lower precedence than arithmetic, gram.y a_expr), so
+# 'a + b = ANY(arr)' quantifies over (a + b), not b.
 _OP_ANY_ALL_RE = re.compile(
-    rf"({_DISTINCT_OPERAND})\s*(=|<>|!=|<=|>=|<|>)\s*"
+    rf"({_DISTINCT_OPERAND}(?:\s*[-+*/%]\s*{_DISTINCT_OPERAND})*)"
+    rf"\s*(=|<>|!=|<=|>=|<|>)\s*"
     rf"(ANY|ALL|SOME)\s*\(\s*(?!\s*SELECT\b)"
     rf"((?:[^()]|\([^()]*\))+)\s*\)",
     re.IGNORECASE,
@@ -469,11 +473,14 @@ _LIKE_ANY_ALL_RE = re.compile(
     re.IGNORECASE,
 )
 
-# BETWEEN SYMMETRIC a AND b (gram.y a_expr BETWEEN SYMMETRIC;
-# Spark has no SYMMETRIC) — PG swaps the bounds when a > b
+# x [NOT] BETWEEN SYMMETRIC a AND b (gram.y a_expr BETWEEN SYMMETRIC;
+# Spark has no SYMMETRIC) — expanded exactly as gram.y does:
+# ((x >= a AND x <= b) OR (x >= b AND x <= a)), so a NULL bound yields
+# NULL (not the FALSE a least/greatest bound swap would produce —
+# least/greatest skip NULLs).
 _BETWEEN_SYM_RE = re.compile(
-    rf"\bBETWEEN\s+SYMMETRIC\s+({_DISTINCT_OPERAND})\s+AND\s+"
-    rf"({_DISTINCT_OPERAND})",
+    rf"({_DISTINCT_OPERAND})\s+(NOT\s+)?BETWEEN\s+SYMMETRIC\s+"
+    rf"({_DISTINCT_OPERAND})\s+AND\s+({_DISTINCT_OPERAND})",
     re.IGNORECASE,
 )
 
@@ -502,9 +509,14 @@ _FROM_ONLY_RE = re.compile(
 # PG math operators Spark lacks or re-purposes (numeric.c, float.c;
 # pg_operator.dat): ^ is POWER in PG but XOR in Spark, # is int XOR,
 # @ is abs, |/ sqrt, ||/ cbrt. Order matters: ^→power() runs before
-# #→^ so the emitted XOR never re-maps.
+# #→^ so the emitted XOR never re-maps. The right operand admits a
+# unary minus (PG '2 ^ -2' is power(2,-2) = 0.25); a '^' whose operands
+# still don't match raises rather than letting Spark silently evaluate
+# XOR. (Left-side unary minus is NOT claimed: PG ≥9.5 binds unary minus
+# tighter than '^', so '-2 ^ 2' is 4 there — spell it '(-2) ^ 2'.)
 _POWER_RE = re.compile(
-    rf"({_DISTINCT_OPERAND})\s*\^\s*({_DISTINCT_OPERAND})"
+    rf"({_DISTINCT_OPERAND})\s*\^\s*(-\s*{_DISTINCT_OPERAND}"
+    rf"|{_DISTINCT_OPERAND})"
 )
 _INT_XOR_RE = re.compile(
     rf"({_DISTINCT_OPERAND})\s*#(?![>#])\s*({_DISTINCT_OPERAND})"
@@ -529,6 +541,15 @@ def _rewrite_pg_math_ops(sql: str) -> str:
     while prev != sql:  # chains like a ^ b ^ c resolve left-to-right
         prev = sql
         sql = _POWER_RE.sub(lambda m: f"power({m.group(1)}, {m.group(2)})", sql)
+    if "^" in sql:
+        # In PG dialect '^' is always power; a survivor means an
+        # operand form this rewriter doesn't recognize, and Spark
+        # would silently evaluate it as bitwise XOR — fail loudly
+        # instead. ('#' → XOR translation runs after this check.)
+        raise NotImplementedError(
+            "unrecognized operand form around PG '^' (power) operator; "
+            "parenthesize the operands: " + sql
+        )
     sql = _INT_XOR_RE.sub(lambda m: f"({m.group(1)} ^ {m.group(2)})", sql)
     sql = _CBRT_RE.sub(lambda m: f"cbrt({m.group(1)})", sql)
     sql = _SQRT_RE.sub(lambda m: f"sqrt({m.group(1)})", sql)
@@ -542,7 +563,14 @@ def _rewrite_substring_regex(sql: str, lits: list[str]) -> str:
         body = lits[int(_MASK_RE.match(lit_tok).group(1))]
         # capture-group detection on the unquoted pattern text
         idx = 1 if re.search(r"(?<!\\)\((?!\?)", body[1:-1]) else 0
-        return f"nullif(regexp_extract({x}, {lit_tok}, {idx}), '')"
+        # textregexsubstr: NULL only on NO match; a pattern that
+        # matches the empty string (e.g. 'z*') returns '' — so gate on
+        # RLIKE instead of nullif'ing the extract (which can't tell
+        # empty-match from no-match).
+        return (
+            f"(CASE WHEN {x} RLIKE {lit_tok} "
+            f"THEN regexp_extract({x}, {lit_tok}, {idx}) END)"
+        )
 
     return _SUBSTR_REGEX_RE.sub(sub, sql)
 
@@ -571,8 +599,12 @@ def _rewrite_op_any_all(sql: str) -> str:
 
 def _rewrite_between_symmetric(sql: str) -> str:
     def sub(m: re.Match) -> str:
-        a, b = (g.strip() for g in m.groups())
-        return f"BETWEEN least({a}, {b}) AND greatest({a}, {b})"
+        x, neg, a, b = ((g or "").strip() for g in m.groups())
+        core = (
+            f"(({x} >= {a} AND {x} <= {b}) OR "
+            f"({x} >= {b} AND {x} <= {a}))"
+        )
+        return f"(NOT {core})" if neg else core
 
     return _BETWEEN_SYM_RE.sub(sub, sql)
 
