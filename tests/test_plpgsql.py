@@ -55,13 +55,97 @@ def test_missing_return_compiles_to_null():
 
 def test_rejections_are_clear():
     for body, frag in [
-        ("BEGIN WHILE x > 0 LOOP x := x - 1; END LOOP; END", "WHILE"),
         ("BEGIN RAISE NOTICE 'hi'; END", "RAISE"),
-        ("BEGIN SELECT 1 INTO x; END", "SELECT INTO"),
         ("BEGIN FOR i IN 1..x LOOP y := i; END LOOP; END", "constant"),
+        ("BEGIN OPEN cur FOR SELECT 1; END", "cursors"),
+        ("BEGIN SELECT a, b INTO x FROM t; END", "one target"),
     ]:
         with pytest.raises(PlpgsqlError, match=frag):
             compile_plpgsql([("x", "INT")], "INT", body)
+
+
+def test_while_loop_compiles_and_runs(engine, spark):
+    """WHILE with a data-dependent trip count (pl_exec.c
+    exec_stmt_while) — fuel-bounded unroll; terminating executions
+    never hit the fuel error."""
+    engine.sql(
+        """
+        CREATE OR REPLACE FUNCTION collatz_steps(n int) RETURNS int
+        LANGUAGE plpgsql AS $$
+        DECLARE steps int := 0; v int := n;
+        BEGIN
+          WHILE v > 1 LOOP
+            IF v % 2 = 0 THEN v := CAST(v / 2 AS int);
+            ELSE v := 3 * v + 1;
+            END IF;
+            steps := steps + 1;
+          END LOOP;
+          RETURN steps;
+        END
+        $$
+        """
+    )
+    rows = spark.sql(
+        "SELECT collatz_steps(x) AS s FROM VALUES (1), (2), (6), (27) AS t(x)"
+    ).collect()
+    assert [r.s for r in rows] == [0, 1, 8, 111]
+
+
+def test_while_fuel_exhaustion_raises_at_runtime(engine, spark):
+    engine.sql(
+        """
+        CREATE OR REPLACE FUNCTION spin(n int) RETURNS int
+        LANGUAGE plpgsql AS $$
+        DECLARE i int := 0;
+        BEGIN
+          WHILE i < n LOOP i := i + 1; END LOOP;
+          RETURN i;
+        END
+        $$
+        """
+    )
+    assert spark.sql("SELECT spin(50) AS v").collect()[0].v == 50
+    assert spark.sql("SELECT spin(128) AS v").collect()[0].v == 128
+    with pytest.raises(Exception, match="WHILE loop exceeded"):
+        spark.sql("SELECT spin(129) AS v").collect()
+
+
+def test_select_into_scalar_subquery(engine, spark):
+    """SELECT expr INTO v FROM ... (pl_exec.c exec_stmt_execsql with
+    INTO): compiles to a correlated scalar subquery over registered
+    views — no per-row Python, no interpreter."""
+    spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 40.0)], ["grp", "amt"]
+    ).createOrReplaceTempView("si_t")
+    engine.sql(
+        """
+        CREATE OR REPLACE FUNCTION grp_share(g int, x double precision)
+        RETURNS double precision
+        LANGUAGE plpgsql AS $$
+        DECLARE total double precision;
+        BEGIN
+          SELECT sum(amt) INTO STRICT total FROM si_t WHERE grp = g;
+          IF total IS NULL OR total = 0 THEN RETURN 0; END IF;
+          RETURN x / total;
+        END
+        $$
+        """
+    )
+    rows = spark.sql(
+        "SELECT grp_share(1, 10.0) AS a, grp_share(2, 10.0) AS b, "
+        "grp_share(3, 10.0) AS c"
+    ).collect()[0]
+    assert rows.a == pytest.approx(10.0 / 30.0)
+    assert rows.b == pytest.approx(0.25)
+    assert rows.c == 0.0  # empty group: sum NULL → 0 branch
+
+
+def test_select_into_without_from_is_assignment():
+    e = compile_plpgsql(
+        [("x", "INT")], "INT",
+        "DECLARE v int; BEGIN SELECT x * 2 INTO v; RETURN v + 1; END",
+    )
+    assert "SELECT" not in e.upper()  # pure expression, no subquery
 
 
 # ------------------------------------------- engine CREATE FUNCTION path

@@ -19,7 +19,13 @@ Supported statement forms (pl_gram.y subset):
     CASE [expr] WHEN .. THEN .. [ELSE ..] END CASE;  -- searched + simple
                   -- forms; a missing ELSE raises CASE_NOT_FOUND at
                   -- runtime via raise_error(), as pl_exec.c does
-    WHILE / SELECT INTO / RAISE / EXIT / cursors  -- rejected with a
+    WHILE c LOOP ... END LOOP;   -- fuel-bounded unroll (_MAX_WHILE);
+                  -- an execution needing more iterations hits a
+                  -- raise_error() at runtime, terminating runs don't
+    SELECT expr INTO [STRICT] v [FROM ...];  -- scalar subquery over
+                  -- registered tables (correlated via params); multi-
+                  -- row results raise (STRICT semantics)
+    RAISE / EXIT / CONTINUE / cursors / EXECUTE  -- rejected with a
                                        -- clear error (documented)
 
 Lowering model: straight-line code is single-assignment substitution
@@ -80,12 +86,9 @@ _FOR_RE = re.compile(
 _WORD_RE = re.compile(r"[A-Za-z_]\w*|;|\S")
 
 _REJECTED = {
-    "WHILE": "WHILE loops (data-dependent trip counts cannot lower to "
-    "one expression; use FOR with constant bounds)",
     "RAISE": "RAISE",
     "PERFORM": "PERFORM",
     "EXECUTE": "dynamic EXECUTE",
-    "SELECT": "SELECT INTO / embedded queries",
     "GET": "GET DIAGNOSTICS",
     "OPEN": "cursors",
     "FETCH": "cursors",
@@ -108,7 +111,7 @@ def _split_statements(body: str) -> list[str]:
         head = body[i:]
         mword = re.match(r"[A-Za-z_]\w*", head)
         kw = mword.group(0).upper() if mword else ""
-        if kw in ("IF", "FOR", "LOOP", "CASE"):
+        if kw in ("IF", "FOR", "WHILE", "LOOP", "CASE"):
             j = _find_block_end(body, i)
             stmts.append(body[i:j].strip())
             i = j
@@ -159,8 +162,12 @@ def _parse_stmts(stmts: list[str]) -> list[tuple]:
             out.append(_parse_if(s))
         elif kw == "FOR":
             out.append(_parse_for(s))
+        elif kw == "WHILE":
+            out.append(_parse_while(s))
         elif kw == "CASE":
             out.append(_parse_case(s))
+        elif kw == "SELECT":
+            out.append(_parse_select_into(s))
         elif kw in _REJECTED:
             raise PlpgsqlError(
                 f"unsupported PL/pgSQL statement: {_REJECTED[kw]} "
@@ -301,6 +308,67 @@ def _split_top_commas(s: str) -> list[str]:
     return [p for p in parts if p.strip()]
 
 
+_WHILE_RE = re.compile(r"^WHILE\s+(.+?)\s+LOOP\b", re.IGNORECASE | re.DOTALL)
+
+# SELECT expr INTO [STRICT] var [FROM ...] (pl_gram.y stmt_execsql with
+# an INTO clause; pl_exec.c exec_stmt_execsql). Single target variable,
+# scalar select list.
+_SELECT_INTO_RE = re.compile(
+    r"^SELECT\s+(.+?)\s+INTO\s+(STRICT\s+)?([A-Za-z_]\w*)\s*(FROM\b.*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_while(s: str) -> tuple:
+    m = _WHILE_RE.match(s)
+    if not m:
+        raise PlpgsqlError(f"cannot parse WHILE statement: {s[:80]!r}")
+    tail = re.search(r"END\s+LOOP\s*;?\s*$", s, re.IGNORECASE)
+    if not tail:
+        raise PlpgsqlError("WHILE without END LOOP")
+    inner = s[m.end(): tail.start()]
+    return ("while", m.group(1).strip(),
+            _parse_stmts(_split_statements(inner)))
+
+
+def _parse_select_into(s: str) -> tuple:
+    """SELECT expr INTO [STRICT] v [FROM ...] → v := scalar subquery.
+    The FROM form becomes `(SELECT expr FROM ...)` — a Catalyst scalar
+    subquery over the registered tables/views, correlated through the
+    substituted parameters; Spark raises if it yields more than one row
+    (pl_exec.c STRICT raises too; the non-STRICT first-row-wins of a
+    multi-row result is not modeled — make the query an aggregate).
+    The FROM-less form is a plain assignment."""
+    m = _SELECT_INTO_RE.match(s.rstrip(";").strip())
+    if not m:
+        raise PlpgsqlError(
+            "only single-variable scalar SELECT [expr] INTO [STRICT] v "
+            f"[FROM ...] is supported: {s[:80]!r}"
+        )
+    expr, var, rest = m.group(1).strip(), m.group(3).lower(), m.group(4)
+    if "," in _strip_parens(expr):
+        raise PlpgsqlError(
+            "SELECT INTO supports exactly one target/select expression"
+        )
+    if rest:
+        return ("assign", var, f"(SELECT {expr} {rest.strip()})")
+    return ("assign", var, expr)
+
+
+def _strip_parens(s: str) -> str:
+    """Text with every parenthesized span blanked — for top-level
+    comma detection."""
+    out, depth = [], 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            out.append(ch)
+    return "".join(out)
+
+
 def _parse_for(s: str) -> tuple:
     m = _FOR_RE.match(s)
     if not m:
@@ -321,6 +389,181 @@ def _parse_for(s: str) -> tuple:
 
 # --------------------------------------------------------------- compile
 _MAX_UNROLL = 64
+# WHILE loops run as a JVM-side fold over sequence(1, _MAX_WHILE) with
+# the loop state in a struct; once the condition goes false the state
+# freezes, and if it is STILL true after the last iteration the
+# expression raises at runtime (only then — terminating executions are
+# unaffected). pl_exec.c loops unboundedly; an analytics scalar
+# function needing >128 data-dependent iterations should be a
+# recursive CTE instead.
+_MAX_WHILE = 128
+_FUEL_MSG = (
+    f"WHILE loop exceeded {_MAX_WHILE} iterations "
+    "(bounded-fold compilation; see README Known deviations)"
+)
+
+import itertools as _itertools
+
+_GENSYM = _itertools.count()
+
+
+def _assigned_vars(stmts: list[tuple]) -> set[str]:
+    out: set[str] = set()
+    for s in stmts:
+        k = s[0]
+        if k == "assign":
+            out.add(s[1])
+        elif k in ("if", "case"):
+            for _c, b in s[1]:
+                out |= _assigned_vars(b)
+            if s[2]:
+                out |= _assigned_vars(s[2])
+        elif k == "for":
+            out.add(s[1])
+            out |= _assigned_vars(s[5])
+        elif k == "while":
+            out |= _assigned_vars(s[2])
+    return out
+
+
+def _for_loop_vars(stmts: list[tuple]) -> set[str]:
+    out: set[str] = set()
+    for s in stmts:
+        k = s[0]
+        if k == "for":
+            out.add(s[1])
+            out |= _for_loop_vars(s[5])
+        elif k in ("if", "case"):
+            for _c, b in s[1]:
+                out |= _for_loop_vars(b)
+            if s[2]:
+                out |= _for_loop_vars(s[2])
+        elif k == "while":
+            out |= _for_loop_vars(s[2])
+    return out
+
+
+def _while_fold(
+    cond: str, body: list[tuple], env: dict[str, str]
+) -> tuple[str, list[str], int]:
+    """Lower WHILE to `aggregate(sequence(1, _MAX_WHILE), init_state,
+    (acc, i) -> IF(cond(acc), step(acc), acc))` — the loop state is a
+    named_struct of every variable the body assigns, each iteration is
+    one JVM-side struct rewrite, and a false (or NULL, matching
+    exec_stmt_while) condition freezes the state. Linear-size
+    expression: state is referenced by field name, never re-inlined,
+    so IF-heavy bodies don't blow up the way textual unrolling would.
+
+    Returns (fold_expr, state_var_names, gensym_id); the caller checks
+    cond on the final state to detect fuel exhaustion.
+    """
+    state = sorted(_assigned_vars(body))
+    if not state:
+        raise PlpgsqlError("WHILE body assigns no variables (infinite loop)")
+    for_vars = _for_loop_vars(body)
+    missing = [v for v in state if v not in env and v not in for_vars]
+    if missing:
+        raise PlpgsqlError(
+            f"WHILE body assigns undeclared variable(s): {missing}"
+        )
+    env = dict(env)
+    for v in for_vars:
+        # integer-range FOR declares its own int loop variable
+        # (pl_gram.y for_control)
+        env.setdefault(v, "(CAST(NULL AS INT))")
+    n = next(_GENSYM)
+    acc = f"__a{n}"
+    env_loop = dict(env)
+    env_loop.update({v: f"{acc}.{v}" for v in state})
+    cond_l = _subst(cond, env_loop)
+    body_env = _compile_env(body, env_loop)
+    step = "named_struct(" + ", ".join(
+        f"'{v}', {body_env[v]}" for v in state
+    ) + ")"
+    init = "named_struct(" + ", ".join(
+        f"'{v}', {env[v]}" for v in state
+    ) + ")"
+    fold = (
+        f"aggregate(sequence(1, {_MAX_WHILE}), {init}, "
+        f"({acc}, __i{n}) -> IF(({cond_l}), {step}, {acc}))"
+    )
+    return fold, state, n
+
+
+def _compile_env(stmts: list[tuple], env: dict[str, str]) -> dict[str, str]:
+    """Thread a statement list through the environment, returning the
+    final variable→expression map (the state-transition form used
+    inside WHILE folds). Branches merge per-variable via CASE on the
+    branch conditions — evaluated against the PRE-branch env, as
+    pl_exec.c does."""
+    env = dict(env)
+    for s in stmts:
+        k = s[0]
+        if k == "null":
+            continue
+        if k == "return":
+            raise PlpgsqlError(
+                "RETURN inside a WHILE body is not supported — assign "
+                "to a variable and RETURN after the loop"
+            )
+        if k == "assign":
+            env[s[1]] = f"({_subst(s[2], env)})"
+        elif k in ("if", "case"):
+            _, cond_arms, else_body = s
+            if k == "case" and else_body is None:
+                raise PlpgsqlError(
+                    "CASE without ELSE inside a WHILE body is not "
+                    "supported (its CASE_NOT_FOUND error has no typed "
+                    "lowering here) — add an ELSE arm"
+                )
+            arm_envs = [
+                (_subst(c, env), _compile_env(b, env)) for c, b in cond_arms
+            ]
+            else_env = _compile_env(else_body or [], env)
+            changed: set[str] = set()
+            for _c, ae in arm_envs:
+                changed |= {v for v in ae if ae[v] != env.get(v)}
+            changed |= {v for v in else_env if else_env[v] != env.get(v)}
+            for v in sorted(changed):
+                parts = ["CASE"]
+                for c, ae in arm_envs:
+                    parts.append(f"WHEN ({c}) THEN {ae.get(v, env[v])}")
+                parts.append(f"ELSE {else_env.get(v, env[v])} END")
+                env[v] = "(" + " ".join(parts) + ")"
+        elif k == "for":
+            _, var, lo, hi, rev, body = s
+            lo_i = _const_int(_subst(lo, env))
+            hi_i = _const_int(_subst(hi, env))
+            seq = range(lo_i, hi_i + 1)
+            if rev:
+                seq = range(lo_i, hi_i - 1, -1)
+            if len(seq) > _MAX_UNROLL:
+                raise PlpgsqlError(
+                    f"FOR loop unrolls {len(seq)} iterations "
+                    f"(limit {_MAX_UNROLL})"
+                )
+            unrolled: list[tuple] = []
+            for i in seq:
+                unrolled.append(("assign", var, str(i)))
+                unrolled.extend(body)
+            env = _compile_env(unrolled, env)
+        elif k == "while":
+            fold, state, n = _while_fold(s[1], s[2], env)
+            for v in state:
+                w = f"__w{n}_{v}"
+                cond_w = _subst(s[1], {
+                    **env, **{u: f"{w}.{u}" for u in state}
+                })
+                env[v] = (
+                    f"element_at(transform(array({fold}), {w} -> "
+                    f"CASE WHEN ({cond_w}) THEN raise_error('{_FUEL_MSG}') "
+                    f"ELSE {w}.{v} END), 1)"
+                )
+        else:
+            raise PlpgsqlError(
+                f"unsupported statement inside WHILE body: {k!r}"
+            )
+    return env
 
 
 def _subst(expr: str, env: dict[str, str]) -> str:
@@ -380,6 +623,21 @@ def _compile_seq(stmts: list[tuple], env: dict[str, str], returns: str) -> str:
             )
         parts.append("END")
         return " ".join(parts)
+    if kind == "while":
+        _, cond, body = head
+        fold, state, n = _while_fold(cond, body, env)
+        w = f"__w{n}"
+        env_tail = dict(env)
+        env_tail.update({v: f"{w}.{v}" for v in state})
+        cond_t = _subst(cond, env_tail)
+        inner = (
+            f"CASE WHEN ({cond_t}) THEN "
+            f"CAST(raise_error('{_FUEL_MSG}') AS {returns}) "
+            f"ELSE {_compile_seq(tail, env_tail, returns)} END"
+        )
+        # transform-over-singleton-array is SQL's let-binding: the fold
+        # result is named once ({w}) and referenced, never re-inlined
+        return f"element_at(transform(array({fold}), {w} -> {inner}), 1)"
     if kind == "for":
         _, var, lo, hi, rev, body = head
         lo_i = _const_int(_subst(lo, env))

@@ -1129,3 +1129,78 @@ def pgsql_math_operator_spellings(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY p_partkey
         """,
     )
+
+
+@register(
+    "pgsql_plpgsql_while_select_into",
+    oracle="""
+    SELECT CAST(FLOOR(LOG2(GREATEST(CAST(c_custkey AS DOUBLE), 1.0)
+                           + 0.5)) AS INT)
+             AS kbits,
+           COUNT(*) AS n,
+           MAX(c_acctbal / (SELECT CAST(SUM(CAST(c_acctbal AS
+               DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer))
+             AS max_share,
+           MIN(c_acctbal / (SELECT CAST(SUM(CAST(c_acctbal AS
+               DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer))
+             AS min_share
+    FROM customer
+    GROUP BY kbits
+    ORDER BY kbits
+    """,
+    tags=("dialect", "plpgsql", "udf"),
+)
+def pgsql_plpgsql_while_select_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PL/pgSQL WHILE (pl_exec.c exec_stmt_while) and SELECT INTO
+    (exec_stmt_execsql + INTO), both compiled — never interpreted:
+    WHILE lowers to a JVM-side aggregate() fold over the loop-state
+    struct (fuel-bounded; plpgsql._while_fold), SELECT INTO to an
+    uncorrelated scalar subquery Catalyst evaluates once and broadcasts
+    into the per-row expression. halvings(k) counts integer halvings
+    to 1 = floor(log2 k) — the oracle's closed form (+0.5 dodges libm
+    edge cases at exact powers of two); bal_share divides by the
+    SELECT-INTO corpus average (decimal sum / count, parity rule 2)."""
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_fixtures(sf_dir)
+    eng.sql(
+        """
+        CREATE OR REPLACE FUNCTION halvings(k bigint)
+        RETURNS int LANGUAGE plpgsql AS $$
+        DECLARE c int := 0; v bigint := k;
+        BEGIN
+          WHILE v > 1 LOOP
+            v := CAST(v / 2 AS bigint);
+            c := c + 1;
+          END LOOP;
+          RETURN c;
+        END
+        $$
+        """
+    )
+    eng.sql(
+        """
+        CREATE OR REPLACE FUNCTION bal_share(b double precision)
+        RETURNS double precision LANGUAGE plpgsql AS $$
+        DECLARE a double precision;
+        BEGIN
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*)
+            INTO STRICT a FROM customer;
+          RETURN b / a;
+        END
+        $$
+        """
+    )
+    return eng.sql(
+        """
+        SELECT halvings(c_custkey) AS kbits,
+               count(*) AS n,
+               max(bal_share(c_acctbal)) AS max_share,
+               min(bal_share(c_acctbal)) AS min_share
+        FROM customer
+        GROUP BY kbits
+        ORDER BY kbits
+        """
+    )
