@@ -44,76 +44,77 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
 # round ~10-13 NON-ANCHOR slots rotate to queries the driver has never
 # scored (union of CORRECTNESS_r1..r6), keeping one green representative
 # per family pinned.
-# r7 swaps (13), risk-first — 4 pgsql_* exercise the sql_dialect rewrite
-# path where the r6/r7 code changes landed; the 2 window_rows_exclude_*
-# are this round's new frame-matrix cells:
-#   events_pivot→pgsql_similar_to, ts_locf_gap_fill→pgsql_overlaps_predicate,
-#   agg_string_agg_ordered→pgsql_regex_match_ops,
-#   agg_hypothetical_rank→pgsql_jsonpath_filter,
-#   fn_to_char_formats→fn_datetime, fn_array_advanced→fn_numeric_edge_semantics,
-#   window_moving_frame→window_rows_exclude_group,
-#   window_exclude_current_row→window_rows_exclude_ties,
-#   setop_sample_deterministic→setop_union_all,
-#   text_decontaminate→text_quality_score, agg_mode_deterministic→agg_bitwise,
-#   dedup_simhash→fn_width_bucket, dedup_cluster_components→ts_range_join_buckets,
-#   window_range_frame→pgsql_string_agg (ordered-agg tag),
-#   setop_except_all→pgsql_within_group (orderedset tag),
-#   fn_range_types→sample_stratified (sample tag),
-#   pgsql_distinct_on_latest_order→fn_arrays (arrays tag),
-#   sim_topk_bruteforce→ts_range_join_bucketed (new two-sided range join),
-#   pgsql_q1_text→pgsql_plpgsql_function (new LANGUAGE plpgsql surface),
-#   fn_strings_hash_format→pgsql_merge_upsert (new SQL-text MERGE surface)
+# r8 rotation (44 first-ever slots — the big sweep): every remaining
+# never-scored pgsql_* (the pure dialect-text path, highest divergence
+# risk) enters at once, plus this round's two NEW queries
+# (window_rows_unbounded_exclude — the final frame x exclusion cell —
+# and pgsql_plpgsql_while_select_into — WHILE fold + SELECT INTO), and
+# family-spread picks across window/fn/setop/agg/text/events/srf/ts/
+# sample/dedup/similarity/multimodal/tablefunc. Only 5 prior-round
+# anchors remain, each the sole prefix-eligible owner of a required
+# family tag: external_csv_scan (scan+external), agg_dqa_multi (dqa),
+# cte_shared_reuse (cte), udtf_python_split_words (udtf),
+# uda_pandas_grouped (uda). Cumulative driver coverage after this
+# round: 158/219. Everything rotated out was driver-green in r1-r7.
 DRIVER_PREFIX: tuple[str, ...] = (
-    "tpch_q1_pricing_summary",
-    "tpch_q6_forecast_revenue",
-    "pgsql_similar_to",
-    "agg_dqa_multi",
-    "agg_grouping_sets",
-    "agg_median_percentile",
-    "window_rows_exclude_group",
-    "pgsql_string_agg",
-    "window_groups_frame",
-    "window_rows_exclude_ties",
-    "pgsql_within_group",
-    "sort_limit_offset",
-    "recursive_graph_closure",
-    "srf_unnest_explode",
-    "udtf_python_split_words",
-    "ts_asof_join",
-    "events_sessionize",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "ts_range_join_bucketed",
-    "sim_ivf_bucketed",
-    "pipeline_training_data_prep",
-    "multimodal_feature_extract",
-    "pgsql_plpgsql_function",
-    "events_tumbling_window",
-    "tpch_q3_shipping_priority",
-    "join_notin_with_nulls",
-    "join_lateral_topn",
-    "text_quality_score",
-    "join_quantified_all_any",
-    "pgsql_regex_match_ops",
-    "fn_width_bucket",
-    "agg_approx_count_distinct",
-    "ts_range_join_buckets",
-    "agg_filter_clause",
-    "pgsql_jsonpath_filter",
-    "agg_bitwise",
-    "fn_arrays",
-    "pgsql_overlaps_predicate",
-    "setop_union_all",
-    "sample_stratified",
-    "cte_shared_reuse",
-    "uda_pandas_grouped",
-    "tablefunc_map_in_pandas",
+    # anchors (required family tags with no never-scored owner)
     "external_csv_scan",
-    "pgsql_merge_upsert",
-    "fn_regex_family",
-    "fn_datetime",
-    "fn_numeric_edge_semantics",
-    "events_json_extract",
+    "agg_dqa_multi",
+    "cte_shared_reuse",
+    "udtf_python_split_words",
+    "uda_pandas_grouped",
+    # pgsql_* dialect-text path — complete never-scored census
+    "pgsql_json_arrow_props",
+    "pgsql_generate_series_from",
+    "pgsql_ilike_concat",
+    "pgsql_date_trunc_interval",
+    "pgsql_recursive_series",
+    "pgsql_recursive_referral_chain",
+    "pgsql_extract_epoch",
+    "pgsql_filter_grouping_sets",
+    "pgsql_like_tilde_ops",
+    "pgsql_array_ctor_ops",
+    "pgsql_nulls_default_order",
+    "pgsql_chained_json_arrows",
+    "pgsql_named_window_clause",
+    "pgsql_time_bucket_rollup",
+    "pgsql_jsonpath_match",
+    "pgsql_is_distinct_from",
+    "pgsql_fetch_with_ties",
+    "pgsql_keyset_pagination",
+    "pgsql_lateral_topn_text",
+    "pgsql_exists_correlated_text",
+    "pgsql_prepared_execute",
+    "pgsql_values_join",
+    "pgsql_any_array_dow",
+    "pgsql_math_operator_spellings",
+    "pgsql_plpgsql_while_select_into",
+    # window frame cells (incl. this round's final matrix cell)
+    "window_rows_unbounded_exclude",
+    "window_exclude_range_current",
+    "window_exclude_groups_frame",
+    # scalar-function families
+    "fn_generate_series_ts",
+    "fn_interval_arithmetic",
+    # set operations
+    "setop_intersect_all",
+    "setop_distinct_multicol",
+    # aggregates (sketch / ordered-set / ordered-agg owners)
+    "agg_percentile_approx",
+    "agg_percentile_disc",
+    "agg_xmlagg_members",
+    # text / events / srf / timeseries / sample
+    "text_shard_packing",
+    "events_session_window_native",
+    "srf_regexp_split_to_table",
+    "ts_asof_forward_nearest",
+    "sample_source_weighted",
+    # dedup / similarity / multimodal / tablefunc
+    "dedup_incremental_lsh",
+    "dedup_ngram_jaccard",
+    "multimodal_phash_near_dup",
+    "embed_label_centroids",
+    "tablefunc_json_table",
 )
 
 
