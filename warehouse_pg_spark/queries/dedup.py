@@ -78,14 +78,31 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(col, n=3):
-    """Word n-gram shingles of normalized text (array of strings)."""
+    """Word n-gram shingles of normalized text (array of strings).
+
+    The words array is let-bound as a lambda variable (transform over a
+    singleton array) so the regex-normalize + split subtree evaluates
+    ONCE per document. Referencing it directly inside the per-window
+    lambda would re-evaluate that subtree for EVERY window — higher-
+    order-function lambdas are interpreted with no common-subexpression
+    elimination, which made shingling quadratic in document length
+    (found at the sf10 scale check: 32 cores pinned in RegExpReplace).
+    """
     words = F.split(_norm_text(col), " ")
-    # shingle i = words[i..i+n-1] joined; sequence over 0..len-n
-    return F.array_distinct(
+    # shingle i = ws[i..i+n-1] joined; sequence over 0..len-n
+    return F.element_at(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        )
+            F.array(words),
+            lambda ws: F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+                )
+            ),
+        ),
+        1,
     )
 
 

@@ -601,29 +601,47 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only, no shuffle, no UDF — scale-safe at 100 TB.
     """
     d = table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    nt = F.size(toks)
-    # counts of each distinct token inside the row's own array
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda x: F.size(F.filter(toks, lambda y: y == x)),
+    # Let-bind the token array once per row (transform over a singleton
+    # array): tokenization is regex work, and referencing it INSIDE the
+    # per-element lambdas below would re-run it per distinct token /
+    # per bigram — HOF lambdas are interpreted with no CSE (same
+    # finding as dedup._shingles, caught at the sf10 scale check).
+    def _stats(ts):
+        nt = F.size(ts)
+        top_cnt = F.array_max(
+            F.transform(
+                F.array_distinct(ts),
+                lambda x: F.size(F.filter(ts, lambda y: y == x)),
+            )
         )
+        bigrams = F.transform(
+            F.slice(ts, 1, F.greatest(nt - 1, F.lit(0))),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(ts, i + F.lit(2))),
+        )
+        nb = F.size(bigrams).cast("double")
+        return F.struct(
+            nt.alias("nt"),
+            top_cnt.alias("top_cnt"),
+            F.size(F.array_distinct(bigrams)).alias("nb_distinct"),
+            nb.alias("nb"),
+        )
+
+    st = F.element_at(
+        F.transform(F.array(_tokens(F.col("text"))), _stats), 1
     )
-    bigrams = F.transform(
-        F.slice(toks, 1, F.greatest(nt - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
-    )
-    nb = F.size(bigrams).cast("double")
+    d = d.withColumn("__st", st)
+    nt = F.col("__st.nt")
     return d.select(
         "doc_id",
         F.round(
-            top_cnt.cast("double") / F.greatest(nt.cast("double"), F.lit(1.0)), 6
+            F.col("__st.top_cnt").cast("double")
+            / F.greatest(nt.cast("double"), F.lit(1.0)),
+            6,
         ).alias("top_word_frac"),
         F.round(
             F.lit(1.0)
-            - F.size(F.array_distinct(bigrams)).cast("double")
-            / F.greatest(nb, F.lit(1.0)),
+            - F.col("__st.nb_distinct").cast("double")
+            / F.greatest(F.col("__st.nb"), F.lit(1.0)),
             6,
         ).alias("dup_bigram_frac"),
         nt.cast("long").alias("n_tokens"),
