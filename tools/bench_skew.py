@@ -33,9 +33,10 @@ def _time(fn, spark, sf_dir, runs):
 
 
 def main() -> None:
-    uni = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scaledata/sf1"
+    uni = (sys.argv[1] if len(sys.argv) > 1
+           else "/root/repo/.scaledata/sf1_skew_base")
     skw = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scaledata/sf1_skew"
-    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
     from warehouse_pg_spark.queries import REGISTRY
 
@@ -43,7 +44,9 @@ def main() -> None:
     out = {"metric": "skew_vs_uniform", "unit": "sec", "queries": {}}
     for name in QUERIES:
         fn = REGISTRY[name].fn
-        fn(spark, uni).write.format("noop").mode("overwrite").save()  # warm
+        # warm both variants (JIT/codegen) before timing either
+        fn(spark, uni).write.format("noop").mode("overwrite").save()
+        fn(spark, skw).write.format("noop").mode("overwrite").save()
         u = _time(fn, spark, uni, runs)
         s = _time(fn, spark, skw, runs)
         out["queries"][name] = {

@@ -62,6 +62,39 @@ def replicate(df: DataFrame, offsets: dict[str, int], copies: int) -> DataFrame:
     out = df.crossJoin(copies_df)
     for col, stride in offsets.items():
         out = out.withColumn(col, F.col(col) + F.col("_copy") * F.lit(stride))
+    if "text" in df.columns:
+        # Perturb replicated document text per copy. Verbatim copies
+        # would put every doc in a `copies`-clique of exact/near
+        # duplicates, making pair-listing dedup outputs O(copies²) — a
+        # pathological corpus, not corpus growth. Tagging every 3rd
+        # word with the copy index zeroes the word-3-gram shingle
+        # overlap BETWEEN copies (every 3-word window contains a tagged
+        # word) while keeping each copy's internal dup-groups intact —
+        # the duplicate RATE of the source corpus stays constant as
+        # its size scales, which is what "100× more data" means for a
+        # dedup benchmark.
+        tagged = F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), " "),
+                # alphanumeric tag: survives the dedup normalizer
+                # ([^a-z0-9 ] -> space) as part of the SAME word — a
+                # punctuation tag would split into its own word and
+                # leave every 4th 3-gram window copy-invariant
+                lambda w, i: F.when(
+                    i % 3 == 0,
+                    F.concat(w, F.lit("x"), F.col("_copy").cast("string")),
+                ).otherwise(w),
+            ),
+        )
+        out = out.withColumn(
+            "text",
+            F.when(F.col("_copy") > 0, tagged).otherwise(F.col("text")),
+        )
+        if "n_chars" in df.columns:
+            out = out.withColumn(
+                "n_chars", F.length("text").cast(dict(df.dtypes)["n_chars"])
+            )
     return out.drop("_copy")
 
 

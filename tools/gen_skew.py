@@ -37,7 +37,6 @@ def main() -> None:
     frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.3
 
     spark = get_spark()
-    os.makedirs(dst, exist_ok=True)
     e = spark.read.parquet(os.path.join(src, "events.parquet"))
     # deterministic selection: hash of event_id, not rand()
     skewed = e.withColumn(
@@ -47,25 +46,29 @@ def main() -> None:
             F.lit(HOT_USER).cast("long"),
         ).otherwise(F.col("user_id")),
     )
-    out = os.path.join(dst, "events.parquet")
-    tmp = out + ".tmp"
-    skewed.coalesce(8).write.mode("overwrite").parquet(tmp)
-    if os.path.exists(out):
-        shutil.rmtree(out)
-    os.rename(tmp, out)
-    # all other tables are identical — link/copy them
-    for f in os.listdir(src):
-        if f == "events.parquet":
-            continue
-        s, d = os.path.join(src, f), os.path.join(dst, f)
-        if not os.path.exists(d):
-            if os.path.isdir(s):
-                shutil.copytree(s, d)
-            else:
-                shutil.copy2(s, d)
+    # the uniform BASELINE goes through the identical writer (same file
+    # count, same compression path) — otherwise layout differences
+    # confound the skew measurement
+    for variant, df in ((dst, skewed), (dst + "_base", e)):
+        os.makedirs(variant, exist_ok=True)
+        out = os.path.join(variant, "events.parquet")
+        tmp = out + ".tmp"
+        df.repartition(8, "event_id").write.mode("overwrite").parquet(tmp)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+        for f in os.listdir(src):
+            if f == "events.parquet":
+                continue
+            s, d = os.path.join(src, f), os.path.join(variant, f)
+            if not os.path.exists(d):
+                if os.path.isdir(s):
+                    shutil.copytree(s, d)
+                else:
+                    shutil.copy2(s, d)
     hot = skewed.filter(F.col("user_id") == HOT_USER).count()
     total = skewed.count()
-    print(f"wrote {dst}: {total} events, hot user owns {hot} "
+    print(f"wrote {dst} (+_base): {total} events, hot user owns {hot} "
           f"({100.0 * hot / total:.1f}%)")
 
 
