@@ -87,3 +87,53 @@ def test_analyze_produces_stats(bucketed, spark):
 def test_distribution_hint_recorded(bucketed):
     info = bucketed.catalog.tables["orders_bkt"]
     assert info.distribution == ("hash", ("o_orderkey",))
+
+
+def test_scale_fixture_preserves_dup_rate(spark):
+    """tools/gen_scale.py replication must not manufacture cross-copy
+    near-duplicates: the per-copy word tag zeroes 3-gram shingle
+    overlap BETWEEN copies (every window contains a tagged word that
+    survives the dedup normalizer inside the word) while keeping each
+    copy's internal duplicate pairs intact — the corpus dup RATE stays
+    constant as it scales. A verbatim replica here would turn
+    pair-listing dedup output O(copies^2) — the sf10 lesson."""
+    import importlib.util
+    import os
+
+    from pyspark.sql import functions as F
+
+    from warehouse_pg_spark.queries.dedup import _shingles
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_scale",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "gen_scale.py"),
+    )
+    gen_scale = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen_scale)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base + " one"), (2, base + " two"), (3, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    out = gen_scale.replicate(df, {"doc_id": 100}, 3)
+    rows = out.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
+    ).collect()
+    by_copy = {}
+    for r in rows:
+        by_copy.setdefault(r.doc_id // 100, set()).add(r.sh)
+    assert len(by_copy) == 3
+    # zero shingle overlap between any two copies
+    assert not (by_copy[0] & by_copy[1])
+    assert not (by_copy[0] & by_copy[2])
+    assert not (by_copy[1] & by_copy[2])
+    # within each copy, docs 1 and 2 stay near-duplicates (shared base)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, set()).add(r.sh)
+    for c in range(3):
+        a, b, other = (per_doc[c * 100 + i] for i in (1, 2, 3))
+        jac = len(a & b) / len(a | b)
+        assert jac > 0.5, (c, jac)
+        assert not (a & other)

@@ -343,3 +343,24 @@ def test_q17_q2_window_decorrelation(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert plan.count("lineitem") <= 1, (name, plan)
         assert "Window" in plan, name
+
+
+def test_half_unbounded_exclude_single_shuffle(spark, sf_dir):
+    """Both directions of window_rows_unbounded_exclude (forward
+    running sum + mirrored suffix max, each with peer-group broadcast
+    windows) must ride ONE hashpartitioning exchange on the partition
+    key — the flank/prefix machinery re-sorts within partitions but
+    never re-shuffles (operators/window_ext._exclude_half_unbounded)."""
+    plan = plan_of(spark, sf_dir, "window_rows_unbounded_exclude")
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_repetition_gopher_no_lambda_recompute(spark, sf_dir):
+    """The tokenize subtree must appear let-bound (transform over a
+    singleton array), not inlined into per-element lambdas — HOF
+    lambdas are interpreted with no CSE, so an inlined regex re-runs
+    per token (the sf10 finding). One regexp_replace chain per doc:
+    the analyzed plan carries exactly one tokenize expression."""
+    df = REGISTRY["text_repetition_gopher"].fn(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("regexp_replace") <= 2  # the 2-step normalizer
