@@ -55,13 +55,35 @@ def test_missing_return_compiles_to_null():
 
 def test_rejections_are_clear():
     for body, frag in [
-        ("BEGIN RAISE NOTICE 'hi'; END", "RAISE"),
         ("BEGIN FOR i IN 1..x LOOP y := i; END LOOP; END", "constant"),
         ("BEGIN OPEN cur FOR SELECT 1; END", "cursors"),
         ("BEGIN SELECT a, b INTO x FROM t; END", "one target"),
+        ("BEGIN RAISE EXCEPTION 'e' USING HINT = 'h'; END", "USING"),
     ]:
         with pytest.raises(PlpgsqlError, match=frag):
             compile_plpgsql([("x", "INT")], "INT", body)
+
+
+def test_raise_exception_guard_clause(engine, spark):
+    """RAISE EXCEPTION (pl_exec.c exec_stmt_raise): a compiled terminal
+    raise_error with % placeholders; NOTICE is a result-neutral no-op."""
+    engine.sql(
+        """
+        CREATE OR REPLACE FUNCTION checked_div(a double precision,
+                                               b double precision)
+        RETURNS double precision LANGUAGE plpgsql AS $$
+        BEGIN
+          RAISE NOTICE 'dividing';
+          IF b = 0 THEN RAISE EXCEPTION 'division of % by zero', a;
+          END IF;
+          RETURN a / b;
+        END
+        $$
+        """
+    )
+    assert spark.sql("SELECT checked_div(6, 3) AS v").collect()[0].v == 2.0
+    with pytest.raises(Exception, match="division of 6.0 by zero"):
+        spark.sql("SELECT checked_div(6, 0) AS v").collect()
 
 
 def test_while_loop_compiles_and_runs(engine, spark):
@@ -138,6 +160,37 @@ def test_select_into_scalar_subquery(engine, spark):
     assert rows.a == pytest.approx(10.0 / 30.0)
     assert rows.b == pytest.approx(0.25)
     assert rows.c == 0.0  # empty group: sum NULL → 0 branch
+
+
+def test_exit_when_inside_while(engine, spark):
+    """EXIT WHEN (pl_gram.y stmt_exit) leaves the loop mid-body: the
+    desugared exit flag must stop BOTH the remaining statements of the
+    iteration and all further iterations."""
+    engine.sql(
+        """
+        CREATE OR REPLACE FUNCTION first_pow2_above(n int) RETURNS int
+        LANGUAGE plpgsql AS $$
+        DECLARE v int := 1; steps int := 0;
+        BEGIN
+          WHILE steps < 100 LOOP
+            EXIT WHEN v > n;
+            v := v * 2;
+            steps := steps + 1;
+          END LOOP;
+          RETURN v;
+        END
+        $$
+        """
+    )
+    rows = spark.sql(
+        "SELECT first_pow2_above(x) AS v FROM VALUES (0), (5), (1000) AS t(x)"
+    ).collect()
+    assert [r.v for r in rows] == [1, 8, 1024]
+
+
+def test_exit_outside_loop_rejected():
+    with pytest.raises(PlpgsqlError, match="only inside a WHILE"):
+        compile_plpgsql([("x", "INT")], "INT", "BEGIN EXIT; RETURN 1; END")
 
 
 def test_select_into_without_from_is_assignment():

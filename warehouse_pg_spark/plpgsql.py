@@ -25,8 +25,15 @@ Supported statement forms (pl_gram.y subset):
     SELECT expr INTO [STRICT] v [FROM ...];  -- scalar subquery over
                   -- registered tables (correlated via params); multi-
                   -- row results raise (STRICT semantics)
-    RAISE / EXIT / CONTINUE / cursors / EXECUTE  -- rejected with a
-                                       -- clear error (documented)
+    RAISE EXCEPTION 'msg'[, args];  -- terminal raise_error(); '%'
+                  -- placeholders fill from args; NOTICE/WARNING/INFO/
+                  -- LOG/DEBUG are accepted as result-neutral no-ops
+    EXIT [WHEN cond];  -- inside WHILE bodies: desugars to a scoped
+                  -- exit flag guarding downstream statements and the
+                  -- loop condition (labels / EXIT-in-FOR rejected)
+    CONTINUE / cursors / EXECUTE / RAISE USING  -- rejected with a
+                                       -- clear error
+
 
 Lowering model: straight-line code is single-assignment substitution
 (each variable's current value is a fully-substituted SQL expression
@@ -86,14 +93,12 @@ _FOR_RE = re.compile(
 _WORD_RE = re.compile(r"[A-Za-z_]\w*|;|\S")
 
 _REJECTED = {
-    "RAISE": "RAISE",
     "PERFORM": "PERFORM",
     "EXECUTE": "dynamic EXECUTE",
     "GET": "GET DIAGNOSTICS",
     "OPEN": "cursors",
     "FETCH": "cursors",
-    "EXIT": "EXIT/CONTINUE",
-    "CONTINUE": "EXIT/CONTINUE",
+    "CONTINUE": "CONTINUE",
 }
 
 
@@ -168,6 +173,10 @@ def _parse_stmts(stmts: list[str]) -> list[tuple]:
             out.append(_parse_case(s))
         elif kw == "SELECT":
             out.append(_parse_select_into(s))
+        elif kw == "RAISE":
+            out.append(_parse_raise(s))
+        elif kw == "EXIT":
+            out.append(_parse_exit(s))
         elif kw in _REJECTED:
             raise PlpgsqlError(
                 f"unsupported PL/pgSQL statement: {_REJECTED[kw]} "
@@ -319,6 +328,96 @@ _SELECT_INTO_RE = re.compile(
 )
 
 
+# RAISE level 'message'[, args] (pl_gram.y stmt_raise; pl_exec.c
+# exec_stmt_raise). EXCEPTION compiles to a terminal raise_error();
+# the message's % placeholders become runtime format_string slots.
+# NOTICE/WARNING/INFO/LOG/DEBUG are result-neutral diagnostics with no
+# message channel in a compiled expression — accepted as no-ops.
+_RAISE_RE = re.compile(
+    r"^RAISE\s+(EXCEPTION|NOTICE|WARNING|INFO|LOG|DEBUG)\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_raise(s: str) -> tuple:
+    m = _RAISE_RE.match(s.rstrip(";").strip())
+    if not m:
+        raise PlpgsqlError(
+            "only RAISE <level> 'message'[, args] is supported "
+            f"(no bare re-RAISE, no USING): {s[:80]!r}"
+        )
+    level, rest = m.group(1).upper(), m.group(2).strip()
+    if re.search(r"\bUSING\b", rest, re.IGNORECASE):
+        raise PlpgsqlError("RAISE ... USING is not supported")
+    parts = _split_top_commas(rest)
+    if level != "EXCEPTION":
+        return ("null",)
+    return ("raise", parts[0].strip(), [p.strip() for p in parts[1:]])
+
+
+# EXIT [WHEN cond] (pl_gram.y stmt_exit): supported inside WHILE
+# bodies via desugaring to a scoped exit flag (see _desugar_exits);
+# labels are not.
+_EXIT_RE = re.compile(
+    r"^EXIT\s*(?:WHEN\s+(.+))?$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _parse_exit(s: str) -> tuple:
+    m = _EXIT_RE.match(s.rstrip(";").strip())
+    if not m:
+        raise PlpgsqlError(
+            f"only EXIT [WHEN cond] is supported (no labels): {s[:80]!r}"
+        )
+    return ("exit_when", (m.group(1) or "TRUE").strip())
+
+
+def _contains_exit(stmts: list[tuple]) -> bool:
+    for s in stmts:
+        k = s[0]
+        if k == "exit_when":
+            return True
+        if k in ("if", "case"):
+            if any(_contains_exit(b) for _c, b in s[1]):
+                return True
+            if s[2] and _contains_exit(s[2]):
+                return True
+        # a nested while owns its exits — do NOT look inside
+    return False
+
+
+def _desugar_exits(stmts: list[tuple], flag: str) -> list[tuple]:
+    """Rewrite EXIT WHEN into assignments to a scoped boolean `flag`,
+    guarding every statement downstream of a possible exit with
+    IF NOT flag — exactly exec_stmt_loop's early-leave, expressed in
+    the statement algebra the fold compiler already handles. Nested
+    WHILE bodies keep their own flags (their exits never leak)."""
+    out: list[tuple] = []
+    for i, s in enumerate(stmts):
+        if s[0] == "exit_when":
+            rest = _desugar_exits(stmts[i + 1:], flag)
+            out.append(
+                ("assign", flag,
+                 f"({flag} OR coalesce(({s[1]}), false))")
+            )
+            if rest:
+                out.append(("if", [(f"NOT {flag}", rest)], []))
+            return out
+        if s[0] in ("if", "case") and _contains_exit([s]):
+            s = (
+                s[0],
+                [(c, _desugar_exits(b, flag)) for c, b in s[1]],
+                _desugar_exits(s[2], flag) if s[2] else s[2],
+            )
+            rest = _desugar_exits(stmts[i + 1:], flag)
+            out.append(s)
+            if rest:
+                out.append(("if", [(f"NOT {flag}", rest)], []))
+            return out
+        out.append(s)
+    return out
+
+
 def _parse_while(s: str) -> tuple:
     m = _WHILE_RE.match(s)
     if not m:
@@ -454,9 +553,17 @@ def _while_fold(
     expression: state is referenced by field name, never re-inlined,
     so IF-heavy bodies don't blow up the way textual unrolling would.
 
-    Returns (fold_expr, state_var_names, gensym_id); the caller checks
-    cond on the final state to detect fuel exhaustion.
+    Returns (fold_expr, state_var_names, gensym_id, effective_cond);
+    the caller checks effective_cond (the loop condition composed with
+    any EXIT flag) on the final state to detect fuel exhaustion.
     """
+    n = next(_GENSYM)
+    env = dict(env)
+    if _contains_exit(body):
+        flag = f"__exit{n}"
+        body = _desugar_exits(body, flag)
+        env[flag] = "(false)"
+        cond = f"(NOT {flag}) AND ({cond})"
     state = sorted(_assigned_vars(body))
     if not state:
         raise PlpgsqlError("WHILE body assigns no variables (infinite loop)")
@@ -466,12 +573,10 @@ def _while_fold(
         raise PlpgsqlError(
             f"WHILE body assigns undeclared variable(s): {missing}"
         )
-    env = dict(env)
     for v in for_vars:
         # integer-range FOR declares its own int loop variable
         # (pl_gram.y for_control)
         env.setdefault(v, "(CAST(NULL AS INT))")
-    n = next(_GENSYM)
     acc = f"__a{n}"
     env_loop = dict(env)
     env_loop.update({v: f"{acc}.{v}" for v in state})
@@ -487,7 +592,7 @@ def _while_fold(
         f"aggregate(sequence(1, {_MAX_WHILE}), {init}, "
         f"({acc}, __i{n}) -> IF(({cond_l}), {step}, {acc}))"
     )
-    return fold, state, n
+    return fold, state, n, cond
 
 
 def _compile_env(stmts: list[tuple], env: dict[str, str]) -> dict[str, str]:
@@ -548,10 +653,10 @@ def _compile_env(stmts: list[tuple], env: dict[str, str]) -> dict[str, str]:
                 unrolled.extend(body)
             env = _compile_env(unrolled, env)
         elif k == "while":
-            fold, state, n = _while_fold(s[1], s[2], env)
+            fold, state, n, eff_cond = _while_fold(s[1], s[2], env)
             for v in state:
                 w = f"__w{n}_{v}"
-                cond_w = _subst(s[1], {
+                cond_w = _subst(eff_cond, {
                     **env, **{u: f"{w}.{u}" for u in state}
                 })
                 env[v] = (
@@ -623,13 +728,29 @@ def _compile_seq(stmts: list[tuple], env: dict[str, str], returns: str) -> str:
             )
         parts.append("END")
         return " ".join(parts)
+    if kind == "raise":
+        _, msg, args = head
+        msg_e = _subst(msg, env)
+        if args:
+            arg_list = ", ".join(
+                f"CAST(({_subst(a, env)}) AS STRING)" for a in args
+            )
+            # PG's % placeholders -> format_string %s slots at runtime
+            body = f"printf(replace({msg_e}, '%', '%s'), {arg_list})"
+        else:
+            body = msg_e
+        return f"CAST(raise_error({body}) AS {returns})"
+    if kind == "exit_when":
+        raise PlpgsqlError(
+            "EXIT is supported only inside a WHILE loop body"
+        )
     if kind == "while":
         _, cond, body = head
-        fold, state, n = _while_fold(cond, body, env)
+        fold, state, n, eff_cond = _while_fold(cond, body, env)
         w = f"__w{n}"
         env_tail = dict(env)
         env_tail.update({v: f"{w}.{v}" for v in state})
-        cond_t = _subst(cond, env_tail)
+        cond_t = _subst(eff_cond, env_tail)
         inner = (
             f"CASE WHEN ({cond_t}) THEN "
             f"CAST(raise_error('{_FUEL_MSG}') AS {returns}) "
