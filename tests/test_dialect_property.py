@@ -594,3 +594,65 @@ def test_lock_clause_and_only_strip(spark):
     # FOR inside window frames / loops must not strip
     out = rewrite("SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
     assert "ROWS BETWEEN" in out
+
+
+def test_pg_misc_function_spellings(spark):
+    """PG spellings Spark lacks (arrayfuncs.c, rowtypes.c, timestamp.c,
+    int.c): ROW() records, 1-D array helpers, variadic num_nonnulls,
+    age(), gcd/lcm (Euclid as a JVM fold), AT TIME ZONE, and
+    ARRAY(SELECT ...) constructors."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    assert run("SELECT ROW(1,2) < ROW(1,3) AS v") is True
+    assert run("SELECT ROW(2,0) <= ROW(1,9) AS v") is False
+    assert run("SELECT array_length(ARRAY[1,2,3], 1) AS v") == 3
+    assert run("SELECT array_cat(ARRAY[1], ARRAY[2,3]) AS v") == [1, 2, 3]
+    # literal delimiter is regex-escaped ('.' must not be a wildcard)
+    assert run("SELECT string_to_array('a.b.c', '.') AS v") == ["a", "b", "c"]
+    assert run("SELECT num_nonnulls(1, NULL, 3) AS v") == 2
+    assert run("SELECT num_nulls(1, NULL, NULL) AS v") == 2
+    assert run("SELECT gcd(12, 18) AS v") == 6
+    assert run("SELECT gcd(0, 7) AS v") == 7
+    assert run("SELECT lcm(4, 6) AS v") == 12
+    assert run("SELECT lcm(0, 6) AS v") == 0
+    assert run(
+        "SELECT CAST(age(DATE '2026-03-15', DATE '2025-01-31') AS STRING)"
+        " AS v"
+    ) == "1 years 1 months 15 days"
+    assert run(
+        "SELECT CAST(TIMESTAMP '2026-01-01 12:00:00' "
+        "AT TIME ZONE 'America/New_York' AS STRING) AS v"
+    ) == "2026-01-01 07:00:00"
+    assert run("SELECT ||/ -27.0 AS v") == -3.0
+    # SRF form: one row per 1-based subscript
+    rows = spark.sql(rewrite(
+        "SELECT generate_subscripts(ARRAY[10,20], 1) AS i"
+    )).collect()
+    assert [r.i for r in rows] == [1, 2]
+
+
+def test_array_select_subquery_ctor(spark):
+    """ARRAY(SELECT ...) (parse_expr.c transformArrayExpr subquery
+    form): collect_list scalar subquery; ORDER BY the selected
+    expression maps to array_sort (DESC reverses)."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "c")], ["id", "s"]
+    ).createOrReplaceTempView("arr_t")
+    out = spark.sql(rewrite(
+        "SELECT ARRAY(SELECT s FROM arr_t ORDER BY s) AS v"
+    )).collect()[0].v
+    assert out == ["a", "b", "c"]
+    out = spark.sql(rewrite(
+        "SELECT ARRAY(SELECT s FROM arr_t ORDER BY s DESC) AS v"
+    )).collect()[0].v
+    assert out == ["c", "b", "a"]
+    # unordered form: compare as a set
+    out = spark.sql(rewrite(
+        "SELECT ARRAY(SELECT id FROM arr_t WHERE id > 1) AS v"
+    )).collect()[0].v
+    assert sorted(out) == [2, 3]

@@ -193,6 +193,62 @@ def test_exit_outside_loop_rejected():
         compile_plpgsql([("x", "INT")], "INT", "BEGIN EXIT; RETURN 1; END")
 
 
+def test_continue_when_inside_while(engine, spark):
+    """CONTINUE WHEN skips the rest of the iteration only: sum of
+    1..n excluding multiples of 3 — the continue flag must reset each
+    iteration (unlike EXIT's, which persists)."""
+    engine.sql(
+        """
+        CREATE OR REPLACE FUNCTION sum_skip3(n int) RETURNS int
+        LANGUAGE plpgsql AS $$
+        DECLARE i int := 0; s int := 0;
+        BEGIN
+          WHILE i < n LOOP
+            i := i + 1;
+            CONTINUE WHEN i % 3 = 0;
+            s := s + i;
+          END LOOP;
+          RETURN s;
+        END
+        $$
+        """
+    )
+    rows = spark.sql(
+        "SELECT sum_skip3(x) AS v FROM VALUES (0), (5), (10) AS t(x)"
+    ).collect()
+    # 1..5 minus {3} = 12; 1..10 minus {3,6,9} = 55-18 = 37
+    assert [r.v for r in rows] == [0, 12, 37]
+
+
+def test_exit_and_continue_combined(engine, spark):
+    """EXIT and CONTINUE in one body: sum odd numbers until the sum
+    would exceed a cap."""
+    engine.sql(
+        """
+        CREATE OR REPLACE FUNCTION odd_sum_capped(n int, cap int)
+        RETURNS int LANGUAGE plpgsql AS $$
+        DECLARE i int := 0; s int := 0;
+        BEGIN
+          WHILE i < n LOOP
+            i := i + 1;
+            CONTINUE WHEN i % 2 = 0;
+            EXIT WHEN s + i > cap;
+            s := s + i;
+          END LOOP;
+          RETURN s;
+        END
+        $$
+        """
+    )
+    # odds 1,3,5,7,9: running 1,4,9,16,25 — cap 10 stops before 7
+    assert spark.sql(
+        "SELECT odd_sum_capped(10, 10) AS v"
+    ).collect()[0].v == 9
+    assert spark.sql(
+        "SELECT odd_sum_capped(10, 100) AS v"
+    ).collect()[0].v == 25
+
+
 def test_select_into_without_from_is_assignment():
     e = compile_plpgsql(
         [("x", "INT")], "INT",

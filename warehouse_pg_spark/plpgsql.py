@@ -28,11 +28,12 @@ Supported statement forms (pl_gram.y subset):
     RAISE EXCEPTION 'msg'[, args];  -- terminal raise_error(); '%'
                   -- placeholders fill from args; NOTICE/WARNING/INFO/
                   -- LOG/DEBUG are accepted as result-neutral no-ops
-    EXIT [WHEN cond];  -- inside WHILE bodies: desugars to a scoped
-                  -- exit flag guarding downstream statements and the
-                  -- loop condition (labels / EXIT-in-FOR rejected)
-    CONTINUE / cursors / EXECUTE / RAISE USING  -- rejected with a
-                                       -- clear error
+    EXIT [WHEN cond]; / CONTINUE [WHEN cond];  -- inside WHILE
+                  -- bodies: desugar to scoped flags guarding
+                  -- downstream statements (EXIT's also joins the loop
+                  -- condition; CONTINUE's resets per iteration);
+                  -- labels / use inside FOR rejected
+    cursors / EXECUTE / RAISE USING  -- rejected with a clear error
 
 
 Lowering model: straight-line code is single-assignment substitution
@@ -98,7 +99,6 @@ _REJECTED = {
     "GET": "GET DIAGNOSTICS",
     "OPEN": "cursors",
     "FETCH": "cursors",
-    "CONTINUE": "CONTINUE",
 }
 
 
@@ -177,6 +177,8 @@ def _parse_stmts(stmts: list[str]) -> list[tuple]:
             out.append(_parse_raise(s))
         elif kw == "EXIT":
             out.append(_parse_exit(s))
+        elif kw == "CONTINUE":
+            out.append(_parse_continue(s))
         elif kw in _REJECTED:
             raise PlpgsqlError(
                 f"unsupported PL/pgSQL statement: {_REJECTED[kw]} "
@@ -363,6 +365,11 @@ _EXIT_RE = re.compile(
 )
 
 
+_CONTINUE_RE = re.compile(
+    r"^CONTINUE\s*(?:WHEN\s+(.+))?$", re.IGNORECASE | re.DOTALL
+)
+
+
 def _parse_exit(s: str) -> tuple:
     m = _EXIT_RE.match(s.rstrip(";").strip())
     if not m:
@@ -372,47 +379,61 @@ def _parse_exit(s: str) -> tuple:
     return ("exit_when", (m.group(1) or "TRUE").strip())
 
 
-def _contains_exit(stmts: list[tuple]) -> bool:
+def _parse_continue(s: str) -> tuple:
+    m = _CONTINUE_RE.match(s.rstrip(";").strip())
+    if not m:
+        raise PlpgsqlError(
+            f"only CONTINUE [WHEN cond] is supported (no labels): {s[:80]!r}"
+        )
+    return ("continue_when", (m.group(1) or "TRUE").strip())
+
+
+def _loop_ctrl_kinds(stmts: list[tuple]) -> set[str]:
+    out: set[str] = set()
     for s in stmts:
         k = s[0]
-        if k == "exit_when":
-            return True
-        if k in ("if", "case"):
-            if any(_contains_exit(b) for _c, b in s[1]):
-                return True
-            if s[2] and _contains_exit(s[2]):
-                return True
-        # a nested while owns its exits — do NOT look inside
-    return False
+        if k in ("exit_when", "continue_when"):
+            out.add(k)
+        elif k in ("if", "case"):
+            for _c, b in s[1]:
+                out |= _loop_ctrl_kinds(b)
+            if s[2]:
+                out |= _loop_ctrl_kinds(s[2])
+        # a nested while owns its loop controls — do NOT look inside
+    return out
 
 
-def _desugar_exits(stmts: list[tuple], flag: str) -> list[tuple]:
-    """Rewrite EXIT WHEN into assignments to a scoped boolean `flag`,
-    guarding every statement downstream of a possible exit with
-    IF NOT flag — exactly exec_stmt_loop's early-leave, expressed in
-    the statement algebra the fold compiler already handles. Nested
-    WHILE bodies keep their own flags (their exits never leak)."""
+def _desugar_exits(stmts: list[tuple], eflag: str, cflag: str) -> list[tuple]:
+    """Rewrite EXIT WHEN / CONTINUE WHEN into assignments to scoped
+    boolean flags, guarding every statement downstream of a possible
+    leave with IF NOT (eflag OR cflag) — exec_stmt_loop's early-leave
+    expressed in the statement algebra the fold compiler already
+    handles. The exit flag persists across iterations (and joins the
+    loop condition); the continue flag is reset at the top of each
+    iteration by the caller. Nested WHILE bodies keep their own flags."""
+    skip = f"NOT ({eflag} OR {cflag})"
     out: list[tuple] = []
     for i, s in enumerate(stmts):
-        if s[0] == "exit_when":
-            rest = _desugar_exits(stmts[i + 1:], flag)
+        if s[0] in ("exit_when", "continue_when"):
+            flag = eflag if s[0] == "exit_when" else cflag
+            rest = _desugar_exits(stmts[i + 1:], eflag, cflag)
             out.append(
                 ("assign", flag,
                  f"({flag} OR coalesce(({s[1]}), false))")
             )
             if rest:
-                out.append(("if", [(f"NOT {flag}", rest)], []))
+                out.append(("if", [(skip, rest)], []))
             return out
-        if s[0] in ("if", "case") and _contains_exit([s]):
+        if s[0] in ("if", "case") and _loop_ctrl_kinds([s]):
             s = (
                 s[0],
-                [(c, _desugar_exits(b, flag)) for c, b in s[1]],
-                _desugar_exits(s[2], flag) if s[2] else s[2],
+                [(c, _desugar_exits(b, eflag, cflag)) for c, b in s[1]],
+                _desugar_exits(s[2], eflag, cflag) if s[2] else s[2],
             )
-            rest = _desugar_exits(stmts[i + 1:], flag)
+            rest = _desugar_exits(stmts[i + 1:], eflag, cflag)
             out.append(s)
             if rest:
-                out.append(("if", [(f"NOT {flag}", rest)], []))
+                out.append(("if", [(skip, rest)], []))
             return out
         out.append(s)
     return out
@@ -559,11 +580,17 @@ def _while_fold(
     """
     n = next(_GENSYM)
     env = dict(env)
-    if _contains_exit(body):
-        flag = f"__exit{n}"
-        body = _desugar_exits(body, flag)
-        env[flag] = "(false)"
-        cond = f"(NOT {flag}) AND ({cond})"
+    kinds = _loop_ctrl_kinds(body)
+    if kinds:
+        eflag, cflag = f"__exit{n}", f"__cont{n}"
+        body = _desugar_exits(body, eflag, cflag)
+        if "continue_when" in kinds:
+            # the continue flag resets at the top of every iteration
+            body = [("assign", cflag, "false")] + body
+        env[eflag] = "(false)"
+        env[cflag] = "(false)"
+        if "exit_when" in kinds:
+            cond = f"(NOT {eflag}) AND ({cond})"
     state = sorted(_assigned_vars(body))
     if not state:
         raise PlpgsqlError("WHILE body assigns no variables (infinite loop)")
@@ -740,9 +767,9 @@ def _compile_seq(stmts: list[tuple], env: dict[str, str], returns: str) -> str:
         else:
             body = msg_e
         return f"CAST(raise_error({body}) AS {returns})"
-    if kind == "exit_when":
+    if kind in ("exit_when", "continue_when"):
         raise PlpgsqlError(
-            "EXIT is supported only inside a WHILE loop body"
+            "EXIT/CONTINUE are supported only inside a WHILE loop body"
         )
     if kind == "while":
         _, cond, body = head

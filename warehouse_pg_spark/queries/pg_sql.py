@@ -1204,3 +1204,54 @@ def pgsql_plpgsql_while_select_into(spark: SparkSession, sf_dir: str) -> DataFra
         ORDER BY kbits
         """
     )
+
+
+@register(
+    "pgsql_misc_fn_spellings",
+    oracle="""
+    SELECT c_custkey % 7 AS grp,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN ROW(c_nationkey, c_custkey % 3) < ROW(12, 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS row_lt,
+           CAST(MAX(gcd(c_custkey, 36)) AS BIGINT) AS max_gcd,
+           CAST(MAX(lcm(c_custkey % 5 + 1, 4)) AS BIGINT) AS max_lcm,
+           MAX((CASE WHEN c_name IS NOT NULL THEN 1 ELSE 0 END)
+             + (CASE WHEN NULL IS NOT NULL THEN 1 ELSE 0 END)
+             + (CASE WHEN c_mktsegment IS NOT NULL THEN 1 ELSE 0 END))
+             AS nn,
+           CAST(MAX(len(string_to_array(c_name, '#'))) AS INT)
+             AS name_parts
+    FROM customer
+    GROUP BY grp
+    ORDER BY grp
+    """,
+    tags=("dialect", "functions", "arrays"),
+)
+def pgsql_misc_fn_spellings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG function/constructor spellings Spark lacks (rowtypes.c row
+    comparison, int.c gcd/lcm, arrayfuncs.c array_length /
+    string_to_array, num_nonnulls) — all pure dialect-text rewrites:
+    ROW() becomes a struct comparison, gcd/lcm lower to a JVM-side
+    Euclid fold, string_to_array regex-escapes its literal delimiter,
+    num_nonnulls expands to a CASE sum. Everything stays in
+    whole-stage codegen except the bounded 128-step gcd fold."""
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_fixtures(sf_dir)
+    return eng.sql(
+        """
+        SELECT c_custkey % 7 AS grp,
+               count(*) AS n,
+               sum(CASE WHEN ROW(c_nationkey, c_custkey % 3) < ROW(12, 1)
+                        THEN 1 ELSE 0 END)::bigint AS row_lt,
+               max(gcd(c_custkey, 36))::bigint AS max_gcd,
+               max(lcm(c_custkey % 5 + 1, 4))::bigint AS max_lcm,
+               max(num_nonnulls(c_name, NULL, c_mktsegment)) AS nn,
+               max(array_length(string_to_array(c_name, '#'), 1))::int
+                 AS name_parts
+        FROM customer
+        GROUP BY grp
+        ORDER BY grp
+        """
+    )

@@ -521,8 +521,8 @@ _POWER_RE = re.compile(
 _INT_XOR_RE = re.compile(
     rf"({_DISTINCT_OPERAND})\s*#(?![>#])\s*({_DISTINCT_OPERAND})"
 )
-_CBRT_RE = re.compile(rf"\|\|/\s*({_DISTINCT_OPERAND})")
-_SQRT_RE = re.compile(rf"(?<!\|)\|/\s*({_DISTINCT_OPERAND})")
+_CBRT_RE = re.compile(rf"\|\|/\s*(-?\s*{_DISTINCT_OPERAND})")
+_SQRT_RE = re.compile(rf"(?<!\|)\|/\s*(-?\s*{_DISTINCT_OPERAND})")
 _ABS_AT_RE = re.compile(
     rf"(?<![\w)\]])@\s*(?![>@?=])(-?\s*{_DISTINCT_OPERAND})"
 )
@@ -555,6 +555,179 @@ def _rewrite_pg_math_ops(sql: str) -> str:
     sql = _SQRT_RE.sub(lambda m: f"sqrt({m.group(1)})", sql)
     sql = _ABS_AT_RE.sub(lambda m: f"abs({m.group(1)})", sql)
     return sql
+
+
+# --- PG function/constructor spellings Spark lacks (arrayfuncs.c,
+# rowtypes.c, timestamp.c, int.c): ROW() records, 1-D array helpers,
+# num_nonnulls/num_nulls variadics, age(), gcd/lcm, AT TIME ZONE, and
+# ARRAY(SELECT ...) subquery constructors.
+_ROW_CTOR_RE = re.compile(
+    r"(?<![\w.])ROW\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_ARRAY_LENGTH_RE = re.compile(
+    rf"\barray_length\s*\(\s*({_DISTINCT_OPERAND})\s*,\s*1\s*\)",
+    re.IGNORECASE,
+)
+_ARRAY_CAT_RE = re.compile(r"\barray_cat\s*\(", re.IGNORECASE)
+_STRING_TO_ARRAY_RE = re.compile(
+    rf"\bstring_to_array\s*\(\s*({_DISTINCT_OPERAND})\s*,"
+    rf"\s*({_DISTINCT_OPERAND})\s*\)",
+    re.IGNORECASE,
+)
+_GENERATE_SUBSCRIPTS_RE = re.compile(
+    rf"\bgenerate_subscripts\s*\(\s*({_DISTINCT_OPERAND})\s*,\s*1\s*\)",
+    re.IGNORECASE,
+)
+_NUM_NULLS_RE = re.compile(
+    r"\bnum_(nonnulls|nulls)\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+# operand that also admits typed literals (TIMESTAMP '...', DATE '...')
+_TEMPORAL_OPERAND = rf"(?:(?:TIMESTAMP|DATE)\s*{_LIT}|{_DISTINCT_OPERAND})"
+_AGE_RE = re.compile(
+    rf"\bage\s*\(\s*({_TEMPORAL_OPERAND})\s*,\s*({_TEMPORAL_OPERAND})\s*\)",
+    re.IGNORECASE,
+)
+_ARITH_CHAIN = rf"{_DISTINCT_OPERAND}(?:\s*[-+*/%]\s*{_DISTINCT_OPERAND})*"
+_GCD_LCM_RE = re.compile(
+    rf"\b(gcd|lcm)\s*\(\s*({_ARITH_CHAIN})\s*,"
+    rf"\s*({_ARITH_CHAIN})\s*\)",
+    re.IGNORECASE,
+)
+_AT_TIME_ZONE_RE = re.compile(
+    rf"((?:TIMESTAMP|DATE)\s*{_LIT}|{_DISTINCT_OPERAND})"
+    rf"\s+AT\s+TIME\s+ZONE\s+({_LIT})",
+    re.IGNORECASE,
+)
+_ARRAY_SUBQ_RE = re.compile(
+    r"\bARRAY\s*\(\s*(SELECT\b(?:[^()]|\([^()]*\))*)\)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _gcd_sql(x: str, y: str) -> str:
+    # Euclid as a JVM-side fold; 128 steps covers 64-bit worst case
+    # (consecutive Fibonacci numbers need ~90)
+    return (
+        "(aggregate(sequence(1, 128), "
+        f"named_struct('a', CAST(abs({x}) AS BIGINT), "
+        f"'b', CAST(abs({y}) AS BIGINT)), "
+        "(__gs, __gi) -> IF(__gs.b = 0, __gs, "
+        "named_struct('a', __gs.b, 'b', __gs.a % __gs.b))).a)"
+    )
+
+
+def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
+    def sub_row(m: re.Match) -> str:
+        # positional field aliases: Spark struct comparison requires
+        # matching field names on both sides; PG records compare by
+        # position (rowtypes.c record_cmp)
+        args = _split_args(m.group(1))
+        fields = ", ".join(
+            f"({a.strip()}) AS __f{i + 1}" for i, a in enumerate(args)
+        )
+        return f"struct({fields})"
+
+    sql = _ROW_CTOR_RE.sub(sub_row, sql)
+    sql = _ARRAY_LENGTH_RE.sub(lambda m: f"size({m.group(1)})", sql)
+    sql = _ARRAY_CAT_RE.sub("concat(", sql)
+
+    def sub_sta(m: re.Match) -> str:
+        s, d = m.group(1).strip(), m.group(2).strip()
+        lm = _MASK_RE.match(d)
+        if lm and d == lm.group(0):
+            # literal delimiter: regex-escape it at rewrite time
+            body = lits[int(lm.group(1))][1:-1]
+            lits.append("'" + re.escape(body).replace("\\", "\\\\") + "'")
+            return f"split({s}, \x01{len(lits) - 1}\x01)"
+        # dynamic delimiter: quote at runtime (\Q...\E)
+        return f"split({s}, concat('\\\\Q', {d}, '\\\\E'))"
+
+    sql = _STRING_TO_ARRAY_RE.sub(sub_sta, sql)
+    sql = _GENERATE_SUBSCRIPTS_RE.sub(
+        lambda m: f"explode(sequence(1, size({m.group(1)})))", sql
+    )
+
+    def sub_nn(m: re.Match) -> str:
+        want_null = m.group(1).lower() == "nulls"
+        test = "IS NULL" if want_null else "IS NOT NULL"
+        parts = [
+            f"(CASE WHEN ({a.strip()}) {test} THEN 1 ELSE 0 END)"
+            for a in _split_args(m.group(2))
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    sql = _NUM_NULLS_RE.sub(sub_nn, sql)
+
+    def sub_age(m: re.Match) -> str:
+        a, b = m.group(1).strip(), m.group(2).strip()
+        # timestamp_age: whole months toward zero, then leftover days
+        tm = f"CAST(months_between({a}, {b}) AS INT)"
+        return (
+            f"make_interval({tm} div 12, {tm} % 12, 0, "
+            f"datediff({a}, add_months({b}, {tm})), 0, 0, 0)"
+        )
+
+    sql = _AGE_RE.sub(sub_age, sql)
+
+    def sub_gcd(m: re.Match) -> str:
+        fn, x, y = m.group(1).lower(), m.group(2).strip(), m.group(3).strip()
+        g = _gcd_sql(x, y)
+        if fn == "gcd":
+            return g
+        return (
+            f"(CASE WHEN ({x}) = 0 OR ({y}) = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE abs(CAST({x} AS BIGINT) * CAST({y} AS BIGINT)) "
+            f"div {g} END)"
+        )
+
+    sql = _GCD_LCM_RE.sub(sub_gcd, sql)
+    # PG `x AT TIME ZONE tz`: under the collapsed single-TIMESTAMP model
+    # (README) a timestamp is an instant in the (UTC) session zone, so
+    # AT TIME ZONE converts it to tz wall-clock time — from_utc_timestamp.
+    sql = _AT_TIME_ZONE_RE.sub(
+        lambda m: f"from_utc_timestamp({m.group(1)}, {m.group(2)})", sql
+    )
+
+    def sub_arr_subq(m: re.Match) -> str:
+        q = m.group(1).strip()
+        mo = re.match(
+            r"(?is)^SELECT\s+(.+?)\s+(FROM\b.*?)"
+            r"(?:\s+ORDER\s+BY\s+([^()]+?)\s*(DESC|ASC)?)?$",
+            q,
+        )
+        if not mo:
+            return m.group(0)
+        expr, rest, ordb, direc = (
+            mo.group(1).strip(), mo.group(2).strip(),
+            (mo.group(3) or "").strip(), (mo.group(4) or "ASC").upper(),
+        )
+        if ordb and ordb != expr:
+            return m.group(0)  # can't sort by another key post-collect
+        if not ordb:
+            agg = f"collect_list({expr})"
+        elif direc == "DESC":
+            agg = f"reverse(array_sort(collect_list({expr})))"
+        else:
+            agg = f"array_sort(collect_list({expr}))"
+        return f"(SELECT {agg} {rest})"
+
+    return _ARRAY_SUBQ_RE.sub(sub_arr_subq, sql)
+
+
+def _split_args(s: str) -> list[str]:
+    parts, depth, buf = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    return [p for p in parts if p.strip()]
 
 
 def _rewrite_substring_regex(sql: str, lits: list[str]) -> str:
@@ -1087,6 +1260,10 @@ def rewrite(sql: str) -> str:
 
     # substring(x FROM 'regex') → regexp_extract with PG group rules
     out = _rewrite_substring_regex(out, lits)
+
+    # ROW() records, array helpers, num_nonnulls, age, gcd/lcm,
+    # AT TIME ZONE, ARRAY(SELECT ...)
+    out = _rewrite_pg_misc_fns(out, lits)
 
     # BETWEEN SYMMETRIC → least/greatest bound swap
     out = _rewrite_between_symmetric(out)
