@@ -656,3 +656,54 @@ def test_array_select_subquery_ctor(spark):
         "SELECT ARRAY(SELECT id FROM arr_t WHERE id > 1) AS v"
     )).collect()[0].v
     assert sorted(out) == [2, 3]
+
+
+def test_to_char_sql_text_matches_column_builders(spark):
+    """SQL-text to_char routing (sql_dialect._TO_CHAR_RE → the
+    functions/to_char.py SQL emitters) must render EXACTLY what the
+    Column builders compute — the two renderings of formatting.c's
+    translation may not drift. Also pins the PG semantics Spark's
+    native to_char rejects (FM fill mode, DCH datetime tokens)."""
+    from pyspark.sql import functions as F
+
+    from warehouse_pg_spark.functions.to_char import (
+        to_char_datetime,
+        to_char_datetime_sql,
+        to_char_numeric,
+        to_char_numeric_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1234.5,), (-42.0,), (0.0,), (7.07,), (999999.99,)], ["x"]
+    )
+    for fmt in ["FM9,999.00", "9999.99", "FM0000", "FM$999.00",
+                "$9,999.99", "999", "FM9.9999"]:
+        a = [r.v for r in df.select(
+            to_char_numeric(F.col("x"), fmt).alias("v")).collect()]
+        b = [r.v for r in df.selectExpr(
+            to_char_numeric_sql("x", fmt) + " AS v").collect()]
+        assert a == b, fmt
+    ts = spark.createDataFrame(
+        [("2026-08-14 13:05:09",), ("1999-01-03 00:30:59",)], ["s"]
+    ).select(F.col("s").cast("timestamp").alias("t"))
+    for fmt in ["YYYY-MM-DD", "FMDay, DD Mon YYYY", "HH24:MI:SS",
+                "MONTH", 'YYYY "q" Q', "Dy DD/MM/YY HH12:MI AM"]:
+        a = [r.v for r in ts.select(
+            to_char_datetime(F.col("t"), fmt).alias("v")).collect()]
+        b = [r.v for r in ts.selectExpr(
+            to_char_datetime_sql("t", fmt) + " AS v").collect()]
+        assert a == b, fmt
+    # end-to-end through the dialect: PG pictures Spark's native
+    # to_char rejects outright
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    assert run("SELECT to_char(1234.5, 'FM9,999.00') AS v") == "1,234.50"
+    assert run("SELECT to_char(-42, 'FM0000') AS v") == "-0042"
+    assert run("SELECT to_char(1234.5, '9999.99') AS v") == " 1234.50"
+    assert run(
+        "SELECT to_char(TIMESTAMP '2026-08-14 13:05:09', 'HH24:MI:SS') AS v"
+    ) == "13:05:09"
+    assert run("SELECT to_char(DATE '2026-08-14', 'MONTH') AS v") == "AUGUST"

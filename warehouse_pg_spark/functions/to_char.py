@@ -153,3 +153,105 @@ def to_char_numeric(col: Column | str, fmt: str) -> Column:
         # PG reserves a sign slot: non-negative values get a leading space
         body = F.when(x < 0, body).otherwise(F.concat(F.lit(" "), body))
     return body
+
+
+# --- SQL-text emitters -------------------------------------------------
+# The same translations, rendered as SQL expression strings for the
+# dialect layer (sql_dialect rewrites `to_char(x, 'fmt')` in PG SQL
+# text — Spark's native to_char speaks Oracle-ish pictures and rejects
+# PG's FM/9-slot forms). tests/test_operators.py pins these equivalent
+# to the Column builders over a format sample, so the two renderings
+# cannot drift.
+
+
+def _sql_quote(text: str) -> str:
+    return "'" + text.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def to_char_datetime_sql(x: str, fmt: str) -> str:
+    """SQL-text rendering of to_char_datetime."""
+    parts: list[str] = []
+    buf = ""
+
+    def flush():
+        nonlocal buf
+        if buf:
+            parts.append(f"date_format({x}, {_sql_quote(buf)})")
+            buf = ""
+
+    i, n = 0, len(fmt)
+    while i < n:
+        if fmt[i] == '"':
+            j = fmt.find('"', i + 1)
+            j = n if j < 0 else j
+            flush()
+            parts.append(_sql_quote(fmt[i + 1 : j]))
+            i = j + 1
+            continue
+        if fmt.startswith("FM", i):
+            i += 2
+            continue
+        if fmt[i] == "D" and not fmt.startswith(
+            ("DD", "DY", "Dy", "DAY", "Day"), i
+        ):
+            flush()
+            parts.append(f"CAST(dayofweek({x}) AS STRING)")
+            i += 1
+            continue
+        for tok, java, case in _DCH_TOKENS:
+            if fmt.startswith(tok, i):
+                if case is None:
+                    buf += java
+                else:
+                    flush()
+                    seg = f"date_format({x}, {_sql_quote(java)})"
+                    parts.append(f"{case}({seg})")
+                i += len(tok)
+                break
+        else:
+            ch = fmt[i]
+            if ch in _SAFE_PUNCT:
+                buf += ch
+            else:
+                flush()
+                parts.append(_sql_quote(ch))
+            i += 1
+    flush()
+    if not parts:
+        return "''"
+    if len(parts) == 1:
+        return parts[0]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def to_char_numeric_sql(x: str, fmt: str) -> str:
+    """SQL-text rendering of to_char_numeric."""
+    fill_mode = fmt.startswith("FM")
+    pic = fmt[2:] if fill_mode else fmt
+    currency = pic.startswith(("$", "L"))
+    if currency:
+        pic = pic[1:]
+    int_part, _, frac_part = pic.partition(".")
+    decimals = sum(1 for ch in frac_part if ch in "90")
+    grouping = "," in int_part
+    zero_pad = int_part.replace(",", "").startswith("0")
+    int_width = sum(1 for ch in int_part if ch in "90")
+
+    body = f"format_number(CAST({x} AS DOUBLE), {decimals})"
+    if not grouping:
+        body = f"replace({body}, ',', '')"
+    if zero_pad:
+        pad_w = int_width + (1 + decimals if decimals else 0)
+        body = (
+            f"(CASE WHEN ({x}) < 0 THEN concat('-', "
+            f"lpad(replace({body}, '-', ''), {pad_w}, '0')) "
+            f"ELSE lpad({body}, {pad_w}, '0') END)"
+        )
+    if currency:
+        body = f"concat('$', {body})"
+    if not fill_mode:
+        body = (
+            f"(CASE WHEN ({x}) < 0 THEN {body} "
+            f"ELSE concat(' ', {body}) END)"
+        )
+    return body

@@ -602,6 +602,18 @@ _ARRAY_SUBQ_RE = re.compile(
     r"\bARRAY\s*\(\s*(SELECT\b(?:[^()]|\([^()]*\))*)\)",
     re.IGNORECASE | re.DOTALL,
 )
+# to_char(x, 'fmt') with a literal format: PG's formatting.c pictures —
+# Spark's native to_char speaks a different (Oracle-ish) dialect and
+# rejects PG forms like FM9,999.00, so literal-format calls reroute to
+# the PG format engine (functions/to_char.py SQL emitters). PG chooses
+# datetime vs numeric by argument type, which SQL text doesn't expose;
+# a 9/0 digit slot anywhere in the picture means numeric (DCH datetime
+# tokens contain none).
+_TO_CHAR_RE = re.compile(
+    rf"\bto_char\s*\(\s*((?:TIMESTAMP|DATE)\s*{_LIT}"
+    rf"|-?\s*{_ARITH_CHAIN})\s*,\s*({_LIT})\s*\)",
+    re.IGNORECASE,
+)
 
 
 def _gcd_sql(x: str, y: str) -> str:
@@ -687,6 +699,22 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     sql = _AT_TIME_ZONE_RE.sub(
         lambda m: f"from_utc_timestamp({m.group(1)}, {m.group(2)})", sql
     )
+
+    def sub_to_char(m: re.Match) -> str:
+        from warehouse_pg_spark.functions.to_char import (
+            to_char_datetime_sql,
+            to_char_numeric_sql,
+        )
+
+        x, lit_tok = m.group(1).strip(), m.group(2)
+        body = lits[int(_MASK_RE.match(lit_tok).group(1))][1:-1]
+        # strip quoted-literal spans before sniffing for digit slots
+        unquoted = re.sub(r'"[^"]*"', "", body)
+        if re.search(r"[90]", unquoted):
+            return to_char_numeric_sql(f"({x})", body)
+        return to_char_datetime_sql(f"({x})", body)
+
+    sql = _TO_CHAR_RE.sub(sub_to_char, sql)
 
     def sub_arr_subq(m: re.Match) -> str:
         q = m.group(1).strip()
