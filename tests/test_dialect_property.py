@@ -707,3 +707,58 @@ def test_to_char_sql_text_matches_column_builders(spark):
         "SELECT to_char(TIMESTAMP '2026-08-14 13:05:09', 'HH24:MI:SS') AS v"
     ) == "13:05:09"
     assert run("SELECT to_char(DATE '2026-08-14', 'MONTH') AS v") == "AUGUST"
+
+
+def test_unnest_in_from_and_lateral(spark):
+    """FROM unnest(arr) AS t(x) and the comma/LATERAL forms
+    (nodeFunctionscan.c; PG SRFs in FROM are implicitly LATERAL) →
+    explode subquery / LATERAL VIEW; two parallel arrays zip with NULL
+    padding exactly like unnest's pad-to-longest."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    spark.createDataFrame([(1, [10, 20]), (2, [30])], ["id", "arr"]) \
+        .createOrReplaceTempView("un_t")
+    rows = spark.sql(rewrite(
+        "SELECT x FROM unnest(ARRAY[3,1,2]) AS t(x) ORDER BY x"
+    )).collect()
+    assert [r.x for r in rows] == [1, 2, 3]
+    rows = spark.sql(rewrite(
+        "SELECT id, x FROM un_t, LATERAL unnest(arr) AS t(x) "
+        "ORDER BY id, x"
+    )).collect()
+    assert [(r.id, r.x) for r in rows] == [(1, 10), (1, 20), (2, 30)]
+    # comma form without LATERAL keyword (implicit in PG)
+    rows = spark.sql(rewrite(
+        "SELECT id, x FROM un_t, unnest(arr) AS t(x) ORDER BY id, x"
+    )).collect()
+    assert len(rows) == 3
+    # two parallel arrays, NULL-padded to the longest
+    rows = spark.sql(rewrite(
+        "SELECT a, b FROM unnest(ARRAY[1,2], ARRAY['x','y','z']) "
+        "AS t(a, b) ORDER BY b"
+    )).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, "x"), (2, "y"), (None, "z")]
+
+
+def test_to_date_pg_patterns_and_misc(spark):
+    """to_date/to_timestamp DCH patterns translate to Java patterns
+    (gated on PG-only tokens — Java-style patterns pass through);
+    format() → format_string; array_fill → array_repeat;
+    pg_typeof → typeof."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    assert str(run(
+        "SELECT to_date('14 Aug 2026', 'DD Mon YYYY') AS v"
+    )) == "2026-08-14"
+    assert str(run(
+        "SELECT to_timestamp('2026-08-14 13:05', 'YYYY-MM-DD HH24:MI') AS v"
+    )) == "2026-08-14 13:05:00"
+    # Java-style pattern must pass through untouched
+    assert str(run("SELECT to_date('2026-08-14', 'yyyy-MM-dd') AS v")) \
+        == "2026-08-14"
+    assert run("SELECT format('%s has %d', 'cart', 3) AS v") == "cart has 3"
+    assert run("SELECT array_fill(7, ARRAY[3]) AS v") == [7, 7, 7]
+    assert run("SELECT pg_typeof(1) AS v") == "int"

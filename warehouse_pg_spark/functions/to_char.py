@@ -255,3 +255,32 @@ def to_char_numeric_sql(x: str, fmt: str) -> str:
             f"ELSE concat(' ', {body}) END)"
         )
     return body
+
+
+def dch_parse_pattern(fmt: str) -> str:
+    """Translate a PG DCH pattern to a Java parse pattern for
+    to_date/to_timestamp (formatting.c do_to_timestamp direction).
+    Case transforms don't apply to parsing; FM is a no-op; quoted and
+    unknown-letter spans become Java quoted literals."""
+    out: list[str] = []
+    i, n = 0, len(fmt)
+    while i < n:
+        if fmt[i] == '"':
+            j = fmt.find('"', i + 1)
+            j = n if j < 0 else j
+            out.append("'" + fmt[i + 1 : j] + "'")
+            i = j + 1
+            continue
+        if fmt.startswith("FM", i):
+            i += 2
+            continue
+        for tok, java, _case in _DCH_TOKENS:
+            if fmt.startswith(tok, i):
+                out.append(java)
+                i += len(tok)
+                break
+        else:
+            ch = fmt[i]
+            out.append(ch if ch in _SAFE_PUNCT else "'" + ch + "'")
+            i += 1
+    return "".join(out)

@@ -55,7 +55,8 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
 # family tag: external_csv_scan (scan+external), agg_dqa_multi (dqa),
 # cte_shared_reuse (cte), udtf_python_split_words (udtf),
 # uda_pandas_grouped (uda). Cumulative driver coverage after this
-# round: 158/219. Everything rotated out was driver-green in r1-r7.
+# round: 158 of the 220 now registered. Everything rotated out was
+# driver-green in r1-r7.
 DRIVER_PREFIX: tuple[str, ...] = (
     # anchors (required family tags with no never-scored owner)
     "external_csv_scan",

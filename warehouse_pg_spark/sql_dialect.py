@@ -614,6 +614,34 @@ _TO_CHAR_RE = re.compile(
     rf"|-?\s*{_ARITH_CHAIN})\s*,\s*({_LIT})\s*\)",
     re.IGNORECASE,
 )
+# to_date/to_timestamp with a PG DCH pattern (formatting.c parse
+# direction): translated to the Java pattern Spark's parser expects.
+# Gated on distinctly-PG tokens — a Java-style pattern ('yyyy-MM-dd')
+# must pass through untouched, and an uppercase PG pattern handed to
+# Spark raw is already silently wrong (Java D = day-of-year).
+_TO_DATE_RE = re.compile(
+    rf"\bto_(date|timestamp)\s*\(\s*({_ARITH_CHAIN})\s*,\s*({_LIT})\s*\)",
+    re.IGNORECASE,
+)
+_PG_DCH_GATE_RE = re.compile(
+    r"HH24|HH12|YYYY|IYYY|MI|MON|Mon|mon|DAY|Day|day|DDD|Dy|DY|dy"
+)
+# FROM/lateral unnest(...) AS t(cols) (nodeFunctionscan.c): explode /
+# inline forms. PG SRFs in a comma FROM item are implicitly LATERAL;
+# Spark's equivalent is LATERAL VIEW. Two parallel arrays zip with
+# NULL padding (zip_with), matching unnest's pad-to-longest.
+_UNNEST_FROM_RE = re.compile(
+    r"(\bFROM\s+|,\s*)(LATERAL\s+)?unnest\s*"
+    r"\(((?:[^()]|\([^()]*\))*)\)\s*(?:AS\s+)?(\w+)\s*\(\s*([\w\s,]+?)\s*\)",
+    re.IGNORECASE,
+)
+_FORMAT_FN_RE = re.compile(rf"\bformat\s*\(\s*({_LIT})", re.IGNORECASE)
+_ARRAY_FILL_RE = re.compile(
+    rf"\barray_fill\s*\(\s*({_ARITH_CHAIN})\s*,\s*"
+    rf"(?:ARRAY\s*\[|array\s*\()\s*(\d+)\s*[\])]\s*\)",
+    re.IGNORECASE,
+)
+_PG_TYPEOF_RE = re.compile(r"\bpg_typeof\s*\(", re.IGNORECASE)
 
 
 def _gcd_sql(x: str, y: str) -> str:
@@ -715,6 +743,50 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         return to_char_datetime_sql(f"({x})", body)
 
     sql = _TO_CHAR_RE.sub(sub_to_char, sql)
+
+    def sub_to_date(m: re.Match) -> str:
+        from warehouse_pg_spark.functions.to_char import dch_parse_pattern
+
+        kind, x, lit_tok = m.group(1).lower(), m.group(2).strip(), m.group(3)
+        body = lits[int(_MASK_RE.match(lit_tok).group(1))][1:-1]
+        if not _PG_DCH_GATE_RE.search(body):
+            return m.group(0)  # Java-style pattern: pass through
+        java = dch_parse_pattern(body).replace("'", "''")
+        return f"to_{kind}({x}, '{java}')"
+
+    sql = _TO_DATE_RE.sub(sub_to_date, sql)
+
+    def sub_unnest(m: re.Match) -> str:
+        lead, _lat, args_s, alias, cols_s = (
+            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5)
+        )
+        args = _split_args(args_s)
+        cols = [c.strip() for c in cols_s.split(",") if c.strip()]
+        if len(args) != len(cols) or len(args) > 2:
+            return m.group(0)  # mismatched/deep forms stay loud
+        if len(args) == 1:
+            gen = f"explode({args[0].strip()})"
+            gen_cols = cols[0]
+            sel = f"{gen} AS {cols[0]}"
+        else:
+            a, b = (x.strip() for x in args)
+            gen = (
+                f"inline(zip_with({a}, {b}, (__ul, __ur) -> "
+                f"struct(__ul AS {cols[0]}, __ur AS {cols[1]})))"
+            )
+            gen_cols = ", ".join(cols)
+            sel = gen
+        if lead.strip() == ",":
+            # comma FROM item = implicit LATERAL in PG for SRFs
+            return f" LATERAL VIEW {gen} {alias} AS {gen_cols}"
+        return f"{lead}(SELECT {sel}) {alias}"
+
+    sql = _UNNEST_FROM_RE.sub(sub_unnest, sql)
+    sql = _FORMAT_FN_RE.sub(lambda m: f"format_string({m.group(1)}", sql)
+    sql = _ARRAY_FILL_RE.sub(
+        lambda m: f"array_repeat({m.group(1)}, {m.group(2)})", sql
+    )
+    sql = _PG_TYPEOF_RE.sub("typeof(", sql)
 
     def sub_arr_subq(m: re.Match) -> str:
         q = m.group(1).strip()
