@@ -762,3 +762,42 @@ def test_to_date_pg_patterns_and_misc(spark):
     assert run("SELECT format('%s has %d', 'cart', 3) AS v") == "cart has 3"
     assert run("SELECT array_fill(7, ARRAY[3]) AS v") == [7, 7, 7]
     assert run("SELECT pg_typeof(1) AS v") == "int"
+
+
+def test_json_constructors_and_srf_forms(spark):
+    """PG JSON constructors/aggregates (json.c) lower to to_json over
+    named_struct / array / collect_list / map_from_entries; ROW fields
+    carry PG's anonymous-record names f1, f2 so row_to_json output is
+    byte-identical to PG; json_array_elements / json_object_keys work
+    as FROM-clause SRFs; generate_series joins laterally from a comma
+    FROM item (implicitly LATERAL, as in PG)."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    assert run("SELECT row_to_json(ROW(1, 'a')) AS v") == '{"f1":1,"f2":"a"}'
+    assert run("SELECT json_build_object('a', 1, 'b', 'x') AS v") \
+        == '{"a":1,"b":"x"}'
+    assert run("SELECT json_build_array(1, 2, NULL) AS v") == "[1,2,null]"
+    spark.createDataFrame(
+        [("k1", 1), ("k2", 2)], ["k", "n"]
+    ).createOrReplaceTempView("ja_t")
+    assert run("SELECT json_agg(k) AS v FROM ja_t") in (
+        '["k1","k2"]', '["k2","k1"]'
+    )
+    got = run("SELECT json_object_agg(k, n) AS v FROM ja_t")
+    assert '"k1":1' in got and '"k2":2' in got
+    rows = spark.sql(rewrite(
+        "SELECT x FROM json_array_elements('[1,2,3]') AS t(x)"
+    )).collect()
+    assert [r.x for r in rows] == ["1", "2", "3"]
+    rows = spark.sql(rewrite(
+        "SELECT k FROM json_object_keys('{\"a\":1,\"b\":2}') AS t(k)"
+    )).collect()
+    assert sorted(r.k for r in rows) == ["a", "b"]
+    rows = spark.sql(rewrite(
+        "SELECT n, g FROM ja_t, LATERAL generate_series(1, n) AS s(g) "
+        "ORDER BY n, g"
+    )).collect()
+    assert [(r.n, r.g) for r in rows] == [(1, 1), (2, 1), (2, 2)]

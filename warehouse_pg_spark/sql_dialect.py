@@ -631,7 +631,7 @@ _PG_DCH_GATE_RE = re.compile(
 # Spark's equivalent is LATERAL VIEW. Two parallel arrays zip with
 # NULL padding (zip_with), matching unnest's pad-to-longest.
 _UNNEST_FROM_RE = re.compile(
-    r"(\bFROM\s+|,\s*)(LATERAL\s+)?unnest\s*"
+    r"(\bFROM\s+|,\s*)(LATERAL\s+)?(unnest|generate_series)\s*"
     r"\(((?:[^()]|\([^()]*\))*)\)\s*(?:AS\s+)?(\w+)\s*\(\s*([\w\s,]+?)\s*\)",
     re.IGNORECASE,
 )
@@ -642,6 +642,32 @@ _ARRAY_FILL_RE = re.compile(
     re.IGNORECASE,
 )
 _PG_TYPEOF_RE = re.compile(r"\bpg_typeof\s*\(", re.IGNORECASE)
+# JSON constructors/aggregates (json.c, jsonfuncs.c): named_struct /
+# collect_list / map_from_entries compositions serialized by to_json
+_JSON_BUILD_OBJ_RE = re.compile(
+    r"\bjsonb?_build_object\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_JSON_BUILD_ARR_RE = re.compile(
+    r"\bjsonb?_build_array\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_JSON_AGG_RE = re.compile(
+    r"\bjsonb?_agg\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_JSON_OBJECT_AGG_RE = re.compile(
+    rf"\bjsonb?_object_agg\s*\(\s*({_ARITH_CHAIN})\s*,"
+    rf"\s*({_ARITH_CHAIN})\s*\)",
+    re.IGNORECASE,
+)
+_ROW_TO_JSON_RE = re.compile(r"\brow_to_json\s*\(", re.IGNORECASE)
+# SRF-in-FROM JSON forms: FROM json_array_elements(j) t(x),
+# FROM json_object_keys(j) t(k)
+_JSON_SRF_FROM_RE = re.compile(
+    rf"(\bFROM\s+|,\s*)(LATERAL\s+)?"
+    rf"jsonb?_(array_elements(?:_text)?|object_keys)\s*"
+    rf"\(\s*({_ARITH_CHAIN}|{_LIT})\s*\)\s*(?:AS\s+)?(\w+)\s*"
+    rf"\(\s*(\w+)\s*\)",
+    re.IGNORECASE,
+)
 
 
 def _gcd_sql(x: str, y: str) -> str:
@@ -660,10 +686,12 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     def sub_row(m: re.Match) -> str:
         # positional field aliases: Spark struct comparison requires
         # matching field names on both sides; PG records compare by
-        # position (rowtypes.c record_cmp)
+        # position (rowtypes.c record_cmp). The names are PG's own
+        # anonymous-record names f1, f2, ... so row_to_json(ROW(...))
+        # serializes identically to PG.
         args = _split_args(m.group(1))
         fields = ", ".join(
-            f"({a.strip()}) AS __f{i + 1}" for i, a in enumerate(args)
+            f"({a.strip()}) AS f{i + 1}" for i, a in enumerate(args)
         )
         return f"struct({fields})"
 
@@ -757,14 +785,21 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     sql = _TO_DATE_RE.sub(sub_to_date, sql)
 
     def sub_unnest(m: re.Match) -> str:
-        lead, _lat, args_s, alias, cols_s = (
-            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5)
+        lead, _lat, fn, args_s, alias, cols_s = (
+            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+            m.group(6),
         )
         args = _split_args(args_s)
         cols = [c.strip() for c in cols_s.split(",") if c.strip()]
-        if len(args) != len(cols) or len(args) > 2:
+        if fn.lower() == "generate_series":
+            if len(cols) != 1:
+                return m.group(0)
+            gen = f"explode(sequence({args_s.strip()}))"
+            gen_cols = cols[0]
+            sel = f"{gen} AS {cols[0]}"
+        elif len(args) != len(cols) or len(args) > 2:
             return m.group(0)  # mismatched/deep forms stay loud
-        if len(args) == 1:
+        elif len(args) == 1:
             gen = f"explode({args[0].strip()})"
             gen_cols = cols[0]
             sel = f"{gen} AS {cols[0]}"
@@ -782,6 +817,41 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         return f"{lead}(SELECT {sel}) {alias}"
 
     sql = _UNNEST_FROM_RE.sub(sub_unnest, sql)
+
+    def sub_json_srf(m: re.Match) -> str:
+        lead, _lat, kind, arg, alias, col = (
+            (g or "") for g in m.groups()
+        )
+        arg = arg.strip()
+        if kind.lower().startswith("array_elements"):
+            # PG returns each element as json/text; array<string> gives
+            # the _text form for scalars (objects keep their JSON text)
+            src = f"from_json({arg}, 'array<string>')"
+        else:
+            src = f"json_object_keys({arg})"
+        gen = f"explode({src})"
+        if lead.strip() == ",":
+            return f" LATERAL VIEW {gen} {alias} AS {col}"
+        return f"{lead}(SELECT {gen} AS {col}) {alias}"
+
+    sql = _JSON_SRF_FROM_RE.sub(sub_json_srf, sql)
+    sql = _JSON_BUILD_OBJ_RE.sub(
+        lambda m: f"to_json(named_struct({m.group(1)}))", sql
+    )
+    sql = _JSON_BUILD_ARR_RE.sub(
+        lambda m: f"to_json(array({m.group(1)}))", sql
+    )
+    sql = _JSON_OBJECT_AGG_RE.sub(
+        lambda m: (
+            "to_json(map_from_entries(collect_list("
+            f"struct({m.group(1).strip()}, {m.group(2).strip()}))))"
+        ),
+        sql,
+    )
+    sql = _JSON_AGG_RE.sub(
+        lambda m: f"to_json(collect_list({m.group(1)}))", sql
+    )
+    sql = _ROW_TO_JSON_RE.sub("to_json(", sql)
     sql = _FORMAT_FN_RE.sub(lambda m: f"format_string({m.group(1)}", sql)
     sql = _ARRAY_FILL_RE.sub(
         lambda m: f"array_repeat({m.group(1)}, {m.group(2)})", sql
