@@ -801,3 +801,26 @@ def test_json_constructors_and_srf_forms(spark):
         "ORDER BY n, g"
     )).collect()
     assert [(r.n, r.g) for r in rows] == [(1, 1), (2, 1), (2, 2)]
+
+
+def test_array_subscripts_one_based_and_json_each(spark):
+    """PG array subscripts are 1-based and slices inclusive
+    (arrayfuncs.c array_ref/array_get_slice) — Spark's [] is 0-based,
+    a silent off-by-one until rewritten to element_at/slice. String-key
+    map access stays native. json_each explodes an object into
+    key/value rows; substring(x FOR n) is the from-1 prefix form."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    assert run("SELECT (ARRAY[10,20,30])[2] AS v") == 20
+    assert run("SELECT (ARRAY[1,2,3,4])[2:3] AS v") == [2, 3]
+    assert run("SELECT split('a-b-c', '-')[1] AS v") == "a"
+    assert run("SELECT map('a', 1)['a'] AS v") == 1  # untouched
+    assert run("SELECT substring('hello' FOR 3) AS v") == "hel"
+    rows = spark.sql(rewrite(
+        "SELECT k, v FROM json_each('{\"a\":1,\"b\":2}') AS t(k, v) "
+        "ORDER BY k"
+    )).collect()
+    assert [(r.k, r.v) for r in rows] == [("a", "1"), ("b", "2")]

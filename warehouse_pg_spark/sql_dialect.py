@@ -663,9 +663,29 @@ _ROW_TO_JSON_RE = re.compile(r"\brow_to_json\s*\(", re.IGNORECASE)
 # FROM json_object_keys(j) t(k)
 _JSON_SRF_FROM_RE = re.compile(
     rf"(\bFROM\s+|,\s*)(LATERAL\s+)?"
-    rf"jsonb?_(array_elements(?:_text)?|object_keys)\s*"
+    rf"jsonb?_(array_elements(?:_text)?|object_keys|each(?:_text)?)\s*"
     rf"\(\s*({_ARITH_CHAIN}|{_LIT})\s*\)\s*(?:AS\s+)?(\w+)\s*"
-    rf"\(\s*(\w+)\s*\)",
+    rf"\(\s*([\w\s,]+?)\s*\)",
+    re.IGNORECASE,
+)
+# PG 1-based array subscripts and inclusive slices (arrayfuncs.c
+# array_ref/array_get_slice): Spark's [] is 0-based, so a digit
+# subscript in PG text is a silent off-by-one — rewrite to element_at
+# (1-based); a[lo:hi] becomes slice(a, lo, hi-lo+1). String-key map
+# access (j['k']) is untouched.
+_IDX_OPERAND = (
+    rf"(?:{_LIT}|[\w.]+\((?:[^()]|\([^()]*\))*\)"
+    rf"|\((?:[^()]|\([^()]*\))*\)|[\w.]+)"
+)
+_ARRAY_INDEX_RE = re.compile(
+    rf"({_IDX_OPERAND})\[\s*(\d+)\s*\]"
+)
+_ARRAY_SLICE_RE = re.compile(
+    rf"({_IDX_OPERAND})\[\s*(\d+)\s*:\s*(\d+)\s*\]"
+)
+# substring(x FOR n) — PG's from-1 prefix form (gram.y substr_for)
+_SUBSTR_FOR_RE = re.compile(
+    rf"\bsubstring\s*\(\s*({_DISTINCT_OPERAND})\s+FOR\s+(\d+|\w+)\s*\)",
     re.IGNORECASE,
 )
 
@@ -819,22 +839,52 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     sql = _UNNEST_FROM_RE.sub(sub_unnest, sql)
 
     def sub_json_srf(m: re.Match) -> str:
-        lead, _lat, kind, arg, alias, col = (
+        lead, _lat, kind, arg, alias, cols_s = (
             (g or "") for g in m.groups()
         )
         arg = arg.strip()
-        if kind.lower().startswith("array_elements"):
+        kind = kind.lower()
+        cols = [c.strip() for c in cols_s.split(",") if c.strip()]
+        if kind.startswith("each"):
+            # key/value pairs: exploding a map yields two columns
+            if len(cols) != 2:
+                return m.group(0)
+            src = f"from_json({arg}, 'map<string,string>')"
+        elif len(cols) != 1:
+            return m.group(0)
+        elif kind.startswith("array_elements"):
             # PG returns each element as json/text; array<string> gives
             # the _text form for scalars (objects keep their JSON text)
             src = f"from_json({arg}, 'array<string>')"
         else:
             src = f"json_object_keys({arg})"
         gen = f"explode({src})"
+        gen_cols = ", ".join(cols)
         if lead.strip() == ",":
-            return f" LATERAL VIEW {gen} {alias} AS {col}"
-        return f"{lead}(SELECT {gen} AS {col}) {alias}"
+            return f" LATERAL VIEW {gen} {alias} AS {gen_cols}"
+        if len(cols) == 2:
+            return f"{lead}(SELECT {gen} AS ({gen_cols})) {alias}"
+        return f"{lead}(SELECT {gen} AS {cols[0]}) {alias}"
 
     sql = _JSON_SRF_FROM_RE.sub(sub_json_srf, sql)
+    # slices before subscripts (a[2:3] must not half-match as a[2]);
+    # a bare ARRAY keyword is a constructor, not an indexable operand
+    # (the ctor pass runs earlier, this is belt-and-braces)
+    sql = _ARRAY_SLICE_RE.sub(
+        lambda m: m.group(0) if m.group(1).upper() == "ARRAY" else (
+            f"slice({m.group(1)}, {m.group(2)}, "
+            f"{int(m.group(3)) - int(m.group(2)) + 1})"
+        ),
+        sql,
+    )
+    sql = _ARRAY_INDEX_RE.sub(
+        lambda m: m.group(0) if m.group(1).upper() == "ARRAY"
+        else f"element_at({m.group(1)}, {m.group(2)})",
+        sql,
+    )
+    sql = _SUBSTR_FOR_RE.sub(
+        lambda m: f"substring({m.group(1)}, 1, {m.group(2)})", sql
+    )
     sql = _JSON_BUILD_OBJ_RE.sub(
         lambda m: f"to_json(named_struct({m.group(1)}))", sql
     )
