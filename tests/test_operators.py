@@ -847,3 +847,52 @@ def test_interval_overlap_join_is_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_range_exclude_frame_without_offset_zero(spark):
+    """RANGE frames whose bounds exclude value-offset 0 (e.g. 5
+    PRECEDING AND 1 PRECEDING): the current row and its peers are not
+    in the frame, and PG's exclusion only REMOVES rows already in the
+    frame (nodeWindowAgg.c row_is_in_frame + exclusion filter) — so
+    every EXCLUDE mode is a no-op and the result equals the plain
+    frame aggregate. The subtraction path used to over-subtract the
+    peer group here. (DuckDB is NOT the oracle for this: it both adds
+    the current row under TIES and widens the frame under CURRENT ROW,
+    diverging from PG.)"""
+    from pyspark.sql.window import Window as W
+
+    from warehouse_pg_spark.operators.window_ext import (
+        minmax_exclude,
+        sum_exclude,
+    )
+
+    data = [("a", 1, 10), ("a", 2, 20), ("a", 2, 21), ("a", 4, 40),
+            ("a", 6, 60)]
+    df = spark.createDataFrame(data, "p string, k int, v int")
+    for lo, hi in [(-5, -1), (1, 3)]:
+        w = W.partitionBy("p").orderBy("k").rangeBetween(lo, hi)
+        plain_sum = sorted(
+            (r.k, r.v, None if r.s is None else int(r.s))
+            for r in df.withColumn("s", F.sum("v").over(w)).collect()
+        )
+        plain_min = sorted(
+            (r.k, r.v, None if r.m is None else int(r.m))
+            for r in df.withColumn("m", F.min("v").over(w)).collect()
+        )
+        for mode in ("group", "ties", "current row"):
+            got = sorted(
+                (r.k, r.v, None if r.s is None else int(r.s))
+                for r in sum_exclude(
+                    df, "v", ["p"], ["k"], lo, hi, exclude=mode,
+                    out="s", frame_type="range",
+                ).collect()
+            )
+            assert got == plain_sum, ("sum", lo, hi, mode)
+            got = sorted(
+                (r.k, r.v, None if r.m is None else int(r.m))
+                for r in minmax_exclude(
+                    df, "v", ["p"], ["k"], lo, hi, agg="min",
+                    exclude=mode, out="m", frame_type="range",
+                ).collect()
+            )
+            assert got == plain_min, ("min", lo, hi, mode)

@@ -98,7 +98,17 @@ def sum_exclude(
         base_w = base.rowsBetween(start, end)
     else:
         # RANGE base frame: deterministic under ORDER BY ties (frame is
-        # a value interval), which ROWS frames are not.
+        # a value interval), which ROWS frames are not. The peer group
+        # (and the current row) sit at value-offset 0 — when the frame
+        # bounds exclude offset 0 entirely, EXCLUDE is a no-op and
+        # subtracting the group term would over-subtract rows that were
+        # never in the frame.
+        if not (start <= 0 <= end) and mode != "no others":
+            base_w = base.rangeBetween(start, end)
+            return df.withColumn(
+                out,
+                F.when(F.count(val).over(base_w) > 0, F.sum(val).over(base_w)),
+            )
         base_w = base.rangeBetween(start, end)
     peers_w = (
         Window.partitionBy(*partition_by)
@@ -173,6 +183,11 @@ def minmax_exclude(
     comb = F.least if agg == "min" else F.greatest
 
     base = Window.partitionBy(*partition_by).orderBy(*order_by)
+    if frame_type != "rows" and not (start <= 0 <= end) and mode != "no others":
+        # value-offset 0 (the peer group + current row) lies outside
+        # the RANGE frame: nothing to exclude (see sum_exclude)
+        w = base.rangeBetween(start, end)
+        return df.withColumn(out, agg_fn(val).over(w))
     if frame_type == "rows":
         if mode in ("group", "ties"):
             # The peer group is not a constant row interval around the
