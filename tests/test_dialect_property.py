@@ -824,3 +824,28 @@ def test_array_subscripts_one_based_and_json_each(spark):
         "ORDER BY k"
     )).collect()
     assert [(r.k, r.v) for r in rows] == [("a", "1"), ("b", "2")]
+
+
+def test_log_trunc_interval_spellings(spark):
+    """PG log(x) is base-10 (numeric.c log_var; Spark's one-arg log is
+    natural log — a silent wrong answer); trunc truncates numerics
+    toward zero with optional scale (Spark's trunc is date-only);
+    PG's 'mon'/'mons' interval unit spellings parse."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    assert run("SELECT log(100) AS v") == 2.0
+    assert run("SELECT round(log(2, 8), 6) AS v") == 3.0  # 2-arg agrees
+    assert float(run("SELECT trunc(42.768, 1) AS v")) == 42.7
+    assert float(run("SELECT trunc(-42.768, 2) AS v")) == -42.76
+    assert run("SELECT CAST(trunc(5.9) AS INT) AS v") == 5
+    assert run("SELECT CAST(trunc(-5.9) AS INT) AS v") == -5
+    # 2-arg DATE trunc stays native
+    assert str(run(
+        "SELECT trunc(DATE '2026-08-14', 'MM') AS v"
+    )) == "2026-08-01"
+    assert str(run(
+        "SELECT DATE '2026-01-15' + INTERVAL '2 years 3 mons' AS v"
+    )) == "2028-04-15"

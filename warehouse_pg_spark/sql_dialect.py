@@ -642,6 +642,22 @@ _ARRAY_FILL_RE = re.compile(
     re.IGNORECASE,
 )
 _PG_TYPEOF_RE = re.compile(r"\bpg_typeof\s*\(", re.IGNORECASE)
+# PG log(x) is base-10 (numeric.c log_var; natural log is ln) — Spark's
+# one-arg log is NATURAL log, a silent wrong answer. Two-arg
+# log(base, x) agrees between the engines and passes through.
+_LOG_RE = re.compile(r"\blog\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE)
+# trunc(x, n): truncate toward zero at n decimal places (numeric.c
+# trunc_var) — Spark's trunc is date-only. CAST(double AS BIGINT)
+# truncates toward zero in both engines.
+_TRUNC_N_RE = re.compile(
+    rf"\btrunc\s*\(\s*(-?\s*{_ARITH_CHAIN})\s*,\s*(\d+)\s*\)",
+    re.IGNORECASE,
+)
+_TRUNC1_RE = re.compile(
+    r"\btrunc\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+# INTERVAL literal spellings PG emits but Spark's parser rejects
+_INTERVAL_LIT_RE = re.compile(rf"\bINTERVAL\s+({_LIT})", re.IGNORECASE)
 # JSON constructors/aggregates (json.c, jsonfuncs.c): named_struct /
 # collect_list / map_from_entries compositions serialized by to_json
 _JSON_BUILD_OBJ_RE = re.compile(
@@ -907,6 +923,41 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         lambda m: f"array_repeat({m.group(1)}, {m.group(2)})", sql
     )
     sql = _PG_TYPEOF_RE.sub("typeof(", sql)
+
+    def sub_log(m: re.Match) -> str:
+        args = _split_args(m.group(1))
+        if len(args) == 1:
+            return f"log10({m.group(1)})"
+        return m.group(0)
+
+    sql = _LOG_RE.sub(sub_log, sql)
+    sql = _TRUNC_N_RE.sub(
+        lambda m: (
+            f"(CAST(({m.group(1)}) * {10 ** int(m.group(2))} AS BIGINT) "
+            f"/ CAST({10 ** int(m.group(2))} AS DECIMAL(19,0)))"
+        ),
+        sql,
+    )
+
+    def sub_trunc1(m: re.Match) -> str:
+        args = _split_args(m.group(1))
+        if len(args) == 1:  # numeric trunc-to-integer (toward zero)
+            return f"CAST(({m.group(1)}) AS BIGINT)"
+        return m.group(0)  # 2-arg date trunc stays native
+
+    sql = _TRUNC1_RE.sub(sub_trunc1, sql)
+
+    def sub_interval_lit(m: re.Match) -> str:
+        tok = m.group(1)
+        idx = int(_MASK_RE.match(tok).group(1))
+        body = lits[idx]
+        fixed = re.sub(r"\bmons?\b", "month", body)
+        if fixed != body:
+            lits.append(fixed)
+            return f"INTERVAL \x01{len(lits) - 1}\x01"
+        return m.group(0)
+
+    sql = _INTERVAL_LIT_RE.sub(sub_interval_lit, sql)
 
     def sub_arr_subq(m: re.Match) -> str:
         q = m.group(1).strip()
