@@ -849,3 +849,37 @@ def test_log_trunc_interval_spellings(spark):
     assert str(run(
         "SELECT DATE '2026-01-15' + INTERVAL '2 years 3 mons' AS v"
     )) == "2028-04-15"
+
+
+def test_jsonb_operators_typeof_regexp_matches(spark):
+    """jsonb key-existence operators ? / ?| / ?& (jsonfuncs.c
+    jsonb_exists*) check the object's KEY SET — a null value still
+    counts, which get_json_object can't distinguish; jsonb_typeof
+    classifies the json text; scalar regexp_matches returns the first
+    match's capture groups as text[] (NULL on no match); json/jsonb/
+    bytea/reg* cast names map; `jsonb '...'` typed literals parse."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    assert run("""SELECT '{"a":1,"b":null}'::jsonb ? 'b' AS v""") is True
+    assert run("""SELECT '{"a":1}'::jsonb ? 'z' AS v""") is False
+    assert run(
+        """SELECT jsonb '{"a":null,"b":"q"}' ?| ARRAY['c','b'] AS v"""
+    ) is True
+    assert run(
+        """SELECT jsonb '{"a":null,"b":"q"}' ?& ARRAY['a','b'] AS v"""
+    ) is True
+    assert run("""SELECT jsonb '{"a":1}' ?& ARRAY['a','z'] AS v""") is False
+    for lit, typ in [('{"a":1}', "object"), ("[1]", "array"),
+                     ('"x"', "string"), ("true", "boolean"),
+                     ("null", "null"), ("3.14", "number")]:
+        assert run(f"SELECT jsonb_typeof('{lit}') AS v") == typ
+    assert run("SELECT regexp_matches('a1b2', '[0-9]') AS v") == ["1"]
+    assert run(
+        "SELECT regexp_matches('foo123', '([a-z]+)([0-9]+)') AS v"
+    ) == ["foo", "123"]
+    assert run("SELECT regexp_matches('abc', 'zz') AS v") is None
+    assert run("SELECT 'x'::bytea IS NOT NULL AS v") is True
+    assert run("SELECT '$.a'::jsonpath AS v") == "$.a"

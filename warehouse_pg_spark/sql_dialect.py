@@ -54,6 +54,17 @@ _TYPE_MAP = {
     "bool": "BOOLEAN",
     "numeric": "DECIMAL(38,18)",
     "timestamptz": "TIMESTAMP",
+    # JSON is a STRING column in this model (README); bytea is binary;
+    # the reg* identifier types and jsonpath collapse to their text form
+    "json": "STRING",
+    "jsonb": "STRING",
+    "jsonpath": "STRING",
+    "bytea": "BINARY",
+    "regclass": "STRING",
+    "regtype": "STRING",
+    "regproc": "STRING",
+    "name": "STRING",
+    "oid": "BIGINT",
 }
 
 # ------------------------------------------------------------------ masking
@@ -656,6 +667,36 @@ _TRUNC_N_RE = re.compile(
 _TRUNC1_RE = re.compile(
     r"\btrunc\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
 )
+# jsonb key-existence operators (jsonfuncs.c jsonb_exists/_any/_all):
+# j ? 'k', j ?| array[...], j ?& array[...]. Key existence is checked
+# against the object's key set, so a null VALUE still counts (which
+# get_json_object can't distinguish from a missing key). ?|/?& run
+# before bare ? so it can't half-match them.
+_JSON_KEYS_ANY_RE = re.compile(
+    rf"({_DISTINCT_OPERAND})\s*\?\|\s*({_DISTINCT_OPERAND})"
+)
+_JSON_KEYS_ALL_RE = re.compile(
+    rf"({_DISTINCT_OPERAND})\s*\?&\s*({_DISTINCT_OPERAND})"
+)
+_JSON_HAS_KEY_RE = re.compile(
+    rf"({_DISTINCT_OPERAND})\s*\?\s*({_LIT})"
+)
+# PG typed-literal prefix `jsonb '...'` — json is a STRING here, the
+# prefix just drops
+_JSON_TYPED_LIT_RE = re.compile(
+    rf"\bjsonb?\s+({_LIT})", re.IGNORECASE
+)
+# jsonb_typeof/json_typeof (jsonfuncs.c): classify by the first
+# non-space character of the json text
+_JSON_TYPEOF_RE = re.compile(
+    rf"\bjsonb?_typeof\s*\(\s*({_ARITH_CHAIN}|{_LIT})\s*\)", re.IGNORECASE
+)
+# scalar regexp_matches(s, 'pat'): PG returns the first match's capture
+# groups as text[] (NULL row = NULL here when no match)
+_REGEXP_MATCHES_RE = re.compile(
+    rf"\bregexp_matches\s*\(\s*({_ARITH_CHAIN})\s*,\s*({_LIT})\s*\)",
+    re.IGNORECASE,
+)
 # INTERVAL literal spellings PG emits but Spark's parser rejects
 _INTERVAL_LIT_RE = re.compile(rf"\bINTERVAL\s+({_LIT})", re.IGNORECASE)
 # JSON constructors/aggregates (json.c, jsonfuncs.c): named_struct /
@@ -946,6 +987,57 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         return m.group(0)  # 2-arg date trunc stays native
 
     sql = _TRUNC1_RE.sub(sub_trunc1, sql)
+    sql = _JSON_TYPED_LIT_RE.sub(lambda m: m.group(1), sql)
+    sql = _JSON_KEYS_ANY_RE.sub(
+        lambda m: (
+            f"exists({m.group(2)}, __jk -> "
+            f"array_contains(json_object_keys({m.group(1)}), __jk))"
+        ),
+        sql,
+    )
+    sql = _JSON_KEYS_ALL_RE.sub(
+        lambda m: (
+            f"forall({m.group(2)}, __jk -> "
+            f"array_contains(json_object_keys({m.group(1)}), __jk))"
+        ),
+        sql,
+    )
+    sql = _JSON_HAS_KEY_RE.sub(
+        lambda m: (
+            f"array_contains(json_object_keys({m.group(1)}), {m.group(2)})"
+        ),
+        sql,
+    )
+
+    def sub_json_typeof(m: re.Match) -> str:
+        j = m.group(1).strip()
+        t = f"trim({j})"
+        return (
+            f"(CASE WHEN {j} IS NULL THEN NULL "
+            f"WHEN left({t}, 1) = '{{' THEN 'object' "
+            f"WHEN left({t}, 1) = '[' THEN 'array' "
+            f"WHEN left({t}, 1) = '\"' THEN 'string' "
+            f"WHEN {t} IN ('true', 'false') THEN 'boolean' "
+            f"WHEN {t} = 'null' THEN 'null' "
+            f"ELSE 'number' END)"
+        )
+
+    sql = _JSON_TYPEOF_RE.sub(sub_json_typeof, sql)
+
+    def sub_regexp_matches(m: re.Match) -> str:
+        x, tok = m.group(1).strip(), m.group(2)
+        body = lits[int(_MASK_RE.match(tok).group(1))][1:-1]
+        ngroups = len(re.findall(r"(?<!\\)\((?!\?)", body))
+        if ngroups == 0:
+            inner = f"array(regexp_extract({x}, {tok}, 0))"
+        else:
+            inner = "array(" + ", ".join(
+                f"regexp_extract({x}, {tok}, {i})"
+                for i in range(1, ngroups + 1)
+            ) + ")"
+        return f"(CASE WHEN {x} RLIKE {tok} THEN {inner} END)"
+
+    sql = _REGEXP_MATCHES_RE.sub(sub_regexp_matches, sql)
 
     def sub_interval_lit(m: re.Match) -> str:
         tok = m.group(1)
