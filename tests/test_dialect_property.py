@@ -883,3 +883,30 @@ def test_jsonb_operators_typeof_regexp_matches(spark):
     assert run("SELECT regexp_matches('abc', 'zz') AS v") is None
     assert run("SELECT 'x'::bytea IS NOT NULL AS v") is True
     assert run("SELECT '$.a'::jsonpath AS v") == "$.a"
+
+
+def test_hash_path_time_literal_make_timestamptz(spark):
+    """#> / #>> path extraction (jsonfuncs.c json_extract_path) in both
+    the '{a,b}' text and array['a','b'] spellings — numeric elements
+    index arrays; `time '...'` typed literals compose with dates as
+    PG's date + time does; make_timestamptz maps to make_timestamp;
+    'unknown' casts to STRING."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    assert run(
+        """SELECT '{"a":{"b":7}}'::jsonb #> '{a,b}' AS v"""
+    ) == "7"
+    assert run("""SELECT '[0,1,2]'::jsonb #> '{1}' AS v""") == "1"
+    assert run(
+        """SELECT '{"f2":{"f3":1}}'::jsonb #> array['f2'] AS v"""
+    ) == '{"f3":1}'
+    assert str(run(
+        "SELECT DATE '1981-02-03' + time '04:05:06' AS v"
+    )) == "1981-02-03 04:05:06"
+    assert run(
+        "SELECT make_timestamptz(1973, 7, 15, 8, 15, 55.33) IS NOT NULL AS v"
+    ) is True
+    assert run("SELECT 'foo'::unknown AS v") == "foo"

@@ -65,6 +65,7 @@ _TYPE_MAP = {
     "regproc": "STRING",
     "name": "STRING",
     "oid": "BIGINT",
+    "unknown": "STRING",
 }
 
 # ------------------------------------------------------------------ masking
@@ -686,6 +687,21 @@ _JSON_HAS_KEY_RE = re.compile(
 _JSON_TYPED_LIT_RE = re.compile(
     rf"\bjsonb?\s+({_LIT})", re.IGNORECASE
 )
+# j #> '{a,b}' / j #>> '{a,b}' / the array['a','b'] path form
+# (jsonfuncs.c json_extract_path[_text]): both lower to
+# get_json_object — json is its own text form in this model
+_HASH_PATH_RE = re.compile(
+    rf"({_DISTINCT_OPERAND})\s*#>>?\s*({_LIT})"
+)
+_HASH_PATH_ARR_RE = re.compile(
+    rf"({_DISTINCT_OPERAND})\s*#>>?\s*array\s*\(((?:[^()]|\([^()]*\))*)\)",
+    re.IGNORECASE,
+)
+# typed literal `time '04:05:06'` — no TIME type here; as a day-time
+# interval it composes with dates/timestamps the way PG's date + time
+# does (datetime.c datetime_pl_time)
+_TIME_LIT_RE = re.compile(r"(?<![\w.])time\s+(\x01\d+\x01)", re.IGNORECASE)
+_MAKE_TSTZ_RE = re.compile(r"\bmake_timestamptz\s*\(", re.IGNORECASE)
 # jsonb_typeof/json_typeof (jsonfuncs.c): classify by the first
 # non-space character of the json text
 _JSON_TYPEOF_RE = re.compile(
@@ -988,6 +1004,40 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
 
     sql = _TRUNC1_RE.sub(sub_trunc1, sql)
     sql = _JSON_TYPED_LIT_RE.sub(lambda m: m.group(1), sql)
+
+    def _json_path(elems: list[str]) -> str:
+        path = "$"
+        for e in elems:
+            e = e.strip().strip("'\"")
+            path += f"[{e}]" if e.isdigit() else f".{e}"
+        return path
+
+    def sub_hash_path(m: re.Match) -> str:
+        j, tok = m.group(1), m.group(2)
+        body = lits[int(_MASK_RE.match(tok).group(1))][1:-1]
+        path = _json_path(body.strip().strip("{}").split(","))
+        return f"get_json_object({j}, '{path}')"
+
+    def sub_hash_path_arr(m: re.Match) -> str:
+        j, args_s = m.group(1), m.group(2)
+        elems = []
+        for a in _split_args(args_s):
+            a = a.strip()
+            lm = _MASK_RE.match(a)
+            if lm and a == lm.group(0):
+                elems.append(lits[int(lm.group(1))][1:-1])
+            elif a.isdigit():
+                elems.append(a)
+            else:
+                return m.group(0)  # dynamic path elements: stay loud
+        return f"get_json_object({j}, '{_json_path(elems)}')"
+
+    sql = _HASH_PATH_ARR_RE.sub(sub_hash_path_arr, sql)
+    sql = _HASH_PATH_RE.sub(sub_hash_path, sql)
+    sql = _TIME_LIT_RE.sub(
+        lambda m: f"INTERVAL {m.group(1)} HOUR TO SECOND", sql
+    )
+    sql = _MAKE_TSTZ_RE.sub("make_timestamp(", sql)
     sql = _JSON_KEYS_ANY_RE.sub(
         lambda m: (
             f"exists({m.group(2)}, __jk -> "
