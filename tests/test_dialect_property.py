@@ -910,3 +910,24 @@ def test_hash_path_time_literal_make_timestamptz(spark):
         "SELECT make_timestamptz(1973, 7, 15, 8, 15, 55.33) IS NOT NULL AS v"
     ) is True
     assert run("SELECT 'foo'::unknown AS v") == "foo"
+
+
+def test_braced_array_literals_and_typed_scalars(spark):
+    """PG '{1,2,3}' braced array-literal text (arrayfuncs.c array_in)
+    builds an array at rewrite time — with ::type[] casts and inside
+    scalar ANY/ALL; typed scalar literal prefixes (bool 'n', int4 '7',
+    numeric '1.5', text 'x') become CAST."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    assert run("SELECT '{1,2,3}'::int4[] AS v") == [1, 2, 3]
+    assert run("SELECT '{a,b}'::text[] AS v") == ["a", "b"]
+    assert run("SELECT '{}'::int8[] AS v") == []
+    assert run("SELECT 25 = any('{1,25,3}') AS v") is True
+    assert run("SELECT 25 = any('{1,2,3}') AS v") is False
+    assert run("SELECT 9 < ALL('{10,20}') AS v") is True
+    assert run("SELECT bool 'n' AS v") is False
+    assert run("SELECT int4 '42' AS v") == 42
+    assert run("SELECT text 'abc' AS v") == "abc"

@@ -702,6 +702,19 @@ _HASH_PATH_ARR_RE = re.compile(
 # does (datetime.c datetime_pl_time)
 _TIME_LIT_RE = re.compile(r"(?<![\w.])time\s+(\x01\d+\x01)", re.IGNORECASE)
 _MAKE_TSTZ_RE = re.compile(r"\bmake_timestamptz\s*\(", re.IGNORECASE)
+# PG braced array-literal text form '{a,b,c}' cast to an array type
+# (arrayfuncs.c array_in): built into an array(...) at rewrite time.
+# Basic comma form only — nested arrays / escaped quotes stay loud.
+_BRACED_ARRAY_CAST_RE = re.compile(
+    rf"({_LIT})\s*::\s*(\w+)\s*\[\s*\]"
+)
+# scalar typed-literal prefixes for mapped PG type names (gram.y
+# AexprConst): bool 'n', int4 '7', numeric '1.5', text 'x'
+_TYPED_SCALAR_LIT_RE = re.compile(
+    r"\b(boolean|bool|int2|int4|int8|float4|float8|numeric|text"
+    r"|varchar|bpchar|oid)\s+(\x01\d+\x01)",
+    re.IGNORECASE,
+)
 # jsonb_typeof/json_typeof (jsonfuncs.c): classify by the first
 # non-space character of the json text
 _JSON_TYPEOF_RE = re.compile(
@@ -1161,9 +1174,29 @@ def _rewrite_substring_regex(sql: str, lits: list[str]) -> str:
     return _SUBSTR_REGEX_RE.sub(sub, sql)
 
 
-def _rewrite_op_any_all(sql: str) -> str:
+def _braced_to_array(arr: str, lits: list[str]) -> str:
+    """'{1,2,3}' braced array-literal text (array_in) → array('1','2',
+    '3'); anything else passes through unchanged."""
+    m = _MASK_RE.fullmatch(arr.strip())
+    if not m:
+        return arr
+    body = lits[int(m.group(1))][1:-1].strip()
+    if not (body.startswith("{") and body.endswith("}")):
+        return arr
+    inner = body[1:-1].strip()
+    if not inner:
+        return "array()"
+    elems = [
+        "'" + e.strip().strip('"').replace("'", "''") + "'"
+        for e in inner.split(",")
+    ]
+    return "array(" + ", ".join(elems) + ")"
+
+
+def _rewrite_op_any_all(sql: str, lits: list[str]) -> str:
     def sub(m: re.Match) -> str:
         x, op, quant, arr = (g.strip() for g in m.groups())
+        arr = _braced_to_array(arr, lits)
         fn = "forall" if quant.upper() == "ALL" else "exists"
         if op == "<>":
             op = "!="
@@ -1173,6 +1206,7 @@ def _rewrite_op_any_all(sql: str) -> str:
         x, neg, op, quant, arr = (
             (g or "").strip() for g in m.groups()
         )
+        arr = _braced_to_array(arr, lits)
         fn = "forall" if quant.upper() == "ALL" else "exists"
         pred = f"({x}) {op.upper()} __qe"
         if neg:
@@ -1612,6 +1646,29 @@ def rewrite(sql: str) -> str:
         lambda m: f"arrays_overlap({m.group(1)}, {m.group(2)})", out
     )
 
+    # '{a,b,c}'::type[] braced array literals — BEFORE the scalar cast
+    # pass, which would otherwise emit CAST(..)[]
+    def sub_braced(m: re.Match) -> str:
+        body = lits[int(_MASK_RE.match(m.group(1)).group(1))][1:-1].strip()
+        if not (body.startswith("{") and body.endswith("}")):
+            return m.group(0)
+        inner = body[1:-1].strip()
+        typ = _map_type(m.group(2))
+        if not inner:
+            return f"CAST(array() AS ARRAY<{typ}>)"
+        elems = []
+        for e in inner.split(","):
+            e = e.strip().strip('"')
+            elems.append("'" + e.replace("'", "''") + "'")
+        return f"CAST(array({', '.join(elems)}) AS ARRAY<{typ}>)"
+
+    out = _BRACED_ARRAY_CAST_RE.sub(sub_braced, out)
+    # bool 'n' / int4 '7' / numeric '1.5' typed scalar literals
+    out = _TYPED_SCALAR_LIT_RE.sub(
+        lambda m: f"CAST({m.group(2)} AS {_map_type(m.group(1).lower())})",
+        out,
+    )
+
     # expr::type  (repeat: chained casts a::text::int)
     prev = None
     while prev != out:
@@ -1666,7 +1723,7 @@ def rewrite(sql: str) -> str:
     )
 
     # x OP ANY/ALL/SOME (array) → exists()/forall(); LIKE/ILIKE forms too
-    out = _rewrite_op_any_all(out)
+    out = _rewrite_op_any_all(out, lits)
 
     # PG math operators: ^ power, # xor, @ abs, |/ sqrt, ||/ cbrt
     out = _rewrite_pg_math_ops(out)
