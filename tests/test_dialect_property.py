@@ -931,3 +931,29 @@ def test_braced_array_literals_and_typed_scalars(spark):
     assert run("SELECT bool 'n' AS v") is False
     assert run("SELECT int4 '42' AS v") == 42
     assert run("SELECT text 'abc' AS v") == "abc"
+
+
+def test_spelled_out_timestamp_and_time_literals(spark):
+    """`timestamp with[out] time zone '...'` collapses to TIMESTAMP
+    (single-timestamp model); `double precision '4.95'` casts; the
+    time-literal interval qualifier follows the colon count so both
+    '10:00' and '10:00:30' compose with dates."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    assert str(run(
+        "SELECT timestamp without time zone '1999-12-01 10:00:00' AS v"
+    )) == "1999-12-01 10:00:00"
+    assert str(run(
+        "SELECT timestamp with time zone '2005-04-02 12:00:00' "
+        "+ interval '24 hours' AS v"
+    )) == "2005-04-03 12:00:00"
+    assert run("SELECT double precision '4.95' AS v") == 4.95
+    assert str(run(
+        "SELECT DATE '1994-01-01' + time '10:00' AS v"
+    )) == "1994-01-01 10:00:00"
+    assert str(run(
+        "SELECT DATE '1994-01-01' + time '10:00:30' AS v"
+    )) == "1994-01-01 10:00:30"

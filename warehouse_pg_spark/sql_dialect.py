@@ -702,6 +702,15 @@ _HASH_PATH_ARR_RE = re.compile(
 # does (datetime.c datetime_pl_time)
 _TIME_LIT_RE = re.compile(r"(?<![\w.])time\s+(\x01\d+\x01)", re.IGNORECASE)
 _MAKE_TSTZ_RE = re.compile(r"\bmake_timestamptz\s*\(", re.IGNORECASE)
+# `timestamp with[out] time zone '...'` spelled-out typed literals —
+# both collapse to the single TIMESTAMP type (README)
+_TS_ZONE_LIT_RE = re.compile(
+    r"\btimestamp\s+with(?:out)?\s+time\s+zone\s+(\x01\d+\x01)",
+    re.IGNORECASE,
+)
+_DOUBLE_PREC_LIT_RE = re.compile(
+    r"\bdouble\s+precision\s+(\x01\d+\x01)", re.IGNORECASE
+)
 # PG braced array-literal text form '{a,b,c}' cast to an array type
 # (arrayfuncs.c array_in): built into an array(...) at rewrite time.
 # Basic comma form only — nested arrays / escaped quotes stay loud.
@@ -1047,9 +1056,17 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
 
     sql = _HASH_PATH_ARR_RE.sub(sub_hash_path_arr, sql)
     sql = _HASH_PATH_RE.sub(sub_hash_path, sql)
-    sql = _TIME_LIT_RE.sub(
-        lambda m: f"INTERVAL {m.group(1)} HOUR TO SECOND", sql
+    sql = _TS_ZONE_LIT_RE.sub(lambda m: f"TIMESTAMP {m.group(1)}", sql)
+    sql = _DOUBLE_PREC_LIT_RE.sub(
+        lambda m: f"CAST({m.group(1)} AS DOUBLE)", sql
     )
+
+    def sub_time_lit(m: re.Match) -> str:
+        body = lits[int(_MASK_RE.match(m.group(1)).group(1))][1:-1]
+        qual = "HOUR TO SECOND" if body.count(":") >= 2 else "HOUR TO MINUTE"
+        return f"INTERVAL {m.group(1)} {qual}"
+
+    sql = _TIME_LIT_RE.sub(sub_time_lit, sql)
     sql = _MAKE_TSTZ_RE.sub("make_timestamp(", sql)
     sql = _JSON_KEYS_ANY_RE.sub(
         lambda m: (
