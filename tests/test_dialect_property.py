@@ -957,3 +957,20 @@ def test_spelled_out_timestamp_and_time_literals(spark):
     assert str(run(
         "SELECT DATE '1994-01-01' + time '10:00:30' AS v"
     )) == "1994-01-01 10:00:30"
+
+
+def test_array_type_casts_on_expressions(spark):
+    """`expr::type[]` on non-literal operands (including chains) maps
+    to ARRAY<T> casts; scalar casts and the '{...}' literal form are
+    unaffected."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    assert run("SELECT ARRAY[1,2,3]::text[] AS v") == ["1", "2", "3"]
+    assert run("SELECT ARRAY['1','2']::int4[] AS v") == [1, 2]
+    assert run(
+        "SELECT ARRAY[1,2,3]::text[]::int[]::float8[] AS v"
+    ) == [1.0, 2.0, 3.0]
+    assert run("SELECT 1.5::numeric(10,2)::float8 AS v") == 1.5

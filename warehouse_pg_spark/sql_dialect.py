@@ -126,7 +126,8 @@ def _new_lit(value: str, lits: list[str]) -> str:
 # or a parenthesized tail like fn(x)::text (matches the closing paren).
 _CAST_RE = re.compile(
     rf"(\w+\([^()]*\)|{_LIT}|[\w.]+)\s*::\s*"
-    r"([a-zA-Z_][\w]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    r"(ARRAY<[\w<>(),\s]*>"
+    r"|[a-zA-Z_][\w]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
 )
 
 # one JSON arrow step: -> 'key' / ->> 'key' / -> 0 (array index). The
@@ -1419,6 +1420,8 @@ def map_decl_type(t: str) -> str:
 
 
 def _map_type(t: str) -> str:
+    if t.upper().startswith("ARRAY<"):  # already a Spark array type
+        return t
     base = t.split("(")[0].strip().lower()
     mapped = _TYPE_MAP.get(base)
     if mapped is None:
@@ -1680,6 +1683,14 @@ def rewrite(sql: str) -> str:
         return f"CAST(array({', '.join(elems)}) AS ARRAY<{typ}>)"
 
     out = _BRACED_ARRAY_CAST_RE.sub(sub_braced, out)
+    # `expr::type[]` on non-literal operands → ARRAY<T>, BEFORE the
+    # scalar cast pass (which would otherwise consume `::type` and
+    # leave a dangling [])
+    out = re.sub(
+        r"::\s*([a-zA-Z_]\w*)\s*\[\s*\]",
+        lambda m: f"::ARRAY<{_map_type(m.group(1))}>",
+        out,
+    )
     # bool 'n' / int4 '7' / numeric '1.5' typed scalar literals
     out = _TYPED_SCALAR_LIT_RE.sub(
         lambda m: f"CAST({m.group(2)} AS {_map_type(m.group(1).lower())})",
@@ -1696,8 +1707,10 @@ def rewrite(sql: str) -> str:
 
     # Fallback for operands _CAST_RE can't bound (nested parens): Spark 4
     # parses `expr::type` natively, so just map the PG type name.
+    # (ARRAY<...> types emitted above are already Spark-native — the
+    # lookahead keeps the word ARRAY from being re-mapped bare.)
     out = re.sub(
-        r"::\s*([a-zA-Z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
+        r"::\s*([a-zA-Z_]\w*(?!\s*<)(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
         lambda m: "::" + _map_type(m.group(1)),
         out,
     )
