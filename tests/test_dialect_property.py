@@ -264,7 +264,9 @@ def test_with_ties_and_row_compare(spark):
     # plain FETCH ... ONLY unaffected
     assert "LIMIT 3" in rewrite("SELECT x FROM t FETCH FIRST 3 ROWS ONLY")
     out = rewrite("SELECT 1 WHERE (a, b) > (1, 2)")
-    assert "struct(a, b) > struct(1 AS a, 2 AS b)" in out
+    # r9: boolean lexicographic expansion (PG three-valued row_cmp),
+    # no longer Spark struct comparison (which orders NULLs)
+    assert "((a) > (1)) OR (((a) = (1)) AND ((b) > (2)))" in out
     # executes: ties survive, keyset resumes
     rows = spark.sql(
         rewrite(
@@ -622,10 +624,14 @@ def test_pg_misc_function_spellings(spark):
         "SELECT CAST(age(DATE '2026-03-15', DATE '2025-01-31') AS STRING)"
         " AS v"
     ) == "1 years 1 months 15 days"
+    # r9: an explicitly-naive TIMESTAMP literal follows PG's
+    # timestamp→timestamptz direction (wall-clock IN the zone → UTC
+    # instant); 12:00 EST = 17:00 UTC. Bare columns keep the collapsed
+    # model's instant reading (test_at_time_zone_directions).
     assert run(
         "SELECT CAST(TIMESTAMP '2026-01-01 12:00:00' "
         "AT TIME ZONE 'America/New_York' AS STRING) AS v"
-    ) == "2026-01-01 07:00:00"
+    ) == "2026-01-01 17:00:00"
     assert run("SELECT ||/ -27.0 AS v") == -3.0
     # SRF form: one row per 1-based subscript
     rows = spark.sql(rewrite(

@@ -470,3 +470,103 @@ def test_expression_case_still_works_in_bodies(engine, spark):
         for x in (-3, 5, 20)
     }
     assert got == {-3: 3, 5: 5, 20: 40}
+
+
+def test_raise_literal_percent_escape(engine, spark):
+    """ADVICE r9: PG's '%%' renders a literal '%' and must not become a
+    format slot (pl_exec.c exec_stmt_raise); a lone '%' with args is a
+    slot as before."""
+    engine.sql(
+        """CREATE FUNCTION pct_raise(x int) RETURNS int AS $$
+        BEGIN
+          IF x > 10 THEN RAISE EXCEPTION 'over 100%% limit: %', x; END IF;
+          RETURN x;
+        END; $$ LANGUAGE plpgsql"""
+    )
+    assert engine.sql("SELECT pct_raise(5) AS v").collect()[0].v == 5
+    with pytest.raises(Exception, match="over 100% limit: 50"):
+        engine.sql("SELECT pct_raise(50)").collect()
+
+
+def test_for_over_query_record(engine, spark):
+    """FOR rec IN SELECT ... LOOP (pl_exec.c exec_stmt_fors) lowered to
+    a JVM aggregate() fold over ONE collect_list scalar subquery —
+    RECORD fields as struct members, ORDER BY respected via
+    array_sort, zero Python per row."""
+    engine.sql("DROP TABLE IF EXISTS plq_t")
+    engine.sql("CREATE TABLE plq_t (k INT, v INT) USING PARQUET")
+    engine.sql("INSERT INTO plq_t VALUES (1, 10), (2, 20), (3, 30)")
+    engine.sql(
+        """CREATE FUNCTION plq_sum() RETURNS BIGINT AS $$
+        DECLARE rec RECORD; total BIGINT := 0;
+        BEGIN
+          FOR rec IN SELECT k, v FROM plq_t ORDER BY k LOOP
+            total := total + rec.v;
+          END LOOP;
+          RETURN total;
+        END; $$ LANGUAGE plpgsql"""
+    )
+    assert engine.sql("SELECT plq_sum() AS s").collect()[0].s == 60
+    # EXIT WHEN + iteration order (ORDER BY v ascending → 10 + 20)
+    engine.sql(
+        """CREATE FUNCTION plq_first_two() RETURNS BIGINT AS $$
+        DECLARE rec RECORD; total BIGINT := 0; n INT := 0;
+        BEGIN
+          FOR rec IN SELECT v FROM plq_t ORDER BY v LOOP
+            EXIT WHEN n >= 2;
+            total := total + rec.v;
+            n := n + 1;
+          END LOOP;
+          RETURN total;
+        END; $$ LANGUAGE plpgsql"""
+    )
+    assert engine.sql("SELECT plq_first_two() AS s").collect()[0].s == 30
+    engine.sql("DROP TABLE plq_t")
+
+
+def test_for_over_query_scalar_and_multi_targets(engine, spark):
+    """Scalar target lists map positionally onto the query's output
+    columns; params correlate through WHERE like SELECT INTO."""
+    engine.sql("DROP TABLE IF EXISTS plq_t2")
+    engine.sql("CREATE TABLE plq_t2 (k INT, v INT) USING PARQUET")
+    engine.sql("INSERT INTO plq_t2 VALUES (1, 10), (2, 20), (3, 30)")
+    engine.sql(
+        """CREATE FUNCTION plq_above(lo INT) RETURNS BIGINT AS $$
+        DECLARE x INT; total BIGINT := 0;
+        BEGIN
+          FOR x IN SELECT v FROM plq_t2 WHERE v > lo LOOP
+            total := total + x;
+          END LOOP;
+          RETURN total;
+        END; $$ LANGUAGE plpgsql"""
+    )
+    assert engine.sql("SELECT plq_above(15) AS s").collect()[0].s == 50
+    engine.sql(
+        """CREATE FUNCTION plq_weighted() RETURNS BIGINT AS $$
+        DECLARE a INT; b INT; total BIGINT := 0;
+        BEGIN
+          FOR a, b IN SELECT k, v FROM plq_t2 LOOP
+            total := total + a * b;
+          END LOOP;
+          RETURN total;
+        END; $$ LANGUAGE plpgsql"""
+    )
+    assert engine.sql("SELECT plq_weighted() AS s").collect()[0].s == 140
+    engine.sql("DROP TABLE plq_t2")
+
+
+def test_for_over_query_param_in_body_rejected(engine, spark):
+    """A function param inside the loop BODY would be an outer
+    reference outside WHERE/HAVING (Spark restriction) — must fail at
+    compile time with the workaround, not an opaque analysis error."""
+    with pytest.raises(Exception, match="WHERE"):
+        engine.sql(
+            """CREATE FUNCTION plq_bad(th INT) RETURNS INT AS $$
+            DECLARE r RECORD; c INT := 0;
+            BEGIN
+              FOR r IN SELECT v FROM orders_nonexistent LOOP
+                IF r.v > th THEN c := c + 1; END IF;
+              END LOOP;
+              RETURN c;
+            END; $$ LANGUAGE plpgsql"""
+        )

@@ -65,10 +65,29 @@ def test_prefix_entries_all_oracle_checkable():
     assert not holes, f"prefix entries without oracle: {holes}"
 
 
-def test_prefix_spans_every_family():
+def test_prefix_plus_history_spans_every_family():
+    """Every SURVEY §2 family must have a driver-green representative —
+    either already verified in a prior round's CORRECTNESS_r*.json or
+    entering the scored prefix this round. (Per-round prefix spanning
+    became impossible once the rotation policy filled the prefix with
+    never-scored entries whose families' only owners are already
+    green.)"""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    covered: set[str] = set(DRIVER_PREFIX)
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            covered.update(
+                n for n, v in json.load(fh).items()
+                if isinstance(v, dict) and v.get("hash_match")
+            )
     seen: set[str] = set()
-    for n in DRIVER_PREFIX:
-        seen.update(REGISTRY[n].tags)
+    for n in covered:
+        if n in REGISTRY:
+            seen.update(REGISTRY[n].tags)
     missing = [t for t in REQUIRED_FAMILY_TAGS if t not in seen]
     assert not missing, f"families with no driver-scored representative: {missing}"
 
@@ -198,3 +217,57 @@ def test_fixture_schema_pinned(spark, sf_dir, name):
     )
     # the engine-wide timestamp policy: NTZ never escapes the catalog
     assert not any(t == "timestamp_ntz" for _, t in got), name
+
+
+def test_parity_channel_is_driver_faithful(spark, sf_dir):
+    """Round-8 red regression (pgsql_keyset_pagination): the driver
+    renders results through pandas astype(str), where an ALL-midnight
+    datetime64 column prints date-only ('1997-06-01') while
+    registry._canonize formats a Spark TimestampType as
+    '1997-06-01 00:00:00'.  The old per-cell _norm channel normalized
+    both to the same string and so could never see the class; the
+    driver-faithful channel must flag it."""
+    import pandas as pd
+
+    from tests.parity import _pandas_rows, compare
+
+    # 1. pin the pandas semantics the driver relies on
+    allmid = pd.DataFrame({"d": pd.to_datetime(["1997-06-01", "1998-01-02"])})
+    _, rows = _pandas_rows(allmid)
+    assert rows == [("1997-06-01",), ("1998-01-02",)]
+    mixed = pd.DataFrame(
+        {
+            "d": pd.to_datetime(
+                ["1997-06-01", "1998-01-02 03:00:00"], format="mixed"
+            )
+        }
+    )
+    _, rows = _pandas_rows(mixed)
+    assert rows[0] == ("1997-06-01 00:00:00",)
+    nat = pd.DataFrame({"d": pd.to_datetime([None, "1998-01-02"])})
+    _, rows = _pandas_rows(nat)
+    assert ("NaT",) in rows  # vs Spark-side canonized string NULL → 'None'
+
+    # 2. a raw-timestamp Spark projection vs a raw all-midnight oracle
+    #    column MUST mismatch under this channel (the round-8 red shape)
+    from warehouse_pg_spark.queries.registry import _canonize, table
+
+    df = _canonize(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate").limit(5)
+    )
+    with pytest.raises(AssertionError, match="value mismatch"):
+        compare(
+            df,
+            "SELECT o_orderkey, o_orderdate FROM orders "
+            "ORDER BY o_orderkey LIMIT 5",
+            sf_dir,
+            name="channel-regression",
+        )
+    # and the strftime'd oracle form matches
+    compare(
+        df,
+        "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') "
+        "AS o_orderdate FROM orders ORDER BY o_orderkey LIMIT 5",
+        sf_dir,
+        name="channel-fixed",
+    )

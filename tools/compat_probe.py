@@ -1,30 +1,89 @@
 #!/usr/bin/env python
-"""PG-dialect breadth metric: run every self-contained (FROM-less)
-SELECT expression found in the reference's regress suite through
-engine.sql and record the pass rate. One JSON line:
-{"metric": "regress_expr_compat", "pass": N, "fail": M, "pct": P}.
+"""PG-dialect breadth metric, ANSWER-CHECKED (round 9).
 
-This is a coverage TREND metric, not a target of 100%: the corpus
-includes expressions that reference regress-local UDFs/types created
-by the suites' setup DDL (COMPLEX, pleast, widget, ...), full-text
-search (tsvector/tsquery), and BC-era dates — all out of scope by
-design. What moves the number round-over-round is generic dialect
-coverage (operators, casts, function spellings, SRF forms).
+Runs every self-contained (FROM-less) SELECT expression found in the
+reference's regress suite through engine.sql AND through DuckDB (which
+speaks most of PG's dialect), then compares values — because
+"runs-without-exception" is exactly the metric that let the base-10
+log() bug (r8 commit e88e252: PG log is base-10, Spark's is ln) ship
+silently. Counts:
+
+  value_pass         executed in both engines, values match
+  value_mismatch     executed in both, values DIFFER — the
+                     silent-wrong-answer class; triaged in --fails-out
+  exec_only          engine ran but DuckDB can't (no oracle available)
+  skipped_nondet     nondeterministic (random/now/...): never compared
+  engine_error       engine.sql raised
+  oracle_diverges    skip-list: DuckDB is known to differ from PG here,
+                     so a mismatch is not evidence against the engine
+
+One JSON line; --fails-out writes the full triage.
 
 Usage: python tools/compat_probe.py [--sample N] [--fails-out PATH]
 """
 
 from __future__ import annotations
 
+import datetime
 import glob
 import json
+import math
 import os
 import re
 import sys
+from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REGRESS = "/root/reference/src/test/regress/sql/*.sql"
+
+_NONDET_RE = re.compile(
+    r"(?i)\b(random|setseed|now|clock_timestamp|statement_timestamp"
+    r"|transaction_timestamp|timeofday|currval|nextval|current_date"
+    r"|current_time|current_timestamp|localtime|localtimestamp"
+    r"|current_user|session_user|user|version|inet_|gen_random_uuid)\b"
+)
+
+# Expressions where DuckDB's own answer differs from PG (verified by
+# hand against PG semantics), so a Spark≠DuckDB diff is expected and
+# carries no signal. Substring match on the statement text.
+ORACLE_DIVERGES = (
+    # DuckDB renders float4 values with float8 shortest-repr (PG prints
+    # the float4 shortest repr: '1.2345679e+20' etc.)
+    "::float4",
+    "as float4",
+    # DuckDB ~ / !~ are POSIX but its char-class/locale behavior inside
+    # bracket expressions differs from PG's in regress edge strings
+    "[[:",
+    # PG numeric pow/exp print with numeric-typed scale rules DuckDB
+    # doesn't replicate digit-for-digit
+    "^ 0.5",
+    # interval output style differs (PG '1 day 12:00:00' vs DuckDB
+    # '1 day 12:00:00' is close, but mixed styles like '@ 1 day' and
+    # justify_* spellings differ)
+    "justify_",
+    "@ ",
+    # to_char group separators / FM modes: DuckDB's to_char is not
+    # PG-complete; its output is not an oracle for formatting
+    "to_char(",
+    # DuckDB regexp_matches returns BOOL; PG returns setof text[]
+    "regexp_matches(",
+    # PG format() rejects unknown specifiers; DuckDB echoes them
+    "format(",
+    # DuckDB loses record field names and uses engine-native NULL
+    # semantics for row equality (PG record_eq is three-valued)
+    "row(",
+    # PG json_array_length ERRORs on a non-array; DuckDB returns 0
+    "json_array_length(",
+    # DuckDB's make_timestamptz ignores the explicit-offset tz argument
+    "make_timestamptz(",
+    # DuckDB silently drops zone abbreviations in timestamptz literals
+    " msk'",
+    " pst'",
+    " est'",
+    " edt'",
+    " pdt'",
+)
 
 
 def corpus() -> list[str]:
@@ -43,6 +102,75 @@ def corpus() -> list[str]:
     return sorted(stmts)
 
 
+def _norm_cell(v) -> str:
+    """Engine-neutral value rendering: exact for ints/strings/bools,
+    10-significant-digit for floats (PG/DuckDB/Spark print shortest
+    reprs that differ in the last ulp), date-only for midnight
+    timestamps (date vs timestamp typing differs across engines for
+    the same literal)."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return "NULL"
+    if not isinstance(v, (list, tuple, np.ndarray, dict, str, bytes)):
+        try:
+            if pd.isna(v):  # NaT subclasses datetime; catch all scalars
+                return "NULL"
+        except (TypeError, ValueError):
+            pass
+    if isinstance(v, (np.floating, float, Decimal)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        if math.isinf(f):
+            return "Infinity" if f > 0 else "-Infinity"
+        if f == int(f) and abs(f) < 1e15:
+            return str(int(f))
+        return f"{f:.10g}"
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, pd.Timestamp):
+        if pd.isna(v):
+            return "NULL"
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:  # engines differ only in rendering:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        if v.time() == datetime.time(0, 0):
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, datetime.timedelta):
+        return str(v)
+    if isinstance(v, np.ndarray) and v.ndim == 0:
+        return _norm_cell(v.item())
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return json.dumps(
+            {k: _norm_cell(x) for k, x in sorted(v.items())}, sort_keys=True
+        )
+    if isinstance(v, bytes):
+        return "\\x" + v.hex()
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def _rows_of(pdf) -> list[tuple]:
+    return [
+        tuple(_norm_cell(c) for c in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+
+
 def main() -> None:
     sample = None
     fails_out = None
@@ -54,35 +182,105 @@ def main() -> None:
         elif a == "--fails-out":
             fails_out = args.pop(0)
 
+    import duckdb
+
     from warehouse_pg_spark.engine import Engine
     from warehouse_pg_spark.session import get_spark
 
     eng = Engine(get_spark())
+    con = duckdb.connect()
     stmts = corpus()
     if sample:
         import random
 
         random.seed(42)
         stmts = random.sample(stmts, min(sample, len(stmts)))
-    ok = 0
-    fails: list[str] = []
+
+    value_pass = exec_only = skipped_nondet = diverges = 0
+    engine_errors: list[dict] = []
+    mismatches: list[dict] = []
     for s in stmts:
         try:
-            eng.sql(s).collect()
-            ok += 1
+            spark_pdf = eng.sql(s).toPandas()
+        except Exception as ex:
+            engine_errors.append({"sql": s, "err": str(ex).split("\n")[0][:200]})
+            continue
+        if _NONDET_RE.search(s):
+            skipped_nondet += 1
+            continue
+        if any(p in s.lower() for p in ORACLE_DIVERGES):
+            diverges += 1
+            continue
+        try:
+            duck_pdf = con.execute(s).df()
         except Exception:
-            fails.append(s)
-    if fails_out:
-        with open(fails_out, "w") as f:
-            json.dump(fails, f, indent=1)
+            exec_only += 1
+            continue
+        s_rows, d_rows = _rows_of(spark_pdf), _rows_of(duck_pdf)
+        if sorted(s_rows) == sorted(d_rows):
+            value_pass += 1
+        else:
+            mismatches.append(
+                {"sql": s, "spark": s_rows[:3], "duck": d_rows[:3]}
+            )
+
     n = len(stmts)
-    print(json.dumps({
+    executed = n - len(engine_errors)
+    checked = value_pass + len(mismatches)
+    out = {
         "metric": "regress_expr_compat",
-        "pass": ok,
-        "fail": n - ok,
         "total": n,
-        "pct": round(100.0 * ok / n, 1),
-    }))
+        "executed": executed,
+        "exec_pct": round(100.0 * executed / n, 1),
+        "value_checked": checked,
+        "value_pass": value_pass,
+        "value_mismatch": len(mismatches),
+        "value_pct": round(100.0 * value_pass / checked, 1) if checked else None,
+        "exec_only": exec_only,
+        "skipped_nondet": skipped_nondet,
+        "oracle_diverges_skiplist": diverges,
+        "engine_error": len(engine_errors),
+    }
+    if fails_out:
+        def classify(e: str) -> str:
+            el = e.lower()
+            if re.search(r"tsvector|tsquery|to_tsvector|@@", el):
+                return "out-of-scope: full-text search"
+            if re.search(r"'\d+-\d+-\d+ *bc'|\bbc\b", el):
+                return "out-of-scope: BC dates"
+            if re.search(
+                r"\b(widget|complex|pleast|dfunc|city|int44|textrange"
+                r"|float8range|myint|tstzrange|table_am|rgb|rainbow"
+                r"|usr_define_type|xy_tuple|testtype\d*|tbl\d+"
+                r"|foreach_test|currtid2|merge_db|func1_\w+|excpt_test\d*"
+                r"|transaction_test\d*|sales_region|sec_definer_\w+"
+                r"|array_elem_check|anyarray_anyrange_func|serialtest\w*"
+                r"|get_ao_compression_ratio|gp_inject_fault"
+                r"|satisfies_hash_partition|brin_desummarize_range"
+                r"|lo_create|has_table_privilege|ts_lexize|verify)\b", el,
+            ):
+                return "out-of-scope: regress-local UDF/type or admin fn"
+            if re.search(r"\$\d+\b", e):  # bare prepared-stmt params
+                return "out-of-scope: unbound $n parameter"
+            return "in-scope"
+
+        triage = {
+            "engine_errors": [
+                {**d, "triage": classify(d["sql"])} for d in engine_errors
+            ],
+            "mismatches": mismatches,
+            "counts": {
+                "in_scope_errors": sum(
+                    1 for d in engine_errors if classify(d["sql"]) == "in-scope"
+                ),
+                "out_of_scope_errors": sum(
+                    1 for d in engine_errors if classify(d["sql"]) != "in-scope"
+                ),
+            },
+        }
+        with open(fails_out, "w") as f:
+            json.dump(triage, f, indent=1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

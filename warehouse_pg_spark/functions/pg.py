@@ -214,6 +214,41 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
 _REGISTERED_SESSIONS: set[int] = set()
 
 
+def _jsonb_contains_py(a: str | None, b: str | None):
+    """PG jsonb containment `a @> b` (reference
+    src/backend/utils/adt/jsonb_util.c JsonbDeepContains): objects
+    contain objects key-by-key (values recursively); arrays contain
+    arrays element-wise with set semantics; a TOP-LEVEL array contains
+    a bare scalar; scalars compare by value with bool≠number."""
+    import json as _json
+
+    if a is None or b is None:
+        return None
+    try:
+        va, vb = _json.loads(a), _json.loads(b)
+    except (ValueError, TypeError):
+        return None
+
+    def contains(x, y, top: bool = False) -> bool:
+        if isinstance(x, dict):
+            return isinstance(y, dict) and all(
+                k in x and contains(x[k], v) for k, v in y.items()
+            )
+        if isinstance(x, list):
+            if isinstance(y, list):
+                return all(any(contains(xe, ye) for xe in x) for ye in y)
+            if top and not isinstance(y, dict):
+                return any(contains(xe, y) for xe in x)
+            return False
+        if isinstance(y, (dict, list)):
+            return False
+        if isinstance(x, bool) != isinstance(y, bool):
+            return False
+        return x == y
+
+    return contains(va, vb, top=True)
+
+
 def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]:
     """Register PG-name SQL scalar functions (idempotent per session)."""
     key = id(spark)
@@ -224,5 +259,9 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
             f"RETURNS {ret} RETURN {body}"
         )
+    # row-at-a-time Python UDF — dialect-breadth slow path, used for the
+    # jsonb @> / <@ operators whose recursive semantics have no Spark
+    # built-in; typically applied to literals/small projections
+    spark.udf.register("jsonb_contains", _jsonb_contains_py, "BOOLEAN")
     _REGISTERED_SESSIONS.add(key)
     return sorted(_SQL_FUNCTIONS)

@@ -28,11 +28,24 @@ Supported statement forms (pl_gram.y subset):
     RAISE EXCEPTION 'msg'[, args];  -- terminal raise_error(); '%'
                   -- placeholders fill from args; NOTICE/WARNING/INFO/
                   -- LOG/DEBUG are accepted as result-neutral no-ops
-    EXIT [WHEN cond]; / CONTINUE [WHEN cond];  -- inside WHILE
-                  -- bodies: desugar to scoped flags guarding
-                  -- downstream statements (EXIT's also joins the loop
-                  -- condition; CONTINUE's resets per iteration);
-                  -- labels / use inside FOR rejected
+    EXIT [WHEN cond]; / CONTINUE [WHEN cond];  -- inside WHILE and
+                  -- FOR-over-query bodies: desugar to scoped flags
+                  -- guarding downstream statements (EXIT's also joins
+                  -- the loop condition; CONTINUE's resets per
+                  -- iteration); labels / use inside integer FOR
+                  -- rejected
+    FOR rec IN SELECT ... LOOP ... END LOOP;  -- pl_exec.c
+                  -- exec_stmt_fors: lowered to the same JVM fold as
+                  -- WHILE, over ONE scalar-subquery rows array
+                  -- `(SELECT [array_sort](collect_list(named_struct(
+                  -- ...))) FROM (q))`; RECORD fields are struct
+                  -- members (rec.col), scalar target lists map
+                  -- positionally; ORDER BY (plain ASC keys) sorts the
+                  -- array so iteration order matches; params correlate
+                  -- into the query like SELECT INTO
+    DECLARE rec RECORD;  -- usable only as a FOR-over-query target
+                  -- (referencing it before first assignment fails
+                  -- loudly, as pl_exec.c does)
     cursors / EXECUTE / RAISE USING  -- rejected with a clear error
 
 
@@ -87,6 +100,11 @@ def _strip_comments(text: str) -> str:
 # stmts) ("null",)
 
 _ASSIGN_RE = re.compile(r"^([A-Za-z_]\w*)\s*:?=\s*(.+)$", re.DOTALL)
+_FOR_QUERY_RE = re.compile(
+    r"^FOR\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s+IN\s+"
+    r"(SELECT\b.+?)\s+LOOP\b",
+    re.IGNORECASE | re.DOTALL,
+)
 _FOR_RE = re.compile(
     r"^FOR\s+([A-Za-z_]\w*)\s+IN\s+(REVERSE\s+)?(.+?)\s*\.\.\s*(.+?)\s+LOOP\b",
     re.IGNORECASE | re.DOTALL,
@@ -492,9 +510,23 @@ def _strip_parens(s: str) -> str:
 def _parse_for(s: str) -> tuple:
     m = _FOR_RE.match(s)
     if not m:
+        mq = _FOR_QUERY_RE.match(s)
+        if mq:
+            tail = re.search(r"END\s+LOOP\s*;?\s*$", s, re.IGNORECASE)
+            if not tail:
+                raise PlpgsqlError("FOR without END LOOP")
+            inner = s[mq.end(): tail.start()]
+            targets = [t.strip().lower() for t in mq.group(1).split(",")]
+            return (
+                "for_query",
+                targets,
+                mq.group(2).strip(),
+                _parse_stmts(_split_statements(inner)),
+            )
         raise PlpgsqlError(
-            "only integer-range FOR loops are supported "
-            f"(FOR v IN [REVERSE] a..b LOOP): {s[:80]!r}"
+            "only integer-range (FOR v IN [REVERSE] a..b LOOP) and "
+            "query (FOR rec IN SELECT ... LOOP) FOR loops are "
+            f"supported: {s[:80]!r}"
         )
     var, rev, lo, hi = m.group(1).lower(), bool(m.group(2)), m.group(3), m.group(4)
     inner_start = m.end()
@@ -541,6 +573,9 @@ def _assigned_vars(stmts: list[tuple]) -> set[str]:
         elif k == "for":
             out.add(s[1])
             out |= _assigned_vars(s[5])
+        elif k == "for_query":
+            # targets are loop-scoped; only body assignments escape
+            out |= _assigned_vars(s[3])
         elif k == "while":
             out |= _assigned_vars(s[2])
     return out
@@ -622,6 +657,155 @@ def _while_fold(
     return fold, state, n, cond
 
 
+# params of the function being compiled (set by compile_plpgsql) —
+# used to reject FOR-over-query bodies whose lambda would carry an
+# outer reference Spark forbids outside WHERE/HAVING
+_CURRENT_PARAMS: set[str] = set()
+
+_SELECT_LIST_RE = re.compile(r"(?is)^SELECT\s+(?:DISTINCT\s+)?(.+?)\s+(FROM\b.*)$")
+_ORDER_TAIL_RE = re.compile(r"(?is)^(.*?)\s+ORDER\s+BY\s+(.+?)\s*$")
+
+
+def _analyze_for_query(query: str) -> tuple[str, str, list[str], list[str]]:
+    """Split a FOR-over-query SELECT into (select-list, FROM-tail
+    without ORDER BY, output column names, ORDER BY keys). Computed
+    columns must be AS-aliased so the record's struct fields have
+    names; ORDER BY keys must be plain ASC expressions over the output
+    columns (they become leading struct fields for array_sort)."""
+    mo = _SELECT_LIST_RE.match(query.strip().rstrip(";"))
+    if not mo:
+        raise PlpgsqlError(
+            f"FOR-over-query needs SELECT <list> FROM ...: {query[:80]!r}"
+        )
+    sel, rest = mo.group(1).strip(), mo.group(2).strip()
+    order_keys: list[str] = []
+    mt = _ORDER_TAIL_RE.match(rest)
+    if mt and re.match(r"(?i)FROM\b", mt.group(1)):
+        keys = mt.group(2)
+        if re.search(r"(?i)\b(DESC|USING|NULLS)\b", keys):
+            raise PlpgsqlError(
+                "FOR-over-query ORDER BY supports plain ASC keys only"
+            )
+        rest = mt.group(1).strip()
+        order_keys = [k.strip() for k in _split_top_commas(keys)]
+    cols: list[str] = []
+    for item in _split_top_commas(sel):
+        item = item.strip()
+        ma = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", item)
+        if ma:
+            cols.append(ma.group(1).lower())
+        elif re.fullmatch(r"[\w.]+", item):
+            cols.append(item.split(".")[-1].lower())
+        else:
+            raise PlpgsqlError(
+                "alias computed FOR-over-query columns with AS: "
+                f"{item[:40]!r}"
+            )
+    if len(set(cols)) != len(cols):
+        raise PlpgsqlError(f"duplicate output column names: {cols}")
+    return sel, rest, cols, order_keys
+
+
+def _for_query_fold(
+    targets: list[str], query: str, body: list[tuple], env: dict[str, str]
+) -> tuple[str, list[str], int]:
+    """Lower `FOR rec IN SELECT ... LOOP body END LOOP` (pl_exec.c
+    exec_stmt_fors) to the same JVM fold the WHILE path uses:
+    `aggregate(<rows array>, init_state, (acc, rec) -> step)` where
+    the rows array is ONE scalar subquery
+    `(SELECT [array_sort](collect_list(named_struct(...))) FROM (q))`
+    and each iteration is a struct rewrite — no fuel bound needed
+    (the array length bounds the loop), no Python per row. RECORD
+    fields are struct members (`rec.col`); a scalar target list maps
+    positionally onto the output columns. EXIT freezes the remaining
+    iterations via the exit flag in the fold state. Caveat: decimal
+    arithmetic widens (DECIMAL(18,2)+DECIMAL(18,2) → (19,2)), changing
+    the state-struct type mid-loop — accumulate decimals with an
+    explicit CAST back to the declared type."""
+    n = next(_GENSYM)
+    env = dict(env)
+    kinds = _loop_ctrl_kinds(body)
+    eflag, cflag = f"__exit{n}", f"__cont{n}"
+    if kinds:
+        body = _desugar_exits(body, eflag, cflag)
+        if "continue_when" in kinds:
+            body = [("assign", cflag, "false")] + body
+        env[eflag] = "(false)"
+        env[cflag] = "(false)"
+    sel, rest, cols, okeys = _analyze_for_query(query)
+    rec, acc = f"__r{n}", f"__a{n}"
+    fields = ", ".join(f"'{c}', {c}" for c in cols)
+    # params (and only params/declared vars) correlate into the query,
+    # same substitution contract as SELECT INTO
+    inner = _subst(f"SELECT {sel} {rest}", env)
+    if okeys:
+        ofields = ", ".join(f"'__o{i}', {k}" for i, k in enumerate(okeys))
+        rows = f"array_sort(collect_list(named_struct({ofields}, {fields})))"
+    else:
+        rows = f"collect_list(named_struct({fields}))"
+    state = sorted(_assigned_vars(body))
+    if not state:
+        raise PlpgsqlError("FOR-over-query body assigns no variables")
+    missing = [v for v in state if v not in env]
+    if missing:
+        raise PlpgsqlError(
+            f"FOR-over-query body assigns undeclared variable(s): {missing}"
+        )
+    env_loop = dict(env)
+    env_loop.update({v: f"{acc}.{v}" for v in state})
+    declared_record = env.get(targets[0], "").upper().endswith("AS RECORD))")
+    if len(targets) == 1 and (len(cols) > 1 or declared_record):
+        env_loop[targets[0]] = rec  # RECORD: fields via rec.col
+    else:
+        if len(targets) > len(cols):
+            raise PlpgsqlError(
+                f"{len(targets)} FOR targets but query yields "
+                f"{len(cols)} column(s)"
+            )
+        for i, t in enumerate(targets):
+            env_loop[t] = f"{rec}.{cols[i]}"
+    body_env = _compile_env(body, env_loop)
+    step = "named_struct(" + ", ".join(
+        f"'{v}', {body_env[v]}" for v in state
+    ) + ")"
+    init = "named_struct(" + ", ".join(
+        f"'{v}', {env[v]}" for v in state
+    ) + ")"
+    lam_body = (
+        f"IF(({acc}.{eflag}), {acc}, {step})"
+        if "exit_when" in kinds
+        else step
+    )
+    # Spark allows outer references (function params) in a subquery's
+    # WHERE/HAVING only — a param inside the fold lambda or init would
+    # fail CREATE FUNCTION analysis with an opaque error; fail loudly
+    # here with the workaround instead.
+    offenders = sorted(
+        p
+        for p in _CURRENT_PARAMS
+        # exclude struct-field accesses (.p) and quoted field names ('p')
+        if re.search(
+            rf"(?<![.'\w]){re.escape(p)}\b", f"{step} {init}", re.IGNORECASE
+        )
+    )
+    if offenders:
+        raise PlpgsqlError(
+            f"function parameter(s) {offenders} referenced inside a "
+            "FOR-over-query loop body/initializer — Spark permits outer "
+            "references only in the query's WHERE/HAVING; move the "
+            "comparison into the FOR query's WHERE clause"
+        )
+    # the whole fold lives INSIDE the scalar subquery (aggregate over
+    # the post-aggregation collect_list value) — Spark rejects subquery
+    # expressions anywhere under a higher-order function, so the
+    # subquery must own the HOF, not the reverse
+    fold = (
+        f"(SELECT aggregate({rows}, {init}, ({acc}, {rec}) -> "
+        f"{lam_body}) FROM ({inner}) __q{n})"
+    )
+    return fold, state, n
+
+
 def _compile_env(stmts: list[tuple], env: dict[str, str]) -> dict[str, str]:
     """Thread a statement list through the environment, returning the
     final variable→expression map (the state-transition form used
@@ -692,8 +876,10 @@ def _compile_env(stmts: list[tuple], env: dict[str, str]) -> dict[str, str]:
                     f"ELSE {w}.{v} END), 1)"
                 )
         else:
+            # includes nested for_query: its rows array is a scalar
+            # subquery, which cannot appear inside a fold lambda
             raise PlpgsqlError(
-                f"unsupported statement inside WHILE body: {k!r}"
+                f"unsupported statement inside a loop body: {k!r}"
             )
     return env
 
@@ -762,8 +948,15 @@ def _compile_seq(stmts: list[tuple], env: dict[str, str], returns: str) -> str:
             arg_list = ", ".join(
                 f"CAST(({_subst(a, env)}) AS STRING)" for a in args
             )
-            # PG's % placeholders -> format_string %s slots at runtime
-            body = f"printf(replace({msg_e}, '%', '%s'), {arg_list})"
+            # PG's % placeholders -> printf %s slots at runtime; '%%'
+            # is PG's literal-percent escape and must NOT become two
+            # slots — park it in a \x01 sentinel, expand the real
+            # slots, then restore it as printf's own '%%' escape
+            # (printf chokes on a bare '%').
+            body = (
+                f"printf(replace(replace(replace({msg_e}, "
+                f"'%%', chr(1)), '%', '%s'), chr(1), '%%'), {arg_list})"
+            )
         else:
             body = msg_e
         return f"CAST(raise_error({body}) AS {returns})"
@@ -786,6 +979,17 @@ def _compile_seq(stmts: list[tuple], env: dict[str, str], returns: str) -> str:
         # transform-over-singleton-array is SQL's let-binding: the fold
         # result is named once ({w}) and referenced, never re-inlined
         return f"element_at(transform(array({fold}), {w} -> {inner}), 1)"
+    if kind == "for_query":
+        _, targets, query, body = head
+        fold, state, n = _for_query_fold(targets, query, body, env)
+        env_tail = dict(env)
+        # the fold is a scalar subquery, which cannot be let-bound via
+        # the transform-singleton trick (no subqueries under HOFs) —
+        # each state-var reference inlines its own copy; scalar
+        # functions have tiny tails, so the duplication is bounded.
+        # No fuel check: the rows array bounds the loop exactly.
+        env_tail.update({v: f"(({fold}).{v})" for v in state})
+        return _compile_seq(tail, env_tail, returns)
     if kind == "for":
         _, var, lo, hi, rev, body = head
         lo_i = _const_int(_subst(lo, env))
@@ -824,6 +1028,8 @@ def compile_plpgsql(
     )
     if not m:
         raise PlpgsqlError("body must be [DECLARE ...] BEGIN ... END")
+    _CURRENT_PARAMS.clear()
+    _CURRENT_PARAMS.update(p.lower() for p, _t in params)
     env: dict[str, str] = {p.lower(): p for p, _t in params}
     decl = m.group("decl") or ""
     for d in [x.strip() for x in decl.split(";") if x.strip()]:

@@ -44,19 +44,19 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
 # round ~10-13 NON-ANCHOR slots rotate to queries the driver has never
 # scored (union of CORRECTNESS_r1..r6), keeping one green representative
 # per family pinned.
-# r8 rotation (44 first-ever slots — the big sweep): every remaining
-# never-scored pgsql_* (the pure dialect-text path, highest divergence
-# risk) enters at once, plus this round's two NEW queries
-# (window_rows_unbounded_exclude — the final frame x exclusion cell —
-# and pgsql_plpgsql_while_select_into — WHILE fold + SELECT INTO), and
-# family-spread picks across window/fn/setop/agg/text/events/srf/ts/
-# sample/dedup/similarity/multimodal/tablefunc. Only 5 prior-round
-# anchors remain, each the sole prefix-eligible owner of a required
-# family tag: external_csv_scan (scan+external), agg_dqa_multi (dqa),
-# cte_shared_reuse (cte), udtf_python_split_words (udtf),
-# uda_pandas_grouped (uda). Cumulative driver coverage after this
-# round: 158 of the 220 now registered. Everything rotated out was
-# driver-green in r1-r7.
+# r9 rotation (44 first-ever slots — second big sweep): all remaining
+# never-scored entries except 17 deferred to round 10 (redundant family
+# siblings: the minmax EXCLUDE variants, extra setops/srf/fn shims).
+# The same 5 family anchors stay (sole green owners of scan+external /
+# dqa / cte / udtf / uda), plus pgsql_keyset_pagination re-enters for a
+# re-score after the round-9 canonize-channel fix (its r8 red was a
+# results-channel artifact — the engine rows were verified correct; the
+# oracle now projects strftime'd strings per tests/parity.py rules).
+# Cumulative driver coverage if green: 159 + 44 = 203 of 220.
+# Family spanning is now asserted CUMULATIVELY (prefix ∪ prior-round
+# green verdicts) in tests/test_registry.py — a 44-wide never-scored
+# sweep cannot also re-cover families whose only owners are already
+# scored green.
 DRIVER_PREFIX: tuple[str, ...] = (
     # anchors (required family tags with no never-scored owner)
     "external_csv_scan",
@@ -64,58 +64,53 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "cte_shared_reuse",
     "udtf_python_split_words",
     "uda_pandas_grouped",
-    # pgsql_* dialect-text path — complete never-scored census
-    "pgsql_json_arrow_props",
-    "pgsql_generate_series_from",
-    "pgsql_ilike_concat",
-    "pgsql_date_trunc_interval",
-    "pgsql_recursive_series",
-    "pgsql_recursive_referral_chain",
-    "pgsql_extract_epoch",
-    "pgsql_filter_grouping_sets",
-    "pgsql_like_tilde_ops",
-    "pgsql_array_ctor_ops",
-    "pgsql_nulls_default_order",
-    "pgsql_chained_json_arrows",
-    "pgsql_named_window_clause",
-    "pgsql_time_bucket_rollup",
-    "pgsql_jsonpath_match",
-    "pgsql_is_distinct_from",
-    "pgsql_fetch_with_ties",
+    # round-8 red, fixed this round — re-score
     "pgsql_keyset_pagination",
-    "pgsql_lateral_topn_text",
-    "pgsql_exists_correlated_text",
-    "pgsql_prepared_execute",
-    "pgsql_values_join",
-    "pgsql_any_array_dow",
-    "pgsql_math_operator_spellings",
-    "pgsql_plpgsql_while_select_into",
-    # window frame cells (incl. this round's final matrix cell)
-    "window_rows_unbounded_exclude",
-    "window_exclude_range_current",
-    "window_exclude_groups_frame",
-    # scalar-function families
-    "fn_generate_series_ts",
-    "fn_interval_arithmetic",
-    # set operations
-    "setop_intersect_all",
-    "setop_distinct_multicol",
-    # aggregates (sketch / ordered-set / ordered-agg owners)
-    "agg_percentile_approx",
-    "agg_percentile_disc",
-    "agg_xmlagg_members",
-    # text / events / srf / timeseries / sample
-    "text_shard_packing",
-    "events_session_window_native",
-    "srf_regexp_split_to_table",
-    "ts_asof_forward_nearest",
-    "sample_source_weighted",
-    # dedup / similarity / multimodal / tablefunc
-    "dedup_incremental_lsh",
-    "dedup_ngram_jaccard",
-    "multimodal_phash_near_dup",
-    "embed_label_centroids",
-    "tablefunc_json_table",
+    # never-scored sweep #2 (44)
+    "window_lag_lead",
+    "window_running_sum",
+    "window_exclude_group",
+    "window_exclude_ties",
+    "window_topn_per_group",
+    "window_range_interval",
+    "setop_union_distinct",
+    "fn_strings",
+    "fn_math",
+    "fn_conditional",
+    "fn_casts",
+    "fn_generate_series",
+    "fn_levenshtein",
+    "agg_percentile_multi",
+    "fn_format_family",
+    "fn_array_replace",
+    "events_from_json_struct",
+    "events_unpivot",
+    "agg_json_agg",
+    "events_sliding_window",
+    "srf_json_each",
+    "ts_daily_downsample",
+    "ts_linear_interpolate",
+    "dedup_fingerprint",
+    "sim_label_knn",
+    "sim_embedding_near_dup",
+    "embed_scalar_quantize",
+    "sim_label_knn_capped",
+    "embed_matryoshka_truncate",
+    "sim_srp_lsh_pairs",
+    "text_token_count",
+    "text_lang_id",
+    "text_source_stats",
+    "text_bpe_tokens",
+    "text_fts_rank",
+    "text_pii_scrub",
+    "text_repetition_gopher",
+    "text_passage_dedup",
+    "sample_bernoulli_rowsonly",
+    "tablefunc_xmltable",
+    "pgsql_plpgsql_for_query",
+    "fn_svec_sparse_dot",
+    "pgsql_misc_fn_spellings",
+    "multimodal_frame_sample",
 )
 
 

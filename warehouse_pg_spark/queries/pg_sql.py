@@ -783,8 +783,14 @@ def pgsql_fetch_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pgsql_keyset_pagination",
+    # o_orderdate is a raw TIMESTAMP projection on the Spark side
+    # (canonized to a 'yyyy-MM-dd HH:mm:ss' string); the driver's pandas
+    # channel renders an all-midnight datetime64 oracle column date-only
+    # under astype(str), so the oracle must emit the identical string —
+    # parity rule in tests/parity.py (round-8 red, root-caused r8/r9).
     oracle="""
-    SELECT o_orderdate, o_orderkey, o_totalprice
+    SELECT strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+           o_orderkey, o_totalprice
     FROM orders
     WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '1997-06-01', 2000)
     ORDER BY o_orderdate, o_orderkey
@@ -1255,3 +1261,51 @@ def pgsql_misc_fn_spellings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY grp
         """
     )
+
+
+@register(
+    "pgsql_plpgsql_for_query",
+    oracle="""
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_5
+    FROM (SELECT o_totalprice FROM orders
+          ORDER BY o_totalprice, o_orderkey LIMIT 5) t
+    """,
+    tags=("dialect", "plpgsql", "udf"),
+)
+def pgsql_plpgsql_for_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PL/pgSQL `FOR rec IN SELECT ... LOOP` (pl_exec.c
+    exec_stmt_fors) compiled — not interpreted — to a JVM aggregate()
+    fold over ONE collect_list scalar subquery (plpgsql._for_query_fold):
+    RECORD fields are struct members, ORDER BY becomes array_sort on
+    leading key fields so iteration order matches PG, EXIT WHEN freezes
+    the fold state. Sums the 5 cheapest orders = the oracle's
+    ORDER BY/LIMIT closed form. Row-at-a-time loops are inherently
+    serial (matching PG's own execution) — the 100-TB path for this
+    shape is the plain aggregate the oracle uses; the loop exists for
+    dialect parity."""
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_fixtures(sf_dir)
+    eng.sql(
+        """
+        CREATE OR REPLACE FUNCTION cheapest5_total()
+        RETURNS double precision LANGUAGE plpgsql AS $$
+        DECLARE r RECORD; total DECIMAL(18,2) := 0; n int := 0;
+        BEGIN
+          FOR r IN SELECT o_totalprice, o_orderkey FROM orders
+                   ORDER BY o_totalprice, o_orderkey LOOP
+            EXIT WHEN n >= 5;
+            -- cast back: decimal + decimal widens to (19,2), which
+            -- would change the fold's state-struct type mid-loop
+            total := CAST(total + CAST(r.o_totalprice AS DECIMAL(18,2))
+                          AS DECIMAL(18,2));
+            n := n + 1;
+          END LOOP;
+          RETURN CAST(total AS double precision);
+        END
+        $$
+        """
+    )
+    return eng.sql("SELECT cheapest5_total() AS total_5")

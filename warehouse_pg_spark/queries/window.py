@@ -56,7 +56,7 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey,
            LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS prev_price,
            LEAD(CAST(o_totalprice AS DECIMAL(18,2)), 2, CAST(-1 AS DECIMAL(18,2))) OVER w AS next2_price,
-           CAST(LAG(o_orderdate) OVER w AS DATE) AS prev_date
+           strftime(LAG(o_orderdate) OVER w, '%Y-%m-%d') AS prev_date
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,

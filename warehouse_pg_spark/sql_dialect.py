@@ -172,18 +172,53 @@ _ROW_CMP_RE = re.compile(
     rf"\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\)\s*(<=|>=|<|>)\s*"
     rf"\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)"
 )
+# explicit ROW(...) op ROW(...) spelling, any arity; args may nest one
+# paren level (function calls / typed literals)
+_ROW_ROW_CMP_RE = re.compile(
+    r"\bROW\s*\(((?:[^()]|\([^()]*\))*)\)\s*(<=|>=|<>|!=|=|<|>)\s*"
+    r"ROW\s*\(((?:[^()]|\([^()]*\))*)\)",
+    re.IGNORECASE,
+)
+
+
+def _row_cmp_expand(xs: list[str], ys: list[str], op: str) -> str:
+    """PG row-wise comparison (rowtypes.c record_cmp / record_eq) as
+    explicit three-valued boolean logic — Spark's native struct
+    comparison orders NULLs instead of propagating UNKNOWN, so
+    ROW(1,2,3) < ROW(1,NULL,4) must be NULL, not false."""
+    if op in ("=", "<>", "!="):
+        conj = " AND ".join(f"(({x}) = ({y}))" for x, y in zip(xs, ys))
+        return f"({conj})" if op == "=" else f"(NOT ({conj}))"
+    strict = op[0]
+
+    def rec(i: int) -> str:
+        x, y = xs[i], ys[i]
+        if i == len(xs) - 1:
+            return f"(({x}) {op} ({y}))"
+        return (
+            f"((({x}) {strict} ({y})) OR "
+            f"((({x}) = ({y})) AND {rec(i + 1)}))"
+        )
+
+    return f"({rec(0)})"
 
 
 def _rewrite_row_compare(sql: str) -> str:
     def sub(m: re.Match) -> str:
         a, b, op, v1, v2 = (g.strip() for g in m.groups())
-        an, bn = a.split(".")[-1], b.split(".")[-1]
-        return (
-            f"(struct({a}, {b}) {op} "
-            f"struct({v1} AS {an}, {v2} AS {bn}))"
-        )
+        return _row_cmp_expand([a, b], [v1, v2], op)
 
-    return _ROW_CMP_RE.sub(sub, sql)
+    sql = _ROW_CMP_RE.sub(sub, sql)
+
+    def sub_row_row(m: re.Match) -> str:
+        xs = [s.strip() for s in _split_args(m.group(1))]
+        op = m.group(2)
+        ys = [s.strip() for s in _split_args(m.group(3))]
+        if len(xs) != len(ys):  # arity mismatch: stay loud downstream
+            return m.group(0)
+        return _row_cmp_expand(xs, ys, op)
+
+    return _ROW_ROW_CMP_RE.sub(sub_row_row, sql)
 
 
 def _rewrite_overlaps(sql: str) -> str:
@@ -500,7 +535,11 @@ _BETWEEN_SYM_RE = re.compile(
 # COLLATE "C" / COLLATE pg_catalog.default (gram.y a_expr COLLATE):
 # collation is a per-expression sort locale in PG; Spark strings
 # compare binary (= "C"), so the clause strips
-_COLLATE_RE = re.compile(r'\s+COLLATE\s+("[^"]+"|[\w.]+)', re.IGNORECASE)
+# the name may be double-quoted (raw) or already backtick-quoted by the
+# identifier pass
+_COLLATE_RE = re.compile(
+    r'\s+COLLATE\s+("[^"]+"|`[^`]+`|[\w.]+)', re.IGNORECASE
+)
 
 # SELECT ... FOR [NO KEY] UPDATE / FOR [KEY] SHARE [OF tables]
 # [NOWAIT | SKIP LOCKED] (gram.y for_locking_clause) — row locks have
@@ -606,10 +645,43 @@ _GCD_LCM_RE = re.compile(
     rf"\s*({_ARITH_CHAIN})\s*\)",
     re.IGNORECASE,
 )
+# operand may carry a ::cast suffix — the pass runs BEFORE the ::
+# rewrites so the timestamp-vs-timestamptz direction is still visible
 _AT_TIME_ZONE_RE = re.compile(
-    rf"((?:TIMESTAMP|DATE)\s*{_LIT}|{_DISTINCT_OPERAND})"
+    rf"((?:(?:TIMESTAMP|DATE)\s*{_LIT}|{_DISTINCT_OPERAND})"
+    rf"(?:\s*::\s*\w+(?:\s+with(?:out)?\s+time\s+zone)?)?)"
     rf"\s+AT\s+TIME\s+ZONE\s+({_LIT})",
     re.IGNORECASE,
+)
+_LR_TRIM_RE = re.compile(
+    r"\b(ltrim|rtrim)\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_DQUOTE_IDENT_RE = re.compile(r'"((?:[^"]|"")*)"')
+_BYTEA_CAST_RE = re.compile(rf"(?:\bE)?({_LIT})\s*::\s*bytea\b", re.IGNORECASE)
+# jsonb containment: at least one operand explicitly typed jsonb
+# (`jsonb '...'` literal or ::jsonb cast); runs BEFORE the generic
+# array @>/<@ pass, which would lower these to forall(array_contains)
+_JSONB_OPND = rf"(?:jsonb\s*{_LIT}|(?:{_LIT}|[\w.]+)\s*::\s*jsonb)"
+_JSONB_CONTAINS_RE = re.compile(
+    rf"({_JSONB_OPND}|{_LIT}|[\w.]+)\s*(@>|<@)\s*({_JSONB_OPND})"
+    rf"|({_JSONB_OPND})\s*(@>|<@)\s*({_LIT}|[\w.]+)",
+    re.IGNORECASE,
+)
+_JSONB_STRIP_RE = re.compile(
+    rf"^(?:jsonb\s*({_LIT})|((?:{_LIT}|[\w.]+))\s*::\s*jsonb)$", re.IGNORECASE
+)
+# `a || b + c`: PG binds arithmetic TIGHTER than || (gram.y operator
+# precedence: '+'/'-' above Op/'||'); Spark binds || tighter, so
+# 'four: ' || 2+2 concatenates first and casts 'four: 2' to a number
+# (NULL). Parenthesize the simple-operand arithmetic chain on either
+# side of ||. Operands: masked literals, numbers, bare identifiers —
+# parenthesized expressions already group explicitly.
+_CONCAT_OPND = r"(?:\x01\d+\x01|[\w.]+)"
+_CONCAT_ARITH_R_RE = re.compile(
+    rf"\|\|\s*({_CONCAT_OPND}(?:\s*[+\-*/%]\s*{_CONCAT_OPND})+)(?!\s*\()"
+)
+_CONCAT_ARITH_L_RE = re.compile(
+    rf"(?<![\w.\x01)])({_CONCAT_OPND}(?:\s*[+\-*/%]\s*{_CONCAT_OPND})+)\s*\|\|"
 )
 _ARRAY_SUBQ_RE = re.compile(
     r"\bARRAY\s*\(\s*(SELECT\b(?:[^()]|\([^()]*\))*)\)",
@@ -711,6 +783,19 @@ _TS_ZONE_LIT_RE = re.compile(
 )
 _DOUBLE_PREC_LIT_RE = re.compile(
     r"\bdouble\s+precision\s+(\x01\d+\x01)", re.IGNORECASE
+)
+# multiword type names in CAST(.. AS t) / expr::t position — normalized
+# to the Spark single-word spelling. The (?!\s*\x01) lookahead skips the
+# `double precision '1.5'` literal-prefix form, which its own pass
+# (_DOUBLE_PREC_LIT_RE / _TS_ZONE_LIT_RE) rewrites later.
+_DOUBLE_PREC_TYPE_RE = re.compile(
+    r"\bdouble\s+precision\b(?!\s*\x01)", re.IGNORECASE
+)
+_CHAR_VARYING_TYPE_RE = re.compile(
+    r"\bcharacter\s+varying(?:\s*\(\s*\d+\s*\))?(?!\s*\x01)", re.IGNORECASE
+)
+_TS_ZONE_TYPE_RE = re.compile(
+    r"\btimestamp\s+with(?:out)?\s+time\s+zone\b(?!\s*\x01)", re.IGNORECASE
 )
 # PG braced array-literal text form '{a,b,c}' cast to an array type
 # (arrayfuncs.c array_in): built into an array(...) at rewrite time.
@@ -843,12 +928,31 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     sql = _NUM_NULLS_RE.sub(sub_nn, sql)
 
     def sub_age(m: re.Match) -> str:
+        # timestamp_age (reference src/backend/utils/adt/timestamp.c):
+        # whole months toward zero, then leftover days, then the time
+        # remainder — the old datediff form dropped hh:mm:ss entirely.
+        # months_between ignores time-of-day when both operands share a
+        # day-of-month, so the truncated month count can overshoot by
+        # one; the CASE borrows it back so the remainder keeps PG's
+        # sign convention (all fields share the interval's direction
+        # for same-sign inputs; mixed-sign borrow edges like
+        # '1 mon -12:00:00' follow the month-major convention).
         a, b = m.group(1).strip(), m.group(2).strip()
-        # timestamp_age: whole months toward zero, then leftover days
-        tm = f"CAST(months_between({a}, {b}) AS INT)"
+        at, bt = f"CAST({a} AS TIMESTAMP)", f"CAST({b} AS TIMESTAMP)"
+        tm0 = f"CAST(months_between({at}, {bt}) AS INT)"
+        tm = (
+            f"({tm0} - (CASE "
+            f"WHEN {tm0} > 0 AND timestampadd(MONTH, {tm0}, {bt}) > {at} THEN 1 "
+            f"WHEN {tm0} < 0 AND timestampadd(MONTH, {tm0}, {bt}) < {at} THEN -1 "
+            f"ELSE 0 END))"
+        )
+        mic = f"(unix_micros({at}) - unix_micros(timestampadd(MONTH, {tm}, {bt})))"
+        rem = f"({mic} % 86400000000)"
         return (
             f"make_interval({tm} div 12, {tm} % 12, 0, "
-            f"datediff({a}, add_months({b}, {tm})), 0, 0, 0)"
+            f"{mic} div 86400000000, "
+            f"{rem} div 3600000000, ({rem} % 3600000000) div 60000000, "
+            f"CAST(({rem} % 60000000) AS DECIMAL(18,6)) / 1000000)"
         )
 
     sql = _AGE_RE.sub(sub_age, sql)
@@ -865,12 +969,17 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         )
 
     sql = _GCD_LCM_RE.sub(sub_gcd, sql)
-    # PG `x AT TIME ZONE tz`: under the collapsed single-TIMESTAMP model
-    # (README) a timestamp is an instant in the (UTC) session zone, so
-    # AT TIME ZONE converts it to tz wall-clock time — from_utc_timestamp.
-    sql = _AT_TIME_ZONE_RE.sub(
-        lambda m: f"from_utc_timestamp({m.group(1)}, {m.group(2)})", sql
-    )
+    def sub_lr_trim(m: re.Match) -> str:
+        # PG ltrim/rtrim(str, chars) vs Spark ltrim/rtrim(trimStr, str):
+        # the 2-arg forms take their arguments in OPPOSITE order —
+        # running PG argument order through Spark silently trims the
+        # wrong string (found by the value-checked regress probe).
+        args = _split_args(m.group(2))
+        if len(args) == 2:
+            return f"{m.group(1).lower()}({args[1].strip()}, {args[0].strip()})"
+        return m.group(0)
+
+    sql = _LR_TRIM_RE.sub(sub_lr_trim, sql)
 
     def sub_to_char(m: re.Match) -> str:
         from warehouse_pg_spark.functions.to_char import (
@@ -1011,13 +1120,23 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         return m.group(0)
 
     sql = _LOG_RE.sub(sub_log, sql)
-    sql = _TRUNC_N_RE.sub(
-        lambda m: (
-            f"(CAST(({m.group(1)}) * {10 ** int(m.group(2))} AS BIGINT) "
-            f"/ CAST({10 ** int(m.group(2))} AS DECIMAL(19,0)))"
-        ),
-        sql,
-    )
+    # trunc(x, n) truncates toward zero at n decimal places. The scale
+    # step MUST be exact-decimal: a double multiply is inexact
+    # (2.3 * 10 = 22.999999999999996 → trunc would yield 2.2, PG 2.3)
+    # and a bare BIGINT cast silently overflows. CAST(double→decimal)
+    # goes through the shortest decimal repr (BigDecimal.valueOf), so
+    # 2.3 becomes exactly 2.300…; floor/ceil-by-sign on the scaled
+    # decimal truncates toward zero with no integer overflow (decimal
+    # overflow yields NULL, never a wrapped value).
+    def sub_trunc_n(m: re.Match) -> str:
+        x, p = m.group(1), 10 ** int(m.group(2))
+        d = f"CAST(({x}) AS DECIMAL(38,18)) * {p}"
+        return (
+            f"((CASE WHEN ({x}) < 0 THEN CEIL({d}) ELSE FLOOR({d}) END) "
+            f"/ CAST({p} AS DECIMAL(19,0)))"
+        )
+
+    sql = _TRUNC_N_RE.sub(sub_trunc_n, sql)
 
     def sub_trunc1(m: re.Match) -> str:
         args = _split_args(m.group(1))
@@ -1147,12 +1266,21 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         )
         if ordb and ordb != expr:
             return m.group(0)  # can't sort by another key post-collect
+        # PG's ARRAY(SELECT ...) constructor KEEPS NULL elements while
+        # Spark's collect_list silently drops them — collect a wrapped
+        # struct and unwrap so nullable exprs round-trip. array_sort
+        # places NULLs last (= PG ASC default); reverse() of that is
+        # NULLS FIRST (= PG DESC default).
+        base = (
+            f"transform(collect_list(named_struct('v', {expr})), "
+            f"__s -> __s.v)"
+        )
         if not ordb:
-            agg = f"collect_list({expr})"
+            agg = base
         elif direc == "DESC":
-            agg = f"reverse(array_sort(collect_list({expr})))"
+            agg = f"reverse(array_sort({base}))"
         else:
-            agg = f"array_sort(collect_list({expr}))"
+            agg = f"array_sort({base})"
         return f"(SELECT {agg} {rest})"
 
     return _ARRAY_SUBQ_RE.sub(sub_arr_subq, sql)
@@ -1192,9 +1320,61 @@ def _rewrite_substring_regex(sql: str, lits: list[str]) -> str:
     return _SUBSTR_REGEX_RE.sub(sub, sql)
 
 
+def _parse_braced_elems(inner: str) -> list[str] | None:
+    """array_in tokenizer for ONE-dimensional braced literal bodies
+    (reference src/backend/utils/adt/arrayfuncs.c array_in): elements
+    split on top-level commas; double-quoted elements may contain
+    commas/braces/spaces; backslash escapes the next char. Returns None
+    for nested arrays ('{' at element level) — those are not
+    representable as a flat array<string> and must stay loud."""
+    elems: list[str] = []
+    buf: list[str] = []
+    quoted = in_q = False
+    i, n = 0, len(inner)
+    while i < n:
+        ch = inner[i]
+        if in_q:
+            if ch == "\\" and i + 1 < n:
+                buf.append(inner[i + 1])
+                i += 2
+                continue
+            if ch == '"':
+                in_q = False
+                i += 1
+                continue
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == '"':
+            in_q = True
+            quoted = True
+            i += 1
+            continue
+        if ch == "\\" and i + 1 < n:
+            buf.append(inner[i + 1])
+            i += 2
+            continue
+        if ch in "{}":
+            return None
+        if ch == ",":
+            s = "".join(buf)
+            elems.append(s if quoted else s.strip())
+            buf, quoted = [], False
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    if in_q:
+        return None  # unterminated quote: malformed, stay loud
+    s = "".join(buf)
+    elems.append(s if quoted else s.strip())
+    return elems
+
+
 def _braced_to_array(arr: str, lits: list[str]) -> str:
     """'{1,2,3}' braced array-literal text (array_in) → array('1','2',
-    '3'); anything else passes through unchanged."""
+    '3'); quoted elements keep embedded commas; nested/malformed bodies
+    pass through unchanged (stay loud downstream)."""
     m = _MASK_RE.fullmatch(arr.strip())
     if not m:
         return arr
@@ -1204,11 +1384,12 @@ def _braced_to_array(arr: str, lits: list[str]) -> str:
     inner = body[1:-1].strip()
     if not inner:
         return "array()"
-    elems = [
-        "'" + e.strip().strip('"').replace("'", "''") + "'"
-        for e in inner.split(",")
-    ]
-    return "array(" + ", ".join(elems) + ")"
+    elems = _parse_braced_elems(inner)
+    if elems is None:
+        return arr
+    return "array(" + ", ".join(
+        "'" + e.replace("'", "''") + "'" for e in elems
+    ) + ")"
 
 
 def _rewrite_op_any_all(sql: str, lits: list[str]) -> str:
@@ -1625,6 +1806,14 @@ def rewrite(sql: str) -> str:
     )
     out, lits = _mask(sql)
 
+    # PG double-quoted identifiers (gram.y IDENT; strings are always
+    # single-quoted and already masked) → Spark backtick identifiers.
+    # '""' inside is PG's escaped quote char.
+    out = _DQUOTE_IDENT_RE.sub(
+        lambda m: "`" + m.group(1).replace('""', '"').replace("`", "") + "`",
+        out,
+    )
+
     out = _rewrite_distinct_on(out)
     out = _rewrite_with_ties(out)
 
@@ -1633,6 +1822,10 @@ def rewrite(sql: str) -> str:
     while prev != out:
         prev = out
         out = _ARRAY_CTOR_RE.sub(lambda m: f"array({m.group(1)})", out)
+
+    # PG precedence: arithmetic binds tighter than || (see regex defn)
+    out = _CONCAT_ARITH_R_RE.sub(lambda m: f"|| ({m.group(1)})", out)
+    out = _CONCAT_ARITH_L_RE.sub(lambda m: f"({m.group(1)}) ||", out)
 
     # chained JSON arrows fold into one get_json_object path
     out = _rewrite_arrows(out, lits)
@@ -1653,6 +1846,25 @@ def rewrite(sql: str) -> str:
     # POSIX regex matches → RLIKE
     out = _rewrite_regex_match(out, lits)
 
+    # jsonb containment (jsonb_util.c JsonbDeepContains) — must precede
+    # the array containment pass below
+    def sub_jsonb_contains(m: re.Match) -> str:
+        g = m.groups()
+        a, op, b = (g[0], g[1], g[2]) if g[0] is not None else (g[3], g[4], g[5])
+
+        def strip(s: str) -> str:
+            mo = _JSONB_STRIP_RE.match(s.strip())
+            if mo:
+                return mo.group(1) or mo.group(2)
+            return s.strip()
+
+        a, b = strip(a), strip(b)
+        if op == "<@":
+            a, b = b, a
+        return f"jsonb_contains({a}, {b})"
+
+    out = _JSONB_CONTAINS_RE.sub(sub_jsonb_contains, out)
+
     # array containment / overlap operators
     out = _ARR_CONTAINS_RE.sub(
         lambda m: f"forall({m.group(2)}, __x -> array_contains({m.group(1)}, __x))",
@@ -1666,6 +1878,54 @@ def rewrite(sql: str) -> str:
         lambda m: f"arrays_overlap({m.group(1)}, {m.group(2)})", out
     )
 
+    # PG `x AT TIME ZONE tz` has two directions (timestamp.c
+    # timestamp_zone vs timestamptz_zone). Under the collapsed
+    # single-TIMESTAMP model (README) a COLUMN is an instant in the
+    # (UTC) session zone → render its tz wall-clock: from_utc_timestamp.
+    # An operand EXPLICITLY typed naive — `TIMESTAMP '...'` literal,
+    # `::timestamp`/`::date`, CAST(.. AS TIMESTAMP) — is PG's
+    # timestamp→timestamptz direction: interpret the wall-clock IN tz →
+    # to_utc_timestamp. Runs BEFORE the :: rewrites so ::timestamptz is
+    # still distinguishable from ::timestamp.
+    def sub_at_tz(m: re.Match) -> str:
+        op, tz = m.group(1), m.group(2)
+        if re.search(
+            r"(?is)::\s*(?:timestamptz\b|timestamp\s+with\s+time\s+zone)", op
+        ):
+            fn = "from_utc_timestamp"  # instant → wall-clock in tz
+        elif (
+            re.match(r"(?is)^\s*(?:TIMESTAMP|DATE)\s*\x01", op)
+            or re.search(r"(?is)::\s*(?:timestamp|date)\b", op)
+            or re.search(r"(?is)AS\s+TIMESTAMP\s*\)\s*$", op)
+        ):
+            fn = "to_utc_timestamp"  # naive wall-clock in tz → instant
+        else:
+            fn = "from_utc_timestamp"
+        return f"{fn}({op}, {tz})"
+
+    out = _AT_TIME_ZONE_RE.sub(sub_at_tz, out)
+
+    # multiword type spellings in CAST/:: position (gram.y
+    # SimpleTypename) — BEFORE the braced/scalar cast passes, whose
+    # \w+ type capture would otherwise strand the trailing word(s);
+    # the literal-prefix forms (`double precision '1.5'`) are excluded
+    # by lookahead and handled by their own later passes.
+    out = _DOUBLE_PREC_TYPE_RE.sub("DOUBLE", out)
+    out = _CHAR_VARYING_TYPE_RE.sub("STRING", out)
+    out = _TS_ZONE_TYPE_RE.sub("TIMESTAMP", out)
+
+    # '\xDEADBEEF'::bytea hex form (varlena.c byteain): the content is
+    # HEX DIGITS, not UTF-8 bytes — CAST(str AS BINARY) would encode
+    # the literal characters. E'\\x…' arrives with a doubled backslash.
+    def sub_bytea(m: re.Match) -> str:
+        body = _lit_value(m.group(1), lits)
+        for pfx in ("\\\\x", "\\x"):
+            if body.lower().startswith(pfx.lower()):
+                return f"unhex('{body[len(pfx):]}')"
+        return f"CAST({m.group(1)} AS BINARY)"
+
+    out = _BYTEA_CAST_RE.sub(sub_bytea, out)
+
     # '{a,b,c}'::type[] braced array literals — BEFORE the scalar cast
     # pass, which would otherwise emit CAST(..)[]
     def sub_braced(m: re.Match) -> str:
@@ -1676,11 +1936,14 @@ def rewrite(sql: str) -> str:
         typ = _map_type(m.group(2))
         if not inner:
             return f"CAST(array() AS ARRAY<{typ}>)"
-        elems = []
-        for e in inner.split(","):
-            e = e.strip().strip('"')
-            elems.append("'" + e.replace("'", "''") + "'")
-        return f"CAST(array({', '.join(elems)}) AS ARRAY<{typ}>)"
+        elems = _parse_braced_elems(inner)
+        if elems is None:  # nested / malformed: stay loud
+            return m.group(0)
+        return (
+            f"CAST(array("
+            + ", ".join("'" + e.replace("'", "''") + "'" for e in elems)
+            + f") AS ARRAY<{typ}>)"
+        )
 
     out = _BRACED_ARRAY_CAST_RE.sub(sub_braced, out)
     # `expr::type[]` on non-literal operands → ARRAY<T>, BEFORE the
