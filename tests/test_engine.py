@@ -1183,3 +1183,53 @@ def test_jsonb_containment_operators(engine):
     ).collect()[0]
     assert r.t1 and r.t2 and r.t3 and r.t4
     assert not r.f1 and not r.f2 and not r.f3
+
+
+def test_regexp_replace_pg_semantics(engine):
+    """PG regexp_replace (regexp.c): FIRST match by default ('g' makes
+    it global via a 4th TEXT flags arg — Spark's 4th arg is a position
+    INT, so PG calls silently returned NULL), backrefs are \\N not $N.
+    Found by the value-checked regress probe."""
+    r = engine.sql(
+        "SELECT regexp_replace('foobarbaz', 'b..', 'X') AS first_only,"
+        "       regexp_replace('foobarbaz', 'b..', 'X', 'g') AS glob,"
+        "       regexp_replace('AAA aaa', 'A+', 'Z', 'gi') AS ci,"
+        "       regexp_replace('AAA', '^|$', 'Z', 'g') AS anchors,"
+        "       regexp_replace('AAA', '^|$', 'Z') AS anchor_first,"
+        "       regexp_replace('1112223333',"
+        "         E'(\\\\d{3})(\\\\d{3})(\\\\d{4})',"
+        "         E'(\\\\1) \\\\2-\\\\3') AS backrefs,"
+        "       regexp_replace('price: $5 then', 'then', 'now') AS dollar"
+    ).collect()[0]
+    assert r.first_only == "fooXbaz" and r.glob == "fooXX"
+    assert r.ci == "Z Z" and r.anchors == "ZAAAZ" and r.anchor_first == "ZAAA"
+    assert r.backrefs == "(111) 222-3333" and r.dollar == "price: $5 now"
+
+
+def test_cast_pg_type_names(engine):
+    """CAST(x AS text/int4/float8/numeric(p,s)) — the function-syntax
+    twin of `::`, previously unmapped; subquery aliases inside the
+    operand stay untouched."""
+    r = engine.sql(
+        "SELECT CAST(1 AS text) AS a, CAST('5' AS int4) AS b,"
+        "       CAST(2.345 AS numeric(10,2)) AS c,"
+        "       CAST((SELECT 1 AS n) AS text) AS d,"
+        "       (SELECT 'keep' AS text) AS alias_untouched"
+    ).collect()[0]
+    assert r.a == "1" and r.b == 5 and str(r.c) == "2.35"
+    assert r.d == "1" and r.alias_untouched == "keep"
+
+
+def test_null_array_and_nested_subscripts(engine):
+    """cardinality(NULL) is NULL (not legacy -1); parenthesized
+    subquery operands keep PG 1-based subscripts; a NULL
+    string_to_array delimiter splits per character (varlena.c
+    text_to_array)."""
+    r = engine.sql(
+        "SELECT cardinality(NULL::int[]) AS c0,"
+        "       ((SELECT ARRAY[1,2,3]))[2] AS x2,"
+        "       (((SELECT ARRAY[1,2,3])))[3] AS x3,"
+        "       string_to_array('1|2', NULL) AS chars"
+    ).collect()[0]
+    assert r.c0 is None and r.x2 == 2 and r.x3 == 3
+    assert r.chars == ["1", "|", "2"]

@@ -41,7 +41,8 @@ _NONDET_RE = re.compile(
     r"(?i)\b(random|setseed|now|clock_timestamp|statement_timestamp"
     r"|transaction_timestamp|timeofday|currval|nextval|current_date"
     r"|current_time|current_timestamp|localtime|localtimestamp"
-    r"|current_user|session_user|user|version|inet_|gen_random_uuid)\b"
+    r"|current_user|session_user|user|version|inet_|gen_random_uuid"
+    r"|current_database|current_schema|current_catalog)\b"
 )
 
 # Expressions where DuckDB's own answer differs from PG (verified by
@@ -83,6 +84,15 @@ ORACLE_DIVERGES = (
     " est'",
     " edt'",
     " pdt'",
+    # DuckDB to_hex uppercases; PG is lowercase
+    "to_hex(",
+    # locale collations: neither engine implements PG's libc/ICU rules
+    "collate",
+    # x = ANY/ALL(NULL::arr): PG yields NULL, DuckDB true/false
+    "(null::",
+    # DST-ambiguous local times: PG resolves to the later UTC offset,
+    # the JVM to the earlier one (documented deviation, README)
+    "europe/moscow",
 )
 
 
@@ -154,8 +164,8 @@ def _norm_cell(v) -> str:
         return json.dumps(
             {k: _norm_cell(x) for k, x in sorted(v.items())}, sort_keys=True
         )
-    if isinstance(v, bytes):
-        return "\\x" + v.hex()
+    if isinstance(v, (bytes, bytearray)):
+        return "\\x" + bytes(v).hex()
     try:
         if pd.isna(v):
             return "NULL"
@@ -212,11 +222,14 @@ def main() -> None:
             diverges += 1
             continue
         try:
-            duck_pdf = con.execute(s).df()
+            # fetchall, not .df(): pandas conversion corrupts NULLs
+            # inside LIST values (int list with NULL -> zeros)
+            duck_raw = con.execute(s).fetchall()
         except Exception:
             exec_only += 1
             continue
-        s_rows, d_rows = _rows_of(spark_pdf), _rows_of(duck_pdf)
+        s_rows = _rows_of(spark_pdf)
+        d_rows = [tuple(_norm_cell(c) for c in row) for row in duck_raw]
         if sorted(s_rows) == sorted(d_rows):
             value_pass += 1
         else:

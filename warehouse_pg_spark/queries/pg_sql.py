@@ -1309,3 +1309,99 @@ def pgsql_plpgsql_for_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return eng.sql("SELECT cheapest5_total() AS total_5")
+
+
+@register(
+    "pgsql_trim_functions",
+    oracle="""
+    SELECT c_custkey,
+           ltrim(c_name, 'Custorme#0') AS bare,
+           rtrim(c_name, '0123456789') AS no_digits,
+           trim(c_name, 'Custorme#') AS num_part
+    FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey
+    """,
+    tags=("dialect", "strings", "functions"),
+)
+def pgsql_trim_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ltrim/rtrim/btrim(str, chars) (varlena.c): Spark's 2-arg
+    ltrim/rtrim take (trimStr, str) — the REVERSED order — so running
+    PG argument order through Spark silently trims the wrong string.
+    The dialect swap is pinned here against DuckDB, whose ltrim/rtrim
+    follow PG order natively."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey,
+               ltrim(c_name, 'Custorme#0') AS bare,
+               rtrim(c_name, '0123456789') AS no_digits,
+               btrim(c_name, 'Custorme#') AS num_part
+        FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey
+        """,
+    )
+
+
+@register(
+    "pgsql_row_null_semantics",
+    # expected values are PG's (rowtypes.c record_cmp/record_eq);
+    # DuckDB's own row comparison diverges on the eq_false case, so the
+    # oracle states the PG answers as literals
+    oracle="""
+    SELECT 'false' AS eq_false,
+           'null' AS eq_null,
+           'null' AS lt_null,
+           'true' AS lt_true,
+           'true' AS ne_true,
+           'four: 4' AS concat_prec
+    """,
+    tags=("dialect", "functions"),
+)
+def pgsql_row_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG row-wise comparison three-valued logic (rowtypes.c): a FALSE
+    pair dominates `=` (ROW(1,2,3)=ROW(1,NULL,4) is false, not NULL),
+    while an UNKNOWN pair short-circuits `<` to NULL — Spark's struct
+    comparison orders NULLs instead, so the dialect expands to explicit
+    boolean logic. Plus PG's ||-vs-arithmetic precedence ('four: '||2+2
+    concatenates the SUM)."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT COALESCE(CAST(ROW(1,2,3) = ROW(1,NULL,4) AS STRING), 'null') AS eq_false,
+               COALESCE(CAST(ROW(1,2,3) = ROW(1,NULL,3) AS STRING), 'null') AS eq_null,
+               COALESCE(CAST(ROW(1,2,3) < ROW(1,NULL,4) AS STRING), 'null') AS lt_null,
+               COALESCE(CAST(ROW(1,2,3) < ROW(2,NULL,4) AS STRING), 'null') AS lt_true,
+               COALESCE(CAST(ROW(1,2,3) <> ROW(1,NULL,4) AS STRING), 'null') AS ne_true,
+               'four: ' || 2+2 AS concat_prec
+        """,
+    )
+
+
+@register(
+    "pgsql_jsonb_containment",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) = 42
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("dialect", "json"),
+)
+def pgsql_jsonb_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonb @> containment (jsonb_util.c JsonbDeepContains) as a row
+    filter over the events props column: `props::jsonb @> '{"k":42}'`
+    keeps exactly the rows whose JSON object contains the key/value
+    pair — the oracle states the same predicate via path extraction.
+    Row-at-a-time Python UDF by design (no Spark built-in has these
+    recursive semantics); the scale path for known-shape predicates is
+    get_json_object, as the oracle shows."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT event_type, COUNT(*) AS n
+        FROM events
+        WHERE props::jsonb @> '{"k": 42}'
+        GROUP BY event_type ORDER BY event_type
+        """,
+    )

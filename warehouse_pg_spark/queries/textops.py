@@ -608,11 +608,32 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     # finding as dedup._shingles, caught at the sf10 scale check).
     def _stats(ts):
         nt = F.size(ts)
-        top_cnt = F.array_max(
-            F.transform(
-                F.array_distinct(ts),
-                lambda x: F.size(F.filter(ts, lambda y: y == x)),
+        # top-token count as the longest run in the SORTED array — one
+        # O(n log n) sort + O(n) fold, replacing the r8 form
+        # transform(array_distinct, x -> count-equal) whose cost is
+        # O(distinct × n) per document (quadratic on diverse text; the
+        # r8 bench watch-list flagged it). NULL on empty input matches
+        # the old array_max(empty) and the oracle's list_max.
+        def _run(acc, x):
+            run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc.best, run).alias("best"),
             )
+
+        top_cnt = F.when(
+            nt == 0, F.lit(None).cast("int")
+        ).otherwise(
+            F.aggregate(
+                F.array_sort(ts),
+                F.struct(
+                    F.lit("").alias("prev"),
+                    F.lit(0).alias("run"),
+                    F.lit(0).alias("best"),
+                ),
+                _run,
+            ).best
         )
         bigrams = F.transform(
             F.slice(ts, 1, F.greatest(nt - 1, F.lit(0))),

@@ -71,6 +71,9 @@ class SessionConfig:
             "spark.sql.session.timeZone": self.session_tz,
             # ANSI off: PG-like silent nulls beat runtime errors for OLAP scans
             "spark.sql.ansi.enabled": "false",
+            # size(NULL) must be NULL like PG cardinality/array_length,
+            # not the legacy -1 sentinel (silent off-by-huge in counts)
+            "spark.sql.legacy.sizeOfNull": "false",
             # Stable timestamp semantics for parquet written by other engines.
             # Engine policy: every timestamp is session-TZ TIMESTAMP — never
             # infer NTZ from parquet (Spark 4.x default drift); catalog.py

@@ -121,6 +121,15 @@ def _new_lit(value: str, lits: list[str]) -> str:
     return f"\x01{len(lits) - 1}\x01"
 
 
+def _new_lit_raw(raw: str, lits: list[str]) -> str:
+    """New masked literal from RAW (already-escaped) body text — for
+    splicing transformed fragments of existing literals, where quote
+    doubling is already present and backslashes must pass through at
+    the same escape level as the source."""
+    lits.append("'" + raw + "'")
+    return f"\x01{len(lits) - 1}\x01"
+
+
 # ------------------------------------------------------------------ patterns
 # expr::type for simple operands: identifier, masked literal, number,
 # or a parenthesized tail like fn(x)::text (matches the closing paren).
@@ -656,6 +665,9 @@ _AT_TIME_ZONE_RE = re.compile(
 _LR_TRIM_RE = re.compile(
     r"\b(ltrim|rtrim)\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
 )
+_REGEXP_REPLACE_RE = re.compile(
+    r"\bregexp_replace\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
 _DQUOTE_IDENT_RE = re.compile(r'"((?:[^"]|"")*)"')
 _BYTEA_CAST_RE = re.compile(rf"(?:\bE)?({_LIT})\s*::\s*bytea\b", re.IGNORECASE)
 # jsonb containment: at least one operand explicitly typed jsonb
@@ -854,10 +866,10 @@ _JSON_SRF_FROM_RE = re.compile(
 # subscript in PG text is a silent off-by-one — rewrite to element_at
 # (1-based); a[lo:hi] becomes slice(a, lo, hi-lo+1). String-key map
 # access (j['k']) is untouched.
-_IDX_OPERAND = (
-    rf"(?:{_LIT}|[\w.]+\((?:[^()]|\([^()]*\))*\)"
-    rf"|\((?:[^()]|\([^()]*\))*\)|[\w.]+)"
-)
+# parens nest 3 deep so ((SELECT array(...)))[n] — a parenthesized
+# scalar subquery with a function call inside — still rewrites 1-based
+_NEST3 = r"\((?:[^()]|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))*\)"
+_IDX_OPERAND = rf"(?:{_LIT}|[\w.]+{_NEST3}|{_NEST3}|[\w.]+)"
 _ARRAY_INDEX_RE = re.compile(
     rf"({_IDX_OPERAND})\[\s*(\d+)\s*\]"
 )
@@ -902,14 +914,22 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
 
     def sub_sta(m: re.Match) -> str:
         s, d = m.group(1).strip(), m.group(2).strip()
+        if d.upper() == "NULL":
+            # PG: a NULL delimiter splits into individual characters
+            # (varlena.c text_to_array)
+            return f"split({s}, '')"
         lm = _MASK_RE.match(d)
         if lm and d == lm.group(0):
             # literal delimiter: regex-escape it at rewrite time
             body = lits[int(lm.group(1))][1:-1]
             lits.append("'" + re.escape(body).replace("\\", "\\\\") + "'")
             return f"split({s}, \x01{len(lits) - 1}\x01)"
-        # dynamic delimiter: quote at runtime (\Q...\E)
-        return f"split({s}, concat('\\\\Q', {d}, '\\\\E'))"
+        # dynamic delimiter: quote at runtime (\Q...\E); NULL delimiter
+        # at runtime → per-character split, as PG does
+        return (
+            f"(CASE WHEN ({d}) IS NULL THEN split({s}, '') "
+            f"ELSE split({s}, concat('\\\\Q', {d}, '\\\\E')) END)"
+        )
 
     sql = _STRING_TO_ARRAY_RE.sub(sub_sta, sql)
     sql = _GENERATE_SUBSCRIPTS_RE.sub(
@@ -969,6 +989,80 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         )
 
     sql = _GCD_LCM_RE.sub(sub_gcd, sql)
+    # PG regexp_replace (regexp.c textregexreplace): replaces the FIRST
+    # match unless the 'g' flag is given; flags are a 4th TEXT argument
+    # (Spark's 4th arg is a position INT — 'g' silently casts to NULL);
+    # replacement backrefs are \N / \& (Java wants $N / $0). First-only
+    # is emulated by wrapping the pattern and consuming the tail in one
+    # match: (pat)((?s:.*)) with the tail re-emitted. All transforms
+    # work on the RAW (escaped) literal text, appending only
+    # backslash-free syntax, so the session's literal-escape mode never
+    # changes the meaning. Non-literal patterns/replacements/flags keep
+    # Spark semantics untouched (can't be safely transformed).
+    def _conv_rep(raw: str, shift: int, whole: str) -> str:
+        out_s: list[str] = []
+        i = 0
+        while i < len(raw):
+            if raw.startswith("\\\\", i) and i + 2 < len(raw) and raw[i + 2].isdigit():
+                out_s.append(f"${int(raw[i + 2]) + shift}")
+                i += 3
+            elif raw.startswith("\\\\&", i):
+                out_s.append(whole)
+                i += 3
+            elif raw[i] == "$":
+                out_s.append("\\$")
+                i += 1
+            else:
+                out_s.append(raw[i])
+                i += 1
+        return "".join(out_s)
+
+    def sub_regexp_replace(m: re.Match) -> str:
+        args = [a.strip() for a in _split_args(m.group(1))]
+        if len(args) not in (3, 4):
+            return m.group(0)
+        # the E-string prefix strip runs later in rewrite(); drop it
+        # here so E'...' patterns are recognized as literals
+        s, p, r = args[0], *(
+            re.sub(r"(?i)^E(?=\x01)", "", a) for a in args[1:3]
+        )
+        if not (_MASK_RE.fullmatch(p) and _MASK_RE.fullmatch(r)):
+            return m.group(0)
+        flags = ""
+        if len(args) == 4:
+            f4 = re.sub(r"(?i)^E(?=\x01)", "", args[3])
+            if not _MASK_RE.fullmatch(f4):
+                return m.group(0)
+            flags = _lit_value(f4, lits)
+        inline = ""
+        for f in flags:
+            if f == "g":
+                continue
+            mapped = {"i": "i", "m": "m", "n": "m", "s": "s", "x": "x"}.get(f)
+            if mapped is None:
+                return m.group(0)  # unknown flag: stay loud downstream
+            inline += mapped
+        pfx = f"(?{inline})" if inline else ""
+        pat_raw = lits[int(_MASK_RE.match(p).group(1))][1:-1]
+        rep_raw = lits[int(_MASK_RE.match(r).group(1))][1:-1]
+        if "g" in flags:
+            p2 = _new_lit_raw(pfx + pat_raw, lits)
+            r2 = _new_lit_raw(_conv_rep(rep_raw, 0, "$0"), lits)
+            return f"regexp_replace({s}, {p2}, {r2})"
+        # first-only: ONE match spans the whole input (\A + lazy prefix
+        # + tail), so a zero-length pattern can't re-match at the end.
+        # Groups shift by 2 (prefix + wrap); raw "\\A" unescapes to \A.
+        ngroups = len(re.findall(r"(?<!\\)\((?!\?)", pat_raw))
+        p2 = _new_lit_raw(
+            f"{pfx}\\\\A((?s:.*?))({pat_raw})((?s:.*))", lits
+        )
+        r2 = _new_lit_raw(
+            "$1" + _conv_rep(rep_raw, 2, "$2") + f"${ngroups + 3}", lits
+        )
+        return f"regexp_replace({s}, {p2}, {r2})"
+
+    sql = _REGEXP_REPLACE_RE.sub(sub_regexp_replace, sql)
+
     def sub_lr_trim(m: re.Match) -> str:
         # PG ltrim/rtrim(str, chars) vs Spark ltrim/rtrim(trimStr, str):
         # the 2-arg forms take their arguments in OPPOSITE order —
@@ -1600,6 +1694,47 @@ def map_decl_type(t: str) -> str:
     return _map_type(t)
 
 
+def _rewrite_cast_typenames(sql: str) -> str:
+    """CAST(x AS text/int4/float8/...) — the function-syntax twin of the
+    `::` operator, previously unmapped (only `::` went through
+    _map_type). Balanced-paren scan so subquery aliases inside the
+    operand are never mistaken for the type position; multiword names
+    (double precision, ...) are already normalized by the earlier
+    passes."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = re.search(r"(?i)\bCAST\s*\(", sql[i:])
+        if not m:
+            out.append(sql[i:])
+            break
+        start, open_p = i + m.start(), i + m.end() - 1
+        out.append(sql[i:start])
+        depth, j = 0, open_p
+        while j < len(sql):
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= len(sql):  # unbalanced: leave untouched
+            out.append(sql[start:])
+            break
+        inner = _rewrite_cast_typenames(sql[open_p + 1 : j])
+        mt = re.search(
+            r"(?is)\s+AS\s+([A-Za-z_]\w*"
+            r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*$",
+            inner,
+        )
+        if mt:
+            inner = inner[: mt.start()] + f" AS {_map_type(mt.group(1).strip())}"
+        out.append("CAST(" + inner + ")")
+        i = j + 1
+    return "".join(out)
+
+
 def _map_type(t: str) -> str:
     if t.upper().startswith("ARRAY<"):  # already a Spark array type
         return t
@@ -1913,6 +2048,7 @@ def rewrite(sql: str) -> str:
     out = _DOUBLE_PREC_TYPE_RE.sub("DOUBLE", out)
     out = _CHAR_VARYING_TYPE_RE.sub("STRING", out)
     out = _TS_ZONE_TYPE_RE.sub("TIMESTAMP", out)
+    out = _rewrite_cast_typenames(out)
 
     # '\xDEADBEEF'::bytea hex form (varlena.c byteain): the content is
     # HEX DIGITS, not UTF-8 bytes — CAST(str AS BINARY) would encode
