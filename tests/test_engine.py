@@ -1233,3 +1233,86 @@ def test_null_array_and_nested_subscripts(engine):
     ).collect()[0]
     assert r.c0 is None and r.x2 == 2 and r.x3 == 3
     assert r.chars == ["1", "|", "2"]
+
+
+def test_jsonb_path_query_functions(engine):
+    """jsonb_path_query/query_array/query_first/exists/match
+    (jsonpath_exec.c subset): value-returning forms via the Python
+    jsonpath evaluator (slow path by design), predicate forms lower to
+    the existing @? / @@ machinery."""
+    r = engine.sql(
+        """SELECT jsonb_path_query_array('[{"a": 1}, {"a": 2}]', '$[*].a') AS arr,
+                  jsonb_path_query_array('[{"a": 1}, {"a": 2}]',
+                                         '$[*].a ? (@ == 1)') AS filt,
+                  jsonb_path_query_first('[{"a": 1}, {"a": 2}]', '$[*].a') AS first,
+                  jsonb_path_exists('{"a": 1}', '$.a') AS ex,
+                  jsonb_path_match('{"a": 5}', '$.a > 3') AS mt"""
+    ).collect()[0]
+    assert r.arr == "[1, 2]" and r.filt == "[1]" and r.first == "1"
+    assert r.ex is True and r.mt is True
+    rows = engine.sql(
+        """SELECT jsonb_path_query('[{"a": 1}, {"a": 2}]', '$[*]') AS v"""
+    ).collect()
+    assert [x.v for x in rows] == ['{"a": 1}', '{"a": 2}']
+
+
+def test_generate_series_in_select_position(engine):
+    """PG SRF in the SELECT list (`SELECT generate_series(1,3)`)
+    expands rows — lowered to explode(sequence(...)) when no
+    FROM-position rewrite consumed it."""
+    rows = engine.sql("SELECT generate_series(1, 3) AS g").collect()
+    assert [r.g for r in rows] == [1, 2, 3]
+    rows = engine.sql("SELECT generate_series(2, 10, 3) AS g").collect()
+    assert [r.g for r in rows] == [2, 5, 8]
+
+
+def test_timezone_abbreviations_fixed_offsets(engine):
+    """PG zone ABBREVIATIONS are fixed offsets (timezone/tznames):
+    'MSK' is +03 even for 2011-2014 instants when the Europe/Moscow
+    ZONE was +04 — regress pins exactly that distinction."""
+    r = engine.sql(
+        "SELECT '2011-03-27 01:00:00 MSK'::timestamptz AS lit,"
+        "       CAST('2011-03-26 21:00:00 UTC'::timestamptz"
+        "            AT TIME ZONE 'MSK' AS STRING) AS conv"
+    ).collect()[0]
+    assert str(r.lit) == "2011-03-26 22:00:00"
+    assert r.conv == "2011-03-27 00:00:00"
+
+
+def test_regexp_split_to_array(engine):
+    """regexp_split_to_array (regexp.c): regex split keeping trailing
+    empties, per-char on an empty pattern, 'i' flag inline."""
+    r = engine.sql(
+        "SELECT regexp_split_to_array('123456','') AS chars,"
+        "       regexp_split_to_array('a,b,', ',') AS keep_tail,"
+        "       regexp_split_to_array('thE QUick', 'e', 'i') AS ci"
+    ).collect()[0]
+    assert r.chars == list("123456")
+    assert r.keep_tail == ["a", "b", ""]
+    assert r.ci == ["th", " QUick"]
+
+
+def test_jsonb_mutation_functions(engine):
+    """jsonb_set / jsonb_insert / #- / json_object (jsonfuncs.c):
+    text[] paths with negative array indexes, create_missing /
+    insert_after flags, existing-key insert -> NULL (PG errors)."""
+    r = engine.sql(
+        """SELECT jsonb_set('{"a":[1,2,3]}', '{a,1}', '99') AS set_arr,
+                  jsonb_set('{"a":1}', '{c}', '3', false) AS no_create,
+                  jsonb_set('{"a":[1,2]}', '{a,-1}', '0') AS neg_idx,
+                  jsonb_insert('{"a":[1,3]}', '{a,1}', '2') AS ins,
+                  jsonb_insert('{"a":[1,2]}', '{a,1}', '9', true) AS ins_after,
+                  jsonb_insert('{"a":1}', '{a}', '9') AS ins_existing,
+                  '{"n":null, "a":1, "b":[1,2]}'::jsonb #- '{b,-1}' AS del_path,
+                  json_object('{a,1,b,2}') AS obj1,
+                  json_object('{a,b}', '{1,2}') AS obj2"""
+    ).collect()[0]
+    assert r.set_arr == '{"a": [1, 99, 3]}'
+    assert r.no_create == '{"a": 1}'
+    assert r.neg_idx == '{"a": [1, 0]}'
+    assert r.ins == '{"a": [1, 2, 3]}'
+    assert r.ins_after == '{"a": [1, 2, 9]}'  # after the path target
+    assert r.ins_existing is None  # PG raises on existing object key
+    assert r.del_path == '{"n": null, "a": 1, "b": [1]}'
+    assert r.obj1 == '{"a": "1", "b": "2"}'
+    assert r.obj2 == '{"a": "1", "b": "2"}'

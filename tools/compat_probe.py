@@ -93,12 +93,55 @@ ORACLE_DIVERGES = (
     # DST-ambiguous local times: PG resolves to the later UTC offset,
     # the JVM to the earlier one (documented deviation, README)
     "europe/moscow",
+    # DuckDB's bytea input treats \\x escape-format differently from
+    # PG's hex form (verified against varlena.c byteain; unit-tested
+    # in tests/test_engine.py::test_bytea_hex_literals)
+    "::bytea",
+    # zero-width alternation edge where DuckDB's regex engine returns
+    # false and PG/Java true
+    "($$)+",
 )
 
 
-def corpus() -> list[str]:
-    stmts = set()
+def _expected_errors_for(sql_path: str) -> dict[str, bool]:
+    """Parse the statement's expected/*.out twin: psql echoes each
+    statement, so the line after a SELECT block tells us whether PG
+    itself raises (ERROR: ...) — an engine error there is error
+    PARITY, and an engine success is the silently-succeeding class."""
+    out_path = sql_path.replace("/sql/", "/expected/")[:-4] + ".out"
+    if not os.path.exists(out_path):
+        return {}
+    lines = open(out_path, errors="ignore").read().split("\n")
+    seen: dict[str, list[bool]] = {}
+    for i, ln in enumerate(lines):
+        s = ln.strip()
+        if re.match(r"(?i)^SELECT\s", s) and s.endswith(";"):
+            flag = False
+            for j in range(i + 1, min(i + 6, len(lines))):
+                nxt = lines[j]
+                if nxt.startswith("ERROR"):
+                    # an aborted-transaction error is block context,
+                    # not a semantic verdict on this statement
+                    flag = "current transaction is aborted" not in nxt
+                    break
+                if re.match(
+                    r"(?i)^(SELECT|INSERT|UPDATE|DELETE|CREATE|DROP|SET"
+                    r"|RESET|BEGIN|COMMIT|--)\b",
+                    nxt.strip(),
+                ):
+                    break
+            seen.setdefault(s.rstrip(";"), []).append(bool(flag))
+    # deterministic FROM-less statements error consistently; a mixed
+    # record means context effects — don't flag
+    return {k: all(v) for k, v in seen.items()}
+
+
+def corpus() -> list[tuple[str, bool | None]]:
+    """(statement, expected_error) pairs; expected_error is None when
+    the statement wasn't found in an expected/*.out file."""
+    stmts: dict[str, bool | None] = {}
     for f in glob.glob(REGRESS):
+        err_map = _expected_errors_for(f)
         for line in open(f, errors="ignore"):
             s = line.strip()
             if (
@@ -108,8 +151,14 @@ def corpus() -> list[str]:
                 and len(s) < 120
                 and "pg_" not in s
             ):
-                stmts.add(s.rstrip(";"))
-    return sorted(stmts)
+                key = s.rstrip(";")
+                flag = err_map.get(key)
+                prev = stmts.get(key)
+                if prev is None:
+                    stmts[key] = flag
+                elif flag is not None:
+                    stmts[key] = prev and flag
+    return sorted(stmts.items())
 
 
 def _norm_cell(v) -> str:
@@ -155,7 +204,7 @@ def _norm_cell(v) -> str:
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, datetime.timedelta):
-        return str(v)
+        return f"interval:{v.total_seconds():.6f}"
     if isinstance(v, np.ndarray) and v.ndim == 0:
         return _norm_cell(v.item())
     if isinstance(v, (list, tuple, np.ndarray)):
@@ -207,13 +256,25 @@ def main() -> None:
         stmts = random.sample(stmts, min(sample, len(stmts)))
 
     value_pass = exec_only = skipped_nondet = diverges = 0
+    error_parity = 0
     engine_errors: list[dict] = []
     mismatches: list[dict] = []
-    for s in stmts:
+    should_error: list[str] = []
+    for s, exp_err in stmts:
         try:
             spark_pdf = eng.sql(s).toPandas()
         except Exception as ex:
+            if exp_err:
+                # PG's own expected output is ERROR here — raising IS
+                # the correct behavior (error parity), not a failure
+                error_parity += 1
+                continue
             engine_errors.append({"sql": s, "err": str(ex).split("\n")[0][:200]})
+            continue
+        if exp_err:
+            # PG raises, we silently return a value — the inverse
+            # silent-wrong class
+            should_error.append(s)
             continue
         if _NONDET_RE.search(s):
             skipped_nondet += 1
@@ -238,7 +299,7 @@ def main() -> None:
             )
 
     n = len(stmts)
-    executed = n - len(engine_errors)
+    executed = n - len(engine_errors) - error_parity
     checked = value_pass + len(mismatches)
     out = {
         "metric": "regress_expr_compat",
@@ -253,6 +314,8 @@ def main() -> None:
         "skipped_nondet": skipped_nondet,
         "oracle_diverges_skiplist": diverges,
         "engine_error": len(engine_errors),
+        "error_parity": error_parity,
+        "should_error": len(should_error),
     }
     if fails_out:
         def classify(e: str) -> str:
@@ -278,6 +341,7 @@ def main() -> None:
             return "in-scope"
 
         triage = {
+            "should_error": should_error,
             "engine_errors": [
                 {**d, "triage": classify(d["sql"])} for d in engine_errors
             ],

@@ -249,6 +249,331 @@ def _jsonb_contains_py(a: str | None, b: str | None):
     return contains(va, vb, top=True)
 
 
+def _jp_parse(p: str):
+    """Tokenize a jsonpath (reference src/backend/utils/adt/jsonpath.c
+    grammar subset): mode prefix, .key / .* / .** member steps, [N] /
+    [*] / [last] subscripts, one trailing ? (cond) filter."""
+    import re as _re
+
+    p = p.strip()
+    mode = "lax"
+    if p.startswith("strict"):
+        mode, p = "strict", p[6:].strip()
+    elif p.startswith("lax"):
+        mode, p = "lax", p[3:].strip()
+    if not p.startswith("$"):
+        raise ValueError("jsonpath must start with $")
+    p = p[1:]
+    toks: list[tuple] = []
+    i = 0
+    while i < len(p):
+        ch = p[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if p.startswith(".**", i):
+            toks.append(("rec",))
+            i += 3
+            # optional {n to m} level range: accept and ignore bounds
+            m = _re.match(r"\s*\{[^}]*\}", p[i:])
+            if m:
+                i += m.end()
+            continue
+        if ch == ".":
+            m = _re.match(r"\.(\*|\w+)", p[i:])
+            if not m:
+                raise ValueError(f"bad member step at {p[i:]!r}")
+            toks.append(("key", m.group(1)))
+            i += m.end()
+            continue
+        if ch == "[":
+            j = p.index("]", i)
+            toks.append(("idx", p[i + 1 : j].strip()))
+            i = j + 1
+            continue
+        if ch == "?":
+            rest = p[i + 1 :].strip()
+            if not (rest.startswith("(") and rest.endswith(")")):
+                raise ValueError("unsupported filter form")
+            toks.append(("filter", rest[1:-1].strip()))
+            i = len(p)
+            continue
+        raise ValueError(f"unsupported jsonpath at {p[i:]!r}")
+    return mode, toks
+
+
+def _jp_filter_ok(node, cond: str) -> bool:
+    import json as _json
+    import re as _re
+
+    m = _re.match(
+        r"^@((?:\.\w+)*)\s*(==|!=|<>|<=|>=|<|>)\s*(.+)$", cond.strip()
+    )
+    if not m:
+        raise ValueError(f"unsupported filter: {cond!r}")
+    path, op, lit = m.groups()
+    v = node
+    for k in [k for k in path.split(".") if k]:
+        if not isinstance(v, dict) or k not in v:
+            return False
+        v = v[k]
+    lit = lit.strip()
+    want = _json.loads(lit.replace("'", '"'))
+    if v is None or want is None:
+        return op in ("==",) and v is want
+    if isinstance(v, bool) != isinstance(want, bool):
+        return False
+    try:
+        return {
+            "==": v == want,
+            "!=": v != want,
+            "<>": v != want,
+            "<": v < want,
+            "<=": v <= want,
+            ">": v > want,
+            ">=": v >= want,
+        }[op]
+    except TypeError:
+        return False
+
+
+def _jsonpath_query_py(j: str | None, path: str | None):
+    """jsonb_path_query* evaluator (jsonpath_exec.c subset): returns
+    the match list as JSON text fragments, or None when the document /
+    path is NULL or the path form is outside the subset (callers then
+    stay loud via the SQL NULL)."""
+    import json as _json
+
+    if j is None or path is None:
+        return None
+    try:
+        doc = _json.loads(j)
+        mode, toks = _jp_parse(path)
+    except ValueError:
+        return None
+
+    def step(nodes, tok):
+        out = []
+        kind = tok[0]
+        for n in nodes:
+            if kind == "key":
+                items = n if isinstance(n, list) and mode == "lax" else [n]
+                for it in items:
+                    if isinstance(it, dict):
+                        if tok[1] == "*":
+                            out.extend(it.values())
+                        elif tok[1] in it:
+                            out.append(it[tok[1]])
+                        elif mode == "strict":
+                            raise ValueError("object lacks key")
+                    elif mode == "strict":
+                        raise ValueError("member step on non-object")
+            elif kind == "idx":
+                if not isinstance(n, list):
+                    if mode == "strict":
+                        raise ValueError("subscript on non-array")
+                    n = [n]
+                body = tok[1]
+                if body == "*":
+                    out.extend(n)
+                elif body == "last":
+                    if n:
+                        out.append(n[-1])
+                else:
+                    import re as _re
+
+                    mr = _re.fullmatch(r"(\d+)\s+to\s+(last|\d+)", body)
+                    if mr:
+                        lo = int(mr.group(1))
+                        hi = (
+                            len(n) - 1
+                            if mr.group(2) == "last"
+                            else int(mr.group(2))
+                        )
+                        out.extend(n[lo : hi + 1])
+                    else:
+                        k = int(body)
+                        if 0 <= k < len(n):
+                            out.append(n[k])
+                        elif mode == "strict":
+                            raise ValueError("subscript out of bounds")
+            elif kind == "rec":
+                stack = list(nodes) if False else [n]
+                while stack:
+                    cur = stack.pop()
+                    out.append(cur)
+                    if isinstance(cur, dict):
+                        stack.extend(cur.values())
+                    elif isinstance(cur, list):
+                        stack.extend(cur)
+            elif kind == "filter":
+                items = n if isinstance(n, list) and mode == "lax" else [n]
+                for it in items:
+                    if _jp_filter_ok(it, tok[1]):
+                        out.append(it)
+        return out
+
+    nodes = [doc]
+    try:
+        for tok in toks:
+            nodes = step(nodes, tok)
+    except ValueError:
+        return None
+    return [_json.dumps(v, separators=(", ", ": ")) for v in nodes]
+
+
+def _dumps(v) -> str:
+    import json as _json
+
+    return _json.dumps(v, separators=(", ", ": "))
+
+
+def _jsonb_set_py(j, path, newval, create=True):
+    """jsonb_set (reference jsonfuncs.c jsonb_set): replace the value
+    at a text[] path; negative array indexes count from the end;
+    out-of-range indexes append at that end when create_missing."""
+    import json as _json
+
+    if j is None or path is None or newval is None:
+        return None
+    try:
+        doc, nv = _json.loads(j), _json.loads(newval)
+    except ValueError:
+        return None
+
+    def rec(node, keys):
+        k, last = keys[0], len(keys) == 1
+        if isinstance(node, dict):
+            if last:
+                if k in node or create:
+                    node[k] = nv
+            elif k in node:
+                rec(node[k], keys[1:])
+        elif isinstance(node, list):
+            try:
+                i = int(k)
+            except (TypeError, ValueError):
+                return
+            if i < 0:
+                i += len(node)
+            if last:
+                if 0 <= i < len(node):
+                    node[i] = nv
+                elif create:
+                    node.insert(0, nv) if i < 0 else node.append(nv)
+            elif 0 <= i < len(node):
+                rec(node[i], keys[1:])
+
+    if not path:
+        return _dumps(doc)
+    rec(doc, list(path))
+    return _dumps(doc)
+
+
+def _jsonb_insert_py(j, path, newval, after=False):
+    """jsonb_insert (jsonfuncs.c): insert before/after the array
+    element at path; for objects only a MISSING key may be inserted
+    (an existing one is an error in PG → NULL here, never a silent
+    overwrite)."""
+    import json as _json
+
+    if j is None or path is None or newval is None:
+        return None
+    try:
+        doc, nv = _json.loads(j), _json.loads(newval)
+    except ValueError:
+        return None
+    bad = []
+
+    def rec(node, keys):
+        k, last = keys[0], len(keys) == 1
+        if isinstance(node, dict):
+            if last:
+                if k in node:
+                    bad.append(True)  # PG: "cannot replace existing key"
+                else:
+                    node[k] = nv
+            elif k in node:
+                rec(node[k], keys[1:])
+        elif isinstance(node, list):
+            try:
+                i = int(k)
+            except (TypeError, ValueError):
+                return
+            if i < 0:
+                i += len(node)
+            if last:
+                node.insert(i + 1 if after else i, nv)
+            elif 0 <= i < len(node):
+                rec(node[i], keys[1:])
+
+    if not path:
+        return None
+    rec(doc, list(path))
+    return None if bad else _dumps(doc)
+
+
+def _jsonb_delete_path_py(j, path):
+    """#- operator (jsonfuncs.c jsonb_delete_path): remove the
+    key/element at a text[] path; negative indexes from the end."""
+    import json as _json
+
+    if j is None or path is None:
+        return None
+    try:
+        doc = _json.loads(j)
+    except ValueError:
+        return None
+
+    def rec(node, keys):
+        k, last = keys[0], len(keys) == 1
+        if isinstance(node, dict):
+            if last:
+                node.pop(k, None)
+            elif k in node:
+                rec(node[k], keys[1:])
+        elif isinstance(node, list):
+            try:
+                i = int(k)
+            except (TypeError, ValueError):
+                return
+            if i < 0:
+                i += len(node)
+            if 0 <= i < len(node):
+                if last:
+                    del node[i]
+                else:
+                    rec(node[i], keys[1:])
+
+    if path:
+        rec(doc, list(path))
+    return _dumps(doc)
+
+
+def _json_object1_py(arr):
+    """json_object(text[]): flat key/value list (or array of 2-elem
+    arrays flattens the same way) → object with TEXT values, as PG's
+    json_object does (jsonfuncs.c json_object)."""
+    if arr is None:
+        return None
+    flat = list(arr)
+    if len(flat) % 2:
+        return None
+    return _dumps(
+        {str(flat[i]): (None if flat[i + 1] is None else str(flat[i + 1]))
+         for i in range(0, len(flat), 2)}
+    )
+
+
+def _json_object2_py(keys, vals):
+    if keys is None or vals is None or len(keys) != len(vals):
+        return None
+    return _dumps(
+        {str(k): (None if v is None else str(v))
+         for k, v in zip(keys, vals)}
+    )
+
+
 def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]:
     """Register PG-name SQL scalar functions (idempotent per session)."""
     key = id(spark)
@@ -259,9 +584,18 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
             f"RETURNS {ret} RETURN {body}"
         )
-    # row-at-a-time Python UDF — dialect-breadth slow path, used for the
-    # jsonb @> / <@ operators whose recursive semantics have no Spark
-    # built-in; typically applied to literals/small projections
+    # row-at-a-time Python UDFs — dialect-breadth slow path, used for
+    # operators whose recursive semantics have no Spark built-in
+    # (jsonb @> / <@ containment, jsonpath value queries); typically
+    # applied to literals/small projections
     spark.udf.register("jsonb_contains", _jsonb_contains_py, "BOOLEAN")
+    spark.udf.register(
+        "jsonb_path_query_list", _jsonpath_query_py, "ARRAY<STRING>"
+    )
+    spark.udf.register("jsonb_set", _jsonb_set_py, "STRING")
+    spark.udf.register("jsonb_insert", _jsonb_insert_py, "STRING")
+    spark.udf.register("jsonb_delete_path", _jsonb_delete_path_py, "STRING")
+    spark.udf.register("json_object1", _json_object1_py, "STRING")
+    spark.udf.register("json_object2", _json_object2_py, "STRING")
     _REGISTERED_SESSIONS.add(key)
     return sorted(_SQL_FUNCTIONS)

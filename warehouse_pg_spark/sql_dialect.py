@@ -354,7 +354,7 @@ def _rewrite_distinct_similar(sql: str, lits: list[str]) -> str:
 #   $.a OP value / $.a[*] OP value   (@@ predicate forms)
 # with OP in == != <> < <= > >= like_regex and value a number,
 # "string", true/false or null.
-_JSONPATH_LHS = r"(?:[\w.\)\]]+)"
+_JSONPATH_LHS = rf"(?:{_LIT}|[\w.\)\]]+)"
 _JSONPATH_EXISTS_RE = re.compile(rf"({_JSONPATH_LHS})\s*@\?\s*({_LIT})")
 _JSONPATH_MATCH_RE = re.compile(rf"({_JSONPATH_LHS})\s*@@\s*({_LIT})")
 _JP_OPS = {"==": "=", "!=": "!=", "<>": "!=", "<": "<", "<=": "<=",
@@ -667,6 +667,45 @@ _LR_TRIM_RE = re.compile(
 )
 _REGEXP_REPLACE_RE = re.compile(
     r"\bregexp_replace\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_REGEXP_SPLIT_ARR_RE = re.compile(
+    r"\bregexp_split_to_array\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+# PG's default timezone abbreviations are FIXED offsets (datetime.c,
+# timezone/tznames/Default) — 'MSK' is +03 even for 2011-2014 instants
+# when the Europe/Moscow ZONE was +04; the regress suite pins exactly
+# that distinction.
+_TZ_ABBREV_OFFSETS = {
+    "MSK": "+03:00", "PST": "-08:00", "PDT": "-07:00", "EST": "-05:00",
+    "EDT": "-04:00", "CST": "-06:00", "CDT": "-05:00", "MST": "-07:00",
+    "MDT": "-06:00", "AKST": "-09:00", "AKDT": "-08:00", "HST": "-10:00",
+    "BST": "+01:00", "CET": "+01:00", "CEST": "+02:00", "EET": "+02:00",
+    "EEST": "+03:00", "WET": "+00:00", "WEST": "+01:00", "JST": "+09:00",
+    "KST": "+09:00", "HKT": "+08:00", "SGT": "+08:00", "IST": "+05:30",
+    "AEST": "+10:00", "AEDT": "+11:00", "ACST": "+09:30", "AWST": "+08:00",
+    "NZST": "+12:00", "NZDT": "+13:00",
+}
+_TS_ABBREV_BODY_RE = re.compile(
+    r"^(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}(?::\d{2})?(?:\.\d+)?) "
+    r"([A-Z]{2,5})$"
+)
+_JSONB_MUT_RE = re.compile(
+    r"\b(jsonb_set|jsonb_insert)\s*\(((?:[^()]|\([^()]*\))*)\)",
+    re.IGNORECASE,
+)
+_HASH_MINUS_RE = re.compile(
+    rf"({_LIT}|[\w.]+\([^()]*\)|[\w.]+)\s*#-\s*"
+    rf"({_LIT}|[\w.]+\([^()]*\)|[\w.]+)"
+)
+_JSON_OBJECT_RE = re.compile(
+    r"\b(json_object|jsonb_object)\s*\(((?:[^()]|\([^()]*\))*)\)",
+    re.IGNORECASE,
+)
+# jsonb_path_* function forms → operator/UDF lowerings
+_JSONB_PATH_FN_RE = re.compile(
+    r"\bjsonb_path_(query_array|query_first|query|exists|match)\s*"
+    r"\(((?:[^()]|\([^()]*\))*)\)",
+    re.IGNORECASE,
 )
 _DQUOTE_IDENT_RE = re.compile(r'"((?:[^"]|"")*)"')
 _BYTEA_CAST_RE = re.compile(rf"(?:\bE)?({_LIT})\s*::\s*bytea\b", re.IGNORECASE)
@@ -1063,6 +1102,30 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
 
     sql = _REGEXP_REPLACE_RE.sub(sub_regexp_replace, sql)
 
+    def sub_regexp_split_arr(m: re.Match) -> str:
+        # regexp_split_to_array(s, pat[, flags]) (regexp.c
+        # regexp_split_to_array): Spark split() is already regex-based
+        # with PG's keep-trailing-empties behavior; 'i' becomes an
+        # inline flag; 'g' is an error in PG too — left loud.
+        args = [a.strip() for a in _split_args(m.group(1))]
+        if len(args) == 2:
+            return f"split({args[0]}, {args[1]})"
+        if len(args) == 3:
+            f3 = re.sub(r"(?i)^E(?=\x01)", "", args[2])
+            p3 = re.sub(r"(?i)^E(?=\x01)", "", args[1])
+            if (
+                _MASK_RE.fullmatch(f3)
+                and _MASK_RE.fullmatch(p3)
+                and (flags := _lit_value(f3, lits))
+                and set(flags) <= set("imsx")
+            ):
+                pat_raw = lits[int(_MASK_RE.match(p3).group(1))][1:-1]
+                p2 = _new_lit_raw(f"(?{flags}){pat_raw}", lits)
+                return f"split({args[0]}, {p2})"
+        return m.group(0)
+
+    sql = _REGEXP_SPLIT_ARR_RE.sub(sub_regexp_split_arr, sql)
+
     def sub_lr_trim(m: re.Match) -> str:
         # PG ltrim/rtrim(str, chars) vs Spark ltrim/rtrim(trimStr, str):
         # the 2-arg forms take their arguments in OPPOSITE order —
@@ -1376,6 +1439,39 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         else:
             agg = f"array_sort({base})"
         return f"(SELECT {agg} {rest})"
+
+    # jsonb mutation family (jsonfuncs.c): jsonb_set / jsonb_insert
+    # route to the registered Python UDFs with the braced text[] path
+    # argument lowered to array(...); j #- path deletes at a path;
+    # json_object/jsonb_object dispatch on arity (flat pair list vs
+    # parallel key/value arrays).
+    def sub_jsonb_mut(m: re.Match) -> str:
+        fn = m.group(1).lower()
+        args = [a.strip() for a in _split_args(m.group(2))]
+        if len(args) >= 2:
+            args[1] = _braced_to_array(args[1], lits)
+        return f"{fn}({', '.join(args)})"
+
+    sql = _JSONB_MUT_RE.sub(sub_jsonb_mut, sql)
+
+    def sub_hash_minus(m: re.Match) -> str:
+        lhs, rhs = m.group(1), _braced_to_array(m.group(2), lits)
+        return f"jsonb_delete_path({lhs}, {rhs})"
+
+    sql = _HASH_MINUS_RE.sub(sub_hash_minus, sql)
+
+    def sub_json_object(m: re.Match) -> str:
+        args = [a.strip() for a in _split_args(m.group(2))]
+        if len(args) == 1:
+            return f"json_object1({_braced_to_array(args[0], lits)})"
+        if len(args) == 2:
+            return (
+                f"json_object2({_braced_to_array(args[0], lits)}, "
+                f"{_braced_to_array(args[1], lits)})"
+            )
+        return m.group(0)
+
+    sql = _JSON_OBJECT_RE.sub(sub_json_object, sql)
 
     return _ARRAY_SUBQ_RE.sub(sub_arr_subq, sql)
 
@@ -1949,6 +2045,17 @@ def rewrite(sql: str) -> str:
         out,
     )
 
+    # '2011-03-27 01:00:00 MSK' datetime literals: Spark's parser drops
+    # the row to NULL on zone abbreviations; PG reads them as fixed
+    # offsets — rewrite the literal body in place (the shape is
+    # unambiguous: ISO datetime + trailing abbreviation)
+    for li, lit in enumerate(lits):
+        mb = _TS_ABBREV_BODY_RE.match(lit[1:-1])
+        if mb and mb.group(2) in _TZ_ABBREV_OFFSETS:
+            lits[li] = (
+                "'" + mb.group(1) + " " + _TZ_ABBREV_OFFSETS[mb.group(2)] + "'"
+            )
+
     out = _rewrite_distinct_on(out)
     out = _rewrite_with_ties(out)
 
@@ -1964,6 +2071,30 @@ def rewrite(sql: str) -> str:
 
     # chained JSON arrows fold into one get_json_object path
     out = _rewrite_arrows(out, lits)
+
+    # jsonb_path_* function spellings (jsonpath_exec.c): exists/match
+    # lower to the @? / @@ operators (handled by the pass right below);
+    # the value-returning query forms go through the Python jsonpath
+    # evaluator registered as jsonb_path_query_list (slow path by
+    # design — no Spark built-in walks arbitrary jsonpath)
+    def sub_jsonb_path_fn(m: re.Match) -> str:
+        form = m.group(1).lower()
+        args = [a.strip() for a in _split_args(m.group(2))]
+        if len(args) != 2:  # vars/silent arguments: leave loud
+            return m.group(0)
+        j, p = args
+        if form == "exists":
+            return f"({j} @? {p})"
+        if form == "match":
+            return f"({j} @@ {p})"
+        lst = f"jsonb_path_query_list({j}, {p})"
+        if form == "query_array":
+            return f"concat('[', array_join({lst}, ', '), ']')"
+        if form == "query_first":
+            return f"element_at({lst}, 1)"
+        return f"explode({lst})"  # query: SRF — one row per match
+
+    out = _JSONB_PATH_FN_RE.sub(sub_jsonb_path_fn, out)
 
     # jsonpath predicates @? / @@ (jsonpath_exec.c subset)
     out = _rewrite_jsonpath(out, lits)
@@ -2024,6 +2155,12 @@ def rewrite(sql: str) -> str:
     # still distinguishable from ::timestamp.
     def sub_at_tz(m: re.Match) -> str:
         op, tz = m.group(1), m.group(2)
+        # zone ABBREVIATIONS are fixed offsets in PG (see
+        # _TZ_ABBREV_OFFSETS) — ZoneId rejects them or (worse) reads
+        # some as region ids with different history
+        tzv = _lit_value(tz, lits).strip().upper()
+        if tzv in _TZ_ABBREV_OFFSETS:
+            tz = _new_lit(_TZ_ABBREV_OFFSETS[tzv], lits)
         if re.search(
             r"(?is)::\s*(?:timestamptz\b|timestamp\s+with\s+time\s+zone)", op
         ):
@@ -2199,6 +2336,17 @@ def rewrite(sql: str) -> str:
             f"FROM (SELECT explode(sequence({m.group(1)})) AS {m.group(3)}) {m.group(2)}"
         ),
         out,
+    )
+    # SRF in the SELECT list (`SELECT generate_series(1, 3)`) — any
+    # occurrence the FROM-position passes above did not consume becomes
+    # a generator; positions where a generator is illegal (LIMIT,
+    # nested args, a second SRF in the same list) fail loudly in
+    # analysis, matching PG's own restrictions closely enough.
+    out = re.sub(
+        r"\bgenerate_series\s*\(((?:[^()]|\([^()]*\))*)\)",
+        lambda m: f"explode(sequence({m.group(1)}))",
+        out,
+        flags=re.IGNORECASE,
     )
 
     # PG TABLESAMPLE method spellings (gram.y opt_sample;
