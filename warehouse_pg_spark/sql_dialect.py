@@ -1108,8 +1108,27 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         # with PG's keep-trailing-empties behavior; 'i' becomes an
         # inline flag; 'g' is an error in PG too — left loud.
         args = [a.strip() for a in _split_args(m.group(1))]
+
+        def wrap_empty_matching(s_expr: str, pat_tok: str) -> str:
+            # a pattern that can match the EMPTY string splits between
+            # every char; Spark emits leading/trailing '' artifacts PG
+            # does not — and with such a pattern no real token can be
+            # empty, so filtering '' is exact
+            p_chk = re.sub(r"(?i)^E(?=\x01)", "", pat_tok)
+            if _MASK_RE.fullmatch(p_chk):
+                body = lits[int(_MASK_RE.match(p_chk).group(1))][1:-1]
+                try:
+                    if re.fullmatch(body.replace("\\\\", "\\"), ""):
+                        return (
+                            f"filter(split({s_expr}, {pat_tok}), "
+                            f"__t -> __t != '')"
+                        )
+                except re.error:
+                    pass
+            return f"split({s_expr}, {pat_tok})"
+
         if len(args) == 2:
-            return f"split({args[0]}, {args[1]})"
+            return wrap_empty_matching(args[0], args[1])
         if len(args) == 3:
             f3 = re.sub(r"(?i)^E(?=\x01)", "", args[2])
             p3 = re.sub(r"(?i)^E(?=\x01)", "", args[1])
@@ -2017,7 +2036,15 @@ def _rewrite_dollar_quotes(sql: str) -> str:
                 end = sql.find(tag, i + len(tag))
                 if end >= 0:
                     body = sql[i + len(tag): end]
-                    out.append("'" + body.replace("'", "''") + "'")
+                    # dollar-quoted text is VERBATIM in PG — double the
+                    # backslashes so Spark's literal unescaping yields
+                    # the same characters ($re$\s+$re$ previously
+                    # became the regex 's+': silent wrong split)
+                    out.append(
+                        "'"
+                        + body.replace("\\", "\\\\").replace("'", "''")
+                        + "'"
+                    )
                     i = end + len(tag)
                     continue
             out.append(ch)
@@ -2339,15 +2366,17 @@ def rewrite(sql: str) -> str:
     )
     # SRF in the SELECT list (`SELECT generate_series(1, 3)`) — any
     # occurrence the FROM-position passes above did not consume becomes
-    # a generator; positions where a generator is illegal (LIMIT,
-    # nested args, a second SRF in the same list) fail loudly in
-    # analysis, matching PG's own restrictions closely enough.
-    out = re.sub(
-        r"\bgenerate_series\s*\(((?:[^()]|\([^()]*\))*)\)",
-        lambda m: f"explode(sequence({m.group(1)}))",
-        out,
-        flags=re.IGNORECASE,
-    )
+    # a generator. Only the SINGLE-occurrence case is rewritten: PG
+    # zips multiple SRFs row-wise (LCM semantics) which Spark's
+    # generators don't model — those stay loud, as do nested SRFs and
+    # illegal positions (LIMIT).
+    if len(re.findall(r"(?i)\bgenerate_series\s*\(", out)) == 1:
+        out = re.sub(
+            r"\bgenerate_series\s*\(((?:[^()]|\([^()]*\))*)\)",
+            lambda m: f"explode(sequence({m.group(1)}))",
+            out,
+            flags=re.IGNORECASE,
+        )
 
     # PG TABLESAMPLE method spellings (gram.y opt_sample;
     # tablesample/bernoulli.c, system.c) → Spark's percent form.
