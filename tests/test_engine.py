@@ -1316,3 +1316,17 @@ def test_jsonb_mutation_functions(engine):
     assert r.del_path == '{"n": null, "a": 1, "b": [1]}'
     assert r.obj1 == '{"a": "1", "b": "2"}'
     assert r.obj2 == '{"a": "1", "b": "2"}'
+
+
+def test_xml_is_well_formed(engine):
+    """xml.c xml_is_well_formed[_document|_content]: content allows
+    text/multiple top-level nodes; the bare form follows the engine's
+    CONTENT default xmloption."""
+    r = engine.sql(
+        "SELECT xml_is_well_formed('<a><b/></a>') AS ok,"
+        "       xml_is_well_formed('plain text') AS content_ok,"
+        "       xml_is_well_formed_document('plain text') AS doc_no,"
+        "       xml_is_well_formed_content('x<y/>z') AS frag_ok"
+    ).collect()[0]
+    assert r.ok is True and r.content_ok is True
+    assert r.doc_no is False and r.frag_ok is True

@@ -592,6 +592,35 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
     spark.udf.register(
         "jsonb_path_query_list", _jsonpath_query_py, "ARRAY<STRING>"
     )
+    def _xml_wf_document(s):
+        # xml.c xml_is_well_formed_document: exactly one root element
+        import xml.etree.ElementTree as ET
+
+        if s is None:
+            return None
+        try:
+            ET.fromstring(s)
+            return True
+        except ET.ParseError:
+            return False
+
+    def _xml_wf_content(s):
+        # content allows text/multiple top-level nodes: parse wrapped
+        import xml.etree.ElementTree as ET
+
+        if s is None:
+            return None
+        try:
+            ET.fromstring(f"<__wf__>{s}</__wf__>")
+            return True
+        except ET.ParseError:
+            return False
+
+    spark.udf.register("xml_is_well_formed_document", _xml_wf_document, "BOOLEAN")
+    spark.udf.register("xml_is_well_formed_content", _xml_wf_content, "BOOLEAN")
+    # bare form follows XMLOPTION; the engine's default is CONTENT,
+    # matching PG's default xmloption
+    spark.udf.register("xml_is_well_formed", _xml_wf_content, "BOOLEAN")
     spark.udf.register("jsonb_set", _jsonb_set_py, "STRING")
     spark.udf.register("jsonb_insert", _jsonb_insert_py, "STRING")
     spark.udf.register("jsonb_delete_path", _jsonb_delete_path_py, "STRING")
