@@ -1330,3 +1330,29 @@ def test_xml_is_well_formed(engine):
     ).collect()[0]
     assert r.ok is True and r.content_ok is True
     assert r.doc_no is False and r.frag_ok is True
+
+
+def test_range_types_sql_surface(engine):
+    """PG range types (rangetypes.c) as SQL text: constructors with
+    bounds spellings, discrete canonicalization, operators, union/
+    intersection, bound accessors — all pure-SQL struct functions
+    (functions/ranges.py), no Python per row."""
+    r = engine.sql(
+        "SELECT numrange(1.0, 3.0) && numrange(2.0, 4.0) AS ov,"
+        "       numrange(1.0, 2.0) -|- numrange(2.0, 3.0, '[]') AS adj,"
+        "       numrange(1.0, 4.0, '[]') @> 4.0 AS closed_hi,"
+        "       numrange(1.0, 4.0) @> 4.0 AS open_hi,"
+        "       2.5 <@ numrange(1.0, 4.0) AS elem,"
+        "       numrange(1.0, 2.0) << numrange(3.0, 4.0) AS before,"
+        "       isempty(numrange(1.0, 1.0)) AS emp,"
+        "       int4range(1, 3, '[]') = int4range(1, 4) AS canon,"
+        "       range_text(numrange(1.0, 2.0) + numrange(1.5, 3.0)) AS uni,"
+        "       range_text(numrange(1.0, 3.0) * numrange(2.0, 4.0)) AS inter,"
+        "       lower(numrange(1.5, 2.5)) AS lo,"
+        "       lower(numrange(NULL, 2.5)) IS NULL AS lo_inf,"
+        "       lower('ABC') AS str_lower"
+    ).collect()[0]
+    assert r.ov and r.adj and r.closed_hi and not r.open_hi
+    assert r.elem and r.before and r.emp and r.canon
+    assert r.uni == "[1.0,3.0)" and r.inter == "[2.0,3.0)"
+    assert r.lo == 1.5 and r.lo_inf and r.str_lower == "abc"

@@ -626,5 +626,8 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
     spark.udf.register("jsonb_delete_path", _jsonb_delete_path_py, "STRING")
     spark.udf.register("json_object1", _json_object1_py, "STRING")
     spark.udf.register("json_object2", _json_object2_py, "STRING")
+    from warehouse_pg_spark.functions.ranges import register_range_functions
+
+    register_range_functions(spark)
     _REGISTERED_SESSIONS.add(key)
     return sorted(_SQL_FUNCTIONS)

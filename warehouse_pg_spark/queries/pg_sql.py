@@ -1405,3 +1405,45 @@ def pgsql_jsonb_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type ORDER BY event_type
         """,
     )
+
+
+@register(
+    "pgsql_range_ops_text",
+    # DuckDB has no PG range types; the oracle states the PG-semantics
+    # answers as literals and expresses the data-dependent predicate
+    # through its bound arithmetic (same rows, no range machinery)
+    oracle="""
+    SELECT true AS ov, false AS ov2, true AS adj, true AS cont,
+           true AS has_elem, true AS canon_eq, 'empty' AS emp,
+           '[2.0,3.0)' AS inter,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_totalprice >= 1000.0 AND o_totalprice < 50000.0)
+             AS n_in_range
+    """,
+    tags=("dialect", "rangetypes", "functions"),
+)
+def pgsql_range_ops_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG range types as SQL text (rangetypes.c): numrange/int4range
+    constructors with bounds spellings, && / -|- / @> / << operators,
+    int canonicalization ([1,3] = [1,4)), empty detection, intersection
+    — all lowered to pure-SQL functions over a bounds struct
+    (functions/ranges.py: Catalyst-inlined, codegen, zero Python/row),
+    plus a range predicate filtering a fact column, the shape a 100 TB
+    scan would use."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT numrange(1.0, 3.0) && numrange(2.0, 4.0) AS ov,
+               numrange(1.0, 2.0) && numrange(2.0, 3.0) AS ov2,
+               numrange(1.0, 2.0) -|- numrange(2.0, 3.0, '[]') AS adj,
+               numrange(1.0, 4.0) @> numrange(2.0, 3.0) AS cont,
+               2.5 <@ numrange(1.0, 4.0) AS has_elem,
+               int4range(1, 3, '[]') = int4range(1, 4) AS canon_eq,
+               range_text(numrange(1.0, 1.0)) AS emp,
+               range_text(numrange(1.0, 3.0) * numrange(2.0, 4.0)) AS inter,
+               (SELECT COUNT(*) FROM orders
+                WHERE numrange(1000.0, 50000.0) @> CAST(o_totalprice AS DOUBLE))
+                 AS n_in_range
+        """,
+    )

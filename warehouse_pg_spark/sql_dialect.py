@@ -689,6 +689,29 @@ _TS_ABBREV_BODY_RE = re.compile(
     r"^(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}(?::\d{2})?(?:\.\d+)?) "
     r"([A-Z]{2,5})$"
 )
+# PG range types (rangetypes.c) — constructors lower to pg_range(...)
+# over the functions/ranges.py bounds struct; int4range/int8range
+# canonicalize to [lo, hi) at rewrite time (int4range_canonical).
+_RANGE_CTOR_RE = re.compile(
+    r"\b(numrange|int4range|int8range)\s*\(((?:[^()]|\([^()]*\))*)\)",
+    re.IGNORECASE,
+)
+_RANGE_EXPR = (
+    r"(?:pg_range|range_union|range_intersect)\s*"
+    r"\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
+)
+_RANGE_SCALAR = rf"(?:{_LIT}|[\w.]+\((?:[^()]|\([^()]*\))*\)|[-\w.$]+)"
+_RANGE_OP_RE = re.compile(
+    rf"({_RANGE_EXPR})\s*(@>|<@|&&|-\|-|<<|>>|\*|\+|=)\s*"
+    rf"({_RANGE_EXPR}|{_RANGE_SCALAR})",
+    re.IGNORECASE,
+)
+_ELEM_RANGE_OP_RE = re.compile(
+    rf"({_RANGE_SCALAR})\s*<@\s*({_RANGE_EXPR})", re.IGNORECASE
+)
+_RANGE_BOUND_FN_RE = re.compile(
+    rf"\b(lower|upper)\s*\(\s*({_RANGE_EXPR})\s*\)", re.IGNORECASE
+)
 _JSONB_MUT_RE = re.compile(
     r"\b(jsonb_set|jsonb_insert)\s*\(((?:[^()]|\([^()]*\))*)\)",
     re.IGNORECASE,
@@ -2138,6 +2161,84 @@ def rewrite(sql: str) -> str:
 
     # POSIX regex matches → RLIKE
     out = _rewrite_regex_match(out, lits)
+
+    # range constructors, then range operators — both BEFORE the array
+    # containment pass, whose @>/<@ would otherwise eat range operands
+    def sub_range_ctor(m: re.Match) -> str:
+        fn = m.group(1).lower()
+        args = [a.strip() for a in _split_args(m.group(2))]
+        if len(args) not in (2, 3):
+            return m.group(0)
+        lo, hi = args[0], args[1]
+        li, hi_i = "true", "false"  # PG default bounds '[)'
+        if len(args) == 3:
+            b3 = re.sub(r"(?i)^E(?=\x01)", "", args[2])
+            if not _MASK_RE.fullmatch(b3):
+                return m.group(0)  # non-literal bounds text: stay loud
+            bounds = _lit_value(b3, lits)
+            if bounds not in ("[)", "(]", "[]", "()"):
+                return m.group(0)
+            li = "true" if bounds[0] == "[" else "false"
+            hi_i = "true" if bounds[1] == "]" else "false"
+        if fn in ("int4range", "int8range"):
+            lo_e = (
+                f"CAST(({lo}) AS DOUBLE)"
+                if li == "true"
+                else f"CAST(({lo}) + 1 AS DOUBLE)"
+            )
+            hi_e = (
+                f"CAST(({hi}) AS DOUBLE)"
+                if hi_i == "false"
+                else f"CAST(({hi}) + 1 AS DOUBLE)"
+            )
+            return f"pg_range({lo_e}, {hi_e}, true, false)"
+        return (
+            f"pg_range(CAST(({lo}) AS DOUBLE), CAST(({hi}) AS DOUBLE), "
+            f"{li}, {hi_i})"
+        )
+
+    out = _RANGE_CTOR_RE.sub(sub_range_ctor, out)
+
+    _RANGE_OP_FN = {
+        "&&": "range_overlaps", "-|-": "range_adjacent",
+        "<<": "range_before", ">>": "range_after", "=": "range_eq",
+        "+": "range_union", "*": "range_intersect",
+    }
+
+    def sub_range_op(m: re.Match) -> str:
+        a, op, b = m.group(1), m.group(2), m.group(3)
+        b_is_range = bool(re.match(rf"(?i)^{_RANGE_EXPR}$", b.strip()))
+        if op == "@>":
+            if b_is_range:
+                return f"range_contains({a}, {b})"
+            return f"range_contains_elem({a}, CAST(({b}) AS DOUBLE))"
+        if op == "<@":
+            if b_is_range:
+                return f"range_contains({b}, {a})"
+            return m.group(0)  # range <@ scalar is not a PG operator
+        if not b_is_range:
+            return m.group(0)
+        return f"{_RANGE_OP_FN[op]}({a}, {b})"
+
+    prev_rng = None
+    while prev_rng != out:  # chained ops: a * b = c needs two passes
+        prev_rng = out
+        out = _RANGE_OP_RE.sub(sub_range_op, out)
+        out = _ELEM_RANGE_OP_RE.sub(
+            lambda m: (
+                f"range_contains_elem({m.group(2)}, "
+                f"CAST(({m.group(1)}) AS DOUBLE))"
+            ),
+            out,
+        )
+    # lower()/upper() collide with the string functions — map only the
+    # range-operand spelling; empty/infinite bounds are already NULL
+    out = _RANGE_BOUND_FN_RE.sub(
+        lambda m: f"(({m.group(2)})."
+        + ("lo" if m.group(1).lower() == "lower" else "hi")
+        + ")",
+        out,
+    )
 
     # jsonb containment (jsonb_util.c JsonbDeepContains) — must precede
     # the array containment pass below
