@@ -1356,3 +1356,24 @@ def test_range_types_sql_surface(engine):
     assert r.elem and r.before and r.emp and r.canon
     assert r.uni == "[1.0,3.0)" and r.inter == "[2.0,3.0)"
     assert r.lo == 1.5 and r.lo_inf and r.str_lower == "abc"
+
+
+def test_timestamp_range_types(engine):
+    """tsrange/daterange: the TIMESTAMP-bound family (same operator
+    semantics, _ts SQL-function overloads; daterange canonicalizes to
+    [lo, hi) in whole days — rangetypes.c daterange_canonical)."""
+    r = engine.sql(
+        "SELECT tsrange('2020-01-01', '2020-06-01')"
+        "         @> TIMESTAMP '2020-03-01' AS has,"
+        "       tsrange('2020-01-01', '2020-06-01')"
+        "         @> TIMESTAMP '2020-06-01' AS open_hi,"
+        "       tsrange('2020-01-01', '2020-02-01')"
+        "         -|- tsrange('2020-02-01', '2020-03-01') AS adj,"
+        "       daterange('2020-01-01', '2020-01-31', '[]')"
+        "         = daterange('2020-01-01', '2020-02-01') AS canon,"
+        "       range_text(tsrange('2020-01-01', '2020-01-02')"
+        "         * tsrange('2020-01-01 12:00:00', '2020-01-03')) AS inter,"
+        "       isempty(tsrange('2020-01-01', '2020-01-01')) AS emp"
+    ).collect()[0]
+    assert r.has and not r.open_hi and r.adj and r.canon and r.emp
+    assert r.inter == "[2020-01-01 12:00:00,2020-01-02 00:00:00)"

@@ -693,14 +693,32 @@ _TS_ABBREV_BODY_RE = re.compile(
 # over the functions/ranges.py bounds struct; int4range/int8range
 # canonicalize to [lo, hi) at rewrite time (int4range_canonical).
 _RANGE_CTOR_RE = re.compile(
-    r"\b(numrange|int4range|int8range)\s*\(((?:[^()]|\([^()]*\))*)\)",
+    r"\b(numrange|int4range|int8range|tsrange|daterange)\s*"
+    r"\(((?:[^()]|\([^()]*\))*)\)",
     re.IGNORECASE,
 )
-_RANGE_EXPR = (
-    r"(?:pg_range|range_union|range_intersect)\s*"
-    r"\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
+# parens nest 4 deep: range_intersect_ts(pg_range_ts(CAST(x), ...), ..)
+_RANGE_NEST = (
+    r"\((?:[^()]|\((?:[^()]|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))*\))*\)"
 )
-_RANGE_SCALAR = rf"(?:{_LIT}|[\w.]+\((?:[^()]|\([^()]*\))*\)|[-\w.$]+)"
+_RANGE_EXPR = rf"(?:pg_range|range_union|range_intersect)(?:_ts)?\s*{_RANGE_NEST}"
+_RANGE_TS_HEAD_RE = re.compile(
+    r"(?i)^(?:pg_range|range_union|range_intersect)_ts\b"
+)
+# isempty/lower_inc/... are registered per bound type; route the
+# timestamp-family structs to the _ts overloads (Spark would otherwise
+# implicitly COERCE the timestamp struct into the double overload and
+# print epoch numbers — a silent wrong-typed output)
+_RANGE_FN_TS_RE = re.compile(
+    r"\b(isempty|lower_inc|upper_inc|lower_inf|upper_inf|range_text)"
+    rf"\s*\(\s*((?:pg_range|range_union|range_intersect)_ts\s*"
+    rf"{_RANGE_NEST})\s*\)",
+    re.IGNORECASE,
+)
+_RANGE_SCALAR = (
+    rf"(?:(?:TIMESTAMP|DATE)\s*{_LIT}|{_LIT}"
+    rf"|[\w.]+\((?:[^()]|\([^()]*\))*\)|[-\w.$]+)"
+)
 _RANGE_OP_RE = re.compile(
     rf"({_RANGE_EXPR})\s*(@>|<@|&&|-\|-|<<|>>|\*|\+|=)\s*"
     rf"({_RANGE_EXPR}|{_RANGE_SCALAR})",
@@ -2192,6 +2210,19 @@ def rewrite(sql: str) -> str:
                 else f"CAST(({hi}) + 1 AS DOUBLE)"
             )
             return f"pg_range({lo_e}, {hi_e}, true, false)"
+        if fn == "daterange":  # discrete on days: canonicalize to [lo, hi)
+            lo_e = f"CAST(({lo}) AS TIMESTAMP)" + (
+                "" if li == "true" else " + INTERVAL 1 DAY"
+            )
+            hi_e = f"CAST(({hi}) AS TIMESTAMP)" + (
+                "" if hi_i == "false" else " + INTERVAL 1 DAY"
+            )
+            return f"pg_range_ts({lo_e}, {hi_e}, true, false)"
+        if fn == "tsrange":
+            return (
+                f"pg_range_ts(CAST(({lo}) AS TIMESTAMP), "
+                f"CAST(({hi}) AS TIMESTAMP), {li}, {hi_i})"
+            )
         return (
             f"pg_range(CAST(({lo}) AS DOUBLE), CAST(({hi}) AS DOUBLE), "
             f"{li}, {hi_i})"
@@ -2207,30 +2238,41 @@ def rewrite(sql: str) -> str:
 
     def sub_range_op(m: re.Match) -> str:
         a, op, b = m.group(1), m.group(2), m.group(3)
+        sfx = "_ts" if _RANGE_TS_HEAD_RE.match(a.strip()) else ""
+        elem_t = "TIMESTAMP" if sfx else "DOUBLE"
         b_is_range = bool(re.match(rf"(?i)^{_RANGE_EXPR}$", b.strip()))
         if op == "@>":
             if b_is_range:
-                return f"range_contains({a}, {b})"
-            return f"range_contains_elem({a}, CAST(({b}) AS DOUBLE))"
+                return f"range_contains{sfx}({a}, {b})"
+            return (
+                f"range_contains_elem{sfx}({a}, CAST(({b}) AS {elem_t}))"
+            )
         if op == "<@":
             if b_is_range:
-                return f"range_contains({b}, {a})"
+                return f"range_contains{sfx}({b}, {a})"
             return m.group(0)  # range <@ scalar is not a PG operator
         if not b_is_range:
             return m.group(0)
-        return f"{_RANGE_OP_FN[op]}({a}, {b})"
+        return f"{_RANGE_OP_FN[op]}{sfx}({a}, {b})"
+
+    def sub_elem_range(m: re.Match) -> str:
+        sfx = "_ts" if _RANGE_TS_HEAD_RE.match(m.group(2).strip()) else ""
+        t = "TIMESTAMP" if sfx else "DOUBLE"
+        return (
+            f"range_contains_elem{sfx}({m.group(2)}, "
+            f"CAST(({m.group(1)}) AS {t}))"
+        )
 
     prev_rng = None
     while prev_rng != out:  # chained ops: a * b = c needs two passes
         prev_rng = out
         out = _RANGE_OP_RE.sub(sub_range_op, out)
-        out = _ELEM_RANGE_OP_RE.sub(
-            lambda m: (
-                f"range_contains_elem({m.group(2)}, "
-                f"CAST(({m.group(1)}) AS DOUBLE))"
-            ),
-            out,
-        )
+        out = _ELEM_RANGE_OP_RE.sub(sub_elem_range, out)
+    # accessor fns on a timestamp-family struct route to the _ts
+    # overloads (SQL temp functions have no type-based overloading)
+    out = _RANGE_FN_TS_RE.sub(
+        lambda m: f"{m.group(1).lower()}_ts({m.group(2)})", out
+    )
     # lower()/upper() collide with the string functions — map only the
     # range-operand spelling; empty/infinite bounds are already NULL
     out = _RANGE_BOUND_FN_RE.sub(
