@@ -355,7 +355,8 @@ def main() -> None:
                 r"|foreach_test|currtid2|merge_db|func1_\w+|excpt_test\d*"
                 r"|transaction_test\d*|sales_region|sec_definer_\w+"
                 r"|array_elem_check|anyarray_anyrange_func|serialtest\w*"
-                r"|get_ao_compression_ratio|gp_inject_fault"
+                r"|get_ao_compression_ratio|gp_inject_fault|check_atsetam"
+                r"|\w+send|\w+recv|disable_xform|enable_xform"
                 r"|satisfies_hash_partition|brin_desummarize_range"
                 r"|lo_create|has_table_privilege|ts_lexize|verify)\b", el,
             ):
