@@ -1267,16 +1267,74 @@ def test_generate_series_in_select_position(engine):
 
 
 def test_timezone_abbreviations_fixed_offsets(engine):
-    """PG zone ABBREVIATIONS are fixed offsets (timezone/tznames):
-    'MSK' is +03 even for 2011-2014 instants when the Europe/Moscow
-    ZONE was +04 — regress pins exactly that distinction."""
+    """PG zone ABBREVIATIONS (timezone/tznames/Default): most are fixed
+    offsets, but MSK is a DYNAMIC link to Europe/Moscow — regress
+    expected/timestamptz.out pins '2011-03-27 03:00:00 MSK' -> 23:00
+    UTC (+04, the zone's 2011-2014 offset) — and IST is Israel (+02),
+    not India (+05:30)."""
     r = engine.sql(
         "SELECT '2011-03-27 01:00:00 MSK'::timestamptz AS lit,"
+        "       '2011-03-27 03:00:00 MSK'::timestamptz AS lit_dst,"
+        "       '2020-06-01 12:00:00 MSK'::timestamptz AS lit_modern,"
+        "       '2020-06-01 12:00:00 IST'::timestamptz AS lit_ist,"
         "       CAST('2011-03-26 21:00:00 UTC'::timestamptz"
         "            AT TIME ZONE 'MSK' AS STRING) AS conv"
     ).collect()[0]
-    assert str(r.lit) == "2011-03-26 22:00:00"
+    assert str(r.lit) == "2011-03-26 22:00:00"       # pre-gap: +03
+    assert str(r.lit_dst) == "2011-03-26 23:00:00"   # post-gap: +04
+    assert str(r.lit_modern) == "2020-06-01 09:00:00"  # modern: +03
+    assert str(r.lit_ist) == "2020-06-01 10:00:00"   # Israel +02
     assert r.conv == "2011-03-27 00:00:00"
+
+
+def test_regexp_replace_pattern_backref_first_match(engine):
+    """regexp_replace first-match emulation wraps the pattern in two
+    prefix groups; backrefs INSIDE the pattern must be renumbered by
+    the same shift or \\1 silently binds the lazy-prefix group
+    (regexp.c keeps group numbers — the r9 ADVICE silent-wrong-answer
+    case)."""
+    r = engine.sql(
+        "SELECT regexp_replace('foo bar bar baz', '(\\\\w+) \\\\1', 'X') AS a,"
+        "       regexp_replace('abc def', '(\\\\w+) (\\\\w+)',"
+        "                      '\\\\2 \\\\1') AS b,"
+        "       regexp_replace('a\\\\b', '\\\\\\\\(b)', '[\\\\1]') AS c,"
+        "       regexp_replace('xx yy yy zz zz', '(\\\\w+) \\\\1',"
+        "                      'D', 'g') AS d,"
+        "       regexp_replace('a(b)c', '[(]b[)]', 'X') AS e"
+    ).collect()[0]
+    assert r.a == "foo X baz"      # \1 binds the pattern's own group
+    assert r.b == "def abc"        # replacement backrefs shift too
+    assert r.c == "a[b]"           # escaped backslash before group
+    assert r.d == "xx D D"         # 'g' path unchanged
+    assert r.e == "aXc"            # class parens are not groups
+
+
+def test_power_posix_edges(engine):
+    """PG float.c dpow is POSIX: power(1, NaN) = 1 (JVM Math.pow gives
+    NaN); power(NaN, 0) = 1 in both."""
+    r = engine.sql(
+        "SELECT power(1.0, CAST('NaN' AS DOUBLE)) AS one_nan,"
+        "       power(CAST('NaN' AS DOUBLE), 0) AS nan_zero,"
+        "       2 ^ 10 AS op, 2 ^ -2 AS neg"
+    ).collect()[0]
+    assert r.one_nan == 1.0 and r.nan_zero == 1.0
+    assert r.op == 1024.0 and r.neg == 0.25
+
+
+def test_jsonpath_filter_string_comparand(engine):
+    """jsonpath filter comparands parse as one explicit token — an
+    apostrophe inside a double-quoted jsonpath string survives
+    (jsonpath_exec.c executeComparison), and a filter may be followed
+    by further path steps."""
+    r = engine.sql(
+        "SELECT jsonb_path_query_first("
+        "  '{\"name\":\"O''Brien\",\"ok\":1}',"
+        "  '$ ? (@.name == \"O''Brien\").ok') AS hit,"
+        "       jsonb_path_query_array("
+        "  '{\"a\":[1,2,3,4]}', '$.a[*] ? (@ > 2)') AS arr"
+    ).collect()[0]
+    assert r.hit == "1"
+    assert r.arr == "[3, 4]"
 
 
 def test_regexp_split_to_array(engine):
@@ -1377,3 +1435,24 @@ def test_timestamp_range_types(engine):
     ).collect()[0]
     assert r.has and not r.open_hi and r.adj and r.canon and r.emp
     assert r.inter == "[2020-01-01 12:00:00,2020-01-02 00:00:00)"
+
+
+def test_int8range_exact_past_2p53(engine):
+    """int8range bounds are DECIMAL(20,0) (rangetypes.c int8range):
+    a DOUBLE lowering loses bigints above 2^53 and the discrete +1
+    canonicalization then lands on the wrong integer — these pins
+    require exact arithmetic at 2^53+k."""
+    r = engine.sql(
+        "SELECT range_text(int8range(9007199254740993,"
+        "                            9007199254740995, '[]')) AS txt,"
+        "       int8range(9007199254740993, 9007199254740999)"
+        "         @> 9007199254740993 AS has_lo,"
+        "       int8range(9007199254740993, 9007199254740999)"
+        "         @> 9007199254740992 AS below,"
+        "       int8range(1, 3, '[]') = int8range(1, 4) AS canon,"
+        "       range_text(int8range(1, 5) * int8range(4, 9)) AS inter,"
+        "       isempty(int8range(7, 7)) AS emp"
+    ).collect()[0]
+    assert r.txt == "[9007199254740993,9007199254740996)"
+    assert r.has_lo and not r.below and r.canon and r.emp
+    assert r.inter == "[4,5)"

@@ -364,3 +364,23 @@ def test_repetition_gopher_no_lambda_recompute(spark, sf_dir):
     df = REGISTRY["text_repetition_gopher"].fn(spark, sf_dir)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("regexp_replace") <= 2  # the 2-step normalizer
+
+
+def test_no_row_at_a_time_python_udf_in_any_registry_plan(spark, sf_dir):
+    """Every Python boundary in every registered query must be
+    Arrow-batched: the plan may contain ArrowEvalPython (pandas UDF),
+    FlatMapGroupsInPandas, MapInPandas, etc., but never a
+    BatchEvalPython node — the row-at-a-time pickled path that turns a
+    100 TB scan into a per-row serialization loop. Round-10 gate for
+    the jsonb/xml shim conversion (functions/pg._arrow_batched)."""
+    offenders = []
+    for name, q in REGISTRY.items():
+        try:
+            df = q.fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # plan construction must not crash either
+            offenders.append((name, f"plan error: {e}"))
+            continue
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+    assert not offenders, offenders

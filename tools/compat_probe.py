@@ -104,8 +104,9 @@ ORACLE_DIVERGES = (
     "(^$)*",
     "(^)+^",
     # DuckDB's AT TIME ZONE ignores abbreviations entirely (returns the
-    # input unchanged); PG reads them as fixed offsets — engine matches
-    # PG's expected/*.out (+03 for MSK on 2011/2014 transition days)
+    # input unchanged); PG's Default file links MSK -> Europe/Moscow
+    # (dynamic: +04 during 2011-2014) — the engine matches PG's
+    # expected/timestamptz.out via the _TZ_ABBREV_ZONES rewrite
     "'msk'",
     # PG SRFs in the select list expand ROWS; DuckDB returns a LIST
     "generate_series(",

@@ -13,6 +13,7 @@ numeric.c (width_bucket), pivot.c:31 (pivot helpers).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
@@ -91,6 +92,15 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "quote_ident": ("s STRING", "STRING", 'concat(\'"\', s, \'"\')'),
     "initcap_pg": ("s STRING", "STRING", "initcap(s)"),
     "log_pg": ("x DOUBLE", "DOUBLE", "log10(x)"),  # PG log(x) = base 10
+    # PG float.c dpow follows POSIX: power(1, NaN) = 1 (any exponent of
+    # a base of exactly 1 is 1); JVM Math.pow(1.0, NaN) returns NaN.
+    # The y=0 edge (pow(NaN, 0) = 1) already matches in Java.
+    "power_pg": (
+        "x DOUBLE, y DOUBLE",
+        "DOUBLE",
+        "CASE WHEN x = CAST(1.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) "
+        "ELSE power(x, y) END",
+    ),
     "trunc_num": (
         "x DOUBLE",
         "DOUBLE",
@@ -292,11 +302,35 @@ def _jp_parse(p: str):
             i = j + 1
             continue
         if ch == "?":
-            rest = p[i + 1 :].strip()
-            if not (rest.startswith("(") and rest.endswith(")")):
+            # balanced-paren filter (may be followed by more steps:
+            # `$ ? (@.a == 1).b`); quoted strings shield parens
+            j = i + 1
+            while j < len(p) and p[j].isspace():
+                j += 1
+            if j >= len(p) or p[j] != "(":
                 raise ValueError("unsupported filter form")
-            toks.append(("filter", rest[1:-1].strip()))
-            i = len(p)
+            depth, k, in_str = 0, j, None
+            while k < len(p):
+                c = p[k]
+                if in_str:
+                    if c == "\\":
+                        k += 2
+                        continue
+                    if c == in_str:
+                        in_str = None
+                elif c in "\"'":
+                    in_str = c
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if depth != 0:
+                raise ValueError("unbalanced filter")
+            toks.append(("filter", p[j + 1 : k].strip()))
+            i = k + 1
             continue
         raise ValueError(f"unsupported jsonpath at {p[i:]!r}")
     return mode, toks
@@ -318,7 +352,16 @@ def _jp_filter_ok(node, cond: str) -> bool:
             return False
         v = v[k]
     lit = lit.strip()
-    want = _json.loads(lit.replace("'", '"'))
+    # Parse the comparand as ONE explicit token — a quoted string,
+    # number, true/false/null — never a blanket quote substitution,
+    # which would corrupt a string containing an apostrophe or an
+    # embedded double quote (?(@.name == "O'Brien")).
+    if lit.startswith("'") and lit.endswith("'") and len(lit) >= 2:
+        # lenient single-quoted spelling: unescape \' then JSON-decode
+        body = lit[1:-1].replace("\\'", "'").replace('"', '\\"')
+        want = _json.loads('"' + body + '"')
+    else:
+        want = _json.loads(lit)  # "..." / number / true / false / null
     if v is None or want is None:
         return op in ("==",) and v is want
     if isinstance(v, bool) != isinstance(want, bool):
@@ -574,6 +617,72 @@ def _json_object2_py(keys, vals):
     )
 
 
+def _xml_wf_document_py(s):
+    # xml.c xml_is_well_formed_document: exactly one root element
+    import xml.etree.ElementTree as ET
+
+    if s is None:
+        return None
+    try:
+        ET.fromstring(s)
+        return True
+    except ET.ParseError:
+        return False
+
+
+def _xml_wf_content_py(s):
+    # content allows text/multiple top-level nodes: parse wrapped
+    import xml.etree.ElementTree as ET
+
+    if s is None:
+        return None
+    try:
+        ET.fromstring(f"<__wf__>{s}</__wf__>")
+        return True
+    except ET.ParseError:
+        return False
+
+
+def _arrow_batched(fn, ret: str, arity: int):
+    """Wrap a scalar Python fn as an Arrow-batched SCALAR pandas UDF.
+
+    The element-wise loop stays in Python (the wrapped semantics are
+    recursive over parsed documents), but serialization is per Arrow
+    batch instead of per row — the difference between ArrowEvalPython
+    and BatchEvalPython in the plan, and the difference between a
+    bounded slow path and a scan-killer on a 100 TB fact column."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _cell(v):
+        # Arrow hands array columns to pandas as np.ndarray — the
+        # wrapped scalar fns expect plain lists (truthiness, slicing)
+        return v.tolist() if isinstance(v, np.ndarray) else v
+
+    def _apply(*cols):
+        return pd.Series(
+            [fn(*map(_cell, vals)) for vals in zip(*cols)], dtype=object
+        )
+
+    # concrete per-arity signatures: the type-hint pandas_udf API
+    # infers SCALAR evaluation from the pd.Series annotations
+    if arity == 1:
+        def w(a: pd.Series) -> pd.Series:
+            return _apply(a)
+    elif arity == 2:
+        def w(a: pd.Series, b: pd.Series) -> pd.Series:
+            return _apply(a, b)
+    elif arity == 3:
+        def w(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
+            return _apply(a, b, c)
+    else:
+        def w(a: pd.Series, b: pd.Series, c: pd.Series,
+              d: pd.Series) -> pd.Series:
+            return _apply(a, b, c, d)
+    w.__name__ = getattr(fn, "__name__", "pg_fn")
+    return pandas_udf(w, ret)
+
+
 def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]:
     """Register PG-name SQL scalar functions (idempotent per session)."""
     key = id(spark)
@@ -584,48 +693,32 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
             f"RETURNS {ret} RETURN {body}"
         )
-    # row-at-a-time Python UDFs — dialect-breadth slow path, used for
+    # Arrow-batched pandas UDFs — dialect-breadth slow path for
     # operators whose recursive semantics have no Spark built-in
-    # (jsonb @> / <@ containment, jsonpath value queries); typically
-    # applied to literals/small projections
-    spark.udf.register("jsonb_contains", _jsonb_contains_py, "BOOLEAN")
-    spark.udf.register(
-        "jsonb_path_query_list", _jsonpath_query_py, "ARRAY<STRING>"
-    )
-    def _xml_wf_document(s):
-        # xml.c xml_is_well_formed_document: exactly one root element
-        import xml.etree.ElementTree as ET
-
-        if s is None:
-            return None
-        try:
-            ET.fromstring(s)
-            return True
-        except ET.ParseError:
-            return False
-
-    def _xml_wf_content(s):
-        # content allows text/multiple top-level nodes: parse wrapped
-        import xml.etree.ElementTree as ET
-
-        if s is None:
-            return None
-        try:
-            ET.fromstring(f"<__wf__>{s}</__wf__>")
-            return True
-        except ET.ParseError:
-            return False
-
-    spark.udf.register("xml_is_well_formed_document", _xml_wf_document, "BOOLEAN")
-    spark.udf.register("xml_is_well_formed_content", _xml_wf_content, "BOOLEAN")
-    # bare form follows XMLOPTION; the engine's default is CONTENT,
-    # matching PG's default xmloption
-    spark.udf.register("xml_is_well_formed", _xml_wf_content, "BOOLEAN")
-    spark.udf.register("jsonb_set", _jsonb_set_py, "STRING")
-    spark.udf.register("jsonb_insert", _jsonb_insert_py, "STRING")
-    spark.udf.register("jsonb_delete_path", _jsonb_delete_path_py, "STRING")
-    spark.udf.register("json_object1", _json_object1_py, "STRING")
-    spark.udf.register("json_object2", _json_object2_py, "STRING")
+    # (jsonb @> / <@ containment, jsonpath value queries, jsonb
+    # mutation, XML well-formedness). The per-element Python loop is
+    # unavoidable (the semantics are recursive over parsed JSON/XML),
+    # but the data crosses the JVM↔Python boundary in Arrow record
+    # batches, not per-row pickled tuples — ~10-50× less transfer
+    # overhead on a wide scan, and the plan shows ArrowEvalPython,
+    # never BatchEvalPython (gated in tests/test_plans.py).
+    for _name, _fn, _ret, _arity in (
+        ("jsonb_contains", _jsonb_contains_py, "BOOLEAN", 2),
+        ("jsonb_path_query_list", _jsonpath_query_py, "ARRAY<STRING>", 2),
+        ("xml_is_well_formed_document", _xml_wf_document_py, "BOOLEAN", 1),
+        ("xml_is_well_formed_content", _xml_wf_content_py, "BOOLEAN", 1),
+        # bare form follows XMLOPTION; the engine's default is CONTENT,
+        # matching PG's default xmloption
+        ("xml_is_well_formed", _xml_wf_content_py, "BOOLEAN", 1),
+        # the dialect pads the optional 4th arg (create_missing /
+        # insert_after) so the pandas UDF arity is fixed
+        ("jsonb_set", _jsonb_set_py, "STRING", 4),
+        ("jsonb_insert", _jsonb_insert_py, "STRING", 4),
+        ("jsonb_delete_path", _jsonb_delete_path_py, "STRING", 2),
+        ("json_object1", _json_object1_py, "STRING", 1),
+        ("json_object2", _json_object2_py, "STRING", 2),
+    ):
+        spark.udf.register(_name, _arrow_batched(_fn, _ret, _arity))
     from warehouse_pg_spark.functions.ranges import register_range_functions
 
     register_range_functions(spark)

@@ -177,6 +177,10 @@ def _family(sfx: str, t: str) -> dict[str, tuple[str, str, str]]:
 _FUNCTIONS: dict[str, tuple[str, str, str]] = {
     **_family("", "DOUBLE"),
     **_family("_ts", "TIMESTAMP"),
+    # int8range needs exact bigint bounds: DOUBLE loses integers above
+    # 2^53, so the +1 discrete canonicalization would land on the wrong
+    # value. DECIMAL(20,0) holds the full int8 domain exactly.
+    **_family("_i8", "DECIMAL(20,0)"),
 }
 
 

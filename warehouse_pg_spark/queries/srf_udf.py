@@ -76,7 +76,10 @@ def udtf_python_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     (execSRF.c / nodeFunctionscan.c): split region names into rows."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="word: string, pos: int")
+    # useArrow: the UDTF exchanges Arrow record batches with the JVM
+    # (ArrowEvalPythonUDTF) instead of per-row pickling — gated by
+    # tests/test_plans.py::test_no_row_at_a_time_python_udf...
+    @udtf(returnType="word: string, pos: int", useArrow=True)
     class SplitWords:
         def eval(self, text: str):
             for i, w in enumerate((text or "").split(" ")):

@@ -671,20 +671,30 @@ _REGEXP_REPLACE_RE = re.compile(
 _REGEXP_SPLIT_ARR_RE = re.compile(
     r"\bregexp_split_to_array\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
 )
-# PG's default timezone abbreviations are FIXED offsets (datetime.c,
-# timezone/tznames/Default) — 'MSK' is +03 even for 2011-2014 instants
-# when the Europe/Moscow ZONE was +04; the regress suite pins exactly
-# that distinction.
+# PG's default timezone abbreviations (datetime.c, timezone/tznames/
+# Default) are mostly FIXED offsets, verified entry-by-entry against the
+# reference Default file. Three are NOT what folk knowledge suggests:
+# IST is 7200s = +02:00 (Israel Standard Time, not India), and MSK/SGT
+# are DYNAMIC links to Europe/Moscow and Asia/Singapore — regress
+# expected/timestamptz.out pins '2011-03-27 03:00:00 MSK' -> 23:00 UTC
+# (+04), the zone's historical offset, not a fixed +03.
 _TZ_ABBREV_OFFSETS = {
-    "MSK": "+03:00", "PST": "-08:00", "PDT": "-07:00", "EST": "-05:00",
+    "PST": "-08:00", "PDT": "-07:00", "EST": "-05:00",
     "EDT": "-04:00", "CST": "-06:00", "CDT": "-05:00", "MST": "-07:00",
     "MDT": "-06:00", "AKST": "-09:00", "AKDT": "-08:00", "HST": "-10:00",
     "BST": "+01:00", "CET": "+01:00", "CEST": "+02:00", "EET": "+02:00",
     "EEST": "+03:00", "WET": "+00:00", "WEST": "+01:00", "JST": "+09:00",
-    "KST": "+09:00", "HKT": "+08:00", "SGT": "+08:00", "IST": "+05:30",
+    "KST": "+09:00", "HKT": "+08:00", "IST": "+02:00",
     "AEST": "+10:00", "AEDT": "+11:00", "ACST": "+09:30", "AWST": "+08:00",
     "NZST": "+12:00", "NZDT": "+13:00",
 }
+# Dynamic abbreviation links (Default maps these to region zones whose
+# offset varies by instant). Spark/Java parse region ids in timestamp
+# strings and in from/to_utc_timestamp, matching PG for every instant
+# outside a DST gap; INSIDE a spring-forward gap PG keeps the wall
+# clock with the post-gap offset while Java shifts the wall clock
+# forward — a 1h/year documented edge (README deviations).
+_TZ_ABBREV_ZONES = {"MSK": "Europe/Moscow", "SGT": "Asia/Singapore"}
 _TS_ABBREV_BODY_RE = re.compile(
     r"^(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}(?::\d{2})?(?:\.\d+)?) "
     r"([A-Z]{2,5})$"
@@ -701,17 +711,19 @@ _RANGE_CTOR_RE = re.compile(
 _RANGE_NEST = (
     r"\((?:[^()]|\((?:[^()]|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))*\))*\)"
 )
-_RANGE_EXPR = rf"(?:pg_range|range_union|range_intersect)(?:_ts)?\s*{_RANGE_NEST}"
-_RANGE_TS_HEAD_RE = re.compile(
-    r"(?i)^(?:pg_range|range_union|range_intersect)_ts\b"
+_RANGE_EXPR = (
+    rf"(?:pg_range|range_union|range_intersect)(?:_ts|_i8)?\s*{_RANGE_NEST}"
+)
+_RANGE_SFX_HEAD_RE = re.compile(
+    r"(?i)^(?:pg_range|range_union|range_intersect)(_ts|_i8)\b"
 )
 # isempty/lower_inc/... are registered per bound type; route the
-# timestamp-family structs to the _ts overloads (Spark would otherwise
-# implicitly COERCE the timestamp struct into the double overload and
+# timestamp/int8-family structs to the _ts/_i8 overloads (Spark would
+# otherwise implicitly COERCE the struct into the double overload and
 # print epoch numbers — a silent wrong-typed output)
-_RANGE_FN_TS_RE = re.compile(
+_RANGE_FN_SFX_RE = re.compile(
     r"\b(isempty|lower_inc|upper_inc|lower_inf|upper_inf|range_text)"
-    rf"\s*\(\s*((?:pg_range|range_union|range_intersect)_ts\s*"
+    rf"\s*\(\s*((?:pg_range|range_union|range_intersect)(_ts|_i8)\s*"
     rf"{_RANGE_NEST})\s*\)",
     re.IGNORECASE,
 )
@@ -823,6 +835,7 @@ _PG_TYPEOF_RE = re.compile(r"\bpg_typeof\s*\(", re.IGNORECASE)
 # one-arg log is NATURAL log, a silent wrong answer. Two-arg
 # log(base, x) agrees between the engines and passes through.
 _LOG_RE = re.compile(r"\blog\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE)
+_POWER_FN_RE = re.compile(r"\b(?:power|pow)\s*\(", re.IGNORECASE)
 # trunc(x, n): truncate toward zero at n decimal places (numeric.c
 # trunc_var) — Spark's trunc is date-only. CAST(double AS BIGINT)
 # truncates toward zero in both engines.
@@ -1097,6 +1110,74 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
                 i += 1
         return "".join(out_s)
 
+    def _shift_pattern_backrefs(raw: str, shift: int) -> tuple[int, str]:
+        """Scan a pattern in RAW literal-escape form (regex backslash =
+        '\\\\' two chars, '' = one quote): count CAPTURING groups and
+        renumber in-pattern backrefs \\N -> \\(N+shift), so the pattern
+        can be wrapped in prefix groups without silently rebinding its
+        own backrefs (regexp.c keeps group numbers; the \\A-wrap shifts
+        them by `shift`). Character classes are skipped whole; a group
+        open preceded by an ESCAPED BACKSLASH ('\\\\\\\\(' raw = regex
+        \\\\( ) still counts — the lookbehind-based count missed it."""
+        out_s: list[str] = []
+        ngroups = 0
+        i, n = 0, len(raw)
+        in_class = False
+        class_start = -1
+
+        def peek_unit(j: int) -> tuple[str, int]:
+            # one literal-level unit at j: '\\\\'+escapee, '\\x', "''",
+            # or a single char; returns (unit, next_index)
+            if raw.startswith("\\\\", j):
+                return raw[j : j + 2], j + 2
+            if raw[j : j + 1] == "\\" and j + 1 < n:
+                return raw[j : j + 2], j + 2
+            if raw.startswith("''", j):
+                return "''", j + 2
+            return raw[j : j + 1], j + 1
+
+        while i < n:
+            if raw.startswith("\\\\", i):  # regex backslash
+                j = i + 2
+                if not in_class and j < n and raw[j].isdigit():
+                    k = j
+                    while k < n and raw[k].isdigit():
+                        k += 1
+                    num = int(raw[j:k])
+                    if num > 0:  # \0 is octal NUL, not a backref
+                        out_s.append("\\\\" + str(num + shift))
+                        i = k
+                        continue
+                # escaped next regex char (may itself be '\\\\')
+                unit, k = ("", j) if j >= n else peek_unit(j)
+                out_s.append(raw[i:j] + unit)
+                i = k
+                continue
+            c = raw[i]
+            if in_class:
+                if c == "]" and i > class_start:
+                    in_class = False
+                out_s.append(c)
+                i += 1
+                continue
+            if c == "[":
+                in_class = True
+                # ']' or '^]' first is a literal ] member
+                class_start = i + 2 if raw[i + 1 : i + 2] == "^" else i + 1
+                out_s.append(c)
+                i += 1
+                continue
+            if c == "(":
+                nxt, _ = peek_unit(i + 1) if i + 1 < n else ("", i + 1)
+                if nxt != "?":
+                    ngroups += 1
+                out_s.append(c)
+                i += 1
+                continue
+            out_s.append(c)
+            i += 1
+        return ngroups, "".join(out_s)
+
     def sub_regexp_replace(m: re.Match) -> str:
         args = [a.strip() for a in _split_args(m.group(1))]
         if len(args) not in (3, 4):
@@ -1132,9 +1213,11 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         # first-only: ONE match spans the whole input (\A + lazy prefix
         # + tail), so a zero-length pattern can't re-match at the end.
         # Groups shift by 2 (prefix + wrap); raw "\\A" unescapes to \A.
-        ngroups = len(re.findall(r"(?<!\\)\((?!\?)", pat_raw))
+        # Backrefs INSIDE the pattern are renumbered by the same +2 so
+        # '(\w+) \1' keeps binding its own group, not the lazy prefix.
+        ngroups, pat_shifted = _shift_pattern_backrefs(pat_raw, 2)
         p2 = _new_lit_raw(
-            f"{pfx}\\\\A((?s:.*?))({pat_raw})((?s:.*))", lits
+            f"{pfx}\\\\A((?s:.*?))({pat_shifted})((?s:.*))", lits
         )
         r2 = _new_lit_raw(
             "$1" + _conv_rep(rep_raw, 2, "$2") + f"${ngroups + 3}", lits
@@ -1337,6 +1420,10 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         return m.group(0)
 
     sql = _LOG_RE.sub(sub_log, sql)
+    # power()/pow() route to power_pg (functions/pg.py): PG float.c
+    # dpow is POSIX — power(1, NaN) = 1 — where Math.pow(1.0, NaN)
+    # returns NaN; the SQL function inlines to a CASE, still codegen.
+    sql = _POWER_FN_RE.sub("power_pg(", sql)
     # trunc(x, n) truncates toward zero at n decimal places. The scale
     # step MUST be exact-decimal: a double multiply is inexact
     # (2.3 * 10 = 22.999999999999996 → trunc would yield 2.2, PG 2.3)
@@ -1510,6 +1597,10 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         args = [a.strip() for a in _split_args(m.group(2))]
         if len(args) >= 2:
             args[1] = _braced_to_array(args[1], lits)
+        if len(args) == 3:
+            # pad the optional flag (create_missing / insert_after) to
+            # its PG default — the Arrow-batched UDF has fixed arity
+            args.append("true" if fn == "jsonb_set" else "false")
         return f"{fn}({', '.join(args)})"
 
     sql = _JSONB_MUT_RE.sub(sub_jsonb_mut, sql)
@@ -2119,10 +2210,11 @@ def rewrite(sql: str) -> str:
     # unambiguous: ISO datetime + trailing abbreviation)
     for li, lit in enumerate(lits):
         mb = _TS_ABBREV_BODY_RE.match(lit[1:-1])
-        if mb and mb.group(2) in _TZ_ABBREV_OFFSETS:
-            lits[li] = (
-                "'" + mb.group(1) + " " + _TZ_ABBREV_OFFSETS[mb.group(2)] + "'"
-            )
+        if mb and (
+            tzr := _TZ_ABBREV_OFFSETS.get(mb.group(2))
+            or _TZ_ABBREV_ZONES.get(mb.group(2))
+        ):
+            lits[li] = "'" + mb.group(1) + " " + tzr + "'"
 
     out = _rewrite_distinct_on(out)
     out = _rewrite_with_ties(out)
@@ -2199,17 +2291,23 @@ def rewrite(sql: str) -> str:
             li = "true" if bounds[0] == "[" else "false"
             hi_i = "true" if bounds[1] == "]" else "false"
         if fn in ("int4range", "int8range"):
+            # int4 fits a DOUBLE exactly; int8 needs DECIMAL(20,0) —
+            # bigints above 2^53 would round in a DOUBLE and the +1
+            # canonicalization would land on the wrong integer
+            t, sfx = (
+                ("DECIMAL(20,0)", "_i8") if fn == "int8range" else ("DOUBLE", "")
+            )
             lo_e = (
-                f"CAST(({lo}) AS DOUBLE)"
+                f"CAST(({lo}) AS {t})"
                 if li == "true"
-                else f"CAST(({lo}) + 1 AS DOUBLE)"
+                else f"CAST(({lo}) + 1 AS {t})"
             )
             hi_e = (
-                f"CAST(({hi}) AS DOUBLE)"
+                f"CAST(({hi}) AS {t})"
                 if hi_i == "false"
-                else f"CAST(({hi}) + 1 AS DOUBLE)"
+                else f"CAST(({hi}) + 1 AS {t})"
             )
-            return f"pg_range({lo_e}, {hi_e}, true, false)"
+            return f"pg_range{sfx}({lo_e}, {hi_e}, true, false)"
         if fn == "daterange":  # discrete on days: canonicalize to [lo, hi)
             lo_e = f"CAST(({lo}) AS TIMESTAMP)" + (
                 "" if li == "true" else " + INTERVAL 1 DAY"
@@ -2236,10 +2334,13 @@ def rewrite(sql: str) -> str:
         "+": "range_union", "*": "range_intersect",
     }
 
+    _RANGE_ELEM_T = {"_ts": "TIMESTAMP", "_i8": "DECIMAL(20,0)", "": "DOUBLE"}
+
     def sub_range_op(m: re.Match) -> str:
         a, op, b = m.group(1), m.group(2), m.group(3)
-        sfx = "_ts" if _RANGE_TS_HEAD_RE.match(a.strip()) else ""
-        elem_t = "TIMESTAMP" if sfx else "DOUBLE"
+        mh = _RANGE_SFX_HEAD_RE.match(a.strip())
+        sfx = mh.group(1).lower() if mh else ""
+        elem_t = _RANGE_ELEM_T[sfx]
         b_is_range = bool(re.match(rf"(?i)^{_RANGE_EXPR}$", b.strip()))
         if op == "@>":
             if b_is_range:
@@ -2256,11 +2357,11 @@ def rewrite(sql: str) -> str:
         return f"{_RANGE_OP_FN[op]}{sfx}({a}, {b})"
 
     def sub_elem_range(m: re.Match) -> str:
-        sfx = "_ts" if _RANGE_TS_HEAD_RE.match(m.group(2).strip()) else ""
-        t = "TIMESTAMP" if sfx else "DOUBLE"
+        mh = _RANGE_SFX_HEAD_RE.match(m.group(2).strip())
+        sfx = mh.group(1).lower() if mh else ""
         return (
             f"range_contains_elem{sfx}({m.group(2)}, "
-            f"CAST(({m.group(1)}) AS {t}))"
+            f"CAST(({m.group(1)}) AS {_RANGE_ELEM_T[sfx]}))"
         )
 
     prev_rng = None
@@ -2268,10 +2369,12 @@ def rewrite(sql: str) -> str:
         prev_rng = out
         out = _RANGE_OP_RE.sub(sub_range_op, out)
         out = _ELEM_RANGE_OP_RE.sub(sub_elem_range, out)
-    # accessor fns on a timestamp-family struct route to the _ts
-    # overloads (SQL temp functions have no type-based overloading)
-    out = _RANGE_FN_TS_RE.sub(
-        lambda m: f"{m.group(1).lower()}_ts({m.group(2)})", out
+    # accessor fns on a timestamp/int8-family struct route to the
+    # _ts/_i8 overloads (SQL temp functions have no type-based
+    # overloading)
+    out = _RANGE_FN_SFX_RE.sub(
+        lambda m: f"{m.group(1).lower()}{m.group(3).lower()}({m.group(2)})",
+        out,
     )
     # lower()/upper() collide with the string functions — map only the
     # range-operand spelling; empty/infinite bounds are already NULL
@@ -2325,12 +2428,12 @@ def rewrite(sql: str) -> str:
     # still distinguishable from ::timestamp.
     def sub_at_tz(m: re.Match) -> str:
         op, tz = m.group(1), m.group(2)
-        # zone ABBREVIATIONS are fixed offsets in PG (see
-        # _TZ_ABBREV_OFFSETS) — ZoneId rejects them or (worse) reads
-        # some as region ids with different history
+        # zone ABBREVIATIONS are fixed offsets or dynamic region links
+        # in PG (see _TZ_ABBREV_OFFSETS/_ZONES) — ZoneId rejects them
+        # or (worse) reads some as region ids with different history
         tzv = _lit_value(tz, lits).strip().upper()
-        if tzv in _TZ_ABBREV_OFFSETS:
-            tz = _new_lit(_TZ_ABBREV_OFFSETS[tzv], lits)
+        if tzr := _TZ_ABBREV_OFFSETS.get(tzv) or _TZ_ABBREV_ZONES.get(tzv):
+            tz = _new_lit(tzr, lits)
         if re.search(
             r"(?is)::\s*(?:timestamptz\b|timestamp\s+with\s+time\s+zone)", op
         ):
