@@ -1456,3 +1456,150 @@ def test_int8range_exact_past_2p53(engine):
     assert r.txt == "[9007199254740993,9007199254740996)"
     assert r.has_lo and not r.below and r.canon and r.emp
     assert r.inter == "[4,5)"
+
+
+def test_multi_srf_lockstep(engine):
+    """Multiple SRFs in one SELECT list iterate in lockstep, NULL-
+    padded to the longest (execSRF.c; regress sql/tsrf.sql)."""
+    rows = [tuple(r) for r in engine.sql(
+        "SELECT generate_series(1, 2), generate_series(1, 4)"
+    ).collect()]
+    assert rows == [(1, 1), (2, 2), (None, 3), (None, 4)]
+    rows = [tuple(r) for r in engine.sql(
+        "SELECT unnest(ARRAY[10, 20]) AS u, generate_series(7, 9) AS g"
+    ).collect()]
+    assert rows == [(10, 7), (20, 8), (None, 9)]
+    # single unnest select item is a plain generator
+    rows = [r.u for r in engine.sql(
+        "SELECT unnest(ARRAY[1, 2]) AS u").collect()]
+    assert rows == [1, 2]
+
+
+def test_interval_field_qualifiers(engine):
+    """INTERVAL '<str>' <range> (datetime.c DecodeInterval; regress
+    sql/interval.sql:190-220): low-field binding, h:m vs m:s flip,
+    finer-field truncation, fraction spill, second(p) rounding."""
+    base = "TIMESTAMP '2000-01-01 00:00:00' + "
+    exp = {
+        "interval '1 2' day to hour": "2000-01-02 02:00:00",
+        "interval '1 2:03' day to hour": "2000-01-02 02:00:00",
+        "interval '1 2:03' hour to minute": "2000-01-02 02:03:00",
+        "interval '1 2:03' minute to second": "2000-01-02 00:02:03",
+        "interval '1 2:03:04' minute to second": "2000-01-02 02:03:04",
+        "interval '1 -2:03' minute to second": "2000-01-01 23:57:57",
+        "interval '1' year to month": "2000-02-01 00:00:00",
+        "interval '1-2' year to month": "2001-03-01 00:00:00",
+        "interval '1.5' day": "2000-01-02 12:00:00",
+        "interval '12:34.5678' minute to second(2)":
+            "2000-01-01 00:12:34.57",
+        "interval(0) '1 day 01:23:45.6789'": "2000-01-02 01:23:46",
+    }
+    sel = ", ".join(
+        f"CAST({base}{iv} AS STRING) AS c{i}"
+        for i, iv in enumerate(exp)
+    )
+    r = engine.sql(f"SELECT {sel}").collect()[0]
+    for i, (iv, want) in enumerate(exp.items()):
+        assert getattr(r, f"c{i}") == want, iv
+
+
+def test_regexp_matches_g_flag_srf(engine):
+    """regexp_matches(..., 'g') is a SETOF text[] — one row per match
+    (regexp.c; regress sql/strings.sql:208)."""
+    rows = [list(r.m) for r in engine.sql(
+        "SELECT regexp_matches('foobarbequebazilbarfbonk',"
+        " '(b[^b]+)(b[^b]+)', 'g') AS m").collect()]
+    assert rows == [["bar", "beque"], ["bazil", "barf"]]
+    r = engine.sql(
+        "SELECT regexp_matches('foObAR', '(bar)', 'i') AS m"
+    ).collect()[0]
+    assert list(r.m) == ["bAR"]
+
+
+def test_xml_construction(engine):
+    """xmlelement/xmlattributes/xmlforest/xmlcomment/xmlpi/xmlconcat/
+    xmlroot (xml.c; regress sql/xml.sql): concat/escape lowering with
+    nested constructors raw and text content escaped."""
+    r = engine.sql(
+        "SELECT xmlelement(name element,"
+        "         xmlattributes (1 as one, 'deuce' as two),"
+        "         'content') AS a,"
+        "       xmlelement(name element,"
+        "         xmlelement(name nested, 'stuff')) AS b,"
+        "       xmlelement(name foo, 'b<a/>r') AS esc,"
+        "       xmlelement(name foo, xml 'b<a/>r') AS raw,"
+        "       xmlelement(name foo, xmlattributes(true as bar)) AS e,"
+        "       xmlconcat('<foo/>', NULL, '<bar/>') AS c,"
+        "       xmlforest('abc' AS foo, 123 AS bar) AS f,"
+        "       xmlcomment('test') AS cm,"
+        "       xmlpi(name php, 'echo 1;') AS pi,"
+        "       xmlroot('<foo/>', version '1.1') AS rt"
+    ).collect()[0]
+    assert r.a == '<element one="1" two="deuce">content</element>'
+    assert r.b == "<element><nested>stuff</nested></element>"
+    assert r.esc == "<foo>b&lt;a/&gt;r</foo>"
+    assert r.raw == "<foo>b<a/>r</foo>"
+    assert r.e == '<foo bar="true"/>'
+    assert r.c == "<foo/><bar/>"
+    assert r.f == "<foo>abc</foo><bar>123</bar>"
+    assert r.cm == "<!--test-->" and r.pi == "<?php echo 1;?>"
+    assert r.rt == '<?xml version="1.1"?><foo/>'
+
+
+def test_jsonb_path_vars_and_predicates(engine):
+    """jsonb_path_* vars binding + predicate paths (jsonpath_exec.c):
+    $name substitution, && / || in filters, predicate-path match with
+    Unknown (NULL) on cross-type comparison."""
+    r = engine.sql(
+        """SELECT jsonb_path_query_array(
+             '[{"a": 1}, {"a": 2}, {"a": 3}, {"a": 5}]',
+             '$[*].a ? (@ > $min && @ < $max)',
+             vars => '{"min": 1, "max": 4}') AS arr,
+           jsonb_path_match('{"s": 2}', '$.s == $s',
+                            vars => '{"s": 2}') AS m_eq,
+           jsonb_path_match('{"s": 2}', '$.s < $s',
+                            vars => '{"s": "x"}') AS m_unk,
+           jsonb_path_exists('[{"a": 1}, {"a": 2}, 3]', 'lax $[*].a',
+                             silent => true) AS ex"""
+    ).collect()[0]
+    assert r.arr == "[2, 3]"
+    assert r.m_eq is True and r.m_unk is None and r.ex is True
+
+
+def test_strict_errors_guc(engine):
+    """SET strict_errors = on (ANSI mode): the should_error class —
+    division by zero, int overflow, bad casts — raises like PG
+    (int.c/float.c ereport) instead of returning NULL."""
+    import pytest as _pytest
+
+    assert engine.sql("SELECT 1/0 AS r").collect()[0].r is None
+    engine.sql("SET strict_errors = on")
+    try:
+        for q in ("SELECT 1/0", "SELECT CAST('abc' AS INT)",
+                  "SELECT CAST(2147483647 AS INT) + CAST(1 AS INT)"):
+            with _pytest.raises(Exception):
+                engine.sql(q).collect()
+    finally:
+        engine.sql("SET strict_errors = off")
+    assert engine.sql("SELECT 1/0 AS r").collect()[0].r is None
+
+
+def test_scale_function(engine):
+    """scale(numeric) (numeric.c numeric_scale): decimal digits,
+    trailing zeros of the literal preserved."""
+    r = engine.sql(
+        "SELECT scale(8.41) AS a, scale(8.4100) AS b, scale(5) AS c"
+    ).collect()[0]
+    assert (r.a, r.b, r.c) == (2, 4, 0)
+
+
+def test_unicode_escape_strings(engine):
+    """U&'...' [UESCAPE 'x'] literals (scan.l xus): \\XXXX and
+    \\+XXXXXX forms decode at rewrite time; custom escape chars."""
+    r = engine.sql(
+        "SELECT U&'d\\0061t\\+000061' AS a,"
+        "       U&'d!0061t!+000061' UESCAPE '!' AS b,"
+        "       U&'\\0441\\043B\\043E\\043D' AS c"
+    ).collect()[0]
+    assert r.a == "data" and r.b == "data"
+    assert r.c == "слон"

@@ -323,6 +323,20 @@ def main() -> None:
                 {"sql": s, "spark": s_rows[:3], "duck": d_rows[:3]}
             )
 
+    # should_error recheck under the strict GUC: how many of the
+    # silently-succeeding expressions become loud with
+    # SET strict_errors = on (spark.sql.ansi.enabled — PG's raising
+    # posture for div-by-zero / overflow / bad casts)?
+    strict_loud = 0
+    if should_error:
+        eng.sql("SET strict_errors = on")
+        for s in should_error:
+            try:
+                eng.sql(s).collect()
+            except Exception:
+                strict_loud += 1
+        eng.sql("SET strict_errors = off")
+
     n = len(stmts)
     executed = n - len(engine_errors) - error_parity
     checked = value_pass + len(mismatches)
@@ -341,6 +355,7 @@ def main() -> None:
         "engine_error": len(engine_errors),
         "error_parity": error_parity,
         "should_error": len(should_error),
+        "should_error_strict_loud": strict_loud,
     }
     if fails_out:
         def classify(e: str) -> str:

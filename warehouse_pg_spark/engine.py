@@ -686,6 +686,16 @@ class Engine:
             self._gucs[key] = val
             if key == "timezone":
                 self.spark.conf.set("spark.sql.session.timeZone", val)
+            elif key == "strict_errors":
+                # PG raises where the default posture returns NULL or
+                # wraps (division by zero, int overflow, bad casts,
+                # out-of-range element_at). Spark's ANSI mode IS that
+                # posture — one switch makes the silent class loud
+                # (README "Known deviations"; regress should_error).
+                self.spark.conf.set(
+                    "spark.sql.ansi.enabled",
+                    "true" if val.lower() in ("on", "true", "1") else "false",
+                )
             return self._tag(0)
         m = _SET_TIME_ZONE_RE.match(s)
         if m:

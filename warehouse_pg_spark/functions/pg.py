@@ -92,14 +92,31 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "quote_ident": ("s STRING", "STRING", 'concat(\'"\', s, \'"\')'),
     "initcap_pg": ("s STRING", "STRING", "initcap(s)"),
     "log_pg": ("x DOUBLE", "DOUBLE", "log10(x)"),  # PG log(x) = base 10
-    # PG float.c dpow follows POSIX: power(1, NaN) = 1 (any exponent of
-    # a base of exactly 1 is 1); JVM Math.pow(1.0, NaN) returns NaN.
-    # The y=0 edge (pow(NaN, 0) = 1) already matches in Java.
-    "power_pg": (
-        "x DOUBLE, y DOUBLE",
-        "DOUBLE",
-        "CASE WHEN x = CAST(1.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) "
-        "ELSE power(x, y) END",
+    # XML value construction (xml.c): pg_xml is an identity marker the
+    # dialect uses to tag already-XML subtrees (nested constructors
+    # embed raw, text content escapes); Catalyst inlines it away.
+    "pg_xml": ("s STRING", "STRING", "s"),
+    # numeric.c numeric_scale: digits after the decimal point of the
+    # value's text form (Spark decimal literals keep declared scale,
+    # so scale(8.4100) = 4 like PG)
+    "scale_pg": (
+        "s STRING",
+        "INT",
+        "CASE WHEN s IS NULL THEN NULL "
+        "WHEN instr(s, '.') = 0 OR instr(upper(s), 'E') > 0 THEN 0 "
+        "ELSE length(s) - instr(s, '.') END",
+    ),
+    "xml_escape_content": (
+        "s STRING",
+        "STRING",
+        "replace(replace(replace(s, '&', '&amp;'), '<', '&lt;'), "
+        "'>', '&gt;')",
+    ),
+    "xml_escape_attr": (
+        "s STRING",
+        "STRING",
+        "replace(replace(replace(replace(replace(s, '&', '&amp;'), "
+        "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;'), chr(13), '&#x0d;')",
     ),
     "trunc_num": (
         "x DOUBLE",
@@ -336,66 +353,119 @@ def _jp_parse(p: str):
     return mode, toks
 
 
-def _jp_filter_ok(node, cond: str) -> bool:
+def _jp_comparand(lit: str):
+    """Parse ONE explicit comparand token — a quoted string, number,
+    true/false/null — never a blanket quote substitution, which would
+    corrupt a string containing an apostrophe or an embedded double
+    quote (?(@.name == "O'Brien"))."""
     import json as _json
-    import re as _re
 
-    m = _re.match(
-        r"^@((?:\.\w+)*)\s*(==|!=|<>|<=|>=|<|>)\s*(.+)$", cond.strip()
-    )
-    if not m:
-        raise ValueError(f"unsupported filter: {cond!r}")
-    path, op, lit = m.groups()
-    v = node
-    for k in [k for k in path.split(".") if k]:
-        if not isinstance(v, dict) or k not in v:
-            return False
-        v = v[k]
     lit = lit.strip()
-    # Parse the comparand as ONE explicit token — a quoted string,
-    # number, true/false/null — never a blanket quote substitution,
-    # which would corrupt a string containing an apostrophe or an
-    # embedded double quote (?(@.name == "O'Brien")).
     if lit.startswith("'") and lit.endswith("'") and len(lit) >= 2:
         # lenient single-quoted spelling: unescape \' then JSON-decode
         body = lit[1:-1].replace("\\'", "'").replace('"', '\\"')
-        want = _json.loads('"' + body + '"')
-    else:
-        want = _json.loads(lit)  # "..." / number / true / false / null
-    if v is None or want is None:
-        return op in ("==",) and v is want
-    if isinstance(v, bool) != isinstance(want, bool):
-        return False
+        return _json.loads('"' + body + '"')
+    return _json.loads(lit)  # "..." / number / true / false / null / {}
+
+
+def _jp_cmp3(v, op: str, w):
+    """SQL/JSON 3-valued comparison (jsonpath_exec.c
+    executeComparison): cross-type and ordered-null comparisons are
+    Unknown (None), equality of nulls is true."""
+    if v is None or w is None:
+        if op == "==":
+            return v is None and w is None
+        if op in ("!=", "<>"):
+            return not (v is None and w is None)
+        return None
+    if isinstance(v, (dict, list)) or isinstance(w, (dict, list)):
+        if op == "==":
+            return v == w
+        if op in ("!=", "<>"):
+            return v != w
+        return None
+    if isinstance(v, bool) != isinstance(w, bool) or (
+        isinstance(v, str) != isinstance(w, str)
+    ):
+        return None  # number vs string vs bool: Unknown
     try:
         return {
-            "==": v == want,
-            "!=": v != want,
-            "<>": v != want,
-            "<": v < want,
-            "<=": v <= want,
-            ">": v > want,
-            ">=": v >= want,
+            "==": v == w, "!=": v != w, "<>": v != w,
+            "<": v < w, "<=": v <= w, ">": v > w, ">=": v >= w,
         }[op]
     except TypeError:
-        return False
-
-
-def _jsonpath_query_py(j: str | None, path: str | None):
-    """jsonb_path_query* evaluator (jsonpath_exec.c subset): returns
-    the match list as JSON text fragments, or None when the document /
-    path is NULL or the path form is outside the subset (callers then
-    stay loud via the SQL NULL)."""
-    import json as _json
-
-    if j is None or path is None:
-        return None
-    try:
-        doc = _json.loads(j)
-        mode, toks = _jp_parse(path)
-    except ValueError:
         return None
 
-    def step(nodes, tok):
+
+def _jp_split_top(s: str, seps: tuple[str, ...]) -> list[str]:
+    """Split on any of `seps` at top level (outside quotes/parens/
+    brackets); returns [s] when no top-level separator occurs."""
+    parts, depth, in_str, last = [], 0, None, 0
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == in_str:
+                in_str = None
+        elif c in "\"'":
+            in_str = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0:
+            for sep in seps:
+                if s.startswith(sep, i):
+                    parts.append(s[last:i])
+                    last = i + len(sep)
+                    i += len(sep)
+                    break
+            else:
+                i += 1
+                continue
+            continue
+        i += 1
+    parts.append(s[last:])
+    return parts
+
+
+def _jp_find_top_op(s: str) -> tuple[str, str, str] | None:
+    """Locate the first top-level comparison operator; returns
+    (lhs, op, rhs) or None."""
+    depth, in_str = 0, None
+    i = 0
+    ops = ("==", "!=", "<>", "<=", ">=", "<", ">")
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == in_str:
+                in_str = None
+        elif c in "\"'":
+            in_str = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0:
+            for op in ops:
+                if s.startswith(op, i):
+                    return s[:i].strip(), op, s[i + len(op):].strip()
+        i += 1
+    return None
+
+
+def _jp_steps(doc, nodes: list, toks: list, mode: str) -> list:
+    """Apply parsed path steps (member/subscript/recursive/filter) to
+    a node list; raises ValueError on strict-mode violations."""
+    import re as _re
+
+    for tok in toks:
         out = []
         kind = tok[0]
         for n in nodes:
@@ -423,8 +493,6 @@ def _jsonpath_query_py(j: str | None, path: str | None):
                     if n:
                         out.append(n[-1])
                 else:
-                    import re as _re
-
                     mr = _re.fullmatch(r"(\d+)\s+to\s+(last|\d+)", body)
                     if mr:
                         lo = int(mr.group(1))
@@ -441,7 +509,7 @@ def _jsonpath_query_py(j: str | None, path: str | None):
                         elif mode == "strict":
                             raise ValueError("subscript out of bounds")
             elif kind == "rec":
-                stack = list(nodes) if False else [n]
+                stack = [n]
                 while stack:
                     cur = stack.pop()
                     out.append(cur)
@@ -452,17 +520,199 @@ def _jsonpath_query_py(j: str | None, path: str | None):
             elif kind == "filter":
                 items = n if isinstance(n, list) and mode == "lax" else [n]
                 for it in items:
-                    if _jp_filter_ok(it, tok[1]):
+                    if _jp_bool3(doc, it, tok[1]) is True:
                         out.append(it)
-        return out
+        nodes = out
+    return nodes
 
-    nodes = [doc]
+
+def _jp_eval_path_text(doc, cur, text: str) -> list:
+    """Evaluate a path expression rooted at $ (document) or @ (filter
+    current item); raises ValueError on unsupported forms."""
+    text = text.strip()
+    if text.startswith("@"):
+        # reuse the $-grammar for the relative part
+        mode, toks = _jp_parse("$" + text[1:])
+        return _jp_steps(doc, [cur], toks, mode)
+    mode, toks = _jp_parse(text)
+    return _jp_steps(doc, [doc], toks, mode)
+
+
+def _jp_bool3(doc, cur, expr: str):
+    """3-valued jsonpath boolean expression (executeBoolItem subset):
+    || / && / ! / parens / exists(path) / path-vs-literal comparisons.
+    Returns True / False / None(Unknown)."""
+    expr = expr.strip()
+    parts = _jp_split_top(expr, ("||",))
+    if len(parts) > 1:
+        res = [_jp_bool3(doc, cur, p) for p in parts]
+        if any(r is True for r in res):
+            return True
+        return None if any(r is None for r in res) else False
+    parts = _jp_split_top(expr, ("&&",))
+    if len(parts) > 1:
+        res = [_jp_bool3(doc, cur, p) for p in parts]
+        if any(r is False for r in res):
+            return False
+        return None if any(r is None for r in res) else True
+    if expr.startswith("(") and expr.endswith(")"):
+        # strip only if the first paren matches the last one
+        depth, in_str, matches = 0, None, True
+        for i, c in enumerate(expr):
+            if in_str:
+                if c == in_str:
+                    in_str = None
+                continue
+            if c in "\"'":
+                in_str = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i < len(expr) - 1:
+                    matches = False
+                    break
+        if matches:
+            return _jp_bool3(doc, cur, expr[1:-1])
+    if expr.startswith("!"):
+        r = _jp_bool3(doc, cur, expr[1:].lstrip())
+        return None if r is None else (not r)
+    import re as _re
+
+    m = _re.fullmatch(r"exists\s*\((.*)\)", expr, _re.S)
+    if m:
+        try:
+            return len(_jp_eval_path_text(doc, cur, m.group(1))) > 0
+        except ValueError:
+            return None
+    cmp_ = _jp_find_top_op(expr)
+    if cmp_ is None:
+        raise ValueError(f"unsupported filter: {expr!r}")
+    lhs, op, rhs = cmp_
+
+    def operand(o: str) -> list:
+        if o.startswith(("$", "@")):
+            return _jp_eval_path_text(doc, cur, o)
+        return [_jp_comparand(o)]
+
     try:
-        for tok in toks:
-            nodes = step(nodes, tok)
+        lvals, rvals = operand(lhs), operand(rhs)
+    except ValueError:
+        return None
+    any_unknown = False
+    for lv in lvals:
+        for rv in rvals:
+            c = _jp_cmp3(lv, op, rv)
+            if c is True:
+                return True
+            if c is None:
+                any_unknown = True
+    return None if any_unknown else False
+
+
+def _jp_subst_vars(path: str, vars_json: str | None) -> str:
+    """Substitute $name variable references (jsonpath.c jpiVariable)
+    with JSON literals from the vars object, outside quoted strings."""
+    import json as _json
+    import re as _re
+
+    if vars_json is None:
+        return path
+    v = _json.loads(vars_json)
+    if not isinstance(v, dict):
+        raise ValueError("vars must be a JSON object")
+    out, i, in_str = [], 0, None
+    while i < len(path):
+        c = path[i]
+        if in_str:
+            if c == "\\":
+                out.append(path[i : i + 2])
+                i += 2
+                continue
+            if c == in_str:
+                in_str = None
+            out.append(c)
+        elif c in "\"'":
+            in_str = c
+            out.append(c)
+        elif c == "$" and (m := _re.match(r"\$(\w+)", path[i:])):
+            name = m.group(1)
+            if name not in v:
+                raise ValueError(f"missing jsonpath variable {name}")
+            out.append(_json.dumps(v[name]))
+            i += m.end()
+            continue
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _jp_is_predicate(path: str) -> bool:
+    """A top-level predicate path ('$.a > 1', 'exists($.b)', boolean
+    combinations) — valid as the whole path in jsonb_path_match and
+    renders its boolean as a value in the query forms."""
+    s = path.strip()
+    for pre in ("strict", "lax"):
+        if s.startswith(pre):
+            s = s[len(pre):].strip()
+    if s.startswith("exists") or s.startswith("!"):
+        return True
+    return (
+        len(_jp_split_top(s, ("||", "&&"))) > 1
+        or _jp_find_top_op(s) is not None
+    )
+
+
+def _jsonpath_query_py(
+    j: str | None, path: str | None, vars_json: str | None = None
+):
+    """jsonb_path_query* evaluator (jsonpath_exec.c subset): returns
+    the match list as JSON text fragments, or None when the document /
+    path is NULL or the path form is outside the subset (callers then
+    stay loud via the SQL NULL). vars substitute $name references; a
+    top-level predicate path yields its boolean as a single value."""
+    import json as _json
+
+    if j is None or path is None:
+        return None
+    try:
+        doc = _json.loads(j)
+        path = _jp_subst_vars(path, vars_json)
+        if _jp_is_predicate(path):
+            s = path.strip()
+            for pre in ("strict", "lax"):
+                if s.startswith(pre):
+                    s = s[len(pre):].strip()
+            r = _jp_bool3(doc, doc, s)
+            return ["true" if r else "null" if r is None else "false"]
+        mode, toks = _jp_parse(path)
+        nodes = _jp_steps(doc, [doc], toks, mode)
     except ValueError:
         return None
     return [_json.dumps(v, separators=(", ", ": ")) for v in nodes]
+
+
+def _jsonpath_match_py(
+    j: str | None, path: str | None, vars_json: str | None = None
+):
+    """jsonb_path_match (jsonpath_exec.c jsonb_path_match): evaluate a
+    predicate path to one boolean; non-predicate single boolean values
+    pass through; anything else is NULL."""
+    import json as _json
+
+    res = _jsonpath_query_py(j, path, vars_json)
+    if res is None or len(res) != 1:
+        return None
+    return {"true": True, "false": False}.get(res[0])
+
+
+def _jsonpath_exists_py(
+    j: str | None, path: str | None, vars_json: str | None = None
+):
+    """jsonb_path_exists with vars: does the path select anything?"""
+    res = _jsonpath_query_py(j, path, vars_json)
+    return None if res is None else len(res) > 0
 
 
 def _dumps(v) -> str:
@@ -705,6 +955,12 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
     for _name, _fn, _ret, _arity in (
         ("jsonb_contains", _jsonb_contains_py, "BOOLEAN", 2),
         ("jsonb_path_query_list", _jsonpath_query_py, "ARRAY<STRING>", 2),
+        # vars/silent forms (jsonpath_exec.c executeJsonPath with
+        # vars): $name references substitute from a jsonb object
+        ("jsonb_path_query_list_vars", _jsonpath_query_py,
+         "ARRAY<STRING>", 3),
+        ("jsonb_path_match_vars", _jsonpath_match_py, "BOOLEAN", 3),
+        ("jsonb_path_exists_vars", _jsonpath_exists_py, "BOOLEAN", 3),
         ("xml_is_well_formed_document", _xml_wf_document_py, "BOOLEAN", 1),
         ("xml_is_well_formed_content", _xml_wf_content_py, "BOOLEAN", 1),
         # bare form follows XMLOPTION; the engine's default is CONTENT,

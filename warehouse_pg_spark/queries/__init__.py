@@ -44,73 +44,74 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
 # round ~10-13 NON-ANCHOR slots rotate to queries the driver has never
 # scored (union of CORRECTNESS_r1..r6), keeping one green representative
 # per family pinned.
-# r9 rotation (44 first-ever slots — second big sweep): all remaining
-# never-scored entries except 17 deferred to round 10 (redundant family
-# siblings: the minmax EXCLUDE variants, extra setops/srf/fn shims).
-# The same 5 family anchors stay (sole green owners of scan+external /
-# dqa / cte / udtf / uda), plus pgsql_keyset_pagination re-enters for a
-# re-score after the round-9 canonize-channel fix (its r8 red was a
-# results-channel artifact — the engine rows were verified correct; the
-# oracle now projects strftime'd strings per tests/parity.py rules).
-# Cumulative driver coverage if green: 159 + 44 = 203 of 220.
-# Family spanning is now asserted CUMULATIVELY (prefix ∪ prior-round
-# green verdicts) in tests/test_registry.py — a 44-wide never-scored
-# sweep cannot also re-cover families whose only owners are already
-# scored green.
+# r10 rotation (the ledger-closing sweep): ALL 27 never-scored entries
+# enter the prefix — the final 22 from r1-9 plus the 5 new round-10
+# queries (interval qualifiers, SRF lockstep zip, jsonb_path vars,
+# regexp_matches 'g', XML construction). The 5 family anchors stay
+# (sole green owners of scan+external / dqa / cte / udtf / uda; the
+# udtf anchor also re-scores this round's useArrow conversion). The
+# remaining 18 slots re-score prior greens chosen for (a) code touched
+# this round — regexp (backref renumbering), jsonpath (rewritten
+# evaluator), xml, ranges (int8 DECIMAL family), interval, power —
+# and (b) the r9 bench watch-list (minhash/cluster/topk/q10).
+# Cumulative driver coverage if green: 203 + 27 = 230 of 230 — a
+# fully driver-verified ledger.
 DRIVER_PREFIX: tuple[str, ...] = (
+    # never-scored sweep #3 — the final 22 (r1-9 residue)
+    "agg_avg_group",
+    "window_first_last_nth",
+    "window_partition_agg",
+    "window_exclude_group_minmax",
+    "window_exclude_ties_minmax",
+    "setop_intersect",
+    "setop_except",
+    "fn_bitwise",
+    "fn_trig_family",
+    "fn_encode_family",
+    "recursive_series",
+    "srf_posexplode_ordinality",
+    "srf_unnest_multi",
+    "fn_xpath_extract",
+    "fn_complex_arithmetic",
+    "fn_matrix_ops",
+    "fn_misc_type_shims",
+    "fn_enum_ordering",
+    "pgsql_trim_functions",
+    "pgsql_row_null_semantics",
+    "pgsql_jsonb_containment",
+    "pgsql_range_ops_text",
+    # new round-10 queries (never-scored by definition)
+    "pgsql_interval_qualifiers",
+    "srf_lockstep_zip",
+    "pgsql_jsonb_path_vars",
+    "srf_regexp_matches_g",
+    "pgsql_xml_construction",
     # anchors (required family tags with no never-scored owner)
     "external_csv_scan",
     "agg_dqa_multi",
     "cte_shared_reuse",
     "udtf_python_split_words",
     "uda_pandas_grouped",
-    # round-8 red, fixed this round — re-score
-    "pgsql_keyset_pagination",
-    # never-scored sweep #2 (44)
-    "window_lag_lead",
-    "window_running_sum",
-    "window_exclude_group",
-    "window_exclude_ties",
-    "window_topn_per_group",
-    "window_range_interval",
-    "setop_union_distinct",
+    # re-scores: code touched this round
     "fn_strings",
-    "fn_math",
-    "fn_conditional",
-    "fn_casts",
-    "fn_generate_series",
-    "fn_levenshtein",
-    "agg_percentile_multi",
-    "fn_format_family",
-    "fn_array_replace",
-    "events_from_json_struct",
-    "events_unpivot",
-    "agg_json_agg",
-    "events_sliding_window",
+    "fn_regex_family",
+    "srf_regexp_split_to_table",
+    "pgsql_jsonpath_filter",
+    "pgsql_jsonpath_match",
     "srf_json_each",
-    "ts_daily_downsample",
-    "ts_linear_interpolate",
-    "dedup_fingerprint",
-    "sim_label_knn",
-    "sim_embedding_near_dup",
-    "embed_scalar_quantize",
-    "sim_label_knn_capped",
-    "embed_matryoshka_truncate",
-    "sim_srp_lsh_pairs",
-    "text_token_count",
-    "text_lang_id",
-    "text_source_stats",
-    "text_bpe_tokens",
-    "text_fts_rank",
-    "text_pii_scrub",
-    "text_repetition_gopher",
-    "text_passage_dedup",
-    "sample_bernoulli_rowsonly",
     "tablefunc_xmltable",
-    "pgsql_plpgsql_for_query",
-    "fn_svec_sparse_dot",
-    "pgsql_misc_fn_spellings",
-    "multimodal_frame_sample",
+    "agg_xmlagg_members",
+    "fn_range_types",
+    "fn_interval_arithmetic",
+    "fn_math",
+    "fn_numeric_edge_semantics",
+    "pgsql_date_trunc_interval",
+    # re-scores: flagship + r9 bench watch-list
+    "tpch_q1_pricing_summary",
+    "tpch_q10_returned_items",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "dedup_cluster_components",
 )
 
 

@@ -1447,3 +1447,169 @@ def pgsql_range_ops_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS n_in_range
         """,
     )
+
+
+@register(
+    "pgsql_interval_qualifiers",
+    # PG semantics stated as literals (DuckDB's interval grammar lacks
+    # the field-qualifier forms) plus a data-dependent count through
+    # an interval-shifted cutoff both engines compute
+    oracle="""
+    SELECT '2000-01-02 02:00:00' AS d2h,
+           '2000-01-02 02:03:00' AS d2m,
+           '2000-01-02 00:02:03' AS m2s,
+           '2001-03-01 00:00:00' AS y2m,
+           '2000-01-02 12:00:00' AS frac_day,
+           '2000-01-01 00:12:34.57' AS prec2,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderdate < DATE '1995-01-01' + INTERVAL 45 DAY)
+             AS n_shifted
+    """,
+    tags=("dialect", "intervals", "functions"),
+)
+def pgsql_interval_qualifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL '<str>' <field range> literals (gram.y opt_interval;
+    datetime.c DecodeInterval; regress sql/interval.sql:190-220):
+    bare numbers bind to the range's low field, two-field times flip
+    h:m vs m:s by range, finer-than-range fields are zeroed, fractions
+    spill downward, second(p) rounds — all parsed at REWRITE time into
+    make_interval, zero runtime cost."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT CAST(TIMESTAMP '2000-01-01 00:00:00'
+                    + interval '1 2:03' day to hour AS STRING) AS d2h,
+               CAST(TIMESTAMP '2000-01-01 00:00:00'
+                    + interval '1 2:03' day to minute AS STRING) AS d2m,
+               CAST(TIMESTAMP '2000-01-01 00:00:00'
+                    + interval '1 2:03' minute to second AS STRING) AS m2s,
+               CAST(TIMESTAMP '2000-01-01 00:00:00'
+                    + interval '1-2' year to month AS STRING) AS y2m,
+               CAST(TIMESTAMP '2000-01-01 00:00:00'
+                    + interval '1.5' day AS STRING) AS frac_day,
+               CAST(TIMESTAMP '2000-01-01 00:00:00'
+                    + interval '12:34.5678' minute to second(2)
+                    AS STRING) AS prec2,
+               (SELECT COUNT(*) FROM orders
+                WHERE o_orderdate < DATE '1995-01-01'
+                      + interval '45' day) AS n_shifted
+        """,
+    )
+
+
+@register(
+    "srf_lockstep_zip",
+    # PG lockstep SRF semantics built in DuckDB with an explicit
+    # full-join on ordinal (NULL padding to the longest)
+    oracle="""
+    SELECT a.g1, b.g2
+    FROM (SELECT g AS g1, row_number() OVER (ORDER BY g) AS i
+          FROM generate_series(1, 5) t(g)) a
+    FULL JOIN (SELECT g AS g2, row_number() OVER (ORDER BY g) AS i
+               FROM generate_series(3, 9) t(g)) b USING (i)
+    """,
+    tags=("srf", "dialect"),
+)
+def srf_lockstep_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple SRFs in one SELECT list iterate in LOCKSTEP, shorter
+    ones NULL-padded to the longest (execSRF.c; regress sql/tsrf.sql
+    'parallel iteration, different number of rows') — lowered to a
+    single inline(arrays_zip(...)) generator whose zip padding IS the
+    PG semantics; one generator node, no join, no shuffle."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        "SELECT generate_series(1, 5) AS g1, generate_series(3, 9) AS g2",
+    )
+
+
+@register(
+    "pgsql_jsonb_path_vars",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) BETWEEN 10 AND 50
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("json", "jsonpath", "dialect"),
+)
+def pgsql_jsonb_path_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonb_path_exists with a vars object (jsonpath_exec.c
+    executeJsonPath vars binding; regress sql/jsonb_jsonpath.sql):
+    $lo/$hi substitute into the filter. Arrow-batched pandas UDF —
+    the dialect-breadth slow path; the oracle shows the fast
+    json_extract lowering for known-shape predicates."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT event_type, COUNT(*) AS n
+        FROM events
+        WHERE jsonb_path_exists(props, '$.k ? (@ >= $lo && @ <= $hi)',
+                                vars => '{"lo": 10, "hi": 50}')
+        GROUP BY event_type ORDER BY event_type
+        """,
+    )
+
+
+@register(
+    "srf_regexp_matches_g",
+    # single-group pattern: each engine emits the matched text per
+    # occurrence (the engine's text[] of one group canonizes to the
+    # same scalar string)
+    oracle="""
+    SELECT n_name,
+           unnest(regexp_extract_all(n_name, '([AEIOU])')) AS m
+    FROM nation
+    """,
+    tags=("srf", "regex", "dialect"),
+)
+def srf_regexp_matches_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_matches(text, pattern, 'g') — a true SRF over every
+    match (regexp.c; regress sql/strings.sql:208): one row per match
+    carrying the capture-group array. Lowered to explode over JVM-side
+    regexp_extract_all streams zipped per match — no Python, one
+    generator, scales as a map-only pass over a fact column."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n_name, regexp_matches(n_name, '([AEIOU])', 'g') AS m
+        FROM nation
+        """,
+    )
+
+
+@register(
+    "pgsql_xml_construction",
+    oracle="""
+    SELECT r_regionkey,
+           '<region id="' || r_regionkey || '"><name>' || r_name ||
+           '</name><pos>' || (r_regionkey + 1) || '</pos></region>'
+             AS x,
+           '<!--hello--><?pi content?>' AS scalar_forms
+    FROM region ORDER BY r_regionkey
+    """,
+    tags=("xml", "dialect", "functions"),
+)
+def pgsql_xml_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML value constructors (xml.c xmlelement/xmlattributes/
+    xmlforest/xmlcomment/xmlpi/xmlconcat; regress sql/xml.sql): pure
+    concat/escape string building, Catalyst-inlined — zero Python per
+    row, so constructing XML over a 100 TB fact scan costs the same
+    as string concatenation."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT r_regionkey,
+               xmlelement(name region,
+                          xmlattributes(r_regionkey AS id),
+                          xmlforest(r_name AS name,
+                                    r_regionkey + 1 AS pos)) AS x,
+               xmlconcat(xmlcomment('hello'),
+                         xmlpi(name pi, 'content')) AS scalar_forms
+        FROM region ORDER BY r_regionkey
+        """,
+    )

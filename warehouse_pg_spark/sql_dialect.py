@@ -59,6 +59,7 @@ _TYPE_MAP = {
     "json": "STRING",
     "jsonb": "STRING",
     "jsonpath": "STRING",
+    "xml": "STRING",
     "bytea": "BINARY",
     "regclass": "STRING",
     "regtype": "STRING",
@@ -835,7 +836,12 @@ _PG_TYPEOF_RE = re.compile(r"\bpg_typeof\s*\(", re.IGNORECASE)
 # one-arg log is NATURAL log, a silent wrong answer. Two-arg
 # log(base, x) agrees between the engines and passes through.
 _LOG_RE = re.compile(r"\blog\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE)
-_POWER_FN_RE = re.compile(r"\b(?:power|pow)\s*\(", re.IGNORECASE)
+_POWER_FN_RE = re.compile(
+    r"\b(?:power|pow)\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_SCALE_RE = re.compile(
+    r"\bscale\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
 # trunc(x, n): truncate toward zero at n decimal places (numeric.c
 # trunc_var) — Spark's trunc is date-only. CAST(double AS BIGINT)
 # truncates toward zero in both engines.
@@ -923,11 +929,281 @@ _JSON_TYPEOF_RE = re.compile(
 # scalar regexp_matches(s, 'pat'): PG returns the first match's capture
 # groups as text[] (NULL row = NULL here when no match)
 _REGEXP_MATCHES_RE = re.compile(
-    rf"\bregexp_matches\s*\(\s*({_ARITH_CHAIN})\s*,\s*({_LIT})\s*\)",
+    rf"\bregexp_matches\s*\(\s*({_ARITH_CHAIN})\s*,\s*({_LIT})"
+    rf"(?:\s*,\s*({_LIT}))?\s*\)",
     re.IGNORECASE,
 )
 # INTERVAL literal spellings PG emits but Spark's parser rejects
 _INTERVAL_LIT_RE = re.compile(rf"\bINTERVAL\s+({_LIT})", re.IGNORECASE)
+# a SELECT-list item that is exactly one SRF call (multi-SRF lockstep)
+_SRF_SELECT_ITEM_RE = re.compile(
+    r"^(generate_series|unnest)\s*\(((?:[^()]|\([^()]*\))*)\)"
+    r"(?:\s+(?:AS\s+)?(\w+))?$",
+    re.IGNORECASE,
+)
+_SRF_LIST_STOP = frozenset(
+    ("FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
+     "EXCEPT", "INTERSECT", "WINDOW", "OFFSET", "FETCH")
+)
+
+
+def _rewrite_multi_srf_select(sql: str) -> str:
+    """Multiple SRFs in one SELECT list run in LOCKSTEP, shorter ones
+    padded with NULL to the longest (execSRF.c; regress sql/tsrf.sql:
+    `SELECT generate_series(1,2), generate_series(1,4)` is 4 rows with
+    NULLs in rows 3-4 of the first column). Spark's arrays_zip has
+    exactly that padding, so a run of CONSECUTIVE SRF select items
+    lowers to one inline(arrays_zip(...)) generator. Non-consecutive
+    mixes and nested SRFs stay loud."""
+    sel_re = re.compile(r"(?i)\bSELECT\b")
+    pos = 0
+    while True:
+        m = sel_re.search(sql, pos)
+        if m is None:
+            return sql
+        pos = m.end()
+        i, depth = m.end(), 0
+        items: list[tuple[int, int]] = []
+        item_start, list_end = i, len(sql)
+        while i < len(sql):
+            c = sql[i]
+            if c == "(":
+                depth += 1
+                i += 1
+            elif c == ")":
+                if depth == 0:
+                    list_end = i
+                    break
+                depth -= 1
+                i += 1
+            elif c == "," and depth == 0:
+                items.append((item_start, i))
+                item_start = i + 1
+                i += 1
+            elif c == ";" and depth == 0:
+                list_end = i
+                break
+            elif c.isalpha() or c == "_":
+                j = i
+                while j < len(sql) and (sql[j].isalnum() or sql[j] == "_"):
+                    j += 1
+                if depth == 0 and sql[i:j].upper() in _SRF_LIST_STOP:
+                    list_end = i
+                    break
+                i = j
+            else:
+                i += 1
+        items.append((item_start, list_end))
+        parsed = [
+            _SRF_SELECT_ITEM_RE.match(sql[a:b].strip()) for a, b in items
+        ]
+        srf_idx = [k for k, p in enumerate(parsed) if p]
+        if len(srf_idx) == 1:
+            # a single unnest() select item becomes a plain generator
+            # (generate_series has its own whole-statement gate below)
+            p = parsed[srf_idx[0]]
+            if (
+                p.group(1).lower() == "unnest"
+                and len(_split_args(p.group(2))) == 1
+            ):
+                a, b = items[srf_idx[0]]
+                rep = (
+                    f" explode(({p.group(2)})) "
+                    f"AS {p.group(3) or 'unnest'} "
+                )
+                sql = sql[:a] + rep + sql[b:]
+            continue
+        if len(srf_idx) < 2 or srf_idx != list(
+            range(srf_idx[0], srf_idx[0] + len(srf_idx))
+        ):
+            continue
+        arrays, names = [], []
+        ok = True
+        for k in srf_idx:
+            p = parsed[k]
+            fn, args, alias = p.group(1).lower(), p.group(2), p.group(3)
+            if fn == "generate_series":
+                arrays.append(f"sequence({args})")
+            elif len(_split_args(args)) == 1:
+                arrays.append(f"({args})")
+            else:
+                ok = False  # multi-arg unnest is FROM-only in PG
+                break
+            names.append(alias or fn)
+        if not ok:
+            continue
+        gen = (
+            f"inline(arrays_zip({', '.join(arrays)})) "
+            f"AS ({', '.join(names)})"
+        )
+        a0, b1 = items[srf_idx[0]][0], items[srf_idx[-1]][1]
+        sql = sql[:a0] + " " + gen + " " + sql[b1:]
+    return sql
+# INTERVAL '<str>' <field qualifiers> (gram.y opt_interval; datetime.c
+# DecodeInterval range restriction) and INTERVAL(p) '<str>' precision
+_INTERVAL_QUAL_RE = re.compile(
+    rf"\bINTERVAL\s*(?:\(\s*(\d+)\s*\))?\s*({_LIT})"
+    r"(?:\s+(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)\b(?:\s*\(\s*(\d+)\s*\))?"
+    r"(?:\s+TO\s+(MONTH|HOUR|MINUTE|SECOND)\b"
+    r"(?:\s*\(\s*(\d+)\s*\))?)?)?",
+    re.IGNORECASE,
+)
+# interval-string tokenizer units (datetime.c DecodeUnits subset)
+_IV_UNITS = {
+    "year": "y", "years": "y", "yr": "y", "yrs": "y", "y": "y",
+    "month": "mo", "months": "mo", "mon": "mo", "mons": "mo",
+    "week": "w", "weeks": "w", "w": "w",
+    "day": "d", "days": "d", "d": "d",
+    "hour": "h", "hours": "h", "hr": "h", "hrs": "h", "h": "h",
+    "minute": "mi", "minutes": "mi", "min": "mi", "mins": "mi", "m": "mi",
+    "second": "s", "seconds": "s", "sec": "s", "secs": "s", "s": "s",
+    "millisecond": "ms", "milliseconds": "ms", "ms": "ms",
+    "microsecond": "us", "microseconds": "us", "us": "us",
+}
+_IV_ORDER = {"y": 6, "mo": 5, "d": 4, "h": 3, "mi": 2, "s": 1}
+
+
+def _pg_interval_parse(
+    body: str, hi: str | None, lo: str | None, prec: int | None
+):
+    """Parse a PG interval input string under an optional field-range
+    qualifier (datetime.c DecodeInterval + AdjustFractSeconds):
+
+    - a bare number binds to the range's LOW field ('1' YEAR TO MONTH
+      is 1 month), to days when followed by a time, to seconds when
+      unqualified;
+    - 'a:b' is hh:mm unless the range is MINUTE TO SECOND or the b part
+      carries a fraction (then mm:ss); 'a:b:c' is always h:m:s;
+    - 'y-m' is years-months; 'D H' bare pairs only under DAY TO HOUR;
+    - fields FINER than the low field are zeroed (regress: '1 2:03'
+      DAY TO HOUR keeps 02:00); seconds round to `prec` digits,
+      half away from zero; fractional units spill downward
+      ('1.5' DAY is 1 day 12:00).
+
+    Returns a unit->Decimal dict or None (caller leaves the SQL
+    untouched — an unparseable form should stay loud, matching PG's
+    own input errors)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    s = body.strip()
+    neg_all = False
+    if s.startswith("@"):
+        s = s[1:].strip()
+    if s.lower().endswith(" ago"):
+        neg_all, s = True, s[:-4].strip()
+    if not s:
+        return None
+    toks = s.split()
+    f: dict[str, Decimal] = {
+        k: Decimal(0) for k in ("y", "mo", "d", "h", "mi", "s")
+    }
+    num_re = re.compile(r"^[+-]?\d+(?:\.\d+)?$")
+    ym_re = re.compile(r"^([+-]?\d+)-(\d+)$")
+    tm_re = re.compile(r"^([+-])?(\d+):(\d+)(?::(\d+(?:\.\d+)?))?$"
+                       r"|^([+-])?(\d+):(\d+\.\d+)$")
+    bare: list[Decimal] = []
+    saw_time = False
+
+    # spilled fractions live apart from input-bound fields: the range
+    # qualifier truncates what the INPUT bound ('1 2:03' DAY TO HOUR
+    # zeroes the :03) but not what a fraction produced ('1.5' DAY is
+    # 1 day 12:00 — AdjustFractDays runs after the range check)
+    spill_f: dict[str, Decimal] = {
+        k: Decimal(0) for k in ("y", "mo", "d", "h", "mi", "s")
+    }
+
+    def add(unit: str, v: Decimal, spilled: bool = False) -> None:
+        # fractional spill (DecodeInterval AdjustFract*): 0.5 day is
+        # 12h, 1.5 years is 1y 6mo, 0.5 mon is 15 days
+        if unit == "w":
+            unit, v = "d", v * 7
+        if unit == "ms":
+            unit, v = "s", v / 1000
+        if unit == "us":
+            unit, v = "s", v / 1000000
+        tgt = spill_f if spilled else f
+        whole = v.to_integral_value(rounding="ROUND_DOWN")
+        frac = v - whole
+        tgt[unit] += whole if unit != "s" else v
+        if frac and unit != "s":
+            spill = {"y": ("mo", 12), "mo": ("d", 30), "d": ("s", 86400),
+                     "h": ("s", 3600), "mi": ("s", 60)}[unit]
+            add(spill[0], frac * spill[1], spilled=True)
+
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        mo_ym = ym_re.match(t)
+        mo_tm = tm_re.match(t)
+        if mo_ym:
+            f["y"] += Decimal(mo_ym.group(1))
+            mfrac = Decimal(mo_ym.group(2))
+            f["mo"] += -mfrac if mo_ym.group(1).startswith("-") else mfrac
+        elif mo_tm:
+            saw_time = True
+            if mo_tm.group(6) is not None:  # a:b.f — minutes:seconds
+                sign = -1 if mo_tm.group(5) == "-" else 1
+                a, b = Decimal(mo_tm.group(6)), Decimal(mo_tm.group(7))
+                add("mi", sign * a)
+                add("s", sign * b)
+            else:
+                sign = -1 if mo_tm.group(1) == "-" else 1
+                a, b = Decimal(mo_tm.group(2)), Decimal(mo_tm.group(3))
+                c = mo_tm.group(4)
+                if c is not None:  # h:m:s
+                    add("h", sign * a)
+                    add("mi", sign * b)
+                    add("s", sign * Decimal(c))
+                elif hi == "minute" and lo == "second":
+                    add("mi", sign * a)
+                    add("s", sign * b)
+                else:  # h:m
+                    add("h", sign * a)
+                    add("mi", sign * b)
+        elif num_re.match(t):
+            if i + 1 < len(toks) and toks[i + 1].lower() in _IV_UNITS:
+                add(_IV_UNITS[toks[i + 1].lower()], Decimal(t))
+                i += 2
+                continue
+            bare.append(Decimal(t))
+        else:
+            return None  # unknown token: stay loud
+        i += 1
+
+    qmap = {"year": "y", "month": "mo", "day": "d", "hour": "h",
+            "minute": "mi", "second": "s"}
+    if bare:
+        if len(bare) == 1:
+            if saw_time:
+                add("d", bare[0])
+            elif lo:
+                add(qmap[lo], bare[0])
+            elif hi:
+                add(qmap[hi], bare[0])
+            else:
+                add("s", bare[0])  # lone unqualified number: seconds
+        elif len(bare) == 2 and not saw_time and (hi, lo) == ("day", "hour"):
+            add("d", bare[0])
+            add("h", bare[1])
+        else:
+            return None  # '1 2' under other ranges: PG errors too
+
+    low = lo or hi
+    if low:
+        cut = _IV_ORDER[qmap[low]]
+        for u, o in _IV_ORDER.items():
+            if o < cut:
+                f[u] = Decimal(0)
+        if low == "second" and prec is None:
+            prec = 6
+    for u in f:
+        f[u] += spill_f[u]
+    if prec is not None:
+        q = Decimal(1).scaleb(-prec)
+        f["s"] = f["s"].quantize(q, rounding=ROUND_HALF_UP)
+    if neg_all:
+        f = {k: -v for k, v in f.items()}
+    return f
 # JSON constructors/aggregates (json.c, jsonfuncs.c): named_struct /
 # collect_list / map_from_entries compositions serialized by to_json
 _JSON_BUILD_OBJ_RE = re.compile(
@@ -986,6 +1262,225 @@ def _gcd_sql(x: str, y: str) -> str:
         "(__gs, __gi) -> IF(__gs.b = 0, __gs, "
         "named_struct('a', __gs.b, 'b', __gs.a % __gs.b))).a)"
     )
+
+
+_XML_CTOR_START_RE = re.compile(
+    r"(?i)\bxml(element|forest|pi|comment|concat|root)\s*\("
+)
+_XML_NAME_HEAD_RE = re.compile(r"(?is)^name\s+(`[^`]+`|\w+)\s*$")
+_XML_AS_NAME_RE = re.compile(r"(?is)^(.*?)\s+AS\s+(`[^`]+`|\w+)\s*$")
+# an argument already known to be XML-typed (no content escaping):
+# a rewritten constructor (pg_xml marker), an xml literal/cast, xpath
+_XML_TYPED_ARG_RE = re.compile(
+    r"(?is)^(?:pg_xml\s*\(|xml\s*\x01)|::\s*xml\s*$"
+)
+_XML_TYPED_LIT_RE = re.compile(rf"\bxml\s+({_LIT})", re.IGNORECASE)
+# U&'...' [UESCAPE '!'] unicode-escape strings (scan.l xus/xue states)
+_UESCAPE_LIT_RE = re.compile(
+    rf"\bU&\s*({_LIT})(?:\s+UESCAPE\s+({_LIT}))?", re.IGNORECASE
+)
+
+
+def _decode_uescape(body: str, esc: str) -> str:
+    """Decode \\XXXX / \\+XXXXXX escapes (scan.l; doubled escape char
+    is the char itself). Raises ValueError on malformed input, exactly
+    where PG errors."""
+    out: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == esc:
+            if body[i + 1 : i + 2] == esc:
+                out.append(esc)
+                i += 2
+            elif body[i + 1 : i + 2] == "+":
+                out.append(chr(int(body[i + 2 : i + 8], 16)))
+                if i + 8 > n:
+                    raise ValueError("invalid Unicode escape")
+                i += 8
+            else:
+                if i + 5 > n:
+                    raise ValueError("invalid Unicode escape")
+                out.append(chr(int(body[i + 1 : i + 5], 16)))
+                i += 5
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _xml_ident(tok: str) -> str:
+    """Tag/attribute name: quoted identifiers (already backticked by
+    the ident pass) keep case; bare names fold lower (xml.c
+    map_sql_identifier_to_xml_name via gram.y ColLabel casing)."""
+    return tok[1:-1] if tok.startswith("`") else tok.lower()
+
+
+def _rewrite_xml_ctors(sql: str) -> str:
+    """XML value constructors (xml.c xmlelement/xmlforest/xmlpi/
+    xmlcomment/xmlconcat/xmlroot; regress sql/xml.sql): pure string
+    building — every form lowers to concat over escape helpers
+    (functions/pg.py xml_escape_content/xml_escape_attr), with the
+    pg_xml() identity marker tagging already-XML subtrees so nested
+    constructors embed raw while text content escapes. Zero Python
+    per row; unsupported spellings are left untouched (loud)."""
+
+    def content_val(a: str) -> str:
+        a = a.strip()
+        if _XML_TYPED_ARG_RE.search(a):
+            return f"CAST({a} AS STRING)"
+        return f"xml_escape_content(CAST({a} AS STRING))"
+
+    def named_items(args: list[str]) -> list[tuple[str, str]] | None:
+        items = []
+        for a in args:
+            am = _XML_AS_NAME_RE.match(a)
+            if am:
+                items.append((am.group(1), _xml_ident(am.group(2))))
+            elif re.fullmatch(r"[\w.]+", a.strip()):
+                items.append((a.strip(), a.strip().split(".")[-1].lower()))
+            else:
+                return None  # PG: unnamed non-column is an error
+        return items
+
+    def build(kind: str, args_str: str) -> str | None:
+        args = (
+            [a.strip() for a in _split_args(args_str)]
+            if args_str.strip()
+            else []
+        )
+        if kind == "comment":
+            if len(args) != 1:
+                return None
+            e = f"({args[0]})"
+            return (
+                f"(CASE WHEN {e} IS NULL THEN NULL "
+                f"WHEN {e} LIKE '%--%' OR {e} LIKE '%-' "
+                f"THEN raise_error('invalid XML comment') "
+                f"ELSE concat('<!--', {e}, '-->') END)"
+            )
+        if kind == "pi":
+            if not args or len(args) > 2:
+                return None
+            mn = _XML_NAME_HEAD_RE.match(args[0])
+            if not mn:
+                return None
+            tgt = _xml_ident(mn.group(1))
+            if len(args) == 1:
+                return f"'<?{tgt}?>'"
+            c = f"({args[1]})"
+            return (
+                f"concat('<?{tgt}', CASE WHEN {c} IS NULL THEN '' "
+                f"WHEN {c} LIKE '%?>%' "
+                f"THEN raise_error('invalid XML processing instruction') "
+                f"ELSE concat(' ', {c}) END, '?>')"
+            )
+        if kind == "concat":
+            if not args:
+                return None
+            parts = ", ".join(f"coalesce({a}, '')" for a in args)
+            return (
+                f"(CASE WHEN coalesce({', '.join(args)}) IS NULL "
+                f"THEN NULL ELSE concat({parts}) END)"
+            )
+        if kind == "forest":
+            items = named_items(args)
+            if not items:
+                return None
+            parts = [
+                f"CASE WHEN ({e}) IS NULL THEN '' "
+                f"ELSE concat('<{n}>', {content_val(e)}, '</{n}>') END"
+                for e, n in items
+            ]
+            return f"concat({', '.join(parts)})"
+        if kind == "element":
+            if not args:
+                return None
+            mn = _XML_NAME_HEAD_RE.match(args[0])
+            if not mn:
+                return None
+            n = _xml_ident(mn.group(1))
+            rest = args[1:]
+            attrs = "''"
+            if rest and re.match(r"(?is)^xmlattributes\s*\(", rest[0]):
+                inner = rest[0][rest[0].index("(") + 1 : -1]
+                a_items = named_items(
+                    [a.strip() for a in _split_args(inner)]
+                )
+                if a_items is None:
+                    return None
+                attrs = "concat(" + ", ".join(
+                    f"CASE WHEN ({e}) IS NULL THEN '' ELSE concat("
+                    f"' {an}=\"', xml_escape_attr(CAST({e} AS STRING)),"
+                    f" '\"') END"
+                    for e, an in a_items
+                ) + ")"
+                rest = rest[1:]
+            body = (
+                "concat("
+                + ", ".join(f"coalesce({content_val(a)}, '')" for a in rest)
+                + ")"
+                if rest
+                else "''"
+            )
+            return (
+                f"concat('<{n}', {attrs}, "
+                f"CASE WHEN {body} = '' THEN '/>' "
+                f"ELSE concat('>', {body}, '</{n}>') END)"
+            )
+        if kind == "root":
+            if len(args) not in (2, 3):
+                return None
+            x = f"CAST({args[0]} AS STRING)"
+            vm = re.match(
+                rf"(?is)^version\s+(no\s+value|{_LIT})\s*$", args[1]
+            )
+            if not vm:
+                return None
+            sa = ""
+            if len(args) == 3:
+                sm = re.match(
+                    r"(?is)^standalone\s+(yes|no|no\s+value)\s*$", args[2]
+                )
+                if not sm:
+                    return None
+                word = re.sub(r"\s+", " ", sm.group(1).lower())
+                if word != "no value":
+                    sa = f' standalone="{word}"'
+            v = vm.group(1)
+            if re.match(r"(?is)no\s+value", v):
+                if not sa:
+                    return x
+                return f"concat('<?xml version=\"1.0\"{sa}?>', {x})"
+            return (
+                f"concat('<?xml version=\"', {v}, '\"{sa}?>', {x})"
+            )
+        return None
+
+    def process(s: str) -> str:
+        m = _XML_CTOR_START_RE.search(s)
+        if not m:
+            return s
+        depth, j = 0, m.end() - 1
+        while j < len(s):
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            return s  # unbalanced — leave everything untouched
+        inner = process(s[m.end() : j])  # nested constructors first
+        rep = build(m.group(1).lower(), inner)
+        if rep is None:
+            rep = s[m.start() : m.end()] + inner + ")"
+        else:
+            rep = f"pg_xml({rep})"
+        return s[: m.start()] + rep + process(s[j + 1 :])
+
+    return process(sql)
 
 
 def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
@@ -1420,10 +1915,25 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         return m.group(0)
 
     sql = _LOG_RE.sub(sub_log, sql)
-    # power()/pow() route to power_pg (functions/pg.py): PG float.c
-    # dpow is POSIX — power(1, NaN) = 1 — where Math.pow(1.0, NaN)
-    # returns NaN; the SQL function inlines to a CASE, still codegen.
-    sql = _POWER_FN_RE.sub("power_pg(", sql)
+    # scale(numeric) (numeric.c numeric_scale): decimal digits of the
+    # text form — Spark literals keep their declared scale
+    sql = _SCALE_RE.sub(
+        lambda m: f"scale_pg(CAST(({m.group(1)}) AS STRING))", sql
+    )
+    # power()/pow(): PG float.c dpow is POSIX — power(1, NaN) = 1 —
+    # where Math.pow(1.0, NaN) returns NaN; inline the base=1 guard
+    # (no registered function needed, rewrite() stays self-contained)
+    def sub_power(m: re.Match) -> str:
+        args = _split_args(m.group(1))
+        if len(args) != 2:
+            return m.group(0)
+        x, y = (a.strip() for a in args)
+        return (
+            f"(CASE WHEN CAST(({x}) AS DOUBLE) = CAST(1.0 AS DOUBLE) "
+            f"THEN CAST(1.0 AS DOUBLE) ELSE power({x}, {y}) END)"
+        )
+
+    sql = _POWER_FN_RE.sub(sub_power, sql)
     # trunc(x, n) truncates toward zero at n decimal places. The scale
     # step MUST be exact-decimal: a double multiply is inexact
     # (2.3 * 10 = 22.999999999999996 → trunc would yield 2.2, PG 2.3)
@@ -1529,19 +2039,92 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     sql = _JSON_TYPEOF_RE.sub(sub_json_typeof, sql)
 
     def sub_regexp_matches(m: re.Match) -> str:
-        x, tok = m.group(1).strip(), m.group(2)
+        # regexp_matches (regexp.c): setof text[] of capture groups.
+        # Without 'g': one array or no row (here: NULL, the scalar
+        # form — documented deviation in select position). With 'g':
+        # a true SRF over every match, lowered to explode over the
+        # per-group regexp_extract_all streams zipped per match.
+        x, tok, ftok = m.group(1).strip(), m.group(2), m.group(3)
         body = lits[int(_MASK_RE.match(tok).group(1))][1:-1]
-        ngroups = len(re.findall(r"(?<!\\)\((?!\?)", body))
+        flags = _lit_value(ftok, lits) if ftok else ""
+        inline = ""
+        for fch in flags:
+            if fch == "g":
+                continue
+            mapped = {"i": "i", "m": "m", "n": "m", "s": "s",
+                      "x": "x"}.get(fch)
+            if mapped is None:
+                return m.group(0)  # unknown flag: stay loud
+            inline += mapped
+        ngroups, _ = _shift_pattern_backrefs(body, 0)
+        ptok = tok if not inline else _new_lit_raw(
+            f"(?{inline}){body}", lits
+        )
+        if "g" in flags:
+            if ngroups == 0:
+                return (
+                    f"explode(transform(regexp_extract_all({x}, {ptok},"
+                    f" 0), __m -> array(__m)))"
+                )
+            zips = ", ".join(
+                f"regexp_extract_all({x}, {ptok}, {i})"
+                for i in range(1, ngroups + 1)
+            )
+            arr = ", ".join(f"__s.`{i}`" for i in range(ngroups))
+            return (
+                f"explode(transform(arrays_zip({zips}), "
+                f"__s -> array({arr})))"
+            )
         if ngroups == 0:
-            inner = f"array(regexp_extract({x}, {tok}, 0))"
+            inner = f"array(regexp_extract({x}, {ptok}, 0))"
         else:
             inner = "array(" + ", ".join(
-                f"regexp_extract({x}, {tok}, {i})"
+                f"regexp_extract({x}, {ptok}, {i})"
                 for i in range(1, ngroups + 1)
             ) + ")"
-        return f"(CASE WHEN {x} RLIKE {tok} THEN {inner} END)"
+        return f"(CASE WHEN {x} RLIKE {ptok} THEN {inner} END)"
 
     sql = _REGEXP_MATCHES_RE.sub(sub_regexp_matches, sql)
+
+    def sub_interval_qual(m: re.Match) -> str:
+        prec_p, tok, q_hi, q_hi_p, q_lo, q_lo_p = m.groups()
+        if prec_p is None and q_hi is None:
+            return m.group(0)  # plain INTERVAL '...': existing path
+        hi = q_hi.lower() if q_hi else None
+        lo = q_lo.lower() if q_lo else None
+        if (
+            not prec_p and not q_lo and not q_hi_p
+            and re.fullmatch(r"[+-]?\d+", _lit_value(tok, lits).strip())
+        ):
+            # INTERVAL '30' DAY: already valid Spark with identical
+            # semantics — keep the native (ANSI-typed) literal so
+            # interval-typed function args keep their expected type
+            return m.group(0)
+        prec = (
+            int(prec_p) if prec_p
+            else int(q_lo_p) if q_lo_p
+            else int(q_hi_p) if q_hi_p and not q_lo else None
+        )
+        f = _pg_interval_parse(_lit_value(tok, lits), hi, lo, prec)
+        if f is None:
+            return m.group(0)  # unparseable input stays loud, as in PG
+        # Emit an ANSI-typed literal when the fields are pure
+        # year-month or pure day-time: DayTimeIntervalType composes
+        # with DATE as PG does (date + time-of-day -> timestamp),
+        # where make_interval's CalendarInterval would truncate to
+        # DATE. Mixed y/mo+time falls back to make_interval.
+        ym = f["y"] * 12 + f["mo"]
+        dt_secs = f["d"] * 86400 + f["h"] * 3600 + f["mi"] * 60 + f["s"]
+        if ym == 0:
+            return f"INTERVAL {_new_lit(str(dt_secs), lits)} SECOND"
+        if dt_secs == 0:
+            return f"INTERVAL {_new_lit(str(ym), lits)} MONTH"
+        return (
+            f"make_interval({f['y']}, {f['mo']}, 0, {f['d']}, "
+            f"{f['h']}, {f['mi']}, {f['s']})"
+        )
+
+    sql = _INTERVAL_QUAL_RE.sub(sub_interval_qual, sql)
 
     def sub_interval_lit(m: re.Match) -> str:
         tok = m.group(1)
@@ -2216,6 +2799,26 @@ def rewrite(sql: str) -> str:
         ):
             lits[li] = "'" + mb.group(1) + " " + tzr + "'"
 
+    # U&'...' unicode-escape strings decode at rewrite time; the
+    # decoded content re-escapes backslashes so Spark's literal
+    # unescaping passes it through verbatim
+    def sub_uescape(m: re.Match) -> str:
+        esc = _lit_value(m.group(2), lits) if m.group(2) else "\\"
+        if len(esc) != 1:
+            return m.group(0)  # PG rejects multi-char UESCAPE: loud
+        try:
+            decoded = _decode_uescape(_lit_value(m.group(1), lits), esc)
+        except ValueError:
+            return m.group(0)  # malformed escape: loud, as PG errors
+        return _new_lit(decoded.replace("\\", "\\\\"), lits)
+
+    out = _UESCAPE_LIT_RE.sub(sub_uescape, out)
+
+    # XML value constructors → concat/escape string building, then the
+    # `xml '...'` typed-literal prefix drops (xml is a STRING here)
+    out = _rewrite_xml_ctors(out)
+    out = _XML_TYPED_LIT_RE.sub(lambda m: m.group(1), out)
+
     out = _rewrite_distinct_on(out)
     out = _rewrite_with_ties(out)
 
@@ -2239,15 +2842,36 @@ def rewrite(sql: str) -> str:
     # design — no Spark built-in walks arbitrary jsonpath)
     def sub_jsonb_path_fn(m: re.Match) -> str:
         form = m.group(1).lower()
-        args = [a.strip() for a in _split_args(m.group(2))]
-        if len(args) != 2:  # vars/silent arguments: leave loud
+        raw = [a.strip() for a in _split_args(m.group(2))]
+        pos: list[str] = []
+        named: dict[str, str] = {}
+        for a in raw:
+            nm = re.match(r"(?is)^(vars|silent)\s*=>\s*(.+)$", a)
+            if nm:
+                named[nm.group(1).lower()] = nm.group(2).strip()
+            else:
+                pos.append(a)
+        if len(pos) < 2 or len(pos) > 4:
             return m.group(0)
-        j, p = args
-        if form == "exists":
-            return f"({j} @? {p})"
-        if form == "match":
-            return f"({j} @@ {p})"
-        lst = f"jsonb_path_query_list({j}, {p})"
+        j, p = pos[0], pos[1]
+        vars_a = named.get("vars") or (pos[2] if len(pos) >= 3 else None)
+        has_silent = "silent" in named or len(pos) == 4
+        if vars_a is None and not has_silent:
+            if form == "exists":
+                return f"({j} @? {p})"
+            if form == "match":
+                return f"({j} @@ {p})"
+            lst = f"jsonb_path_query_list({j}, {p})"
+        else:
+            # vars substitute $name references; the Python evaluator
+            # is silent by construction, so silent=>false strict
+            # errors surface as NULL (documented deviation)
+            v = vars_a if vars_a is not None else "CAST(NULL AS STRING)"
+            if form == "exists":
+                return f"jsonb_path_exists_vars({j}, {p}, {v})"
+            if form == "match":
+                return f"jsonb_path_match_vars({j}, {p}, {v})"
+            lst = f"jsonb_path_query_list_vars({j}, {p}, {v})"
         if form == "query_array":
             return f"concat('[', array_join({lst}, ', '), ']')"
         if form == "query_first":
@@ -2610,12 +3234,14 @@ def rewrite(sql: str) -> str:
         ),
         out,
     )
+    # SRFs in the SELECT list: a lone unnest() item becomes explode;
+    # multiple consecutive SRF items run in lockstep with NULL padding
+    # (execSRF.c) and lower to one inline(arrays_zip) generator
+    out = _rewrite_multi_srf_select(out)
     # SRF in the SELECT list (`SELECT generate_series(1, 3)`) — any
     # occurrence the FROM-position passes above did not consume becomes
-    # a generator. Only the SINGLE-occurrence case is rewritten: PG
-    # zips multiple SRFs row-wise (LCM semantics) which Spark's
-    # generators don't model — those stay loud, as do nested SRFs and
-    # illegal positions (LIMIT).
+    # a generator. Only the SINGLE-occurrence case is rewritten —
+    # nested SRFs and illegal positions (LIMIT) stay loud.
     if len(re.findall(r"(?i)\bgenerate_series\s*\(", out)) == 1:
         out = re.sub(
             r"\bgenerate_series\s*\(((?:[^()]|\([^()]*\))*)\)",
