@@ -1041,16 +1041,17 @@ def test_array_subquery_keeps_null_elements(engine):
 
 def test_braced_array_quoted_and_nested(engine):
     """ADVICE r9: array_in tokenizer — double-quoted elements keep
-    embedded commas; nested arrays pass through (and so stay loud)."""
+    embedded commas. Nested bodies are SUPPORTED since r10 as
+    multi-dim arrays (arrayfuncs.c array_in); ragged shapes build
+    ragged nested arrays (PG errors — documented deviation, never
+    silent garbage values)."""
     r = engine.sql(
         """SELECT '{a,"b,c",d}'::text[] AS a,
-                  'b,c' = ANY('{a,"b,c"}') AS m"""
+                  'b,c' = ANY('{a,"b,c"}') AS m,
+                  '{{1,2},{3,4}}'::int[] AS nested"""
     ).collect()[0]
     assert r.a == ["a", "b,c", "d"] and r.m is True
-    import pytest as _pytest
-
-    with _pytest.raises(Exception):  # nested stays loud, never garbage
-        engine.sql("SELECT '{{1,2},{3}}'::int[] AS a").collect()
+    assert [list(x) for x in r.nested] == [[1, 2], [3, 4]]
 
 
 def test_age_keeps_time_of_day(engine):
@@ -1603,3 +1604,87 @@ def test_unicode_escape_strings(engine):
     ).collect()[0]
     assert r.a == "data" and r.b == "data"
     assert r.c == "слон"
+
+
+def test_jsonb_arrow_over_cast_and_negative_index(engine):
+    """`'lit'::jsonb -> key` — the arrow LHS scan traverses ::casts
+    (round-10 probe regression: the backward scan stopped at the cast
+    TYPE word and mangled the rewrite); negative array subscripts
+    count from the end (jsonfuncs.c jsonb_array_element)."""
+    r = engine.sql(
+        """SELECT '{"n":null,"a":1}'::jsonb -> 'a' AS a,
+                  '["a","b",[1,2],null]'::jsonb -> 1 AS b,
+                  '["a","b",[1,2],null]'::jsonb -> -2 AS c,
+                  '["a","b",[1,2],null]'::jsonb -> -5 AS d,
+                  '{"a":{"b":7}}'::jsonb -> 'a' ->> 'b' AS e"""
+    ).collect()[0]
+    assert r.a == "1" and r.b == "b"
+    assert r.c == "[1,2]" and r.d is None and r.e == "7"
+
+
+def test_multidim_braced_arrays_and_chained_subscripts(engine):
+    """Multi-dimensional '{{..},{..}}' array literals (arrayfuncs.c
+    array_in) build nested arrays; chained subscripts peel 1-based
+    per dimension."""
+    r = engine.sql(
+        "SELECT '{{1,2,3},{4,5,6}}'::int[] AS arr,"
+        "       ('{{1,2,3},{4,5,6},{7,8,9}}'::int[])[2][3] AS el,"
+        "       ('{{{1},{2},{3}},{{4},{5},{6}}}'::int[])[1][2][1] AS deep"
+    ).collect()[0]
+    assert [list(x) for x in r.arr] == [[1, 2, 3], [4, 5, 6]]
+    assert r.el == 6 and r.deep == 2
+
+
+def test_array_json_function_family_r10(engine):
+    """string_to_array 3-arg null-string, empty-delimiter vs NULL
+    delimiter, array_to_string, array_positions, array_fill 2-D,
+    json[b]_strip_nulls, jsonb_contained, jsonb_extract_path[_text]
+    (varlena.c text_to_array, arrayfuncs.c, jsonfuncs.c)."""
+    r = engine.sql(
+        """SELECT string_to_array('1,2,,4', ',', '') AS sta,
+                  string_to_array('abc', '', 'abc') AS sta_empty,
+                  array_to_string(array[1,NULL,3], ',', '*') AS ats,
+                  array_positions(ARRAY[1,2,1,2], 2) AS pos,
+                  array_fill(7, array[2,3]) AS fill2d,
+                  json_strip_nulls(
+                    '{"a":1,"b":null,"c":[2,null],"d":{"e":null}}') AS sn,
+                  jsonb_contained('{"a":"b"}',
+                                  '{"a":"b","b":1}') AS contained,
+                  jsonb_extract_path_text(
+                    '{"f2":["f3",1]}', 'f2', 1::text) AS ep"""
+    ).collect()[0]
+    assert list(r.sta) == ["1", "2", None, "4"]
+    assert list(r.sta_empty) == [None]
+    assert r.ats == "1,*,3"
+    assert list(r.pos) == [2, 4]
+    assert [list(x) for x in r.fill2d] == [[7, 7, 7], [7, 7, 7]]
+    assert r.sn == '{"a": 1, "c": [2, null], "d": {}}'
+    assert r.contained is True and r.ep == "1"
+
+
+def test_money_casts(engine):
+    """::money input/output (cash.c cash_in/cash_out): '$'/comma/
+    accounting-paren forms in, '$12,345.00' text out, ::numeric for
+    the value."""
+    r = engine.sql(
+        "SELECT '12345'::money AS a, '(1)'::money AS b,"
+        "       '$1,234.56'::money AS c,"
+        "       CAST('12345678901234567'::money::numeric AS DOUBLE) AS d"
+    ).collect()[0]
+    assert r.a == "$12,345.00" and r.b == "-$1.00"
+    assert r.c == "$1,234.56" and r.d == 1.2345678901234568e16
+
+
+def test_srf_in_expression_select(engine):
+    """SRFs inside SELECT-list expressions (execSRF.c): the expression
+    applies per emitted row; lockstep with expressions keeps the zip
+    padding."""
+    assert [r[0] for r in engine.sql(
+        "select abs(generate_series(-3,-1)) as absolute").collect()
+    ] == [3, 2, 1]
+    assert [r[0] for r in engine.sql(
+        "select generate_series(1,3)+1 as output").collect()] == [2, 3, 4]
+    rows = [tuple(r) for r in engine.sql(
+        "select generate_series(1,2) as x, generate_series(3,6)+1 as y"
+    ).collect()]
+    assert rows == [(1, 4), (2, 5), (None, 6), (None, 7)]

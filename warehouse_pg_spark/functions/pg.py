@@ -96,6 +96,24 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # dialect uses to tag already-XML subtrees (nested constructors
     # embed raw, text content escapes); Catalyst inlines it away.
     "pg_xml": ("s STRING", "STRING", "s"),
+    # cash.c cash_in/cash_out: '$1,234.56' and '(1)' accounting-
+    # negative input; '$-12,345.00'-style text output (locale C)
+    "pg_money_in": (
+        "s STRING",
+        "DECIMAL(19,2)",
+        "CASE WHEN s IS NULL THEN NULL ELSE "
+        "CAST(CASE WHEN trim(s) LIKE '(%' THEN -1 ELSE 1 END AS "
+        "DECIMAL(19,2)) * "
+        "CAST(regexp_replace(trim(s), '[$,() ]', '') AS DECIMAL(19,2)) "
+        "END",
+    ),
+    "pg_money_text": (
+        "v DECIMAL(19,2)",
+        "STRING",
+        "CASE WHEN v IS NULL THEN NULL "
+        "WHEN v < 0 THEN concat('-$', format_number(-v, 2)) "
+        "ELSE concat('$', format_number(v, 2)) END",
+    ),
     # numeric.c numeric_scale: digits after the decimal point of the
     # value's text form (Spark decimal literals keep declared scale,
     # so scale(8.4100) = 4 like PG)
@@ -867,6 +885,29 @@ def _json_object2_py(keys, vals):
     )
 
 
+def _json_strip_nulls_py(j):
+    """json[b]_strip_nulls (jsonfuncs.c json_strip_nulls): remove
+    object FIELDS whose value is null, recursively; null array
+    elements are kept."""
+    import json as _json
+
+    if j is None:
+        return None
+    try:
+        doc = _json.loads(j)
+    except ValueError:
+        return None
+
+    def rec(v):
+        if isinstance(v, dict):
+            return {k: rec(x) for k, x in v.items() if x is not None}
+        if isinstance(v, list):
+            return [rec(x) for x in v]
+        return v
+
+    return _dumps(rec(doc))
+
+
 def _xml_wf_document_py(s):
     # xml.c xml_is_well_formed_document: exactly one root element
     import xml.etree.ElementTree as ET
@@ -961,6 +1002,8 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
          "ARRAY<STRING>", 3),
         ("jsonb_path_match_vars", _jsonpath_match_py, "BOOLEAN", 3),
         ("jsonb_path_exists_vars", _jsonpath_exists_py, "BOOLEAN", 3),
+        ("json_strip_nulls", _json_strip_nulls_py, "STRING", 1),
+        ("jsonb_strip_nulls", _json_strip_nulls_py, "STRING", 1),
         ("xml_is_well_formed_document", _xml_wf_document_py, "BOOLEAN", 1),
         ("xml_is_well_formed_content", _xml_wf_content_py, "BOOLEAN", 1),
         # bare form follows XMLOPTION; the engine's default is CONTENT,

@@ -143,7 +143,7 @@ _CAST_RE = re.compile(
 # one JSON arrow step: -> 'key' / ->> 'key' / -> 0 (array index). The
 # RHS must be a literal or integer, so SQL lambdas (`x -> expr`) never
 # match. LHS is found by scanning backwards (balanced parens allowed).
-_ARROW_STEP_RE = re.compile(rf"->(>?)\s*({_LIT}|\d+)")
+_ARROW_STEP_RE = re.compile(rf"->(>?)\s*({_LIT}|-?\d+)")
 _GJO_BASE_RE = None  # built lazily in _rewrite_arrows (needs _LIT)
 
 # POSIX regex match: expr ~ 'pat' / ~* / !~ / !~* (regexp.c textregexeq
@@ -633,7 +633,20 @@ _ARRAY_LENGTH_RE = re.compile(
 _ARRAY_CAT_RE = re.compile(r"\barray_cat\s*\(", re.IGNORECASE)
 _STRING_TO_ARRAY_RE = re.compile(
     rf"\bstring_to_array\s*\(\s*({_DISTINCT_OPERAND})\s*,"
+    rf"\s*({_DISTINCT_OPERAND})\s*(?:,\s*({_DISTINCT_OPERAND})\s*)?\)",
+    re.IGNORECASE,
+)
+_ARRAY_TO_STRING_RE = re.compile(r"\barray_to_string\s*\(", re.IGNORECASE)
+_ARRAY_POSITIONS_RE = re.compile(
+    rf"\barray_positions\s*\(\s*({_DISTINCT_OPERAND})\s*,"
     rf"\s*({_DISTINCT_OPERAND})\s*\)",
+    re.IGNORECASE,
+)
+_JSONB_CONTAINED_FN_RE = re.compile(
+    r"\bjsonb_contained\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_JSONB_EXTRACT_PATH_RE = re.compile(
+    r"\bjsonb?_extract_path(_text)?\s*\(((?:[^()]|\([^()]*\))*)\)",
     re.IGNORECASE,
 )
 _GENERATE_SUBSCRIPTS_RE = re.compile(
@@ -763,6 +776,9 @@ _JSONB_PATH_FN_RE = re.compile(
 )
 _DQUOTE_IDENT_RE = re.compile(r'"((?:[^"]|"")*)"')
 _BYTEA_CAST_RE = re.compile(rf"(?:\bE)?({_LIT})\s*::\s*bytea\b", re.IGNORECASE)
+_MONEY_CAST_RE = re.compile(
+    rf"({_LIT}|[\w.]+)\s*::\s*money\b(\s*::\s*numeric\b)?", re.IGNORECASE
+)
 # jsonb containment: at least one operand explicitly typed jsonb
 # (`jsonb '...'` literal or ::jsonb cast); runs BEFORE the generic
 # array @>/<@ pass, which would lower these to forall(array_contains)
@@ -828,7 +844,7 @@ _UNNEST_FROM_RE = re.compile(
 _FORMAT_FN_RE = re.compile(rf"\bformat\s*\(\s*({_LIT})", re.IGNORECASE)
 _ARRAY_FILL_RE = re.compile(
     rf"\barray_fill\s*\(\s*({_ARITH_CHAIN})\s*,\s*"
-    rf"(?:ARRAY\s*\[|array\s*\()\s*(\d+)\s*[\])]\s*\)",
+    rf"(?:ARRAY\s*\[|array\s*\()\s*(\d+)(?:\s*,\s*(\d+))?\s*[\])]\s*\)",
     re.IGNORECASE,
 )
 _PG_TYPEOF_RE = re.compile(r"\bpg_typeof\s*\(", re.IGNORECASE)
@@ -935,12 +951,52 @@ _REGEXP_MATCHES_RE = re.compile(
 )
 # INTERVAL literal spellings PG emits but Spark's parser rejects
 _INTERVAL_LIT_RE = re.compile(rf"\bINTERVAL\s+({_LIT})", re.IGNORECASE)
-# a SELECT-list item that is exactly one SRF call (multi-SRF lockstep)
-_SRF_SELECT_ITEM_RE = re.compile(
-    r"^(generate_series|unnest)\s*\(((?:[^()]|\([^()]*\))*)\)"
-    r"(?:\s+(?:AS\s+)?(\w+))?$",
+# an SRF call inside a SELECT-list item (multi-SRF lockstep / SRF in
+# an expression: `abs(generate_series(-5,-1))`, `generate_series(..)+1`)
+_SRF_CALL_RE = re.compile(
+    r"\b(generate_series|unnest)\s*\(((?:[^()]|\([^()]*\))*)\)",
     re.IGNORECASE,
 )
+_SRF_VAR = "\x02V\x02"  # placeholder for the per-row value
+
+
+def _analyze_srf_item(item: str):
+    """Classify one SELECT-list item: returns (array_expr,
+    wrapper_template, name) when the item is an expression over exactly
+    ONE SRF call, else None. The wrapper template holds _SRF_VAR where
+    the SRF's per-row value goes (identity for a plain SRF item)."""
+    txt = item.strip()
+    if not txt:
+        return None
+    alias = None
+    am = re.search(r"(?is)\s+AS\s+(\w+)\s*$", txt)
+    if am:
+        alias, txt = am.group(1), txt[: am.start()].strip()
+    else:
+        bm = re.fullmatch(
+            r"(?is)\s*((?:generate_series|unnest)\s*"
+            r"\((?:[^()]|\([^()]*\))*\))\s+(\w+)\s*",
+            txt,
+        )
+        if bm:  # bare alias only on the plain-SRF spelling
+            txt, alias = bm.group(1), bm.group(2)
+    calls = list(_SRF_CALL_RE.finditer(txt))
+    if len(calls) != 1:
+        return None
+    c = calls[0]
+    fn, args = c.group(1).lower(), c.group(2)
+    if re.search(r"(?i)\b(?:generate_series|unnest)\s*\(", args):
+        return None  # nested SRF: stays loud, as PG's older behavior
+    if fn == "generate_series":
+        arr = f"sequence({args})"
+    else:
+        if len(_split_args(args)) != 1:
+            return None  # multi-arg unnest is FROM-only in PG
+        arr = f"({args})"
+    wrapper = (txt[: c.start()] + _SRF_VAR + txt[c.end():]).strip()
+    return arr, wrapper, alias or fn
+
+
 _SRF_LIST_STOP = frozenset(
     ("FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
      "EXCEPT", "INTERSECT", "WINDOW", "OFFSET", "FETCH")
@@ -994,47 +1050,40 @@ def _rewrite_multi_srf_select(sql: str) -> str:
             else:
                 i += 1
         items.append((item_start, list_end))
-        parsed = [
-            _SRF_SELECT_ITEM_RE.match(sql[a:b].strip()) for a, b in items
-        ]
-        srf_idx = [k for k, p in enumerate(parsed) if p]
-        if len(srf_idx) == 1:
-            # a single unnest() select item becomes a plain generator
-            # (generate_series has its own whole-statement gate below)
-            p = parsed[srf_idx[0]]
-            if (
-                p.group(1).lower() == "unnest"
-                and len(_split_args(p.group(2))) == 1
-            ):
-                a, b = items[srf_idx[0]]
-                rep = (
-                    f" explode(({p.group(2)})) "
-                    f"AS {p.group(3) or 'unnest'} "
-                )
-                sql = sql[:a] + rep + sql[b:]
-            continue
-        if len(srf_idx) < 2 or srf_idx != list(
+        infos = [_analyze_srf_item(sql[a:b]) for a, b in items]
+        srf_idx = [k for k, inf in enumerate(infos) if inf]
+        if not srf_idx or srf_idx != list(
             range(srf_idx[0], srf_idx[0] + len(srf_idx))
         ):
-            continue
-        arrays, names = [], []
-        ok = True
-        for k in srf_idx:
-            p = parsed[k]
-            fn, args, alias = p.group(1).lower(), p.group(2), p.group(3)
-            if fn == "generate_series":
-                arrays.append(f"sequence({args})")
-            elif len(_split_args(args)) == 1:
-                arrays.append(f"({args})")
+            continue  # none, or non-consecutive: stay loud
+        if len(srf_idx) == 1:
+            arr, wrap, name = infos[srf_idx[0]]
+            inner = wrap.replace(_SRF_VAR, "__g0")
+            if inner == "__g0":
+                rep = f" explode({arr}) AS {name} "
             else:
-                ok = False  # multi-arg unnest is FROM-only in PG
-                break
-            names.append(alias or fn)
-        if not ok:
+                # expression over the SRF value: map it per element
+                # BEFORE exploding (execSRF.c applies the expression
+                # to each emitted row)
+                rep = (
+                    f" explode(transform({arr}, __g0 -> {inner})) "
+                    f"AS {name} "
+                )
+            a, b = items[srf_idx[0]]
+            sql = sql[:a] + rep + sql[b:]
             continue
+        # lockstep: zip all SRF arrays (NULL-padded to the longest),
+        # then apply each item's expression to its zip field inside a
+        # named struct — inline() expands the fields in place
+        arrays = [infos[k][0] for k in srf_idx]
+        fields = ", ".join(
+            f"{infos[k][1].replace(_SRF_VAR, f'__s.`{i}`')} "
+            f"AS {infos[k][2]}"
+            for i, k in enumerate(srf_idx)
+        )
         gen = (
-            f"inline(arrays_zip({', '.join(arrays)})) "
-            f"AS ({', '.join(names)})"
+            f"inline(transform(arrays_zip({', '.join(arrays)}), "
+            f"__s -> struct({fields})))"
         )
         a0, b1 = items[srf_idx[0]][0], items[srf_idx[-1]][1]
         sql = sql[:a0] + " " + gen + " " + sql[b1:]
@@ -1235,9 +1284,16 @@ _JSON_SRF_FROM_RE = re.compile(
 # subscript in PG text is a silent off-by-one — rewrite to element_at
 # (1-based); a[lo:hi] becomes slice(a, lo, hi-lo+1). String-key map
 # access (j['k']) is untouched.
-# parens nest 3 deep so ((SELECT array(...)))[n] — a parenthesized
-# scalar subquery with a function call inside — still rewrites 1-based
-_NEST3 = r"\((?:[^()]|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))*\)"
+# parens nest 7 deep so ((SELECT array(...)))[n] and multi-dim braced
+# casts (CAST(array(array(array(...))) AS ...))[n] rewrite 1-based
+def _nested_parens(depth: int) -> str:
+    p = r"[^()]*"
+    for _ in range(depth):
+        p = rf"(?:[^()]|\({p}\))*"
+    return rf"\({p}\)"
+
+
+_NEST3 = _nested_parens(7)
 _IDX_OPERAND = rf"(?:{_LIT}|[\w.]+{_NEST3}|{_NEST3}|[\w.]+)"
 _ARRAY_INDEX_RE = re.compile(
     rf"({_IDX_OPERAND})\[\s*(\d+)\s*\]"
@@ -1502,24 +1558,94 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
 
     def sub_sta(m: re.Match) -> str:
         s, d = m.group(1).strip(), m.group(2).strip()
+        ns = m.group(3).strip() if m.group(3) else None
         if d.upper() == "NULL":
             # PG: a NULL delimiter splits into individual characters
             # (varlena.c text_to_array)
-            return f"split({s}, '')"
-        lm = _MASK_RE.match(d)
-        if lm and d == lm.group(0):
-            # literal delimiter: regex-escape it at rewrite time
-            body = lits[int(lm.group(1))][1:-1]
-            lits.append("'" + re.escape(body).replace("\\", "\\\\") + "'")
-            return f"split({s}, \x01{len(lits) - 1}\x01)"
-        # dynamic delimiter: quote at runtime (\Q...\E); NULL delimiter
-        # at runtime → per-character split, as PG does
-        return (
-            f"(CASE WHEN ({d}) IS NULL THEN split({s}, '') "
-            f"ELSE split({s}, concat('\\\\Q', {d}, '\\\\E')) END)"
-        )
+            base = f"split({s}, '')"
+        else:
+            lm = _MASK_RE.match(d)
+            if lm and d == lm.group(0):
+                body = lits[int(lm.group(1))][1:-1]
+                if body == "":
+                    # EMPTY delimiter (unlike NULL) keeps the whole
+                    # string as one element (text_to_array)
+                    base = f"array({s})"
+                else:
+                    # literal delimiter: regex-escape at rewrite time
+                    lits.append(
+                        "'" + re.escape(body).replace("\\", "\\\\") + "'"
+                    )
+                    base = f"split({s}, \x01{len(lits) - 1}\x01)"
+            else:
+                # dynamic delimiter: quote at runtime (\Q...\E); NULL
+                # delimiter at runtime → per-character split, as PG
+                base = (
+                    f"(CASE WHEN ({d}) IS NULL THEN split({s}, '') "
+                    f"ELSE split({s}, concat('\\\\Q', {d}, '\\\\E')) END)"
+                )
+        if ns is not None and ns.upper() != "NULL":
+            # 3-arg null-string form: matching elements become NULL
+            base = (
+                f"transform({base}, __e -> CASE WHEN __e = ({ns}) "
+                f"THEN NULL ELSE __e END)"
+            )
+        return base
 
     sql = _STRING_TO_ARRAY_RE.sub(sub_sta, sql)
+    # array_to_string == array_join (skips NULLs; 3-arg null-string
+    # replacement; NULL delimiter -> NULL — identical contracts,
+    # arrayfuncs.c array_to_text)
+    sql = _ARRAY_TO_STRING_RE.sub("array_join(", sql)
+
+    def sub_array_positions(m: re.Match) -> str:
+        # arrayfuncs.c array_positions: ALL 1-based positions of the
+        # value (NULL matches NULL — null-safe <=>); NULL array -> NULL
+        a, x = m.group(1).strip(), m.group(2).strip()
+        return (
+            f"filter(transform(sequence(1, size({a})), "
+            f"__i -> CASE WHEN element_at({a}, __i) <=> ({x}) "
+            f"THEN __i END), __p -> __p IS NOT NULL)"
+        )
+
+    sql = _ARRAY_POSITIONS_RE.sub(sub_array_positions, sql)
+
+    def sub_jsonb_contained(m: re.Match) -> str:
+        args = _split_args(m.group(1))
+        if len(args) != 2:
+            return m.group(0)
+        # jsonb_contained(a, b) == b @> a (jsonb_util.c)
+        return f"jsonb_contains({args[1].strip()}, {args[0].strip()})"
+
+    sql = _JSONB_CONTAINED_FN_RE.sub(sub_jsonb_contained, sql)
+
+    def sub_jsonb_extract_path(m: re.Match) -> str:
+        # json[b]_extract_path[_text](j, VARIADIC text path): literal
+        # path elements fold into ONE get_json_object path — all-digit
+        # elements subscript arrays (jsonfuncs.c get_path_all)
+        args = [a.strip() for a in _split_args(m.group(2))]
+        if len(args) < 2:
+            return m.group(0)
+        j = args[0]
+        path = "$"
+        for el in args[1:]:
+            el = re.sub(r"(?is)\s*::\s*text$", "", el).strip()
+            # n::text has already become CAST(n AS STRING) by the time
+            # this pass runs — still a literal path element
+            cm = re.fullmatch(r"(?is)CAST\(\s*(\d+)\s+AS\s+STRING\)", el)
+            lm = _MASK_RE.fullmatch(el)
+            if cm:
+                body = cm.group(1)
+            elif lm:
+                body = _lit_value(el, lits)
+            elif re.fullmatch(r"\d+", el):
+                body = el
+            else:
+                return m.group(0)  # non-literal path: stay loud
+            path += f"[{body}]" if re.fullmatch(r"\d+", body) else f".{body}"
+        return f"get_json_object({j}, {_new_lit(path, lits)})"
+
+    sql = _JSONB_EXTRACT_PATH_RE.sub(sub_jsonb_extract_path, sql)
     sql = _GENERATE_SUBSCRIPTS_RE.sub(
         lambda m: f"explode(sequence(1, size({m.group(1)})))", sql
     )
@@ -1870,18 +1996,23 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     # slices before subscripts (a[2:3] must not half-match as a[2]);
     # a bare ARRAY keyword is a constructor, not an indexable operand
     # (the ctor pass runs earlier, this is belt-and-braces)
-    sql = _ARRAY_SLICE_RE.sub(
-        lambda m: m.group(0) if m.group(1).upper() == "ARRAY" else (
-            f"slice({m.group(1)}, {m.group(2)}, "
-            f"{int(m.group(3)) - int(m.group(2)) + 1})"
-        ),
-        sql,
-    )
-    sql = _ARRAY_INDEX_RE.sub(
-        lambda m: m.group(0) if m.group(1).upper() == "ARRAY"
-        else f"element_at({m.group(1)}, {m.group(2)})",
-        sql,
-    )
+    # loop to fixpoint: chained multi-dim subscripts a[1][2][1] peel
+    # one level per pass (element_at(element_at(a, 1), 2) ...)
+    prev_idx = None
+    while prev_idx != sql:
+        prev_idx = sql
+        sql = _ARRAY_SLICE_RE.sub(
+            lambda m: m.group(0) if m.group(1).upper() == "ARRAY" else (
+                f"slice({m.group(1)}, {m.group(2)}, "
+                f"{int(m.group(3)) - int(m.group(2)) + 1})"
+            ),
+            sql,
+        )
+        sql = _ARRAY_INDEX_RE.sub(
+            lambda m: m.group(0) if m.group(1).upper() == "ARRAY"
+            else f"element_at({m.group(1)}, {m.group(2)})",
+            sql,
+        )
     sql = _SUBSTR_FOR_RE.sub(
         lambda m: f"substring({m.group(1)}, 1, {m.group(2)})", sql
     )
@@ -1903,8 +2034,17 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     )
     sql = _ROW_TO_JSON_RE.sub("to_json(", sql)
     sql = _FORMAT_FN_RE.sub(lambda m: f"format_string({m.group(1)}", sql)
+    # array_fill (arrayfuncs.c): 1-D -> array_repeat; a 2-element dims
+    # array is a 2-D fill, modeled as nested arrays (default [1:n]
+    # bounds only; explicit lower-bound forms stay loud)
     sql = _ARRAY_FILL_RE.sub(
-        lambda m: f"array_repeat({m.group(1)}, {m.group(2)})", sql
+        lambda m: (
+            f"array_repeat(array_repeat({m.group(1)}, {m.group(3)}), "
+            f"{m.group(2)})"
+            if m.group(3)
+            else f"array_repeat({m.group(1)}, {m.group(2)})"
+        ),
+        sql,
     )
     sql = _PG_TYPEOF_RE.sub("typeof(", sql)
 
@@ -2295,6 +2435,91 @@ def _parse_braced_elems(inner: str) -> list[str] | None:
     return elems
 
 
+def _parse_braced_tree(inner: str):
+    """Nested array_in tokenizer (arrayfuncs.c array_in, multi-dim):
+    elements are strings or sub-lists ('{...}' at element level).
+    Returns None on malformed input."""
+    elems: list = []
+    buf: list[str] = []
+    quoted = in_q = False
+    pending: list | None = None
+    i, n = 0, len(inner)
+
+    def flush():
+        nonlocal buf, quoted, pending
+        if pending is not None:
+            elems.append(pending)
+            pending = None
+        else:
+            s = "".join(buf)
+            elems.append(s if quoted else s.strip())
+        buf, quoted = [], False
+
+    while i < n:
+        ch = inner[i]
+        if in_q:
+            if ch == "\\" and i + 1 < n:
+                buf.append(inner[i + 1])
+                i += 2
+                continue
+            if ch == '"':
+                in_q = False
+                i += 1
+                continue
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == '"':
+            in_q = True
+            quoted = True
+            i += 1
+            continue
+        if ch == "\\" and i + 1 < n:
+            buf.append(inner[i + 1])
+            i += 2
+            continue
+        if ch == "{":
+            depth, j, inq2 = 0, i, False
+            while j < n:
+                c2 = inner[j]
+                if inq2:
+                    if c2 == "\\":
+                        j += 2
+                        continue
+                    if c2 == '"':
+                        inq2 = False
+                elif c2 == '"':
+                    inq2 = True
+                elif c2 == "{":
+                    depth += 1
+                elif c2 == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= n:
+                return None
+            body = inner[i + 1 : j].strip()
+            sub = _parse_braced_tree(body) if body else []
+            if sub is None:
+                return None
+            pending = sub
+            i = j + 1
+            continue
+        if ch == "}":
+            return None
+        if ch == ",":
+            flush()
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    if in_q:
+        return None
+    flush()
+    return elems
+
+
 def _braced_to_array(arr: str, lits: list[str]) -> str:
     """'{1,2,3}' braced array-literal text (array_in) → array('1','2',
     '3'); quoted elements keep embedded commas; nested/malformed bodies
@@ -2617,8 +2842,51 @@ def _rewrite_arrows(sql: str, lits: list[str]) -> str:
             while j >= 0 and (sql[j].isalnum() or sql[j] in "_.\x01"):
                 j -= 1
             start = j + 1
+        # extend backward through ::type cast chains so
+        # 'lit'::jsonb -> 'a' captures the whole cast as the base
+        while True:
+            k = start - 1
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            if not (k >= 1 and sql[k] == ":" and sql[k - 1] == ":"):
+                break
+            k -= 2
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            if k >= 0 and sql[k] == ")":
+                depth = 0
+                ii = k
+                while ii >= 0:
+                    if sql[ii] == ")":
+                        depth += 1
+                    elif sql[ii] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    ii -= 1
+                jj = ii - 1
+                while jj >= 0 and (sql[jj].isalnum() or sql[jj] in "_."):
+                    jj -= 1
+                start = jj + 1
+            else:
+                jj = k
+                while jj >= 0 and (sql[jj].isalnum() or sql[jj] in "_.\x01"):
+                    jj -= 1
+                start = jj + 1
         base = sql[start:end]
         key = m.group(2)
+        if not _MASK_RE.match(key) and key.startswith("-"):
+            # negative array index counts from the end (jsonfuncs.c
+            # jsonb_array_element): get_json_object has no negative
+            # subscripts — index into the parsed array (out-of-range
+            # element_at is NULL under ANSI-off, matching PG's NULL).
+            # Elements come back as their JSON text (nested values) or
+            # bare scalars, same as the get_json_object path.
+            repl = (
+                f"element_at(from_json({base}, 'array<string>'), {key})"
+            )
+            sql = sql[:start] + repl + sql[m.end():]
+            continue
         step = (
             "." + _lit_value(key, lits) if _MASK_RE.match(key) else f"[{key}]"
         )
@@ -3096,6 +3364,18 @@ def rewrite(sql: str) -> str:
 
     out = _BYTEA_CAST_RE.sub(sub_bytea, out)
 
+    # '::money' input/output (cash.c cash_in/cash_out): parse '$1,234',
+    # '(1)' accounting-negative forms to DECIMAL(19,2); render as
+    # '$12,345.00' text; '::money::numeric' yields the numeric value
+    def sub_money(m: re.Match) -> str:
+        x, to_num = m.group(1), m.group(2)
+        parsed = f"pg_money_in(CAST({x} AS STRING))"
+        if to_num:
+            return f"CAST({parsed} AS DECIMAL(19,2))"
+        return f"pg_money_text({parsed})"
+
+    out = _MONEY_CAST_RE.sub(sub_money, out)
+
     # '{a,b,c}'::type[] braced array literals — BEFORE the scalar cast
     # pass, which would otherwise emit CAST(..)[]
     def sub_braced(m: re.Match) -> str:
@@ -3107,12 +3387,32 @@ def rewrite(sql: str) -> str:
         if not inner:
             return f"CAST(array() AS ARRAY<{typ}>)"
         elems = _parse_braced_elems(inner)
-        if elems is None:  # nested / malformed: stay loud
-            return m.group(0)
+        if elems is not None:
+            return (
+                f"CAST(array("
+                + ", ".join("'" + e.replace("'", "''") + "'" for e in elems)
+                + f") AS ARRAY<{typ}>)"
+            )
+        # multi-dimensional '{{1,2},{3,4}}' bodies: nested array()
+        # construction (array_in multi-dim; default [1:n] bounds only)
+        tree = _parse_braced_tree(inner)
+        if tree is None or not all(isinstance(e, list) for e in tree):
+            return m.group(0)  # malformed / ragged top level: loud
+
+        def build(node) -> str:
+            if isinstance(node, list):
+                return "array(" + ", ".join(build(e) for e in node) + ")"
+            return "'" + node.replace("'", "''") + "'"
+
+        dep, probe_node = 1, tree
+        while probe_node and isinstance(probe_node[0], list):
+            dep += 1
+            probe_node = probe_node[0]
+        t = typ
+        for _ in range(dep):
+            t = f"ARRAY<{t}>"
         return (
-            f"CAST(array("
-            + ", ".join("'" + e.replace("'", "''") + "'" for e in elems)
-            + f") AS ARRAY<{typ}>)"
+            f"CAST(array({', '.join(build(e) for e in tree)}) AS {t})"
         )
 
     out = _BRACED_ARRAY_CAST_RE.sub(sub_braced, out)
