@@ -149,8 +149,10 @@ def test_jsonpath_exists_and_match_lowering():
     assert "IS NULL" in rewrite("SELECT 1 WHERE j @@ '$.x == null'")
     out = rewrite("SELECT 1 WHERE a @> b AND j @? '$.k'")
     assert "forall(" in out and "get_json_object" in out
-    # unrecognized jsonpath passes through untouched
-    assert "@?" in rewrite("SELECT 1 WHERE j @? '$..broken[?]'")
+    # forms outside the fast subset fall back to the Python jsonpath
+    # evaluator (r10) — the operator never reaches Spark's parser
+    out = rewrite("SELECT 1 WHERE j @? '$..broken[?]'")
+    assert "jsonb_path_exists_vars(j," in out and "@?" not in out
 
 
 def test_jsonpath_predicates_execute(spark):

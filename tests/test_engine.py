@@ -1688,3 +1688,39 @@ def test_srf_in_expression_select(engine):
         "select generate_series(1,2) as x, generate_series(3,6)+1 as y"
     ).collect()]
     assert rows == [(1, 4), (2, 5), (None, 6), (None, 7)]
+
+
+def test_interval_pg_input_forms(engine):
+    """Plain interval literals in PG spellings Spark's parser rejects
+    (datetime.c DecodeInterval): colon times, mixed sign parts, the
+    verbose '@ ... ago' form — routed through the same parser as the
+    field-qualifier literals."""
+    base = "TIMESTAMP '2000-01-01 00:00:00' + "
+    exp = {
+        "interval '-1 days +02:03'": "1999-12-31 02:03:00",
+        "interval '02:03'": "2000-01-01 02:03:00",
+        "interval '@ 1 hour ago'": "1999-12-31 23:00:00",
+        "interval '1 day 02:03:04'": "2000-01-02 02:03:04",
+        "interval '1 day'": "2000-01-02 00:00:00",  # native path kept
+    }
+    sel = ", ".join(
+        f"CAST({base}{iv} AS STRING) AS c{i}" for i, iv in enumerate(exp)
+    )
+    r = engine.sql(f"SELECT {sel}").collect()[0]
+    for i, (iv, want) in enumerate(exp.items()):
+        assert getattr(r, f"c{i}") == want, iv
+
+
+def test_jsonpath_operator_fallback_and_cast_lhs(engine):
+    """@? / @@ forms outside the fast get_json_object subset (.*, .**,
+    mid-path filters) fall back to the Arrow-batched Python jsonpath
+    evaluator; '::jsonb'-cast and 'jsonb literal' LHS spellings both
+    capture whole (previously the cast tail mis-scanned)."""
+    r = engine.sql(
+        """SELECT jsonb '{"a": {"a": 12}}' @? '$.*.a' AS star,
+                  jsonb '{"c": {"a": -1}}' @? '$.** ? (@.a == -1)' AS rec,
+                  '{"a":1}'::jsonb @? '$.a' AS cast_hit,
+                  '{"a":1}'::jsonb @? '$.b' AS cast_miss,
+                  jsonb '{"a":[1,2,3]}' @@ '$.a[*] > 2' AS m"""
+    ).collect()[0]
+    assert r.star and r.rec and r.cast_hit and not r.cast_miss and r.m

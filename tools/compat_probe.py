@@ -117,6 +117,13 @@ ORACLE_DIVERGES = (
     # PG string_to_array with a NULL delimiter splits per character;
     # DuckDB returns the whole string as one element
     "string_to_array('1|2|3', null)",
+    # ...and with an EMPTY delimiter PG keeps the whole string as one
+    # element (text_to_array); DuckDB splits per character
+    "string_to_array('1|2|3', '')",
+    "string_to_array('abc', '')",
+    # PG array_to_string is STRICT — NULL delimiter -> NULL; DuckDB
+    # treats it as skip-nulls join
+    "array_to_string(array[1,2,3,4,null,6], null)",
     # single-value stddev/var of inf/nan: PG NaN, DuckDB 0, Spark NULL
     "'inf'::float8",
     "'nan'::float8",

@@ -355,9 +355,18 @@ def _rewrite_distinct_similar(sql: str, lits: list[str]) -> str:
 #   $.a OP value / $.a[*] OP value   (@@ predicate forms)
 # with OP in == != <> < <= > >= like_regex and value a number,
 # "string", true/false or null.
-_JSONPATH_LHS = rf"(?:{_LIT}|[\w.\)\]]+)"
-_JSONPATH_EXISTS_RE = re.compile(rf"({_JSONPATH_LHS})\s*@\?\s*({_LIT})")
-_JSONPATH_MATCH_RE = re.compile(rf"({_JSONPATH_LHS})\s*@@\s*({_LIT})")
+_JSONPATH_LHS = (
+    rf"(?:(?:jsonb?\s+)?{_LIT}\s*::\s*jsonb?\b"
+    rf"|(?:jsonb?\s+)?{_LIT}"
+    rf"|[\w.\)\]]+\s*::\s*jsonb?\b"
+    rf"|[\w.\)\]]+)"
+)
+_JSONPATH_EXISTS_RE = re.compile(
+    rf"({_JSONPATH_LHS})\s*@\?\s*({_LIT})", re.IGNORECASE
+)
+_JSONPATH_MATCH_RE = re.compile(
+    rf"({_JSONPATH_LHS})\s*@@\s*({_LIT})", re.IGNORECASE
+)
 _JP_OPS = {"==": "=", "!=": "!=", "<>": "!=", "<": "<", "<=": "<=",
            ">": ">", ">=": ">=", "like_regex": "RLIKE"}
 _JP_OP_RE = r"(==|!=|<>|<=|>=|<|>|like_regex)"
@@ -412,7 +421,10 @@ def _rewrite_jsonpath(sql: str, lits: list[str]) -> str:
         p = re.fullmatch(r"\s*(\$[\w.]*?)(\[\*\])?\s*", jp)
         if p:
             return _jp_lower(lhs, p.group(1), bool(p.group(2)), None, None, lits)
-        return m.group(0)  # unrecognized jsonpath: pass through
+        # forms outside the fast get_json_object subset (.*, .**,
+        # mid-path filters) fall back to the Arrow-batched Python
+        # jsonpath evaluator rather than staying loud
+        return f"jsonb_path_exists_vars({lhs}, {tok}, CAST(NULL AS STRING))"
 
     def sub_match(m: re.Match) -> str:
         lhs, tok = m.groups()
@@ -421,7 +433,7 @@ def _rewrite_jsonpath(sql: str, lits: list[str]) -> str:
         if p:
             path, star, op, val = p.groups()
             return _jp_lower(lhs, path, bool(star), op, val, lits)
-        return m.group(0)
+        return f"jsonb_path_match_vars({lhs}, {tok}, CAST(NULL AS STRING))"
 
     sql = _JSONPATH_EXISTS_RE.sub(sub_exists, sql)
     return _JSONPATH_MATCH_RE.sub(sub_match, sql)
@@ -2270,6 +2282,29 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         tok = m.group(1)
         idx = int(_MASK_RE.match(tok).group(1))
         body = lits[idx]
+        raw = body[1:-1]
+        # PG input forms Spark's stringToInterval rejects — colon
+        # times ('02:03', '-1 days +02:03'), '@ ... ago' verbose form:
+        # route through the PG interval parser (same machinery as the
+        # field-qualifier literals). Unit-word-only bodies that Spark
+        # already parses keep the native literal.
+        if ":" in raw or raw.strip().startswith("@") or (
+            raw.strip().lower().endswith(" ago")
+        ):
+            f = _pg_interval_parse(raw, None, None, None)
+            if f is not None:
+                ym = f["y"] * 12 + f["mo"]
+                dt_secs = (
+                    f["d"] * 86400 + f["h"] * 3600 + f["mi"] * 60 + f["s"]
+                )
+                if ym == 0:
+                    return f"INTERVAL {_new_lit(str(dt_secs), lits)} SECOND"
+                if dt_secs == 0:
+                    return f"INTERVAL {_new_lit(str(ym), lits)} MONTH"
+                return (
+                    f"make_interval({f['y']}, {f['mo']}, 0, {f['d']}, "
+                    f"{f['h']}, {f['mi']}, {f['s']})"
+                )
         fixed = re.sub(r"\bmons?\b", "month", body)
         if fixed != body:
             lits.append(fixed)
