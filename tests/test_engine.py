@@ -1724,3 +1724,37 @@ def test_jsonpath_operator_fallback_and_cast_lhs(engine):
                   jsonb '{"a":[1,2,3]}' @@ '$.a[*] > 2' AS m"""
     ).collect()[0]
     assert r.star and r.rec and r.cast_hit and not r.cast_miss and r.m
+
+
+def test_like_custom_escape(engine):
+    """LIKE ... ESCAPE '<c>' with custom escape chars, including
+    wildcard chars Spark rejects as escapes (like.c MatchText;
+    regress sql/strings.sql) — normalized to backslash escapes at
+    rewrite time."""
+    r = engine.sql(
+        "SELECT 'be_r' LIKE 'b_e__r' ESCAPE '_' AS a,"
+        "       'ma%a' LIKE 'm%a%%a' ESCAPE '%' AS b,"
+        "       'maca' LIKE 'm%aca' ESCAPE '%' AS c,"
+        "       'a_c' LIKE 'a!_c' ESCAPE '!' AS d,"
+        "       'abc' LIKE 'a!_c' ESCAPE '!' AS e"
+    ).collect()[0]
+    # regress pins: '_'-escaped pattern is all-literal 'be_r' -> true;
+    # 'm%aca' with ESCAPE '%' is literal 'maca' -> true
+    assert r.a is True and r.b is True and r.c is True
+    assert r.d is True and r.e is False
+
+
+def test_to_char_numeric_literals_and_fm(engine):
+    """Numeric to_char pictures with literal text and FM trailing-zero
+    trim (formatting.c NUM parser; regress numeric.out
+    to_char_24..36): unquoted/quoted literals around the digit core,
+    backslash literal except \\" escapes, FM keeps forced 0-slots."""
+    r = engine.sql(
+        "SELECT to_char('100'::numeric, 'FM999.9') AS a,"
+        "       to_char('100'::numeric, 'FM999.') AS b,"
+        "       to_char('100'::numeric, 'foo999') AS c,"
+        "       to_char('100'::numeric, 'f\"ool\"999') AS d,"
+        "       to_char(1234.5, 'FM9,999.00') AS e"
+    ).collect()[0]
+    assert r.a == "100." and r.b == "100" and r.c == "foo 100"
+    assert r.d == "fool 100" and r.e == "1,234.50"

@@ -123,35 +123,118 @@ def to_char_datetime(col: Column | str, fmt: str) -> Column:
     return parts[0] if len(parts) == 1 else F.concat(*parts)
 
 
-def to_char_numeric(col: Column | str, fmt: str) -> Column:
-    """PG to_char(numeric, fmt) for 9/0/./,/FM/$ picture patterns."""
-    x = F.col(col) if isinstance(col, str) else col
-    fill_mode = fmt.startswith("FM")
-    pic = fmt[2:] if fill_mode else fmt
-    currency = pic.startswith(("$", "L"))
-    if currency:
-        pic = pic[1:]
-    int_part, _, frac_part = pic.partition(".")
+def _num_pic(fmt: str):
+    """Parse a PG NUM picture (formatting.c NUM_* keywords subset):
+    9/0 digit slots, grouping commas, decimal point, FM fill mode,
+    $/L currency, quoted literal text, bare literal chars outside the
+    digit core (regress numeric.out to_char_24..36: 'foo999' renders
+    'foo 100', backslash is literal except \" which is a quote).
+    Returns None for sign/ordinal/roman/scientific tokens this subset
+    does not model (S MI PL SG TH RN EEEE) — callers stay loud."""
+    fill = fmt.startswith("FM")
+    pic = fmt[2:] if fill else fmt
+    pre: list[str] = []
+    post: list[str] = []
+    core: list[str] = []
+    currency = False
+    stage = 0  # 0 = before digits, 1 = digit core, 2 = after
+    i, n = 0, len(pic)
+    while i < n:
+        c = pic[i]
+        if c == '"':
+            j = i + 1
+            buf: list[str] = []
+            while j < n and pic[j] != '"':
+                if pic[j] == "\\" and j + 1 < n:
+                    buf.append(pic[j + 1])
+                    j += 2
+                    continue
+                buf.append(pic[j])
+                j += 1
+            (pre if stage == 0 else post).append("".join(buf))
+            i = j + 1
+            continue
+        if c == "\\" and pic[i + 1 : i + 2] == '"':
+            (pre if stage == 0 else post).append('"')
+            i += 2
+            continue
+        if c in "90" or (stage == 1 and c in ".,"):
+            if stage == 0:
+                stage = 1
+            if stage == 1:
+                core.append(c)
+            else:
+                post.append(c)
+            i += 1
+            continue
+        if stage == 1:
+            stage = 2
+        up2, up4 = pic[i : i + 2].upper(), pic[i : i + 4].upper()
+        if c.upper() == "S" or up2 in ("MI", "PL", "SG", "TH", "RN") or (
+            up4 == "EEEE"
+        ):
+            return None
+        if c in "$L" and stage == 0:
+            currency = True
+            i += 1
+            continue
+        (pre if stage == 0 else post).append(c)
+        i += 1
+    core_s = "".join(core)
+    int_part, _, frac_part = core_s.partition(".")
     decimals = sum(1 for ch in frac_part if ch in "90")
-    grouping = "," in int_part
-    zero_pad = int_part.replace(",", "").startswith("0")
-    int_width = sum(1 for ch in int_part if ch in "90")
+    # FM may trim trailing 9-slot zeros but never below the last
+    # 0-slot (a 0 forces the digit)
+    frac_keep = 0
+    for k, ch in enumerate(frac_part):
+        if ch == "0":
+            frac_keep = k + 1
+    return {
+        "fill": fill,
+        "currency": currency,
+        "pre": "".join(pre),
+        "post": "".join(post),
+        "decimals": decimals,
+        "frac_keep": frac_keep,
+        "has_point": "." in core_s,
+        "grouping": "," in int_part,
+        "zero_pad": int_part.replace(",", "").startswith("0"),
+        "int_width": sum(1 for ch in int_part if ch in "90"),
+    }
 
-    body = F.format_number(x.cast("double"), decimals)
-    if not grouping:
+
+def to_char_numeric(col: Column | str, fmt: str) -> Column:
+    """PG to_char(numeric, fmt) — Column twin of to_char_numeric_sql
+    (pinned equal by tests/test_dialect_property.py)."""
+    p = _num_pic(fmt)
+    if p is None:
+        raise ValueError(f"unsupported numeric picture: {fmt!r}")
+    x = F.col(col) if isinstance(col, str) else col
+    body = F.format_number(x.cast("double"), p["decimals"])
+    if not p["grouping"]:
         body = F.replace(body, F.lit(","), F.lit(""))
-    if zero_pad:
-        # zero-fill the integer digits to the picture width
-        pad_w = int_width + (1 + decimals if decimals else 0)
-        neg = x < 0
+    if p["zero_pad"]:
+        pad_w = p["int_width"] + (1 + p["decimals"] if p["decimals"] else 0)
         body = F.when(
-            neg, F.concat(F.lit("-"), F.lpad(F.replace(body, F.lit("-"), F.lit("")), pad_w, "0"))
+            x < 0,
+            F.concat(
+                F.lit("-"),
+                F.lpad(F.replace(body, F.lit("-"), F.lit("")), pad_w, "0"),
+            ),
         ).otherwise(F.lpad(body, pad_w, "0"))
-    if currency:
+    if p["fill"] and p["decimals"] > p["frac_keep"]:
+        body = F.regexp_replace(
+            body, r"(\.\d{%d,}?)0+$" % p["frac_keep"], "$1"
+        )
+    if p["currency"]:
         body = F.concat(F.lit("$"), body)
-    if not fill_mode:
-        # PG reserves a sign slot: non-negative values get a leading space
+    if not p["fill"]:
+        # PG reserves a sign slot: non-negatives get a leading space
         body = F.when(x < 0, body).otherwise(F.concat(F.lit(" "), body))
+    if p["pre"]:
+        body = F.concat(F.lit(p["pre"]), body)
+    if p["post"]:
+        body = F.concat(body, F.lit(p["post"]))
     return body
 
 
@@ -224,36 +307,40 @@ def to_char_datetime_sql(x: str, fmt: str) -> str:
     return "concat(" + ", ".join(parts) + ")"
 
 
-def to_char_numeric_sql(x: str, fmt: str) -> str:
-    """SQL-text rendering of to_char_numeric."""
-    fill_mode = fmt.startswith("FM")
-    pic = fmt[2:] if fill_mode else fmt
-    currency = pic.startswith(("$", "L"))
-    if currency:
-        pic = pic[1:]
-    int_part, _, frac_part = pic.partition(".")
-    decimals = sum(1 for ch in frac_part if ch in "90")
-    grouping = "," in int_part
-    zero_pad = int_part.replace(",", "").startswith("0")
-    int_width = sum(1 for ch in int_part if ch in "90")
-
-    body = f"format_number(CAST({x} AS DOUBLE), {decimals})"
-    if not grouping:
+def to_char_numeric_sql(x: str, fmt: str) -> str | None:
+    """SQL-text rendering of to_char_numeric; None for pictures the
+    subset does not model (the dialect leaves the call untouched)."""
+    p = _num_pic(fmt)
+    if p is None:
+        return None
+    body = f"format_number(CAST({x} AS DOUBLE), {p['decimals']})"
+    if not p["grouping"]:
         body = f"replace({body}, ',', '')"
-    if zero_pad:
-        pad_w = int_width + (1 + decimals if decimals else 0)
+    if p["zero_pad"]:
+        pad_w = p["int_width"] + (
+            1 + p["decimals"] if p["decimals"] else 0
+        )
         body = (
             f"(CASE WHEN ({x}) < 0 THEN concat('-', "
             f"lpad(replace({body}, '-', ''), {pad_w}, '0')) "
             f"ELSE lpad({body}, {pad_w}, '0') END)"
         )
-    if currency:
+    if p["fill"] and p["decimals"] > p["frac_keep"]:
+        body = (
+            f"regexp_replace({body}, "
+            f"'(\\\\.\\\\d{{{p['frac_keep']},}}?)0+$', '$1')"
+        )
+    if p["currency"]:
         body = f"concat('$', {body})"
-    if not fill_mode:
+    if not p["fill"]:
         body = (
             f"(CASE WHEN ({x}) < 0 THEN {body} "
             f"ELSE concat(' ', {body}) END)"
         )
+    if p["pre"]:
+        body = f"concat({_sql_quote(p['pre'])}, {body})"
+    if p["post"]:
+        body = f"concat({body}, {_sql_quote(p['post'])})"
     return body
 
 

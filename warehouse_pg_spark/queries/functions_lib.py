@@ -758,7 +758,8 @@ def fn_trig_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(strftime(CAST(o_orderdate AS DATE), '%A')) AS dow_upper,
            CAST(EXTRACT(quarter FROM CAST(o_orderdate AS DATE)) AS VARCHAR)
                || strftime(CAST(o_orderdate AS DATE), '%m') AS q_tag,
-           printf('%.2f', CAST(o_totalprice AS DECIMAL(18,2))) AS price_fm,
+           regexp_replace(printf('%.2f', CAST(o_totalprice AS DECIMAL(18,2))),
+                          '(\.\d*?)0+$', '\\1') AS price_fm,
            ' ' || format('{:,}', CAST(floor(o_totalprice) AS BIGINT)) || '.' ||
                printf('%02d', CAST(round((CAST(o_totalprice AS DECIMAL(18,2))
                    - floor(o_totalprice)) * 100) AS INT)) AS price_grouped,

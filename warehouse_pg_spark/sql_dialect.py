@@ -829,6 +829,7 @@ _ARRAY_SUBQ_RE = re.compile(
 # tokens contain none).
 _TO_CHAR_RE = re.compile(
     rf"\bto_char\s*\(\s*((?:TIMESTAMP|DATE)\s*{_LIT}"
+    rf"|[\w.]+\((?:[^()]|\([^()]*\))*\)"
     rf"|-?\s*{_ARITH_CHAIN})\s*,\s*({_LIT})\s*\)",
     re.IGNORECASE,
 )
@@ -1343,6 +1344,14 @@ _XML_TYPED_ARG_RE = re.compile(
     r"(?is)^(?:pg_xml\s*\(|xml\s*\x01)|::\s*xml\s*$"
 )
 _XML_TYPED_LIT_RE = re.compile(rf"\bxml\s+({_LIT})", re.IGNORECASE)
+# LIKE/ILIKE '<pat>' ESCAPE '<c>' with a custom escape char (like.c
+# MatchText): Spark rejects escape chars that are themselves LIKE
+# wildcards ('_', '%') — normalize to the default backslash escape at
+# rewrite time (both operands are literals)
+_LIKE_ESCAPE_RE = re.compile(
+    rf"\b(LIKE|ILIKE)\s+({_LIT})\s+ESCAPE\s+({_LIT})", re.IGNORECASE
+)
+
 # U&'...' [UESCAPE '!'] unicode-escape strings (scan.l xus/xue states)
 _UESCAPE_LIT_RE = re.compile(
     rf"\bU&\s*({_LIT})(?:\s+UESCAPE\s+({_LIT}))?", re.IGNORECASE
@@ -1925,7 +1934,8 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         # strip quoted-literal spans before sniffing for digit slots
         unquoted = re.sub(r'"[^"]*"', "", body)
         if re.search(r"[90]", unquoted):
-            return to_char_numeric_sql(f"({x})", body)
+            out = to_char_numeric_sql(f"({x})", body)
+            return out if out is not None else m.group(0)
         return to_char_datetime_sql(f"({x})", body)
 
     sql = _TO_CHAR_RE.sub(sub_to_char, sql)
@@ -3101,6 +3111,39 @@ def rewrite(sql: str) -> str:
             or _TZ_ABBREV_ZONES.get(mb.group(2))
         ):
             lits[li] = "'" + mb.group(1) + " " + tzr + "'"
+
+    # LIKE ... ESCAPE '<c>': normalize custom escape chars (including
+    # wildcard chars Spark rejects) to the default backslash form
+    def sub_like_escape(m: re.Match) -> str:
+        esc = _lit_value(m.group(3), lits)
+        if len(esc) != 1:
+            return m.group(0)  # PG rejects multi-char escapes: loud
+        pat = _lit_value(m.group(2), lits)
+        out_p: list[str] = []
+        i = 0
+        while i < len(pat):
+            c = pat[i]
+            if c == esc and i + 1 < len(pat):
+                nxt = pat[i + 1]
+                # escaped char is LITERAL: wildcards and backslash
+                # need the default escape, others pass bare
+                if nxt in "%_":
+                    out_p.append("\\\\" + nxt)
+                elif nxt == "\\":
+                    out_p.append("\\\\\\\\")
+                else:
+                    out_p.append(nxt)
+                i += 2
+            elif c == "\\":
+                out_p.append("\\\\\\\\")  # literal backslash
+                i += 1
+            else:
+                out_p.append(c)
+                i += 1
+        body = "".join(out_p).replace("'", "''")
+        return f"{m.group(1)} {_new_lit_raw(body, lits)}"
+
+    out = _LIKE_ESCAPE_RE.sub(sub_like_escape, out)
 
     # U&'...' unicode-escape strings decode at rewrite time; the
     # decoded content re-escapes backslashes so Spark's literal
