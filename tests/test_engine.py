@@ -1268,7 +1268,8 @@ def test_generate_series_in_select_position(engine):
 
 
 def test_timezone_abbreviations_fixed_offsets(engine):
-    """PG zone ABBREVIATIONS (timezone/tznames/Default): most are fixed
+    """ADVICE r10 (items 1-2): PG zone ABBREVIATIONS (timezone/tznames/
+    Default): most are fixed
     offsets, but MSK is a DYNAMIC link to Europe/Moscow — regress
     expected/timestamptz.out pins '2011-03-27 03:00:00 MSK' -> 23:00
     UTC (+04, the zone's 2011-2014 offset) — and IST is Israel (+02),
@@ -1289,7 +1290,8 @@ def test_timezone_abbreviations_fixed_offsets(engine):
 
 
 def test_regexp_replace_pattern_backref_first_match(engine):
-    """regexp_replace first-match emulation wraps the pattern in two
+    """ADVICE r10 (item 3): regexp_replace first-match emulation wraps
+    the pattern in two
     prefix groups; backrefs INSIDE the pattern must be renumbered by
     the same shift or \\1 silently binds the lazy-prefix group
     (regexp.c keeps group numbers — the r9 ADVICE silent-wrong-answer
@@ -1323,7 +1325,8 @@ def test_power_posix_edges(engine):
 
 
 def test_jsonpath_filter_string_comparand(engine):
-    """jsonpath filter comparands parse as one explicit token — an
+    """ADVICE r10 (item 5): jsonpath filter comparands parse as one
+    explicit token — an
     apostrophe inside a double-quoted jsonpath string survives
     (jsonpath_exec.c executeComparison), and a filter may be followed
     by further path steps."""
@@ -1439,7 +1442,8 @@ def test_timestamp_range_types(engine):
 
 
 def test_int8range_exact_past_2p53(engine):
-    """int8range bounds are DECIMAL(20,0) (rangetypes.c int8range):
+    """ADVICE r10 (item 4): int8range bounds are DECIMAL(20,0)
+    (rangetypes.c int8range):
     a DOUBLE lowering loses bigints above 2^53 and the discrete +1
     canonicalization then lands on the wrong integer — these pins
     require exact arithmetic at 2^53+k."""
