@@ -1480,6 +1480,47 @@ def test_multi_srf_lockstep(engine):
     assert rows == [1, 2]
 
 
+def test_srf_from_bare_alias(engine):
+    """FROM srf(..) with a bare alias or none: the alias doubles as the
+    COLUMN name for a scalar SRF, and with no alias the column is named
+    after the function (parse_relation.c chooseScalarFunctionAlias;
+    regress sql/srf* `from generate_series(1,3) g`)."""
+    assert [r.g for r in engine.sql(
+        "SELECT g FROM generate_series(4, 6) AS g").collect()] == [4, 5, 6]
+    assert [r.u for r in engine.sql(
+        "SELECT u FROM unnest(ARRAY[3, 1]) u ORDER BY u").collect()] == [1, 3]
+    assert engine.sql(
+        "SELECT sum(unnest) AS s FROM unnest(ARRAY[1, 2, 3])"
+    ).collect()[0].s == 6
+    assert [r.generate_series for r in engine.sql(
+        "SELECT generate_series FROM generate_series(1, 2)").collect()
+    ] == [1, 2]
+    # comma FROM item with alias = implicit LATERAL
+    rows = [tuple(r) for r in engine.sql(
+        "SELECT t.x, g FROM (VALUES (10), (20)) t(x),"
+        " generate_series(1, 2) g ORDER BY x, g").collect()]
+    assert rows == [(10, 1), (10, 2), (20, 1), (20, 2)]
+    # bare-alias SRF inside a scalar subquery resolves there too
+    assert engine.sql(
+        "SELECT 1 + (SELECT min(g) FROM generate_series(4, 6) g) AS v"
+    ).collect()[0].v == 5
+
+
+def test_srf_nested_subquery_not_hoisted(engine):
+    """[ROUND-10 session fix] An SRF inside a nested (SELECT ...) in a
+    select-list item belongs to that subquery's select list — the
+    select-list SRF classifier must not hoist it out (would corrupt the
+    scalar subquery into a generator). Pairs with the guard in
+    sql_dialect._analyze_srf_item."""
+    assert engine.sql(
+        "SELECT (SELECT max(x) FROM unnest(ARRAY[1, 5, 3]) AS t(x)) AS m"
+    ).collect()[0].m == 5
+    # select-list comma before an SRF is NOT a FROM item either
+    rows = [tuple(r) for r in engine.sql(
+        "SELECT 9 AS a, generate_series(1, 2) AS g, 7 AS b").collect()]
+    assert rows == [(9, 1, 7), (9, 2, 7)]
+
+
 def test_interval_field_qualifiers(engine):
     """INTERVAL '<str>' <range> (datetime.c DecodeInterval; regress
     sql/interval.sql:190-220): low-field binding, h:m vs m:s flip,

@@ -460,6 +460,81 @@ _GENSERIES_FROM_RE = re.compile(
     re.IGNORECASE,
 )
 
+# FROM unnest(a)/generate_series(..) with a BARE alias or none at all
+# (gram.y func_alias_clause; parse_relation.c chooseScalarFunctionAlias):
+# for a scalar-returning SRF the alias doubles as the COLUMN name
+# (`FROM generate_series(1,3) g` -> column g); with no alias the column
+# is named after the function. Runs after the `t(col)` column-list
+# rewrites, which consume their forms first.
+_SRF_FROM_BARE_RE = re.compile(
+    r"(\bFROM\s+|,\s*)(LATERAL\s+)?(unnest|generate_series)\s*"
+    r"\(((?:[^()]|\([^()]*\))*)\)(?:\s+(?:AS\s+)?(\w+))?",
+    re.IGNORECASE,
+)
+# words after the SRF that are clause keywords, not an alias
+_SRF_BARE_STOP = frozenset(
+    ("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "FETCH",
+     "UNION", "EXCEPT", "INTERSECT", "WINDOW", "JOIN", "INNER", "LEFT",
+     "RIGHT", "FULL", "CROSS", "NATURAL", "ON", "USING", "AND", "OR",
+     "THEN", "ELSE", "END", "WHEN", "AS", "FOR")
+)
+
+
+_CLAUSE_KW_RE = re.compile(
+    r"(?i)\b(SELECT|FROM|WHERE|GROUP|HAVING|ORDER|WINDOW|LIMIT|OFFSET"
+    r"|UNION|EXCEPT|INTERSECT|VALUES|SET|RETURNING)\b|[()]"
+)
+
+
+def _clause_at(sql: str, pos: int) -> str | None:
+    """The governing clause keyword at `pos`, tracked per paren depth
+    (literals are masked at this stage, so parens are structural)."""
+    depth, last = 0, {}
+    for m in _CLAUSE_KW_RE.finditer(sql, 0, pos):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            last.pop(depth, None)
+            depth -= 1
+        else:
+            last[depth] = tok.upper()
+    return last.get(depth)
+
+
+def _rewrite_srf_from_bare(sql: str) -> str:
+    def sub(m: re.Match) -> str:
+        lead, _lat, fn, args_s, alias = m.groups()
+        fn = fn.lower()
+        tail = ""
+        if alias is not None and alias.upper() == "WITH":
+            return m.group(0)  # WITH ORDINALITY: not ours
+        if sql[m.end():].lstrip().startswith("("):
+            return m.group(0)  # a t(cols) form left loud upstream
+        if alias is not None and alias.upper() in _SRF_BARE_STOP:
+            tail, alias = " " + alias, None
+        if lead.strip() == "," and (
+            alias is None or _clause_at(sql, m.start()) != "FROM"
+        ):
+            # a comma lead is only an implicit-LATERAL FROM item when
+            # we're provably in a FROM clause with an explicit alias —
+            # otherwise this is a select-list / GROUP BY comma
+            return m.group(0)
+        if fn == "generate_series":
+            gen = f"explode(sequence({args_s.strip()}))"
+        else:
+            args = _split_args(args_s)
+            if len(args) != 1:
+                return m.group(0)  # multi-arg unnest: cols form only
+            gen = f"explode({args[0].strip()})"
+        name = alias or fn
+        if lead.strip() == ",":
+            # comma FROM item = implicit LATERAL for SRFs in PG
+            return f" LATERAL VIEW {gen} {name} AS {name}{tail}"
+        return f"{lead}(SELECT {gen} AS {name}) {name}{tail}"
+
+    return _SRF_FROM_BARE_RE.sub(sub, sql)
+
 # SRF WITH ORDINALITY (gram.y func_table; nodeFunctionscan.c ordinality
 # counter): unnest(arr)/generate_series(..) WITH ORDINALITY AS t(v, o)
 # → posexplode, with PG's 1-based ordinal
@@ -993,6 +1068,10 @@ def _analyze_srf_item(item: str):
         )
         if bm:  # bare alias only on the plain-SRF spelling
             txt, alias = bm.group(1), bm.group(2)
+    if re.search(r"(?i)\(\s*SELECT\b", txt):
+        # an SRF inside a nested subquery belongs to THAT select list,
+        # not this item — classifying it here would hoist it out
+        return None
     calls = list(_SRF_CALL_RE.finditer(txt))
     if len(calls) != 1:
         return None
@@ -3612,6 +3691,8 @@ def rewrite(sql: str) -> str:
         ),
         out,
     )
+    # FROM srf(..) with a bare alias / no alias: alias names the column
+    out = _rewrite_srf_from_bare(out)
     # SRFs in the SELECT list: a lone unnest() item becomes explode;
     # multiple consecutive SRF items run in lockstep with NULL padding
     # (execSRF.c) and lower to one inline(arrays_zip) generator
