@@ -1803,3 +1803,236 @@ def test_to_char_numeric_literals_and_fm(engine):
     ).collect()[0]
     assert r.a == "100." and r.b == "100" and r.c == "foo 100"
     assert r.d == "fool 100" and r.e == "1,234.50"
+
+
+def test_interval_out_presentation(engine):
+    """Calendar/YM interval result columns render as PG interval_out
+    text (datetime.c EncodeInterval postgres style; regress
+    sql/interval.sql) — PySpark can't collect() those types at all, so
+    Engine.sql rewrites them at the result boundary
+    (functions/interval_out.py)."""
+    cases = [
+        ("interval '1 year 2 mons 3 days 04:05:06.699999'",
+         "1 year 2 mons 3 days 04:05:06.699999"),
+        ("interval '-10 mons -3 days +03:55:06.70'",
+         "-10 mons -3 days +03:55:06.7"),
+        ("interval '10 years -11 month -12 days +13:14'",
+         "9 years 1 mon -12 days +13:14:00"),
+        ("interval '1.5 months'", "1 mon 15 days"),
+        ("interval '1' year", "1 year"),
+        ("interval '1-2' year to month", "1 year 2 mons"),
+        ("interval '999' month", "83 years 3 mons"),
+        ("'3 days 5 milliseconds'::interval", "3 days 00:00:00.005"),
+    ]
+    for expr, want in cases:
+        assert str(engine.sql(f"SELECT {expr} AS x").collect()[0].x) == want, expr
+    # DayTimeIntervalType stays native (collects as timedelta)
+    import datetime as _dt
+
+    v = engine.sql("SELECT interval '1.5 weeks' AS x").collect()[0].x
+    assert v == _dt.timedelta(days=10, hours=12)
+
+
+def test_justify_interval_literals(engine):
+    """justify_hours/days/interval on interval literals (timestamp.c
+    interval_justify_*; regress sql/interval.sql '1 month -1 hour')."""
+    r = engine.sql(
+        "SELECT justify_interval(interval '1 month -1 hour') AS a,"
+        "       justify_hours(interval '6 days 24 hours') AS b,"
+        "       justify_days(interval '35 days') AS c"
+    ).collect()[0]
+    assert str(r.a) == "29 days 23:00:00"
+    assert str(r.b) == "7 days"
+    assert str(r.c) == "1 mon 5 days"
+
+
+def test_pg_format_full_spec(engine):
+    """PG format() compiled at plan time (varlena.c text_format;
+    regress text.out 300-470): %s/%I/%L, %n$ positions, widths,
+    */'*n$' indirect widths with the argument-advance rule, VARIADIC
+    arrays, NULL handling."""
+    cases = [
+        ("format('INSERT INTO %I VALUES(%L,%L)', 'mytab', 10, NULL)",
+         "INSERT INTO mytab VALUES('10',NULL)"),
+        ("format('%s, %s', variadic array[true, false])", "t, f"),
+        ("format('%s, %s', variadic array[true, false]::text[])",
+         "true, false"),
+        ("format('%2$s, %1$s', variadic array['first', 'second'])",
+         "second, first"),
+        ("format('Hello', variadic NULL::int[])", "Hello"),
+        ("format('Hello %s %1$s %s', 'World', 'Hello again')",
+         "Hello World World Hello again"),
+        ("format('>>%10s<<', NULL)", ">>          <<"),
+        ("format('>>%1$-10I<<', 'Hello')", '>>"Hello"   <<'),
+        ("format('>>%2$*1$L<<', 10, NULL)", ">>      NULL<<"),
+        ("format('>>%2$*1$L<<', -10, NULL)", ">>NULL      <<"),
+        ("format('>>%*1$s<<', 10, 'Hello')", ">>     Hello<<"),
+        ("format('>>%10L<<', NULL)", ">>      NULL<<"),
+        ("format(NULL)", None),
+        ("format('%s has %d', 'cart', 3)", "cart has 3"),  # printf ext
+    ]
+    for expr, want in cases:
+        assert engine.sql(f"SELECT {expr} AS x").collect()[0].x == want, expr
+
+
+def test_jsonb_exists_delete_fns(engine):
+    """jsonb_exists/_any/_all and jsonb_delete function spellings
+    (jsonfuncs.c; regress sql/jsonb.sql)."""
+    r = engine.sql(
+        """SELECT jsonb_exists('{"a":null, "b":"qq"}', 'b') AS a,
+                  jsonb_exists('{"a":null, "b":"qq"}', 'x') AS b,
+                  jsonb_exists_any('{"a":null, "b":"qq"}', ARRAY['x','b']) AS c,
+                  jsonb_exists_all('{"a":null, "b":"qq"}', ARRAY['a','b']) AS d,
+                  jsonb_exists_all('{"a":null, "b":"qq"}', ARRAY['a','x']) AS e,
+                  jsonb_delete('{"a":1, "b":2, "c":3}'::jsonb, 'b') AS f"""
+    ).collect()[0]
+    assert (r.a, r.b, r.c, r.d, r.e) == (True, False, True, True, False)
+    assert r.f == '{"a": 1, "c": 3}'
+
+
+def test_array_fn_probe_forms(engine):
+    """array_replace (null-safe swap), array_fill with an (ignored)
+    lower-bounds arg, array_positions NULL/bounds-decorated input
+    (arrayfuncs.c; regress sql/arrays.sql)."""
+    r = engine.sql(
+        "SELECT array_replace(array[1,2,NULL,4,NULL], NULL, 5) AS a,"
+        "       array_replace(array['A','B','DD','B'],'B','CC') AS b,"
+        "       array_fill(7, array[3], array[2]) AS c,"
+        "       array_positions(NULL, 10) AS d,"
+        "       array_positions('[2:4]={1,2,3}'::int[], 1) AS e,"
+        "       '[0:1]={1.1,2.2}'::float8[] AS f,"
+        "       num_nulls(VARIADIC array[1, NULL, 2]) AS g,"
+        "       num_nulls(VARIADIC NULL::int[]) AS h"
+    ).collect()[0]
+    assert r.a == [1, 2, 5, 4, 5] and r.b == ["A", "CC", "DD", "CC"]
+    assert r.c == [7, 7, 7] and r.d is None and r.e == [1]
+    assert r.f == [1.1, 2.2] and r.g == 1 and r.h is None
+
+
+def test_collate_qualifiers_dropped(engine):
+    """COLLATE qualifiers accepted and ignored (documented deviation:
+    default binary collation; gram.y a_expr COLLATE)."""
+    r = engine.sql(
+        "SELECT 'abc' COLLATE \"en_US\" AS a,"
+        "       string_to_array('a,b', ',' COLLATE \"C\") AS b"
+    ).collect()[0]
+    assert r.a == "abc" and r.b == ["a", "b"]
+
+
+def test_xmlparse_is_document(engine):
+    """XMLPARSE(DOCUMENT|CONTENT .. [STRIP WHITESPACE]) and IS [NOT]
+    DOCUMENT (xml.c xmlparse/xml_is_document; regress sql/xml.sql)."""
+    r = engine.sql(
+        "SELECT XMLPARSE(CONTENT '<abc>x</abc>'::text PRESERVE WHITESPACE) AS a,"
+        "       XMLPARSE(CONTENT '<a> <b>x</b> </a>' STRIP WHITESPACE) AS b,"
+        "       xml '<foo>bar</foo>' IS DOCUMENT AS c,"
+        "       xml '<foo>bar</foo><bar>foo</bar>' IS DOCUMENT AS d,"
+        "       xml '<abc/>' IS NOT DOCUMENT AS e"
+    ).collect()[0]
+    assert r.a == "<abc>x</abc>" and r.b == "<a><b>x</b></a>"
+    assert (r.c, r.d, r.e) == (True, False, False)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.sql("SELECT XMLPARSE(DOCUMENT 'not xml')").collect()
+
+
+def test_to_number_pg_pictures(engine):
+    """to_number with PG pictures folds at plan time (formatting.c
+    do_to_number; regress numeric.out to_number_1..22)."""
+    cases = [
+        ("to_number('-34,338,492', '99G999G999')", -34338492),
+        ("to_number('<564646.654564>', '999999.999999PR')", -564646.654564),
+        ("to_number('5.01-', 'FM9.999999S')", -5.01),
+        ("to_number('5 4 4 4 4 8 . 7 8', '9 9 9 9 9 9 . 9 9')", 544448.78),
+        ("to_number('.-01', 'S99.99')", -0.01),
+        ("to_number('34,50','999,99')", 3450),
+        ("to_number('123,000','999G')", 123),
+        ("to_number('$1,234.56','L99,999.99')", 1234.56),
+        ("to_number('42nd', '99th')", 42),
+    ]
+    for expr, want in cases:
+        got = engine.sql(f"SELECT {expr} AS x").collect()[0].x
+        assert float(got) == want, expr
+
+
+def test_to_char_iso_week_roman(engine):
+    """DCH tokens with no Java twin: ISO week family IYYY/IW/ID/I,
+    W/WW/CC/J, Roman months RM/rm (formatting.c; Spark's Proleptic
+    parser rejects Y/w patterns outright)."""
+    r = engine.sql(
+        "SELECT to_char(date '2022-01-01', 'IYYY-IW-ID') AS a,"
+        "       to_char(date '2010-02-01', 'RM') AS b,"
+        "       to_char(date '2010-02-01', 'FMrm') AS c,"
+        "       to_char(date '2010-09-15', 'W') AS d,"
+        "       to_char(date '2010-12-31', 'WW') AS e,"
+        "       to_char(date '2000-01-01', 'J') AS f,"
+        "       to_char(date '2010-02-01', 'DD TMMON YYYY') AS g"
+    ).collect()[0]
+    assert r.a == "2021-52-6" and r.b == "II  " and r.c == "ii"
+    assert r.d == "3" and r.e == "53" and r.f == "2451545"
+    assert r.g == "01 FEB 2010"
+
+
+def test_numeric_nan_and_float_hash_fns(engine):
+    """'NaN'::numeric keeps IEEE semantics through the power operator
+    (float.c dpow), and the float hash / aggregate-transition
+    functions satisfy the regress identities (hashfunc.c, float.c)."""
+    import math
+
+    r = engine.sql(
+        "SELECT 'NaN'::numeric ^ 0 AS a, 0 ^ 'NaN'::numeric AS b,"
+        "       hashfloat4('0'::float4) = hashfloat4('-0'::float4) AS c,"
+        "       hashfloat4('NaN'::float4) = hashfloat8('NaN'::float8) AS d,"
+        "       float8_accum('{4,140,2900}'::float8[], 100) AS e,"
+        "       float8_combine('{3,60,200}'::float8[], '{2,180,200}'::float8[]) AS f,"
+        "       float8_regr_accum('{4,140,2900,1290,83075,15050}'::float8[], 200, 100) AS g"
+    ).collect()[0]
+    assert float(r.a) == 1.0 and math.isnan(float(r.b))
+    assert r.c is True and r.d is True
+    assert r.e == [5.0, 240.0, 12900.0]
+    assert r.f == [5.0, 240.0, 400.0]
+    assert r.g == [5.0, 240.0, 12900.0, 1490.0, 123075.0, 35050.0]
+
+
+def test_pg_time_and_timetz_family(engine):
+    """PG time / time-with-time-zone input forms and arithmetic
+    (utils/adt/date.c time_in/timetz_in/time_pl_interval; regress
+    sql/time.sql, sql/timetz.sql): time models as DayTimeInterval,
+    timetz as canonical text; literal arithmetic folds at plan time
+    and wraps mod 24 h with interval day/month fields ignored."""
+    import datetime as dt
+
+    cases = [
+        ("'23:59:59.999999'::time",
+         dt.timedelta(hours=23, minutes=59, seconds=59, microseconds=999999)),
+        ("time without time zone 'T040506.789+08'",
+         dt.timedelta(hours=4, minutes=5, seconds=6, microseconds=789000)),
+        ("time with time zone '040506.789-08'", "04:05:06.789-08"),
+        ("'23:59:59.999999 PDT'::timetz", "23:59:59.999999-07"),
+        ("timetz '11:00-5'", "11:00:00-05"),
+        ("time '03:30' + interval '1 month 04:01'",
+         dt.timedelta(hours=7, minutes=31)),
+        ("time with time zone '01:30-08' - interval '02:01'",
+         "23:29:00-08"),
+        ("time with time zone '02:30-08' + interval '36:01'",
+         "14:31:00-08"),
+        ("CAST(time '01:02' AS interval)", dt.timedelta(hours=1, minutes=2)),
+        ("CAST(interval '02:03' AS time)", dt.timedelta(hours=2, minutes=3)),
+    ]
+    for expr, want in cases:
+        assert engine.sql(f"SELECT {expr} AS x").collect()[0].x == want, expr
+    # date + time = timestamp; date + timetz = the instant (date.c
+    # datetime_timestamp / datetimetz_timestamptz), also as the
+    # timestamptz(d, t) constructor
+    r = engine.sql(
+        "SELECT date '1991-02-03' + time with time zone '04:05:06 PST' AS a,"
+        "       timestamptz(date '1994-01-01', timetz '11:00-5') AS b,"
+        "       timestamptz(date '1994-01-01', time '10:00') AS c,"
+        "       now()::time::text = localtime::text AS d,"
+        "       now()::timetz::text = current_time::text AS e"
+    ).collect()[0]
+    assert r.a.replace(tzinfo=None) == dt.datetime(1991, 2, 3, 12, 5, 6)
+    assert r.b.replace(tzinfo=None) == dt.datetime(1994, 1, 1, 16, 0)
+    assert r.c.replace(tzinfo=None) == dt.datetime(1994, 1, 1, 10, 0)
+    assert r.d is True and r.e is True

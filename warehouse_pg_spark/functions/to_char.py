@@ -32,7 +32,6 @@ _DCH_TOKENS: list[tuple[str, str, str | None]] = [
     ("HH24", "HH", None),
     ("HH12", "hh", None),
     ("YYYY", "yyyy", None),
-    ("IYYY", "YYYY", None),  # ISO week-year
     ("MONTH", "MMMM", "upper"),
     ("Month", "MMMM", None),
     ("month", "MMMM", "lower"),
@@ -56,8 +55,6 @@ _DCH_TOKENS: list[tuple[str, str, str | None]] = [
     ("Y", "y", None),
     ("MM", "MM", None),
     ("DD", "dd", None),
-    ("IW", "ww", None),
-    ("WW", "ww", None),
     ("AM", "a", None),
     ("PM", "a", None),
     ("am", "a", "lower"),
@@ -68,12 +65,85 @@ _DCH_TOKENS: list[tuple[str, str, str | None]] = [
 # punctuation that can sit inside a Java pattern unquoted
 _SAFE_PUNCT = set(" -/:.,;()")
 
+_ROMAN_MONTHS = (
+    "I", "II", "III", "IV", "V", "VI",
+    "VII", "VIII", "IX", "X", "XI", "XII",
+)
+
+# DCH tokens with no Java date_format twin (Spark's Proleptic parser
+# rejects the week-based Y/w patterns outright): ISO week-year family
+# (formatting.c DCH_IYYY..DCH_I — the ISO year is the year of the
+# week's Thursday), week numbers, Julian day, century, Roman months.
+# Each entry renders as a SQL expression over placeholder {x}; the
+# Column emitter evaluates the same shapes with pyspark functions.
+_ISO_Y = "year(date_add(CAST({x} AS DATE), 3 - weekday({x})))"
+_DCH_SPECIAL_SQL: list[tuple[str, str]] = [
+    ("IYYY", f"lpad(CAST({_ISO_Y} AS STRING), 4, '0')"),
+    ("IYY", f"substr(lpad(CAST({_ISO_Y} AS STRING), 4, '0'), 2)"),
+    ("IW", "lpad(CAST(weekofyear({x}) AS STRING), 2, '0')"),
+    ("IY", f"substr(lpad(CAST({_ISO_Y} AS STRING), 4, '0'), 3)"),
+    ("ID", "CAST(weekday({x}) + 1 AS STRING)"),
+    ("I", f"substr(lpad(CAST({_ISO_Y} AS STRING), 4, '0'), 4)"),
+    ("WW", "CAST((dayofyear({x}) - 1) div 7 + 1 AS STRING)"),
+    ("W", "CAST((dayofmonth({x}) - 1) div 7 + 1 AS STRING)"),
+    ("CC", "CAST((year({x}) + 99) div 100 AS STRING)"),
+    ("J", "CAST(datediff(CAST({x} AS DATE), DATE'1970-01-01') "
+          "+ 2440588 AS STRING)"),
+    ("RM", "__ROMAN_UPPER__"),
+    ("rm", "__ROMAN_LOWER__"),
+]
+
+
+def _roman_col(c: Column, lower: bool, fm: bool) -> Column:
+    r = F.element_at(
+        F.array(*[F.lit(x.lower() if lower else x) for x in _ROMAN_MONTHS]),
+        F.month(c),
+    )
+    # PG blank-pads RM to 4 unless fill mode
+    return r if fm else F.rpad(r, 4, " ")
+
+
+def _roman_sql(x: str, lower: bool, fm: bool) -> str:
+    arr = ", ".join(
+        "'" + (m.lower() if lower else m) + "'" for m in _ROMAN_MONTHS
+    )
+    r = f"element_at(array({arr}), month({x}))"
+    return r if fm else f"rpad({r}, 4, ' ')"
+
+
+def _dch_special_col(tok: str, c: Column, fm: bool) -> Column:
+    """Column twin of the _DCH_SPECIAL_SQL snippets."""
+    if tok == "RM":
+        return _roman_col(c, False, fm)
+    if tok == "rm":
+        return _roman_col(c, True, fm)
+    d = F.to_date(c)
+    iso_y4 = F.lpad(
+        F.year(F.date_add(d, F.lit(3) - F.weekday(c))).cast("string"),
+        4, "0",
+    )
+    return {
+        "IYYY": iso_y4,
+        "IYY": F.substring(iso_y4, 2, 3),
+        "IW": F.lpad(F.weekofyear(c).cast("string"), 2, "0"),
+        "IY": F.substring(iso_y4, 3, 2),
+        "ID": (F.weekday(c) + 1).cast("string"),
+        "I": F.substring(iso_y4, 4, 1),
+        "WW": (F.floor((F.dayofyear(c) - 1) / 7) + 1).cast("string"),
+        "W": (F.floor((F.dayofmonth(c) - 1) / 7) + 1).cast("string"),
+        "CC": F.floor((F.year(c) + 99) / 100).cast("string"),
+        "J": (
+            F.datediff(d, F.lit("1970-01-01").cast("date")) + 2440588
+        ).cast("string"),
+    }[tok]
+
 
 def to_char_datetime(col: Column | str, fmt: str) -> Column:
     """PG to_char(timestamp/date, fmt) → concat of date_format segments."""
     c = F.col(col) if isinstance(col, str) else col
     parts: list[Column] = []
     buf = ""  # pending java pattern chars
+    fm = False
 
     def flush():
         nonlocal buf
@@ -91,7 +161,19 @@ def to_char_datetime(col: Column | str, fmt: str) -> Column:
             i = j + 1
             continue
         if fmt.startswith("FM", i):  # fill mode: date side is a no-op
+            fm = True
             i += 2
+            continue
+        if fmt.startswith("TM", i):  # translation mode: English names
+            i += 2
+            continue
+        sp = next(
+            (t for t, _ in _DCH_SPECIAL_SQL if fmt.startswith(t, i)), None
+        )
+        if sp is not None:
+            flush()
+            parts.append(_dch_special_col(sp, c, fm))
+            i += len(sp)
             continue
         if fmt[i] == "D" and not fmt.startswith(("DD", "DY", "Dy", "DAY", "Day"), i):
             # PG D = day of week, Sunday=1 — matches Spark dayofweek()
@@ -255,6 +337,7 @@ def to_char_datetime_sql(x: str, fmt: str) -> str:
     """SQL-text rendering of to_char_datetime."""
     parts: list[str] = []
     buf = ""
+    fm = False
 
     def flush():
         nonlocal buf
@@ -272,7 +355,27 @@ def to_char_datetime_sql(x: str, fmt: str) -> str:
             i = j + 1
             continue
         if fmt.startswith("FM", i):
+            fm = True
             i += 2
+            continue
+        if fmt.startswith("TM", i):
+            i += 2
+            continue
+        sp = next(
+            (
+                (t, s) for t, s in _DCH_SPECIAL_SQL
+                if fmt.startswith(t, i)
+            ),
+            None,
+        )
+        if sp is not None:
+            tok, snippet = sp
+            flush()
+            if tok in ("RM", "rm"):
+                parts.append(_roman_sql(x, tok == "rm", fm))
+            else:
+                parts.append(snippet.format(x=x))
+            i += len(tok)
             continue
         if fmt[i] == "D" and not fmt.startswith(
             ("DD", "DY", "Dy", "DAY", "Day"), i

@@ -663,9 +663,18 @@ _FROM_ONLY_RE = re.compile(
 # still don't match raises rather than letting Spark silently evaluate
 # XOR. (Left-side unary minus is NOT claimed: PG ≥9.5 binds unary minus
 # tighter than '^', so '-2 ^ 2' is 4 there — spell it '(-2) ^ 2'.)
+# power operands admit ::cast suffix chains ('NaN'::numeric ^ 0) and
+# depth-2 calls like CAST(x AS DECIMAL(38,18)) emitted by the earlier
+# scalar-cast pass — power() receives them unchanged
+_POW_OPERAND = (
+    # the call form requires the paren to ABUT the name — `SELECT (x)`
+    # must not read as a call operand (pinned by test_pg_math_operators)
+    rf"(?:[\w.]+\((?:[^()]|\([^()]*\))*\)|{_DISTINCT_OPERAND})"
+    rf"(?:\s*::\s*\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)*"
+)
 _POWER_RE = re.compile(
-    rf"({_DISTINCT_OPERAND})\s*\^\s*(-\s*{_DISTINCT_OPERAND}"
-    rf"|{_DISTINCT_OPERAND})"
+    rf"({_POW_OPERAND})\s*\^\s*(-\s*{_POW_OPERAND}"
+    rf"|{_POW_OPERAND})"
 )
 _INT_XOR_RE = re.compile(
     rf"({_DISTINCT_OPERAND})\s*#(?![>#])\s*({_DISTINCT_OPERAND})"
@@ -725,7 +734,10 @@ _STRING_TO_ARRAY_RE = re.compile(
 )
 _ARRAY_TO_STRING_RE = re.compile(r"\barray_to_string\s*\(", re.IGNORECASE)
 _ARRAY_POSITIONS_RE = re.compile(
-    rf"\barray_positions\s*\(\s*({_DISTINCT_OPERAND})\s*,"
+    # the array operand admits depth-2 calls — the braced-literal pass
+    # has already lowered '{1,2,3}'::int[] to CAST(array(..) AS ..)
+    rf"\barray_positions\s*\(\s*([\w.]+\s*\((?:[^()]|\([^()]*\))*\)"
+    rf"|{_DISTINCT_OPERAND}(?:\s*::\s*\w+\s*(?:\[\s*\])?)?)\s*,"
     rf"\s*({_DISTINCT_OPERAND})\s*\)",
     re.IGNORECASE,
 )
@@ -930,9 +942,163 @@ _UNNEST_FROM_RE = re.compile(
     re.IGNORECASE,
 )
 _FORMAT_FN_RE = re.compile(rf"\bformat\s*\(\s*({_LIT})", re.IGNORECASE)
+# format() with a literal picture: full call shape, compiled at plan
+# time (varlena.c text_format)
+_FORMAT_CALL_RE = re.compile(
+    rf"\bformat\s*\(\s*({_LIT}|NULL)\s*"
+    rf"(?:,\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))*))?\)",
+    re.IGNORECASE,
+)
+# %[position$][-][width|*[position$]]<s|I|L>  (plus bare %%)
+_FORMAT_SPEC_RE = re.compile(
+    r"%(?:(\d+)\$)?(-)?(?:(\d+)|\*(?:(\d+)\$)?)?([sIL])|%(%)"
+)
+
+
+def _pg_format_compile(fmt: str, args: list[str], lits: list[str]):
+    """Compile a PG format() call with a LITERAL picture into a pure
+    concat() expression (varlena.c text_format): %s/%I/%L conversions,
+    %n$ argument positions, [-]width and */"*n$" indirect widths, with
+    PG's argument-advance rule (a consumed indirect width advances the
+    sequential counter). Returns None for pictures/arg shapes outside
+    the model — the call then stays loud (UNRESOLVED_ROUTINE), which is
+    also PG's behavior for too-few-arguments errors."""
+    variadic = False
+    arr = None
+    bool_elems = False
+    if len(args) == 1 and re.match(r"(?is)^\s*variadic\b", args[0]):
+        variadic = True
+        arr = re.sub(r"(?is)^\s*variadic\s+", "", args[0]).strip()
+        bool_elems = bool(
+            re.match(r"(?is)^array\s*[\[(]", arr)  # pre- or post-rewrite
+            and not re.search(
+                r"(?is)(::\s*\w+\s*\[\s*\]|AS\s+STRING\s*>?\s*\))\s*$", arr
+            )
+            and re.search(r"(?i)\b(true|false)\b", arr)
+        )
+
+    sq = "chr(39)"  # single quote, avoiding literal-escape headaches
+    dq = "chr(34)"
+    bs = "chr(92)"
+    sp = _new_lit(" ", lits)
+    ident_re = _new_lit("^[a-z_][a-z0-9_]*$", lits)
+
+    def raw_arg(i: int) -> str | None:
+        if variadic:
+            return f"element_at({arr}, {i})"
+        if i < 1 or i > len(args):
+            return None
+        return args[i - 1]
+
+    def str_arg(i: int) -> str | None:
+        a = raw_arg(i)
+        if a is None:
+            return None
+        if not variadic:
+            t = a.strip().lower()
+            if t == "true":
+                return _new_lit("t", lits)
+            if t == "false":
+                return _new_lit("f", lits)
+            return f"CAST({a} AS STRING)"
+        v = f"CAST({a} AS STRING)"
+        if bool_elems:
+            # bare-bool variadic array: PG boolout renders t/f
+            return (
+                f"(CASE WHEN {v} = 'true' THEN {_new_lit('t', lits)} "
+                f"WHEN {v} = 'false' THEN {_new_lit('f', lits)} "
+                f"ELSE {v} END)"
+            )
+        return v
+
+    pieces: list[str] = []
+    pos = 0
+    arg = 1  # next sequential argument position
+    for m in _FORMAT_SPEC_RE.finditer(fmt):
+        if m.start() > pos:
+            pieces.append(_new_lit(fmt[pos : m.start()], lits))
+        pos = m.end()
+        if m.group(6):  # %%
+            pieces.append(_new_lit("%", lits))
+            continue
+        argpos, minus, width_s, widthpos, conv = m.groups()[:5]
+        width_sql = None
+        static_w = None
+        if width_s is not None:
+            static_w = int(width_s)
+        elif "*" in m.group(0):
+            if widthpos is not None:
+                arg = int(widthpos)
+            wa = raw_arg(arg)
+            if wa is None:
+                return None
+            width_sql = f"coalesce(CAST({wa} AS INT), 0)"
+            arg += 1
+        if argpos is not None:
+            arg = int(argpos)
+        v = str_arg(arg)
+        if v is None:
+            return None
+        arg += 1
+        if conv == "s":
+            val = f"coalesce({v}, {_new_lit('', lits)})"
+        elif conv == "I":
+            err = _new_lit(
+                "null values cannot be formatted as an SQL identifier",
+                lits,
+            )
+            val = (
+                f"(CASE WHEN {v} IS NULL THEN raise_error({err}) "
+                f"WHEN {v} RLIKE {ident_re} THEN {v} "
+                f"ELSE concat({dq}, replace({v}, {dq}, repeat({dq}, 2)), "
+                f"{dq}) END)"
+            )
+        else:  # L
+            val = (
+                f"(CASE WHEN {v} IS NULL THEN {_new_lit('NULL', lits)} "
+                f"WHEN contains({v}, {bs}) THEN concat('E', {sq}, "
+                f"replace(replace({v}, {bs}, repeat({bs}, 2)), "
+                f"{sq}, repeat({sq}, 2)), {sq}) "
+                f"ELSE concat({sq}, replace({v}, {sq}, repeat({sq}, 2)), "
+                f"{sq}) END)"
+            )
+        if static_w is not None and static_w != 0:
+            aw = abs(static_w)
+            pad = "rpad" if (minus or static_w < 0) else "lpad"
+            val = (
+                f"IF(length({val}) >= {aw}, {val}, "
+                f"{pad}({val}, {aw}, {sp}))"
+            )
+        elif width_sql is not None:
+            left = "true" if minus else f"({width_sql}) < 0"
+            val = (
+                f"(CASE WHEN coalesce(abs({width_sql}), 0) <= "
+                f"length({val}) THEN {val} "
+                f"WHEN {left} THEN rpad({val}, abs({width_sql}), {sp}) "
+                f"ELSE lpad({val}, abs({width_sql}), {sp}) END)"
+            )
+        elif minus:
+            pass  # '-' without width: no-op (PG prints unpadded)
+        pieces.append(val)
+    if pos < len(fmt):
+        pieces.append(_new_lit(fmt[pos:], lits))
+    # an unconsumed lone '%' (unterminated spec) stays loud, as PG errors
+    stripped = _FORMAT_SPEC_RE.sub("", fmt)
+    if "%" in stripped:
+        return None
+    if not pieces:
+        return _new_lit("", lits)
+    if len(pieces) == 1:
+        return f"CAST({pieces[0]} AS STRING)"
+    return "concat(" + ", ".join(pieces) + ")"
 _ARRAY_FILL_RE = re.compile(
-    rf"\barray_fill\s*\(\s*({_ARITH_CHAIN})\s*,\s*"
-    rf"(?:ARRAY\s*\[|array\s*\()\s*(\d+)(?:\s*,\s*(\d+))?\s*[\])]\s*\)",
+    rf"\barray_fill\s*\(\s*({_ARITH_CHAIN}"
+    rf"(?:\s*::\s*\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)*)\s*,\s*"
+    rf"(?:ARRAY\s*\[|array\s*\()\s*(\d+)(?:\s*,\s*(\d+))?\s*[\])]"
+    # optional lower-bounds arg: accepted and ignored (the engine's
+    # array model is 1-based; array_fill content is bounds-independent)
+    rf"(?:\s*,\s*(?:ARRAY\s*\[|array\s*\()\s*-?\d+(?:\s*,\s*-?\d+)?"
+    rf"\s*[\])])?\s*\)",
     re.IGNORECASE,
 )
 _PG_TYPEOF_RE = re.compile(r"\bpg_typeof\s*\(", re.IGNORECASE)
@@ -1033,7 +1199,7 @@ _JSON_TYPEOF_RE = re.compile(
 # scalar regexp_matches(s, 'pat'): PG returns the first match's capture
 # groups as text[] (NULL row = NULL here when no match)
 _REGEXP_MATCHES_RE = re.compile(
-    rf"\bregexp_matches\s*\(\s*({_ARITH_CHAIN})\s*,\s*({_LIT})"
+    rf"\bregexp_match(?:es)?\s*\(\s*({_ARITH_CHAIN})\s*,\s*({_LIT})"
     rf"(?:\s*,\s*({_LIT}))?\s*\)",
     re.IGNORECASE,
 )
@@ -1636,7 +1802,49 @@ def _rewrite_xml_ctors(sql: str) -> str:
             rep = f"pg_xml({rep})"
         return s[: m.start()] + rep + process(s[j + 1 :])
 
-    return process(sql)
+    sql = process(sql)
+
+    # XMLPARSE(DOCUMENT|CONTENT x [PRESERVE|STRIP WHITESPACE]) (xml.c
+    # xmlparse): validate through the well-formedness checks, return
+    # the text as an XML-marked value; STRIP removes whitespace-only
+    # text between tags. Malformed input raises, as PG does.
+    def sub_xmlparse(m: re.Match) -> str:
+        kind, x, strip = (
+            m.group(1).lower(), m.group(2).strip(), m.group(3),
+        )
+        v = f"CAST({x} AS STRING)"
+        if strip and strip.lower().startswith("strip"):
+            ws = "concat('>[', chr(9), chr(10), chr(13), ' ]+<')"
+            v = f"regexp_replace({v}, {ws}, '><')"
+        check = (
+            "xml_is_well_formed_document"
+            if kind == "document"
+            else "xml_is_well_formed_content"
+        )
+        return (
+            f"pg_xml(IF({check}({v}), {v}, "
+            f"raise_error(concat('invalid XML {kind}: ', {v}))))"
+        )
+
+    sql = re.sub(
+        r"(?is)\bXMLPARSE\s*\(\s*(DOCUMENT|CONTENT)\s+"
+        r"((?:[^()]|\([^()]*\))+?)"
+        r"\s*((?:PRESERVE|STRIP)\s+WHITESPACE)?\s*\)",
+        sub_xmlparse,
+        sql,
+    )
+    # x IS [NOT] DOCUMENT (xml.c xml_is_document); an `xml` typed-
+    # literal prefix drops here — the global prefix strip runs later
+    sql = re.sub(
+        rf"(?:\bxml\s+)?({_DISTINCT_OPERAND})\s+IS\s+(NOT\s+)?DOCUMENT\b",
+        lambda m: (
+            f"({'NOT ' if m.group(2) else ''}"
+            f"xml_is_well_formed_document(CAST({m.group(1)} AS STRING)))"
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
+    return sql
 
 
 def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
@@ -1702,6 +1910,8 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         # arrayfuncs.c array_positions: ALL 1-based positions of the
         # value (NULL matches NULL — null-safe <=>); NULL array -> NULL
         a, x = m.group(1).strip(), m.group(2).strip()
+        if a.upper() == "NULL":  # bare NULL can't type-resolve in Spark
+            return "CAST(NULL AS ARRAY<INT>)"
         return (
             f"filter(transform(sequence(1, size({a})), "
             f"__i -> CASE WHEN element_at({a}, __i) <=> ({x}) "
@@ -1753,6 +1963,11 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     def sub_nn(m: re.Match) -> str:
         want_null = m.group(1).lower() == "nulls"
         test = "IS NULL" if want_null else "IS NOT NULL"
+        args = _split_args(m.group(2))
+        if len(args) == 1 and re.match(r"(?is)^\s*variadic\b", args[0]):
+            # VARIADIC array spelling: count over the elements
+            arr = re.sub(r"(?is)^\s*variadic\s+", "", args[0]).strip()
+            return f"size(filter({arr}, __x -> __x {test}))"
         parts = [
             f"(CASE WHEN ({a.strip()}) {test} THEN 1 ELSE 0 END)"
             for a in _split_args(m.group(2))
@@ -1760,6 +1975,52 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         return "(" + " + ".join(parts) + ")"
 
     sql = _NUM_NULLS_RE.sub(sub_nn, sql)
+
+    def sub_to_number(m: re.Match) -> str:
+        """to_number with LITERAL value and picture: fold at plan time
+        with PG's loose scan (formatting.c do_to_number / numeric regress
+        to_number_1..22): grouping chars and currency/ordinal text are
+        skipped wherever they appear, a '-' anywhere (or a PR <...>
+        wrap) negates, and the picture only bounds how many integer /
+        fraction digits are consumed. Spark's native to_number keeps
+        the non-literal path (it handles plain pictures)."""
+        val = _lit_value(m.group(1), lits)
+        fmt = m.group(2)
+        fmt_s = _lit_value(fmt, lits)
+        s = val.strip()
+        neg = False
+        if re.search(r"(?i)PR", fmt_s) and s.startswith("<") and s.endswith(">"):
+            neg, s = True, s[1:-1]
+        if "-" in s:
+            neg = True
+        # picture: D is the decimal point; FM/TH/sign/currency/group
+        # tokens don't hold digits
+        pic = re.sub(r"(?i)FM|TH|PR|MI|PL|SG|S|L|G|,", "", fmt_s)
+        pic = re.sub(r"(?i)D", ".", pic)
+        int_slots = sum(1 for c in pic.split(".")[0] if c in "90")
+        frac_slots = sum(
+            1 for c in (pic.split(".", 1)[1] if "." in pic else "")
+            if c in "90"
+        )
+        digits, frac, seen_dot = [], [], False
+        for c in s:
+            if c.isdigit():
+                (frac if seen_dot else digits).append(c)
+            elif c == "." and not seen_dot:
+                seen_dot = True
+        if not digits and not frac:
+            return m.group(0)  # no number in the input: stay loud
+        ip = "".join(digits[:int_slots]) or "0"
+        fp = "".join(frac[:frac_slots])
+        res = ("-" if neg else "") + ip + ("." + fp if fp else "")
+        return f"CAST({res} AS DECIMAL(38, {len(fp)}))"
+
+    sql = re.sub(
+        rf"\bto_number\s*\(\s*({_LIT})\s*,\s*({_LIT})\s*\)",
+        sub_to_number,
+        sql,
+        flags=re.IGNORECASE,
+    )
 
     def sub_age(m: re.Match) -> str:
         # timestamp_age (reference src/backend/utils/adt/timestamp.c):
@@ -2134,6 +2395,24 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         lambda m: f"to_json(collect_list({m.group(1)}))", sql
     )
     sql = _ROW_TO_JSON_RE.sub("to_json(", sql)
+    def sub_format(m: re.Match) -> str:
+        tok, argstr = m.group(1), m.group(2)
+        if tok.upper() == "NULL":
+            return "CAST(NULL AS STRING)"
+        compiled = _pg_format_compile(
+            _lit_value(tok, lits),
+            _split_args(argstr) if argstr else [],
+            lits,
+        )
+        if compiled is not None:
+            return compiled
+        # printf-style pictures (%d/%f/...) keep the legacy
+        # format_string lowering — a deliberate extension over PG,
+        # which only defines s/I/L
+        tail = f", {argstr}" if argstr else ""
+        return f"format_string({tok}{tail})"
+
+    sql = _FORMAT_CALL_RE.sub(sub_format, sql)
     sql = _FORMAT_FN_RE.sub(lambda m: f"format_string({m.group(1)}", sql)
     # array_fill (arrayfuncs.c): 1-D -> array_repeat; a 2-element dims
     # array is a 2-D fill, modeled as nested arrays (default [1:n]
@@ -2236,12 +2515,183 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         lambda m: f"CAST({m.group(1)} AS DOUBLE)", sql
     )
 
+    # --- PG time / time-with-time-zone input and literal arithmetic
+    # (utils/adt/date.c time_in/timetz_in, time_pl_interval — the
+    # interval's day/month fields are IGNORED and results wrap mod
+    # 24 h). Model: time = DayTimeInterval (sorts/collects natively);
+    # timetz = canonical text 'HH:MM:SS[.ffffff]±HH[:MM]'. All the
+    # arithmetic forms below take literals, so they fold at plan time.
+    def _time_render(secs, off=None) -> str:
+        from decimal import Decimal
+
+        secs = Decimal(secs) % 86400
+        if secs < 0:  # Decimal % truncates toward zero; wrap up
+            secs += 86400
+        h, rem = divmod(int(secs), 3600)
+        mi, s = divmod(rem, 60)
+        frac = secs - int(secs)
+        out = f"{h:02d}:{mi:02d}:{s:02d}"
+        if frac:
+            out += f"{frac:.6f}".rstrip("0")[1:]  # '.5', '.999999'
+        if off is not None:
+            sign = "-" if off < 0 else "+"
+            oh, om = divmod(abs(off) // 60, 60)
+            out += f"{sign}{oh:02d}" + (f":{om:02d}" if om else "")
+        return out
+
+    def _pg_time_lit_parse(body: str):
+        """'HH:MM[:SS[.f]]', compact '[T]HHMMSS[.f]', numeric offsets
+        ±H/±HH[:MM]/±HHMM, trailing zone abbreviations. Returns
+        (seconds Decimal, offset-seconds or None) or None."""
+        from decimal import Decimal
+
+        s = body.strip()
+        if s[:1] in ("T", "t"):
+            s = s[1:].strip()
+        off = None
+        zm = re.search(r"\s+([A-Za-z]{2,5})$", s)
+        if zm and (o := _TZ_ABBREV_OFFSETS.get(zm.group(1).upper())):
+            sign = -1 if o.startswith("-") else 1
+            hh, mm = o[1:].split(":")
+            off = sign * (int(hh) * 3600 + int(mm) * 60)
+            s = s[: zm.start()].strip()
+        om = re.search(r"([+-])\s*(\d{1,2})(?::?(\d{2}))?$", s)
+        if om and (off is None):
+            off = (-1 if om.group(1) == "-" else 1) * (
+                int(om.group(2)) * 3600 + int(om.group(3) or 0) * 60
+            )
+            s = s[: om.start()].strip()
+        tm = re.fullmatch(
+            r"(\d{1,2}):(\d{2})(?::(\d{2}(?:\.\d+)?))?", s
+        ) or re.fullmatch(r"(\d{2})(\d{2})(\d{2}(?:\.\d+)?)?", s)
+        if not tm:
+            return None
+        h, mi, sec = (
+            int(tm.group(1)), int(tm.group(2)), Decimal(tm.group(3) or 0),
+        )
+        if h > 24 or mi > 59:
+            return None
+        return (h * 3600 + mi * 60 + sec, off)
+
+    _TIME_FORM = (
+        r"(?:time\s+with\s+time\s+zone|timetz|"
+        r"time(?:\s+without\s+time\s+zone)?)\s+(\x01\d+\x01)"
+    )
+    _is_tz_form = re.compile(r"(?i)^\s*(time\s+with|timetz)").match
+
+    def _time_lit_secs(form_text: str, tok: str):
+        parsed = _pg_time_lit_parse(_lit_value(tok, lits))
+        if parsed is None:
+            return None
+        secs, off = parsed
+        if not _is_tz_form(form_text):
+            off = None  # plain time drops any zone decoration
+        return secs, off
+
+    # timestamptz(date 'd', <time-form> 't') constructor (date.c
+    # datetimetz_timestamptz): the instant at the time's offset
+    def sub_make_tstz2(m: re.Match) -> str:
+        import datetime as _dt
+
+        parsed = _time_lit_secs(m.group(2), m.group(3))
+        try:
+            d = _dt.date.fromisoformat(_lit_value(m.group(1), lits).strip())
+        except ValueError:
+            return m.group(0)
+        if parsed is None:
+            return m.group(0)
+        secs, off = parsed
+        ts = _dt.datetime.combine(d, _dt.time()) + _dt.timedelta(
+            seconds=float(secs) - (off or 0)
+        )
+        return f"TIMESTAMP {_new_lit(ts.isoformat(sep=' '), lits)}"
+
+    sql = re.sub(
+        rf"(?i)\btimestamptz\s*\(\s*date\s+(\x01\d+\x01)\s*,\s*"
+        rf"({_TIME_FORM})\s*\)",
+        sub_make_tstz2,
+        sql,
+    )
+    # date 'd' + <time-form> 't'  lowers like the timestamptz ctor
+    class _FakeMatch:
+        def __init__(self, groups, whole):
+            self._g, self._w = groups, whole
+
+        def group(self, i=0):
+            return self._w if i == 0 else self._g[i - 1]
+
+    def sub_date_plus_time(m: re.Match) -> str:
+        form = m.group("f")
+        ttok = re.search(r"\x01\d+\x01", form).group(0)
+        return sub_make_tstz2(
+            _FakeMatch((m.group("d"), form, ttok), m.group(0))
+        )
+
+    sql = re.sub(
+        rf"(?i)\bdate\s+(?P<d>\x01\d+\x01)\s*\+\s*(?P<f>{_TIME_FORM})",
+        sub_date_plus_time,
+        sql,
+    )
+    # <time-form> 't' ± INTERVAL 'iv': fold, wrapping mod 24 h; the
+    # interval's day/month fields are ignored (date.c time_pl_interval)
+    def sub_time_iv(m: re.Match) -> str:
+        parsed = _time_lit_secs(m.group(1), m.group(2))
+        iv = _pg_interval_parse(_lit_value(m.group(4), lits), None, None, None)
+        if parsed is None or iv is None:
+            return m.group(0)
+        secs, off = parsed
+        iv_secs = iv["h"] * 3600 + iv["mi"] * 60 + iv["s"]
+        if m.group(3) == "-":
+            iv_secs = -iv_secs
+        out = _time_render(secs + iv_secs, off)
+        if off is not None:
+            return _new_lit(out, lits)
+        return f"INTERVAL {_new_lit(out, lits)} HOUR TO SECOND"
+
+    sql = re.sub(
+        rf"(?i)\b({_TIME_FORM})\s*([-+])\s*INTERVAL\s+(\x01\d+\x01)",
+        sub_time_iv,
+        sql,
+    )
+    # bare timetz literal -> canonical text
+    def sub_timetz_lit(m: re.Match) -> str:
+        parsed = _time_lit_secs(m.group(0), m.group(1))
+        if parsed is None:
+            return m.group(0)
+        return _new_lit(_time_render(*parsed), lits)
+
+    sql = re.sub(
+        r"(?i)\b(?:time\s+with\s+time\s+zone|timetz)\s+(\x01\d+\x01)",
+        sub_timetz_lit,
+        sql,
+    )
     def sub_time_lit(m: re.Match) -> str:
         body = lits[int(_MASK_RE.match(m.group(1)).group(1))][1:-1]
+        parsed = _pg_time_lit_parse(body)
+        if parsed is not None:
+            # canonical HH:MM:SS[.f] (zone decorations dropped): the
+            # compact '040506.789+08' forms normalize here
+            tok = _new_lit(_time_render(parsed[0]), lits)
+            return f"INTERVAL {tok} HOUR TO SECOND"
         qual = "HOUR TO SECOND" if body.count(":") >= 2 else "HOUR TO MINUTE"
         return f"INTERVAL {m.group(1)} {qual}"
 
+    # 'time without time zone' typed literals spell like plain time
+    sql = re.sub(
+        r"(?i)\btime\s+without\s+time\s+zone\s+(\x01\d+\x01)",
+        r"time \1",
+        sql,
+    )
     sql = _TIME_LIT_RE.sub(sub_time_lit, sql)
+    # CAST(time AS interval) / CAST(interval AS time): identities in
+    # this model (time IS a day-time interval)
+    sql = re.sub(
+        r"(?i)\bCAST\s*\(\s*(INTERVAL\s+\x01\d+\x01"
+        r"(?:\s+HOUR\s+TO\s+(?:SECOND|MINUTE))?)\s+AS\s+"
+        r"(?:interval|time)\s*\)",
+        lambda m: f"({m.group(1)})",
+        sql,
+    )
     sql = _MAKE_TSTZ_RE.sub("make_timestamp(", sql)
     sql = _JSON_KEYS_ANY_RE.sub(
         lambda m: (
@@ -2262,6 +2712,48 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
             f"array_contains(json_object_keys({m.group(1)}), {m.group(2)})"
         ),
         sql,
+    )
+    # function spellings of the same operators (jsonfuncs.c
+    # jsonb_exists/_any/_all), plus jsonb_delete's text-key form as a
+    # single-step jsonb_delete_path
+    sql = re.sub(
+        rf"\bjsonb_exists\s*\(\s*({_ARITH_CHAIN}|{_LIT})\s*,"
+        rf"\s*({_ARITH_CHAIN}|{_LIT})\s*\)",
+        lambda m: (
+            f"array_contains(json_object_keys({m.group(1)}), {m.group(2)})"
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        rf"\bjsonb_exists_(any|all)\s*\(\s*({_ARITH_CHAIN}|{_LIT})\s*,"
+        rf"\s*((?:[^()]|\([^()]*\))+)\)",
+        lambda m: (
+            f"{'exists' if m.group(1).lower() == 'any' else 'forall'}"
+            f"({m.group(3)}, __jk -> "
+            f"array_contains(json_object_keys({m.group(2)}), __jk))"
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        rf"\bjsonb_delete\s*\(\s*({_ARITH_CHAIN}|{_LIT})\s*,"
+        rf"\s*({_LIT})\s*\)",
+        lambda m: f"jsonb_delete_path({m.group(1)}, array({m.group(2)}))",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # array_replace (arrayfuncs.c): NULL-safe elementwise swap
+    sql = re.sub(
+        r"\barray_replace\s*\(\s*((?:[^()]|\([^()]*\))+?)\s*,"
+        rf"\s*({_ARITH_CHAIN}|{_LIT}|NULL)\s*,"
+        rf"\s*({_ARITH_CHAIN}|{_LIT}|NULL)\s*\)",
+        lambda m: (
+            f"transform({m.group(1)}, "
+            f"__x -> IF(__x <=> {m.group(2)}, {m.group(3)}, __x))"
+        ),
+        sql,
+        flags=re.IGNORECASE,
     )
 
     def sub_json_typeof(m: re.Match) -> str:
@@ -2365,6 +2857,59 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
             f"{f['h']}, {f['mi']}, {f['s']})"
         )
 
+    def sub_justify(m: re.Match) -> str:
+        """justify_hours/days/interval over an interval LITERAL
+        (timestamp.c interval_justify_*): hours→days and days→months
+        carries, plus — for justify_interval — the sign borrow that
+        makes all fields share a direction ('1 month -1 hour' →
+        '29 days 23:00:00', regress sql/interval.sql). Plan-time only;
+        a non-literal argument stays loud like any unknown function."""
+        from decimal import Decimal
+
+        kind = m.group(1).lower()
+        f = _pg_interval_parse(_lit_value(m.group(2), lits), None, None, None)
+        if f is None:
+            return m.group(0)
+        months = int(f["y"] * 12 + f["mo"])
+        days = int(f["d"])
+        us = int(
+            (f["h"] * 3600 + f["mi"] * 60 + f["s"]) * 1_000_000
+        )
+        usd = 86_400_000_000
+        if kind in ("hours", "interval"):
+            # trunc-toward-zero carry of whole days out of the time part
+            carry = us // usd if us >= 0 else -((-us) // usd)
+            days += carry
+            us -= carry * usd
+        if kind in ("days", "interval"):
+            carry = days // 30 if days >= 0 else -((-days) // 30)
+            months += carry
+            days -= carry * 30
+        if kind == "interval":
+            if months > 0 and (days < 0 or (days == 0 and us < 0)):
+                days += 30
+                months -= 1
+            elif months < 0 and (days > 0 or (days == 0 and us > 0)):
+                days -= 30
+                months += 1
+            if days > 0 and us < 0:
+                us += usd
+                days -= 1
+            elif days < 0 and us > 0:
+                us -= usd
+                days += 1
+        return (
+            f"make_interval(0, {months}, 0, {days}, 0, 0, "
+            f"{Decimal(us) / 1_000_000})"
+        )
+
+    sql = re.sub(
+        r"\bjustify_(interval|hours|days)\s*\(\s*INTERVAL\s+"
+        r"(\x01\d+\x01)\s*\)",
+        sub_justify,
+        sql,
+        flags=re.IGNORECASE,
+    )
     sql = _INTERVAL_QUAL_RE.sub(sub_interval_qual, sql)
 
     def sub_interval_lit(m: re.Match) -> str:
@@ -2373,12 +2918,24 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         body = lits[idx]
         raw = body[1:-1]
         # PG input forms Spark's stringToInterval rejects — colon
-        # times ('02:03', '-1 days +02:03'), '@ ... ago' verbose form:
-        # route through the PG interval parser (same machinery as the
-        # field-qualifier literals). Unit-word-only bodies that Spark
-        # already parses keep the native literal.
+        # times ('02:03', '-1 days +02:03'), '@ ... ago' verbose form,
+        # fractional unit counts ('1.5 months' spills to 1 mon 15 days,
+        # datetime.c AdjustFractDays): route through the PG interval
+        # parser (same machinery as the field-qualifier literals).
+        # Integer unit-word-only bodies that Spark already parses keep
+        # the native literal.
         if ":" in raw or raw.strip().startswith("@") or (
             raw.strip().lower().endswith(" ago")
+        ) or re.search(r"\d+\.\d+\s*[a-z]", raw, re.IGNORECASE) or (
+            # mixed year-month + day-time unit words: Spark's ANSI
+            # literal rejects the mix ("Cannot mix year-month and
+            # day-time fields"); PG reads it as one interval
+            re.search(r"(?i)\b(year|month|mon)s?\b", raw)
+            and re.search(
+                r"(?i)\b(day|week|hour|minute|min|second|sec"
+                r"|millisecond|microsecond|ms|us)s?\b",
+                raw,
+            )
         ):
             f = _pg_interval_parse(raw, None, None, None)
             if f is not None:
@@ -3179,6 +3736,13 @@ def rewrite(sql: str) -> str:
         out,
     )
 
+    # COLLATE qualifiers (gram.y a_expr COLLATE any_name): accepted and
+    # dropped — expressions evaluate under the engine's default binary
+    # collation (README "Known deviations"; locale-sensitive orderings
+    # like "tr_TR" case folding are out of scope)
+    out = re.sub(r"\s+COLLATE\s+(`[^`]*`|[\w.]+)", "", out,
+                 flags=re.IGNORECASE)
+
     # '2011-03-27 01:00:00 MSK' datetime literals: Spark's parser drops
     # the row to NULL on zone abbreviations; PG reads them as fixed
     # offsets — rewrite the literal body in place (the shape is
@@ -3507,6 +4071,53 @@ def rewrite(sql: str) -> str:
     out = _DOUBLE_PREC_TYPE_RE.sub("DOUBLE", out)
     out = _CHAR_VARYING_TYPE_RE.sub("STRING", out)
     out = _TS_ZONE_TYPE_RE.sub("TIMESTAMP", out)
+
+    # ::time / ::timetz — BEFORE the generic cast passes (Spark's TIME
+    # type is unsupported at the Python boundary; `timetz` is not a
+    # Spark type at all). Literal operands re-spell as typed-literal
+    # prefixes (handled by the time family in _rewrite_pg_misc_fns);
+    # non-literals take the time-of-day of the timestamp (date.c
+    # timestamp_time), timetz carrying the session's +00.
+    out = re.sub(
+        r"(?i)(\x01\d+\x01)\s*::\s*timetz\b", r"timetz \1", out
+    )
+    out = re.sub(
+        r"(?i)(\x01\d+\x01)\s*::\s*time(?:\s*\(\s*\d+\s*\))?(?!\w)",
+        r"time \1",
+        out,
+    )
+
+    def _time_of_ts(x: str) -> str:
+        ts = f"CAST({x} AS TIMESTAMP)"
+        return (
+            f"make_dt_interval(0, hour({ts}), minute({ts}), "
+            f"(unix_micros({ts}) % 60000000) / 1000000.0)"
+        )
+
+    out = re.sub(
+        rf"({_DISTINCT_OPERAND})\s*::\s*time(?:\s*\(\s*\d+\s*\))?(?!\w)",
+        lambda m: _time_of_ts(m.group(1)),
+        out,
+    )
+    out = re.sub(
+        rf"({_DISTINCT_OPERAND})\s*::\s*timetz\b",
+        lambda m: (
+            f"concat(date_format(CAST({m.group(1)} AS TIMESTAMP), "
+            f"'HH:mm:ss.SSSSSS'), '+00')"
+        ),
+        out,
+    )
+    # localtime / current_time (PG reserved words, not functions)
+    out = re.sub(
+        r"(?i)\blocaltime\b(?!\s*\()",
+        lambda m: _time_of_ts("now()"),
+        out,
+    )
+    out = re.sub(
+        r"(?i)\bcurrent_time\b(?!\s*\()",
+        "concat(date_format(now(), 'HH:mm:ss.SSSSSS'), '+00')",
+        out,
+    )
     out = _rewrite_cast_typenames(out)
 
     # '\xDEADBEEF'::bytea hex form (varlena.c byteain): the content is
@@ -3537,6 +4148,10 @@ def rewrite(sql: str) -> str:
     # pass, which would otherwise emit CAST(..)[]
     def sub_braced(m: re.Match) -> str:
         body = lits[int(_MASK_RE.match(m.group(1)).group(1))][1:-1].strip()
+        # '[2:4]={1,2,3}' bounds-decorated input (array_in): custom
+        # lower bounds are accepted and normalized to 1-based — the
+        # engine's array model has no bounds (documented deviation)
+        body = re.sub(r"^(\s*\[-?\d+:-?\d+\])+\s*=\s*", "", body)
         if not (body.startswith("{") and body.endswith("}")):
             return m.group(0)
         inner = body[1:-1].strip()
@@ -3581,9 +4196,31 @@ def rewrite(sql: str) -> str:
         lambda m: f"::ARRAY<{_map_type(m.group(1))}>",
         out,
     )
+    # 'NaN'/'Infinity' into numeric: PG numeric admits the IEEE
+    # specials (numeric.c), DECIMAL cannot (CAST -> NULL, the silent-
+    # wrong-answer class) — lower those literals to DOUBLE instead
+    def _numeric_target(tok: str, typ: str) -> str:
+        if _lit_value(tok, lits).strip().lower() in (
+            "nan", "infinity", "+infinity", "-infinity", "inf", "-inf"
+        ):
+            return "DOUBLE"
+        return _map_type(typ.lower())
+
+    out = re.sub(
+        r"(\x01\d+\x01)\s*::\s*(numeric)(?!\s*\()",
+        lambda m: f"CAST({m.group(1)} AS {_numeric_target(*m.groups())})",
+        out,
+        flags=re.IGNORECASE,
+    )
+
     # bool 'n' / int4 '7' / numeric '1.5' typed scalar literals
     out = _TYPED_SCALAR_LIT_RE.sub(
-        lambda m: f"CAST({m.group(2)} AS {_map_type(m.group(1).lower())})",
+        lambda m: (
+            f"CAST({m.group(2)} AS "
+            f"{_numeric_target(m.group(2), m.group(1))})"
+            if m.group(1).lower() == "numeric"
+            else f"CAST({m.group(2)} AS {_map_type(m.group(1).lower())})"
+        ),
         out,
     )
 
