@@ -1613,3 +1613,188 @@ def pgsql_xml_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM region ORDER BY r_regionkey
         """,
     )
+
+
+@register(
+    "pgsql_format_compose",
+    # PG format() semantics stated as literals (DuckDB's printf lacks
+    # %I/%L/positional widths) plus a per-row compose both engines run
+    oracle="""
+    SELECT r_regionkey,
+           'INSERT INTO ' ||
+           CASE WHEN regexp_matches(lower(r_name), '^[a-z_][a-z0-9_]*$')
+                     AND lower(r_name) = r_name
+                THEN r_name
+                ELSE '"' || r_name || '"' END ||
+           ' VALUES(''' || r_regionkey || ''')' AS stmt,
+           '>>     Hello<<' AS width10,
+           '>>"Hello"   <<' AS ident_left,
+           '>>      NULL<<' AS null_l,
+           'second, first' AS pos_variadic,
+           't, f' AS bool_out
+    FROM region ORDER BY r_regionkey
+    """,
+    tags=("dialect", "functions", "strings"),
+)
+def pgsql_format_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG format() compiled to a concat() at plan time (varlena.c
+    text_format; regress text.out): %s/%I/%L conversions, %n$
+    positions, static and */'*n$' indirect widths with PG's
+    argument-advance rule, VARIADIC array arguments, SQL-literal
+    quoting with NULL -> the bare word NULL. Zero runtime dispatch —
+    the picture is a plan-time constant, so formatting a 100 TB column
+    costs one string concat per row."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT r_regionkey,
+               format('INSERT INTO %I VALUES(%L)', r_name, r_regionkey)
+                 AS stmt,
+               format('>>%*1$s<<', 10, 'Hello') AS width10,
+               format('>>%1$-10I<<', 'Hello') AS ident_left,
+               format('>>%2$*1$L<<', 10, NULL) AS null_l,
+               format('%2$s, %1$s', variadic array['first', 'second'])
+                 AS pos_variadic,
+               format('%s, %s', variadic array[true, false]) AS bool_out
+        FROM region ORDER BY r_regionkey
+        """,
+    )
+
+
+@register(
+    "pgsql_interval_out",
+    # PG interval_out text stated as literals (DuckDB renders
+    # intervals differently) plus a data-driven date count
+    oracle="""
+    SELECT '1 year 2 mons 3 days 04:05:06.699999' AS mixed,
+           '-10 mons -3 days +03:55:06.7' AS neg_mix,
+           '9 years 1 mon -12 days +13:14:00' AS norm,
+           '1 mon 15 days' AS frac_mon,
+           '83 years 3 mons' AS months_only,
+           '29 days 23:00:00' AS justified,
+           '3 days 00:00:00.005' AS millis,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderdate < DATE '1995-02-28') AS n_before
+    """,
+    tags=("dialect", "intervals"),
+)
+def pgsql_interval_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG interval_out rendering for Calendar/year-month interval
+    results (datetime.c EncodeInterval, postgres style; regress
+    sql/interval.sql): per-field signs, '+' on a positive time after
+    negative fields, zero fields omitted — applied at the engine's
+    result boundary (functions/interval_out.py) because PySpark cannot
+    collect those interval types at all. justify_interval folds at
+    plan time (timestamp.c interval_justify_interval)."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT interval '1 year 2 mons 3 days 04:05:06.699999' AS mixed,
+               interval '-10 mons -3 days +03:55:06.70' AS neg_mix,
+               interval '10 years -11 month -12 days +13:14' AS norm,
+               interval '1.5 months' AS frac_mon,
+               interval '999' month AS months_only,
+               justify_interval(interval '1 month -1 hour') AS justified,
+               '3 days 5 milliseconds'::interval AS millis,
+               (SELECT COUNT(*) FROM orders
+                WHERE o_orderdate < DATE '1995-01-01'
+                      + interval '2 mons -1 day') AS n_before
+        """,
+    )
+
+
+@register(
+    "pgsql_time_arithmetic",
+    # PG time/timetz semantics as literals (DuckDB has TIME but not
+    # PG's compact/zone-suffixed input forms) + a timestamp compose
+    oracle="""
+    SELECT '04:05:06.789-08' AS tz_compact,
+           '23:59:59.999999-07' AS tz_abbrev,
+           '23:29:00-08' AS tz_minus_iv,
+           '14:31:00-08' AS tz_wrap,
+           CAST(14706 AS BIGINT) AS time_secs,
+           CAST(27060 AS BIGINT) AS plus_iv_secs,
+           strftime(TIMESTAMP '1991-02-03 12:05:06',
+                    '%Y-%m-%d %H:%M:%S') AS date_plus_timetz,
+           strftime(TIMESTAMP '1994-01-01 16:00:00',
+                    '%Y-%m-%d %H:%M:%S') AS make_tstz
+    """,
+    tags=("dialect", "datetime"),
+)
+def pgsql_time_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG time / time-with-time-zone input forms and arithmetic
+    (utils/adt/date.c time_in/timetz_in/time_pl_interval; regress
+    sql/time.sql, sql/timetz.sql): compact '[T]HHMMSS.fff±HH' input,
+    zone abbreviations, literal arithmetic folding that wraps mod 24 h
+    and ignores the interval's day/month fields, date + timetz
+    producing the instant, and the timestamptz(date, timetz)
+    constructor. time models as a day-time interval (sorts, composes
+    with dates natively); timetz as canonical text."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT time with time zone '040506.789-08' AS tz_compact,
+               '23:59:59.999999 PDT'::timetz AS tz_abbrev,
+               time with time zone '01:30-08' - interval '02:01'
+                 AS tz_minus_iv,
+               time with time zone '02:30-08' + interval '36:01'
+                 AS tz_wrap,
+               CAST('04:05:06'::time AS BIGINT) AS time_secs,
+               CAST(time '03:30' + interval '1 month 04:01' AS BIGINT)
+                 AS plus_iv_secs,
+               CAST(date '1991-02-03'
+                    + time with time zone '04:05:06 PST' AS STRING)
+                 AS date_plus_timetz,
+               CAST(timestamptz(date '1994-01-01', timetz '11:00-5')
+                    AS STRING) AS make_tstz
+        """,
+    )
+
+
+@register(
+    "pgsql_to_number_pictures",
+    # the same loose-scan semantics computed with DuckDB string ops
+    oracle="""
+    SELECT -34338492.0 AS grouped,
+           -564646.654564 AS pr_wrap,
+           -5.01 AS trail_sign,
+           544448.78 AS spaced,
+           3450.0 AS sep_anywhere,
+           123.0 AS slot_bound,
+           1234.56 AS currency,
+           42.0 AS ordinal,
+           CAST(count(*) AS BIGINT) AS n
+    FROM region
+    """,
+    tags=("dialect", "functions", "numeric"),
+)
+def pgsql_to_number_pictures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_number with PG pictures (formatting.c do_to_number; regress
+    numeric.out to_number_1..22): grouping/currency/ordinal text is
+    skipped wherever it appears, '-' anywhere (or a PR <...> wrap)
+    negates, and the picture bounds how many integer/fraction digits
+    are consumed. Literal calls fold to constants at plan time."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT CAST(to_number('-34,338,492', '99G999G999') AS DOUBLE)
+                 AS grouped,
+               CAST(to_number('<564646.654564>', '999999.999999PR')
+                    AS DOUBLE) AS pr_wrap,
+               CAST(to_number('5.01-', 'FM9.999999S') AS DOUBLE)
+                 AS trail_sign,
+               CAST(to_number('5 4 4 4 4 8 . 7 8', '9 9 9 9 9 9 . 9 9')
+                    AS DOUBLE) AS spaced,
+               CAST(to_number('34,50', '999,99') AS DOUBLE)
+                 AS sep_anywhere,
+               CAST(to_number('123,000', '999G') AS DOUBLE) AS slot_bound,
+               CAST(to_number('$1,234.56', 'L99,999.99') AS DOUBLE)
+                 AS currency,
+               CAST(to_number('42nd', '99th') AS DOUBLE) AS ordinal,
+               (SELECT COUNT(*) FROM region) AS n
+        """,
+    )
