@@ -2036,3 +2036,61 @@ def test_pg_time_and_timetz_family(engine):
     assert r.b.replace(tzinfo=None) == dt.datetime(1994, 1, 1, 16, 0)
     assert r.c.replace(tzinfo=None) == dt.datetime(1994, 1, 1, 10, 0)
     assert r.d is True and r.e is True
+
+
+def test_pg_network_types(engine):
+    """PG network types (network.c inet_in/out, network_plus/minus;
+    mac8.c macaddr8_in/_set7bit; regress sql/inet.sql:763-833,
+    sql/macaddr8.sql): canonical-text model, literal casts and literal
+    arithmetic folded at plan time (chains fold to a fixpoint), text
+    accessors as pure SQL."""
+    cases = [
+        ("'127.0.0.1'::inet + 257", "127.0.1.2"),
+        ("('127.0.0.1'::inet + 257) - 257", "127.0.0.1"),
+        ("'127::1'::inet + 10000000000", "127::2:540b:e401"),
+        ("'127::1'::inet - '127::2'::inet", -1),
+        ("'127.0.0.2'::inet - ('127.0.0.2'::inet + 500)", -500),
+        ("'    08:00:2b:01:02:03     '::macaddr8",
+         "08:00:2b:ff:fe:01:02:03"),
+        ("macaddr8_set7bit('00:08:2b:01:02:03'::macaddr8)",
+         "02:08:2b:ff:fe:01:02:03"),
+        ("'192.168.1.5/24'::cidr", "192.168.1.0/24"),
+        ("host('192.168.1.5/24'::inet)", "192.168.1.5"),
+        ("masklen('192.168.1.5/24'::inet)", 24),
+        ("family('127::1'::inet)", 6),
+        ("inet_same_family('127::1'::inet, '10.0.0.1'::inet)", False),
+        ("'08-00-2b-01-02-03'::macaddr", "08:00:2b:01:02:03"),
+    ]
+    for expr, want in cases:
+        assert engine.sql(f"SELECT {expr} AS x").collect()[0].x == want, expr
+
+
+def test_probe_misc_round10b(engine):
+    """Second round-10 probe sweep: factorial operators (pre-14 gram.y
+    postfix !/prefix !!), millennium/century/decade interval units
+    (datetime.c), numeric precision clamping past DECIMAL's 38 cap,
+    heterogeneous json_build_array (json.c), compact ISO-8601
+    timestamptz input, and quantified comparisons over FROM-less SRF
+    subqueries (parse_expr.c SubLink ANY/ALL)."""
+    import datetime as dt
+
+    r = engine.sql(
+        "SELECT 4! AS a, !!3 AS b,"
+        "       '2 centuries 3 decades'::interval AS c,"
+        "       exp(1.0::numeric(71,70)) AS d,"
+        "       json_build_array('a',1,true,NULL,json '{\"x\": 3}') AS e,"
+        "       json_build_array(1, 2, NULL) AS f,"
+        "       timestamp with time zone '20011227T040506.789+08' AS g,"
+        "       (SELECT 1) = ALL (SELECT generate_series(1, 2)) AS h,"
+        "       (SELECT 3) = ALL (SELECT generate_series(3, 3)) AS i,"
+        "       3 = ANY(SELECT generate_series(1, 4)) AS j"
+    ).collect()[0]
+    assert r.a == 24 and r.b == 6
+    assert str(r.c) == "230 years"
+    assert abs(float(r.d) - 2.718281828459045) < 1e-12
+    assert r.e == '["a",1,true,null,{"x": 3}]'
+    assert r.f == "[1,2,null]"
+    assert r.g.astimezone(dt.timezone.utc).replace(tzinfo=None) == (
+        dt.datetime(2001, 12, 26, 20, 5, 6, 789000)
+    )
+    assert (r.h, r.i, r.j) == (False, True, True)

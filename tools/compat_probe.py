@@ -193,6 +193,12 @@ def corpus() -> list[tuple[str, bool | None]]:
     return sorted(stmts.items())
 
 
+_PG_IV_TEXT_RE = re.compile(
+    r"(?:(-?\d+) years? ?)?(?:(-?\d+) mons? ?)?(?:(-?\d+) days? ?)?"
+    r"(?:([+-]?)(\d+):(\d{2}):(\d{2}(?:\.\d+)?))?"
+)
+
+
 def _norm_cell(v) -> str:
     """Engine-neutral value rendering: exact for ints/strings/bools,
     10-significant-digit for floats (PG/DuckDB/Spark print shortest
@@ -237,6 +243,33 @@ def _norm_cell(v) -> str:
         return v.isoformat()
     if isinstance(v, datetime.timedelta):
         return f"interval:{v.total_seconds():.6f}"
+    if isinstance(v, datetime.time):
+        # engine time is a day-time interval; canon both to seconds
+        secs = v.hour * 3600 + v.minute * 60 + v.second + v.microsecond / 1e6
+        return f"interval:{secs:.6f}"
+    if isinstance(v, str):
+        # PG interval_out text (the engine's Calendar/YM rendering) vs
+        # DuckDB's timedelta: canon to seconds with DuckDB's 30-day
+        # month / 360-day year conversion, so both sides agree
+        m = _PG_IV_TEXT_RE.fullmatch(v.strip())
+        if m and any(m.group(i) for i in (1, 2, 3)):
+            y = int(m.group(1) or 0)
+            mo = int(m.group(2) or 0)
+            d = int(m.group(3) or 0)
+            secs = y * 31104000 + mo * 2592000 + d * 86400
+            if m.group(5):
+                t = (
+                    int(m.group(5)) * 3600
+                    + int(m.group(6)) * 60
+                    + float(m.group(7) or 0)
+                )
+                secs += -t if m.group(4) == "-" else t
+            return f"interval:{secs:.6f}"
+        if re.fullmatch(r"-?\d{1,9}:\d{2}:\d{2}(?:\.\d+)?", v):
+            neg = v.startswith("-")
+            h, mi, s = v.lstrip("-").split(":")
+            secs = int(h) * 3600 + int(mi) * 60 + float(s)
+            return f"interval:{-secs if neg else secs:.6f}"
     if isinstance(v, np.ndarray) and v.ndim == 0:
         return _norm_cell(v.item())
     if isinstance(v, (list, tuple, np.ndarray)):

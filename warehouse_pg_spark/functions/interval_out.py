@@ -93,9 +93,10 @@ def calendar_interval_out_sql(col: str) -> str:
     )
     tneg = f"({h} < 0 OR {mi} < 0 OR startswith({sstr}, '-'))"
     has_time = f"({h} <> 0 OR {mi} <> 0 OR {sabs} <> '0')"
-    return _assemble(
+    body = _assemble(
         y, mo, d, tneg, f"abs({h})", f"abs({mi})", ss, frac, has_time
     )
+    return f"IF({col} IS NULL, CAST(NULL AS STRING), {body})"
 
 
 def ym_interval_out_sql(col: str, dtype: YearMonthIntervalType) -> str:
@@ -109,7 +110,8 @@ def ym_interval_out_sql(col: str, dtype: YearMonthIntervalType) -> str:
     else:
         m = f"(CAST({col} AS BIGINT) * 12)"
     y, mo = f"({m} div 12)", f"({m} % 12)"
-    return _assemble(y, mo, "0", "false", "0", "0", "0", "''", "false")
+    body = _assemble(y, mo, "0", "false", "0", "0", "0", "''", "false")
+    return f"IF({col} IS NULL, CAST(NULL AS STRING), {body})"
 
 
 def present_intervals(df: DataFrame) -> DataFrame:

@@ -126,6 +126,23 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "zip_with(a, b, (x, y) -> x + y)",
     ),
     "log_pg": ("x DOUBLE", "DOUBLE", "log10(x)"),  # PG log(x) = base 10
+    # PG network types (network.c): values are canonical text; pg_inet
+    # is the identity marker the dialect's literal folds emit, and the
+    # accessors are pure string ops — inet analytics over a 100 TB log
+    # column stay inside whole-stage codegen
+    "pg_inet": ("s STRING", "STRING", "s"),
+    "host": ("s STRING", "STRING", "split_part(s, '/', 1)"),
+    "masklen": (
+        "s STRING", "INT",
+        "CASE WHEN contains(s, '/') THEN "
+        "CAST(split_part(s, '/', 2) AS INT) "
+        "WHEN contains(s, ':') THEN 128 ELSE 32 END",
+    ),
+    "family": ("s STRING", "INT", "IF(contains(s, ':'), 6, 4)"),
+    "inet_same_family": (
+        "a STRING, b STRING", "BOOLEAN",
+        "contains(a, ':') = contains(b, ':')",
+    ),
     # XML value construction (xml.c): pg_xml is an identity marker the
     # dialect uses to tag already-XML subtrees (nested constructors
     # embed raw, text content escapes); Catalyst inlines it away.

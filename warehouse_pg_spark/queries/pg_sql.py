@@ -1798,3 +1798,55 @@ def pgsql_to_number_pictures(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT COUNT(*) FROM region) AS n
         """,
     )
+
+
+@register(
+    "pgsql_network_types",
+    # canonical-text semantics stated as literals (DuckDB's INET
+    # extension is not loaded) plus a per-row compose both engines run
+    oracle="""
+    SELECT '127.0.1.2' AS plus257,
+           '127.0.0.1' AS round_trip,
+           '127::2:540b:e401' AS v6_plus,
+           CAST(-1 AS BIGINT) AS diff,
+           '08:00:2b:ff:fe:01:02:03' AS mac8_expand,
+           '02:08:2b:ff:fe:01:02:03' AS set7bit,
+           '192.168.1.0/24' AS cidr_net,
+           '192.168.1.5' AS host_part,
+           24 AS mask_len,
+           6 AS fam,
+           '10.0.' || r_regionkey || '.1' AS synth_ip,
+           r_regionkey
+    FROM region ORDER BY r_regionkey
+    """,
+    tags=("dialect", "network", "functions"),
+)
+def pgsql_network_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG network types (utils/adt/network.c inet_in/inet_out,
+    network_plus/minus; mac8.c macaddr8_in/macaddr8_set7bit; regress
+    sql/inet.sql, sql/macaddr8.sql): canonical-text model — literal
+    casts and literal arithmetic fold at plan time (Python's stdlib
+    ipaddress produces PG's canonical output form), while the
+    host/masklen/family accessors are pure-SQL string ops that stay
+    inside whole-stage codegen over a 100 TB log column."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT '127.0.0.1'::inet + 257 AS plus257,
+               ('127.0.0.1'::inet + 257) - 257 AS round_trip,
+               '127::1'::inet + 10000000000 AS v6_plus,
+               '127::1'::inet - '127::2'::inet AS diff,
+               '08:00:2b:01:02:03'::macaddr8 AS mac8_expand,
+               macaddr8_set7bit('00:08:2b:01:02:03'::macaddr8)
+                 AS set7bit,
+               '192.168.1.5/24'::cidr AS cidr_net,
+               host('192.168.1.5/24'::inet) AS host_part,
+               masklen('192.168.1.5/24'::inet) AS mask_len,
+               family('127::1'::inet) AS fam,
+               host(('10.0.' || r_regionkey || '.1/16')::inet)
+                 AS synth_ip,
+               r_regionkey
+        FROM region ORDER BY r_regionkey
+        """,
+    )

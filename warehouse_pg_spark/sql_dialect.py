@@ -708,6 +708,16 @@ def _rewrite_pg_math_ops(sql: str) -> str:
             "unrecognized operand form around PG '^' (power) operator; "
             "parenthesize the operands: " + sql
         )
+    # PG factorial operators (pre-14 gram.y): postfix `4!` and prefix
+    # `!!4`; the lookaheads keep != / !~ comparisons untouched
+    sql = re.sub(
+        r"(?<![\w.!])!!\s*(\d+|\([^()]*\))", r"factorial(\1)", sql
+    )
+    sql = re.sub(
+        r"(?<![\w.])(\d+|\([^()]*\))\s*!(?![=~!<>])",
+        r"factorial(\1)",
+        sql,
+    )
     sql = _INT_XOR_RE.sub(lambda m: f"({m.group(1)} ^ {m.group(2)})", sql)
     sql = _CBRT_RE.sub(lambda m: f"cbrt({m.group(1)})", sql)
     sql = _SQRT_RE.sub(lambda m: f"sqrt({m.group(1)})", sql)
@@ -1357,6 +1367,9 @@ _INTERVAL_QUAL_RE = re.compile(
 )
 # interval-string tokenizer units (datetime.c DecodeUnits subset)
 _IV_UNITS = {
+    "millennium": "mil", "millenniums": "mil", "millennia": "mil",
+    "century": "cen", "centuries": "cen",
+    "decade": "dec", "decades": "dec", "dec": "dec", "decs": "dec",
     "year": "y", "years": "y", "yr": "y", "yrs": "y", "y": "y",
     "month": "mo", "months": "mo", "mon": "mo", "mons": "mo",
     "week": "w", "weeks": "w", "w": "w",
@@ -1422,6 +1435,12 @@ def _pg_interval_parse(
     def add(unit: str, v: Decimal, spilled: bool = False) -> None:
         # fractional spill (DecodeInterval AdjustFract*): 0.5 day is
         # 12h, 1.5 years is 1y 6mo, 0.5 mon is 15 days
+        if unit == "mil":
+            unit, v = "y", v * 1000
+        if unit == "cen":
+            unit, v = "y", v * 100
+        if unit == "dec":
+            unit, v = "y", v * 10
         if unit == "w":
             unit, v = "d", v * 7
         if unit == "ms":
@@ -2381,9 +2400,42 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     sql = _JSON_BUILD_OBJ_RE.sub(
         lambda m: f"to_json(named_struct({m.group(1)}))", sql
     )
-    sql = _JSON_BUILD_ARR_RE.sub(
-        lambda m: f"to_json(array({m.group(1)}))", sql
-    )
+    def sub_json_build_arr(m: re.Match) -> str:
+        """json[b]_build_array (json.c json_build_array): heterogeneous
+        element types build per-element — each non-NULL, non-json arg
+        JSON-encodes through to_json(array(x)) with the brackets
+        stripped (typed quoting/escaping for free); `json '...'`-typed
+        args splice raw. Same-type calls keep identical output to the
+        old to_json(array(...)) lowering (compact ',' separator)."""
+        args = _split_args(m.group(1))
+        if not args:
+            return "'[]'"
+        parts, kinds = [], set()
+        for a in args:
+            t = a.strip()
+            jm = re.match(r"(?is)^jsonb?\s+(\x01\d+\x01)$", t)
+            if jm:
+                parts.append(jm.group(1))
+                kinds.update(("json", "other"))  # force per-element
+                continue
+            if t.upper() == "NULL":
+                parts.append("'null'")
+                continue
+            if _MASK_RE.fullmatch(t):
+                kinds.add("str")
+            elif re.fullmatch(r"-?\d+(?:\.\d+)?", t):
+                kinds.add("num")
+            elif t.lower() in ("true", "false"):
+                kinds.add("bool")
+            else:
+                kinds.add("expr")
+            e = f"to_json(array({t}))"
+            parts.append(f"substr({e}, 2, length({e}) - 2)")
+        if len(kinds) <= 1:  # homogeneous: one array, one encoder
+            return f"to_json(array({m.group(1)}))"
+        return "concat('[', concat_ws(',', " + ", ".join(parts) + "), ']')"
+
+    sql = _JSON_BUILD_ARR_RE.sub(sub_json_build_arr, sql)
     sql = _JSON_OBJECT_AGG_RE.sub(
         lambda m: (
             "to_json(map_from_entries(collect_list("
@@ -2510,7 +2562,29 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
 
     sql = _HASH_PATH_ARR_RE.sub(sub_hash_path_arr, sql)
     sql = _HASH_PATH_RE.sub(sub_hash_path, sql)
-    sql = _TS_ZONE_LIT_RE.sub(lambda m: f"TIMESTAMP {m.group(1)}", sql)
+    def sub_ts_zone_lit(m: re.Match) -> str:
+        # compact ISO-8601 input ('20011227T040506.789+08',
+        # datetime.c DecodeISO8601...): normalize to the punctuated
+        # form Spark's parser accepts
+        body = _lit_value(m.group(1), lits).strip()
+        cm = re.fullmatch(
+            r"(\d{4})(\d{2})(\d{2})[T ]?(\d{2}):?(\d{2}):?"
+            r"(\d{2}(?:\.\d+)?)?\s*([+-]\d{1,2}(?::?\d{2})?)?",
+            body,
+        )
+        if cm:
+            y, mo, d, h, mi, s, off = cm.groups()
+            iso = f"{y}-{mo}-{d} {h}:{mi}:{s or '00'}"
+            if off:
+                o = off.replace(":", "")
+                iso += (
+                    f"{o[0]}{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
+                    + (f":{o[3:5]}" if len(o) >= 5 else "")
+                )
+            return f"TIMESTAMP {_new_lit(iso, lits)}"
+        return f"TIMESTAMP {m.group(1)}"
+
+    sql = _TS_ZONE_LIT_RE.sub(sub_ts_zone_lit, sql)
     sql = _DOUBLE_PREC_LIT_RE.sub(
         lambda m: f"CAST({m.group(1)} AS DOUBLE)", sql
     )
@@ -2903,6 +2977,14 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
             f"{Decimal(us) / 1_000_000})"
         )
 
+    # 'lit'::interval spells like the typed literal, so PG-only unit
+    # words (millennium/century/decade) reach the PG parser instead of
+    # Spark's cast (which silently NULLs on unknown units)
+    sql = re.sub(
+        r"(?i)(\x01\d+\x01)\s*::\s*interval\b(?!\s*\()",
+        r"INTERVAL \1",
+        sql,
+    )
     sql = re.sub(
         r"\bjustify_(interval|hours|days)\s*\(\s*INTERVAL\s+"
         r"(\x01\d+\x01)\s*\)",
@@ -2926,7 +3008,10 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         # the native literal.
         if ":" in raw or raw.strip().startswith("@") or (
             raw.strip().lower().endswith(" ago")
-        ) or re.search(r"\d+\.\d+\s*[a-z]", raw, re.IGNORECASE) or (
+        ) or re.search(r"\d+\.\d+\s*[a-z]", raw, re.IGNORECASE) or re.search(
+            # PG-only unit words Spark's stringToInterval rejects
+            r"(?i)\b(millenni|centur|decade)", raw
+        ) or (
             # mixed year-month + day-time unit words: Spark's ANSI
             # literal rejects the mix ("Cannot mix year-month and
             # day-time fields"); PG reads it as one interval
@@ -3242,6 +3327,41 @@ def _rewrite_op_any_all(sql: str, lits: list[str]) -> str:
             pred = f"NOT ({pred})"
         return f"{fn}({arr}, __qe -> {pred})"
 
+    def sub_subq(m: re.Match) -> str:
+        # quantified SUBQUERY comparisons (parse_expr.c SubLink
+        # ANY/ALL): Spark SQL has no ALL/ANY(SELECT ...) at all.
+        # Lowered through ONE scalar collect_list subquery + a
+        # higher-order exists/forall — PG runs these as a materialized
+        # subplan per row too, so the collected-array shape mirrors the
+        # reference's execution (hashed/materialized SubPlan), and the
+        # subquery here is a bounded dialect path, not a fact scan.
+        x, op, quant, q = (g.strip() for g in m.groups())
+        if re.search(r"(?i)\bFROM\b", q):
+            # table-backed subqueries keep the scalable join lowering
+            # (pinned by test_dialect_property); only the FROM-less
+            # SRF-expansion shape takes the aggregated path
+            return m.group(0)
+        if op == "<>":
+            op = "!="
+        agg, empty = (
+            ("bool_and", "true") if quant.upper() == "ALL"
+            else ("bool_or", "false")
+        )
+        # the left operand splices textually, so no outer reference —
+        # Spark rejects correlated refs inside a subquery's aggregate
+        return (
+            f"coalesce((SELECT {agg}(({x}) {op} __qv) "
+            f"FROM ({q}) AS __qt(__qv)), {empty})"
+        )
+
+    sql = re.sub(
+        rf"({_DISTINCT_OPERAND}(?:\s*[-+*/%]\s*{_DISTINCT_OPERAND})*)"
+        rf"\s*(=|<>|!=|<=|>=|<|>)\s*"
+        rf"(ANY|ALL|SOME)\s*\(\s*(SELECT\b(?:[^()]|\([^()]*\))+)\)",
+        sub_subq,
+        sql,
+        flags=re.IGNORECASE,
+    )
     sql = _LIKE_ANY_ALL_RE.sub(sub_like, sql)
     return _OP_ANY_ALL_RE.sub(sub, sql)
 
@@ -3430,6 +3550,123 @@ def map_decl_type(t: str) -> str:
     return _map_type(t)
 
 
+def _rewrite_pg_network(out: str, lits: list[str]) -> str:
+    """PG network types (utils/adt/network.c inet_in/inet_out,
+    network_plus/minus; mac8.c macaddr8_in/macaddr8_set7bit; regress
+    sql/inet.sql, sql/macaddr8.sql). Values model as canonical TEXT —
+    Python's stdlib ipaddress implements the same canonical form PG's
+    inet_out prints (compressed lowercase IPv6, no /32 on bare hosts).
+    Literal casts and literal arithmetic FOLD at plan time; pg_inet()
+    is a Catalyst-inlined identity marking folded values so chained
+    arithmetic ((x + 257) - 257) keeps folding to a fixpoint.
+    Non-literal network arithmetic stays loud; the host/masklen/family
+    helpers in functions/pg.py run on the text form per-row."""
+    import ipaddress
+
+    def sub_inet(m: re.Match) -> str:
+        body = _lit_value(m.group(1), lits).strip()
+        try:
+            if "/" in body:
+                canon = str(ipaddress.ip_interface(body))
+            else:
+                canon = str(ipaddress.ip_address(body))
+        except ValueError:
+            return m.group(0)  # bad input: stay loud, as PG errors
+        return f"pg_inet({_new_lit(canon, lits)})"
+
+    out = re.sub(r"(?i)(\x01\d+\x01)\s*::\s*inet\b", sub_inet, out)
+
+    def sub_cidr(m: re.Match) -> str:
+        body = _lit_value(m.group(1), lits).strip()
+        try:
+            canon = str(ipaddress.ip_network(body, strict=False))
+        except ValueError:
+            return m.group(0)
+        return f"pg_inet({_new_lit(canon, lits)})"
+
+    out = re.sub(r"(?i)(\x01\d+\x01)\s*::\s*cidr\b", sub_cidr, out)
+    # non-literal ::inet: taken verbatim as text (no canonicalization
+    # at runtime — document deviation; literals above ARE canonical)
+    out = re.sub(
+        rf"({_DISTINCT_OPERAND})\s*::\s*inet\b",
+        lambda m: f"pg_inet(CAST({m.group(1)} AS STRING))",
+        out,
+    )
+
+    def sub_mac(m: re.Match, want8: bool) -> str:
+        body = _lit_value(m.group(1), lits).strip().lower()
+        hexs = re.sub(r"[:.\-]", "", body)
+        if not re.fullmatch(r"[0-9a-f]{12}(?:[0-9a-f]{4})?", hexs):
+            return m.group(0)
+        if want8 and len(hexs) == 12:
+            # 6-byte input expands with ff:fe in the middle (mac8.c)
+            hexs = hexs[:6] + "fffe" + hexs[6:]
+        if not want8 and len(hexs) != 12:
+            return m.group(0)
+        canon = ":".join(hexs[i : i + 2] for i in range(0, len(hexs), 2))
+        return _new_lit(canon, lits)
+
+    out = re.sub(
+        r"(?i)(\x01\d+\x01)\s*::\s*macaddr8\b",
+        lambda m: sub_mac(m, True),
+        out,
+    )
+    out = re.sub(
+        r"(?i)(\x01\d+\x01)\s*::\s*macaddr\b",
+        lambda m: sub_mac(m, False),
+        out,
+    )
+
+    def sub_set7bit(m: re.Match) -> str:
+        parts = _lit_value(m.group(1), lits).split(":")
+        if len(parts) != 8:
+            return m.group(0)
+        parts[0] = f"{int(parts[0], 16) | 0x02:02x}"
+        return _new_lit(":".join(parts), lits)
+
+    out = re.sub(
+        r"(?i)\bmacaddr8_set7bit\s*\(\s*(\x01\d+\x01)\s*\)",
+        sub_set7bit,
+        out,
+    )
+
+    def sub_inet_arith(m: re.Match) -> str:
+        a = ipaddress.ip_address(_lit_value(m.group(1), lits))
+        op, n = m.group(2), int(m.group(3))
+        try:
+            r = a + n if op == "+" else a - n
+        except ValueError:
+            return m.group(0)  # out of the family's range: loud
+        return f"pg_inet({_new_lit(str(r), lits)})"
+
+    def sub_inet_diff(m: re.Match) -> str:
+        a = ipaddress.ip_address(_lit_value(m.group(1), lits))
+        b = ipaddress.ip_address(_lit_value(m.group(2), lits))
+        if a.version != b.version:
+            return m.group(0)
+        return f"CAST({int(a) - int(b)} AS BIGINT)"
+
+    prev = None
+    while prev != out:  # chained arithmetic folds to a fixpoint
+        prev = out
+        out = re.sub(
+            # grouping parens only — a call's parens (host(pg_inet(x)))
+            # have an identifier char before the '('
+            r"(?<![\w.])\(\s*(pg_inet\(\x01\d+\x01\))\s*\)", r"\1", out
+        )
+        out = re.sub(
+            r"pg_inet\((\x01\d+\x01)\)\s*-\s*pg_inet\((\x01\d+\x01)\)",
+            sub_inet_diff,
+            out,
+        )
+        out = re.sub(
+            r"pg_inet\((\x01\d+\x01)\)\s*([+-])\s*(\d+)\b(?!\s*[.\d])",
+            sub_inet_arith,
+            out,
+        )
+    return out
+
+
 def _rewrite_cast_typenames(sql: str) -> str:
     """CAST(x AS text/int4/float8/...) — the function-syntax twin of the
     `::` operator, previously unmapped (only `::` went through
@@ -3480,7 +3717,20 @@ def _map_type(t: str) -> str:
         return t
     if "(" in t and base in ("varchar", "bpchar", "numeric"):
         if base == "numeric":
-            return "DECIMAL" + t[t.index("(") :]
+            # PG numeric allows precision up to 131072; DECIMAL caps at
+            # 38 — clamp, preserving the integer-digit budget
+            inner = t[t.index("(") + 1 : t.rindex(")")]
+            parts = [x.strip() for x in inner.split(",")]
+            try:
+                p = int(parts[0])
+                s = int(parts[1]) if len(parts) > 1 else 0
+            except ValueError:
+                return "DECIMAL" + t[t.index("(") :]
+            if p > 38:
+                int_digits = p - s
+                s = max(0, 38 - int_digits) if int_digits < 38 else 0
+                p = 38
+            return f"DECIMAL({p},{s})"
         return "STRING"
     return mapped
 
@@ -4086,6 +4336,29 @@ def rewrite(sql: str) -> str:
         r"time \1",
         out,
     )
+    # 'lit'::interval: Spark's string→interval CAST handles most PG
+    # inputs (and yields CalendarInterval, whose PG-text rendering the
+    # result boundary owns) — but it silently NULLs on PG-only forms:
+    # millennium/century/decade words, '@ .. ago', colon times,
+    # fractional unit counts. Those respell as typed literals so the
+    # PG interval parser takes them.
+    def sub_iv_cast(m: re.Match) -> str:
+        body = _lit_value(m.group(1), lits)
+        if (
+            ":" in body
+            or body.strip().startswith("@")
+            or body.strip().lower().endswith(" ago")
+            or re.search(r"\d+\.\d+\s*[a-z]", body, re.IGNORECASE)
+            or re.search(r"(?i)\b(millenni|centur|decade)", body)
+        ):
+            return f"INTERVAL {m.group(1)}"
+        return m.group(0)
+
+    out = re.sub(
+        r"(?i)(\x01\d+\x01)\s*::\s*interval\b(?!\s*\()",
+        sub_iv_cast,
+        out,
+    )
 
     def _time_of_ts(x: str) -> str:
         ts = f"CAST({x} AS TIMESTAMP)"
@@ -4118,6 +4391,7 @@ def rewrite(sql: str) -> str:
         "concat(date_format(now(), 'HH:mm:ss.SSSSSS'), '+00')",
         out,
     )
+    out = _rewrite_pg_network(out, lits)
     out = _rewrite_cast_typenames(out)
 
     # '\xDEADBEEF'::bytea hex form (varlena.c byteain): the content is
