@@ -2094,3 +2094,39 @@ def test_probe_misc_round10b(engine):
         dt.datetime(2001, 12, 26, 20, 5, 6, 789000)
     )
     assert (r.h, r.i, r.j) == (False, True, True)
+
+
+def test_nd_array_ctor_and_mixed_dim_concat(engine):
+    """PG multi-dimensional ARRAY constructors spell inner dimensions
+    as bare brackets (gram.y array_expr), and 1-D operands concatenate
+    against 2-D ones AS A ROW (arrayfuncs.c array_cat; regress
+    sql/arrays.sql)."""
+    r = engine.sql(
+        "SELECT ARRAY[[1,2],[3,4]] || ARRAY[5,6] AS a,"
+        "       array_cat(ARRAY[1,2], ARRAY[[3,4],[5,6]]) AS b,"
+        "       array_cat(ARRAY[[3,4],[5,6]], ARRAY[1,2]) AS c,"
+        "       ARRAY[[['hello','world']]] AS d,"
+        "       ARRAY[1,2] || ARRAY[3] AS e"
+    ).collect()[0]
+    assert r.a == [[1, 2], [3, 4], [5, 6]]
+    assert r.b == [[1, 2], [3, 4], [5, 6]]
+    assert r.c == [[3, 4], [5, 6], [1, 2]]
+    assert r.d == [[["hello", "world"]]] and r.e == [1, 2, 3]
+
+
+def test_nested_srf_arguments(engine):
+    """SRF-in-SRF-argument nesting (execSRF.c; regress sql/tsrf.sql):
+    the inner SRF hoists into a derived table and the outer runs per
+    inner row — PG's lateral evaluation order."""
+    def rows(q):
+        return sorted(r[0] for r in engine.sql(q).collect())
+
+    assert rows("SELECT generate_series(1, generate_series(1, 3))") == (
+        [1, 1, 1, 2, 2, 3]
+    )
+    assert rows(
+        "select generate_series(generate_series(1,2)+1,4) as o"
+    ) == [2, 3, 3, 4, 4]
+    assert rows(
+        "select generate_series(generate_series(1,2),4)+1 as o"
+    ) == [2, 3, 3, 4, 4, 5, 5]

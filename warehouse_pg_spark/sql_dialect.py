@@ -502,6 +502,49 @@ def _clause_at(sql: str, pos: int) -> str | None:
     return last.get(depth)
 
 
+def _rewrite_nested_srf(sql: str) -> str:
+    """SRF-in-SRF-argument nesting (execSRF.c; regress sql/tsrf.sql
+    `generate_series(1, generate_series(1, 3))`): PG evaluates the
+    inner SRF first and runs the outer once per inner row. Lowered by
+    HOISTING the single inner call into a derived table — the existing
+    select-list SRF classifier then lowers the outer call (possibly
+    inside an expression) over that one-column FROM, exactly the
+    lateral evaluation order PG uses. Only the FROM-less,
+    single-select-item, single-inner shape is claimed; other nestings
+    stay loud."""
+    m = re.match(r"(?is)^\s*SELECT\s+(.+?)\s*$", sql)
+    if m is None or re.search(r"(?i)\bFROM\b", sql):
+        return sql
+    item = m.group(1)
+    if len(_split_args(item)) != 1:
+        return sql
+    for om in re.finditer(r"(?i)\bgenerate_series\s*\(", item):
+        depth, j = 1, om.end()
+        while j < len(item) and depth:
+            if item[j] == "(":
+                depth += 1
+            elif item[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            return sql
+        body = item[om.end() : j - 1]
+        im = re.search(r"(?i)\bgenerate_series\s*\(([^()]*)\)", body)
+        if im is None:
+            continue
+        new_body = body[: im.start()] + "__gi0" + body[im.end() :]
+        if "generate_series" in new_body.lower():
+            return sql  # two inner SRFs: not claimed
+        new_item = (
+            item[: om.end()] + new_body + ")" + item[j:]
+        )
+        return (
+            f"SELECT {new_item} FROM "
+            f"(SELECT explode(sequence({im.group(1)})) AS __gi0)"
+        )
+    return sql
+
+
 def _rewrite_srf_from_bare(sql: str) -> str:
     def sub(m: re.Match) -> str:
         lead, _lat, fn, args_s, alias = m.groups()
@@ -4061,11 +4104,56 @@ def rewrite(sql: str) -> str:
     out = _rewrite_distinct_on(out)
     out = _rewrite_with_ties(out)
 
-    # ARRAY[a, b] → array(a, b), innermost-first for nesting
-    prev = None
-    while prev != out:
-        prev = out
-        out = _ARRAY_CTOR_RE.sub(lambda m: f"array({m.group(1)})", out)
+    # ARRAY[a, b] → array(a, b). PG's multi-dimensional constructor
+    # spells INNER dimensions as bare brackets (ARRAY[[1,2],[3,4]],
+    # gram.y array_expr) — a bare '[' that follows '[' or ',' opens a
+    # sub-array; one that follows an identifier/')'/']' is a subscript
+    # and is left for the 1-based subscript pass.
+    def _conv_ctor_body(text: str) -> str:
+        res: list[str] = []
+        i, n = 0, len(text)
+        while i < n:
+            c = text[i]
+            if c == "[":
+                prev_ns = "".join(res).rstrip()[-1:]
+                if prev_ns in ("", ",", "("):
+                    depth, j = 1, i + 1
+                    while j < n and depth:
+                        if text[j] == "[":
+                            depth += 1
+                        elif text[j] == "]":
+                            depth -= 1
+                        j += 1
+                    if depth:  # unbalanced: bail out verbatim
+                        res.append(text[i:])
+                        return "".join(res)
+                    res.append(
+                        "array(" + _conv_ctor_body(text[i + 1 : j - 1]) + ")"
+                    )
+                    i = j
+                    continue
+            res.append(c)
+            i += 1
+        return "".join(res)
+
+    _arr_kw = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+    pos0 = 0
+    while True:
+        m = _arr_kw.search(out, pos0)
+        if not m:
+            break
+        depth, j = 1, m.end()
+        while j < len(out) and depth:
+            if out[j] == "[":
+                depth += 1
+            elif out[j] == "]":
+                depth -= 1
+            j += 1
+        if depth:
+            break  # unbalanced: leave the rest untouched
+        body = _conv_ctor_body(out[m.end() : j - 1])
+        out = out[: m.start()] + "array(" + body + ")" + out[j:]
+        pos0 = m.start()
 
     # PG precedence: arithmetic binds tighter than || (see regex defn)
     out = _CONCAT_ARITH_R_RE.sub(lambda m: f"|| ({m.group(1)})", out)
@@ -4566,6 +4654,28 @@ def rewrite(sql: str) -> str:
     # AT TIME ZONE, ARRAY(SELECT ...)
     out = _rewrite_pg_misc_fns(out, lits)
 
+    # mixed-dimension array concatenation (arrayfuncs.c array_cat): a
+    # 1-D operand against a 2-D one appends/prepends AS A ROW — wrap
+    # the 1-D literal side so Spark's concat types align
+    _AR_LIT = r"array\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
+    _is2d = re.compile(r"array\(\s*array\(")
+
+    def _nd_fix(m: re.Match) -> str:
+        a, b = m.group(1), m.group(2)
+        a2, b2 = bool(_is2d.match(a)), bool(_is2d.match(b))
+        sep = " || " if "||" in m.group(0) else None
+        if a2 == b2:
+            return m.group(0)
+        a, b = (a, f"array({b})") if a2 else (f"array({a})", b)
+        if sep:
+            return f"{a}{sep}{b}"
+        return f"concat({a}, {b})"
+
+    out = re.sub(rf"({_AR_LIT})\s*\|\|\s*({_AR_LIT})", _nd_fix, out)
+    out = re.sub(
+        rf"concat\(\s*({_AR_LIT})\s*,\s*({_AR_LIT})\s*\)", _nd_fix, out
+    )
+
     # BETWEEN SYMMETRIC → least/greatest bound swap
     out = _rewrite_between_symmetric(out)
 
@@ -4604,6 +4714,7 @@ def rewrite(sql: str) -> str:
     )
     # FROM srf(..) with a bare alias / no alias: alias names the column
     out = _rewrite_srf_from_bare(out)
+    out = _rewrite_nested_srf(out)
     # SRFs in the SELECT list: a lone unnest() item becomes explode;
     # multiple consecutive SRF items run in lockstep with NULL padding
     # (execSRF.c) and lower to one inline(arrays_zip) generator
