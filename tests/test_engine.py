@@ -793,15 +793,24 @@ def test_reset_and_discard(engine, spark):
         engine.sql("RESET TIME ZONE")
         assert spark.conf.get("spark.sql.session.timeZone") == tz0
         engine.sql("SET work_mem = '64MB'")
+        assert engine.sql("SHOW work_mem").collect()[0][0] == "64MB"
         engine.sql("RESET work_mem")
+        # r10: RESET restores the guc_tables.c DEFAULT (PG semantics),
+        # never an empty table — SHOW keeps answering
+        assert engine.sql("SHOW work_mem").collect()[0][0] == "4MB"
         import pytest as _pt
-        with _pt.raises(KeyError):
-            engine.sql("SHOW work_mem").collect()
+
+        engine.sql("SET myapp.custom = 'v1'")
+        engine.sql("RESET myapp.custom")
+        with _pt.raises(KeyError):  # no default for custom GUCs
+            engine.sql("SHOW myapp.custom").collect()
         engine.sql("SET search_path TO public")
         engine.sql("PREPARE rd AS SELECT 1 AS x")
         engine.sql("DISCARD ALL")
-        with _pt.raises(KeyError):
-            engine.sql("SHOW search_path").collect()
+        assert (
+            engine.sql("SHOW search_path").collect()[0][0]
+            == '"$user", public'
+        )
         with _pt.raises(KeyError):
             engine.sql("EXECUTE rd()").collect()
     finally:
@@ -2130,3 +2139,34 @@ def test_nested_srf_arguments(engine):
     assert rows(
         "select generate_series(generate_series(1,2),4)+1 as o"
     ) == [2, 3, 3, 4, 4, 5, 5]
+
+
+def test_probe_misc_round10c(engine):
+    """Third round-10 probe sweep: PG date input forms (month-name
+    orders, two-digit-year window, Julian 'J2451187' — datetime.c
+    DecodeDateTime; regress sql/date.sql), to_json over scalars,
+    jsonb_* aliases, numeric json_build_object keys, element||array
+    concatenation, width_bucket's thresholds-array form, VARIADIC
+    concat_ws, sha2 digests, and pre-seeded GUC defaults."""
+    r = engine.sql(
+        "SELECT date 'January 8, 1999' AS a, date 'J2451187' AS b,"
+        "       date '08-Jan-99' AS c, 'Jan 8 1999'::date AS d,"
+        "       to_json(date '2014-05-28') AS e,"
+        "       jsonb_array_length('[1,2,3]') AS f,"
+        "       jsonb_build_object(1,2) AS g,"
+        "       0 || ARRAY[1,2] || 3 AS h,"
+        "       width_bucket(5, ARRAY[3, 4, 11]) AS i,"
+        "       concat_ws(',', variadic NULL::int[]) AS j,"
+        "       concat_ws(',', variadic array[1,2,3]) AS k,"
+        "       num_nulls(VARIADIC '{\"1\",\"2\"}'::text[]) AS l,"
+        "       hex(sha256('abc')) AS m,"
+        "       current_setting('work_mem') AS n"
+    ).collect()[0]
+    import datetime as dt
+
+    assert r.a == r.b == r.c == r.d == dt.date(1999, 1, 8)
+    assert r.e == '"2014-05-28"' and r.f == 3 and r.g == '{"1":2}'
+    assert r.h == [0, 1, 2, 3] and r.i == 2
+    assert r.j is None and r.k == "1,2,3" and r.l == 0
+    assert r.m.lower().startswith("ba7816bf8f01cfea")
+    assert r.n == "4MB"

@@ -122,6 +122,24 @@ _EXECUTE_STMT_RE = re.compile(
 _DEALLOCATE_RE = re.compile(
     r"^DEALLOCATE\s+(?:PREPARE\s+)?(\w+|ALL)\s*$", re.IGNORECASE
 )
+# well-known PG GUC defaults (guc_tables.c) answered by SHOW /
+# current_setting() out of the box; RESET restores these
+_GUC_DEFAULTS: dict[str, str] = {
+    "work_mem": "4MB",
+    "maintenance_work_mem": "64MB",
+    "shared_buffers": "128MB",
+    "statement_timeout": "0",
+    "search_path": '"$user", public',
+    "server_version": "12.0",
+    "standard_conforming_strings": "off",
+    "datestyle": "ISO, MDY",
+    "intervalstyle": "postgres",
+    "bytea_output": "hex",
+    "client_encoding": "UTF8",
+    "server_encoding": "UTF8",
+    "max_parallel_workers_per_gather": "2",
+}
+
 _RESET_RE = re.compile(r"^RESET\s+(ALL|[\w.]+(?:\s+\w+)?)\s*$", re.IGNORECASE)
 _CREATE_MV_RE = re.compile(
     r"^CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+)$",
@@ -290,7 +308,11 @@ class Engine:
         self._prepared: dict[str, tuple[str, int | None]] = {}
         # session GUCs (SET/SHOW, guc.c): stored verbatim; timezone maps
         # onto the live Spark session conf.
-        self._gucs: dict[str, str] = {}
+        # a few well-known PG GUCs pre-seeded so current_setting()/SHOW
+        # answer for them (guc_tables.c defaults); everything else is
+        # loud until SET, matching PG's unrecognized-parameter error.
+        # RESET [ALL] restores these defaults, never an empty table.
+        self._gucs: dict[str, str] = dict(_GUC_DEFAULTS)
         # snapshot for SET TIME ZONE DEFAULT/LOCAL (gram.y zone_value
         # resets to the session's startup default)
         self._default_timezone = self.spark.conf.get(
@@ -534,11 +556,14 @@ class Engine:
             key = m.group(1).lower()
             if key == "all":
                 self._gucs.clear()
+                self._gucs.update(_GUC_DEFAULTS)
                 self.spark.conf.set(
                     "spark.sql.session.timeZone", self._default_timezone
                 )
             else:
                 self._gucs.pop(key, None)
+                if key in _GUC_DEFAULTS:
+                    self._gucs[key] = _GUC_DEFAULTS[key]
                 if key in ("timezone", "time zone"):
                     self.spark.conf.set(
                         "spark.sql.session.timeZone", self._default_timezone
@@ -548,6 +573,7 @@ class Engine:
             # DISCARD ALL (commands/discard.c): session back to pristine
             self._prepared.clear()
             self._gucs.clear()
+            self._gucs.update(_GUC_DEFAULTS)
             self.spark.conf.set(
                 "spark.sql.session.timeZone", self._default_timezone
             )

@@ -131,6 +131,12 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # accessors are pure string ops — inet analytics over a 100 TB log
     # column stay inside whole-stage codegen
     "pg_inet": ("s STRING", "STRING", "s"),
+    # SHA-2 digests over text/bytea input (cryptohashfuncs.c): PG
+    # returns bytea, which canonicalizes as \x-hex at the boundary
+    "sha224": ("s STRING", "BINARY", "unhex(sha2(s, 224))"),
+    "sha256": ("s STRING", "BINARY", "unhex(sha2(s, 256))"),
+    "sha384": ("s STRING", "BINARY", "unhex(sha2(s, 384))"),
+    "sha512": ("s STRING", "BINARY", "unhex(sha2(s, 512))"),
     "host": ("s STRING", "STRING", "split_part(s, '/', 1)"),
     "masklen": (
         "s STRING", "INT",

@@ -806,7 +806,9 @@ _GENERATE_SUBSCRIPTS_RE = re.compile(
     re.IGNORECASE,
 )
 _NUM_NULLS_RE = re.compile(
-    r"\bnum_(nonnulls|nulls)\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+    r"\bnum_(nonnulls|nulls)\s*"
+    r"\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)",
+    re.IGNORECASE,
 )
 # operand that also admits typed literals (TIMESTAMP '...', DATE '...')
 _TEMPORAL_OPERAND = rf"(?:(?:TIMESTAMP|DATE)\s*{_LIT}|{_DISTINCT_OPERAND})"
@@ -2440,8 +2442,72 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     sql = _SUBSTR_FOR_RE.sub(
         lambda m: f"substring({m.group(1)}, 1, {m.group(2)})", sql
     )
-    sql = _JSON_BUILD_OBJ_RE.sub(
-        lambda m: f"to_json(named_struct({m.group(1)}))", sql
+    def sub_json_build_obj(m: re.Match) -> str:
+        # named_struct needs literal string field names — PG coerces
+        # any scalar key to text (json.c), so quote literal
+        # numeric/bool keys at plan time; other non-literal keys stay
+        # loud via named_struct's own error
+        args = _split_args(m.group(1))
+        for i in range(0, len(args) - 1, 2):
+            k = args[i].strip()
+            if re.fullmatch(r"-?\d+(?:\.\d+)?|true|false", k, re.IGNORECASE):
+                args[i] = _new_lit(k, lits)
+        return f"to_json(named_struct({', '.join(args)}))"
+
+    sql = _JSON_BUILD_OBJ_RE.sub(sub_json_build_obj, sql)
+    # jsonb_* spellings of functions whose json_* twin is a Spark
+    # built-in / already lowered
+    sql = re.sub(
+        r"(?i)\bjsonb_(array_length|object_keys)\s*\(",
+        lambda m: f"json_{m.group(1).lower()}(",
+        sql,
+    )
+    # to_json over a SCALAR literal (json.c to_json; PG encodes any
+    # value): the array-encode trick gives typed quoting for free.
+    # Struct/map/array args keep Spark's native to_json.
+    def sub_to_json_scalar(m: re.Match) -> str:
+        a = m.group(1).strip()
+        e = f"to_json(array({a}))"
+        return f"substr({e}, 2, length({e}) - 2)"
+
+    sql = re.sub(
+        rf"\bto_jsonb?\s*\(\s*((?:DATE|TIMESTAMP)\s+\x01\d+\x01"
+        rf"|\x01\d+\x01|-?\d+(?:\.\d+)?|true|false)\s*\)",
+        sub_to_json_scalar,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # width_bucket(x, thresholds[]) two-arg form (PG 9.5
+    # numeric.c width_bucket_array): index of the last threshold <= x
+    sql = re.sub(
+        rf"\bwidth_bucket\s*\(\s*({_ARITH_CHAIN})\s*,\s*"
+        rf"((?:array|ARRAY)\s*[\[(](?:[^()\[\]]|\([^()]*\))*[\])])\s*\)",
+        lambda m: (
+            f"size(filter({m.group(2)}, __t -> __t <= ({m.group(1)})))"
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # concat/concat_ws with a VARIADIC array argument (varlena.c):
+    # elements render as text; a NULL array yields NULL
+    sql = re.sub(
+        r"(?i)\bconcat_ws\s*\(\s*((?:[^(),]|\([^()]*\))+)\s*,\s*"
+        r"VARIADIC\s+((?:[^()]|\([^()]*\))+)\)",
+        lambda m: (
+            f"IF(({m.group(2)}) IS NULL, CAST(NULL AS STRING), "
+            f"concat_ws({m.group(1)}, transform({m.group(2)}, "
+            f"__v -> CAST(__v AS STRING))))"
+        ),
+        sql,
+    )
+    sql = re.sub(
+        r"(?i)\bconcat\s*\(\s*VARIADIC\s+((?:[^()]|\([^()]*\))+)\)",
+        lambda m: (
+            f"IF(({m.group(1)}) IS NULL, CAST(NULL AS STRING), "
+            f"concat_ws('', transform({m.group(1)}, "
+            f"__v -> CAST(__v AS STRING))))"
+        ),
+        sql,
     )
     def sub_json_build_arr(m: re.Match) -> str:
         """json[b]_build_array (json.c json_build_array): heterogeneous
@@ -4410,6 +4476,68 @@ def rewrite(sql: str) -> str:
     out = _CHAR_VARYING_TYPE_RE.sub("STRING", out)
     out = _TS_ZONE_TYPE_RE.sub("TIMESTAMP", out)
 
+    # PG date input forms Spark rejects or silently NULLs (datetime.c
+    # DecodeDateTime; regress sql/date.sql): month-name spellings in
+    # any of PG's accepted orders and the Julian-day 'J2451187' form —
+    # parsed at plan time into ISO literals. Plain ISO bodies pass
+    # through untouched.
+    def _pg_date_fold(body: str) -> str | None:
+        import datetime as _dt
+
+        s = body.strip()
+        if re.fullmatch(r"\d{4}-\d{2}-\d{2}", s):
+            return None  # already ISO — native literal is fine
+        if re.fullmatch(r"[Jj]\d{1,7}", s):
+            return (
+                _dt.date(1970, 1, 1)
+                + _dt.timedelta(days=int(s[1:]) - 2440588)
+            ).isoformat()
+        toks = [t for t in re.split(r"[\s,-]+", s) if t]
+        months = {
+            m: i + 1 for i, m in enumerate(
+                ("jan", "feb", "mar", "apr", "may", "jun",
+                 "jul", "aug", "sep", "oct", "nov", "dec")
+            )
+        }
+        mo = None
+        nums = []
+        for t in toks:
+            if t[:3].lower() in months and not t.isdigit():
+                mo = months[t[:3].lower()]
+            elif t.isdigit():
+                nums.append(int(t))
+            else:
+                return None
+        if mo is None or len(nums) != 2:
+            return None
+        a, b = nums
+        y, d = (a, b) if a > 31 else (b, a)
+        if y < 100:  # PG's two-digit-year window (datetime.c)
+            y += 2000 if y < 70 else 1900
+        try:
+            return _dt.date(y, mo, d).isoformat()
+        except ValueError:
+            return None
+
+    def sub_date_lit(m: re.Match) -> str:
+        folded = _pg_date_fold(_lit_value(m.group(1), lits))
+        if folded is None:
+            return m.group(0)
+        return f"DATE {_new_lit(folded, lits)}"
+
+    out = re.sub(
+        r"(?i)\bdate\s+(\x01\d+\x01)", sub_date_lit, out
+    )
+    out = re.sub(
+        r"(?i)(\x01\d+\x01)\s*::\s*date\b",
+        lambda m: (
+            f"DATE {_new_lit(f, lits)}"
+            if (f := _pg_date_fold(_lit_value(m.group(1), lits)))
+            else m.group(0)
+        ),
+        out,
+    )
+
     # ::time / ::timetz — BEFORE the generic cast passes (Spark's TIME
     # type is unsupported at the Python boundary; `timetz` is not a
     # Spark type at all). Literal operands re-spell as typed-literal
@@ -4671,6 +4799,19 @@ def rewrite(sql: str) -> str:
             return f"{a}{sep}{b}"
         return f"concat({a}, {b})"
 
+    # scalar-element concatenation (0 || ARRAY[1,2] || 3 — array_cat's
+    # element forms): bare NUMERIC literals next to an array literal
+    # wrap as one-element arrays, so the whole chain is array concat
+    out = re.sub(
+        r"(?<![\w.'])(-?\d+(?:\.\d+)?)\s*\|\|(?=\s*array\()",
+        r"array(\1) ||",
+        out,
+    )
+    out = re.sub(
+        rf"({_AR_LIT})\s*\|\|\s*(-?\d+(?:\.\d+)?)(?![\w.])",
+        r"\1 || array(\2)",
+        out,
+    )
     out = re.sub(rf"({_AR_LIT})\s*\|\|\s*({_AR_LIT})", _nd_fix, out)
     out = re.sub(
         rf"concat\(\s*({_AR_LIT})\s*,\s*({_AR_LIT})\s*\)", _nd_fix, out
