@@ -2170,3 +2170,20 @@ def test_probe_misc_round10c(engine):
     assert r.j is None and r.k == "1,2,3" and r.l == 0
     assert r.m.lower().startswith("ba7816bf8f01cfea")
     assert r.n == "4MB"
+
+
+def test_probe_misc_round10d(engine):
+    """Fourth round-10 probe sweep: compact 'YYYYMMDD' date input,
+    make_interval named-argument notation (funcapi :=), and ?|/?& with
+    braced-literal text[] operands."""
+    import datetime as dt
+
+    r = engine.sql(
+        "SELECT date '19990108' AS a,"
+        "       make_interval(years := 1, months := 6) AS b,"
+        "       jsonb '{\"x\":1}' ?& '{}'::text[] AS c,"
+        "       jsonb '{\"x\":1}' ?| '{y,x}'::text[] AS d"
+    ).collect()[0]
+    assert r.a == dt.date(1999, 1, 8)
+    assert str(r.b) == "1 year 6 mons"
+    assert r.c is True and r.d is True

@@ -132,6 +132,25 @@ ORACLE_DIVERGES = (
     # json TYPE preserves \uNNNN escapes verbatim; duck re-escapes
     "\\u00",
     "\\u0024",
+    # element||array concatenation: PG's || over an array operand is
+    # array_cat (engine matches: {0,1,2}); DuckDB string-concats
+    "|| array[",
+    "array[1,2] ||",
+    # PG sha2 functions return BYTEA ('\xef53...', engine matches);
+    # DuckDB's return VARCHAR hex without the \x
+    "sha224(",
+    "sha256(",
+    "sha384(",
+    "sha512(",
+    # VARIADIC array arguments spread as individual args in PG
+    # (text.out: concat(variadic array[1,2,3]) = '123', engine
+    # matches); DuckDB passes the LIST through as one value
+    "variadic ",
+    # PG to_json(timestamp) renders ISO-8601 with 'T'; DuckDB keeps a
+    # space separator (engine uses T; sub-second digits are millis —
+    # README "Known deviations")
+    "to_json(timestamp",
+    "to_jsonb(timestamp",
 )
 
 

@@ -1182,11 +1182,16 @@ _TRUNC1_RE = re.compile(
 # against the object's key set, so a null VALUE still counts (which
 # get_json_object can't distinguish from a missing key). ?|/?& run
 # before bare ? so it can't half-match them.
+# the RHS array operand admits depth-2 calls: braced literals have
+# already lowered to CAST(array(..) AS ARRAY<..>) by this point
+_JSON_KEYS_ARR = (
+    rf"(?:[\w.]+\((?:[^()]|\([^()]*\))*\)|{_DISTINCT_OPERAND})"
+)
 _JSON_KEYS_ANY_RE = re.compile(
-    rf"({_DISTINCT_OPERAND})\s*\?\|\s*({_DISTINCT_OPERAND})"
+    rf"({_DISTINCT_OPERAND})\s*\?\|\s*({_JSON_KEYS_ARR})"
 )
 _JSON_KEYS_ALL_RE = re.compile(
-    rf"({_DISTINCT_OPERAND})\s*\?&\s*({_DISTINCT_OPERAND})"
+    rf"({_DISTINCT_OPERAND})\s*\?&\s*({_JSON_KEYS_ARR})"
 )
 _JSON_HAS_KEY_RE = re.compile(
     rf"({_DISTINCT_OPERAND})\s*\?\s*({_LIT})"
@@ -2694,6 +2699,26 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         return f"TIMESTAMP {m.group(1)}"
 
     sql = _TS_ZONE_LIT_RE.sub(sub_ts_zone_lit, sql)
+
+    # make_interval with PG named arguments (funcapi named notation:
+    # make_interval(years := 1, months := 6)) → positional
+    def sub_make_iv_named(m: re.Match) -> str:
+        order = ("years", "months", "weeks", "days", "hours",
+                 "mins", "secs")
+        vals = {k: "0" for k in order}
+        for part in _split_args(m.group(1)):
+            nm = re.match(r"(?is)^\s*(\w+)\s*:?=>?\s*(.+)$", part)
+            if nm is None or nm.group(1).lower() not in vals:
+                return m.group(0)
+            vals[nm.group(1).lower()] = nm.group(2).strip()
+        return "make_interval(" + ", ".join(vals[k] for k in order) + ")"
+
+    sql = re.sub(
+        r"(?i)\bmake_interval\s*\(\s*((?:[^()]|\([^()]*\))*:="
+        r"(?:[^()]|\([^()]*\))*)\)",
+        sub_make_iv_named,
+        sql,
+    )
     sql = _DOUBLE_PREC_LIT_RE.sub(
         lambda m: f"CAST({m.group(1)} AS DOUBLE)", sql
     )
@@ -4487,6 +4512,13 @@ def rewrite(sql: str) -> str:
         s = body.strip()
         if re.fullmatch(r"\d{4}-\d{2}-\d{2}", s):
             return None  # already ISO — native literal is fine
+        if re.fullmatch(r"\d{8}", s):  # compact ISO 'YYYYMMDD'
+            try:
+                return _dt.date(
+                    int(s[:4]), int(s[4:6]), int(s[6:8])
+                ).isoformat()
+            except ValueError:
+                return None
         if re.fullmatch(r"[Jj]\d{1,7}", s):
             return (
                 _dt.date(1970, 1, 1)
