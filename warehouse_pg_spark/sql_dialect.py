@@ -3111,14 +3111,6 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
             f"{Decimal(us) / 1_000_000})"
         )
 
-    # 'lit'::interval spells like the typed literal, so PG-only unit
-    # words (millennium/century/decade) reach the PG parser instead of
-    # Spark's cast (which silently NULLs on unknown units)
-    sql = re.sub(
-        r"(?i)(\x01\d+\x01)\s*::\s*interval\b(?!\s*\()",
-        r"INTERVAL \1",
-        sql,
-    )
     sql = re.sub(
         r"\bjustify_(interval|hours|days)\s*\(\s*INTERVAL\s+"
         r"(\x01\d+\x01)\s*\)",
