@@ -417,7 +417,39 @@ def main() -> None:
         "should_error_strict_loud": strict_loud,
     }
     if fails_out:
-        def classify(e: str) -> str:
+        # objects the regress suite CREATEs in its own scripts: a
+        # statement failing because such an object is missing needs
+        # statement-context REPLAY, not engine surface — a FROM-less
+        # expression probe can never reach it
+        created: set[str] = set()
+        create_pat = re.compile(
+            r"(?i)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?"
+            r"(?:UNLOGGED\s+)?(?:FUNCTION|TABLE|TYPE|DOMAIN|SEQUENCE"
+            r"|VIEW|MATERIALIZED\s+VIEW|INDEX|AGGREGATE|OPERATOR"
+            r"|PROCEDURE|COLLATION)\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r'([\w."]+)'
+        )
+        for f in glob.glob(REGRESS):
+            for line in open(f, errors="ignore"):
+                cm = create_pat.match(line)
+                if cm:
+                    created.add(
+                        cm.group(1).split(".")[-1].strip('"').lower()
+                    )
+        missing_pat = re.compile(
+            r"routine `(\w+)`|view `+(?:\w+`?\.`?)*(\w+)`"
+            r"|sequence '(\w+)'|relation \"(\w+)\""
+        )
+
+        def classify(e: str, err: str = "") -> str:
+            mm = missing_pat.search(err)
+            if mm:
+                name = next(g for g in mm.groups() if g)
+                if name.lower() in created:
+                    return (
+                        "out-of-scope: regress-local object "
+                        "(CREATE'd by the suite; needs context replay)"
+                    )
             el = e.lower()
             if re.search(r"tsvector|tsquery|to_tsvector|@@", el):
                 return "out-of-scope: full-text search"
@@ -443,15 +475,18 @@ def main() -> None:
         triage = {
             "should_error": should_error,
             "engine_errors": [
-                {**d, "triage": classify(d["sql"])} for d in engine_errors
+                {**d, "triage": classify(d["sql"], d.get("err", ""))}
+                for d in engine_errors
             ],
             "mismatches": mismatches,
             "counts": {
                 "in_scope_errors": sum(
-                    1 for d in engine_errors if classify(d["sql"]) == "in-scope"
+                    1 for d in engine_errors
+                    if classify(d["sql"], d.get("err", "")) == "in-scope"
                 ),
                 "out_of_scope_errors": sum(
-                    1 for d in engine_errors if classify(d["sql"]) != "in-scope"
+                    1 for d in engine_errors
+                    if classify(d["sql"], d.get("err", "")) != "in-scope"
                 ),
             },
         }
