@@ -2187,3 +2187,19 @@ def test_probe_misc_round10d(engine):
     assert r.a == dt.date(1999, 1, 8)
     assert str(r.b) == "1 year 6 mons"
     assert r.c is True and r.d is True
+
+
+def test_bit_string_literals(engine):
+    """PG bit strings (gram.y BCONST/XCONST; varbit.c; regress
+    sql/bit.sql): B'0101' models as 0/1 text, X'1F' expands to bits,
+    an immediate ::int reads the binary value, and get_bit/set_bit use
+    PG's 0-based left-to-right positions."""
+    r = engine.sql(
+        "SELECT get_bit(B'0101011000100', 10) AS a,"
+        "       set_bit(B'0101011000100100', 15, 1) AS b,"
+        "       x'20000'::int AS c, B'1010' AS d, X'1F' AS e,"
+        "       B'101'::int AS f"
+    ).collect()[0]
+    assert r.a == 1 and r.b == "0101011000100101"
+    assert r.c == 131072 and r.d == "1010"
+    assert r.e == "00011111" and r.f == 5

@@ -131,6 +131,16 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # accessors are pure string ops — inet analytics over a 100 TB log
     # column stay inside whole-stage codegen
     "pg_inet": ("s STRING", "STRING", "s"),
+    # bit-string accessors over the 0/1-text model (varbit.c
+    # bit_getbit/bit_setbit; PG positions are 0-based from the left)
+    "get_bit": (
+        "s STRING, n INT", "INT", "CAST(substr(s, n + 1, 1) AS INT)",
+    ),
+    "set_bit": (
+        "s STRING, n INT, v INT",
+        "STRING",
+        "concat(substr(s, 1, n), CAST(v AS STRING), substr(s, n + 2))",
+    ),
     # SHA-2 digests over text/bytea input (cryptohashfuncs.c): PG
     # returns bytea, which canonicalizes as \x-hex at the boundary
     "sha224": ("s STRING", "BINARY", "unhex(sha2(s, 224))"),

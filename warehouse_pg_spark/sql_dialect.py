@@ -4562,6 +4562,38 @@ def rewrite(sql: str) -> str:
         out,
     )
 
+    # PG bit-string literals (gram.y BCONST/XCONST; varbit.c): B'0101'
+    # models as 0/1 text, X'1F' expands each hex digit to 4 bits; an
+    # immediate ::int reads the bits as a binary integer. get_bit/
+    # set_bit over the text model are pure-SQL (functions/pg.py).
+    def sub_xconst(m: re.Match) -> str:
+        body = _lit_value(m.group(1), lits).strip()
+        if not re.fullmatch(r"[0-9a-fA-F]+", body):
+            return m.group(0)
+        bits = "".join(f"{int(c, 16):04b}" for c in body)
+        if m.group(2):  # ::int form: the binary value
+            return str(int(bits, 2) if bits else 0)
+        return _new_lit(bits, lits)
+
+    out = re.sub(
+        r"\b[Xx](\x01\d+\x01)(\s*::\s*int(?:4|8|eger)?\b)?",
+        sub_xconst,
+        out,
+    )
+    def sub_bconst(m: re.Match) -> str:
+        body = _lit_value(m.group(1), lits).strip()
+        if not re.fullmatch(r"[01]*", body):
+            return m.group(0)
+        if m.group(2):
+            return str(int(body, 2) if body else 0)
+        return m.group(1)
+
+    out = re.sub(
+        r"\b[Bb](\x01\d+\x01)(\s*::\s*int(?:4|8|eger)?\b)?",
+        sub_bconst,
+        out,
+    )
+
     # ::time / ::timetz — BEFORE the generic cast passes (Spark's TIME
     # type is unsupported at the Python boundary; `timetz` is not a
     # Spark type at all). Literal operands re-spell as typed-literal
