@@ -1,0 +1,107 @@
+"""CREATE DOMAIN / composite CREATE TYPE / CREATE TYPE AS ENUM
+(commands/typecmds.c, utils/adt/enum.c; regress sql/domain.sql,
+sql/composite_types.sql, sql/enum.sql)."""
+
+import pytest
+
+from warehouse_pg_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark, sf_dir, tmp_path_factory):
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path_factory.mktemp("ut")))
+    e.attach_fixtures(sf_dir)
+    return e
+
+
+def test_domain_check_pass_and_fail(eng):
+    eng.sql("CREATE DOMAIN posint AS integer CHECK (VALUE > 0)")
+    assert eng.sql("SELECT 5::posint AS a").collect()[0].a == 5
+    # NULL passes a CHECK (table-constraint truth table) when no
+    # NOT NULL is declared (domain.sql)
+    assert eng.sql("SELECT NULL::posint AS a").collect()[0].a is None
+    with pytest.raises(Exception, match="violates check constraint"):
+        eng.sql("SELECT (-5)::posint AS a").collect()
+    # CAST(x AS domain) spelling takes the same path
+    assert eng.sql("SELECT CAST(7 AS posint) AS a").collect()[0].a == 7
+    eng.sql("DROP DOMAIN posint")
+
+
+def test_domain_not_null_and_named_constraint(eng):
+    eng.sql(
+        "CREATE DOMAIN dcheck AS varchar(15) NOT NULL "
+        "CONSTRAINT dcheck_ck CHECK (VALUE = 'hello')"
+    )
+    assert eng.sql("SELECT 'hello'::dcheck AS a").collect()[0].a == "hello"
+    with pytest.raises(Exception, match="dcheck"):
+        eng.sql("SELECT NULL::dcheck AS a").collect()
+    with pytest.raises(Exception, match="dcheck_ck"):
+        eng.sql("SELECT 'bye'::dcheck AS a").collect()
+    eng.sql("DROP DOMAIN dcheck")
+
+
+def test_alter_domain(eng):
+    eng.sql("CREATE DOMAIN scale_d AS numeric(10,2)")
+    # numeric(10,2) rounds half away from zero: 5.005 -> 5.01
+    assert float(eng.sql("SELECT 5.005::scale_d AS a").collect()[0].a) == 5.01
+    eng.sql("ALTER DOMAIN scale_d ADD CONSTRAINT pos CHECK (VALUE >= 0)")
+    with pytest.raises(Exception, match='"pos"'):
+        eng.sql("SELECT (-1)::scale_d AS a").collect()
+    eng.sql("ALTER DOMAIN scale_d DROP CONSTRAINT pos")
+    r = eng.sql("SELECT (-1)::scale_d AS a").collect()[0].a
+    assert float(r) == -1.0
+    eng.sql("DROP DOMAIN scale_d")
+
+
+def test_domain_over_dialect_type(eng):
+    # a domain over a PG-only type inherits the downstream rewrite
+    eng.sql("CREATE DOMAIN netaddr AS inet")
+    assert (
+        eng.sql("SELECT '10.0.0.1/24'::netaddr AS a").collect()[0].a
+        == "10.0.0.1/24"
+    )
+    eng.sql("DROP DOMAIN netaddr")
+
+
+def test_domain_in_create_table_column(eng):
+    eng.sql("CREATE DOMAIN qty_d AS integer CHECK (VALUE >= 0)")
+    eng.sql("CREATE TEMP TABLE dom_tab AS SELECT 3::qty_d AS q")
+    assert eng.sql("SELECT q FROM dom_tab").collect()[0].q == 3
+    eng.sql("DROP DOMAIN qty_d")
+
+
+def test_composite_type(eng):
+    eng.sql("CREATE TYPE cpx AS (r float8, i float8)")
+    r = eng.sql(
+        "SELECT (1.5, -2.5)::cpx AS v,"
+        "       (ROW(1.5, -2.5)::cpx).i AS i,"
+        "       ('(3,4)'::cpx).r AS litr,"
+        "       (NULL::cpx).i AS nulli"
+    ).collect()[0]
+    assert r.v.r == 1.5 and r.v.i == -2.5
+    assert r.i == -2.5 and r.litr == 3.0 and r.nulli is None
+    # arity mismatch errors like PG's "cannot cast"
+    with pytest.raises(Exception, match="cannot cast"):
+        eng.sql("SELECT (1, 2, 3)::cpx AS v")
+    eng.sql("DROP TYPE cpx")
+
+
+def test_enum_type(eng):
+    eng.sql("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    r = eng.sql(
+        "SELECT 'ok'::mood AS m, enum_first(NULL::mood) AS f,"
+        "       enum_last(NULL::mood) AS l,"
+        "       array_position(enum_range(NULL::mood), 'ok') AS ord"
+    ).collect()[0]
+    assert (r.m, r.f, r.l, r.ord) == ("ok", "sad", "happy", 2)
+    with pytest.raises(Exception, match="invalid input value for enum"):
+        eng.sql("SELECT 'angry'::mood AS m")
+    eng.sql("DROP TYPE mood")
+
+
+def test_drop_semantics(eng):
+    with pytest.raises(Exception, match="does not exist"):
+        eng.sql("DROP DOMAIN no_such_dom")
+    # IF EXISTS is silent
+    eng.sql("DROP DOMAIN IF EXISTS no_such_dom")
+    eng.sql("DROP TYPE IF EXISTS no_such_type CASCADE")

@@ -138,6 +138,9 @@ _GUC_DEFAULTS: dict[str, str] = {
     "client_encoding": "UTF8",
     "server_encoding": "UTF8",
     "max_parallel_workers_per_gather": "2",
+    # engine-specific: maps to spark.sql.ansi.enabled (see _set_guc);
+    # RESET/DISCARD must restore the relaxed posture, not just the text
+    "strict_errors": "off",
 }
 
 _RESET_RE = re.compile(r"^RESET\s+(ALL|[\w.]+(?:\s+\w+)?)\s*$", re.IGNORECASE)
@@ -318,6 +321,11 @@ class Engine:
         self._default_timezone = self.spark.conf.get(
             "spark.sql.session.timeZone"
         )
+        # CREATE DOMAIN / composite CREATE TYPE / CREATE TYPE AS ENUM
+        # (commands/typecmds.c) — session registry + plan-time rewriter
+        from warehouse_pg_spark.user_types import UserTypes
+
+        self._user_types = UserTypes()
         register_pg_functions(self.spark)
 
     # ---------------------------------------------------------------- query
@@ -332,6 +340,9 @@ class Engine:
         fn = self._maybe_create_function(text)
         if fn is not None:
             return fn
+        if self._user_types.maybe_ddl(text):
+            return self._tag(0)
+        text = self._user_types.rewrite(text)
         ea = _EXPLAIN_ANALYZE_RE.match(text.strip().rstrip(";"))
         if ea:
             return self._explain_analyze(ea.group(1))
@@ -560,6 +571,7 @@ class Engine:
                 self.spark.conf.set(
                     "spark.sql.session.timeZone", self._default_timezone
                 )
+                self.spark.conf.set("spark.sql.ansi.enabled", "false")
             else:
                 self._gucs.pop(key, None)
                 if key in _GUC_DEFAULTS:
@@ -568,6 +580,8 @@ class Engine:
                     self.spark.conf.set(
                         "spark.sql.session.timeZone", self._default_timezone
                     )
+                elif key == "strict_errors":
+                    self.spark.conf.set("spark.sql.ansi.enabled", "false")
             return self._tag(0)
         if _DISCARD_RE.match(s):
             # DISCARD ALL (commands/discard.c): session back to pristine
@@ -577,6 +591,7 @@ class Engine:
             self.spark.conf.set(
                 "spark.sql.session.timeZone", self._default_timezone
             )
+            self.spark.conf.set("spark.sql.ansi.enabled", "false")
             return self._tag(0)
         m = _VACUUM_RE.match(s)
         if m:

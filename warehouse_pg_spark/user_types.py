@@ -1,0 +1,481 @@
+"""User-defined types: CREATE DOMAIN, composite CREATE TYPE ... AS
+(fields), CREATE TYPE ... AS ENUM.
+
+Reference semantics: src/backend/commands/typecmds.c (DefineDomain,
+DefineCompositeType, AlterDomain*), utils/adt/enum.c, regress
+sql/domain.sql, sql/composite_types.sql, sql/enum.sql.
+
+Spark-first model — all three are PLAN-TIME rewrites, zero runtime
+dispatch:
+
+* a DOMAIN is a named alias for a base type plus CHECK/NOT NULL
+  constraints. `expr::dom` lowers to the base-type cast guarded by
+  `assert_true(...)` (the Catalyst-native raise path), so a violating
+  value errors exactly like PG's "value for domain ... violates check
+  constraint", while a passing value costs one boolean expression that
+  whole-stage codegen inlines. CHECK uses PG's table-constraint truth
+  table: NULL check result = pass.
+* a COMPOSITE type is a StructType: `ROW(a,b)::comp` / `(a,b)::comp` /
+  `'(a,b)'::comp` lower to named_struct with per-field base-type
+  casts; field access keeps Spark's native `(expr).field`.
+* an ENUM is a label list: literal casts validate the label at plan
+  time (PG errors "invalid input value for enum") and pass through as
+  text; enum_first/enum_last/enum_range fold to label constants.
+
+State is session-scoped on the Engine (PG catalogs are per-database;
+this engine's DDL surface is session-level throughout, like its temp
+views). The rewrite runs BEFORE the main dialect pass, so emitted
+casts use PG spellings (`(x)::numeric(8,2)`) and inherit every
+downstream rewrite (numeric, inet, interval domains all work).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_RLIT = r"'(?:[^']|'')*'"
+# SQL keywords that may precede a parenthesized expression — never a
+# function-call name or cast operand (else `SELECT (x)::t` would
+# swallow the keyword into the operand)
+_KW_GUARD = (
+    r"(?!(?:SELECT|FROM|WHERE|AND|OR|NOT|WHEN|THEN|ELSE|CASE|END|AS"
+    r"|ON|BY|IN|IS|VALUES|SET|RETURNING|UNION|EXCEPT|INTERSECT|ALL"
+    r"|ANY|SOME|DISTINCT|HAVING|GROUP|ORDER|LIMIT|OFFSET|JOIN|LATERAL"
+    r"|BETWEEN|LIKE|ILIKE|EXISTS)\s*\()"
+)
+# one cast operand: literal / call / dotted name / parenthesized expr
+_OPERAND = (
+    rf"(?:{_RLIT}"
+    rf"|(?<![\w.$]){_KW_GUARD}"
+    r"[\w.]+\s*\((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*\)"
+    r"|(?<![\w.$])[\w.$]+"
+    r"|\((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*\))"
+)
+
+_CREATE_DOMAIN_RE = re.compile(
+    r"^CREATE\s+DOMAIN\s+([\w.]+)\s+(?:AS\s+)?(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_DOMAIN_RE = re.compile(
+    r"^DROP\s+DOMAIN\s+(IF\s+EXISTS\s+)?([\w.,\s]+?)\s*"
+    r"(CASCADE|RESTRICT)?\s*$",
+    re.IGNORECASE,
+)
+_CREATE_ENUM_RE = re.compile(
+    r"^CREATE\s+TYPE\s+([\w.]+)\s+AS\s+ENUM\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_COMPOSITE_RE = re.compile(
+    r"^CREATE\s+TYPE\s+([\w.]+)\s+AS\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_SHELL_RE = re.compile(
+    r"^CREATE\s+TYPE\s+([\w.]+)\s*$", re.IGNORECASE
+)
+_DROP_TYPE_RE = re.compile(
+    r"^DROP\s+TYPE\s+(IF\s+EXISTS\s+)?([\w.,\s]+?)\s*"
+    r"(CASCADE|RESTRICT)?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DOMAIN_RE = re.compile(
+    r"^ALTER\s+DOMAIN\s+([\w.]+)\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+
+# constraint-clause openers inside a CREATE DOMAIN tail (depth-0 only)
+_CONSTRAINT_KW_RE = re.compile(
+    r"(?i)\b(DEFAULT|CONSTRAINT|CHECK|NOT\s+NULL|NULL|COLLATE)\b"
+)
+
+
+@dataclass
+class Domain:
+    base: str  # PG type spelling, re-emitted into `(x)::base`
+    checks: list[tuple[str, str]] = field(default_factory=list)
+    not_null: bool = False
+    default: str | None = None
+
+
+@dataclass
+class Composite:
+    fields: list[tuple[str, str]]  # (name, PG type spelling)
+
+
+def _split_commas(s: str) -> list[str]:
+    parts, depth, buf, i = [], 0, [], 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":  # skip literal
+            j = i + 1
+            while j < len(s):
+                if s[j] == "'" and not (j + 1 < len(s) and s[j + 1] == "'"):
+                    break
+                j += 2 if s[j] == "'" else 1
+            buf.append(s[i: j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _take_balanced(s: str, start: int) -> int:
+    """s[start] == '(' -> index just past the matching ')'."""
+    depth = 0
+    for i in range(start, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise ValueError("unbalanced parentheses in type definition")
+
+
+class UserTypes:
+    """Session registry + SQL rewriter for domains/composites/enums."""
+
+    def __init__(self) -> None:
+        self.domains: dict[str, Domain] = {}
+        self.composites: dict[str, Composite] = {}
+        self.enums: dict[str, list[str]] = {}
+        self._anon_ck = 0
+
+    @property
+    def empty(self) -> bool:
+        return not (self.domains or self.composites or self.enums)
+
+    # ------------------------------------------------------------ DDL
+    def maybe_ddl(self, text: str) -> bool:
+        """Consume a CREATE/ALTER/DROP DOMAIN|TYPE statement; True if
+        handled."""
+        s = text.strip().rstrip(";").strip()
+        m = _CREATE_ENUM_RE.match(s)
+        if m:
+            labels = [
+                p[1:-1].replace("''", "'")
+                for p in _split_commas(m.group(2))
+            ]
+            self.enums[self._key(m.group(1))] = labels
+            return True
+        m = _CREATE_COMPOSITE_RE.match(s)
+        if m:
+            flds = []
+            for item in _split_commas(m.group(2)):
+                fm = re.match(r"(\w+)\s+(.+?)(?:\s+COLLATE\s+\S+)?$",
+                              item, re.IGNORECASE | re.DOTALL)
+                if not fm:
+                    raise ValueError(
+                        f"bad composite attribute: {item!r}")
+                flds.append((fm.group(1).lower(), fm.group(2).strip()))
+            self.composites[self._key(m.group(1))] = Composite(flds)
+            return True
+        m = _CREATE_DOMAIN_RE.match(s)
+        if m:
+            d = self._parse_domain(m.group(2).strip())
+            # a domain over another domain inherits base + constraints
+            # (typecmds.c DefineDomain over a domain type)
+            bkey = self._key(d.base.split("(")[0].strip())
+            parent = self.domains.get(bkey)
+            if parent is not None:
+                d = Domain(
+                    base=parent.base,
+                    checks=parent.checks + d.checks,
+                    not_null=parent.not_null or d.not_null,
+                    default=d.default if d.default is not None
+                    else parent.default,
+                )
+            self.domains[self._key(m.group(1))] = d
+            return True
+        m = _ALTER_DOMAIN_RE.match(s)
+        if m:
+            return self._alter_domain(self._key(m.group(1)),
+                                      m.group(2).strip())
+        m = _DROP_DOMAIN_RE.match(s)
+        if m:
+            return self._drop(m.group(2), (self.domains,),
+                              bool(m.group(1)), "domain")
+        m = _DROP_TYPE_RE.match(s)
+        if m:
+            return self._drop(m.group(2),
+                              (self.composites, self.enums),
+                              bool(m.group(1)), "type")
+        m = _CREATE_SHELL_RE.match(s)
+        if m:
+            return True  # shell type (typecmds.c): accepted, no body
+        return False
+
+    @staticmethod
+    def _key(name: str) -> str:
+        return name.split(".")[-1].lower()
+
+    def _drop(self, names: str, stores, if_exists: bool,
+              kind: str) -> bool:
+        for raw in names.split(","):
+            k = self._key(raw.strip())
+            hit = False
+            for st in stores:
+                if st.pop(k, None) is not None:
+                    hit = True
+            if not hit and not if_exists:
+                raise ValueError(f'{kind} "{k}" does not exist')
+        return True
+
+    def _parse_domain(self, tail: str) -> Domain:
+        km = _CONSTRAINT_KW_RE.search(tail)
+        base = (tail[: km.start()] if km else tail).strip()
+        if not base:
+            raise ValueError("CREATE DOMAIN: missing base type")
+        d = Domain(base=base)
+        rest = tail[km.start():] if km else ""
+        cname = None
+        while rest:
+            rest = rest.lstrip()
+            if not rest:
+                break
+            mm = re.match(r"(?i)CONSTRAINT\s+(\w+)\s+", rest)
+            if mm:
+                cname = mm.group(1)
+                rest = rest[mm.end():]
+                continue
+            mm = re.match(r"(?i)NOT\s+NULL\b", rest)
+            if mm:
+                d.not_null = True
+                rest = rest[mm.end():]
+                cname = None
+                continue
+            mm = re.match(r"(?i)NULL\b", rest)
+            if mm:
+                rest = rest[mm.end():]
+                cname = None
+                continue
+            mm = re.match(r"(?i)COLLATE\s+\S+", rest)
+            if mm:
+                rest = rest[mm.end():]
+                continue
+            mm = re.match(r"(?i)CHECK\s*\(", rest)
+            if mm:
+                end = _take_balanced(rest, mm.end() - 1)
+                body = rest[mm.end(): end - 1].strip()
+                if cname is None:
+                    self._anon_ck += 1
+                    cname = f"check{self._anon_ck}"
+                d.checks.append((cname, body))
+                cname = None
+                rest = rest[end:]
+                continue
+            mm = re.match(r"(?i)DEFAULT\s+", rest)
+            if mm:
+                nxt = _CONSTRAINT_KW_RE.search(rest, mm.end())
+                d.default = rest[mm.end(): nxt.start() if nxt
+                                 else len(rest)].strip()
+                rest = rest[nxt.start():] if nxt else ""
+                continue
+            raise ValueError(
+                f"CREATE DOMAIN: unrecognized clause: {rest[:40]!r}")
+        return d
+
+    def _alter_domain(self, name: str, action: str) -> bool:
+        d = self.domains.get(name)
+        if d is None:
+            raise ValueError(f'domain "{name}" does not exist')
+        mm = re.match(r"(?i)ADD\s+(.+)$", action, re.DOTALL)
+        if mm:
+            sub = self._parse_domain(f"{d.base} {mm.group(1)}")
+            d.checks.extend(sub.checks)
+            d.not_null = d.not_null or sub.not_null
+            return True
+        mm = re.match(r"(?i)DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(\w+)",
+                      action)
+        if mm:
+            d.checks = [c for c in d.checks if c[0] != mm.group(2)]
+            return True
+        if re.match(r"(?i)SET\s+NOT\s+NULL", action):
+            d.not_null = True
+            return True
+        if re.match(r"(?i)DROP\s+NOT\s+NULL", action):
+            d.not_null = False
+            return True
+        mm = re.match(r"(?i)SET\s+DEFAULT\s+(.+)$", action, re.DOTALL)
+        if mm:
+            d.default = mm.group(1).strip()
+            return True
+        if re.match(r"(?i)DROP\s+DEFAULT", action):
+            d.default = None
+            return True
+        raise ValueError(f"ALTER DOMAIN: unsupported action: {action!r}")
+
+    # -------------------------------------------------------- rewrite
+    def rewrite(self, sql: str) -> str:
+        """Lower every `::usertype` / `CAST(x AS usertype)` in a query
+        to base-type expressions. Runs before the main dialect pass."""
+        if self.empty:
+            return sql
+        for name, labels in self.enums.items():
+            sql = self._rewrite_enum(sql, name, labels)
+        for name, comp in self.composites.items():
+            sql = self._rewrite_composite(sql, name, comp)
+        for name, dom in self.domains.items():
+            sql = self._rewrite_domain(sql, name, dom)
+        return sql
+
+    # CAST(x AS t) -> x::t, for one known type name (so the operand
+    # rewrites below see a single spelling)
+    @staticmethod
+    def _normalize_cast_fn(sql: str, name: str) -> str:
+        pat = re.compile(rf"(?is)\bCAST\s*\(", re.IGNORECASE)
+        out, i = [], 0
+        while True:
+            m = pat.search(sql, i)
+            if not m:
+                out.append(sql[i:])
+                break
+            end = _take_balanced(sql, m.end() - 1)
+            inner = sql[m.end(): end - 1]
+            am = re.search(rf"(?is)\s+AS\s+{name}\s*$", inner)
+            if am:
+                out.append(sql[i: m.start()])
+                out.append(f"(({inner[: am.start()]})::{name})")
+            else:
+                out.append(sql[i: end])
+            i = end
+        return "".join(out)
+
+    def _rewrite_enum(self, sql: str, name: str,
+                      labels: list[str]) -> str:
+        if not re.search(rf"(?i)\b{name}\b", sql):
+            return sql
+        sql = self._normalize_cast_fn(sql, name)
+        # enum_first/enum_last/enum_range fold to constants (enum.c)
+        sql = re.sub(
+            rf"(?is)\benum_first\s*\(\s*NULL\s*::\s*{name}\s*\)",
+            f"'{labels[0]}'", sql)
+        sql = re.sub(
+            rf"(?is)\benum_last\s*\(\s*NULL\s*::\s*{name}\s*\)",
+            f"'{labels[-1]}'", sql)
+        arr = "array(" + ", ".join(f"'{v}'" for v in labels) + ")"
+        sql = re.sub(
+            rf"(?is)\benum_range\s*\(\s*NULL\s*::\s*{name}\s*\)",
+            arr, sql)
+
+        def sub(m: re.Match) -> str:
+            op = m.group(1)
+            if op.startswith("'") and op.endswith("'"):
+                lab = op[1:-1].replace("''", "'")
+                if lab not in labels:
+                    raise ValueError(
+                        f"invalid input value for enum {name}: "
+                        f'"{lab}"')
+                return op
+            if op.upper() == "NULL":
+                return "CAST(NULL AS STRING)"
+            return f"CAST({op} AS STRING)"
+
+        return re.sub(rf"(?is)({_OPERAND})\s*::\s*{name}\b", sub, sql)
+
+    def _rewrite_composite(self, sql: str, name: str,
+                           comp: Composite) -> str:
+        if not re.search(rf"(?i)\b{name}\b", sql):
+            return sql
+        sql = self._normalize_cast_fn(sql, name)
+
+        def build(args: list[str]) -> str:
+            if len(args) != len(comp.fields):
+                raise ValueError(
+                    f"cannot cast {len(args)} fields to composite "
+                    f"{name} ({len(comp.fields)} attributes)")
+            parts = [
+                f"'{f}', ({a})::{t}"
+                for (f, t), a in zip(comp.fields, args)
+            ]
+            return f"named_struct({', '.join(parts)})"
+
+        def sub(m: re.Match) -> str:
+            op = m.group(1).strip()
+            if op.startswith("'") and op.endswith("'"):
+                # composite literal '(a,b)' (rowtypes.c record_in):
+                # unquoted empty field = NULL, double-quoted preserved
+                body = op[1:-1].replace("''", "'").strip()
+                if not (body.startswith("(") and body.endswith(")")):
+                    raise ValueError(
+                        f"malformed record literal: {op}")
+                raw = body[1:-1].split(",")
+                args = []
+                for tok in raw:
+                    tok = tok.strip()
+                    if not tok:
+                        args.append("NULL")
+                    elif tok.startswith('"') and tok.endswith('"'):
+                        args.append(
+                            "'" + tok[1:-1].replace("'", "''") + "'")
+                    else:
+                        args.append("'" + tok.replace("'", "''") + "'")
+                return build(args)
+            if re.match(r"(?is)^ROW\s*\(", op):
+                inner = op[op.index("("): ]
+                return build(_split_commas(inner[1:-1]))
+            if op.startswith("(") and op.endswith(")"):
+                return build(_split_commas(op[1:-1]))
+            if op.upper() == "NULL":
+                # typed NULL record: NULL of the struct shape
+                from warehouse_pg_spark.sql_dialect import map_decl_type
+
+                return ("CAST(NULL AS STRUCT<"
+                        + ", ".join(f"{f}: {map_decl_type(t)}"
+                                    for f, t in comp.fields) + ">)")
+            return op  # already a struct-valued expression
+
+        sql = re.sub(
+            rf"(?is)(ROW\s*\((?:[^()']|{_RLIT}|\([^()]*\))*\)|{_OPERAND})"
+            rf"\s*::\s*{name}\b",
+            sub, sql)
+        return sql
+
+    def _rewrite_domain(self, sql: str, name: str, dom: Domain) -> str:
+        if not re.search(rf"(?i)\b{name}\b", sql):
+            return sql
+        sql = self._normalize_cast_fn(sql, name)
+
+        def sub(m: re.Match) -> str:
+            op = m.group(1)
+            val = f"(({op})::{dom.base})"
+            conds = []
+            if dom.not_null:
+                conds.append((f"{name}_not_null", f"{val} IS NOT NULL"))
+            for cn, body in dom.checks:
+                # table-constraint truth table: NULL check = pass
+                cond = re.sub(r"(?i)\bVALUE\b", val, body)
+                conds.append((cn, f"coalesce({cond}, true)"))
+            if not conds:
+                return val
+            # if(cond, val, raise_error(...)) — NOT assert_true(..)
+            # IS NULL: IsNull over a NullType child constant-folds to
+            # true, silently skipping the assert
+            expr = val
+            for cn, c in reversed(conds):
+                expr = (
+                    f"if({c}, {expr}, raise_error('value for domain "
+                    f"{name} violates check constraint \"{cn}\"'))"
+                )
+            return f"({expr})"
+
+        sql = re.sub(rf"(?is)({_OPERAND})\s*::\s*{name}\b", sub, sql)
+        # bare `name` as a column type in CREATE TABLE / function args
+        # lowers to the base spelling (constraints apply at cast sites)
+        sql = re.sub(
+            rf"(?i)(\s){name}\b(?=\s*[,)\s])",
+            lambda m: f"{m.group(1)}{dom.base}",
+            sql,
+        ) if re.match(r"(?is)^\s*CREATE\s+(TEMP\w*\s+)?TABLE\b", sql) \
+            else sql
+        return sql
