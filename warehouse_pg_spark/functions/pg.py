@@ -928,6 +928,50 @@ def _jsonb_delete_path_py(j, path):
     return _dumps(doc)
 
 
+def _jsonb_minus_keys_py(j, keys):
+    """`jsonb - text` / `jsonb - text[]` (jsonfuncs.c jsonb_delete /
+    jsonb_delete_array): on an object remove the named keys; on an
+    array remove string elements equal to any of them."""
+    import json as _json
+
+    if j is None or keys is None:
+        return None
+    try:
+        doc = _json.loads(j)
+    except ValueError:
+        return None
+    ks = {k for k in keys if k is not None}
+    if isinstance(doc, dict):
+        for k in ks:
+            doc.pop(k, None)
+    elif isinstance(doc, list):
+        doc = [e for e in doc if not (isinstance(e, str) and e in ks)]
+    else:
+        return None  # PG: "cannot delete from scalar" — stay NULL-loud
+    return _dumps(doc)
+
+
+def _jsonb_minus_idx_py(j, i):
+    """`jsonb - integer` (jsonfuncs.c jsonb_delete_idx): delete the
+    array element at index i, negative counting from the end."""
+    import json as _json
+
+    if j is None or i is None:
+        return None
+    try:
+        doc = _json.loads(j)
+    except ValueError:
+        return None
+    if not isinstance(doc, list):
+        return None
+    i = int(i)
+    if i < 0:
+        i += len(doc)
+    if 0 <= i < len(doc):
+        del doc[i]
+    return _dumps(doc)
+
+
 def _json_object1_py(arr):
     """json_object(text[]): flat key/value list (or array of 2-elem
     arrays flattens the same way) → object with TEXT values, as PG's
@@ -1081,6 +1125,8 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
         ("jsonb_set", _jsonb_set_py, "STRING", 4),
         ("jsonb_insert", _jsonb_insert_py, "STRING", 4),
         ("jsonb_delete_path", _jsonb_delete_path_py, "STRING", 2),
+        ("jsonb_minus_keys", _jsonb_minus_keys_py, "STRING", 2),
+        ("jsonb_minus_idx", _jsonb_minus_idx_py, "STRING", 2),
         ("json_object1", _json_object1_py, "STRING", 1),
         ("json_object2", _json_object2_py, "STRING", 2),
     ):

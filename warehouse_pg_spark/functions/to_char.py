@@ -474,3 +474,139 @@ def dch_parse_pattern(fmt: str) -> str:
             out.append(ch if ch in _SAFE_PUNCT else "'" + ch + "'")
             i += 1
     return "".join(out)
+
+
+# ---------------------------------------------------------------- to_date
+# plan-time literal fold (formatting.c do_to_timestamp / from_char_*):
+# PG's loose scan — skip separators, read up to the field's width in
+# digits — plus the composition rules Java patterns can't express
+# (J julian day, CC century + YY, W week-of-month, Q quarter).
+_FROM_TOKENS: list[tuple[str, str, int]] = [
+    # (PG token, field name, max digits) — longest match first
+    ("YYYY", "year", 4), ("IYYY", "year", 4), ("YYY", "year3", 3),
+    ("MONTH", "monname", 0), ("MON", "monname", 0),
+    ("DDD", "doy", 3), ("DD", "day", 2), ("D", "dow", 1),
+    ("IW", "week", 2), ("WW", "woy", 2), ("W", "wom", 1),
+    ("MM", "month", 2), ("MI", "minute", 2), ("MS", "ms", 3),
+    ("US", "us", 6), ("CC", "century", 2),
+    ("HH24", "hour", 2), ("HH12", "hour12", 2), ("HH", "hour12", 2),
+    ("SSSS", "secs_midnight", 5), ("SS", "second", 2),
+    ("YY", "year2", 2), ("Y", "year1", 1),
+    ("J", "julian", 7), ("Q", "quarter", 1),
+    ("RM", "monroman", 0), ("AM", "ampm", 0), ("PM", "ampm", 0),
+    ("ID", "dow", 1),
+]
+
+_MON_NAMES = ("january", "february", "march", "april", "may", "june",
+              "july", "august", "september", "october", "november",
+              "december")
+
+
+def to_date_fold(value: str, fmt: str):
+    """Fold to_date('literal', 'picture') at plan time; returns a
+    datetime.date or None when the picture/value is outside the
+    supported subset (caller falls back to the Java-pattern path)."""
+    import datetime as _dt
+
+    f: dict[str, int] = {}
+    vi, fi = 0, 0
+    v, n = value, len(value)
+
+    def read_int(maxd: int) -> int | None:
+        # from_char_parse_int's loose scan: skip separators, then up
+        # to the field's width in digits. No sign — negative (BC)
+        # years stay on the loud path.
+        nonlocal vi
+        while vi < n and not v[vi].isdigit():
+            if v[vi] == "-" and vi == 0:
+                return None  # leading negative (BC year): stay loud
+            vi += 1
+        j = vi
+        while j < n and v[j].isdigit() and (j - vi) < maxd:
+            j += 1
+        if j == vi:
+            return None
+        out = int(v[vi:j])
+        vi = j
+        return out
+
+    while fi < len(fmt):
+        ch = fmt[fi]
+        if ch == '"':
+            j = fmt.find('"', fi + 1)
+            span = fmt[fi + 1: j if j > 0 else len(fmt)]
+            vi += len(span)  # quoted literal: skip that many chars
+            fi = (j + 1) if j > 0 else len(fmt)
+            continue
+        if fmt.startswith("FM", fi) or fmt.startswith("FX", fi):
+            fi += 2
+            continue
+        if not ch.isalpha():
+            fi += 1  # separator in the picture: the loose scan skips
+            continue
+        for tok, field, width in _FROM_TOKENS:
+            if fmt.upper().startswith(tok, fi):
+                fi += len(tok)
+                if fmt.upper().startswith("TH", fi):
+                    fi += 2  # ordinal suffix picture
+                if field == "monname":
+                    while vi < n and not v[vi].isalpha():
+                        vi += 1
+                    for k, nm in enumerate(_MON_NAMES, start=1):
+                        if v[vi: vi + 3].lower() == nm[:3]:
+                            f["month"] = k
+                            while vi < n and v[vi].isalpha():
+                                vi += 1
+                            break
+                    else:
+                        return None
+                elif field in ("ampm", "monroman"):
+                    return None  # not needed for dates
+                else:
+                    got = read_int(width)
+                    if got is None:
+                        return None
+                    f[field] = got
+                if field == "ampm":
+                    pass
+                break
+        else:
+            return None  # unknown alpha token
+    # composition (formatting.c DCH_to_char_hint / do_to_timestamp)
+    if "julian" in f:
+        return _dt.date(1970, 1, 1) + _dt.timedelta(
+            days=f["julian"] - 2440588
+        )
+    year = f.get("year")
+    if year is None and "year3" in f:
+        year = 2000 + f["year3"] if f["year3"] < 100 else f["year3"]
+    if "century" in f:
+        base = (f["century"] - 1) * 100
+        sub = f.get("year2", f.get("year1", 1))
+        year = base + sub
+    elif year is None and "year2" in f:
+        y2 = f["year2"]
+        year = 2000 + y2 if y2 < 70 else 1900 + y2
+    elif year is None and "year1" in f:
+        year = 2000 + f["year1"]
+    if year is None or year <= 0:
+        return None  # BC years: out of Python's range, stay loud
+    if "doy" in f:
+        return _dt.date(year, 1, 1) + _dt.timedelta(days=f["doy"] - 1)
+    month = f.get("month")
+    if month is None and "quarter" in f:
+        month = (f["quarter"] - 1) * 3 + 1
+    if month is None and "woy" in f:
+        d = _dt.date(year, 1, 1) + _dt.timedelta(
+            days=(f["woy"] - 1) * 7
+        )
+        return d
+    month = month or 1
+    day = f.get("day")
+    if day is None and "wom" in f:
+        day = (f["wom"] - 1) * 7 + 1
+    day = day or 1
+    try:
+        return _dt.date(year, month, day)
+    except ValueError:
+        return None

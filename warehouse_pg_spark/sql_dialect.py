@@ -143,7 +143,11 @@ _CAST_RE = re.compile(
 # one JSON arrow step: -> 'key' / ->> 'key' / -> 0 (array index). The
 # RHS must be a literal or integer, so SQL lambdas (`x -> expr`) never
 # match. LHS is found by scanning backwards (balanced parens allowed).
-_ARROW_STEP_RE = re.compile(rf"->(>?)\s*({_LIT}|-?\d+)")
+_ARROW_STEP_RE = re.compile(
+    # (?<!<): `a <-> b` is the geometric/KNN distance operator, not
+    # a '<' comparison against a json arrow
+    rf"(?<!<)->(>?)\s*({_LIT}|-?\d+)"
+)
 _GJO_BASE_RE = None  # built lazily in _rewrite_arrows (needs _LIT)
 
 # POSIX regex match: expr ~ 'pat' / ~* / !~ / !~* (regexp.c textregexeq
@@ -931,7 +935,18 @@ _JSONB_PATH_FN_RE = re.compile(
 _DQUOTE_IDENT_RE = re.compile(r'"((?:[^"]|"")*)"')
 _BYTEA_CAST_RE = re.compile(rf"(?:\bE)?({_LIT})\s*::\s*bytea\b", re.IGNORECASE)
 _MONEY_CAST_RE = re.compile(
-    rf"({_LIT}|[\w.]+)\s*::\s*money\b(\s*::\s*numeric\b)?", re.IGNORECASE
+    # operand: literal, CAST(..)-chain output of earlier passes,
+    # parenthesized expression ('(-12345)::money'), or bare name —
+    # optionally through intermediate casts ('x::int8::money', cash.c
+    # int8_cash): the chain stays inside the operand and the later
+    # generic cast pass lowers it
+    rf"((?:{_LIT}"
+    r"|CAST\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
+    r"|\((?:[^()]|\([^()]*\))*\)"
+    r"|[\w.]+)"
+    r"(?:\s*::\s*(?!money\b)\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)*)"
+    r"\s*::\s*money\b(\s*::\s*numeric\b)?",
+    re.IGNORECASE,
 )
 # jsonb containment: at least one operand explicitly typed jsonb
 # (`jsonb '...'` literal or ::jsonb cast); runs BEFORE the generic
@@ -986,6 +1001,10 @@ _TO_DATE_RE = re.compile(
 )
 _PG_DCH_GATE_RE = re.compile(
     r"HH24|HH12|YYYY|IYYY|MI|MON|Mon|mon|DAY|Day|day|DDD|Dy|DY|dy"
+    # single-letter / two-letter PG fields with no Java equivalent:
+    # J (julian day), CC (century), W (week-of-month), Q (quarter) —
+    # as a whole-picture match so Java patterns never false-positive
+    r"|^\s*J\s*$|\bCC\b|^W\b|\bW\s+MM\b"
 )
 # FROM/lateral unnest(...) AS t(cols) (nodeFunctionscan.c): explode /
 # inline forms. PG SRFs in a comma FROM item are implicitly LATERAL;
@@ -1248,7 +1267,13 @@ _BRACED_ARRAY_CAST_RE = re.compile(
 # AexprConst): bool 'n', int4 '7', numeric '1.5', text 'x'
 _TYPED_SCALAR_LIT_RE = re.compile(
     r"\b(boolean|bool|int2|int4|int8|float4|float8|numeric|text"
-    r"|varchar|bpchar|oid)\s+(\x01\d+\x01)",
+    r"|varchar|bpchar|oid|name)\s+(\x01\d+\x01)",
+    re.IGNORECASE,
+)
+# `char 'c'` / `char(20) 'chars'` typed literals (gram.y AexprConst
+# with CharacterType): STRING here — bpchar padding is display-only
+_CHAR_TYPED_LIT_RE = re.compile(
+    r"\bchar(?:acter)?\s*(?:\(\s*\d+\s*\))?\s+(\x01\d+\x01)",
     re.IGNORECASE,
 )
 # jsonb_typeof/json_typeof (jsonfuncs.c): classify by the first
@@ -1259,7 +1284,10 @@ _JSON_TYPEOF_RE = re.compile(
 # scalar regexp_matches(s, 'pat'): PG returns the first match's capture
 # groups as text[] (NULL row = NULL here when no match)
 _REGEXP_MATCHES_RE = re.compile(
-    rf"\bregexp_match(?:es)?\s*\(\s*({_ARITH_CHAIN})\s*,\s*({_LIT})"
+    # the subject may be a || concat chain ('a' || chr(10) || 'b')
+    rf"\bregexp_match(?:es)?\s*\(\s*"
+    rf"({_DISTINCT_OPERAND}(?:\s*(?:[-+*/%]|\|\|)\s*{_DISTINCT_OPERAND})*)"
+    rf"\s*,\s*({_LIT})"
     rf"(?:\s*,\s*({_LIT}))?\s*\)",
     re.IGNORECASE,
 )
@@ -1268,7 +1296,8 @@ _INTERVAL_LIT_RE = re.compile(rf"\bINTERVAL\s+({_LIT})", re.IGNORECASE)
 # an SRF call inside a SELECT-list item (multi-SRF lockstep / SRF in
 # an expression: `abs(generate_series(-5,-1))`, `generate_series(..)+1`)
 _SRF_CALL_RE = re.compile(
-    r"\b(generate_series|unnest)\s*\(((?:[^()]|\([^()]*\))*)\)",
+    r"\b(generate_series|unnest)\s*"
+    r"\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)",
     re.IGNORECASE,
 )
 _SRF_VAR = "\x02V\x02"  # placeholder for the per-row value
@@ -1289,7 +1318,7 @@ def _analyze_srf_item(item: str):
     else:
         bm = re.fullmatch(
             r"(?is)\s*((?:generate_series|unnest)\s*"
-            r"\((?:[^()]|\([^()]*\))*\))\s+(\w+)\s*",
+            r"\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))\s+(\w+)\s*",
             txt,
         )
         if bm:  # bare alias only on the plain-SRF spelling
@@ -1707,7 +1736,7 @@ def _xml_ident(tok: str) -> str:
     return tok[1:-1] if tok.startswith("`") else tok.lower()
 
 
-def _rewrite_xml_ctors(sql: str) -> str:
+def _rewrite_xml_ctors(sql: str, lits: list[str] | None = None) -> str:
     """XML value constructors (xml.c xmlelement/xmlforest/xmlpi/
     xmlcomment/xmlconcat/xmlroot; regress sql/xml.sql): pure string
     building — every form lowers to concat over escape helpers
@@ -1900,6 +1929,33 @@ def _rewrite_xml_ctors(sql: str) -> str:
         r"((?:[^()]|\([^()]*\))+?)"
         r"\s*((?:PRESERVE|STRIP)\s+WHITESPACE)?\s*\)",
         sub_xmlparse,
+        sql,
+    )
+    # xmlexists(xpath PASSING [BY REF|BY VALUE] doc [BY REF|BY VALUE])
+    # (xml.c xmlexists; SQL/XML X030): BY REF/VALUE are storage
+    # directives with no semantic effect — strip them. A count()/sum()
+    # top-level XPath returns a number, and a number is a non-empty
+    # result sequence, so xmlexists is TRUE regardless of the count
+    # (regress xml.sql 'count(/nosuchtag)' → t). Everything else maps
+    # to Spark's Hive xpath_boolean built-in (argument order swapped).
+    def sub_xmlexists(m: re.Match) -> str:
+        path, doc = m.group(1).strip(), m.group(2).strip()
+        pm = _MASK_RE.fullmatch(path)
+        if (
+            pm
+            and lits is not None
+            and re.match(
+                r"(?i)^\s*(count|sum)\s*\(", _lit_value(path, lits)
+            )
+        ):
+            return f"(CAST({doc} AS STRING) IS NOT NULL)"
+        return f"xpath_boolean(CAST({doc} AS STRING), {path})"
+
+    sql = re.sub(
+        r"(?is)\bxmlexists\s*\(\s*((?:[^()]|\([^()]*\))+?)\s+PASSING\s+"
+        r"(?:BY\s+(?:REF|VALUE)\s+)?((?:[^()]|\([^()]*\))+?)"
+        r"(?:\s+BY\s+(?:REF|VALUE))?\s*\)",
+        sub_xmlexists,
         sql,
     )
     # x IS [NOT] DOCUMENT (xml.c xml_is_document); an `xml` typed-
@@ -2350,16 +2406,75 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     sql = _TO_CHAR_RE.sub(sub_to_char, sql)
 
     def sub_to_date(m: re.Match) -> str:
-        from warehouse_pg_spark.functions.to_char import dch_parse_pattern
+        from warehouse_pg_spark.functions.to_char import (
+            dch_parse_pattern,
+            to_date_fold,
+        )
 
         kind, x, lit_tok = m.group(1).lower(), m.group(2).strip(), m.group(3)
         body = lits[int(_MASK_RE.match(lit_tok).group(1))][1:-1]
         if not _PG_DCH_GATE_RE.search(body):
             return m.group(0)  # Java-style pattern: pass through
+        xm = _MASK_RE.fullmatch(x)
+        if kind == "date" and xm:
+            # literal subject: fold through the PG from_char scanner —
+            # covers pictures Java patterns can't express (J, CC+YY,
+            # W, Q, leading-space numeric output of to_char)
+            folded = to_date_fold(_lit_value(x, lits), body)
+            if folded is not None:
+                return f"DATE {_new_lit(folded.isoformat(), lits)}"
         java = dch_parse_pattern(body).replace("'", "''")
+        if not java.startswith((" ", "'")):
+            # PG's from_char scan skips leading whitespace in the
+            # subject (e.g. to_char numeric output's sign column)
+            x = f"trim({x})"
         return f"to_{kind}({x}, '{java}')"
 
     sql = _TO_DATE_RE.sub(sub_to_date, sql)
+
+    # deep-subject fallback: to_date(<any balanced expr>, 'PG pic') —
+    # e.g. the folded CASE that to_char's numeric fold emits. Balanced
+    # scan; only the picture literal is rewritten.
+    def _fold_to_date_deep(s: str) -> str:
+        from warehouse_pg_spark.functions.to_char import dch_parse_pattern
+
+        out_parts: list[str] = []
+        i = 0
+        while True:
+            m2 = re.search(r"(?i)\bto_(date|timestamp)\s*\(", s[i:])
+            if not m2:
+                out_parts.append(s[i:])
+                break
+            start = i + m2.start()
+            op = i + m2.end() - 1
+            depth, j = 0, op
+            while j < len(s):
+                if s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            inner = s[op + 1: j]
+            args = _split_args(inner)
+            lm = _MASK_RE.fullmatch(args[-1].strip()) if len(args) == 2 else None
+            body = lits[int(lm.group(1))][1:-1] if lm else ""
+            if lm and _PG_DCH_GATE_RE.search(body):
+                java = dch_parse_pattern(body).replace("'", "''")
+                subj = args[0].strip()
+                if not java.startswith((" ", "'")):
+                    subj = f"trim({subj})"
+                out_parts.append(s[i:start])
+                out_parts.append(
+                    f"to_{m2.group(1).lower()}({subj}, '{java}')"
+                )
+            else:
+                out_parts.append(s[i: j + 1])
+            i = j + 1
+        return "".join(out_parts)
+
+    sql = _fold_to_date_deep(sql)
 
     def sub_unnest(m: re.Match) -> str:
         lead, _lat, fn, args_s, alias, cols_s = (
@@ -2681,6 +2796,44 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         # datetime.c DecodeISO8601...): normalize to the punctuated
         # form Spark's parser accepts
         body = _lit_value(m.group(1), lits).strip()
+        jm = re.fullmatch(
+            # Julian-day timestamp input (datetime.c DecodeDateTime
+            # J-prefix; horology.sql): 'J2452271 04:05:06+08',
+            # 'J2452271.5-08' (fraction of a day), 'J2452271T040506'
+            r"[Jj](\d{1,7})(\.\d+)?"
+            r"(?:[T ](\d{2}):?(\d{2})(?::?(\d{2}(?:\.\d+)?))?)?"
+            r"\s*([+-]\d{1,2}(?::?\d{2})?)?",
+            body,
+        )
+        if jm:
+            import datetime as _dt
+
+            jd, frac, h, mi, s, off = jm.groups()
+            try:
+                base = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                    days=int(jd) - 2440588
+                )
+            except OverflowError:
+                return f"TIMESTAMP {m.group(1)}"  # BC-era: stay loud
+            if frac:
+                base += _dt.timedelta(
+                    microseconds=round(float(frac) * 86400 * 1e6)
+                )
+            elif h:
+                sec = float(s or 0)
+                base += _dt.timedelta(
+                    hours=int(h), minutes=int(mi), seconds=sec
+                )
+            iso = base.strftime("%Y-%m-%d %H:%M:%S")
+            if base.microsecond:
+                iso += f".{base.microsecond:06d}".rstrip("0")
+            if off:
+                o = off.replace(":", "")
+                iso += (
+                    f"{o[0]}{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
+                    + (f":{o[3:5]}" if len(o) >= 5 else "")
+                )
+            return f"TIMESTAMP {_new_lit(iso, lits)}"
         cm = re.fullmatch(
             r"(\d{4})(\d{2})(\d{2})[T ]?(\d{2}):?(\d{2}):?"
             r"(\d{2}(?:\.\d+)?)?\s*([+-]\d{1,2}(?::?\d{2})?)?",
@@ -3469,25 +3622,65 @@ def _rewrite_op_any_all(sql: str, lits: list[str]) -> str:
             return m.group(0)
         if op == "<>":
             op = "!="
-        agg, empty = (
-            ("bool_and", "true") if quant.upper() == "ALL"
-            else ("bool_or", "false")
-        )
-        # the left operand splices textually, so no outer reference —
-        # Spark rejects correlated refs inside a subquery's aggregate
+        # Three-valued logic (execExprInterp.c ExecScanSubPlan): ANY is
+        # true if any comparison is true, else NULL if any is NULL,
+        # else false (empty set → false); ALL mirrors with false/NULL/
+        # true (empty set → true). A plain bool_or/bool_and skips
+        # NULLs, and coalescing the whole thing collapsed Unknown —
+        # e.g. 1 = ANY(SELECT NULL) must stay NULL, not false.
+        if quant.upper() == "ALL":
+            case = (
+                "CASE WHEN count_if(NOT __qc) > 0 THEN false "
+                "WHEN count_if(__qc IS NULL) > 0 THEN "
+                "CAST(NULL AS BOOLEAN) ELSE true END"
+            )
+        else:
+            case = (
+                "CASE WHEN count_if(__qc) > 0 THEN true "
+                "WHEN count_if(__qc IS NULL) > 0 THEN "
+                "CAST(NULL AS BOOLEAN) ELSE false END"
+            )
         return (
-            f"coalesce((SELECT {agg}(({x}) {op} __qv) "
-            f"FROM ({q}) AS __qt(__qv)), {empty})"
+            f"(SELECT {case} FROM (SELECT (({x}) {op} __qv) AS __qc "
+            f"FROM ({q}) AS __qt(__qv)) AS __qs)"
         )
 
-    sql = re.sub(
+    # head-match the operand/op/quantifier, then BALANCE the subquery's
+    # parens by scan — arbitrarily nested SRF arguments
+    # (unnest(CAST(array() AS ...))) defeat any fixed-depth regex
+    head_re = re.compile(
         rf"({_DISTINCT_OPERAND}(?:\s*[-+*/%]\s*{_DISTINCT_OPERAND})*)"
         rf"\s*(=|<>|!=|<=|>=|<|>)\s*"
-        rf"(ANY|ALL|SOME)\s*\(\s*(SELECT\b(?:[^()]|\([^()]*\))+)\)",
-        sub_subq,
-        sql,
-        flags=re.IGNORECASE,
+        rf"(ANY|ALL|SOME)\s*\(\s*(?=SELECT\b)",
+        re.IGNORECASE,
     )
+    pos = 0
+    while True:
+        m = head_re.search(sql, pos)
+        if not m:
+            break
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:  # unbalanced: leave untouched
+            pos = m.end()
+            continue
+
+        class _M:
+            def groups(self):
+                return (m.group(1), m.group(2), m.group(3),
+                        sql[m.end(): i - 1])
+
+            def group(self, n=0):
+                return sql[m.start(): i] if n == 0 else m.group(n)
+
+        repl = sub_subq(_M())
+        sql = sql[: m.start()] + repl + sql[i:]
+        pos = m.start() + len(repl)
     sql = _LIKE_ANY_ALL_RE.sub(sub_like, sql)
     return _OP_ANY_ALL_RE.sub(sub, sql)
 
@@ -3676,6 +3869,181 @@ def map_decl_type(t: str) -> str:
     return _map_type(t)
 
 
+def _rewrite_pg_geo(out: str, lits: list[str]) -> str:
+    """PG geometric types point/box/circle (utils/adt/geo_ops.c;
+    regress sql/point.sql, box.sql, circle.sql). Values are structs;
+    literals fold at plan time; constructors/operators/accessors are
+    inline Catalyst expressions dispatched STATICALLY on the operand's
+    field list (functions/geo.py geo_kind) — the rewrite-time analogue
+    of PG's type-directed operator binding."""
+    if not re.search(r"(?i)\b(point|box|circle)\b", out):
+        return out
+    from warehouse_pg_spark.functions import geo
+
+    def fold_lit(m: re.Match, kind: str) -> str:
+        body = _lit_value(m.group(1), lits)
+        if kind == "point":
+            p = geo.parse_point(body)
+            if p is None:
+                return m.group(0)
+            return geo.point_sql(repr(p[0]), repr(p[1]))
+        if kind == "box":
+            b = geo.parse_box(body)
+            return m.group(0) if b is None else geo.box_sql_lit(*b)
+        c = geo.parse_circle(body)
+        if c is None:
+            return m.group(0)
+        return geo.circle_sql(repr(c[0]), repr(c[1]), repr(c[2]))
+
+    for kind in ("point", "box", "circle"):
+        out = re.sub(
+            rf"(?i)\b{kind}\s+(\x01\d+\x01)",
+            lambda m, k=kind: fold_lit(m, k),
+            out,
+        )
+        out = re.sub(
+            rf"(?i)(\x01\d+\x01)\s*::\s*{kind}\b",
+            lambda m, k=kind: fold_lit(m, k),
+            out,
+        )
+
+    _GEO = r"named_struct\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
+
+    # point(x, y) over scalars first (geo_ops.c construct_point), so
+    # box/circle constructors see folded point operands
+    def sub_point_ctor(m: re.Match) -> str:
+        args = _split_args(m.group(1))
+        if len(args) == 2 and not any(
+            geo.geo_kind(a.strip()) for a in args
+        ):
+            return geo.point_sql(args[0].strip(), args[1].strip())
+        return m.group(0)
+
+    out = re.sub(
+        r"(?i)\bpoint\s*\(((?:[^()]|\([^()]*\))*)\)", sub_point_ctor, out
+    )
+
+    # constructors over existing geo values: box(p, p), circle(p, r)
+    def sub_box_ctor(m: re.Match) -> str:
+        args = _split_args(m.group(1))
+        if len(args) == 2 and all(
+            geo.geo_kind(a.strip()) == "point" for a in args
+        ):
+            return geo.box_sql_pts(args[0].strip(), args[1].strip())
+        return m.group(0)
+
+    def sub_circle_ctor(m: re.Match) -> str:
+        args = _split_args(m.group(1))
+        if len(args) == 2 and geo.geo_kind(args[0].strip()) == "point":
+            p = args[0].strip()
+            return geo.circle_sql(
+                f"({p}).x", f"({p}).y", args[1].strip()
+            )
+        return m.group(0)
+
+    prev_ctor = None
+    while prev_ctor != out:  # nested ctors fold to a fixpoint
+        prev_ctor = out
+        out = re.sub(
+            rf"(?i)\bbox\s*\(((?:{_GEO}|[^()])*)\)", sub_box_ctor, out
+        )
+        out = re.sub(
+            rf"(?i)\bcircle\s*\(((?:{_GEO}|[^()])*)\)",
+            sub_circle_ctor,
+            out,
+        )
+
+    # operators — balanced scan (constructor output nests arbitrarily
+    # deep, a fixed-depth regex can't bound the operand), fixpoint so
+    # chained geo expressions keep folding
+    def _balanced_end(s: str, op_paren: int) -> int:
+        depth = 0
+        for j in range(op_paren, len(s)):
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+        return -1
+
+    def _geo_span(s: str, i: int) -> tuple[int, int] | None:
+        m = re.compile(r"named_struct\s*\(").match(s, i)
+        if not m:
+            return None
+        end = _balanced_end(s, m.end() - 1)
+        return None if end < 0 else (i, end)
+
+    changed = True
+    while changed:
+        changed = False
+        # binary operators a OP b
+        for m in re.finditer(r"named_struct\s*\(", out):
+            span = _geo_span(out, m.start())
+            if span is None:
+                continue
+            a_s, a_e = span
+            om = re.compile(r"\s*(<->|@>|<@|&&|~=)\s*").match(out, a_e)
+            if not om:
+                continue
+            bspan = _geo_span(out, om.end())
+            if bspan is None:
+                continue
+            b_s, b_e = bspan
+            a, op, b = out[a_s:a_e], om.group(1), out[b_s:b_e]
+            ka, kb = geo.geo_kind(a), geo.geo_kind(b)
+            if not (ka and kb):
+                continue
+            if op == "<->":
+                r = geo.distance_sql(a, ka, b, kb)
+            elif op == "@>":
+                r = geo.contains_sql(a, ka, b, kb)
+            elif op == "<@":
+                r = geo.contains_sql(b, kb, a, ka)
+            elif op == "&&":
+                r = geo.overlap_sql(a, ka, b, kb)
+            elif op == "~=":  # "same as" (geo_ops.c point_eq/box_same)
+                r = f"({a} = {b})"
+            else:
+                r = None
+            if r is not None:
+                out = out[:a_s] + r + out[b_e:]
+                changed = True
+                break
+        if changed:
+            continue
+        # prefix @@ (center) and the accessor functions
+        for m in re.finditer(
+            r"(?i)(@@\s*|\b(?:area|center|radius|diameter|width"
+            r"|height)\s*\(\s*)(?=named_struct\s*\()",
+            out,
+        ):
+            span = _geo_span(out, m.end())
+            if span is None:
+                continue
+            g_s, g_e = span
+            g = out[g_s:g_e]
+            kind = geo.geo_kind(g) or ""
+            head = m.group(1).strip()
+            if head == "@@":
+                r = geo.accessor_sql("center", g, kind)
+                if r is not None:
+                    out = out[: m.start()] + r + out[g_e:]
+                    changed = True
+                    break
+            else:
+                fn = head.rstrip("( \t").strip()
+                cm = re.compile(r"\s*\)").match(out, g_e)
+                if not cm:
+                    continue
+                r = geo.accessor_sql(fn, g, kind)
+                if r is not None:
+                    out = out[: m.start()] + r + out[cm.end():]
+                    changed = True
+                    break
+    return out
+
+
 def _rewrite_pg_network(out: str, lits: list[str]) -> str:
     """PG network types (utils/adt/network.c inet_in/inet_out,
     network_plus/minus; mac8.c macaddr8_in/macaddr8_set7bit; regress
@@ -3689,13 +4057,26 @@ def _rewrite_pg_network(out: str, lits: list[str]) -> str:
     helpers in functions/pg.py run on the text form per-row."""
     import ipaddress
 
+    def _addr_str(a) -> str:
+        # inet_out keeps IPv4-mapped addresses in dotted form
+        # ('::ffff:1.2.3.4'), where Python compresses to hex groups
+        v4 = getattr(a, "ipv4_mapped", None)
+        return f"::ffff:{v4}" if v4 is not None else str(a)
+
     def sub_inet(m: re.Match) -> str:
         body = _lit_value(m.group(1), lits).strip()
         try:
             if "/" in body:
-                canon = str(ipaddress.ip_interface(body))
+                iface = ipaddress.ip_interface(body)
+                # inet_out omits a full-length mask (/32, /128)
+                if iface.network.prefixlen == iface.ip.max_prefixlen:
+                    canon = _addr_str(iface.ip)
+                else:
+                    canon = (
+                        f"{_addr_str(iface.ip)}/{iface.network.prefixlen}"
+                    )
             else:
-                canon = str(ipaddress.ip_address(body))
+                canon = _addr_str(ipaddress.ip_address(body))
         except ValueError:
             return m.group(0)  # bad input: stay loud, as PG errors
         return f"pg_inet({_new_lit(canon, lits)})"
@@ -3757,20 +4138,32 @@ def _rewrite_pg_network(out: str, lits: list[str]) -> str:
     )
 
     def sub_inet_arith(m: re.Match) -> str:
-        a = ipaddress.ip_address(_lit_value(m.group(1), lits))
+        # network_pl preserves the netmask: '10.0.0.1/24' + 5 = '10.0.0.6/24'
+        try:
+            iface = ipaddress.ip_interface(_lit_value(m.group(1), lits))
+        except ValueError:
+            return m.group(0)
         op, n = m.group(2), int(m.group(3))
         try:
-            r = a + n if op == "+" else a - n
+            r = iface.ip + n if op == "+" else iface.ip - n
         except ValueError:
             return m.group(0)  # out of the family's range: loud
-        return f"pg_inet({_new_lit(str(r), lits)})"
+        if iface.network.prefixlen != iface.ip.max_prefixlen:
+            res = f"{_addr_str(r)}/{iface.network.prefixlen}"
+        else:
+            res = _addr_str(r)
+        return f"pg_inet({_new_lit(res, lits)})"
 
     def sub_inet_diff(m: re.Match) -> str:
-        a = ipaddress.ip_address(_lit_value(m.group(1), lits))
-        b = ipaddress.ip_address(_lit_value(m.group(2), lits))
+        # inet - inet compares the address parts; masks are ignored
+        try:
+            a = ipaddress.ip_interface(_lit_value(m.group(1), lits))
+            b = ipaddress.ip_interface(_lit_value(m.group(2), lits))
+        except ValueError:
+            return m.group(0)
         if a.version != b.version:
             return m.group(0)
-        return f"CAST({int(a) - int(b)} AS BIGINT)"
+        return f"CAST({int(a.ip) - int(b.ip)} AS BIGINT)"
 
     prev = None
     while prev != out:  # chained arithmetic folds to a fixpoint
@@ -4181,7 +4574,7 @@ def rewrite(sql: str) -> str:
 
     # XML value constructors → concat/escape string building, then the
     # `xml '...'` typed-literal prefix drops (xml is a STRING here)
-    out = _rewrite_xml_ctors(out)
+    out = _rewrite_xml_ctors(out, lits)
     out = _XML_TYPED_LIT_RE.sub(lambda m: m.group(1), out)
 
     out = _rewrite_distinct_on(out)
@@ -4419,6 +4812,10 @@ def rewrite(sql: str) -> str:
         out,
     )
 
+    # geometric types — BEFORE the jsonb/array containment passes so
+    # geo @>/<@/&&/<-> bind to struct operands first
+    out = _rewrite_pg_geo(out, lits)
+
     # jsonb containment (jsonb_util.c JsonbDeepContains) — must precede
     # the array containment pass below
     def sub_jsonb_contains(m: re.Match) -> str:
@@ -4437,6 +4834,58 @@ def rewrite(sql: str) -> str:
         return f"jsonb_contains({a}, {b})"
 
     out = _JSONB_CONTAINS_RE.sub(sub_jsonb_contains, out)
+
+    # jsonb minus operators (jsonfuncs.c jsonb_delete /
+    # jsonb_delete_array / jsonb_delete_idx): `j - 'key'`,
+    # `j - '{a,b}'::text[]`, `j - 2`. Requires an explicitly
+    # jsonb-typed left operand so numeric subtraction never matches.
+    def sub_jsonb_minus(m: re.Match) -> str:
+        lhs = m.group(1).strip()
+        mo = _JSONB_STRIP_RE.match(lhs)
+        if mo:
+            lhs = mo.group(1) or mo.group(2)
+        rhs = m.group(2).strip()
+        if re.fullmatch(r"-?\d+", rhs):
+            return f"jsonb_minus_idx({lhs}, {rhs})"
+        tm = re.fullmatch(
+            rf"({_LIT})\s*::\s*text\s*\[\]", rhs, re.IGNORECASE
+        )
+        if tm:
+            return (
+                f"jsonb_minus_keys({lhs}, "
+                f"{_braced_to_array(tm.group(1), lits)})"
+            )
+        if re.match(r"(?i)^(CAST\s*\(\s*)?array\s*\(", rhs):
+            return f"jsonb_minus_keys({lhs}, {rhs})"
+        if _MASK_RE.fullmatch(rhs):
+            return f"jsonb_minus_keys({lhs}, array({rhs}))"
+        return m.group(0)
+
+    out = re.sub(
+        rf"({_JSONB_OPND})\s*-\s*"
+        rf"({_LIT}\s*::\s*text\s*\[\]"
+        r"|CAST\s*\(\s*array\s*\((?:[^()]|\([^()]*\))*\)\s+AS\s+"
+        r"ARRAY<STRING>\s*\)"
+        r"|array\s*\((?:[^()]|\([^()]*\))*\)"
+        rf"|{_LIT}|-?\d+)",
+        sub_jsonb_minus,
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    # NULL-key json arrows (jsonfuncs.c: strict operators return NULL
+    # on a NULL key): `j -> null::text`, `j ->> null::int` — the key
+    # arrives as CAST(NULL AS ...) by this point
+    out = re.sub(
+        rf"({_JSONB_OPND}|{_LIT}|[\w.]+\([^()]*\)|[\w.]+)"
+        r"\s*(?:->>?|#>>?)\s*"
+        r"(?:NULL\s*::\s*\w+"
+        r"|CAST\s*\(\s*NULL\s+AS\s+\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+        r"\s*\))",
+        "CAST(NULL AS STRING)",
+        out,
+        flags=re.IGNORECASE,
+    )
 
     # array containment / overlap operators
     out = _ARR_CONTAINS_RE.sub(
@@ -4644,11 +5093,21 @@ def rewrite(sql: str) -> str:
         lambda m: _time_of_ts(m.group(1)),
         out,
     )
+    def _tz_offset_of(ts: str) -> str:
+        # PG's timetz offset rendering: ±hh[:mm], trailing :00 dropped
+        # ('+00' in UTC, '+05:30' in Asia/Kolkata). date_format 'xxx'
+        # evaluates in the session timezone at that instant, so
+        # SET TIME ZONE is honored.
+        return (
+            f"regexp_replace(date_format({ts}, 'xxx'), ':00$', '')"
+        )
+
     out = re.sub(
         rf"({_DISTINCT_OPERAND})\s*::\s*timetz\b",
         lambda m: (
             f"concat(date_format(CAST({m.group(1)} AS TIMESTAMP), "
-            f"'HH:mm:ss.SSSSSS'), '+00')"
+            f"'HH:mm:ss.SSSSSS'), "
+            f"{_tz_offset_of(f'CAST({m.group(1)} AS TIMESTAMP)')})"
         ),
         out,
     )
@@ -4660,7 +5119,8 @@ def rewrite(sql: str) -> str:
     )
     out = re.sub(
         r"(?i)\bcurrent_time\b(?!\s*\()",
-        "concat(date_format(now(), 'HH:mm:ss.SSSSSS'), '+00')",
+        f"concat(date_format(now(), 'HH:mm:ss.SSSSSS'), "
+        f"{_tz_offset_of('now()')})",
         out,
     )
     out = _rewrite_pg_network(out, lits)
@@ -4765,8 +5225,20 @@ def rewrite(sql: str) -> str:
             f"CAST({m.group(2)} AS "
             f"{_numeric_target(m.group(2), m.group(1))})"
             if m.group(1).lower() == "numeric"
+            # name truncates to NAMEDATALEN-1 = 63 (gram.y AexprConst)
+            else f"CAST(left({m.group(2)}, 63) AS STRING)"
+            if m.group(1).lower() == "name"
             else f"CAST({m.group(2)} AS {_map_type(m.group(1).lower())})"
         ),
+        out,
+    )
+    out = _CHAR_TYPED_LIT_RE.sub(lambda m: m.group(1), out)
+    # COLLATION FOR (expr) (pg_collation_for; gram.y COLLATION FOR):
+    # the engine has a single collation, PG's answer for an
+    # unspecified-collation string expression is "default"
+    out = re.sub(
+        r"(?is)\bCOLLATION\s+FOR\s*\((?:[^()]|\([^()]*\))*\)",
+        "'default'",
         out,
     )
 
