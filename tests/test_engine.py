@@ -2069,9 +2069,77 @@ def test_pg_network_types(engine):
         ("family('127::1'::inet)", 6),
         ("inet_same_family('127::1'::inet, '10.0.0.1'::inet)", False),
         ("'08-00-2b-01-02-03'::macaddr", "08:00:2b:01:02:03"),
+        # masked operands (network_pl keeps the mask; inet-inet ignores
+        # masks; inet_out drops a full-length /32 — inet.sql:90-118)
+        ("'10.0.0.1/24'::inet + 5", "10.0.0.6/24"),
+        ("'10.0.0.9/24'::inet - '10.0.0.1'::inet", 8),
+        ("'10.0.0.1/32'::inet", "10.0.0.1"),
+        ("'::ffff:1.2.3.4/128'::inet", "::ffff:1.2.3.4"),
     ]
     for expr, want in cases:
         assert engine.sql(f"SELECT {expr} AS x").collect()[0].x == want, expr
+
+
+def test_quantified_subquery_null_semantics(engine):
+    """ANY/ALL over a subquery keep PG's three-valued result
+    (execExprInterp.c ExecScanSubPlan): a NULL comparison that could
+    decide the outcome yields NULL, not false/true; the empty set
+    stays false (ANY) / true (ALL)."""
+    r = engine.sql(
+        "SELECT 1 = ANY(SELECT NULL) AS a,"
+        "       1 = ANY(SELECT unnest(array[2, NULL])) AS b,"
+        "       1 = ANY(SELECT unnest(array[1, NULL])) AS c,"
+        "       1 = ANY(SELECT unnest(array[]::int[])) AS d,"
+        "       1 = ALL(SELECT NULL) AS e,"
+        "       1 = ALL(SELECT unnest(array[1, NULL])) AS f,"
+        "       1 = ALL(SELECT unnest(array[2, NULL])) AS g,"
+        "       1 = ALL(SELECT unnest(array[]::int[])) AS h"
+    ).collect()[0]
+    assert r.a is None and r.b is None and r.c is True and r.d is False
+    assert r.e is None and r.f is None and r.g is False and r.h is True
+
+
+def test_strict_errors_reset_restores_ansi(engine):
+    """RESET strict_errors / RESET ALL / DISCARD ALL restore the
+    relaxed posture (spark.sql.ansi.enabled=false), not just the GUC
+    text — guc.c reset semantics."""
+    conf = engine.spark.conf
+    try:
+        engine.sql("SET strict_errors = on")
+        assert conf.get("spark.sql.ansi.enabled") == "true"
+        engine.sql("RESET strict_errors")
+        assert conf.get("spark.sql.ansi.enabled") == "false"
+        engine.sql("SET strict_errors = on")
+        engine.sql("RESET ALL")
+        assert conf.get("spark.sql.ansi.enabled") == "false"
+        engine.sql("SET strict_errors = on")
+        engine.sql("DISCARD ALL")
+        assert conf.get("spark.sql.ansi.enabled") == "false"
+        # SHOW reports the default after reset
+        row = engine.sql("SHOW strict_errors").collect()[0]
+        assert row[0] == "off"
+    finally:
+        conf.set("spark.sql.ansi.enabled", "false")
+
+
+def test_timetz_session_zone_offset(engine):
+    """current_time / ::timetz carry the SESSION zone's UTC offset in
+    PG's ±hh[:mm] spelling (date.c timetz_out), not a hardcoded +00."""
+    try:
+        engine.sql("SET TIME ZONE 'Asia/Kolkata'")
+        r = engine.sql(
+            "SELECT current_time AS a,"
+            "       ('2024-06-01 10:30:00'::timestamp)::timetz AS b"
+        ).collect()[0]
+        assert r.a.endswith("+05:30"), r.a
+        assert r.b.endswith("+05:30"), r.b
+        engine.sql("SET TIME ZONE 'America/Los_Angeles'")
+        r = engine.sql(
+            "SELECT ('2024-01-15 10:30:00'::timestamp)::timetz AS b"
+        ).collect()[0]
+        assert r.b.endswith("-08"), r.b
+    finally:
+        engine.sql("SET TIME ZONE DEFAULT")
 
 
 def test_probe_misc_round10b(engine):
@@ -2203,3 +2271,80 @@ def test_bit_string_literals(engine):
     assert r.a == 1 and r.b == "0101011000100101"
     assert r.c == 131072 and r.d == "1010"
     assert r.e == "00011111" and r.f == 5
+
+
+def test_pg_geometric_types(engine):
+    """PG geometric types point/box/circle (utils/adt/geo_ops.c;
+    regress sql/point.sql, box.sql, circle.sql): struct model, literal
+    folds, constructors, operators and accessors as inline Catalyst
+    arithmetic dispatched statically at rewrite time."""
+    cases = [
+        ("point '(1,2)' <-> point '(4,6)'", 5.0),
+        ("'(0,0)'::point <-> '(3,4)'::point", 5.0),
+        ("box '((0,0),(2,2))' @> point '(1,1)'", True),
+        ("box '((0,0),(2,2))' @> point '(3,1)'", False),
+        ("circle '<(0,0),2>' @> point '(1,1)'", True),
+        ("area(box '((0,0),(2,3))')", 6.0),
+        ("round(area(circle '<(0,0),2>'), 6)", 12.566371),
+        ("width(box '((0,0),(2,3))')", 2.0),
+        ("height(box '((0,0),(2,3))')", 3.0),
+        ("radius(circle '<(0,0),2>')", 2.0),
+        ("diameter(circle '<(0,0),2>')", 4.0),
+        ("box '((0,0),(2,2))' && box '((1,1),(3,3))'", True),
+        ("box '((0,0),(1,1))' && box '((2,2),(3,3))'", False),
+        ("(center(box '((0,0),(2,4))')).y", 2.0),
+        ("circle '<(0,0),1>' <-> circle '<(5,0),1>'", 3.0),
+        ("box(point '(0,0)', point '(2,2)') @> point '(1,1)'", True),
+        ("point '(1,2)' ~= point '(1,2)'", True),
+        ("(@@ circle '<(3,4),2>').x", 3.0),
+        ("circle '<(0,0),3>' <@ circle '<(0,0),5>'", True),
+        ("area(box(point '(0,0)', point '(2,3)'))", 6.0),
+        # box corners normalize high/low at construction (box_in)
+        ("(box '((2,2),(0,0))').x1", 2.0),
+    ]
+    for expr, want in cases:
+        got = engine.sql(f"SELECT {expr} AS x").collect()[0].x
+        if isinstance(want, float):
+            assert abs(got - want) < 1e-9, (expr, got)
+        else:
+            assert got == want, (expr, got)
+
+
+def test_probe_families_round11(engine):
+    """Round-11 probe families: jsonb - text[]/int (jsonb_delete_array
+    / jsonb_delete_idx), NULL-key arrows, xmlexists PASSING BY REF +
+    count() XPath, Julian timestamp-with-time input, money casts on
+    parenthesized/chained operands, name/char typed literals,
+    COLLATION FOR, to_date exotic pictures (J / W MM CC YY)."""
+    import datetime as dt
+
+    cases = [
+        ("'{\"a\":1,\"b\":2,\"c\":3}'::jsonb - '{c,b}'::text[]",
+         '{"a": 1}'),
+        ("'[\"a\",\"b\"]'::jsonb - 1", '["a"]'),
+        ("'{\"a\":1,\"b\":2}'::jsonb - 'a'", '{"b": 2}'),
+        ("'{\"a\": 1}'::jsonb -> null::text", None),
+        ("xmlexists('count(/nosuchtag)' PASSING BY REF '<root/>')",
+         True),
+        ("xmlexists('//t[text() = ''x'']' PASSING '<r><t>x</t></r>')",
+         True),
+        ("(-12345)::money", "-$12,345.00"),
+        ("12345678901234567::int8::money",
+         "$12,345,678,901,234,567.00"),
+        ("name 'namefield'", "namefield"),
+        ("char 'c' = char 'c'", True),
+        ("collation for ('foo'::text)", "default"),
+        ("to_date('2458872', 'J')", dt.date(2020, 1, 23)),
+        ("to_date('3 4 21 01', 'W MM CC YY')", dt.date(2001, 4, 15)),
+        ("to_date(to_char(20010101, '99999999'), 'YYYYMMDD')",
+         dt.date(2001, 1, 1)),
+    ]
+    for expr, want in cases:
+        got = engine.sql(f"SELECT {expr} AS x").collect()[0].x
+        assert got == want, (expr, got)
+    r = engine.sql(
+        "SELECT timestamp with time zone 'J2452271 04:05:06+08' AS a,"
+        "       timestamp with time zone 'J2452271.5-08' AS b"
+    ).collect()[0]
+    assert r.a.replace(tzinfo=None) == dt.datetime(2001, 12, 26, 20, 5, 6)
+    assert r.b.replace(tzinfo=None) == dt.datetime(2001, 12, 27, 20, 0)

@@ -212,6 +212,111 @@ def corpus() -> list[tuple[str, bool | None]]:
     return sorted(stmts.items())
 
 
+def _split_statements(text: str) -> list[str]:
+    """Split a regress script into top-level statements: respects
+    '...' literals, $tag$...$tag$ bodies, "quoted idents", -- and
+    /* */ comments."""
+    out: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "-" and text[i: i + 2] == "--":
+            j = text.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if ch == "/" and text[i: i + 2] == "/*":
+            j = text.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if text[j: j + 2] == "''":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(text[i: j + 1])
+            i = j + 1
+            continue
+        if ch == '"':
+            j = text.find('"', i + 1)
+            j = n - 1 if j < 0 else j
+            buf.append(text[i: j + 1])
+            i = j + 1
+            continue
+        if ch == "$":
+            dm = re.match(r"\$(\w*)\$", text[i:])
+            if dm:
+                tag = dm.group(0)
+                j = text.find(tag, i + len(tag))
+                j = n if j < 0 else j + len(tag)
+                buf.append(text[i: j])
+                i = j
+                continue
+        if ch == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                out.append(stmt)
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+_CONTEXT_DDL_RE = re.compile(
+    r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?"
+    r"(DOMAIN|TYPE|FUNCTION|SEQUENCE|AGGREGATE)\b"
+)
+
+
+def context_statements(sql_path: str) -> list[str]:
+    """The file's CREATE DOMAIN/TYPE/FUNCTION/SEQUENCE/AGGREGATE
+    statements, in order — the session context a FROM-less probe
+    statement may reference (regress scripts CREATE then SELECT)."""
+    try:
+        text = open(sql_path, errors="ignore").read()
+    except OSError:
+        return []
+    return [
+        s for s in _split_statements(text) if _CONTEXT_DDL_RE.match(s)
+    ]
+
+
+def corpus_by_file() -> list[tuple[str, list[tuple[str, bool | None]]]]:
+    """The same deduped corpus as corpus(), grouped by the FIRST file
+    a statement appears in, so per-file context replay can run its
+    CREATEs before probing the file's statements."""
+    merged = dict(corpus())
+    by_file: dict[str, list[tuple[str, bool | None]]] = {}
+    seen: set[str] = set()
+    for f in sorted(glob.glob(REGRESS)):
+        bucket = []
+        for line in open(f, errors="ignore"):
+            s = line.strip()
+            if (
+                re.match(r"(?i)^SELECT\s", s)
+                and s.endswith(";")
+                and " from " not in s.lower()
+                and len(s) < 120
+                and "pg_" not in s
+            ):
+                key = s.rstrip(";")
+                if key in merged and key not in seen:
+                    seen.add(key)
+                    bucket.append((key, merged[key]))
+        if bucket:
+            by_file[f] = bucket
+    return sorted(by_file.items())
+
+
 _PG_IV_TEXT_RE = re.compile(
     r"(?:(-?\d+) years? ?)?(?:(-?\d+) mons? ?)?(?:(-?\d+) days? ?)?"
     r"(?:([+-]?)(\d+):(\d{2}):(\d{2}(?:\.\d+)?))?"
@@ -332,55 +437,89 @@ def main() -> None:
 
     eng = Engine(get_spark())
     con = duckdb.connect()
-    stmts = corpus()
+    groups = corpus_by_file()
     if sample:
         import random
 
         random.seed(42)
-        stmts = random.sample(stmts, min(sample, len(stmts)))
+        flat = [(f, s, e) for f, b in groups for s, e in b]
+        flat = random.sample(flat, min(sample, len(flat)))
+        regrouped: dict[str, list[tuple[str, bool | None]]] = {}
+        for f, s, e in flat:
+            regrouped.setdefault(f, []).append((s, e))
+        groups = sorted(regrouped.items())
 
+    n_stmts = sum(len(b) for _, b in groups)
     value_pass = exec_only = skipped_nondet = diverges = 0
     error_parity = 0
+    ctx_stmts = ctx_ok = ctx_files = 0
     engine_errors: list[dict] = []
     mismatches: list[dict] = []
     should_error: list[str] = []
-    for s, exp_err in stmts:
-        try:
-            spark_pdf = eng.sql(s).toPandas()
-        except Exception as ex:
-            if exp_err:
-                # PG's own expected output is ERROR here — raising IS
-                # the correct behavior (error parity), not a failure
-                error_parity += 1
+    from warehouse_pg_spark.user_types import UserTypes
+
+    for path, bucket in groups:
+        # statement-context REPLAY: run the file's CREATE DOMAIN/TYPE/
+        # FUNCTION/SEQUENCE/AGGREGATE statements first, so probe
+        # statements referencing regress-local objects become
+        # reachable. User-type state resets per file (regress files
+        # redefine the same names with different bodies).
+        ctx = context_statements(path)
+        if ctx:
+            ctx_files += 1
+            eng._user_types = UserTypes()
+            for c in ctx:
+                ctx_stmts += 1
+                try:
+                    eng.sql(c)
+                    ctx_ok += 1
+                except Exception:
+                    pass
+                try:
+                    con.execute(c)  # best-effort oracle context
+                except Exception:
+                    pass
+        for s, exp_err in bucket:
+            try:
+                spark_pdf = eng.sql(s).toPandas()
+            except Exception as ex:
+                if exp_err:
+                    # PG's own expected output is ERROR here — raising
+                    # IS the correct behavior (error parity)
+                    error_parity += 1
+                    continue
+                engine_errors.append(
+                    {"sql": s, "err": str(ex).split("\n")[0][:200]}
+                )
                 continue
-            engine_errors.append({"sql": s, "err": str(ex).split("\n")[0][:200]})
-            continue
-        if exp_err:
-            # PG raises, we silently return a value — the inverse
-            # silent-wrong class
-            should_error.append(s)
-            continue
-        if _NONDET_RE.search(s):
-            skipped_nondet += 1
-            continue
-        if any(p in s.lower() for p in ORACLE_DIVERGES):
-            diverges += 1
-            continue
-        try:
-            # fetchall, not .df(): pandas conversion corrupts NULLs
-            # inside LIST values (int list with NULL -> zeros)
-            duck_raw = con.execute(s).fetchall()
-        except Exception:
-            exec_only += 1
-            continue
-        s_rows = _rows_of(spark_pdf)
-        d_rows = [tuple(_norm_cell(c) for c in row) for row in duck_raw]
-        if sorted(s_rows) == sorted(d_rows):
-            value_pass += 1
-        else:
-            mismatches.append(
-                {"sql": s, "spark": s_rows[:3], "duck": d_rows[:3]}
-            )
+            if exp_err:
+                # PG raises, we silently return a value — the inverse
+                # silent-wrong class
+                should_error.append(s)
+                continue
+            if _NONDET_RE.search(s):
+                skipped_nondet += 1
+                continue
+            if any(p in s.lower() for p in ORACLE_DIVERGES):
+                diverges += 1
+                continue
+            try:
+                # fetchall, not .df(): pandas conversion corrupts NULLs
+                # inside LIST values (int list with NULL -> zeros)
+                duck_raw = con.execute(s).fetchall()
+            except Exception:
+                exec_only += 1
+                continue
+            s_rows = _rows_of(spark_pdf)
+            d_rows = [
+                tuple(_norm_cell(c) for c in row) for row in duck_raw
+            ]
+            if sorted(s_rows) == sorted(d_rows):
+                value_pass += 1
+            else:
+                mismatches.append(
+                    {"sql": s, "spark": s_rows[:3], "duck": d_rows[:3]}
+                )
 
     # should_error recheck under the strict GUC: how many of the
     # silently-succeeding expressions become loud with
@@ -396,12 +535,15 @@ def main() -> None:
                 strict_loud += 1
         eng.sql("SET strict_errors = off")
 
-    n = len(stmts)
+    n = n_stmts
     executed = n - len(engine_errors) - error_parity
     checked = value_pass + len(mismatches)
     out = {
         "metric": "regress_expr_compat",
         "total": n,
+        "context_files": ctx_files,
+        "context_stmts": ctx_stmts,
+        "context_ok": ctx_ok,
         "executed": executed,
         "exec_pct": round(100.0 * executed / n, 1),
         "value_checked": checked,
@@ -455,6 +597,18 @@ def main() -> None:
                 return "out-of-scope: full-text search"
             if re.search(r"'\d+-\d+-\d+ *bc'|\bbc\b", el):
                 return "out-of-scope: BC dates"
+            if re.search(r"'j\d+'", el) and "out of range" in err.lower():
+                # Julian day numbers below 1721426 are BC-era dates
+                return "out-of-scope: BC dates"
+            if re.search(
+                r"\binto\s+\w+\s*$|\binto\s+(?:retval|out_\w+|\w+_var)\b"
+                r"|\\\\;|:\{\?|(?<!:):'?\w+'?\s*\\\\|^select\s+:\w+",
+                el,
+            ) or "\\;" in e:
+                return "out-of-scope: psql client syntax"
+            if re.search(r"\blo_(?:create|open|import|export|unlink)\b",
+                         el):
+                return "out-of-scope: large objects"
             if re.search(
                 r"\b(widget|complex|pleast|dfunc|city|int44|textrange"
                 r"|float8range|myint|tstzrange|table_am|rgb|rainbow"
@@ -472,8 +626,45 @@ def main() -> None:
                 return "out-of-scope: unbound $n parameter"
             return "in-scope"
 
+        def se_family(s: str) -> str:
+            """Census bucket for a PG-raises / engine-accepts
+            statement (the silent-accept divergence class)."""
+            sl = s.lower()
+            if re.search(r"/\s*0(?:\.0*)?\b|/ nullif", sl):
+                return "division-by-zero (strict_errors makes loud)"
+            if re.search(r"::(int|smallint|bigint|numeric|decimal"
+                         r"|float|real|double)", sl) and re.search(
+                         r"'[^']*[a-df-z][^']*'", sl):
+                return "invalid numeric input (strict_errors)"
+            if re.search(r"::(date|time|timestamp|interval)", sl):
+                return "invalid datetime input"
+            if re.search(r"\b(pow|power|exp|log|ln|sqrt|factorial"
+                         r"|\^|!)\b|overflow", sl):
+                return "numeric overflow / domain (strict_errors)"
+            if re.search(r"::(bit|varbit)|b'[01]*'", sl):
+                return "bit-string width/format"
+            if re.search(r"\[\s*-?\d+\s*\]|array|\bslice", sl):
+                return "array subscript/shape"
+            if re.search(r"json|->|#>", sl):
+                return "json path/type"
+            if re.search(r"substring|overlay|position|trim|chr\(", sl):
+                return "string argument range"
+            if re.search(r"::inet|::cidr|::macaddr|::point|::box"
+                         r"|::circle|::line|::lseg|::path|::polygon",
+                         sl):
+                return "typed-input validation (inet/geo)"
+            return "other relaxed validation"
+
+        se_census: dict[str, int] = {}
+        for s in should_error:
+            k = se_family(s)
+            se_census[k] = se_census.get(k, 0) + 1
+
         triage = {
             "should_error": should_error,
+            "should_error_census": dict(
+                sorted(se_census.items(), key=lambda kv: -kv[1])
+            ),
             "engine_errors": [
                 {**d, "triage": classify(d["sql"], d.get("err", ""))}
                 for d in engine_errors

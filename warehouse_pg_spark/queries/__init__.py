@@ -41,74 +41,86 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
 # the PG SQL dialect. Everything else keeps its relative order after slot 50.
 #
 # Rotation policy: the driver can only ever score the first 50, so each
-# round ~10-13 NON-ANCHOR slots rotate to queries the driver has never
-# scored (union of CORRECTNESS_r1..r6), keeping one green representative
-# per family pinned.
-# r10 rotation (the ledger-closing sweep): ALL 27 never-scored entries
-# enter the prefix — the final 22 from r1-9 plus the 5 new round-10
-# queries (interval qualifiers, SRF lockstep zip, jsonb_path vars,
-# regexp_matches 'g', XML construction). The 5 family anchors stay
-# (sole green owners of scan+external / dqa / cte / udtf / uda; the
-# udtf anchor also re-scores this round's useArrow conversion). The
-# remaining 18 slots re-score prior greens chosen for (a) code touched
-# this round — regexp (backref renumbering), jsonpath (rewritten
-# evaluator), xml, ranges (int8 DECIMAL family), interval, power —
-# and (b) the r9 bench watch-list (minhash/cluster/topk/q10).
-# Cumulative driver coverage if green: 203 + 27 = 230 of 230 — a
-# fully driver-verified ledger.
+# round the NON-ANCHOR slots rotate to queries the driver has never
+# scored, keeping one green representative per family pinned (the
+# family-coverage invariant is cumulative — tests/test_registry.py
+# checks prefix ∪ CORRECTNESS_r* history spans REQUIRED_FAMILY_TAGS).
+# r11 rotation: ALL 9 never-scored entries enter the prefix — the 5
+# round-10 late registrations (format picture compiler, interval_out
+# rendering, time/timetz arithmetic, to_number, network types) plus
+# the 4 new round-11 queries (CREATE DOMAIN/enum DDL, composite CREATE
+# TYPE, geometric types, quantified ANY/ALL NULL semantics). The 5
+# family anchors stay (sole green owners of scan+external / dqa / cte
+# / udtf / uda). The remaining 36 slots re-score prior greens whose
+# code this round touched: jsonb (minus operators, NULL-key arrows),
+# regexp_matches (concat-chain subjects), xml (xmlexists lowering),
+# SRF classification (deepened nesting), to_char/to_date (literal
+# fold, trim), interval/time (timetz session-zone offset), money
+# (chained casts), enums (engine DDL beside the shim), quantified
+# ALL/ANY (three-valued rewrite), the inet fixes, plus the flagship
+# TPC-H trio (q18 is the r10 bench watch item) and the pipeline
+# re-verify set. Cumulative driver coverage if green: 230 + 9 = 239
+# of 239 (the registry grew to 239 this round; re-pin before close if
+# more register).
 DRIVER_PREFIX: tuple[str, ...] = (
-    # never-scored sweep #3 — the final 22 (r1-9 residue)
-    "agg_avg_group",
-    "window_first_last_nth",
-    "window_partition_agg",
-    "window_exclude_group_minmax",
-    "window_exclude_ties_minmax",
-    "setop_intersect",
-    "setop_except",
-    "fn_bitwise",
-    "fn_trig_family",
-    "fn_encode_family",
-    "recursive_series",
-    "srf_posexplode_ordinality",
-    "srf_unnest_multi",
-    "fn_xpath_extract",
-    "fn_complex_arithmetic",
-    "fn_matrix_ops",
-    "fn_misc_type_shims",
-    "fn_enum_ordering",
-    "pgsql_trim_functions",
-    "pgsql_row_null_semantics",
-    "pgsql_jsonb_containment",
-    "pgsql_range_ops_text",
-    # new round-10 queries (never-scored by definition)
-    "pgsql_interval_qualifiers",
-    "srf_lockstep_zip",
-    "pgsql_jsonb_path_vars",
-    "srf_regexp_matches_g",
-    "pgsql_xml_construction",
+    # never-scored: round-10 late registrations
+    "pgsql_format_compose",
+    "pgsql_interval_out",
+    "pgsql_time_arithmetic",
+    "pgsql_to_number_pictures",
+    "pgsql_network_types",
+    # never-scored: new round-11 queries
+    "pgsql_domain_check",
+    "pgsql_composite_roundtrip",
+    "pgsql_geometric_ops",
+    "pgsql_quantified_null",
     # anchors (required family tags with no never-scored owner)
     "external_csv_scan",
     "agg_dqa_multi",
     "cte_shared_reuse",
     "udtf_python_split_words",
     "uda_pandas_grouped",
-    # re-scores: code touched this round
-    "fn_strings",
-    "fn_regex_family",
-    "srf_regexp_split_to_table",
+    # re-scores: jsonb family (minus ops, NULL-key arrows, mutations)
+    "pgsql_jsonb_containment",
+    "pgsql_jsonb_path_vars",
     "pgsql_jsonpath_filter",
     "pgsql_jsonpath_match",
     "srf_json_each",
+    # re-scores: regexp family (concat-chain subject widening)
+    "fn_regex_family",
+    "srf_regexp_matches_g",
+    "srf_regexp_split_to_table",
+    # re-scores: xml family (xmlexists lowering beside xpath/XMLTABLE)
+    "fn_xpath_extract",
     "tablefunc_xmltable",
     "agg_xmlagg_members",
-    "fn_range_types",
-    "fn_interval_arithmetic",
-    "fn_math",
+    "pgsql_xml_construction",
+    # re-scores: SRF classification (deepened arg nesting)
+    "srf_unnest_multi",
+    "srf_lockstep_zip",
+    "srf_posexplode_ordinality",
+    # re-scores: to_char/to_date + numeric/money/misc dialect
+    "fn_to_char_formats",
     "fn_numeric_edge_semantics",
+    "fn_misc_type_shims",
+    "fn_math",
+    "fn_strings",
+    # re-scores: interval / time / zone / date-input code
+    "pgsql_interval_qualifiers",
+    "fn_interval_arithmetic",
     "pgsql_date_trunc_interval",
-    # re-scores: flagship + r9 bench watch-list
+    "fn_datetime_extended",
+    # re-scores: quantified + subplan family, enum shim, ranges
+    "join_quantified_all_any",
+    "fn_enum_ordering",
+    "fn_range_types",
+    "pgsql_row_null_semantics",
+    # re-scores: flagship + r10 bench watch (q18) + pipeline set
+    "pgsql_q1_text",
     "tpch_q1_pricing_summary",
     "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customer",
+    "tpch_q9_product_type_profit",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "dedup_cluster_components",

@@ -751,7 +751,7 @@ def fn_trig_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_to_char_formats",
-    oracle="""
+    oracle=r"""
     SELECT o_orderkey,
            strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS iso_day,
            strftime(CAST(o_orderdate AS DATE), '%d %b %Y') AS pretty_day,
@@ -759,7 +759,7 @@ def fn_trig_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(EXTRACT(quarter FROM CAST(o_orderdate AS DATE)) AS VARCHAR)
                || strftime(CAST(o_orderdate AS DATE), '%m') AS q_tag,
            regexp_replace(printf('%.2f', CAST(o_totalprice AS DECIMAL(18,2))),
-                          '(\.\d*?)0+$', '\\1') AS price_fm,
+                          '(\.\d*?)0+$', '\1') AS price_fm,
            ' ' || format('{:,}', CAST(floor(o_totalprice) AS BIGINT)) || '.' ||
                printf('%02d', CAST(round((CAST(o_totalprice AS DECIMAL(18,2))
                    - floor(o_totalprice)) * 100) AS INT)) AS price_grouped,

@@ -1850,3 +1850,195 @@ def pgsql_network_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM region ORDER BY r_regionkey
         """,
     )
+
+
+def _engine_script(spark: SparkSession, sf_dir: str,
+                   stmts: list[str]) -> DataFrame:
+    """Run a multi-statement PG script; return the LAST statement's
+    result (DDL + query shapes, e.g. CREATE DOMAIN then SELECT)."""
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_fixtures(sf_dir)
+    out = None
+    for s in stmts:
+        out = eng.sql(s)
+    return out
+
+
+@register(
+    "pgsql_domain_check",
+    # the domain lowers to its base type + plan-time CHECK guards, so
+    # the oracle is the same arithmetic without the (passing) guards
+    oracle="""
+    SELECT c_custkey,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+           upper(c_mktsegment) AS seg,
+           'BUILDING' AS seg_first,
+           'AUTOMOBILE' AS lab_lo,
+           'MACHINERY' AS lab_hi
+    FROM customer WHERE c_custkey <= 20 ORDER BY c_custkey
+    """,
+    tags=("dialect", "types", "domain", "ddl"),
+)
+def pgsql_domain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE DOMAIN + CREATE TYPE AS ENUM as engine DDL
+    (commands/typecmds.c DefineDomain, utils/adt/enum.c; regress
+    sql/domain.sql, sql/enum.sql). A domain cast lowers to the base
+    type plus assert_true CHECK guards — one codegen'd boolean per
+    constraint, zero runtime dispatch, so validating a 100 TB ingest
+    column costs a scan-local predicate. Enum labels fold to
+    constants at plan time."""
+    return _engine_script(spark, sf_dir, [
+        """CREATE DOMAIN balance_d AS numeric(12,2)
+           CHECK (VALUE >= -1000 AND VALUE <= 10000)""",
+        "CREATE DOMAIN code_d AS text NOT NULL CHECK (VALUE ~ '^[A-Z ]+$')",
+        """CREATE TYPE segment_e AS ENUM
+           ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')""",
+        """
+        SELECT c_custkey,
+               (c_acctbal::balance_d)::float8 AS bal,
+               upper(c_mktsegment)::code_d AS seg,
+               'BUILDING'::segment_e AS seg_first,
+               enum_first(NULL::segment_e) AS lab_lo,
+               enum_last(NULL::segment_e) AS lab_hi
+        FROM customer WHERE c_custkey <= 20 ORDER BY c_custkey
+        """,
+    ])
+
+
+@register(
+    "pgsql_composite_roundtrip",
+    # composite = StructType: construction, literal input, field
+    # access (rowtypes.c record_in / composite_types.sql)
+    oracle="""
+    SELECT s_suppkey,
+           CAST(s_acctbal AS DOUBLE) AS px,
+           CAST(s_suppkey AS DOUBLE) AS py,
+           CAST(s_acctbal AS DOUBLE) + CAST(s_suppkey AS DOUBLE) AS psum,
+           7.0 AS lit_sum,
+           CAST(NULL AS DOUBLE) AS null_x
+    FROM supplier ORDER BY s_suppkey
+    """,
+    tags=("dialect", "types", "composite", "ddl"),
+)
+def pgsql_composite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite CREATE TYPE ... AS (fields) as engine DDL
+    (commands/typecmds.c DefineCompositeType; regress
+    sql/composite_types.sql). Spark-first: a composite IS a
+    StructType — ROW(..)::t / '(a,b)'::t lower to named_struct with
+    per-field base casts, field access is Spark's native (expr).f, so
+    a record column shuffles/aggregates like any struct at scale."""
+    return _engine_script(spark, sf_dir, [
+        "CREATE TYPE point_t AS (x float8, y float8)",
+        """
+        SELECT s_suppkey,
+               ((s_acctbal, s_suppkey * 1.0)::point_t).x AS px,
+               (ROW(s_acctbal, s_suppkey * 1.0)::point_t).y AS py,
+               ((s_acctbal, s_suppkey * 1.0)::point_t).x
+                 + ((s_acctbal, s_suppkey * 1.0)::point_t).y AS psum,
+               ('(3,4)'::point_t).x + ('(3,4)'::point_t).y AS lit_sum,
+               (NULL::point_t).x AS null_x
+        FROM supplier ORDER BY s_suppkey
+        """,
+    ])
+
+
+@register(
+    "pgsql_geometric_ops",
+    # geo values are structs and every operator is inline arithmetic,
+    # so the oracle is the same math with the geometry unrolled;
+    # 3-4-5 triangles keep the distances exact in IEEE doubles
+    oracle="""
+    SELECT s_suppkey,
+           CAST(s_suppkey AS DOUBLE) AS axis_dist,
+           CAST(5 * s_suppkey AS DOUBLE) AS tri_dist,
+           (s_acctbal >= 100.0) AS box_has_100,
+           (abs(s_acctbal) <= 1000.0) AS in_r1000,
+           CAST(2 * s_suppkey AS DOUBLE) AS rect_area,
+           CAST(s_suppkey AS DOUBLE) + 0.5 AS cx
+    FROM supplier ORDER BY s_suppkey
+    """,
+    tags=("dialect", "types", "geometric"),
+)
+def pgsql_geometric_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG geometric types point/box/circle (utils/adt/geo_ops.c;
+    regress sql/point.sql, box.sql, circle.sql). Spark-first: a geo
+    value IS a struct and <->/@>/&&/area/center are inline Catalyst
+    arithmetic dispatched statically on the operand type at rewrite
+    time — distance over a 100 TB point column is fused
+    multiply-adds inside whole-stage codegen, never a UDF."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s_suppkey,
+               point(s_suppkey * 1.0, 0.0) <-> point '(0,0)'
+                 AS axis_dist,
+               point(s_suppkey * 3.0, s_suppkey * 4.0)
+                 <-> point '(0,0)' AS tri_dist,
+               box(point '(0,0)',
+                   point(s_acctbal, s_acctbal)) @> point '(100,100)'
+                 AS box_has_100,
+               circle '<(0,0),1000>' @> point(s_acctbal, 0.0)
+                 AS in_r1000,
+               area(box(point '(0,0)', point(s_suppkey * 1.0, 2.0)))
+                 AS rect_area,
+               (center(box(point(s_suppkey * 1.0, 0.0),
+                           point(s_suppkey + 1.0, 2.0)))).x AS cx
+        FROM supplier ORDER BY s_suppkey
+        """,
+    )
+
+
+@register(
+    "pgsql_quantified_null",
+    # ANY/ALL three-valued logic (execExprInterp.c ExecScanSubPlan):
+    # a NULL comparison that could decide the outcome yields NULL
+    # NULL booleans stringify differently across the two pandas
+    # channels, so the three-valued results encode as t/f/unknown text
+    oracle="""
+    SELECT r_regionkey,
+           COALESCE(CAST((r_regionkey = ANY (SELECT NULL))
+                         AS VARCHAR), 'unknown') AS any_null,
+           COALESCE(CAST((r_regionkey = ANY (SELECT UNNEST([2, NULL])))
+                         AS VARCHAR), 'unknown') AS any_maybe,
+           COALESCE(CAST((r_regionkey < ALL (SELECT UNNEST([7, 9])))
+                         AS VARCHAR), 'unknown') AS all_true,
+           COALESCE(CAST((r_regionkey < ALL (SELECT UNNEST([7, NULL])))
+                         AS VARCHAR), 'unknown') AS all_maybe,
+           COALESCE(CAST((r_regionkey = ANY
+                          (SELECT UNNEST(CAST([] AS INT[]))))
+                         AS VARCHAR), 'unknown') AS any_empty
+    FROM region ORDER BY r_regionkey
+    """,
+    tags=("dialect", "subquery", "quantified"),
+)
+def pgsql_quantified_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified ANY/ALL subquery comparisons keep PG's three-valued
+    logic (parse_expr.c SubLink, execExprInterp.c): Unknown stays
+    NULL instead of collapsing to false/true; the empty set is false
+    (ANY) / true (ALL). Lowered to one aggregated CASE over the
+    materialized subquery — the same bounded-subplan shape PG runs."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT r_regionkey,
+               coalesce((r_regionkey = ANY (SELECT NULL))::text,
+                        'unknown') AS any_null,
+               coalesce((r_regionkey = ANY
+                         (SELECT unnest(array[2, NULL])))::text,
+                        'unknown') AS any_maybe,
+               coalesce((r_regionkey < ALL
+                         (SELECT unnest(array[7, 9])))::text,
+                        'unknown') AS all_true,
+               coalesce((r_regionkey < ALL
+                         (SELECT unnest(array[7, NULL])))::text,
+                        'unknown') AS all_maybe,
+               coalesce((r_regionkey = ANY
+                         (SELECT unnest(array[]::int[])))::text,
+                        'unknown') AS any_empty
+        FROM region ORDER BY r_regionkey
+        """,
+    )
