@@ -1710,7 +1710,8 @@ def pgsql_interval_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PG time/timetz semantics as literals (DuckDB has TIME but not
     # PG's compact/zone-suffixed input forms) + a timestamp compose
     oracle="""
-    SELECT '04:05:06.789-08' AS tz_compact,
+    SELECT o_orderkey,
+           '04:05:06.789-08' AS tz_compact,
            '23:59:59.999999-07' AS tz_abbrev,
            '23:29:00-08' AS tz_minus_iv,
            '14:31:00-08' AS tz_wrap,
@@ -1719,7 +1720,11 @@ def pgsql_interval_out(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(TIMESTAMP '1991-02-03 12:05:06',
                     '%Y-%m-%d %H:%M:%S') AS date_plus_timetz,
            strftime(TIMESTAMP '1994-01-01 16:00:00',
-                    '%Y-%m-%d %H:%M:%S') AS make_tstz
+                    '%Y-%m-%d %H:%M:%S') AS make_tstz,
+           strftime(CAST(o_orderdate AS DATE)
+                    + INTERVAL 11 HOUR + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS order_ts
+    FROM orders WHERE o_orderkey <= 16 ORDER BY o_orderkey
     """,
     tags=("dialect", "datetime"),
 )
@@ -1736,7 +1741,8 @@ def pgsql_time_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         """
-        SELECT time with time zone '040506.789-08' AS tz_compact,
+        SELECT o_orderkey,
+               time with time zone '040506.789-08' AS tz_compact,
                '23:59:59.999999 PDT'::timetz AS tz_abbrev,
                time with time zone '01:30-08' - interval '02:01'
                  AS tz_minus_iv,
@@ -1749,7 +1755,9 @@ def pgsql_time_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + time with time zone '04:05:06 PST' AS STRING)
                  AS date_plus_timetz,
                CAST(timestamptz(date '1994-01-01', timetz '11:00-5')
-                    AS STRING) AS make_tstz
+                    AS STRING) AS make_tstz,
+               CAST(o_orderdate + time '11:30' AS STRING) AS order_ts
+        FROM orders WHERE o_orderkey <= 16 ORDER BY o_orderkey
         """,
     )
 
@@ -1758,7 +1766,8 @@ def pgsql_time_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pgsql_to_number_pictures",
     # the same loose-scan semantics computed with DuckDB string ops
     oracle="""
-    SELECT -34338492.0 AS grouped,
+    SELECT r_regionkey,
+           -34338492.0 AS grouped,
            -564646.654564 AS pr_wrap,
            -5.01 AS trail_sign,
            544448.78 AS spaced,
@@ -1766,8 +1775,8 @@ def pgsql_time_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
            123.0 AS slot_bound,
            1234.56 AS currency,
            42.0 AS ordinal,
-           CAST(count(*) AS BIGINT) AS n
-    FROM region
+           CAST(r_regionkey * 1000 + 234.56 AS DOUBLE) AS synth_amount
+    FROM region ORDER BY r_regionkey
     """,
     tags=("dialect", "functions", "numeric"),
 )
@@ -1781,7 +1790,8 @@ def pgsql_to_number_pictures(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         """
-        SELECT CAST(to_number('-34,338,492', '99G999G999') AS DOUBLE)
+        SELECT r_regionkey,
+               CAST(to_number('-34,338,492', '99G999G999') AS DOUBLE)
                  AS grouped,
                CAST(to_number('<564646.654564>', '999999.999999PR')
                     AS DOUBLE) AS pr_wrap,
@@ -1795,7 +1805,10 @@ def pgsql_to_number_pictures(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(to_number('$1,234.56', 'L99,999.99') AS DOUBLE)
                  AS currency,
                CAST(to_number('42nd', '99th') AS DOUBLE) AS ordinal,
-               (SELECT COUNT(*) FROM region) AS n
+               CAST(r_regionkey * to_number('1,000', '9G999')
+                    + to_number('$234.56', 'L999.99') AS DOUBLE)
+                 AS synth_amount
+        FROM region ORDER BY r_regionkey
         """,
     )
 
