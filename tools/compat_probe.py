@@ -610,6 +610,19 @@ def main() -> None:
                          el):
                 return "out-of-scope: large objects"
             if re.search(
+                r"\b(to_reg(?:proc|procedure|oper|operator|role|type"
+                r"|class|namespace|collation)|has_\w+_privilege"
+                r"|format_type|(?:col|obj|shobj)_description"
+                r"|table_to_xml\w*|cursor_to_xml\w*|query_to_xml\w*"
+                r"|schema_to_xml\w*|database_to_xml\w*"
+                r"|brin_\w+|gin_\w+|gp_\w+|ts_headline|ts_rank\w*"
+                r"|ts_debug|ts_stat|txid_\w+|\w*_recv|\w*_send)\b",
+                el,
+            ):
+                return (
+                    "out-of-scope: catalog/ACL/admin introspection"
+                )
+            if re.search(
                 r"\b(widget|complex|pleast|dfunc|city|int44|textrange"
                 r"|float8range|myint|tstzrange|table_am|rgb|rainbow"
                 r"|usr_define_type|xy_tuple|testtype\d*|tbl\d+"

@@ -98,9 +98,19 @@ _ON_CONFLICT_RE = re.compile(
 )
 _RETURNING_RE = re.compile(r"\sRETURNING\s+(.*)$", re.IGNORECASE | re.DOTALL)
 _CREATE_SEQ_RE = re.compile(
-    r"^CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
-    r"(?:\s+START(?:\s+WITH)?\s+(\d+))?\s*$",
+    # options (sequence.c init_params): START is honored; INCREMENT/
+    # MIN/MAXVALUE/CACHE/CYCLE/AS/OWNED BY are accepted and ignored —
+    # the coordinator-side counter has no caching or wraparound
+    r"^CREATE\s+(?:TEMP(?:ORARY)?\s+)?SEQUENCE\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
+    r"((?:\s+(?:START(?:\s+WITH)?\s+-?\d+|INCREMENT(?:\s+BY)?\s+-?\d+"
+    r"|MINVALUE\s+-?\d+|MAXVALUE\s+-?\d+|CACHE\s+\d+"
+    r"|NO\s+(?:MINVALUE|MAXVALUE|CYCLE)|CYCLE|AS\s+\w+"
+    r"|OWNED\s+BY\s+[\w.]+))*)\s*$",
     re.IGNORECASE,
+)
+_SEQ_START_RE = re.compile(
+    r"\bSTART(?:\s+WITH)?\s+(-?\d+)", re.IGNORECASE
 )
 _DROP_SEQ_RE = re.compile(
     r"^DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
@@ -218,7 +228,13 @@ _CATALOG_VIEW_RE = re.compile(
 _PG_STAT_RE = re.compile(r"\bpg_stat_user_tables\b", re.IGNORECASE)
 _NEXTVAL_RE = re.compile(r"nextval\(\s*'([\w.]+)'\s*\)", re.IGNORECASE)
 _CURRVAL_RE = re.compile(r"currval\(\s*'([\w.]+)'\s*\)", re.IGNORECASE)
-_SETVAL_RE = re.compile(r"setval\(\s*'([\w.]+)'\s*,\s*(\d+)\s*\)", re.IGNORECASE)
+_SETVAL_RE = re.compile(
+    # name may carry a ::regclass/::text decoration; optional 3rd
+    # is_called arg (sequence.c setval3_oid)
+    r"setval\(\s*'([\w.]+)'\s*(?:::\s*\w+\s*)?,\s*(\d+)\s*"
+    r"(?:,\s*(true|false)\s*)?\)",
+    re.IGNORECASE,
+)
 
 
 def _split_exprs(s: str) -> list[str]:
@@ -488,7 +504,17 @@ class Engine:
                 "FunctionScan (§2.1) for set-returning functions"
             )
         params: list[tuple[str, str]] = []
-        for a in (x.strip() for x in _split_exprs(rawargs) if x.strip()):
+        # multiword type spellings that make a name-less parameter
+        # (functioncmds.c: parameter names are optional — $n refers)
+        _UNNAMED_MULTI = {
+            "double precision", "character varying", "time zone",
+            "timestamp with time zone", "timestamp without time zone",
+            "time with time zone", "time without time zone",
+        }
+        for i, a in enumerate(
+            (x.strip() for x in _split_exprs(rawargs) if x.strip()),
+            start=1,
+        ):
             if re.search(r"\bDEFAULT\b|=", a, re.IGNORECASE):
                 raise NotImplementedError(
                     "CREATE FUNCTION parameter DEFAULTs are not supported"
@@ -500,9 +526,17 @@ class Engine:
                         f"{toks[0].upper()} parameters are not supported"
                     )
                 toks = toks[1:]
-            if len(toks) < 2:
-                raise ValueError(f"parameter needs name and type: {a!r}")
-            params.append((toks[0], map_decl_type(" ".join(toks[1:]))))
+            joined = " ".join(toks).lower()
+            if len(toks) == 1 or joined in _UNNAMED_MULTI or (
+                len(toks) == 2 and toks[1].lower() in ("precision",
+                                                       "varying")
+            ):
+                # unnamed parameter: referenced as $n in the body
+                params.append((f"__p{i}", map_decl_type(joined)))
+            else:
+                params.append(
+                    (toks[0], map_decl_type(" ".join(toks[1:])))
+                )
         lang_m = re.search(r"\bLANGUAGE\s+'?(\w+)'?", tail, re.IGNORECASE)
         lang = (lang_m.group(1) if lang_m else "sql").lower()
         strict = bool(
@@ -530,6 +564,14 @@ class Engine:
                     "CREATE FUNCTION needs AS $$...$$ / AS '...' / RETURN expr"
                 )
             body, lang = f"SELECT {rb.group(1).strip()}", "sql"
+        # $n positional references resolve to the nth parameter name
+        # (functioncmds.c: valid for both named and unnamed params)
+        def _dollar_ref(m2: re.Match) -> str:
+            k = int(m2.group(1))
+            return params[k - 1][0] if 1 <= k <= len(params) \
+                else m2.group(0)
+
+        body = re.sub(r"\$(\d+)\b", _dollar_ref, body)
         if lang == "plpgsql":
             expr = compile_plpgsql(params, ret_spark, body)
         elif lang in ("sql", "internal"):
@@ -820,7 +862,8 @@ class Engine:
         m = _CREATE_SEQ_RE.match(s)
         if m:
             name = m.group(1).split(".")[-1]
-            start = int(m.group(2) or 1)
+            sm = _SEQ_START_RE.search(m.group(2) or "")
+            start = int(sm.group(1)) if sm else 1
             if name not in self._sequences:
                 self._sequences[name] = {"next": start, "start": start}
             return self._tag(0)
@@ -894,7 +937,9 @@ class Engine:
         def _setval(m: re.Match) -> str:
             seq = self._seq(m.group(1).split(".")[-1])
             val = int(m.group(2))
-            seq["next"] = val + 1
+            # is_called=false: the NEXT nextval returns val itself
+            is_called = (m.group(3) or "true").lower() == "true"
+            seq["next"] = val + 1 if is_called else val
             seq["last"] = val
             return str(val)
 

@@ -928,6 +928,21 @@ def _jsonb_delete_path_py(j, path):
     return _dumps(doc)
 
 
+def _jsonb_pretty_py(j):
+    """jsonb_pretty (jsonfuncs.c): 4-space indent, one item per line,
+    ': ' after keys — Python's dumps(indent=4) is the same layout."""
+    import json as _json
+
+    if j is None:
+        return None
+    try:
+        return _json.dumps(
+            _json.loads(j), indent=4, ensure_ascii=False
+        )
+    except ValueError:
+        return None
+
+
 def _jsonb_minus_keys_py(j, keys):
     """`jsonb - text` / `jsonb - text[]` (jsonfuncs.c jsonb_delete /
     jsonb_delete_array): on an object remove the named keys; on an
@@ -1127,6 +1142,7 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
         ("jsonb_delete_path", _jsonb_delete_path_py, "STRING", 2),
         ("jsonb_minus_keys", _jsonb_minus_keys_py, "STRING", 2),
         ("jsonb_minus_idx", _jsonb_minus_idx_py, "STRING", 2),
+        ("jsonb_pretty", _jsonb_pretty_py, "STRING", 1),
         ("json_object1", _json_object1_py, "STRING", 1),
         ("json_object2", _json_object2_py, "STRING", 2),
     ):

@@ -780,7 +780,12 @@ _ROW_CTOR_RE = re.compile(
     r"(?<![\w.])ROW\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
 )
 _ARRAY_LENGTH_RE = re.compile(
-    rf"\barray_length\s*\(\s*({_DISTINCT_OPERAND})\s*,\s*1\s*\)",
+    # literal dimension; the array operand admits nested constructors
+    # (array(array(1,2), array(3,4)) after the braced-literal pass)
+    rf"\barray_length\s*\(\s*"
+    rf"({_DISTINCT_OPERAND}"
+    r"|[\w.]+\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
+    r"\s*,\s*(-?\d+)\s*\)",
     re.IGNORECASE,
 )
 _ARRAY_CAT_RE = re.compile(r"\barray_cat\s*\(", re.IGNORECASE)
@@ -1986,7 +1991,26 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         return f"struct({fields})"
 
     sql = _ROW_CTOR_RE.sub(sub_row, sql)
-    sql = _ARRAY_LENGTH_RE.sub(lambda m: f"size({m.group(1)})", sql)
+    def sub_array_length(m: re.Match) -> str:
+        # arrayfuncs.c array_length: NULL for out-of-range dims and
+        # for the empty array; dim N measures the Nth nesting level
+        x, dim = m.group(1), int(m.group(2))
+        if dim < 1:
+            return "CAST(NULL AS INT)"
+        if re.match(r"(?is)^\s*array\s*\(", x):
+            # literal constructor: depth is visible textually — a dim
+            # past it is NULL, not an analysis error
+            depth, probe = 0, x
+            while re.match(r"(?is)^\s*array\s*\(", probe):
+                depth += 1
+                probe = re.sub(r"(?is)^\s*array\s*\(\s*", "", probe)
+            if dim > depth:
+                return "CAST(NULL AS INT)"
+        for _ in range(dim - 1):
+            x = f"element_at({x}, 1)"
+        return f"nullif(size({x}), 0)"
+
+    sql = _ARRAY_LENGTH_RE.sub(sub_array_length, sql)
     sql = _ARRAY_CAT_RE.sub("concat(", sql)
 
     def sub_sta(m: re.Match) -> str:
@@ -2676,6 +2700,11 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         lambda m: f"to_json(collect_list({m.group(1)}))", sql
     )
     sql = _ROW_TO_JSON_RE.sub("to_json(", sql)
+    # array_to_json (json.c array_to_json): Spark's to_json renders
+    # arrays (incl. nested) with the same [..] text for scalar
+    # element types
+    sql = re.sub(r"\barray_to_json\s*\(", "to_json(", sql,
+                 flags=re.IGNORECASE)
     def sub_format(m: re.Match) -> str:
         tok, argstr = m.group(1), m.group(2)
         if tok.upper() == "NULL":
@@ -2834,6 +2863,43 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
                     + (f":{o[3:5]}" if len(o) >= 5 else "")
                 )
             return f"TIMESTAMP {_new_lit(iso, lits)}"
+        # PG multi-format date part + time + offset ('12/27/2001
+        # 04:05:06.789-08', '2001.12.27 ...') and the tagged
+        # 'Y2001M12D27H04M05S06.789+08' ISO-alternative form
+        gm = re.fullmatch(
+            r"(?i)Y(\d{4})M(\d{2})D(\d{2})"
+            r"H(\d{2})MM?(\d{2})S(\d{2}(?:\.\d+)?)"
+            r"\s*([+-]\d{1,2}(?::?\d{2})?)?",
+            body,
+        )
+        if gm:
+            y, mo, d, h, mi, s, off = gm.groups()
+            iso = f"{y}-{mo}-{d} {h}:{mi}:{s}"
+            if off:
+                o = off.replace(":", "")
+                iso += (
+                    f"{o[0]}{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
+                    + (f":{o[3:5]}" if len(o) >= 5 else "")
+                )
+            return f"TIMESTAMP {_new_lit(iso, lits)}"
+        dm = re.fullmatch(
+            r"(\S+)\s+(\d{1,2}:\d{2}(?::\d{2}(?:\.\d+)?)?)"
+            r"\s*([+-]\d{1,2}(?::?\d{2})?)?",
+            body,
+        )
+        if dm and not re.fullmatch(r"\d{4}-\d{2}-\d{2}", dm.group(1)):
+            folded_d = _pg_date_fold(dm.group(1))
+            if folded_d is not None:
+                iso = f"{folded_d} {dm.group(2)}"
+                off = dm.group(3)
+                if off:
+                    o = off.replace(":", "")
+                    iso += (
+                        f"{o[0]}"
+                        f"{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
+                        + (f":{o[3:5]}" if len(o) >= 5 else "")
+                    )
+                return f"TIMESTAMP {_new_lit(iso, lits)}"
         cm = re.fullmatch(
             r"(\d{4})(\d{2})(\d{2})[T ]?(\d{2}):?(\d{2}):?"
             r"(\d{2}(?:\.\d+)?)?\s*([+-]\d{1,2}(?::?\d{2})?)?",
@@ -3325,6 +3391,13 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
 
     def sub_arr_subq(m: re.Match) -> str:
         q = m.group(1).strip()
+        fromless = re.match(
+            r"(?is)^SELECT\s+(.+?)(?:\s+AS\s+\w+)?\s*$", q
+        )
+        if fromless and not re.search(r"(?i)\bFROM\b", q):
+            # FROM-less body: a one-row subquery, so the array is just
+            # the single value (json.c regress array(select 1))
+            return f"array((SELECT {fromless.group(1)}))"
         mo = re.match(
             r"(?is)^SELECT\s+(.+?)\s+(FROM\b.*?)"
             r"(?:\s+ORDER\s+BY\s+([^()]+?)\s*(DESC|ASC)?)?$",
@@ -3867,6 +3940,92 @@ def map_decl_type(t: str) -> str:
     if tl.startswith("time"):  # no TIME type in Spark; HH:MM:SS sorts
         return "STRING"
     return _map_type(t)
+
+
+def _pg_date_fold(body: str) -> str | None:
+    import datetime as _dt
+
+    s = body.strip()
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}", s):
+        return None  # already ISO — native literal is fine
+    if re.fullmatch(r"\d{8}", s):  # compact ISO 'YYYYMMDD'
+        try:
+            return _dt.date(
+                int(s[:4]), int(s[4:6]), int(s[6:8])
+            ).isoformat()
+        except ValueError:
+            return None
+    if re.fullmatch(r"[Jj]\d{1,7}", s):
+        return (
+            _dt.date(1970, 1, 1)
+            + _dt.timedelta(days=int(s[1:]) - 2440588)
+        ).isoformat()
+    if re.fullmatch(r"\d{4}\.\d{3}", s):
+        # year.doy form (datetime.c DecodeDate special)
+        y, doy = int(s[:4]), int(s[5:])
+        try:
+            return (
+                _dt.date(y, 1, 1) + _dt.timedelta(days=doy - 1)
+            ).isoformat()
+        except (ValueError, OverflowError):
+            return None
+    nm = re.fullmatch(
+        r"(\d{1,4})[\s./-](\d{1,2})[\s./-](\d{1,4})", s
+    )
+    if nm:
+        # all-numeric 3-field dates under the session's default
+        # MDY DateStyle (datetime.c DecodeDate): a 4-digit or >31
+        # leading field is the year (YMD); a 4-digit trailing
+        # field is the year with MDY (day-month swap when the
+        # first field can't be a month); 2-digit years take the
+        # <70 → 2000s window
+        a_s, b_s, c_s = nm.group(1), nm.group(2), nm.group(3)
+        a, b, c = int(a_s), int(b_s), int(c_s)
+
+        def _win(y: int) -> int:
+            return y + (2000 if y < 70 else 1900) if y < 100 else y
+
+        if len(a_s) == 4 or a > 31:
+            y, mo2, d = _win(a), b, c
+        else:
+            y = _win(c)
+            if a <= 12:
+                mo2, d = a, b
+            elif b <= 12:
+                mo2, d = b, a
+            else:
+                return None
+        try:
+            return _dt.date(y, mo2, d).isoformat()
+        except ValueError:
+            return None
+    toks = [t for t in re.split(r"[\s,-]+", s) if t]
+    months = {
+        m: i + 1 for i, m in enumerate(
+            ("jan", "feb", "mar", "apr", "may", "jun",
+             "jul", "aug", "sep", "oct", "nov", "dec")
+        )
+    }
+    mo = None
+    nums = []
+    for t in toks:
+        if t[:3].lower() in months and not t.isdigit():
+            mo = months[t[:3].lower()]
+        elif t.isdigit():
+            nums.append(int(t))
+        else:
+            return None
+    if mo is None or len(nums) != 2:
+        return None
+    a, b = nums
+    y, d = (a, b) if a > 31 else (b, a)
+    if y < 100:  # PG's two-digit-year window (datetime.c)
+        y += 2000 if y < 70 else 1900
+    try:
+        return _dt.date(y, mo, d).isoformat()
+    except ValueError:
+        return None
+
 
 
 def _rewrite_pg_geo(out: str, lits: list[str]) -> str:
@@ -4947,51 +5106,6 @@ def rewrite(sql: str) -> str:
     # any of PG's accepted orders and the Julian-day 'J2451187' form —
     # parsed at plan time into ISO literals. Plain ISO bodies pass
     # through untouched.
-    def _pg_date_fold(body: str) -> str | None:
-        import datetime as _dt
-
-        s = body.strip()
-        if re.fullmatch(r"\d{4}-\d{2}-\d{2}", s):
-            return None  # already ISO — native literal is fine
-        if re.fullmatch(r"\d{8}", s):  # compact ISO 'YYYYMMDD'
-            try:
-                return _dt.date(
-                    int(s[:4]), int(s[4:6]), int(s[6:8])
-                ).isoformat()
-            except ValueError:
-                return None
-        if re.fullmatch(r"[Jj]\d{1,7}", s):
-            return (
-                _dt.date(1970, 1, 1)
-                + _dt.timedelta(days=int(s[1:]) - 2440588)
-            ).isoformat()
-        toks = [t for t in re.split(r"[\s,-]+", s) if t]
-        months = {
-            m: i + 1 for i, m in enumerate(
-                ("jan", "feb", "mar", "apr", "may", "jun",
-                 "jul", "aug", "sep", "oct", "nov", "dec")
-            )
-        }
-        mo = None
-        nums = []
-        for t in toks:
-            if t[:3].lower() in months and not t.isdigit():
-                mo = months[t[:3].lower()]
-            elif t.isdigit():
-                nums.append(int(t))
-            else:
-                return None
-        if mo is None or len(nums) != 2:
-            return None
-        a, b = nums
-        y, d = (a, b) if a > 31 else (b, a)
-        if y < 100:  # PG's two-digit-year window (datetime.c)
-            y += 2000 if y < 70 else 1900
-        try:
-            return _dt.date(y, mo, d).isoformat()
-        except ValueError:
-            return None
-
     def sub_date_lit(m: re.Match) -> str:
         folded = _pg_date_fold(_lit_value(m.group(1), lits))
         if folded is None:
