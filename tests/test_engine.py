@@ -2348,3 +2348,56 @@ def test_probe_families_round11(engine):
     ).collect()[0]
     assert r.a.replace(tzinfo=None) == dt.datetime(2001, 12, 26, 20, 5, 6)
     assert r.b.replace(tzinfo=None) == dt.datetime(2001, 12, 27, 20, 0)
+
+
+def test_pg_encode_decode(engine):
+    """encode/decode bytea<->text (utils/adt/encode.c): hex (lowercase),
+    base64 (76-char line wrap, whitespace-tolerant input), escape
+    (octal \\NNN); nested chains fold to a fixpoint."""
+    r = engine.sql(
+        "SELECT encode('\\x1234567890abcdef00', 'hex') AS hex_out,"
+        "       encode('\\x1234567890abcdef00', 'escape') AS esc_out,"
+        "       encode(decode(encode('\\x1234567890abcdef00',"
+        "              'escape'), 'escape'), 'hex') AS roundtrip,"
+        "       encode('abc', 'base64') AS b64,"
+        "       decode('MTIzAAE=', 'base64') AS b64_in"
+    ).collect()[0]
+    assert r.hex_out == "1234567890abcdef00"
+    assert r.esc_out == "\\0224Vx\\220\\253\\315\\357\\000"
+    assert r.roundtrip == "1234567890abcdef00"
+    assert r.b64 == "YWJj"
+    assert bytes(r.b64_in) == b"123\x00\x01"
+    wrap = engine.sql(
+        "SELECT encode(('\\x' || repeat('1234567890abcdef0001', 7))"
+        "::bytea, 'base64') AS x"
+    ).collect()[0].x
+    assert len(wrap.split("\n")[0]) == 76 and not wrap.endswith("\n")
+    # Oracle-style conditional decode is untouched
+    assert engine.sql(
+        "SELECT decode(2, 1, 'one', 2, 'two', 'other') AS x"
+    ).collect()[0].x == "two"
+
+
+def test_probe_families_round11b(engine):
+    """Second round-11 probe sweep: json typed literals with unicode
+    escapes through arrows, minutes-only timestamptz offsets, mixed
+    sign-separated interval fields, timestamptz literal keyword,
+    NULL path elements under #>, suffix-attached interval units."""
+    import datetime as dt
+
+    r = engine.sql(
+        "SELECT json '{ \"a\": \"dollar \\u0024 sign\" }' ->> 'a' AS a,"
+        "       timestamp with time zone '2005-04-02 12:00-07'"
+        "         + interval '1 day' AS b,"
+        "       timestamp '1999-12-01'"
+        "         + interval '1 month - 1 second' AS c,"
+        "       timestamptz '2014-05-28 12:22:35.614298-04' AS d,"
+        "       '{\"a\": 1}'::json #> array['a', null] AS e,"
+        "       '2y 3mon 4d'::interval AS f"
+    ).collect()[0]
+    assert r.a == "dollar $ sign"
+    assert r.b.replace(tzinfo=None) == dt.datetime(2005, 4, 3, 19, 0)
+    assert r.c.replace(tzinfo=None) == dt.datetime(1999, 12, 31, 23, 59, 59)
+    assert r.d.replace(tzinfo=None) == dt.datetime(2014, 5, 28, 16, 22, 35, 614298)
+    assert r.e is None
+    assert str(r.f) == "2 years 3 mons 4 days"

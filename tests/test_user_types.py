@@ -105,3 +105,22 @@ def test_drop_semantics(eng):
     # IF EXISTS is silent
     eng.sql("DROP DOMAIN IF EXISTS no_such_dom")
     eng.sql("DROP TYPE IF EXISTS no_such_type CASCADE")
+
+
+def test_json_populate_record_over_composite(eng):
+    """json[b]_populate_record(set) over a session composite
+    (jsonfuncs.c populate_record): the composite's fields are a
+    from_json schema — missing keys NULL, extra keys ignored."""
+    eng.sql("CREATE TYPE jp_pair AS (x int, y int)")
+    r = eng.sql(
+        "SELECT json_populate_record(null::jp_pair,"
+        " '{\"x\": 0, \"y\": 1}') AS r"
+    ).collect()[0].r
+    assert (r.x, r.y) == (0, 1)
+    rows = eng.sql(
+        "SELECT jsonb_populate_recordset(null::jp_pair,"
+        " '[{\"x\": 0, \"y\": 1}, {\"y\": 3}]') AS r"
+    ).collect()
+    assert len(rows) == 2
+    assert rows[1].r.x is None and rows[1].r.y == 3
+    eng.sql("DROP TYPE jp_pair")

@@ -93,6 +93,15 @@ ORACLE_DIVERGES = (
     # DST-ambiguous local times: PG resolves to the later UTC offset,
     # the JVM to the earlier one (documented deviation, README)
     "europe/moscow",
+    # two-digit-year / field-order date inputs: PG windows 2-digit
+    # years (<70 → 2000s) and disambiguates fields by DateStyle
+    # (date.out:228 '99-01-08' → 1999-01-08); DuckDB reads the first
+    # field as a literal year (0099-01-08). Engine matches PG.
+    "date '99-01-08'",
+    "date '99-08-01'",
+    "date '99 01 08'",
+    "date '99 08 01'",
+    "date '01/02/03'",
     # DuckDB's bytea input treats \\x escape-format differently from
     # PG's hex form (verified against varlena.c byteain; unit-tested
     # in tests/test_engine.py::test_bytea_hex_literals)

@@ -928,6 +928,45 @@ def _jsonb_delete_path_py(j, path):
     return _dumps(doc)
 
 
+def _bytea_escape_out_py(b):
+    """encode(bytea, 'escape') (encode.c esc_encode): backslash
+    doubles, non-printable bytes render as \\NNN octal."""
+    if b is None:
+        return None
+    out = []
+    for byte in bytes(b):
+        if byte == 0x5C:
+            out.append("\\\\")
+        elif byte < 0x20 or byte > 0x7E:
+            out.append(f"\\{byte:03o}")
+        else:
+            out.append(chr(byte))
+    return "".join(out)
+
+
+def _bytea_escape_in_py(s):
+    """decode(text, 'escape') (encode.c esc_decode)."""
+    if s is None:
+        return None
+    out = bytearray()
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "\\":
+            if s[i: i + 2] == "\\\\":
+                out.append(0x5C)
+                i += 2
+                continue
+            if i + 3 < n and all(c in "01234567" for c in s[i+1:i+4]):
+                out.append(int(s[i + 1: i + 4], 8))
+                i += 4
+                continue
+            return None  # malformed escape: PG errors; stay NULL-loud
+        out.append(ord(ch))
+        i += 1
+    return bytes(out)
+
+
 def _jsonb_pretty_py(j):
     """jsonb_pretty (jsonfuncs.c): 4-space indent, one item per line,
     ': ' after keys — Python's dumps(indent=4) is the same layout."""
@@ -1143,6 +1182,8 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
         ("jsonb_minus_keys", _jsonb_minus_keys_py, "STRING", 2),
         ("jsonb_minus_idx", _jsonb_minus_idx_py, "STRING", 2),
         ("jsonb_pretty", _jsonb_pretty_py, "STRING", 1),
+        ("pg_bytea_escape_out", _bytea_escape_out_py, "STRING", 1),
+        ("pg_bytea_escape_in", _bytea_escape_in_py, "BINARY", 1),
         ("json_object1", _json_object1_py, "STRING", 1),
         ("json_object2", _json_object2_py, "STRING", 2),
     ):

@@ -1243,7 +1243,10 @@ _MAKE_TSTZ_RE = re.compile(r"\bmake_timestamptz\s*\(", re.IGNORECASE)
 # `timestamp with[out] time zone '...'` spelled-out typed literals —
 # both collapse to the single TIMESTAMP type (README)
 _TS_ZONE_LIT_RE = re.compile(
-    r"\btimestamp\s+with(?:out)?\s+time\s+zone\s+(\x01\d+\x01)",
+    # the single-word timestamptz spelling takes the same path (Spark
+    # has no TIMESTAMPTZ literal keyword); exclude the
+    # timestamptz(date, time) constructor via the literal lookahead
+    r"\btimestamp(?:\s+with(?:out)?\s+time\s+zone|tz)\s+(\x01\d+\x01)",
     re.IGNORECASE,
 )
 _DOUBLE_PREC_LIT_RE = re.compile(
@@ -1497,6 +1500,21 @@ def _pg_interval_parse(
         neg_all, s = True, s[:-4].strip()
     if not s:
         return None
+    # a sign separated from its number ('1 month - 1 second') binds to
+    # the following field (DecodeInterval treats the sign as a prefix)
+    s = re.sub(r"([+-])\s+(?=\d)", r"\1", s)
+    # suffix-attached unit abbreviations ('100000000y 10mon -10.5s')
+    # split into number + unit tokens (DecodeInterval reads them as
+    # separate fields)
+    s = re.sub(
+        r"(?i)(?<=[\d.])"
+        r"(millenniums?|millennia|centur(?:y|ies)|decades?|decs?"
+        r"|years?|yrs?|months?|mons?|weeks?|days?|hours?|hrs?"
+        r"|minutes?|mins?|seconds?|secs?|milliseconds?|microseconds?"
+        r"|ms|us|mo|mi|[ywdhms])\b",
+        r" \1",
+        s,
+    )
     toks = s.split()
     f: dict[str, Decimal] = {
         k: Decimal(0) for k in ("y", "mo", "d", "h", "mi", "s")
@@ -1978,6 +1996,50 @@ def _rewrite_xml_ctors(sql: str, lits: list[str] | None = None) -> str:
 
 
 def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
+    # encode/decode bytea<->text (utils/adt/encode.c): hex, base64
+    # (76-char line wrap, whitespace-tolerant input), escape (octal)
+    def sub_encode(m: re.Match) -> str:
+        which = m.group(1).lower()
+        x = m.group(2).strip()
+        fmt = _lit_value(m.group(3), lits).strip().lower()
+        xm = _MASK_RE.fullmatch(x)
+        if xm:
+            body = _lit_value(x, lits)
+            for pfx in ("\\\\x", "\\x"):
+                if body.lower().startswith(pfx.lower()):
+                    x = f"unhex('{body[len(pfx):]}')"
+                    break
+        b = f"CAST({x} AS BINARY)"
+        s = f"CAST({x} AS STRING)"
+        if which == "encode":
+            if fmt == "hex":
+                return f"lower(hex({b}))"
+            if fmt == "base64":
+                return (
+                    f"regexp_replace(regexp_replace(base64({b}), "
+                    f"'(.{{76}})', '$1\\n'), '\\n$', '')"
+                )
+            if fmt == "escape":
+                return f"pg_bytea_escape_out({b})"
+        else:
+            if fmt == "hex":
+                return f"unhex({s})"
+            if fmt == "base64":
+                return f"unbase64(regexp_replace({s}, '\\\\s', ''))"
+            if fmt == "escape":
+                return f"pg_bytea_escape_in({s})"
+        return m.group(0)
+
+    _ENC_RE = re.compile(
+        rf"(?i)[`\"]?\b(encode|decode)[`\"]?\s*\(\s*"
+        rf"((?:[^(),']|{_LIT}|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
+        rf"+?)\s*,\s*({_LIT})\s*\)"
+    )
+    prev_enc = None
+    while prev_enc != sql:  # nested encode(decode(..)) chains
+        prev_enc = sql
+        sql = _ENC_RE.sub(sub_encode, sql)
+
     def sub_row(m: re.Match) -> str:
         # positional field aliases: Spark struct comparison requires
         # matching field names on both sides; PG records compare by
@@ -2814,6 +2876,10 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
                 elems.append(lits[int(lm.group(1))][1:-1])
             elif a.isdigit():
                 elems.append(a)
+            elif a.upper() == "NULL":
+                # a NULL path element makes the strict #>/#>> NULL
+                # (jsonfuncs.c get_path_all)
+                return "CAST(NULL AS STRING)"
             else:
                 return m.group(0)  # dynamic path elements: stay loud
         return f"get_json_object({j}, '{_json_path(elems)}')"
@@ -2887,10 +2953,17 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
             r"\s*([+-]\d{1,2}(?::?\d{2})?)?",
             body,
         )
-        if dm and not re.fullmatch(r"\d{4}-\d{2}-\d{2}", dm.group(1)):
-            folded_d = _pg_date_fold(dm.group(1))
+        if dm:
+            folded_d = (
+                dm.group(1)
+                if re.fullmatch(r"\d{4}-\d{2}-\d{2}", dm.group(1))
+                else _pg_date_fold(dm.group(1))
+            )
             if folded_d is not None:
-                iso = f"{folded_d} {dm.group(2)}"
+                t = dm.group(2)
+                if re.fullmatch(r"\d{1,2}:\d{2}", t):
+                    t += ":00"  # Spark's literal parser needs seconds
+                iso = f"{folded_d} {t}"
                 off = dm.group(3)
                 if off:
                     o = off.replace(":", "")
@@ -3356,6 +3429,9 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         ) or re.search(r"\d+\.\d+\s*[a-z]", raw, re.IGNORECASE) or re.search(
             # PG-only unit words Spark's stringToInterval rejects
             r"(?i)\b(millenni|centur|decade)", raw
+        ) or re.search(
+            # suffix-attached unit abbreviations ('2y 3mon 4d')
+            r"(?i)\d[a-z]", raw
         ) or (
             # mixed year-month + day-time unit words: Spark's ANSI
             # literal rejects the mix ("Cannot mix year-month and
@@ -4421,6 +4497,14 @@ def _rewrite_arrows(sql: str, lits: list[str]) -> str:
     fold extends — this fixes the round-2 half-rewritten-chain bug
     (->> running before ->). The LHS is located by scanning backwards,
     so parenthesized bases like ('{...}' || j) -> 'k' work too."""
+    # `json '...'` / `jsonb '...'` typed-literal prefixes drop when an
+    # arrow follows, so the backward LHS scan never strands the prefix
+    # word outside the rewritten call. ONLY in arrow position — other
+    # consumers (json_build_array's raw-json embedding) still need the
+    # marker.
+    sql = re.sub(
+        r"(?i)\bjsonb?\s+(\x01\d+\x01)(?=\s*(?:->|#>))", r"\1", sql
+    )
     gjo_base = re.compile(rf"get_json_object\((.*),\s*({_LIT})\)$", re.DOTALL)
     while True:
         m = _ARROW_STEP_RE.search(sql)
@@ -5185,6 +5269,9 @@ def rewrite(sql: str) -> str:
             or body.strip().lower().endswith(" ago")
             or re.search(r"\d+\.\d+\s*[a-z]", body, re.IGNORECASE)
             or re.search(r"(?i)\b(millenni|centur|decade)", body)
+            # suffix-attached unit abbreviations ('2y 3mon 4d'):
+            # Spark's string→interval CAST silently NULLs them
+            or re.search(r"(?i)\d[a-z]", body)
         ):
             return f"INTERVAL {m.group(1)}"
         return m.group(0)

@@ -389,6 +389,30 @@ class UserTypes:
             return sql
         sql = self._normalize_cast_fn(sql, name)
 
+        # json[b]_populate_record(set)(NULL::comp, j) (jsonfuncs.c):
+        # the composite's fields ARE a from_json schema — missing keys
+        # come back NULL, extra keys are ignored, exactly PG's rule
+        from warehouse_pg_spark.sql_dialect import map_decl_type
+
+        schema = ", ".join(
+            f"{f} {map_decl_type(t)}" for f, t in comp.fields
+        )
+        sql = re.sub(
+            rf"(?is)\bjsonb?_populate_record\s*\(\s*NULL\s*::\s*{name}"
+            rf"\s*,\s*({_RLIT}|[\w.]+)\s*\)",
+            lambda m: f"from_json({m.group(1)}, '{schema}')",
+            sql,
+        )
+        sql = re.sub(
+            rf"(?is)\bjsonb?_populate_recordset\s*\(\s*NULL\s*::\s*"
+            rf"{name}\s*,\s*({_RLIT}|[\w.]+)\s*\)",
+            lambda m: (
+                f"explode(from_json({m.group(1)}, "
+                f"'ARRAY<STRUCT<{schema}>>'))"
+            ),
+            sql,
+        )
+
         def build(args: list[str]) -> str:
             if len(args) != len(comp.fields):
                 raise ValueError(
