@@ -2401,3 +2401,22 @@ def test_probe_families_round11b(engine):
     assert r.d.replace(tzinfo=None) == dt.datetime(2014, 5, 28, 16, 22, 35, 614298)
     assert r.e is None
     assert str(r.f) == "2 years 3 mons 4 days"
+
+
+def test_jsonpath_strict_mode_raises(engine):
+    """jsonb_path_query raises on strict-mode structural violations
+    (jsonpath_exec.c: member accessor on a missing key, out-of-bounds
+    subscript) while lax mode and the silent @? / @@ operators stay
+    quiet — PG's exact error posture."""
+    import pytest as _pytest
+
+    for q in ("SELECT jsonb_path_query('{}', 'strict $.a')",
+              "SELECT jsonb_path_query('[]', 'strict $[2]')"):
+        with _pytest.raises(Exception):
+            engine.sql(q).collect()
+    assert engine.sql(
+        "SELECT jsonb_path_query('{}', 'lax $.a') AS x"
+    ).count() == 0
+    assert engine.sql(
+        "SELECT '{}'::jsonb @? 'strict $.a' AS x"
+    ).collect()[0].x is None

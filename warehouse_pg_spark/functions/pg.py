@@ -545,9 +545,17 @@ def _jp_find_top_op(s: str) -> tuple[str, str, str] | None:
     return None
 
 
+class _JPStrictError(ValueError):
+    """Strict-mode structural violation (jsonpath_exec.c): PG RAISES
+    for these at the top level of jsonb_path_query, while errors
+    inside filter predicates are suppressed to Unknown — subclassing
+    ValueError keeps the filter-internal except clauses suppressing,
+    and the query entry point re-raises."""
+
+
 def _jp_steps(doc, nodes: list, toks: list, mode: str) -> list:
     """Apply parsed path steps (member/subscript/recursive/filter) to
-    a node list; raises ValueError on strict-mode violations."""
+    a node list; raises on strict-mode violations."""
     import re as _re
 
     for tok in toks:
@@ -563,13 +571,13 @@ def _jp_steps(doc, nodes: list, toks: list, mode: str) -> list:
                         elif tok[1] in it:
                             out.append(it[tok[1]])
                         elif mode == "strict":
-                            raise ValueError("object lacks key")
+                            raise _JPStrictError("object lacks key")
                     elif mode == "strict":
-                        raise ValueError("member step on non-object")
+                        raise _JPStrictError("member step on non-object")
             elif kind == "idx":
                 if not isinstance(n, list):
                     if mode == "strict":
-                        raise ValueError("subscript on non-array")
+                        raise _JPStrictError("subscript on non-array")
                     n = [n]
                 body = tok[1]
                 if body == "*":
@@ -592,7 +600,7 @@ def _jp_steps(doc, nodes: list, toks: list, mode: str) -> list:
                         if 0 <= k < len(n):
                             out.append(n[k])
                         elif mode == "strict":
-                            raise ValueError("subscript out of bounds")
+                            raise _JPStrictError("subscript out of bounds")
             elif kind == "rec":
                 stack = [n]
                 while stack:
@@ -773,6 +781,11 @@ def _jsonpath_query_py(
             return ["true" if r else "null" if r is None else "false"]
         mode, toks = _jp_parse(path)
         nodes = _jp_steps(doc, [doc], toks, mode)
+    except _JPStrictError as e:
+        # PG raises for strict-mode structural violations at the top
+        # level of jsonb_path_query (the @?/@@ operators and the
+        # exists/match entry points stay silent, as PG's are)
+        raise ValueError(f"jsonpath strict mode violation: {e}")
     except ValueError:
         return None
     return [_json.dumps(v, separators=(", ", ": ")) for v in nodes]
@@ -786,7 +799,10 @@ def _jsonpath_match_py(
     pass through; anything else is NULL."""
     import json as _json
 
-    res = _jsonpath_query_py(j, path, vars_json)
+    try:
+        res = _jsonpath_query_py(j, path, vars_json)
+    except ValueError:
+        return None  # @@ operator is silent (jsonb_path_match_opr)
     if res is None or len(res) != 1:
         return None
     return {"true": True, "false": False}.get(res[0])
@@ -796,7 +812,10 @@ def _jsonpath_exists_py(
     j: str | None, path: str | None, vars_json: str | None = None
 ):
     """jsonb_path_exists with vars: does the path select anything?"""
-    res = _jsonpath_query_py(j, path, vars_json)
+    try:
+        res = _jsonpath_query_py(j, path, vars_json)
+    except ValueError:
+        return None  # @? operator is silent (jsonb_path_exists_opr)
     return None if res is None else len(res) > 0
 
 
