@@ -124,3 +124,21 @@ def test_json_populate_record_over_composite(eng):
     assert len(rows) == 2
     assert rows[1].r.x is None and rows[1].r.y == 3
     eng.sql("DROP TYPE jp_pair")
+
+
+def test_json_populate_record_base_merge(eng):
+    """populate_record with a non-NULL base (jsonfuncs.c): a key
+    present in the json overrides (explicit null sets NULL); a missing
+    key keeps the base field."""
+    eng.sql("CREATE TYPE jp_pair2 AS (x int, y int)")
+    r = eng.sql(
+        "SELECT json_populate_record(row(1,2)::jp_pair2,"
+        " '{\"x\": 0}') AS r"
+    ).collect()[0].r
+    assert (r.x, r.y) == (0, 2)
+    r = eng.sql(
+        "SELECT json_populate_record(row(1,2)::jp_pair2,"
+        " '{\"x\": null}') AS r"
+    ).collect()[0].r
+    assert (r.x, r.y) == (None, 2)
+    eng.sql("DROP TYPE jp_pair2")

@@ -413,6 +413,31 @@ class UserTypes:
             sql,
         )
 
+        def sub_populate_base(m: re.Match) -> str:
+            # base-record merge (populate_record with a non-NULL base):
+            # a key PRESENT in the json overrides the base field (an
+            # explicit json null sets NULL); a missing key keeps the
+            # base value — key presence via json_object_keys
+            base, j = m.group(1).strip(), m.group(2).strip()
+            # the ::name cast keeps the ROW form so the generic
+            # composite-cast pass below lowers it to named_struct
+            base_struct = f"({base}::{name})"
+            parts = [
+                f"'{f}', IF(array_contains(json_object_keys({j}), "
+                f"'{f}'), from_json({j}, '{schema}').{f}, "
+                f"{base_struct}.{f})"
+                for f, _t in comp.fields
+            ]
+            return f"named_struct({', '.join(parts)})"
+
+        sql = re.sub(
+            rf"(?is)\bjsonb?_populate_record\s*\(\s*"
+            rf"(ROW\s*\((?:[^()']|{_RLIT})*\))\s*::\s*{name}\s*,\s*"
+            rf"({_RLIT}|[\w.]+)\s*\)",
+            sub_populate_base,
+            sql,
+        )
+
         def build(args: list[str]) -> str:
             if len(args) != len(comp.fields):
                 raise ValueError(
