@@ -2420,3 +2420,48 @@ def test_jsonpath_strict_mode_raises(engine):
     assert engine.sql(
         "SELECT '{}'::jsonb @? 'strict $.a' AS x"
     ).collect()[0].x is None
+
+
+def test_create_function_parameter_defaults(engine):
+    """CREATE FUNCTION parameter DEFAULTs (functioncmds.c; both the
+    DEFAULT and '=' spellings) map onto Spark SQL UDF defaults."""
+    engine.sql(
+        "CREATE FUNCTION fdefault_t(a int, b int default 1,"
+        " c text default 'foo') RETURNS int"
+        " AS $$ SELECT a + b + length(c) $$ LANGUAGE sql"
+    )
+    assert engine.sql("SELECT fdefault_t(5) AS x").collect()[0].x == 9
+    assert engine.sql(
+        "SELECT fdefault_t(5, 10, 'ab') AS x"
+    ).collect()[0].x == 17
+    engine.sql("CREATE FUNCTION feq_t(a int, b int = 7) RETURNS int"
+               " RETURN a * b")
+    assert engine.sql("SELECT feq_t(3) AS x").collect()[0].x == 21
+
+
+def test_probe_families_round11c(engine):
+    """Third round-11 sweep: U&'' / U&\"\" unicode escapes (strings and
+    identifiers, custom UESCAPE), to_json over ±infinity datetimes."""
+    r = engine.sql(
+        "SELECT U&'d\\0061t\\+000061' AS a,"
+        "       U&'d!0061t!+000061' UESCAPE '!' AS U&\"*0062\" UESCAPE '*',"
+        "       to_json(date 'Infinity') AS inf_d,"
+        "       to_json(timestamp '-Infinity') AS ninf_ts"
+    ).collect()[0]
+    assert r.a == "data" and r.b == "data"
+    assert r.inf_d == '"infinity"' and r.ninf_ts == '"-infinity"'
+
+
+def test_probe_families_round11d(engine):
+    """Fourth round-11 sweep: ANY over cast/record arrays,
+    parenless session keywords, function parameter defaults already
+    covered above."""
+    r = engine.sql(
+        "SELECT 'foo'::text = any(array['abc','foo']::text[]) AS a,"
+        "       row(1,1.1) = any(array[row(7,7.7), row(1,1.1)]) AS b,"
+        "       current_schema AS c,"
+        "       current_catalog = current_database() AS d,"
+        "       now()::timestamp::text = localtimestamp::text AS e"
+    ).collect()[0]
+    assert r.a is True and r.b is True
+    assert r.c == "public" and r.d is True and r.e is True

@@ -511,13 +511,21 @@ class Engine:
             "timestamp with time zone", "timestamp without time zone",
             "time with time zone", "time without time zone",
         }
+        defaults: dict[str, str] = {}
         for i, a in enumerate(
             (x.strip() for x in _split_exprs(rawargs) if x.strip()),
             start=1,
         ):
-            if re.search(r"\bDEFAULT\b|=", a, re.IGNORECASE):
-                raise NotImplementedError(
-                    "CREATE FUNCTION parameter DEFAULTs are not supported"
+            dm = re.match(
+                r"(?is)^(.*?)\s+(?:DEFAULT\s+|=\s*)(.+)$", a
+            )
+            if dm and not re.search(r"(?i)\bDEFAULT\b|=",
+                                    dm.group(1)):
+                # `b int DEFAULT 1` / `b int = 2` (functioncmds.c):
+                # Spark's SQL UDFs take DEFAULT natively
+                a = dm.group(1).strip()
+                defaults[a.split()[0]] = sql_dialect.rewrite(
+                    dm.group(2).strip()
                 )
             toks = a.split()
             if toks[0].upper() in ("IN", "OUT", "INOUT", "VARIADIC"):
@@ -589,7 +597,11 @@ class Engine:
                 f"CASE WHEN {null_any} THEN CAST(NULL AS {ret_spark}) "
                 f"ELSE {expr} END"
             )
-        arglist = ", ".join(f"{p} {t}" for p, t in params)
+        arglist = ", ".join(
+            f"{p} {t}"
+            + (f" DEFAULT ({defaults[p]})" if p in defaults else "")
+            for p, t in params
+        )
         self.spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({arglist}) "
             f"RETURNS {ret_spark} RETURN {expr}"

@@ -648,11 +648,19 @@ _WIDE_FORMULAS = {
 # operand is an additive/multiplicative chain (PG gives comparison
 # operators lower precedence than arithmetic, gram.y a_expr), so
 # 'a + b = ANY(arr)' quantifies over (a + b), not b.
+# operand/array admit 2-3 paren levels: cast chains arrive as
+# CAST(array(..) AS ..) and row() comparisons as struct((..) AS f1,..)
+_ANY_OPND = (
+    rf"(?:{_LIT}"
+    r"|[\w.]+\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
+    r"|[\w.]+"
+    r"|\((?:[^()]|\([^()]*\))*\))"
+)
 _OP_ANY_ALL_RE = re.compile(
-    rf"({_DISTINCT_OPERAND}(?:\s*[-+*/%]\s*{_DISTINCT_OPERAND})*)"
+    rf"({_ANY_OPND}(?:\s*[-+*/%]\s*{_ANY_OPND})*)"
     rf"\s*(=|<>|!=|<=|>=|<|>)\s*"
     rf"(ANY|ALL|SOME)\s*\(\s*(?!\s*SELECT\b)"
-    rf"((?:[^()]|\([^()]*\))+)\s*\)",
+    rf"((?:[^()]|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))+)\s*\)",
     re.IGNORECASE,
 )
 
@@ -1996,6 +2004,25 @@ def _rewrite_xml_ctors(sql: str, lits: list[str] | None = None) -> str:
 
 
 def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
+    # to_json over the special ±infinity datetime inputs (datetime.c
+    # DecodeSpecial; json.c renders them as the words): folds at plan
+    # time — Spark has no infinite timestamps to carry at runtime
+    def sub_tojson_inf(m: re.Match) -> str:
+        body = _lit_value(m.group(1), lits).strip().lower()
+        if body in ("infinity", "+infinity"):
+            return _new_lit('"infinity"', lits)
+        if body == "-infinity":
+            return _new_lit('"-infinity"', lits)
+        return m.group(0)
+
+    sql = re.sub(
+        rf"(?is)\bto_json\s*\(\s*(?:date|timestamptz"
+        rf"|timestamp(?:\s+with(?:out)?\s+time\s+zone)?)\s+"
+        rf"({_LIT})\s*\)",
+        sub_tojson_inf,
+        sql,
+    )
+
     # encode/decode bytea<->text (utils/adt/encode.c): hex, base64
     # (76-char line wrap, whitespace-tolerant input), escape (octal)
     def sub_encode(m: re.Match) -> str:
@@ -4815,6 +4842,26 @@ def rewrite(sql: str) -> str:
 
     out = _UESCAPE_LIT_RE.sub(sub_uescape, out)
 
+    # U&"..." unicode-escape IDENTIFIERS (scan.l xui state): the
+    # double-quote pass has already backtick-quoted the body; decode
+    # and drop the U& prefix
+    def sub_uescape_ident(m: re.Match) -> str:
+        esc = _lit_value(m.group(2), lits) if m.group(2) else "\\"
+        if len(esc) != 1:
+            return m.group(0)
+        try:
+            decoded = _decode_uescape(m.group(1), esc)
+        except ValueError:
+            return m.group(0)
+        return f"`{decoded}`"
+
+    out = re.sub(
+        rf"U&\s*`([^`]*)`(?:\s+UESCAPE\s+({_LIT}))?",
+        sub_uescape_ident,
+        out,
+        flags=re.IGNORECASE,
+    )
+
     # XML value constructors → concat/escape string building, then the
     # `xml '...'` typed-literal prefix drops (xml is a STRING here)
     out = _rewrite_xml_ctors(out, lits)
@@ -5311,6 +5358,19 @@ def rewrite(sql: str) -> str:
             f"{_tz_offset_of(f'CAST({m.group(1)} AS TIMESTAMP)')})"
         ),
         out,
+    )
+    # session-introspection keywords (gram.y func_expr_common_subexpr;
+    # parenless): current_schema -> the single 'public' namespace,
+    # current_catalog -> current_database(), localtimestamp -> Spark's
+    # own localtimestamp() (needs the parens here)
+    out = re.sub(
+        r"(?i)\bcurrent_schema\b(?!\s*\()", "'public'", out
+    )
+    out = re.sub(
+        r"(?i)\bcurrent_catalog\b(?!\s*\()", "current_database()", out
+    )
+    out = re.sub(
+        r"(?i)\blocaltimestamp\b(?!\s*\()", "localtimestamp()", out
     )
     # localtime / current_time (PG reserved words, not functions)
     out = re.sub(
