@@ -2465,3 +2465,30 @@ def test_probe_families_round11d(engine):
     ).collect()[0]
     assert r.a is True and r.b is True
     assert r.c == "public" and r.d is True and r.e is True
+
+
+def test_range_minus_and_merge(engine):
+    """range - range (rangetypes.c range_minus: surviving side, empty
+    on containment, RAISE on a non-contiguous split) and range_merge
+    (smallest containing range, no contiguity requirement)."""
+    import pytest as _pytest
+
+    cases = [
+        ("range_text(numrange(1.1, 2.2) - numrange(2.0, 3.0))",
+         "[1.1,2.0)"),
+        ("range_text(numrange(1.1, 2.2) - numrange(0.0, 1.5))",
+         "[1.5,2.2)"),
+        ("range_text(numrange(1.0, 2.0) - numrange(0.0, 3.0))",
+         "empty"),
+        ("range_text(numrange(1.0, 2.0) - numrange(5.0, 6.0))",
+         "[1.0,2.0)"),
+        ("range_text(range_merge(numrange(1.0, 2.0),"
+         " numrange(5.0, 6.0)))", "[1.0,6.0)"),
+    ]
+    for expr, want in cases:
+        assert engine.sql(f"SELECT {expr} AS x").collect()[0].x == want
+    with _pytest.raises(Exception, match="contiguous"):
+        engine.sql(
+            "SELECT range_text(numrange(1.0, 10.0)"
+            " - numrange(3.0, 4.0)) AS x"
+        ).collect()

@@ -156,6 +156,51 @@ def _family(sfx: str, t: str) -> dict[str, tuple[str, str, str]]:
                    WHEN a.hi < b.hi THEN a.hi_i WHEN b.hi < a.hi THEN b.hi_i
                    ELSE a.hi_i AND b.hi_i END) END""",
         ),
+        f"range_minus{sfx}": (
+            f"a {r}, b {r}",
+            r,
+            # rangetypes.c range_minus: no overlap -> a; b covers a ->
+            # empty; else the surviving side; a split (b strictly
+            # interior) RAISES, as PG does ("not contiguous")
+            f"""CASE
+            WHEN a.empty OR b.empty OR NOT range_overlaps{sfx}(a, b)
+              THEN a
+            WHEN range_contains{sfx}(b, a) THEN {empty}
+            WHEN (b.lo IS NULL OR (a.lo IS NOT NULL
+                  AND (b.lo < a.lo OR (b.lo = a.lo
+                       AND (b.li OR NOT a.li)))))
+              THEN pg_range{sfx}(b.hi, a.hi, NOT b.hi_i, a.hi_i)
+            WHEN (b.hi IS NULL OR (a.hi IS NOT NULL
+                  AND (b.hi > a.hi OR (b.hi = a.hi
+                       AND (b.hi_i OR NOT a.hi_i)))))
+              THEN pg_range{sfx}(a.lo, b.lo, a.li, NOT b.li)
+            ELSE raise_error(
+              'result of range difference would not be contiguous')
+            END""",
+        ),
+        f"range_merge{sfx}": (
+            f"a {r}, b {r}",
+            r,
+            # rangetypes.c range_merge: the smallest range containing
+            # both — union without the contiguity requirement
+            f"""CASE WHEN a.empty THEN b WHEN b.empty THEN a
+            ELSE named_struct(
+              'lo', CASE WHEN a.lo IS NULL OR b.lo IS NULL
+                         THEN CAST(NULL AS {t})
+                         ELSE least(a.lo, b.lo) END,
+              'hi', CASE WHEN a.hi IS NULL OR b.hi IS NULL
+                         THEN CAST(NULL AS {t})
+                         ELSE greatest(a.hi, b.hi) END,
+              'li', CASE WHEN a.lo IS NULL OR b.lo IS NULL THEN false
+                         WHEN a.lo < b.lo THEN a.li
+                         WHEN b.lo < a.lo THEN b.li
+                         ELSE a.li OR b.li END,
+              'hi_i', CASE WHEN a.hi IS NULL OR b.hi IS NULL THEN false
+                           WHEN a.hi > b.hi THEN a.hi_i
+                           WHEN b.hi > a.hi THEN b.hi_i
+                           ELSE a.hi_i OR b.hi_i END,
+              'empty', false) END""",
+        ),
         f"isempty{sfx}": (f"a {r}", "BOOLEAN", "a.empty"),
         f"lower_inc{sfx}": (f"a {r}", "BOOLEAN", "NOT a.empty AND a.li"),
         f"upper_inc{sfx}": (f"a {r}", "BOOLEAN", "NOT a.empty AND a.hi_i"),

@@ -897,10 +897,10 @@ _RANGE_NEST = (
     r"\((?:[^()]|\((?:[^()]|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))*\))*\)"
 )
 _RANGE_EXPR = (
-    rf"(?:pg_range|range_union|range_intersect)(?:_ts|_i8)?\s*{_RANGE_NEST}"
+    rf"(?:pg_range|range_union|range_intersect|range_minus|range_merge)(?:_ts|_i8)?\s*{_RANGE_NEST}"
 )
 _RANGE_SFX_HEAD_RE = re.compile(
-    r"(?i)^(?:pg_range|range_union|range_intersect)(_ts|_i8)\b"
+    r"(?i)^(?:pg_range|range_union|range_intersect|range_minus|range_merge)(_ts|_i8)\b"
 )
 # isempty/lower_inc/... are registered per bound type; route the
 # timestamp/int8-family structs to the _ts/_i8 overloads (Spark would
@@ -908,8 +908,18 @@ _RANGE_SFX_HEAD_RE = re.compile(
 # print epoch numbers — a silent wrong-typed output)
 _RANGE_FN_SFX_RE = re.compile(
     r"\b(isempty|lower_inc|upper_inc|lower_inf|upper_inf|range_text)"
-    rf"\s*\(\s*((?:pg_range|range_union|range_intersect)(_ts|_i8)\s*"
+    rf"\s*\(\s*((?:pg_range|range_union|range_intersect|range_minus"
+    rf"|range_merge)(_ts|_i8)\s*"
     rf"{_RANGE_NEST})\s*\)",
+    re.IGNORECASE,
+)
+# two-range functions (range_merge) route to the _ts/_i8 overload of
+# their FIRST argument's family
+_RANGE_FN2_SFX_RE = re.compile(
+    r"\b(range_merge)"
+    rf"\s*\(\s*((?:pg_range|range_union|range_intersect|range_minus"
+    rf"|range_merge)(_ts|_i8)\s*"
+    rf"{_RANGE_NEST}\s*,\s*{_RANGE_EXPR})\s*\)",
     re.IGNORECASE,
 )
 _RANGE_SCALAR = (
@@ -917,7 +927,7 @@ _RANGE_SCALAR = (
     rf"|[\w.]+\((?:[^()]|\([^()]*\))*\)|[-\w.$]+)"
 )
 _RANGE_OP_RE = re.compile(
-    rf"({_RANGE_EXPR})\s*(@>|<@|&&|-\|-|<<|>>|\*|\+|=)\s*"
+    rf"({_RANGE_EXPR})\s*(@>|<@|&&|-\|-|<<|>>|\*|\+|=|-(?!\|))\s*"
     rf"({_RANGE_EXPR}|{_RANGE_SCALAR})",
     re.IGNORECASE,
 )
@@ -5049,6 +5059,7 @@ def rewrite(sql: str) -> str:
         "&&": "range_overlaps", "-|-": "range_adjacent",
         "<<": "range_before", ">>": "range_after", "=": "range_eq",
         "+": "range_union", "*": "range_intersect",
+        "-": "range_minus",
     }
 
     _RANGE_ELEM_T = {"_ts": "TIMESTAMP", "_i8": "DECIMAL(20,0)", "": "DOUBLE"}
@@ -5090,6 +5101,10 @@ def rewrite(sql: str) -> str:
     # _ts/_i8 overloads (SQL temp functions have no type-based
     # overloading)
     out = _RANGE_FN_SFX_RE.sub(
+        lambda m: f"{m.group(1).lower()}{m.group(3).lower()}({m.group(2)})",
+        out,
+    )
+    out = _RANGE_FN2_SFX_RE.sub(
         lambda m: f"{m.group(1).lower()}{m.group(3).lower()}({m.group(2)})",
         out,
     )
