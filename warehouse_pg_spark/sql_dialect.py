@@ -790,9 +790,11 @@ _ROW_CTOR_RE = re.compile(
 _ARRAY_LENGTH_RE = re.compile(
     # literal dimension; the array operand admits nested constructors
     # (array(array(1,2), array(3,4)) after the braced-literal pass)
+    # and parenthesized cast chains ((CAST(array(..) AS ..)) from
+    # domain lowering)
     rf"\barray_length\s*\(\s*"
     rf"({_DISTINCT_OPERAND}"
-    r"|[\w.]+\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
+    r"|[\w.]*\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
     r"\s*,\s*(-?\d+)\s*\)",
     re.IGNORECASE,
 )

@@ -497,7 +497,13 @@ class UserTypes:
 
         def sub(m: re.Match) -> str:
             op = m.group(1)
-            val = f"(({op})::{dom.base})"
+            # keep literal operands unwrapped: downstream literal-cast
+            # rewrites ('{1,2,3}'::int[] braced arrays, '...'::inet)
+            # match on the bare literal::type spelling
+            if re.fullmatch(rf"{_RLIT}|[\w.$]+", op):
+                val = f"({op}::{dom.base})"
+            else:
+                val = f"(({op})::{dom.base})"
             conds = []
             if dom.not_null:
                 conds.append((f"{name}_not_null", f"{val} IS NOT NULL"))
