@@ -2437,6 +2437,48 @@ def test_create_function_parameter_defaults(engine):
     engine.sql("CREATE FUNCTION feq_t(a int, b int = 7) RETURNS int"
                " RETURN a * b")
     assert engine.sql("SELECT feq_t(3) AS x").collect()[0].x == 21
+    # a DEFAULT survives an IN prefix and an unnamed parameter
+    # (functioncmds.c: defaults are positional attributes, the name —
+    # or its absence — is irrelevant)
+    engine.sql("CREATE FUNCTION fdin_t(a int, IN b int DEFAULT 4)"
+               " RETURNS int RETURN a + b")
+    assert engine.sql("SELECT fdin_t(1) AS x").collect()[0].x == 5
+    engine.sql("CREATE FUNCTION fdun_t(int, int DEFAULT 40)"
+               " RETURNS int RETURN $1 + $2")
+    assert engine.sql("SELECT fdun_t(2) AS x").collect()[0].x == 42
+
+
+def test_advice_fixes_round12(engine):
+    """Round-12 ADVICE items: to_date CC/YYY composition
+    (formatting.c do_to_timestamp — CC ignored when a 4-digit year is
+    present, CC with YY=00 is the century year, CC alone is the first
+    year of the century; YYY completes to 1500-2499), and geo
+    EPSILON=1e-6 fuzzed comparisons (geo_ops.c FPle/FPge/FPeq) for
+    @>, && and ~=."""
+    import datetime as dt
+
+    cases = [
+        ("to_date('21 00', 'CC YY')", dt.date(2100, 1, 1)),
+        ("to_date('21 01', 'CC YY')", dt.date(2001, 1, 1)),
+        ("to_date('21 1999', 'CC YYYY')", dt.date(1999, 1, 1)),
+        ("to_date('21', 'CC')", dt.date(2001, 1, 1)),
+        ("to_date('123', 'YYY')", dt.date(2123, 1, 1)),
+        ("to_date('678', 'YYY')", dt.date(1678, 1, 1)),
+        # box_contain through FPge/FPle: 1e-7 past the edge still
+        # contains; 1e-5 does not
+        ("box '((0,0),(2,2))' @> box '((0,0),(2,2.0000001))'", True),
+        ("box '((0,0),(2,2))' @> box '((0,0),(2,2.00001))'", False),
+        ("box '((0,0),(1,1))' && box '((1.0000001,1),(2,2))'", True),
+        ("box '((0,0),(1,1))' && box '((1.00001,1),(2,2))'", False),
+        ("point '(1,1)' ~= point '(1.0000001,1)'", True),
+        ("point '(1,1)' ~= point '(1.00001,1)'", False),
+        ("box '((0,0),(1,1))' ~= box '((1,1),(0,0))'", True),
+        ("circle '<(0,0),2>' ~= circle '<(0,0),2.0000001>'", True),
+        ("circle '<(0,0),5>' @> circle '<(1,1),3.5857865>'", True),
+    ]
+    for expr, want in cases:
+        got = engine.sql(f"SELECT {expr} AS x").collect()[0].x
+        assert got == want, (expr, got)
 
 
 def test_probe_families_round11c(engine):

@@ -99,6 +99,55 @@ def test_enum_type(eng):
     eng.sql("DROP TYPE mood")
 
 
+def test_enum_declaration_order(eng):
+    """enum.c enum_cmp: comparisons follow enumsortorder (declaration
+    position), not lexicographic text — 'sad' < 'ok' < 'happy' even
+    though text order is the reverse."""
+    eng.sql("CREATE TYPE mood2 AS ENUM ('sad', 'ok', 'happy')")
+    r = eng.sql(
+        "SELECT 'sad'::mood2 < 'happy'::mood2 AS lt,"
+        "       'ok'::mood2 >= 'happy'::mood2 AS ge,"
+        "       least('happy'::mood2, 'ok'::mood2,"
+        "             'sad'::mood2) AS lo,"
+        "       greatest('sad'::mood2, 'ok'::mood2) AS hi"
+    ).collect()[0]
+    assert (r.lt, r.ge, r.lo, r.hi) == (True, False, "sad", "ok")
+    # min/max aggregate over enum casts maps through ordinals
+    r = eng.sql(
+        "SELECT min(m::mood2) AS lo, max(m::mood2) AS hi FROM "
+        "(VALUES ('ok'), ('happy'), ('sad')) AS t(m)"
+    ).collect()[0]
+    assert (r.lo, r.hi) == ("sad", "happy")
+    # ORDER BY an enum cast sorts by declaration order
+    rows = eng.sql(
+        "SELECT m FROM (VALUES ('ok'), ('happy'), ('sad')) AS t(m) "
+        "ORDER BY m::mood2"
+    ).collect()
+    assert [x.m for x in rows] == ["sad", "ok", "happy"]
+    # non-literal cast carries a runtime label guard
+    with pytest.raises(Exception, match="invalid input value for enum"):
+        eng.sql(
+            "SELECT upper(m)::mood2 AS m FROM "
+            "(VALUES ('nope')) AS t(m)"
+        ).collect()
+    eng.sql("DROP TYPE mood2")
+
+
+def test_domain_check_value_inside_literal(eng):
+    """The word 'value' INSIDE a string literal of the CHECK body is
+    never substituted (typecmds.c: VALUE is a keyword reference, a
+    literal is opaque)."""
+    eng.sql(
+        "CREATE DOMAIN wordy AS text "
+        "CHECK (VALUE IN ('value', 'other'))"
+    )
+    assert eng.sql("SELECT 'value'::wordy AS a").collect()[0].a == "value"
+    assert eng.sql("SELECT 'other'::wordy AS a").collect()[0].a == "other"
+    with pytest.raises(Exception, match="violates check constraint"):
+        eng.sql("SELECT 'bad'::wordy AS a").collect()
+    eng.sql("DROP DOMAIN wordy")
+
+
 def test_drop_semantics(eng):
     with pytest.raises(Exception, match="does not exist"):
         eng.sql("DROP DOMAIN no_such_dom")

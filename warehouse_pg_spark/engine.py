@@ -519,14 +519,16 @@ class Engine:
             dm = re.match(
                 r"(?is)^(.*?)\s+(?:DEFAULT\s+|=\s*)(.+)$", a
             )
+            default_expr: str | None = None
             if dm and not re.search(r"(?i)\bDEFAULT\b|=",
                                     dm.group(1)):
                 # `b int DEFAULT 1` / `b int = 2` (functioncmds.c):
-                # Spark's SQL UDFs take DEFAULT natively
+                # Spark's SQL UDFs take DEFAULT natively. Keyed by the
+                # RESOLVED parameter name after the loop body runs —
+                # `IN b int DEFAULT 1` and unnamed `int DEFAULT 1`
+                # both carry their default.
                 a = dm.group(1).strip()
-                defaults[a.split()[0]] = sql_dialect.rewrite(
-                    dm.group(2).strip()
-                )
+                default_expr = sql_dialect.rewrite(dm.group(2).strip())
             toks = a.split()
             if toks[0].upper() in ("IN", "OUT", "INOUT", "VARIADIC"):
                 if toks[0].upper() != "IN":
@@ -545,6 +547,8 @@ class Engine:
                 params.append(
                     (toks[0], map_decl_type(" ".join(toks[1:])))
                 )
+            if default_expr is not None:
+                defaults[params[-1][0]] = default_expr
         lang_m = re.search(r"\bLANGUAGE\s+'?(\w+)'?", tail, re.IGNORECASE)
         lang = (lang_m.group(1) if lang_m else "sql").lower()
         strict = bool(

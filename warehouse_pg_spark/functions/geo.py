@@ -150,10 +150,31 @@ def distance_sql(a: str, ka: str, b: str, kb: str) -> str | None:
     return None
 
 
+# geo_ops.c compares through an EPSILON=1.0E-06 fuzz: FPle(a,b) is
+# a - EPSILON <= b, FPge(a,b) is a + EPSILON >= b, FPeq(a,b) is
+# fabs(a-b) <= EPSILON. The fuzzed operators below mirror exactly the
+# sites where the reference uses the FP* macros; box_contain_pt and
+# circle_contain_pt use plain comparisons in geo_ops.c and stay exact.
+_EPS = "1.0E-6D"
+
+
+def _fple(a: str, b: str) -> str:
+    return f"{a} <= {b} + {_EPS}"
+
+
+def _fpge(a: str, b: str) -> str:
+    return f"{a} >= {b} - {_EPS}"
+
+
+def _fpeq(a: str, b: str) -> str:
+    return f"abs({a} - {b}) <= {_EPS}"
+
+
 def contains_sql(outer: str, ko: str, inner: str, ki: str) -> str | None:
     """@> by operand kinds (box_contain_pt, circle_contain_pt,
     box_contain)."""
     if ko == "box" and ki == "point":
+        # box_contain_point: exact comparisons in the reference
         return (
             f"(({inner}).x <= ({outer}).x1 AND "
             f"({inner}).x >= ({outer}).x2 AND "
@@ -161,30 +182,55 @@ def contains_sql(outer: str, ko: str, inner: str, ki: str) -> str | None:
             f"({inner}).y >= ({outer}).y2)"
         )
     if ko == "circle" and ki == "point":
+        # circle_contain_pt: exact in the reference
         return f"({dist_pp(outer, inner)} <= ({outer}).r)"
     if ko == "box" and ki == "box":
+        # box_contain: FPge/FPle on each corner
         return (
-            f"(({inner}).x1 <= ({outer}).x1 AND "
-            f"({inner}).x2 >= ({outer}).x2 AND "
-            f"({inner}).y1 <= ({outer}).y1 AND "
-            f"({inner}).y2 >= ({outer}).y2)"
+            f"({_fpge(f'({outer}).x1', f'({inner}).x1')} AND "
+            f"{_fple(f'({outer}).x2', f'({inner}).x2')} AND "
+            f"{_fpge(f'({outer}).y1', f'({inner}).y1')} AND "
+            f"{_fple(f'({outer}).y2', f'({inner}).y2')})"
         )
     if ko == "circle" and ki == "circle":
+        # circle_contain: FPle(d + r_inner, r_outer)
         return (
-            f"({dist_pp(outer, inner)} + ({inner}).r <= ({outer}).r)"
+            f"({_fple(dist_pp(outer, inner) + f' + ({inner}).r', f'({outer}).r')})"
         )
     return None
 
 
 def overlap_sql(a: str, ka: str, b: str, kb: str) -> str | None:
-    """&& (box_ov / circle_overlap)."""
+    """&& (box_ov / circle_overlap) — FP-fuzzed like the reference."""
     if ka == "box" and kb == "box":
         return (
-            f"(({a}).x2 <= ({b}).x1 AND ({a}).x1 >= ({b}).x2 AND "
-            f"({a}).y2 <= ({b}).y1 AND ({a}).y1 >= ({b}).y2)"
+            f"({_fple(f'({a}).x2', f'({b}).x1')} AND "
+            f"{_fpge(f'({a}).x1', f'({b}).x2')} AND "
+            f"{_fple(f'({a}).y2', f'({b}).y1')} AND "
+            f"{_fpge(f'({a}).y1', f'({b}).y2')})"
         )
     if ka == "circle" and kb == "circle":
-        return f"({dist_pp(a, b)} <= ({a}).r + ({b}).r)"
+        return f"({_fple(dist_pp(a, b), f'({a}).r + ({b}).r')})"
+    return None
+
+
+def same_sql(a: str, ka: str, b: str, kb: str) -> str | None:
+    """~= "same as" (point_eq / box_same / circle_same) — FPeq on
+    every coordinate, per the reference's EPSILON fuzz."""
+    if ka != kb:
+        return None
+    if ka == "point":
+        return (f"({_fpeq(f'({a}).x', f'({b}).x')} AND "
+                f"{_fpeq(f'({a}).y', f'({b}).y')})")
+    if ka == "box":
+        return (f"({_fpeq(f'({a}).x1', f'({b}).x1')} AND "
+                f"{_fpeq(f'({a}).y1', f'({b}).y1')} AND "
+                f"{_fpeq(f'({a}).x2', f'({b}).x2')} AND "
+                f"{_fpeq(f'({a}).y2', f'({b}).y2')})")
+    if ka == "circle":
+        return (f"({_fpeq(f'({a}).x', f'({b}).x')} AND "
+                f"{_fpeq(f'({a}).y', f'({b}).y')} AND "
+                f"{_fpeq(f'({a}).r', f'({b}).r')})")
     return None
 
 

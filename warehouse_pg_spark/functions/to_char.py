@@ -579,11 +579,25 @@ def to_date_fold(value: str, fmt: str):
         )
     year = f.get("year")
     if year is None and "year3" in f:
-        year = 2000 + f["year3"] if f["year3"] < 100 else f["year3"]
-    if "century" in f:
-        base = (f["century"] - 1) * 100
-        sub = f.get("year2", f.get("year1", 1))
-        year = base + sub
+        # formatting.c DCH_YYY: 3-digit years complete to the nearest
+        # of 1000..1999 / 2000..2499 (>=500 -> +1000, else +2000)
+        y3 = f["year3"]
+        year = y3 if y3 >= 1000 else (
+            y3 + 1000 if y3 >= 500 else y3 + 2000
+        )
+    if "century" in f and year is None and "year3" not in f:
+        # formatting.c do_to_timestamp: CC applies only when yysz <= 2
+        # (a 4-digit YYYY / 3-digit YYY wins); YY=00 with CC is the
+        # century year itself (CC=21, YY=00 -> 2100); CC alone means
+        # the first year of the century.
+        cc = f["century"]
+        sub = f.get("year2", f.get("year1"))
+        if sub is None:
+            year = (cc - 1) * 100 + 1
+        elif sub % 100 == 0:
+            year = cc * 100
+        else:
+            year = (cc - 1) * 100 + sub % 100
     elif year is None and "year2" in f:
         y2 = f["year2"]
         year = 2000 + y2 if y2 < 70 else 1900 + y2

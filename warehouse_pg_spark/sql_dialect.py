@@ -1030,6 +1030,9 @@ _PG_DCH_GATE_RE = re.compile(
     # J (julian day), CC (century), W (week-of-month), Q (quarter) —
     # as a whole-picture match so Java patterns never false-positive
     r"|^\s*J\s*$|\bCC\b|^W\b|\bW\s+MM\b"
+    # whole-picture 3-digit year (PG completes to 1500-2499; Java YYY
+    # is week-based-year and Spark rejects it outright)
+    r"|^\s*YYY\s*$"
 )
 # FROM/lateral unnest(...) AS t(cols) (nodeFunctionscan.c): explode /
 # inline forms. PG SRFs in a comma FROM item are implicitly LATERAL;
@@ -4277,7 +4280,7 @@ def _rewrite_pg_geo(out: str, lits: list[str]) -> str:
             elif op == "&&":
                 r = geo.overlap_sql(a, ka, b, kb)
             elif op == "~=":  # "same as" (geo_ops.c point_eq/box_same)
-                r = f"({a} = {b})"
+                r = geo.same_sql(a, ka, b, kb)
             else:
                 r = None
             if r is not None:

@@ -368,8 +368,11 @@ class UserTypes:
             rf"(?is)\benum_range\s*\(\s*NULL\s*::\s*{name}\s*\)",
             arr, sql)
 
-        def sub(m: re.Match) -> str:
-            op = m.group(1)
+        def lower(op: str) -> str:
+            """One cast operand -> its text value. Literals validate at
+            plan time (enum.c enum_in); non-literal casts carry a
+            runtime label guard (if/raise_error, NOT assert_true — see
+            the domain rewrite's NullType note)."""
             if op.startswith("'") and op.endswith("'"):
                 lab = op[1:-1].replace("''", "'")
                 if lab not in labels:
@@ -379,9 +382,56 @@ class UserTypes:
                 return op
             if op.upper() == "NULL":
                 return "CAST(NULL AS STRING)"
-            return f"CAST({op} AS STRING)"
+            v = f"CAST({op} AS STRING)"
+            return (
+                f"if({v} IS NULL OR array_contains({arr}, {v}), {v}, "
+                f"raise_error(concat('invalid input value for enum "
+                f"{name}: \"', {v}, '\"')))"
+            )
 
-        return re.sub(rf"(?is)({_OPERAND})\s*::\s*{name}\b", sub, sql)
+        def ordinal(op: str) -> str:
+            # enumsortorder: 1-based declaration position (enum.c)
+            return f"array_position({arr}, {lower(op)})"
+
+        # --- declaration-order semantics (enum.c enum_cmp): lower
+        # comparison contexts through array_position ordinals so
+        # ordering follows enumsortorder, not lexicographic text.
+        cast = rf"({_OPERAND})\s*::\s*{name}\b"
+        # both-sides enum-cast inequality
+        sql = re.sub(
+            rf"(?is){cast}\s*(<=|>=|<|>)\s*{cast}",
+            lambda m: f"({ordinal(m.group(1))} {m.group(2)} "
+                      f"{ordinal(m.group(3))})",
+            sql)
+        # ORDER BY leading key on an enum cast
+        sql = re.sub(
+            rf"(?is)\b(ORDER\s+BY\s+){cast}",
+            lambda m: f"{m.group(1)}{ordinal(m.group(2))}",
+            sql)
+        # min/max aggregate over an enum cast: aggregate the ordinal,
+        # map back to the label (element_at is 1-based, like ordinals)
+        sql = re.sub(
+            rf"(?is)\b(min|max)\s*\(\s*{cast}\s*\)",
+            lambda m: f"element_at({arr}, CAST({m.group(1)}("
+                      f"{ordinal(m.group(2))}) AS INT))",
+            sql)
+        # least/greatest with every argument an enum cast
+        sql = re.sub(
+            rf"(?is)\b(least|greatest)\s*\(\s*{cast}\s*"
+            rf"(?:,\s*{cast}\s*)+\)",
+            lambda m: (
+                f"element_at({arr}, CAST({m.group(1)}("
+                + ", ".join(
+                    ordinal(op) for op in re.findall(
+                        rf"(?is)({_OPERAND})\s*::\s*{name}\b",
+                        m.group(0)[m.group(0).index("("):])
+                ) + ") AS INT))"
+            ),
+            sql)
+
+        return re.sub(
+            rf"(?is)({_OPERAND})\s*::\s*{name}\b",
+            lambda m: lower(m.group(1)), sql)
 
     def _rewrite_composite(self, sql: str, name: str,
                            comp: Composite) -> str:
@@ -508,8 +558,21 @@ class UserTypes:
             if dom.not_null:
                 conds.append((f"{name}_not_null", f"{val} IS NOT NULL"))
             for cn, body in dom.checks:
-                # table-constraint truth table: NULL check = pass
-                cond = re.sub(r"(?i)\bVALUE\b", val, body)
+                # table-constraint truth table: NULL check = pass.
+                # Mask string literals first so the word 'value'
+                # INSIDE a literal (CHECK (VALUE IN ('value',...)))
+                # is never substituted — same masking the dialect
+                # rewrite uses.
+                from warehouse_pg_spark.sql_dialect import (
+                    _mask, _unmask,
+                )
+
+                masked, lits = _mask(body)
+                cond = _unmask(
+                    re.sub(r"(?i)\bVALUE\b", val.replace("\\", "\\\\"),
+                           masked),
+                    lits,
+                )
                 conds.append((cn, f"coalesce({cond}, true)"))
             if not conds:
                 return val
