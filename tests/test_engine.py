@@ -2481,6 +2481,49 @@ def test_advice_fixes_round12(engine):
         assert got == want, (expr, got)
 
 
+def test_setof_sql_table_functions(engine):
+    """RETURNS SETOF / RETURNS TABLE SQL functions (functioncmds.c;
+    regress sql/rangefuncs.sql) lower to native Spark SQL table
+    functions: FROM-calls inline as Catalyst subqueries; the
+    sole-target select-list form takes the ProjectSet lowering; STRICT
+    yields zero rows on NULL input; SETOF over a session composite
+    expands its field list."""
+    engine.sql(
+        "CREATE FUNCTION srf_gs(a int, b int) RETURNS SETOF int"
+        " AS $$ SELECT generate_series(a, b) $$ LANGUAGE sql"
+    )
+    assert [r.srf_gs for r in
+            engine.sql("SELECT * FROM srf_gs(4, 6)").collect()] == [4, 5, 6]
+    # PG names the single column after the function; alias overrides
+    assert [r.g for r in
+            engine.sql("SELECT srf_gs(1, 2) AS g").collect()] == [1, 2]
+    engine.sql(
+        "CREATE FUNCTION srf_tab(n int) RETURNS TABLE (k int, v text)"
+        " AS $$ SELECT i, 'v' || i FROM generate_series(1, n) AS g(i) $$"
+        " LANGUAGE sql"
+    )
+    rows = engine.sql(
+        "SELECT t.k, t.v FROM srf_tab(2) t ORDER BY t.k"
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, "v1"), (2, "v2")]
+    engine.sql(
+        "CREATE FUNCTION srf_strict(n int) RETURNS SETOF int"
+        " AS $$ SELECT generate_series(1, n) $$ LANGUAGE sql STRICT"
+    )
+    assert engine.sql("SELECT * FROM srf_strict(NULL)").collect() == []
+    # SETOF composite expands the composite's fields as columns
+    engine.sql("CREATE TYPE srf_pair AS (a int, b int)")
+    engine.sql(
+        "CREATE FUNCTION srf_pairs(n int) RETURNS SETOF srf_pair"
+        " AS $$ SELECT i, i * 10 FROM generate_series(1, n) AS g(i) $$"
+        " LANGUAGE sql"
+    )
+    rows = engine.sql("SELECT * FROM srf_pairs(2) ORDER BY a").collect()
+    assert [(r.a, r.b) for r in rows] == [(1, 10), (2, 20)]
+    engine.sql("DROP FUNCTION srf_gs")
+    engine.sql("DROP TYPE srf_pair")
+
+
 def test_probe_families_round11c(engine):
     """Third round-11 sweep: U&'' / U&\"\" unicode escapes (strings and
     identifiers, custom UESCAPE), to_json over ±infinity datetimes."""

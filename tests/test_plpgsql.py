@@ -371,11 +371,13 @@ def test_numeric_param_types(engine, spark):
     assert spark.sql("SELECT pct(1.0, 0.0) AS v").collect()[0].v is None
 
 
-def test_setof_rejected(engine):
+def test_setof_plpgsql_rejected(engine):
+    """RETURNS SETOF is supported for LANGUAGE sql (table functions,
+    r12); PL/pgSQL RETURN NEXT stays a pinned rejection."""
     with pytest.raises(NotImplementedError, match="SETOF"):
         engine.sql(
-            "CREATE FUNCTION bad() RETURNS SETOF int LANGUAGE sql "
-            "AS $$ SELECT 1 $$"
+            "CREATE FUNCTION bad() RETURNS SETOF int LANGUAGE plpgsql "
+            "AS $$ BEGIN RETURN NEXT 1; END $$"
         )
 
 

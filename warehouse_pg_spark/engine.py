@@ -148,6 +148,9 @@ _GUC_DEFAULTS: dict[str, str] = {
     "client_encoding": "UTF8",
     "server_encoding": "UTF8",
     "max_parallel_workers_per_gather": "2",
+    # SET ROLE / current_setting('role'): single-user engine — the
+    # role is never assumed (guc.c show_role renders "none")
+    "role": "none",
     # engine-specific: maps to spark.sql.ansi.enabled (see _set_guc);
     # RESET/DISCARD must restore the relaxed posture, not just the text
     "strict_errors": "off",
@@ -226,8 +229,14 @@ _CATALOG_VIEW_RE = re.compile(
     re.IGNORECASE,
 )
 _PG_STAT_RE = re.compile(r"\bpg_stat_user_tables\b", re.IGNORECASE)
-_NEXTVAL_RE = re.compile(r"nextval\(\s*'([\w.]+)'\s*\)", re.IGNORECASE)
-_CURRVAL_RE = re.compile(r"currval\(\s*'([\w.]+)'\s*\)", re.IGNORECASE)
+_NEXTVAL_RE = re.compile(
+    # name may carry a ::regclass/::text decoration (sequence.c
+    # nextval_oid resolves either spelling)
+    r"nextval\(\s*'([\w.]+)'\s*(?:::\s*\w+\s*)?\)", re.IGNORECASE
+)
+_CURRVAL_RE = re.compile(
+    r"currval\(\s*'([\w.]+)'\s*(?:::\s*\w+\s*)?\)", re.IGNORECASE
+)
 _SETVAL_RE = re.compile(
     # name may carry a ::regclass/::text decoration; optional 3rd
     # is_called arg (sequence.c setval3_oid)
@@ -342,6 +351,10 @@ class Engine:
         from warehouse_pg_spark.user_types import UserTypes
 
         self._user_types = UserTypes()
+        # set-returning SQL functions registered as Spark SQL table
+        # functions: name -> result column names (for the PG
+        # SRF-in-select-list lowering)
+        self._table_functions: dict[str, list[str]] = {}
         register_pg_functions(self.spark)
 
     # ---------------------------------------------------------------- query
@@ -359,6 +372,7 @@ class Engine:
         if self._user_types.maybe_ddl(text):
             return self._tag(0)
         text = self._user_types.rewrite(text)
+        text = self._lower_srf_select(text)
         ea = _EXPLAIN_ANALYZE_RE.match(text.strip().rstrip(";"))
         if ea:
             return self._explain_analyze(ea.group(1))
@@ -403,6 +417,40 @@ class Engine:
         # Calendar/YM interval result columns render as PG interval text
         # (interval_out) — PySpark cannot collect() those types at all
         return present_intervals(self.spark.sql(lowered))
+
+    def _lower_srf_select(self, text: str) -> str:
+        """PG SRF-in-target-list over a registered set-returning SQL
+        function: `SELECT f(args) [AS alias]` (sole target, no FROM)
+        becomes `SELECT col AS alias FROM f(args)` — the same
+        ProjectSet→FunctionScan flattening the planner does
+        (src/backend/optimizer/util/clauses.c). Only the sole-target
+        FROM-less shape lowers; anything else passes through to
+        Spark's native TVF-in-FROM support."""
+        if not self._table_functions:
+            return text
+        m = re.match(
+            r"(?is)^\s*SELECT\s+(\w+)\s*\((.*)\)\s*"
+            r"(?:AS\s+(\w+))?\s*;?\s*$",
+            text,
+        )
+        if not m or m.group(1).lower() not in self._table_functions:
+            return text
+        # args must be balanced (the .* above is greedy past nesting)
+        args = m.group(2)
+        if args.count("(") != args.count(")"):
+            return text
+        cols = self._table_functions[m.group(1).lower()]
+        if len(cols) == 1:
+            out = f"{cols[0]} AS {m.group(3) or cols[0]}"
+        else:
+            # composite-valued SRF call in a target list yields one
+            # record column (PG prints a row value)
+            inner = ", ".join(f"'{c}', {c}" for c in cols)
+            out = (
+                f"named_struct({inner}) AS "
+                f"{m.group(3) or m.group(1)}"
+            )
+        return f"SELECT {out} FROM {m.group(1)}({args})"
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
@@ -462,9 +510,11 @@ class Engine:
         s = text.strip().rstrip(";").strip()
         m = _DROP_FUNC_RE.match(s)
         if m:
+            fname = m.group(2).split(".")[-1]
             self.spark.sql(
-                f"DROP TEMPORARY FUNCTION IF EXISTS {m.group(2).split('.')[-1]}"
+                f"DROP TEMPORARY FUNCTION IF EXISTS {fname}"
             )
+            self._table_functions.pop(fname.lower(), None)
             return self._tag(0)
         m = _CREATE_FUNC_HEAD_RE.match(s)
         if m is None:
@@ -498,11 +548,26 @@ class Engine:
                 "CREATE FUNCTION requires an explicit RETURNS type"
             )
         rettype, tail = rm.group(1).strip(), rm.group(2)
-        if re.match(r"SETOF\b", rettype, re.IGNORECASE):
-            raise NotImplementedError(
-                "CREATE FUNCTION RETURNS SETOF: use create_udtf / "
-                "FunctionScan (§2.1) for set-returning functions"
-            )
+        # RETURNS SETOF <type> / RETURNS TABLE (cols): set-returning
+        # SQL functions (functioncmds.c; PG treats RETURNS TABLE as
+        # SETOF record with OUT columns). Spark-first lowering: a
+        # native Spark SQL *table function* (CREATE TEMPORARY FUNCTION
+        # ... RETURNS TABLE ... RETURN <query>) — calls in FROM plan
+        # as an inline subquery, fully Catalyst-optimized.
+        setof_m = re.match(r"(?is)^SETOF\s+(.+)$", rettype)
+        table_cols_raw: str | None = None
+        if rettype.upper() == "TABLE":
+            tm = re.match(r"(?s)\s*\(", tail)
+            if tm:
+                depth2, j = 1, tm.end()
+                while j < len(tail) and depth2:
+                    if tail[j] == "(":
+                        depth2 += 1
+                    elif tail[j] == ")":
+                        depth2 -= 1
+                    j += 1
+                table_cols_raw = tail[tm.end(): j - 1]
+                tail = tail[j:]
         params: list[tuple[str, str]] = []
         # multiword type spellings that make a name-less parameter
         # (functioncmds.c: parameter names are optional — $n refers)
@@ -564,7 +629,10 @@ class Engine:
         body_m = re.search(
             r"\$([A-Za-z_]\w*|)\$(.*)\$\1\$", tail, re.DOTALL
         ) or re.search(r"\bAS\s+('(?:[^']|'')*')", tail, re.IGNORECASE | re.DOTALL)
-        ret_spark = map_decl_type(rettype)
+        ret_spark = (
+            None if (setof_m or table_cols_raw is not None)
+            else map_decl_type(rettype)
+        )
         if body_m:
             body = body_m.group(2 if body_m.re.groups == 2 else 1)
             if body.startswith("'"):  # AS '...' spelling
@@ -584,6 +652,11 @@ class Engine:
                 else m2.group(0)
 
         body = re.sub(r"\$(\d+)\b", _dollar_ref, body)
+        if setof_m or table_cols_raw is not None:
+            return self._register_table_function(
+                name, params, defaults, setof_m.group(1).strip()
+                if setof_m else None, table_cols_raw, lang, body, strict,
+            )
         if lang == "plpgsql":
             expr = compile_plpgsql(params, ret_spark, body)
         elif lang in ("sql", "internal"):
@@ -610,6 +683,79 @@ class Engine:
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({arglist}) "
             f"RETURNS {ret_spark} RETURN {expr}"
         )
+        return self._tag(0)
+
+    def _register_table_function(
+        self,
+        name: str,
+        params: list[tuple[str, str]],
+        defaults: dict[str, str],
+        setof_elem: str | None,
+        table_cols_raw: str | None,
+        lang: str,
+        body: str,
+        strict: bool,
+    ) -> DataFrame:
+        """RETURNS SETOF / RETURNS TABLE for LANGUAGE sql bodies
+        (functioncmds.c set-returning functions; regress
+        sql/rangefuncs.sql): lowered to a native Spark SQL table
+        function. A call in FROM inlines as a Catalyst subquery — at
+        100 TB this is exactly a view expansion, no function-call
+        runtime at all. PL/pgSQL RETURN NEXT stays descoped (README).
+        PG STRICT on an SRF yields ZERO rows for a NULL argument
+        (fmgr strict short-circuit + empty SRF protocol) — compiled
+        as a WHERE gate over the body."""
+        from warehouse_pg_spark import sql_dialect
+        from warehouse_pg_spark.sql_dialect import map_decl_type
+
+        if lang not in ("sql", "internal"):
+            raise NotImplementedError(
+                "RETURNS SETOF is supported for LANGUAGE sql bodies "
+                "(PL/pgSQL RETURN NEXT/RETURN QUERY are descoped)"
+            )
+        cols: list[tuple[str, str]]
+        if table_cols_raw is not None:
+            cols = []
+            for item in _split_exprs(table_cols_raw):
+                toks = item.strip().split()
+                if len(toks) < 2:
+                    raise ValueError(
+                        f"RETURNS TABLE column needs name + type: {item!r}"
+                    )
+                cols.append((toks[0], map_decl_type(" ".join(toks[1:]))))
+        else:
+            elem = setof_elem.strip()
+            comp = self._user_types.composites.get(elem.lower())
+            if comp is not None:
+                cols = [(f, map_decl_type(t)) for f, t in comp.fields]
+            elif elem.lower() in ("record",):
+                raise NotImplementedError(
+                    "RETURNS SETOF record needs an explicit column "
+                    "list — use RETURNS TABLE (...) or a composite type"
+                )
+            else:
+                # PG names the single result column after the function
+                cols = [(name, map_decl_type(elem))]
+        last = [x for x in body.split(";") if x.strip()][-1].strip()
+        if not re.match(r"(?is)^\s*(SELECT|WITH|VALUES|TABLE)\b", last):
+            raise NotImplementedError(
+                "SETOF SQL function bodies must end in a query"
+            )
+        q = sql_dialect.rewrite(last)
+        if strict and params:
+            null_any = " OR ".join(f"{p} IS NULL" for p, _t in params)
+            q = f"SELECT * FROM ({q}) WHERE NOT coalesce({null_any}, false)"
+        arglist = ", ".join(
+            f"{p} {t}"
+            + (f" DEFAULT ({defaults[p]})" if p in defaults else "")
+            for p, t in params
+        )
+        collist = ", ".join(f"{c} {t}" for c, t in cols)
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({arglist}) "
+            f"RETURNS TABLE ({collist}) RETURN {q}"
+        )
+        self._table_functions[name.lower()] = [c for c, _t in cols]
         return self._tag(0)
 
     # ------------------------------------------- prepared statements / GUCs

@@ -141,6 +141,27 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "STRING",
         "concat(substr(s, 1, n), CAST(v AS STRING), substr(s, n + 2))",
     ),
+    # byte accessors over bytea (varlena.c byteaGetByte/byteaSetByte):
+    # pure hex-text surgery, no Python boundary
+    "get_byte": (
+        "b BINARY, i INT", "INT",
+        "CAST(conv(substr(hex(b), i * 2 + 1, 2), 16, 10) AS INT)",
+    ),
+    "set_byte": (
+        "b BINARY, i INT, v INT", "BINARY",
+        "unhex(concat(substr(hex(b), 1, i * 2), "
+        "lpad(hex(pmod(v, 256)), 2, '0'), substr(hex(b), i * 2 + 3)))",
+    ),
+    # current_schemas (namespace.c): the engine's single flat schema
+    "current_schemas": (
+        "b BOOLEAN", "ARRAY<STRING>",
+        "IF(b, array('pg_catalog', 'public'), array('public'))",
+    ),
+    # timeofday (timestamp.c): PG's ctime-style rendering
+    "timeofday": (
+        "", "STRING",
+        "date_format(now(), 'EEE MMM dd HH:mm:ss.SSSSSS yyyy z')",
+    ),
     # SHA-2 digests over text/bytea input (cryptohashfuncs.c): PG
     # returns bytea, which canonicalizes as \x-hex at the boundary
     "sha224": ("s STRING", "BINARY", "unhex(sha2(s, 224))"),
@@ -819,6 +840,41 @@ def _jsonpath_exists_py(
     return None if res is None else len(res) > 0
 
 
+def _jsonpath_query_silent_py(
+    j: str | None, path: str | None, vars_json: str | None = None
+):
+    """jsonb_path_query(..., silent => true): strict-mode structural
+    violations are suppressed to an empty result set
+    (jsonpath_exec.c executeJsonPath with jspThrowErrors false)."""
+    try:
+        return _jsonpath_query_py(j, path, vars_json)
+    except ValueError:
+        return []
+
+
+def _jsonb_concat_py(a, b):
+    """jsonb || jsonb (jsonfuncs.c jsonb_concat): object || object
+    merges (right operand wins on key conflict); otherwise each
+    non-array operand wraps as a one-element array and the arrays
+    concatenate. NOT string concatenation — routing || through Spark's
+    concat was a silent wrong answer."""
+    import json as _json
+
+    if a is None or b is None:
+        return None
+    try:
+        da, db = _json.loads(a), _json.loads(b)
+    except ValueError:
+        return None
+    if isinstance(da, dict) and isinstance(db, dict):
+        out = {**da, **db}
+    else:
+        la = da if isinstance(da, list) else [da]
+        lb = db if isinstance(db, list) else [db]
+        out = la + lb
+    return _dumps(out)
+
+
 def _dumps(v) -> str:
     import json as _json
 
@@ -1118,6 +1174,15 @@ def _xml_wf_content_py(s):
         return False
 
 
+def _pg_xpath_entry(doc, path):
+    """SQL-registered xpath (xml.c:4245): defers to the ElementTree
+    evaluator in functions/xml.py (doc-first arg order, like the
+    other document shims; the dialect swaps PG's path-first call)."""
+    from warehouse_pg_spark.functions.xml import _xpath_py
+
+    return _xpath_py(doc, path)
+
+
 def _arrow_batched(fn, ret: str, arity: int):
     """Wrap a scalar Python fn as an Arrow-batched SCALAR pandas UDF.
 
@@ -1184,6 +1249,9 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
         # vars): $name references substitute from a jsonb object
         ("jsonb_path_query_list_vars", _jsonpath_query_py,
          "ARRAY<STRING>", 3),
+        ("jsonb_path_query_list_silent", _jsonpath_query_silent_py,
+         "ARRAY<STRING>", 3),
+        ("jsonb_concat", _jsonb_concat_py, "STRING", 2),
         ("jsonb_path_match_vars", _jsonpath_match_py, "BOOLEAN", 3),
         ("jsonb_path_exists_vars", _jsonpath_exists_py, "BOOLEAN", 3),
         ("json_strip_nulls", _json_strip_nulls_py, "STRING", 1),
@@ -1205,6 +1273,7 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
         ("pg_bytea_escape_in", _bytea_escape_in_py, "BINARY", 1),
         ("json_object1", _json_object1_py, "STRING", 1),
         ("json_object2", _json_object2_py, "STRING", 2),
+        ("pg_xpath", _pg_xpath_entry, "ARRAY<STRING>", 2),
     ):
         spark.udf.register(_name, _arrow_batched(_fn, _ret, _arity))
     from warehouse_pg_spark.functions.ranges import register_range_functions

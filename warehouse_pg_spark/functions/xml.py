@@ -73,6 +73,108 @@ def xpath_exists(xml: Column | str, path: str) -> Column:
     return F.size(xpath(xml, path)) > 0
 
 
+def _xpath_py(doc, path):
+    """SQL-callable PG xpath(path, xml) (xml.c:4245 evaluated over
+    ElementTree) — the engine registers this as `pg_xpath(doc, path)`
+    (args swapped to match the other doc-first shims). Returns the
+    match list PG prints as a text[]:
+
+      element matches  → serialized nodes
+      /text() tails    → text content ('//text()' = every text node)
+      @attr tails      → attribute values
+      count(p) [op n]  → single-element array: the count, or the
+                         boolean of the comparison (xpath returns the
+                         value sequence; PG casts scalars to text)
+      name(p)          → tag name of the first match
+
+    The document node is modeled by a synthetic wrapper element, so
+    absolute ('/a'), anywhere ('//a') and relative ('a') paths all
+    evaluate with PG's document-node context. Malformed XML yields an
+    empty array (XMLOPTION-content skip, like XMLTABLE); an
+    unparseable path raises, as PG's 'invalid XPath expression'."""
+    if doc is None or path is None:
+        return None
+    import re as _re
+    import xml.etree.ElementTree as ET
+
+    body = _re.sub(r"^\s*<\?xml[^>]*\?>", "", doc)
+    try:
+        wrap = ET.fromstring(f"<__pg_doc__>{body}</__pg_doc__>")
+    except ET.ParseError:
+        return []
+    p = path.strip()
+
+    def select(q):
+        q = q.strip()
+        if q in ("", "/", "."):
+            return [wrap]
+        if q.startswith("//"):
+            q = ".//" + q[2:]
+        elif q.startswith("/"):
+            q = q[1:]
+        try:
+            return wrap.findall(q)
+        except SyntaxError:
+            raise ValueError(f"invalid XPath expression: {path}")
+
+    m = _re.fullmatch(
+        r"count\s*\((.*)\)\s*(?:(=|!=|<>|<=|>=|<|>)\s*(\d+))?\s*", p
+    )
+    if m:
+        n = len(select(m.group(1)))
+        if m.group(2) is None:
+            return [str(n)]
+        rhs = int(m.group(3))
+        ok = {
+            "=": n == rhs, "!=": n != rhs, "<>": n != rhs,
+            "<": n < rhs, "<=": n <= rhs, ">": n > rhs, ">=": n >= rhs,
+        }[m.group(2)]
+        return ["true" if ok else "false"]
+    m = _re.fullmatch(r"name\s*\((.*)\)\s*", p)
+    if m:
+        els = select(m.group(1))
+        return [els[0].tag] if els else []
+
+    mode, attr = "element", None
+    if p.endswith("/text()") or p == "text()":
+        mode = "text"
+        p = p[: -len("/text()")] if p != "text()" else "."
+    else:
+        head, sep, tail = p.rpartition("/")
+        if tail.startswith("@"):
+            mode, attr, p = "attr", tail[1:], (head if sep else ".")
+    if mode == "text" and p.strip() in ("", "/"):
+        # '//text()': every text node in document order
+        return [t for t in wrap.itertext() if t]
+    if mode == "attr" and p.strip() in ("", "/"):
+        els = list(wrap.iter())
+    else:
+        els = select(p)
+    if mode == "text":
+        out = []
+        for e in els:
+            if e is wrap:
+                out.extend(t for t in e.itertext() if t)
+            else:
+                out.append(e.text or "")
+        return out
+    if mode == "attr":
+        if attr == "*":
+            return [v for e in els for v in e.attrib.values()]
+        return [e.get(attr) for e in els if e.get(attr) is not None]
+    def ser(e):
+        # a node's serialization excludes its tail text, and PG/libxml
+        # prints self-closing tags without the ElementTree space
+        t = e.tail
+        e.tail = None
+        try:
+            return ET.tostring(e, encoding="unicode").replace(" />", "/>")
+        finally:
+            e.tail = t
+
+    return [ser(e) for e in els if e is not wrap]
+
+
 def xmlagg(frag: Column | str, order_key: Column | str | None = None) -> Column:
     """PG xmlagg(xml [ORDER BY k]) — XML fragment concatenation.
 

@@ -1667,7 +1667,7 @@ _JSON_AGG_RE = re.compile(
     r"\bjsonb?_agg\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
 )
 _JSON_OBJECT_AGG_RE = re.compile(
-    rf"\bjsonb?_object_agg\s*\(\s*({_ARITH_CHAIN})\s*,"
+    rf"\bjsonb?_object_agg\s*\(\s*(DISTINCT\s+)?({_ARITH_CHAIN})\s*,"
     rf"\s*({_ARITH_CHAIN})\s*\)",
     re.IGNORECASE,
 )
@@ -2004,6 +2004,30 @@ def _rewrite_xml_ctors(sql: str, lits: list[str] | None = None) -> str:
         sub_xmlexists,
         sql,
     )
+    # xpath(path, doc) / xpath_exists(path, doc) (xml.c:4245): route to
+    # the engine's ElementTree evaluator (pg_xpath, doc-first), NEVER
+    # to Spark's Hive xpath built-in — that one takes (xml, path), so a
+    # PG-order call would parse the PATH as the document: a guaranteed
+    # wrong answer or error. PG semantics (serialized element nodes,
+    # count()/name() scalars) also differ from Hive's text-only result.
+    def sub_xpath(m: re.Match) -> str:
+        fn = m.group(1).lower()
+        args = _split_args(m.group(2))
+        if len(args) != 2:
+            return m.group(0)  # 3-arg namespace form stays loud
+        path, doc = args[0].strip(), args[1].strip()
+        doc = re.sub(r"(?is)\s*::\s*xml\s*$", "", doc)
+        call = f"pg_xpath(CAST({doc} AS STRING), {path})"
+        if fn == "xpath_exists":
+            return f"(size({call}) > 0)"
+        return call
+
+    sql = re.sub(
+        rf"(?is)\b(xpath|xpath_exists)\s*\(\s*"
+        rf"((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)",
+        sub_xpath,
+        sql,
+    )
     # x IS [NOT] DOCUMENT (xml.c xml_is_document); an `xml` typed-
     # literal prefix drops here — the global prefix strip runs later
     sql = re.sub(
@@ -2031,7 +2055,7 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         return m.group(0)
 
     sql = re.sub(
-        rf"(?is)\bto_json\s*\(\s*(?:date|timestamptz"
+        rf"(?is)\bto_jsonb?\s*\(\s*(?:date|timestamptz"
         rf"|timestamp(?:\s+with(?:out)?\s+time\s+zone)?)\s+"
         rf"({_LIT})\s*\)",
         sub_tojson_inf,
@@ -2667,6 +2691,33 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         return f"{lead}(SELECT {gen} AS {cols[0]}) {alias}"
 
     sql = _JSON_SRF_FROM_RE.sub(sub_json_srf, sql)
+
+    # the same JSON SRFs as a sole FROM-less select-list target
+    # (jsonfuncs.c each_worker/elements_worker; the planner's
+    # ProjectSet): each → two columns (key, value) via inline();
+    # array_elements → one exploded column
+    def sub_json_srf_select(m: re.Match) -> str:
+        kind, arg = m.group(1).lower(), m.group(2).strip()
+        if kind.startswith("each"):
+            return (
+                "SELECT inline(transform(map_entries("
+                f"from_json({arg}, 'map<string,string>')), "
+                "__e -> named_struct('key', __e.key, "
+                "'value', __e.value)))"
+            )
+        return (
+            f"SELECT explode(from_json({arg}, 'array<string>')) "
+            "AS value"
+        )
+
+    sql = re.sub(
+        rf"(?is)^\s*SELECT\s+jsonb?_"
+        rf"(array_elements(?:_text)?|each(?:_text)?)\s*"
+        rf"\(\s*({_ARITH_CHAIN}|{_LIT}(?:\s*::\s*jsonb?)?)\s*\)\s*"
+        rf"(?:AS\s+\w+\s*)?$",
+        sub_json_srf_select,
+        sql,
+    )
     # slices before subscripts (a[2:3] must not half-match as a[2]);
     # a bare ARRAY keyword is a constructor, not an indexable operand
     # (the ctor pass runs earlier, this is belt-and-braces)
@@ -2719,12 +2770,19 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         return f"substr({e}, 2, length({e}) - 2)"
 
     sql = re.sub(
-        rf"\bto_jsonb?\s*\(\s*((?:DATE|TIMESTAMP)\s+\x01\d+\x01"
+        rf"\bto_jsonb?\s*\(\s*((?:DATE|TIMESTAMPTZ|TIMESTAMP|TIMETZ"
+        rf"|TIME)\s+\x01\d+\x01"
+        rf"|CAST\s*\(\s*\x01\d+\x01\s+AS\s+TIMESTAMP(?:_NTZ)?\s*\)"
+        rf"|from_utc_timestamp\s*\((?:[^()]|\([^()]*\))*\)"
+        rf"|to_utc_timestamp\s*\((?:[^()]|\([^()]*\))*\)"
         rf"|\x01\d+\x01|-?\d+(?:\.\d+)?|true|false)\s*\)",
         sub_to_json_scalar,
         sql,
         flags=re.IGNORECASE,
     )
+    # any remaining to_jsonb spelling is to_json (the engine's json
+    # and jsonb share the text representation)
+    sql = re.sub(r"(?i)\bto_jsonb\s*\(", "to_json(", sql)
     # width_bucket(x, thresholds[]) two-arg form (PG 9.5
     # numeric.c width_bucket_array): index of the last threshold <= x
     sql = re.sub(
@@ -2792,11 +2850,20 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
             return f"to_json(array({m.group(1)}))"
         return "concat('[', concat_ws(',', " + ", ".join(parts) + "), ']')"
 
+    # json[b]_build_array(VARIADIC arr): the array's elements ARE the
+    # argument list (functioncmds.c variadic spread) — encode directly
+    sql = re.sub(
+        r"(?i)\bjsonb?_build_array\s*\(\s*VARIADIC\s+"
+        r"((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
+        lambda m: f"to_json({m.group(1).strip()})",
+        sql,
+    )
     sql = _JSON_BUILD_ARR_RE.sub(sub_json_build_arr, sql)
     sql = _JSON_OBJECT_AGG_RE.sub(
         lambda m: (
-            "to_json(map_from_entries(collect_list("
-            f"struct({m.group(1).strip()}, {m.group(2).strip()}))))"
+            "to_json(map_from_entries("
+            f"{'collect_set' if m.group(1) else 'collect_list'}("
+            f"struct({m.group(2).strip()}, {m.group(3).strip()}))))"
         ),
         sql,
     )
@@ -3234,7 +3301,106 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         lambda m: f"({m.group(1)})",
         sql,
     )
-    sql = _MAKE_TSTZ_RE.sub("make_timestamp(", sql)
+    # get_bit/set_bit over BYTEA operands (varlena.c byteaGetBit /
+    # byteaSetBit — bit n lives in byte n/8 at in-byte position n%8
+    # from the LSB; regress strings.sql set_bit('\x..', 43, 0)). The
+    # bit-STRING forms keep the registered text functions; the bytea
+    # literal lowers to unhex(...) earlier, which is the dispatch key.
+    _BYA = r"unhex\s*\((?:[^()]|\([^()]*\))*\)"
+
+    def _byte_of(b: str, n: str) -> str:
+        return (
+            f"CAST(conv(substr(hex({b}), "
+            f"(CAST(({n}) AS INT) div 8) * 2 + 1, 2), 16, 10) AS INT)"
+        )
+
+    sql = re.sub(
+        rf"(?i)\bget_bit\s*\(\s*({_BYA})\s*,\s*((?:[^(),]|\([^()]*\))+)\)",
+        lambda m: (
+            f"CAST(shiftright({_byte_of(m.group(1), m.group(2))}, "
+            f"CAST(({m.group(2)}) AS INT) % 8) & 1 AS INT)"
+        ),
+        sql,
+    )
+
+    def sub_set_bit_bytea(m: re.Match) -> str:
+        b, n, v = m.group(1), m.group(2).strip(), m.group(3).strip()
+        k = f"CAST(({n}) AS INT) % 8"
+        newbyte = (
+            f"(({_byte_of(b, n)} & (255 - shiftleft(1, {k}))) "
+            f"| shiftleft(CAST(({v}) AS INT), {k}))"
+        )
+        pos = f"(CAST(({n}) AS INT) div 8) * 2"
+        return (
+            f"unhex(concat(substr(hex({b}), 1, {pos}), "
+            f"lpad(hex({newbyte}), 2, '0'), "
+            f"substr(hex({b}), {pos} + 3)))"
+        )
+
+    sql = re.sub(
+        rf"(?i)\bset_bit\s*\(\s*({_BYA})\s*,\s*((?:[^(),]|\([^()]*\))+)"
+        rf"\s*,\s*((?:[^(),]|\([^()]*\))+)\)",
+        sub_set_bit_bytea,
+        sql,
+    )
+    # scale(numeric) (numeric.c numeric_scale): digits after the
+    # decimal point of the value AS TYPED — DECIMAL's string form
+    # keeps trailing zeros, so the text length is exact
+    def sub_scale(m: re.Match) -> str:
+        x = m.group(1).strip()
+        s = f"CAST(({x}) AS STRING)"
+        return (
+            f"IF(({x}) IS NULL, CAST(NULL AS INT), "
+            f"IF(locate('.', {s}) = 0, 0, "
+            f"CAST(length({s}) - locate('.', {s}) AS INT)))"
+        )
+
+    sql = re.sub(
+        rf"(?i)\bscale\s*\(\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
+        sub_scale,
+        sql,
+    )
+    # num_nonnulls / num_nulls (misc.c pg_num_nonnulls): VARIADIC
+    # "any" — a per-argument null test folds to an integer sum
+    def sub_num_nulls(m: re.Match) -> str:
+        which = m.group(1).lower()
+        args = _split_args(m.group(2))
+        op = "IS NOT NULL" if which == "nonnulls" else "IS NULL"
+        terms = " + ".join(f"CAST(({a.strip()}) {op} AS INT)"
+                           for a in args)
+        return f"({terms})"
+
+    sql = re.sub(
+        r"(?i)\bnum_(nonnulls|nulls)\s*\("
+        r"((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
+        sub_num_nulls,
+        sql,
+    )
+    # record byte-compare operators ~<~ ~<=~ ~>~ ~>=~ (varlena.c
+    # text_pattern_lt &c): C-collation comparison — Spark's default
+    # binary comparison on the lowered struct/text operands
+    sql = re.sub(r"~(<=|>=|<|>)~", r" \1 ", sql)
+    # make_timestamptz (timestamp.c make_timestamptz_at_timezone):
+    # Spark's make_timestamp takes a 7th timezone arg, but only as an
+    # offset or region id — translate PG's zone ABBREVIATIONS through
+    # the datetime.c Default-file table before handing over
+    def sub_make_tstz_zone(m: re.Match) -> str:
+        args = [a.strip() for a in _split_args(m.group(1))]
+        if len(args) == 7:
+            zm = _MASK_RE.fullmatch(args[6])
+            if zm:
+                z = _lit_value(args[6], lits).strip().upper()
+                if z in _TZ_ABBREV_OFFSETS:
+                    args[6] = _new_lit(_TZ_ABBREV_OFFSETS[z], lits)
+                elif z in _TZ_ABBREV_ZONES:
+                    args[6] = _new_lit(_TZ_ABBREV_ZONES[z], lits)
+        return f"make_timestamp({', '.join(args)})"
+
+    sql = re.sub(
+        r"(?i)\bmake_timestamptz\s*\(((?:[^()]|\([^()]*\))*)\)",
+        sub_make_tstz_zone,
+        sql,
+    )
     sql = _JSON_KEYS_ANY_RE.sub(
         lambda m: (
             f"exists({m.group(2)}, __jk -> "
@@ -3269,7 +3435,7 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     )
     sql = re.sub(
         rf"\bjsonb_exists_(any|all)\s*\(\s*({_ARITH_CHAIN}|{_LIT})\s*,"
-        rf"\s*((?:[^()]|\([^()]*\))+)\)",
+        rf"\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
         lambda m: (
             f"{'exists' if m.group(1).lower() == 'any' else 'forall'}"
             f"({m.group(3)}, __jk -> "
@@ -4070,6 +4236,16 @@ def _pg_date_fold(body: str) -> str | None:
         try:
             return _dt.date(
                 int(s[:4]), int(s[4:6]), int(s[6:8])
+            ).isoformat()
+        except ValueError:
+            return None
+    if re.fullmatch(r"\d{6}", s):
+        # compact 'YYMMDD' (datetime.c DecodeNumberField; regress
+        # date.sql: '990108' → 1999-01-08) — 2-digit year window
+        y = int(s[:2])
+        try:
+            return _dt.date(
+                y + (2000 if y < 70 else 1900), int(s[2:4]), int(s[4:6])
             ).isoformat()
         except ValueError:
             return None
@@ -4964,6 +5140,18 @@ def rewrite(sql: str) -> str:
         j, p = pos[0], pos[1]
         vars_a = named.get("vars") or (pos[2] if len(pos) >= 3 else None)
         has_silent = "silent" in named or len(pos) == 4
+        silent_v = named.get("silent") or (pos[3] if len(pos) == 4 else "")
+        silent_on = silent_v.strip().lower() == "true"
+        if silent_on and form in ("query", "query_array", "query_first"):
+            # silent => true (jsonpath_exec.c jspThrowErrors false):
+            # strict-mode violations yield an empty result set
+            v = vars_a if vars_a is not None else "CAST(NULL AS STRING)"
+            lst = f"jsonb_path_query_list_silent({j}, {p}, {v})"
+            if form == "query_array":
+                return f"concat('[', array_join({lst}, ', '), ']')"
+            if form == "query_first":
+                return f"get({lst}, 0)"  # NULL on empty, not an error
+            return f"explode({lst})"
         if vars_a is None and not has_silent:
             if form == "exists":
                 return f"({j} @? {p})"
@@ -4983,7 +5171,7 @@ def rewrite(sql: str) -> str:
         if form == "query_array":
             return f"concat('[', array_join({lst}, ', '), ']')"
         if form == "query_first":
-            return f"element_at({lst}, 1)"
+            return f"get({lst}, 0)"  # NULL on empty, not an error
         return f"explode({lst})"  # query: SRF — one row per match
 
     out = _JSONB_PATH_FN_RE.sub(sub_jsonb_path_fn, out)
@@ -5183,11 +5371,27 @@ def rewrite(sql: str) -> str:
         flags=re.IGNORECASE,
     )
 
+    # jsonb || jsonb (jsonfuncs.c jsonb_concat): object merge / array
+    # concatenation — NOT string concat (routing through Spark's ||
+    # would silently produce '{"a":1}{"b":2}'). Fires when either
+    # operand is explicitly jsonb-typed.
+    out = re.sub(
+        rf"({_JSONB_OPND}|{_LIT}|[\w.]+)\s*\|\|\s*({_JSONB_OPND})"
+        rf"|({_JSONB_OPND})\s*\|\|\s*({_LIT}|[\w.]+)",
+        lambda m: (
+            f"jsonb_concat({m.group(1) or m.group(3)}, "
+            f"{m.group(2) or m.group(4)})"
+        ),
+        out,
+        flags=re.IGNORECASE,
+    )
+
     # NULL-key json arrows (jsonfuncs.c: strict operators return NULL
     # on a NULL key): `j -> null::text`, `j ->> null::int` — the key
     # arrives as CAST(NULL AS ...) by this point
     out = re.sub(
-        rf"({_JSONB_OPND}|{_LIT}|[\w.]+\([^()]*\)|[\w.]+)"
+        rf"({_JSONB_OPND}|{_LIT}\s*::\s*jsonb?"
+        rf"|{_LIT}|[\w.]+\([^()]*\)|[\w.]+)"
         r"\s*(?:->>?|#>>?)\s*"
         r"(?:NULL\s*::\s*\w+"
         r"|CAST\s*\(\s*NULL\s+AS\s+\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
