@@ -2524,6 +2524,86 @@ def test_setof_sql_table_functions(engine):
     engine.sql("DROP TYPE srf_pair")
 
 
+def test_probe_families_round12(engine):
+    """Round-12 probe families: xpath over arbitrary documents
+    (pg_xpath — serialization, //text(), count()/name()), jsonb ||
+    (object merge, NOT string concat), jsonpath silent => true,
+    json SRFs in the select list, populate_record over an anonymous
+    row() base, IS OF, interval literal comparisons (interval_cmp
+    justification), bytea bit/byte accessors, record byte-compare
+    operators, compact date/timestamp input, scale/num_nonnulls/
+    current_schemas, make_timestamptz zone abbreviations,
+    xmlserialize char(n) padding, composite record_in quoting."""
+    import datetime as dt
+
+    cases = [
+        ("xpath('//b', '<a>one <b>two</b> three <b>etc</b></a>')",
+         ["<b>two</b>", "<b>etc</b>"]),
+        ("xpath('count(//*)=3', '<root><sub/><sub/></root>')",
+         ["true"]),
+        ("xpath('name(/*)', '<root/>')", ["root"]),
+        ("xpath_exists('//b', '<a><b>x</b></a>'::xml)", True),
+        ("'{\"a\":1}'::jsonb || '{\"b\":2}'::jsonb",
+         '{"a": 1, "b": 2}'),
+        ("'[\"a\"]'::jsonb || '[\"b\"]'::jsonb", '["a", "b"]'),
+        ("jsonb_path_query_first('[{\"a\":1},{}]', 'strict $[*].a',"
+         " silent => true)", "1"),
+        ("jsonb_exists_all('{\"a\":1}', '{}'::text[])", True),
+        ("(json_populate_record(row(1,2), '{\"f1\": 7}')).f1", 7),
+        ("1 is of (int4)", True),
+        ("1 is not of (text)", True),
+        ("ARRAY[1,2,3]::text[]::int[]::float8[] is of (float8[])",
+         True),
+        ("'30 days'::interval = '1 month'::interval", True),
+        ("'30 days'::interval < '1 month 1 day'::interval", True),
+        ("interval_hash('30 days'::interval) ="
+         " interval_hash('1 month'::interval)", True),
+        ("hex(set_bit('\\x1234567890abcdef00'::bytea, 43, 0))",
+         "1234567890A3CDEF00"),
+        ("get_byte('\\x1234567890abcdef00'::bytea, 3)", 120),
+        ("get_bit('\\x1234567890abcdef00'::bytea, 43)", 1),
+        ("ROW('ABC','DEF') ~<=~ ROW('DEF','ABC')", True),
+        ("date '990108'", dt.date(1999, 1, 8)),
+        ("timestamp '19990108'", dt.datetime(1999, 1, 8)),
+        ("scale(8.4100)", 4),
+        ("num_nonnulls(1, NULL, 'x')", 2),
+        ("current_schemas(false)", ["public"]),
+        ("make_timestamptz(2008, 12, 10, 10, 10, 10, 'EDT')",
+         dt.datetime(2008, 12, 10, 14, 10, 10)),
+        ("xmlserialize(content 'good' as char(10))", "good      "),
+        ("xmlparse(content '<nosuchprefix:tag/>')",
+         "<nosuchprefix:tag/>"),
+        ("array_prepend(6, array[42])", [6, 42]),
+        ("('{{{1},{2},{3}},{{4},{5},{6}}}'::int[])[1][NULL:1][1]",
+         None),
+        ("median('19990101'::date)", dt.datetime(1999, 1, 1)),
+    ]
+    for expr, want in cases:
+        got = engine.sql(f"SELECT {expr} AS x").collect()[0].x
+        assert got == want, (expr, got)
+    # composite record_in quoting (rowtypes.c; regress rowtypes.sql)
+    engine.sql("CREATE TYPE r12name AS (first text, last text)")
+    r = engine.sql(
+        "SELECT '(Joe,von Blow)'::r12name AS a,"
+        "       '(Joe,\"Blow,Jr\")'::r12name AS b,"
+        "       '(Joe,)'::r12name AS c"
+    ).collect()[0]
+    assert r.a.last == "von Blow" and r.b.last == "Blow,Jr"
+    assert r.c.last is None
+    engine.sql("DROP TYPE r12name")
+    # json SRFs as sole select-list target (each → key/value rows)
+    rows = engine.sql(
+        "select json_each('{\"f1\":[1,2,3],\"f4\":null}')"
+    ).collect()
+    assert [(r.key, r.value) for r in rows] == [
+        ("f1", "[1,2,3]"), ("f4", None)
+    ]
+    rows = engine.sql(
+        "select jsonb_path_query('{}', 'strict $.a', silent => true)"
+    ).collect()
+    assert rows == []
+
+
 def test_probe_families_round11c(engine):
     """Third round-11 sweep: U&'' / U&\"\" unicode escapes (strings and
     identifiers, custom UESCAPE), to_json over ±infinity datetimes."""

@@ -53,6 +53,11 @@ ORACLE_DIVERGES = (
     # the float4 shortest repr: '1.2345679e+20' etc.)
     "::float4",
     "as float4",
+    # DuckDB's search path is its own catalog model (main,main,main,
+    # pg_catalog); PG's current_schemas(false) is {public} and (true)
+    # prepends pg_catalog (namespace.c) — the ENGINE matches PG
+    # (verified against expected/search_path.out)
+    "current_schemas(",
     # DuckDB ~ / !~ are POSIX but its char-class/locale behavior inside
     # bracket expressions differs from PG's in regress edge strings
     "[[:",
@@ -602,6 +607,14 @@ def main() -> None:
                         "(CREATE'd by the suite; needs context replay)"
                     )
             el = e.lower()
+            # line-based corpus extraction artifacts: a line with more
+            # close-parens than opens, or an odd number of quotes, is
+            # the TAIL of a multi-line statement, not a statement
+            if e.count(")") > e.count("(") or e.count("'") % 2:
+                return "out-of-scope: mid-statement fragment"
+            if re.search(r"\\if\b|\\else\b|\\endif\b|\\gset|\\gexec",
+                         el):
+                return "out-of-scope: psql client syntax"
             if re.search(r"tsvector|tsquery|to_tsvector|@@", el):
                 return "out-of-scope: full-text search"
             if re.search(r"'\d+-\d+-\d+ *bc'|\bbc\b", el):
@@ -625,7 +638,15 @@ def main() -> None:
                 r"|table_to_xml\w*|cursor_to_xml\w*|query_to_xml\w*"
                 r"|schema_to_xml\w*|database_to_xml\w*"
                 r"|brin_\w+|gin_\w+|gp_\w+|ts_headline|ts_rank\w*"
-                r"|ts_debug|ts_stat|txid_\w+|\w*_recv|\w*_send)\b",
+                r"|ts_debug|ts_stat|txid_\w+|\w*_recv|\w*_send"
+                # reg* OID-constructor CALLS (regtype('int4') etc.) are
+                # catalog lookups like their to_reg* counterparts;
+                # row_security_active / set_ttdummy / test_atomic_ops /
+                # get_ao_distribution are RLS/regress/AO admin hooks
+                r"|reg(?:proc|procedure|oper|operator|role|type|class"
+                r"|namespace|collation)(?=\s*\()"
+                r"|row_security_active|set_ttdummy|test_atomic_ops"
+                r"|get_ao_distribution)\b",
                 el,
             ):
                 return (

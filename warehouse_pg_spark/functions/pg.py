@@ -162,6 +162,14 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "", "STRING",
         "date_format(now(), 'EEE MMM dd HH:mm:ss.SSSSSS yyyy z')",
     ),
+    # make_time (date.c make_time): the engine's TIME model is the
+    # HH:MM:SS[.f] string (sorts correctly, no Spark TIME type)
+    "pg_make_time": (
+        "h INT, m INT, s DOUBLE", "STRING",
+        "concat(lpad(h, 2, '0'), ':', lpad(m, 2, '0'), ':', "
+        "lpad(CAST(floor(s) AS INT), 2, '0'), "
+        "IF(s = floor(s), '', substr(CAST(s - floor(s) AS STRING), 2)))",
+    ),
     # SHA-2 digests over text/bytea input (cryptohashfuncs.c): PG
     # returns bytea, which canonicalizes as \x-hex at the boundary
     "sha224": ("s STRING", "BINARY", "unhex(sha2(s, 224))"),
@@ -779,7 +787,8 @@ def _jp_is_predicate(path: str) -> bool:
 
 
 def _jsonpath_query_py(
-    j: str | None, path: str | None, vars_json: str | None = None
+    j: str | None, path: str | None, vars_json: str | None = None,
+    silent: bool = False,
 ):
     """jsonb_path_query* evaluator (jsonpath_exec.c subset): returns
     the match list as JSON text fragments, or None when the document /
@@ -801,6 +810,9 @@ def _jsonpath_query_py(
             r = _jp_bool3(doc, doc, s)
             return ["true" if r else "null" if r is None else "false"]
         mode, toks = _jp_parse(path)
+        if silent and mode == "strict":
+            # strict's no-auto-unwrap, but skip where strict raises
+            mode = "strict_silent"
         nodes = _jp_steps(doc, [doc], toks, mode)
     except _JPStrictError as e:
         # PG raises for strict-mode structural violations at the top
@@ -843,11 +855,16 @@ def _jsonpath_exists_py(
 def _jsonpath_query_silent_py(
     j: str | None, path: str | None, vars_json: str | None = None
 ):
-    """jsonb_path_query(..., silent => true): strict-mode structural
-    violations are suppressed to an empty result set
-    (jsonpath_exec.c executeJsonPath with jspThrowErrors false)."""
+    """jsonb_path_query(..., silent => true) (jsonpath_exec.c
+    executeJsonPath with jspThrowErrors false): strict-mode structural
+    violations are suppressed PER ITEM — the erroring element yields
+    nothing, other elements still produce values (regress
+    jsonb_jsonpath.sql: query_first('[{"a":1},{}]', 'strict $[*].a',
+    silent => true) is 1, not NULL). Internally: the 'strict_silent'
+    mode keeps strict's no-auto-unwrap behavior but skips at every
+    would-raise site."""
     try:
-        return _jsonpath_query_py(j, path, vars_json)
+        return _jsonpath_query_py(j, path, vars_json, silent=True)
     except ValueError:
         return []
 
@@ -1148,6 +1165,18 @@ def _json_strip_nulls_py(j):
     return _dumps(rec(doc))
 
 
+def _mangle_ns_prefixes(s: str) -> str:
+    """libxml2 (xml.c) tolerates UNBOUND namespace prefixes
+    (`<nosuchprefix:tag/>` is well-formed content per regress
+    xml.out); ElementTree rejects them. Colons in names are legal
+    only as prefix separators, so mangling `p:` to `p__` preserves
+    well-formedness exactly."""
+    import re as _re
+
+    s = _re.sub(r"(</?)(\w+):(\w+)", r"\1\2__\3", s)
+    return _re.sub(r"(\s)(\w+):(\w+)(\s*=)", r"\1\2__\3\4", s)
+
+
 def _xml_wf_document_py(s):
     # xml.c xml_is_well_formed_document: exactly one root element
     import xml.etree.ElementTree as ET
@@ -1155,7 +1184,7 @@ def _xml_wf_document_py(s):
     if s is None:
         return None
     try:
-        ET.fromstring(s)
+        ET.fromstring(_mangle_ns_prefixes(s))
         return True
     except ET.ParseError:
         return False
@@ -1168,7 +1197,7 @@ def _xml_wf_content_py(s):
     if s is None:
         return None
     try:
-        ET.fromstring(f"<__wf__>{s}</__wf__>")
+        ET.fromstring(f"<__wf__>{_mangle_ns_prefixes(s)}</__wf__>")
         return True
     except ET.ParseError:
         return False

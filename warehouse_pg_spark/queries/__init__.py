@@ -45,85 +45,85 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
 # scored, keeping one green representative per family pinned (the
 # family-coverage invariant is cumulative — tests/test_registry.py
 # checks prefix ∪ CORRECTNESS_r* history spans REQUIRED_FAMILY_TAGS).
-# r11 rotation: ALL 9 never-scored entries enter the prefix — the 5
-# round-10 late registrations (format picture compiler, interval_out
-# rendering, time/timetz arithmetic, to_number, network types) plus
-# the 4 new round-11 queries (CREATE DOMAIN/enum DDL, composite CREATE
-# TYPE, geometric types, quantified ANY/ALL NULL semantics). The 5
-# family anchors stay (sole green owners of scan+external / dqa / cte
-# / udtf / uda). The remaining 36 slots re-score prior greens whose
-# code this round touched: jsonb (minus operators, NULL-key arrows),
-# regexp_matches (concat-chain subjects), xml (xmlexists lowering),
-# SRF classification (deepened nesting), to_char/to_date (literal
-# fold, trim), interval/time (timetz session-zone offset), money
-# (chained casts), enums (engine DDL beside the shim), quantified
-# ALL/ANY (three-valued rewrite), the inet fixes, plus the flagship
-# TPC-H trio (q18 is the r10 bench watch item) and the pipeline
-# re-verify set. Cumulative driver coverage if green: 230 + 9 = 239
-# of 239 (the registry grew to 239 this round; re-pin before close if
+# r12 rotation: the ledger entered the round fully closed (239/239
+# cumulative). The 4 NEW round-12 queries lead (SETOF table functions,
+# enum declaration-order aggregation, SQL xpath() calls, jsonb
+# concat + silent jsonpath). The 5 family anchors stay. The remaining
+# 41 slots re-score prior greens whose code round 12 touched: enums /
+# domains / composites (ordinal comparisons, VALUE masking, record_in
+# quoting), geometry (EPSILON fuzz), to_char/to_date (CC/YYY
+# composition, compact timestamp input), intervals (literal-compare
+# folds beside the out/qualifier code), the whole jsonb family (the
+# || operator now routes to jsonb_concat — highest regression risk of
+# the round), xml (pg_xpath beside XMLTABLE/xmlagg/construction), SRF
+# lowerings (select-list JSON SRFs added beside them), scalar
+# function families the dialect pass reordered around, quantified
+# subqueries, plus the flagship TPC-H pair and q18 (bench watch).
+# Cumulative if green: 239 + 4 = 243 of 243 (re-pin at round close if
 # more register).
 DRIVER_PREFIX: tuple[str, ...] = (
-    # never-scored: round-10 late registrations
-    "pgsql_format_compose",
-    "pgsql_interval_out",
-    "pgsql_time_arithmetic",
-    "pgsql_to_number_pictures",
-    "pgsql_network_types",
-    # never-scored: new round-11 queries
-    "pgsql_domain_check",
-    "pgsql_composite_roundtrip",
-    "pgsql_geometric_ops",
-    "pgsql_quantified_null",
+    # never-scored: new round-12 queries
+    "pgsql_setof_table_function",
+    "pgsql_enum_order_semantics",
+    "pgsql_xpath_sql_calls",
+    "pgsql_jsonb_concat_silent",
     # anchors (required family tags with no never-scored owner)
     "external_csv_scan",
     "agg_dqa_multi",
     "cte_shared_reuse",
     "udtf_python_split_words",
     "uda_pandas_grouped",
-    # re-scores: jsonb family (minus ops, NULL-key arrows, mutations)
+    # re-scores: enum/domain/composite DDL (r12 ADVICE fixes)
+    "fn_enum_ordering",
+    "pgsql_domain_check",
+    "pgsql_composite_roundtrip",
+    # re-scores: geometry (EPSILON fuzz on @>/&&/~=)
+    "pgsql_geometric_ops",
+    # re-scores: to_char/to_date + datetime (CC/YYY, compact input)
+    "fn_to_char_formats",
+    "fn_datetime_extended",
+    "pgsql_date_trunc_interval",
+    "pgsql_time_arithmetic",
+    "pgsql_to_number_pictures",
+    # re-scores: intervals (literal-compare folds)
+    "fn_interval_arithmetic",
+    "pgsql_interval_qualifiers",
+    "pgsql_interval_out",
+    # re-scores: jsonb family (|| -> jsonb_concat is adjacent code)
     "pgsql_jsonb_containment",
     "pgsql_jsonb_path_vars",
     "pgsql_jsonpath_filter",
     "pgsql_jsonpath_match",
     "srf_json_each",
-    # re-scores: regexp family (concat-chain subject widening)
-    "fn_regex_family",
-    "srf_regexp_matches_g",
-    "srf_regexp_split_to_table",
-    # re-scores: xml family (xmlexists lowering beside xpath/XMLTABLE)
+    # re-scores: xml family (pg_xpath beside them)
     "fn_xpath_extract",
     "tablefunc_xmltable",
     "agg_xmlagg_members",
     "pgsql_xml_construction",
-    # re-scores: SRF classification (deepened arg nesting)
+    # re-scores: SRF lowerings (select-list JSON SRFs added beside)
     "srf_unnest_multi",
     "srf_lockstep_zip",
     "srf_posexplode_ordinality",
-    # re-scores: to_char/to_date + numeric/money/misc dialect
-    "fn_to_char_formats",
+    "srf_regexp_split_to_table",
+    "srf_regexp_matches_g",
+    # re-scores: scalar function families around reordered passes
+    "fn_strings",
+    "fn_math",
     "fn_numeric_edge_semantics",
     "fn_misc_type_shims",
-    "fn_math",
-    "fn_strings",
-    # re-scores: interval / time / zone / date-input code
-    "pgsql_interval_qualifiers",
-    "fn_interval_arithmetic",
-    "pgsql_date_trunc_interval",
-    "fn_datetime_extended",
-    # re-scores: quantified + subplan family, enum shim, ranges
-    "join_quantified_all_any",
-    "fn_enum_ordering",
+    "fn_regex_family",
+    "pgsql_format_compose",
+    "pgsql_network_types",
     "fn_range_types",
     "pgsql_row_null_semantics",
-    # re-scores: flagship + r10 bench watch (q18) + pipeline set
+    "fn_bitwise",
+    # re-scores: quantified subqueries (three-valued rewrite)
+    "join_quantified_all_any",
+    "pgsql_quantified_null",
+    # re-scores: flagship + bench watch
     "pgsql_q1_text",
     "tpch_q1_pricing_summary",
-    "tpch_q10_returned_items",
     "tpch_q18_large_volume_customer",
-    "tpch_q9_product_type_profit",
-    "dedup_minhash_lsh",
-    "sim_topk_bruteforce",
-    "dedup_cluster_components",
 )
 
 

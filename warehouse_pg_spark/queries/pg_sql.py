@@ -2055,3 +2055,157 @@ def pgsql_quantified_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM region ORDER BY r_regionkey
         """,
     )
+
+
+@register(
+    "pgsql_setof_table_function",
+    # the SETOF function IS a parameterized view: the oracle is the
+    # inlined body with the argument substituted
+    oracle="""
+    SELECT n_nationkey AS nk, n_name AS nname
+    FROM nation WHERE n_regionkey = 2
+    ORDER BY nk
+    """,
+    tags=("dialect", "srf", "functions"),
+)
+def pgsql_setof_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE FUNCTION ... RETURNS TABLE for a LANGUAGE sql body
+    (functioncmds.c set-returning functions; regress
+    sql/rangefuncs.sql), lowered to a native Spark SQL table function
+    (r12). A FROM-call inlines as a Catalyst subquery over the nation
+    scan — on a 1000-executor cluster this is exactly a view
+    expansion: predicate pushdown and column pruning apply to the
+    function body as if it were written inline."""
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_fixtures(sf_dir)
+    eng.sql(
+        "CREATE FUNCTION r12_nations_of(rk int)"
+        " RETURNS TABLE (nk int, nname text) AS $$"
+        " SELECT n_nationkey, n_name FROM nation"
+        " WHERE n_regionkey = rk $$ LANGUAGE sql"
+    )
+    return eng.sql("SELECT * FROM r12_nations_of(2) ORDER BY nk")
+
+
+@register(
+    "pgsql_enum_order_semantics",
+    # enum declaration order via explicit ordinal CASE mapping
+    # (DuckDB enums exist but CREATE TYPE can't ride in a single
+    # oracle statement)
+    oracle="""
+    SELECT o_orderpriority,
+           CASE min(CASE o_orderstatus WHEN 'P' THEN 1 WHEN 'O' THEN 2
+                    WHEN 'F' THEN 3 END)
+                WHEN 1 THEN 'P' WHEN 2 THEN 'O' WHEN 3 THEN 'F'
+           END AS min_st,
+           CASE max(CASE o_orderstatus WHEN 'P' THEN 1 WHEN 'O' THEN 2
+                    WHEN 'F' THEN 3 END)
+                WHEN 1 THEN 'P' WHEN 2 THEN 'O' WHEN 3 THEN 'F'
+           END AS max_st,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("dialect", "types", "enum"),
+)
+def pgsql_enum_order_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enum comparisons follow DECLARATION order, not text order
+    (enum.c enum_cmp / enumsortorder; regress sql/enum.sql): the type
+    below declares 'P' < 'O' < 'F' — the reverse of lexicographic —
+    and min/max over the cast column must honor it. Lowered to
+    array_position ordinals at plan time (r12 ADVICE fix), so the
+    aggregate runs as a plain JVM integer min/max over the orders
+    scan; the label maps back via element_at."""
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_fixtures(sf_dir)
+    eng.sql("CREATE TYPE r12_ostatus AS ENUM ('P', 'O', 'F')")
+    return eng.sql(
+        """
+        SELECT o_orderpriority,
+               min(o_orderstatus::r12_ostatus) AS min_st,
+               max(o_orderstatus::r12_ostatus) AS max_st,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "pgsql_xpath_sql_calls",
+    oracle="""
+    SELECT n_nationkey, n_name AS nm, '2' AS cnt, true AS ex,
+           'nation' AS root_tag
+    FROM nation ORDER BY n_nationkey
+    """,
+    tags=("dialect", "xml", "srf"),
+)
+def pgsql_xpath_sql_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xpath()/xpath_exists() as SQL calls (xml.c:4245) route to the
+    Arrow-batched ElementTree evaluator pg_xpath (r12) — never to
+    Spark's Hive xpath, whose swapped (xml, path) argument order would
+    read the PATH as the document. Covers text() extraction, count()
+    scalars, name(), and existence over per-row documents built from
+    the nation fixture; one map-only stage, no shuffle."""
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_fixtures(sf_dir)
+    return eng.sql(
+        """
+        SELECT n_nationkey,
+               (xpath('//name/text()',
+                      '<nation><name>' || n_name ||
+                      '</name><key/></nation>'))[1] AS nm,
+               (xpath('count(/nation/*)',
+                      '<nation><name>' || n_name ||
+                      '</name><key/></nation>'))[1] AS cnt,
+               xpath_exists('//name',
+                            ('<nation><name>' || n_name ||
+                             '</name><key/></nation>')::xml) AS ex,
+               (xpath('name(/*)',
+                      '<nation><name>' || n_name ||
+                      '</name><key/></nation>'))[1] AS root_tag
+        FROM nation ORDER BY n_nationkey
+        """
+    )
+
+
+@register(
+    "pgsql_jsonb_concat_silent",
+    oracle="""
+    SELECT r_regionkey,
+           '{"k": ' || CAST(r_regionkey AS VARCHAR) ||
+           ', "x": 1}' AS merged,
+           CAST(r_regionkey AS VARCHAR) AS first_el,
+           2 AS nn
+    FROM region ORDER BY r_regionkey
+    """,
+    tags=("dialect", "json"),
+)
+def pgsql_jsonb_concat_silent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonb || jsonb object merge (jsonfuncs.c jsonb_concat — r12:
+    previously Spark's string concat, a silent wrong answer),
+    jsonb_path_query_first with silent => true (jsonpath_exec.c
+    jspThrowErrors false: the erroring element yields nothing, others
+    still produce), and num_nonnulls (misc.c) — all over
+    fixture-derived json built from the region scan; whole-stage
+    codegen except the Arrow-batched concat shim."""
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_fixtures(sf_dir)
+    return eng.sql(
+        """
+        SELECT r_regionkey,
+               ('{"k":' || r_regionkey::text || '}')::jsonb
+                 || '{"x":1}'::jsonb AS merged,
+               jsonb_path_query_first(
+                 json_build_array(r_regionkey, r_regionkey + 1),
+                 'strict $[0]', silent => true) AS first_el,
+               num_nonnulls(r_name, NULL, r_regionkey) AS nn
+        FROM region ORDER BY r_regionkey
+        """
+    )

@@ -1977,6 +1977,29 @@ def _rewrite_xml_ctors(sql: str, lits: list[str] | None = None) -> str:
         sub_xmlparse,
         sql,
     )
+
+    # XMLSERIALIZE(DOCUMENT|CONTENT x AS type) (xml.c xmltotext):
+    # the value IS text in this model; char(n) pads, varchar(n) trims
+    def sub_xmlserialize(m: re.Match) -> str:
+        x, t = m.group(2).strip(), m.group(3).strip().lower()
+        v = f"CAST({x} AS STRING)"
+        cm = re.fullmatch(r"char(?:acter)?\s*\(\s*(\d+)\s*\)", t)
+        if cm:
+            return f"rpad({v}, {cm.group(1)}, ' ')"
+        vm = re.fullmatch(
+            r"(?:varchar|character\s+varying)\s*\(\s*(\d+)\s*\)", t
+        )
+        if vm:
+            return f"substr({v}, 1, {vm.group(1)})"
+        return v
+
+    sql = re.sub(
+        r"(?is)\bXMLSERIALIZE\s*\(\s*(DOCUMENT|CONTENT)\s+"
+        r"((?:[^()]|\([^()]*\))+?)\s+AS\s+"
+        r"([\w ]+?(?:\(\s*\d+\s*\))?)\s*\)",
+        sub_xmlserialize,
+        sql,
+    )
     # xmlexists(xpath PASSING [BY REF|BY VALUE] doc [BY REF|BY VALUE])
     # (xml.c xmlexists; SQL/XML X030): BY REF/VALUE are storage
     # directives with no semantic effect — strip them. A count()/sum()
@@ -2726,6 +2749,18 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     prev_idx = None
     while prev_idx != sql:
         prev_idx = sql
+        # a NULL slice bound yields NULL (arrayfuncs.c array_get_slice
+        # returns NULL for a null subscript) — IF(TRUE, NULL, a) keeps
+        # a's array type so downstream subscripts propagate the NULL
+        sql = re.sub(
+            rf"({_IDX_OPERAND})\[\s*(NULL|\d+)\s*:\s*(NULL|\d+)\s*\]",
+            lambda m: m.group(0)
+            if m.group(1).upper() == "ARRAY"
+            or "NULL" not in (m.group(2).upper(), m.group(3).upper())
+            else f"IF(TRUE, NULL, {m.group(1)})",
+            sql,
+            flags=re.IGNORECASE,
+        )
         sql = _ARRAY_SLICE_RE.sub(
             lambda m: m.group(0) if m.group(1).upper() == "ARRAY" else (
                 f"slice({m.group(1)}, {m.group(2)}, "
@@ -2793,6 +2828,34 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         ),
         sql,
         flags=re.IGNORECASE,
+    )
+    # ... and with a braced-literal threshold array (an empty '{}'
+    # stays untyped through the array-literal pass)
+    sql = re.sub(
+        rf"\bwidth_bucket\s*\(\s*({_ARITH_CHAIN})\s*,\s*({_LIT})\s*\)",
+        lambda m: (
+            "0" if _lit_value(m.group(2), lits).strip() == "{}"
+            else m.group(0)
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # make_time (date.c): Spark 4.1 grew a native make_time returning
+    # its TIME type, which PySpark cannot collect — route to the
+    # engine's HH:MM:SS string model instead
+    sql = re.sub(r"(?i)\bmake_time\s*\(", "pg_make_time(", sql)
+    # current_timestamp(precision) (gram.y SystemFuncName precision):
+    # Spark's takes no argument — precision 0 truncates to seconds,
+    # other precisions keep the full value (micro rendering)
+    sql = re.sub(
+        r"(?i)\bcurrent_timestamp\s*\(\s*0\s*\)",
+        "date_trunc('second', current_timestamp())",
+        sql,
+    )
+    sql = re.sub(
+        r"(?i)\bcurrent_timestamp\s*\(\s*\d\s*\)",
+        "current_timestamp()",
+        sql,
     )
     # concat/concat_ws with a VARIADIC array argument (varlena.c):
     # elements render as text; a NULL array yields NULL
@@ -3083,13 +3146,13 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
                     )
                 return f"TIMESTAMP {_new_lit(iso, lits)}"
         cm = re.fullmatch(
-            r"(\d{4})(\d{2})(\d{2})[T ]?(\d{2}):?(\d{2}):?"
-            r"(\d{2}(?:\.\d+)?)?\s*([+-]\d{1,2}(?::?\d{2})?)?",
+            r"(\d{4})(\d{2})(\d{2})(?:[T ]?(\d{2}):?(\d{2}):?"
+            r"(\d{2}(?:\.\d+)?)?)?\s*([+-]\d{1,2}(?::?\d{2})?)?",
             body,
         )
         if cm:
             y, mo, d, h, mi, s, off = cm.groups()
-            iso = f"{y}-{mo}-{d} {h}:{mi}:{s or '00'}"
+            iso = f"{y}-{mo}-{d} {h or '00'}:{mi or '00'}:{s or '00'}"
             if off:
                 o = off.replace(":", "")
                 iso += (
@@ -3299,6 +3362,245 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         r"(?:\s+HOUR\s+TO\s+(?:SECOND|MINUTE))?)\s+AS\s+"
         r"(?:interval|time)\s*\)",
         lambda m: f"({m.group(1)})",
+        sql,
+    )
+    # interval literal comparisons (timestamp.c interval_cmp): PG
+    # compares through the justified TimeOffset (months*30 + days days,
+    # 86400s each), so '30 days' = '1 month' is TRUE. Spark cannot
+    # order CalendarIntervalType at all — literal-vs-literal
+    # comparisons fold at plan time. interval_hash hashes the same
+    # canonical value (regress interval.sql pins hash('30 days') =
+    # hash('1 month')).
+    def _interval_total(tok: str):
+        from decimal import Decimal
+
+        f = _pg_interval_parse(_lit_value(tok, lits), None, None, None)
+        if f is None:
+            return None
+        return (
+            (f["y"] * 12 + f["mo"]) * Decimal(30) + f["d"]
+        ) * 86400 + f["h"] * 3600 + f["mi"] * 60 + f["s"]
+
+    # interval literal spellings at this point in the pipeline:
+    # INTERVAL 'x', CAST('x' AS interval), 'x'::interval
+    _IVL_LIT = (
+        rf"(?:INTERVAL\s+({_LIT})"
+        rf"|CAST\s*\(\s*({_LIT})\s+AS\s+interval\s*\)"
+        rf"|({_LIT})\s*::\s*interval\b)"
+    )
+
+    def sub_interval_cmp(m: re.Match) -> str:
+        a = _interval_total(m.group(1) or m.group(2) or m.group(3))
+        b = _interval_total(m.group(5) or m.group(6) or m.group(7))
+        if a is None or b is None:
+            return m.group(0)
+        op = m.group(4)
+        ok = {
+            "=": a == b, "<>": a != b, "!=": a != b, "<": a < b,
+            "<=": a <= b, ">": a > b, ">=": a >= b,
+        }[op]
+        return "true" if ok else "false"
+
+    sql = re.sub(
+        rf"(?i){_IVL_LIT}\s*(=|<>|!=|<=|>=|<|>)\s*{_IVL_LIT}",
+        sub_interval_cmp,
+        sql,
+    )
+
+    # make_interval(...) literal comparisons fold the same way
+    def _mi_total(args_s: str):
+        from decimal import Decimal
+
+        args = [a.strip() for a in _split_args(args_s)] \
+            if args_s.strip() else []
+        if len(args) > 7 or any(
+            not re.fullmatch(r"[-+]?\d+(?:\.\d+)?", a) for a in args
+        ):
+            return None
+        v = [Decimal(a) for a in args] + [Decimal(0)] * (7 - len(args))
+        y, mo, w, d, h, mi, s = v
+        return ((y * 12 + mo) * 30 + w * 7 + d) * 86400 \
+            + h * 3600 + mi * 60 + s
+
+    def sub_mi_cmp(m: re.Match) -> str:
+        a, b = _mi_total(m.group(1)), _mi_total(m.group(3))
+        if a is None or b is None:
+            return m.group(0)
+        ok = {
+            "=": a == b, "<>": a != b, "!=": a != b, "<": a < b,
+            "<=": a <= b, ">": a > b, ">=": a >= b,
+        }[m.group(2)]
+        return "true" if ok else "false"
+
+    sql = re.sub(
+        r"(?i)\bmake_interval\s*\(([^()]*)\)\s*(=|<>|!=|<=|>=|<|>)"
+        r"\s*make_interval\s*\(([^()]*)\)",
+        sub_mi_cmp,
+        sql,
+    )
+
+    def sub_interval_hash(m: re.Match) -> str:
+        tok = m.group(1) or m.group(2) or m.group(3)
+        t = _interval_total(tok)
+        return m.group(0) if t is None else f"hash({t})"
+
+    sql = re.sub(
+        rf"(?i)\binterval_hash\s*\(\s*{_IVL_LIT}\s*\)",
+        sub_interval_hash,
+        sql,
+    )
+    # median over datetime operands (pg_proc median = percentile_cont
+    # 0.5, which interpolates over timestamps): Spark's median is
+    # numeric-only — route through epoch micros
+    sql = re.sub(
+        rf"(?i)\bmedian\s*\(\s*((?:DATE|TIMESTAMP\w*)\s+{_LIT}"
+        rf"|CAST\s*\((?:[^()]|\([^()]*\))*AS\s+"
+        rf"(?:DATE|TIMESTAMP\w*)\s*\))\s*\)",
+        lambda m: (
+            "timestamp_micros(CAST(percentile(unix_micros(CAST("
+            f"{m.group(1)} AS TIMESTAMP)), 0.5) AS BIGINT))"
+        ),
+        sql,
+    )
+    # json[b]_populate_record(set) over an ANONYMOUS row(...) base
+    # (jsonfuncs.c populate_record with record type): fields are named
+    # f1..fn (parse_expr.c anonymous-record naming), types inferred
+    # from the row literals; a key present in the json overrides the
+    # base value, a missing key keeps it
+    def _row_lit_type(a: str) -> str:
+        if re.fullmatch(r"-?\d+", a):
+            return "INT"
+        if re.fullmatch(r"-?\d*\.\d+(?:[eE][-+]?\d+)?", a):
+            return "DOUBLE"
+        if a.lower() in ("true", "false"):
+            return "BOOLEAN"
+        return "STRING"
+
+    def sub_populate_anon(m: re.Match) -> str:
+        which, base_args, j = m.group(1), m.group(2), m.group(3).strip()
+        # the ROW(...) ctor lowered earlier to struct((e) AS f1, ...):
+        # recover (name, expr) pairs
+        pairs: list[tuple[str, str]] = []
+        for i, a in enumerate(_split_args(base_args), start=1):
+            am = re.match(r"(?is)^(.*?)\s+AS\s+(\w+)\s*$", a.strip())
+            if am:
+                pairs.append((am.group(2), am.group(1).strip()))
+            else:
+                pairs.append((f"f{i}", a.strip()))
+        if not pairs:
+            return m.group(0)
+        src = "__o" if which else j
+
+        def fld(nm: str, a: str) -> str:
+            expr = a[1:-1].strip() if (
+                a.startswith("(") and a.endswith(")")
+            ) else a
+            return (
+                f"'{nm}', IF(array_contains(json_object_keys({src}), "
+                f"'{nm}'), CAST(get_json_object({src}, '$.{nm}') AS "
+                f"{_row_lit_type(expr)}), {a})"
+            )
+
+        ns = "named_struct(" + ", ".join(
+            fld(nm, a) for nm, a in pairs) + ")"
+        if which:  # recordset: one row per array element
+            return (
+                f"explode(transform(from_json({j}, 'array<string>'), "
+                f"__o -> {ns}))"
+            )
+        return ns
+
+    sql = re.sub(
+        rf"(?i)\bjsonb?_populate_record(set)?\s*\(\s*struct\s*\("
+        rf"((?:[^()]|\([^()]*\))*)\)\s*,\s*({_LIT}|[\w.]+)\s*\)",
+        sub_populate_anon,
+        sql,
+    )
+    # expr IS OF (type) (parse_expr.c transformTypeCast IS OF): a
+    # static type-identity test — compared through Spark's typeof()
+    # at the TYPE-CLASS level (precision/scale stripped), which
+    # constant-folds for literal operands. The operand is found by a
+    # left walk-back over balanced parens / identifier chars / `::`
+    # connectors, because cast chains (CAST(..)::ARRAY<int>::..)
+    # outrun any fixed-depth operand regex.
+    def _operand_start(s: str, end: int) -> int:
+        i = end
+        while True:
+            if i > 0 and s[i - 1] == ")":
+                depth, j = 0, i
+                while j > 0:
+                    j -= 1
+                    if s[j] == ")":
+                        depth += 1
+                    elif s[j] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                i = j
+                while i > 0 and (s[i - 1].isalnum()
+                                 or s[i - 1] in "_.$"):
+                    i -= 1
+            else:
+                j = i
+                while j > 0 and (s[j - 1].isalnum()
+                                 or s[j - 1] in "_.$\x01<>[]'"):
+                    j -= 1
+                if j == i:
+                    break
+                i = j
+            k = i
+            while k > 0 and s[k - 1].isspace():
+                k -= 1
+            if k >= 2 and s[k - 2: k] == "::":
+                i = k - 2
+                continue
+            break
+        return i
+
+    _KNOWN_TYPE_CLASSES = {
+        "int", "bigint", "smallint", "tinyint", "double", "float",
+        "string", "boolean", "date", "timestamp", "decimal", "binary",
+    }
+
+    def _is_of_class(t: str) -> str | None:
+        t = t.strip()
+        if t.endswith("[]"):
+            inner = _is_of_class(t[:-2])
+            return None if inner is None else f"array<{inner}>"
+        try:
+            mapped = map_decl_type(t)
+        except Exception:
+            return None
+        cls = re.sub(r"\(.*", "", mapped).strip().lower()
+        if cls == t.lower() and cls not in _KNOWN_TYPE_CLASSES:
+            return None  # unmapped PG-only name (domain/composite)
+        return cls
+
+    _IS_OF_RE = re.compile(
+        r"(?i)\s+IS\s+(NOT\s+)?OF\s*\(\s*([\w\[\]<> ]+?)\s*\)"
+    )
+    while True:
+        m = _IS_OF_RE.search(sql)
+        if not m:
+            break
+        start = _operand_start(sql, m.start())
+        x = sql[start: m.start()].strip()
+        cls = _is_of_class(m.group(2))
+        if cls is None or not x:
+            break  # unknown type / no operand: stay loud
+        op = "!=" if m.group(1) else "="
+        rep = (
+            f"(regexp_replace(lower(typeof({x})), '\\\\(.*', '') "
+            f"{op} '{cls}')"
+        )
+        sql = sql[:start] + rep + sql[m.end():]
+    # array_prepend(elem, arr) (arrayfuncs.c): PG leads with the
+    # ELEMENT; Spark's array_prepend leads with the array — swap
+    sql = re.sub(
+        r"(?i)\barray_prepend\s*\(\s*((?:[^(),]|\((?:[^()]|\([^()]*\))*\))+)"
+        r"\s*,\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
+        lambda m: f"array_prepend({m.group(2).strip()}, "
+                  f"{m.group(1).strip()})",
         sql,
     )
     # get_bit/set_bit over BYTEA operands (varlena.c byteaGetBit /
@@ -4348,6 +4650,11 @@ def _rewrite_pg_geo(out: str, lits: list[str]) -> str:
             return m.group(0)
         return geo.circle_sql(repr(c[0]), repr(c[1]), repr(c[2]))
 
+    _GEO_NULL = {
+        "point": "STRUCT<x: DOUBLE, y: DOUBLE>",
+        "box": "STRUCT<x1: DOUBLE, y1: DOUBLE, x2: DOUBLE, y2: DOUBLE>",
+        "circle": "STRUCT<x: DOUBLE, y: DOUBLE, r: DOUBLE>",
+    }
     for kind in ("point", "box", "circle"):
         out = re.sub(
             rf"(?i)\b{kind}\s+(\x01\d+\x01)",
@@ -4357,6 +4664,12 @@ def _rewrite_pg_geo(out: str, lits: list[str]) -> str:
         out = re.sub(
             rf"(?i)(\x01\d+\x01)\s*::\s*{kind}\b",
             lambda m, k=kind: fold_lit(m, k),
+            out,
+        )
+        # a typed NULL keeps the struct shape (IS NULL tests work)
+        out = re.sub(
+            rf"(?i)\bNULL\s*::\s*{kind}\b",
+            f"CAST(NULL AS {_GEO_NULL[kind]})",
             out,
         )
 
@@ -5374,10 +5687,17 @@ def rewrite(sql: str) -> str:
     # jsonb || jsonb (jsonfuncs.c jsonb_concat): object merge / array
     # concatenation — NOT string concat (routing through Spark's ||
     # would silently produce '{"a":1}{"b":2}'). Fires when either
-    # operand is explicitly jsonb-typed.
+    # operand is explicitly jsonb-typed; a parenthesized expression
+    # may carry the cast ((... || ...)::jsonb), and the bare-name
+    # alternative must not grab the 'jsonb' word out of a cast suffix.
+    _JBC_CAST = (
+        rf"(?:jsonb\s*{_LIT}"
+        rf"|(?:{_LIT}|[\w.]+|\((?:[^()]|\([^()]*\))*\))\s*::\s*jsonb\b)"
+    )
+    _JBC_OTHER = rf"(?:{_LIT}|(?<![:\w.])[\w.]+)"
     out = re.sub(
-        rf"({_JSONB_OPND}|{_LIT}|[\w.]+)\s*\|\|\s*({_JSONB_OPND})"
-        rf"|({_JSONB_OPND})\s*\|\|\s*({_LIT}|[\w.]+)",
+        rf"({_JBC_CAST}|{_JBC_OTHER})\s*\|\|\s*({_JBC_CAST})"
+        rf"|({_JBC_CAST})\s*\|\|\s*({_JBC_OTHER})",
         lambda m: (
             f"jsonb_concat({m.group(1) or m.group(3)}, "
             f"{m.group(2) or m.group(4)})"
@@ -5477,6 +5797,30 @@ def rewrite(sql: str) -> str:
             if (f := _pg_date_fold(_lit_value(m.group(1), lits)))
             else m.group(0)
         ),
+        out,
+    )
+
+    # compact timestamp bodies ('19990101', '19990101 1230') —
+    # datetime.c DecodeNumberField; Spark's parser rejects them
+    def sub_ts_compact(m: re.Match) -> str:
+        body = _lit_value(m.group(1), lits).strip()
+        cm = re.fullmatch(
+            r"(\d{4})(\d{2})(\d{2})"
+            r"(?:[T ]?(\d{2}):?(\d{2}):?(\d{2}(?:\.\d+)?)?)?",
+            body,
+        )
+        if not cm:
+            return m.group(0)
+        y, mo, d, h, mi, s = cm.groups()
+        iso = f"{y}-{mo}-{d} {h or '00'}:{mi or '00'}:{s or '00'}"
+        return f"TIMESTAMP {_new_lit(iso, lits)}"
+
+    out = re.sub(
+        r"(?i)\btimestamp\s+(\x01\d+\x01)", sub_ts_compact, out
+    )
+    out = re.sub(
+        r"(?i)(\x01\d+\x01)\s*::\s*timestamp(?:tz)?\b",
+        sub_ts_compact,
         out,
     )
 
@@ -5897,10 +6241,11 @@ def rewrite(sql: str) -> str:
         flags=re.IGNORECASE,
     )
 
-    # PG E'...' escape-string literals (scan.l xe state): Spark's
-    # non-ANSI parser interprets backslash escapes in plain literals
-    # identically, so dropping the E prefix preserves the value.
-    out = re.sub(rf"\bE(?={_LIT})", "", out)
+    # PG E'...' escape-string literals (scan.l xe state, either case):
+    # Spark's non-ANSI parser interprets backslash escapes in plain
+    # literals identically, so dropping the E prefix preserves the
+    # value.
+    out = re.sub(rf"\b[Ee](?={_LIT})", "", out)
 
     # SQL:2008 fetch clause (gram.y limit_clause) and LIMIT ALL
     out = re.sub(

@@ -45,12 +45,25 @@ _KW_GUARD = (
     r"|BETWEEN|LIKE|ILIKE|EXISTS)\s*\()"
 )
 # one cast operand: literal / call / dotted name / parenthesized expr
+# balanced parens to depth 5 (a guarded domain cast emits
+# if(cond, val, raise_error(concat(...))) — 4 levels deep before any
+# user nesting), quote-aware at each level
+def _paren_depth(n: int) -> str:
+    p = r"[^()']*"
+    for _ in range(n):
+        p = rf"(?:[^()']|{_RLIT}|\({p}\))*"
+    return p
+
+
+_PARENS5 = _paren_depth(5)
 _OPERAND = (
     rf"(?:{_RLIT}"
     rf"|(?<![\w.$]){_KW_GUARD}"
-    r"[\w.]+\s*\((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*\)"
-    r"|(?<![\w.$])[\w.$]+"
-    r"|\((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*\))"
+    rf"[\w.]+\s*\({_PARENS5}\)"
+    # the bare-identifier operand must not be the TYPE NAME inside a
+    # chained cast (NULL::derived::base — 'derived' is not an operand)
+    r"|(?<![\w.$:])[\w.$]+"
+    rf"|\({_PARENS5}\))"
 )
 
 _CREATE_DOMAIN_RE = re.compile(
@@ -321,12 +334,19 @@ class UserTypes:
         to base-type expressions. Runs before the main dialect pass."""
         if self.empty:
             return sql
-        for name, labels in self.enums.items():
-            sql = self._rewrite_enum(sql, name, labels)
-        for name, comp in self.composites.items():
-            sql = self._rewrite_composite(sql, name, comp)
-        for name, dom in self.domains.items():
-            sql = self._rewrite_domain(sql, name, dom)
+        # fixpoint: chained casts over user types (NULL::derived::base,
+        # a domain over another domain) need the outer cast re-examined
+        # after the inner one lowers
+        for _ in range(4):
+            before = sql
+            for name, labels in self.enums.items():
+                sql = self._rewrite_enum(sql, name, labels)
+            for name, comp in self.composites.items():
+                sql = self._rewrite_composite(sql, name, comp)
+            for name, dom in self.domains.items():
+                sql = self._rewrite_domain(sql, name, dom)
+            if sql == before:
+                break
         return sql
 
     # CAST(x AS t) -> x::t, for one known type name (so the operand
@@ -488,6 +508,30 @@ class UserTypes:
             sql,
         )
 
+        def sub_populate_base_set(m: re.Match) -> str:
+            # recordset with a non-NULL base: the merge applies per
+            # array element (jsonfuncs.c populate_recordset_worker)
+            base, j = m.group(1).strip(), m.group(2).strip()
+            base_struct = f"({base}::{name})"
+            parts = [
+                f"'{f}', IF(array_contains(json_object_keys(__o), "
+                f"'{f}'), from_json(__o, '{schema}').{f}, "
+                f"{base_struct}.{f})"
+                for f, _t in comp.fields
+            ]
+            return (
+                f"explode(transform(from_json({j}, 'array<string>'), "
+                f"__o -> named_struct({', '.join(parts)})))"
+            )
+
+        sql = re.sub(
+            rf"(?is)\bjsonb?_populate_recordset\s*\(\s*"
+            rf"(ROW\s*\((?:[^()']|{_RLIT})*\))\s*::\s*{name}\s*,\s*"
+            rf"({_RLIT}|[\w.]+)\s*\)",
+            sub_populate_base_set,
+            sql,
+        )
+
         def build(args: list[str]) -> str:
             if len(args) != len(comp.fields):
                 raise ValueError(
@@ -503,22 +547,62 @@ class UserTypes:
             op = m.group(1).strip()
             if op.startswith("'") and op.endswith("'"):
                 # composite literal '(a,b)' (rowtypes.c record_in):
-                # unquoted empty field = NULL, double-quoted preserved
+                # comma-delimited; double-quote quoting admits commas/
+                # whitespace with "" and backslash escapes; an empty
+                # unquoted field is NULL
                 body = op[1:-1].replace("''", "'").strip()
                 if not (body.startswith("(") and body.endswith(")")):
                     raise ValueError(
                         f"malformed record literal: {op}")
-                raw = body[1:-1].split(",")
-                args = []
-                for tok in raw:
-                    tok = tok.strip()
-                    if not tok:
-                        args.append("NULL")
-                    elif tok.startswith('"') and tok.endswith('"'):
-                        args.append(
-                            "'" + tok[1:-1].replace("'", "''") + "'")
-                    else:
-                        args.append("'" + tok.replace("'", "''") + "'")
+                inner = body[1:-1]
+                fields: list[str | None] = []
+                buf: list[str] = []
+                had_quote, i, n = False, 0, len(inner)
+                while True:
+                    if i >= n or (inner[i] == ","):
+                        tok = "".join(buf)
+                        if not had_quote:
+                            tok = tok.strip()
+                        fields.append(
+                            None if (tok == "" and not had_quote)
+                            else tok
+                        )
+                        buf, had_quote = [], False
+                        if i >= n:
+                            break
+                        i += 1
+                        continue
+                    ch = inner[i]
+                    if ch == '"':
+                        had_quote = True
+                        i += 1
+                        while i < n:
+                            if inner[i] == '"':
+                                if i + 1 < n and inner[i + 1] == '"':
+                                    buf.append('"')
+                                    i += 2
+                                    continue
+                                i += 1
+                                break
+                            if inner[i] == "\\" and i + 1 < n:
+                                buf.append(inner[i + 1])
+                                i += 2
+                                continue
+                            buf.append(inner[i])
+                            i += 1
+                        continue
+                    if ch == "\\" and i + 1 < n:
+                        buf.append(inner[i + 1])
+                        had_quote = True  # escaped: value, not padding
+                        i += 2
+                        continue
+                    buf.append(ch)
+                    i += 1
+                args = [
+                    "NULL" if f is None
+                    else "'" + f.replace("'", "''") + "'"
+                    for f in fields
+                ]
                 return build(args)
             if re.match(r"(?is)^ROW\s*\(", op):
                 inner = op[op.index("("): ]
