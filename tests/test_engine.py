@@ -2524,6 +2524,37 @@ def test_setof_sql_table_functions(engine):
     engine.sql("DROP TYPE srf_pair")
 
 
+def test_out_params_and_plpgsql_return_query(engine):
+    """OUT parameters define the record result (functioncmds.c) and a
+    PL/pgSQL single-RETURN-QUERY body lowers like a SQL table
+    function (pl_exec.c exec_stmt_return_query); trigger-function DDL
+    is accepted without registering a callable; PERFORM is elided."""
+    engine.sql(
+        "create function r12_out(a int, b int, out s int, out p int)"
+        " as $$ select a + b, a * b $$ language sql"
+    )
+    r = engine.sql("SELECT * FROM r12_out(3, 4)").collect()[0]
+    assert (r.s, r.p) == (7, 12)
+    r = engine.sql("SELECT r12_out(2, 5) AS v").collect()[0].v
+    assert (r.s, r.p) == (7, 10)
+    engine.sql(
+        "create function r12_rq(lo int) returns setof int"
+        " language plpgsql as $$ begin return query"
+        " select generate_series(lo, lo + 2); end $$"
+    )
+    assert [r.r12_rq for r in
+            engine.sql("SELECT * FROM r12_rq(5)").collect()] == [5, 6, 7]
+    engine.sql(
+        "create function r12_trig() returns trigger as $$ begin"
+        " new.f1 := 1; return new; end $$ language plpgsql"
+    )
+    engine.sql(
+        "create function r12_perf(x int) returns int language plpgsql"
+        " as $$ begin perform x * 100; return x + 1; end $$"
+    )
+    assert engine.sql("SELECT r12_perf(3) AS v").collect()[0].v == 4
+
+
 def test_probe_families_round12(engine):
     """Round-12 probe families: xpath over arbitrary documents
     (pg_xpath — serialization, //text(), count()/name()), jsonb ||

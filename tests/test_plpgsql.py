@@ -372,9 +372,10 @@ def test_numeric_param_types(engine, spark):
 
 
 def test_setof_plpgsql_rejected(engine):
-    """RETURNS SETOF is supported for LANGUAGE sql (table functions,
-    r12); PL/pgSQL RETURN NEXT stays a pinned rejection."""
-    with pytest.raises(NotImplementedError, match="SETOF"):
+    """RETURNS SETOF is supported for LANGUAGE sql and for PL/pgSQL
+    single-RETURN-QUERY bodies (r12); RETURN NEXT accumulation stays
+    a pinned rejection."""
+    with pytest.raises(NotImplementedError, match="RETURN NEXT"):
         engine.sql(
             "CREATE FUNCTION bad() RETURNS SETOF int LANGUAGE plpgsql "
             "AS $$ BEGIN RETURN NEXT 1; END $$"

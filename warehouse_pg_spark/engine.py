@@ -544,10 +544,20 @@ class Engine:
         rawargs = s[m.end(): i - 1]
         rm = _RETURNS_CLAUSE_RE.match(s[i:])
         if rm is None:
-            raise NotImplementedError(
-                "CREATE FUNCTION requires an explicit RETURNS type"
-            )
-        rettype, tail = rm.group(1).strip(), rm.group(2)
+            # OUT-parameter functions may omit RETURNS — PG infers a
+            # record of the OUT columns (functioncmds.c)
+            if not re.search(r"(?i)(?:^|,)\s*(?:IN)?OUT\s+\w+", rawargs):
+                raise NotImplementedError(
+                    "CREATE FUNCTION requires an explicit RETURNS type"
+                )
+            rettype, tail = "record", s[i:]
+        else:
+            rettype, tail = rm.group(1).strip(), rm.group(2)
+        if rettype.lower() in ("trigger", "event_trigger"):
+            # trigger functions (trigger.c) are never directly
+            # callable — the DDL succeeds and registers nothing (the
+            # engine has no trigger execution surface; README)
+            return self._tag(0)
         # RETURNS SETOF <type> / RETURNS TABLE (cols): set-returning
         # SQL functions (functioncmds.c; PG treats RETURNS TABLE as
         # SETOF record with OUT columns). Spark-first lowering: a
@@ -569,6 +579,7 @@ class Engine:
                 table_cols_raw = tail[tm.end(): j - 1]
                 tail = tail[j:]
         params: list[tuple[str, str]] = []
+        out_params: list[tuple[str, str]] = []
         # multiword type spellings that make a name-less parameter
         # (functioncmds.c: parameter names are optional — $n refers)
         _UNNAMED_MULTI = {
@@ -596,6 +607,21 @@ class Engine:
                 default_expr = sql_dialect.rewrite(dm.group(2).strip())
             toks = a.split()
             if toks[0].upper() in ("IN", "OUT", "INOUT", "VARIADIC"):
+                if toks[0].upper() == "OUT":
+                    # OUT parameters ARE the result shape
+                    # (functioncmds.c: they define a record return) —
+                    # collected as output columns, not arguments
+                    toks = toks[1:]
+                    if len(toks) >= 2:
+                        out_params.append(
+                            (toks[0], map_decl_type(" ".join(toks[1:])))
+                        )
+                    else:
+                        out_params.append(
+                            (f"column{len(out_params) + 1}",
+                             map_decl_type(toks[0]))
+                        )
+                    continue
                 if toks[0].upper() != "IN":
                     raise NotImplementedError(
                         f"{toks[0].upper()} parameters are not supported"
@@ -652,10 +678,11 @@ class Engine:
                 else m2.group(0)
 
         body = re.sub(r"\$(\d+)\b", _dollar_ref, body)
-        if setof_m or table_cols_raw is not None:
+        if setof_m or table_cols_raw is not None or out_params:
             return self._register_table_function(
                 name, params, defaults, setof_m.group(1).strip()
                 if setof_m else None, table_cols_raw, lang, body, strict,
+                out_cols=out_params or None,
             )
         if lang == "plpgsql":
             expr = compile_plpgsql(params, ret_spark, body)
@@ -695,6 +722,7 @@ class Engine:
         lang: str,
         body: str,
         strict: bool,
+        out_cols: list[tuple[str, str]] | None = None,
     ) -> DataFrame:
         """RETURNS SETOF / RETURNS TABLE for LANGUAGE sql bodies
         (functioncmds.c set-returning functions; regress
@@ -708,13 +736,33 @@ class Engine:
         from warehouse_pg_spark import sql_dialect
         from warehouse_pg_spark.sql_dialect import map_decl_type
 
+        if lang == "plpgsql":
+            # the single-RETURN-QUERY body (pl_exec.c
+            # exec_stmt_return_query) IS a SQL table function; richer
+            # RETURN NEXT accumulation stays descoped (README)
+            qm = re.match(
+                r"(?is)^\s*BEGIN\s+RETURN\s+QUERY\s+(.*?);?\s*"
+                r"END\s*;?\s*$",
+                body,
+            )
+            if qm is None:
+                raise NotImplementedError(
+                    "set-returning PL/pgSQL is supported only for a "
+                    "single RETURN QUERY body (RETURN NEXT loops are "
+                    "descoped)"
+                )
+            body, lang = qm.group(1), "sql"
         if lang not in ("sql", "internal"):
             raise NotImplementedError(
                 "RETURNS SETOF is supported for LANGUAGE sql bodies "
                 "(PL/pgSQL RETURN NEXT/RETURN QUERY are descoped)"
             )
         cols: list[tuple[str, str]]
-        if table_cols_raw is not None:
+        if out_cols:
+            # OUT parameters define the record shape (functioncmds.c);
+            # the body's result columns map positionally
+            cols = list(out_cols)
+        elif table_cols_raw is not None:
             cols = []
             for item in _split_exprs(table_cols_raw):
                 toks = item.strip().split()

@@ -112,7 +112,6 @@ _FOR_RE = re.compile(
 _WORD_RE = re.compile(r"[A-Za-z_]\w*|;|\S")
 
 _REJECTED = {
-    "PERFORM": "PERFORM",
     "EXECUTE": "dynamic EXECUTE",
     "GET": "GET DIAGNOSTICS",
     "OPEN": "cursors",
@@ -197,6 +196,12 @@ def _parse_stmts(stmts: list[str]) -> list[tuple]:
             out.append(_parse_exit(s))
         elif kw == "CONTINUE":
             out.append(_parse_continue(s))
+        elif kw == "PERFORM":
+            # pl_exec.c exec_stmt_perform evaluates and DISCARDS the
+            # result; in the compiled single-expression model the
+            # discarded evaluation is elided (side effects through
+            # volatile callees are not modeled — README deviations)
+            out.append(("null",))
         elif kw in _REJECTED:
             raise PlpgsqlError(
                 f"unsupported PL/pgSQL statement: {_REJECTED[kw]} "
