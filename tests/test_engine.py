@@ -2524,6 +2524,38 @@ def test_setof_sql_table_functions(engine):
     engine.sql("DROP TYPE srf_pair")
 
 
+def test_to_timestamp_exotic_pictures(engine):
+    """to_timestamp plan-time fold (formatting.c do_to_timestamp) for
+    pictures Java patterns can't express: ISO-calendar IYYY/IW/ID/
+    IDDD composition (fromisocalendar), roman months (RM), grouped
+    years (Y,YYY with a value-side ordinal suffix), day-name skip,
+    HH12+PM, backslash separators, and leading short-year windows."""
+    import datetime as dt
+
+    cases = [
+        ("to_timestamp('1985 \\\\ 12', 'YYYY \\\\\\\\ DD')",
+         dt.datetime(1985, 1, 12)),
+        ("to_timestamp('1,582nd VIII 21', 'Y,YYYth FMRM DD')",
+         dt.datetime(1582, 8, 21)),
+        ("to_timestamp('2000January09Sunday', 'YYYYFMMonthDDFMDay')",
+         dt.datetime(2000, 1, 9)),
+        ("to_timestamp('9-1116', 'Y-MMDD')", dt.datetime(2009, 11, 16)),
+        ("to_timestamp('95-1116', 'YY-MMDD')",
+         dt.datetime(1995, 11, 16)),
+        ("to_timestamp('995-1116', 'YYY-MMDD')",
+         dt.datetime(1995, 11, 16)),
+        ("to_timestamp('2005527', 'IYYYIWID')", dt.datetime(2006, 1, 1)),
+        ("to_timestamp('005527', 'IYYIWID')", dt.datetime(2006, 1, 1)),
+        ("to_timestamp('5527', 'IIWID')", dt.datetime(2006, 1, 1)),
+        ("to_timestamp('2005364', 'IYYYIDDD')", dt.datetime(2006, 1, 1)),
+        ("to_timestamp('2011-12-18 11:38 PM', 'YYYY-MM-DD HH12:MI PM')",
+         dt.datetime(2011, 12, 18, 23, 38)),
+    ]
+    for expr, want in cases:
+        got = engine.sql(f"SELECT {expr} AS x").collect()[0].x
+        assert got == want, (expr, got)
+
+
 def test_out_params_and_plpgsql_return_query(engine):
     """OUT parameters define the record result (functioncmds.c) and a
     PL/pgSQL single-RETURN-QUERY body lowers like a SQL table

@@ -482,32 +482,43 @@ def dch_parse_pattern(fmt: str) -> str:
 # digits — plus the composition rules Java patterns can't express
 # (J julian day, CC century + YY, W week-of-month, Q quarter).
 _FROM_TOKENS: list[tuple[str, str, int]] = [
-    # (PG token, field name, max digits) — longest match first
-    ("YYYY", "year", 4), ("IYYY", "year", 4), ("YYY", "year3", 3),
+    # (PG token, field name, max digits) — longest match first; the
+    # I* ISO-calendar family composes via date.fromisocalendar
+    ("YYYY", "year", 4), ("IYYY", "isoyear", 4),
+    ("YYY", "year3", 3), ("IYY", "isoyear3", 3),
     ("MONTH", "monname", 0), ("MON", "monname", 0),
-    ("DDD", "doy", 3), ("DD", "day", 2), ("D", "dow", 1),
-    ("IW", "week", 2), ("WW", "woy", 2), ("W", "wom", 1),
+    ("DAY", "dayname", 0), ("DY", "dayname", 0),
+    ("IDDD", "isodoy", 3), ("DDD", "doy", 3), ("DD", "day", 2),
+    ("IW", "isoweek", 2), ("WW", "woy", 2), ("W", "wom", 1),
     ("MM", "month", 2), ("MI", "minute", 2), ("MS", "ms", 3),
     ("US", "us", 6), ("CC", "century", 2),
     ("HH24", "hour", 2), ("HH12", "hour12", 2), ("HH", "hour12", 2),
     ("SSSS", "secs_midnight", 5), ("SS", "second", 2),
-    ("YY", "year2", 2), ("Y", "year1", 1),
+    ("YY", "year2", 2), ("IY", "isoyear2", 2), ("Y", "year1", 1),
     ("J", "julian", 7), ("Q", "quarter", 1),
     ("RM", "monroman", 0), ("AM", "ampm", 0), ("PM", "ampm", 0),
-    ("ID", "dow", 1),
+    ("ID", "isodow", 1), ("D", "dow", 1), ("I", "isoyear1", 1),
 ]
+
+_ROMAN_IN = (  # input-match order: longest first
+    "XII", "XI", "IX", "X", "VIII", "VII", "VI", "IV", "V",
+    "III", "II", "I",
+)
+_ROMAN_IN_VAL = {
+    "I": 1, "II": 2, "III": 3, "IV": 4, "V": 5, "VI": 6, "VII": 7,
+    "VIII": 8, "IX": 9, "X": 10, "XI": 11, "XII": 12,
+}
 
 _MON_NAMES = ("january", "february", "march", "april", "may", "june",
               "july", "august", "september", "october", "november",
               "december")
 
 
-def to_date_fold(value: str, fmt: str):
-    """Fold to_date('literal', 'picture') at plan time; returns a
-    datetime.date or None when the picture/value is outside the
-    supported subset (caller falls back to the Java-pattern path)."""
-    import datetime as _dt
-
+def _from_char_scan(value: str, fmt: str):
+    """formatting.c from_char field scanner shared by the to_date /
+    to_timestamp plan-time folds: returns the parsed field dict, or
+    None when the picture/value is outside the supported subset
+    (callers fall back to the Java-pattern path)."""
     f: dict[str, int] = {}
     vi, fi = 0, 0
     v, n = value, len(value)
@@ -541,15 +552,40 @@ def to_date_fold(value: str, fmt: str):
         if fmt.startswith("FM", fi) or fmt.startswith("FX", fi):
             fi += 2
             continue
+        if fmt.upper().startswith("Y,YYY", fi):
+            # grouped-digit year picture ('1,582' — formatting.c
+            # DCH_Y_YYY): thousands digit, comma, three digits
+            fi += 5
+            hi = read_int(1)
+            lo = read_int(3)
+            if hi is None or lo is None:
+                return None
+            f["year"] = hi * 1000 + lo
+            if fmt.upper().startswith("TH", fi):
+                fi += 2
+                k = 0
+                while vi < n and v[vi].isalpha() and k < 2:
+                    vi += 1
+                    k += 1
+            continue
         if not ch.isalpha():
             fi += 1  # separator in the picture: the loose scan skips
             continue
         for tok, field, width in _FROM_TOKENS:
             if fmt.upper().startswith(tok, fi):
                 fi += len(tok)
-                if fmt.upper().startswith("TH", fi):
+                th_suffix = fmt.upper().startswith("TH", fi)
+                if th_suffix:
                     fi += 2  # ordinal suffix picture
-                if field == "monname":
+                if field == "dayname":
+                    # day-of-week names are redundant with the date
+                    # fields (formatting.c ignores them on input):
+                    # consume the word
+                    while vi < n and not v[vi].isalpha():
+                        vi += 1
+                    while vi < n and v[vi].isalpha():
+                        vi += 1
+                elif field == "monname":
                     while vi < n and not v[vi].isalpha():
                         vi += 1
                     for k, nm in enumerate(_MON_NAMES, start=1):
@@ -560,23 +596,78 @@ def to_date_fold(value: str, fmt: str):
                             break
                     else:
                         return None
-                elif field in ("ampm", "monroman"):
-                    return None  # not needed for dates
+                elif field == "monroman":
+                    # DCH_RM / DCH_rm: month as a roman numeral
+                    while vi < n and not v[vi].isalpha():
+                        vi += 1
+                    for rn in _ROMAN_IN:
+                        if v[vi: vi + len(rn)].upper() == rn:
+                            f["month"] = _ROMAN_IN_VAL[rn]
+                            vi += len(rn)
+                            break
+                    else:
+                        return None
+                elif field == "ampm":
+                    while vi < n and not v[vi].isalpha():
+                        vi += 1
+                    word = v[vi: vi + 4].replace(".", "").upper()
+                    if word[:2] in ("AM", "PM"):
+                        f["pm"] = 1 if word[0] == "P" else 0
+                        while vi < n and (v[vi].isalpha()
+                                          or v[vi] == "."):
+                            vi += 1
+                    else:
+                        return None
                 else:
                     got = read_int(width)
                     if got is None:
                         return None
                     f[field] = got
-                if field == "ampm":
-                    pass
+                    if th_suffix:
+                        # '1,582nd': the ordinal suffix rides the
+                        # VALUE too (from_char skips it)
+                        k = 0
+                        while vi < n and v[vi].isalpha() and k < 2:
+                            vi += 1
+                            k += 1
                 break
         else:
             return None  # unknown alpha token
-    # composition (formatting.c DCH_to_char_hint / do_to_timestamp)
+    return f
+
+
+def _compose_date(f: dict):
+    """Field-dict -> date (formatting.c do_to_timestamp composition
+    rules)."""
+    import datetime as _dt
+
     if "julian" in f:
         return _dt.date(1970, 1, 1) + _dt.timedelta(
             days=f["julian"] - 2440588
         )
+    # ISO-calendar family (DCH_IYYY/IW/ID/IDDD): composes through
+    # fromisocalendar; partial ISO years take the YY/YYY windows
+    iy = f.get("isoyear")
+    if iy is None and "isoyear3" in f:
+        y3 = f["isoyear3"]
+        iy = y3 if y3 >= 1000 else (
+            y3 + 1000 if y3 >= 500 else y3 + 2000
+        )
+    if iy is None and "isoyear2" in f:
+        y2 = f["isoyear2"]
+        iy = 2000 + y2 if y2 < 70 else 1900 + y2
+    if iy is None and "isoyear1" in f:
+        iy = 2000 + f["isoyear1"]
+    if iy is not None:
+        try:
+            if "isodoy" in f:
+                return _dt.date.fromisocalendar(iy, 1, 1) \
+                    + _dt.timedelta(days=f["isodoy"] - 1)
+            return _dt.date.fromisocalendar(
+                iy, f.get("isoweek", 1), f.get("isodow", 1)
+            )
+        except ValueError:
+            return None
     year = f.get("year")
     if year is None and "year3" in f:
         # formatting.c DCH_YYY: 3-digit years complete to the nearest
@@ -623,4 +714,40 @@ def to_date_fold(value: str, fmt: str):
     try:
         return _dt.date(year, month, day)
     except ValueError:
+        return None
+
+
+def to_date_fold(value: str, fmt: str):
+    """Fold to_date('literal', 'picture') at plan time; returns a
+    datetime.date or None when outside the supported subset."""
+    f = _from_char_scan(value, fmt)
+    return None if f is None else _compose_date(f)
+
+
+def to_timestamp_fold(value: str, fmt: str):
+    """Fold to_timestamp('literal', 'picture') at plan time
+    (formatting.c do_to_timestamp): the shared field scan plus the
+    time-of-day composition (HH24 / HH12+AM-PM / SSSS seconds past
+    midnight / MS / US)."""
+    import datetime as _dt
+
+    f = _from_char_scan(value, fmt)
+    if f is None:
+        return None
+    d = _compose_date(f)
+    if d is None:
+        return None
+    base = _dt.datetime.combine(d, _dt.time())
+    if "secs_midnight" in f:
+        return base + _dt.timedelta(seconds=f["secs_midnight"])
+    h = f.get("hour")
+    if h is None and "hour12" in f:
+        h = f["hour12"] % 12 + (12 if f.get("pm") else 0)
+    us = f.get("us", 0) + f.get("ms", 0) * 1000
+    try:
+        return base + _dt.timedelta(
+            hours=h or 0, minutes=f.get("minute", 0),
+            seconds=f.get("second", 0), microseconds=us,
+        )
+    except OverflowError:
         return None

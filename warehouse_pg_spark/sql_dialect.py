@@ -1033,6 +1033,12 @@ _PG_DCH_GATE_RE = re.compile(
     # whole-picture 3-digit year (PG completes to 1500-2499; Java YYY
     # is week-based-year and Spark rejects it outright)
     r"|^\s*YYY\s*$"
+    # ISO-calendar family, roman months, grouped years, and
+    # backslash separators — all PG-only spellings
+    r"|I(?:YYY|YY|Y|W|DDD|D)|\bRM\b|Y,YYY|\\"
+    # leading short-year pictures ('Y-MMDD', 'YY-MMDD'): PG completes
+    # the year; Java reads uppercase Y as week-based-year and rejects
+    r"|^\s*Y{1,3}[^Y]"
 )
 # FROM/lateral unnest(...) AS t(cols) (nodeFunctionscan.c): explode /
 # inline forms. PG SRFs in a comma FROM item are implicitly LATERAL;
@@ -2584,6 +2590,7 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         from warehouse_pg_spark.functions.to_char import (
             dch_parse_pattern,
             to_date_fold,
+            to_timestamp_fold,
         )
 
         kind, x, lit_tok = m.group(1).lower(), m.group(2).strip(), m.group(3)
@@ -2598,6 +2605,13 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
             folded = to_date_fold(_lit_value(x, lits), body)
             if folded is not None:
                 return f"DATE {_new_lit(folded.isoformat(), lits)}"
+        if kind == "timestamp" and xm:
+            ts = to_timestamp_fold(_lit_value(x, lits), body)
+            if ts is not None:
+                return (
+                    f"TIMESTAMP "
+                    f"{_new_lit(ts.isoformat(sep=' '), lits)}"
+                )
         java = dch_parse_pattern(body).replace("'", "''")
         if not java.startswith((" ", "'")):
             # PG's from_char scan skips leading whitespace in the
