@@ -2875,7 +2875,7 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     # elements render as text; a NULL array yields NULL
     sql = re.sub(
         r"(?i)\bconcat_ws\s*\(\s*((?:[^(),]|\([^()]*\))+)\s*,\s*"
-        r"VARIADIC\s+((?:[^()]|\([^()]*\))+)\)",
+        r"VARIADIC\s+((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
         lambda m: (
             f"IF(({m.group(2)}) IS NULL, CAST(NULL AS STRING), "
             f"concat_ws({m.group(1)}, transform({m.group(2)}, "
@@ -2884,7 +2884,8 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         sql,
     )
     sql = re.sub(
-        r"(?i)\bconcat\s*\(\s*VARIADIC\s+((?:[^()]|\([^()]*\))+)\)",
+        r"(?i)\bconcat\s*\(\s*VARIADIC\s+"
+        r"((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
         lambda m: (
             f"IF(({m.group(1)}) IS NULL, CAST(NULL AS STRING), "
             f"concat_ws('', transform({m.group(1)}, "
@@ -6036,15 +6037,104 @@ def rewrite(sql: str) -> str:
             f"CAST(array({', '.join(build(e) for e in tree)}) AS {t})"
         )
 
-    out = _BRACED_ARRAY_CAST_RE.sub(sub_braced, out)
-    # `expr::type[]` on non-literal operands → ARRAY<T>, BEFORE the
-    # scalar cast pass (which would otherwise consume `::type` and
-    # leave a dangling [])
+    # a '::text' step before an array cast is an identity under the
+    # braced-literal model ('{1,2}'::text::integer[] parses the text)
     out = re.sub(
-        r"::\s*([a-zA-Z_]\w*)\s*\[\s*\]",
-        lambda m: f"::ARRAY<{_map_type(m.group(1))}>",
+        rf"({_LIT})\s*::\s*text\s*(::\s*[a-zA-Z_]\w*\s*\[\s*\])",
+        r"\1\2",
         out,
     )
+    # CAST('{..}' AS t[]) takes the same braced-literal path as ::t[]
+    out = re.sub(
+        rf"(?i)\bCAST\s*\(\s*({_LIT})\s+AS\s+"
+        rf"([a-zA-Z_]\w*\s*\[\s*\])\s*\)",
+        r"\1::\2",
+        out,
+    )
+    out = _BRACED_ARRAY_CAST_RE.sub(sub_braced, out)
+
+    # `expr::type[]` / CAST(expr AS type[]): PG array types are
+    # DIMENSION-AGNOSTIC (arrays.sql casts a 6-deep ARRAY[[[…]]] to
+    # text[]), so the Spark type must match the operand's nesting —
+    # count the constructor's leading array( run
+    def _arr_depth_of(expr: str) -> int:
+        d_, s = 0, expr.lstrip()
+        while True:
+            m2 = re.match(r"(?is)^array\s*\(", s)
+            if not m2:
+                break
+            d_ += 1
+            s = s[m2.end():].lstrip()
+        return d_
+
+    def _arr_operand_start(s: str, end: int) -> int:
+        i = end
+        while i > 0 and s[i - 1].isspace():
+            i -= 1
+        if i > 0 and s[i - 1] == ")":
+            depth, j = 0, i
+            while j > 0:
+                j -= 1
+                if s[j] == ")":
+                    depth += 1
+                elif s[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            i = j
+            while i > 0 and (s[i - 1].isalnum() or s[i - 1] in "_.$"):
+                i -= 1
+            return i
+        while i > 0 and (s[i - 1].isalnum() or s[i - 1] in "_.$\x01"):
+            i -= 1
+        return i
+
+    _CA_RE = re.compile(r"::\s*([a-zA-Z_]\w*)\s*\[\s*\]")
+    pos_ca = 0
+    while True:
+        m = _CA_RE.search(out, pos_ca)
+        if not m:
+            break
+        st = _arr_operand_start(out, m.start())
+        depth = max(1, _arr_depth_of(out[st: m.start()]))
+        t = _map_type(m.group(1))
+        rep = "::" + "ARRAY<" * depth + t + ">" * depth
+        out = out[: m.start()] + rep + out[m.end():]
+        pos_ca = m.start() + len(rep)
+
+    # CAST(expr AS type[]) spelling, same dimension inference
+    def _fix_cast_array_types(s: str) -> str:
+        i = 0
+        while True:
+            m2 = re.search(r"(?i)\bCAST\s*\(", s[i:])
+            if not m2:
+                return s
+            op = i + m2.end() - 1
+            depth, j = 0, op
+            while j < len(s):
+                if s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            inner = s[op + 1: j]
+            am = re.match(
+                r"(?is)^(.*\S)\s+AS\s+([a-zA-Z_]\w*)\s*\[\s*\]\s*$",
+                inner,
+            )
+            if am:
+                d_ = max(1, _arr_depth_of(am.group(1)))
+                t = _map_type(am.group(2))
+                s = (
+                    s[: op + 1] + am.group(1) + " AS "
+                    + "ARRAY<" * d_ + t + ">" * d_ + s[j:]
+                )
+            i = op + 1
+        return s
+
+    out = _fix_cast_array_types(out)
     # 'NaN'/'Infinity' into numeric: PG numeric admits the IEEE
     # specials (numeric.c), DECIMAL cannot (CAST -> NULL, the silent-
     # wrong-answer class) — lower those literals to DOUBLE instead
