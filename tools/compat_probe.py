@@ -386,6 +386,12 @@ def _norm_cell(v) -> str:
         secs = v.hour * 3600 + v.minute * 60 + v.second + v.microsecond / 1e6
         return f"interval:{secs:.6f}"
     if isinstance(v, str):
+        # deeply-nested lists come back PRE-RENDERED as text from
+        # DuckDB ('[a, bb]' with spaces) while Spark's come as real
+        # nested lists (recursion renders '[a,bb]') — normalize the
+        # separator so identical arrays compare equal
+        if v.startswith("[") and v.endswith("]"):
+            return re.sub(r",\s+", ",", v)
         # PG interval_out text (the engine's Calendar/YM rendering) vs
         # DuckDB's timedelta: canon to seconds with DuckDB's 30-day
         # month / 360-day year conversion, so both sides agree
