@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import YearMonthIntervalType
+from pyspark.sql.types import ArrayType, YearMonthIntervalType
 
 try:  # CalendarIntervalType exists in pyspark >= 3.4
     from pyspark.sql.types import CalendarIntervalType
@@ -131,6 +131,24 @@ def present_intervals(df: DataFrame) -> DataFrame:
         ):
             exprs.append(
                 F.expr(calendar_interval_out_sql(quoted)).alias(fld.name)
+            )
+            changed = True
+        elif isinstance(fld.dataType, ArrayType) and (
+            isinstance(fld.dataType.elementType, YearMonthIntervalType)
+            or (CalendarIntervalType and isinstance(
+                fld.dataType.elementType, CalendarIntervalType))
+        ):
+            # interval ARRAYS can't collect either — render each
+            # element (interval[] literals, array_agg over intervals)
+            elem = fld.dataType.elementType
+            inner = (
+                ym_interval_out_sql("__iv", elem)
+                if isinstance(elem, YearMonthIntervalType)
+                else calendar_interval_out_sql("__iv")
+            )
+            exprs.append(
+                F.expr(f"transform({quoted}, __iv -> {inner})")
+                .alias(fld.name)
             )
             changed = True
         else:

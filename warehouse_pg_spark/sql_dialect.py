@@ -3660,6 +3660,22 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         sub_set_bit_bytea,
         sql,
     )
+    # an UNTYPED '{}' literal compared against an array-valued call
+    # adopts the array type in PG (parse_coerce.c unknown-literal
+    # resolution): array_remove(...) = '{}' is an empty-array compare
+    sql = re.sub(
+        rf"((?:array_\w+|array|sequence|slice|split|transform|filter"
+        rf"|collect_list|collect_set|sort_array|array)\s*\("
+        rf"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))\s*(=|<>|!=)\s*"
+        rf"({_LIT})",
+        lambda m: (
+            f"{m.group(1)} {m.group(2)} array()"
+            if _lit_value(m.group(3), lits).strip() == "{}"
+            else m.group(0)
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
     # scale(numeric) (numeric.c numeric_scale): digits after the
     # decimal point of the value AS TYPED — DECIMAL's string form
     # keeps trailing zeros, so the text length is exact
@@ -3988,6 +4004,36 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
             return f"INTERVAL \x01{len(lits) - 1}\x01"
         return m.group(0)
 
+    # `'x'::interval` / CAST('x' AS interval) route through the
+    # `interval 'x'` literal machinery ONLY when the body needs PG
+    # normalization ('mon' spellings, colon times, fractional units,
+    # verbose '@ .. ago', PG-only unit words) — Spark's own CAST would
+    # return NULL for those. Bodies Spark parses keep the CAST path,
+    # whose CalendarIntervalType renders as PG text at the boundary.
+    def _needs_pg_interval(body: str) -> bool:
+        return bool(re.search(
+            r"(?i)\bmons?\b|:|\d+\.\d+\s*[a-z]|^\s*@|\bago\b"
+            r"|millenni|centur|decade|\d[a-z]",
+            body,
+        ))
+
+    def sub_iv_cast(m: re.Match) -> str:
+        if _needs_pg_interval(_lit_value(m.group(1), lits)):
+            return f"INTERVAL {m.group(1)}"
+        return m.group(0)
+
+    sql = re.sub(
+        rf"({_LIT})\s*::\s*interval\b(?!\s*[\[(])"
+        rf"(?!\s+(?:year|month|day|hour|minute|second))",
+        sub_iv_cast,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        rf"(?i)\bCAST\s*\(\s*({_LIT})\s+AS\s+interval\s*\)",
+        sub_iv_cast,
+        sql,
+    )
     sql = _INTERVAL_LIT_RE.sub(sub_interval_lit, sql)
 
     def sub_arr_subq(m: re.Match) -> str:
@@ -6010,6 +6056,13 @@ def rewrite(sql: str) -> str:
             return f"CAST(array() AS ARRAY<{typ}>)"
         elems = _parse_braced_elems(inner)
         if elems is not None:
+            if m.group(2).strip().lower() == "interval":
+                # interval elements: PG unit spellings ('mon') must
+                # normalize before Spark's stringToInterval sees them
+                elems = [
+                    re.sub(r"(?i)\bmons?\b", "month", e).strip()
+                    for e in elems
+                ]
             return (
                 f"CAST(array("
                 + ", ".join("'" + e.replace("'", "''") + "'" for e in elems)
