@@ -371,15 +371,82 @@ def test_numeric_param_types(engine, spark):
     assert spark.sql("SELECT pct(1.0, 0.0) AS v").collect()[0].v is None
 
 
-def test_setof_plpgsql_rejected(engine):
-    """RETURNS SETOF is supported for LANGUAGE sql and for PL/pgSQL
-    single-RETURN-QUERY bodies (r12); RETURN NEXT accumulation stays
-    a pinned rejection."""
-    with pytest.raises(NotImplementedError, match="RETURN NEXT"):
-        engine.sql(
-            "CREATE FUNCTION bad() RETURNS SETOF int LANGUAGE plpgsql "
-            "AS $$ BEGIN RETURN NEXT 1; END $$"
-        )
+def test_setof_return_next(engine):
+    """RETURN NEXT accumulation (pl_exec.c exec_stmt_return_next):
+    the tuplestore lowers to an array-valued expression the table
+    function explodes — straight-line, loop, conditional, and early
+    RETURN all compose with the scalar compiler's control flow."""
+    engine.sql(
+        """
+        CREATE FUNCTION rn_loop(n int) RETURNS SETOF int
+        LANGUAGE plpgsql AS $$
+        DECLARE i int;
+        BEGIN
+          FOR i IN 1..3 LOOP
+            RETURN NEXT i * n;
+          END LOOP;
+          RETURN;
+        END $$
+        """
+    )
+    assert [r[0] for r in engine.sql(
+        "SELECT * FROM rn_loop(10)").collect()] == [10, 20, 30]
+    engine.sql(
+        """
+        CREATE FUNCTION rn_early(flag boolean) RETURNS SETOF int
+        LANGUAGE plpgsql AS $$
+        BEGIN
+          RETURN NEXT 1;
+          IF flag THEN RETURN; END IF;
+          RETURN NEXT 2;
+        END $$
+        """
+    )
+    assert [r[0] for r in engine.sql(
+        "SELECT * FROM rn_early(true)").collect()] == [1]
+    assert [r[0] for r in engine.sql(
+        "SELECT * FROM rn_early(false)").collect()] == [1, 2]
+
+
+def test_setof_return_next_table_and_query(engine):
+    """Bare RETURN NEXT over RETURNS TABLE columns (pl_comp.c implicit
+    OUT variables) and mixed RETURN NEXT + RETURN QUERY accumulation;
+    OUT params without SETOF return exactly one row."""
+    engine.sql(
+        """
+        CREATE FUNCTION rn_tab() RETURNS TABLE(a int, b text)
+        LANGUAGE plpgsql AS $$
+        BEGIN
+          a := 1; b := 'x'; RETURN NEXT;
+          a := 2; b := 'y'; RETURN NEXT;
+        END $$
+        """
+    )
+    assert [tuple(r) for r in engine.sql(
+        "SELECT * FROM rn_tab()").collect()] == [(1, "x"), (2, "y")]
+    engine.sql(
+        """
+        CREATE FUNCTION rn_mix() RETURNS SETOF int
+        LANGUAGE plpgsql AS $$
+        BEGIN
+          RETURN NEXT 0;
+          RETURN QUERY SELECT 41 + 1;
+        END $$
+        """
+    )
+    assert [r[0] for r in engine.sql(
+        "SELECT * FROM rn_mix()").collect()] == [0, 42]
+    engine.sql(
+        """
+        CREATE FUNCTION rn_out(x int, OUT dbl int, OUT trp int)
+        LANGUAGE plpgsql AS $$
+        BEGIN
+          dbl := x * 2; trp := x * 3;
+        END $$
+        """
+    )
+    assert [tuple(r) for r in engine.sql(
+        "SELECT * FROM rn_out(7)").collect()] == [(14, 21)]
 
 
 def test_case_statement_searched(engine, spark):

@@ -198,7 +198,7 @@ _CREATE_FUNC_HEAD_RE = re.compile(
 )
 _RETURNS_CLAUSE_RE = re.compile(
     r"^\s*RETURNS\s+((?:SETOF\s+)?\w+(?:\s+precision|\s+varying)?"
-    r"(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*(.*)$",
+    r"(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\s*\[\s*\])*)\s*(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_FUNC_RE = re.compile(
@@ -355,6 +355,10 @@ class Engine:
         # functions: name -> result column names (for the PG
         # SRF-in-select-list lowering)
         self._table_functions: dict[str, list[str]] = {}
+        # VARIADIC user functions: name -> 0-based index of the
+        # variadic (array-typed) parameter; call sites pack spread
+        # arguments / strip the VARIADIC keyword before Spark sees them
+        self._variadic_functions: dict[str, int] = {}
         register_pg_functions(self.spark)
 
     # ---------------------------------------------------------------- query
@@ -371,8 +375,10 @@ class Engine:
             return fn
         if self._user_types.maybe_ddl(text):
             return self._tag(0)
+        self._maybe_register_rowtype(text)
         text = self._user_types.rewrite(text)
         text = self._lower_srf_select(text)
+        text = self._substitute_variadic_calls(text)
         ea = _EXPLAIN_ANALYZE_RE.match(text.strip().rstrip(";"))
         if ea:
             return self._explain_analyze(ea.group(1))
@@ -428,6 +434,19 @@ class Engine:
         Spark's native TVF-in-FROM support."""
         if not self._table_functions:
             return text
+        # `SELECT (f(args)).*` (parse_target.c ExpandRowReference over
+        # a composite-returning call): every result column expands
+        m = re.match(
+            r"(?is)^\s*SELECT\s+\(\s*(\w+)\s*\((.*)\)\s*\)\s*\.\s*\*"
+            r"\s*;?\s*$",
+            text,
+        )
+        if (
+            m
+            and m.group(1).lower() in self._table_functions
+            and m.group(2).count("(") == m.group(2).count(")")
+        ):
+            return f"SELECT * FROM {m.group(1)}({m.group(2)})"
         m = re.match(
             r"(?is)^\s*SELECT\s+(\w+)\s*\((.*)\)\s*"
             r"(?:AS\s+(\w+))?\s*;?\s*$",
@@ -515,6 +534,7 @@ class Engine:
                 f"DROP TEMPORARY FUNCTION IF EXISTS {fname}"
             )
             self._table_functions.pop(fname.lower(), None)
+            self._variadic_functions.pop(fname.lower(), None)
             return self._tag(0)
         m = _CREATE_FUNC_HEAD_RE.match(s)
         if m is None:
@@ -588,6 +608,7 @@ class Engine:
             "time with time zone", "time without time zone",
         }
         defaults: dict[str, str] = {}
+        variadic_at: int | None = None
         for i, a in enumerate(
             (x.strip() for x in _split_exprs(rawargs) if x.strip()),
             start=1,
@@ -622,7 +643,12 @@ class Engine:
                              map_decl_type(toks[0]))
                         )
                     continue
-                if toks[0].upper() != "IN":
+                if toks[0].upper() == "VARIADIC":
+                    # functioncmds.c variadic: the parameter IS the
+                    # declared array type; callers' spread arguments
+                    # are packed by _substitute_variadic_calls
+                    variadic_at = len(params)
+                elif toks[0].upper() != "IN":
                     raise NotImplementedError(
                         f"{toks[0].upper()} parameters are not supported"
                     )
@@ -679,11 +705,19 @@ class Engine:
 
         body = re.sub(r"\$(\d+)\b", _dollar_ref, body)
         if setof_m or table_cols_raw is not None or out_params:
-            return self._register_table_function(
+            res = self._register_table_function(
                 name, params, defaults, setof_m.group(1).strip()
                 if setof_m else None, table_cols_raw, lang, body, strict,
                 out_cols=out_params or None,
             )
+            # record ONLY after a successful registration: a regress
+            # script's `CREATE FUNCTION concat(text, VARIADIC ...)`
+            # (PG overloads the builtin; Spark refuses the shadow)
+            # must not leave a stale entry that repacks every builtin
+            # concat call afterwards
+            if variadic_at is not None:
+                self._variadic_functions[name.lower()] = variadic_at
+            return res
         if lang == "plpgsql":
             expr = compile_plpgsql(params, ret_spark, body)
         elif lang in ("sql", "internal"):
@@ -710,6 +744,8 @@ class Engine:
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({arglist}) "
             f"RETURNS {ret_spark} RETURN {expr}"
         )
+        if variadic_at is not None:  # only after Spark accepted it
+            self._variadic_functions[name.lower()] = variadic_at
         return self._tag(0)
 
     def _register_table_function(
@@ -736,27 +772,6 @@ class Engine:
         from warehouse_pg_spark import sql_dialect
         from warehouse_pg_spark.sql_dialect import map_decl_type
 
-        if lang == "plpgsql":
-            # the single-RETURN-QUERY body (pl_exec.c
-            # exec_stmt_return_query) IS a SQL table function; richer
-            # RETURN NEXT accumulation stays descoped (README)
-            qm = re.match(
-                r"(?is)^\s*BEGIN\s+RETURN\s+QUERY\s+(.*?);?\s*"
-                r"END\s*;?\s*$",
-                body,
-            )
-            if qm is None:
-                raise NotImplementedError(
-                    "set-returning PL/pgSQL is supported only for a "
-                    "single RETURN QUERY body (RETURN NEXT loops are "
-                    "descoped)"
-                )
-            body, lang = qm.group(1), "sql"
-        if lang not in ("sql", "internal"):
-            raise NotImplementedError(
-                "RETURNS SETOF is supported for LANGUAGE sql bodies "
-                "(PL/pgSQL RETURN NEXT/RETURN QUERY are descoped)"
-            )
         cols: list[tuple[str, str]]
         if out_cols:
             # OUT parameters define the record shape (functioncmds.c);
@@ -784,12 +799,68 @@ class Engine:
             else:
                 # PG names the single result column after the function
                 cols = [(name, map_decl_type(elem))]
-        last = [x for x in body.split(";") if x.strip()][-1].strip()
-        if not re.match(r"(?is)^\s*(SELECT|WITH|VALUES|TABLE)\b", last):
-            raise NotImplementedError(
-                "SETOF SQL function bodies must end in a query"
+        q: str | None = None
+        if lang == "plpgsql":
+            # the single-RETURN-QUERY body (pl_exec.c
+            # exec_stmt_return_query) IS a SQL table function —
+            # fully inlined, preserves the query's own ordering
+            qm = re.match(
+                r"(?is)^\s*BEGIN\s+RETURN\s+QUERY\s+([^;]*?);?\s*"
+                r"END\s*;?\s*$",
+                body,
             )
-        q = sql_dialect.rewrite(last)
+            if qm is not None:
+                body, lang = qm.group(1), "sql"
+            elif setof_elem is None and table_cols_raw is None:
+                # OUT params without SETOF: exactly one result row of
+                # the OUT variables' final values (pl_exec.c
+                # exec_stmt_return's out-param row build)
+                from warehouse_pg_spark.plpgsql import (
+                    compile_plpgsql_outrow,
+                )
+
+                expr = sql_dialect.rewrite(
+                    compile_plpgsql_outrow(params, cols, body)
+                )
+                if len(cols) == 1:
+                    q = f"SELECT {expr} AS {cols[0][0]}"
+                else:
+                    q = f"SELECT inline(array({expr}))"
+            else:
+                # general bodies (RETURN NEXT accumulation, loops,
+                # mixed RETURN QUERY): compile to ONE array-valued
+                # SQL expression and explode it (pl_exec.c
+                # exec_stmt_return_next's tuplestore as an array)
+                from warehouse_pg_spark.plpgsql import (
+                    compile_plpgsql_setof,
+                )
+
+                arr = sql_dialect.rewrite(
+                    compile_plpgsql_setof(
+                        params, cols, body,
+                        bare_next=bool(
+                            out_cols or table_cols_raw is not None
+                        ),
+                    )
+                )
+                if len(cols) == 1:
+                    q = f"SELECT explode({arr}) AS {cols[0][0]}"
+                else:
+                    q = f"SELECT inline({arr})"
+        if q is None:
+            if lang not in ("sql", "internal"):
+                raise NotImplementedError(
+                    "RETURNS SETOF is supported for LANGUAGE sql and "
+                    "plpgsql bodies"
+                )
+            last = [x for x in body.split(";") if x.strip()][-1].strip()
+            if not re.match(
+                r"(?is)^\s*(SELECT|WITH|VALUES|TABLE)\b", last
+            ):
+                raise NotImplementedError(
+                    "SETOF SQL function bodies must end in a query"
+                )
+            q = sql_dialect.rewrite(last)
         if strict and params:
             null_any = " OR ".join(f"{p} IS NULL" for p, _t in params)
             q = f"SELECT * FROM ({q}) WHERE NOT coalesce({null_any}, false)"
@@ -1093,6 +1164,122 @@ class Engine:
         if name not in self._sequences:
             raise KeyError(f"sequence {name!r} does not exist")
         return self._sequences[name]
+
+    _COLDEF_CONSTRAINT_RE = re.compile(
+        r"(?is)\b(PRIMARY|NOT\s+NULL|NULL|DEFAULT|CHECK|REFERENCES"
+        r"|UNIQUE|COLLATE|GENERATED)\b.*$"
+    )
+    _COLDEF_TABLE_CONSTRAINTS = (
+        "primary", "foreign", "unique", "check", "constraint",
+        "like", "exclude",
+    )
+
+    def _maybe_register_rowtype(self, text: str) -> None:
+        """Every PG table defines a ROWTYPE of the same name
+        (parse_type.c typenameType over relations; regress
+        rowtypes.sql casts record literals to a temp TABLE's type) —
+        register the column list as a composite so `::tablename`
+        casts and json[b]_populate_record over the rowtype work. The
+        statement itself still executes normally afterwards."""
+        m = re.match(
+            r"(?is)^\s*CREATE\s+(?:GLOBAL\s+|LOCAL\s+)?"
+            r"(?:TEMP(?:ORARY)?\s+)?(?:UNLOGGED\s+)?TABLE\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)\s*\(",
+            text,
+        )
+        if m is None:
+            return
+        depth, i, quote = 1, m.end(), None
+        while i < len(text) and depth:
+            ch = text[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch == "'":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return
+        from warehouse_pg_spark.user_types import (
+            Composite, _split_commas,
+        )
+
+        fields: list[tuple[str, str]] = []
+        for item in _split_commas(text[m.end(): i - 1]):
+            im = re.match(r'^\s*"?(\w+)"?\s+(.+)$', item.strip(),
+                          re.DOTALL)
+            if not im:
+                return
+            if im.group(1).lower() in self._COLDEF_TABLE_CONSTRAINTS:
+                continue
+            typ = self._COLDEF_CONSTRAINT_RE.sub(
+                "", im.group(2)
+            ).strip()
+            if not typ:
+                return
+            fields.append((im.group(1).lower(), typ))
+        if fields:
+            key = m.group(1).split(".")[-1].strip('"').lower()
+            self._user_types.composites[key] = Composite(fields)
+
+    def _substitute_variadic_calls(self, text: str) -> str:
+        """Rewrite calls to registered VARIADIC user functions
+        (functioncmds.c / funcapi variadic spread): `f(a, x, y, z)`
+        packs the spread tail into one array argument, and the
+        explicit `f(a, VARIADIC arr)` spelling passes the array
+        through — Spark SQL UDFs are fixed-arity, so the packing must
+        happen before Spark parses the call."""
+        if not self._variadic_functions:
+            return text
+        for fname, vidx in self._variadic_functions.items():
+            pat = re.compile(rf"(?i)\b{re.escape(fname)}\s*\(")
+            pos = 0
+            while True:
+                m = pat.search(text, pos)
+                if m is None:
+                    break
+                depth, i, quote = 1, m.end(), None
+                while i < len(text) and depth:
+                    ch = text[i]
+                    if quote:
+                        if ch == quote:
+                            quote = None
+                    elif ch == "'":
+                        quote = ch
+                    elif ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                    i += 1
+                if depth:
+                    break
+                args = [
+                    a.strip()
+                    for a in _split_exprs(text[m.end(): i - 1])
+                    if a.strip()
+                ]
+                vm = (
+                    re.match(r"(?is)^VARIADIC\s+(.*)$", args[-1])
+                    if args
+                    else None
+                )
+                if vm:
+                    args[-1] = vm.group(1).strip()
+                elif len(args) > vidx:
+                    args = args[:vidx] + [
+                        "array(" + ", ".join(args[vidx:]) + ")"
+                    ]
+                else:
+                    pos = i
+                    continue
+                newcall = f"{fname}(" + ", ".join(args) + ")"
+                text = text[: m.start()] + newcall + text[i:]
+                pos = m.start() + len(newcall)
+        return text
 
     def _substitute_setting_calls(self, text: str) -> str:
         """current_setting('k' [, missing_ok]) / set_config('k', 'v',

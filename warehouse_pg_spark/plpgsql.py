@@ -62,7 +62,7 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["compile_plpgsql", "PlpgsqlError"]
+__all__ = ["compile_plpgsql", "compile_plpgsql_setof", "PlpgsqlError"]
 
 
 class PlpgsqlError(ValueError):
@@ -1017,26 +1017,21 @@ def _compile_seq(stmts: list[tuple], env: dict[str, str], returns: str) -> str:
     raise PlpgsqlError(f"unknown statement kind {kind!r}")
 
 
-def compile_plpgsql(
-    params: list[tuple[str, str]], returns: str, body: str
-) -> str:
-    """Compile a PL/pgSQL body to one SQL expression over the params.
+_HEADER_RE = re.compile(
+    r"^\s*(?:DECLARE\b(?P<decl>.*?))?\s*BEGIN\b(?P<body>.*)\bEND\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
-    params: [(name, sql_type), ...] — names stay free identifiers in
-    the output (they become the CREATE FUNCTION argument names).
-    """
-    masked, lits = _mask(_strip_comments(body))
-    m = re.search(
-        r"^\s*(?:DECLARE\b(?P<decl>.*?))?\s*BEGIN\b(?P<body>.*)\bEND\s*;?\s*$",
-        masked,
-        re.IGNORECASE | re.DOTALL,
-    )
-    if not m:
-        raise PlpgsqlError("body must be [DECLARE ...] BEGIN ... END")
+
+def _base_env(
+    params: list[tuple[str, str]], decl: str
+) -> dict[str, str]:
+    """Seed the compile environment: parameters map to themselves,
+    DECLAREd variables to their (substituted) initializer or a typed
+    NULL."""
     _CURRENT_PARAMS.clear()
     _CURRENT_PARAMS.update(p.lower() for p, _t in params)
     env: dict[str, str] = {p.lower(): p for p, _t in params}
-    decl = m.group("decl") or ""
     for d in [x.strip() for x in decl.split(";") if x.strip()]:
         dm = re.match(
             r"^([A-Za-z_]\w*)\s+(?:CONSTANT\s+)?"
@@ -1055,5 +1050,198 @@ def compile_plpgsql(
             env[name] = f"(CAST(({_subst(init.strip(), env)}) AS {typ}))"
         else:
             env[name] = f"(CAST(NULL AS {typ}))"
+    return env
+
+
+def compile_plpgsql(
+    params: list[tuple[str, str]], returns: str, body: str
+) -> str:
+    """Compile a PL/pgSQL body to one SQL expression over the params.
+
+    params: [(name, sql_type), ...] — names stay free identifiers in
+    the output (they become the CREATE FUNCTION argument names).
+    """
+    masked, lits = _mask(_strip_comments(body))
+    m = _HEADER_RE.search(masked)
+    if not m:
+        raise PlpgsqlError("body must be [DECLARE ...] BEGIN ... END")
+    env = _base_env(params, m.group("decl") or "")
     stmts = _parse_stmts(_split_statements(m.group("body")))
     return _unmask(_compile_seq(stmts, env, returns), lits)
+
+
+def compile_plpgsql_setof(
+    params: list[tuple[str, str]],
+    cols: list[tuple[str, str]],
+    body: str,
+    bare_next: bool = False,
+) -> str:
+    """Compile a SET-RETURNING PL/pgSQL body to ONE SQL expression of
+    type ARRAY<elem> (pl_exec.c exec_stmt_return_next /
+    exec_stmt_return_query: the backend's tuplestore becomes an array
+    value the engine explodes into rows).
+
+    Lowering: a hidden accumulator `__retset` starts as an empty
+    array; `RETURN NEXT expr` desugars to `__retset :=
+    array_append(__retset, CAST(expr AS elem))`, a bare `RETURN NEXT`
+    (RETURNS TABLE / OUT params, pl_exec.c's current-OUT-values form)
+    appends the row built from the column variables, `RETURN QUERY q`
+    concatenates the query's collected rows, and every bare `RETURN`
+    (plus falling off the end) yields the accumulator. All the scalar
+    compiler's control flow (IF, unrolled integer FOR, WHILE and
+    FOR-over-query folds) composes unchanged, because the accumulator
+    is just another single-assignment variable.
+
+    Caveat (documented): RETURN QUERY collects via collect_list, so a
+    query-internal ORDER BY is not a hard ordering guarantee the way
+    PG's tuplestore append is; single-RETURN-QUERY bodies take the
+    direct table-function path in the engine instead and never hit
+    this."""
+    if len(cols) == 1:
+        elem = cols[0][1]
+    else:
+        elem = (
+            "STRUCT<"
+            + ", ".join(f"{c}: {t}" for c, t in cols)
+            + ">"
+        )
+    masked, lits = _mask(_strip_comments(body))
+
+    def tok(text: str) -> str:
+        # park compiler-injected text (field-name literals, CAST type
+        # spellings) as a mask token so _subst cannot rewrite the
+        # identifiers inside it; _unmask restores it at the end
+        lits.append(text)
+        return f"\x00{len(lits) - 1}\x00"
+
+    elem_t = tok(elem)
+    m = _HEADER_RE.search(masked)
+    if not m:
+        raise PlpgsqlError("body must be [DECLARE ...] BEGIN ... END")
+    env = _base_env(params, m.group("decl") or "")
+    env["__retset"] = f"(CAST(array() AS ARRAY<{elem_t}>))"
+    if bare_next:
+        # RETURNS TABLE / OUT columns are implicitly declared,
+        # assignable variables (pl_comp.c build_row_from_vars)
+        for c, t in cols:
+            env.setdefault(c.lower(), f"(CAST(NULL AS {t}))")
+    btext = m.group("body")
+    if re.search(r"(?i)\bRETURN\s+QUERY\s+EXECUTE\b", btext):
+        raise PlpgsqlError(
+            "RETURN QUERY EXECUTE (dynamic SQL) is not supported"
+        )
+    # RETURN QUERY q; — append the query's rows. The derived-column
+    # alias (__rq(__c0, ...)) renames positionally so arbitrary
+    # select lists cast cleanly into the declared element type.
+    names = ", ".join(f"__c{i}" for i in range(len(cols)))
+    if len(cols) == 1:
+        pick = f"CAST(__c0 AS {elem_t})"
+    else:
+        pick = (
+            "CAST(named_struct("
+            + ", ".join(
+                f"{tok(chr(39) + c + chr(39))}, __c{i}"
+                for i, (c, _t) in enumerate(cols)
+            )
+            + f") AS {elem_t})"
+        )
+    btext = re.sub(
+        r"(?is)\bRETURN\s+QUERY\s+(.+?);",
+        lambda m2: (
+            "__retset := concat(__retset, coalesce("
+            f"(SELECT collect_list({pick}) "
+            f"FROM ({m2.group(1).strip()}) AS __rq({names})), "
+            "array()));"
+        ),
+        btext,
+    )
+    if bare_next:
+        if len(cols) == 1:
+            row = cols[0][0]
+        else:
+            row = (
+                "named_struct("
+                + ", ".join(
+                    f"{tok(chr(39) + c + chr(39))}, {c}"
+                    for c, _t in cols
+                )
+                + ")"
+            )
+        btext = re.sub(
+            r"(?is)\bRETURN\s+NEXT\s*;",
+            f"__retset := array_append(__retset, "
+            f"CAST({row} AS {elem_t}));",
+            btext,
+        )
+    btext = re.sub(
+        r"(?is)\bRETURN\s+NEXT\s+(.+?);",
+        lambda m2: (
+            f"__retset := array_append(__retset, "
+            f"CAST(({m2.group(1).strip()}) AS {elem_t}));"
+        ),
+        btext,
+    )
+    btext = re.sub(r"(?i)\bRETURN\s*;", "RETURN __retset;", btext)
+    if re.search(r"(?i)\bRETURN\s+(?!NEXT\b|QUERY\b|__retset\b)\S",
+                 btext):
+        # pl_gram.y: "RETURN cannot have a parameter in function
+        # returning set"
+        raise PlpgsqlError(
+            "RETURN with a value is not allowed in a set-returning "
+            "function — use RETURN NEXT / RETURN QUERY"
+        )
+    btext += " RETURN __retset;"
+    stmts = _parse_stmts(_split_statements(btext))
+    return _unmask(_compile_seq(stmts, env, f"ARRAY<{elem}>"), lits)
+
+
+def compile_plpgsql_outrow(
+    params: list[tuple[str, str]],
+    cols: list[tuple[str, str]],
+    body: str,
+) -> str:
+    """Compile a non-SETOF OUT-parameter PL/pgSQL body (pl_exec.c
+    exec_stmt_return with out-param row build): the function returns
+    exactly ONE row of the OUT variables' final values. Compiles to a
+    single STRUCT-valued (or scalar, for one OUT column) expression;
+    the engine wraps it as a one-row table function."""
+    masked, lits = _mask(_strip_comments(body))
+
+    def tok(text: str) -> str:
+        lits.append(text)
+        return f"\x00{len(lits) - 1}\x00"
+
+    if len(cols) == 1:
+        elem, row = cols[0][1], cols[0][0]
+    else:
+        elem = (
+            "STRUCT<" + ", ".join(f"{c}: {t}" for c, t in cols) + ">"
+        )
+        row = (
+            "named_struct("
+            + ", ".join(
+                f"{tok(chr(39) + c + chr(39))}, {c}" for c, _t in cols
+            )
+            + ")"
+        )
+    elem_t = tok(elem)
+    m = _HEADER_RE.search(masked)
+    if not m:
+        raise PlpgsqlError("body must be [DECLARE ...] BEGIN ... END")
+    env = _base_env(params, m.group("decl") or "")
+    for c, t in cols:
+        env.setdefault(c.lower(), f"(CAST(NULL AS {t}))")
+    btext = m.group("body")
+    # pl_gram.y: "RETURN cannot have a parameter in function with OUT
+    # parameters" — only bare RETURN (the current OUT values) is legal
+    btext = re.sub(
+        r"(?i)\bRETURN\s*;", f"RETURN CAST({row} AS {elem_t});", btext
+    )
+    if re.search(r"(?i)\bRETURN\s+(?!CAST\s*\()\S", btext):
+        raise PlpgsqlError(
+            "RETURN with a value is not allowed in a function with "
+            "OUT parameters"
+        )
+    btext += f" RETURN CAST({row} AS {elem_t});"
+    stmts = _parse_stmts(_split_statements(btext))
+    return _unmask(_compile_seq(stmts, env, elem), lits)
