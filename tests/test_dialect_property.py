@@ -82,6 +82,29 @@ def test_literal_masking_protects_contents():
     assert sql_dialect.rewrite(sql) == sql
 
 
+_KEYWORD_PAYLOADS = st.sampled_from([
+    "VALUE", "value in ('value')", "a::int", "->", "->>", "#>", "||",
+    "ARRAY[1,2]", "jsonb", "::jsonb", "SELECT * FROM t", "ANY(x)",
+    "BETWEEN 1 AND 2", "E'\\n'", "~ '^x'", "INTERVAL '1 day'",
+    "row(1,2)", "CASE WHEN", "RETURN NEXT", "VARIADIC arr",
+    "current_timestamp(3)", "generate_series(1,3)", "{1,2,3}",
+    "[)", "(]", "$$body$$", "--comment", "/*c*/", "DISTINCT ON",
+])
+
+
+@given(payload=_KEYWORD_PAYLOADS, col=_IDENT)
+@settings(max_examples=60, deadline=None)
+def test_keywords_inside_literals_round_trip(payload, col):
+    """The r11/r12 literal-masking bug class (VALUE substitution,
+    backref renumbering): ANY dialect-keyword lookalike INSIDE a
+    string literal must survive the FULL rewrite chain byte-for-byte
+    — every rewrite pass is required to operate on masked text."""
+    lit = "'" + payload.replace("'", "''") + "'"
+    sql = f"SELECT {lit} AS s, {col} FROM t WHERE {col} = {lit}"
+    out = sql_dialect.rewrite(sql)
+    assert out.count(lit) == 2, (sql, out)
+
+
 def test_chained_json_arrows_fold_to_one_path():
     out = sql_dialect.rewrite("SELECT j->'a'->>'b', j->0->>'k' FROM t")
     assert "get_json_object(j, '$.a.b')" in out
@@ -566,11 +589,15 @@ def test_create_table_pg_column_defs():
         "tt time without time zone, "
         "CONSTRAINT pk PRIMARY KEY (id), CHECK (bal > 0))"
     )
+    # r13: PG defs gain USING PARQUET (Spark requires a provider;
+    # PG-style CREATE TEMP TABLE is the engine's managed-table model)
     assert out == (
         "CREATE TABLE t (id INT, name STRING NOT NULL, "
         "bal DECIMAL(10,2), created TIMESTAMP, d DOUBLE, v STRING, "
-        "tt STRING)"
+        "tt STRING) USING PARQUET"
     )
+    out = rewrite("CREATE TEMP TABLE tmp1 (a int4, b text)")
+    assert out == "CREATE TABLE tmp1 (a INT, b STRING) USING PARQUET"
     ctas = "CREATE TABLE t2 AS SELECT 1 AS a"
     assert rewrite(ctas) == ctas
     out = rewrite("ALTER TABLE t ADD COLUMN extra float8")
@@ -982,3 +1009,67 @@ def test_array_type_casts_on_expressions(spark):
         "SELECT ARRAY[1,2,3]::text[]::int[]::float8[] AS v"
     ) == [1.0, 2.0, 3.0]
     assert run("SELECT 1.5::numeric(10,2)::float8 AS v") == 1.5
+
+
+def test_plan_time_literal_validation():
+    """r13 should_error closures: PG raises on these at parse/plan
+    time, and the rewriter now raises too — invalid jsonpath literals
+    (jsonpath_scan.l), jsonb->scalar casts over non-scalar values
+    (jsonb.c cast_jsonb_*), bool input (bool.c boolin), float->int
+    range (float.c dtoi2), float8 overflow/underflow text, inverse
+    trig domain, make_date/make_time field ranges."""
+    import pytest
+
+    bad = [
+        "SELECT ''::jsonpath",
+        "SELECT 'last'::jsonpath",
+        "SELECT '@ + 1'::jsonpath",
+        "SELECT '$ ? (@.a < .1)'::jsonpath",
+        "SELECT '00'::jsonpath",
+        "SELECT '1e'::jsonpath",
+        'SELECT \'$ ? (@ like_regex "(bad")\'::jsonpath',
+        'SELECT \'$ ? (@ like_regex "p" flag "a")\'::jsonpath',
+        "SELECT '[]'::jsonb::bool",
+        "SELECT '\"hello\"'::jsonb::int4",
+        "SELECT bool 'test'",
+        "SELECT bool ''",
+        "SELECT '32767.6'::float4::int2",
+        "SELECT '10e400'::float8",
+        "SELECT '1e-324'::float8",
+        "SELECT acosh(float8 '-infinity')",
+        "SELECT atanh(float8 'infinity')",
+        "SELECT make_date(2013, 2, 30)",
+        "SELECT make_time(24, 0, 2.1)",
+    ]
+    for q in bad:
+        with pytest.raises(ValueError):
+            sql_dialect.rewrite(q)
+    good = [
+        "SELECT '$.a[*] ? (@.b == 1)'::jsonpath",
+        "SELECT 'strict $.a[last]'::jsonpath",
+        "SELECT '$ ? (@.a < 0.1e-1)'::jsonpath",
+        "SELECT 'true'::jsonb::boolean",
+        "SELECT '1.5'::jsonb::float",
+        "SELECT bool 'yes'",
+        "SELECT '123.4'::float4::int2",
+        "SELECT 'inf'::float8",
+        "SELECT acosh(float8 '1.5')",
+        "SELECT make_date(2013, 7, 15)",
+        "SELECT make_time(8, 20, 0.0)",
+    ]
+    for q in good:
+        sql_dialect.rewrite(q)  # must not raise
+
+
+def test_plan_time_validation_executes(spark):
+    """The folded survivors produce PG's values."""
+    from warehouse_pg_spark.sql_dialect import rewrite
+
+    def run(q):
+        return spark.sql(rewrite(q)).collect()[0].v
+
+    assert run("SELECT bool 'of' AS v") is False
+    assert run("SELECT 'true'::jsonb::boolean AS v") is True
+    assert run("SELECT '123.5'::float4::int2 AS v") == 124
+    assert run("SELECT '122.5'::float8::int2 AS v") == 122  # half-even
+    assert str(run("SELECT make_date(2013, 7, 15) AS v")) == "2013-07-15"

@@ -2654,9 +2654,17 @@ def test_probe_families_round12(engine):
     assert r.a.last == "von Blow" and r.b.last == "Blow,Jr"
     assert r.c.last is None
     engine.sql("DROP TYPE r12name")
-    # json SRFs as sole select-list target (each → key/value rows)
+    # json SRFs as sole select-list target (each → key/value rows);
+    # r13: non-_text values keep JSON rendering (jsonfuncs.c
+    # each_worker) — jsonb-style re-render, json null is 'null' text
     rows = engine.sql(
         "select json_each('{\"f1\":[1,2,3],\"f4\":null}')"
+    ).collect()
+    assert [(r.key, r.value) for r in rows] == [
+        ("f1", "[1, 2, 3]"), ("f4", "null")
+    ]
+    rows = engine.sql(
+        "select json_each_text('{\"f1\":[1,2,3],\"f4\":null}')"
     ).collect()
     assert [(r.key, r.value) for r in rows] == [
         ("f1", "[1,2,3]"), ("f4", None)

@@ -261,6 +261,15 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     ),
     # PG 11 starts_with (varlena.c text_starts_with)
     "starts_with": ("s STRING, p STRING", "BOOLEAN", "startswith(s, p)"),
+    # array_dims (arrayfuncs.c array_dims): '[1:n]' text; NULL/empty
+    # arrays yield NULL. One-dimensional form (nested arrays don't
+    # implicitly coerce to ARRAY<STRING>)
+    "array_dims": (
+        "a ARRAY<STRING>",
+        "STRING",
+        "CASE WHEN a IS NULL OR size(a) = 0 THEN CAST(NULL AS STRING) "
+        "ELSE concat('[1:', size(a), ']') END",
+    ),
     # isfinite(double) (float.c float8_isfinite); PG also overloads
     # date/timestamp for its +-infinity sentinels, which don't exist here
     "isfinite": (
@@ -388,6 +397,94 @@ def _jsonb_contains_py(a: str | None, b: str | None):
         return x == y
 
     return contains(va, vb, top=True)
+
+
+def jsonpath_validate(p: str) -> None:
+    """Plan-time jsonpath LITERAL validation (jsonpath_scan.l /
+    jsonpath_gram.y token rules): raises ValueError on the input
+    forms PG's parser rejects — empty paths, keywords outside their
+    context (bare `last`, `@` at top level), malformed numbers
+    ('00', '.1', '1e', '1..e'), bad like_regex patterns/flags, and
+    the \\u0000 escape. A validator, not an evaluator: anything
+    token-clean passes even if the eval subset can't run it."""
+    import re as _re
+
+    s = p.strip()
+    if not s:
+        raise ValueError("invalid jsonpath: empty")
+    body = _re.sub(r"^(?:strict|lax)\b", "", s).strip()
+    if not body:
+        raise ValueError("invalid jsonpath: empty after mode")
+    if "\\u0000" in body:
+        raise ValueError(
+            "invalid jsonpath: \\u0000 cannot be converted to text")
+    # strings are opaque for the remaining token checks
+    masked = _re.sub(r'"(?:[^"\\]|\\.)*"', '""', body)
+    if '"' in masked.replace('""', ""):
+        raise ValueError("invalid jsonpath: unterminated string")
+    for pair in ("()", "[]", "{}"):
+        if masked.count(pair[0]) != masked.count(pair[1]):
+            raise ValueError(
+                f"invalid jsonpath: unbalanced {pair}")
+    # number tokens: JSON-style — no leading zeros, a digit before
+    # the dot, a non-empty exponent (jsonpath_scan.l {int}/{decimal})
+    # the token includes +/- only straight after an e/E (signed
+    # exponent); elsewhere +/- is an operator and ends the token
+    for nm in _re.finditer(
+        r"(?<![\w.])((?:\d|\.\d)(?:[\w.]|(?<=[eE])[+-])*)", masked
+    ):
+        tok = nm.group(1)
+        if not _re.fullmatch(
+            r"(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?", tok
+        ):
+            raise ValueError(
+                f"invalid jsonpath number: {tok!r}")
+    # `last` is legal only inside a subscript; `@` only inside a
+    # filter (jsonpath_gram.y accessor contexts)
+    depth_sq = depth_f = 0
+    i = 0
+    while i < len(masked):
+        ch = masked[i]
+        if ch == "[":
+            depth_sq += 1
+        elif ch == "]":
+            depth_sq -= 1
+        elif masked.startswith("?", i):
+            depth_f += 1
+        elif ch == "@" and depth_f == 0:
+            raise ValueError(
+                "invalid jsonpath: @ is allowed only in filters")
+        elif masked.startswith("last", i) and masked[
+            i + 4: i + 5
+        ].isalnum() is False and depth_sq == 0:
+            prev = masked[:i].rstrip()[-1:]
+            if prev not in (".",):  # .last member name is fine
+                raise ValueError(
+                    "invalid jsonpath: LAST is allowed only in "
+                    "array subscripts")
+            i += 4
+            continue
+        i += 1
+    # like_regex: the pattern must compile; flags from {i,s,m,q}
+    # ('x' is PG's "XQuery x flag not implemented" error)
+    for lm in _re.finditer(
+        r'like_regex\s+"((?:[^"\\]|\\.)*)"'
+        r'(?:\s+flag\s+"((?:[^"\\]|\\.)*)")?',
+        body,
+    ):
+        try:
+            _re.compile(lm.group(1))
+        except _re.error as exc:
+            raise ValueError(
+                f"invalid regular expression in like_regex: {exc}")
+        for fl in lm.group(2) or "":
+            if fl == "x":
+                raise ValueError(
+                    'XQuery "x" flag (expanded regular expressions) '
+                    "is not implemented")
+            if fl not in "ismq":
+                raise ValueError(
+                    f"invalid like_regex flag: {fl!r}")
 
 
 def _jp_parse(p: str):
@@ -1165,6 +1262,43 @@ def _json_strip_nulls_py(j):
     return _dumps(rec(doc))
 
 
+def _json_each_entries_py(j):
+    """json_each / jsonb_each non-_text variants (jsonfuncs.c
+    each_worker): key/value pairs with the VALUE kept in its JSON
+    rendering — a string leaf keeps its quotes ('"x"'), unlike the
+    _text variants which unwrap it. Values re-render jsonb-style
+    (PG's json type would preserve the original text span verbatim;
+    the engine's single string-backed json model re-renders both)."""
+    import json as _json
+
+    if j is None:
+        return None
+    try:
+        doc = _json.loads(j)
+    except ValueError:
+        return None
+    if not isinstance(doc, dict):
+        return None  # PG: "cannot deconstruct a scalar/array"
+    return [{"key": k, "value": _dumps(v)} for k, v in doc.items()]
+
+
+def _json_array_elements_py(j):
+    """json[b]_array_elements non-_text (jsonfuncs.c elements_worker):
+    each element in its JSON rendering — string elements keep their
+    quotes, objects/arrays their JSON text."""
+    import json as _json
+
+    if j is None:
+        return None
+    try:
+        doc = _json.loads(j)
+    except ValueError:
+        return None
+    if not isinstance(doc, list):
+        return None
+    return [_dumps(v) for v in doc]
+
+
 def _mangle_ns_prefixes(s: str) -> str:
     """libxml2 (xml.c) tolerates UNBOUND namespace prefixes
     (`<nosuchprefix:tag/>` is well-formed content per regress
@@ -1177,6 +1311,18 @@ def _mangle_ns_prefixes(s: str) -> str:
     return _re.sub(r"(\s)(\w+):(\w+)(\s*=)", r"\1\2__\3\4", s)
 
 
+def _strip_dtd(s: str) -> str:
+    """libxml2 (xml.c) accepts a DOCTYPE declaration with an internal
+    subset and leaves unresolvable entity references unexpanded
+    (external entities are never fetched); ElementTree rejects both —
+    drop the DTD and neutralize non-predefined entity refs before the
+    well-formedness parse."""
+    import re as _re
+
+    s = _re.sub(r"(?is)<!DOCTYPE\b[^\[>]*(?:\[[^\]]*\])?\s*>", "", s)
+    return _re.sub(r"&(?!amp;|lt;|gt;|apos;|quot;|#)\w+;", "", s)
+
+
 def _xml_wf_document_py(s):
     # xml.c xml_is_well_formed_document: exactly one root element
     import xml.etree.ElementTree as ET
@@ -1184,7 +1330,7 @@ def _xml_wf_document_py(s):
     if s is None:
         return None
     try:
-        ET.fromstring(_mangle_ns_prefixes(s))
+        ET.fromstring(_mangle_ns_prefixes(_strip_dtd(s)))
         return True
     except ET.ParseError:
         return False
@@ -1301,6 +1447,13 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
         ("pg_bytea_escape_out", _bytea_escape_out_py, "STRING", 1),
         ("pg_bytea_escape_in", _bytea_escape_in_py, "BINARY", 1),
         ("json_object1", _json_object1_py, "STRING", 1),
+        # non-_text SRF workers: values keep JSON rendering (string
+        # leaves stay quoted) — the _text variants unwrap via the
+        # map<string,string>/array<string> from_json path instead
+        ("pg_json_each_entries", _json_each_entries_py,
+         "ARRAY<STRUCT<key:STRING, value:STRING>>", 1),
+        ("pg_json_array_elements", _json_array_elements_py,
+         "ARRAY<STRING>", 1),
         ("json_object2", _json_object2_py, "STRING", 2),
         ("pg_xpath", _pg_xpath_entry, "ARRAY<STRING>", 2),
     ):

@@ -104,6 +104,22 @@ def _family(sfx: str, t: str) -> dict[str, tuple[str, str, str]]:
             "BOOLEAN",
             f"range_before{sfx}(b, a)",
         ),
+        f"range_overleft{sfx}": (  # a &< b: a doesn't extend right of b
+            f"a {r}, b {r}",
+            "BOOLEAN",
+            """NOT a.empty AND NOT b.empty
+            AND (b.hi IS NULL OR (a.hi IS NOT NULL
+                 AND (a.hi < b.hi OR (a.hi = b.hi
+                      AND (NOT a.hi_i OR b.hi_i)))))""",
+        ),
+        f"range_overright{sfx}": (  # a &> b: a doesn't extend left of b
+            f"a {r}, b {r}",
+            "BOOLEAN",
+            """NOT a.empty AND NOT b.empty
+            AND (b.lo IS NULL OR (a.lo IS NOT NULL
+                 AND (a.lo > b.lo OR (a.lo = b.lo
+                      AND (NOT a.li OR b.li)))))""",
+        ),
         f"range_eq{sfx}": (
             f"a {r}, b {r}",
             "BOOLEAN",
@@ -226,6 +242,10 @@ _FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # 2^53, so the +1 discrete canonicalization would land on the wrong
     # value. DECIMAL(20,0) holds the full int8 domain exactly.
     **_family("_i8", "DECIMAL(20,0)"),
+    # user-defined CREATE TYPE ... AS RANGE over text subtypes
+    # (rangetypes.c: any type with a btree opclass can be a range
+    # subtype) — the bodies are type-agnostic, STRING compares binary
+    **_family("_str", "STRING"),
 }
 
 

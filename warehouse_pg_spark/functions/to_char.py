@@ -742,7 +742,15 @@ def to_timestamp_fold(value: str, fmt: str):
         return base + _dt.timedelta(seconds=f["secs_midnight"])
     h = f.get("hour")
     if h is None and "hour12" in f:
-        h = f["hour12"] % 12 + (12 if f.get("pm") else 0)
+        # formatting.c do_to_timestamp: an out-of-range 12-hour value
+        # (hour > 12, no meridiem needed) is taken as already-24h —
+        # HH12='13' yields 13:00, not 01:00; in-range values ride the
+        # 12-hour wheel (12 AM -> 0, 1 PM -> 13)
+        h12 = f["hour12"]
+        if h12 > 12:
+            h = h12
+        else:
+            h = h12 % 12 + (12 if f.get("pm") else 0)
     us = f.get("us", 0) + f.get("ms", 0) * 1000
     try:
         return base + _dt.timedelta(

@@ -800,7 +800,12 @@ _ARRAY_LENGTH_RE = re.compile(
 )
 _ARRAY_CAT_RE = re.compile(r"\barray_cat\s*\(", re.IGNORECASE)
 _STRING_TO_ARRAY_RE = re.compile(
-    rf"\bstring_to_array\s*\(\s*({_DISTINCT_OPERAND})\s*,"
+    rf"\bstring_to_array\s*\(\s*"
+    # the string operand admits a prior-pass CAST(x AS char(9)) (one
+    # nesting level) and a trailing ::type(n) cast suffix
+    rf"([\w.]+\s*\((?:[^()]|\([^()]*\))*\)"
+    rf"|{_DISTINCT_OPERAND}(?:\s*::\s*\w+(?:\(\d+(?:,\s*\d+)?\))?)?)"
+    rf"\s*,"
     rf"\s*({_DISTINCT_OPERAND})\s*(?:,\s*({_DISTINCT_OPERAND})\s*)?\)",
     re.IGNORECASE,
 )
@@ -899,10 +904,10 @@ _RANGE_NEST = (
     r"\((?:[^()]|\((?:[^()]|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))*\))*\)"
 )
 _RANGE_EXPR = (
-    rf"(?:pg_range|range_union|range_intersect|range_minus|range_merge)(?:_ts|_i8)?\s*{_RANGE_NEST}"
+    rf"(?:pg_range|range_union|range_intersect|range_minus|range_merge)(?:_ts|_i8|_str)?\s*{_RANGE_NEST}"
 )
 _RANGE_SFX_HEAD_RE = re.compile(
-    r"(?i)^(?:pg_range|range_union|range_intersect|range_minus|range_merge)(_ts|_i8)\b"
+    r"(?i)^(?:pg_range|range_union|range_intersect|range_minus|range_merge)(_ts|_i8|_str)\b"
 )
 # isempty/lower_inc/... are registered per bound type; route the
 # timestamp/int8-family structs to the _ts/_i8 overloads (Spark would
@@ -911,7 +916,7 @@ _RANGE_SFX_HEAD_RE = re.compile(
 _RANGE_FN_SFX_RE = re.compile(
     r"\b(isempty|lower_inc|upper_inc|lower_inf|upper_inf|range_text)"
     rf"\s*\(\s*((?:pg_range|range_union|range_intersect|range_minus"
-    rf"|range_merge)(_ts|_i8)\s*"
+    rf"|range_merge)(_ts|_i8|_str)\s*"
     rf"{_RANGE_NEST})\s*\)",
     re.IGNORECASE,
 )
@@ -927,9 +932,12 @@ _RANGE_FN2_SFX_RE = re.compile(
 _RANGE_SCALAR = (
     rf"(?:(?:TIMESTAMP|DATE)\s*{_LIT}|{_LIT}"
     rf"|[\w.]+\((?:[^()]|\([^()]*\))*\)|[-\w.$]+)"
+    # absorb a ::type suffix ('b'::text) so the cast is part of the
+    # scalar operand, not a dangling tail after the op lowers
+    r"(?:\s*::\s*\w+(?:\s+precision|\s+varying)?)?"
 )
 _RANGE_OP_RE = re.compile(
-    rf"({_RANGE_EXPR})\s*(@>|<@|&&|-\|-|<<|>>|\*|\+|=|-(?!\|))\s*"
+    rf"({_RANGE_EXPR})\s*(@>|<@|&&|&<|&>|-\|-|<<|>>|\*|\+|=|-(?!\|))\s*"
     rf"({_RANGE_EXPR}|{_RANGE_SCALAR})",
     re.IGNORECASE,
 )
@@ -2706,6 +2714,16 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         arg = arg.strip()
         kind = kind.lower()
         cols = [c.strip() for c in cols_s.split(",") if c.strip()]
+        if kind == "each":
+            # non-_text: values keep JSON rendering (quoted string
+            # leaves) via the Arrow-batched worker
+            if len(cols) != 2:
+                return m.group(0)
+            gen = f"inline(pg_json_each_entries({arg}))"
+            gen_cols = ", ".join(cols)
+            if lead.strip() == ",":
+                return f" LATERAL VIEW {gen} {alias} AS {gen_cols}"
+            return f"{lead}(SELECT {gen} AS ({gen_cols})) {alias}"
         if kind.startswith("each"):
             # key/value pairs: exploding a map yields two columns
             if len(cols) != 2:
@@ -2713,9 +2731,10 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
             src = f"from_json({arg}, 'map<string,string>')"
         elif len(cols) != 1:
             return m.group(0)
+        elif kind == "array_elements":
+            src = f"pg_json_array_elements({arg})"
         elif kind.startswith("array_elements"):
-            # PG returns each element as json/text; array<string> gives
-            # the _text form for scalars (objects keep their JSON text)
+            # _text form: scalars unwrap (objects keep their JSON text)
             src = f"from_json({arg}, 'array<string>')"
         else:
             src = f"json_object_keys({arg})"
@@ -2735,12 +2754,21 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     # array_elements → one exploded column
     def sub_json_srf_select(m: re.Match) -> str:
         kind, arg = m.group(1).lower(), m.group(2).strip()
+        if kind == "each":
+            # non-_text: values keep JSON rendering (string leaves
+            # stay quoted) via the Arrow-batched worker
+            return f"SELECT inline(pg_json_each_entries({arg}))"
         if kind.startswith("each"):
             return (
                 "SELECT inline(transform(map_entries("
                 f"from_json({arg}, 'map<string,string>')), "
                 "__e -> named_struct('key', __e.key, "
                 "'value', __e.value)))"
+            )
+        if kind == "array_elements":
+            return (
+                f"SELECT explode(pg_json_array_elements({arg})) "
+                "AS value"
             )
         return (
             f"SELECT explode(from_json({arg}, 'array<string>')) "
@@ -2858,17 +2886,23 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     # its TIME type, which PySpark cannot collect — route to the
     # engine's HH:MM:SS string model instead
     sql = re.sub(r"(?i)\bmake_time\s*\(", "pg_make_time(", sql)
-    # current_timestamp(precision) (gram.y SystemFuncName precision):
-    # Spark's takes no argument — precision 0 truncates to seconds,
-    # other precisions keep the full value (micro rendering)
+    # current_timestamp(precision) (gram.y SystemFuncName precision +
+    # timestamp.c AdjustTimestampForTypmod): Spark's takes no argument;
+    # PG ROUNDS the fractional seconds to n digits (rint = half-even,
+    # matched by Spark's bround over the microsecond count)
+    def _cts_precision(m: "re.Match") -> str:
+        n = int(m.group(1))
+        if n >= 6:
+            return "current_timestamp()"
+        q = 10 ** (6 - n)
+        return (
+            "timestamp_micros(CAST(bround(unix_micros("
+            f"current_timestamp()) / {q}) AS BIGINT) * {q})"
+        )
+
     sql = re.sub(
-        r"(?i)\bcurrent_timestamp\s*\(\s*0\s*\)",
-        "date_trunc('second', current_timestamp())",
-        sql,
-    )
-    sql = re.sub(
-        r"(?i)\bcurrent_timestamp\s*\(\s*\d\s*\)",
-        "current_timestamp()",
+        r"(?i)\bcurrent_timestamp\s*\(\s*(\d)\s*\)",
+        _cts_precision,
         sql,
     )
     # concat/concat_ws with a VARIADIC array argument (varlena.c):
@@ -2890,6 +2924,19 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
             f"IF(({m.group(1)}) IS NULL, CAST(NULL AS STRING), "
             f"concat_ws('', transform({m.group(1)}, "
             f"__v -> CAST(__v AS STRING))))"
+        ),
+        sql,
+    )
+    # concat with LEADING args before the VARIADIC tail
+    # (text.c concat spreads the array after the fixed args)
+    sql = re.sub(
+        r"(?i)\bconcat\s*\(\s*((?:[^(),]|\([^()]*\))+(?:,\s*"
+        r"(?:[^(),]|\([^()]*\))+)*?)\s*,\s*VARIADIC\s+"
+        r"((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
+        lambda m: (
+            f"concat({m.group(1)}, IF(({m.group(2)}) IS NULL, "
+            f"CAST(NULL AS STRING), concat_ws('', "
+            f"transform({m.group(2)}, __v -> CAST(__v AS STRING)))))"
         ),
         sql,
     )
@@ -4313,6 +4360,17 @@ def _rewrite_op_any_all(sql: str, lits: list[str]) -> str:
         fn = "forall" if quant.upper() == "ALL" else "exists"
         if op == "<>":
             op = "!="
+        if re.match(r"(?is)^\(\s*SELECT\b", arr):
+            # array-valued SCALAR SUBQUERY operand ('x = ANY((SELECT
+            # array)::t[])'): Spark forbids subqueries under
+            # higher-order functions — explode the array in a
+            # subquery and quantify with bool_or/bool_and instead
+            agg = "bool_and" if fn == "forall" else "bool_or"
+            arr_e = re.sub(r"(?is)::\s*\w+\s*\[\s*\]\s*$", "", arr)
+            return (
+                f"(SELECT {agg}(({x}) {op} __qe) "
+                f"FROM (SELECT explode({arr_e}) AS __qe) AS __qx)"
+            )
         return f"{fn}({arr}, __qe -> ({x}) {op} __qe)"
 
     def sub_like(m: re.Match) -> str:
@@ -4554,6 +4612,14 @@ def _rewrite_create_table_defs(sql: str) -> str:
         typ = _SERIAL_TYPES.get(low) or map_decl_type(typ)
         rest = _COL_CONSTRAINT_RE.sub("", rest).strip()
         cols.append(f"{name} {typ}" + (f" {rest}" if rest else ""))
+    # PG CREATE [TEMP] TABLE has no storage provider and Spark's
+    # parser requires one: drop the TEMP keyword (a managed table is
+    # the engine's session-table model) and add USING PARQUET right
+    # after the column list (before any DISTRIBUTED BY tail, which
+    # the engine strips separately)
+    head = re.sub(r"(?i)\bTEMP(?:ORARY)?\s+", "", head)
+    if not re.search(r"(?i)\bUSING\b", tail):
+        tail = ") USING PARQUET" + tail[1:]
     return f"{head}{', '.join(cols)}{tail}"
 
 
@@ -4578,6 +4644,10 @@ def map_decl_type(t: str) -> str:
     parameters / RETURNS / PL/pgSQL DECLARE), including the multiword
     spellings the `::cast` rewrite never sees."""
     tl = re.sub(r"\s+", " ", t.strip().lower())
+    if tl.endswith("[]"):
+        # PG array type spelling (numeric[], int[][]) — each [] pair
+        # is one nesting level
+        return f"ARRAY<{map_decl_type(tl[:-2])}>"
     if tl == "double precision":
         return "DOUBLE"
     if tl.startswith("character varying") or tl == "character":
@@ -5340,6 +5410,254 @@ def rewrite(sql: str) -> str:
         out,
     )
 
+    # ranking window functions without ORDER BY (PG allows an
+    # unordered window — arbitrary order; Spark requires the clause):
+    # append a constant ordering, same nondeterminism as PG's
+    def _win_no_order(m: re.Match) -> str:
+        if re.search(r"(?i)\bORDER\s+BY\b", m.group(3)):
+            return m.group(0)
+        return (
+            f"{m.group(1)}{m.group(2)} OVER "
+            f"({m.group(3)} ORDER BY null)"
+        )
+
+    out = re.sub(
+        r"(?i)\b(row_number|rank|dense_rank|percent_rank|cume_dist"
+        r"|ntile)\s*(\((?:[^()]|\([^()]*\))*\))\s+OVER\s*"
+        r"\(((?:[^()]|\([^()]*\))*)\)",
+        _win_no_order,
+        out,
+    )
+
+    # numeric literals beyond DECIMAL(38) (PG numeric holds 131072
+    # digits): route through a string->DOUBLE cast so Spark's lexer
+    # never types them as an over-precision decimal
+    def _clamp_num_lit(m: re.Match) -> str:
+        ip, fp = m.group(0).split(".")
+        if len(ip.lstrip("0")) + len(fp) <= 38:
+            return m.group(0)
+        return f"CAST('{m.group(0)}' AS DOUBLE)"
+
+    out = re.sub(
+        r"(?<![\w.])\d+\.\d{25,}(?![\w.])", _clamp_num_lit, out
+    )
+
+    # '...'::jsonpath literal casts validate at PLAN time
+    # (jsonpath_scan.l token rules): PG raises on malformed paths at
+    # parse; valid paths pay nothing (the cast still collapses to the
+    # text form downstream)
+    def _check_jsonpath_lit(m: re.Match) -> str:
+        from warehouse_pg_spark.functions.pg import jsonpath_validate
+
+        jsonpath_validate(_lit_value(m.group(1), lits))
+        return m.group(0)
+
+    out = re.sub(
+        rf"({_LIT})\s*::\s*jsonpath\b", _check_jsonpath_lit, out
+    )
+
+    # '...'::jsonb::<scalar> literal chains (jsonb.c cast_jsonb_*):
+    # PG raises unless the jsonb value IS a scalar of the target
+    # family — fold valid ones to plain literals, raise otherwise
+    def _fold_jsonb_scalar_cast(m: re.Match) -> str:
+        import json as _json
+
+        target = m.group(2).lower()
+        try:
+            v = _json.loads(_lit_value(m.group(1), lits))
+        except ValueError:
+            raise ValueError(
+                "invalid input syntax for type json")
+        fam = (
+            "boolean" if target.startswith("bool")
+            else "numeric"
+        )
+        if fam == "boolean" and isinstance(v, bool):
+            return "true" if v else "false"
+        if fam == "numeric" and isinstance(
+            v, (int, float)
+        ) and not isinstance(v, bool):
+            return f"CAST({v!r} AS {'BIGINT' if target.startswith('int') and isinstance(v, int) else 'DOUBLE' if 'float' in target or target in ('real', 'double precision') else 'DECIMAL(38,18)'})"
+        kind = (
+            "object" if isinstance(v, dict)
+            else "array" if isinstance(v, list)
+            else "string" if isinstance(v, str)
+            else "boolean" if isinstance(v, bool)
+            else "numeric" if v is not None
+            else "null"
+        )
+        raise ValueError(
+            f"cannot cast jsonb {kind} to type {target}")
+
+    out = re.sub(
+        rf"({_LIT})\s*::\s*jsonb?\s*::\s*"
+        r"(bool(?:ean)?|int[248]?|integer|smallint|bigint"
+        r"|float[48]?|real|double\s+precision|numeric|decimal)\b",
+        _fold_jsonb_scalar_cast,
+        out,
+    )
+
+    # bool literal input validation (bool.c boolin): unique prefixes
+    # of true/false/yes/no plus on/off/1/0; anything else is a PG
+    # parse-time error — fold valid ones, raise on the rest
+    def _fold_bool_lit(m: re.Match) -> str:
+        v = _lit_value(m.group(1) or m.group(2), lits).strip().lower()
+        for word, res in (("true", "true"), ("false", "false"),
+                          ("yes", "true"), ("no", "false")):
+            if v and word.startswith(v):
+                return res
+        if v in ("on", "1", "t", "y"):
+            return "true"
+        if v in ("off", "of", "0", "f", "n"):
+            return "false"
+        raise ValueError(
+            f"invalid input syntax for type boolean: \"{v}\"")
+
+    out = re.sub(
+        rf"(?i)\bbool(?:ean)?\s*({_LIT})|({_LIT})\s*::\s*bool(?:ean)?\b",
+        _fold_bool_lit,
+        out,
+    )
+
+    # literal float -> int chains and float8 range (float.c float8in /
+    # dtoi2 & friends): PG rounds half-even then RAISES out-of-range;
+    # overflow/underflow on float8 input text raises too
+    _INT_RANGES = {
+        "int2": 32767, "smallint": 32767,
+        "int4": 2147483647, "int": 2147483647, "integer": 2147483647,
+        "int8": 9223372036854775807, "bigint": 9223372036854775807,
+    }
+
+    def _pg_float_text(t: str) -> float:
+        t = t.strip().lower()
+        if t in ("infinity", "inf", "+infinity", "+inf"):
+            return float("inf")
+        if t in ("-infinity", "-inf"):
+            return float("-inf")
+        if t == "nan":
+            return float("nan")
+        v = float(t)  # ValueError propagates (PG raises there too)
+        if v in (float("inf"), float("-inf")):
+            raise ValueError(
+                f'"{t}" is out of range for type double precision')
+        if v == 0.0 and re.search(r"[1-9]", t.split("e")[0]):
+            raise ValueError(
+                f'"{t}" is out of range for type double precision')
+        if v != 0.0 and abs(v) < 2.2250738585072014e-308:
+            raise ValueError(
+                f'"{t}" is out of range for type double precision')
+        return v
+
+    def _fold_float_int_cast(m: re.Match) -> str:
+        v = _pg_float_text(_lit_value(m.group(1), lits))
+        tgt = m.group(2).lower()
+        import math as _math
+
+        if _math.isnan(v) or _math.isinf(v):
+            raise ValueError(f"{tgt} out of range")
+        r = round(v)  # banker's rounding, as rint()
+        if abs(r) > _INT_RANGES[tgt]:
+            raise ValueError(f"{tgt} out of range")
+        return f"CAST({r} AS {'BIGINT' if _INT_RANGES[tgt] > 2**31 else 'INT' if _INT_RANGES[tgt] > 2**15 else 'SMALLINT'})"
+
+    out = re.sub(
+        rf"({_LIT})\s*::\s*float[48]?\s*::\s*"
+        r"(int[248]?|smallint|integer|bigint)\b",
+        _fold_float_int_cast,
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    def _check_float8_lit(m: re.Match) -> str:
+        _pg_float_text(_lit_value(m.group(1), lits))
+        return m.group(0)
+
+    out = re.sub(
+        rf"({_LIT})\s*::\s*(?:float[48]?|real|double\s+precision)\b",
+        _check_float8_lit,
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    # inverse trig/hyperbolic DOMAIN errors on literal args (float.c
+    # dacosh/datanh raise; Spark returns NaN)
+    def _check_trig_domain(m: re.Match) -> str:
+        fn = m.group(1).lower()
+        try:
+            v = _pg_float_text(_lit_value(m.group(2), lits))
+        except ValueError:
+            return m.group(0)
+        bad = (
+            (fn == "acosh" and v < 1.0)
+            or (fn == "atanh" and not (-1.0 <= v <= 1.0))
+            or (fn in ("asin", "acos") and not (-1.0 <= v <= 1.0))
+        )
+        if bad:
+            raise ValueError("input is out of range")
+        return m.group(0)
+
+    out = re.sub(
+        rf"(?i)\b(acosh|atanh|asin|acos)\s*\(\s*"
+        rf"(?:float[48]\s*)?({_LIT})(?:\s*::\s*\w+)?\s*\)",
+        _check_trig_domain,
+        out,
+    )
+
+    # make_date / make_time over integer literals fold at plan time
+    # (date.c make_date: out-of-range fields RAISE; valid dates fold
+    # to a plain literal — faster and loud, both like PG)
+    def _fold_make_date(m: re.Match) -> str:
+        import datetime as _dt
+
+        y, mo, da = (int(g) for g in m.groups())
+        if not (1 <= y <= 9999):
+            # PG spans 4713 BC..5874897 AD; Spark's DATE does not
+            # (README deviation — the probe adjudicates this family)
+            raise ValueError(f"year {y} is out of range")
+        try:
+            return f"DATE '{_dt.date(y, mo, da).isoformat()}'"
+        except ValueError:
+            raise ValueError(
+                f"date field value out of range: {y:04d}-{mo:02d}-{da:02d}"
+            )
+
+    out = re.sub(
+        r"(?i)\bmake_date\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*,\s*(-?\d+)\s*\)",
+        _fold_make_date,
+        out,
+    )
+
+    def _fold_make_time(m: re.Match) -> str:
+        h, mi = int(m.group(1)), int(m.group(2))
+        sec = float(m.group(3))
+        if not (0 <= h <= 23 and 0 <= mi <= 59 and 0 <= sec < 60):
+            raise ValueError(
+                f"time field value out of range: {h}:{mi}:{sec}")
+        return m.group(0)
+
+    out = re.sub(
+        r"(?i)\bmake_time\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*,"
+        r"\s*(-?\d+(?:\.\d+)?)\s*\)",
+        _fold_make_time,
+        out,
+    )
+
+    # session_user / current_role (gram.y SystemFuncName keywords):
+    # the single-user engine equates all three identity functions
+    out = re.sub(
+        r"(?i)\b(?:session_user|current_role)\b(?!\s*\()",
+        "current_user()",
+        out,
+    )
+
+    # public./pg_catalog.-qualified function calls (namespace.c: both
+    # schemas sit on PG's default search_path, so the qualification is
+    # a no-op) — strip the prefix so the call resolves to the engine's
+    # registered temporary function
+    out = re.sub(
+        r"(?i)\b(?:public|pg_catalog)\.([A-Za-z_]\w*\s*\()", r"\1", out
+    )
+
     # COLLATE qualifiers (gram.y a_expr COLLATE any_name): accepted and
     # dropped — expressions evaluate under the engine's default binary
     # collation (README "Known deviations"; locale-sensitive orderings
@@ -5627,9 +5945,13 @@ def rewrite(sql: str) -> str:
         "<<": "range_before", ">>": "range_after", "=": "range_eq",
         "+": "range_union", "*": "range_intersect",
         "-": "range_minus",
+        "&<": "range_overleft", "&>": "range_overright",
     }
 
-    _RANGE_ELEM_T = {"_ts": "TIMESTAMP", "_i8": "DECIMAL(20,0)", "": "DOUBLE"}
+    _RANGE_ELEM_T = {
+        "_ts": "TIMESTAMP", "_i8": "DECIMAL(20,0)",
+        "_str": "STRING", "": "DOUBLE",
+    }
 
     def sub_range_op(m: re.Match) -> str:
         a, op, b = m.group(1), m.group(2), m.group(3)
@@ -5753,19 +6075,35 @@ def rewrite(sql: str) -> str:
     # alternative must not grab the 'jsonb' word out of a cast suffix.
     _JBC_CAST = (
         rf"(?:jsonb\s*{_LIT}"
+        # a prior fold's output is itself jsonb-typed, so chains
+        # ('a'::jsonb || 'b'::jsonb || 'c'::jsonb) keep folding
+        # left-associatively like PG instead of falling through to
+        # Spark string concat for the 3rd+ operand
+        r"|jsonb_concat\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
         rf"|(?:{_LIT}|[\w.]+|\((?:[^()]|\([^()]*\))*\))\s*::\s*jsonb\b)"
     )
     _JBC_OTHER = rf"(?:{_LIT}|(?<![:\w.])[\w.]+)"
-    out = re.sub(
+    _JBC_RE = re.compile(
         rf"({_JBC_CAST}|{_JBC_OTHER})\s*\|\|\s*({_JBC_CAST})"
         rf"|({_JBC_CAST})\s*\|\|\s*({_JBC_OTHER})",
-        lambda m: (
-            f"jsonb_concat({m.group(1) or m.group(3)}, "
-            f"{m.group(2) or m.group(4)})"
-        ),
-        out,
         flags=re.IGNORECASE,
     )
+    # fixpoint, ONE fold per pass (count=1): jsonb || is NOT
+    # associative for mixed object/array chains ({a}||[1]||{b}||{c}
+    # differs under pairwise grouping), so fold strictly
+    # left-associatively like PG's parser
+    while True:
+        new = _JBC_RE.sub(
+            lambda m: (
+                f"jsonb_concat({m.group(1) or m.group(3)}, "
+                f"{m.group(2) or m.group(4)})"
+            ),
+            out,
+            count=1,
+        )
+        if new == out:
+            break
+        out = new
 
     # NULL-key json arrows (jsonfuncs.c: strict operators return NULL
     # on a NULL key): `j -> null::text`, `j ->> null::int` — the key
