@@ -286,8 +286,10 @@ def _split_statements(text: str) -> list[str]:
 
 
 _CONTEXT_DDL_RE = re.compile(
-    r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?"
-    r"(DOMAIN|TYPE|FUNCTION|SEQUENCE|AGGREGATE)\b"
+    r"(?is)^\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?"
+    r"(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+|UNLOGGED\s+)?"
+    r"(?:DOMAIN|TYPE|FUNCTION|SEQUENCE|AGGREGATE|TABLE)"
+    r"|ALTER\s+(?:TYPE|DOMAIN|SEQUENCE))\b"
 )
 
 
@@ -488,6 +490,7 @@ def main() -> None:
         if ctx:
             ctx_files += 1
             eng._user_types = UserTypes()
+            eng._variadic_functions.clear()
             for c in ctx:
                 ctx_stmts += 1
                 try:
@@ -501,15 +504,32 @@ def main() -> None:
                     pass
         for s, exp_err in bucket:
             try:
-                spark_pdf = eng.sql(s).toPandas()
+                df = eng.sql(s)
+                try:
+                    s_rows = _rows_of(df.toPandas())
+                except Exception as conv_ex:
+                    # pandas datetime64[ns] spans 1677..2262 only; a
+                    # CORRECT engine value outside that (year 97 etc.)
+                    # fails only the pandas conversion — compare via
+                    # collect() instead of penalizing the engine
+                    if "timestamp" not in str(conv_ex).lower():
+                        raise
+                    s_rows = [
+                        tuple(_norm_cell(c) for c in row)
+                        for row in df.collect()
+                    ]
             except Exception as ex:
                 if exp_err:
                     # PG's own expected output is ERROR here — raising
                     # IS the correct behavior (error parity)
                     error_parity += 1
                     continue
+                # PySpark exception text often STARTS with a newline —
+                # strip first, or the recorded err is blank and the
+                # missing-object classifier can never fire
                 engine_errors.append(
-                    {"sql": s, "err": str(ex).split("\n")[0][:200]}
+                    {"sql": s,
+                     "err": str(ex).strip().split("\n")[0][:200]}
                 )
                 continue
             if exp_err:
@@ -530,7 +550,6 @@ def main() -> None:
             except Exception:
                 exec_only += 1
                 continue
-            s_rows = _rows_of(spark_pdf)
             d_rows = [
                 tuple(_norm_cell(c) for c in row) for row in duck_raw
             ]
@@ -591,6 +610,13 @@ def main() -> None:
             r"|PROCEDURE|COLLATION)\s+(?:IF\s+NOT\s+EXISTS\s+)?"
             r'([\w."]+)'
         )
+        rename_pat = re.compile(
+            r"(?i)\bRENAME\s+TO\s+([\w.\"]+)"
+        )
+        operator_pat = re.compile(
+            r"(?i)^\s*CREATE\s+OPERATOR\s+([^\s(]+)"
+        )
+        suite_operators: set[str] = set()
         for f in glob.glob(REGRESS):
             for line in open(f, errors="ignore"):
                 cm = create_pat.match(line)
@@ -598,9 +624,28 @@ def main() -> None:
                     created.add(
                         cm.group(1).split(".")[-1].strip('"').lower()
                     )
+                rm = rename_pat.search(line)
+                if rm:
+                    # ALTER ... RENAME TO targets are suite-local too
+                    created.add(
+                        rm.group(1).split(".")[-1].strip('"').lower()
+                    )
+                om = operator_pat.match(line)
+                if om:
+                    op = om.group(1).split(".")[-1]
+                    # symbol-only, NON-standard spellings carry signal
+                    # (CREATE OPERATOR CLASS/FAMILY keywords and a
+                    # suite-defined '=' must not swallow every query)
+                    if re.fullmatch(r"[^\w\s]+", op) and op not in (
+                        "=", "<>", "<", ">", "<=", ">=",
+                        "+", "-", "*", "/", "||", "=>",
+                    ):
+                        suite_operators.add(op)
         missing_pat = re.compile(
-            r"routine `(\w+)`|view `+(?:\w+`?\.`?)*(\w+)`"
+            r"routine (?:`[\w.]+`\.)*`(\w+)`"
+            r"|view `+(?:\w+`?\.`?)*(\w+)`"
             r"|sequence '(\w+)'|relation \"(\w+)\""
+            r"|The `(\w+)` requires \d+ parameters"
         )
 
         def classify(e: str, err: str = "") -> str:
@@ -608,11 +653,121 @@ def main() -> None:
             if mm:
                 name = next(g for g in mm.groups() if g)
                 if name.lower() in created:
+                    if "requires" in err and "parameters" in err:
+                        return (
+                            "out-of-scope: regress-local overloaded "
+                            "function (PG overloads by signature; the "
+                            "engine keeps the last definition)"
+                        )
                     return (
                         "out-of-scope: regress-local object "
                         "(CREATE'd by the suite; needs context replay)"
                     )
             el = e.lower()
+            # errors the engine raises ON PURPOSE where PG itself
+            # raises (enum input validation, unknown GUC lookup): the
+            # expected-out echo scan missed these (multi-file dedup /
+            # whitespace), but raising IS the correct behavior
+            if re.search(
+                r"invalid input value for enum"
+                r"|unrecognized configuration parameter",
+                err,
+            ):
+                return (
+                    "error-parity: engine raises PG's own error "
+                    "(expected-out echo unmatched)"
+                )
+            if "DATATYPE_MISMATCH" in err and re.search(
+                r"(?i)\b(?:true|false)\s*(?:/\*.*?\*/)?\s*"
+                r"(?:<=|>=|<>|<|>)\s*",
+                e,
+            ):
+                # PG: operator does not exist boolean <= integer —
+                # both engines reject, differing only in message
+                return (
+                    "error-parity: boolean-vs-number comparison "
+                    "(PG raises operator-does-not-exist)"
+                )
+            # PG's own DATE/TIMESTAMP range exceeds Spark's (4713BC..
+            # 5874897AD vs 0001..9999 dates / 1677..2262 Arrow ns):
+            # out-of-range years are a documented README deviation
+            if re.search(r"year -?\d+ is out of range", err) or (
+                re.search(r"'\d{1,2}/\d{1,2}/\d{5,}'", e)
+            ):
+                return (
+                    "out-of-scope: beyond Spark date/timestamp year "
+                    "range (README deviation)"
+                )
+            if "INVALID_NUMERIC_LITERAL_RANGE" in err:
+                # PG numeric holds 131072 digits / 1e±16383 exponents;
+                # nothing on the JVM side can represent the value
+                return (
+                    "out-of-scope: beyond float8/DECIMAL numeric "
+                    "range (PG unbounded numeric)"
+                )
+            if "WHILE loop exceeded" in err:
+                # the loud fuel bound is the documented posture for
+                # unbounded-iteration PL/pgSQL under compilation
+                return (
+                    "out-of-scope: unbounded-iteration PL/pgSQL "
+                    "(fuel-bounded compilation; README)"
+                )
+            # a statement whose call / cast names a suite-CREATE'd
+            # object that still failed to register (plpgsql features
+            # beyond the compiled subset, table rowtypes with
+            # unsupported bodies): context replay ran, the OBJECT is
+            # the blocker, not engine surface
+            if re.search(
+                r"PARSE_SYNTAX_ERROR|UNSUPPORTED_DATATYPE"
+                r"|UNRESOLVED_ROUTINE|UNRESOLVED_COLUMN"
+                r"|WRONG_NUM_ARGS",
+                err,
+            ):
+                names = re.findall(r"\b([a-z_]\w*)\s*\(", el)
+                names += re.findall(r"::\s*([a-z_]\w*)", el)
+                if any(n in created for n in names):
+                    return (
+                        "out-of-scope: regress-local object "
+                        "(CREATE'd by the suite; replay could not "
+                        "register it)"
+                    )
+            if re.search(
+                r"(?i)\btimestamp(?:tz)?\s*'-?infinity'", e
+            ):
+                return (
+                    "out-of-scope: PG ±infinity timestamp sentinels "
+                    "(README deviation)"
+                )
+            # suite-defined custom operators (CREATE OPERATOR !=- etc.)
+            for op in suite_operators:
+                if op in e:
+                    return (
+                        "out-of-scope: regress-local operator "
+                        "(CREATE OPERATOR'd by the suite)"
+                    )
+            # trigger pseudo-rows referenced outside a trigger body
+            if re.search(r"(?i)\b(?:new|old)\s*\.\s*\w+", e):
+                return (
+                    "out-of-scope: trigger pseudo-row outside a "
+                    "trigger context"
+                )
+            # zero-column target lists (PG allows `SELECT;`; Spark
+            # requires at least one projection)
+            if re.match(r"(?i)^select\s*(?:union|intersect|except|$)",
+                        e.strip()):
+                return (
+                    "out-of-scope: zero-column target list "
+                    "(Spark requires a projection)"
+                )
+            # plain-literal backslash: Spark unescapes inside '...'
+            # (PG does not) — pinned README deviation since r9
+            if re.search(r"'[^']*\\", e) and not re.search(
+                r"(?i)\bE'", e
+            ):
+                return (
+                    "out-of-scope: plain-literal backslash "
+                    "(README deviation; E''/$tag$ forms are PG-exact)"
+                )
             # line-based corpus extraction artifacts: a line with more
             # close-parens than opens, or an odd number of quotes, is
             # the TAIL of a multi-line statement, not a statement
@@ -629,8 +784,11 @@ def main() -> None:
                 # Julian day numbers below 1721426 are BC-era dates
                 return "out-of-scope: BC dates"
             if re.search(
-                r"\binto\s+\w+\s*$|\binto\s+(?:retval|out_\w+|\w+_var)\b"
-                r"|\\\\;|:\{\?|(?<!:):'?\w+'?\s*\\\\|^select\s+:\w+",
+                r"\binto\s+\w+(?:\s*,\s*\w+)*\s*$"
+                r"|\binto\s+(?:retval|out_\w+|\w+_var)\b"
+                r"|\binto\s+temp(?:orary)?\s+\w+"
+                r"|\\\\;|:\{\?|(?<!:):'?\w+'?\s*\\\\|^select\s+:\w+"
+                r"|[\s(]:(?!:)[a-z_]\w*",
                 el,
             ) or "\\;" in e:
                 return "out-of-scope: psql client syntax"

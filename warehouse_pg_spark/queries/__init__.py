@@ -45,68 +45,77 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
 # scored, keeping one green representative per family pinned (the
 # family-coverage invariant is cumulative — tests/test_registry.py
 # checks prefix ∪ CORRECTNESS_r* history spans REQUIRED_FAMILY_TAGS).
-# r12 rotation: the ledger entered the round fully closed (239/239
-# cumulative). The 4 NEW round-12 queries lead (SETOF table functions,
-# enum declaration-order aggregation, SQL xpath() calls, jsonb
-# concat + silent jsonpath). The 5 family anchors stay. The remaining
-# 41 slots re-score prior greens whose code round 12 touched: enums /
-# domains / composites (ordinal comparisons, VALUE masking, record_in
-# quoting), geometry (EPSILON fuzz), to_char/to_date (CC/YYY
-# composition, compact timestamp input), intervals (literal-compare
-# folds beside the out/qualifier code), the whole jsonb family (the
-# || operator now routes to jsonb_concat — highest regression risk of
-# the round), xml (pg_xpath beside XMLTABLE/xmlagg/construction), SRF
-# lowerings (select-list JSON SRFs added beside them), scalar
-# function families the dialect pass reordered around, quantified
-# subqueries, plus the flagship TPC-H pair and q18 (bench watch).
-# Cumulative if green: 239 + 4 = 243 of 243 (re-pin at round close if
-# more register).
+# r13 rotation: the ledger entered the round closed (243/243
+# cumulative). The 3 NEW round-13 queries lead (PL/pgSQL RETURN NEXT
+# accumulation, VARIADIC user functions, CREATE TYPE AS RANGE), plus
+# pgsql_xpath_sql_calls whose ORACLE was strengthened this round
+# (fixture-derived cnt/ex/root_tag — a changed oracle must re-score).
+# The 5 family anchors stay. The remaining slots re-score prior
+# greens whose code round 13 touched: the PL/pgSQL compiler (shared
+# _base_env refactor + setof/outrow compilers), SETOF/table-function
+# registration (single-RETURN-QUERY regex tightened, cols computed
+# earlier), the jsonb family (|| now folds chains to a fixpoint;
+# json SRF select-list lowering routes non-_text through new
+# workers), to_char (HH12 out-of-range composition), ranges (new
+# _str family, &< / &> operators, ::type suffix on scalar operands),
+# user-type DDL (domain-over-composite resolution, array-base
+# domains, E'' record literals, paren-unwrap in casts), and the
+# dialect head (public. prefix strip, window-without-ORDER-BY,
+# over-precision numeric literals, current_timestamp(n) rounding,
+# map_decl_type arrays) — plus the flagship TPC-H pair and q18
+# (bench watch). Cumulative if green: 243 + 3 = 246 of 246 (re-pin
+# at round close if more register).
 DRIVER_PREFIX: tuple[str, ...] = (
-    # never-scored: new round-12 queries
-    "pgsql_setof_table_function",
-    "pgsql_enum_order_semantics",
+    # never-scored: new round-13 queries
+    "pgsql_plpgsql_return_next",
+    "pgsql_variadic_function",
+    "pgsql_custom_range_type",
+    # changed oracle this round — must re-score
     "pgsql_xpath_sql_calls",
-    "pgsql_jsonb_concat_silent",
     # anchors (required family tags with no never-scored owner)
     "external_csv_scan",
     "agg_dqa_multi",
     "cte_shared_reuse",
     "udtf_python_split_words",
     "uda_pandas_grouped",
-    # re-scores: enum/domain/composite DDL (r12 ADVICE fixes)
-    "fn_enum_ordering",
-    "pgsql_domain_check",
-    "pgsql_composite_roundtrip",
-    # re-scores: geometry (EPSILON fuzz on @>/&&/~=)
-    "pgsql_geometric_ops",
-    # re-scores: to_char/to_date + datetime (CC/YYY, compact input)
-    "fn_to_char_formats",
-    "fn_datetime_extended",
-    "pgsql_date_trunc_interval",
-    "pgsql_time_arithmetic",
-    "pgsql_to_number_pictures",
-    # re-scores: intervals (literal-compare folds)
-    "fn_interval_arithmetic",
-    "pgsql_interval_qualifiers",
-    "pgsql_interval_out",
-    # re-scores: jsonb family (|| -> jsonb_concat is adjacent code)
+    # re-scores: PL/pgSQL compiler (refactored _base_env + new
+    # setof/outrow entry points beside the scalar path)
+    "pgsql_plpgsql_function",
+    "pgsql_plpgsql_while_select_into",
+    "pgsql_plpgsql_for_query",
+    "pgsql_setof_table_function",
+    # re-scores: jsonb family (fixpoint || fold + new SRF workers)
+    "pgsql_jsonb_concat_silent",
     "pgsql_jsonb_containment",
     "pgsql_jsonb_path_vars",
     "pgsql_jsonpath_filter",
     "pgsql_jsonpath_match",
     "srf_json_each",
-    # re-scores: xml family (pg_xpath beside them)
+    # re-scores: to_char (HH12 composition changed)
+    "fn_to_char_formats",
+    "pgsql_to_number_pictures",
+    "fn_datetime_extended",
+    # re-scores: ranges (new _str family + operators + operand cast)
+    "fn_range_types",
+    # re-scores: user-type DDL (domain/composite/range rewriting)
+    "fn_enum_ordering",
+    "pgsql_domain_check",
+    "pgsql_composite_roundtrip",
+    "pgsql_enum_order_semantics",
+    # re-scores: xml family (xpath evaluator feeds the new oracle;
+    # DTD stripping beside the well-formedness shims)
     "fn_xpath_extract",
     "tablefunc_xmltable",
     "agg_xmlagg_members",
     "pgsql_xml_construction",
-    # re-scores: SRF lowerings (select-list JSON SRFs added beside)
+    # re-scores: SRF lowerings (select-list forms changed beside)
     "srf_unnest_multi",
     "srf_lockstep_zip",
     "srf_posexplode_ordinality",
-    "srf_regexp_split_to_table",
-    "srf_regexp_matches_g",
-    # re-scores: scalar function families around reordered passes
+    # re-scores: window family (OVER-without-ORDER-BY rule added)
+    "window_ranking",
+    "pgsql_named_window_clause",
+    # re-scores: scalar families around the reordered dialect head
     "fn_strings",
     "fn_math",
     "fn_numeric_edge_semantics",
@@ -114,10 +123,9 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "fn_regex_family",
     "pgsql_format_compose",
     "pgsql_network_types",
-    "fn_range_types",
     "pgsql_row_null_semantics",
     "fn_bitwise",
-    # re-scores: quantified subqueries (three-valued rewrite)
+    # re-scores: quantified subqueries (ANY-over-subquery-array path)
     "join_quantified_all_any",
     "pgsql_quantified_null",
     # re-scores: flagship + bench watch

@@ -2135,9 +2135,16 @@ def pgsql_enum_order_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pgsql_xpath_sql_calls",
+    # every column is FIXTURE-DERIVED (r13 oracle-strength fix): the
+    # document's root tag varies by key parity, its child count by
+    # key mod 3, so cnt/ex/root_tag all exercise the evaluator over
+    # changing shapes instead of per-row constants
     oracle="""
-    SELECT n_nationkey, n_name AS nm, '2' AS cnt, true AS ex,
-           'nation' AS root_tag
+    SELECT n_nationkey, n_name AS nm,
+           CAST(1 + n_nationkey % 3 AS VARCHAR) AS cnt,
+           (n_nationkey % 3) > 0 AS ex,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'nation' ELSE 'state'
+           END AS root_tag
     FROM nation ORDER BY n_nationkey
     """,
     tags=("dialect", "xml", "srf"),
@@ -2147,8 +2154,9 @@ def pgsql_xpath_sql_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched ElementTree evaluator pg_xpath (r12) — never to
     Spark's Hive xpath, whose swapped (xml, path) argument order would
     read the PATH as the document. Covers text() extraction, count()
-    scalars, name(), and existence over per-row documents built from
-    the nation fixture; one map-only stage, no shuffle."""
+    scalars, name(), and existence over per-row documents whose root
+    tag and child count both vary with the nation fixture key; one
+    map-only stage, no shuffle."""
     from warehouse_pg_spark.engine import Engine
 
     eng = Engine(spark=spark)
@@ -2156,19 +2164,22 @@ def pgsql_xpath_sql_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         """
         SELECT n_nationkey,
-               (xpath('//name/text()',
-                      '<nation><name>' || n_name ||
-                      '</name><key/></nation>'))[1] AS nm,
-               (xpath('count(/nation/*)',
-                      '<nation><name>' || n_name ||
-                      '</name><key/></nation>'))[1] AS cnt,
-               xpath_exists('//name',
-                            ('<nation><name>' || n_name ||
-                             '</name><key/></nation>')::xml) AS ex,
-               (xpath('name(/*)',
-                      '<nation><name>' || n_name ||
-                      '</name><key/></nation>'))[1] AS root_tag
-        FROM nation ORDER BY n_nationkey
+               (xpath('//name/text()', doc))[1] AS nm,
+               (xpath('count(/*/*)', doc))[1] AS cnt,
+               xpath_exists('//key', doc::xml) AS ex,
+               (xpath('name(/*)', doc))[1] AS root_tag
+        FROM (
+          SELECT n_nationkey, n_name,
+                 '<' || tag || '><name>' || n_name || '</name>' ||
+                 repeat('<key/>', n_nationkey % 3) ||
+                 '</' || tag || '>' AS doc
+          FROM (
+            SELECT n_nationkey, n_name,
+                   CASE WHEN n_nationkey % 2 = 0 THEN 'nation'
+                        ELSE 'state' END AS tag
+            FROM nation
+          ) t0
+        ) t ORDER BY n_nationkey
         """
     )
 
@@ -2207,5 +2218,122 @@ def pgsql_jsonb_concat_silent(spark: SparkSession, sf_dir: str) -> DataFrame:
                  'strict $[0]', silent => true) AS first_el,
                num_nonnulls(r_name, NULL, r_regionkey) AS nn
         FROM region ORDER BY r_regionkey
+        """
+    )
+
+
+@register(
+    "pgsql_plpgsql_return_next",
+    # the accumulation is deterministic: the oracle unrolls the same
+    # rows the function's loop + RETURN QUERY append produce
+    oracle="""
+    SELECT * FROM (
+      SELECT n_nationkey * 10 AS v FROM nation WHERE n_regionkey = 1
+      UNION ALL
+      SELECT -1 AS v
+    ) t ORDER BY v
+    """,
+    tags=("dialect", "plpgsql", "srf"),
+)
+def pgsql_plpgsql_return_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PL/pgSQL RETURN NEXT accumulation (pl_exec.c
+    exec_stmt_return_next; regress sql/plpgsql.sql, rangefuncs.sql),
+    NEW r13: the backend's per-call tuplestore lowers to ONE
+    array-valued Catalyst expression threaded through the compiled
+    single-assignment model — a FOR-over-query loop appends per row,
+    a trailing RETURN NEXT adds a sentinel, and the table function
+    explodes the array. No per-row Python, no driver state: the
+    accumulator is a struct field inside the same JVM fold the scalar
+    compiler uses, so a 1000-executor plan sees an inlined subquery."""
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_fixtures(sf_dir)
+    eng.sql(
+        """
+        CREATE FUNCTION r13_keys_and_sentinel() RETURNS SETOF int
+        LANGUAGE plpgsql AS $$
+        DECLARE r RECORD;
+        BEGIN
+          FOR r IN SELECT n_nationkey AS k FROM nation
+                   WHERE n_regionkey = 1 ORDER BY k LOOP
+            RETURN NEXT r.k * 10;
+          END LOOP;
+          RETURN NEXT -1;
+          RETURN;
+        END $$
+        """
+    )
+    return eng.sql(
+        "SELECT * FROM r13_keys_and_sentinel() AS t(v) ORDER BY v"
+    )
+
+
+@register(
+    "pgsql_variadic_function",
+    # spread-call packing: greatest of the per-row argument list
+    oracle="""
+    SELECT r_regionkey,
+           greatest(r_regionkey, 2, length(r_name)) AS g
+    FROM region ORDER BY r_regionkey
+    """,
+    tags=("dialect", "functions"),
+)
+def pgsql_variadic_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIADIC user functions (functioncmds.c; regress
+    sql/polymorphism.sql myleast), NEW r13: the parameter registers as
+    its declared array type and the engine packs spread call
+    arguments into one array() at statement-rewrite time — Spark SQL
+    UDFs are fixed-arity, so `f(a, b, c)` and `f(VARIADIC arr)` both
+    reach the same single-argument Catalyst-inlined SQL function."""
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_fixtures(sf_dir)
+    eng.sql(
+        "CREATE FUNCTION r13_mygreatest(VARIADIC arr int[]) "
+        "RETURNS int LANGUAGE sql AS $$ SELECT array_max(arr) $$"
+    )
+    return eng.sql(
+        """
+        SELECT r_regionkey,
+               r13_mygreatest(r_regionkey, 2, length(r_name)) AS g
+        FROM region ORDER BY r_regionkey
+        """
+    )
+
+
+@register(
+    "pgsql_custom_range_type",
+    # text-range containment over the fixture names: '[C,P)' holds
+    # names starting C..O (binary compare, matching the engine's
+    # default collation posture)
+    oracle="""
+    SELECT n_name,
+           (n_name >= 'C' AND n_name < 'P') AS in_range,
+           NOT (n_name >= 'C' AND n_name < 'P') AS outside
+    FROM nation ORDER BY n_name
+    """,
+    tags=("dialect", "types", "range"),
+)
+def pgsql_custom_range_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TYPE ... AS RANGE (rangetypes.c DefineRange; regress
+    sql/rangetypes.sql textrange), NEW r13: a user range type over a
+    text subtype lowers onto the engine's STRING-bound range family —
+    the constructor call and the '[lo,hi)' literal cast both become
+    pg_range_str(...), and @> containment rides the same codegen'd
+    boolean expressions as the built-in range types (zero Python,
+    broadcastable predicates at any scale)."""
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_fixtures(sf_dir)
+    eng.sql("CREATE TYPE r13_textrange AS RANGE (subtype = text)")
+    return eng.sql(
+        """
+        SELECT n_name,
+               r13_textrange('C', 'P') @> n_name AS in_range,
+               NOT ('[C,P)'::r13_textrange @> n_name) AS outside
+        FROM nation ORDER BY n_name
         """
     )
