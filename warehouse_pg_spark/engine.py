@@ -719,7 +719,10 @@ class Engine:
                 self._variadic_functions[name.lower()] = variadic_at
             return res
         if lang == "plpgsql":
-            expr = compile_plpgsql(params, ret_spark, body)
+            expr = compile_plpgsql(
+                params, ret_spark, body,
+                composites=self._user_types.composites,
+            )
         elif lang in ("sql", "internal"):
             # PG SQL functions return the last statement's result; the
             # supported subset is expression-bodied SELECTs.
@@ -820,7 +823,10 @@ class Engine:
                 )
 
                 expr = sql_dialect.rewrite(
-                    compile_plpgsql_outrow(params, cols, body)
+                    compile_plpgsql_outrow(
+                        params, cols, body,
+                        composites=self._user_types.composites,
+                    )
                 )
                 if len(cols) == 1:
                     q = f"SELECT {expr} AS {cols[0][0]}"
@@ -841,6 +847,7 @@ class Engine:
                         bare_next=bool(
                             out_cols or table_cols_raw is not None
                         ),
+                        composites=self._user_types.composites,
                     )
                 )
                 if len(cols) == 1:

@@ -426,12 +426,16 @@ def jsonpath_validate(p: str) -> None:
         if masked.count(pair[0]) != masked.count(pair[1]):
             raise ValueError(
                 f"invalid jsonpath: unbalanced {pair}")
-    # number tokens: JSON-style — no leading zeros, a digit before
-    # the dot, a non-empty exponent (jsonpath_scan.l {int}/{decimal})
-    # the token includes +/- only straight after an e/E (signed
-    # exponent); elsewhere +/- is an operator and ends the token
+    # number tokens (jsonpath_scan.l {int}/{decimal}): no leading
+    # zeros, a dot continues the number ONLY when a digit follows
+    # (1.e3 is number 1 + member access "e3" — valid), and a bare
+    # [eE] directly after the digits is an (invalid) empty exponent.
+    # A leading-dot fraction (.1) is invalid.
+    if _re.search(r"(?<![\w.])\.\d", masked):
+        raise ValueError(
+            "invalid jsonpath number: fraction without leading digit")
     for nm in _re.finditer(
-        r"(?<![\w.])((?:\d|\.\d)(?:[\w.]|(?<=[eE])[+-])*)", masked
+        r"(?<![\w.])(\d+(?:\.\d+)?(?:[eE][+-]?\d*)?)", masked
     ):
         tok = nm.group(1)
         if not _re.fullmatch(
@@ -439,15 +443,23 @@ def jsonpath_validate(p: str) -> None:
         ):
             raise ValueError(
                 f"invalid jsonpath number: {tok!r}")
-    # `last` is legal only inside a subscript; `@` only inside a
-    # filter (jsonpath_gram.y accessor contexts)
+        after = masked[nm.end(): nm.end() + 2]
+        # a trailing dot with no member/digit after ('(1.).e') is
+        # the scanner's "trailing junk after numeric literal"
+        if after.startswith(".") and not _re.match(
+            r"\.(?:\w|\*)", after
+        ):
+            raise ValueError(
+                f"invalid jsonpath number: {tok!r} followed by '.'")
+    # `last` is legal only inside a subscript or a .**{} level range;
+    # `@` only inside a filter (jsonpath_gram.y accessor contexts)
     depth_sq = depth_f = 0
     i = 0
     while i < len(masked):
         ch = masked[i]
-        if ch == "[":
+        if ch in "[{":
             depth_sq += 1
-        elif ch == "]":
+        elif ch in "]}":
             depth_sq -= 1
         elif masked.startswith("?", i):
             depth_f += 1

@@ -100,6 +100,9 @@ def _strip_comments(text: str) -> str:
 # stmts) ("null",)
 
 _ASSIGN_RE = re.compile(r"^([A-Za-z_]\w*)\s*:?=\s*(.+)$", re.DOTALL)
+_ASSIGN_FIELD_RE = re.compile(
+    r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*:?=\s*(.+)$", re.DOTALL
+)
 _FOR_QUERY_RE = re.compile(
     r"^FOR\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s+IN\s+"
     r"(SELECT\b.+?)\s+LOOP\b",
@@ -208,6 +211,15 @@ def _parse_stmts(stmts: list[str]) -> list[tuple]:
                 "(see README 'Known deviations')"
             )
         else:
+            fm = _ASSIGN_FIELD_RE.match(s)
+            if fm:
+                # rec.field := expr (pl_exec.c exec_assign_value over
+                # a row field) — rebuilt as a whole-struct assignment
+                out.append((
+                    "assign_field", fm.group(1).lower(),
+                    fm.group(2).lower(), fm.group(3).strip(),
+                ))
+                continue
             m = _ASSIGN_RE.match(s)
             if not m:
                 raise PlpgsqlError(f"cannot parse statement: {s[:80]!r}")
@@ -570,6 +582,8 @@ def _assigned_vars(stmts: list[tuple]) -> set[str]:
         k = s[0]
         if k == "assign":
             out.add(s[1])
+        elif k == "assign_field":
+            out.add(s[1])
         elif k in ("if", "case"):
             for _c, b in s[1]:
                 out |= _assigned_vars(b)
@@ -927,6 +941,29 @@ def _compile_seq(stmts: list[tuple], env: dict[str, str], returns: str) -> str:
         env2 = dict(env)
         env2[var] = f"({_subst(expr, env)})"
         return _compile_seq(tail, env2, returns)
+    if kind == "assign_field":
+        _, var, field, expr = head
+        meta = env.get(_FIELDS_KEY.format(var))
+        if meta is None:
+            raise PlpgsqlError(
+                f"{var!r} is not a record variable (declare it with a "
+                "composite type or tbl%rowtype for field assignment)"
+            )
+        fields = _record_fields(meta)
+        if field not in {f for f, _t in fields}:
+            raise PlpgsqlError(
+                f"record {var!r} has no field {field!r}")
+        cur = env[var]
+        new = _subst(expr, env)
+        parts = ", ".join(
+            f"'{f}', ({new})" if f == field else f"'{f}', ({cur}).{f}"
+            for f, _t in fields
+        )
+        styp = "STRUCT<" + ", ".join(
+            f"{f}: {t}" for f, t in fields) + ">"
+        env2 = dict(env)
+        env2[var] = f"(CAST(named_struct({parts}) AS {styp}))"
+        return _compile_seq(tail, env2, returns)
     if kind in ("if", "case"):
         _, cond_arms, else_body = head
         parts = ["CASE"]
@@ -1023,38 +1060,85 @@ _HEADER_RE = re.compile(
 )
 
 
+_FIELDS_KEY = "\x00fields:{}"  # env side-channel: record var field list
+_FSEP, _NSEP = "\x1f", "\x1e"
+
+
+def _record_meta(fields: list[tuple[str, str]]) -> str:
+    return _FSEP.join(f"{f}{_NSEP}{t}" for f, t in fields)
+
+
+def _record_fields(meta: str) -> list[tuple[str, str]]:
+    return [tuple(x.split(_NSEP, 1)) for x in meta.split(_FSEP)]
+
+
 def _base_env(
-    params: list[tuple[str, str]], decl: str
+    params: list[tuple[str, str]], decl: str,
+    composites: dict | None = None,
 ) -> dict[str, str]:
     """Seed the compile environment: parameters map to themselves,
     DECLAREd variables to their (substituted) initializer or a typed
-    NULL."""
+    NULL. `composites` maps a composite/rowtype name (lowercase) to an
+    object with `.fields` [(name, PG type), ...] — `r tbl%rowtype`
+    and `r composite_name` declares become typed NULL structs whose
+    field list rides the env side-channel for field assignment."""
     _CURRENT_PARAMS.clear()
     _CURRENT_PARAMS.update(p.lower() for p, _t in params)
     env: dict[str, str] = {p.lower(): p for p, _t in params}
-    for d in [x.strip() for x in decl.split(";") if x.strip()]:
-        dm = re.match(
-            r"^([A-Za-z_]\w*)\s+(?:CONSTANT\s+)?"
-            r"((?:[A-Za-z_]\w*\s*)+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
-            r"(?:\s*(?::=|DEFAULT)\s*(.+))?$",
-            d,
-            re.IGNORECASE | re.DOTALL,
-        )
-        if not dm:
-            raise PlpgsqlError(f"cannot parse declaration: {d[:80]!r}")
-        from warehouse_pg_spark.sql_dialect import map_decl_type
+    from warehouse_pg_spark.sql_dialect import map_decl_type
 
-        name, typ, init = dm.group(1).lower(), dm.group(2).strip(), dm.group(3)
-        typ = map_decl_type(typ)
-        if init is not None:
-            env[name] = f"(CAST(({_subst(init.strip(), env)}) AS {typ}))"
+    for d in [x.strip() for x in decl.split(";") if x.strip()]:
+        rm = re.match(
+            r"^([A-Za-z_]\w*)\s+([\w.]+)\s*%\s*rowtype$",
+            d,
+            re.IGNORECASE,
+        )
+        comp = None
+        if rm is not None:
+            cname = rm.group(2).split(".")[-1].lower()
+            comp = (composites or {}).get(cname)
+            if comp is None:
+                raise PlpgsqlError(
+                    f"unknown rowtype {rm.group(2)!r} in declaration")
+            name = rm.group(1).lower()
         else:
-            env[name] = f"(CAST(NULL AS {typ}))"
+            dm = re.match(
+                r"^([A-Za-z_]\w*)\s+(?:CONSTANT\s+)?"
+                r"((?:[A-Za-z_]\w*\s*)+"
+                r"(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+                r"(?:\s*(?::=|DEFAULT)\s*(.+))?$",
+                d,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not dm:
+                raise PlpgsqlError(
+                    f"cannot parse declaration: {d[:80]!r}")
+            name, typ, init = (
+                dm.group(1).lower(), dm.group(2).strip(), dm.group(3),
+            )
+            comp = (composites or {}).get(typ.lower())
+            if comp is None:
+                typ = map_decl_type(typ)
+                if init is not None:
+                    env[name] = (
+                        f"(CAST(({_subst(init.strip(), env)}) "
+                        f"AS {typ}))"
+                    )
+                else:
+                    env[name] = f"(CAST(NULL AS {typ}))"
+                continue
+        fields = [(f, map_decl_type(t)) for f, t in comp.fields]
+        styp = (
+            "STRUCT<" + ", ".join(f"{f}: {t}" for f, t in fields) + ">"
+        )
+        env[name] = f"(CAST(NULL AS {styp}))"
+        env[_FIELDS_KEY.format(name)] = _record_meta(fields)
     return env
 
 
 def compile_plpgsql(
-    params: list[tuple[str, str]], returns: str, body: str
+    params: list[tuple[str, str]], returns: str, body: str,
+    composites: dict | None = None,
 ) -> str:
     """Compile a PL/pgSQL body to one SQL expression over the params.
 
@@ -1065,7 +1149,7 @@ def compile_plpgsql(
     m = _HEADER_RE.search(masked)
     if not m:
         raise PlpgsqlError("body must be [DECLARE ...] BEGIN ... END")
-    env = _base_env(params, m.group("decl") or "")
+    env = _base_env(params, m.group("decl") or "", composites)
     stmts = _parse_stmts(_split_statements(m.group("body")))
     return _unmask(_compile_seq(stmts, env, returns), lits)
 
@@ -1075,6 +1159,7 @@ def compile_plpgsql_setof(
     cols: list[tuple[str, str]],
     body: str,
     bare_next: bool = False,
+    composites: dict | None = None,
 ) -> str:
     """Compile a SET-RETURNING PL/pgSQL body to ONE SQL expression of
     type ARRAY<elem> (pl_exec.c exec_stmt_return_next /
@@ -1118,7 +1203,7 @@ def compile_plpgsql_setof(
     m = _HEADER_RE.search(masked)
     if not m:
         raise PlpgsqlError("body must be [DECLARE ...] BEGIN ... END")
-    env = _base_env(params, m.group("decl") or "")
+    env = _base_env(params, m.group("decl") or "", composites)
     env["__retset"] = f"(CAST(array() AS ARRAY<{elem_t}>))"
     if bare_next:
         # RETURNS TABLE / OUT columns are implicitly declared,
@@ -1199,6 +1284,7 @@ def compile_plpgsql_outrow(
     params: list[tuple[str, str]],
     cols: list[tuple[str, str]],
     body: str,
+    composites: dict | None = None,
 ) -> str:
     """Compile a non-SETOF OUT-parameter PL/pgSQL body (pl_exec.c
     exec_stmt_return with out-param row build): the function returns
@@ -1228,7 +1314,7 @@ def compile_plpgsql_outrow(
     m = _HEADER_RE.search(masked)
     if not m:
         raise PlpgsqlError("body must be [DECLARE ...] BEGIN ... END")
-    env = _base_env(params, m.group("decl") or "")
+    env = _base_env(params, m.group("decl") or "", composites)
     for c, t in cols:
         env.setdefault(c.lower(), f"(CAST(NULL AS {t}))")
     btext = m.group("body")

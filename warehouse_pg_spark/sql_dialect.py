@@ -5537,13 +5537,13 @@ def rewrite(sql: str) -> str:
         if t == "nan":
             return float("nan")
         v = float(t)  # ValueError propagates (PG raises there too)
+        # float.c float8in (PG 12+): raise only when strtod overflows
+        # to ±inf or underflows to EXACTLY zero from nonzero text —
+        # denormals ('1e-323') are accepted
         if v in (float("inf"), float("-inf")):
             raise ValueError(
                 f'"{t}" is out of range for type double precision')
         if v == 0.0 and re.search(r"[1-9]", t.split("e")[0]):
-            raise ValueError(
-                f'"{t}" is out of range for type double precision')
-        if v != 0.0 and abs(v) < 2.2250738585072014e-308:
             raise ValueError(
                 f'"{t}" is out of range for type double precision')
         return v
@@ -5556,7 +5556,8 @@ def rewrite(sql: str) -> str:
         if _math.isnan(v) or _math.isinf(v):
             raise ValueError(f"{tgt} out of range")
         r = round(v)  # banker's rounding, as rint()
-        if abs(r) > _INT_RANGES[tgt]:
+        lim = _INT_RANGES[tgt]
+        if not (-lim - 1 <= r <= lim):  # two's-complement min is -max-1
             raise ValueError(f"{tgt} out of range")
         return f"CAST({r} AS {'BIGINT' if _INT_RANGES[tgt] > 2**31 else 'INT' if _INT_RANGES[tgt] > 2**15 else 'SMALLINT'})"
 
@@ -5573,7 +5574,8 @@ def rewrite(sql: str) -> str:
         return m.group(0)
 
     out = re.sub(
-        rf"({_LIT})\s*::\s*(?:float[48]?|real|double\s+precision)\b",
+        rf"({_LIT})\s*::\s*(?:float[48]?|real|double\s+precision)\b"
+        r"(?!\s*\[)",  # float8[] array casts are array_in, not float8in
         _check_float8_lit,
         out,
         flags=re.IGNORECASE,
@@ -5586,6 +5588,10 @@ def rewrite(sql: str) -> str:
         try:
             v = _pg_float_text(_lit_value(m.group(2), lits))
         except ValueError:
+            return m.group(0)
+        import math as _math
+
+        if _math.isnan(v):  # float.c: NaN propagates, never raises
             return m.group(0)
         bad = (
             (fn == "acosh" and v < 1.0)
