@@ -5648,6 +5648,77 @@ def rewrite(sql: str) -> str:
         out,
     )
 
+    # linear_interpolate over TIME literals (interpolate.c accepts
+    # any orderable abscissa): the engine's TIME model is an interval,
+    # which the DOUBLE-typed shim can't take — fold literal ::time
+    # args to their seconds-past-midnight value
+    def _fold_li_time_args(m: re.Match) -> str:
+        args = _split_args(m.group(1))
+        if len(args) != 5:
+            return m.group(0)
+        changed = False
+        for i, a in enumerate(args):
+            am = re.match(
+                rf"(?is)^\s*({_LIT})\s*::\s*time\s*$", a
+            )
+            if am is None:
+                continue
+            parts = _lit_value(am.group(1), lits).split(":")
+            try:
+                secs = int(parts[0]) * 3600 + int(parts[1]) * 60 + (
+                    float(parts[2]) if len(parts) > 2 else 0.0
+                )
+            except (ValueError, IndexError):
+                return m.group(0)
+            args[i] = f"CAST({secs} AS DOUBLE)"
+            changed = True
+        if not changed:
+            return m.group(0)
+        return (
+            "linear_interpolate("
+            + ", ".join(a.strip() for a in args) + ")"
+        )
+
+    out = re.sub(
+        r"(?i)\blinear_interpolate\s*"
+        r"\(((?:[^()]|\([^()]*\))*)\)",
+        _fold_li_time_args,
+        out,
+    )
+
+    # date literal + TIME WITH TIME ZONE literal (date.c
+    # datetimetz_pl / timetz part of gram.y const_datetime): the sum
+    # is a timestamptz at that wall time in the literal's zone —
+    # folds to to_utc_timestamp over the combined instant
+    def _fold_date_plus_timetz(m: re.Match) -> str:
+        d = _lit_value(m.group(1), lits).strip()
+        body = _lit_value(m.group(2), lits).strip()
+        tm = re.match(
+            r"^(\d{1,2}:\d{2}(?::\d{2})?(?:\.\d+)?)\s*"
+            r"([A-Za-z_/+-].*)$",
+            body,
+        )
+        if tm is None or not re.fullmatch(r"\d{4}-\d{2}-\d{2}", d):
+            return m.group(0)
+        zone = tm.group(2).strip()
+        zone = (
+            _TZ_ABBREV_OFFSETS.get(zone.upper())
+            or _TZ_ABBREV_ZONES.get(zone.upper())
+            or zone
+        )
+        return (
+            f"to_utc_timestamp(TIMESTAMP "
+            f"{_new_lit(f'{d} {tm.group(1)}', lits)}, "
+            f"{_new_lit(zone, lits)})"
+        )
+
+    out = re.sub(
+        rf"(?i)\bDATE\s*({_LIT})\s*\+\s*"
+        rf"TIME\s+WITH\s+TIME\s+ZONE\s*({_LIT})",
+        _fold_date_plus_timetz,
+        out,
+    )
+
     # session_user / current_role (gram.y SystemFuncName keywords):
     # the single-user engine equates all three identity functions
     out = re.sub(
