@@ -1073,3 +1073,42 @@ def test_plan_time_validation_executes(spark):
     assert run("SELECT '123.5'::float4::int2 AS v") == 124
     assert run("SELECT '122.5'::float8::int2 AS v") == 122  # half-even
     assert str(run("SELECT make_date(2013, 7, 15) AS v")) == "2013-07-15"
+
+
+def test_r14_advice_regressions():
+    """r13 advice closures: named-window refs survive the
+    no-ORDER-BY rewrite, ::bool[] stays an array_in cast, jsonb->int
+    rounds+range-checks (numeric.c), jsonpath filter nesting pairs
+    '? (' with its close paren, and ::float4 literals range-check
+    against FLT_MAX (float.c float4in)."""
+    import pytest
+
+    from warehouse_pg_spark.functions.pg import jsonpath_validate
+
+    # OVER (w) named-window reference is untouched
+    s = sql_dialect.rewrite(
+        "SELECT rank() OVER (w) FROM t WINDOW w AS (ORDER BY x)")
+    assert "OVER (w)" in s
+    # inline empty window still gets the constant ordering
+    assert "ORDER BY null" in sql_dialect.rewrite("SELECT rank() OVER ()")
+
+    # bool[] literal goes through array_in, not boolin
+    assert "ARRAY<BOOLEAN>" in sql_dialect.rewrite("SELECT '{t,f}'::bool[]")
+
+    # jsonb -> int family: round half away from zero + range check
+    assert "CAST(2 AS INT)" in sql_dialect.rewrite("SELECT '1.9'::jsonb::int4")
+    with pytest.raises(ValueError, match="smallint out of range"):
+        sql_dialect.rewrite("SELECT '100000'::jsonb::smallint")
+
+    # a top-level @ AFTER a closed filter is still rejected
+    with pytest.raises(ValueError, match="only in filters"):
+        jsonpath_validate("$ ? (@ > 1).a + @")
+    jsonpath_validate("$.a ? (@.b > 1)")  # valid filters still pass
+
+    # float4 literal overflow/underflow raises; float8 doesn't
+    with pytest.raises(ValueError, match="type real"):
+        sql_dialect.rewrite("SELECT '1e39'::float4")
+    with pytest.raises(ValueError, match="type real"):
+        sql_dialect.rewrite("SELECT '1e-46'::real")
+    sql_dialect.rewrite("SELECT '1e39'::float8")
+    sql_dialect.rewrite("SELECT '1e-44'::float4")  # float4 denormal ok

@@ -453,7 +453,9 @@ def jsonpath_validate(p: str) -> None:
                 f"invalid jsonpath number: {tok!r} followed by '.'")
     # `last` is legal only inside a subscript or a .**{} level range;
     # `@` only inside a filter (jsonpath_gram.y accessor contexts)
-    depth_sq = depth_f = 0
+    depth_sq = depth_par = 0
+    filter_parens: list = []  # paren depths where a `? (` opened
+    pending_filter = False
     i = 0
     while i < len(masked):
         ch = masked[i]
@@ -461,11 +463,22 @@ def jsonpath_validate(p: str) -> None:
             depth_sq += 1
         elif ch in "]}":
             depth_sq -= 1
-        elif masked.startswith("?", i):
-            depth_f += 1
-        elif ch == "@" and depth_f == 0:
+        elif ch == "?":
+            pending_filter = True
+        elif ch == "(":
+            depth_par += 1
+            if pending_filter:
+                filter_parens.append(depth_par)
+                pending_filter = False
+        elif ch == ")":
+            if filter_parens and filter_parens[-1] == depth_par:
+                filter_parens.pop()
+            depth_par -= 1
+        elif ch == "@" and not filter_parens:
             raise ValueError(
                 "invalid jsonpath: @ is allowed only in filters")
+        if pending_filter and ch not in "? \t":
+            pending_filter = False
         elif masked.startswith("last", i) and masked[
             i + 4: i + 5
         ].isalnum() is False and depth_sq == 0:

@@ -5416,6 +5416,13 @@ def rewrite(sql: str) -> str:
     def _win_no_order(m: re.Match) -> str:
         if re.search(r"(?i)\bORDER\s+BY\b", m.group(3)):
             return m.group(0)
+        # OVER (w) where w is a named-window reference (WINDOW w AS
+        # ...): PG allows the bare reference even when w carries an
+        # ORDER BY; rewriting it breaks Spark's parser — leave it
+        if re.fullmatch(r"\s*[A-Za-z_]\w*\s*", m.group(3)) and not re.match(
+            r"(?i)\s*(?:partition|order|rows|range|groups)\b", m.group(3)
+        ):
+            return m.group(0)
         return (
             f"{m.group(1)}{m.group(2)} OVER "
             f"({m.group(3)} ORDER BY null)"
@@ -5474,10 +5481,38 @@ def rewrite(sql: str) -> str:
         )
         if fam == "boolean" and isinstance(v, bool):
             return "true" if v else "false"
+        _jb_int = {
+            "int2": ("smallint", 32767, "SMALLINT"),
+            "smallint": ("smallint", 32767, "SMALLINT"),
+            "int": ("integer", 2147483647, "INT"),
+            "int4": ("integer", 2147483647, "INT"),
+            "integer": ("integer", 2147483647, "INT"),
+            "int8": ("bigint", 9223372036854775807, "BIGINT"),
+            "bigint": ("bigint", 9223372036854775807, "BIGINT"),
+        }
         if fam == "numeric" and isinstance(
             v, (int, float)
         ) and not isinstance(v, bool):
-            return f"CAST({v!r} AS {'BIGINT' if target.startswith('int') and isinstance(v, int) else 'DOUBLE' if 'float' in target or target in ('real', 'double precision') else 'DECIMAL(38,18)'})"
+            if target in _jb_int:
+                # jsonb numbers are PG numerics: numeric->int rounds
+                # half AWAY from zero (numeric.c) then range-checks
+                pgname, lim, sty = _jb_int[target]
+                import math as _math
+
+                r = (
+                    _math.floor(v + 0.5) if v >= 0
+                    else _math.ceil(v - 0.5)
+                )
+                if not (-lim - 1 <= r <= lim):
+                    raise ValueError(f"{pgname} out of range")
+                return f"CAST({r} AS {sty})"
+            sty = (
+                "DOUBLE"
+                if "float" in target
+                or target in ("real", "double precision")
+                else "DECIMAL(38,18)"
+            )
+            return f"CAST({v!r} AS {sty})"
         kind = (
             "object" if isinstance(v, dict)
             else "array" if isinstance(v, list)
@@ -5514,7 +5549,8 @@ def rewrite(sql: str) -> str:
             f"invalid input syntax for type boolean: \"{v}\"")
 
     out = re.sub(
-        rf"(?i)\bbool(?:ean)?\s*({_LIT})|({_LIT})\s*::\s*bool(?:ean)?\b",
+        rf"(?i)\bbool(?:ean)?\s*({_LIT})"
+        rf"|({_LIT})\s*::\s*bool(?:ean)?\b(?!\s*\[)",
         _fold_bool_lit,
         out,
     )
@@ -5570,11 +5606,27 @@ def rewrite(sql: str) -> str:
     )
 
     def _check_float8_lit(m: re.Match) -> str:
-        _pg_float_text(_lit_value(m.group(1), lits))
+        txt = _lit_value(m.group(1), lits)
+        v = _pg_float_text(txt)
+        # float.c float4in: a finite double that overflows FLT_MAX or
+        # underflows to float4-zero from nonzero text raises "out of
+        # range for type real" (float8 is fine with it)
+        if m.group(2).lower() in ("float4", "real"):
+            import math as _math
+            import struct as _struct
+
+            if not (_math.isnan(v) or _math.isinf(v)):
+                try:
+                    v4 = _struct.unpack("f", _struct.pack("f", v))[0]
+                except OverflowError:
+                    v4 = float("inf")
+                if _math.isinf(v4) or (v4 == 0.0 and v != 0.0):
+                    raise ValueError(
+                        f'"{txt}" is out of range for type real')
         return m.group(0)
 
     out = re.sub(
-        rf"({_LIT})\s*::\s*(?:float[48]?|real|double\s+precision)\b"
+        rf"({_LIT})\s*::\s*(float[48]?|real|double\s+precision)\b"
         r"(?!\s*\[)",  # float8[] array casts are array_in, not float8in
         _check_float8_lit,
         out,
