@@ -69,7 +69,22 @@ def sf_of(path: str) -> float:
         return -1.0
 
 
+def read_loadavg() -> tuple[float, float, float]:
+    try:
+        with open("/proc/loadavg") as f:
+            a, b, c = f.read().split()[:3]
+        return float(a), float(b), float(c)
+    except (OSError, ValueError):
+        return (-1.0, -1.0, -1.0)
+
+
 def main() -> None:
+    # Load-pollution guard (r13 lesson: an ambient-load driver run
+    # inflated every timing +11% and became the round record). The
+    # JSON always carries loadavg_start/end; when the 5-min average
+    # says the machine is busy the record is STAMPED polluted so a
+    # bad number can never pass silently as a regression.
+    load_start = read_loadavg()
     spark = get_spark(SessionConfig(app_name="warehouse_pg_spark-bench"))
     query_dir = stage_warehouse(spark, SF_DIR) if STAGE else SF_DIR
     bench_queries = {
@@ -111,6 +126,7 @@ def main() -> None:
         "tpch_q6_forecast_revenue", "ts_asof_join",
         "window_running_sum", "window_topn_per_group",
     }
+    load_end = read_loadavg()
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -120,7 +136,13 @@ def main() -> None:
         ),
         "queries": timings,
         "sf": sf_of(SF_DIR),
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
     }
+    # the bench itself contributes ~nothing to the PRE-start 5-min
+    # average; > 1.0 there means something else owns the cores
+    if load_start[1] > 1.0:
+        out["polluted"] = True
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -1112,3 +1112,38 @@ def test_r14_advice_regressions():
         sql_dialect.rewrite("SELECT '1e-46'::real")
     sql_dialect.rewrite("SELECT '1e39'::float8")
     sql_dialect.rewrite("SELECT '1e-44'::float4")  # float4 denormal ok
+
+
+def test_srf_order_by_and_xml_bytea(spark):
+    """r14 in-scope-error closures: SRFs in ORDER BY lockstep with the
+    select list (execSRF.c; tsrf.sql), xmlelement over bytea literals
+    per the xmlbinary GUC (xml.c map_sql_value_to_xml_value), and the
+    json-returning `->` keeping string-leaf quoting (jsonfuncs.c
+    json_object_field)."""
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+
+    def vals(q):
+        return [r[0] for r in eng.sql(q).collect()]
+
+    assert vals(
+        "select generate_series(1,3)+1 order by generate_series(1,3)"
+    ) == [2, 3, 4]
+    assert vals("select generate_series(1,3) as x order by x desc") == [
+        3, 2, 1]
+    assert vals("SELECT xmlelement(name foo, bytea 'bar')") == [
+        "<foo>YmFy</foo>"]
+    eng.sql("SET xmlbinary TO hex")
+    assert vals("SELECT xmlelement(name foo, bytea 'bar')") == [
+        "<foo>626172</foo>"]
+    eng.sql("RESET xmlbinary")
+    assert vals("SELECT xmlelement(name foo, bytea 'bar')") == [
+        "<foo>YmFy</foo>"]
+    # json -> keeps quoting on string leaves; ->> unquotes; json null
+    # leaf renders as 'null' (PG json_object_field)
+    assert vals("""select '{"a":"b"}'::json -> 'a'""") == ['"b"']
+    assert vals("""select '{"a":"b"}'::json ->> 'a'""") == ["b"]
+    assert vals("""select json '{"a":{"b":"c"}}' -> 'a' ->> 'b'""") == ["c"]
+    assert vals("""select '{"a":null}'::json -> 'a'""") == ["null"]
+    assert vals("""select '["x","y"]'::json -> -1""") == ['"y"']

@@ -1664,15 +1664,18 @@ def test_jsonb_arrow_over_cast_and_negative_index(engine):
     """`'lit'::jsonb -> key` — the arrow LHS scan traverses ::casts
     (round-10 probe regression: the backward scan stopped at the cast
     TYPE word and mangled the rewrite); negative array subscripts
-    count from the end (jsonfuncs.c jsonb_array_element)."""
+    count from the end (jsonfuncs.c jsonb_array_element). The
+    json-returning `->` keeps string-leaf quoting (r14; PG `-> 1`
+    over ["a","b",..] is `"b"`, not `b` — that's `->>`'s job)."""
     r = engine.sql(
         """SELECT '{"n":null,"a":1}'::jsonb -> 'a' AS a,
                   '["a","b",[1,2],null]'::jsonb -> 1 AS b,
+                  '["a","b",[1,2],null]'::jsonb ->> 1 AS b_text,
                   '["a","b",[1,2],null]'::jsonb -> -2 AS c,
                   '["a","b",[1,2],null]'::jsonb -> -5 AS d,
                   '{"a":{"b":7}}'::jsonb -> 'a' ->> 'b' AS e"""
     ).collect()[0]
-    assert r.a == "1" and r.b == "b"
+    assert r.a == "1" and r.b == '"b"' and r.b_text == "b"
     assert r.c == "[1,2]" and r.d is None and r.e == "7"
 
 

@@ -475,6 +475,8 @@ def main() -> None:
     value_pass = exec_only = skipped_nondet = diverges = 0
     error_parity = 0
     ctx_stmts = ctx_ok = ctx_files = 0
+    ctx_fail_census: dict[str, int] = {}
+    ctx_fail_samples: dict[str, list] = {}
     engine_errors: list[dict] = []
     mismatches: list[dict] = []
     should_error: list[str] = []
@@ -496,8 +498,16 @@ def main() -> None:
                 try:
                     eng.sql(c)
                     ctx_ok += 1
-                except Exception:
-                    pass
+                except Exception as cex:
+                    ctx_fail_census[_ctx_family(c)] = (
+                        ctx_fail_census.get(_ctx_family(c), 0) + 1
+                    )
+                    fam = _ctx_family(c)
+                    if len(ctx_fail_samples.setdefault(fam, [])) < 5:
+                        ctx_fail_samples[fam].append(
+                            {"sql": c[:200],
+                             "err": str(cex)[:160]}
+                        )
                 try:
                     con.execute(c)  # best-effort oracle context
                 except Exception:
@@ -851,6 +861,23 @@ def main() -> None:
                 return "out-of-scope: regress-local UDF/type or admin fn"
             if re.search(r"\$\d+\b", e):  # bare prepared-stmt params
                 return "out-of-scope: unbound $n parameter"
+            # bare PL/pgSQL variables probed outside any body: the
+            # corpus line-splitter lifts `select value + seed;` /
+            # `i_caller` lines out of CREATE FUNCTION bodies; run
+            # standalone, PG itself raises column-does-not-exist —
+            # the engine raising UNRESOLVED_COLUMN is error parity
+            if "UNRESOLVED_COLUMN" in err:
+                um = re.search(r"`(\w+)`", err)
+                if um and re.search(
+                    rf"\b{re.escape(um.group(1))}\b(?!\s*\()",
+                    el,
+                    re.IGNORECASE,
+                ):
+                    return (
+                        "error-parity: bare identifier outside its "
+                        "PL/pgSQL body (PG raises "
+                        "column-does-not-exist)"
+                    )
             return "in-scope"
 
         def se_family(s: str) -> str:

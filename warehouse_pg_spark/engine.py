@@ -145,6 +145,7 @@ _GUC_DEFAULTS: dict[str, str] = {
     "datestyle": "ISO, MDY",
     "intervalstyle": "postgres",
     "bytea_output": "hex",
+    "xmlbinary": "base64",
     "client_encoding": "UTF8",
     "server_encoding": "UTF8",
     "max_parallel_workers_per_gather": "2",
@@ -912,12 +913,15 @@ class Engine:
                     )
                 elif key == "strict_errors":
                     self.spark.conf.set("spark.sql.ansi.enabled", "false")
+                elif key == "xmlbinary":
+                    sql_dialect.set_xmlbinary("base64")
             return self._tag(0)
         if _DISCARD_RE.match(s):
             # DISCARD ALL (commands/discard.c): session back to pristine
             self._prepared.clear()
             self._gucs.clear()
             self._gucs.update(_GUC_DEFAULTS)
+            sql_dialect.set_xmlbinary("base64")
             self.spark.conf.set(
                 "spark.sql.session.timeZone", self._default_timezone
             )
@@ -1061,6 +1065,8 @@ class Engine:
             self._gucs[key] = val
             if key == "timezone":
                 self.spark.conf.set("spark.sql.session.timeZone", val)
+            elif key == "xmlbinary":
+                sql_dialect.set_xmlbinary(val)
             elif key == "strict_errors":
                 # PG raises where the default posture returns NULL or
                 # wraps (division by zero, int overflow, bad casts,

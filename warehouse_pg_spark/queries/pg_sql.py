@@ -2337,3 +2337,40 @@ def pgsql_custom_range_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nation ORDER BY n_name
         """
     )
+
+
+@register(
+    "pgsql_json_arrow_quoting",
+    # DuckDB's json -> is PG-faithful for string leaves (keeps JSON
+    # quoting), so it oracles the engine's variant-backed arrow
+    # directly; ->> unquotes in both
+    oracle="""
+    SELECT event_id,
+           CAST(('{"t":"' || event_type || '"}')::json -> 't' AS VARCHAR)
+             AS quoted_leaf,
+           CAST(props -> 'k' AS VARCHAR) AS k_json,
+           props ->> 'k' AS k_text
+    FROM events WHERE event_id % 997 = 0
+    ORDER BY event_id
+    """,
+    tags=("dialect", "json"),
+)
+def pgsql_json_arrow_quoting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json `->` returns JSON — string leaves keep their quoting
+    (jsonfuncs.c json_object_field), unlike the text-returning `->>`.
+    Lowered to to_json(try_variant_get(try_parse_json(x), path)):
+    Spark 4 variant extraction, JVM-side, no Python per row. The
+    chain-fold still collapses multi-step arrows to one path; only
+    the final step's arrow picks the extractor."""
+    return _engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT event_id,
+               ('{"t":"' || event_type || '"}')::json -> 't' AS quoted_leaf,
+               props -> 'k' AS k_json,
+               props ->> 'k' AS k_text
+        FROM events WHERE event_id % 997 = 0
+        ORDER BY event_id
+        """,
+    )

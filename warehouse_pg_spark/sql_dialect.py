@@ -966,7 +966,10 @@ _JSONB_PATH_FN_RE = re.compile(
     re.IGNORECASE,
 )
 _DQUOTE_IDENT_RE = re.compile(r'"((?:[^"]|"")*)"')
-_BYTEA_CAST_RE = re.compile(rf"(?:\bE)?({_LIT})\s*::\s*bytea\b", re.IGNORECASE)
+_BYTEA_CAST_RE = re.compile(
+    rf"(?:(?:\bE)?({_LIT})\s*::\s*bytea\b|\bbytea\s+({_LIT}))",
+    re.IGNORECASE,
+)
 _MONEY_CAST_RE = re.compile(
     # operand: literal, CAST(..)-chain output of earlier passes,
     # parenthesized expression ('(-12345)::money'), or bare name —
@@ -1395,6 +1398,94 @@ _SRF_LIST_STOP = frozenset(
 )
 
 
+def _rewrite_srf_order_by(sql: str) -> str:
+    """SRFs in ORDER BY run in lockstep with the select list's SRFs —
+    same nesting level, one row set (execSRF.c; regress sql/tsrf.sql
+    `select generate_series(1,3)+1 order by generate_series(1,3)`).
+    Spark forbids generators inside Sort, so hoist every SRF (select
+    items AND ORDER BY items) into one zipped inline() in a derived
+    table and sort on hidden __ob columns. Claims the FROM-less
+    top-level shape only; anything else stays loud."""
+    m = re.match(
+        r"(?is)^\s*select\s+(.*?)\s+order\s+by\s+(.*?)\s*;?\s*$", sql
+    )
+    if m is None:
+        return sql
+    head, ob = m.group(1), m.group(2)
+    if re.search(
+        r"(?i)\b(?:from|where|group\s+by|having|union|intersect"
+        r"|except|window|distinct)\b",
+        head,
+    ):
+        return sql
+    tail = ""
+    tm = re.search(r"(?i)\b(?:limit|offset|fetch)\b", ob)
+    if tm:
+        ob, tail = ob[: tm.start()], " " + ob[tm.start():]
+    if not re.search(r"(?i)\b(?:generate_series|unnest)\s*\(", ob):
+        return sql
+    sel_items = _split_args(head)
+    arrays: list[str] = []
+    fields: list[str] = []
+    names: list[str] = []
+    for it in sel_items:
+        info = _analyze_srf_item(it)
+        if info:
+            arr, wrap, name = info
+            fields.append(
+                f"{wrap.replace(_SRF_VAR, f'__s.`{len(arrays)}`')} "
+                f"AS {name}"
+            )
+            arrays.append(arr)
+            names.append(name)
+        else:
+            if re.search(r"(?i)\b(?:generate_series|unnest)\s*\(", it):
+                return sql  # SRF item we can't analyze: stay loud
+            am = re.search(r"(?is)\s+AS\s+(\w+)\s*$", it.strip())
+            if am is None:
+                return sql  # alias-less plain item: not claimed
+            fields.append(it.strip())
+            names.append(am.group(1))
+    if len(set(names)) != len(names):
+        return sql
+    ob_out: list[str] = []
+    for k, obit in enumerate(_split_args(ob)):
+        expr = obit.strip()
+        sfx = ""
+        while True:
+            sm = re.search(
+                r"(?is)\s+(asc|desc|nulls\s+first|nulls\s+last)\s*$",
+                expr,
+            )
+            if sm is None:
+                break
+            sfx = " " + sm.group(1) + sfx
+            expr = expr[: sm.start()]
+        if re.search(r"(?i)\b(?:generate_series|unnest)\s*\(", expr):
+            info = _analyze_srf_item(expr)
+            if info is None:
+                return sql
+            arr, wrap, _ = info
+            fields.append(
+                f"{wrap.replace(_SRF_VAR, f'__s.`{len(arrays)}`')} "
+                f"AS __ob{k}"
+            )
+            arrays.append(arr)
+            ob_out.append(f"__ob{k}{sfx}")
+        else:
+            ob_out.append(obit.strip())
+    if not arrays:
+        return sql
+    gen = (
+        f"inline(transform(arrays_zip({', '.join(arrays)}), "
+        f"__s -> struct({', '.join(fields)})))"
+    )
+    return (
+        f"SELECT {', '.join(names)} FROM (SELECT {gen}) "
+        f"ORDER BY {', '.join(ob_out)}{tail}"
+    )
+
+
 def _rewrite_multi_srf_select(sql: str) -> str:
     """Multiple SRFs in one SELECT list run in LOCKSTEP, shorter ones
     padded with NULL to the longest (execSRF.c; regress sql/tsrf.sql:
@@ -1746,6 +1837,20 @@ _XML_AS_NAME_RE = re.compile(r"(?is)^(.*?)\s+AS\s+(`[^`]+`|\w+)\s*$")
 _XML_TYPED_ARG_RE = re.compile(
     r"(?is)^(?:pg_xml\s*\(|xml\s*\x01)|::\s*xml\s*$"
 )
+
+# xmlbinary GUC (xml.c XML_BINARY_BASE64 default): how bytea content
+# renders inside XML constructors. Session-scoped — the engine's SET
+# handler flips it; rewrite() reads it at plan time.
+_XMLBINARY = "base64"
+
+
+def set_xmlbinary(mode: str) -> None:
+    global _XMLBINARY
+    _XMLBINARY = "hex" if mode.strip().lower() == "hex" else "base64"
+
+
+def _xmlbinary_mode() -> str:
+    return _XMLBINARY
 _XML_TYPED_LIT_RE = re.compile(rf"\bxml\s+({_LIT})", re.IGNORECASE)
 # LIKE/ILIKE '<pat>' ESCAPE '<c>' with a custom escape char (like.c
 # MatchText): Spark rejects escape chars that are themselves LIKE
@@ -1809,6 +1914,24 @@ def _rewrite_xml_ctors(sql: str, lits: list[str] | None = None) -> str:
         a = a.strip()
         if _XML_TYPED_ARG_RE.search(a):
             return f"CAST({a} AS STRING)"
+        # bytea literal args map per the xmlbinary GUC (xml.c
+        # map_sql_value_to_xml_value: base64 default, hex opt-in);
+        # folds at plan time — base64/hex text needs no escaping
+        bm = re.fullmatch(
+            rf"(?is)(?:bytea\s+({_LIT})|(?:E)?({_LIT})\s*::\s*bytea)", a
+        )
+        if bm and lits is not None:
+            txt = _lit_value(bm.group(1) or bm.group(2), lits)
+            low = txt.lower()
+            if low.startswith("\\\\x") or low.startswith("\\x"):
+                data = bytes.fromhex(txt.split("x", 1)[1])
+            else:
+                data = txt.encode()
+            if _xmlbinary_mode() == "hex":
+                return f"'{data.hex()}'"
+            import base64 as _b64
+
+            return f"'{_b64.b64encode(data).decode()}'"
         return f"xml_escape_content(CAST({a} AS STRING))"
 
     def named_items(args: list[str]) -> list[tuple[str, str]] | None:
@@ -5151,6 +5274,35 @@ def _map_type(t: str) -> str:
     return mapped
 
 
+def _lower_pg_json_field(sql: str) -> str:
+    """Lower the pg_json_field(base, 'path') markers a final `->`
+    step leaves behind to a variant extraction: to_json(
+    try_variant_get(try_parse_json(base), path)) keeps JSON string
+    quoting and the json-null leaf, exactly PG's json-returning arrow
+    (jsonfuncs.c json_object_field). All JVM-side."""
+    while True:
+        i = sql.find("pg_json_field(")
+        if i < 0:
+            return sql
+        j = i + len("pg_json_field(")
+        depth = 1
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        content = sql[i + len("pg_json_field(") : j - 1]
+        pm = re.search(rf",\s*({_LIT})\s*$", content)
+        if pm is None:  # defensive: malformed marker stays visible
+            return sql
+        base, path = content[: pm.start()], pm.group(1)
+        repl = (
+            f"to_json(try_variant_get(try_parse_json({base}), {path}))"
+        )
+        sql = sql[:i] + repl + sql[j:]
+
+
 def _rewrite_arrows(sql: str, lits: list[str]) -> str:
     """Rewrite JSON arrows to get_json_object, folding chains into ONE
     path (j -> 'a' ->> 'b' ≡ get_json_object(j, '$.a.b'), j -> 0 ≡
@@ -5167,11 +5319,14 @@ def _rewrite_arrows(sql: str, lits: list[str]) -> str:
     sql = re.sub(
         r"(?i)\bjsonb?\s+(\x01\d+\x01)(?=\s*(?:->|#>))", r"\1", sql
     )
-    gjo_base = re.compile(rf"get_json_object\((.*),\s*({_LIT})\)$", re.DOTALL)
+    gjo_base = re.compile(
+        rf"(?:get_json_object|pg_json_field)\((.*),\s*({_LIT})\)$",
+        re.DOTALL,
+    )
     while True:
         m = _ARROW_STEP_RE.search(sql)
         if m is None:
-            return sql
+            return _lower_pg_json_field(sql)
         # scan LHS backwards: identifier / masked literal / balanced
         # paren group (optionally a call: name(...))
         i = m.start() - 1
@@ -5230,16 +5385,27 @@ def _rewrite_arrows(sql: str, lits: list[str]) -> str:
                 start = jj + 1
         base = sql[start:end]
         key = m.group(2)
+        # `->` returns json — string leaves KEEP their JSON quoting
+        # (jsonfuncs.c json_object_field); `->>` returns text. The
+        # chain folds into one path either way; the LAST step's arrow
+        # picks the extractor (pg_json_field lowers to a variant
+        # extraction after the loop).
+        fname = "get_json_object" if m.group(1) == ">" else "pg_json_field"
         if not _MASK_RE.match(key) and key.startswith("-"):
             # negative array index counts from the end (jsonfuncs.c
             # jsonb_array_element): get_json_object has no negative
             # subscripts — index into the parsed array (out-of-range
             # element_at is NULL under ANSI-off, matching PG's NULL).
-            # Elements come back as their JSON text (nested values) or
-            # bare scalars, same as the get_json_object path.
-            repl = (
-                f"element_at(from_json({base}, 'array<string>'), {key})"
-            )
+            if fname == "pg_json_field":
+                # json-returning form: keep element quoting via variant
+                repl = (
+                    f"to_json(element_at(from_json({base}, "
+                    f"'array<variant>'), {key}))"
+                )
+            else:
+                repl = (
+                    f"element_at(from_json({base}, 'array<string>'), {key})"
+                )
             sql = sql[:start] + repl + sql[m.end():]
             continue
         step = (
@@ -5248,9 +5414,9 @@ def _rewrite_arrows(sql: str, lits: list[str]) -> str:
         fold = gjo_base.match(base)
         if fold:  # extend the existing path instead of nesting calls
             path = _lit_value(fold.group(2), lits) + step
-            repl = f"get_json_object({fold.group(1)}, {_new_lit(path, lits)})"
+            repl = f"{fname}({fold.group(1)}, {_new_lit(path, lits)})"
         else:
-            repl = f"get_json_object({base}, {_new_lit('$' + step, lits)})"
+            repl = f"{fname}({base}, {_new_lit('$' + step, lits)})"
         sql = sql[:start] + repl + sql[m.end() :]
 
 
@@ -6487,11 +6653,12 @@ def rewrite(sql: str) -> str:
     # HEX DIGITS, not UTF-8 bytes — CAST(str AS BINARY) would encode
     # the literal characters. E'\\x…' arrives with a doubled backslash.
     def sub_bytea(m: re.Match) -> str:
-        body = _lit_value(m.group(1), lits)
+        lit = m.group(1) or m.group(2)
+        body = _lit_value(lit, lits)
         for pfx in ("\\\\x", "\\x"):
             if body.lower().startswith(pfx.lower()):
                 return f"unhex('{body[len(pfx):]}')"
-        return f"CAST({m.group(1)} AS BINARY)"
+        return f"CAST({lit} AS BINARY)"
 
     out = _BYTEA_CAST_RE.sub(sub_bytea, out)
 
@@ -6837,6 +7004,8 @@ def rewrite(sql: str) -> str:
     # FROM srf(..) with a bare alias / no alias: alias names the column
     out = _rewrite_srf_from_bare(out)
     out = _rewrite_nested_srf(out)
+    # SRFs in ORDER BY lockstep with the select list's (tsrf.sql)
+    out = _rewrite_srf_order_by(out)
     # SRFs in the SELECT list: a lone unnest() item becomes explode;
     # multiple consecutive SRF items run in lockstep with NULL padding
     # (execSRF.c) and lower to one inline(arrays_zip) generator
