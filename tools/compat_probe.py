@@ -293,6 +293,38 @@ _CONTEXT_DDL_RE = re.compile(
 )
 
 
+def _ctx_family(c: str) -> str:
+    """Census bucket for a context-replay statement: DDL head plus
+    the discriminating sub-form (CREATE TYPE AS ENUM vs RANGE,
+    CREATE FUNCTION language, partitioned CREATE TABLE)."""
+    m = re.match(
+        r"(?is)^\s*(create(?:\s+or\s+replace)?|alter)\s+"
+        r"(?:(?:global\s+|local\s+)?temp(?:orary)?\s+|unlogged\s+)?"
+        r"(\w+)",
+        c,
+    )
+    if not m:
+        return "other"
+    kind = (
+        "CREATE" if m.group(1).lower().startswith("create") else "ALTER"
+    ) + " " + m.group(2).upper()
+    cl = c.lower()
+    if kind == "CREATE TYPE":
+        am = re.search(r"(?i)\bas\s+(enum|range)\b", c)
+        return kind + (f" AS {am.group(1).upper()}" if am else " AS composite"
+                       if re.search(r"(?i)\bas\s*\(", c) else " shell")
+    if kind == "CREATE FUNCTION":
+        lm = re.search(r"(?i)\blanguage\s+'?(\w+)", c)
+        return kind + (f" lang={lm.group(1).lower()}" if lm else "")
+    if kind == "CREATE TABLE":
+        if "partition by" in cl:
+            return kind + " partitioned"
+        if re.search(r"(?i)\binherits\b", cl):
+            return kind + " inherits"
+        return kind
+    return kind
+
+
 def context_statements(sql_path: str) -> list[str]:
     """The file's CREATE DOMAIN/TYPE/FUNCTION/SEQUENCE/AGGREGATE
     statements, in order — the session context a FROM-less probe
@@ -499,10 +531,8 @@ def main() -> None:
                     eng.sql(c)
                     ctx_ok += 1
                 except Exception as cex:
-                    ctx_fail_census[_ctx_family(c)] = (
-                        ctx_fail_census.get(_ctx_family(c), 0) + 1
-                    )
                     fam = _ctx_family(c)
+                    ctx_fail_census[fam] = ctx_fail_census.get(fam, 0) + 1
                     if len(ctx_fail_samples.setdefault(fam, [])) < 5:
                         ctx_fail_samples[fam].append(
                             {"sql": c[:200],
@@ -915,6 +945,10 @@ def main() -> None:
             se_census[k] = se_census.get(k, 0) + 1
 
         triage = {
+            "context_fail_census": dict(
+                sorted(ctx_fail_census.items(), key=lambda kv: -kv[1])
+            ),
+            "context_fail_samples": ctx_fail_samples,
             "should_error": should_error,
             "should_error_census": dict(
                 sorted(se_census.items(), key=lambda kv: -kv[1])

@@ -1,0 +1,2431 @@
+"""The PG function-spelling pass: every function/constructor spelling Spark lacks, lowered to built-in expressions.
+
+Split from sql_dialect.py (r14); see that module's docstring for
+the shim-wide design rules (masked literals, bounded regexes,
+anything unrecognized passes through loud).
+"""
+
+from __future__ import annotations
+
+import re
+from warehouse_pg_spark.dialect.mask import (
+    _DISTINCT_OPERAND,
+    _LIT,
+    _MASK_RE,
+    _lit_value,
+    _nested_parens,
+    _new_lit,
+    _new_lit_raw,
+    _split_args,
+)
+from warehouse_pg_spark.dialect.mathdate import (
+    _gcd_sql,
+    _pg_date_fold,
+    _pg_format_compile,
+    _pg_interval_parse,
+)
+from warehouse_pg_spark.dialect.typemap import _braced_to_array, map_decl_type
+
+
+
+# --- PG function/constructor spellings Spark lacks (arrayfuncs.c,
+# rowtypes.c, timestamp.c, int.c): ROW() records, 1-D array helpers,
+# num_nonnulls/num_nulls variadics, age(), gcd/lcm, AT TIME ZONE, and
+# ARRAY(SELECT ...) subquery constructors.
+_ROW_CTOR_RE = re.compile(
+    r"(?<![\w.])ROW\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_ARRAY_LENGTH_RE = re.compile(
+    # literal dimension; the array operand admits nested constructors
+    # (array(array(1,2), array(3,4)) after the braced-literal pass)
+    # and parenthesized cast chains ((CAST(array(..) AS ..)) from
+    # domain lowering)
+    rf"\barray_length\s*\(\s*"
+    rf"({_DISTINCT_OPERAND}"
+    r"|[\w.]*\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
+    r"\s*,\s*(-?\d+)\s*\)",
+    re.IGNORECASE,
+)
+_ARRAY_CAT_RE = re.compile(r"\barray_cat\s*\(", re.IGNORECASE)
+_STRING_TO_ARRAY_RE = re.compile(
+    rf"\bstring_to_array\s*\(\s*"
+    # the string operand admits a prior-pass CAST(x AS char(9)) (one
+    # nesting level) and a trailing ::type(n) cast suffix
+    rf"([\w.]+\s*\((?:[^()]|\([^()]*\))*\)"
+    rf"|{_DISTINCT_OPERAND}(?:\s*::\s*\w+(?:\(\d+(?:,\s*\d+)?\))?)?)"
+    rf"\s*,"
+    rf"\s*({_DISTINCT_OPERAND})\s*(?:,\s*({_DISTINCT_OPERAND})\s*)?\)",
+    re.IGNORECASE,
+)
+_ARRAY_TO_STRING_RE = re.compile(r"\barray_to_string\s*\(", re.IGNORECASE)
+_ARRAY_POSITIONS_RE = re.compile(
+    # the array operand admits depth-2 calls — the braced-literal pass
+    # has already lowered '{1,2,3}'::int[] to CAST(array(..) AS ..)
+    rf"\barray_positions\s*\(\s*([\w.]+\s*\((?:[^()]|\([^()]*\))*\)"
+    rf"|{_DISTINCT_OPERAND}(?:\s*::\s*\w+\s*(?:\[\s*\])?)?)\s*,"
+    rf"\s*({_DISTINCT_OPERAND})\s*\)",
+    re.IGNORECASE,
+)
+_JSONB_CONTAINED_FN_RE = re.compile(
+    r"\bjsonb_contained\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_JSONB_EXTRACT_PATH_RE = re.compile(
+    r"\bjsonb?_extract_path(_text)?\s*\(((?:[^()]|\([^()]*\))*)\)",
+    re.IGNORECASE,
+)
+_GENERATE_SUBSCRIPTS_RE = re.compile(
+    rf"\bgenerate_subscripts\s*\(\s*({_DISTINCT_OPERAND})\s*,\s*1\s*\)",
+    re.IGNORECASE,
+)
+_NUM_NULLS_RE = re.compile(
+    r"\bnum_(nonnulls|nulls)\s*"
+    r"\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)",
+    re.IGNORECASE,
+)
+# operand that also admits typed literals (TIMESTAMP '...', DATE '...')
+_TEMPORAL_OPERAND = rf"(?:(?:TIMESTAMP|DATE)\s*{_LIT}|{_DISTINCT_OPERAND})"
+_AGE_RE = re.compile(
+    rf"\bage\s*\(\s*({_TEMPORAL_OPERAND})\s*,\s*({_TEMPORAL_OPERAND})\s*\)",
+    re.IGNORECASE,
+)
+_ARITH_CHAIN = rf"{_DISTINCT_OPERAND}(?:\s*[-+*/%]\s*{_DISTINCT_OPERAND})*"
+_GCD_LCM_RE = re.compile(
+    rf"\b(gcd|lcm)\s*\(\s*({_ARITH_CHAIN})\s*,"
+    rf"\s*({_ARITH_CHAIN})\s*\)",
+    re.IGNORECASE,
+)
+_LR_TRIM_RE = re.compile(
+    r"\b(ltrim|rtrim)\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_REGEXP_REPLACE_RE = re.compile(
+    r"\bregexp_replace\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_REGEXP_SPLIT_ARR_RE = re.compile(
+    r"\bregexp_split_to_array\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+# PG's default timezone abbreviations (datetime.c, timezone/tznames/
+# Default) are mostly FIXED offsets, verified entry-by-entry against the
+# reference Default file. Three are NOT what folk knowledge suggests:
+# IST is 7200s = +02:00 (Israel Standard Time, not India), and MSK/SGT
+# are DYNAMIC links to Europe/Moscow and Asia/Singapore — regress
+# expected/timestamptz.out pins '2011-03-27 03:00:00 MSK' -> 23:00 UTC
+# (+04), the zone's historical offset, not a fixed +03.
+_TZ_ABBREV_OFFSETS = {
+    "PST": "-08:00", "PDT": "-07:00", "EST": "-05:00",
+    "EDT": "-04:00", "CST": "-06:00", "CDT": "-05:00", "MST": "-07:00",
+    "MDT": "-06:00", "AKST": "-09:00", "AKDT": "-08:00", "HST": "-10:00",
+    "BST": "+01:00", "CET": "+01:00", "CEST": "+02:00", "EET": "+02:00",
+    "EEST": "+03:00", "WET": "+00:00", "WEST": "+01:00", "JST": "+09:00",
+    "KST": "+09:00", "HKT": "+08:00", "IST": "+02:00",
+    "AEST": "+10:00", "AEDT": "+11:00", "ACST": "+09:30", "AWST": "+08:00",
+    "NZST": "+12:00", "NZDT": "+13:00",
+}
+# Dynamic abbreviation links (Default maps these to region zones whose
+# offset varies by instant). Spark/Java parse region ids in timestamp
+# strings and in from/to_utc_timestamp, matching PG for every instant
+# outside a DST gap; INSIDE a spring-forward gap PG keeps the wall
+# clock with the post-gap offset while Java shifts the wall clock
+# forward — a 1h/year documented edge (README deviations).
+_TZ_ABBREV_ZONES = {"MSK": "Europe/Moscow", "SGT": "Asia/Singapore"}
+_JSONB_MUT_RE = re.compile(
+    r"\b(jsonb_set|jsonb_insert)\s*\(((?:[^()]|\([^()]*\))*)\)",
+    re.IGNORECASE,
+)
+_HASH_MINUS_RE = re.compile(
+    rf"({_LIT}|[\w.]+\([^()]*\)|[\w.]+)\s*#-\s*"
+    rf"({_LIT}|[\w.]+\([^()]*\)|[\w.]+)"
+)
+_JSON_OBJECT_RE = re.compile(
+    r"\b(json_object|jsonb_object)\s*\(((?:[^()]|\([^()]*\))*)\)",
+    re.IGNORECASE,
+)
+_ARRAY_SUBQ_RE = re.compile(
+    r"\bARRAY\s*\(\s*(SELECT\b(?:[^()]|\([^()]*\))*)\)",
+    re.IGNORECASE | re.DOTALL,
+)
+# to_char(x, 'fmt') with a literal format: PG's formatting.c pictures —
+# Spark's native to_char speaks a different (Oracle-ish) dialect and
+# rejects PG forms like FM9,999.00, so literal-format calls reroute to
+# the PG format engine (functions/to_char.py SQL emitters). PG chooses
+# datetime vs numeric by argument type, which SQL text doesn't expose;
+# a 9/0 digit slot anywhere in the picture means numeric (DCH datetime
+# tokens contain none).
+_TO_CHAR_RE = re.compile(
+    rf"\bto_char\s*\(\s*((?:TIMESTAMP|DATE)\s*{_LIT}"
+    rf"|[\w.]+\((?:[^()]|\([^()]*\))*\)"
+    rf"|-?\s*{_ARITH_CHAIN})\s*,\s*({_LIT})\s*\)",
+    re.IGNORECASE,
+)
+# to_date/to_timestamp with a PG DCH pattern (formatting.c parse
+# direction): translated to the Java pattern Spark's parser expects.
+# Gated on distinctly-PG tokens — a Java-style pattern ('yyyy-MM-dd')
+# must pass through untouched, and an uppercase PG pattern handed to
+# Spark raw is already silently wrong (Java D = day-of-year).
+_TO_DATE_RE = re.compile(
+    rf"\bto_(date|timestamp)\s*\(\s*({_ARITH_CHAIN})\s*,\s*({_LIT})\s*\)",
+    re.IGNORECASE,
+)
+_PG_DCH_GATE_RE = re.compile(
+    r"HH24|HH12|YYYY|IYYY|MI|MON|Mon|mon|DAY|Day|day|DDD|Dy|DY|dy"
+    # single-letter / two-letter PG fields with no Java equivalent:
+    # J (julian day), CC (century), W (week-of-month), Q (quarter) —
+    # as a whole-picture match so Java patterns never false-positive
+    r"|^\s*J\s*$|\bCC\b|^W\b|\bW\s+MM\b"
+    # whole-picture 3-digit year (PG completes to 1500-2499; Java YYY
+    # is week-based-year and Spark rejects it outright)
+    r"|^\s*YYY\s*$"
+    # ISO-calendar family, roman months, grouped years, and
+    # backslash separators — all PG-only spellings
+    r"|I(?:YYY|YY|Y|W|DDD|D)|\bRM\b|Y,YYY|\\"
+    # leading short-year pictures ('Y-MMDD', 'YY-MMDD'): PG completes
+    # the year; Java reads uppercase Y as week-based-year and rejects
+    r"|^\s*Y{1,3}[^Y]"
+)
+# FROM/lateral unnest(...) AS t(cols) (nodeFunctionscan.c): explode /
+# inline forms. PG SRFs in a comma FROM item are implicitly LATERAL;
+# Spark's equivalent is LATERAL VIEW. Two parallel arrays zip with
+# NULL padding (zip_with), matching unnest's pad-to-longest.
+_UNNEST_FROM_RE = re.compile(
+    r"(\bFROM\s+|,\s*)(LATERAL\s+)?(unnest|generate_series)\s*"
+    r"\(((?:[^()]|\([^()]*\))*)\)\s*(?:AS\s+)?(\w+)\s*\(\s*([\w\s,]+?)\s*\)",
+    re.IGNORECASE,
+)
+_FORMAT_FN_RE = re.compile(rf"\bformat\s*\(\s*({_LIT})", re.IGNORECASE)
+# format() with a literal picture: full call shape, compiled at plan
+# time (varlena.c text_format)
+_FORMAT_CALL_RE = re.compile(
+    rf"\bformat\s*\(\s*({_LIT}|NULL)\s*"
+    rf"(?:,\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))*))?\)",
+    re.IGNORECASE,
+)
+_ARRAY_FILL_RE = re.compile(
+    rf"\barray_fill\s*\(\s*({_ARITH_CHAIN}"
+    rf"(?:\s*::\s*\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)*)\s*,\s*"
+    rf"(?:ARRAY\s*\[|array\s*\()\s*(\d+)(?:\s*,\s*(\d+))?\s*[\])]"
+    # optional lower-bounds arg: accepted and ignored (the engine's
+    # array model is 1-based; array_fill content is bounds-independent)
+    rf"(?:\s*,\s*(?:ARRAY\s*\[|array\s*\()\s*-?\d+(?:\s*,\s*-?\d+)?"
+    rf"\s*[\])])?\s*\)",
+    re.IGNORECASE,
+)
+_PG_TYPEOF_RE = re.compile(r"\bpg_typeof\s*\(", re.IGNORECASE)
+# PG log(x) is base-10 (numeric.c log_var; natural log is ln) — Spark's
+# one-arg log is NATURAL log, a silent wrong answer. Two-arg
+# log(base, x) agrees between the engines and passes through.
+_LOG_RE = re.compile(r"\blog\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE)
+_POWER_FN_RE = re.compile(
+    r"\b(?:power|pow)\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_SCALE_RE = re.compile(
+    r"\bscale\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+# trunc(x, n): truncate toward zero at n decimal places (numeric.c
+# trunc_var) — Spark's trunc is date-only. CAST(double AS BIGINT)
+# truncates toward zero in both engines.
+_TRUNC_N_RE = re.compile(
+    rf"\btrunc\s*\(\s*(-?\s*{_ARITH_CHAIN})\s*,\s*(\d+)\s*\)",
+    re.IGNORECASE,
+)
+_TRUNC1_RE = re.compile(
+    r"\btrunc\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+# jsonb key-existence operators (jsonfuncs.c jsonb_exists/_any/_all):
+# j ? 'k', j ?| array[...], j ?& array[...]. Key existence is checked
+# against the object's key set, so a null VALUE still counts (which
+# get_json_object can't distinguish from a missing key). ?|/?& run
+# before bare ? so it can't half-match them.
+# the RHS array operand admits depth-2 calls: braced literals have
+# already lowered to CAST(array(..) AS ARRAY<..>) by this point
+_JSON_KEYS_ARR = (
+    rf"(?:[\w.]+\((?:[^()]|\([^()]*\))*\)|{_DISTINCT_OPERAND})"
+)
+_JSON_KEYS_ANY_RE = re.compile(
+    rf"({_DISTINCT_OPERAND})\s*\?\|\s*({_JSON_KEYS_ARR})"
+)
+_JSON_KEYS_ALL_RE = re.compile(
+    rf"({_DISTINCT_OPERAND})\s*\?&\s*({_JSON_KEYS_ARR})"
+)
+_JSON_HAS_KEY_RE = re.compile(
+    rf"({_DISTINCT_OPERAND})\s*\?\s*({_LIT})"
+)
+# PG typed-literal prefix `jsonb '...'` — json is a STRING here, the
+# prefix just drops
+_JSON_TYPED_LIT_RE = re.compile(
+    rf"\bjsonb?\s+({_LIT})", re.IGNORECASE
+)
+# j #> '{a,b}' / j #>> '{a,b}' / the array['a','b'] path form
+# (jsonfuncs.c json_extract_path[_text]): both lower to
+# get_json_object — json is its own text form in this model
+_HASH_PATH_RE = re.compile(
+    rf"({_DISTINCT_OPERAND})\s*#>>?\s*({_LIT})"
+)
+_HASH_PATH_ARR_RE = re.compile(
+    rf"({_DISTINCT_OPERAND})\s*#>>?\s*array\s*\(((?:[^()]|\([^()]*\))*)\)",
+    re.IGNORECASE,
+)
+# typed literal `time '04:05:06'` — no TIME type here; as a day-time
+# interval it composes with dates/timestamps the way PG's date + time
+# does (datetime.c datetime_pl_time)
+_TIME_LIT_RE = re.compile(r"(?<![\w.])time\s+(\x01\d+\x01)", re.IGNORECASE)
+# `timestamp with[out] time zone '...'` spelled-out typed literals —
+# both collapse to the single TIMESTAMP type (README)
+_TS_ZONE_LIT_RE = re.compile(
+    # the single-word timestamptz spelling takes the same path (Spark
+    # has no TIMESTAMPTZ literal keyword); exclude the
+    # timestamptz(date, time) constructor via the literal lookahead
+    r"\btimestamp(?:\s+with(?:out)?\s+time\s+zone|tz)\s+(\x01\d+\x01)",
+    re.IGNORECASE,
+)
+_DOUBLE_PREC_LIT_RE = re.compile(
+    r"\bdouble\s+precision\s+(\x01\d+\x01)", re.IGNORECASE
+)
+# jsonb_typeof/json_typeof (jsonfuncs.c): classify by the first
+# non-space character of the json text
+_JSON_TYPEOF_RE = re.compile(
+    rf"\bjsonb?_typeof\s*\(\s*({_ARITH_CHAIN}|{_LIT})\s*\)", re.IGNORECASE
+)
+# scalar regexp_matches(s, 'pat'): PG returns the first match's capture
+# groups as text[] (NULL row = NULL here when no match)
+_REGEXP_MATCHES_RE = re.compile(
+    # the subject may be a || concat chain ('a' || chr(10) || 'b')
+    rf"\bregexp_match(?:es)?\s*\(\s*"
+    rf"({_DISTINCT_OPERAND}(?:\s*(?:[-+*/%]|\|\|)\s*{_DISTINCT_OPERAND})*)"
+    rf"\s*,\s*({_LIT})"
+    rf"(?:\s*,\s*({_LIT}))?\s*\)",
+    re.IGNORECASE,
+)
+# INTERVAL literal spellings PG emits but Spark's parser rejects
+_INTERVAL_LIT_RE = re.compile(rf"\bINTERVAL\s+({_LIT})", re.IGNORECASE)
+# INTERVAL '<str>' <field qualifiers> (gram.y opt_interval; datetime.c
+# DecodeInterval range restriction) and INTERVAL(p) '<str>' precision
+_INTERVAL_QUAL_RE = re.compile(
+    rf"\bINTERVAL\s*(?:\(\s*(\d+)\s*\))?\s*({_LIT})"
+    r"(?:\s+(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)\b(?:\s*\(\s*(\d+)\s*\))?"
+    r"(?:\s+TO\s+(MONTH|HOUR|MINUTE|SECOND)\b"
+    r"(?:\s*\(\s*(\d+)\s*\))?)?)?",
+    re.IGNORECASE,
+)
+# JSON constructors/aggregates (json.c, jsonfuncs.c): named_struct /
+# collect_list / map_from_entries compositions serialized by to_json
+_JSON_BUILD_OBJ_RE = re.compile(
+    r"\bjsonb?_build_object\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_JSON_BUILD_ARR_RE = re.compile(
+    r"\bjsonb?_build_array\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_JSON_AGG_RE = re.compile(
+    r"\bjsonb?_agg\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_JSON_OBJECT_AGG_RE = re.compile(
+    rf"\bjsonb?_object_agg\s*\(\s*(DISTINCT\s+)?({_ARITH_CHAIN})\s*,"
+    rf"\s*({_ARITH_CHAIN})\s*\)",
+    re.IGNORECASE,
+)
+_ROW_TO_JSON_RE = re.compile(r"\brow_to_json\s*\(", re.IGNORECASE)
+# SRF-in-FROM JSON forms: FROM json_array_elements(j) t(x),
+# FROM json_object_keys(j) t(k)
+_JSON_SRF_FROM_RE = re.compile(
+    rf"(\bFROM\s+|,\s*)(LATERAL\s+)?"
+    rf"jsonb?_(array_elements(?:_text)?|object_keys|each(?:_text)?)\s*"
+    rf"\(\s*({_ARITH_CHAIN}|{_LIT})\s*\)\s*(?:AS\s+)?(\w+)\s*"
+    rf"\(\s*([\w\s,]+?)\s*\)",
+    re.IGNORECASE,
+)
+
+
+_NEST3 = _nested_parens(7)
+_IDX_OPERAND = rf"(?:{_LIT}|[\w.]+{_NEST3}|{_NEST3}|[\w.]+)"
+_ARRAY_INDEX_RE = re.compile(
+    rf"({_IDX_OPERAND})\[\s*(\d+)\s*\]"
+)
+_ARRAY_SLICE_RE = re.compile(
+    rf"({_IDX_OPERAND})\[\s*(\d+)\s*:\s*(\d+)\s*\]"
+)
+# substring(x FOR n) — PG's from-1 prefix form (gram.y substr_for)
+_SUBSTR_FOR_RE = re.compile(
+    rf"\bsubstring\s*\(\s*({_DISTINCT_OPERAND})\s+FOR\s+(\d+|\w+)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
+    # to_json over the special ±infinity datetime inputs (datetime.c
+    # DecodeSpecial; json.c renders them as the words): folds at plan
+    # time — Spark has no infinite timestamps to carry at runtime
+    def sub_tojson_inf(m: re.Match) -> str:
+        body = _lit_value(m.group(1), lits).strip().lower()
+        if body in ("infinity", "+infinity"):
+            return _new_lit('"infinity"', lits)
+        if body == "-infinity":
+            return _new_lit('"-infinity"', lits)
+        return m.group(0)
+
+    sql = re.sub(
+        rf"(?is)\bto_jsonb?\s*\(\s*(?:date|timestamptz"
+        rf"|timestamp(?:\s+with(?:out)?\s+time\s+zone)?)\s+"
+        rf"({_LIT})\s*\)",
+        sub_tojson_inf,
+        sql,
+    )
+
+    # encode/decode bytea<->text (utils/adt/encode.c): hex, base64
+    # (76-char line wrap, whitespace-tolerant input), escape (octal)
+    def sub_encode(m: re.Match) -> str:
+        which = m.group(1).lower()
+        x = m.group(2).strip()
+        fmt = _lit_value(m.group(3), lits).strip().lower()
+        xm = _MASK_RE.fullmatch(x)
+        if xm:
+            body = _lit_value(x, lits)
+            for pfx in ("\\\\x", "\\x"):
+                if body.lower().startswith(pfx.lower()):
+                    x = f"unhex('{body[len(pfx):]}')"
+                    break
+        b = f"CAST({x} AS BINARY)"
+        s = f"CAST({x} AS STRING)"
+        if which == "encode":
+            if fmt == "hex":
+                return f"lower(hex({b}))"
+            if fmt == "base64":
+                return (
+                    f"regexp_replace(regexp_replace(base64({b}), "
+                    f"'(.{{76}})', '$1\\n'), '\\n$', '')"
+                )
+            if fmt == "escape":
+                return f"pg_bytea_escape_out({b})"
+        else:
+            if fmt == "hex":
+                return f"unhex({s})"
+            if fmt == "base64":
+                return f"unbase64(regexp_replace({s}, '\\\\s', ''))"
+            if fmt == "escape":
+                return f"pg_bytea_escape_in({s})"
+        return m.group(0)
+
+    _ENC_RE = re.compile(
+        rf"(?i)[`\"]?\b(encode|decode)[`\"]?\s*\(\s*"
+        rf"((?:[^(),']|{_LIT}|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
+        rf"+?)\s*,\s*({_LIT})\s*\)"
+    )
+    prev_enc = None
+    while prev_enc != sql:  # nested encode(decode(..)) chains
+        prev_enc = sql
+        sql = _ENC_RE.sub(sub_encode, sql)
+
+    def sub_row(m: re.Match) -> str:
+        # positional field aliases: Spark struct comparison requires
+        # matching field names on both sides; PG records compare by
+        # position (rowtypes.c record_cmp). The names are PG's own
+        # anonymous-record names f1, f2, ... so row_to_json(ROW(...))
+        # serializes identically to PG.
+        args = _split_args(m.group(1))
+        fields = ", ".join(
+            f"({a.strip()}) AS f{i + 1}" for i, a in enumerate(args)
+        )
+        return f"struct({fields})"
+
+    sql = _ROW_CTOR_RE.sub(sub_row, sql)
+    def sub_array_length(m: re.Match) -> str:
+        # arrayfuncs.c array_length: NULL for out-of-range dims and
+        # for the empty array; dim N measures the Nth nesting level
+        x, dim = m.group(1), int(m.group(2))
+        if dim < 1:
+            return "CAST(NULL AS INT)"
+        if re.match(r"(?is)^\s*array\s*\(", x):
+            # literal constructor: depth is visible textually — a dim
+            # past it is NULL, not an analysis error
+            depth, probe = 0, x
+            while re.match(r"(?is)^\s*array\s*\(", probe):
+                depth += 1
+                probe = re.sub(r"(?is)^\s*array\s*\(\s*", "", probe)
+            if dim > depth:
+                return "CAST(NULL AS INT)"
+        for _ in range(dim - 1):
+            x = f"element_at({x}, 1)"
+        return f"nullif(size({x}), 0)"
+
+    sql = _ARRAY_LENGTH_RE.sub(sub_array_length, sql)
+    sql = _ARRAY_CAT_RE.sub("concat(", sql)
+
+    def sub_sta(m: re.Match) -> str:
+        s, d = m.group(1).strip(), m.group(2).strip()
+        ns = m.group(3).strip() if m.group(3) else None
+        if d.upper() == "NULL":
+            # PG: a NULL delimiter splits into individual characters
+            # (varlena.c text_to_array)
+            base = f"split({s}, '')"
+        else:
+            lm = _MASK_RE.match(d)
+            if lm and d == lm.group(0):
+                body = lits[int(lm.group(1))][1:-1]
+                if body == "":
+                    # EMPTY delimiter (unlike NULL) keeps the whole
+                    # string as one element (text_to_array)
+                    base = f"array({s})"
+                else:
+                    # literal delimiter: regex-escape at rewrite time
+                    lits.append(
+                        "'" + re.escape(body).replace("\\", "\\\\") + "'"
+                    )
+                    base = f"split({s}, \x01{len(lits) - 1}\x01)"
+            else:
+                # dynamic delimiter: quote at runtime (\Q...\E); NULL
+                # delimiter at runtime → per-character split, as PG
+                base = (
+                    f"(CASE WHEN ({d}) IS NULL THEN split({s}, '') "
+                    f"ELSE split({s}, concat('\\\\Q', {d}, '\\\\E')) END)"
+                )
+        if ns is not None and ns.upper() != "NULL":
+            # 3-arg null-string form: matching elements become NULL
+            base = (
+                f"transform({base}, __e -> CASE WHEN __e = ({ns}) "
+                f"THEN NULL ELSE __e END)"
+            )
+        return base
+
+    sql = _STRING_TO_ARRAY_RE.sub(sub_sta, sql)
+    # array_to_string == array_join (skips NULLs; 3-arg null-string
+    # replacement; NULL delimiter -> NULL — identical contracts,
+    # arrayfuncs.c array_to_text)
+    sql = _ARRAY_TO_STRING_RE.sub("array_join(", sql)
+
+    def sub_array_positions(m: re.Match) -> str:
+        # arrayfuncs.c array_positions: ALL 1-based positions of the
+        # value (NULL matches NULL — null-safe <=>); NULL array -> NULL
+        a, x = m.group(1).strip(), m.group(2).strip()
+        if a.upper() == "NULL":  # bare NULL can't type-resolve in Spark
+            return "CAST(NULL AS ARRAY<INT>)"
+        return (
+            f"filter(transform(sequence(1, size({a})), "
+            f"__i -> CASE WHEN element_at({a}, __i) <=> ({x}) "
+            f"THEN __i END), __p -> __p IS NOT NULL)"
+        )
+
+    sql = _ARRAY_POSITIONS_RE.sub(sub_array_positions, sql)
+
+    def sub_jsonb_contained(m: re.Match) -> str:
+        args = _split_args(m.group(1))
+        if len(args) != 2:
+            return m.group(0)
+        # jsonb_contained(a, b) == b @> a (jsonb_util.c)
+        return f"jsonb_contains({args[1].strip()}, {args[0].strip()})"
+
+    sql = _JSONB_CONTAINED_FN_RE.sub(sub_jsonb_contained, sql)
+
+    def sub_jsonb_extract_path(m: re.Match) -> str:
+        # json[b]_extract_path[_text](j, VARIADIC text path): literal
+        # path elements fold into ONE get_json_object path — all-digit
+        # elements subscript arrays (jsonfuncs.c get_path_all)
+        args = [a.strip() for a in _split_args(m.group(2))]
+        if len(args) < 2:
+            return m.group(0)
+        j = args[0]
+        path = "$"
+        for el in args[1:]:
+            el = re.sub(r"(?is)\s*::\s*text$", "", el).strip()
+            # n::text has already become CAST(n AS STRING) by the time
+            # this pass runs — still a literal path element
+            cm = re.fullmatch(r"(?is)CAST\(\s*(\d+)\s+AS\s+STRING\)", el)
+            lm = _MASK_RE.fullmatch(el)
+            if cm:
+                body = cm.group(1)
+            elif lm:
+                body = _lit_value(el, lits)
+            elif re.fullmatch(r"\d+", el):
+                body = el
+            else:
+                return m.group(0)  # non-literal path: stay loud
+            path += f"[{body}]" if re.fullmatch(r"\d+", body) else f".{body}"
+        return f"get_json_object({j}, {_new_lit(path, lits)})"
+
+    sql = _JSONB_EXTRACT_PATH_RE.sub(sub_jsonb_extract_path, sql)
+    sql = _GENERATE_SUBSCRIPTS_RE.sub(
+        lambda m: f"explode(sequence(1, size({m.group(1)})))", sql
+    )
+
+    def sub_nn(m: re.Match) -> str:
+        want_null = m.group(1).lower() == "nulls"
+        test = "IS NULL" if want_null else "IS NOT NULL"
+        args = _split_args(m.group(2))
+        if len(args) == 1 and re.match(r"(?is)^\s*variadic\b", args[0]):
+            # VARIADIC array spelling: count over the elements
+            arr = re.sub(r"(?is)^\s*variadic\s+", "", args[0]).strip()
+            return f"size(filter({arr}, __x -> __x {test}))"
+        parts = [
+            f"(CASE WHEN ({a.strip()}) {test} THEN 1 ELSE 0 END)"
+            for a in _split_args(m.group(2))
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    sql = _NUM_NULLS_RE.sub(sub_nn, sql)
+
+    def sub_to_number(m: re.Match) -> str:
+        """to_number with LITERAL value and picture: fold at plan time
+        with PG's loose scan (formatting.c do_to_number / numeric regress
+        to_number_1..22): grouping chars and currency/ordinal text are
+        skipped wherever they appear, a '-' anywhere (or a PR <...>
+        wrap) negates, and the picture only bounds how many integer /
+        fraction digits are consumed. Spark's native to_number keeps
+        the non-literal path (it handles plain pictures)."""
+        val = _lit_value(m.group(1), lits)
+        fmt = m.group(2)
+        fmt_s = _lit_value(fmt, lits)
+        s = val.strip()
+        neg = False
+        if re.search(r"(?i)PR", fmt_s) and s.startswith("<") and s.endswith(">"):
+            neg, s = True, s[1:-1]
+        if "-" in s:
+            neg = True
+        # picture: D is the decimal point; FM/TH/sign/currency/group
+        # tokens don't hold digits
+        pic = re.sub(r"(?i)FM|TH|PR|MI|PL|SG|S|L|G|,", "", fmt_s)
+        pic = re.sub(r"(?i)D", ".", pic)
+        int_slots = sum(1 for c in pic.split(".")[0] if c in "90")
+        frac_slots = sum(
+            1 for c in (pic.split(".", 1)[1] if "." in pic else "")
+            if c in "90"
+        )
+        digits, frac, seen_dot = [], [], False
+        for c in s:
+            if c.isdigit():
+                (frac if seen_dot else digits).append(c)
+            elif c == "." and not seen_dot:
+                seen_dot = True
+        if not digits and not frac:
+            return m.group(0)  # no number in the input: stay loud
+        ip = "".join(digits[:int_slots]) or "0"
+        fp = "".join(frac[:frac_slots])
+        res = ("-" if neg else "") + ip + ("." + fp if fp else "")
+        return f"CAST({res} AS DECIMAL(38, {len(fp)}))"
+
+    sql = re.sub(
+        rf"\bto_number\s*\(\s*({_LIT})\s*,\s*({_LIT})\s*\)",
+        sub_to_number,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    def sub_age(m: re.Match) -> str:
+        # timestamp_age (reference src/backend/utils/adt/timestamp.c):
+        # whole months toward zero, then leftover days, then the time
+        # remainder — the old datediff form dropped hh:mm:ss entirely.
+        # months_between ignores time-of-day when both operands share a
+        # day-of-month, so the truncated month count can overshoot by
+        # one; the CASE borrows it back so the remainder keeps PG's
+        # sign convention (all fields share the interval's direction
+        # for same-sign inputs; mixed-sign borrow edges like
+        # '1 mon -12:00:00' follow the month-major convention).
+        a, b = m.group(1).strip(), m.group(2).strip()
+        at, bt = f"CAST({a} AS TIMESTAMP)", f"CAST({b} AS TIMESTAMP)"
+        tm0 = f"CAST(months_between({at}, {bt}) AS INT)"
+        tm = (
+            f"({tm0} - (CASE "
+            f"WHEN {tm0} > 0 AND timestampadd(MONTH, {tm0}, {bt}) > {at} THEN 1 "
+            f"WHEN {tm0} < 0 AND timestampadd(MONTH, {tm0}, {bt}) < {at} THEN -1 "
+            f"ELSE 0 END))"
+        )
+        mic = f"(unix_micros({at}) - unix_micros(timestampadd(MONTH, {tm}, {bt})))"
+        rem = f"({mic} % 86400000000)"
+        return (
+            f"make_interval({tm} div 12, {tm} % 12, 0, "
+            f"{mic} div 86400000000, "
+            f"{rem} div 3600000000, ({rem} % 3600000000) div 60000000, "
+            f"CAST(({rem} % 60000000) AS DECIMAL(18,6)) / 1000000)"
+        )
+
+    sql = _AGE_RE.sub(sub_age, sql)
+
+    def sub_gcd(m: re.Match) -> str:
+        fn, x, y = m.group(1).lower(), m.group(2).strip(), m.group(3).strip()
+        g = _gcd_sql(x, y)
+        if fn == "gcd":
+            return g
+        return (
+            f"(CASE WHEN ({x}) = 0 OR ({y}) = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE abs(CAST({x} AS BIGINT) * CAST({y} AS BIGINT)) "
+            f"div {g} END)"
+        )
+
+    sql = _GCD_LCM_RE.sub(sub_gcd, sql)
+    # PG regexp_replace (regexp.c textregexreplace): replaces the FIRST
+    # match unless the 'g' flag is given; flags are a 4th TEXT argument
+    # (Spark's 4th arg is a position INT — 'g' silently casts to NULL);
+    # replacement backrefs are \N / \& (Java wants $N / $0). First-only
+    # is emulated by wrapping the pattern and consuming the tail in one
+    # match: (pat)((?s:.*)) with the tail re-emitted. All transforms
+    # work on the RAW (escaped) literal text, appending only
+    # backslash-free syntax, so the session's literal-escape mode never
+    # changes the meaning. Non-literal patterns/replacements/flags keep
+    # Spark semantics untouched (can't be safely transformed).
+    def _conv_rep(raw: str, shift: int, whole: str) -> str:
+        out_s: list[str] = []
+        i = 0
+        while i < len(raw):
+            if raw.startswith("\\\\", i) and i + 2 < len(raw) and raw[i + 2].isdigit():
+                out_s.append(f"${int(raw[i + 2]) + shift}")
+                i += 3
+            elif raw.startswith("\\\\&", i):
+                out_s.append(whole)
+                i += 3
+            elif raw[i] == "$":
+                out_s.append("\\$")
+                i += 1
+            else:
+                out_s.append(raw[i])
+                i += 1
+        return "".join(out_s)
+
+    def _shift_pattern_backrefs(raw: str, shift: int) -> tuple[int, str]:
+        """Scan a pattern in RAW literal-escape form (regex backslash =
+        '\\\\' two chars, '' = one quote): count CAPTURING groups and
+        renumber in-pattern backrefs \\N -> \\(N+shift), so the pattern
+        can be wrapped in prefix groups without silently rebinding its
+        own backrefs (regexp.c keeps group numbers; the \\A-wrap shifts
+        them by `shift`). Character classes are skipped whole; a group
+        open preceded by an ESCAPED BACKSLASH ('\\\\\\\\(' raw = regex
+        \\\\( ) still counts — the lookbehind-based count missed it."""
+        out_s: list[str] = []
+        ngroups = 0
+        i, n = 0, len(raw)
+        in_class = False
+        class_start = -1
+
+        def peek_unit(j: int) -> tuple[str, int]:
+            # one literal-level unit at j: '\\\\'+escapee, '\\x', "''",
+            # or a single char; returns (unit, next_index)
+            if raw.startswith("\\\\", j):
+                return raw[j : j + 2], j + 2
+            if raw[j : j + 1] == "\\" and j + 1 < n:
+                return raw[j : j + 2], j + 2
+            if raw.startswith("''", j):
+                return "''", j + 2
+            return raw[j : j + 1], j + 1
+
+        while i < n:
+            if raw.startswith("\\\\", i):  # regex backslash
+                j = i + 2
+                if not in_class and j < n and raw[j].isdigit():
+                    k = j
+                    while k < n and raw[k].isdigit():
+                        k += 1
+                    num = int(raw[j:k])
+                    if num > 0:  # \0 is octal NUL, not a backref
+                        out_s.append("\\\\" + str(num + shift))
+                        i = k
+                        continue
+                # escaped next regex char (may itself be '\\\\')
+                unit, k = ("", j) if j >= n else peek_unit(j)
+                out_s.append(raw[i:j] + unit)
+                i = k
+                continue
+            c = raw[i]
+            if in_class:
+                if c == "]" and i > class_start:
+                    in_class = False
+                out_s.append(c)
+                i += 1
+                continue
+            if c == "[":
+                in_class = True
+                # ']' or '^]' first is a literal ] member
+                class_start = i + 2 if raw[i + 1 : i + 2] == "^" else i + 1
+                out_s.append(c)
+                i += 1
+                continue
+            if c == "(":
+                nxt, _ = peek_unit(i + 1) if i + 1 < n else ("", i + 1)
+                if nxt != "?":
+                    ngroups += 1
+                out_s.append(c)
+                i += 1
+                continue
+            out_s.append(c)
+            i += 1
+        return ngroups, "".join(out_s)
+
+    def sub_regexp_replace(m: re.Match) -> str:
+        args = [a.strip() for a in _split_args(m.group(1))]
+        if len(args) not in (3, 4):
+            return m.group(0)
+        # the E-string prefix strip runs later in rewrite(); drop it
+        # here so E'...' patterns are recognized as literals
+        s, p, r = args[0], *(
+            re.sub(r"(?i)^E(?=\x01)", "", a) for a in args[1:3]
+        )
+        if not (_MASK_RE.fullmatch(p) and _MASK_RE.fullmatch(r)):
+            return m.group(0)
+        flags = ""
+        if len(args) == 4:
+            f4 = re.sub(r"(?i)^E(?=\x01)", "", args[3])
+            if not _MASK_RE.fullmatch(f4):
+                return m.group(0)
+            flags = _lit_value(f4, lits)
+        inline = ""
+        for f in flags:
+            if f == "g":
+                continue
+            mapped = {"i": "i", "m": "m", "n": "m", "s": "s", "x": "x"}.get(f)
+            if mapped is None:
+                return m.group(0)  # unknown flag: stay loud downstream
+            inline += mapped
+        pfx = f"(?{inline})" if inline else ""
+        pat_raw = lits[int(_MASK_RE.match(p).group(1))][1:-1]
+        rep_raw = lits[int(_MASK_RE.match(r).group(1))][1:-1]
+        if "g" in flags:
+            p2 = _new_lit_raw(pfx + pat_raw, lits)
+            r2 = _new_lit_raw(_conv_rep(rep_raw, 0, "$0"), lits)
+            return f"regexp_replace({s}, {p2}, {r2})"
+        # first-only: ONE match spans the whole input (\A + lazy prefix
+        # + tail), so a zero-length pattern can't re-match at the end.
+        # Groups shift by 2 (prefix + wrap); raw "\\A" unescapes to \A.
+        # Backrefs INSIDE the pattern are renumbered by the same +2 so
+        # '(\w+) \1' keeps binding its own group, not the lazy prefix.
+        ngroups, pat_shifted = _shift_pattern_backrefs(pat_raw, 2)
+        p2 = _new_lit_raw(
+            f"{pfx}\\\\A((?s:.*?))({pat_shifted})((?s:.*))", lits
+        )
+        r2 = _new_lit_raw(
+            "$1" + _conv_rep(rep_raw, 2, "$2") + f"${ngroups + 3}", lits
+        )
+        return f"regexp_replace({s}, {p2}, {r2})"
+
+    sql = _REGEXP_REPLACE_RE.sub(sub_regexp_replace, sql)
+
+    def sub_regexp_split_arr(m: re.Match) -> str:
+        # regexp_split_to_array(s, pat[, flags]) (regexp.c
+        # regexp_split_to_array): Spark split() is already regex-based
+        # with PG's keep-trailing-empties behavior; 'i' becomes an
+        # inline flag; 'g' is an error in PG too — left loud.
+        args = [a.strip() for a in _split_args(m.group(1))]
+
+        def wrap_empty_matching(s_expr: str, pat_tok: str) -> str:
+            # a pattern that can match the EMPTY string splits between
+            # every char; Spark emits leading/trailing '' artifacts PG
+            # does not — and with such a pattern no real token can be
+            # empty, so filtering '' is exact
+            p_chk = re.sub(r"(?i)^E(?=\x01)", "", pat_tok)
+            if _MASK_RE.fullmatch(p_chk):
+                body = lits[int(_MASK_RE.match(p_chk).group(1))][1:-1]
+                try:
+                    if re.fullmatch(body.replace("\\\\", "\\"), ""):
+                        return (
+                            f"filter(split({s_expr}, {pat_tok}), "
+                            f"__t -> __t != '')"
+                        )
+                except re.error:
+                    pass
+            return f"split({s_expr}, {pat_tok})"
+
+        if len(args) == 2:
+            return wrap_empty_matching(args[0], args[1])
+        if len(args) == 3:
+            f3 = re.sub(r"(?i)^E(?=\x01)", "", args[2])
+            p3 = re.sub(r"(?i)^E(?=\x01)", "", args[1])
+            if (
+                _MASK_RE.fullmatch(f3)
+                and _MASK_RE.fullmatch(p3)
+                and (flags := _lit_value(f3, lits))
+                and set(flags) <= set("imsx")
+            ):
+                pat_raw = lits[int(_MASK_RE.match(p3).group(1))][1:-1]
+                p2 = _new_lit_raw(f"(?{flags}){pat_raw}", lits)
+                return f"split({args[0]}, {p2})"
+        return m.group(0)
+
+    sql = _REGEXP_SPLIT_ARR_RE.sub(sub_regexp_split_arr, sql)
+
+    def sub_lr_trim(m: re.Match) -> str:
+        # PG ltrim/rtrim(str, chars) vs Spark ltrim/rtrim(trimStr, str):
+        # the 2-arg forms take their arguments in OPPOSITE order —
+        # running PG argument order through Spark silently trims the
+        # wrong string (found by the value-checked regress probe).
+        args = _split_args(m.group(2))
+        if len(args) == 2:
+            return f"{m.group(1).lower()}({args[1].strip()}, {args[0].strip()})"
+        return m.group(0)
+
+    sql = _LR_TRIM_RE.sub(sub_lr_trim, sql)
+
+    def sub_to_char(m: re.Match) -> str:
+        from warehouse_pg_spark.functions.to_char import (
+            to_char_datetime_sql,
+            to_char_numeric_sql,
+        )
+
+        x, lit_tok = m.group(1).strip(), m.group(2)
+        body = lits[int(_MASK_RE.match(lit_tok).group(1))][1:-1]
+        # strip quoted-literal spans before sniffing for digit slots
+        unquoted = re.sub(r'"[^"]*"', "", body)
+        if re.search(r"[90]", unquoted):
+            out = to_char_numeric_sql(f"({x})", body)
+            return out if out is not None else m.group(0)
+        return to_char_datetime_sql(f"({x})", body)
+
+    sql = _TO_CHAR_RE.sub(sub_to_char, sql)
+
+    def sub_to_date(m: re.Match) -> str:
+        from warehouse_pg_spark.functions.to_char import (
+            dch_parse_pattern,
+            to_date_fold,
+            to_timestamp_fold,
+        )
+
+        kind, x, lit_tok = m.group(1).lower(), m.group(2).strip(), m.group(3)
+        body = lits[int(_MASK_RE.match(lit_tok).group(1))][1:-1]
+        if not _PG_DCH_GATE_RE.search(body):
+            return m.group(0)  # Java-style pattern: pass through
+        xm = _MASK_RE.fullmatch(x)
+        if kind == "date" and xm:
+            # literal subject: fold through the PG from_char scanner —
+            # covers pictures Java patterns can't express (J, CC+YY,
+            # W, Q, leading-space numeric output of to_char)
+            folded = to_date_fold(_lit_value(x, lits), body)
+            if folded is not None:
+                return f"DATE {_new_lit(folded.isoformat(), lits)}"
+        if kind == "timestamp" and xm:
+            ts = to_timestamp_fold(_lit_value(x, lits), body)
+            if ts is not None:
+                return (
+                    f"TIMESTAMP "
+                    f"{_new_lit(ts.isoformat(sep=' '), lits)}"
+                )
+        java = dch_parse_pattern(body).replace("'", "''")
+        if not java.startswith((" ", "'")):
+            # PG's from_char scan skips leading whitespace in the
+            # subject (e.g. to_char numeric output's sign column)
+            x = f"trim({x})"
+        return f"to_{kind}({x}, '{java}')"
+
+    sql = _TO_DATE_RE.sub(sub_to_date, sql)
+
+    # deep-subject fallback: to_date(<any balanced expr>, 'PG pic') —
+    # e.g. the folded CASE that to_char's numeric fold emits. Balanced
+    # scan; only the picture literal is rewritten.
+    def _fold_to_date_deep(s: str) -> str:
+        from warehouse_pg_spark.functions.to_char import dch_parse_pattern
+
+        out_parts: list[str] = []
+        i = 0
+        while True:
+            m2 = re.search(r"(?i)\bto_(date|timestamp)\s*\(", s[i:])
+            if not m2:
+                out_parts.append(s[i:])
+                break
+            start = i + m2.start()
+            op = i + m2.end() - 1
+            depth, j = 0, op
+            while j < len(s):
+                if s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            inner = s[op + 1: j]
+            args = _split_args(inner)
+            lm = _MASK_RE.fullmatch(args[-1].strip()) if len(args) == 2 else None
+            body = lits[int(lm.group(1))][1:-1] if lm else ""
+            if lm and _PG_DCH_GATE_RE.search(body):
+                java = dch_parse_pattern(body).replace("'", "''")
+                subj = args[0].strip()
+                if not java.startswith((" ", "'")):
+                    subj = f"trim({subj})"
+                out_parts.append(s[i:start])
+                out_parts.append(
+                    f"to_{m2.group(1).lower()}({subj}, '{java}')"
+                )
+            else:
+                out_parts.append(s[i: j + 1])
+            i = j + 1
+        return "".join(out_parts)
+
+    sql = _fold_to_date_deep(sql)
+
+    def sub_unnest(m: re.Match) -> str:
+        lead, _lat, fn, args_s, alias, cols_s = (
+            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+            m.group(6),
+        )
+        args = _split_args(args_s)
+        cols = [c.strip() for c in cols_s.split(",") if c.strip()]
+        if fn.lower() == "generate_series":
+            if len(cols) != 1:
+                return m.group(0)
+            gen = f"explode(sequence({args_s.strip()}))"
+            gen_cols = cols[0]
+            sel = f"{gen} AS {cols[0]}"
+        elif len(args) != len(cols) or len(args) > 2:
+            return m.group(0)  # mismatched/deep forms stay loud
+        elif len(args) == 1:
+            gen = f"explode({args[0].strip()})"
+            gen_cols = cols[0]
+            sel = f"{gen} AS {cols[0]}"
+        else:
+            a, b = (x.strip() for x in args)
+            gen = (
+                f"inline(zip_with({a}, {b}, (__ul, __ur) -> "
+                f"struct(__ul AS {cols[0]}, __ur AS {cols[1]})))"
+            )
+            gen_cols = ", ".join(cols)
+            sel = gen
+        if lead.strip() == ",":
+            # comma FROM item = implicit LATERAL in PG for SRFs
+            return f" LATERAL VIEW {gen} {alias} AS {gen_cols}"
+        return f"{lead}(SELECT {sel}) {alias}"
+
+    sql = _UNNEST_FROM_RE.sub(sub_unnest, sql)
+
+    def sub_json_srf(m: re.Match) -> str:
+        lead, _lat, kind, arg, alias, cols_s = (
+            (g or "") for g in m.groups()
+        )
+        arg = arg.strip()
+        kind = kind.lower()
+        cols = [c.strip() for c in cols_s.split(",") if c.strip()]
+        if kind == "each":
+            # non-_text: values keep JSON rendering (quoted string
+            # leaves) via the Arrow-batched worker
+            if len(cols) != 2:
+                return m.group(0)
+            gen = f"inline(pg_json_each_entries({arg}))"
+            gen_cols = ", ".join(cols)
+            if lead.strip() == ",":
+                return f" LATERAL VIEW {gen} {alias} AS {gen_cols}"
+            return f"{lead}(SELECT {gen} AS ({gen_cols})) {alias}"
+        if kind.startswith("each"):
+            # key/value pairs: exploding a map yields two columns
+            if len(cols) != 2:
+                return m.group(0)
+            src = f"from_json({arg}, 'map<string,string>')"
+        elif len(cols) != 1:
+            return m.group(0)
+        elif kind == "array_elements":
+            src = f"pg_json_array_elements({arg})"
+        elif kind.startswith("array_elements"):
+            # _text form: scalars unwrap (objects keep their JSON text)
+            src = f"from_json({arg}, 'array<string>')"
+        else:
+            src = f"json_object_keys({arg})"
+        gen = f"explode({src})"
+        gen_cols = ", ".join(cols)
+        if lead.strip() == ",":
+            return f" LATERAL VIEW {gen} {alias} AS {gen_cols}"
+        if len(cols) == 2:
+            return f"{lead}(SELECT {gen} AS ({gen_cols})) {alias}"
+        return f"{lead}(SELECT {gen} AS {cols[0]}) {alias}"
+
+    sql = _JSON_SRF_FROM_RE.sub(sub_json_srf, sql)
+
+    # the same JSON SRFs as a sole FROM-less select-list target
+    # (jsonfuncs.c each_worker/elements_worker; the planner's
+    # ProjectSet): each → two columns (key, value) via inline();
+    # array_elements → one exploded column
+    def sub_json_srf_select(m: re.Match) -> str:
+        kind, arg = m.group(1).lower(), m.group(2).strip()
+        if kind == "each":
+            # non-_text: values keep JSON rendering (string leaves
+            # stay quoted) via the Arrow-batched worker
+            return f"SELECT inline(pg_json_each_entries({arg}))"
+        if kind.startswith("each"):
+            return (
+                "SELECT inline(transform(map_entries("
+                f"from_json({arg}, 'map<string,string>')), "
+                "__e -> named_struct('key', __e.key, "
+                "'value', __e.value)))"
+            )
+        if kind == "array_elements":
+            return (
+                f"SELECT explode(pg_json_array_elements({arg})) "
+                "AS value"
+            )
+        return (
+            f"SELECT explode(from_json({arg}, 'array<string>')) "
+            "AS value"
+        )
+
+    sql = re.sub(
+        rf"(?is)^\s*SELECT\s+jsonb?_"
+        rf"(array_elements(?:_text)?|each(?:_text)?)\s*"
+        rf"\(\s*({_ARITH_CHAIN}|{_LIT}(?:\s*::\s*jsonb?)?)\s*\)\s*"
+        rf"(?:AS\s+\w+\s*)?$",
+        sub_json_srf_select,
+        sql,
+    )
+    # slices before subscripts (a[2:3] must not half-match as a[2]);
+    # a bare ARRAY keyword is a constructor, not an indexable operand
+    # (the ctor pass runs earlier, this is belt-and-braces)
+    # loop to fixpoint: chained multi-dim subscripts a[1][2][1] peel
+    # one level per pass (element_at(element_at(a, 1), 2) ...)
+    prev_idx = None
+    while prev_idx != sql:
+        prev_idx = sql
+        # a NULL slice bound yields NULL (arrayfuncs.c array_get_slice
+        # returns NULL for a null subscript) — IF(TRUE, NULL, a) keeps
+        # a's array type so downstream subscripts propagate the NULL
+        sql = re.sub(
+            rf"({_IDX_OPERAND})\[\s*(NULL|\d+)\s*:\s*(NULL|\d+)\s*\]",
+            lambda m: m.group(0)
+            if m.group(1).upper() == "ARRAY"
+            or "NULL" not in (m.group(2).upper(), m.group(3).upper())
+            else f"IF(TRUE, NULL, {m.group(1)})",
+            sql,
+            flags=re.IGNORECASE,
+        )
+        sql = _ARRAY_SLICE_RE.sub(
+            lambda m: m.group(0) if m.group(1).upper() == "ARRAY" else (
+                f"slice({m.group(1)}, {m.group(2)}, "
+                f"{int(m.group(3)) - int(m.group(2)) + 1})"
+            ),
+            sql,
+        )
+        sql = _ARRAY_INDEX_RE.sub(
+            lambda m: m.group(0) if m.group(1).upper() == "ARRAY"
+            else f"element_at({m.group(1)}, {m.group(2)})",
+            sql,
+        )
+    sql = _SUBSTR_FOR_RE.sub(
+        lambda m: f"substring({m.group(1)}, 1, {m.group(2)})", sql
+    )
+    def sub_json_build_obj(m: re.Match) -> str:
+        # named_struct needs literal string field names — PG coerces
+        # any scalar key to text (json.c), so quote literal
+        # numeric/bool keys at plan time; other non-literal keys stay
+        # loud via named_struct's own error
+        args = _split_args(m.group(1))
+        for i in range(0, len(args) - 1, 2):
+            k = args[i].strip()
+            if re.fullmatch(r"-?\d+(?:\.\d+)?|true|false", k, re.IGNORECASE):
+                args[i] = _new_lit(k, lits)
+        return f"to_json(named_struct({', '.join(args)}))"
+
+    sql = _JSON_BUILD_OBJ_RE.sub(sub_json_build_obj, sql)
+    # jsonb_* spellings of functions whose json_* twin is a Spark
+    # built-in / already lowered
+    sql = re.sub(
+        r"(?i)\bjsonb_(array_length|object_keys)\s*\(",
+        lambda m: f"json_{m.group(1).lower()}(",
+        sql,
+    )
+    # to_json over a SCALAR literal (json.c to_json; PG encodes any
+    # value): the array-encode trick gives typed quoting for free.
+    # Struct/map/array args keep Spark's native to_json.
+    def sub_to_json_scalar(m: re.Match) -> str:
+        a = m.group(1).strip()
+        e = f"to_json(array({a}))"
+        return f"substr({e}, 2, length({e}) - 2)"
+
+    sql = re.sub(
+        rf"\bto_jsonb?\s*\(\s*((?:DATE|TIMESTAMPTZ|TIMESTAMP|TIMETZ"
+        rf"|TIME)\s+\x01\d+\x01"
+        rf"|CAST\s*\(\s*\x01\d+\x01\s+AS\s+TIMESTAMP(?:_NTZ)?\s*\)"
+        rf"|from_utc_timestamp\s*\((?:[^()]|\([^()]*\))*\)"
+        rf"|to_utc_timestamp\s*\((?:[^()]|\([^()]*\))*\)"
+        rf"|\x01\d+\x01|-?\d+(?:\.\d+)?|true|false)\s*\)",
+        sub_to_json_scalar,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # any remaining to_jsonb spelling is to_json (the engine's json
+    # and jsonb share the text representation)
+    sql = re.sub(r"(?i)\bto_jsonb\s*\(", "to_json(", sql)
+    # width_bucket(x, thresholds[]) two-arg form (PG 9.5
+    # numeric.c width_bucket_array): index of the last threshold <= x
+    sql = re.sub(
+        rf"\bwidth_bucket\s*\(\s*({_ARITH_CHAIN})\s*,\s*"
+        rf"((?:array|ARRAY)\s*[\[(](?:[^()\[\]]|\([^()]*\))*[\])])\s*\)",
+        lambda m: (
+            f"size(filter({m.group(2)}, __t -> __t <= ({m.group(1)})))"
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # ... and with a braced-literal threshold array (an empty '{}'
+    # stays untyped through the array-literal pass)
+    sql = re.sub(
+        rf"\bwidth_bucket\s*\(\s*({_ARITH_CHAIN})\s*,\s*({_LIT})\s*\)",
+        lambda m: (
+            "0" if _lit_value(m.group(2), lits).strip() == "{}"
+            else m.group(0)
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # make_time (date.c): Spark 4.1 grew a native make_time returning
+    # its TIME type, which PySpark cannot collect — route to the
+    # engine's HH:MM:SS string model instead
+    sql = re.sub(r"(?i)\bmake_time\s*\(", "pg_make_time(", sql)
+    # current_timestamp(precision) (gram.y SystemFuncName precision +
+    # timestamp.c AdjustTimestampForTypmod): Spark's takes no argument;
+    # PG ROUNDS the fractional seconds to n digits (rint = half-even,
+    # matched by Spark's bround over the microsecond count)
+    def _cts_precision(m: "re.Match") -> str:
+        n = int(m.group(1))
+        if n >= 6:
+            return "current_timestamp()"
+        q = 10 ** (6 - n)
+        return (
+            "timestamp_micros(CAST(bround(unix_micros("
+            f"current_timestamp()) / {q}) AS BIGINT) * {q})"
+        )
+
+    sql = re.sub(
+        r"(?i)\bcurrent_timestamp\s*\(\s*(\d)\s*\)",
+        _cts_precision,
+        sql,
+    )
+    # concat/concat_ws with a VARIADIC array argument (varlena.c):
+    # elements render as text; a NULL array yields NULL
+    sql = re.sub(
+        r"(?i)\bconcat_ws\s*\(\s*((?:[^(),]|\([^()]*\))+)\s*,\s*"
+        r"VARIADIC\s+((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
+        lambda m: (
+            f"IF(({m.group(2)}) IS NULL, CAST(NULL AS STRING), "
+            f"concat_ws({m.group(1)}, transform({m.group(2)}, "
+            f"__v -> CAST(__v AS STRING))))"
+        ),
+        sql,
+    )
+    sql = re.sub(
+        r"(?i)\bconcat\s*\(\s*VARIADIC\s+"
+        r"((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
+        lambda m: (
+            f"IF(({m.group(1)}) IS NULL, CAST(NULL AS STRING), "
+            f"concat_ws('', transform({m.group(1)}, "
+            f"__v -> CAST(__v AS STRING))))"
+        ),
+        sql,
+    )
+    # concat with LEADING args before the VARIADIC tail
+    # (text.c concat spreads the array after the fixed args)
+    sql = re.sub(
+        r"(?i)\bconcat\s*\(\s*((?:[^(),]|\([^()]*\))+(?:,\s*"
+        r"(?:[^(),]|\([^()]*\))+)*?)\s*,\s*VARIADIC\s+"
+        r"((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
+        lambda m: (
+            f"concat({m.group(1)}, IF(({m.group(2)}) IS NULL, "
+            f"CAST(NULL AS STRING), concat_ws('', "
+            f"transform({m.group(2)}, __v -> CAST(__v AS STRING)))))"
+        ),
+        sql,
+    )
+    def sub_json_build_arr(m: re.Match) -> str:
+        """json[b]_build_array (json.c json_build_array): heterogeneous
+        element types build per-element — each non-NULL, non-json arg
+        JSON-encodes through to_json(array(x)) with the brackets
+        stripped (typed quoting/escaping for free); `json '...'`-typed
+        args splice raw. Same-type calls keep identical output to the
+        old to_json(array(...)) lowering (compact ',' separator)."""
+        args = _split_args(m.group(1))
+        if not args:
+            return "'[]'"
+        parts, kinds = [], set()
+        for a in args:
+            t = a.strip()
+            jm = re.match(r"(?is)^jsonb?\s+(\x01\d+\x01)$", t)
+            if jm:
+                parts.append(jm.group(1))
+                kinds.update(("json", "other"))  # force per-element
+                continue
+            if t.upper() == "NULL":
+                parts.append("'null'")
+                continue
+            if _MASK_RE.fullmatch(t):
+                kinds.add("str")
+            elif re.fullmatch(r"-?\d+(?:\.\d+)?", t):
+                kinds.add("num")
+            elif t.lower() in ("true", "false"):
+                kinds.add("bool")
+            else:
+                kinds.add("expr")
+            e = f"to_json(array({t}))"
+            parts.append(f"substr({e}, 2, length({e}) - 2)")
+        if len(kinds) <= 1:  # homogeneous: one array, one encoder
+            return f"to_json(array({m.group(1)}))"
+        return "concat('[', concat_ws(',', " + ", ".join(parts) + "), ']')"
+
+    # json[b]_build_array(VARIADIC arr): the array's elements ARE the
+    # argument list (functioncmds.c variadic spread) — encode directly
+    sql = re.sub(
+        r"(?i)\bjsonb?_build_array\s*\(\s*VARIADIC\s+"
+        r"((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
+        lambda m: f"to_json({m.group(1).strip()})",
+        sql,
+    )
+    sql = _JSON_BUILD_ARR_RE.sub(sub_json_build_arr, sql)
+    sql = _JSON_OBJECT_AGG_RE.sub(
+        lambda m: (
+            "to_json(map_from_entries("
+            f"{'collect_set' if m.group(1) else 'collect_list'}("
+            f"struct({m.group(2).strip()}, {m.group(3).strip()}))))"
+        ),
+        sql,
+    )
+    sql = _JSON_AGG_RE.sub(
+        lambda m: f"to_json(collect_list({m.group(1)}))", sql
+    )
+    sql = _ROW_TO_JSON_RE.sub("to_json(", sql)
+    # array_to_json (json.c array_to_json): Spark's to_json renders
+    # arrays (incl. nested) with the same [..] text for scalar
+    # element types
+    sql = re.sub(r"\barray_to_json\s*\(", "to_json(", sql,
+                 flags=re.IGNORECASE)
+    def sub_format(m: re.Match) -> str:
+        tok, argstr = m.group(1), m.group(2)
+        if tok.upper() == "NULL":
+            return "CAST(NULL AS STRING)"
+        compiled = _pg_format_compile(
+            _lit_value(tok, lits),
+            _split_args(argstr) if argstr else [],
+            lits,
+        )
+        if compiled is not None:
+            return compiled
+        # printf-style pictures (%d/%f/...) keep the legacy
+        # format_string lowering — a deliberate extension over PG,
+        # which only defines s/I/L
+        tail = f", {argstr}" if argstr else ""
+        return f"format_string({tok}{tail})"
+
+    sql = _FORMAT_CALL_RE.sub(sub_format, sql)
+    sql = _FORMAT_FN_RE.sub(lambda m: f"format_string({m.group(1)}", sql)
+    # array_fill (arrayfuncs.c): 1-D -> array_repeat; a 2-element dims
+    # array is a 2-D fill, modeled as nested arrays (default [1:n]
+    # bounds only; explicit lower-bound forms stay loud)
+    sql = _ARRAY_FILL_RE.sub(
+        lambda m: (
+            f"array_repeat(array_repeat({m.group(1)}, {m.group(3)}), "
+            f"{m.group(2)})"
+            if m.group(3)
+            else f"array_repeat({m.group(1)}, {m.group(2)})"
+        ),
+        sql,
+    )
+    sql = _PG_TYPEOF_RE.sub("typeof(", sql)
+
+    def sub_log(m: re.Match) -> str:
+        args = _split_args(m.group(1))
+        if len(args) == 1:
+            return f"log10({m.group(1)})"
+        return m.group(0)
+
+    sql = _LOG_RE.sub(sub_log, sql)
+    # scale(numeric) (numeric.c numeric_scale): decimal digits of the
+    # text form — Spark literals keep their declared scale
+    sql = _SCALE_RE.sub(
+        lambda m: f"scale_pg(CAST(({m.group(1)}) AS STRING))", sql
+    )
+    # power()/pow(): PG float.c dpow is POSIX — power(1, NaN) = 1 —
+    # where Math.pow(1.0, NaN) returns NaN; inline the base=1 guard
+    # (no registered function needed, rewrite() stays self-contained)
+    def sub_power(m: re.Match) -> str:
+        args = _split_args(m.group(1))
+        if len(args) != 2:
+            return m.group(0)
+        x, y = (a.strip() for a in args)
+        return (
+            f"(CASE WHEN CAST(({x}) AS DOUBLE) = CAST(1.0 AS DOUBLE) "
+            f"THEN CAST(1.0 AS DOUBLE) ELSE power({x}, {y}) END)"
+        )
+
+    sql = _POWER_FN_RE.sub(sub_power, sql)
+    # trunc(x, n) truncates toward zero at n decimal places. The scale
+    # step MUST be exact-decimal: a double multiply is inexact
+    # (2.3 * 10 = 22.999999999999996 → trunc would yield 2.2, PG 2.3)
+    # and a bare BIGINT cast silently overflows. CAST(double→decimal)
+    # goes through the shortest decimal repr (BigDecimal.valueOf), so
+    # 2.3 becomes exactly 2.300…; floor/ceil-by-sign on the scaled
+    # decimal truncates toward zero with no integer overflow (decimal
+    # overflow yields NULL, never a wrapped value).
+    def sub_trunc_n(m: re.Match) -> str:
+        x, p = m.group(1), 10 ** int(m.group(2))
+        d = f"CAST(({x}) AS DECIMAL(38,18)) * {p}"
+        return (
+            f"((CASE WHEN ({x}) < 0 THEN CEIL({d}) ELSE FLOOR({d}) END) "
+            f"/ CAST({p} AS DECIMAL(19,0)))"
+        )
+
+    sql = _TRUNC_N_RE.sub(sub_trunc_n, sql)
+
+    def sub_trunc1(m: re.Match) -> str:
+        args = _split_args(m.group(1))
+        if len(args) == 1:  # numeric trunc-to-integer (toward zero)
+            return f"CAST(({m.group(1)}) AS BIGINT)"
+        return m.group(0)  # 2-arg date trunc stays native
+
+    sql = _TRUNC1_RE.sub(sub_trunc1, sql)
+    sql = _JSON_TYPED_LIT_RE.sub(lambda m: m.group(1), sql)
+
+    def _json_path(elems: list[str]) -> str:
+        path = "$"
+        for e in elems:
+            e = e.strip().strip("'\"")
+            path += f"[{e}]" if e.isdigit() else f".{e}"
+        return path
+
+    def sub_hash_path(m: re.Match) -> str:
+        j, tok = m.group(1), m.group(2)
+        body = lits[int(_MASK_RE.match(tok).group(1))][1:-1]
+        path = _json_path(body.strip().strip("{}").split(","))
+        return f"get_json_object({j}, '{path}')"
+
+    def sub_hash_path_arr(m: re.Match) -> str:
+        j, args_s = m.group(1), m.group(2)
+        elems = []
+        for a in _split_args(args_s):
+            a = a.strip()
+            lm = _MASK_RE.match(a)
+            if lm and a == lm.group(0):
+                elems.append(lits[int(lm.group(1))][1:-1])
+            elif a.isdigit():
+                elems.append(a)
+            elif a.upper() == "NULL":
+                # a NULL path element makes the strict #>/#>> NULL
+                # (jsonfuncs.c get_path_all)
+                return "CAST(NULL AS STRING)"
+            else:
+                return m.group(0)  # dynamic path elements: stay loud
+        return f"get_json_object({j}, '{_json_path(elems)}')"
+
+    sql = _HASH_PATH_ARR_RE.sub(sub_hash_path_arr, sql)
+    sql = _HASH_PATH_RE.sub(sub_hash_path, sql)
+    def sub_ts_zone_lit(m: re.Match) -> str:
+        # compact ISO-8601 input ('20011227T040506.789+08',
+        # datetime.c DecodeISO8601...): normalize to the punctuated
+        # form Spark's parser accepts
+        body = _lit_value(m.group(1), lits).strip()
+        jm = re.fullmatch(
+            # Julian-day timestamp input (datetime.c DecodeDateTime
+            # J-prefix; horology.sql): 'J2452271 04:05:06+08',
+            # 'J2452271.5-08' (fraction of a day), 'J2452271T040506'
+            r"[Jj](\d{1,7})(\.\d+)?"
+            r"(?:[T ](\d{2}):?(\d{2})(?::?(\d{2}(?:\.\d+)?))?)?"
+            r"\s*([+-]\d{1,2}(?::?\d{2})?)?",
+            body,
+        )
+        if jm:
+            import datetime as _dt
+
+            jd, frac, h, mi, s, off = jm.groups()
+            try:
+                base = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                    days=int(jd) - 2440588
+                )
+            except OverflowError:
+                return f"TIMESTAMP {m.group(1)}"  # BC-era: stay loud
+            if frac:
+                base += _dt.timedelta(
+                    microseconds=round(float(frac) * 86400 * 1e6)
+                )
+            elif h:
+                sec = float(s or 0)
+                base += _dt.timedelta(
+                    hours=int(h), minutes=int(mi), seconds=sec
+                )
+            iso = base.strftime("%Y-%m-%d %H:%M:%S")
+            if base.microsecond:
+                iso += f".{base.microsecond:06d}".rstrip("0")
+            if off:
+                o = off.replace(":", "")
+                iso += (
+                    f"{o[0]}{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
+                    + (f":{o[3:5]}" if len(o) >= 5 else "")
+                )
+            return f"TIMESTAMP {_new_lit(iso, lits)}"
+        # PG multi-format date part + time + offset ('12/27/2001
+        # 04:05:06.789-08', '2001.12.27 ...') and the tagged
+        # 'Y2001M12D27H04M05S06.789+08' ISO-alternative form
+        gm = re.fullmatch(
+            r"(?i)Y(\d{4})M(\d{2})D(\d{2})"
+            r"H(\d{2})MM?(\d{2})S(\d{2}(?:\.\d+)?)"
+            r"\s*([+-]\d{1,2}(?::?\d{2})?)?",
+            body,
+        )
+        if gm:
+            y, mo, d, h, mi, s, off = gm.groups()
+            iso = f"{y}-{mo}-{d} {h}:{mi}:{s}"
+            if off:
+                o = off.replace(":", "")
+                iso += (
+                    f"{o[0]}{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
+                    + (f":{o[3:5]}" if len(o) >= 5 else "")
+                )
+            return f"TIMESTAMP {_new_lit(iso, lits)}"
+        dm = re.fullmatch(
+            r"(\S+)\s+(\d{1,2}:\d{2}(?::\d{2}(?:\.\d+)?)?)"
+            r"\s*([+-]\d{1,2}(?::?\d{2})?)?",
+            body,
+        )
+        if dm:
+            folded_d = (
+                dm.group(1)
+                if re.fullmatch(r"\d{4}-\d{2}-\d{2}", dm.group(1))
+                else _pg_date_fold(dm.group(1))
+            )
+            if folded_d is not None:
+                t = dm.group(2)
+                if re.fullmatch(r"\d{1,2}:\d{2}", t):
+                    t += ":00"  # Spark's literal parser needs seconds
+                iso = f"{folded_d} {t}"
+                off = dm.group(3)
+                if off:
+                    o = off.replace(":", "")
+                    iso += (
+                        f"{o[0]}"
+                        f"{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
+                        + (f":{o[3:5]}" if len(o) >= 5 else "")
+                    )
+                return f"TIMESTAMP {_new_lit(iso, lits)}"
+        cm = re.fullmatch(
+            r"(\d{4})(\d{2})(\d{2})(?:[T ]?(\d{2}):?(\d{2}):?"
+            r"(\d{2}(?:\.\d+)?)?)?\s*([+-]\d{1,2}(?::?\d{2})?)?",
+            body,
+        )
+        if cm:
+            y, mo, d, h, mi, s, off = cm.groups()
+            iso = f"{y}-{mo}-{d} {h or '00'}:{mi or '00'}:{s or '00'}"
+            if off:
+                o = off.replace(":", "")
+                iso += (
+                    f"{o[0]}{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
+                    + (f":{o[3:5]}" if len(o) >= 5 else "")
+                )
+            return f"TIMESTAMP {_new_lit(iso, lits)}"
+        return f"TIMESTAMP {m.group(1)}"
+
+    sql = _TS_ZONE_LIT_RE.sub(sub_ts_zone_lit, sql)
+
+    # make_interval with PG named arguments (funcapi named notation:
+    # make_interval(years := 1, months := 6)) → positional
+    def sub_make_iv_named(m: re.Match) -> str:
+        order = ("years", "months", "weeks", "days", "hours",
+                 "mins", "secs")
+        vals = {k: "0" for k in order}
+        for part in _split_args(m.group(1)):
+            nm = re.match(r"(?is)^\s*(\w+)\s*:?=>?\s*(.+)$", part)
+            if nm is None or nm.group(1).lower() not in vals:
+                return m.group(0)
+            vals[nm.group(1).lower()] = nm.group(2).strip()
+        return "make_interval(" + ", ".join(vals[k] for k in order) + ")"
+
+    sql = re.sub(
+        r"(?i)\bmake_interval\s*\(\s*((?:[^()]|\([^()]*\))*:="
+        r"(?:[^()]|\([^()]*\))*)\)",
+        sub_make_iv_named,
+        sql,
+    )
+    sql = _DOUBLE_PREC_LIT_RE.sub(
+        lambda m: f"CAST({m.group(1)} AS DOUBLE)", sql
+    )
+
+    # --- PG time / time-with-time-zone input and literal arithmetic
+    # (utils/adt/date.c time_in/timetz_in, time_pl_interval — the
+    # interval's day/month fields are IGNORED and results wrap mod
+    # 24 h). Model: time = DayTimeInterval (sorts/collects natively);
+    # timetz = canonical text 'HH:MM:SS[.ffffff]±HH[:MM]'. All the
+    # arithmetic forms below take literals, so they fold at plan time.
+    def _time_render(secs, off=None) -> str:
+        from decimal import Decimal
+
+        secs = Decimal(secs) % 86400
+        if secs < 0:  # Decimal % truncates toward zero; wrap up
+            secs += 86400
+        h, rem = divmod(int(secs), 3600)
+        mi, s = divmod(rem, 60)
+        frac = secs - int(secs)
+        out = f"{h:02d}:{mi:02d}:{s:02d}"
+        if frac:
+            out += f"{frac:.6f}".rstrip("0")[1:]  # '.5', '.999999'
+        if off is not None:
+            sign = "-" if off < 0 else "+"
+            oh, om = divmod(abs(off) // 60, 60)
+            out += f"{sign}{oh:02d}" + (f":{om:02d}" if om else "")
+        return out
+
+    def _pg_time_lit_parse(body: str):
+        """'HH:MM[:SS[.f]]', compact '[T]HHMMSS[.f]', numeric offsets
+        ±H/±HH[:MM]/±HHMM, trailing zone abbreviations. Returns
+        (seconds Decimal, offset-seconds or None) or None."""
+        from decimal import Decimal
+
+        s = body.strip()
+        if s[:1] in ("T", "t"):
+            s = s[1:].strip()
+        off = None
+        zm = re.search(r"\s+([A-Za-z]{2,5})$", s)
+        if zm and (o := _TZ_ABBREV_OFFSETS.get(zm.group(1).upper())):
+            sign = -1 if o.startswith("-") else 1
+            hh, mm = o[1:].split(":")
+            off = sign * (int(hh) * 3600 + int(mm) * 60)
+            s = s[: zm.start()].strip()
+        om = re.search(r"([+-])\s*(\d{1,2})(?::?(\d{2}))?$", s)
+        if om and (off is None):
+            off = (-1 if om.group(1) == "-" else 1) * (
+                int(om.group(2)) * 3600 + int(om.group(3) or 0) * 60
+            )
+            s = s[: om.start()].strip()
+        tm = re.fullmatch(
+            r"(\d{1,2}):(\d{2})(?::(\d{2}(?:\.\d+)?))?", s
+        ) or re.fullmatch(r"(\d{2})(\d{2})(\d{2}(?:\.\d+)?)?", s)
+        if not tm:
+            return None
+        h, mi, sec = (
+            int(tm.group(1)), int(tm.group(2)), Decimal(tm.group(3) or 0),
+        )
+        if h > 24 or mi > 59:
+            return None
+        return (h * 3600 + mi * 60 + sec, off)
+
+    _TIME_FORM = (
+        r"(?:time\s+with\s+time\s+zone|timetz|"
+        r"time(?:\s+without\s+time\s+zone)?)\s+(\x01\d+\x01)"
+    )
+    _is_tz_form = re.compile(r"(?i)^\s*(time\s+with|timetz)").match
+
+    def _time_lit_secs(form_text: str, tok: str):
+        parsed = _pg_time_lit_parse(_lit_value(tok, lits))
+        if parsed is None:
+            return None
+        secs, off = parsed
+        if not _is_tz_form(form_text):
+            off = None  # plain time drops any zone decoration
+        return secs, off
+
+    # timestamptz(date 'd', <time-form> 't') constructor (date.c
+    # datetimetz_timestamptz): the instant at the time's offset
+    def sub_make_tstz2(m: re.Match) -> str:
+        import datetime as _dt
+
+        parsed = _time_lit_secs(m.group(2), m.group(3))
+        try:
+            d = _dt.date.fromisoformat(_lit_value(m.group(1), lits).strip())
+        except ValueError:
+            return m.group(0)
+        if parsed is None:
+            return m.group(0)
+        secs, off = parsed
+        ts = _dt.datetime.combine(d, _dt.time()) + _dt.timedelta(
+            seconds=float(secs) - (off or 0)
+        )
+        return f"TIMESTAMP {_new_lit(ts.isoformat(sep=' '), lits)}"
+
+    sql = re.sub(
+        rf"(?i)\btimestamptz\s*\(\s*date\s+(\x01\d+\x01)\s*,\s*"
+        rf"({_TIME_FORM})\s*\)",
+        sub_make_tstz2,
+        sql,
+    )
+    # date 'd' + <time-form> 't'  lowers like the timestamptz ctor
+    class _FakeMatch:
+        def __init__(self, groups, whole):
+            self._g, self._w = groups, whole
+
+        def group(self, i=0):
+            return self._w if i == 0 else self._g[i - 1]
+
+    def sub_date_plus_time(m: re.Match) -> str:
+        form = m.group("f")
+        ttok = re.search(r"\x01\d+\x01", form).group(0)
+        return sub_make_tstz2(
+            _FakeMatch((m.group("d"), form, ttok), m.group(0))
+        )
+
+    sql = re.sub(
+        rf"(?i)\bdate\s+(?P<d>\x01\d+\x01)\s*\+\s*(?P<f>{_TIME_FORM})",
+        sub_date_plus_time,
+        sql,
+    )
+    # <time-form> 't' ± INTERVAL 'iv': fold, wrapping mod 24 h; the
+    # interval's day/month fields are ignored (date.c time_pl_interval)
+    def sub_time_iv(m: re.Match) -> str:
+        parsed = _time_lit_secs(m.group(1), m.group(2))
+        iv = _pg_interval_parse(_lit_value(m.group(4), lits), None, None, None)
+        if parsed is None or iv is None:
+            return m.group(0)
+        secs, off = parsed
+        iv_secs = iv["h"] * 3600 + iv["mi"] * 60 + iv["s"]
+        if m.group(3) == "-":
+            iv_secs = -iv_secs
+        out = _time_render(secs + iv_secs, off)
+        if off is not None:
+            return _new_lit(out, lits)
+        return f"INTERVAL {_new_lit(out, lits)} HOUR TO SECOND"
+
+    sql = re.sub(
+        rf"(?i)\b({_TIME_FORM})\s*([-+])\s*INTERVAL\s+(\x01\d+\x01)",
+        sub_time_iv,
+        sql,
+    )
+    # bare timetz literal -> canonical text
+    def sub_timetz_lit(m: re.Match) -> str:
+        parsed = _time_lit_secs(m.group(0), m.group(1))
+        if parsed is None:
+            return m.group(0)
+        return _new_lit(_time_render(*parsed), lits)
+
+    sql = re.sub(
+        r"(?i)\b(?:time\s+with\s+time\s+zone|timetz)\s+(\x01\d+\x01)",
+        sub_timetz_lit,
+        sql,
+    )
+    def sub_time_lit(m: re.Match) -> str:
+        body = lits[int(_MASK_RE.match(m.group(1)).group(1))][1:-1]
+        parsed = _pg_time_lit_parse(body)
+        if parsed is not None:
+            # canonical HH:MM:SS[.f] (zone decorations dropped): the
+            # compact '040506.789+08' forms normalize here
+            tok = _new_lit(_time_render(parsed[0]), lits)
+            return f"INTERVAL {tok} HOUR TO SECOND"
+        qual = "HOUR TO SECOND" if body.count(":") >= 2 else "HOUR TO MINUTE"
+        return f"INTERVAL {m.group(1)} {qual}"
+
+    # 'time without time zone' typed literals spell like plain time
+    sql = re.sub(
+        r"(?i)\btime\s+without\s+time\s+zone\s+(\x01\d+\x01)",
+        r"time \1",
+        sql,
+    )
+    sql = _TIME_LIT_RE.sub(sub_time_lit, sql)
+    # CAST(time AS interval) / CAST(interval AS time): identities in
+    # this model (time IS a day-time interval)
+    sql = re.sub(
+        r"(?i)\bCAST\s*\(\s*(INTERVAL\s+\x01\d+\x01"
+        r"(?:\s+HOUR\s+TO\s+(?:SECOND|MINUTE))?)\s+AS\s+"
+        r"(?:interval|time)\s*\)",
+        lambda m: f"({m.group(1)})",
+        sql,
+    )
+    # interval literal comparisons (timestamp.c interval_cmp): PG
+    # compares through the justified TimeOffset (months*30 + days days,
+    # 86400s each), so '30 days' = '1 month' is TRUE. Spark cannot
+    # order CalendarIntervalType at all — literal-vs-literal
+    # comparisons fold at plan time. interval_hash hashes the same
+    # canonical value (regress interval.sql pins hash('30 days') =
+    # hash('1 month')).
+    def _interval_total(tok: str):
+        from decimal import Decimal
+
+        f = _pg_interval_parse(_lit_value(tok, lits), None, None, None)
+        if f is None:
+            return None
+        return (
+            (f["y"] * 12 + f["mo"]) * Decimal(30) + f["d"]
+        ) * 86400 + f["h"] * 3600 + f["mi"] * 60 + f["s"]
+
+    # interval literal spellings at this point in the pipeline:
+    # INTERVAL 'x', CAST('x' AS interval), 'x'::interval
+    _IVL_LIT = (
+        rf"(?:INTERVAL\s+({_LIT})"
+        rf"|CAST\s*\(\s*({_LIT})\s+AS\s+interval\s*\)"
+        rf"|({_LIT})\s*::\s*interval\b)"
+    )
+
+    def sub_interval_cmp(m: re.Match) -> str:
+        a = _interval_total(m.group(1) or m.group(2) or m.group(3))
+        b = _interval_total(m.group(5) or m.group(6) or m.group(7))
+        if a is None or b is None:
+            return m.group(0)
+        op = m.group(4)
+        ok = {
+            "=": a == b, "<>": a != b, "!=": a != b, "<": a < b,
+            "<=": a <= b, ">": a > b, ">=": a >= b,
+        }[op]
+        return "true" if ok else "false"
+
+    sql = re.sub(
+        rf"(?i){_IVL_LIT}\s*(=|<>|!=|<=|>=|<|>)\s*{_IVL_LIT}",
+        sub_interval_cmp,
+        sql,
+    )
+
+    # make_interval(...) literal comparisons fold the same way
+    def _mi_total(args_s: str):
+        from decimal import Decimal
+
+        args = [a.strip() for a in _split_args(args_s)] \
+            if args_s.strip() else []
+        if len(args) > 7 or any(
+            not re.fullmatch(r"[-+]?\d+(?:\.\d+)?", a) for a in args
+        ):
+            return None
+        v = [Decimal(a) for a in args] + [Decimal(0)] * (7 - len(args))
+        y, mo, w, d, h, mi, s = v
+        return ((y * 12 + mo) * 30 + w * 7 + d) * 86400 \
+            + h * 3600 + mi * 60 + s
+
+    def sub_mi_cmp(m: re.Match) -> str:
+        a, b = _mi_total(m.group(1)), _mi_total(m.group(3))
+        if a is None or b is None:
+            return m.group(0)
+        ok = {
+            "=": a == b, "<>": a != b, "!=": a != b, "<": a < b,
+            "<=": a <= b, ">": a > b, ">=": a >= b,
+        }[m.group(2)]
+        return "true" if ok else "false"
+
+    sql = re.sub(
+        r"(?i)\bmake_interval\s*\(([^()]*)\)\s*(=|<>|!=|<=|>=|<|>)"
+        r"\s*make_interval\s*\(([^()]*)\)",
+        sub_mi_cmp,
+        sql,
+    )
+
+    def sub_interval_hash(m: re.Match) -> str:
+        tok = m.group(1) or m.group(2) or m.group(3)
+        t = _interval_total(tok)
+        return m.group(0) if t is None else f"hash({t})"
+
+    sql = re.sub(
+        rf"(?i)\binterval_hash\s*\(\s*{_IVL_LIT}\s*\)",
+        sub_interval_hash,
+        sql,
+    )
+    # median over datetime operands (pg_proc median = percentile_cont
+    # 0.5, which interpolates over timestamps): Spark's median is
+    # numeric-only — route through epoch micros
+    sql = re.sub(
+        rf"(?i)\bmedian\s*\(\s*((?:DATE|TIMESTAMP\w*)\s+{_LIT}"
+        rf"|CAST\s*\((?:[^()]|\([^()]*\))*AS\s+"
+        rf"(?:DATE|TIMESTAMP\w*)\s*\))\s*\)",
+        lambda m: (
+            "timestamp_micros(CAST(percentile(unix_micros(CAST("
+            f"{m.group(1)} AS TIMESTAMP)), 0.5) AS BIGINT))"
+        ),
+        sql,
+    )
+    # json[b]_populate_record(set) over an ANONYMOUS row(...) base
+    # (jsonfuncs.c populate_record with record type): fields are named
+    # f1..fn (parse_expr.c anonymous-record naming), types inferred
+    # from the row literals; a key present in the json overrides the
+    # base value, a missing key keeps it
+    def _row_lit_type(a: str) -> str:
+        if re.fullmatch(r"-?\d+", a):
+            return "INT"
+        if re.fullmatch(r"-?\d*\.\d+(?:[eE][-+]?\d+)?", a):
+            return "DOUBLE"
+        if a.lower() in ("true", "false"):
+            return "BOOLEAN"
+        return "STRING"
+
+    def sub_populate_anon(m: re.Match) -> str:
+        which, base_args, j = m.group(1), m.group(2), m.group(3).strip()
+        # the ROW(...) ctor lowered earlier to struct((e) AS f1, ...):
+        # recover (name, expr) pairs
+        pairs: list[tuple[str, str]] = []
+        for i, a in enumerate(_split_args(base_args), start=1):
+            am = re.match(r"(?is)^(.*?)\s+AS\s+(\w+)\s*$", a.strip())
+            if am:
+                pairs.append((am.group(2), am.group(1).strip()))
+            else:
+                pairs.append((f"f{i}", a.strip()))
+        if not pairs:
+            return m.group(0)
+        src = "__o" if which else j
+
+        def fld(nm: str, a: str) -> str:
+            expr = a[1:-1].strip() if (
+                a.startswith("(") and a.endswith(")")
+            ) else a
+            return (
+                f"'{nm}', IF(array_contains(json_object_keys({src}), "
+                f"'{nm}'), CAST(get_json_object({src}, '$.{nm}') AS "
+                f"{_row_lit_type(expr)}), {a})"
+            )
+
+        ns = "named_struct(" + ", ".join(
+            fld(nm, a) for nm, a in pairs) + ")"
+        if which:  # recordset: one row per array element
+            return (
+                f"explode(transform(from_json({j}, 'array<string>'), "
+                f"__o -> {ns}))"
+            )
+        return ns
+
+    sql = re.sub(
+        rf"(?i)\bjsonb?_populate_record(set)?\s*\(\s*struct\s*\("
+        rf"((?:[^()]|\([^()]*\))*)\)\s*,\s*({_LIT}|[\w.]+)\s*\)",
+        sub_populate_anon,
+        sql,
+    )
+    # expr IS OF (type) (parse_expr.c transformTypeCast IS OF): a
+    # static type-identity test — compared through Spark's typeof()
+    # at the TYPE-CLASS level (precision/scale stripped), which
+    # constant-folds for literal operands. The operand is found by a
+    # left walk-back over balanced parens / identifier chars / `::`
+    # connectors, because cast chains (CAST(..)::ARRAY<int>::..)
+    # outrun any fixed-depth operand regex.
+    def _operand_start(s: str, end: int) -> int:
+        i = end
+        while True:
+            if i > 0 and s[i - 1] == ")":
+                depth, j = 0, i
+                while j > 0:
+                    j -= 1
+                    if s[j] == ")":
+                        depth += 1
+                    elif s[j] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                i = j
+                while i > 0 and (s[i - 1].isalnum()
+                                 or s[i - 1] in "_.$"):
+                    i -= 1
+            else:
+                j = i
+                while j > 0 and (s[j - 1].isalnum()
+                                 or s[j - 1] in "_.$\x01<>[]'"):
+                    j -= 1
+                if j == i:
+                    break
+                i = j
+            k = i
+            while k > 0 and s[k - 1].isspace():
+                k -= 1
+            if k >= 2 and s[k - 2: k] == "::":
+                i = k - 2
+                continue
+            break
+        return i
+
+    _KNOWN_TYPE_CLASSES = {
+        "int", "bigint", "smallint", "tinyint", "double", "float",
+        "string", "boolean", "date", "timestamp", "decimal", "binary",
+    }
+
+    def _is_of_class(t: str) -> str | None:
+        t = t.strip()
+        if t.endswith("[]"):
+            inner = _is_of_class(t[:-2])
+            return None if inner is None else f"array<{inner}>"
+        try:
+            mapped = map_decl_type(t)
+        except Exception:
+            return None
+        cls = re.sub(r"\(.*", "", mapped).strip().lower()
+        if cls == t.lower() and cls not in _KNOWN_TYPE_CLASSES:
+            return None  # unmapped PG-only name (domain/composite)
+        return cls
+
+    _IS_OF_RE = re.compile(
+        r"(?i)\s+IS\s+(NOT\s+)?OF\s*\(\s*([\w\[\]<> ]+?)\s*\)"
+    )
+    while True:
+        m = _IS_OF_RE.search(sql)
+        if not m:
+            break
+        start = _operand_start(sql, m.start())
+        x = sql[start: m.start()].strip()
+        cls = _is_of_class(m.group(2))
+        if cls is None or not x:
+            break  # unknown type / no operand: stay loud
+        op = "!=" if m.group(1) else "="
+        rep = (
+            f"(regexp_replace(lower(typeof({x})), '\\\\(.*', '') "
+            f"{op} '{cls}')"
+        )
+        sql = sql[:start] + rep + sql[m.end():]
+    # array_prepend(elem, arr) (arrayfuncs.c): PG leads with the
+    # ELEMENT; Spark's array_prepend leads with the array — swap
+    sql = re.sub(
+        r"(?i)\barray_prepend\s*\(\s*((?:[^(),]|\((?:[^()]|\([^()]*\))*\))+)"
+        r"\s*,\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
+        lambda m: f"array_prepend({m.group(2).strip()}, "
+                  f"{m.group(1).strip()})",
+        sql,
+    )
+    # get_bit/set_bit over BYTEA operands (varlena.c byteaGetBit /
+    # byteaSetBit — bit n lives in byte n/8 at in-byte position n%8
+    # from the LSB; regress strings.sql set_bit('\x..', 43, 0)). The
+    # bit-STRING forms keep the registered text functions; the bytea
+    # literal lowers to unhex(...) earlier, which is the dispatch key.
+    _BYA = r"unhex\s*\((?:[^()]|\([^()]*\))*\)"
+
+    def _byte_of(b: str, n: str) -> str:
+        return (
+            f"CAST(conv(substr(hex({b}), "
+            f"(CAST(({n}) AS INT) div 8) * 2 + 1, 2), 16, 10) AS INT)"
+        )
+
+    sql = re.sub(
+        rf"(?i)\bget_bit\s*\(\s*({_BYA})\s*,\s*((?:[^(),]|\([^()]*\))+)\)",
+        lambda m: (
+            f"CAST(shiftright({_byte_of(m.group(1), m.group(2))}, "
+            f"CAST(({m.group(2)}) AS INT) % 8) & 1 AS INT)"
+        ),
+        sql,
+    )
+
+    def sub_set_bit_bytea(m: re.Match) -> str:
+        b, n, v = m.group(1), m.group(2).strip(), m.group(3).strip()
+        k = f"CAST(({n}) AS INT) % 8"
+        newbyte = (
+            f"(({_byte_of(b, n)} & (255 - shiftleft(1, {k}))) "
+            f"| shiftleft(CAST(({v}) AS INT), {k}))"
+        )
+        pos = f"(CAST(({n}) AS INT) div 8) * 2"
+        return (
+            f"unhex(concat(substr(hex({b}), 1, {pos}), "
+            f"lpad(hex({newbyte}), 2, '0'), "
+            f"substr(hex({b}), {pos} + 3)))"
+        )
+
+    sql = re.sub(
+        rf"(?i)\bset_bit\s*\(\s*({_BYA})\s*,\s*((?:[^(),]|\([^()]*\))+)"
+        rf"\s*,\s*((?:[^(),]|\([^()]*\))+)\)",
+        sub_set_bit_bytea,
+        sql,
+    )
+    # an UNTYPED '{}' literal compared against an array-valued call
+    # adopts the array type in PG (parse_coerce.c unknown-literal
+    # resolution): array_remove(...) = '{}' is an empty-array compare
+    sql = re.sub(
+        rf"((?:array_\w+|array|sequence|slice|split|transform|filter"
+        rf"|collect_list|collect_set|sort_array|array)\s*\("
+        rf"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))\s*(=|<>|!=)\s*"
+        rf"({_LIT})",
+        lambda m: (
+            f"{m.group(1)} {m.group(2)} array()"
+            if _lit_value(m.group(3), lits).strip() == "{}"
+            else m.group(0)
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # scale(numeric) (numeric.c numeric_scale): digits after the
+    # decimal point of the value AS TYPED — DECIMAL's string form
+    # keeps trailing zeros, so the text length is exact
+    def sub_scale(m: re.Match) -> str:
+        x = m.group(1).strip()
+        s = f"CAST(({x}) AS STRING)"
+        return (
+            f"IF(({x}) IS NULL, CAST(NULL AS INT), "
+            f"IF(locate('.', {s}) = 0, 0, "
+            f"CAST(length({s}) - locate('.', {s}) AS INT)))"
+        )
+
+    sql = re.sub(
+        rf"(?i)\bscale\s*\(\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
+        sub_scale,
+        sql,
+    )
+    # num_nonnulls / num_nulls (misc.c pg_num_nonnulls): VARIADIC
+    # "any" — a per-argument null test folds to an integer sum
+    def sub_num_nulls(m: re.Match) -> str:
+        which = m.group(1).lower()
+        args = _split_args(m.group(2))
+        op = "IS NOT NULL" if which == "nonnulls" else "IS NULL"
+        terms = " + ".join(f"CAST(({a.strip()}) {op} AS INT)"
+                           for a in args)
+        return f"({terms})"
+
+    sql = re.sub(
+        r"(?i)\bnum_(nonnulls|nulls)\s*\("
+        r"((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
+        sub_num_nulls,
+        sql,
+    )
+    # record byte-compare operators ~<~ ~<=~ ~>~ ~>=~ (varlena.c
+    # text_pattern_lt &c): C-collation comparison — Spark's default
+    # binary comparison on the lowered struct/text operands
+    sql = re.sub(r"~(<=|>=|<|>)~", r" \1 ", sql)
+    # make_timestamptz (timestamp.c make_timestamptz_at_timezone):
+    # Spark's make_timestamp takes a 7th timezone arg, but only as an
+    # offset or region id — translate PG's zone ABBREVIATIONS through
+    # the datetime.c Default-file table before handing over
+    def sub_make_tstz_zone(m: re.Match) -> str:
+        args = [a.strip() for a in _split_args(m.group(1))]
+        if len(args) == 7:
+            zm = _MASK_RE.fullmatch(args[6])
+            if zm:
+                z = _lit_value(args[6], lits).strip().upper()
+                if z in _TZ_ABBREV_OFFSETS:
+                    args[6] = _new_lit(_TZ_ABBREV_OFFSETS[z], lits)
+                elif z in _TZ_ABBREV_ZONES:
+                    args[6] = _new_lit(_TZ_ABBREV_ZONES[z], lits)
+        return f"make_timestamp({', '.join(args)})"
+
+    sql = re.sub(
+        r"(?i)\bmake_timestamptz\s*\(((?:[^()]|\([^()]*\))*)\)",
+        sub_make_tstz_zone,
+        sql,
+    )
+    sql = _JSON_KEYS_ANY_RE.sub(
+        lambda m: (
+            f"exists({m.group(2)}, __jk -> "
+            f"array_contains(json_object_keys({m.group(1)}), __jk))"
+        ),
+        sql,
+    )
+    sql = _JSON_KEYS_ALL_RE.sub(
+        lambda m: (
+            f"forall({m.group(2)}, __jk -> "
+            f"array_contains(json_object_keys({m.group(1)}), __jk))"
+        ),
+        sql,
+    )
+    sql = _JSON_HAS_KEY_RE.sub(
+        lambda m: (
+            f"array_contains(json_object_keys({m.group(1)}), {m.group(2)})"
+        ),
+        sql,
+    )
+    # function spellings of the same operators (jsonfuncs.c
+    # jsonb_exists/_any/_all), plus jsonb_delete's text-key form as a
+    # single-step jsonb_delete_path
+    sql = re.sub(
+        rf"\bjsonb_exists\s*\(\s*({_ARITH_CHAIN}|{_LIT})\s*,"
+        rf"\s*({_ARITH_CHAIN}|{_LIT})\s*\)",
+        lambda m: (
+            f"array_contains(json_object_keys({m.group(1)}), {m.group(2)})"
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        rf"\bjsonb_exists_(any|all)\s*\(\s*({_ARITH_CHAIN}|{_LIT})\s*,"
+        rf"\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
+        lambda m: (
+            f"{'exists' if m.group(1).lower() == 'any' else 'forall'}"
+            f"({m.group(3)}, __jk -> "
+            f"array_contains(json_object_keys({m.group(2)}), __jk))"
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        rf"\bjsonb_delete\s*\(\s*({_ARITH_CHAIN}|{_LIT})\s*,"
+        rf"\s*({_LIT})\s*\)",
+        lambda m: f"jsonb_delete_path({m.group(1)}, array({m.group(2)}))",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # array_replace (arrayfuncs.c): NULL-safe elementwise swap
+    sql = re.sub(
+        r"\barray_replace\s*\(\s*((?:[^()]|\([^()]*\))+?)\s*,"
+        rf"\s*({_ARITH_CHAIN}|{_LIT}|NULL)\s*,"
+        rf"\s*({_ARITH_CHAIN}|{_LIT}|NULL)\s*\)",
+        lambda m: (
+            f"transform({m.group(1)}, "
+            f"__x -> IF(__x <=> {m.group(2)}, {m.group(3)}, __x))"
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    def sub_json_typeof(m: re.Match) -> str:
+        j = m.group(1).strip()
+        t = f"trim({j})"
+        return (
+            f"(CASE WHEN {j} IS NULL THEN NULL "
+            f"WHEN left({t}, 1) = '{{' THEN 'object' "
+            f"WHEN left({t}, 1) = '[' THEN 'array' "
+            f"WHEN left({t}, 1) = '\"' THEN 'string' "
+            f"WHEN {t} IN ('true', 'false') THEN 'boolean' "
+            f"WHEN {t} = 'null' THEN 'null' "
+            f"ELSE 'number' END)"
+        )
+
+    sql = _JSON_TYPEOF_RE.sub(sub_json_typeof, sql)
+
+    def sub_regexp_matches(m: re.Match) -> str:
+        # regexp_matches (regexp.c): setof text[] of capture groups.
+        # Without 'g': one array or no row (here: NULL, the scalar
+        # form — documented deviation in select position). With 'g':
+        # a true SRF over every match, lowered to explode over the
+        # per-group regexp_extract_all streams zipped per match.
+        x, tok, ftok = m.group(1).strip(), m.group(2), m.group(3)
+        body = lits[int(_MASK_RE.match(tok).group(1))][1:-1]
+        flags = _lit_value(ftok, lits) if ftok else ""
+        inline = ""
+        for fch in flags:
+            if fch == "g":
+                continue
+            mapped = {"i": "i", "m": "m", "n": "m", "s": "s",
+                      "x": "x"}.get(fch)
+            if mapped is None:
+                return m.group(0)  # unknown flag: stay loud
+            inline += mapped
+        ngroups, _ = _shift_pattern_backrefs(body, 0)
+        ptok = tok if not inline else _new_lit_raw(
+            f"(?{inline}){body}", lits
+        )
+        if "g" in flags:
+            if ngroups == 0:
+                return (
+                    f"explode(transform(regexp_extract_all({x}, {ptok},"
+                    f" 0), __m -> array(__m)))"
+                )
+            zips = ", ".join(
+                f"regexp_extract_all({x}, {ptok}, {i})"
+                for i in range(1, ngroups + 1)
+            )
+            arr = ", ".join(f"__s.`{i}`" for i in range(ngroups))
+            return (
+                f"explode(transform(arrays_zip({zips}), "
+                f"__s -> array({arr})))"
+            )
+        if ngroups == 0:
+            inner = f"array(regexp_extract({x}, {ptok}, 0))"
+        else:
+            inner = "array(" + ", ".join(
+                f"regexp_extract({x}, {ptok}, {i})"
+                for i in range(1, ngroups + 1)
+            ) + ")"
+        return f"(CASE WHEN {x} RLIKE {ptok} THEN {inner} END)"
+
+    sql = _REGEXP_MATCHES_RE.sub(sub_regexp_matches, sql)
+
+    def sub_interval_qual(m: re.Match) -> str:
+        prec_p, tok, q_hi, q_hi_p, q_lo, q_lo_p = m.groups()
+        if prec_p is None and q_hi is None:
+            return m.group(0)  # plain INTERVAL '...': existing path
+        hi = q_hi.lower() if q_hi else None
+        lo = q_lo.lower() if q_lo else None
+        if (
+            not prec_p and not q_lo and not q_hi_p
+            and re.fullmatch(r"[+-]?\d+", _lit_value(tok, lits).strip())
+        ):
+            # INTERVAL '30' DAY: already valid Spark with identical
+            # semantics — keep the native (ANSI-typed) literal so
+            # interval-typed function args keep their expected type
+            return m.group(0)
+        prec = (
+            int(prec_p) if prec_p
+            else int(q_lo_p) if q_lo_p
+            else int(q_hi_p) if q_hi_p and not q_lo else None
+        )
+        f = _pg_interval_parse(_lit_value(tok, lits), hi, lo, prec)
+        if f is None:
+            return m.group(0)  # unparseable input stays loud, as in PG
+        # Emit an ANSI-typed literal when the fields are pure
+        # year-month or pure day-time: DayTimeIntervalType composes
+        # with DATE as PG does (date + time-of-day -> timestamp),
+        # where make_interval's CalendarInterval would truncate to
+        # DATE. Mixed y/mo+time falls back to make_interval.
+        ym = f["y"] * 12 + f["mo"]
+        dt_secs = f["d"] * 86400 + f["h"] * 3600 + f["mi"] * 60 + f["s"]
+        if ym == 0:
+            return f"INTERVAL {_new_lit(str(dt_secs), lits)} SECOND"
+        if dt_secs == 0:
+            return f"INTERVAL {_new_lit(str(ym), lits)} MONTH"
+        return (
+            f"make_interval({f['y']}, {f['mo']}, 0, {f['d']}, "
+            f"{f['h']}, {f['mi']}, {f['s']})"
+        )
+
+    def sub_justify(m: re.Match) -> str:
+        """justify_hours/days/interval over an interval LITERAL
+        (timestamp.c interval_justify_*): hours→days and days→months
+        carries, plus — for justify_interval — the sign borrow that
+        makes all fields share a direction ('1 month -1 hour' →
+        '29 days 23:00:00', regress sql/interval.sql). Plan-time only;
+        a non-literal argument stays loud like any unknown function."""
+        from decimal import Decimal
+
+        kind = m.group(1).lower()
+        f = _pg_interval_parse(_lit_value(m.group(2), lits), None, None, None)
+        if f is None:
+            return m.group(0)
+        months = int(f["y"] * 12 + f["mo"])
+        days = int(f["d"])
+        us = int(
+            (f["h"] * 3600 + f["mi"] * 60 + f["s"]) * 1_000_000
+        )
+        usd = 86_400_000_000
+        if kind in ("hours", "interval"):
+            # trunc-toward-zero carry of whole days out of the time part
+            carry = us // usd if us >= 0 else -((-us) // usd)
+            days += carry
+            us -= carry * usd
+        if kind in ("days", "interval"):
+            carry = days // 30 if days >= 0 else -((-days) // 30)
+            months += carry
+            days -= carry * 30
+        if kind == "interval":
+            if months > 0 and (days < 0 or (days == 0 and us < 0)):
+                days += 30
+                months -= 1
+            elif months < 0 and (days > 0 or (days == 0 and us > 0)):
+                days -= 30
+                months += 1
+            if days > 0 and us < 0:
+                us += usd
+                days -= 1
+            elif days < 0 and us > 0:
+                us -= usd
+                days += 1
+        return (
+            f"make_interval(0, {months}, 0, {days}, 0, 0, "
+            f"{Decimal(us) / 1_000_000})"
+        )
+
+    sql = re.sub(
+        r"\bjustify_(interval|hours|days)\s*\(\s*INTERVAL\s+"
+        r"(\x01\d+\x01)\s*\)",
+        sub_justify,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = _INTERVAL_QUAL_RE.sub(sub_interval_qual, sql)
+
+    def sub_interval_lit(m: re.Match) -> str:
+        tok = m.group(1)
+        idx = int(_MASK_RE.match(tok).group(1))
+        body = lits[idx]
+        raw = body[1:-1]
+        # PG input forms Spark's stringToInterval rejects — colon
+        # times ('02:03', '-1 days +02:03'), '@ ... ago' verbose form,
+        # fractional unit counts ('1.5 months' spills to 1 mon 15 days,
+        # datetime.c AdjustFractDays): route through the PG interval
+        # parser (same machinery as the field-qualifier literals).
+        # Integer unit-word-only bodies that Spark already parses keep
+        # the native literal.
+        if ":" in raw or raw.strip().startswith("@") or (
+            raw.strip().lower().endswith(" ago")
+        ) or re.search(r"\d+\.\d+\s*[a-z]", raw, re.IGNORECASE) or re.search(
+            # PG-only unit words Spark's stringToInterval rejects
+            r"(?i)\b(millenni|centur|decade)", raw
+        ) or re.search(
+            # suffix-attached unit abbreviations ('2y 3mon 4d')
+            r"(?i)\d[a-z]", raw
+        ) or (
+            # mixed year-month + day-time unit words: Spark's ANSI
+            # literal rejects the mix ("Cannot mix year-month and
+            # day-time fields"); PG reads it as one interval
+            re.search(r"(?i)\b(year|month|mon)s?\b", raw)
+            and re.search(
+                r"(?i)\b(day|week|hour|minute|min|second|sec"
+                r"|millisecond|microsecond|ms|us)s?\b",
+                raw,
+            )
+        ):
+            f = _pg_interval_parse(raw, None, None, None)
+            if f is not None:
+                ym = f["y"] * 12 + f["mo"]
+                dt_secs = (
+                    f["d"] * 86400 + f["h"] * 3600 + f["mi"] * 60 + f["s"]
+                )
+                if ym == 0:
+                    return f"INTERVAL {_new_lit(str(dt_secs), lits)} SECOND"
+                if dt_secs == 0:
+                    return f"INTERVAL {_new_lit(str(ym), lits)} MONTH"
+                return (
+                    f"make_interval({f['y']}, {f['mo']}, 0, {f['d']}, "
+                    f"{f['h']}, {f['mi']}, {f['s']})"
+                )
+        fixed = re.sub(r"\bmons?\b", "month", body)
+        if fixed != body:
+            lits.append(fixed)
+            return f"INTERVAL \x01{len(lits) - 1}\x01"
+        return m.group(0)
+
+    # `'x'::interval` / CAST('x' AS interval) route through the
+    # `interval 'x'` literal machinery ONLY when the body needs PG
+    # normalization ('mon' spellings, colon times, fractional units,
+    # verbose '@ .. ago', PG-only unit words) — Spark's own CAST would
+    # return NULL for those. Bodies Spark parses keep the CAST path,
+    # whose CalendarIntervalType renders as PG text at the boundary.
+    def _needs_pg_interval(body: str) -> bool:
+        return bool(re.search(
+            r"(?i)\bmons?\b|:|\d+\.\d+\s*[a-z]|^\s*@|\bago\b"
+            r"|millenni|centur|decade|\d[a-z]",
+            body,
+        ))
+
+    def sub_iv_cast(m: re.Match) -> str:
+        if _needs_pg_interval(_lit_value(m.group(1), lits)):
+            return f"INTERVAL {m.group(1)}"
+        return m.group(0)
+
+    sql = re.sub(
+        rf"({_LIT})\s*::\s*interval\b(?!\s*[\[(])"
+        rf"(?!\s+(?:year|month|day|hour|minute|second))",
+        sub_iv_cast,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        rf"(?i)\bCAST\s*\(\s*({_LIT})\s+AS\s+interval\s*\)",
+        sub_iv_cast,
+        sql,
+    )
+    sql = _INTERVAL_LIT_RE.sub(sub_interval_lit, sql)
+
+    def sub_arr_subq(m: re.Match) -> str:
+        q = m.group(1).strip()
+        fromless = re.match(
+            r"(?is)^SELECT\s+(.+?)(?:\s+AS\s+\w+)?\s*$", q
+        )
+        if fromless and not re.search(r"(?i)\bFROM\b", q):
+            # FROM-less body: a one-row subquery, so the array is just
+            # the single value (json.c regress array(select 1))
+            return f"array((SELECT {fromless.group(1)}))"
+        mo = re.match(
+            r"(?is)^SELECT\s+(.+?)\s+(FROM\b.*?)"
+            r"(?:\s+ORDER\s+BY\s+([^()]+?)\s*(DESC|ASC)?)?$",
+            q,
+        )
+        if not mo:
+            return m.group(0)
+        expr, rest, ordb, direc = (
+            mo.group(1).strip(), mo.group(2).strip(),
+            (mo.group(3) or "").strip(), (mo.group(4) or "ASC").upper(),
+        )
+        if ordb and ordb != expr:
+            return m.group(0)  # can't sort by another key post-collect
+        # PG's ARRAY(SELECT ...) constructor KEEPS NULL elements while
+        # Spark's collect_list silently drops them — collect a wrapped
+        # struct and unwrap so nullable exprs round-trip. array_sort
+        # places NULLs last (= PG ASC default); reverse() of that is
+        # NULLS FIRST (= PG DESC default).
+        base = (
+            f"transform(collect_list(named_struct('v', {expr})), "
+            f"__s -> __s.v)"
+        )
+        if not ordb:
+            agg = base
+        elif direc == "DESC":
+            agg = f"reverse(array_sort({base}))"
+        else:
+            agg = f"array_sort({base})"
+        return f"(SELECT {agg} {rest})"
+
+    # jsonb mutation family (jsonfuncs.c): jsonb_set / jsonb_insert
+    # route to the registered Python UDFs with the braced text[] path
+    # argument lowered to array(...); j #- path deletes at a path;
+    # json_object/jsonb_object dispatch on arity (flat pair list vs
+    # parallel key/value arrays).
+    def sub_jsonb_mut(m: re.Match) -> str:
+        fn = m.group(1).lower()
+        args = [a.strip() for a in _split_args(m.group(2))]
+        if len(args) >= 2:
+            args[1] = _braced_to_array(args[1], lits)
+        if len(args) == 3:
+            # pad the optional flag (create_missing / insert_after) to
+            # its PG default — the Arrow-batched UDF has fixed arity
+            args.append("true" if fn == "jsonb_set" else "false")
+        return f"{fn}({', '.join(args)})"
+
+    sql = _JSONB_MUT_RE.sub(sub_jsonb_mut, sql)
+
+    def sub_hash_minus(m: re.Match) -> str:
+        lhs, rhs = m.group(1), _braced_to_array(m.group(2), lits)
+        return f"jsonb_delete_path({lhs}, {rhs})"
+
+    sql = _HASH_MINUS_RE.sub(sub_hash_minus, sql)
+
+    def sub_json_object(m: re.Match) -> str:
+        args = [a.strip() for a in _split_args(m.group(2))]
+        if len(args) == 1:
+            return f"json_object1({_braced_to_array(args[0], lits)})"
+        if len(args) == 2:
+            return (
+                f"json_object2({_braced_to_array(args[0], lits)}, "
+                f"{_braced_to_array(args[1], lits)})"
+            )
+        return m.group(0)
+
+    sql = _JSON_OBJECT_RE.sub(sub_json_object, sql)
+
+    return _ARRAY_SUBQ_RE.sub(sub_arr_subq, sql)

@@ -1,0 +1,368 @@
+"""PG->Spark type-name mapping, CREATE TABLE column-def rewriting, braced {...} array literal parsing.
+
+Split from sql_dialect.py (r14); see that module's docstring for
+the shim-wide design rules (masked literals, bounded regexes,
+anything unrecognized passes through loud).
+"""
+
+from __future__ import annotations
+
+import re
+from warehouse_pg_spark.dialect.mask import _MASK_RE, _split_top_level_commas
+
+
+_TYPE_MAP = {
+    "text": "STRING",
+    "varchar": "STRING",
+    "bpchar": "STRING",
+    "int2": "SMALLINT",
+    "int4": "INT",
+    "int8": "BIGINT",
+    "float4": "FLOAT",
+    "float8": "DOUBLE",
+    "bool": "BOOLEAN",
+    "numeric": "DECIMAL(38,18)",
+    "timestamptz": "TIMESTAMP",
+    # JSON is a STRING column in this model (README); bytea is binary;
+    # the reg* identifier types and jsonpath collapse to their text form
+    "json": "STRING",
+    "jsonb": "STRING",
+    "jsonpath": "STRING",
+    "xml": "STRING",
+    "bytea": "BINARY",
+    "regclass": "STRING",
+    "regtype": "STRING",
+    "regproc": "STRING",
+    "name": "STRING",
+    "oid": "BIGINT",
+    "unknown": "STRING",
+}
+
+
+def _parse_braced_elems(inner: str) -> list[str] | None:
+    """array_in tokenizer for ONE-dimensional braced literal bodies
+    (reference src/backend/utils/adt/arrayfuncs.c array_in): elements
+    split on top-level commas; double-quoted elements may contain
+    commas/braces/spaces; backslash escapes the next char. Returns None
+    for nested arrays ('{' at element level) — those are not
+    representable as a flat array<string> and must stay loud."""
+    elems: list[str] = []
+    buf: list[str] = []
+    quoted = in_q = False
+    i, n = 0, len(inner)
+    while i < n:
+        ch = inner[i]
+        if in_q:
+            if ch == "\\" and i + 1 < n:
+                buf.append(inner[i + 1])
+                i += 2
+                continue
+            if ch == '"':
+                in_q = False
+                i += 1
+                continue
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == '"':
+            in_q = True
+            quoted = True
+            i += 1
+            continue
+        if ch == "\\" and i + 1 < n:
+            buf.append(inner[i + 1])
+            i += 2
+            continue
+        if ch in "{}":
+            return None
+        if ch == ",":
+            s = "".join(buf)
+            elems.append(s if quoted else s.strip())
+            buf, quoted = [], False
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    if in_q:
+        return None  # unterminated quote: malformed, stay loud
+    s = "".join(buf)
+    elems.append(s if quoted else s.strip())
+    return elems
+
+
+def _parse_braced_tree(inner: str):
+    """Nested array_in tokenizer (arrayfuncs.c array_in, multi-dim):
+    elements are strings or sub-lists ('{...}' at element level).
+    Returns None on malformed input."""
+    elems: list = []
+    buf: list[str] = []
+    quoted = in_q = False
+    pending: list | None = None
+    i, n = 0, len(inner)
+
+    def flush():
+        nonlocal buf, quoted, pending
+        if pending is not None:
+            elems.append(pending)
+            pending = None
+        else:
+            s = "".join(buf)
+            elems.append(s if quoted else s.strip())
+        buf, quoted = [], False
+
+    while i < n:
+        ch = inner[i]
+        if in_q:
+            if ch == "\\" and i + 1 < n:
+                buf.append(inner[i + 1])
+                i += 2
+                continue
+            if ch == '"':
+                in_q = False
+                i += 1
+                continue
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == '"':
+            in_q = True
+            quoted = True
+            i += 1
+            continue
+        if ch == "\\" and i + 1 < n:
+            buf.append(inner[i + 1])
+            i += 2
+            continue
+        if ch == "{":
+            depth, j, inq2 = 0, i, False
+            while j < n:
+                c2 = inner[j]
+                if inq2:
+                    if c2 == "\\":
+                        j += 2
+                        continue
+                    if c2 == '"':
+                        inq2 = False
+                elif c2 == '"':
+                    inq2 = True
+                elif c2 == "{":
+                    depth += 1
+                elif c2 == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= n:
+                return None
+            body = inner[i + 1 : j].strip()
+            sub = _parse_braced_tree(body) if body else []
+            if sub is None:
+                return None
+            pending = sub
+            i = j + 1
+            continue
+        if ch == "}":
+            return None
+        if ch == ",":
+            flush()
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    if in_q:
+        return None
+    flush()
+    return elems
+
+
+def _braced_to_array(arr: str, lits: list[str]) -> str:
+    """'{1,2,3}' braced array-literal text (array_in) → array('1','2',
+    '3'); quoted elements keep embedded commas; nested/malformed bodies
+    pass through unchanged (stay loud downstream)."""
+    m = _MASK_RE.fullmatch(arr.strip())
+    if not m:
+        return arr
+    body = lits[int(m.group(1))][1:-1].strip()
+    if not (body.startswith("{") and body.endswith("}")):
+        return arr
+    inner = body[1:-1].strip()
+    if not inner:
+        return "array()"
+    elems = _parse_braced_elems(inner)
+    if elems is None:
+        return arr
+    return "array(" + ", ".join(
+        "'" + e.replace("'", "''") + "'" for e in elems
+    ) + ")"
+
+
+_SERIAL_TYPES = {
+    "serial": "INT",
+    "serial4": "INT",
+    "bigserial": "BIGINT",
+    "serial8": "BIGINT",
+    "smallserial": "SMALLINT",
+    "serial2": "SMALLINT",
+}
+
+_CREATE_TABLE_DEFS_RE = re.compile(
+    r"^(CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"[\w.]+\s*)\(",
+    re.IGNORECASE,
+)
+
+# per-column constraint clauses Spark's parser rejects (gram.y
+# ColConstraint): dropped — PG enforces them, a lakehouse records them
+# at best. NOT NULL survives (Spark parses it).
+_COL_CONSTRAINT_RE = re.compile(
+    r"\s+(?:PRIMARY\s+KEY|UNIQUE|REFERENCES\s+[\w.]+(?:\s*\([^)]*\))?"
+    r"|CHECK\s*\((?:[^()]|\([^()]*\))*\)"
+    r"|DEFAULT\s+(?:[\w.]+\s*\([^()]*\)|'[^']*'|[\w.+-]+))",
+    re.IGNORECASE,
+)
+_TABLE_CONSTRAINT_RE = re.compile(
+    r"^\s*(?:CONSTRAINT\s+\w+\s+)?"
+    r"(?:PRIMARY\s+KEY|UNIQUE|CHECK|FOREIGN\s+KEY|EXCLUDE)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_create_table_defs(sql: str) -> str:
+    """CREATE TABLE (col pgtype constraints, ...) — map PG type names
+    (int4/text/serial/...) to Spark types and drop the constraint
+    clauses Spark's parser rejects (tablecmds.c enforces them; a
+    parquet lakehouse records them at best). CTAS has no column-def
+    list and passes through."""
+    m = _CREATE_TABLE_DEFS_RE.match(sql.strip())
+    if m is None:
+        return sql
+    s = sql.strip()
+    # matching close paren of the column list
+    depth, i = 1, m.end()
+    while i < len(s) and depth:
+        depth += {"(": 1, ")": -1}.get(s[i], 0)
+        i += 1
+    if depth:
+        return sql
+    head, defs, tail = s[: m.end()], s[m.end(): i - 1], s[i - 1:]
+    cols = []
+    for item in _split_top_level_commas(defs):
+        item = item.strip()
+        if not item or _TABLE_CONSTRAINT_RE.match(item):
+            continue  # table-level constraints drop entirely
+        cm = re.match(
+            r"^(\w+)\s+"
+            r"(double\s+precision"
+            r"|character\s+varying(?:\(\s*\d+\s*\))?"
+            r"|timestamp(?:\s+with(?:out)?\s+time\s+zone)?"
+            r"|time(?:\s+with(?:out)?\s+time\s+zone)?"
+            r"|[A-Za-z_]\w*(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+            r"(\s+.*)?$",
+            item,
+            re.DOTALL | re.IGNORECASE,
+        )
+        if cm is None:
+            cols.append(item)
+            continue
+        name, typ, rest = cm.group(1), cm.group(2).strip(), cm.group(3) or ""
+        low = re.sub(r"\s+", " ", typ.lower())
+        typ = _SERIAL_TYPES.get(low) or map_decl_type(typ)
+        rest = _COL_CONSTRAINT_RE.sub("", rest).strip()
+        cols.append(f"{name} {typ}" + (f" {rest}" if rest else ""))
+    # PG CREATE [TEMP] TABLE has no storage provider and Spark's
+    # parser requires one: drop the TEMP keyword (a managed table is
+    # the engine's session-table model) and add USING PARQUET right
+    # after the column list (before any DISTRIBUTED BY tail, which
+    # the engine strips separately)
+    head = re.sub(r"(?i)\bTEMP(?:ORARY)?\s+", "", head)
+    if not re.search(r"(?i)\bUSING\b", tail):
+        tail = ") USING PARQUET" + tail[1:]
+    return f"{head}{', '.join(cols)}{tail}"
+
+
+def map_decl_type(t: str) -> str:
+    """PG type spelling -> Spark type for declared contexts (function
+    parameters / RETURNS / PL/pgSQL DECLARE), including the multiword
+    spellings the `::cast` rewrite never sees."""
+    tl = re.sub(r"\s+", " ", t.strip().lower())
+    if tl.endswith("[]"):
+        # PG array type spelling (numeric[], int[][]) — each [] pair
+        # is one nesting level
+        return f"ARRAY<{map_decl_type(tl[:-2])}>"
+    if tl == "double precision":
+        return "DOUBLE"
+    if tl.startswith("character varying") or tl == "character":
+        return "STRING"
+    if tl.startswith("timestamp"):  # with/without time zone spellings
+        return "TIMESTAMP"
+    if tl.startswith("time"):  # no TIME type in Spark; HH:MM:SS sorts
+        return "STRING"
+    return _map_type(t)
+
+
+def _rewrite_cast_typenames(sql: str) -> str:
+    """CAST(x AS text/int4/float8/...) — the function-syntax twin of the
+    `::` operator, previously unmapped (only `::` went through
+    _map_type). Balanced-paren scan so subquery aliases inside the
+    operand are never mistaken for the type position; multiword names
+    (double precision, ...) are already normalized by the earlier
+    passes."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = re.search(r"(?i)\bCAST\s*\(", sql[i:])
+        if not m:
+            out.append(sql[i:])
+            break
+        start, open_p = i + m.start(), i + m.end() - 1
+        out.append(sql[i:start])
+        depth, j = 0, open_p
+        while j < len(sql):
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= len(sql):  # unbalanced: leave untouched
+            out.append(sql[start:])
+            break
+        inner = _rewrite_cast_typenames(sql[open_p + 1 : j])
+        mt = re.search(
+            r"(?is)\s+AS\s+([A-Za-z_]\w*"
+            r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*$",
+            inner,
+        )
+        if mt:
+            inner = inner[: mt.start()] + f" AS {_map_type(mt.group(1).strip())}"
+        out.append("CAST(" + inner + ")")
+        i = j + 1
+    return "".join(out)
+
+
+def _map_type(t: str) -> str:
+    if t.upper().startswith("ARRAY<"):  # already a Spark array type
+        return t
+    base = t.split("(")[0].strip().lower()
+    mapped = _TYPE_MAP.get(base)
+    if mapped is None:
+        return t
+    if "(" in t and base in ("varchar", "bpchar", "numeric"):
+        if base == "numeric":
+            # PG numeric allows precision up to 131072; DECIMAL caps at
+            # 38 — clamp, preserving the integer-digit budget
+            inner = t[t.index("(") + 1 : t.rindex(")")]
+            parts = [x.strip() for x in inner.split(",")]
+            try:
+                p = int(parts[0])
+                s = int(parts[1]) if len(parts) > 1 else 0
+            except ValueError:
+                return "DECIMAL" + t[t.index("(") :]
+            if p > 38:
+                int_digits = p - s
+                s = max(0, 38 - int_digits) if int_digits < 38 else 0
+                p = 38
+            return f"DECIMAL({p},{s})"
+        return "STRING"
+    return mapped

@@ -42,93 +42,72 @@ from __future__ import annotations
 
 import re
 
-_TYPE_MAP = {
-    "text": "STRING",
-    "varchar": "STRING",
-    "bpchar": "STRING",
-    "int2": "SMALLINT",
-    "int4": "INT",
-    "int8": "BIGINT",
-    "float4": "FLOAT",
-    "float8": "DOUBLE",
-    "bool": "BOOLEAN",
-    "numeric": "DECIMAL(38,18)",
-    "timestamptz": "TIMESTAMP",
-    # JSON is a STRING column in this model (README); bytea is binary;
-    # the reg* identifier types and jsonpath collapse to their text form
-    "json": "STRING",
-    "jsonb": "STRING",
-    "jsonpath": "STRING",
-    "xml": "STRING",
-    "bytea": "BINARY",
-    "regclass": "STRING",
-    "regtype": "STRING",
-    "regproc": "STRING",
-    "name": "STRING",
-    "oid": "BIGINT",
-    "unknown": "STRING",
-}
-
-# ------------------------------------------------------------------ masking
-# Literals are replaced by \x01<idx>\x01 before any rewrite runs and
-# restored at the end; comments are dropped. \x01 never occurs in SQL.
-_MASK_RE = re.compile("\x01(\\d+)\x01")
-_LIT = r"\x01\d+\x01"  # placeholder token, usable inside patterns
-
-
-def _mask(sql: str) -> tuple[str, list[str]]:
-    lits: list[str] = []
-    out: list[str] = []
-    i, n = 0, len(sql)
-    while i < n:
-        ch = sql[i]
-        if ch == "'":
-            j = i + 1
-            while j < n:
-                if sql[j] == "'":
-                    if j + 1 < n and sql[j + 1] == "'":  # '' escape
-                        j += 2
-                        continue
-                    break
-                j += 1
-            out.append(f"\x01{len(lits)}\x01")
-            lits.append(sql[i : j + 1])
-            i = j + 1
-        elif sql.startswith("--", i):
-            j = sql.find("\n", i)
-            i = n if j < 0 else j
-        elif sql.startswith("/*", i):
-            j = sql.find("*/", i)
-            out.append(" ")
-            i = n if j < 0 else j + 2
-        else:
-            out.append(ch)
-            i += 1
-    return "".join(out), lits
-
-
-def _unmask(sql: str, lits: list[str]) -> str:
-    return _MASK_RE.sub(lambda m: lits[int(m.group(1))], sql)
-
-
-def _lit_value(tok: str, lits: list[str]) -> str:
-    """Unquoted content of a masked literal token."""
-    raw = lits[int(_MASK_RE.match(tok).group(1))]
-    return raw[1:-1].replace("''", "'")
-
-
-def _new_lit(value: str, lits: list[str]) -> str:
-    lits.append("'" + value.replace("'", "''") + "'")
-    return f"\x01{len(lits) - 1}\x01"
-
-
-def _new_lit_raw(raw: str, lits: list[str]) -> str:
-    """New masked literal from RAW (already-escaped) body text — for
-    splicing transformed fragments of existing literals, where quote
-    doubling is already present and backslashes must pass through at
-    the same escape level as the source."""
-    lits.append("'" + raw + "'")
-    return f"\x01{len(lits) - 1}\x01"
+from warehouse_pg_spark.dialect.compare import (
+    _rewrite_between_symmetric,
+    _rewrite_decode,
+    _rewrite_distinct_similar,
+    _rewrite_op_any_all,
+    _rewrite_overlaps,
+    _rewrite_regex_match,
+    _rewrite_row_compare,
+    _rewrite_substring_regex,
+)
+from warehouse_pg_spark.dialect.geonet import (
+    _rewrite_pg_geo,
+    _rewrite_pg_network,
+)
+from warehouse_pg_spark.dialect.jsonops import (
+    _rewrite_arrows,
+    _rewrite_jsonpath,
+)
+from warehouse_pg_spark.dialect.mask import (
+    _DISTINCT_OPERAND,
+    _LIT,
+    _MASK_RE,
+    _lit_value,
+    _mask,
+    _new_lit,
+    _new_lit_raw,
+    _split_args,
+    _unmask,
+)
+from warehouse_pg_spark.dialect.mathdate import (
+    _decode_uescape,
+    _pg_date_fold,
+    _rewrite_pg_math_ops,
+)
+from warehouse_pg_spark.dialect.ordering import (
+    _inject_nulls_ordering,
+    _rewrite_distinct_on,
+    _rewrite_dollar_quotes,
+    _rewrite_with_ties,
+)
+from warehouse_pg_spark.dialect.pgfns import (
+    _TZ_ABBREV_OFFSETS,
+    _TZ_ABBREV_ZONES,
+    _rewrite_pg_misc_fns,
+)
+from warehouse_pg_spark.dialect.srf import (
+    _analyze_srf_item,
+    _rewrite_multi_srf_select,
+    _rewrite_nested_srf,
+    _rewrite_srf_from_bare,
+    _rewrite_srf_order_by,
+    _rewrite_srf_ordinality,
+)
+from warehouse_pg_spark.dialect.typemap import (
+    _braced_to_array,
+    _map_type,
+    _parse_braced_elems,
+    _parse_braced_tree,
+    _rewrite_cast_typenames,
+    _rewrite_create_table_defs,
+    map_decl_type,
+)
+from warehouse_pg_spark.dialect.xmlgen import (
+    _rewrite_xml_ctors,
+    set_xmlbinary,
+)
 
 
 # ------------------------------------------------------------------ patterns
@@ -139,23 +118,7 @@ _CAST_RE = re.compile(
     r"(ARRAY<[\w<>(),\s]*>"
     r"|[a-zA-Z_][\w]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
 )
-
-# one JSON arrow step: -> 'key' / ->> 'key' / -> 0 (array index). The
-# RHS must be a literal or integer, so SQL lambdas (`x -> expr`) never
-# match. LHS is found by scanning backwards (balanced parens allowed).
-_ARROW_STEP_RE = re.compile(
-    # (?<!<): `a <-> b` is the geometric/KNN distance operator, not
-    # a '<' comparison against a json arrow
-    rf"(?<!<)->(>?)\s*({_LIT}|-?\d+)"
-)
 _GJO_BASE_RE = None  # built lazily in _rewrite_arrows (needs _LIT)
-
-# POSIX regex match: expr ~ 'pat' / ~* / !~ / !~* (regexp.c textregexeq
-# family) and LIKE spellings ~~ / ~~* / !~~ / !~~* (like.c). Right side
-# must be a literal so `~` can't be confused with a prefix operator.
-_REGEX_MATCH_RE = re.compile(
-    rf"([\w.\)\]]+|{_LIT})\s*(!~~\*|!~~|~~\*|~~|!~\*|!~|~\*|~)\s*({_LIT})"
-)
 
 _ARRAY_CTOR_RE = re.compile(r"\bARRAY\s*\[([^\[\]]*)\]", re.IGNORECASE)
 
@@ -168,427 +131,9 @@ _ARR_OVERLAP_RE = re.compile(rf"({_ARR_OPERAND})\s*&&\s*({_ARR_OPERAND})")
 
 _DECODE_RE = re.compile(r"\bDECODE\s*\(([^()]*)\)", re.IGNORECASE)
 
-# (s1, e1) OVERLAPS (s2, e2) (gram.y a_expr OVERLAPS; timestamp.c
-# overlaps_timestamp): each pair is normalized so start <= end, then
-# the intervals overlap iff s1 < e2 AND s2 < e1 (half-open semantics).
-_OVERLAPS_RE = re.compile(
-    r"\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)\s+"
-    r"OVERLAPS\s+\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
-    re.IGNORECASE,
-)
-
-
-# Row-wise comparison (gram.y row expr; rowtypes.c row_gt/row_lt):
-# `(k1, k2) > (v1, v2)` — the keyset-pagination predicate. Spark
-# compares structs lexicographically but requires matching field
-# names, so the literal side's fields are aliased to the column side's.
-_ROW_CMP_RE = re.compile(
-    rf"\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\)\s*(<=|>=|<|>)\s*"
-    rf"\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)"
-)
-# explicit ROW(...) op ROW(...) spelling, any arity; args may nest one
-# paren level (function calls / typed literals)
-_ROW_ROW_CMP_RE = re.compile(
-    r"\bROW\s*\(((?:[^()]|\([^()]*\))*)\)\s*(<=|>=|<>|!=|=|<|>)\s*"
-    r"ROW\s*\(((?:[^()]|\([^()]*\))*)\)",
-    re.IGNORECASE,
-)
-
-
-def _row_cmp_expand(xs: list[str], ys: list[str], op: str) -> str:
-    """PG row-wise comparison (rowtypes.c record_cmp / record_eq) as
-    explicit three-valued boolean logic — Spark's native struct
-    comparison orders NULLs instead of propagating UNKNOWN, so
-    ROW(1,2,3) < ROW(1,NULL,4) must be NULL, not false."""
-    if op in ("=", "<>", "!="):
-        conj = " AND ".join(f"(({x}) = ({y}))" for x, y in zip(xs, ys))
-        return f"({conj})" if op == "=" else f"(NOT ({conj}))"
-    strict = op[0]
-
-    def rec(i: int) -> str:
-        x, y = xs[i], ys[i]
-        if i == len(xs) - 1:
-            return f"(({x}) {op} ({y}))"
-        return (
-            f"((({x}) {strict} ({y})) OR "
-            f"((({x}) = ({y})) AND {rec(i + 1)}))"
-        )
-
-    return f"({rec(0)})"
-
-
-def _rewrite_row_compare(sql: str) -> str:
-    def sub(m: re.Match) -> str:
-        a, b, op, v1, v2 = (g.strip() for g in m.groups())
-        return _row_cmp_expand([a, b], [v1, v2], op)
-
-    sql = _ROW_CMP_RE.sub(sub, sql)
-
-    def sub_row_row(m: re.Match) -> str:
-        xs = [s.strip() for s in _split_args(m.group(1))]
-        op = m.group(2)
-        ys = [s.strip() for s in _split_args(m.group(3))]
-        if len(xs) != len(ys):  # arity mismatch: stay loud downstream
-            return m.group(0)
-        return _row_cmp_expand(xs, ys, op)
-
-    return _ROW_ROW_CMP_RE.sub(sub_row_row, sql)
-
-
-def _rewrite_overlaps(sql: str) -> str:
-    # timestamp.c overlaps_timestamp, including its NULL verdicts:
-    # each interval is normalized so the start is the lesser non-null
-    # endpoint (a lone NULL endpoint becomes the open end); both
-    # endpoints NULL => NULL; when the three-way start comparison needs
-    # an open end the result is NULL; equal starts => TRUE only when
-    # both ends are known. Spark's least()/greatest() skip NULLs, so
-    # least(s,e) is already "lesser non-null endpoint" and the
-    # normalized end needs explicit both-non-null gating.
-    def sub(m: re.Match) -> str:
-        s1, e1, s2, e2 = (g.strip() for g in m.groups())
-        ns1 = f"least({s1}, {e1})"
-        ns2 = f"least({s2}, {e2})"
-        ne1 = (
-            f"CASE WHEN {s1} IS NOT NULL AND {e1} IS NOT NULL "
-            f"THEN greatest({s1}, {e1}) END"
-        )
-        ne2 = (
-            f"CASE WHEN {s2} IS NOT NULL AND {e2} IS NOT NULL "
-            f"THEN greatest({s2}, {e2}) END"
-        )
-        null = "CAST(NULL AS BOOLEAN)"
-        return (
-            "(CASE "
-            f"WHEN {ns1} IS NULL OR {ns2} IS NULL THEN {null} "
-            f"WHEN {ns1} > {ns2} THEN CASE "
-            f"WHEN ({ne2}) IS NULL THEN {null} "
-            f"WHEN {ns1} < ({ne2}) THEN TRUE "
-            f"WHEN ({ne1}) IS NULL THEN {null} "
-            "ELSE FALSE END "
-            f"WHEN {ns1} < {ns2} THEN CASE "
-            f"WHEN ({ne1}) IS NULL THEN {null} "
-            f"WHEN {ns2} < ({ne1}) THEN TRUE "
-            f"WHEN ({ne2}) IS NULL THEN {null} "
-            "ELSE FALSE END "
-            f"ELSE CASE WHEN ({ne1}) IS NULL OR ({ne2}) IS NULL "
-            f"THEN {null} ELSE TRUE END END)"
-        )
-
-    return _OVERLAPS_RE.sub(sub, sql)
-
-
-# IS [NOT] DISTINCT FROM (gram.y a_expr DISTINCT FROM; execExprInterp.c
-# null-safe comparison) → Spark's null-safe equality operator <=>.
-_DISTINCT_OPERAND = rf"(?:{_LIT}|[\w.]+\([^()]*\)|[\w.]+|\([^()]*\))"
-_DISTINCT_FROM_RE = re.compile(
-    rf"({_DISTINCT_OPERAND})\s+IS\s+(NOT\s+)?DISTINCT\s+FROM\s+"
-    rf"({_DISTINCT_OPERAND})",
-    re.IGNORECASE,
-)
-
-# [NOT] SIMILAR TO (like_support.c similar_escape): SQL-regex where
-# % → .* and _ → . while regex metachars ( | * + ? [ ] ) work as-is;
-# anchored both ends. Lowered to RLIKE with a translated pattern.
-_SIMILAR_TO_RE = re.compile(
-    rf"({_DISTINCT_OPERAND})\s+(NOT\s+)?SIMILAR\s+TO\s+({_LIT})",
-    re.IGNORECASE,
-)
-
-
-def _similar_to_regex(pat: str) -> str:
-    """Translate a SQL SIMILAR TO pattern to an anchored Java regex."""
-    out = []
-    in_class = False
-    i, n = 0, len(pat)
-    while i < n:
-        ch = pat[i]
-        if ch == "\\" and i + 1 < n:
-            # Escape: pass `\x` through verbatim — preserves both
-            # literal-metachar escapes (\%, \() and regex class escapes
-            # (\d, \w) exactly as similar_escape does (regexp.c).
-            out.append("\\" + pat[i + 1])
-            i += 2
-            continue
-        if in_class:
-            out.append(ch)
-            in_class = ch != "]"
-        elif ch == "[":
-            out.append(ch)
-            in_class = True
-        elif ch == "%":
-            out.append(".*")
-        elif ch == "_":
-            out.append(".")
-        elif ch in ".^$\\":
-            # Literals in SQL SIMILAR TO (only % _ | * + ? ( ) [ ] { }
-            # are metacharacters) — similar_escape escapes them.
-            out.append("\\" + ch)
-        else:
-            out.append(ch)
-        i += 1
-    return "^(?:" + "".join(out) + ")$"
-
-
-def _rewrite_distinct_similar(sql: str, lits: list[str]) -> str:
-    def sub_distinct(m: re.Match) -> str:
-        a, neg, b = m.groups()
-        eq = f"({a} <=> {b})"
-        return eq if neg else f"(NOT {eq})"
-
-    def sub_similar(m: re.Match) -> str:
-        lhs, neg, tok = m.groups()
-        # Double backslashes when re-embedding: Spark's non-ANSI
-        # literal parser halves them again, so the Java regex receives
-        # exactly what _similar_to_regex produced (\d stays a class
-        # escape, \% a literal %).
-        rx = _similar_to_regex(_lit_value(tok, lits)).replace("\\", "\\\\")
-        expr = f"{lhs} RLIKE {_new_lit(rx, lits)}"
-        return f"(NOT ({expr}))" if neg else f"({expr})"
-
-    sql = _DISTINCT_FROM_RE.sub(sub_distinct, sql)
-    return _SIMILAR_TO_RE.sub(sub_similar, sql)
-
-
-# jsonpath predicate operators (jsonpath_exec.c executeJsonPath):
-#   j @? 'path'        jsonb_path_exists  — any item at path?
-#   j @@ 'path PRED'   jsonb_path_match   — predicate result
-# Supported jsonpath subset (the shapes that appear in practice):
-#   $.a.b                      plain member chain
-#   $.a ? (@ OP value)         scalar filter
-#   $.a[*] ? (@ OP value)      array-wildcard filter (any element)
-#   $.a OP value / $.a[*] OP value   (@@ predicate forms)
-# with OP in == != <> < <= > >= like_regex and value a number,
-# "string", true/false or null.
-_JSONPATH_LHS = (
-    rf"(?:(?:jsonb?\s+)?{_LIT}\s*::\s*jsonb?\b"
-    rf"|(?:jsonb?\s+)?{_LIT}"
-    rf"|[\w.\)\]]+\s*::\s*jsonb?\b"
-    rf"|[\w.\)\]]+)"
-)
-_JSONPATH_EXISTS_RE = re.compile(
-    rf"({_JSONPATH_LHS})\s*@\?\s*({_LIT})", re.IGNORECASE
-)
-_JSONPATH_MATCH_RE = re.compile(
-    rf"({_JSONPATH_LHS})\s*@@\s*({_LIT})", re.IGNORECASE
-)
-_JP_OPS = {"==": "=", "!=": "!=", "<>": "!=", "<": "<", "<=": "<=",
-           ">": ">", ">=": ">=", "like_regex": "RLIKE"}
-_JP_OP_RE = r"(==|!=|<>|<=|>=|<|>|like_regex)"
-_JP_FILTER_RE = re.compile(
-    rf"^\s*(\$[\w.]*?)(\[\*\])?\s*\?\s*\(\s*@\s*{_JP_OP_RE}\s*(.+?)\s*\)\s*$"
-)
-_JP_PRED_RE = re.compile(
-    rf"^\s*(\$[\w.]*?)(\[\*\])?\s*{_JP_OP_RE}\s*(.+?)\s*$"
-)
-
-
-def _jp_compare(item_sql: str, op: str, raw_val: str, lits: list[str]) -> str:
-    """Comparison of one extracted JSON item (a STRING from
-    get_json_object / from_json) against a jsonpath literal value."""
-    sql_op = _JP_OPS[op]
-    v = raw_val.strip()
-    if re.fullmatch(r'"(?:[^"\\]|\\.)*"', v):  # jsonpath string literal
-        tok = _new_lit(v[1:-1].replace('\\"', '"'), lits)
-        return f"{item_sql} {sql_op} {tok}"
-    if v.lower() in ("true", "false"):
-        return f"CAST({item_sql} AS BOOLEAN) {sql_op} {v.upper()}"
-    if v.lower() == "null":
-        return (
-            f"{item_sql} IS NULL" if op == "==" else f"{item_sql} IS NOT NULL"
-        )
-    return f"CAST({item_sql} AS DOUBLE) {sql_op} {v}"
-
-
-def _jp_lower(lhs: str, path: str, wildcard: bool, op: str | None,
-              val: str | None, lits: list[str]) -> str:
-    """Lower one jsonpath predicate to a Spark boolean expression."""
-    path_tok = _new_lit(path, lits)
-    if wildcard:
-        arr = f"from_json(get_json_object({lhs}, {path_tok}), 'array<string>')"
-        if op is None:  # existence: any element at all
-            return f"(size({arr}) > 0)"
-        return f"exists({arr}, __j -> {_jp_compare('__j', op, val, lits)})"
-    item = f"get_json_object({lhs}, {path_tok})"
-    if op is None:
-        return f"({item} IS NOT NULL)"
-    return f"({_jp_compare(item, op, val, lits)})"
-
-
-def _rewrite_jsonpath(sql: str, lits: list[str]) -> str:
-    def sub_exists(m: re.Match) -> str:
-        lhs, tok = m.groups()
-        jp = _lit_value(tok, lits)
-        f = _JP_FILTER_RE.match(jp)
-        if f:
-            path, star, op, val = f.groups()
-            return _jp_lower(lhs, path, bool(star), op, val, lits)
-        p = re.fullmatch(r"\s*(\$[\w.]*?)(\[\*\])?\s*", jp)
-        if p:
-            return _jp_lower(lhs, p.group(1), bool(p.group(2)), None, None, lits)
-        # forms outside the fast get_json_object subset (.*, .**,
-        # mid-path filters) fall back to the Arrow-batched Python
-        # jsonpath evaluator rather than staying loud
-        return f"jsonb_path_exists_vars({lhs}, {tok}, CAST(NULL AS STRING))"
-
-    def sub_match(m: re.Match) -> str:
-        lhs, tok = m.groups()
-        jp = _lit_value(tok, lits)
-        p = _JP_PRED_RE.match(jp)
-        if p:
-            path, star, op, val = p.groups()
-            return _jp_lower(lhs, path, bool(star), op, val, lits)
-        return f"jsonb_path_match_vars({lhs}, {tok}, CAST(NULL AS STRING))"
-
-    sql = _JSONPATH_EXISTS_RE.sub(sub_exists, sql)
-    return _JSONPATH_MATCH_RE.sub(sub_match, sql)
-
-
-def _rewrite_decode(m: re.Match) -> str:
-    args = [a.strip() for a in m.group(1).split(",")]
-    if len(args) < 3:
-        return m.group(0)
-    expr, rest = args[0], args[1:]
-    pairs, default = [], None
-    while len(rest) >= 2:
-        pairs.append((rest[0], rest[1]))
-        rest = rest[2:]
-    if rest:
-        default = rest[0]
-    whens = " ".join(f"WHEN {s} THEN {r}" for s, r in pairs)
-    tail = f" ELSE {default}" if default is not None else ""
-    return f"CASE {expr} {whens}{tail} END"
-
 
 _GENSERIES_FROM_RE = re.compile(
     r"\bFROM\s+generate_series\s*\(([^()]*)\)\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\)",
-    re.IGNORECASE,
-)
-
-# FROM unnest(a)/generate_series(..) with a BARE alias or none at all
-# (gram.y func_alias_clause; parse_relation.c chooseScalarFunctionAlias):
-# for a scalar-returning SRF the alias doubles as the COLUMN name
-# (`FROM generate_series(1,3) g` -> column g); with no alias the column
-# is named after the function. Runs after the `t(col)` column-list
-# rewrites, which consume their forms first.
-_SRF_FROM_BARE_RE = re.compile(
-    r"(\bFROM\s+|,\s*)(LATERAL\s+)?(unnest|generate_series)\s*"
-    r"\(((?:[^()]|\([^()]*\))*)\)(?:\s+(?:AS\s+)?(\w+))?",
-    re.IGNORECASE,
-)
-# words after the SRF that are clause keywords, not an alias
-_SRF_BARE_STOP = frozenset(
-    ("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "FETCH",
-     "UNION", "EXCEPT", "INTERSECT", "WINDOW", "JOIN", "INNER", "LEFT",
-     "RIGHT", "FULL", "CROSS", "NATURAL", "ON", "USING", "AND", "OR",
-     "THEN", "ELSE", "END", "WHEN", "AS", "FOR")
-)
-
-
-_CLAUSE_KW_RE = re.compile(
-    r"(?i)\b(SELECT|FROM|WHERE|GROUP|HAVING|ORDER|WINDOW|LIMIT|OFFSET"
-    r"|UNION|EXCEPT|INTERSECT|VALUES|SET|RETURNING)\b|[()]"
-)
-
-
-def _clause_at(sql: str, pos: int) -> str | None:
-    """The governing clause keyword at `pos`, tracked per paren depth
-    (literals are masked at this stage, so parens are structural)."""
-    depth, last = 0, {}
-    for m in _CLAUSE_KW_RE.finditer(sql, 0, pos):
-        tok = m.group(0)
-        if tok == "(":
-            depth += 1
-        elif tok == ")":
-            last.pop(depth, None)
-            depth -= 1
-        else:
-            last[depth] = tok.upper()
-    return last.get(depth)
-
-
-def _rewrite_nested_srf(sql: str) -> str:
-    """SRF-in-SRF-argument nesting (execSRF.c; regress sql/tsrf.sql
-    `generate_series(1, generate_series(1, 3))`): PG evaluates the
-    inner SRF first and runs the outer once per inner row. Lowered by
-    HOISTING the single inner call into a derived table — the existing
-    select-list SRF classifier then lowers the outer call (possibly
-    inside an expression) over that one-column FROM, exactly the
-    lateral evaluation order PG uses. Only the FROM-less,
-    single-select-item, single-inner shape is claimed; other nestings
-    stay loud."""
-    m = re.match(r"(?is)^\s*SELECT\s+(.+?)\s*$", sql)
-    if m is None or re.search(r"(?i)\bFROM\b", sql):
-        return sql
-    item = m.group(1)
-    if len(_split_args(item)) != 1:
-        return sql
-    for om in re.finditer(r"(?i)\bgenerate_series\s*\(", item):
-        depth, j = 1, om.end()
-        while j < len(item) and depth:
-            if item[j] == "(":
-                depth += 1
-            elif item[j] == ")":
-                depth -= 1
-            j += 1
-        if depth:
-            return sql
-        body = item[om.end() : j - 1]
-        im = re.search(r"(?i)\bgenerate_series\s*\(([^()]*)\)", body)
-        if im is None:
-            continue
-        new_body = body[: im.start()] + "__gi0" + body[im.end() :]
-        if "generate_series" in new_body.lower():
-            return sql  # two inner SRFs: not claimed
-        new_item = (
-            item[: om.end()] + new_body + ")" + item[j:]
-        )
-        return (
-            f"SELECT {new_item} FROM "
-            f"(SELECT explode(sequence({im.group(1)})) AS __gi0)"
-        )
-    return sql
-
-
-def _rewrite_srf_from_bare(sql: str) -> str:
-    def sub(m: re.Match) -> str:
-        lead, _lat, fn, args_s, alias = m.groups()
-        fn = fn.lower()
-        tail = ""
-        if alias is not None and alias.upper() == "WITH":
-            return m.group(0)  # WITH ORDINALITY: not ours
-        if sql[m.end():].lstrip().startswith("("):
-            return m.group(0)  # a t(cols) form left loud upstream
-        if alias is not None and alias.upper() in _SRF_BARE_STOP:
-            tail, alias = " " + alias, None
-        if lead.strip() == "," and (
-            alias is None or _clause_at(sql, m.start()) != "FROM"
-        ):
-            # a comma lead is only an implicit-LATERAL FROM item when
-            # we're provably in a FROM clause with an explicit alias —
-            # otherwise this is a select-list / GROUP BY comma
-            return m.group(0)
-        if fn == "generate_series":
-            gen = f"explode(sequence({args_s.strip()}))"
-        else:
-            args = _split_args(args_s)
-            if len(args) != 1:
-                return m.group(0)  # multi-arg unnest: cols form only
-            gen = f"explode({args[0].strip()})"
-        name = alias or fn
-        if lead.strip() == ",":
-            # comma FROM item = implicit LATERAL for SRFs in PG
-            return f" LATERAL VIEW {gen} {name} AS {name}{tail}"
-        return f"{lead}(SELECT {gen} AS {name}) {name}{tail}"
-
-    return _SRF_FROM_BARE_RE.sub(sub, sql)
-
-# SRF WITH ORDINALITY (gram.y func_table; nodeFunctionscan.c ordinality
-# counter): unnest(arr)/generate_series(..) WITH ORDINALITY AS t(v, o)
-# → posexplode, with PG's 1-based ordinal
-_SRF_ORDINALITY_RE = re.compile(
-    r"\b(?:FROM|JOIN)\s+(unnest|generate_series)\s*"
-    r"\(((?:[^()]|\([^()]*\))*)\)\s+WITH\s+ORDINALITY\s+"
-    r"(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)",
     re.IGNORECASE,
 )
 
@@ -599,19 +144,6 @@ _ROWS_FROM_RE = re.compile(
     r"\bFROM\s+ROWS\s+FROM\s*\(\s*(\w+\s*\((?:[^()]|\([^()]*\))*\))\s*\)",
     re.IGNORECASE,
 )
-
-
-def _rewrite_srf_ordinality(sql: str) -> str:
-    def sub(m: re.Match) -> str:
-        kw = "JOIN" if m.group(0).upper().startswith("JOIN") else "FROM"
-        fn, args, alias, vcol, ocol = (g.strip() for g in m.groups())
-        src = f"sequence({args})" if fn.lower() == "generate_series" else args
-        return (
-            f"{kw} (SELECT __v AS {vcol}, CAST(__p + 1 AS BIGINT) AS {ocol} "
-            f"FROM (SELECT posexplode({src}) AS (__p, __v))) {alias}"
-        )
-
-    return _SRF_ORDINALITY_RE.sub(sub, sql)
 
 # EXTRACT(EPOCH FROM expr) — Spark's Extract has no epoch field
 _EXTRACT_EPOCH_RE = re.compile(
@@ -641,49 +173,6 @@ _WIDE_FORMULAS = {
     "MILLENNIUM": "(CAST(floor((year({x}) - 1) / 1000) AS INT) + 1)",
 }
 
-# scalar `x OP ANY/ALL/SOME (array)` (parse_oper.c make_scalar_array_op;
-# NOT the quantified-subquery form — a SELECT inside the parens is left
-# alone). Lowered to Spark's higher-order exists()/forall(), whose
-# three-valued NULL semantics match ExecEvalScalarArrayOp. The left
-# operand is an additive/multiplicative chain (PG gives comparison
-# operators lower precedence than arithmetic, gram.y a_expr), so
-# 'a + b = ANY(arr)' quantifies over (a + b), not b.
-# operand/array admit 2-3 paren levels: cast chains arrive as
-# CAST(array(..) AS ..) and row() comparisons as struct((..) AS f1,..)
-_ANY_OPND = (
-    rf"(?:{_LIT}"
-    r"|[\w.]+\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
-    r"|[\w.]+"
-    r"|\((?:[^()]|\([^()]*\))*\))"
-)
-_OP_ANY_ALL_RE = re.compile(
-    rf"({_ANY_OPND}(?:\s*[-+*/%]\s*{_ANY_OPND})*)"
-    rf"\s*(=|<>|!=|<=|>=|<|>)\s*"
-    rf"(ANY|ALL|SOME)\s*\(\s*(?!\s*SELECT\b)"
-    rf"((?:[^()]|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))+)\s*\)",
-    re.IGNORECASE,
-)
-
-
-# pattern-match quantified over arrays: s [NOT] LIKE/ILIKE ANY/ALL (...)
-_LIKE_ANY_ALL_RE = re.compile(
-    rf"({_DISTINCT_OPERAND})\s+(NOT\s+)?(LIKE|ILIKE)\s+"
-    rf"(ANY|ALL|SOME)\s*\(\s*(?!\s*SELECT\b)"
-    rf"((?:[^()]|\([^()]*\))+)\s*\)",
-    re.IGNORECASE,
-)
-
-# x [NOT] BETWEEN SYMMETRIC a AND b (gram.y a_expr BETWEEN SYMMETRIC;
-# Spark has no SYMMETRIC) — expanded exactly as gram.y does:
-# ((x >= a AND x <= b) OR (x >= b AND x <= a)), so a NULL bound yields
-# NULL (not the FALSE a least/greatest bound swap would produce —
-# least/greatest skip NULLs).
-_BETWEEN_SYM_RE = re.compile(
-    rf"({_DISTINCT_OPERAND})\s+(NOT\s+)?BETWEEN\s+SYMMETRIC\s+"
-    rf"({_DISTINCT_OPERAND})\s+AND\s+({_DISTINCT_OPERAND})",
-    re.IGNORECASE,
-)
-
 # COLLATE "C" / COLLATE pg_catalog.default (gram.y a_expr COLLATE):
 # collation is a per-expression sort locale in PG; Spark strings
 # compare binary (= "C"), so the clause strips
@@ -708,144 +197,6 @@ _LOCK_CLAUSE_RE = re.compile(
 _FROM_ONLY_RE = re.compile(
     r"\b(FROM|JOIN|UPDATE|INTO)\s+ONLY\s+", re.IGNORECASE
 )
-
-
-# PG math operators Spark lacks or re-purposes (numeric.c, float.c;
-# pg_operator.dat): ^ is POWER in PG but XOR in Spark, # is int XOR,
-# @ is abs, |/ sqrt, ||/ cbrt. Order matters: ^→power() runs before
-# #→^ so the emitted XOR never re-maps. The right operand admits a
-# unary minus (PG '2 ^ -2' is power(2,-2) = 0.25); a '^' whose operands
-# still don't match raises rather than letting Spark silently evaluate
-# XOR. (Left-side unary minus is NOT claimed: PG ≥9.5 binds unary minus
-# tighter than '^', so '-2 ^ 2' is 4 there — spell it '(-2) ^ 2'.)
-# power operands admit ::cast suffix chains ('NaN'::numeric ^ 0) and
-# depth-2 calls like CAST(x AS DECIMAL(38,18)) emitted by the earlier
-# scalar-cast pass — power() receives them unchanged
-_POW_OPERAND = (
-    # the call form requires the paren to ABUT the name — `SELECT (x)`
-    # must not read as a call operand (pinned by test_pg_math_operators)
-    rf"(?:[\w.]+\((?:[^()]|\([^()]*\))*\)|{_DISTINCT_OPERAND})"
-    rf"(?:\s*::\s*\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)*"
-)
-_POWER_RE = re.compile(
-    rf"({_POW_OPERAND})\s*\^\s*(-\s*{_POW_OPERAND}"
-    rf"|{_POW_OPERAND})"
-)
-_INT_XOR_RE = re.compile(
-    rf"({_DISTINCT_OPERAND})\s*#(?![>#])\s*({_DISTINCT_OPERAND})"
-)
-_CBRT_RE = re.compile(rf"\|\|/\s*(-?\s*{_DISTINCT_OPERAND})")
-_SQRT_RE = re.compile(rf"(?<!\|)\|/\s*(-?\s*{_DISTINCT_OPERAND})")
-_ABS_AT_RE = re.compile(
-    rf"(?<![\w)\]])@\s*(?![>@?=])(-?\s*{_DISTINCT_OPERAND})"
-)
-
-# substring(x FROM 'regex') (varlena.c textregexsubstr): returns the
-# first match — capture group 1 when the pattern has one, else the
-# whole match; NULL on no match
-_SUBSTR_REGEX_RE = re.compile(
-    rf"\bsubstring\s*\(\s*({_DISTINCT_OPERAND})\s+FROM\s+({_LIT})\s*\)",
-    re.IGNORECASE,
-)
-
-
-def _rewrite_pg_math_ops(sql: str) -> str:
-    prev = None
-    while prev != sql:  # chains like a ^ b ^ c resolve left-to-right
-        prev = sql
-        sql = _POWER_RE.sub(lambda m: f"power({m.group(1)}, {m.group(2)})", sql)
-    if "^" in sql:
-        # In PG dialect '^' is always power; a survivor means an
-        # operand form this rewriter doesn't recognize, and Spark
-        # would silently evaluate it as bitwise XOR — fail loudly
-        # instead. ('#' → XOR translation runs after this check.)
-        raise NotImplementedError(
-            "unrecognized operand form around PG '^' (power) operator; "
-            "parenthesize the operands: " + sql
-        )
-    # PG factorial operators (pre-14 gram.y): postfix `4!` and prefix
-    # `!!4`; the lookaheads keep != / !~ comparisons untouched
-    sql = re.sub(
-        r"(?<![\w.!])!!\s*(\d+|\([^()]*\))", r"factorial(\1)", sql
-    )
-    sql = re.sub(
-        r"(?<![\w.])(\d+|\([^()]*\))\s*!(?![=~!<>])",
-        r"factorial(\1)",
-        sql,
-    )
-    sql = _INT_XOR_RE.sub(lambda m: f"({m.group(1)} ^ {m.group(2)})", sql)
-    sql = _CBRT_RE.sub(lambda m: f"cbrt({m.group(1)})", sql)
-    sql = _SQRT_RE.sub(lambda m: f"sqrt({m.group(1)})", sql)
-    sql = _ABS_AT_RE.sub(lambda m: f"abs({m.group(1)})", sql)
-    return sql
-
-
-# --- PG function/constructor spellings Spark lacks (arrayfuncs.c,
-# rowtypes.c, timestamp.c, int.c): ROW() records, 1-D array helpers,
-# num_nonnulls/num_nulls variadics, age(), gcd/lcm, AT TIME ZONE, and
-# ARRAY(SELECT ...) subquery constructors.
-_ROW_CTOR_RE = re.compile(
-    r"(?<![\w.])ROW\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
-)
-_ARRAY_LENGTH_RE = re.compile(
-    # literal dimension; the array operand admits nested constructors
-    # (array(array(1,2), array(3,4)) after the braced-literal pass)
-    # and parenthesized cast chains ((CAST(array(..) AS ..)) from
-    # domain lowering)
-    rf"\barray_length\s*\(\s*"
-    rf"({_DISTINCT_OPERAND}"
-    r"|[\w.]*\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
-    r"\s*,\s*(-?\d+)\s*\)",
-    re.IGNORECASE,
-)
-_ARRAY_CAT_RE = re.compile(r"\barray_cat\s*\(", re.IGNORECASE)
-_STRING_TO_ARRAY_RE = re.compile(
-    rf"\bstring_to_array\s*\(\s*"
-    # the string operand admits a prior-pass CAST(x AS char(9)) (one
-    # nesting level) and a trailing ::type(n) cast suffix
-    rf"([\w.]+\s*\((?:[^()]|\([^()]*\))*\)"
-    rf"|{_DISTINCT_OPERAND}(?:\s*::\s*\w+(?:\(\d+(?:,\s*\d+)?\))?)?)"
-    rf"\s*,"
-    rf"\s*({_DISTINCT_OPERAND})\s*(?:,\s*({_DISTINCT_OPERAND})\s*)?\)",
-    re.IGNORECASE,
-)
-_ARRAY_TO_STRING_RE = re.compile(r"\barray_to_string\s*\(", re.IGNORECASE)
-_ARRAY_POSITIONS_RE = re.compile(
-    # the array operand admits depth-2 calls — the braced-literal pass
-    # has already lowered '{1,2,3}'::int[] to CAST(array(..) AS ..)
-    rf"\barray_positions\s*\(\s*([\w.]+\s*\((?:[^()]|\([^()]*\))*\)"
-    rf"|{_DISTINCT_OPERAND}(?:\s*::\s*\w+\s*(?:\[\s*\])?)?)\s*,"
-    rf"\s*({_DISTINCT_OPERAND})\s*\)",
-    re.IGNORECASE,
-)
-_JSONB_CONTAINED_FN_RE = re.compile(
-    r"\bjsonb_contained\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
-)
-_JSONB_EXTRACT_PATH_RE = re.compile(
-    r"\bjsonb?_extract_path(_text)?\s*\(((?:[^()]|\([^()]*\))*)\)",
-    re.IGNORECASE,
-)
-_GENERATE_SUBSCRIPTS_RE = re.compile(
-    rf"\bgenerate_subscripts\s*\(\s*({_DISTINCT_OPERAND})\s*,\s*1\s*\)",
-    re.IGNORECASE,
-)
-_NUM_NULLS_RE = re.compile(
-    r"\bnum_(nonnulls|nulls)\s*"
-    r"\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)",
-    re.IGNORECASE,
-)
-# operand that also admits typed literals (TIMESTAMP '...', DATE '...')
-_TEMPORAL_OPERAND = rf"(?:(?:TIMESTAMP|DATE)\s*{_LIT}|{_DISTINCT_OPERAND})"
-_AGE_RE = re.compile(
-    rf"\bage\s*\(\s*({_TEMPORAL_OPERAND})\s*,\s*({_TEMPORAL_OPERAND})\s*\)",
-    re.IGNORECASE,
-)
-_ARITH_CHAIN = rf"{_DISTINCT_OPERAND}(?:\s*[-+*/%]\s*{_DISTINCT_OPERAND})*"
-_GCD_LCM_RE = re.compile(
-    rf"\b(gcd|lcm)\s*\(\s*({_ARITH_CHAIN})\s*,"
-    rf"\s*({_ARITH_CHAIN})\s*\)",
-    re.IGNORECASE,
-)
 # operand may carry a ::cast suffix — the pass runs BEFORE the ::
 # rewrites so the timestamp-vs-timestamptz direction is still visible
 _AT_TIME_ZONE_RE = re.compile(
@@ -854,39 +205,6 @@ _AT_TIME_ZONE_RE = re.compile(
     rf"\s+AT\s+TIME\s+ZONE\s+({_LIT})",
     re.IGNORECASE,
 )
-_LR_TRIM_RE = re.compile(
-    r"\b(ltrim|rtrim)\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
-)
-_REGEXP_REPLACE_RE = re.compile(
-    r"\bregexp_replace\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
-)
-_REGEXP_SPLIT_ARR_RE = re.compile(
-    r"\bregexp_split_to_array\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
-)
-# PG's default timezone abbreviations (datetime.c, timezone/tznames/
-# Default) are mostly FIXED offsets, verified entry-by-entry against the
-# reference Default file. Three are NOT what folk knowledge suggests:
-# IST is 7200s = +02:00 (Israel Standard Time, not India), and MSK/SGT
-# are DYNAMIC links to Europe/Moscow and Asia/Singapore — regress
-# expected/timestamptz.out pins '2011-03-27 03:00:00 MSK' -> 23:00 UTC
-# (+04), the zone's historical offset, not a fixed +03.
-_TZ_ABBREV_OFFSETS = {
-    "PST": "-08:00", "PDT": "-07:00", "EST": "-05:00",
-    "EDT": "-04:00", "CST": "-06:00", "CDT": "-05:00", "MST": "-07:00",
-    "MDT": "-06:00", "AKST": "-09:00", "AKDT": "-08:00", "HST": "-10:00",
-    "BST": "+01:00", "CET": "+01:00", "CEST": "+02:00", "EET": "+02:00",
-    "EEST": "+03:00", "WET": "+00:00", "WEST": "+01:00", "JST": "+09:00",
-    "KST": "+09:00", "HKT": "+08:00", "IST": "+02:00",
-    "AEST": "+10:00", "AEDT": "+11:00", "ACST": "+09:30", "AWST": "+08:00",
-    "NZST": "+12:00", "NZDT": "+13:00",
-}
-# Dynamic abbreviation links (Default maps these to region zones whose
-# offset varies by instant). Spark/Java parse region ids in timestamp
-# strings and in from/to_utc_timestamp, matching PG for every instant
-# outside a DST gap; INSIDE a spring-forward gap PG keeps the wall
-# clock with the post-gap offset while Java shifts the wall clock
-# forward — a 1h/year documented edge (README deviations).
-_TZ_ABBREV_ZONES = {"MSK": "Europe/Moscow", "SGT": "Asia/Singapore"}
 _TS_ABBREV_BODY_RE = re.compile(
     r"^(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}(?::\d{2})?(?:\.\d+)?) "
     r"([A-Z]{2,5})$"
@@ -947,18 +265,6 @@ _ELEM_RANGE_OP_RE = re.compile(
 _RANGE_BOUND_FN_RE = re.compile(
     rf"\b(lower|upper)\s*\(\s*({_RANGE_EXPR})\s*\)", re.IGNORECASE
 )
-_JSONB_MUT_RE = re.compile(
-    r"\b(jsonb_set|jsonb_insert)\s*\(((?:[^()]|\([^()]*\))*)\)",
-    re.IGNORECASE,
-)
-_HASH_MINUS_RE = re.compile(
-    rf"({_LIT}|[\w.]+\([^()]*\)|[\w.]+)\s*#-\s*"
-    rf"({_LIT}|[\w.]+\([^()]*\)|[\w.]+)"
-)
-_JSON_OBJECT_RE = re.compile(
-    r"\b(json_object|jsonb_object)\s*\(((?:[^()]|\([^()]*\))*)\)",
-    re.IGNORECASE,
-)
 # jsonb_path_* function forms → operator/UDF lowerings
 _JSONB_PATH_FN_RE = re.compile(
     r"\bjsonb_path_(query_array|query_first|query|exists|match)\s*"
@@ -1009,289 +315,7 @@ _CONCAT_ARITH_R_RE = re.compile(
 _CONCAT_ARITH_L_RE = re.compile(
     rf"(?<![\w.\x01)])({_CONCAT_OPND}(?:\s*[+\-*/%]\s*{_CONCAT_OPND})+)\s*\|\|"
 )
-_ARRAY_SUBQ_RE = re.compile(
-    r"\bARRAY\s*\(\s*(SELECT\b(?:[^()]|\([^()]*\))*)\)",
-    re.IGNORECASE | re.DOTALL,
-)
-# to_char(x, 'fmt') with a literal format: PG's formatting.c pictures —
-# Spark's native to_char speaks a different (Oracle-ish) dialect and
-# rejects PG forms like FM9,999.00, so literal-format calls reroute to
-# the PG format engine (functions/to_char.py SQL emitters). PG chooses
-# datetime vs numeric by argument type, which SQL text doesn't expose;
-# a 9/0 digit slot anywhere in the picture means numeric (DCH datetime
-# tokens contain none).
-_TO_CHAR_RE = re.compile(
-    rf"\bto_char\s*\(\s*((?:TIMESTAMP|DATE)\s*{_LIT}"
-    rf"|[\w.]+\((?:[^()]|\([^()]*\))*\)"
-    rf"|-?\s*{_ARITH_CHAIN})\s*,\s*({_LIT})\s*\)",
-    re.IGNORECASE,
-)
-# to_date/to_timestamp with a PG DCH pattern (formatting.c parse
-# direction): translated to the Java pattern Spark's parser expects.
-# Gated on distinctly-PG tokens — a Java-style pattern ('yyyy-MM-dd')
-# must pass through untouched, and an uppercase PG pattern handed to
-# Spark raw is already silently wrong (Java D = day-of-year).
-_TO_DATE_RE = re.compile(
-    rf"\bto_(date|timestamp)\s*\(\s*({_ARITH_CHAIN})\s*,\s*({_LIT})\s*\)",
-    re.IGNORECASE,
-)
-_PG_DCH_GATE_RE = re.compile(
-    r"HH24|HH12|YYYY|IYYY|MI|MON|Mon|mon|DAY|Day|day|DDD|Dy|DY|dy"
-    # single-letter / two-letter PG fields with no Java equivalent:
-    # J (julian day), CC (century), W (week-of-month), Q (quarter) —
-    # as a whole-picture match so Java patterns never false-positive
-    r"|^\s*J\s*$|\bCC\b|^W\b|\bW\s+MM\b"
-    # whole-picture 3-digit year (PG completes to 1500-2499; Java YYY
-    # is week-based-year and Spark rejects it outright)
-    r"|^\s*YYY\s*$"
-    # ISO-calendar family, roman months, grouped years, and
-    # backslash separators — all PG-only spellings
-    r"|I(?:YYY|YY|Y|W|DDD|D)|\bRM\b|Y,YYY|\\"
-    # leading short-year pictures ('Y-MMDD', 'YY-MMDD'): PG completes
-    # the year; Java reads uppercase Y as week-based-year and rejects
-    r"|^\s*Y{1,3}[^Y]"
-)
-# FROM/lateral unnest(...) AS t(cols) (nodeFunctionscan.c): explode /
-# inline forms. PG SRFs in a comma FROM item are implicitly LATERAL;
-# Spark's equivalent is LATERAL VIEW. Two parallel arrays zip with
-# NULL padding (zip_with), matching unnest's pad-to-longest.
-_UNNEST_FROM_RE = re.compile(
-    r"(\bFROM\s+|,\s*)(LATERAL\s+)?(unnest|generate_series)\s*"
-    r"\(((?:[^()]|\([^()]*\))*)\)\s*(?:AS\s+)?(\w+)\s*\(\s*([\w\s,]+?)\s*\)",
-    re.IGNORECASE,
-)
-_FORMAT_FN_RE = re.compile(rf"\bformat\s*\(\s*({_LIT})", re.IGNORECASE)
-# format() with a literal picture: full call shape, compiled at plan
-# time (varlena.c text_format)
-_FORMAT_CALL_RE = re.compile(
-    rf"\bformat\s*\(\s*({_LIT}|NULL)\s*"
-    rf"(?:,\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))*))?\)",
-    re.IGNORECASE,
-)
-# %[position$][-][width|*[position$]]<s|I|L>  (plus bare %%)
-_FORMAT_SPEC_RE = re.compile(
-    r"%(?:(\d+)\$)?(-)?(?:(\d+)|\*(?:(\d+)\$)?)?([sIL])|%(%)"
-)
-
-
-def _pg_format_compile(fmt: str, args: list[str], lits: list[str]):
-    """Compile a PG format() call with a LITERAL picture into a pure
-    concat() expression (varlena.c text_format): %s/%I/%L conversions,
-    %n$ argument positions, [-]width and */"*n$" indirect widths, with
-    PG's argument-advance rule (a consumed indirect width advances the
-    sequential counter). Returns None for pictures/arg shapes outside
-    the model — the call then stays loud (UNRESOLVED_ROUTINE), which is
-    also PG's behavior for too-few-arguments errors."""
-    variadic = False
-    arr = None
-    bool_elems = False
-    if len(args) == 1 and re.match(r"(?is)^\s*variadic\b", args[0]):
-        variadic = True
-        arr = re.sub(r"(?is)^\s*variadic\s+", "", args[0]).strip()
-        bool_elems = bool(
-            re.match(r"(?is)^array\s*[\[(]", arr)  # pre- or post-rewrite
-            and not re.search(
-                r"(?is)(::\s*\w+\s*\[\s*\]|AS\s+STRING\s*>?\s*\))\s*$", arr
-            )
-            and re.search(r"(?i)\b(true|false)\b", arr)
-        )
-
-    sq = "chr(39)"  # single quote, avoiding literal-escape headaches
-    dq = "chr(34)"
-    bs = "chr(92)"
-    sp = _new_lit(" ", lits)
-    ident_re = _new_lit("^[a-z_][a-z0-9_]*$", lits)
-
-    def raw_arg(i: int) -> str | None:
-        if variadic:
-            return f"element_at({arr}, {i})"
-        if i < 1 or i > len(args):
-            return None
-        return args[i - 1]
-
-    def str_arg(i: int) -> str | None:
-        a = raw_arg(i)
-        if a is None:
-            return None
-        if not variadic:
-            t = a.strip().lower()
-            if t == "true":
-                return _new_lit("t", lits)
-            if t == "false":
-                return _new_lit("f", lits)
-            return f"CAST({a} AS STRING)"
-        v = f"CAST({a} AS STRING)"
-        if bool_elems:
-            # bare-bool variadic array: PG boolout renders t/f
-            return (
-                f"(CASE WHEN {v} = 'true' THEN {_new_lit('t', lits)} "
-                f"WHEN {v} = 'false' THEN {_new_lit('f', lits)} "
-                f"ELSE {v} END)"
-            )
-        return v
-
-    pieces: list[str] = []
-    pos = 0
-    arg = 1  # next sequential argument position
-    for m in _FORMAT_SPEC_RE.finditer(fmt):
-        if m.start() > pos:
-            pieces.append(_new_lit(fmt[pos : m.start()], lits))
-        pos = m.end()
-        if m.group(6):  # %%
-            pieces.append(_new_lit("%", lits))
-            continue
-        argpos, minus, width_s, widthpos, conv = m.groups()[:5]
-        width_sql = None
-        static_w = None
-        if width_s is not None:
-            static_w = int(width_s)
-        elif "*" in m.group(0):
-            if widthpos is not None:
-                arg = int(widthpos)
-            wa = raw_arg(arg)
-            if wa is None:
-                return None
-            width_sql = f"coalesce(CAST({wa} AS INT), 0)"
-            arg += 1
-        if argpos is not None:
-            arg = int(argpos)
-        v = str_arg(arg)
-        if v is None:
-            return None
-        arg += 1
-        if conv == "s":
-            val = f"coalesce({v}, {_new_lit('', lits)})"
-        elif conv == "I":
-            err = _new_lit(
-                "null values cannot be formatted as an SQL identifier",
-                lits,
-            )
-            val = (
-                f"(CASE WHEN {v} IS NULL THEN raise_error({err}) "
-                f"WHEN {v} RLIKE {ident_re} THEN {v} "
-                f"ELSE concat({dq}, replace({v}, {dq}, repeat({dq}, 2)), "
-                f"{dq}) END)"
-            )
-        else:  # L
-            val = (
-                f"(CASE WHEN {v} IS NULL THEN {_new_lit('NULL', lits)} "
-                f"WHEN contains({v}, {bs}) THEN concat('E', {sq}, "
-                f"replace(replace({v}, {bs}, repeat({bs}, 2)), "
-                f"{sq}, repeat({sq}, 2)), {sq}) "
-                f"ELSE concat({sq}, replace({v}, {sq}, repeat({sq}, 2)), "
-                f"{sq}) END)"
-            )
-        if static_w is not None and static_w != 0:
-            aw = abs(static_w)
-            pad = "rpad" if (minus or static_w < 0) else "lpad"
-            val = (
-                f"IF(length({val}) >= {aw}, {val}, "
-                f"{pad}({val}, {aw}, {sp}))"
-            )
-        elif width_sql is not None:
-            left = "true" if minus else f"({width_sql}) < 0"
-            val = (
-                f"(CASE WHEN coalesce(abs({width_sql}), 0) <= "
-                f"length({val}) THEN {val} "
-                f"WHEN {left} THEN rpad({val}, abs({width_sql}), {sp}) "
-                f"ELSE lpad({val}, abs({width_sql}), {sp}) END)"
-            )
-        elif minus:
-            pass  # '-' without width: no-op (PG prints unpadded)
-        pieces.append(val)
-    if pos < len(fmt):
-        pieces.append(_new_lit(fmt[pos:], lits))
-    # an unconsumed lone '%' (unterminated spec) stays loud, as PG errors
-    stripped = _FORMAT_SPEC_RE.sub("", fmt)
-    if "%" in stripped:
-        return None
-    if not pieces:
-        return _new_lit("", lits)
-    if len(pieces) == 1:
-        return f"CAST({pieces[0]} AS STRING)"
-    return "concat(" + ", ".join(pieces) + ")"
-_ARRAY_FILL_RE = re.compile(
-    rf"\barray_fill\s*\(\s*({_ARITH_CHAIN}"
-    rf"(?:\s*::\s*\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)*)\s*,\s*"
-    rf"(?:ARRAY\s*\[|array\s*\()\s*(\d+)(?:\s*,\s*(\d+))?\s*[\])]"
-    # optional lower-bounds arg: accepted and ignored (the engine's
-    # array model is 1-based; array_fill content is bounds-independent)
-    rf"(?:\s*,\s*(?:ARRAY\s*\[|array\s*\()\s*-?\d+(?:\s*,\s*-?\d+)?"
-    rf"\s*[\])])?\s*\)",
-    re.IGNORECASE,
-)
-_PG_TYPEOF_RE = re.compile(r"\bpg_typeof\s*\(", re.IGNORECASE)
-# PG log(x) is base-10 (numeric.c log_var; natural log is ln) — Spark's
-# one-arg log is NATURAL log, a silent wrong answer. Two-arg
-# log(base, x) agrees between the engines and passes through.
-_LOG_RE = re.compile(r"\blog\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE)
-_POWER_FN_RE = re.compile(
-    r"\b(?:power|pow)\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
-)
-_SCALE_RE = re.compile(
-    r"\bscale\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
-)
-# trunc(x, n): truncate toward zero at n decimal places (numeric.c
-# trunc_var) — Spark's trunc is date-only. CAST(double AS BIGINT)
-# truncates toward zero in both engines.
-_TRUNC_N_RE = re.compile(
-    rf"\btrunc\s*\(\s*(-?\s*{_ARITH_CHAIN})\s*,\s*(\d+)\s*\)",
-    re.IGNORECASE,
-)
-_TRUNC1_RE = re.compile(
-    r"\btrunc\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
-)
-# jsonb key-existence operators (jsonfuncs.c jsonb_exists/_any/_all):
-# j ? 'k', j ?| array[...], j ?& array[...]. Key existence is checked
-# against the object's key set, so a null VALUE still counts (which
-# get_json_object can't distinguish from a missing key). ?|/?& run
-# before bare ? so it can't half-match them.
-# the RHS array operand admits depth-2 calls: braced literals have
-# already lowered to CAST(array(..) AS ARRAY<..>) by this point
-_JSON_KEYS_ARR = (
-    rf"(?:[\w.]+\((?:[^()]|\([^()]*\))*\)|{_DISTINCT_OPERAND})"
-)
-_JSON_KEYS_ANY_RE = re.compile(
-    rf"({_DISTINCT_OPERAND})\s*\?\|\s*({_JSON_KEYS_ARR})"
-)
-_JSON_KEYS_ALL_RE = re.compile(
-    rf"({_DISTINCT_OPERAND})\s*\?&\s*({_JSON_KEYS_ARR})"
-)
-_JSON_HAS_KEY_RE = re.compile(
-    rf"({_DISTINCT_OPERAND})\s*\?\s*({_LIT})"
-)
-# PG typed-literal prefix `jsonb '...'` — json is a STRING here, the
-# prefix just drops
-_JSON_TYPED_LIT_RE = re.compile(
-    rf"\bjsonb?\s+({_LIT})", re.IGNORECASE
-)
-# j #> '{a,b}' / j #>> '{a,b}' / the array['a','b'] path form
-# (jsonfuncs.c json_extract_path[_text]): both lower to
-# get_json_object — json is its own text form in this model
-_HASH_PATH_RE = re.compile(
-    rf"({_DISTINCT_OPERAND})\s*#>>?\s*({_LIT})"
-)
-_HASH_PATH_ARR_RE = re.compile(
-    rf"({_DISTINCT_OPERAND})\s*#>>?\s*array\s*\(((?:[^()]|\([^()]*\))*)\)",
-    re.IGNORECASE,
-)
-# typed literal `time '04:05:06'` — no TIME type here; as a day-time
-# interval it composes with dates/timestamps the way PG's date + time
-# does (datetime.c datetime_pl_time)
-_TIME_LIT_RE = re.compile(r"(?<![\w.])time\s+(\x01\d+\x01)", re.IGNORECASE)
 _MAKE_TSTZ_RE = re.compile(r"\bmake_timestamptz\s*\(", re.IGNORECASE)
-# `timestamp with[out] time zone '...'` spelled-out typed literals —
-# both collapse to the single TIMESTAMP type (README)
-_TS_ZONE_LIT_RE = re.compile(
-    # the single-word timestamptz spelling takes the same path (Spark
-    # has no TIMESTAMPTZ literal keyword); exclude the
-    # timestamptz(date, time) constructor via the literal lookahead
-    r"\btimestamp(?:\s+with(?:out)?\s+time\s+zone|tz)\s+(\x01\d+\x01)",
-    re.IGNORECASE,
-)
-_DOUBLE_PREC_LIT_RE = re.compile(
-    r"\bdouble\s+precision\s+(\x01\d+\x01)", re.IGNORECASE
-)
 # multiword type names in CAST(.. AS t) / expr::t position — normalized
 # to the Spark single-word spelling. The (?!\s*\x01) lookahead skips the
 # `double precision '1.5'` literal-prefix form, which its own pass
@@ -1324,533 +348,6 @@ _CHAR_TYPED_LIT_RE = re.compile(
     r"\bchar(?:acter)?\s*(?:\(\s*\d+\s*\))?\s+(\x01\d+\x01)",
     re.IGNORECASE,
 )
-# jsonb_typeof/json_typeof (jsonfuncs.c): classify by the first
-# non-space character of the json text
-_JSON_TYPEOF_RE = re.compile(
-    rf"\bjsonb?_typeof\s*\(\s*({_ARITH_CHAIN}|{_LIT})\s*\)", re.IGNORECASE
-)
-# scalar regexp_matches(s, 'pat'): PG returns the first match's capture
-# groups as text[] (NULL row = NULL here when no match)
-_REGEXP_MATCHES_RE = re.compile(
-    # the subject may be a || concat chain ('a' || chr(10) || 'b')
-    rf"\bregexp_match(?:es)?\s*\(\s*"
-    rf"({_DISTINCT_OPERAND}(?:\s*(?:[-+*/%]|\|\|)\s*{_DISTINCT_OPERAND})*)"
-    rf"\s*,\s*({_LIT})"
-    rf"(?:\s*,\s*({_LIT}))?\s*\)",
-    re.IGNORECASE,
-)
-# INTERVAL literal spellings PG emits but Spark's parser rejects
-_INTERVAL_LIT_RE = re.compile(rf"\bINTERVAL\s+({_LIT})", re.IGNORECASE)
-# an SRF call inside a SELECT-list item (multi-SRF lockstep / SRF in
-# an expression: `abs(generate_series(-5,-1))`, `generate_series(..)+1`)
-_SRF_CALL_RE = re.compile(
-    r"\b(generate_series|unnest)\s*"
-    r"\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)",
-    re.IGNORECASE,
-)
-_SRF_VAR = "\x02V\x02"  # placeholder for the per-row value
-
-
-def _analyze_srf_item(item: str):
-    """Classify one SELECT-list item: returns (array_expr,
-    wrapper_template, name) when the item is an expression over exactly
-    ONE SRF call, else None. The wrapper template holds _SRF_VAR where
-    the SRF's per-row value goes (identity for a plain SRF item)."""
-    txt = item.strip()
-    if not txt:
-        return None
-    alias = None
-    am = re.search(r"(?is)\s+AS\s+(\w+)\s*$", txt)
-    if am:
-        alias, txt = am.group(1), txt[: am.start()].strip()
-    else:
-        bm = re.fullmatch(
-            r"(?is)\s*((?:generate_series|unnest)\s*"
-            r"\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))\s+(\w+)\s*",
-            txt,
-        )
-        if bm:  # bare alias only on the plain-SRF spelling
-            txt, alias = bm.group(1), bm.group(2)
-    if re.search(r"(?i)\(\s*SELECT\b", txt):
-        # an SRF inside a nested subquery belongs to THAT select list,
-        # not this item — classifying it here would hoist it out
-        return None
-    calls = list(_SRF_CALL_RE.finditer(txt))
-    if len(calls) != 1:
-        return None
-    c = calls[0]
-    fn, args = c.group(1).lower(), c.group(2)
-    if re.search(r"(?i)\b(?:generate_series|unnest)\s*\(", args):
-        return None  # nested SRF: stays loud, as PG's older behavior
-    if fn == "generate_series":
-        arr = f"sequence({args})"
-    else:
-        if len(_split_args(args)) != 1:
-            return None  # multi-arg unnest is FROM-only in PG
-        arr = f"({args})"
-    wrapper = (txt[: c.start()] + _SRF_VAR + txt[c.end():]).strip()
-    return arr, wrapper, alias or fn
-
-
-_SRF_LIST_STOP = frozenset(
-    ("FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
-     "EXCEPT", "INTERSECT", "WINDOW", "OFFSET", "FETCH")
-)
-
-
-def _rewrite_srf_order_by(sql: str) -> str:
-    """SRFs in ORDER BY run in lockstep with the select list's SRFs —
-    same nesting level, one row set (execSRF.c; regress sql/tsrf.sql
-    `select generate_series(1,3)+1 order by generate_series(1,3)`).
-    Spark forbids generators inside Sort, so hoist every SRF (select
-    items AND ORDER BY items) into one zipped inline() in a derived
-    table and sort on hidden __ob columns. Claims the FROM-less
-    top-level shape only; anything else stays loud."""
-    m = re.match(
-        r"(?is)^\s*select\s+(.*?)\s+order\s+by\s+(.*?)\s*;?\s*$", sql
-    )
-    if m is None:
-        return sql
-    head, ob = m.group(1), m.group(2)
-    if re.search(
-        r"(?i)\b(?:from|where|group\s+by|having|union|intersect"
-        r"|except|window|distinct)\b",
-        head,
-    ):
-        return sql
-    tail = ""
-    tm = re.search(r"(?i)\b(?:limit|offset|fetch)\b", ob)
-    if tm:
-        ob, tail = ob[: tm.start()], " " + ob[tm.start():]
-    if not re.search(r"(?i)\b(?:generate_series|unnest)\s*\(", ob):
-        return sql
-    sel_items = _split_args(head)
-    arrays: list[str] = []
-    fields: list[str] = []
-    names: list[str] = []
-    for it in sel_items:
-        info = _analyze_srf_item(it)
-        if info:
-            arr, wrap, name = info
-            fields.append(
-                f"{wrap.replace(_SRF_VAR, f'__s.`{len(arrays)}`')} "
-                f"AS {name}"
-            )
-            arrays.append(arr)
-            names.append(name)
-        else:
-            if re.search(r"(?i)\b(?:generate_series|unnest)\s*\(", it):
-                return sql  # SRF item we can't analyze: stay loud
-            am = re.search(r"(?is)\s+AS\s+(\w+)\s*$", it.strip())
-            if am is None:
-                return sql  # alias-less plain item: not claimed
-            fields.append(it.strip())
-            names.append(am.group(1))
-    if len(set(names)) != len(names):
-        return sql
-    ob_out: list[str] = []
-    for k, obit in enumerate(_split_args(ob)):
-        expr = obit.strip()
-        sfx = ""
-        while True:
-            sm = re.search(
-                r"(?is)\s+(asc|desc|nulls\s+first|nulls\s+last)\s*$",
-                expr,
-            )
-            if sm is None:
-                break
-            sfx = " " + sm.group(1) + sfx
-            expr = expr[: sm.start()]
-        if re.search(r"(?i)\b(?:generate_series|unnest)\s*\(", expr):
-            info = _analyze_srf_item(expr)
-            if info is None:
-                return sql
-            arr, wrap, _ = info
-            fields.append(
-                f"{wrap.replace(_SRF_VAR, f'__s.`{len(arrays)}`')} "
-                f"AS __ob{k}"
-            )
-            arrays.append(arr)
-            ob_out.append(f"__ob{k}{sfx}")
-        else:
-            ob_out.append(obit.strip())
-    if not arrays:
-        return sql
-    gen = (
-        f"inline(transform(arrays_zip({', '.join(arrays)}), "
-        f"__s -> struct({', '.join(fields)})))"
-    )
-    return (
-        f"SELECT {', '.join(names)} FROM (SELECT {gen}) "
-        f"ORDER BY {', '.join(ob_out)}{tail}"
-    )
-
-
-def _rewrite_multi_srf_select(sql: str) -> str:
-    """Multiple SRFs in one SELECT list run in LOCKSTEP, shorter ones
-    padded with NULL to the longest (execSRF.c; regress sql/tsrf.sql:
-    `SELECT generate_series(1,2), generate_series(1,4)` is 4 rows with
-    NULLs in rows 3-4 of the first column). Spark's arrays_zip has
-    exactly that padding, so a run of CONSECUTIVE SRF select items
-    lowers to one inline(arrays_zip(...)) generator. Non-consecutive
-    mixes and nested SRFs stay loud."""
-    sel_re = re.compile(r"(?i)\bSELECT\b")
-    pos = 0
-    while True:
-        m = sel_re.search(sql, pos)
-        if m is None:
-            return sql
-        pos = m.end()
-        i, depth = m.end(), 0
-        items: list[tuple[int, int]] = []
-        item_start, list_end = i, len(sql)
-        while i < len(sql):
-            c = sql[i]
-            if c == "(":
-                depth += 1
-                i += 1
-            elif c == ")":
-                if depth == 0:
-                    list_end = i
-                    break
-                depth -= 1
-                i += 1
-            elif c == "," and depth == 0:
-                items.append((item_start, i))
-                item_start = i + 1
-                i += 1
-            elif c == ";" and depth == 0:
-                list_end = i
-                break
-            elif c.isalpha() or c == "_":
-                j = i
-                while j < len(sql) and (sql[j].isalnum() or sql[j] == "_"):
-                    j += 1
-                if depth == 0 and sql[i:j].upper() in _SRF_LIST_STOP:
-                    list_end = i
-                    break
-                i = j
-            else:
-                i += 1
-        items.append((item_start, list_end))
-        infos = [_analyze_srf_item(sql[a:b]) for a, b in items]
-        srf_idx = [k for k, inf in enumerate(infos) if inf]
-        if not srf_idx or srf_idx != list(
-            range(srf_idx[0], srf_idx[0] + len(srf_idx))
-        ):
-            continue  # none, or non-consecutive: stay loud
-        if len(srf_idx) == 1:
-            arr, wrap, name = infos[srf_idx[0]]
-            inner = wrap.replace(_SRF_VAR, "__g0")
-            if inner == "__g0":
-                rep = f" explode({arr}) AS {name} "
-            else:
-                # expression over the SRF value: map it per element
-                # BEFORE exploding (execSRF.c applies the expression
-                # to each emitted row)
-                rep = (
-                    f" explode(transform({arr}, __g0 -> {inner})) "
-                    f"AS {name} "
-                )
-            a, b = items[srf_idx[0]]
-            sql = sql[:a] + rep + sql[b:]
-            continue
-        # lockstep: zip all SRF arrays (NULL-padded to the longest),
-        # then apply each item's expression to its zip field inside a
-        # named struct — inline() expands the fields in place
-        arrays = [infos[k][0] for k in srf_idx]
-        fields = ", ".join(
-            f"{infos[k][1].replace(_SRF_VAR, f'__s.`{i}`')} "
-            f"AS {infos[k][2]}"
-            for i, k in enumerate(srf_idx)
-        )
-        gen = (
-            f"inline(transform(arrays_zip({', '.join(arrays)}), "
-            f"__s -> struct({fields})))"
-        )
-        a0, b1 = items[srf_idx[0]][0], items[srf_idx[-1]][1]
-        sql = sql[:a0] + " " + gen + " " + sql[b1:]
-    return sql
-# INTERVAL '<str>' <field qualifiers> (gram.y opt_interval; datetime.c
-# DecodeInterval range restriction) and INTERVAL(p) '<str>' precision
-_INTERVAL_QUAL_RE = re.compile(
-    rf"\bINTERVAL\s*(?:\(\s*(\d+)\s*\))?\s*({_LIT})"
-    r"(?:\s+(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)\b(?:\s*\(\s*(\d+)\s*\))?"
-    r"(?:\s+TO\s+(MONTH|HOUR|MINUTE|SECOND)\b"
-    r"(?:\s*\(\s*(\d+)\s*\))?)?)?",
-    re.IGNORECASE,
-)
-# interval-string tokenizer units (datetime.c DecodeUnits subset)
-_IV_UNITS = {
-    "millennium": "mil", "millenniums": "mil", "millennia": "mil",
-    "century": "cen", "centuries": "cen",
-    "decade": "dec", "decades": "dec", "dec": "dec", "decs": "dec",
-    "year": "y", "years": "y", "yr": "y", "yrs": "y", "y": "y",
-    "month": "mo", "months": "mo", "mon": "mo", "mons": "mo",
-    "week": "w", "weeks": "w", "w": "w",
-    "day": "d", "days": "d", "d": "d",
-    "hour": "h", "hours": "h", "hr": "h", "hrs": "h", "h": "h",
-    "minute": "mi", "minutes": "mi", "min": "mi", "mins": "mi", "m": "mi",
-    "second": "s", "seconds": "s", "sec": "s", "secs": "s", "s": "s",
-    "millisecond": "ms", "milliseconds": "ms", "ms": "ms",
-    "microsecond": "us", "microseconds": "us", "us": "us",
-}
-_IV_ORDER = {"y": 6, "mo": 5, "d": 4, "h": 3, "mi": 2, "s": 1}
-
-
-def _pg_interval_parse(
-    body: str, hi: str | None, lo: str | None, prec: int | None
-):
-    """Parse a PG interval input string under an optional field-range
-    qualifier (datetime.c DecodeInterval + AdjustFractSeconds):
-
-    - a bare number binds to the range's LOW field ('1' YEAR TO MONTH
-      is 1 month), to days when followed by a time, to seconds when
-      unqualified;
-    - 'a:b' is hh:mm unless the range is MINUTE TO SECOND or the b part
-      carries a fraction (then mm:ss); 'a:b:c' is always h:m:s;
-    - 'y-m' is years-months; 'D H' bare pairs only under DAY TO HOUR;
-    - fields FINER than the low field are zeroed (regress: '1 2:03'
-      DAY TO HOUR keeps 02:00); seconds round to `prec` digits,
-      half away from zero; fractional units spill downward
-      ('1.5' DAY is 1 day 12:00).
-
-    Returns a unit->Decimal dict or None (caller leaves the SQL
-    untouched — an unparseable form should stay loud, matching PG's
-    own input errors)."""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    s = body.strip()
-    neg_all = False
-    if s.startswith("@"):
-        s = s[1:].strip()
-    if s.lower().endswith(" ago"):
-        neg_all, s = True, s[:-4].strip()
-    if not s:
-        return None
-    # a sign separated from its number ('1 month - 1 second') binds to
-    # the following field (DecodeInterval treats the sign as a prefix)
-    s = re.sub(r"([+-])\s+(?=\d)", r"\1", s)
-    # suffix-attached unit abbreviations ('100000000y 10mon -10.5s')
-    # split into number + unit tokens (DecodeInterval reads them as
-    # separate fields)
-    s = re.sub(
-        r"(?i)(?<=[\d.])"
-        r"(millenniums?|millennia|centur(?:y|ies)|decades?|decs?"
-        r"|years?|yrs?|months?|mons?|weeks?|days?|hours?|hrs?"
-        r"|minutes?|mins?|seconds?|secs?|milliseconds?|microseconds?"
-        r"|ms|us|mo|mi|[ywdhms])\b",
-        r" \1",
-        s,
-    )
-    toks = s.split()
-    f: dict[str, Decimal] = {
-        k: Decimal(0) for k in ("y", "mo", "d", "h", "mi", "s")
-    }
-    num_re = re.compile(r"^[+-]?\d+(?:\.\d+)?$")
-    ym_re = re.compile(r"^([+-]?\d+)-(\d+)$")
-    tm_re = re.compile(r"^([+-])?(\d+):(\d+)(?::(\d+(?:\.\d+)?))?$"
-                       r"|^([+-])?(\d+):(\d+\.\d+)$")
-    bare: list[Decimal] = []
-    saw_time = False
-
-    # spilled fractions live apart from input-bound fields: the range
-    # qualifier truncates what the INPUT bound ('1 2:03' DAY TO HOUR
-    # zeroes the :03) but not what a fraction produced ('1.5' DAY is
-    # 1 day 12:00 — AdjustFractDays runs after the range check)
-    spill_f: dict[str, Decimal] = {
-        k: Decimal(0) for k in ("y", "mo", "d", "h", "mi", "s")
-    }
-
-    def add(unit: str, v: Decimal, spilled: bool = False) -> None:
-        # fractional spill (DecodeInterval AdjustFract*): 0.5 day is
-        # 12h, 1.5 years is 1y 6mo, 0.5 mon is 15 days
-        if unit == "mil":
-            unit, v = "y", v * 1000
-        if unit == "cen":
-            unit, v = "y", v * 100
-        if unit == "dec":
-            unit, v = "y", v * 10
-        if unit == "w":
-            unit, v = "d", v * 7
-        if unit == "ms":
-            unit, v = "s", v / 1000
-        if unit == "us":
-            unit, v = "s", v / 1000000
-        tgt = spill_f if spilled else f
-        whole = v.to_integral_value(rounding="ROUND_DOWN")
-        frac = v - whole
-        tgt[unit] += whole if unit != "s" else v
-        if frac and unit != "s":
-            spill = {"y": ("mo", 12), "mo": ("d", 30), "d": ("s", 86400),
-                     "h": ("s", 3600), "mi": ("s", 60)}[unit]
-            add(spill[0], frac * spill[1], spilled=True)
-
-    i = 0
-    while i < len(toks):
-        t = toks[i]
-        mo_ym = ym_re.match(t)
-        mo_tm = tm_re.match(t)
-        if mo_ym:
-            f["y"] += Decimal(mo_ym.group(1))
-            mfrac = Decimal(mo_ym.group(2))
-            f["mo"] += -mfrac if mo_ym.group(1).startswith("-") else mfrac
-        elif mo_tm:
-            saw_time = True
-            if mo_tm.group(6) is not None:  # a:b.f — minutes:seconds
-                sign = -1 if mo_tm.group(5) == "-" else 1
-                a, b = Decimal(mo_tm.group(6)), Decimal(mo_tm.group(7))
-                add("mi", sign * a)
-                add("s", sign * b)
-            else:
-                sign = -1 if mo_tm.group(1) == "-" else 1
-                a, b = Decimal(mo_tm.group(2)), Decimal(mo_tm.group(3))
-                c = mo_tm.group(4)
-                if c is not None:  # h:m:s
-                    add("h", sign * a)
-                    add("mi", sign * b)
-                    add("s", sign * Decimal(c))
-                elif hi == "minute" and lo == "second":
-                    add("mi", sign * a)
-                    add("s", sign * b)
-                else:  # h:m
-                    add("h", sign * a)
-                    add("mi", sign * b)
-        elif num_re.match(t):
-            if i + 1 < len(toks) and toks[i + 1].lower() in _IV_UNITS:
-                add(_IV_UNITS[toks[i + 1].lower()], Decimal(t))
-                i += 2
-                continue
-            bare.append(Decimal(t))
-        else:
-            return None  # unknown token: stay loud
-        i += 1
-
-    qmap = {"year": "y", "month": "mo", "day": "d", "hour": "h",
-            "minute": "mi", "second": "s"}
-    if bare:
-        if len(bare) == 1:
-            if saw_time:
-                add("d", bare[0])
-            elif lo:
-                add(qmap[lo], bare[0])
-            elif hi:
-                add(qmap[hi], bare[0])
-            else:
-                add("s", bare[0])  # lone unqualified number: seconds
-        elif len(bare) == 2 and not saw_time and (hi, lo) == ("day", "hour"):
-            add("d", bare[0])
-            add("h", bare[1])
-        else:
-            return None  # '1 2' under other ranges: PG errors too
-
-    low = lo or hi
-    if low:
-        cut = _IV_ORDER[qmap[low]]
-        for u, o in _IV_ORDER.items():
-            if o < cut:
-                f[u] = Decimal(0)
-        if low == "second" and prec is None:
-            prec = 6
-    for u in f:
-        f[u] += spill_f[u]
-    if prec is not None:
-        q = Decimal(1).scaleb(-prec)
-        f["s"] = f["s"].quantize(q, rounding=ROUND_HALF_UP)
-    if neg_all:
-        f = {k: -v for k, v in f.items()}
-    return f
-# JSON constructors/aggregates (json.c, jsonfuncs.c): named_struct /
-# collect_list / map_from_entries compositions serialized by to_json
-_JSON_BUILD_OBJ_RE = re.compile(
-    r"\bjsonb?_build_object\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
-)
-_JSON_BUILD_ARR_RE = re.compile(
-    r"\bjsonb?_build_array\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
-)
-_JSON_AGG_RE = re.compile(
-    r"\bjsonb?_agg\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
-)
-_JSON_OBJECT_AGG_RE = re.compile(
-    rf"\bjsonb?_object_agg\s*\(\s*(DISTINCT\s+)?({_ARITH_CHAIN})\s*,"
-    rf"\s*({_ARITH_CHAIN})\s*\)",
-    re.IGNORECASE,
-)
-_ROW_TO_JSON_RE = re.compile(r"\brow_to_json\s*\(", re.IGNORECASE)
-# SRF-in-FROM JSON forms: FROM json_array_elements(j) t(x),
-# FROM json_object_keys(j) t(k)
-_JSON_SRF_FROM_RE = re.compile(
-    rf"(\bFROM\s+|,\s*)(LATERAL\s+)?"
-    rf"jsonb?_(array_elements(?:_text)?|object_keys|each(?:_text)?)\s*"
-    rf"\(\s*({_ARITH_CHAIN}|{_LIT})\s*\)\s*(?:AS\s+)?(\w+)\s*"
-    rf"\(\s*([\w\s,]+?)\s*\)",
-    re.IGNORECASE,
-)
-# PG 1-based array subscripts and inclusive slices (arrayfuncs.c
-# array_ref/array_get_slice): Spark's [] is 0-based, so a digit
-# subscript in PG text is a silent off-by-one — rewrite to element_at
-# (1-based); a[lo:hi] becomes slice(a, lo, hi-lo+1). String-key map
-# access (j['k']) is untouched.
-# parens nest 7 deep so ((SELECT array(...)))[n] and multi-dim braced
-# casts (CAST(array(array(array(...))) AS ...))[n] rewrite 1-based
-def _nested_parens(depth: int) -> str:
-    p = r"[^()]*"
-    for _ in range(depth):
-        p = rf"(?:[^()]|\({p}\))*"
-    return rf"\({p}\)"
-
-
-_NEST3 = _nested_parens(7)
-_IDX_OPERAND = rf"(?:{_LIT}|[\w.]+{_NEST3}|{_NEST3}|[\w.]+)"
-_ARRAY_INDEX_RE = re.compile(
-    rf"({_IDX_OPERAND})\[\s*(\d+)\s*\]"
-)
-_ARRAY_SLICE_RE = re.compile(
-    rf"({_IDX_OPERAND})\[\s*(\d+)\s*:\s*(\d+)\s*\]"
-)
-# substring(x FOR n) — PG's from-1 prefix form (gram.y substr_for)
-_SUBSTR_FOR_RE = re.compile(
-    rf"\bsubstring\s*\(\s*({_DISTINCT_OPERAND})\s+FOR\s+(\d+|\w+)\s*\)",
-    re.IGNORECASE,
-)
-
-
-def _gcd_sql(x: str, y: str) -> str:
-    # Euclid as a JVM-side fold; 128 steps covers 64-bit worst case
-    # (consecutive Fibonacci numbers need ~90)
-    return (
-        "(aggregate(sequence(1, 128), "
-        f"named_struct('a', CAST(abs({x}) AS BIGINT), "
-        f"'b', CAST(abs({y}) AS BIGINT)), "
-        "(__gs, __gi) -> IF(__gs.b = 0, __gs, "
-        "named_struct('a', __gs.b, 'b', __gs.a % __gs.b))).a)"
-    )
-
-
-_XML_CTOR_START_RE = re.compile(
-    r"(?i)\bxml(element|forest|pi|comment|concat|root)\s*\("
-)
-_XML_NAME_HEAD_RE = re.compile(r"(?is)^name\s+(`[^`]+`|\w+)\s*$")
-_XML_AS_NAME_RE = re.compile(r"(?is)^(.*?)\s+AS\s+(`[^`]+`|\w+)\s*$")
-# an argument already known to be XML-typed (no content escaping):
-# a rewritten constructor (pg_xml marker), an xml literal/cast, xpath
-_XML_TYPED_ARG_RE = re.compile(
-    r"(?is)^(?:pg_xml\s*\(|xml\s*\x01)|::\s*xml\s*$"
-)
-
-# xmlbinary GUC (xml.c XML_BINARY_BASE64 default): how bytea content
-# renders inside XML constructors. Session-scoped — the engine's SET
-# handler flips it; rewrite() reads it at plan time.
-_XMLBINARY = "base64"
-
-
-def set_xmlbinary(mode: str) -> None:
-    global _XMLBINARY
-    _XMLBINARY = "hex" if mode.strip().lower() == "hex" else "base64"
-
-
-def _xmlbinary_mode() -> str:
-    return _XMLBINARY
 _XML_TYPED_LIT_RE = re.compile(rf"\bxml\s+({_LIT})", re.IGNORECASE)
 # LIKE/ILIKE '<pat>' ESCAPE '<c>' with a custom escape char (like.c
 # MatchText): Spark rejects escape chars that are themselves LIKE
@@ -1865,2738 +362,6 @@ _UESCAPE_LIT_RE = re.compile(
     rf"\bU&\s*({_LIT})(?:\s+UESCAPE\s+({_LIT}))?", re.IGNORECASE
 )
 
-
-def _decode_uescape(body: str, esc: str) -> str:
-    """Decode \\XXXX / \\+XXXXXX escapes (scan.l; doubled escape char
-    is the char itself). Raises ValueError on malformed input, exactly
-    where PG errors."""
-    out: list[str] = []
-    i, n = 0, len(body)
-    while i < n:
-        c = body[i]
-        if c == esc:
-            if body[i + 1 : i + 2] == esc:
-                out.append(esc)
-                i += 2
-            elif body[i + 1 : i + 2] == "+":
-                out.append(chr(int(body[i + 2 : i + 8], 16)))
-                if i + 8 > n:
-                    raise ValueError("invalid Unicode escape")
-                i += 8
-            else:
-                if i + 5 > n:
-                    raise ValueError("invalid Unicode escape")
-                out.append(chr(int(body[i + 1 : i + 5], 16)))
-                i += 5
-        else:
-            out.append(c)
-            i += 1
-    return "".join(out)
-
-
-def _xml_ident(tok: str) -> str:
-    """Tag/attribute name: quoted identifiers (already backticked by
-    the ident pass) keep case; bare names fold lower (xml.c
-    map_sql_identifier_to_xml_name via gram.y ColLabel casing)."""
-    return tok[1:-1] if tok.startswith("`") else tok.lower()
-
-
-def _rewrite_xml_ctors(sql: str, lits: list[str] | None = None) -> str:
-    """XML value constructors (xml.c xmlelement/xmlforest/xmlpi/
-    xmlcomment/xmlconcat/xmlroot; regress sql/xml.sql): pure string
-    building — every form lowers to concat over escape helpers
-    (functions/pg.py xml_escape_content/xml_escape_attr), with the
-    pg_xml() identity marker tagging already-XML subtrees so nested
-    constructors embed raw while text content escapes. Zero Python
-    per row; unsupported spellings are left untouched (loud)."""
-
-    def content_val(a: str) -> str:
-        a = a.strip()
-        if _XML_TYPED_ARG_RE.search(a):
-            return f"CAST({a} AS STRING)"
-        # bytea literal args map per the xmlbinary GUC (xml.c
-        # map_sql_value_to_xml_value: base64 default, hex opt-in);
-        # folds at plan time — base64/hex text needs no escaping
-        bm = re.fullmatch(
-            rf"(?is)(?:bytea\s+({_LIT})|(?:E)?({_LIT})\s*::\s*bytea)", a
-        )
-        if bm and lits is not None:
-            txt = _lit_value(bm.group(1) or bm.group(2), lits)
-            low = txt.lower()
-            if low.startswith("\\\\x") or low.startswith("\\x"):
-                data = bytes.fromhex(txt.split("x", 1)[1])
-            else:
-                data = txt.encode()
-            if _xmlbinary_mode() == "hex":
-                return f"'{data.hex()}'"
-            import base64 as _b64
-
-            return f"'{_b64.b64encode(data).decode()}'"
-        return f"xml_escape_content(CAST({a} AS STRING))"
-
-    def named_items(args: list[str]) -> list[tuple[str, str]] | None:
-        items = []
-        for a in args:
-            am = _XML_AS_NAME_RE.match(a)
-            if am:
-                items.append((am.group(1), _xml_ident(am.group(2))))
-            elif re.fullmatch(r"[\w.]+", a.strip()):
-                items.append((a.strip(), a.strip().split(".")[-1].lower()))
-            else:
-                return None  # PG: unnamed non-column is an error
-        return items
-
-    def build(kind: str, args_str: str) -> str | None:
-        args = (
-            [a.strip() for a in _split_args(args_str)]
-            if args_str.strip()
-            else []
-        )
-        if kind == "comment":
-            if len(args) != 1:
-                return None
-            e = f"({args[0]})"
-            return (
-                f"(CASE WHEN {e} IS NULL THEN NULL "
-                f"WHEN {e} LIKE '%--%' OR {e} LIKE '%-' "
-                f"THEN raise_error('invalid XML comment') "
-                f"ELSE concat('<!--', {e}, '-->') END)"
-            )
-        if kind == "pi":
-            if not args or len(args) > 2:
-                return None
-            mn = _XML_NAME_HEAD_RE.match(args[0])
-            if not mn:
-                return None
-            tgt = _xml_ident(mn.group(1))
-            if len(args) == 1:
-                return f"'<?{tgt}?>'"
-            c = f"({args[1]})"
-            return (
-                f"concat('<?{tgt}', CASE WHEN {c} IS NULL THEN '' "
-                f"WHEN {c} LIKE '%?>%' "
-                f"THEN raise_error('invalid XML processing instruction') "
-                f"ELSE concat(' ', {c}) END, '?>')"
-            )
-        if kind == "concat":
-            if not args:
-                return None
-            parts = ", ".join(f"coalesce({a}, '')" for a in args)
-            return (
-                f"(CASE WHEN coalesce({', '.join(args)}) IS NULL "
-                f"THEN NULL ELSE concat({parts}) END)"
-            )
-        if kind == "forest":
-            items = named_items(args)
-            if not items:
-                return None
-            parts = [
-                f"CASE WHEN ({e}) IS NULL THEN '' "
-                f"ELSE concat('<{n}>', {content_val(e)}, '</{n}>') END"
-                for e, n in items
-            ]
-            return f"concat({', '.join(parts)})"
-        if kind == "element":
-            if not args:
-                return None
-            mn = _XML_NAME_HEAD_RE.match(args[0])
-            if not mn:
-                return None
-            n = _xml_ident(mn.group(1))
-            rest = args[1:]
-            attrs = "''"
-            if rest and re.match(r"(?is)^xmlattributes\s*\(", rest[0]):
-                inner = rest[0][rest[0].index("(") + 1 : -1]
-                a_items = named_items(
-                    [a.strip() for a in _split_args(inner)]
-                )
-                if a_items is None:
-                    return None
-                attrs = "concat(" + ", ".join(
-                    f"CASE WHEN ({e}) IS NULL THEN '' ELSE concat("
-                    f"' {an}=\"', xml_escape_attr(CAST({e} AS STRING)),"
-                    f" '\"') END"
-                    for e, an in a_items
-                ) + ")"
-                rest = rest[1:]
-            body = (
-                "concat("
-                + ", ".join(f"coalesce({content_val(a)}, '')" for a in rest)
-                + ")"
-                if rest
-                else "''"
-            )
-            return (
-                f"concat('<{n}', {attrs}, "
-                f"CASE WHEN {body} = '' THEN '/>' "
-                f"ELSE concat('>', {body}, '</{n}>') END)"
-            )
-        if kind == "root":
-            if len(args) not in (2, 3):
-                return None
-            x = f"CAST({args[0]} AS STRING)"
-            vm = re.match(
-                rf"(?is)^version\s+(no\s+value|{_LIT})\s*$", args[1]
-            )
-            if not vm:
-                return None
-            sa = ""
-            if len(args) == 3:
-                sm = re.match(
-                    r"(?is)^standalone\s+(yes|no|no\s+value)\s*$", args[2]
-                )
-                if not sm:
-                    return None
-                word = re.sub(r"\s+", " ", sm.group(1).lower())
-                if word != "no value":
-                    sa = f' standalone="{word}"'
-            v = vm.group(1)
-            if re.match(r"(?is)no\s+value", v):
-                if not sa:
-                    return x
-                return f"concat('<?xml version=\"1.0\"{sa}?>', {x})"
-            return (
-                f"concat('<?xml version=\"', {v}, '\"{sa}?>', {x})"
-            )
-        return None
-
-    def process(s: str) -> str:
-        m = _XML_CTOR_START_RE.search(s)
-        if not m:
-            return s
-        depth, j = 0, m.end() - 1
-        while j < len(s):
-            if s[j] == "(":
-                depth += 1
-            elif s[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            j += 1
-        if depth != 0:
-            return s  # unbalanced — leave everything untouched
-        inner = process(s[m.end() : j])  # nested constructors first
-        rep = build(m.group(1).lower(), inner)
-        if rep is None:
-            rep = s[m.start() : m.end()] + inner + ")"
-        else:
-            rep = f"pg_xml({rep})"
-        return s[: m.start()] + rep + process(s[j + 1 :])
-
-    sql = process(sql)
-
-    # XMLPARSE(DOCUMENT|CONTENT x [PRESERVE|STRIP WHITESPACE]) (xml.c
-    # xmlparse): validate through the well-formedness checks, return
-    # the text as an XML-marked value; STRIP removes whitespace-only
-    # text between tags. Malformed input raises, as PG does.
-    def sub_xmlparse(m: re.Match) -> str:
-        kind, x, strip = (
-            m.group(1).lower(), m.group(2).strip(), m.group(3),
-        )
-        v = f"CAST({x} AS STRING)"
-        if strip and strip.lower().startswith("strip"):
-            ws = "concat('>[', chr(9), chr(10), chr(13), ' ]+<')"
-            v = f"regexp_replace({v}, {ws}, '><')"
-        check = (
-            "xml_is_well_formed_document"
-            if kind == "document"
-            else "xml_is_well_formed_content"
-        )
-        return (
-            f"pg_xml(IF({check}({v}), {v}, "
-            f"raise_error(concat('invalid XML {kind}: ', {v}))))"
-        )
-
-    sql = re.sub(
-        r"(?is)\bXMLPARSE\s*\(\s*(DOCUMENT|CONTENT)\s+"
-        r"((?:[^()]|\([^()]*\))+?)"
-        r"\s*((?:PRESERVE|STRIP)\s+WHITESPACE)?\s*\)",
-        sub_xmlparse,
-        sql,
-    )
-
-    # XMLSERIALIZE(DOCUMENT|CONTENT x AS type) (xml.c xmltotext):
-    # the value IS text in this model; char(n) pads, varchar(n) trims
-    def sub_xmlserialize(m: re.Match) -> str:
-        x, t = m.group(2).strip(), m.group(3).strip().lower()
-        v = f"CAST({x} AS STRING)"
-        cm = re.fullmatch(r"char(?:acter)?\s*\(\s*(\d+)\s*\)", t)
-        if cm:
-            return f"rpad({v}, {cm.group(1)}, ' ')"
-        vm = re.fullmatch(
-            r"(?:varchar|character\s+varying)\s*\(\s*(\d+)\s*\)", t
-        )
-        if vm:
-            return f"substr({v}, 1, {vm.group(1)})"
-        return v
-
-    sql = re.sub(
-        r"(?is)\bXMLSERIALIZE\s*\(\s*(DOCUMENT|CONTENT)\s+"
-        r"((?:[^()]|\([^()]*\))+?)\s+AS\s+"
-        r"([\w ]+?(?:\(\s*\d+\s*\))?)\s*\)",
-        sub_xmlserialize,
-        sql,
-    )
-    # xmlexists(xpath PASSING [BY REF|BY VALUE] doc [BY REF|BY VALUE])
-    # (xml.c xmlexists; SQL/XML X030): BY REF/VALUE are storage
-    # directives with no semantic effect — strip them. A count()/sum()
-    # top-level XPath returns a number, and a number is a non-empty
-    # result sequence, so xmlexists is TRUE regardless of the count
-    # (regress xml.sql 'count(/nosuchtag)' → t). Everything else maps
-    # to Spark's Hive xpath_boolean built-in (argument order swapped).
-    def sub_xmlexists(m: re.Match) -> str:
-        path, doc = m.group(1).strip(), m.group(2).strip()
-        pm = _MASK_RE.fullmatch(path)
-        if (
-            pm
-            and lits is not None
-            and re.match(
-                r"(?i)^\s*(count|sum)\s*\(", _lit_value(path, lits)
-            )
-        ):
-            return f"(CAST({doc} AS STRING) IS NOT NULL)"
-        return f"xpath_boolean(CAST({doc} AS STRING), {path})"
-
-    sql = re.sub(
-        r"(?is)\bxmlexists\s*\(\s*((?:[^()]|\([^()]*\))+?)\s+PASSING\s+"
-        r"(?:BY\s+(?:REF|VALUE)\s+)?((?:[^()]|\([^()]*\))+?)"
-        r"(?:\s+BY\s+(?:REF|VALUE))?\s*\)",
-        sub_xmlexists,
-        sql,
-    )
-    # xpath(path, doc) / xpath_exists(path, doc) (xml.c:4245): route to
-    # the engine's ElementTree evaluator (pg_xpath, doc-first), NEVER
-    # to Spark's Hive xpath built-in — that one takes (xml, path), so a
-    # PG-order call would parse the PATH as the document: a guaranteed
-    # wrong answer or error. PG semantics (serialized element nodes,
-    # count()/name() scalars) also differ from Hive's text-only result.
-    def sub_xpath(m: re.Match) -> str:
-        fn = m.group(1).lower()
-        args = _split_args(m.group(2))
-        if len(args) != 2:
-            return m.group(0)  # 3-arg namespace form stays loud
-        path, doc = args[0].strip(), args[1].strip()
-        doc = re.sub(r"(?is)\s*::\s*xml\s*$", "", doc)
-        call = f"pg_xpath(CAST({doc} AS STRING), {path})"
-        if fn == "xpath_exists":
-            return f"(size({call}) > 0)"
-        return call
-
-    sql = re.sub(
-        rf"(?is)\b(xpath|xpath_exists)\s*\(\s*"
-        rf"((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)",
-        sub_xpath,
-        sql,
-    )
-    # x IS [NOT] DOCUMENT (xml.c xml_is_document); an `xml` typed-
-    # literal prefix drops here — the global prefix strip runs later
-    sql = re.sub(
-        rf"(?:\bxml\s+)?({_DISTINCT_OPERAND})\s+IS\s+(NOT\s+)?DOCUMENT\b",
-        lambda m: (
-            f"({'NOT ' if m.group(2) else ''}"
-            f"xml_is_well_formed_document(CAST({m.group(1)} AS STRING)))"
-        ),
-        sql,
-        flags=re.IGNORECASE,
-    )
-    return sql
-
-
-def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
-    # to_json over the special ±infinity datetime inputs (datetime.c
-    # DecodeSpecial; json.c renders them as the words): folds at plan
-    # time — Spark has no infinite timestamps to carry at runtime
-    def sub_tojson_inf(m: re.Match) -> str:
-        body = _lit_value(m.group(1), lits).strip().lower()
-        if body in ("infinity", "+infinity"):
-            return _new_lit('"infinity"', lits)
-        if body == "-infinity":
-            return _new_lit('"-infinity"', lits)
-        return m.group(0)
-
-    sql = re.sub(
-        rf"(?is)\bto_jsonb?\s*\(\s*(?:date|timestamptz"
-        rf"|timestamp(?:\s+with(?:out)?\s+time\s+zone)?)\s+"
-        rf"({_LIT})\s*\)",
-        sub_tojson_inf,
-        sql,
-    )
-
-    # encode/decode bytea<->text (utils/adt/encode.c): hex, base64
-    # (76-char line wrap, whitespace-tolerant input), escape (octal)
-    def sub_encode(m: re.Match) -> str:
-        which = m.group(1).lower()
-        x = m.group(2).strip()
-        fmt = _lit_value(m.group(3), lits).strip().lower()
-        xm = _MASK_RE.fullmatch(x)
-        if xm:
-            body = _lit_value(x, lits)
-            for pfx in ("\\\\x", "\\x"):
-                if body.lower().startswith(pfx.lower()):
-                    x = f"unhex('{body[len(pfx):]}')"
-                    break
-        b = f"CAST({x} AS BINARY)"
-        s = f"CAST({x} AS STRING)"
-        if which == "encode":
-            if fmt == "hex":
-                return f"lower(hex({b}))"
-            if fmt == "base64":
-                return (
-                    f"regexp_replace(regexp_replace(base64({b}), "
-                    f"'(.{{76}})', '$1\\n'), '\\n$', '')"
-                )
-            if fmt == "escape":
-                return f"pg_bytea_escape_out({b})"
-        else:
-            if fmt == "hex":
-                return f"unhex({s})"
-            if fmt == "base64":
-                return f"unbase64(regexp_replace({s}, '\\\\s', ''))"
-            if fmt == "escape":
-                return f"pg_bytea_escape_in({s})"
-        return m.group(0)
-
-    _ENC_RE = re.compile(
-        rf"(?i)[`\"]?\b(encode|decode)[`\"]?\s*\(\s*"
-        rf"((?:[^(),']|{_LIT}|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
-        rf"+?)\s*,\s*({_LIT})\s*\)"
-    )
-    prev_enc = None
-    while prev_enc != sql:  # nested encode(decode(..)) chains
-        prev_enc = sql
-        sql = _ENC_RE.sub(sub_encode, sql)
-
-    def sub_row(m: re.Match) -> str:
-        # positional field aliases: Spark struct comparison requires
-        # matching field names on both sides; PG records compare by
-        # position (rowtypes.c record_cmp). The names are PG's own
-        # anonymous-record names f1, f2, ... so row_to_json(ROW(...))
-        # serializes identically to PG.
-        args = _split_args(m.group(1))
-        fields = ", ".join(
-            f"({a.strip()}) AS f{i + 1}" for i, a in enumerate(args)
-        )
-        return f"struct({fields})"
-
-    sql = _ROW_CTOR_RE.sub(sub_row, sql)
-    def sub_array_length(m: re.Match) -> str:
-        # arrayfuncs.c array_length: NULL for out-of-range dims and
-        # for the empty array; dim N measures the Nth nesting level
-        x, dim = m.group(1), int(m.group(2))
-        if dim < 1:
-            return "CAST(NULL AS INT)"
-        if re.match(r"(?is)^\s*array\s*\(", x):
-            # literal constructor: depth is visible textually — a dim
-            # past it is NULL, not an analysis error
-            depth, probe = 0, x
-            while re.match(r"(?is)^\s*array\s*\(", probe):
-                depth += 1
-                probe = re.sub(r"(?is)^\s*array\s*\(\s*", "", probe)
-            if dim > depth:
-                return "CAST(NULL AS INT)"
-        for _ in range(dim - 1):
-            x = f"element_at({x}, 1)"
-        return f"nullif(size({x}), 0)"
-
-    sql = _ARRAY_LENGTH_RE.sub(sub_array_length, sql)
-    sql = _ARRAY_CAT_RE.sub("concat(", sql)
-
-    def sub_sta(m: re.Match) -> str:
-        s, d = m.group(1).strip(), m.group(2).strip()
-        ns = m.group(3).strip() if m.group(3) else None
-        if d.upper() == "NULL":
-            # PG: a NULL delimiter splits into individual characters
-            # (varlena.c text_to_array)
-            base = f"split({s}, '')"
-        else:
-            lm = _MASK_RE.match(d)
-            if lm and d == lm.group(0):
-                body = lits[int(lm.group(1))][1:-1]
-                if body == "":
-                    # EMPTY delimiter (unlike NULL) keeps the whole
-                    # string as one element (text_to_array)
-                    base = f"array({s})"
-                else:
-                    # literal delimiter: regex-escape at rewrite time
-                    lits.append(
-                        "'" + re.escape(body).replace("\\", "\\\\") + "'"
-                    )
-                    base = f"split({s}, \x01{len(lits) - 1}\x01)"
-            else:
-                # dynamic delimiter: quote at runtime (\Q...\E); NULL
-                # delimiter at runtime → per-character split, as PG
-                base = (
-                    f"(CASE WHEN ({d}) IS NULL THEN split({s}, '') "
-                    f"ELSE split({s}, concat('\\\\Q', {d}, '\\\\E')) END)"
-                )
-        if ns is not None and ns.upper() != "NULL":
-            # 3-arg null-string form: matching elements become NULL
-            base = (
-                f"transform({base}, __e -> CASE WHEN __e = ({ns}) "
-                f"THEN NULL ELSE __e END)"
-            )
-        return base
-
-    sql = _STRING_TO_ARRAY_RE.sub(sub_sta, sql)
-    # array_to_string == array_join (skips NULLs; 3-arg null-string
-    # replacement; NULL delimiter -> NULL — identical contracts,
-    # arrayfuncs.c array_to_text)
-    sql = _ARRAY_TO_STRING_RE.sub("array_join(", sql)
-
-    def sub_array_positions(m: re.Match) -> str:
-        # arrayfuncs.c array_positions: ALL 1-based positions of the
-        # value (NULL matches NULL — null-safe <=>); NULL array -> NULL
-        a, x = m.group(1).strip(), m.group(2).strip()
-        if a.upper() == "NULL":  # bare NULL can't type-resolve in Spark
-            return "CAST(NULL AS ARRAY<INT>)"
-        return (
-            f"filter(transform(sequence(1, size({a})), "
-            f"__i -> CASE WHEN element_at({a}, __i) <=> ({x}) "
-            f"THEN __i END), __p -> __p IS NOT NULL)"
-        )
-
-    sql = _ARRAY_POSITIONS_RE.sub(sub_array_positions, sql)
-
-    def sub_jsonb_contained(m: re.Match) -> str:
-        args = _split_args(m.group(1))
-        if len(args) != 2:
-            return m.group(0)
-        # jsonb_contained(a, b) == b @> a (jsonb_util.c)
-        return f"jsonb_contains({args[1].strip()}, {args[0].strip()})"
-
-    sql = _JSONB_CONTAINED_FN_RE.sub(sub_jsonb_contained, sql)
-
-    def sub_jsonb_extract_path(m: re.Match) -> str:
-        # json[b]_extract_path[_text](j, VARIADIC text path): literal
-        # path elements fold into ONE get_json_object path — all-digit
-        # elements subscript arrays (jsonfuncs.c get_path_all)
-        args = [a.strip() for a in _split_args(m.group(2))]
-        if len(args) < 2:
-            return m.group(0)
-        j = args[0]
-        path = "$"
-        for el in args[1:]:
-            el = re.sub(r"(?is)\s*::\s*text$", "", el).strip()
-            # n::text has already become CAST(n AS STRING) by the time
-            # this pass runs — still a literal path element
-            cm = re.fullmatch(r"(?is)CAST\(\s*(\d+)\s+AS\s+STRING\)", el)
-            lm = _MASK_RE.fullmatch(el)
-            if cm:
-                body = cm.group(1)
-            elif lm:
-                body = _lit_value(el, lits)
-            elif re.fullmatch(r"\d+", el):
-                body = el
-            else:
-                return m.group(0)  # non-literal path: stay loud
-            path += f"[{body}]" if re.fullmatch(r"\d+", body) else f".{body}"
-        return f"get_json_object({j}, {_new_lit(path, lits)})"
-
-    sql = _JSONB_EXTRACT_PATH_RE.sub(sub_jsonb_extract_path, sql)
-    sql = _GENERATE_SUBSCRIPTS_RE.sub(
-        lambda m: f"explode(sequence(1, size({m.group(1)})))", sql
-    )
-
-    def sub_nn(m: re.Match) -> str:
-        want_null = m.group(1).lower() == "nulls"
-        test = "IS NULL" if want_null else "IS NOT NULL"
-        args = _split_args(m.group(2))
-        if len(args) == 1 and re.match(r"(?is)^\s*variadic\b", args[0]):
-            # VARIADIC array spelling: count over the elements
-            arr = re.sub(r"(?is)^\s*variadic\s+", "", args[0]).strip()
-            return f"size(filter({arr}, __x -> __x {test}))"
-        parts = [
-            f"(CASE WHEN ({a.strip()}) {test} THEN 1 ELSE 0 END)"
-            for a in _split_args(m.group(2))
-        ]
-        return "(" + " + ".join(parts) + ")"
-
-    sql = _NUM_NULLS_RE.sub(sub_nn, sql)
-
-    def sub_to_number(m: re.Match) -> str:
-        """to_number with LITERAL value and picture: fold at plan time
-        with PG's loose scan (formatting.c do_to_number / numeric regress
-        to_number_1..22): grouping chars and currency/ordinal text are
-        skipped wherever they appear, a '-' anywhere (or a PR <...>
-        wrap) negates, and the picture only bounds how many integer /
-        fraction digits are consumed. Spark's native to_number keeps
-        the non-literal path (it handles plain pictures)."""
-        val = _lit_value(m.group(1), lits)
-        fmt = m.group(2)
-        fmt_s = _lit_value(fmt, lits)
-        s = val.strip()
-        neg = False
-        if re.search(r"(?i)PR", fmt_s) and s.startswith("<") and s.endswith(">"):
-            neg, s = True, s[1:-1]
-        if "-" in s:
-            neg = True
-        # picture: D is the decimal point; FM/TH/sign/currency/group
-        # tokens don't hold digits
-        pic = re.sub(r"(?i)FM|TH|PR|MI|PL|SG|S|L|G|,", "", fmt_s)
-        pic = re.sub(r"(?i)D", ".", pic)
-        int_slots = sum(1 for c in pic.split(".")[0] if c in "90")
-        frac_slots = sum(
-            1 for c in (pic.split(".", 1)[1] if "." in pic else "")
-            if c in "90"
-        )
-        digits, frac, seen_dot = [], [], False
-        for c in s:
-            if c.isdigit():
-                (frac if seen_dot else digits).append(c)
-            elif c == "." and not seen_dot:
-                seen_dot = True
-        if not digits and not frac:
-            return m.group(0)  # no number in the input: stay loud
-        ip = "".join(digits[:int_slots]) or "0"
-        fp = "".join(frac[:frac_slots])
-        res = ("-" if neg else "") + ip + ("." + fp if fp else "")
-        return f"CAST({res} AS DECIMAL(38, {len(fp)}))"
-
-    sql = re.sub(
-        rf"\bto_number\s*\(\s*({_LIT})\s*,\s*({_LIT})\s*\)",
-        sub_to_number,
-        sql,
-        flags=re.IGNORECASE,
-    )
-
-    def sub_age(m: re.Match) -> str:
-        # timestamp_age (reference src/backend/utils/adt/timestamp.c):
-        # whole months toward zero, then leftover days, then the time
-        # remainder — the old datediff form dropped hh:mm:ss entirely.
-        # months_between ignores time-of-day when both operands share a
-        # day-of-month, so the truncated month count can overshoot by
-        # one; the CASE borrows it back so the remainder keeps PG's
-        # sign convention (all fields share the interval's direction
-        # for same-sign inputs; mixed-sign borrow edges like
-        # '1 mon -12:00:00' follow the month-major convention).
-        a, b = m.group(1).strip(), m.group(2).strip()
-        at, bt = f"CAST({a} AS TIMESTAMP)", f"CAST({b} AS TIMESTAMP)"
-        tm0 = f"CAST(months_between({at}, {bt}) AS INT)"
-        tm = (
-            f"({tm0} - (CASE "
-            f"WHEN {tm0} > 0 AND timestampadd(MONTH, {tm0}, {bt}) > {at} THEN 1 "
-            f"WHEN {tm0} < 0 AND timestampadd(MONTH, {tm0}, {bt}) < {at} THEN -1 "
-            f"ELSE 0 END))"
-        )
-        mic = f"(unix_micros({at}) - unix_micros(timestampadd(MONTH, {tm}, {bt})))"
-        rem = f"({mic} % 86400000000)"
-        return (
-            f"make_interval({tm} div 12, {tm} % 12, 0, "
-            f"{mic} div 86400000000, "
-            f"{rem} div 3600000000, ({rem} % 3600000000) div 60000000, "
-            f"CAST(({rem} % 60000000) AS DECIMAL(18,6)) / 1000000)"
-        )
-
-    sql = _AGE_RE.sub(sub_age, sql)
-
-    def sub_gcd(m: re.Match) -> str:
-        fn, x, y = m.group(1).lower(), m.group(2).strip(), m.group(3).strip()
-        g = _gcd_sql(x, y)
-        if fn == "gcd":
-            return g
-        return (
-            f"(CASE WHEN ({x}) = 0 OR ({y}) = 0 THEN CAST(0 AS BIGINT) "
-            f"ELSE abs(CAST({x} AS BIGINT) * CAST({y} AS BIGINT)) "
-            f"div {g} END)"
-        )
-
-    sql = _GCD_LCM_RE.sub(sub_gcd, sql)
-    # PG regexp_replace (regexp.c textregexreplace): replaces the FIRST
-    # match unless the 'g' flag is given; flags are a 4th TEXT argument
-    # (Spark's 4th arg is a position INT — 'g' silently casts to NULL);
-    # replacement backrefs are \N / \& (Java wants $N / $0). First-only
-    # is emulated by wrapping the pattern and consuming the tail in one
-    # match: (pat)((?s:.*)) with the tail re-emitted. All transforms
-    # work on the RAW (escaped) literal text, appending only
-    # backslash-free syntax, so the session's literal-escape mode never
-    # changes the meaning. Non-literal patterns/replacements/flags keep
-    # Spark semantics untouched (can't be safely transformed).
-    def _conv_rep(raw: str, shift: int, whole: str) -> str:
-        out_s: list[str] = []
-        i = 0
-        while i < len(raw):
-            if raw.startswith("\\\\", i) and i + 2 < len(raw) and raw[i + 2].isdigit():
-                out_s.append(f"${int(raw[i + 2]) + shift}")
-                i += 3
-            elif raw.startswith("\\\\&", i):
-                out_s.append(whole)
-                i += 3
-            elif raw[i] == "$":
-                out_s.append("\\$")
-                i += 1
-            else:
-                out_s.append(raw[i])
-                i += 1
-        return "".join(out_s)
-
-    def _shift_pattern_backrefs(raw: str, shift: int) -> tuple[int, str]:
-        """Scan a pattern in RAW literal-escape form (regex backslash =
-        '\\\\' two chars, '' = one quote): count CAPTURING groups and
-        renumber in-pattern backrefs \\N -> \\(N+shift), so the pattern
-        can be wrapped in prefix groups without silently rebinding its
-        own backrefs (regexp.c keeps group numbers; the \\A-wrap shifts
-        them by `shift`). Character classes are skipped whole; a group
-        open preceded by an ESCAPED BACKSLASH ('\\\\\\\\(' raw = regex
-        \\\\( ) still counts — the lookbehind-based count missed it."""
-        out_s: list[str] = []
-        ngroups = 0
-        i, n = 0, len(raw)
-        in_class = False
-        class_start = -1
-
-        def peek_unit(j: int) -> tuple[str, int]:
-            # one literal-level unit at j: '\\\\'+escapee, '\\x', "''",
-            # or a single char; returns (unit, next_index)
-            if raw.startswith("\\\\", j):
-                return raw[j : j + 2], j + 2
-            if raw[j : j + 1] == "\\" and j + 1 < n:
-                return raw[j : j + 2], j + 2
-            if raw.startswith("''", j):
-                return "''", j + 2
-            return raw[j : j + 1], j + 1
-
-        while i < n:
-            if raw.startswith("\\\\", i):  # regex backslash
-                j = i + 2
-                if not in_class and j < n and raw[j].isdigit():
-                    k = j
-                    while k < n and raw[k].isdigit():
-                        k += 1
-                    num = int(raw[j:k])
-                    if num > 0:  # \0 is octal NUL, not a backref
-                        out_s.append("\\\\" + str(num + shift))
-                        i = k
-                        continue
-                # escaped next regex char (may itself be '\\\\')
-                unit, k = ("", j) if j >= n else peek_unit(j)
-                out_s.append(raw[i:j] + unit)
-                i = k
-                continue
-            c = raw[i]
-            if in_class:
-                if c == "]" and i > class_start:
-                    in_class = False
-                out_s.append(c)
-                i += 1
-                continue
-            if c == "[":
-                in_class = True
-                # ']' or '^]' first is a literal ] member
-                class_start = i + 2 if raw[i + 1 : i + 2] == "^" else i + 1
-                out_s.append(c)
-                i += 1
-                continue
-            if c == "(":
-                nxt, _ = peek_unit(i + 1) if i + 1 < n else ("", i + 1)
-                if nxt != "?":
-                    ngroups += 1
-                out_s.append(c)
-                i += 1
-                continue
-            out_s.append(c)
-            i += 1
-        return ngroups, "".join(out_s)
-
-    def sub_regexp_replace(m: re.Match) -> str:
-        args = [a.strip() for a in _split_args(m.group(1))]
-        if len(args) not in (3, 4):
-            return m.group(0)
-        # the E-string prefix strip runs later in rewrite(); drop it
-        # here so E'...' patterns are recognized as literals
-        s, p, r = args[0], *(
-            re.sub(r"(?i)^E(?=\x01)", "", a) for a in args[1:3]
-        )
-        if not (_MASK_RE.fullmatch(p) and _MASK_RE.fullmatch(r)):
-            return m.group(0)
-        flags = ""
-        if len(args) == 4:
-            f4 = re.sub(r"(?i)^E(?=\x01)", "", args[3])
-            if not _MASK_RE.fullmatch(f4):
-                return m.group(0)
-            flags = _lit_value(f4, lits)
-        inline = ""
-        for f in flags:
-            if f == "g":
-                continue
-            mapped = {"i": "i", "m": "m", "n": "m", "s": "s", "x": "x"}.get(f)
-            if mapped is None:
-                return m.group(0)  # unknown flag: stay loud downstream
-            inline += mapped
-        pfx = f"(?{inline})" if inline else ""
-        pat_raw = lits[int(_MASK_RE.match(p).group(1))][1:-1]
-        rep_raw = lits[int(_MASK_RE.match(r).group(1))][1:-1]
-        if "g" in flags:
-            p2 = _new_lit_raw(pfx + pat_raw, lits)
-            r2 = _new_lit_raw(_conv_rep(rep_raw, 0, "$0"), lits)
-            return f"regexp_replace({s}, {p2}, {r2})"
-        # first-only: ONE match spans the whole input (\A + lazy prefix
-        # + tail), so a zero-length pattern can't re-match at the end.
-        # Groups shift by 2 (prefix + wrap); raw "\\A" unescapes to \A.
-        # Backrefs INSIDE the pattern are renumbered by the same +2 so
-        # '(\w+) \1' keeps binding its own group, not the lazy prefix.
-        ngroups, pat_shifted = _shift_pattern_backrefs(pat_raw, 2)
-        p2 = _new_lit_raw(
-            f"{pfx}\\\\A((?s:.*?))({pat_shifted})((?s:.*))", lits
-        )
-        r2 = _new_lit_raw(
-            "$1" + _conv_rep(rep_raw, 2, "$2") + f"${ngroups + 3}", lits
-        )
-        return f"regexp_replace({s}, {p2}, {r2})"
-
-    sql = _REGEXP_REPLACE_RE.sub(sub_regexp_replace, sql)
-
-    def sub_regexp_split_arr(m: re.Match) -> str:
-        # regexp_split_to_array(s, pat[, flags]) (regexp.c
-        # regexp_split_to_array): Spark split() is already regex-based
-        # with PG's keep-trailing-empties behavior; 'i' becomes an
-        # inline flag; 'g' is an error in PG too — left loud.
-        args = [a.strip() for a in _split_args(m.group(1))]
-
-        def wrap_empty_matching(s_expr: str, pat_tok: str) -> str:
-            # a pattern that can match the EMPTY string splits between
-            # every char; Spark emits leading/trailing '' artifacts PG
-            # does not — and with such a pattern no real token can be
-            # empty, so filtering '' is exact
-            p_chk = re.sub(r"(?i)^E(?=\x01)", "", pat_tok)
-            if _MASK_RE.fullmatch(p_chk):
-                body = lits[int(_MASK_RE.match(p_chk).group(1))][1:-1]
-                try:
-                    if re.fullmatch(body.replace("\\\\", "\\"), ""):
-                        return (
-                            f"filter(split({s_expr}, {pat_tok}), "
-                            f"__t -> __t != '')"
-                        )
-                except re.error:
-                    pass
-            return f"split({s_expr}, {pat_tok})"
-
-        if len(args) == 2:
-            return wrap_empty_matching(args[0], args[1])
-        if len(args) == 3:
-            f3 = re.sub(r"(?i)^E(?=\x01)", "", args[2])
-            p3 = re.sub(r"(?i)^E(?=\x01)", "", args[1])
-            if (
-                _MASK_RE.fullmatch(f3)
-                and _MASK_RE.fullmatch(p3)
-                and (flags := _lit_value(f3, lits))
-                and set(flags) <= set("imsx")
-            ):
-                pat_raw = lits[int(_MASK_RE.match(p3).group(1))][1:-1]
-                p2 = _new_lit_raw(f"(?{flags}){pat_raw}", lits)
-                return f"split({args[0]}, {p2})"
-        return m.group(0)
-
-    sql = _REGEXP_SPLIT_ARR_RE.sub(sub_regexp_split_arr, sql)
-
-    def sub_lr_trim(m: re.Match) -> str:
-        # PG ltrim/rtrim(str, chars) vs Spark ltrim/rtrim(trimStr, str):
-        # the 2-arg forms take their arguments in OPPOSITE order —
-        # running PG argument order through Spark silently trims the
-        # wrong string (found by the value-checked regress probe).
-        args = _split_args(m.group(2))
-        if len(args) == 2:
-            return f"{m.group(1).lower()}({args[1].strip()}, {args[0].strip()})"
-        return m.group(0)
-
-    sql = _LR_TRIM_RE.sub(sub_lr_trim, sql)
-
-    def sub_to_char(m: re.Match) -> str:
-        from warehouse_pg_spark.functions.to_char import (
-            to_char_datetime_sql,
-            to_char_numeric_sql,
-        )
-
-        x, lit_tok = m.group(1).strip(), m.group(2)
-        body = lits[int(_MASK_RE.match(lit_tok).group(1))][1:-1]
-        # strip quoted-literal spans before sniffing for digit slots
-        unquoted = re.sub(r'"[^"]*"', "", body)
-        if re.search(r"[90]", unquoted):
-            out = to_char_numeric_sql(f"({x})", body)
-            return out if out is not None else m.group(0)
-        return to_char_datetime_sql(f"({x})", body)
-
-    sql = _TO_CHAR_RE.sub(sub_to_char, sql)
-
-    def sub_to_date(m: re.Match) -> str:
-        from warehouse_pg_spark.functions.to_char import (
-            dch_parse_pattern,
-            to_date_fold,
-            to_timestamp_fold,
-        )
-
-        kind, x, lit_tok = m.group(1).lower(), m.group(2).strip(), m.group(3)
-        body = lits[int(_MASK_RE.match(lit_tok).group(1))][1:-1]
-        if not _PG_DCH_GATE_RE.search(body):
-            return m.group(0)  # Java-style pattern: pass through
-        xm = _MASK_RE.fullmatch(x)
-        if kind == "date" and xm:
-            # literal subject: fold through the PG from_char scanner —
-            # covers pictures Java patterns can't express (J, CC+YY,
-            # W, Q, leading-space numeric output of to_char)
-            folded = to_date_fold(_lit_value(x, lits), body)
-            if folded is not None:
-                return f"DATE {_new_lit(folded.isoformat(), lits)}"
-        if kind == "timestamp" and xm:
-            ts = to_timestamp_fold(_lit_value(x, lits), body)
-            if ts is not None:
-                return (
-                    f"TIMESTAMP "
-                    f"{_new_lit(ts.isoformat(sep=' '), lits)}"
-                )
-        java = dch_parse_pattern(body).replace("'", "''")
-        if not java.startswith((" ", "'")):
-            # PG's from_char scan skips leading whitespace in the
-            # subject (e.g. to_char numeric output's sign column)
-            x = f"trim({x})"
-        return f"to_{kind}({x}, '{java}')"
-
-    sql = _TO_DATE_RE.sub(sub_to_date, sql)
-
-    # deep-subject fallback: to_date(<any balanced expr>, 'PG pic') —
-    # e.g. the folded CASE that to_char's numeric fold emits. Balanced
-    # scan; only the picture literal is rewritten.
-    def _fold_to_date_deep(s: str) -> str:
-        from warehouse_pg_spark.functions.to_char import dch_parse_pattern
-
-        out_parts: list[str] = []
-        i = 0
-        while True:
-            m2 = re.search(r"(?i)\bto_(date|timestamp)\s*\(", s[i:])
-            if not m2:
-                out_parts.append(s[i:])
-                break
-            start = i + m2.start()
-            op = i + m2.end() - 1
-            depth, j = 0, op
-            while j < len(s):
-                if s[j] == "(":
-                    depth += 1
-                elif s[j] == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
-                j += 1
-            inner = s[op + 1: j]
-            args = _split_args(inner)
-            lm = _MASK_RE.fullmatch(args[-1].strip()) if len(args) == 2 else None
-            body = lits[int(lm.group(1))][1:-1] if lm else ""
-            if lm and _PG_DCH_GATE_RE.search(body):
-                java = dch_parse_pattern(body).replace("'", "''")
-                subj = args[0].strip()
-                if not java.startswith((" ", "'")):
-                    subj = f"trim({subj})"
-                out_parts.append(s[i:start])
-                out_parts.append(
-                    f"to_{m2.group(1).lower()}({subj}, '{java}')"
-                )
-            else:
-                out_parts.append(s[i: j + 1])
-            i = j + 1
-        return "".join(out_parts)
-
-    sql = _fold_to_date_deep(sql)
-
-    def sub_unnest(m: re.Match) -> str:
-        lead, _lat, fn, args_s, alias, cols_s = (
-            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
-            m.group(6),
-        )
-        args = _split_args(args_s)
-        cols = [c.strip() for c in cols_s.split(",") if c.strip()]
-        if fn.lower() == "generate_series":
-            if len(cols) != 1:
-                return m.group(0)
-            gen = f"explode(sequence({args_s.strip()}))"
-            gen_cols = cols[0]
-            sel = f"{gen} AS {cols[0]}"
-        elif len(args) != len(cols) or len(args) > 2:
-            return m.group(0)  # mismatched/deep forms stay loud
-        elif len(args) == 1:
-            gen = f"explode({args[0].strip()})"
-            gen_cols = cols[0]
-            sel = f"{gen} AS {cols[0]}"
-        else:
-            a, b = (x.strip() for x in args)
-            gen = (
-                f"inline(zip_with({a}, {b}, (__ul, __ur) -> "
-                f"struct(__ul AS {cols[0]}, __ur AS {cols[1]})))"
-            )
-            gen_cols = ", ".join(cols)
-            sel = gen
-        if lead.strip() == ",":
-            # comma FROM item = implicit LATERAL in PG for SRFs
-            return f" LATERAL VIEW {gen} {alias} AS {gen_cols}"
-        return f"{lead}(SELECT {sel}) {alias}"
-
-    sql = _UNNEST_FROM_RE.sub(sub_unnest, sql)
-
-    def sub_json_srf(m: re.Match) -> str:
-        lead, _lat, kind, arg, alias, cols_s = (
-            (g or "") for g in m.groups()
-        )
-        arg = arg.strip()
-        kind = kind.lower()
-        cols = [c.strip() for c in cols_s.split(",") if c.strip()]
-        if kind == "each":
-            # non-_text: values keep JSON rendering (quoted string
-            # leaves) via the Arrow-batched worker
-            if len(cols) != 2:
-                return m.group(0)
-            gen = f"inline(pg_json_each_entries({arg}))"
-            gen_cols = ", ".join(cols)
-            if lead.strip() == ",":
-                return f" LATERAL VIEW {gen} {alias} AS {gen_cols}"
-            return f"{lead}(SELECT {gen} AS ({gen_cols})) {alias}"
-        if kind.startswith("each"):
-            # key/value pairs: exploding a map yields two columns
-            if len(cols) != 2:
-                return m.group(0)
-            src = f"from_json({arg}, 'map<string,string>')"
-        elif len(cols) != 1:
-            return m.group(0)
-        elif kind == "array_elements":
-            src = f"pg_json_array_elements({arg})"
-        elif kind.startswith("array_elements"):
-            # _text form: scalars unwrap (objects keep their JSON text)
-            src = f"from_json({arg}, 'array<string>')"
-        else:
-            src = f"json_object_keys({arg})"
-        gen = f"explode({src})"
-        gen_cols = ", ".join(cols)
-        if lead.strip() == ",":
-            return f" LATERAL VIEW {gen} {alias} AS {gen_cols}"
-        if len(cols) == 2:
-            return f"{lead}(SELECT {gen} AS ({gen_cols})) {alias}"
-        return f"{lead}(SELECT {gen} AS {cols[0]}) {alias}"
-
-    sql = _JSON_SRF_FROM_RE.sub(sub_json_srf, sql)
-
-    # the same JSON SRFs as a sole FROM-less select-list target
-    # (jsonfuncs.c each_worker/elements_worker; the planner's
-    # ProjectSet): each → two columns (key, value) via inline();
-    # array_elements → one exploded column
-    def sub_json_srf_select(m: re.Match) -> str:
-        kind, arg = m.group(1).lower(), m.group(2).strip()
-        if kind == "each":
-            # non-_text: values keep JSON rendering (string leaves
-            # stay quoted) via the Arrow-batched worker
-            return f"SELECT inline(pg_json_each_entries({arg}))"
-        if kind.startswith("each"):
-            return (
-                "SELECT inline(transform(map_entries("
-                f"from_json({arg}, 'map<string,string>')), "
-                "__e -> named_struct('key', __e.key, "
-                "'value', __e.value)))"
-            )
-        if kind == "array_elements":
-            return (
-                f"SELECT explode(pg_json_array_elements({arg})) "
-                "AS value"
-            )
-        return (
-            f"SELECT explode(from_json({arg}, 'array<string>')) "
-            "AS value"
-        )
-
-    sql = re.sub(
-        rf"(?is)^\s*SELECT\s+jsonb?_"
-        rf"(array_elements(?:_text)?|each(?:_text)?)\s*"
-        rf"\(\s*({_ARITH_CHAIN}|{_LIT}(?:\s*::\s*jsonb?)?)\s*\)\s*"
-        rf"(?:AS\s+\w+\s*)?$",
-        sub_json_srf_select,
-        sql,
-    )
-    # slices before subscripts (a[2:3] must not half-match as a[2]);
-    # a bare ARRAY keyword is a constructor, not an indexable operand
-    # (the ctor pass runs earlier, this is belt-and-braces)
-    # loop to fixpoint: chained multi-dim subscripts a[1][2][1] peel
-    # one level per pass (element_at(element_at(a, 1), 2) ...)
-    prev_idx = None
-    while prev_idx != sql:
-        prev_idx = sql
-        # a NULL slice bound yields NULL (arrayfuncs.c array_get_slice
-        # returns NULL for a null subscript) — IF(TRUE, NULL, a) keeps
-        # a's array type so downstream subscripts propagate the NULL
-        sql = re.sub(
-            rf"({_IDX_OPERAND})\[\s*(NULL|\d+)\s*:\s*(NULL|\d+)\s*\]",
-            lambda m: m.group(0)
-            if m.group(1).upper() == "ARRAY"
-            or "NULL" not in (m.group(2).upper(), m.group(3).upper())
-            else f"IF(TRUE, NULL, {m.group(1)})",
-            sql,
-            flags=re.IGNORECASE,
-        )
-        sql = _ARRAY_SLICE_RE.sub(
-            lambda m: m.group(0) if m.group(1).upper() == "ARRAY" else (
-                f"slice({m.group(1)}, {m.group(2)}, "
-                f"{int(m.group(3)) - int(m.group(2)) + 1})"
-            ),
-            sql,
-        )
-        sql = _ARRAY_INDEX_RE.sub(
-            lambda m: m.group(0) if m.group(1).upper() == "ARRAY"
-            else f"element_at({m.group(1)}, {m.group(2)})",
-            sql,
-        )
-    sql = _SUBSTR_FOR_RE.sub(
-        lambda m: f"substring({m.group(1)}, 1, {m.group(2)})", sql
-    )
-    def sub_json_build_obj(m: re.Match) -> str:
-        # named_struct needs literal string field names — PG coerces
-        # any scalar key to text (json.c), so quote literal
-        # numeric/bool keys at plan time; other non-literal keys stay
-        # loud via named_struct's own error
-        args = _split_args(m.group(1))
-        for i in range(0, len(args) - 1, 2):
-            k = args[i].strip()
-            if re.fullmatch(r"-?\d+(?:\.\d+)?|true|false", k, re.IGNORECASE):
-                args[i] = _new_lit(k, lits)
-        return f"to_json(named_struct({', '.join(args)}))"
-
-    sql = _JSON_BUILD_OBJ_RE.sub(sub_json_build_obj, sql)
-    # jsonb_* spellings of functions whose json_* twin is a Spark
-    # built-in / already lowered
-    sql = re.sub(
-        r"(?i)\bjsonb_(array_length|object_keys)\s*\(",
-        lambda m: f"json_{m.group(1).lower()}(",
-        sql,
-    )
-    # to_json over a SCALAR literal (json.c to_json; PG encodes any
-    # value): the array-encode trick gives typed quoting for free.
-    # Struct/map/array args keep Spark's native to_json.
-    def sub_to_json_scalar(m: re.Match) -> str:
-        a = m.group(1).strip()
-        e = f"to_json(array({a}))"
-        return f"substr({e}, 2, length({e}) - 2)"
-
-    sql = re.sub(
-        rf"\bto_jsonb?\s*\(\s*((?:DATE|TIMESTAMPTZ|TIMESTAMP|TIMETZ"
-        rf"|TIME)\s+\x01\d+\x01"
-        rf"|CAST\s*\(\s*\x01\d+\x01\s+AS\s+TIMESTAMP(?:_NTZ)?\s*\)"
-        rf"|from_utc_timestamp\s*\((?:[^()]|\([^()]*\))*\)"
-        rf"|to_utc_timestamp\s*\((?:[^()]|\([^()]*\))*\)"
-        rf"|\x01\d+\x01|-?\d+(?:\.\d+)?|true|false)\s*\)",
-        sub_to_json_scalar,
-        sql,
-        flags=re.IGNORECASE,
-    )
-    # any remaining to_jsonb spelling is to_json (the engine's json
-    # and jsonb share the text representation)
-    sql = re.sub(r"(?i)\bto_jsonb\s*\(", "to_json(", sql)
-    # width_bucket(x, thresholds[]) two-arg form (PG 9.5
-    # numeric.c width_bucket_array): index of the last threshold <= x
-    sql = re.sub(
-        rf"\bwidth_bucket\s*\(\s*({_ARITH_CHAIN})\s*,\s*"
-        rf"((?:array|ARRAY)\s*[\[(](?:[^()\[\]]|\([^()]*\))*[\])])\s*\)",
-        lambda m: (
-            f"size(filter({m.group(2)}, __t -> __t <= ({m.group(1)})))"
-        ),
-        sql,
-        flags=re.IGNORECASE,
-    )
-    # ... and with a braced-literal threshold array (an empty '{}'
-    # stays untyped through the array-literal pass)
-    sql = re.sub(
-        rf"\bwidth_bucket\s*\(\s*({_ARITH_CHAIN})\s*,\s*({_LIT})\s*\)",
-        lambda m: (
-            "0" if _lit_value(m.group(2), lits).strip() == "{}"
-            else m.group(0)
-        ),
-        sql,
-        flags=re.IGNORECASE,
-    )
-    # make_time (date.c): Spark 4.1 grew a native make_time returning
-    # its TIME type, which PySpark cannot collect — route to the
-    # engine's HH:MM:SS string model instead
-    sql = re.sub(r"(?i)\bmake_time\s*\(", "pg_make_time(", sql)
-    # current_timestamp(precision) (gram.y SystemFuncName precision +
-    # timestamp.c AdjustTimestampForTypmod): Spark's takes no argument;
-    # PG ROUNDS the fractional seconds to n digits (rint = half-even,
-    # matched by Spark's bround over the microsecond count)
-    def _cts_precision(m: "re.Match") -> str:
-        n = int(m.group(1))
-        if n >= 6:
-            return "current_timestamp()"
-        q = 10 ** (6 - n)
-        return (
-            "timestamp_micros(CAST(bround(unix_micros("
-            f"current_timestamp()) / {q}) AS BIGINT) * {q})"
-        )
-
-    sql = re.sub(
-        r"(?i)\bcurrent_timestamp\s*\(\s*(\d)\s*\)",
-        _cts_precision,
-        sql,
-    )
-    # concat/concat_ws with a VARIADIC array argument (varlena.c):
-    # elements render as text; a NULL array yields NULL
-    sql = re.sub(
-        r"(?i)\bconcat_ws\s*\(\s*((?:[^(),]|\([^()]*\))+)\s*,\s*"
-        r"VARIADIC\s+((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
-        lambda m: (
-            f"IF(({m.group(2)}) IS NULL, CAST(NULL AS STRING), "
-            f"concat_ws({m.group(1)}, transform({m.group(2)}, "
-            f"__v -> CAST(__v AS STRING))))"
-        ),
-        sql,
-    )
-    sql = re.sub(
-        r"(?i)\bconcat\s*\(\s*VARIADIC\s+"
-        r"((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
-        lambda m: (
-            f"IF(({m.group(1)}) IS NULL, CAST(NULL AS STRING), "
-            f"concat_ws('', transform({m.group(1)}, "
-            f"__v -> CAST(__v AS STRING))))"
-        ),
-        sql,
-    )
-    # concat with LEADING args before the VARIADIC tail
-    # (text.c concat spreads the array after the fixed args)
-    sql = re.sub(
-        r"(?i)\bconcat\s*\(\s*((?:[^(),]|\([^()]*\))+(?:,\s*"
-        r"(?:[^(),]|\([^()]*\))+)*?)\s*,\s*VARIADIC\s+"
-        r"((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
-        lambda m: (
-            f"concat({m.group(1)}, IF(({m.group(2)}) IS NULL, "
-            f"CAST(NULL AS STRING), concat_ws('', "
-            f"transform({m.group(2)}, __v -> CAST(__v AS STRING)))))"
-        ),
-        sql,
-    )
-    def sub_json_build_arr(m: re.Match) -> str:
-        """json[b]_build_array (json.c json_build_array): heterogeneous
-        element types build per-element — each non-NULL, non-json arg
-        JSON-encodes through to_json(array(x)) with the brackets
-        stripped (typed quoting/escaping for free); `json '...'`-typed
-        args splice raw. Same-type calls keep identical output to the
-        old to_json(array(...)) lowering (compact ',' separator)."""
-        args = _split_args(m.group(1))
-        if not args:
-            return "'[]'"
-        parts, kinds = [], set()
-        for a in args:
-            t = a.strip()
-            jm = re.match(r"(?is)^jsonb?\s+(\x01\d+\x01)$", t)
-            if jm:
-                parts.append(jm.group(1))
-                kinds.update(("json", "other"))  # force per-element
-                continue
-            if t.upper() == "NULL":
-                parts.append("'null'")
-                continue
-            if _MASK_RE.fullmatch(t):
-                kinds.add("str")
-            elif re.fullmatch(r"-?\d+(?:\.\d+)?", t):
-                kinds.add("num")
-            elif t.lower() in ("true", "false"):
-                kinds.add("bool")
-            else:
-                kinds.add("expr")
-            e = f"to_json(array({t}))"
-            parts.append(f"substr({e}, 2, length({e}) - 2)")
-        if len(kinds) <= 1:  # homogeneous: one array, one encoder
-            return f"to_json(array({m.group(1)}))"
-        return "concat('[', concat_ws(',', " + ", ".join(parts) + "), ']')"
-
-    # json[b]_build_array(VARIADIC arr): the array's elements ARE the
-    # argument list (functioncmds.c variadic spread) — encode directly
-    sql = re.sub(
-        r"(?i)\bjsonb?_build_array\s*\(\s*VARIADIC\s+"
-        r"((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
-        lambda m: f"to_json({m.group(1).strip()})",
-        sql,
-    )
-    sql = _JSON_BUILD_ARR_RE.sub(sub_json_build_arr, sql)
-    sql = _JSON_OBJECT_AGG_RE.sub(
-        lambda m: (
-            "to_json(map_from_entries("
-            f"{'collect_set' if m.group(1) else 'collect_list'}("
-            f"struct({m.group(2).strip()}, {m.group(3).strip()}))))"
-        ),
-        sql,
-    )
-    sql = _JSON_AGG_RE.sub(
-        lambda m: f"to_json(collect_list({m.group(1)}))", sql
-    )
-    sql = _ROW_TO_JSON_RE.sub("to_json(", sql)
-    # array_to_json (json.c array_to_json): Spark's to_json renders
-    # arrays (incl. nested) with the same [..] text for scalar
-    # element types
-    sql = re.sub(r"\barray_to_json\s*\(", "to_json(", sql,
-                 flags=re.IGNORECASE)
-    def sub_format(m: re.Match) -> str:
-        tok, argstr = m.group(1), m.group(2)
-        if tok.upper() == "NULL":
-            return "CAST(NULL AS STRING)"
-        compiled = _pg_format_compile(
-            _lit_value(tok, lits),
-            _split_args(argstr) if argstr else [],
-            lits,
-        )
-        if compiled is not None:
-            return compiled
-        # printf-style pictures (%d/%f/...) keep the legacy
-        # format_string lowering — a deliberate extension over PG,
-        # which only defines s/I/L
-        tail = f", {argstr}" if argstr else ""
-        return f"format_string({tok}{tail})"
-
-    sql = _FORMAT_CALL_RE.sub(sub_format, sql)
-    sql = _FORMAT_FN_RE.sub(lambda m: f"format_string({m.group(1)}", sql)
-    # array_fill (arrayfuncs.c): 1-D -> array_repeat; a 2-element dims
-    # array is a 2-D fill, modeled as nested arrays (default [1:n]
-    # bounds only; explicit lower-bound forms stay loud)
-    sql = _ARRAY_FILL_RE.sub(
-        lambda m: (
-            f"array_repeat(array_repeat({m.group(1)}, {m.group(3)}), "
-            f"{m.group(2)})"
-            if m.group(3)
-            else f"array_repeat({m.group(1)}, {m.group(2)})"
-        ),
-        sql,
-    )
-    sql = _PG_TYPEOF_RE.sub("typeof(", sql)
-
-    def sub_log(m: re.Match) -> str:
-        args = _split_args(m.group(1))
-        if len(args) == 1:
-            return f"log10({m.group(1)})"
-        return m.group(0)
-
-    sql = _LOG_RE.sub(sub_log, sql)
-    # scale(numeric) (numeric.c numeric_scale): decimal digits of the
-    # text form — Spark literals keep their declared scale
-    sql = _SCALE_RE.sub(
-        lambda m: f"scale_pg(CAST(({m.group(1)}) AS STRING))", sql
-    )
-    # power()/pow(): PG float.c dpow is POSIX — power(1, NaN) = 1 —
-    # where Math.pow(1.0, NaN) returns NaN; inline the base=1 guard
-    # (no registered function needed, rewrite() stays self-contained)
-    def sub_power(m: re.Match) -> str:
-        args = _split_args(m.group(1))
-        if len(args) != 2:
-            return m.group(0)
-        x, y = (a.strip() for a in args)
-        return (
-            f"(CASE WHEN CAST(({x}) AS DOUBLE) = CAST(1.0 AS DOUBLE) "
-            f"THEN CAST(1.0 AS DOUBLE) ELSE power({x}, {y}) END)"
-        )
-
-    sql = _POWER_FN_RE.sub(sub_power, sql)
-    # trunc(x, n) truncates toward zero at n decimal places. The scale
-    # step MUST be exact-decimal: a double multiply is inexact
-    # (2.3 * 10 = 22.999999999999996 → trunc would yield 2.2, PG 2.3)
-    # and a bare BIGINT cast silently overflows. CAST(double→decimal)
-    # goes through the shortest decimal repr (BigDecimal.valueOf), so
-    # 2.3 becomes exactly 2.300…; floor/ceil-by-sign on the scaled
-    # decimal truncates toward zero with no integer overflow (decimal
-    # overflow yields NULL, never a wrapped value).
-    def sub_trunc_n(m: re.Match) -> str:
-        x, p = m.group(1), 10 ** int(m.group(2))
-        d = f"CAST(({x}) AS DECIMAL(38,18)) * {p}"
-        return (
-            f"((CASE WHEN ({x}) < 0 THEN CEIL({d}) ELSE FLOOR({d}) END) "
-            f"/ CAST({p} AS DECIMAL(19,0)))"
-        )
-
-    sql = _TRUNC_N_RE.sub(sub_trunc_n, sql)
-
-    def sub_trunc1(m: re.Match) -> str:
-        args = _split_args(m.group(1))
-        if len(args) == 1:  # numeric trunc-to-integer (toward zero)
-            return f"CAST(({m.group(1)}) AS BIGINT)"
-        return m.group(0)  # 2-arg date trunc stays native
-
-    sql = _TRUNC1_RE.sub(sub_trunc1, sql)
-    sql = _JSON_TYPED_LIT_RE.sub(lambda m: m.group(1), sql)
-
-    def _json_path(elems: list[str]) -> str:
-        path = "$"
-        for e in elems:
-            e = e.strip().strip("'\"")
-            path += f"[{e}]" if e.isdigit() else f".{e}"
-        return path
-
-    def sub_hash_path(m: re.Match) -> str:
-        j, tok = m.group(1), m.group(2)
-        body = lits[int(_MASK_RE.match(tok).group(1))][1:-1]
-        path = _json_path(body.strip().strip("{}").split(","))
-        return f"get_json_object({j}, '{path}')"
-
-    def sub_hash_path_arr(m: re.Match) -> str:
-        j, args_s = m.group(1), m.group(2)
-        elems = []
-        for a in _split_args(args_s):
-            a = a.strip()
-            lm = _MASK_RE.match(a)
-            if lm and a == lm.group(0):
-                elems.append(lits[int(lm.group(1))][1:-1])
-            elif a.isdigit():
-                elems.append(a)
-            elif a.upper() == "NULL":
-                # a NULL path element makes the strict #>/#>> NULL
-                # (jsonfuncs.c get_path_all)
-                return "CAST(NULL AS STRING)"
-            else:
-                return m.group(0)  # dynamic path elements: stay loud
-        return f"get_json_object({j}, '{_json_path(elems)}')"
-
-    sql = _HASH_PATH_ARR_RE.sub(sub_hash_path_arr, sql)
-    sql = _HASH_PATH_RE.sub(sub_hash_path, sql)
-    def sub_ts_zone_lit(m: re.Match) -> str:
-        # compact ISO-8601 input ('20011227T040506.789+08',
-        # datetime.c DecodeISO8601...): normalize to the punctuated
-        # form Spark's parser accepts
-        body = _lit_value(m.group(1), lits).strip()
-        jm = re.fullmatch(
-            # Julian-day timestamp input (datetime.c DecodeDateTime
-            # J-prefix; horology.sql): 'J2452271 04:05:06+08',
-            # 'J2452271.5-08' (fraction of a day), 'J2452271T040506'
-            r"[Jj](\d{1,7})(\.\d+)?"
-            r"(?:[T ](\d{2}):?(\d{2})(?::?(\d{2}(?:\.\d+)?))?)?"
-            r"\s*([+-]\d{1,2}(?::?\d{2})?)?",
-            body,
-        )
-        if jm:
-            import datetime as _dt
-
-            jd, frac, h, mi, s, off = jm.groups()
-            try:
-                base = _dt.datetime(1970, 1, 1) + _dt.timedelta(
-                    days=int(jd) - 2440588
-                )
-            except OverflowError:
-                return f"TIMESTAMP {m.group(1)}"  # BC-era: stay loud
-            if frac:
-                base += _dt.timedelta(
-                    microseconds=round(float(frac) * 86400 * 1e6)
-                )
-            elif h:
-                sec = float(s or 0)
-                base += _dt.timedelta(
-                    hours=int(h), minutes=int(mi), seconds=sec
-                )
-            iso = base.strftime("%Y-%m-%d %H:%M:%S")
-            if base.microsecond:
-                iso += f".{base.microsecond:06d}".rstrip("0")
-            if off:
-                o = off.replace(":", "")
-                iso += (
-                    f"{o[0]}{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
-                    + (f":{o[3:5]}" if len(o) >= 5 else "")
-                )
-            return f"TIMESTAMP {_new_lit(iso, lits)}"
-        # PG multi-format date part + time + offset ('12/27/2001
-        # 04:05:06.789-08', '2001.12.27 ...') and the tagged
-        # 'Y2001M12D27H04M05S06.789+08' ISO-alternative form
-        gm = re.fullmatch(
-            r"(?i)Y(\d{4})M(\d{2})D(\d{2})"
-            r"H(\d{2})MM?(\d{2})S(\d{2}(?:\.\d+)?)"
-            r"\s*([+-]\d{1,2}(?::?\d{2})?)?",
-            body,
-        )
-        if gm:
-            y, mo, d, h, mi, s, off = gm.groups()
-            iso = f"{y}-{mo}-{d} {h}:{mi}:{s}"
-            if off:
-                o = off.replace(":", "")
-                iso += (
-                    f"{o[0]}{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
-                    + (f":{o[3:5]}" if len(o) >= 5 else "")
-                )
-            return f"TIMESTAMP {_new_lit(iso, lits)}"
-        dm = re.fullmatch(
-            r"(\S+)\s+(\d{1,2}:\d{2}(?::\d{2}(?:\.\d+)?)?)"
-            r"\s*([+-]\d{1,2}(?::?\d{2})?)?",
-            body,
-        )
-        if dm:
-            folded_d = (
-                dm.group(1)
-                if re.fullmatch(r"\d{4}-\d{2}-\d{2}", dm.group(1))
-                else _pg_date_fold(dm.group(1))
-            )
-            if folded_d is not None:
-                t = dm.group(2)
-                if re.fullmatch(r"\d{1,2}:\d{2}", t):
-                    t += ":00"  # Spark's literal parser needs seconds
-                iso = f"{folded_d} {t}"
-                off = dm.group(3)
-                if off:
-                    o = off.replace(":", "")
-                    iso += (
-                        f"{o[0]}"
-                        f"{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
-                        + (f":{o[3:5]}" if len(o) >= 5 else "")
-                    )
-                return f"TIMESTAMP {_new_lit(iso, lits)}"
-        cm = re.fullmatch(
-            r"(\d{4})(\d{2})(\d{2})(?:[T ]?(\d{2}):?(\d{2}):?"
-            r"(\d{2}(?:\.\d+)?)?)?\s*([+-]\d{1,2}(?::?\d{2})?)?",
-            body,
-        )
-        if cm:
-            y, mo, d, h, mi, s, off = cm.groups()
-            iso = f"{y}-{mo}-{d} {h or '00'}:{mi or '00'}:{s or '00'}"
-            if off:
-                o = off.replace(":", "")
-                iso += (
-                    f"{o[0]}{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
-                    + (f":{o[3:5]}" if len(o) >= 5 else "")
-                )
-            return f"TIMESTAMP {_new_lit(iso, lits)}"
-        return f"TIMESTAMP {m.group(1)}"
-
-    sql = _TS_ZONE_LIT_RE.sub(sub_ts_zone_lit, sql)
-
-    # make_interval with PG named arguments (funcapi named notation:
-    # make_interval(years := 1, months := 6)) → positional
-    def sub_make_iv_named(m: re.Match) -> str:
-        order = ("years", "months", "weeks", "days", "hours",
-                 "mins", "secs")
-        vals = {k: "0" for k in order}
-        for part in _split_args(m.group(1)):
-            nm = re.match(r"(?is)^\s*(\w+)\s*:?=>?\s*(.+)$", part)
-            if nm is None or nm.group(1).lower() not in vals:
-                return m.group(0)
-            vals[nm.group(1).lower()] = nm.group(2).strip()
-        return "make_interval(" + ", ".join(vals[k] for k in order) + ")"
-
-    sql = re.sub(
-        r"(?i)\bmake_interval\s*\(\s*((?:[^()]|\([^()]*\))*:="
-        r"(?:[^()]|\([^()]*\))*)\)",
-        sub_make_iv_named,
-        sql,
-    )
-    sql = _DOUBLE_PREC_LIT_RE.sub(
-        lambda m: f"CAST({m.group(1)} AS DOUBLE)", sql
-    )
-
-    # --- PG time / time-with-time-zone input and literal arithmetic
-    # (utils/adt/date.c time_in/timetz_in, time_pl_interval — the
-    # interval's day/month fields are IGNORED and results wrap mod
-    # 24 h). Model: time = DayTimeInterval (sorts/collects natively);
-    # timetz = canonical text 'HH:MM:SS[.ffffff]±HH[:MM]'. All the
-    # arithmetic forms below take literals, so they fold at plan time.
-    def _time_render(secs, off=None) -> str:
-        from decimal import Decimal
-
-        secs = Decimal(secs) % 86400
-        if secs < 0:  # Decimal % truncates toward zero; wrap up
-            secs += 86400
-        h, rem = divmod(int(secs), 3600)
-        mi, s = divmod(rem, 60)
-        frac = secs - int(secs)
-        out = f"{h:02d}:{mi:02d}:{s:02d}"
-        if frac:
-            out += f"{frac:.6f}".rstrip("0")[1:]  # '.5', '.999999'
-        if off is not None:
-            sign = "-" if off < 0 else "+"
-            oh, om = divmod(abs(off) // 60, 60)
-            out += f"{sign}{oh:02d}" + (f":{om:02d}" if om else "")
-        return out
-
-    def _pg_time_lit_parse(body: str):
-        """'HH:MM[:SS[.f]]', compact '[T]HHMMSS[.f]', numeric offsets
-        ±H/±HH[:MM]/±HHMM, trailing zone abbreviations. Returns
-        (seconds Decimal, offset-seconds or None) or None."""
-        from decimal import Decimal
-
-        s = body.strip()
-        if s[:1] in ("T", "t"):
-            s = s[1:].strip()
-        off = None
-        zm = re.search(r"\s+([A-Za-z]{2,5})$", s)
-        if zm and (o := _TZ_ABBREV_OFFSETS.get(zm.group(1).upper())):
-            sign = -1 if o.startswith("-") else 1
-            hh, mm = o[1:].split(":")
-            off = sign * (int(hh) * 3600 + int(mm) * 60)
-            s = s[: zm.start()].strip()
-        om = re.search(r"([+-])\s*(\d{1,2})(?::?(\d{2}))?$", s)
-        if om and (off is None):
-            off = (-1 if om.group(1) == "-" else 1) * (
-                int(om.group(2)) * 3600 + int(om.group(3) or 0) * 60
-            )
-            s = s[: om.start()].strip()
-        tm = re.fullmatch(
-            r"(\d{1,2}):(\d{2})(?::(\d{2}(?:\.\d+)?))?", s
-        ) or re.fullmatch(r"(\d{2})(\d{2})(\d{2}(?:\.\d+)?)?", s)
-        if not tm:
-            return None
-        h, mi, sec = (
-            int(tm.group(1)), int(tm.group(2)), Decimal(tm.group(3) or 0),
-        )
-        if h > 24 or mi > 59:
-            return None
-        return (h * 3600 + mi * 60 + sec, off)
-
-    _TIME_FORM = (
-        r"(?:time\s+with\s+time\s+zone|timetz|"
-        r"time(?:\s+without\s+time\s+zone)?)\s+(\x01\d+\x01)"
-    )
-    _is_tz_form = re.compile(r"(?i)^\s*(time\s+with|timetz)").match
-
-    def _time_lit_secs(form_text: str, tok: str):
-        parsed = _pg_time_lit_parse(_lit_value(tok, lits))
-        if parsed is None:
-            return None
-        secs, off = parsed
-        if not _is_tz_form(form_text):
-            off = None  # plain time drops any zone decoration
-        return secs, off
-
-    # timestamptz(date 'd', <time-form> 't') constructor (date.c
-    # datetimetz_timestamptz): the instant at the time's offset
-    def sub_make_tstz2(m: re.Match) -> str:
-        import datetime as _dt
-
-        parsed = _time_lit_secs(m.group(2), m.group(3))
-        try:
-            d = _dt.date.fromisoformat(_lit_value(m.group(1), lits).strip())
-        except ValueError:
-            return m.group(0)
-        if parsed is None:
-            return m.group(0)
-        secs, off = parsed
-        ts = _dt.datetime.combine(d, _dt.time()) + _dt.timedelta(
-            seconds=float(secs) - (off or 0)
-        )
-        return f"TIMESTAMP {_new_lit(ts.isoformat(sep=' '), lits)}"
-
-    sql = re.sub(
-        rf"(?i)\btimestamptz\s*\(\s*date\s+(\x01\d+\x01)\s*,\s*"
-        rf"({_TIME_FORM})\s*\)",
-        sub_make_tstz2,
-        sql,
-    )
-    # date 'd' + <time-form> 't'  lowers like the timestamptz ctor
-    class _FakeMatch:
-        def __init__(self, groups, whole):
-            self._g, self._w = groups, whole
-
-        def group(self, i=0):
-            return self._w if i == 0 else self._g[i - 1]
-
-    def sub_date_plus_time(m: re.Match) -> str:
-        form = m.group("f")
-        ttok = re.search(r"\x01\d+\x01", form).group(0)
-        return sub_make_tstz2(
-            _FakeMatch((m.group("d"), form, ttok), m.group(0))
-        )
-
-    sql = re.sub(
-        rf"(?i)\bdate\s+(?P<d>\x01\d+\x01)\s*\+\s*(?P<f>{_TIME_FORM})",
-        sub_date_plus_time,
-        sql,
-    )
-    # <time-form> 't' ± INTERVAL 'iv': fold, wrapping mod 24 h; the
-    # interval's day/month fields are ignored (date.c time_pl_interval)
-    def sub_time_iv(m: re.Match) -> str:
-        parsed = _time_lit_secs(m.group(1), m.group(2))
-        iv = _pg_interval_parse(_lit_value(m.group(4), lits), None, None, None)
-        if parsed is None or iv is None:
-            return m.group(0)
-        secs, off = parsed
-        iv_secs = iv["h"] * 3600 + iv["mi"] * 60 + iv["s"]
-        if m.group(3) == "-":
-            iv_secs = -iv_secs
-        out = _time_render(secs + iv_secs, off)
-        if off is not None:
-            return _new_lit(out, lits)
-        return f"INTERVAL {_new_lit(out, lits)} HOUR TO SECOND"
-
-    sql = re.sub(
-        rf"(?i)\b({_TIME_FORM})\s*([-+])\s*INTERVAL\s+(\x01\d+\x01)",
-        sub_time_iv,
-        sql,
-    )
-    # bare timetz literal -> canonical text
-    def sub_timetz_lit(m: re.Match) -> str:
-        parsed = _time_lit_secs(m.group(0), m.group(1))
-        if parsed is None:
-            return m.group(0)
-        return _new_lit(_time_render(*parsed), lits)
-
-    sql = re.sub(
-        r"(?i)\b(?:time\s+with\s+time\s+zone|timetz)\s+(\x01\d+\x01)",
-        sub_timetz_lit,
-        sql,
-    )
-    def sub_time_lit(m: re.Match) -> str:
-        body = lits[int(_MASK_RE.match(m.group(1)).group(1))][1:-1]
-        parsed = _pg_time_lit_parse(body)
-        if parsed is not None:
-            # canonical HH:MM:SS[.f] (zone decorations dropped): the
-            # compact '040506.789+08' forms normalize here
-            tok = _new_lit(_time_render(parsed[0]), lits)
-            return f"INTERVAL {tok} HOUR TO SECOND"
-        qual = "HOUR TO SECOND" if body.count(":") >= 2 else "HOUR TO MINUTE"
-        return f"INTERVAL {m.group(1)} {qual}"
-
-    # 'time without time zone' typed literals spell like plain time
-    sql = re.sub(
-        r"(?i)\btime\s+without\s+time\s+zone\s+(\x01\d+\x01)",
-        r"time \1",
-        sql,
-    )
-    sql = _TIME_LIT_RE.sub(sub_time_lit, sql)
-    # CAST(time AS interval) / CAST(interval AS time): identities in
-    # this model (time IS a day-time interval)
-    sql = re.sub(
-        r"(?i)\bCAST\s*\(\s*(INTERVAL\s+\x01\d+\x01"
-        r"(?:\s+HOUR\s+TO\s+(?:SECOND|MINUTE))?)\s+AS\s+"
-        r"(?:interval|time)\s*\)",
-        lambda m: f"({m.group(1)})",
-        sql,
-    )
-    # interval literal comparisons (timestamp.c interval_cmp): PG
-    # compares through the justified TimeOffset (months*30 + days days,
-    # 86400s each), so '30 days' = '1 month' is TRUE. Spark cannot
-    # order CalendarIntervalType at all — literal-vs-literal
-    # comparisons fold at plan time. interval_hash hashes the same
-    # canonical value (regress interval.sql pins hash('30 days') =
-    # hash('1 month')).
-    def _interval_total(tok: str):
-        from decimal import Decimal
-
-        f = _pg_interval_parse(_lit_value(tok, lits), None, None, None)
-        if f is None:
-            return None
-        return (
-            (f["y"] * 12 + f["mo"]) * Decimal(30) + f["d"]
-        ) * 86400 + f["h"] * 3600 + f["mi"] * 60 + f["s"]
-
-    # interval literal spellings at this point in the pipeline:
-    # INTERVAL 'x', CAST('x' AS interval), 'x'::interval
-    _IVL_LIT = (
-        rf"(?:INTERVAL\s+({_LIT})"
-        rf"|CAST\s*\(\s*({_LIT})\s+AS\s+interval\s*\)"
-        rf"|({_LIT})\s*::\s*interval\b)"
-    )
-
-    def sub_interval_cmp(m: re.Match) -> str:
-        a = _interval_total(m.group(1) or m.group(2) or m.group(3))
-        b = _interval_total(m.group(5) or m.group(6) or m.group(7))
-        if a is None or b is None:
-            return m.group(0)
-        op = m.group(4)
-        ok = {
-            "=": a == b, "<>": a != b, "!=": a != b, "<": a < b,
-            "<=": a <= b, ">": a > b, ">=": a >= b,
-        }[op]
-        return "true" if ok else "false"
-
-    sql = re.sub(
-        rf"(?i){_IVL_LIT}\s*(=|<>|!=|<=|>=|<|>)\s*{_IVL_LIT}",
-        sub_interval_cmp,
-        sql,
-    )
-
-    # make_interval(...) literal comparisons fold the same way
-    def _mi_total(args_s: str):
-        from decimal import Decimal
-
-        args = [a.strip() for a in _split_args(args_s)] \
-            if args_s.strip() else []
-        if len(args) > 7 or any(
-            not re.fullmatch(r"[-+]?\d+(?:\.\d+)?", a) for a in args
-        ):
-            return None
-        v = [Decimal(a) for a in args] + [Decimal(0)] * (7 - len(args))
-        y, mo, w, d, h, mi, s = v
-        return ((y * 12 + mo) * 30 + w * 7 + d) * 86400 \
-            + h * 3600 + mi * 60 + s
-
-    def sub_mi_cmp(m: re.Match) -> str:
-        a, b = _mi_total(m.group(1)), _mi_total(m.group(3))
-        if a is None or b is None:
-            return m.group(0)
-        ok = {
-            "=": a == b, "<>": a != b, "!=": a != b, "<": a < b,
-            "<=": a <= b, ">": a > b, ">=": a >= b,
-        }[m.group(2)]
-        return "true" if ok else "false"
-
-    sql = re.sub(
-        r"(?i)\bmake_interval\s*\(([^()]*)\)\s*(=|<>|!=|<=|>=|<|>)"
-        r"\s*make_interval\s*\(([^()]*)\)",
-        sub_mi_cmp,
-        sql,
-    )
-
-    def sub_interval_hash(m: re.Match) -> str:
-        tok = m.group(1) or m.group(2) or m.group(3)
-        t = _interval_total(tok)
-        return m.group(0) if t is None else f"hash({t})"
-
-    sql = re.sub(
-        rf"(?i)\binterval_hash\s*\(\s*{_IVL_LIT}\s*\)",
-        sub_interval_hash,
-        sql,
-    )
-    # median over datetime operands (pg_proc median = percentile_cont
-    # 0.5, which interpolates over timestamps): Spark's median is
-    # numeric-only — route through epoch micros
-    sql = re.sub(
-        rf"(?i)\bmedian\s*\(\s*((?:DATE|TIMESTAMP\w*)\s+{_LIT}"
-        rf"|CAST\s*\((?:[^()]|\([^()]*\))*AS\s+"
-        rf"(?:DATE|TIMESTAMP\w*)\s*\))\s*\)",
-        lambda m: (
-            "timestamp_micros(CAST(percentile(unix_micros(CAST("
-            f"{m.group(1)} AS TIMESTAMP)), 0.5) AS BIGINT))"
-        ),
-        sql,
-    )
-    # json[b]_populate_record(set) over an ANONYMOUS row(...) base
-    # (jsonfuncs.c populate_record with record type): fields are named
-    # f1..fn (parse_expr.c anonymous-record naming), types inferred
-    # from the row literals; a key present in the json overrides the
-    # base value, a missing key keeps it
-    def _row_lit_type(a: str) -> str:
-        if re.fullmatch(r"-?\d+", a):
-            return "INT"
-        if re.fullmatch(r"-?\d*\.\d+(?:[eE][-+]?\d+)?", a):
-            return "DOUBLE"
-        if a.lower() in ("true", "false"):
-            return "BOOLEAN"
-        return "STRING"
-
-    def sub_populate_anon(m: re.Match) -> str:
-        which, base_args, j = m.group(1), m.group(2), m.group(3).strip()
-        # the ROW(...) ctor lowered earlier to struct((e) AS f1, ...):
-        # recover (name, expr) pairs
-        pairs: list[tuple[str, str]] = []
-        for i, a in enumerate(_split_args(base_args), start=1):
-            am = re.match(r"(?is)^(.*?)\s+AS\s+(\w+)\s*$", a.strip())
-            if am:
-                pairs.append((am.group(2), am.group(1).strip()))
-            else:
-                pairs.append((f"f{i}", a.strip()))
-        if not pairs:
-            return m.group(0)
-        src = "__o" if which else j
-
-        def fld(nm: str, a: str) -> str:
-            expr = a[1:-1].strip() if (
-                a.startswith("(") and a.endswith(")")
-            ) else a
-            return (
-                f"'{nm}', IF(array_contains(json_object_keys({src}), "
-                f"'{nm}'), CAST(get_json_object({src}, '$.{nm}') AS "
-                f"{_row_lit_type(expr)}), {a})"
-            )
-
-        ns = "named_struct(" + ", ".join(
-            fld(nm, a) for nm, a in pairs) + ")"
-        if which:  # recordset: one row per array element
-            return (
-                f"explode(transform(from_json({j}, 'array<string>'), "
-                f"__o -> {ns}))"
-            )
-        return ns
-
-    sql = re.sub(
-        rf"(?i)\bjsonb?_populate_record(set)?\s*\(\s*struct\s*\("
-        rf"((?:[^()]|\([^()]*\))*)\)\s*,\s*({_LIT}|[\w.]+)\s*\)",
-        sub_populate_anon,
-        sql,
-    )
-    # expr IS OF (type) (parse_expr.c transformTypeCast IS OF): a
-    # static type-identity test — compared through Spark's typeof()
-    # at the TYPE-CLASS level (precision/scale stripped), which
-    # constant-folds for literal operands. The operand is found by a
-    # left walk-back over balanced parens / identifier chars / `::`
-    # connectors, because cast chains (CAST(..)::ARRAY<int>::..)
-    # outrun any fixed-depth operand regex.
-    def _operand_start(s: str, end: int) -> int:
-        i = end
-        while True:
-            if i > 0 and s[i - 1] == ")":
-                depth, j = 0, i
-                while j > 0:
-                    j -= 1
-                    if s[j] == ")":
-                        depth += 1
-                    elif s[j] == "(":
-                        depth -= 1
-                        if depth == 0:
-                            break
-                i = j
-                while i > 0 and (s[i - 1].isalnum()
-                                 or s[i - 1] in "_.$"):
-                    i -= 1
-            else:
-                j = i
-                while j > 0 and (s[j - 1].isalnum()
-                                 or s[j - 1] in "_.$\x01<>[]'"):
-                    j -= 1
-                if j == i:
-                    break
-                i = j
-            k = i
-            while k > 0 and s[k - 1].isspace():
-                k -= 1
-            if k >= 2 and s[k - 2: k] == "::":
-                i = k - 2
-                continue
-            break
-        return i
-
-    _KNOWN_TYPE_CLASSES = {
-        "int", "bigint", "smallint", "tinyint", "double", "float",
-        "string", "boolean", "date", "timestamp", "decimal", "binary",
-    }
-
-    def _is_of_class(t: str) -> str | None:
-        t = t.strip()
-        if t.endswith("[]"):
-            inner = _is_of_class(t[:-2])
-            return None if inner is None else f"array<{inner}>"
-        try:
-            mapped = map_decl_type(t)
-        except Exception:
-            return None
-        cls = re.sub(r"\(.*", "", mapped).strip().lower()
-        if cls == t.lower() and cls not in _KNOWN_TYPE_CLASSES:
-            return None  # unmapped PG-only name (domain/composite)
-        return cls
-
-    _IS_OF_RE = re.compile(
-        r"(?i)\s+IS\s+(NOT\s+)?OF\s*\(\s*([\w\[\]<> ]+?)\s*\)"
-    )
-    while True:
-        m = _IS_OF_RE.search(sql)
-        if not m:
-            break
-        start = _operand_start(sql, m.start())
-        x = sql[start: m.start()].strip()
-        cls = _is_of_class(m.group(2))
-        if cls is None or not x:
-            break  # unknown type / no operand: stay loud
-        op = "!=" if m.group(1) else "="
-        rep = (
-            f"(regexp_replace(lower(typeof({x})), '\\\\(.*', '') "
-            f"{op} '{cls}')"
-        )
-        sql = sql[:start] + rep + sql[m.end():]
-    # array_prepend(elem, arr) (arrayfuncs.c): PG leads with the
-    # ELEMENT; Spark's array_prepend leads with the array — swap
-    sql = re.sub(
-        r"(?i)\barray_prepend\s*\(\s*((?:[^(),]|\((?:[^()]|\([^()]*\))*\))+)"
-        r"\s*,\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
-        lambda m: f"array_prepend({m.group(2).strip()}, "
-                  f"{m.group(1).strip()})",
-        sql,
-    )
-    # get_bit/set_bit over BYTEA operands (varlena.c byteaGetBit /
-    # byteaSetBit — bit n lives in byte n/8 at in-byte position n%8
-    # from the LSB; regress strings.sql set_bit('\x..', 43, 0)). The
-    # bit-STRING forms keep the registered text functions; the bytea
-    # literal lowers to unhex(...) earlier, which is the dispatch key.
-    _BYA = r"unhex\s*\((?:[^()]|\([^()]*\))*\)"
-
-    def _byte_of(b: str, n: str) -> str:
-        return (
-            f"CAST(conv(substr(hex({b}), "
-            f"(CAST(({n}) AS INT) div 8) * 2 + 1, 2), 16, 10) AS INT)"
-        )
-
-    sql = re.sub(
-        rf"(?i)\bget_bit\s*\(\s*({_BYA})\s*,\s*((?:[^(),]|\([^()]*\))+)\)",
-        lambda m: (
-            f"CAST(shiftright({_byte_of(m.group(1), m.group(2))}, "
-            f"CAST(({m.group(2)}) AS INT) % 8) & 1 AS INT)"
-        ),
-        sql,
-    )
-
-    def sub_set_bit_bytea(m: re.Match) -> str:
-        b, n, v = m.group(1), m.group(2).strip(), m.group(3).strip()
-        k = f"CAST(({n}) AS INT) % 8"
-        newbyte = (
-            f"(({_byte_of(b, n)} & (255 - shiftleft(1, {k}))) "
-            f"| shiftleft(CAST(({v}) AS INT), {k}))"
-        )
-        pos = f"(CAST(({n}) AS INT) div 8) * 2"
-        return (
-            f"unhex(concat(substr(hex({b}), 1, {pos}), "
-            f"lpad(hex({newbyte}), 2, '0'), "
-            f"substr(hex({b}), {pos} + 3)))"
-        )
-
-    sql = re.sub(
-        rf"(?i)\bset_bit\s*\(\s*({_BYA})\s*,\s*((?:[^(),]|\([^()]*\))+)"
-        rf"\s*,\s*((?:[^(),]|\([^()]*\))+)\)",
-        sub_set_bit_bytea,
-        sql,
-    )
-    # an UNTYPED '{}' literal compared against an array-valued call
-    # adopts the array type in PG (parse_coerce.c unknown-literal
-    # resolution): array_remove(...) = '{}' is an empty-array compare
-    sql = re.sub(
-        rf"((?:array_\w+|array|sequence|slice|split|transform|filter"
-        rf"|collect_list|collect_set|sort_array|array)\s*\("
-        rf"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))\s*(=|<>|!=)\s*"
-        rf"({_LIT})",
-        lambda m: (
-            f"{m.group(1)} {m.group(2)} array()"
-            if _lit_value(m.group(3), lits).strip() == "{}"
-            else m.group(0)
-        ),
-        sql,
-        flags=re.IGNORECASE,
-    )
-    # scale(numeric) (numeric.c numeric_scale): digits after the
-    # decimal point of the value AS TYPED — DECIMAL's string form
-    # keeps trailing zeros, so the text length is exact
-    def sub_scale(m: re.Match) -> str:
-        x = m.group(1).strip()
-        s = f"CAST(({x}) AS STRING)"
-        return (
-            f"IF(({x}) IS NULL, CAST(NULL AS INT), "
-            f"IF(locate('.', {s}) = 0, 0, "
-            f"CAST(length({s}) - locate('.', {s}) AS INT)))"
-        )
-
-    sql = re.sub(
-        rf"(?i)\bscale\s*\(\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
-        sub_scale,
-        sql,
-    )
-    # num_nonnulls / num_nulls (misc.c pg_num_nonnulls): VARIADIC
-    # "any" — a per-argument null test folds to an integer sum
-    def sub_num_nulls(m: re.Match) -> str:
-        which = m.group(1).lower()
-        args = _split_args(m.group(2))
-        op = "IS NOT NULL" if which == "nonnulls" else "IS NULL"
-        terms = " + ".join(f"CAST(({a.strip()}) {op} AS INT)"
-                           for a in args)
-        return f"({terms})"
-
-    sql = re.sub(
-        r"(?i)\bnum_(nonnulls|nulls)\s*\("
-        r"((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
-        sub_num_nulls,
-        sql,
-    )
-    # record byte-compare operators ~<~ ~<=~ ~>~ ~>=~ (varlena.c
-    # text_pattern_lt &c): C-collation comparison — Spark's default
-    # binary comparison on the lowered struct/text operands
-    sql = re.sub(r"~(<=|>=|<|>)~", r" \1 ", sql)
-    # make_timestamptz (timestamp.c make_timestamptz_at_timezone):
-    # Spark's make_timestamp takes a 7th timezone arg, but only as an
-    # offset or region id — translate PG's zone ABBREVIATIONS through
-    # the datetime.c Default-file table before handing over
-    def sub_make_tstz_zone(m: re.Match) -> str:
-        args = [a.strip() for a in _split_args(m.group(1))]
-        if len(args) == 7:
-            zm = _MASK_RE.fullmatch(args[6])
-            if zm:
-                z = _lit_value(args[6], lits).strip().upper()
-                if z in _TZ_ABBREV_OFFSETS:
-                    args[6] = _new_lit(_TZ_ABBREV_OFFSETS[z], lits)
-                elif z in _TZ_ABBREV_ZONES:
-                    args[6] = _new_lit(_TZ_ABBREV_ZONES[z], lits)
-        return f"make_timestamp({', '.join(args)})"
-
-    sql = re.sub(
-        r"(?i)\bmake_timestamptz\s*\(((?:[^()]|\([^()]*\))*)\)",
-        sub_make_tstz_zone,
-        sql,
-    )
-    sql = _JSON_KEYS_ANY_RE.sub(
-        lambda m: (
-            f"exists({m.group(2)}, __jk -> "
-            f"array_contains(json_object_keys({m.group(1)}), __jk))"
-        ),
-        sql,
-    )
-    sql = _JSON_KEYS_ALL_RE.sub(
-        lambda m: (
-            f"forall({m.group(2)}, __jk -> "
-            f"array_contains(json_object_keys({m.group(1)}), __jk))"
-        ),
-        sql,
-    )
-    sql = _JSON_HAS_KEY_RE.sub(
-        lambda m: (
-            f"array_contains(json_object_keys({m.group(1)}), {m.group(2)})"
-        ),
-        sql,
-    )
-    # function spellings of the same operators (jsonfuncs.c
-    # jsonb_exists/_any/_all), plus jsonb_delete's text-key form as a
-    # single-step jsonb_delete_path
-    sql = re.sub(
-        rf"\bjsonb_exists\s*\(\s*({_ARITH_CHAIN}|{_LIT})\s*,"
-        rf"\s*({_ARITH_CHAIN}|{_LIT})\s*\)",
-        lambda m: (
-            f"array_contains(json_object_keys({m.group(1)}), {m.group(2)})"
-        ),
-        sql,
-        flags=re.IGNORECASE,
-    )
-    sql = re.sub(
-        rf"\bjsonb_exists_(any|all)\s*\(\s*({_ARITH_CHAIN}|{_LIT})\s*,"
-        rf"\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
-        lambda m: (
-            f"{'exists' if m.group(1).lower() == 'any' else 'forall'}"
-            f"({m.group(3)}, __jk -> "
-            f"array_contains(json_object_keys({m.group(2)}), __jk))"
-        ),
-        sql,
-        flags=re.IGNORECASE,
-    )
-    sql = re.sub(
-        rf"\bjsonb_delete\s*\(\s*({_ARITH_CHAIN}|{_LIT})\s*,"
-        rf"\s*({_LIT})\s*\)",
-        lambda m: f"jsonb_delete_path({m.group(1)}, array({m.group(2)}))",
-        sql,
-        flags=re.IGNORECASE,
-    )
-    # array_replace (arrayfuncs.c): NULL-safe elementwise swap
-    sql = re.sub(
-        r"\barray_replace\s*\(\s*((?:[^()]|\([^()]*\))+?)\s*,"
-        rf"\s*({_ARITH_CHAIN}|{_LIT}|NULL)\s*,"
-        rf"\s*({_ARITH_CHAIN}|{_LIT}|NULL)\s*\)",
-        lambda m: (
-            f"transform({m.group(1)}, "
-            f"__x -> IF(__x <=> {m.group(2)}, {m.group(3)}, __x))"
-        ),
-        sql,
-        flags=re.IGNORECASE,
-    )
-
-    def sub_json_typeof(m: re.Match) -> str:
-        j = m.group(1).strip()
-        t = f"trim({j})"
-        return (
-            f"(CASE WHEN {j} IS NULL THEN NULL "
-            f"WHEN left({t}, 1) = '{{' THEN 'object' "
-            f"WHEN left({t}, 1) = '[' THEN 'array' "
-            f"WHEN left({t}, 1) = '\"' THEN 'string' "
-            f"WHEN {t} IN ('true', 'false') THEN 'boolean' "
-            f"WHEN {t} = 'null' THEN 'null' "
-            f"ELSE 'number' END)"
-        )
-
-    sql = _JSON_TYPEOF_RE.sub(sub_json_typeof, sql)
-
-    def sub_regexp_matches(m: re.Match) -> str:
-        # regexp_matches (regexp.c): setof text[] of capture groups.
-        # Without 'g': one array or no row (here: NULL, the scalar
-        # form — documented deviation in select position). With 'g':
-        # a true SRF over every match, lowered to explode over the
-        # per-group regexp_extract_all streams zipped per match.
-        x, tok, ftok = m.group(1).strip(), m.group(2), m.group(3)
-        body = lits[int(_MASK_RE.match(tok).group(1))][1:-1]
-        flags = _lit_value(ftok, lits) if ftok else ""
-        inline = ""
-        for fch in flags:
-            if fch == "g":
-                continue
-            mapped = {"i": "i", "m": "m", "n": "m", "s": "s",
-                      "x": "x"}.get(fch)
-            if mapped is None:
-                return m.group(0)  # unknown flag: stay loud
-            inline += mapped
-        ngroups, _ = _shift_pattern_backrefs(body, 0)
-        ptok = tok if not inline else _new_lit_raw(
-            f"(?{inline}){body}", lits
-        )
-        if "g" in flags:
-            if ngroups == 0:
-                return (
-                    f"explode(transform(regexp_extract_all({x}, {ptok},"
-                    f" 0), __m -> array(__m)))"
-                )
-            zips = ", ".join(
-                f"regexp_extract_all({x}, {ptok}, {i})"
-                for i in range(1, ngroups + 1)
-            )
-            arr = ", ".join(f"__s.`{i}`" for i in range(ngroups))
-            return (
-                f"explode(transform(arrays_zip({zips}), "
-                f"__s -> array({arr})))"
-            )
-        if ngroups == 0:
-            inner = f"array(regexp_extract({x}, {ptok}, 0))"
-        else:
-            inner = "array(" + ", ".join(
-                f"regexp_extract({x}, {ptok}, {i})"
-                for i in range(1, ngroups + 1)
-            ) + ")"
-        return f"(CASE WHEN {x} RLIKE {ptok} THEN {inner} END)"
-
-    sql = _REGEXP_MATCHES_RE.sub(sub_regexp_matches, sql)
-
-    def sub_interval_qual(m: re.Match) -> str:
-        prec_p, tok, q_hi, q_hi_p, q_lo, q_lo_p = m.groups()
-        if prec_p is None and q_hi is None:
-            return m.group(0)  # plain INTERVAL '...': existing path
-        hi = q_hi.lower() if q_hi else None
-        lo = q_lo.lower() if q_lo else None
-        if (
-            not prec_p and not q_lo and not q_hi_p
-            and re.fullmatch(r"[+-]?\d+", _lit_value(tok, lits).strip())
-        ):
-            # INTERVAL '30' DAY: already valid Spark with identical
-            # semantics — keep the native (ANSI-typed) literal so
-            # interval-typed function args keep their expected type
-            return m.group(0)
-        prec = (
-            int(prec_p) if prec_p
-            else int(q_lo_p) if q_lo_p
-            else int(q_hi_p) if q_hi_p and not q_lo else None
-        )
-        f = _pg_interval_parse(_lit_value(tok, lits), hi, lo, prec)
-        if f is None:
-            return m.group(0)  # unparseable input stays loud, as in PG
-        # Emit an ANSI-typed literal when the fields are pure
-        # year-month or pure day-time: DayTimeIntervalType composes
-        # with DATE as PG does (date + time-of-day -> timestamp),
-        # where make_interval's CalendarInterval would truncate to
-        # DATE. Mixed y/mo+time falls back to make_interval.
-        ym = f["y"] * 12 + f["mo"]
-        dt_secs = f["d"] * 86400 + f["h"] * 3600 + f["mi"] * 60 + f["s"]
-        if ym == 0:
-            return f"INTERVAL {_new_lit(str(dt_secs), lits)} SECOND"
-        if dt_secs == 0:
-            return f"INTERVAL {_new_lit(str(ym), lits)} MONTH"
-        return (
-            f"make_interval({f['y']}, {f['mo']}, 0, {f['d']}, "
-            f"{f['h']}, {f['mi']}, {f['s']})"
-        )
-
-    def sub_justify(m: re.Match) -> str:
-        """justify_hours/days/interval over an interval LITERAL
-        (timestamp.c interval_justify_*): hours→days and days→months
-        carries, plus — for justify_interval — the sign borrow that
-        makes all fields share a direction ('1 month -1 hour' →
-        '29 days 23:00:00', regress sql/interval.sql). Plan-time only;
-        a non-literal argument stays loud like any unknown function."""
-        from decimal import Decimal
-
-        kind = m.group(1).lower()
-        f = _pg_interval_parse(_lit_value(m.group(2), lits), None, None, None)
-        if f is None:
-            return m.group(0)
-        months = int(f["y"] * 12 + f["mo"])
-        days = int(f["d"])
-        us = int(
-            (f["h"] * 3600 + f["mi"] * 60 + f["s"]) * 1_000_000
-        )
-        usd = 86_400_000_000
-        if kind in ("hours", "interval"):
-            # trunc-toward-zero carry of whole days out of the time part
-            carry = us // usd if us >= 0 else -((-us) // usd)
-            days += carry
-            us -= carry * usd
-        if kind in ("days", "interval"):
-            carry = days // 30 if days >= 0 else -((-days) // 30)
-            months += carry
-            days -= carry * 30
-        if kind == "interval":
-            if months > 0 and (days < 0 or (days == 0 and us < 0)):
-                days += 30
-                months -= 1
-            elif months < 0 and (days > 0 or (days == 0 and us > 0)):
-                days -= 30
-                months += 1
-            if days > 0 and us < 0:
-                us += usd
-                days -= 1
-            elif days < 0 and us > 0:
-                us -= usd
-                days += 1
-        return (
-            f"make_interval(0, {months}, 0, {days}, 0, 0, "
-            f"{Decimal(us) / 1_000_000})"
-        )
-
-    sql = re.sub(
-        r"\bjustify_(interval|hours|days)\s*\(\s*INTERVAL\s+"
-        r"(\x01\d+\x01)\s*\)",
-        sub_justify,
-        sql,
-        flags=re.IGNORECASE,
-    )
-    sql = _INTERVAL_QUAL_RE.sub(sub_interval_qual, sql)
-
-    def sub_interval_lit(m: re.Match) -> str:
-        tok = m.group(1)
-        idx = int(_MASK_RE.match(tok).group(1))
-        body = lits[idx]
-        raw = body[1:-1]
-        # PG input forms Spark's stringToInterval rejects — colon
-        # times ('02:03', '-1 days +02:03'), '@ ... ago' verbose form,
-        # fractional unit counts ('1.5 months' spills to 1 mon 15 days,
-        # datetime.c AdjustFractDays): route through the PG interval
-        # parser (same machinery as the field-qualifier literals).
-        # Integer unit-word-only bodies that Spark already parses keep
-        # the native literal.
-        if ":" in raw or raw.strip().startswith("@") or (
-            raw.strip().lower().endswith(" ago")
-        ) or re.search(r"\d+\.\d+\s*[a-z]", raw, re.IGNORECASE) or re.search(
-            # PG-only unit words Spark's stringToInterval rejects
-            r"(?i)\b(millenni|centur|decade)", raw
-        ) or re.search(
-            # suffix-attached unit abbreviations ('2y 3mon 4d')
-            r"(?i)\d[a-z]", raw
-        ) or (
-            # mixed year-month + day-time unit words: Spark's ANSI
-            # literal rejects the mix ("Cannot mix year-month and
-            # day-time fields"); PG reads it as one interval
-            re.search(r"(?i)\b(year|month|mon)s?\b", raw)
-            and re.search(
-                r"(?i)\b(day|week|hour|minute|min|second|sec"
-                r"|millisecond|microsecond|ms|us)s?\b",
-                raw,
-            )
-        ):
-            f = _pg_interval_parse(raw, None, None, None)
-            if f is not None:
-                ym = f["y"] * 12 + f["mo"]
-                dt_secs = (
-                    f["d"] * 86400 + f["h"] * 3600 + f["mi"] * 60 + f["s"]
-                )
-                if ym == 0:
-                    return f"INTERVAL {_new_lit(str(dt_secs), lits)} SECOND"
-                if dt_secs == 0:
-                    return f"INTERVAL {_new_lit(str(ym), lits)} MONTH"
-                return (
-                    f"make_interval({f['y']}, {f['mo']}, 0, {f['d']}, "
-                    f"{f['h']}, {f['mi']}, {f['s']})"
-                )
-        fixed = re.sub(r"\bmons?\b", "month", body)
-        if fixed != body:
-            lits.append(fixed)
-            return f"INTERVAL \x01{len(lits) - 1}\x01"
-        return m.group(0)
-
-    # `'x'::interval` / CAST('x' AS interval) route through the
-    # `interval 'x'` literal machinery ONLY when the body needs PG
-    # normalization ('mon' spellings, colon times, fractional units,
-    # verbose '@ .. ago', PG-only unit words) — Spark's own CAST would
-    # return NULL for those. Bodies Spark parses keep the CAST path,
-    # whose CalendarIntervalType renders as PG text at the boundary.
-    def _needs_pg_interval(body: str) -> bool:
-        return bool(re.search(
-            r"(?i)\bmons?\b|:|\d+\.\d+\s*[a-z]|^\s*@|\bago\b"
-            r"|millenni|centur|decade|\d[a-z]",
-            body,
-        ))
-
-    def sub_iv_cast(m: re.Match) -> str:
-        if _needs_pg_interval(_lit_value(m.group(1), lits)):
-            return f"INTERVAL {m.group(1)}"
-        return m.group(0)
-
-    sql = re.sub(
-        rf"({_LIT})\s*::\s*interval\b(?!\s*[\[(])"
-        rf"(?!\s+(?:year|month|day|hour|minute|second))",
-        sub_iv_cast,
-        sql,
-        flags=re.IGNORECASE,
-    )
-    sql = re.sub(
-        rf"(?i)\bCAST\s*\(\s*({_LIT})\s+AS\s+interval\s*\)",
-        sub_iv_cast,
-        sql,
-    )
-    sql = _INTERVAL_LIT_RE.sub(sub_interval_lit, sql)
-
-    def sub_arr_subq(m: re.Match) -> str:
-        q = m.group(1).strip()
-        fromless = re.match(
-            r"(?is)^SELECT\s+(.+?)(?:\s+AS\s+\w+)?\s*$", q
-        )
-        if fromless and not re.search(r"(?i)\bFROM\b", q):
-            # FROM-less body: a one-row subquery, so the array is just
-            # the single value (json.c regress array(select 1))
-            return f"array((SELECT {fromless.group(1)}))"
-        mo = re.match(
-            r"(?is)^SELECT\s+(.+?)\s+(FROM\b.*?)"
-            r"(?:\s+ORDER\s+BY\s+([^()]+?)\s*(DESC|ASC)?)?$",
-            q,
-        )
-        if not mo:
-            return m.group(0)
-        expr, rest, ordb, direc = (
-            mo.group(1).strip(), mo.group(2).strip(),
-            (mo.group(3) or "").strip(), (mo.group(4) or "ASC").upper(),
-        )
-        if ordb and ordb != expr:
-            return m.group(0)  # can't sort by another key post-collect
-        # PG's ARRAY(SELECT ...) constructor KEEPS NULL elements while
-        # Spark's collect_list silently drops them — collect a wrapped
-        # struct and unwrap so nullable exprs round-trip. array_sort
-        # places NULLs last (= PG ASC default); reverse() of that is
-        # NULLS FIRST (= PG DESC default).
-        base = (
-            f"transform(collect_list(named_struct('v', {expr})), "
-            f"__s -> __s.v)"
-        )
-        if not ordb:
-            agg = base
-        elif direc == "DESC":
-            agg = f"reverse(array_sort({base}))"
-        else:
-            agg = f"array_sort({base})"
-        return f"(SELECT {agg} {rest})"
-
-    # jsonb mutation family (jsonfuncs.c): jsonb_set / jsonb_insert
-    # route to the registered Python UDFs with the braced text[] path
-    # argument lowered to array(...); j #- path deletes at a path;
-    # json_object/jsonb_object dispatch on arity (flat pair list vs
-    # parallel key/value arrays).
-    def sub_jsonb_mut(m: re.Match) -> str:
-        fn = m.group(1).lower()
-        args = [a.strip() for a in _split_args(m.group(2))]
-        if len(args) >= 2:
-            args[1] = _braced_to_array(args[1], lits)
-        if len(args) == 3:
-            # pad the optional flag (create_missing / insert_after) to
-            # its PG default — the Arrow-batched UDF has fixed arity
-            args.append("true" if fn == "jsonb_set" else "false")
-        return f"{fn}({', '.join(args)})"
-
-    sql = _JSONB_MUT_RE.sub(sub_jsonb_mut, sql)
-
-    def sub_hash_minus(m: re.Match) -> str:
-        lhs, rhs = m.group(1), _braced_to_array(m.group(2), lits)
-        return f"jsonb_delete_path({lhs}, {rhs})"
-
-    sql = _HASH_MINUS_RE.sub(sub_hash_minus, sql)
-
-    def sub_json_object(m: re.Match) -> str:
-        args = [a.strip() for a in _split_args(m.group(2))]
-        if len(args) == 1:
-            return f"json_object1({_braced_to_array(args[0], lits)})"
-        if len(args) == 2:
-            return (
-                f"json_object2({_braced_to_array(args[0], lits)}, "
-                f"{_braced_to_array(args[1], lits)})"
-            )
-        return m.group(0)
-
-    sql = _JSON_OBJECT_RE.sub(sub_json_object, sql)
-
-    return _ARRAY_SUBQ_RE.sub(sub_arr_subq, sql)
-
-
-def _split_args(s: str) -> list[str]:
-    parts, depth, buf = [], 0, []
-    for ch in s:
-        if ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            parts.append("".join(buf))
-            buf = []
-            continue
-        buf.append(ch)
-    parts.append("".join(buf))
-    return [p for p in parts if p.strip()]
-
-
-def _rewrite_substring_regex(sql: str, lits: list[str]) -> str:
-    def sub(m: re.Match) -> str:
-        x, lit_tok = m.group(1).strip(), m.group(2)
-        body = lits[int(_MASK_RE.match(lit_tok).group(1))]
-        # capture-group detection on the unquoted pattern text
-        idx = 1 if re.search(r"(?<!\\)\((?!\?)", body[1:-1]) else 0
-        # textregexsubstr: NULL only on NO match; a pattern that
-        # matches the empty string (e.g. 'z*') returns '' — so gate on
-        # RLIKE instead of nullif'ing the extract (which can't tell
-        # empty-match from no-match).
-        return (
-            f"(CASE WHEN {x} RLIKE {lit_tok} "
-            f"THEN regexp_extract({x}, {lit_tok}, {idx}) END)"
-        )
-
-    return _SUBSTR_REGEX_RE.sub(sub, sql)
-
-
-def _parse_braced_elems(inner: str) -> list[str] | None:
-    """array_in tokenizer for ONE-dimensional braced literal bodies
-    (reference src/backend/utils/adt/arrayfuncs.c array_in): elements
-    split on top-level commas; double-quoted elements may contain
-    commas/braces/spaces; backslash escapes the next char. Returns None
-    for nested arrays ('{' at element level) — those are not
-    representable as a flat array<string> and must stay loud."""
-    elems: list[str] = []
-    buf: list[str] = []
-    quoted = in_q = False
-    i, n = 0, len(inner)
-    while i < n:
-        ch = inner[i]
-        if in_q:
-            if ch == "\\" and i + 1 < n:
-                buf.append(inner[i + 1])
-                i += 2
-                continue
-            if ch == '"':
-                in_q = False
-                i += 1
-                continue
-            buf.append(ch)
-            i += 1
-            continue
-        if ch == '"':
-            in_q = True
-            quoted = True
-            i += 1
-            continue
-        if ch == "\\" and i + 1 < n:
-            buf.append(inner[i + 1])
-            i += 2
-            continue
-        if ch in "{}":
-            return None
-        if ch == ",":
-            s = "".join(buf)
-            elems.append(s if quoted else s.strip())
-            buf, quoted = [], False
-            i += 1
-            continue
-        buf.append(ch)
-        i += 1
-    if in_q:
-        return None  # unterminated quote: malformed, stay loud
-    s = "".join(buf)
-    elems.append(s if quoted else s.strip())
-    return elems
-
-
-def _parse_braced_tree(inner: str):
-    """Nested array_in tokenizer (arrayfuncs.c array_in, multi-dim):
-    elements are strings or sub-lists ('{...}' at element level).
-    Returns None on malformed input."""
-    elems: list = []
-    buf: list[str] = []
-    quoted = in_q = False
-    pending: list | None = None
-    i, n = 0, len(inner)
-
-    def flush():
-        nonlocal buf, quoted, pending
-        if pending is not None:
-            elems.append(pending)
-            pending = None
-        else:
-            s = "".join(buf)
-            elems.append(s if quoted else s.strip())
-        buf, quoted = [], False
-
-    while i < n:
-        ch = inner[i]
-        if in_q:
-            if ch == "\\" and i + 1 < n:
-                buf.append(inner[i + 1])
-                i += 2
-                continue
-            if ch == '"':
-                in_q = False
-                i += 1
-                continue
-            buf.append(ch)
-            i += 1
-            continue
-        if ch == '"':
-            in_q = True
-            quoted = True
-            i += 1
-            continue
-        if ch == "\\" and i + 1 < n:
-            buf.append(inner[i + 1])
-            i += 2
-            continue
-        if ch == "{":
-            depth, j, inq2 = 0, i, False
-            while j < n:
-                c2 = inner[j]
-                if inq2:
-                    if c2 == "\\":
-                        j += 2
-                        continue
-                    if c2 == '"':
-                        inq2 = False
-                elif c2 == '"':
-                    inq2 = True
-                elif c2 == "{":
-                    depth += 1
-                elif c2 == "}":
-                    depth -= 1
-                    if depth == 0:
-                        break
-                j += 1
-            if j >= n:
-                return None
-            body = inner[i + 1 : j].strip()
-            sub = _parse_braced_tree(body) if body else []
-            if sub is None:
-                return None
-            pending = sub
-            i = j + 1
-            continue
-        if ch == "}":
-            return None
-        if ch == ",":
-            flush()
-            i += 1
-            continue
-        buf.append(ch)
-        i += 1
-    if in_q:
-        return None
-    flush()
-    return elems
-
-
-def _braced_to_array(arr: str, lits: list[str]) -> str:
-    """'{1,2,3}' braced array-literal text (array_in) → array('1','2',
-    '3'); quoted elements keep embedded commas; nested/malformed bodies
-    pass through unchanged (stay loud downstream)."""
-    m = _MASK_RE.fullmatch(arr.strip())
-    if not m:
-        return arr
-    body = lits[int(m.group(1))][1:-1].strip()
-    if not (body.startswith("{") and body.endswith("}")):
-        return arr
-    inner = body[1:-1].strip()
-    if not inner:
-        return "array()"
-    elems = _parse_braced_elems(inner)
-    if elems is None:
-        return arr
-    return "array(" + ", ".join(
-        "'" + e.replace("'", "''") + "'" for e in elems
-    ) + ")"
-
-
-def _rewrite_op_any_all(sql: str, lits: list[str]) -> str:
-    def sub(m: re.Match) -> str:
-        x, op, quant, arr = (g.strip() for g in m.groups())
-        arr = _braced_to_array(arr, lits)
-        fn = "forall" if quant.upper() == "ALL" else "exists"
-        if op == "<>":
-            op = "!="
-        if re.match(r"(?is)^\(\s*SELECT\b", arr):
-            # array-valued SCALAR SUBQUERY operand ('x = ANY((SELECT
-            # array)::t[])'): Spark forbids subqueries under
-            # higher-order functions — explode the array in a
-            # subquery and quantify with bool_or/bool_and instead
-            agg = "bool_and" if fn == "forall" else "bool_or"
-            arr_e = re.sub(r"(?is)::\s*\w+\s*\[\s*\]\s*$", "", arr)
-            return (
-                f"(SELECT {agg}(({x}) {op} __qe) "
-                f"FROM (SELECT explode({arr_e}) AS __qe) AS __qx)"
-            )
-        return f"{fn}({arr}, __qe -> ({x}) {op} __qe)"
-
-    def sub_like(m: re.Match) -> str:
-        x, neg, op, quant, arr = (
-            (g or "").strip() for g in m.groups()
-        )
-        arr = _braced_to_array(arr, lits)
-        fn = "forall" if quant.upper() == "ALL" else "exists"
-        pred = f"({x}) {op.upper()} __qe"
-        if neg:
-            pred = f"NOT ({pred})"
-        return f"{fn}({arr}, __qe -> {pred})"
-
-    def sub_subq(m: re.Match) -> str:
-        # quantified SUBQUERY comparisons (parse_expr.c SubLink
-        # ANY/ALL): Spark SQL has no ALL/ANY(SELECT ...) at all.
-        # Lowered through ONE scalar collect_list subquery + a
-        # higher-order exists/forall — PG runs these as a materialized
-        # subplan per row too, so the collected-array shape mirrors the
-        # reference's execution (hashed/materialized SubPlan), and the
-        # subquery here is a bounded dialect path, not a fact scan.
-        x, op, quant, q = (g.strip() for g in m.groups())
-        if re.search(r"(?i)\bFROM\b", q):
-            # table-backed subqueries keep the scalable join lowering
-            # (pinned by test_dialect_property); only the FROM-less
-            # SRF-expansion shape takes the aggregated path
-            return m.group(0)
-        if op == "<>":
-            op = "!="
-        # Three-valued logic (execExprInterp.c ExecScanSubPlan): ANY is
-        # true if any comparison is true, else NULL if any is NULL,
-        # else false (empty set → false); ALL mirrors with false/NULL/
-        # true (empty set → true). A plain bool_or/bool_and skips
-        # NULLs, and coalescing the whole thing collapsed Unknown —
-        # e.g. 1 = ANY(SELECT NULL) must stay NULL, not false.
-        if quant.upper() == "ALL":
-            case = (
-                "CASE WHEN count_if(NOT __qc) > 0 THEN false "
-                "WHEN count_if(__qc IS NULL) > 0 THEN "
-                "CAST(NULL AS BOOLEAN) ELSE true END"
-            )
-        else:
-            case = (
-                "CASE WHEN count_if(__qc) > 0 THEN true "
-                "WHEN count_if(__qc IS NULL) > 0 THEN "
-                "CAST(NULL AS BOOLEAN) ELSE false END"
-            )
-        return (
-            f"(SELECT {case} FROM (SELECT (({x}) {op} __qv) AS __qc "
-            f"FROM ({q}) AS __qt(__qv)) AS __qs)"
-        )
-
-    # head-match the operand/op/quantifier, then BALANCE the subquery's
-    # parens by scan — arbitrarily nested SRF arguments
-    # (unnest(CAST(array() AS ...))) defeat any fixed-depth regex
-    head_re = re.compile(
-        rf"({_DISTINCT_OPERAND}(?:\s*[-+*/%]\s*{_DISTINCT_OPERAND})*)"
-        rf"\s*(=|<>|!=|<=|>=|<|>)\s*"
-        rf"(ANY|ALL|SOME)\s*\(\s*(?=SELECT\b)",
-        re.IGNORECASE,
-    )
-    pos = 0
-    while True:
-        m = head_re.search(sql, pos)
-        if not m:
-            break
-        depth, i = 1, m.end()
-        while i < len(sql) and depth:
-            if sql[i] == "(":
-                depth += 1
-            elif sql[i] == ")":
-                depth -= 1
-            i += 1
-        if depth:  # unbalanced: leave untouched
-            pos = m.end()
-            continue
-
-        class _M:
-            def groups(self):
-                return (m.group(1), m.group(2), m.group(3),
-                        sql[m.end(): i - 1])
-
-            def group(self, n=0):
-                return sql[m.start(): i] if n == 0 else m.group(n)
-
-        repl = sub_subq(_M())
-        sql = sql[: m.start()] + repl + sql[i:]
-        pos = m.start() + len(repl)
-    sql = _LIKE_ANY_ALL_RE.sub(sub_like, sql)
-    return _OP_ANY_ALL_RE.sub(sub, sql)
-
-
-def _rewrite_between_symmetric(sql: str) -> str:
-    def sub(m: re.Match) -> str:
-        x, neg, a, b = ((g or "").strip() for g in m.groups())
-        core = (
-            f"(({x} >= {a} AND {x} <= {b}) OR "
-            f"({x} >= {b} AND {x} <= {a}))"
-        )
-        return f"(NOT {core})" if neg else core
-
-    return _BETWEEN_SYM_RE.sub(sub, sql)
-
 # PG string_agg(x, 'sep' ORDER BY cols) → listagg WITHIN GROUP (the
 # ORDER BY sits inside the call parens in PG, after them in Spark)
 _STRING_AGG_ORDER_RE = re.compile(
@@ -4607,956 +372,11 @@ _STRING_AGG_RE = re.compile(
     rf"\bstring_agg\s*\(([^(),]+),\s*({_LIT})\s*\)", re.IGNORECASE
 )
 
-_DISTINCT_ON_RE = re.compile(
-    r"^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s+FROM\s+(.*?)"
-    r"(?:\s+ORDER\s+BY\s+(.*?))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-
-def _rewrite_distinct_on(sql: str) -> str:
-    """PG `SELECT DISTINCT ON (k) cols FROM ... ORDER BY k, tiebreak`
-    (parser gram.y distinct_clause) → row_number window, keep first row
-    per key. Only the whole-statement shape is handled; anything more
-    nested passes through (and Spark reports the syntax error)."""
-    m = _DISTINCT_ON_RE.match(sql)
-    if m is None:
-        return sql
-    on_cols, select_list, tail, order_by = m.groups()
-    order = order_by.strip() if order_by else on_cols.strip()
-    return (
-        f"SELECT * EXCEPT (__rn) FROM ("
-        f"SELECT {select_list.strip()}, row_number() OVER ("
-        f"PARTITION BY {on_cols.strip()} ORDER BY {order}) AS __rn "
-        f"FROM {tail.strip()}) __distinct_on WHERE __rn = 1"
-    )
-
-
-_WITH_TIES_RE = re.compile(
-    r"^(.*)\bORDER\s+BY\s+(.+?)\s+"
-    r"FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+WITH\s+TIES\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-
-def _rewrite_with_ties(sql: str) -> str:
-    """PG 13 `FETCH FIRST n ROWS WITH TIES` (gram.y limit_clause,
-    LIMIT_OPTION_WITH_TIES) → rank() window: rows tying with the n-th
-    row on the ORDER BY key survive the limit. Whole-statement shape
-    only; ORDER BY items must name output columns (they become the
-    rank window's keys over the wrapped subquery)."""
-    m = _WITH_TIES_RE.match(sql.strip())
-    if m is None:
-        return sql
-    head, order, n = m.group(1).strip(), m.group(2).strip(), m.group(3)
-    return (
-        f"SELECT * EXCEPT (__rk) FROM ("
-        f"SELECT __q.*, rank() OVER (ORDER BY {order}) AS __rk "
-        f"FROM ({head}) __q) __ties WHERE __rk <= {n} ORDER BY {order}"
-    )
-
-
-_SERIAL_TYPES = {
-    "serial": "INT",
-    "serial4": "INT",
-    "bigserial": "BIGINT",
-    "serial8": "BIGINT",
-    "smallserial": "SMALLINT",
-    "serial2": "SMALLINT",
-}
-
-_CREATE_TABLE_DEFS_RE = re.compile(
-    r"^(CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"[\w.]+\s*)\(",
-    re.IGNORECASE,
-)
-
 _ALTER_ADD_COL_RE = re.compile(
     r"(\bADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?\w+\s+)"
     r"((?:[A-Za-z_]\w*\s*)+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
     re.IGNORECASE,
 )
-
-# per-column constraint clauses Spark's parser rejects (gram.y
-# ColConstraint): dropped — PG enforces them, a lakehouse records them
-# at best. NOT NULL survives (Spark parses it).
-_COL_CONSTRAINT_RE = re.compile(
-    r"\s+(?:PRIMARY\s+KEY|UNIQUE|REFERENCES\s+[\w.]+(?:\s*\([^)]*\))?"
-    r"|CHECK\s*\((?:[^()]|\([^()]*\))*\)"
-    r"|DEFAULT\s+(?:[\w.]+\s*\([^()]*\)|'[^']*'|[\w.+-]+))",
-    re.IGNORECASE,
-)
-_TABLE_CONSTRAINT_RE = re.compile(
-    r"^\s*(?:CONSTRAINT\s+\w+\s+)?"
-    r"(?:PRIMARY\s+KEY|UNIQUE|CHECK|FOREIGN\s+KEY|EXCLUDE)\b",
-    re.IGNORECASE,
-)
-
-
-def _rewrite_create_table_defs(sql: str) -> str:
-    """CREATE TABLE (col pgtype constraints, ...) — map PG type names
-    (int4/text/serial/...) to Spark types and drop the constraint
-    clauses Spark's parser rejects (tablecmds.c enforces them; a
-    parquet lakehouse records them at best). CTAS has no column-def
-    list and passes through."""
-    m = _CREATE_TABLE_DEFS_RE.match(sql.strip())
-    if m is None:
-        return sql
-    s = sql.strip()
-    # matching close paren of the column list
-    depth, i = 1, m.end()
-    while i < len(s) and depth:
-        depth += {"(": 1, ")": -1}.get(s[i], 0)
-        i += 1
-    if depth:
-        return sql
-    head, defs, tail = s[: m.end()], s[m.end(): i - 1], s[i - 1:]
-    cols = []
-    for item in _split_top_level_commas(defs):
-        item = item.strip()
-        if not item or _TABLE_CONSTRAINT_RE.match(item):
-            continue  # table-level constraints drop entirely
-        cm = re.match(
-            r"^(\w+)\s+"
-            r"(double\s+precision"
-            r"|character\s+varying(?:\(\s*\d+\s*\))?"
-            r"|timestamp(?:\s+with(?:out)?\s+time\s+zone)?"
-            r"|time(?:\s+with(?:out)?\s+time\s+zone)?"
-            r"|[A-Za-z_]\w*(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
-            r"(\s+.*)?$",
-            item,
-            re.DOTALL | re.IGNORECASE,
-        )
-        if cm is None:
-            cols.append(item)
-            continue
-        name, typ, rest = cm.group(1), cm.group(2).strip(), cm.group(3) or ""
-        low = re.sub(r"\s+", " ", typ.lower())
-        typ = _SERIAL_TYPES.get(low) or map_decl_type(typ)
-        rest = _COL_CONSTRAINT_RE.sub("", rest).strip()
-        cols.append(f"{name} {typ}" + (f" {rest}" if rest else ""))
-    # PG CREATE [TEMP] TABLE has no storage provider and Spark's
-    # parser requires one: drop the TEMP keyword (a managed table is
-    # the engine's session-table model) and add USING PARQUET right
-    # after the column list (before any DISTRIBUTED BY tail, which
-    # the engine strips separately)
-    head = re.sub(r"(?i)\bTEMP(?:ORARY)?\s+", "", head)
-    if not re.search(r"(?i)\bUSING\b", tail):
-        tail = ") USING PARQUET" + tail[1:]
-    return f"{head}{', '.join(cols)}{tail}"
-
-
-def _split_top_level_commas(s: str) -> list[str]:
-    parts, depth, buf = [], 0, []
-    for ch in s:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            parts.append("".join(buf))
-            buf = []
-            continue
-        buf.append(ch)
-    parts.append("".join(buf))
-    return parts
-
-
-def map_decl_type(t: str) -> str:
-    """PG type spelling -> Spark type for declared contexts (function
-    parameters / RETURNS / PL/pgSQL DECLARE), including the multiword
-    spellings the `::cast` rewrite never sees."""
-    tl = re.sub(r"\s+", " ", t.strip().lower())
-    if tl.endswith("[]"):
-        # PG array type spelling (numeric[], int[][]) — each [] pair
-        # is one nesting level
-        return f"ARRAY<{map_decl_type(tl[:-2])}>"
-    if tl == "double precision":
-        return "DOUBLE"
-    if tl.startswith("character varying") or tl == "character":
-        return "STRING"
-    if tl.startswith("timestamp"):  # with/without time zone spellings
-        return "TIMESTAMP"
-    if tl.startswith("time"):  # no TIME type in Spark; HH:MM:SS sorts
-        return "STRING"
-    return _map_type(t)
-
-
-def _pg_date_fold(body: str) -> str | None:
-    import datetime as _dt
-
-    s = body.strip()
-    if re.fullmatch(r"\d{4}-\d{2}-\d{2}", s):
-        return None  # already ISO — native literal is fine
-    if re.fullmatch(r"\d{8}", s):  # compact ISO 'YYYYMMDD'
-        try:
-            return _dt.date(
-                int(s[:4]), int(s[4:6]), int(s[6:8])
-            ).isoformat()
-        except ValueError:
-            return None
-    if re.fullmatch(r"\d{6}", s):
-        # compact 'YYMMDD' (datetime.c DecodeNumberField; regress
-        # date.sql: '990108' → 1999-01-08) — 2-digit year window
-        y = int(s[:2])
-        try:
-            return _dt.date(
-                y + (2000 if y < 70 else 1900), int(s[2:4]), int(s[4:6])
-            ).isoformat()
-        except ValueError:
-            return None
-    if re.fullmatch(r"[Jj]\d{1,7}", s):
-        return (
-            _dt.date(1970, 1, 1)
-            + _dt.timedelta(days=int(s[1:]) - 2440588)
-        ).isoformat()
-    if re.fullmatch(r"\d{4}\.\d{3}", s):
-        # year.doy form (datetime.c DecodeDate special)
-        y, doy = int(s[:4]), int(s[5:])
-        try:
-            return (
-                _dt.date(y, 1, 1) + _dt.timedelta(days=doy - 1)
-            ).isoformat()
-        except (ValueError, OverflowError):
-            return None
-    nm = re.fullmatch(
-        r"(\d{1,4})[\s./-](\d{1,2})[\s./-](\d{1,4})", s
-    )
-    if nm:
-        # all-numeric 3-field dates under the session's default
-        # MDY DateStyle (datetime.c DecodeDate): a 4-digit or >31
-        # leading field is the year (YMD); a 4-digit trailing
-        # field is the year with MDY (day-month swap when the
-        # first field can't be a month); 2-digit years take the
-        # <70 → 2000s window
-        a_s, b_s, c_s = nm.group(1), nm.group(2), nm.group(3)
-        a, b, c = int(a_s), int(b_s), int(c_s)
-
-        def _win(y: int) -> int:
-            return y + (2000 if y < 70 else 1900) if y < 100 else y
-
-        if len(a_s) == 4 or a > 31:
-            y, mo2, d = _win(a), b, c
-        else:
-            y = _win(c)
-            if a <= 12:
-                mo2, d = a, b
-            elif b <= 12:
-                mo2, d = b, a
-            else:
-                return None
-        try:
-            return _dt.date(y, mo2, d).isoformat()
-        except ValueError:
-            return None
-    toks = [t for t in re.split(r"[\s,-]+", s) if t]
-    months = {
-        m: i + 1 for i, m in enumerate(
-            ("jan", "feb", "mar", "apr", "may", "jun",
-             "jul", "aug", "sep", "oct", "nov", "dec")
-        )
-    }
-    mo = None
-    nums = []
-    for t in toks:
-        if t[:3].lower() in months and not t.isdigit():
-            mo = months[t[:3].lower()]
-        elif t.isdigit():
-            nums.append(int(t))
-        else:
-            return None
-    if mo is None or len(nums) != 2:
-        return None
-    a, b = nums
-    y, d = (a, b) if a > 31 else (b, a)
-    if y < 100:  # PG's two-digit-year window (datetime.c)
-        y += 2000 if y < 70 else 1900
-    try:
-        return _dt.date(y, mo, d).isoformat()
-    except ValueError:
-        return None
-
-
-
-def _rewrite_pg_geo(out: str, lits: list[str]) -> str:
-    """PG geometric types point/box/circle (utils/adt/geo_ops.c;
-    regress sql/point.sql, box.sql, circle.sql). Values are structs;
-    literals fold at plan time; constructors/operators/accessors are
-    inline Catalyst expressions dispatched STATICALLY on the operand's
-    field list (functions/geo.py geo_kind) — the rewrite-time analogue
-    of PG's type-directed operator binding."""
-    if not re.search(r"(?i)\b(point|box|circle)\b", out):
-        return out
-    from warehouse_pg_spark.functions import geo
-
-    def fold_lit(m: re.Match, kind: str) -> str:
-        body = _lit_value(m.group(1), lits)
-        if kind == "point":
-            p = geo.parse_point(body)
-            if p is None:
-                return m.group(0)
-            return geo.point_sql(repr(p[0]), repr(p[1]))
-        if kind == "box":
-            b = geo.parse_box(body)
-            return m.group(0) if b is None else geo.box_sql_lit(*b)
-        c = geo.parse_circle(body)
-        if c is None:
-            return m.group(0)
-        return geo.circle_sql(repr(c[0]), repr(c[1]), repr(c[2]))
-
-    _GEO_NULL = {
-        "point": "STRUCT<x: DOUBLE, y: DOUBLE>",
-        "box": "STRUCT<x1: DOUBLE, y1: DOUBLE, x2: DOUBLE, y2: DOUBLE>",
-        "circle": "STRUCT<x: DOUBLE, y: DOUBLE, r: DOUBLE>",
-    }
-    for kind in ("point", "box", "circle"):
-        out = re.sub(
-            rf"(?i)\b{kind}\s+(\x01\d+\x01)",
-            lambda m, k=kind: fold_lit(m, k),
-            out,
-        )
-        out = re.sub(
-            rf"(?i)(\x01\d+\x01)\s*::\s*{kind}\b",
-            lambda m, k=kind: fold_lit(m, k),
-            out,
-        )
-        # a typed NULL keeps the struct shape (IS NULL tests work)
-        out = re.sub(
-            rf"(?i)\bNULL\s*::\s*{kind}\b",
-            f"CAST(NULL AS {_GEO_NULL[kind]})",
-            out,
-        )
-
-    _GEO = r"named_struct\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
-
-    # point(x, y) over scalars first (geo_ops.c construct_point), so
-    # box/circle constructors see folded point operands
-    def sub_point_ctor(m: re.Match) -> str:
-        args = _split_args(m.group(1))
-        if len(args) == 2 and not any(
-            geo.geo_kind(a.strip()) for a in args
-        ):
-            return geo.point_sql(args[0].strip(), args[1].strip())
-        return m.group(0)
-
-    out = re.sub(
-        r"(?i)\bpoint\s*\(((?:[^()]|\([^()]*\))*)\)", sub_point_ctor, out
-    )
-
-    # constructors over existing geo values: box(p, p), circle(p, r)
-    def sub_box_ctor(m: re.Match) -> str:
-        args = _split_args(m.group(1))
-        if len(args) == 2 and all(
-            geo.geo_kind(a.strip()) == "point" for a in args
-        ):
-            return geo.box_sql_pts(args[0].strip(), args[1].strip())
-        return m.group(0)
-
-    def sub_circle_ctor(m: re.Match) -> str:
-        args = _split_args(m.group(1))
-        if len(args) == 2 and geo.geo_kind(args[0].strip()) == "point":
-            p = args[0].strip()
-            return geo.circle_sql(
-                f"({p}).x", f"({p}).y", args[1].strip()
-            )
-        return m.group(0)
-
-    prev_ctor = None
-    while prev_ctor != out:  # nested ctors fold to a fixpoint
-        prev_ctor = out
-        out = re.sub(
-            rf"(?i)\bbox\s*\(((?:{_GEO}|[^()])*)\)", sub_box_ctor, out
-        )
-        out = re.sub(
-            rf"(?i)\bcircle\s*\(((?:{_GEO}|[^()])*)\)",
-            sub_circle_ctor,
-            out,
-        )
-
-    # operators — balanced scan (constructor output nests arbitrarily
-    # deep, a fixed-depth regex can't bound the operand), fixpoint so
-    # chained geo expressions keep folding
-    def _balanced_end(s: str, op_paren: int) -> int:
-        depth = 0
-        for j in range(op_paren, len(s)):
-            if s[j] == "(":
-                depth += 1
-            elif s[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    return j + 1
-        return -1
-
-    def _geo_span(s: str, i: int) -> tuple[int, int] | None:
-        m = re.compile(r"named_struct\s*\(").match(s, i)
-        if not m:
-            return None
-        end = _balanced_end(s, m.end() - 1)
-        return None if end < 0 else (i, end)
-
-    changed = True
-    while changed:
-        changed = False
-        # binary operators a OP b
-        for m in re.finditer(r"named_struct\s*\(", out):
-            span = _geo_span(out, m.start())
-            if span is None:
-                continue
-            a_s, a_e = span
-            om = re.compile(r"\s*(<->|@>|<@|&&|~=)\s*").match(out, a_e)
-            if not om:
-                continue
-            bspan = _geo_span(out, om.end())
-            if bspan is None:
-                continue
-            b_s, b_e = bspan
-            a, op, b = out[a_s:a_e], om.group(1), out[b_s:b_e]
-            ka, kb = geo.geo_kind(a), geo.geo_kind(b)
-            if not (ka and kb):
-                continue
-            if op == "<->":
-                r = geo.distance_sql(a, ka, b, kb)
-            elif op == "@>":
-                r = geo.contains_sql(a, ka, b, kb)
-            elif op == "<@":
-                r = geo.contains_sql(b, kb, a, ka)
-            elif op == "&&":
-                r = geo.overlap_sql(a, ka, b, kb)
-            elif op == "~=":  # "same as" (geo_ops.c point_eq/box_same)
-                r = geo.same_sql(a, ka, b, kb)
-            else:
-                r = None
-            if r is not None:
-                out = out[:a_s] + r + out[b_e:]
-                changed = True
-                break
-        if changed:
-            continue
-        # prefix @@ (center) and the accessor functions
-        for m in re.finditer(
-            r"(?i)(@@\s*|\b(?:area|center|radius|diameter|width"
-            r"|height)\s*\(\s*)(?=named_struct\s*\()",
-            out,
-        ):
-            span = _geo_span(out, m.end())
-            if span is None:
-                continue
-            g_s, g_e = span
-            g = out[g_s:g_e]
-            kind = geo.geo_kind(g) or ""
-            head = m.group(1).strip()
-            if head == "@@":
-                r = geo.accessor_sql("center", g, kind)
-                if r is not None:
-                    out = out[: m.start()] + r + out[g_e:]
-                    changed = True
-                    break
-            else:
-                fn = head.rstrip("( \t").strip()
-                cm = re.compile(r"\s*\)").match(out, g_e)
-                if not cm:
-                    continue
-                r = geo.accessor_sql(fn, g, kind)
-                if r is not None:
-                    out = out[: m.start()] + r + out[cm.end():]
-                    changed = True
-                    break
-    return out
-
-
-def _rewrite_pg_network(out: str, lits: list[str]) -> str:
-    """PG network types (utils/adt/network.c inet_in/inet_out,
-    network_plus/minus; mac8.c macaddr8_in/macaddr8_set7bit; regress
-    sql/inet.sql, sql/macaddr8.sql). Values model as canonical TEXT —
-    Python's stdlib ipaddress implements the same canonical form PG's
-    inet_out prints (compressed lowercase IPv6, no /32 on bare hosts).
-    Literal casts and literal arithmetic FOLD at plan time; pg_inet()
-    is a Catalyst-inlined identity marking folded values so chained
-    arithmetic ((x + 257) - 257) keeps folding to a fixpoint.
-    Non-literal network arithmetic stays loud; the host/masklen/family
-    helpers in functions/pg.py run on the text form per-row."""
-    import ipaddress
-
-    def _addr_str(a) -> str:
-        # inet_out keeps IPv4-mapped addresses in dotted form
-        # ('::ffff:1.2.3.4'), where Python compresses to hex groups
-        v4 = getattr(a, "ipv4_mapped", None)
-        return f"::ffff:{v4}" if v4 is not None else str(a)
-
-    def sub_inet(m: re.Match) -> str:
-        body = _lit_value(m.group(1), lits).strip()
-        try:
-            if "/" in body:
-                iface = ipaddress.ip_interface(body)
-                # inet_out omits a full-length mask (/32, /128)
-                if iface.network.prefixlen == iface.ip.max_prefixlen:
-                    canon = _addr_str(iface.ip)
-                else:
-                    canon = (
-                        f"{_addr_str(iface.ip)}/{iface.network.prefixlen}"
-                    )
-            else:
-                canon = _addr_str(ipaddress.ip_address(body))
-        except ValueError:
-            return m.group(0)  # bad input: stay loud, as PG errors
-        return f"pg_inet({_new_lit(canon, lits)})"
-
-    out = re.sub(r"(?i)(\x01\d+\x01)\s*::\s*inet\b", sub_inet, out)
-
-    def sub_cidr(m: re.Match) -> str:
-        body = _lit_value(m.group(1), lits).strip()
-        try:
-            canon = str(ipaddress.ip_network(body, strict=False))
-        except ValueError:
-            return m.group(0)
-        return f"pg_inet({_new_lit(canon, lits)})"
-
-    out = re.sub(r"(?i)(\x01\d+\x01)\s*::\s*cidr\b", sub_cidr, out)
-    # non-literal ::inet: taken verbatim as text (no canonicalization
-    # at runtime — document deviation; literals above ARE canonical)
-    out = re.sub(
-        rf"({_DISTINCT_OPERAND})\s*::\s*inet\b",
-        lambda m: f"pg_inet(CAST({m.group(1)} AS STRING))",
-        out,
-    )
-
-    def sub_mac(m: re.Match, want8: bool) -> str:
-        body = _lit_value(m.group(1), lits).strip().lower()
-        hexs = re.sub(r"[:.\-]", "", body)
-        if not re.fullmatch(r"[0-9a-f]{12}(?:[0-9a-f]{4})?", hexs):
-            return m.group(0)
-        if want8 and len(hexs) == 12:
-            # 6-byte input expands with ff:fe in the middle (mac8.c)
-            hexs = hexs[:6] + "fffe" + hexs[6:]
-        if not want8 and len(hexs) != 12:
-            return m.group(0)
-        canon = ":".join(hexs[i : i + 2] for i in range(0, len(hexs), 2))
-        return _new_lit(canon, lits)
-
-    out = re.sub(
-        r"(?i)(\x01\d+\x01)\s*::\s*macaddr8\b",
-        lambda m: sub_mac(m, True),
-        out,
-    )
-    out = re.sub(
-        r"(?i)(\x01\d+\x01)\s*::\s*macaddr\b",
-        lambda m: sub_mac(m, False),
-        out,
-    )
-
-    def sub_set7bit(m: re.Match) -> str:
-        parts = _lit_value(m.group(1), lits).split(":")
-        if len(parts) != 8:
-            return m.group(0)
-        parts[0] = f"{int(parts[0], 16) | 0x02:02x}"
-        return _new_lit(":".join(parts), lits)
-
-    out = re.sub(
-        r"(?i)\bmacaddr8_set7bit\s*\(\s*(\x01\d+\x01)\s*\)",
-        sub_set7bit,
-        out,
-    )
-
-    def sub_inet_arith(m: re.Match) -> str:
-        # network_pl preserves the netmask: '10.0.0.1/24' + 5 = '10.0.0.6/24'
-        try:
-            iface = ipaddress.ip_interface(_lit_value(m.group(1), lits))
-        except ValueError:
-            return m.group(0)
-        op, n = m.group(2), int(m.group(3))
-        try:
-            r = iface.ip + n if op == "+" else iface.ip - n
-        except ValueError:
-            return m.group(0)  # out of the family's range: loud
-        if iface.network.prefixlen != iface.ip.max_prefixlen:
-            res = f"{_addr_str(r)}/{iface.network.prefixlen}"
-        else:
-            res = _addr_str(r)
-        return f"pg_inet({_new_lit(res, lits)})"
-
-    def sub_inet_diff(m: re.Match) -> str:
-        # inet - inet compares the address parts; masks are ignored
-        try:
-            a = ipaddress.ip_interface(_lit_value(m.group(1), lits))
-            b = ipaddress.ip_interface(_lit_value(m.group(2), lits))
-        except ValueError:
-            return m.group(0)
-        if a.version != b.version:
-            return m.group(0)
-        return f"CAST({int(a.ip) - int(b.ip)} AS BIGINT)"
-
-    prev = None
-    while prev != out:  # chained arithmetic folds to a fixpoint
-        prev = out
-        out = re.sub(
-            # grouping parens only — a call's parens (host(pg_inet(x)))
-            # have an identifier char before the '('
-            r"(?<![\w.])\(\s*(pg_inet\(\x01\d+\x01\))\s*\)", r"\1", out
-        )
-        out = re.sub(
-            r"pg_inet\((\x01\d+\x01)\)\s*-\s*pg_inet\((\x01\d+\x01)\)",
-            sub_inet_diff,
-            out,
-        )
-        out = re.sub(
-            r"pg_inet\((\x01\d+\x01)\)\s*([+-])\s*(\d+)\b(?!\s*[.\d])",
-            sub_inet_arith,
-            out,
-        )
-    return out
-
-
-def _rewrite_cast_typenames(sql: str) -> str:
-    """CAST(x AS text/int4/float8/...) — the function-syntax twin of the
-    `::` operator, previously unmapped (only `::` went through
-    _map_type). Balanced-paren scan so subquery aliases inside the
-    operand are never mistaken for the type position; multiword names
-    (double precision, ...) are already normalized by the earlier
-    passes."""
-    out: list[str] = []
-    i = 0
-    while True:
-        m = re.search(r"(?i)\bCAST\s*\(", sql[i:])
-        if not m:
-            out.append(sql[i:])
-            break
-        start, open_p = i + m.start(), i + m.end() - 1
-        out.append(sql[i:start])
-        depth, j = 0, open_p
-        while j < len(sql):
-            if sql[j] == "(":
-                depth += 1
-            elif sql[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            j += 1
-        if j >= len(sql):  # unbalanced: leave untouched
-            out.append(sql[start:])
-            break
-        inner = _rewrite_cast_typenames(sql[open_p + 1 : j])
-        mt = re.search(
-            r"(?is)\s+AS\s+([A-Za-z_]\w*"
-            r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*$",
-            inner,
-        )
-        if mt:
-            inner = inner[: mt.start()] + f" AS {_map_type(mt.group(1).strip())}"
-        out.append("CAST(" + inner + ")")
-        i = j + 1
-    return "".join(out)
-
-
-def _map_type(t: str) -> str:
-    if t.upper().startswith("ARRAY<"):  # already a Spark array type
-        return t
-    base = t.split("(")[0].strip().lower()
-    mapped = _TYPE_MAP.get(base)
-    if mapped is None:
-        return t
-    if "(" in t and base in ("varchar", "bpchar", "numeric"):
-        if base == "numeric":
-            # PG numeric allows precision up to 131072; DECIMAL caps at
-            # 38 — clamp, preserving the integer-digit budget
-            inner = t[t.index("(") + 1 : t.rindex(")")]
-            parts = [x.strip() for x in inner.split(",")]
-            try:
-                p = int(parts[0])
-                s = int(parts[1]) if len(parts) > 1 else 0
-            except ValueError:
-                return "DECIMAL" + t[t.index("(") :]
-            if p > 38:
-                int_digits = p - s
-                s = max(0, 38 - int_digits) if int_digits < 38 else 0
-                p = 38
-            return f"DECIMAL({p},{s})"
-        return "STRING"
-    return mapped
-
-
-def _lower_pg_json_field(sql: str) -> str:
-    """Lower the pg_json_field(base, 'path') markers a final `->`
-    step leaves behind to a variant extraction: to_json(
-    try_variant_get(try_parse_json(base), path)) keeps JSON string
-    quoting and the json-null leaf, exactly PG's json-returning arrow
-    (jsonfuncs.c json_object_field). All JVM-side."""
-    while True:
-        i = sql.find("pg_json_field(")
-        if i < 0:
-            return sql
-        j = i + len("pg_json_field(")
-        depth = 1
-        while j < len(sql) and depth:
-            if sql[j] == "(":
-                depth += 1
-            elif sql[j] == ")":
-                depth -= 1
-            j += 1
-        content = sql[i + len("pg_json_field(") : j - 1]
-        pm = re.search(rf",\s*({_LIT})\s*$", content)
-        if pm is None:  # defensive: malformed marker stays visible
-            return sql
-        base, path = content[: pm.start()], pm.group(1)
-        repl = (
-            f"to_json(try_variant_get(try_parse_json({base}), {path}))"
-        )
-        sql = sql[:i] + repl + sql[j:]
-
-
-def _rewrite_arrows(sql: str, lits: list[str]) -> str:
-    """Rewrite JSON arrows to get_json_object, folding chains into ONE
-    path (j -> 'a' ->> 'b' ≡ get_json_object(j, '$.a.b'), j -> 0 ≡
-    '$[0]'). Left-to-right one step at a time: after the first step the
-    LHS of the next arrow IS a get_json_object call, whose path the
-    fold extends — this fixes the round-2 half-rewritten-chain bug
-    (->> running before ->). The LHS is located by scanning backwards,
-    so parenthesized bases like ('{...}' || j) -> 'k' work too."""
-    # `json '...'` / `jsonb '...'` typed-literal prefixes drop when an
-    # arrow follows, so the backward LHS scan never strands the prefix
-    # word outside the rewritten call. ONLY in arrow position — other
-    # consumers (json_build_array's raw-json embedding) still need the
-    # marker.
-    sql = re.sub(
-        r"(?i)\bjsonb?\s+(\x01\d+\x01)(?=\s*(?:->|#>))", r"\1", sql
-    )
-    gjo_base = re.compile(
-        rf"(?:get_json_object|pg_json_field)\((.*),\s*({_LIT})\)$",
-        re.DOTALL,
-    )
-    while True:
-        m = _ARROW_STEP_RE.search(sql)
-        if m is None:
-            return _lower_pg_json_field(sql)
-        # scan LHS backwards: identifier / masked literal / balanced
-        # paren group (optionally a call: name(...))
-        i = m.start() - 1
-        while i >= 0 and sql[i].isspace():
-            i -= 1
-        end = i + 1
-        if i >= 0 and sql[i] == ")":
-            depth = 0
-            while i >= 0:
-                if sql[i] == ")":
-                    depth += 1
-                elif sql[i] == "(":
-                    depth -= 1
-                    if depth == 0:
-                        break
-                i -= 1
-            j = i - 1
-            while j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
-                j -= 1
-            start = j + 1
-        else:
-            j = i
-            while j >= 0 and (sql[j].isalnum() or sql[j] in "_.\x01"):
-                j -= 1
-            start = j + 1
-        # extend backward through ::type cast chains so
-        # 'lit'::jsonb -> 'a' captures the whole cast as the base
-        while True:
-            k = start - 1
-            while k >= 0 and sql[k].isspace():
-                k -= 1
-            if not (k >= 1 and sql[k] == ":" and sql[k - 1] == ":"):
-                break
-            k -= 2
-            while k >= 0 and sql[k].isspace():
-                k -= 1
-            if k >= 0 and sql[k] == ")":
-                depth = 0
-                ii = k
-                while ii >= 0:
-                    if sql[ii] == ")":
-                        depth += 1
-                    elif sql[ii] == "(":
-                        depth -= 1
-                        if depth == 0:
-                            break
-                    ii -= 1
-                jj = ii - 1
-                while jj >= 0 and (sql[jj].isalnum() or sql[jj] in "_."):
-                    jj -= 1
-                start = jj + 1
-            else:
-                jj = k
-                while jj >= 0 and (sql[jj].isalnum() or sql[jj] in "_.\x01"):
-                    jj -= 1
-                start = jj + 1
-        base = sql[start:end]
-        key = m.group(2)
-        # `->` returns json — string leaves KEEP their JSON quoting
-        # (jsonfuncs.c json_object_field); `->>` returns text. The
-        # chain folds into one path either way; the LAST step's arrow
-        # picks the extractor (pg_json_field lowers to a variant
-        # extraction after the loop).
-        fname = "get_json_object" if m.group(1) == ">" else "pg_json_field"
-        if not _MASK_RE.match(key) and key.startswith("-"):
-            # negative array index counts from the end (jsonfuncs.c
-            # jsonb_array_element): get_json_object has no negative
-            # subscripts — index into the parsed array (out-of-range
-            # element_at is NULL under ANSI-off, matching PG's NULL).
-            if fname == "pg_json_field":
-                # json-returning form: keep element quoting via variant
-                repl = (
-                    f"to_json(element_at(from_json({base}, "
-                    f"'array<variant>'), {key}))"
-                )
-            else:
-                repl = (
-                    f"element_at(from_json({base}, 'array<string>'), {key})"
-                )
-            sql = sql[:start] + repl + sql[m.end():]
-            continue
-        step = (
-            "." + _lit_value(key, lits) if _MASK_RE.match(key) else f"[{key}]"
-        )
-        fold = gjo_base.match(base)
-        if fold:  # extend the existing path instead of nesting calls
-            path = _lit_value(fold.group(2), lits) + step
-            repl = f"{fname}({fold.group(1)}, {_new_lit(path, lits)})"
-        else:
-            repl = f"{fname}({base}, {_new_lit('$' + step, lits)})"
-        sql = sql[:start] + repl + sql[m.end() :]
-
-
-def _rewrite_regex_match(sql: str, lits: list[str]) -> str:
-    def sub(m: re.Match) -> str:
-        lhs, op, pat = m.groups()
-        if "~~" in op:  # LIKE-family spelling
-            kw = "ILIKE" if "*" in op else "LIKE"
-            expr = f"{lhs} {kw} {pat}"
-        else:
-            if "*" in op:  # case-insensitive: inline (?i) flag
-                pat = _new_lit("(?i)" + _lit_value(pat, lits), lits)
-            expr = f"{lhs} RLIKE {pat}"
-        return f"NOT ({expr})" if op.startswith("!") else expr
-
-    return _REGEX_MATCH_RE.sub(sub, sql)
-
-
-# ORDER BY items end at these keywords (masked text, depth 0) or at the
-# enclosing paren. ROWS/RANGE/GROUPS terminate window ORDER BYs.
-_ORDER_TERMINATOR_RE = re.compile(
-    r"\b(LIMIT|OFFSET|FETCH|UNION|EXCEPT|INTERSECT|WINDOW|ROWS|RANGE|GROUPS)\b",
-    re.IGNORECASE,
-)
-_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
-_NULLS_RE = re.compile(r"\bNULLS\s+(FIRST|LAST)\b", re.IGNORECASE)
-_DESC_TAIL_RE = re.compile(r"\bDESC\s*$", re.IGNORECASE)
-_ORDINAL_RE = re.compile(r"^\d+$")
-
-
-def _inject_nulls_ordering(sql: str) -> str:
-    """PG defaults ASC → NULLS LAST, DESC → NULLS FIRST (gram.y
-    opt_nulls_order / SortByNulls); Spark defaults the opposite way
-    round. Make every ORDER BY item explicit unless it already says
-    NULLS FIRST/LAST. Bare ordinals (ORDER BY 1) are left alone —
-    Spark resolves them before sort options apply."""
-    out = sql
-    # process right-to-left so earlier offsets stay valid after edits
-    for m in reversed(list(_ORDER_BY_RE.finditer(sql))):
-        start = m.end()
-        # find clause end: depth-0 terminator keyword, unbalanced ')',
-        # or end of string
-        depth = 0
-        i, n = start, len(sql)
-        end = n
-        while i < n:
-            ch = sql[i]
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                if depth == 0:
-                    end = i
-                    break
-                depth -= 1
-            elif depth == 0:
-                t = _ORDER_TERMINATOR_RE.match(sql, i)
-                if t and re.match(r"\W", sql[i - 1]):
-                    end = i
-                    break
-            i += 1
-        clause = sql[start:end]
-        # split items on depth-0 commas
-        items, buf, depth = [], [], 0
-        for ch in clause:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            if ch == "," and depth == 0:
-                items.append("".join(buf))
-                buf = []
-            else:
-                buf.append(ch)
-        items.append("".join(buf))
-        fixed = []
-        for item in items:
-            body = item.strip()
-            if not body or _NULLS_RE.search(body) or _ORDINAL_RE.match(body):
-                fixed.append(item)
-            elif _DESC_TAIL_RE.search(body):
-                fixed.append(item.rstrip() + " NULLS FIRST")
-            else:
-                fixed.append(item.rstrip() + " NULLS LAST")
-        out = (
-            out[:start] + " " + ", ".join(f.strip() for f in fixed) + " " + out[end:]
-        )
-    return out
-
-
-# dollar-quoted string literals (gram.y xdolq scanner states):
-# $$...$$ / $tag$...$tag$ → standard quoted literal. Runs BEFORE the
-# literal masker, which only knows '...' quoting — so this is a real
-# left-to-right scan over both quote forms: a $$ inside a normal
-# literal is never a delimiter, and quotes inside a dollar body double
-# on the way out. `$1` parameters don't match the $tag$ opener.
-_DOLLAR_TAG_RE = re.compile(r"\$([A-Za-z_]\w*|)\$")
-
-
-def _rewrite_dollar_quotes(sql: str) -> str:
-    if "$" not in sql:
-        return sql
-    out: list[str] = []
-    i, n = 0, len(sql)
-    while i < n:
-        ch = sql[i]
-        if ch == "'":
-            j = i + 1
-            while j < n:
-                if sql[j] == "'":
-                    if j + 1 < n and sql[j + 1] == "'":
-                        j += 2
-                        continue
-                    break
-                j += 1
-            out.append(sql[i: j + 1])
-            i = j + 1
-        elif ch == "$":
-            m = _DOLLAR_TAG_RE.match(sql, i)
-            if m:
-                tag = m.group(0)
-                end = sql.find(tag, i + len(tag))
-                if end >= 0:
-                    body = sql[i + len(tag): end]
-                    # dollar-quoted text is VERBATIM in PG — double the
-                    # backslashes so Spark's literal unescaping yields
-                    # the same characters ($re$\s+$re$ previously
-                    # became the regex 's+': silent wrong split)
-                    out.append(
-                        "'"
-                        + body.replace("\\", "\\\\").replace("'", "''")
-                        + "'"
-                    )
-                    i = end + len(tag)
-                    continue
-            out.append(ch)
-            i += 1
-        else:
-            out.append(ch)
-            i += 1
-    return "".join(out)
 
 
 def rewrite(sql: str) -> str:
