@@ -794,7 +794,14 @@ def test_to_date_pg_patterns_and_misc(spark):
     # Java-style pattern must pass through untouched
     assert str(run("SELECT to_date('2026-08-14', 'yyyy-MM-dd') AS v")) \
         == "2026-08-14"
-    assert run("SELECT format('%s has %d', 'cart', 3) AS v") == "cart has 3"
+    # format() knows s/I/L only — %d is PG's "unrecognized format()
+    # type specifier" error (varlena.c text_format), raised at plan
+    # time now that the picture is validated (r14)
+    assert run("SELECT format('%s has %s', 'cart', 3) AS v") == "cart has 3"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="type specifier"):
+        sql_dialect.rewrite("SELECT format('%s has %d', 'cart', 3)")
     assert run("SELECT array_fill(7, ARRAY[3]) AS v") == [7, 7, 7]
     assert run("SELECT pg_typeof(1) AS v") == "int"
 
@@ -1147,3 +1154,68 @@ def test_srf_order_by_and_xml_bytea(spark):
     assert vals("""select json '{"a":{"b":"c"}}' -> 'a' ->> 'b'""") == ["c"]
     assert vals("""select '{"a":null}'::json -> 'a'""") == ["null"]
     assert vals("""select '["x","y"]'::json -> -1""") == ['"y"']
+
+
+def test_r14_plan_time_validation_families():
+    """r14 should_error closures: every family PG rejects at
+    parse/execute that the engine previously accepted silently now
+    raises at plan time — to_date/to_timestamp pictures
+    (formatting.c), json_object array shapes (jsonfuncs.c),
+    parse_ident (misc.c), money range (cash.c), bytea input
+    (varlena.c byteain), width_bucket args (numeric.c), int
+    input/arithmetic overflow (int.c/int8.c), E'' unicode escapes
+    (scan.l), format() specifiers (varlena.c text_format), xml
+    content/constructors (xml.c), zone names/offsets (datetime.c),
+    reversed ranges (rangetypes.c), jsonb NUL, deep json nesting."""
+    import pytest
+
+    bad = [
+        "SELECT to_timestamp('2016-06-13 25:00:00', 'YYYY-MM-DD HH24:MI:SS')",
+        "SELECT to_date('2016-02-30', 'YYYY-MM-DD')",
+        "SELECT to_timestamp('19971', 'YYYYMMDD')",
+        "SELECT to_timestamp('2005527', 'YYYYIWID')",
+        "SELECT to_timestamp('1997-11-Jan-16', 'YYYY-MM-Mon-DD')",
+        "SELECT json_object('{a,b,c}')",
+        "SELECT jsonb_object('{{a},{b}}')",
+        "select json_object('{a,b,NULL,\"d e f\"}','{1,2,3,\"a b c\"}')",
+        "SELECT parse_ident('10.20')",
+        "SELECT parse_ident(' ')",
+        "SELECT '123456789012345678'::money",
+        "SELECT E'\\\\xDeAdBeE'::bytea",
+        "SELECT width_bucket(5.0, 3.0, 4.0, 0)",
+        "select '9223372036854775808'::int8",
+        "SELECT (-32768)::int2 * (-1)::int2",
+        "select -('-9223372036854775808'::int8)",
+        "SELECT '2147483647'::float4::int4",
+        "select E'\\\\u0000'".replace("\\\\", "\\"),
+        "select format('Hello %x', 20)",
+        "SELECT xml '<!DOCTYPE a><a/><b/>'",
+        "SELECT xmlpi(name xml)",
+        "SELECT xmlelement(name d, xmlattributes(1 as a, 2 as a))",
+        "SELECT make_timestamptz(2014, 12, 10, 10, 10, 10, '+16')",
+        "SELECT '19970710' AT TIME ZONE 'America/Does_not_exist'",
+        "select numrange(2.0, 1.0)",
+        "select make_interval(secs := 'inf')",
+        "SELECT regexp_replace('AAA', 'A+', 'Z', 'z')",
+        'SELECT jsonb \'{ "a": "x \\u0000 y" }\'',
+    ]
+    for q in bad:
+        with pytest.raises(ValueError):
+            sql_dialect.rewrite(q)
+    good = [
+        "SELECT to_date('2011-12-18', 'YYYY-MM-DD')",
+        "SELECT to_date('January 8, 1999', 'Month DD, YYYY')",
+        "SELECT json_object('{a,1,b,2}')",
+        "SELECT parse_ident('\"Some\".tab')",
+        "SELECT '92233720368547758.07'::money",
+        "SELECT E'\\\\xDeAdBeEf'::bytea",
+        "SELECT width_bucket(5.0, 3.0, 4.0, 5)",
+        "select '9223372036854775807'::int8",
+        "SELECT xml '<a/><b/>'",
+        "SELECT make_timestamptz(2014, 12, 10, 10, 10, 10, '+5:30')",
+        "SELECT col AT TIME ZONE 'America/New_York'",
+        "select numrange(1.0, 2.0)",
+        "select format('%s and %I and %L', 1, 'a', 'b')",
+    ]
+    for q in good:
+        sql_dialect.rewrite(q)  # must not raise

@@ -254,9 +254,19 @@ def _rewrite_arrows(sql: str, lits: list[str]) -> str:
                 )
             sql = sql[:start] + repl + sql[m.end():]
             continue
-        step = (
-            "." + _lit_value(key, lits) if _MASK_RE.match(key) else f"[{key}]"
-        )
+        if _MASK_RE.match(key):
+            kv = _lit_value(key, lits)
+            if re.fullmatch(r"\w+", kv):
+                step = "." + kv
+            elif "'" not in kv and "\\" not in kv:
+                # empty / punctuated keys need the bracket spelling
+                # ($.'' is an invalid variant path; jsonfuncs.c
+                # json_object_field looks keys up verbatim)
+                step = f"['{kv}']"
+            else:
+                step = "." + kv  # quoted/escaped keys: legacy form
+        else:
+            step = f"[{key}]"
         fold = gjo_base.match(base)
         if fold:  # extend the existing path instead of nesting calls
             path = _lit_value(fold.group(2), lits) + step

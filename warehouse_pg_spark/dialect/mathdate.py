@@ -205,10 +205,18 @@ def _pg_format_compile(fmt: str, args: list[str], lits: list[str]):
         pieces.append(val)
     if pos < len(fmt):
         pieces.append(_new_lit(fmt[pos:], lits))
-    # an unconsumed lone '%' (unterminated spec) stays loud, as PG errors
+    # leftover '%' after removing valid specs: PG raises — at plan
+    # time here, since the picture is a literal (varlena.c
+    # text_format's unterminated / unrecognized specifier errors)
     stripped = _FORMAT_SPEC_RE.sub("", fmt)
-    if "%" in stripped:
-        return None
+    mm = re.search(r"%[-\d$*]*(.?)", stripped)
+    if mm:
+        if not mm.group(1):
+            raise ValueError("unterminated format() type specifier")
+        raise ValueError(
+            "unrecognized format() type specifier "
+            f'"{mm.group(1)}"'
+        )
     if not pieces:
         return _new_lit("", lits)
     if len(pieces) == 1:

@@ -647,6 +647,31 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         )
 
     sql = _GCD_LCM_RE.sub(sub_gcd, sql)
+
+    # intN two-arg arithmetic spellings (int.c int4mul/int4pl/...):
+    # the operator implementations called by name
+    def sub_int_arith(m: re.Match) -> str:
+        op = m.group(2).lower()
+        args = _split_args(m.group(3))
+        if len(args) != 2:
+            return m.group(0)
+        a, b = (x.strip() for x in args)
+        return {
+            "pl": f"(({a}) + ({b}))",
+            "mi": f"(({a}) - ({b}))",
+            "mul": f"(({a}) * ({b}))",
+            "div": f"(({a}) div ({b}))",
+            "mod": f"(({a}) % ({b}))",
+            "larger": f"greatest({a}, {b})",
+            "smaller": f"least({a}, {b})",
+        }[op]
+
+    sql = re.sub(
+        r"(?i)\b(int[248])(pl|mi|mul|div|mod|larger|smaller)\s*"
+        r"\(((?:[^()]|\([^()]*\))*)\)",
+        sub_int_arith,
+        sql,
+    )
     # PG regexp_replace (regexp.c textregexreplace): replaces the FIRST
     # match unless the 'g' flag is given; flags are a 4th TEXT argument
     # (Spark's 4th arg is a position INT — 'g' silently casts to NULL);
@@ -766,7 +791,11 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
                 continue
             mapped = {"i": "i", "m": "m", "n": "m", "s": "s", "x": "x"}.get(f)
             if mapped is None:
-                return m.group(0)  # unknown flag: stay loud downstream
+                if f not in "bcepqtw":
+                    # regexp.c parse_re_flags: not a PG option at all
+                    raise ValueError(
+                        f'invalid regular expression option: "{f}"')
+                return m.group(0)  # valid-but-unmapped: stay loud
             inline += mapped
         pfx = f"(?{inline})" if inline else ""
         pat_raw = lits[int(_MASK_RE.match(p).group(1))][1:-1]
@@ -1506,6 +1535,15 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
             if nm is None or nm.group(1).lower() not in vals:
                 return m.group(0)
             vals[nm.group(1).lower()] = nm.group(2).strip()
+        sv = vals["secs"]
+        if _MASK_RE.fullmatch(sv):
+            sv = _lit_value(sv, lits).strip()
+        if sv.strip("'").lower() in (
+            "inf", "+inf", "-inf", "infinity", "+infinity",
+            "-infinity", "nan",
+        ):
+            # timestamp.c make_interval: non-finite seconds raise
+            raise ValueError("interval out of range")
         return "make_interval(" + ", ".join(vals[k] for k in order) + ")"
 
     sql = re.sub(
@@ -2043,6 +2081,19 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
                     args[6] = _new_lit(_TZ_ABBREV_OFFSETS[z], lits)
                 elif z in _TZ_ABBREV_ZONES:
                     args[6] = _new_lit(_TZ_ABBREV_ZONES[z], lits)
+                else:
+                    om = re.fullmatch(
+                        r"([+-])?(\d{1,2})(?::(\d{2}))?(?::\d{2})?", z
+                    )
+                    if om and (
+                        int(om.group(2)) > 15
+                        or (int(om.group(2)) == 15
+                            and int(om.group(3) or 0) > 59)
+                    ):
+                        # datetime.c DecodeTimezone: |offset| < 16:00
+                        raise ValueError(
+                            f'numeric time zone "{z.lower()}" '
+                            "out of range")
         return f"make_timestamp({', '.join(args)})"
 
     sql = re.sub(
@@ -2415,17 +2466,249 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
 
     sql = _HASH_MINUS_RE.sub(sub_hash_minus, sql)
 
+    def _braced_tree_null(body: str):
+        """array_in tokenizer mirroring _parse_braced_tree but mapping
+        UNQUOTED null to None (arrayfuncs.c: only a bare NULL is the
+        null datum; "NULL" is the 4-char string). Returns the nested
+        list, or None when malformed/over-complex."""
+        elems: list = []
+        stack: list[list] = []
+        buf: list[str] = []
+        quoted = in_q = have = False
+        cur = elems
+
+        def flush():
+            nonlocal buf, quoted, have
+            if not have:
+                return
+            s = "".join(buf)
+            if quoted:
+                cur.append(s)
+            else:
+                s = s.strip()
+                cur.append(None if s.lower() == "null" else s)
+            buf, quoted, have = [], False, False
+
+        i, n2 = 0, len(body)
+        while i < n2:
+            ch = body[i]
+            if in_q:
+                if ch == "\\" and i + 1 < n2:
+                    buf.append(body[i + 1])
+                    i += 2
+                    continue
+                if ch == '"':
+                    in_q = False
+                    i += 1
+                    continue
+                buf.append(ch)
+                i += 1
+                continue
+            if ch == '"':
+                in_q = quoted = have = True
+                i += 1
+                continue
+            if ch == "{":
+                sub: list = []
+                cur.append(sub)
+                stack.append(cur)
+                cur = sub
+                i += 1
+                continue
+            if ch == "}":
+                flush()
+                if not stack:
+                    return None
+                cur = stack.pop()
+                i += 1
+                continue
+            if ch == ",":
+                flush()
+                i += 1
+                continue
+            if not ch.isspace():
+                have = True
+            buf.append(ch)
+            i += 1
+        flush()
+        return None if (in_q or stack) else elems
+
+    def _check_json_object_arrays(trees: list) -> None:
+        """jsonfuncs.c json_object / json_object_two_arg shape rules
+        over LITERAL braced arrays: 1-arg must be a flat even-length
+        pair list or an Nx2 matrix; 2-arg takes two flat arrays of
+        equal length; keys must not be null."""
+        if len(trees) == 1:
+            t = trees[0]
+            if any(isinstance(e, list) for e in t):
+                if not all(isinstance(e, list) for e in t):
+                    raise ValueError("multidimensional arrays must "
+                                     "have array expressions with "
+                                     "matching dimensions")
+                for sub in t:
+                    if any(isinstance(e, list) for e in sub):
+                        raise ValueError(
+                            "wrong number of array subscripts")
+                    if len(sub) != 2:
+                        raise ValueError(
+                            "array must have two columns")
+                    if sub[0] is None:
+                        raise ValueError(
+                            "null value not allowed for object key")
+            else:
+                if len(t) % 2:
+                    raise ValueError(
+                        "array must have even number of elements")
+                if any(k is None for k in t[0::2]):
+                    raise ValueError(
+                        "null value not allowed for object key")
+        else:
+            keys, vals = trees
+            for t in (keys, vals):
+                if any(isinstance(e, list) for e in t):
+                    raise ValueError(
+                        "wrong number of array subscripts")
+            if len(keys) != len(vals):
+                raise ValueError("mismatched array dimensions")
+            if any(k is None for k in keys):
+                raise ValueError(
+                    "null value not allowed for object key")
+
     def sub_json_object(m: re.Match) -> str:
         args = [a.strip() for a in _split_args(m.group(2))]
+        if len(args) not in (1, 2):
+            return m.group(0)
+        trees = []
+        for a in args:
+            if _MASK_RE.fullmatch(a):
+                body = _lit_value(a, lits).strip()
+                if body.startswith("{") and body.endswith("}"):
+                    trees.append(_braced_tree_null(body[1:-1]))
+                else:
+                    trees.append(None)
+            else:
+                trees.append(None)
+        if all(t is not None for t in trees):
+            _check_json_object_arrays(trees)
         if len(args) == 1:
             return f"json_object1({_braced_to_array(args[0], lits)})"
-        if len(args) == 2:
-            return (
-                f"json_object2({_braced_to_array(args[0], lits)}, "
-                f"{_braced_to_array(args[1], lits)})"
-            )
-        return m.group(0)
+        return (
+            f"json_object2({_braced_to_array(args[0], lits)}, "
+            f"{_braced_to_array(args[1], lits)})"
+        )
 
     sql = _JSON_OBJECT_RE.sub(sub_json_object, sql)
+
+    # parse_ident over a LITERAL folds at plan time (misc.c
+    # parse_ident): quoted parts keep case ("" escapes a quote), bare
+    # parts fold lower and must be letter/underscore-led; strict mode
+    # (the default) rejects trailing junk. Invalid input RAISES, as
+    # PG does — the registered split() fallback keeps non-literal
+    # arguments working.
+    def _parse_ident_fold(s: str, strict: bool) -> list[str] | None:
+        i, n2 = 0, len(s)
+        parts: list[str] = []
+
+        def skip_ws() -> None:
+            nonlocal i
+            while i < n2 and s[i] in " \t\n\r":
+                i += 1
+
+        while True:
+            skip_ws()
+            if i < n2 and s[i] == '"':
+                j = i + 1
+                buf: list[str] = []
+                while j < n2:
+                    if s[j] == '"':
+                        if j + 1 < n2 and s[j + 1] == '"':
+                            buf.append('"')
+                            j += 2
+                            continue
+                        break
+                    buf.append(s[j])
+                    j += 1
+                if j >= n2 or not buf:
+                    raise ValueError(
+                        f'string is not a valid identifier: "{s}"')
+                parts.append("".join(buf))
+                i = j + 1
+            elif i < n2 and (s[i].isalpha() or s[i] == "_"):
+                j = i
+                while j < n2 and (s[j].isalnum() or s[j] in "_$"):
+                    j += 1
+                parts.append(s[i:j].lower())
+                i = j
+            else:
+                raise ValueError(
+                    f'string is not a valid identifier: "{s}"')
+            skip_ws()
+            if i < n2 and s[i] == ".":
+                i += 1
+                continue
+            break
+        skip_ws()
+        if i < n2 and strict:
+            raise ValueError(
+                f'string is not a valid identifier: "{s}"')
+        return parts
+
+    def sub_parse_ident(m: re.Match) -> str:
+        strict = (m.group(2) or "true").lower() != "false"
+        parts = _parse_ident_fold(_lit_value(m.group(1), lits), strict)
+        return "array(" + ", ".join(
+            _new_lit(p, lits) for p in parts
+        ) + ")"
+
+    sql = re.sub(
+        rf"\bparse_ident\s*\(\s*(?:E\s*)?({_LIT})"
+        r"(?:\s*,\s*(true|false))?\s*\)",
+        sub_parse_ident,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    # width_bucket over all-literal arguments: numeric.c
+    # width_bucket_numeric's argument checks run at plan time
+    def sub_width_bucket(m: re.Match) -> str:
+        args = [a.strip() for a in _split_args(m.group(1))]
+        if len(args) != 4:
+            return m.group(0)
+        vals = []
+        for a in args:
+            a2 = re.sub(r"(?is)::\s*(?:float[48]?|real|double\s+"
+                        r"precision|numeric|decimal|int[248]?"
+                        r"|integer|bigint|smallint)\b", "", a).strip()
+            cm2 = re.fullmatch(
+                r"(?is)CAST\s*\(\s*(.+?)\s+AS\s+[\w(), ]+\)", a2
+            )
+            if cm2:
+                a2 = cm2.group(1).strip()
+            if _MASK_RE.fullmatch(a2):
+                a2 = _lit_value(a2, lits).strip()
+            try:
+                vals.append(float(a2))
+            except ValueError:
+                if a2.lower() in ("nan", "'nan'"):
+                    vals.append(float("nan"))
+                else:
+                    return m.group(0)  # non-literal: runtime path
+        import math as _math
+
+        op, lo, hi, cnt = vals
+        if any(_math.isnan(x) for x in (op, lo, hi)):
+            raise ValueError(
+                "operand, lower bound, and upper bound cannot be NaN")
+        if cnt <= 0:
+            raise ValueError("count must be greater than zero")
+        if lo == hi:
+            raise ValueError("lower bound cannot equal upper bound")
+        return m.group(0)
+
+    sql = re.sub(
+        r"(?i)\bwidth_bucket\s*\(((?:[^()]|\([^()]*\))*)\)",
+        sub_width_bucket,
+        sql,
+    )
 
     return _ARRAY_SUBQ_RE.sub(sub_arr_subq, sql)

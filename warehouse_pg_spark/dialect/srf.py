@@ -54,46 +54,75 @@ def _clause_at(sql: str, pos: int) -> str | None:
 
 
 def _rewrite_nested_srf(sql: str) -> str:
-    """SRF-in-SRF-argument nesting (execSRF.c; regress sql/tsrf.sql
-    `generate_series(1, generate_series(1, 3))`): PG evaluates the
-    inner SRF first and runs the outer once per inner row. Lowered by
-    HOISTING the single inner call into a derived table — the existing
-    select-list SRF classifier then lowers the outer call (possibly
-    inside an expression) over that one-column FROM, exactly the
-    lateral evaluation order PG uses. Only the FROM-less,
-    single-select-item, single-inner shape is claimed; other nestings
-    stay loud."""
-    m = re.match(r"(?is)^\s*SELECT\s+(.+?)\s*$", sql)
+    """SRF-in-SRF-argument nesting (execSRF.c; optimizer
+    split_pathtarget_at_srfs; regress sql/tsrf.sql + gp_tsrf.sql):
+    SRFs evaluate bottom-up — ALL SRF calls whose own arguments
+    contain no SRF run in lockstep one level down, and the top-level
+    SRFs run in lockstep over each bottom row. Lowered by hoisting
+    every bottom-level call into one zipped inline() derived table
+    (__gi0, __gi1, ...); the select-list SRF classifier then lowers
+    the remaining top-level calls over that FROM, reproducing PG's
+    two-ProjectSet pipeline. FROM-less top level only; deeper than
+    two levels stays loud."""
+    m = re.match(r"(?is)^\s*SELECT\s+(.+?)\s*;?\s*$", sql)
     if m is None or re.search(r"(?i)\bFROM\b", sql):
         return sql
-    item = m.group(1)
-    if len(_split_args(item)) != 1:
-        return sql
-    for om in re.finditer(r"(?i)\bgenerate_series\s*\(", item):
-        depth, j = 1, om.end()
-        while j < len(item) and depth:
-            if item[j] == "(":
+    head = m.group(1)
+    # split a trailing ORDER BY / LIMIT / OFFSET tail off the list
+    tail = ""
+    depth = 0
+    for i, ch in enumerate(head):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and head[i : i + 1].isalpha():
+            w = re.match(r"(?i)(ORDER|LIMIT|OFFSET|FETCH)\b", head[i:])
+            if w:
+                head, tail = head[:i], " " + head[i:]
+                break
+    srf_open = re.compile(r"(?i)\b(generate_series|unnest)\s*\(")
+    calls = []
+    for cm in srf_open.finditer(head):
+        depth, j = 1, cm.end()
+        while j < len(head) and depth:
+            if head[j] == "(":
                 depth += 1
-            elif item[j] == ")":
+            elif head[j] == ")":
                 depth -= 1
             j += 1
         if depth:
             return sql
-        body = item[om.end() : j - 1]
-        im = re.search(r"(?i)\bgenerate_series\s*\(([^()]*)\)", body)
-        if im is None:
-            continue
-        new_body = body[: im.start()] + "__gi0" + body[im.end() :]
-        if "generate_series" in new_body.lower():
-            return sql  # two inner SRFs: not claimed
-        new_item = (
-            item[: om.end()] + new_body + ")" + item[j:]
-        )
-        return (
-            f"SELECT {new_item} FROM "
-            f"(SELECT explode(sequence({im.group(1)})) AS __gi0)"
-        )
-    return sql
+        calls.append((cm.start(), cm.end(), j, cm.group(1).lower()))
+    if not any(srf_open.search(head[c[1] : c[2] - 1]) for c in calls):
+        return sql  # no nesting: the plain lockstep pass owns this
+    bottom = [
+        c for c in calls if not srf_open.search(head[c[1] : c[2] - 1])
+    ]
+    arrays: list[str] = []
+    parts: list[str] = []
+    last = 0
+    for k, (s0, e_open, e_close, fn) in enumerate(bottom):
+        parts.append(head[last:s0])
+        parts.append(f"__gi{k}")
+        body = head[e_open : e_close - 1]
+        if fn == "generate_series":
+            arrays.append(f"sequence({body})")
+        else:
+            args = _split_args(body)
+            if len(args) != 1:
+                return sql  # multi-arg unnest is FROM-only
+            arrays.append(f"({args[0].strip()})")
+        last = e_close
+    parts.append(head[last:])
+    fields = ", ".join(
+        f"__s.`{k}` AS __gi{k}" for k in range(len(bottom))
+    )
+    return (
+        f"SELECT {''.join(parts)} FROM (SELECT inline(transform("
+        f"arrays_zip({', '.join(arrays)}), "
+        f"__s -> struct({fields})))){tail}"
+    )
 
 
 def _rewrite_srf_from_bare(sql: str) -> str:

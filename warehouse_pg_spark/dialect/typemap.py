@@ -206,10 +206,21 @@ _SERIAL_TYPES = {
 }
 
 _CREATE_TABLE_DEFS_RE = re.compile(
-    r"^(CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"^(CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+"
+    r"|UNLOGGED\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"[\w.]+\s*)\(",
     re.IGNORECASE,
 )
+
+# column types with no Spark analogue: stored in their PG TEXT form
+# (the engine's operators over these families read the text form —
+# inet/money/geo/range text parsing lives in the dialect passes)
+_COL_TEXT_TYPES = frozenset((
+    "path", "box", "polygon", "lseg", "point", "circle", "line",
+    "macaddr", "macaddr8", "cidr", "inet", "money", "timetz",
+    "interval", "tsvector", "tsquery", "uuid", "bit", "varbit",
+    "aclitem", "int2vector", "pg_lsn", "txid_snapshot",
+))
 
 # per-column constraint clauses Spark's parser rejects (gram.y
 # ColConstraint): dropped — PG enforces them, a lakehouse records them
@@ -250,13 +261,20 @@ def _rewrite_create_table_defs(sql: str) -> str:
         item = item.strip()
         if not item or _TABLE_CONSTRAINT_RE.match(item):
             continue  # table-level constraints drop entirely
+        if re.match(r"(?is)^(?:DEFAULT\s+)?COLUMN\b", item):
+            continue  # GP per-column ENCODING items (gram.y
+            # column_reference_storage_directive) are storage hints
         cm = re.match(
             r"^(\w+)\s+"
             r"(double\s+precision"
             r"|character\s+varying(?:\(\s*\d+\s*\))?"
-            r"|timestamp(?:\s+with(?:out)?\s+time\s+zone)?"
-            r"|time(?:\s+with(?:out)?\s+time\s+zone)?"
+            r"|bit\s+varying(?:\(\s*\d+\s*\))?"
+            r"|timestamp(?:\s*\(\s*\d+\s*\))?"
+            r"(?:\s+with(?:out)?\s+time\s+zone)?"
+            r"|time(?:\s*\(\s*\d+\s*\))?"
+            r"(?:\s+with(?:out)?\s+time\s+zone)?"
             r"|[A-Za-z_]\w*(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+            r"(\s*\[\s*\d*\s*\])*"
             r"(\s+.*)?$",
             item,
             re.DOTALL | re.IGNORECASE,
@@ -264,9 +282,20 @@ def _rewrite_create_table_defs(sql: str) -> str:
         if cm is None:
             cols.append(item)
             continue
-        name, typ, rest = cm.group(1), cm.group(2).strip(), cm.group(3) or ""
+        name, typ = cm.group(1), cm.group(2).strip()
+        dims, rest = cm.group(3) or "", cm.group(4) or ""
         low = re.sub(r"\s+", " ", typ.lower())
-        typ = _SERIAL_TYPES.get(low) or map_decl_type(typ)
+        base = low.split("(")[0].strip()
+        if base in _COL_TEXT_TYPES or low.startswith("bit varying"):
+            typ = "STRING"
+        else:
+            typ = _SERIAL_TYPES.get(low) or map_decl_type(typ)
+        if dims:
+            for _ in re.findall(r"\[", dims):
+                typ = f"ARRAY<{typ}>"
+        rest = re.sub(
+            r"(?is)\s+ENCODING\s*\([^)]*\)", "", rest
+        )
         rest = _COL_CONSTRAINT_RE.sub("", rest).strip()
         cols.append(f"{name} {typ}" + (f" {rest}" if rest else ""))
     # PG CREATE [TEMP] TABLE has no storage provider and Spark's
@@ -274,7 +303,22 @@ def _rewrite_create_table_defs(sql: str) -> str:
     # the engine's session-table model) and add USING PARQUET right
     # after the column list (before any DISTRIBUTED BY tail, which
     # the engine strips separately)
-    head = re.sub(r"(?i)\bTEMP(?:ORARY)?\s+", "", head)
+    head = re.sub(
+        r"(?i)\b(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?|UNLOGGED)\s+",
+        "",
+        head,
+    )
+    # GP storage options `WITH (appendonly=..., orientation=...)` and
+    # ON COMMIT clauses are storage hints with no Spark parse form
+    tail = re.sub(
+        r"(?is)\s+WITH\s*\((?:[^()]|\([^()]*\))*\)", " ", tail
+    )
+    tail = re.sub(
+        r"(?is)\s+ON\s+COMMIT\s+(?:PRESERVE\s+ROWS|DELETE\s+ROWS"
+        r"|DROP)",
+        " ",
+        tail,
+    )
     if not re.search(r"(?i)\bUSING\b", tail):
         tail = ") USING PARQUET" + tail[1:]
     return f"{head}{', '.join(cols)}{tail}"
@@ -291,7 +335,9 @@ def map_decl_type(t: str) -> str:
         return f"ARRAY<{map_decl_type(tl[:-2])}>"
     if tl == "double precision":
         return "DOUBLE"
-    if tl.startswith("character varying") or tl == "character":
+    if tl.startswith("character varying") or tl in ("character", "char"):
+        # bare char is char(1) in PG (gram.y CharacterSimple); Spark's
+        # CHAR demands a length — STRING keeps the text semantics
         return "STRING"
     if tl.startswith("timestamp"):  # with/without time zone spellings
         return "TIMESTAMP"

@@ -119,6 +119,10 @@ def _rewrite_xml_ctors(sql: str, lits: list[str] | None = None) -> str:
             if not mn:
                 return None
             tgt = _xml_ident(mn.group(1))
+            if tgt.lower() == "xml":
+                raise ValueError(
+                    'invalid XML processing instruction target name: '
+                    f'"{tgt}"')
             if len(args) == 1:
                 return f"'<?{tgt}?>'"
             c = f"({args[1]})"
@@ -131,6 +135,19 @@ def _rewrite_xml_ctors(sql: str, lits: list[str] | None = None) -> str:
         if kind == "concat":
             if not args:
                 return None
+            for a in args:
+                if re.fullmatch(r"-?\d+(?:\.\d+)?", a.strip()):
+                    raise ValueError(
+                        "argument of XMLCONCAT must be type xml, "
+                        f"not type {'numeric' if '.' in a else 'integer'}")
+                if lits is not None and re.fullmatch(
+                    r"\x01\d+\x01", a.strip()
+                ):
+                    from warehouse_pg_spark.functions.pg import (
+                        xml_content_validate,
+                    )
+
+                    xml_content_validate(_lit_value(a.strip(), lits))
             parts = ", ".join(f"coalesce({a}, '')" for a in args)
             return (
                 f"(CASE WHEN coalesce({', '.join(args)}) IS NULL "
@@ -162,6 +179,13 @@ def _rewrite_xml_ctors(sql: str, lits: list[str] | None = None) -> str:
                 )
                 if a_items is None:
                     return None
+                seen_attr: set[str] = set()
+                for _e, an in a_items:
+                    if an in seen_attr:
+                        raise ValueError(
+                            f'XML attribute name "{an}" appears '
+                            "more than once")
+                    seen_attr.add(an)
                 attrs = "concat(" + ", ".join(
                     f"CASE WHEN ({e}) IS NULL THEN '' ELSE concat("
                     f"' {an}=\"', xml_escape_attr(CAST({e} AS STRING)),"
@@ -269,6 +293,14 @@ def _rewrite_xml_ctors(sql: str, lits: list[str] | None = None) -> str:
     # the value IS text in this model; char(n) pads, varchar(n) trims
     def sub_xmlserialize(m: re.Match) -> str:
         x, t = m.group(2).strip(), m.group(3).strip().lower()
+        if (m.group(1).lower() == "document" and lits is not None
+                and re.fullmatch(r"\x01\d+\x01", x)):
+            from warehouse_pg_spark.functions.pg import (
+                _xml_wf_document_py,
+            )
+
+            if not _xml_wf_document_py(_lit_value(x, lits)):
+                raise ValueError("not an XML document")
         v = f"CAST({x} AS STRING)"
         cm = re.fullmatch(r"char(?:acter)?\s*\(\s*(\d+)\s*\)", t)
         if cm:
@@ -326,6 +358,10 @@ def _rewrite_xml_ctors(sql: str, lits: list[str] | None = None) -> str:
         if len(args) != 2:
             return m.group(0)  # 3-arg namespace form stays loud
         path, doc = args[0].strip(), args[1].strip()
+        if lits is not None and re.fullmatch(r"\x01\d+\x01", path) \
+                and not _lit_value(path, lits).strip():
+            # xml.c xpath_internal: zero-length path
+            raise ValueError("empty XPath expression")
         doc = re.sub(r"(?is)\s*::\s*xml\s*$", "", doc)
         call = f"pg_xpath(CAST({doc} AS STRING), {path})"
         if fn == "xpath_exists":
@@ -340,12 +376,25 @@ def _rewrite_xml_ctors(sql: str, lits: list[str] | None = None) -> str:
     )
     # x IS [NOT] DOCUMENT (xml.c xml_is_document); an `xml` typed-
     # literal prefix drops here — the global prefix strip runs later
+    def sub_is_document(m: re.Match) -> str:
+        x = m.group(1).strip()
+        if lits is not None and re.fullmatch(r"\x01\d+\x01", x):
+            # an UNTYPED literal operand coerces through xml_in first
+            # (parse_coerce.c): invalid content raises before the
+            # IS DOCUMENT test ever runs
+            from warehouse_pg_spark.functions.pg import (
+                xml_content_validate,
+            )
+
+            xml_content_validate(_lit_value(x, lits))
+        return (
+            f"({'NOT ' if m.group(2) else ''}"
+            f"xml_is_well_formed_document(CAST({x} AS STRING)))"
+        )
+
     sql = re.sub(
         rf"(?:\bxml\s+)?({_DISTINCT_OPERAND})\s+IS\s+(NOT\s+)?DOCUMENT\b",
-        lambda m: (
-            f"({'NOT ' if m.group(2) else ''}"
-            f"xml_is_well_formed_document(CAST({m.group(1)} AS STRING)))"
-        ),
+        sub_is_document,
         sql,
         flags=re.IGNORECASE,
     )

@@ -1348,6 +1348,27 @@ def _strip_dtd(s: str) -> str:
     return _re.sub(r"&(?!amp;|lt;|gt;|apos;|quot;|#)\w+;", "", s)
 
 
+def xml_content_validate(s: str) -> None:
+    """Plan-time xml_in validation for LITERAL xml content (xml.c
+    xml_parse, xmloption=content): content is either a fragment with
+    NO DOCTYPE, or a full document whose DOCTYPE comes first — a
+    DOCTYPE after any content, or extra roots after a DOCTYPE'd
+    document, is PG's "invalid XML content"."""
+    import re as _re
+
+    body = s
+    head = _re.match(r"\s*(?:<\?xml[^?]*\?>)?\s*", body)
+    rest = body[head.end():]
+    if _re.search(r"(?is)<!DOCTYPE", rest):
+        if not _re.match(r"(?is)<!DOCTYPE", rest):
+            raise ValueError("invalid XML content")
+        if not _xml_wf_document_py(body):
+            raise ValueError("invalid XML content")
+    else:
+        if not _xml_wf_content_py(body):
+            raise ValueError("invalid XML content")
+
+
 def _xml_wf_document_py(s):
     # xml.c xml_is_well_formed_document: exactly one root element
     import xml.etree.ElementTree as ET

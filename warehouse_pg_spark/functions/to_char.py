@@ -514,53 +514,110 @@ _MON_NAMES = ("january", "february", "march", "april", "may", "june",
               "december")
 
 
+def _tok_at(fmt: str, fi: int):
+    """The DCH token starting at fmt[fi], or None."""
+    up = fmt.upper()
+    for tok, field, width in _FROM_TOKENS:
+        if up.startswith(tok, fi):
+            return tok, field, width
+    return None
+
+
 def _from_char_scan(value: str, fmt: str):
     """formatting.c from_char field scanner shared by the to_date /
-    to_timestamp plan-time folds: returns the parsed field dict, or
-    None when the picture/value is outside the supported subset
-    (callers fall back to the Java-pattern path)."""
+    to_timestamp plan-time folds. Returns the parsed field dict, None
+    when the picture/value is outside the supported subset (callers
+    fall back to the Java-pattern path), or RAISES ValueError with
+    PG's own message on definitively-invalid input — invalid value
+    for a field, source string too short (fixed-width reads when the
+    next picture node is also numeric, from_char_parse_int_len),
+    conflicting duplicate fields, mixed Gregorian/ISO conventions
+    (do_to_timestamp checks)."""
     f: dict[str, int] = {}
+    fsrc: dict[str, str] = {}  # field -> the picture token that set it
     vi, fi = 0, 0
     v, n = value, len(value)
 
-    def read_int(maxd: int) -> int | None:
-        # from_char_parse_int's loose scan: skip separators, then up
-        # to the field's width in digits. No sign — negative (BC)
-        # years stay on the loud path.
+    def set_field(field: str, val: int, tok: str) -> None:
+        if field in f and f[field] != val:
+            raise ValueError(
+                f'conflicting values for "{tok}" field in '
+                "formatting string"
+            )
+        f[field] = val
+        fsrc[field] = tok
+
+    def read_int(maxd: int, tok: str, exact: bool) -> int | None:
+        # from_char_parse_int / from_char_parse_int_len: skip leading
+        # whitespace; fixed-width when the NEXT picture node is also
+        # numeric (exact), else up to the field's width in digits.
         nonlocal vi
-        while vi < n and not v[vi].isdigit():
-            if v[vi] == "-" and vi == 0:
-                return None  # leading negative (BC year): stay loud
+        while vi < n and v[vi].isspace():
             vi += 1
+        if vi < n and v[vi] == "-":
+            return None  # negative (BC) years stay on the loud path
+        if exact:
+            span = v[vi : vi + maxd]
+            if len(span) < maxd:
+                raise ValueError(
+                    f'source string too short for "{tok}" '
+                    "formatting field"
+                )
+            if not span.isdigit():
+                raise ValueError(
+                    f'invalid value "{span}" for "{tok}"'
+                )
+            vi += maxd
+            return int(span)
+        # non-exact (from_char_parse_int): strtol semantics — read
+        # ALL consecutive digits, not just the field width
         j = vi
-        while j < n and v[j].isdigit() and (j - vi) < maxd:
+        while j < n and v[j].isdigit():
             j += 1
         if j == vi:
-            return None
+            if vi >= n:
+                raise ValueError(
+                    f'source string too short for "{tok}" '
+                    "formatting field"
+                )
+            raise ValueError(
+                f'invalid value "{v[vi : vi + maxd]}" for "{tok}"'
+            )
         out = int(v[vi:j])
+        if out > 2147483647:
+            raise ValueError(
+                f'value for "{tok}" in source string is out of range'
+            )
         vi = j
         return out
 
+    fm_next = False  # FM prefix toggles fill mode for the next node
     while fi < len(fmt):
         ch = fmt[fi]
         if ch == '"':
             j = fmt.find('"', fi + 1)
-            span = fmt[fi + 1: j if j > 0 else len(fmt)]
+            span = fmt[fi + 1 : j if j > 0 else len(fmt)]
             vi += len(span)  # quoted literal: skip that many chars
             fi = (j + 1) if j > 0 else len(fmt)
             continue
-        if fmt.startswith("FM", fi) or fmt.startswith("FX", fi):
+        if fmt.upper().startswith("FM", fi):
+            fm_next = True
+            fi += 2
+            continue
+        if fmt.upper().startswith("FX", fi):
             fi += 2
             continue
         if fmt.upper().startswith("Y,YYY", fi):
             # grouped-digit year picture ('1,582' — formatting.c
             # DCH_Y_YYY): thousands digit, comma, three digits
             fi += 5
-            hi = read_int(1)
-            lo = read_int(3)
+            hi = read_int(1, "Y,YYY", True)
+            while vi < n and v[vi] in ", ":
+                vi += 1  # the group separator in the value
+            lo = read_int(3, "Y,YYY", False)
             if hi is None or lo is None:
                 return None
-            f["year"] = hi * 1000 + lo
+            set_field("year", hi * 1000 + lo, "Y,YYY")
             if fmt.upper().startswith("TH", fi):
                 fi += 2
                 k = 0
@@ -569,70 +626,156 @@ def _from_char_scan(value: str, fmt: str):
                     k += 1
             continue
         if not ch.isalpha():
-            fi += 1  # separator in the picture: the loose scan skips
+            # separator/space node: consume whitespace plus at most
+            # one separator char of input (formatting.c non-FX rule)
+            fi += 1
+            while vi < n and v[vi].isspace():
+                vi += 1
+            if vi < n and not v[vi].isalnum() and fmt[fi - 1] == v[vi]:
+                vi += 1
             continue
-        for tok, field, width in _FROM_TOKENS:
-            if fmt.upper().startswith(tok, fi):
-                fi += len(tok)
-                th_suffix = fmt.upper().startswith("TH", fi)
-                if th_suffix:
-                    fi += 2  # ordinal suffix picture
-                if field == "dayname":
-                    # day-of-week names are redundant with the date
-                    # fields (formatting.c ignores them on input):
-                    # consume the word
-                    while vi < n and not v[vi].isalpha():
-                        vi += 1
-                    while vi < n and v[vi].isalpha():
-                        vi += 1
-                elif field == "monname":
-                    while vi < n and not v[vi].isalpha():
-                        vi += 1
-                    for k, nm in enumerate(_MON_NAMES, start=1):
-                        if v[vi: vi + 3].lower() == nm[:3]:
-                            f["month"] = k
-                            while vi < n and v[vi].isalpha():
-                                vi += 1
-                            break
+        up4 = fmt.upper()[fi : fi + 4]
+        if up4.startswith(("TZ", "OF")):
+            # formatting.c: zone fields are output-only for from_char
+            raise ValueError(
+                f'formatting field "{up4[:2]}" is only supported'
+                " in to_char"
+            )
+        if up4 in ("A.D.", "B.C.") or up4[:2] in ("AD", "BC"):
+            # era tokens: consume the matching era word; BC stays on
+            # the loud path (pre-AD years are outside Spark's range)
+            fi += 4 if up4 in ("A.D.", "B.C.") else 2
+            while vi < n and v[vi].isspace():
+                vi += 1
+            w = v[vi : vi + 4].replace(".", "").lower()
+            if w[:2] == "bc":
+                return None
+            if w[:2] == "ad":
+                while vi < n and (v[vi].isalpha() or v[vi] == "."):
+                    vi += 1
+            continue
+        hit = _tok_at(fmt, fi)
+        if hit is None:
+            # a bare letter in the picture is a literal node: it
+            # consumes one input character (formatting.c NODE_TYPE_CHAR)
+            fi += 1
+            if vi < n:
+                vi += 1
+            continue
+        tok, field, width = hit
+        fi += len(tok)
+        th_suffix = fmt.upper().startswith("TH", fi)
+        if th_suffix:
+            fi += 2  # ordinal suffix picture
+        if field == "dayname":
+            # day-of-week names are redundant with the date fields
+            # (formatting.c ignores the value on input) but the NAME
+            # must match (from_char_seq_search); DY consumes exactly
+            # the 3-char abbreviation, DAY the matched full name
+            while vi < n and v[vi].isspace():
+                vi += 1
+            days = ("sunday", "monday", "tuesday", "wednesday",
+                    "thursday", "friday", "saturday")
+            for nm in days:
+                if v[vi : vi + 3].lower() == nm[:3]:
+                    if len(tok) <= 2:  # DY / Dy / dy
+                        vi += 3
                     else:
-                        return None
-                elif field == "monroman":
-                    # DCH_RM / DCH_rm: month as a roman numeral
-                    while vi < n and not v[vi].isalpha():
-                        vi += 1
-                    for rn in _ROMAN_IN:
-                        if v[vi: vi + len(rn)].upper() == rn:
-                            f["month"] = _ROMAN_IN_VAL[rn]
-                            vi += len(rn)
-                            break
-                    else:
-                        return None
-                elif field == "ampm":
-                    while vi < n and not v[vi].isalpha():
-                        vi += 1
-                    word = v[vi: vi + 4].replace(".", "").upper()
-                    if word[:2] in ("AM", "PM"):
-                        f["pm"] = 1 if word[0] == "P" else 0
-                        while vi < n and (v[vi].isalpha()
-                                          or v[vi] == "."):
-                            vi += 1
-                    else:
-                        return None
-                else:
-                    got = read_int(width)
-                    if got is None:
-                        return None
-                    f[field] = got
-                    if th_suffix:
-                        # '1,582nd': the ordinal suffix rides the
-                        # VALUE too (from_char skips it)
-                        k = 0
-                        while vi < n and v[vi].isalpha() and k < 2:
-                            vi += 1
+                        k = 3
+                        while (vi + k < n and k < len(nm)
+                               and v[vi + k].lower() == nm[k]):
                             k += 1
-                break
+                        vi += k
+                    break
+            else:
+                raise ValueError(
+                    f'invalid value "{v[vi : vi + 8]}" for "{tok}"'
+                )
+        elif field == "monname":
+            # MON consumes exactly the 3-char abbreviation; MONTH the
+            # matched-prefix of the full name (from_char_seq_search)
+            while vi < n and v[vi].isspace():
+                vi += 1
+            for k, nm in enumerate(_MON_NAMES, start=1):
+                if v[vi : vi + 3].lower() == nm[:3]:
+                    set_field("month", k, tok)
+                    if len(tok) <= 3:  # MON / Mon / mon
+                        vi += 3
+                    else:
+                        j2 = 3
+                        while (vi + j2 < n and j2 < len(nm)
+                               and v[vi + j2].lower() == nm[j2]):
+                            j2 += 1
+                        vi += j2
+                    break
+            else:
+                raise ValueError(
+                    f'invalid value "{v[vi : vi + 8]}" for "{tok}"'
+                )
+        elif field == "monroman":
+            # DCH_RM / DCH_rm: month as a roman numeral
+            while vi < n and not v[vi].isalpha():
+                vi += 1
+            for rn in _ROMAN_IN:
+                if v[vi : vi + len(rn)].upper() == rn:
+                    set_field("month", _ROMAN_IN_VAL[rn], tok)
+                    vi += len(rn)
+                    break
+            else:
+                return None
+        elif field == "ampm":
+            while vi < n and v[vi].isspace():
+                vi += 1
+            word = v[vi : vi + 4].replace(".", "").upper()
+            if word[:2] in ("AM", "PM"):
+                set_field("pm", 1 if word[0] == "P" else 0, tok)
+                while vi < n and (v[vi].isalpha() or v[vi] == "."):
+                    vi += 1
+            else:
+                raise ValueError(
+                    f'invalid value "{v[vi : vi + 4]}" for "{tok}"'
+                )
         else:
-            return None  # unknown alpha token
+            nxt = _tok_at(fmt, fi)
+            exact = (
+                not fm_next
+                and nxt is not None
+                and nxt[2] > 0
+            )
+            got = read_int(width, tok, exact)
+            if got is None:
+                return None
+            set_field(field, got, tok)
+            if th_suffix:
+                # '1,582nd': the ordinal suffix rides the VALUE too
+                # (from_char skips it)
+                k = 0
+                while vi < n and v[vi].isalpha() and k < 2:
+                    vi += 1
+                    k += 1
+        fm_next = False
+    # do_to_timestamp: ISO-week and Gregorian date conventions must
+    # not mix
+    iso = {"isoyear", "isoyear3", "isoyear2", "isoyear1", "isoweek",
+           "isodow", "isodoy"}
+    greg = {"year", "year3", "year2", "year1", "century",
+            "month", "day", "woy", "wom", "doy", "quarter"}
+    if (f.keys() & iso) and (f.keys() & greg):
+        raise ValueError("invalid combination of date conventions")
+    # field range checks (DCH_from_char_args / do_to_timestamp): the
+    # value string reports in PG's message verbatim
+    rng = {
+        "month": (1, 12), "day": (1, 31), "doy": (1, 366),
+        "woy": (1, 53), "wom": (1, 5), "quarter": (1, 4),
+        "hour": (0, 23), "minute": (0, 59), "second": (0, 59),
+        "secs_midnight": (0, 86399), "isoweek": (1, 53),
+        "isodow": (1, 7), "dow": (1, 7), "isodoy": (1, 371),
+    }
+    for field, (lo, hi) in rng.items():
+        if field in f and not (lo <= f[field] <= hi):
+            raise ValueError(
+                f"date/time field value out of range: {value!r}"
+            )
     return f
 
 
@@ -696,7 +839,15 @@ def _compose_date(f: dict):
         year = 2000 + f["year1"]
     if year is None or year <= 0:
         return None  # BC years: out of Python's range, stay loud
+    if year > 9999:
+        # PG spans to 5874897 AD; Spark's DATE stops at 9999 (README
+        # deviation) — and beyond PG's own cap it raises too
+        raise ValueError(f"year {year} is out of range")
     if "doy" in f:
+        import calendar as _cal
+
+        if f["doy"] > (366 if _cal.isleap(year) else 365):
+            raise ValueError("date/time field value out of range")
         return _dt.date(year, 1, 1) + _dt.timedelta(days=f["doy"] - 1)
     month = f.get("month")
     if month is None and "quarter" in f:
@@ -714,7 +865,9 @@ def _compose_date(f: dict):
     try:
         return _dt.date(year, month, day)
     except ValueError:
-        return None
+        # Feb 30 / Jun 31: the fields were individually in range but
+        # do not compose (do_to_timestamp ValidateDate)
+        raise ValueError("date/time field value out of range")
 
 
 def to_date_fold(value: str, fmt: str):

@@ -435,6 +435,44 @@ def rewrite(sql: str) -> str:
         r"(?<![\w.])\d+\.\d{25,}(?![\w.])", _clamp_num_lit, out
     )
 
+    # jsonb literal input rejects the \\u0000 escape (jsonb_util.c:
+    # jsonb cannot store a NUL codepoint; json, a text type, can)
+    def _check_jsonb_nul(m: re.Match) -> str:
+        tok = m.group(1) or m.group(2)
+        if "\\u0000" in _lit_value(tok, lits):
+            raise ValueError(
+                "unsupported Unicode escape sequence")
+        return m.group(0)
+
+    out = re.sub(
+        rf"\bjsonb\s+({_LIT})|({_LIT})\s*::\s*jsonb\b",
+        _check_jsonb_nul,
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    # repeat(lit, n)::json folds enough to VALIDATE at plan time
+    # (json parser depth/structure; repeat('[', 10000)::json raises)
+    def _check_repeat_json(m: re.Match) -> str:
+        import json as _json
+
+        body = _lit_value(m.group(1), lits) * int(m.group(2))
+        try:
+            _json.loads(body)
+        except RecursionError:
+            raise ValueError("stack depth limit exceeded")
+        except ValueError:
+            raise ValueError("invalid input syntax for type json")
+        return m.group(0)
+
+    out = re.sub(
+        rf"\brepeat\s*\(\s*({_LIT})\s*,\s*(\d+)\s*\)"
+        r"\s*::\s*jsonb?\b",
+        _check_repeat_json,
+        out,
+        flags=re.IGNORECASE,
+    )
+
     # '...'::jsonpath literal casts validate at PLAN time
     # (jsonpath_scan.l token rules): PG raises on malformed paths at
     # parse; valid paths pay nothing (the cast still collapses to the
@@ -570,23 +608,131 @@ def rewrite(sql: str) -> str:
                 f'"{t}" is out of range for type double precision')
         return v
 
+    _PG_INT_NAMES = {
+        "int2": "smallint", "smallint": "smallint",
+        "int4": "integer", "int": "integer", "integer": "integer",
+        "int8": "bigint", "bigint": "bigint",
+    }
+
     def _fold_float_int_cast(m: re.Match) -> str:
         v = _pg_float_text(_lit_value(m.group(1), lits))
-        tgt = m.group(2).lower()
+        src = (m.group(2) or "float8").lower()
+        tgt = m.group(3).lower()
         import math as _math
 
+        if src in ("float4", "real") and not (
+            _math.isnan(v) or _math.isinf(v)
+        ):
+            # the value passes through float4 precision first
+            # (float.c dtof then ftoi4): 2147483647 stored as float4
+            # IS 2147483648.0
+            import struct as _struct
+
+            try:
+                v = _struct.unpack("f", _struct.pack("f", v))[0]
+            except OverflowError:
+                v = float("inf")
+        pgname = _PG_INT_NAMES[tgt]
         if _math.isnan(v) or _math.isinf(v):
-            raise ValueError(f"{tgt} out of range")
+            raise ValueError(f"{pgname} out of range")
         r = round(v)  # banker's rounding, as rint()
         lim = _INT_RANGES[tgt]
         if not (-lim - 1 <= r <= lim):  # two's-complement min is -max-1
-            raise ValueError(f"{tgt} out of range")
+            raise ValueError(f"{pgname} out of range")
         return f"CAST({r} AS {'BIGINT' if _INT_RANGES[tgt] > 2**31 else 'INT' if _INT_RANGES[tgt] > 2**15 else 'SMALLINT'})"
 
     out = re.sub(
-        rf"({_LIT})\s*::\s*float[48]?\s*::\s*"
-        r"(int[248]?|smallint|integer|bigint)\b",
+        rf"({_LIT})\s*::\s*(float[48]?|real|double\s+precision)"
+        r"\s*::\s*(int[248]?|smallint|integer|bigint)\b",
         _fold_float_int_cast,
+        out,
+        flags=re.IGNORECASE,
+    )
+    # the CAST(x AS t) spelling of the same chain
+    out = re.sub(
+        rf"CAST\s*\(\s*({_LIT})\s*::\s*"
+        r"(float[48]?|real|double\s+precision)\s+AS\s+"
+        r"(int[248]?|smallint|integer|bigint)\s*\)",
+        _fold_float_int_cast,
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    # int literal INPUT range (int8.c int8in / int.c int2in int4in):
+    # '9223372036854775808'::int8 raises at plan time. Invalid
+    # non-numeric text stays on the relaxed path (strict_errors).
+    def _check_int_lit(m: re.Match) -> str:
+        t = _lit_value(m.group(1), lits).strip()
+        tgt = m.group(2).lower()
+        if re.fullmatch(r"[+-]?\d+", t):
+            lim = _INT_RANGES[tgt]
+            if not (-lim - 1 <= int(t) <= lim):
+                raise ValueError(
+                    f'value "{t}" is out of range for type '
+                    f"{_PG_INT_NAMES[tgt]}"
+                )
+        return m.group(0)
+
+    out = re.sub(
+        rf"({_LIT})\s*::\s*(int[248]?|smallint|integer|bigint)\b"
+        r"(?!\s*\[)",
+        _check_int_lit,
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    # negation/abs of the int8 minimum (int8.c int8um / int8abs):
+    # |-9223372036854775808| has no int8 representation
+    def _check_int8_negabs(m: re.Match) -> str:
+        t = _lit_value(m.group(2), lits).strip()
+        if re.fullmatch(r"[+-]?\d+", t):
+            v = int(t)
+            v = abs(v) if m.group(1).lower() == "abs" else -v
+            lim = _INT_RANGES["int8"]
+            if not (-lim - 1 <= v <= lim):
+                raise ValueError("bigint out of range")
+        return m.group(0)
+
+    def _negabs_gate(m: re.Match) -> str:
+        if m.group(1) == "-":
+            # unary context only: a binary minus (x - (...)) computes
+            # a different value — don't judge it by the operand alone
+            before = m.string[: m.start(1)].rstrip()
+            if before and before[-1] not in "(," and not re.search(
+                r"(?i)\b(?:select|where|when|then|and|or|by)$", before
+            ):
+                return m.group(0)
+        return _check_int8_negabs(m)
+
+    out = re.sub(
+        rf"(abs|-)\s*\(\s*({_LIT})\s*::\s*(?:int8|bigint)\s*\)",
+        _negabs_gate,
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    # literal intN arithmetic (int.c int2mul/int4mul/int8mul &
+    # division twins): PG checks the RESULT against the wider
+    # operand's type — (-32768)::int2 * (-1)::int2 overflows int2
+    def _check_int_arith(m: re.Match) -> str:
+        a, ta, op, b, tb = (
+            int(m.group(1)), m.group(2).lower(), m.group(3),
+            int(m.group(4)), m.group(5).lower(),
+        )
+        if op == "/" and b == 0:
+            return m.group(0)  # division by zero: strict_errors path
+        r = a * b if op == "*" else int(a / b) if b else 0
+        lim = max(_INT_RANGES[ta], _INT_RANGES[tb])
+        wide = "int2" if lim <= 32767 else (
+            "int4" if lim <= 2147483647 else "int8")
+        if not (-lim - 1 <= r <= lim):
+            raise ValueError(f"{_PG_INT_NAMES[wide]} out of range")
+        return m.group(0)
+
+    out = re.sub(
+        r"\(\s*(-?\d+)\s*\)\s*::\s*(int[248])\s*([*/])\s*"
+        r"\(\s*(-?\d+)\s*\)\s*::\s*(int[248])",
+        _check_int_arith,
         out,
         flags=re.IGNORECASE,
     )
@@ -832,6 +978,10 @@ def rewrite(sql: str) -> str:
         esc = _lit_value(m.group(2), lits) if m.group(2) else "\\"
         if len(esc) != 1:
             return m.group(0)  # PG rejects multi-char UESCAPE: loud
+        if esc in "0123456789abcdefABCDEF+'\"" or esc.isspace():
+            # scan.l check_uescapechar: hex digits, '+', quotes and
+            # whitespace cannot be the escape character
+            raise ValueError("invalid Unicode escape character")
         try:
             decoded = _decode_uescape(_lit_value(m.group(1), lits), esc)
         except ValueError:
@@ -863,7 +1013,17 @@ def rewrite(sql: str) -> str:
     # XML value constructors → concat/escape string building, then the
     # `xml '...'` typed-literal prefix drops (xml is a STRING here)
     out = _rewrite_xml_ctors(out, lits)
-    out = _XML_TYPED_LIT_RE.sub(lambda m: m.group(1), out)
+
+    # `xml '...'` typed literals validate through xml_in's content
+    # rules at plan time (xml.c xml_parse), then the prefix drops
+    # (xml is a STRING in this model)
+    def _sub_xml_lit(m: re.Match) -> str:
+        from warehouse_pg_spark.functions.pg import xml_content_validate
+
+        xml_content_validate(_lit_value(m.group(1), lits))
+        return m.group(1)
+
+    out = _XML_TYPED_LIT_RE.sub(_sub_xml_lit, out)
 
     out = _rewrite_distinct_on(out)
     out = _rewrite_with_ties(out)
@@ -1007,6 +1167,17 @@ def rewrite(sql: str) -> str:
         if len(args) not in (2, 3):
             return m.group(0)
         lo, hi = args[0], args[1]
+        # literal numeric bounds: the reversed constructor RAISES in
+        # PG (rangetypes.c range_make: lower <= upper) — plan time
+        # beats the silent-empty deviation whenever both are literals
+        if re.fullmatch(r"-?\d+(?:\.\d+)?", lo) and re.fullmatch(
+            r"-?\d+(?:\.\d+)?", hi
+        ):
+            if float(lo) > float(hi):
+                raise ValueError(
+                    "range lower bound must be less than or equal "
+                    "to range upper bound"
+                )
         li, hi_i = "true", "false"  # PG default bounds '[)'
         if len(args) == 3:
             b3 = re.sub(r"(?i)^E(?=\x01)", "", args[2])
@@ -1265,6 +1436,19 @@ def rewrite(sql: str) -> str:
         tzv = _lit_value(tz, lits).strip().upper()
         if tzr := _TZ_ABBREV_OFFSETS.get(tzv) or _TZ_ABBREV_ZONES.get(tzv):
             tz = _new_lit(tzr, lits)
+        elif "/" in tzv:
+            # region ids check against the tz database (pgtz.c lookup;
+            # Spark would silently fall back instead of raising)
+            raw_zone = _lit_value(tz, lits).strip()
+            try:
+                import zoneinfo as _zi
+
+                _zi.ZoneInfo(raw_zone)
+            except (KeyError, ValueError, OSError):
+                raise ValueError(
+                    f'time zone "{raw_zone}" not recognized')
+            except ModuleNotFoundError:
+                pass
         if re.search(
             r"(?is)::\s*(?:timestamptz\b|timestamp\s+with\s+time\s+zone)", op
         ):
@@ -1477,7 +1661,45 @@ def rewrite(sql: str) -> str:
         body = _lit_value(lit, lits)
         for pfx in ("\\\\x", "\\x"):
             if body.lower().startswith(pfx.lower()):
-                return f"unhex('{body[len(pfx):]}')"
+                hexpart = body[len(pfx):]
+                # byteain hex validation: hex digits only (whitespace
+                # allowed), even count
+                digits = re.sub(r"\s+", "", hexpart)
+                bm = re.search(r"[^0-9A-Fa-f]", digits)
+                if bm:
+                    raise ValueError(
+                        "invalid hexadecimal digit: "
+                        f'"{bm.group(0)}"'
+                    )
+                if len(digits) % 2:
+                    raise ValueError(
+                        "invalid hexadecimal data: odd number of "
+                        "digits"
+                    )
+                return f"unhex('{digits}')"
+        # escape format (byteain): each DECODED backslash must start
+        # '\\\\' (a backslash byte) or '\\ooo' (an octal byte). The
+        # literal arrives raw — E-level '\\\\' pairs decode to one
+        # backslash; an odd trailing raw backslash is an E-escape
+        # consuming the next char, not byteain's concern.
+        i2, n3 = 0, len(body)
+        while i2 < n3:
+            if body[i2] != "\\":
+                i2 += 1
+                continue
+            j2 = i2
+            while j2 < n3 and body[j2] == "\\":
+                j2 += 1
+            dec = (j2 - i2) // 2
+            while dec > 0:
+                if dec >= 2:
+                    dec -= 2  # decoded '\\\\' pair: backslash byte
+                else:
+                    if not re.match(r"[0-7]{3}", body[j2 : j2 + 3]):
+                        raise ValueError(
+                            "invalid input syntax for type bytea")
+                    dec -= 1
+            i2 = j2 + (1 if (j2 - i2) % 2 else 0)
         return f"CAST({lit} AS BINARY)"
 
     out = _BYTEA_CAST_RE.sub(sub_bytea, out)
@@ -1487,6 +1709,29 @@ def rewrite(sql: str) -> str:
     # '$12,345.00' text; '::money::numeric' yields the numeric value
     def sub_money(m: re.Match) -> str:
         x, to_num = m.group(1), m.group(2)
+        xs = x.strip()
+        if _MASK_RE.fullmatch(xs):
+            # literal input: cash_in's int64-cents range check runs at
+            # plan time (rounding half away from zero, cash.c)
+            raw = _lit_value(xs, lits)
+            t = raw.strip().replace(",", "").replace("$", "")
+            neg = False
+            if t.startswith("(") and t.endswith(")"):
+                neg, t = True, t[1:-1].strip()
+            if t.startswith("-"):
+                neg, t = not neg, t[1:]
+            if re.fullmatch(r"\d+(?:\.\d*)?", t):
+                import decimal as _dec
+
+                cents = (
+                    _dec.Decimal(t) * 100
+                ).quantize(0, rounding=_dec.ROUND_HALF_UP)
+                if neg:
+                    cents = -cents
+                if not (-(2**63) <= cents <= 2**63 - 1):
+                    raise ValueError(
+                        f'value "{raw}" is out of range for type money'
+                    )
         parsed = f"pg_money_in(CAST({x} AS STRING))"
         if to_num:
             return f"CAST({parsed} AS DECIMAL(19,2))"
@@ -1857,8 +2102,63 @@ def rewrite(sql: str) -> str:
     # PG E'...' escape-string literals (scan.l xe state, either case):
     # Spark's non-ANSI parser interprets backslash escapes in plain
     # literals identically, so dropping the E prefix preserves the
-    # value.
-    out = re.sub(rf"\b[Ee](?={_LIT})", "", out)
+    # value. \u/\U escapes validate first (scan.l xeu state +
+    # check_unicode_value): bad hex, the NUL codepoint, and broken
+    # pairs raise exactly where PG does.
+    def _check_e_unicode(m: re.Match) -> str:
+        body = lits[int(_MASK_RE.match(m.group(1)).group(1))][1:-1]
+        i, n2 = 0, len(body)
+        pending_high = False
+        while i < n2:
+            if body[i] != "\\":
+                if pending_high:
+                    raise ValueError(
+                        "invalid Unicode surrogate pair")
+                i += 1
+                continue
+            j = i
+            while j < n2 and body[j] == "\\":
+                j += 1
+            if (j - i) % 2 == 0:  # escaped backslashes only
+                if pending_high:
+                    raise ValueError(
+                        "invalid Unicode surrogate pair")
+                i = j
+                continue
+            # odd run: the last backslash escapes body[j]
+            c = body[j : j + 1]
+            if c in ("u", "U"):
+                width = 4 if c == "u" else 8
+                hexs = body[j + 1 : j + 1 + width]
+                if len(hexs) < width or not re.fullmatch(
+                    r"[0-9A-Fa-f]+", hexs
+                ):
+                    raise ValueError("invalid Unicode escape")
+                cp = int(hexs, 16)
+                if cp == 0:
+                    raise ValueError(
+                        "invalid Unicode escape value")
+                if pending_high:
+                    if not (0xDC00 <= cp <= 0xDFFF):
+                        raise ValueError(
+                            "invalid Unicode surrogate pair")
+                    pending_high = False
+                elif 0xD800 <= cp <= 0xDBFF:
+                    pending_high = True
+                elif 0xDC00 <= cp <= 0xDFFF:
+                    raise ValueError(
+                        "invalid Unicode surrogate pair")
+                i = j + 1 + width
+            else:
+                if pending_high:
+                    raise ValueError(
+                        "invalid Unicode surrogate pair")
+                i = j + 1
+        if pending_high:
+            raise ValueError("invalid Unicode surrogate pair")
+        return m.group(1)
+
+    out = re.sub(rf"\b[Ee]({_LIT})", _check_e_unicode, out)
 
     # SQL:2008 fetch clause (gram.y limit_clause) and LIMIT ALL
     out = re.sub(
