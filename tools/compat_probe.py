@@ -297,6 +297,13 @@ _CONTEXT_DDL_RE = re.compile(
     r"(?:DOMAIN|TYPE|FUNCTION|SEQUENCE|AGGREGATE|TABLE)"
     r"|ALTER\s+(?:TYPE|DOMAIN|SEQUENCE))\b"
 )
+# session hygiene replayed alongside (regress scripts DROP before
+# re-CREATEing the same names) — executed but NOT counted in the
+# context-surface metric
+_CONTEXT_DROP_RE = re.compile(
+    r"(?is)^\s*DROP\s+(?:TABLE|TYPE|DOMAIN|FUNCTION|SEQUENCE"
+    r"|AGGREGATE|VIEW)\b"
+)
 
 
 def _ctx_family(c: str) -> str:
@@ -339,9 +346,35 @@ def context_statements(sql_path: str) -> list[str]:
         text = open(sql_path, errors="ignore").read()
     except OSError:
         return []
-    return [
-        s for s in _split_statements(text) if _CONTEXT_DDL_RE.match(s)
+    stmts = [
+        s for s in _split_statements(text)
+        if _CONTEXT_DDL_RE.match(s) or _CONTEXT_DROP_RE.match(s)
     ]
+    # keep a DROP only when the file re-CREATEs one of its names
+    # LATER — the drop-then-recreate pattern the replay needs; pure
+    # end-of-file cleanup DROPs would strip objects the probes use
+    out = []
+    for i, s in enumerate(stmts):
+        if _CONTEXT_DROP_RE.match(s):
+            names = {
+                n.split(".")[-1].strip('"').lower()
+                for n in re.findall(
+                    r'[\w."]+',
+                    re.sub(
+                        r"(?is)^\s*DROP\s+\w+\s+(?:IF\s+EXISTS\s+)?"
+                        r"|\b(?:CASCADE|RESTRICT)\b",
+                        "",
+                        s,
+                    ),
+                )
+            }
+            later = " ".join(stmts[i + 1 :]).lower()
+            if not any(
+                re.search(rf"\b{re.escape(n)}\b", later) for n in names
+            ):
+                continue
+        out.append(s)
+    return out
 
 
 def corpus_by_file() -> list[tuple[str, list[tuple[str, bool | None]]]]:
@@ -532,6 +565,17 @@ def main() -> None:
             eng._user_types = UserTypes()
             eng._variadic_functions.clear()
             for c in ctx:
+                if _CONTEXT_DROP_RE.match(c):
+                    # hygiene, not surface: run, never count
+                    try:
+                        eng.sql(c)
+                    except Exception:
+                        pass
+                    try:
+                        con.execute(c)
+                    except Exception:
+                        pass
+                    continue
                 ctx_stmts += 1
                 try:
                     eng.sql(c)
@@ -734,7 +778,38 @@ def main() -> None:
                 r"|conflicting values for"
                 r"|invalid combination of date conventions"
                 r"|in source string is out of range"
-                r"|is only supported in to_char",
+                r"|is only supported in to_char"
+                r"|invalid XML content"
+                r"|unsupported XML feature"
+                r"|not an XML document"
+                r"|empty XPath expression"
+                r"|string is not a valid identifier"
+                r"|out of range for type money"
+                r"|invalid hexadecimal"
+                r"|invalid input syntax for type bytea"
+                r"|invalid Unicode"
+                r"|format\(\) type specifier"
+                r"|appears more than once"
+                r"|processing instruction target"
+                r"|must be type xml"
+                r"|numeric time zone"
+                r"|not recognized"
+                r"|interval out of range"
+                r"|range lower bound"
+                r"|array must have"
+                r"|mismatched array dimensions"
+                r"|wrong number of array subscripts"
+                r"|null value not allowed for object key"
+                r"|count must be greater than zero"
+                r"|lower bound cannot equal upper bound"
+                r"|cannot be NaN"
+                r"|unsupported Unicode escape sequence"
+                r"|stack depth limit exceeded"
+                r"|invalid regular expression option"
+                r"|out of range for type"
+                r"|bigint out of range"
+                r"|integer out of range"
+                r"|smallint out of range",
                 err,
             ):
                 return (

@@ -319,6 +319,17 @@ def _rewrite_create_table_defs(sql: str) -> str:
         " ",
         tail,
     )
+    # GP partition specs on a plain CREATE TABLE (gram.y
+    # OptTabPartitionSpec: PARTITION BY ... [SUBPARTITION ...]
+    # (START/END/EVERY | VALUES ...)): physical child-table layout
+    # with no Spark DDL form — stripped; the CTAS spelling keeps its
+    # directory-partitioned materialization (engine._partitioned_ctas)
+    pm2 = re.search(r"(?is)\bPARTITION\s+BY\b", tail)
+    if pm2:
+        sc = tail.find(";", pm2.start())
+        tail = tail[: pm2.start()].rstrip() + (
+            tail[sc:] if sc >= 0 else ""
+        )
     if not re.search(r"(?i)\bUSING\b", tail):
         tail = ") USING PARQUET" + tail[1:]
     return f"{head}{', '.join(cols)}{tail}"

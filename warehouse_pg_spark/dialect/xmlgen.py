@@ -147,7 +147,15 @@ def _rewrite_xml_ctors(sql: str, lits: list[str] | None = None) -> str:
                         xml_content_validate,
                     )
 
-                    xml_content_validate(_lit_value(a.strip(), lits))
+                    av = _lit_value(a.strip(), lits)
+                    xml_content_validate(av)
+                    vm2 = re.match(
+                        r"\s*<\?xml[ \t][^>]*?\?>", av)
+                    if vm2 and not re.search(
+                        r"version\s*=\s*[\"']1\.0", vm2.group(0)
+                    ):
+                        # xml.c xmlconcat: only XML 1.0 values merge
+                        raise ValueError("unsupported XML feature")
             parts = ", ".join(f"coalesce({a}, '')" for a in args)
             return (
                 f"(CASE WHEN coalesce({', '.join(args)}) IS NULL "

@@ -634,14 +634,26 @@ class Engine:
                     # (functioncmds.c: they define a record return) —
                     # collected as output columns, not arguments
                     toks = toks[1:]
+
+                    def _out_type(t: str) -> str:
+                        # the OUT-record schema is a Spark table
+                        # schema, which rejects CHAR/VARCHAR — text
+                        # params collapse to STRING
+                        mt = map_decl_type(t)
+                        return (
+                            "STRING"
+                            if re.match(r"(?i)(?:char|varchar)\b", mt)
+                            else mt
+                        )
+
                     if len(toks) >= 2:
                         out_params.append(
-                            (toks[0], map_decl_type(" ".join(toks[1:])))
+                            (toks[0], _out_type(" ".join(toks[1:])))
                         )
                     else:
                         out_params.append(
                             (f"column{len(out_params) + 1}",
-                             map_decl_type(toks[0]))
+                             _out_type(toks[0]))
                         )
                     continue
                 if toks[0].upper() == "VARIADIC":
@@ -729,6 +741,13 @@ class Engine:
             # supported subset is expression-bodied SELECTs.
             last = [x for x in body.split(";") if x.strip()][-1].strip()
             expr = re.sub(r"^SELECT\b", "", last, flags=re.IGNORECASE).strip()
+            # `select 1 AS result` — the output alias is not part of
+            # the expression (functions.c: the column name is ignored
+            # for a scalar SQL function)
+            if "(" not in expr:
+                expr = re.sub(
+                    r"(?is)\s+AS\s+\w+\s*$", "", expr
+                )
             expr = f"CAST(({expr}) AS {ret_spark})"
         else:
             raise NotImplementedError(f"LANGUAGE {lang} is not supported")

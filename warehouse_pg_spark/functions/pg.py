@@ -1350,22 +1350,34 @@ def _strip_dtd(s: str) -> str:
 
 def xml_content_validate(s: str) -> None:
     """Plan-time xml_in validation for LITERAL xml content (xml.c
-    xml_parse, xmloption=content): content is either a fragment with
-    NO DOCTYPE, or a full document whose DOCTYPE comes first — a
-    DOCTYPE after any content, or extra roots after a DOCTYPE'd
-    document, is PG's "invalid XML content"."""
+    xml_parse, xmloption=content): a DOCTYPE
+    is legal only in prolog position — after nothing but the decl,
+    whitespace, comments and PIs — and then the value must be a
+    well-formed single-root document; otherwise it is a fragment
+    that must parse as content."""
     import re as _re
 
     body = s
-    head = _re.match(r"\s*(?:<\?xml[^?]*\?>)?\s*", body)
-    rest = body[head.end():]
+    dm = _re.match(r"\s*<\?xml[ \t][^>]*?\?>", body)
+    rest = body[dm.end():] if dm else body
+    # skip prolog misc: whitespace, comments, non-decl PIs
+    pos = 0
+    while True:
+        mm = _re.match(
+            r"\s*(?:<!--.*?-->|<\?(?!xml[ \t]).*?\?>)", rest[pos:],
+            _re.S,
+        )
+        if not mm or not mm.group(0).strip():
+            break
+        pos += mm.end()
+    tail = rest[pos:]
     if _re.search(r"(?is)<!DOCTYPE", rest):
-        if not _re.match(r"(?is)<!DOCTYPE", rest):
+        if not _re.match(r"(?is)\s*<!DOCTYPE", tail):
             raise ValueError("invalid XML content")
-        if not _xml_wf_document_py(body):
+        if not _xml_wf_document_py(tail):
             raise ValueError("invalid XML content")
     else:
-        if not _xml_wf_content_py(body):
+        if not _xml_wf_content_py(rest):
             raise ValueError("invalid XML content")
 
 

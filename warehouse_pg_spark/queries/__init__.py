@@ -45,91 +45,88 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
 # scored, keeping one green representative per family pinned (the
 # family-coverage invariant is cumulative — tests/test_registry.py
 # checks prefix ∪ CORRECTNESS_r* history spans REQUIRED_FAMILY_TAGS).
-# r13 rotation: the ledger entered the round closed (243/243
-# cumulative). The 3 NEW round-13 queries lead (PL/pgSQL RETURN NEXT
-# accumulation, VARIADIC user functions, CREATE TYPE AS RANGE), plus
-# pgsql_xpath_sql_calls whose ORACLE was strengthened this round
-# (fixture-derived cnt/ex/root_tag — a changed oracle must re-score).
-# The 5 family anchors stay. The remaining slots re-score prior
-# greens whose code round 13 touched: the PL/pgSQL compiler (shared
-# _base_env refactor + setof/outrow compilers), SETOF/table-function
-# registration (single-RETURN-QUERY regex tightened, cols computed
-# earlier), the jsonb family (|| now folds chains to a fixpoint;
-# json SRF select-list lowering routes non-_text through new
-# workers), to_char (HH12 out-of-range composition), ranges (new
-# _str family, &< / &> operators, ::type suffix on scalar operands),
-# user-type DDL (domain-over-composite resolution, array-base
-# domains, E'' record literals, paren-unwrap in casts), and the
-# dialect head (public. prefix strip, window-without-ORDER-BY,
-# over-precision numeric literals, current_timestamp(n) rounding,
-# map_decl_type arrays) — plus the flagship TPC-H pair and q18
-# (bench watch). Cumulative if green: 243 + 3 = 246 of 246 (re-pin
-# at round close if more register).
+# r14 rotation: the ledger entered the round closed (246/246
+# cumulative). The 1 NEW round-14 query leads (pgsql_json_arrow_quoting
+# — the json-returning `->` keeping string-leaf quoting, lowered to a
+# variant extraction). The 5 family anchors stay. The remaining slots
+# re-score prior greens whose code round 14 touched: the SRF lowering
+# (two-level nested lockstep + SRFs in ORDER BY), the json arrow fold
+# (per-step extractor split, bracket paths, jsonb NUL validation), the
+# from_char scanner (now validating: fixed-width reads, name-token
+# widths, field ranges, mixed conventions), format() picture
+# validation, the XML constructors (bytea args per xmlbinary, pi/attr
+# checks, content validation), ranges (reversed-ctor raise), the
+# window no-ORDER-BY rule (named-reference guard), the scalar families
+# around the new literal folds (money, bytea, intN arithmetic,
+# width_bucket, unicode escapes, network), and the dialect-split
+# refactor itself (every pass moved modules — pgsql_q1_text and the
+# flagship TPC-H pair exercise the full pipeline end-to-end).
+# Cumulative if green: 246 + 1 = 247 of 247.
 DRIVER_PREFIX: tuple[str, ...] = (
-    # never-scored: new round-13 queries
-    "pgsql_plpgsql_return_next",
-    "pgsql_variadic_function",
-    "pgsql_custom_range_type",
-    # changed oracle this round — must re-score
-    "pgsql_xpath_sql_calls",
+    # never-scored: new round-14 query (json-returning arrow keeps
+    # string-leaf quoting via variant extraction)
+    "pgsql_json_arrow_quoting",
     # anchors (required family tags with no never-scored owner)
     "external_csv_scan",
     "agg_dqa_multi",
     "cte_shared_reuse",
     "udtf_python_split_words",
     "uda_pandas_grouped",
-    # re-scores: PL/pgSQL compiler (refactored _base_env + new
-    # setof/outrow entry points beside the scalar path)
-    "pgsql_plpgsql_function",
-    "pgsql_plpgsql_while_select_into",
-    "pgsql_plpgsql_for_query",
-    "pgsql_setof_table_function",
-    # re-scores: jsonb family (fixpoint || fold + new SRF workers)
+    # re-scores: SRF lowering (two-level lockstep + ORDER BY SRFs)
+    "srf_unnest_multi",
+    "srf_lockstep_zip",
+    "srf_posexplode_ordinality",
+    "srf_json_each",
+    # re-scores: json arrows + jsonpath (arrow extractor split,
+    # bracket paths, jsonb NUL validation beside these paths)
     "pgsql_jsonb_concat_silent",
     "pgsql_jsonb_containment",
     "pgsql_jsonb_path_vars",
     "pgsql_jsonpath_filter",
     "pgsql_jsonpath_match",
-    "srf_json_each",
-    # re-scores: to_char (HH12 composition changed)
+    "events_json_extract",
+    "agg_json_agg",
+    # re-scores: to_char/to_date (validating from_char scanner)
     "fn_to_char_formats",
     "pgsql_to_number_pictures",
     "fn_datetime_extended",
-    # re-scores: ranges (new _str family + operators + operand cast)
-    "fn_range_types",
-    # re-scores: user-type DDL (domain/composite/range rewriting)
-    "fn_enum_ordering",
-    "pgsql_domain_check",
-    "pgsql_composite_roundtrip",
-    "pgsql_enum_order_semantics",
-    # re-scores: xml family (xpath evaluator feeds the new oracle;
-    # DTD stripping beside the well-formedness shims)
+    # re-scores: format() picture validation beside the compiler
+    "pgsql_format_compose",
+    "fn_format_family",
+    "fn_strings_hash_format",
+    # re-scores: xml constructors (bytea args, pi/attr checks)
     "fn_xpath_extract",
     "tablefunc_xmltable",
     "agg_xmlagg_members",
     "pgsql_xml_construction",
-    # re-scores: SRF lowerings (select-list forms changed beside)
-    "srf_unnest_multi",
-    "srf_lockstep_zip",
-    "srf_posexplode_ordinality",
-    # re-scores: window family (OVER-without-ORDER-BY rule added)
+    "pgsql_xpath_sql_calls",
+    # re-scores: ranges (reversed-ctor validation beside the family)
+    "fn_range_types",
+    "pgsql_custom_range_type",
+    "ts_range_join_bucketed",
+    # re-scores: window named-reference fix in the no-ORDER-BY rule
     "window_ranking",
     "pgsql_named_window_clause",
-    # re-scores: scalar families around the reordered dialect head
-    "fn_strings",
+    # re-scores: scalar families around the validation folds (money,
+    # bytea, intN arithmetic spellings, width_bucket, unicode)
+    "fn_misc_type_shims",
     "fn_math",
     "fn_numeric_edge_semantics",
-    "fn_misc_type_shims",
-    "fn_regex_family",
-    "pgsql_format_compose",
-    "pgsql_network_types",
-    "pgsql_row_null_semantics",
+    "fn_strings",
     "fn_bitwise",
-    # re-scores: quantified subqueries (ANY-over-subquery-array path)
-    "join_quantified_all_any",
-    "pgsql_quantified_null",
-    # re-scores: flagship + bench watch
+    "fn_width_bucket",
+    "fn_encode_family",
+    "fn_interval_arithmetic",
+    "pgsql_network_types",
+    "fn_regex_family",
+    # re-scores: DDL/type paths behind CREATE TABLE replay widening
+    "pgsql_domain_check",
+    "pgsql_composite_roundtrip",
+    "fn_enum_ordering",
+    # re-scores: engine front path, broad
     "pgsql_q1_text",
+    "pgsql_plpgsql_function",
+    # flagship + bench watch
     "tpch_q1_pricing_summary",
     "tpch_q18_large_volume_customer",
 )

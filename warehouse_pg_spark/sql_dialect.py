@@ -383,6 +383,15 @@ def rewrite(sql: str) -> str:
     """Apply all PG→Spark rewrites to a SQL string."""
     sql = _rewrite_dollar_quotes(sql)
     sql = _rewrite_create_table_defs(sql)
+    # CTAS storage options: CREATE TABLE t WITH (appendonly=...) AS
+    # SELECT — GP reloptions with no Spark parse form (the column-def
+    # rewriter above only sees tables WITH column lists)
+    sql = re.sub(
+        r"(?is)(CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s*)"
+        r"WITH\s*\((?:[^()]|\([^()]*\))*\)\s*(AS\b)",
+        r"\1\2",
+        sql,
+    )
     sql = _ALTER_ADD_COL_RE.sub(
         lambda m: m.group(1) + map_decl_type(m.group(2)), sql
     )
