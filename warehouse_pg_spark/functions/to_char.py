@@ -627,11 +627,13 @@ def _from_char_scan(value: str, fmt: str):
             continue
         if not ch.isalpha():
             # separator/space node: consume whitespace plus at most
-            # one separator char of input (formatting.c non-FX rule)
+            # one separator char of input. ANY separator matches ANY
+            # separator (formatting.c; horology.out:2750 —
+            # '2011$03!18' under 'YYYY-MM-DD' succeeds, FX included)
             fi += 1
             while vi < n and v[vi].isspace():
                 vi += 1
-            if vi < n and not v[vi].isalnum() and fmt[fi - 1] == v[vi]:
+            if vi < n and not v[vi].isalnum():
                 vi += 1
             continue
         up4 = fmt.upper()[fi : fi + 4]

@@ -603,7 +603,30 @@ class UserTypes:
         # --- declaration-order semantics (enum.c enum_cmp): lower
         # comparison contexts through array_position ordinals so
         # ordering follows enumsortorder, not lexicographic text.
-        cast = rf"({_OPERAND})\s*::\s*{name}\b"
+        def sub_enum_arr(m: re.Match) -> str:
+            body = m.group(1)[1:-1].replace("''", "'").strip()
+            if not (body.startswith("{") and body.endswith("}")):
+                raise ValueError(
+                    f'malformed array literal: "{body}"')
+            inner = body[1:-1].strip()
+            elems = [
+                e.strip().strip('"') for e in inner.split(",")
+            ] if inner else []
+            for e in elems:
+                if e not in labels:
+                    raise ValueError(
+                        f"invalid input value for enum {name}: "
+                        f'"{e}"')
+            return "array(" + ", ".join(
+                "'" + e.replace("'", "''") + "'" for e in elems
+            ) + ")"
+
+        sql = re.sub(
+            rf"(?is)('(?:[^']|'')*')\s*::\s*{name}\s*\[\s*\]",
+            sub_enum_arr,
+            sql,
+        )
+        cast = rf"({_OPERAND})\s*::\s*{name}\b(?!\s*\[)"
         # both-sides enum-cast inequality
         sql = re.sub(
             rf"(?is){cast}\s*(<=|>=|<|>)\s*{cast}",
@@ -637,7 +660,7 @@ class UserTypes:
             sql)
 
         return re.sub(
-            rf"(?is)({_OPERAND})\s*::\s*{name}\b",
+            rf"(?is)({_OPERAND})\s*::\s*{name}\b(?!\s*\[)",
             lambda m: lower(m.group(1)), sql)
 
     def _rewrite_composite(self, sql: str, name: str,
