@@ -626,14 +626,20 @@ def _from_char_scan(value: str, fmt: str):
                     k += 1
             continue
         if not ch.isalpha():
-            # separator/space node: consume whitespace plus at most
-            # one separator char of input. ANY separator matches ANY
-            # separator (formatting.c; horology.out:2750 —
-            # '2011$03!18' under 'YYYY-MM-DD' succeeds, FX included)
+            # separator nodes (formatting.c): a SPACE skips value
+            # whitespace only ('2000 + + JUN' under 'YYYY  MON' still
+            # fails at MON); a PUNCTUATION separator additionally
+            # consumes ONE value separator of ANY kind
+            # (horology.out:2750 — '2011$03!18' under 'YYYY-MM-DD'
+            # succeeds, FX included)
             fi += 1
             while vi < n and v[vi].isspace():
                 vi += 1
-            if vi < n and not v[vi].isalnum():
+            if (
+                not ch.isspace()
+                and vi < n
+                and not v[vi].isalnum()
+            ):
                 vi += 1
             continue
         up4 = fmt.upper()[fi : fi + 4]
