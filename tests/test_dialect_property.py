@@ -1219,3 +1219,42 @@ def test_r14_plan_time_validation_families():
     ]
     for q in good:
         sql_dialect.rewrite(q)  # must not raise
+
+
+def test_jsonpath_exec_errors(spark):
+    """jsonpath EXECUTION errors raise in both modes
+    (jsonpath_exec.c): item-method type violations, non-numeric
+    arithmetic operands, division by zero, bad subscripts; the
+    silent => false match form demands a single boolean. The @?/@@
+    operators stay silent, as PG's do."""
+    import pytest
+
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    bad = [
+        "select jsonb_path_query('0', '1 / $')",
+        "select jsonb_path_query('1', '$ + \"2\"')",
+        "select jsonb_path_query('\"a\"', '-$')",
+        "select jsonb_path_query('null', '$.double()')",
+        "select jsonb_path_query('\"1.23aaa\"', '$.double()')",
+        "select jsonb_path_query('{}', '$.abs()')",
+        "select jsonb_path_query('[{},1]', '$[*].keyvalue()')",
+        "select jsonb_path_query('[]', 'strict $[\"a\"]')",
+        "SELECT jsonb_path_match('1', '$', silent => false)",
+        "SELECT jsonb_path_match('[true, true]', '$[*]', silent => false)",
+    ]
+    for q in bad:
+        with pytest.raises(Exception):
+            eng.sql(q).collect()
+
+    def vals(q):
+        return [r[0] for r in eng.sql(q).collect()]
+
+    assert vals("select jsonb_path_query('2', '$ * 3')") == ["6"]
+    assert vals("select jsonb_path_query('-1', '$.abs()')") == ["1"]
+    assert vals("select jsonb_path_query('\"1.5\"', '$.double()')") == ["1.5"]
+    assert vals(
+        "SELECT jsonb_path_match('true', '$', silent => false)") == [True]
+    # operators stay silent on execution errors
+    assert vals("""select '1'::jsonb @@ '$ + "2"' IS NULL""") == [True]

@@ -543,6 +543,11 @@ def _jp_parse(p: str):
                 i += m.end()
             continue
         if ch == ".":
+            mm2 = _re.match(r"\.(\w+)\(\s*\)", p[i:])
+            if mm2:
+                toks.append(("method", mm2.group(1).lower()))
+                i += mm2.end()
+                continue
             m = _re.match(r"\.(\*|\w+)", p[i:])
             if not m:
                 raise ValueError(f"bad member step at {p[i:]!r}")
@@ -704,6 +709,79 @@ class _JPStrictError(ValueError):
     and the query entry point re-raises."""
 
 
+class _JPExecError(ValueError):
+    """PG-faithful jsonpath EXECUTION error (jsonpath_exec.c raises
+    in both modes): item-method type violations, non-numeric
+    arithmetic operands, bad array subscripts, division by zero.
+    Distinct from the generic ValueError the evaluator uses for
+    forms outside its subset (those fall back silently)."""
+
+
+def _jp_apply_method(name: str, it):
+    """Item methods (jsonpath_exec.c executeItemMethod*): .double()
+    .abs() .floor() .ceiling() .type() .size() .keyvalue() — raising
+    PG's own errors for type violations in BOTH modes."""
+    import math as _math
+
+    def is_num(v):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+    if name == "double":
+        if is_num(it):
+            v = float(it)
+        elif isinstance(it, str):
+            try:
+                v = float(it)
+            except ValueError:
+                raise _JPExecError(
+                    'argument "' + it + '" of jsonpath item method '
+                    ".double() is not a valid representation of a "
+                    "double precision number")
+            if _math.isnan(v) or _math.isinf(v):
+                raise _JPExecError(
+                    "NaN or Infinity is not allowed for jsonpath "
+                    "item method .double()")
+        else:
+            raise _JPExecError(
+                "jsonpath item method .double() can only be applied "
+                "to a string or numeric value")
+        if _math.isinf(v):
+            raise _JPExecError(
+                'argument "' + str(it) + '" of jsonpath item method '
+                ".double() is not a valid representation of a "
+                "double precision number")
+        return v
+    if name in ("abs", "floor", "ceiling"):
+        if not is_num(it):
+            raise _JPExecError(
+                f"jsonpath item method .{name}() can only be "
+                "applied to a numeric value")
+        if name == "abs":
+            return abs(it)
+        f = _math.floor(it) if name == "floor" else _math.ceil(it)
+        return f if isinstance(it, int) else float(f)
+    if name == "type":
+        return (
+            "null" if it is None
+            else "boolean" if isinstance(it, bool)
+            else "number" if is_num(it)
+            else "string" if isinstance(it, str)
+            else "array" if isinstance(it, list)
+            else "object"
+        )
+    if name == "size":
+        return len(it) if isinstance(it, list) else 1
+    if name == "keyvalue":
+        if not isinstance(it, dict):
+            raise _JPExecError(
+                "jsonpath item method .keyvalue() can only be "
+                "applied to an object")
+        return [
+            {"key": k, "value": v, "id": 0} for k, v in it.items()
+        ]
+    raise ValueError(f"unsupported jsonpath item method .{name}()")
+
+
 def _jp_steps(doc, nodes: list, toks: list, mode: str) -> list:
     """Apply parsed path steps (member/subscript/recursive/filter) to
     a node list; raises on strict-mode violations."""
@@ -747,11 +825,28 @@ def _jp_steps(doc, nodes: list, toks: list, mode: str) -> list:
                         )
                         out.extend(n[lo : hi + 1])
                     else:
-                        k = int(body)
+                        try:
+                            k = int(body)
+                        except ValueError:
+                            raise _JPExecError(
+                                "jsonpath array subscript is not a "
+                                "single numeric value")
                         if 0 <= k < len(n):
                             out.append(n[k])
                         elif mode == "strict":
                             raise _JPStrictError("subscript out of bounds")
+            elif kind == "method":
+                name = tok[1]
+                items = (
+                    n if isinstance(n, list) and mode.startswith("lax")
+                    and name not in ("type", "size") else [n]
+                )
+                for it in items:
+                    r = _jp_apply_method(name, it)
+                    if name == "keyvalue":
+                        out.extend(r)
+                    else:
+                        out.append(r)
             elif kind == "rec":
                 stack = [n]
                 while stack:
@@ -908,6 +1003,158 @@ def _jp_is_predicate(path: str) -> bool:
     )
 
 
+def _jp_arith_value(doc, s2: str, mode: str):
+    """Evaluate one jsonpath ARITHMETIC expression to a Python value
+    (jsonpath_exec.c executeBinaryArithmExpr/executeUnaryArithmExpr),
+    recursing through parens: literals, single-item paths, unary +/-,
+    binary + - * / %. Raises _JPExecError for operand-type and
+    div-zero violations (PG raises in both modes); plain ValueError
+    means "not an arithmetic form" (caller falls back)."""
+    import json as _json
+    import re as _re
+
+    s2 = s2.strip()
+    if not s2:
+        raise ValueError("empty operand")
+    if s2.startswith("(") and s2.endswith(")"):
+        depth = 0
+        for i, c in enumerate(s2):
+            depth += {"(": 1, ")": -1}.get(c, 0)
+            if depth == 0 and i < len(s2) - 1:
+                break
+        else:
+            return _jp_arith_value(doc, s2[1:-1], mode)
+
+    def single_num(v, side, op):
+        if isinstance(v, list):
+            if len(v) != 1:
+                raise _JPExecError(
+                    f"{side} operand of jsonpath operator {op} is "
+                    "not a single numeric value")
+            v = v[0]
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise _JPExecError(
+                f"{side} operand of jsonpath operator {op} is "
+                "not a single numeric value")
+        return v
+
+    # binary operators, lowest precedence first (left-assoc: split on
+    # the LAST top-level occurrence)
+    for ops in (("+", "-"), ("*", "/", "%")):
+        parts = _jp_split_top(s2, ops)
+        if len(parts) >= 2 and parts[0].strip():
+            # rebuild all-but-last as the lhs (left associativity)
+            # and recover which operator separated them
+            idx = None
+            depth = 0
+            in_str = None
+            for i2 in range(len(s2) - 1, 0, -1):
+                c = s2[i2]
+                if in_str:
+                    if c == in_str and s2[i2 - 1] != "\\":
+                        in_str = None
+                    continue
+                if c in "\"'":
+                    in_str = c
+                elif c in ")]":
+                    depth += 1
+                elif c in "([":
+                    depth -= 1
+                elif depth == 0 and c in ops and not s2[
+                    i2 - 1
+                ] in "+-*/%eE(":
+                    idx = i2
+                    break
+            if idx:
+                op = s2[idx]
+                ln = single_num(
+                    _jp_arith_value(doc, s2[:idx], mode), "left", op)
+                rn = single_num(
+                    _jp_arith_value(doc, s2[idx + 1:], mode),
+                    "right", op)
+                if op in ("/", "%") and rn == 0:
+                    raise _JPExecError("division by zero")
+                if op == "+":
+                    return ln + rn
+                if op == "-":
+                    return ln - rn
+                if op == "*":
+                    return ln * rn
+                if op == "%":
+                    return ln % rn
+                r = ln / rn
+                return (
+                    int(r) if isinstance(ln, int)
+                    and isinstance(rn, int) and ln % rn == 0 else r
+                )
+    if s2[0] in "+-":
+        v = _jp_arith_value(doc, s2[1:], mode)
+        vals = v if isinstance(v, list) else [v]
+        out = []
+        for x in vals:
+            if isinstance(x, bool) or not isinstance(x, (int, float)):
+                raise _JPExecError(
+                    f"operand of unary jsonpath operator {s2[0]} "
+                    "is not a numeric value")
+            out.append(-x if s2[0] == "-" else x)
+        return out if isinstance(v, list) else out[0]
+    if s2.startswith(("$", "@")):
+        return _jp_steps(doc, [doc], _jp_parse("$" + s2[1:])[1], mode)
+    try:
+        return _json.loads(s2.replace("'", '"'))
+    except ValueError:
+        raise ValueError("unsupported operand")
+
+
+def _jp_arith_top(doc, path: str):
+    """Top-level jsonpath arithmetic entry: returns the result list,
+    or None when the path carries no top-level arithmetic (the step
+    evaluator owns it). PG operand/div-zero errors propagate."""
+    import json as _json
+    import re as _re
+
+    s2 = path.strip()
+    mode = "lax"
+    for pre in ("strict", "lax"):
+        if s2.startswith(pre):
+            mode, s2 = pre, s2[len(pre):].strip()
+    # quick gate: a top-level arithmetic operator outside strings/
+    # parens/brackets, not part of a path step
+    has = False
+    depth, in_str = 0, None
+    for i2, c in enumerate(s2):
+        if in_str:
+            if c == in_str and s2[i2 - 1] != "\\":
+                in_str = None
+        elif c in "\"'":
+            in_str = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and c in "+*/%":
+            has = True
+        elif depth == 0 and c == "-" and i2 == 0:
+            has = True
+    if not has:
+        return None
+    if _jp_find_top_op(s2) or _jp_split_top(
+        s2, ("||", "&&")
+    ) != [s2]:
+        return None  # predicates own comparisons/booleans
+    try:
+        v = _jp_arith_value(doc, s2, mode)
+    except _JPExecError:
+        raise
+    except ValueError:
+        return None
+    vals = v if isinstance(v, list) else [v]
+    return [_json.dumps(x) for x in vals]
+
+
+import re as _re_mod
+
+
 def _jsonpath_query_py(
     j: str | None, path: str | None, vars_json: str | None = None,
     silent: bool = False,
@@ -931,6 +1178,9 @@ def _jsonpath_query_py(
                     s = s[len(pre):].strip()
             r = _jp_bool3(doc, doc, s)
             return ["true" if r else "null" if r is None else "false"]
+        ar = _jp_arith_top(doc, path)
+        if ar is not None:
+            return ar
         mode, toks = _jp_parse(path)
         if silent and mode == "strict":
             # strict's no-auto-unwrap, but skip where strict raises
@@ -941,6 +1191,8 @@ def _jsonpath_query_py(
         # level of jsonb_path_query (the @?/@@ operators and the
         # exists/match entry points stay silent, as PG's are)
         raise ValueError(f"jsonpath strict mode violation: {e}")
+    except _JPExecError:
+        raise  # PG raises these in BOTH modes (jsonpath_exec.c)
     except ValueError:
         return None
     return [_json.dumps(v, separators=(", ", ": ")) for v in nodes]
@@ -971,6 +1223,33 @@ def _jsonpath_exists_py(
         res = _jsonpath_query_py(j, path, vars_json)
     except ValueError:
         return None  # @? operator is silent (jsonb_path_exists_opr)
+    return None if res is None else len(res) > 0
+
+
+def _jsonpath_match_loud_py(
+    j: str | None, path: str | None, vars_json: str | None = None
+):
+    """jsonb_path_match(..., silent => false): PG raises when the
+    result is not exactly one boolean (jsonb_path_match: "single
+    boolean result is expected"), and execution errors surface."""
+    if j is None or path is None:
+        return None
+    res = _jsonpath_query_py(j, path, vars_json)
+    if res is None:
+        return None
+    if len(res) == 1 and res[0] in ("true", "false", "null"):
+        return {"true": True, "false": False}.get(res[0])
+    raise ValueError("single boolean result is expected")
+
+
+def _jsonpath_exists_loud_py(
+    j: str | None, path: str | None, vars_json: str | None = None
+):
+    """jsonb_path_exists(..., silent => false): execution errors
+    surface instead of the operator's silent NULL."""
+    if j is None or path is None:
+        return None
+    res = _jsonpath_query_py(j, path, vars_json)
     return None if res is None else len(res) > 0
 
 
@@ -1487,6 +1766,10 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
         ("jsonb_concat", _jsonb_concat_py, "STRING", 2),
         ("jsonb_path_match_vars", _jsonpath_match_py, "BOOLEAN", 3),
         ("jsonb_path_exists_vars", _jsonpath_exists_py, "BOOLEAN", 3),
+        ("jsonb_path_match_loud", _jsonpath_match_loud_py,
+         "BOOLEAN", 3),
+        ("jsonb_path_exists_loud", _jsonpath_exists_loud_py,
+         "BOOLEAN", 3),
         ("json_strip_nulls", _json_strip_nulls_py, "STRING", 1),
         ("jsonb_strip_nulls", _json_strip_nulls_py, "STRING", 1),
         ("xml_is_well_formed_document", _xml_wf_document_py, "BOOLEAN", 1),

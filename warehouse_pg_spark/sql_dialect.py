@@ -1135,14 +1135,20 @@ def rewrite(sql: str) -> str:
                 return f"({j} @@ {p})"
             lst = f"jsonb_path_query_list({j}, {p})"
         else:
-            # vars substitute $name references; the Python evaluator
-            # is silent by construction, so silent=>false strict
-            # errors surface as NULL (documented deviation)
+            # vars substitute $name references. An EXPLICIT
+            # silent => false takes the loud entry points: execution
+            # errors raise and match demands a single boolean, as
+            # jsonb_path_match/exists do (jsonpath_exec.c)
             v = vars_a if vars_a is not None else "CAST(NULL AS STRING)"
+            loud = has_silent and not silent_on
             if form == "exists":
-                return f"jsonb_path_exists_vars({j}, {p}, {v})"
+                fn2 = "jsonb_path_exists_loud" if loud \
+                    else "jsonb_path_exists_vars"
+                return f"{fn2}({j}, {p}, {v})"
             if form == "match":
-                return f"jsonb_path_match_vars({j}, {p}, {v})"
+                fn2 = "jsonb_path_match_loud" if loud \
+                    else "jsonb_path_match_vars"
+                return f"{fn2}({j}, {p}, {v})"
             lst = f"jsonb_path_query_list_vars({j}, {p}, {v})"
         if form == "query_array":
             return f"concat('[', array_join({lst}, ', '), ']')"
