@@ -782,6 +782,53 @@ def _jp_apply_method(name: str, it):
     raise ValueError(f"unsupported jsonpath item method .{name}()")
 
 
+def _jp_sub_index(doc, n: list, el: str, mode: str):
+    """One array-subscript element -> its integer index
+    (jsonpath_exec.c getArrayIndex): a number, `last`, a filtered
+    base (`last ? (pred)`), or an arithmetic expression over
+    last/$/@ — truncated to int. Returns None for a zero-value
+    result over an EMPTY array (no row, no error); raises PG's
+    not-a-single-numeric-value error otherwise."""
+    import math as _math
+    import re as _re
+
+    el = el.strip()
+    if _re.fullmatch(r"-?\d+", el):
+        return int(el)
+    if el == "last":
+        if not n:
+            return None
+        return len(n) - 1
+    fm = _re.match(r"^(.*?)\?\s*\((.*)\)\s*$", el, _re.S)
+    if fm and fm.group(1).strip():
+        base = _jp_sub_index(doc, n, fm.group(1), mode)
+        if base is None:
+            return None
+        if _jp_bool3(doc, base, fm.group(2)) is True:
+            return base
+        if not n:
+            return None
+        raise _JPExecError(
+            "jsonpath array subscript is not a single numeric value")
+    el2 = _re.sub(r"\blast\b", str(len(n) - 1), el)
+    try:
+        v = _jp_arith_value(doc, el2, mode)
+    except _JPExecError:
+        raise
+    except ValueError:
+        raise _JPExecError(
+            "jsonpath array subscript is not a single numeric value")
+    vals = v if isinstance(v, list) else [v]
+    if len(vals) == 0 and not n:
+        return None  # empty array, empty index set: no row, no error
+    if len(vals) != 1 or isinstance(vals[0], bool) or not isinstance(
+        vals[0], (int, float)
+    ):
+        raise _JPExecError(
+            "jsonpath array subscript is not a single numeric value")
+    return _math.trunc(vals[0])
+
+
 def _jp_steps(doc, nodes: list, toks: list, mode: str) -> list:
     """Apply parsed path steps (member/subscript/recursive/filter) to
     a node list; raises on strict-mode violations."""
@@ -815,26 +862,24 @@ def _jp_steps(doc, nodes: list, toks: list, mode: str) -> list:
                     if n:
                         out.append(n[-1])
                 else:
-                    mr = _re.fullmatch(r"(\d+)\s+to\s+(last|\d+)", body)
-                    if mr:
-                        lo = int(mr.group(1))
-                        hi = (
-                            len(n) - 1
-                            if mr.group(2) == "last"
-                            else int(mr.group(2))
-                        )
-                        out.extend(n[lo : hi + 1])
-                    else:
-                        try:
-                            k = int(body)
-                        except ValueError:
-                            raise _JPExecError(
-                                "jsonpath array subscript is not a "
-                                "single numeric value")
+                    for el in _jp_split_top(body, (",",)):
+                        el = el.strip()
+                        rparts = _jp_split_top(el, (" to ",))
+                        if len(rparts) == 2:
+                            lo = _jp_sub_index(doc, n, rparts[0], mode)
+                            hi = _jp_sub_index(doc, n, rparts[1], mode)
+                            if lo is None or hi is None:
+                                continue
+                            out.extend(n[lo : hi + 1])
+                            continue
+                        k = _jp_sub_index(doc, n, el, mode)
+                        if k is None:
+                            continue
                         if 0 <= k < len(n):
                             out.append(n[k])
                         elif mode == "strict":
-                            raise _JPStrictError("subscript out of bounds")
+                            raise _JPStrictError(
+                                "subscript out of bounds")
             elif kind == "method":
                 name = tok[1]
                 items = (
@@ -1099,7 +1144,15 @@ def _jp_arith_value(doc, s2: str, mode: str):
             out.append(-x if s2[0] == "-" else x)
         return out if isinstance(v, list) else out[0]
     if s2.startswith(("$", "@")):
-        return _jp_steps(doc, [doc], _jp_parse("$" + s2[1:])[1], mode)
+        items = _jp_steps(doc, [doc], _jp_parse("$" + s2[1:])[1], mode)
+        if mode == "lax":
+            # lax arithmetic operands auto-unwrap arrays
+            # (jsonpath_exec.c jspAutoUnwrap)
+            items = [
+                x for it in items
+                for x in (it if isinstance(it, list) else [it])
+            ]
+        return items
     try:
         return _json.loads(s2.replace("'", '"'))
     except ValueError:
