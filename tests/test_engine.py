@@ -2733,3 +2733,43 @@ def test_range_minus_and_merge(engine):
             "SELECT range_text(numrange(1.0, 10.0)"
             " - numrange(3.0, 4.0)) AS x"
         ).collect()
+
+
+def test_round14_advice_fixes(engine):
+    """r14 ADVICE items: exact int8 literal division (int8.c int8div
+    only overflows for INT64_MIN/-1 — no float pre-round), byteain
+    \\X prefix inside XML constructors raises cleanly (varlena.c
+    accepts only lowercase \\x), HH12 rescue is pm-gated
+    (formatting.c do_to_timestamp: >12 rescues only when tmfc.pm is
+    falsy; hour<1 or explicit-PM >12 raise), repeat()::json gigabyte
+    literals skip the plan-time fold instead of allocating."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    # no false 'bigint out of range' at plan time (the runtime `/`
+    # stays double per the documented DuckDB-aligned posture)
+    r = engine.sql(
+        "SELECT (9223372036854775807)::int8 / (1)::int8 AS a,"
+        "       (-9223372036854775807)::int8 / (-1)::int8 AS b"
+    ).collect()[0]
+    assert r.a == float(9223372036854775807) > 0 < r.b
+    with _pytest.raises(Exception, match="bigint out of range"):
+        engine.sql(
+            "SELECT (-9223372036854775808)::int8 / (-1)::int8 AS x")
+    with _pytest.raises(Exception, match="bytea"):
+        engine.sql(
+            "SELECT xmlelement(name x, '\\X41'::bytea) AS x")
+    got = engine.sql(
+        "SELECT to_timestamp('2011-12-18 13', 'YYYY-MM-DD HH12')"
+        " AS x").collect()[0].x
+    assert got == dt.datetime(2011, 12, 18, 13, 0)
+    with _pytest.raises(Exception, match="12-hour clock"):
+        engine.sql("SELECT to_timestamp('2011-12-18 13 PM',"
+                   " 'YYYY-MM-DD HH12 PM') AS x")
+    with _pytest.raises(Exception, match="12-hour clock"):
+        engine.sql("SELECT to_timestamp('2011-12-18 0 AM',"
+                   " 'YYYY-MM-DD HH12 AM') AS x")
+    assert engine.sql(
+        "SELECT to_timestamp('2011-12-18 12', 'YYYY-MM-DD HH12') AS x"
+    ).collect()[0].x == dt.datetime(2011, 12, 18, 0, 0)

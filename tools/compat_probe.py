@@ -186,6 +186,11 @@ def _expected_errors_for(sql_path: str) -> dict[str, bool]:
     seen: dict[str, list[bool]] = {}
     for i, ln in enumerate(lines):
         s = ln.strip()
+        # psql echoes trailing same-line comments too
+        # ("select ...;  -- FAIL"); strip them so the echo still
+        # keys to the corpus statement
+        if "--" in s and not s.endswith(";"):
+            s = re.sub(r"\s*--.*$", "", s).strip()
         if re.match(r"(?i)^SELECT\s", s) and s.endswith(";"):
             flag = False
             for j in range(i + 1, min(i + 6, len(lines))):
@@ -304,6 +309,14 @@ _CONTEXT_DROP_RE = re.compile(
     r"(?is)^\s*DROP\s+(?:TABLE|TYPE|DOMAIN|FUNCTION|SEQUENCE"
     r"|AGGREGATE|VIEW)\b"
 )
+# custom-namespace GUC SETs (guc.c placeholder options): the suite
+# SETs nosuch.setting='nada' then probes current_setting() — replay
+# them (uncounted hygiene) so the probe sees the suite's session
+# state; built-in GUCs (datestyle &c) are NOT replayed — they would
+# change every later probe's semantics, which a per-file replay
+# can't scope the way psql's sequential run does
+_CONTEXT_SET_RE = re.compile(
+    r"(?is)^\s*SET\s+[a-z_]\w*\.[\w.]+\s*=")
 
 
 def _ctx_family(c: str) -> str:
@@ -349,6 +362,7 @@ def context_statements(sql_path: str) -> list[str]:
     stmts = [
         s for s in _split_statements(text)
         if _CONTEXT_DDL_RE.match(s) or _CONTEXT_DROP_RE.match(s)
+        or _CONTEXT_SET_RE.match(s)
     ]
     # keep a DROP only when the file re-CREATEs one of its names
     # LATER — the drop-then-recreate pattern the replay needs; pure
@@ -564,8 +578,12 @@ def main() -> None:
             ctx_files += 1
             eng._user_types = UserTypes()
             eng._variadic_functions.clear()
+            try:
+                eng.sql("RESET ALL")  # custom GUCs must not leak
+            except Exception:
+                pass
             for c in ctx:
-                if _CONTEXT_DROP_RE.match(c):
+                if _CONTEXT_DROP_RE.match(c) or _CONTEXT_SET_RE.match(c):
                     # hygiene, not surface: run, never count
                     try:
                         eng.sql(c)

@@ -72,9 +72,26 @@ def _rewrite_xml_ctors(sql: str, lits: list[str] | None = None) -> str:
         )
         if bm and lits is not None:
             txt = _lit_value(bm.group(1) or bm.group(2), lits)
-            low = txt.lower()
-            if low.startswith("\\\\x") or low.startswith("\\x"):
-                data = bytes.fromhex(txt.split("x", 1)[1])
+            # byteain accepts only lowercase \x for the hex form; an
+            # uppercase \X (or bad hex digits) is 'invalid input
+            # syntax for type bytea' (varlena.c byteain)
+            if txt.startswith("\\\\x"):
+                hexpart = txt[3:]
+            elif txt.startswith("\\x"):
+                hexpart = txt[2:]
+            else:
+                hexpart = None
+            if hexpart is not None:
+                try:
+                    data = bytes.fromhex(hexpart)
+                except ValueError:
+                    raise ValueError(
+                        "invalid hexadecimal data: odd number of digits"
+                        if len(hexpart) % 2
+                        else f'invalid hexadecimal digit: "{hexpart[0]}"'
+                    ) from None
+            elif re.match(r"\\\\?X", txt):
+                raise ValueError("invalid input syntax for type bytea")
             else:
                 data = txt.encode()
             if _xmlbinary_mode() == "hex":
@@ -135,31 +152,77 @@ def _rewrite_xml_ctors(sql: str, lits: list[str] | None = None) -> str:
         if kind == "concat":
             if not args:
                 return None
+            # xml.c xmlconcat: parse_xml_decl strips each arg's
+            # prolog; the merged decl keeps the version only when
+            # every arg agrees (else no value) and standalone="no"
+            # only when seen while no arg had dropped it to absent;
+            # print_xml_decl emits a prolog iff version != 1.0 or
+            # standalone >= 0 (xml.out:68-78 — 1.1 prologs MERGE,
+            # they are not an unsupported-XML-feature error)
+            g_standalone, g_version, no_value = 1, None, False
+            parts = []
             for a in args:
-                if re.fullmatch(r"-?\d+(?:\.\d+)?", a.strip()):
+                st = a.strip()
+                if re.fullmatch(r"-?\d+(?:\.\d+)?", st):
                     raise ValueError(
                         "argument of XMLCONCAT must be type xml, "
-                        f"not type {'numeric' if '.' in a else 'integer'}")
+                        f"not type {'numeric' if '.' in st else 'integer'}")
+                ver, stand, decl_len = None, -1, 0
+                if re.fullmatch(r"(?i)null", st):
+                    # xmlconcat2 skips NULL args before the merge
+                    parts.append("''")
+                    continue
                 if lits is not None and re.fullmatch(
-                    r"\x01\d+\x01", a.strip()
+                    r"\x01\d+\x01", st
                 ):
                     from warehouse_pg_spark.functions.pg import (
                         xml_content_validate,
                     )
 
-                    av = _lit_value(a.strip(), lits)
+                    av = _lit_value(st, lits)
                     xml_content_validate(av)
-                    vm2 = re.match(
-                        r"\s*<\?xml[ \t][^>]*?\?>", av)
-                    if vm2 and not re.search(
-                        r"version\s*=\s*[\"']1\.0", vm2.group(0)
-                    ):
-                        # xml.c xmlconcat: only XML 1.0 values merge
-                        raise ValueError("unsupported XML feature")
-            parts = ", ".join(f"coalesce({a}, '')" for a in args)
+                    vm2 = re.match(r"<\?xml[ \t][^>]*?\?>", av)
+                    if vm2:
+                        decl_len = vm2.end()
+                        vv = re.search(
+                            r"version\s*=\s*[\"']([^\"']*)[\"']",
+                            vm2.group(0))
+                        ver = vv.group(1) if vv else None
+                        sv = re.search(
+                            r"standalone\s*=\s*[\"'](yes|no)[\"']",
+                            vm2.group(0))
+                        stand = (1 if sv and sv.group(1) == "yes"
+                                 else 0 if sv else -1)
+                if stand == 0 and g_standalone == 1:
+                    g_standalone = 0
+                if stand < 0:
+                    g_standalone = -1
+                if ver is None:
+                    no_value = True
+                elif g_version is None:
+                    g_version = ver
+                elif ver != g_version:
+                    no_value = True
+                parts.append(
+                    f"coalesce(substr({a}, {decl_len + 1}), '')"
+                    if decl_len else f"coalesce({a}, '')"
+                )
+            decl = ""
+            v = None if no_value else g_version
+            if ((v is not None and v != "1.0")
+                    or g_standalone != -1):
+                decl = f'<?xml version="{v or "1.0"}"'
+                if g_standalone == 1:
+                    decl += ' standalone="yes"'
+                elif g_standalone == 0:
+                    decl += ' standalone="no"'
+                decl += "?>"
+            body = ", ".join(parts)
+            if decl:
+                body = f"'{decl}', {body}"
             return (
                 f"(CASE WHEN coalesce({', '.join(args)}) IS NULL "
-                f"THEN NULL ELSE concat({parts}) END)"
+                f"THEN NULL ELSE concat({body}) END)"
             )
         if kind == "forest":
             items = named_items(args)

@@ -155,6 +155,11 @@ _GUC_DEFAULTS: dict[str, str] = {
     # engine-specific: maps to spark.sql.ansi.enabled (see _set_guc);
     # RESET/DISCARD must restore the relaxed posture, not just the text
     "strict_errors": "off",
+    # GP autostats GUCs (guc_gp.c gp_autostats_modes, default
+    # GP_AUTOSTATS_NONE): accepted + reported, no-ops here — stats
+    # collection is Spark/AQE's job
+    "gp_autostats_mode": "none",
+    "gp_autostats_mode_in_functions": "none",
 }
 
 _RESET_RE = re.compile(r"^RESET\s+(ALL|[\w.]+(?:\s+\w+)?)\s*$", re.IGNORECASE)

@@ -415,11 +415,24 @@ def jsonpath_validate(p: str) -> None:
     body = _re.sub(r"^(?:strict|lax)\b", "", s).strip()
     if not body:
         raise ValueError("invalid jsonpath: empty after mode")
-    if "\\u0000" in body:
+    if _re.search(r"(?<!\\)(?:\\\\)*(\\u0000)", body):
+        # only a REAL escape (odd backslash run) is a NUL; \\u0000
+        # is an escaped backslash + text (jsonpath.out not_an_escape)
         raise ValueError(
             "invalid jsonpath: \\u0000 cannot be converted to text")
+    # jsonpath_scan.l accepts \xNN, \u{...}, \uNNNN and \<char>
+    # escapes inside BOTH quoted strings and member identifiers
+    # ($.foo\x50\u{53}\t\"bar — jsonpath.out:180); collapse them
+    # before the token checks so an escaped quote can't read as an
+    # unterminated string
+    esc = _re.sub(
+        r"\\u\{[0-9a-fA-F]+\}|\\u[0-9a-fA-F]{4}"
+        r"|\\x[0-9a-fA-F]{2}|\\.",
+        "E",
+        body,
+    )
     # strings are opaque for the remaining token checks
-    masked = _re.sub(r'"(?:[^"\\]|\\.)*"', '""', body)
+    masked = _re.sub(r'"(?:[^"\\]|\\.)*"', '""', esc)
     if '"' in masked.replace('""', ""):
         raise ValueError("invalid jsonpath: unterminated string")
     for pair in ("()", "[]", "{}"):
@@ -497,19 +510,28 @@ def jsonpath_validate(p: str) -> None:
         r'(?:\s+flag\s+"((?:[^"\\]|\\.)*)")?',
         body,
     ):
+        flags = lm.group(2) or ""
+        for fl in flags:
+            if fl not in "ismxq":
+                raise ValueError(
+                    "invalid input syntax for type jsonpath: "
+                    f'unrecognized flag character "{fl}" in '
+                    "LIKE_REGEX predicate")
+        # jsonpath_gram.y: 'q' (literal quote) makes m/s/x ignored;
+        # only a NON-quoted 'x' hits the XQuery not-implemented
+        # raise (jspConvertRegexFlags), and with 'q' the pattern is
+        # a literal — no regex compile check either
+        if "q" in flags:
+            continue
+        if "x" in flags:
+            raise ValueError(
+                'XQuery "x" flag (expanded regular expressions) '
+                "is not implemented")
         try:
             _re.compile(lm.group(1))
         except _re.error as exc:
             raise ValueError(
                 f"invalid regular expression in like_regex: {exc}")
-        for fl in lm.group(2) or "":
-            if fl == "x":
-                raise ValueError(
-                    'XQuery "x" flag (expanded regular expressions) '
-                    "is not implemented")
-            if fl not in "ismq":
-                raise ValueError(
-                    f"invalid like_regex flag: {fl!r}")
 
 
 def _jp_parse(p: str):

@@ -23,6 +23,8 @@ to_char_numeric(x, fmt)
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -514,6 +516,12 @@ _MON_NAMES = ("january", "february", "march", "april", "may", "june",
               "december")
 
 
+def _seq_bad(rest: str) -> str:
+    """from_char_seq_search error text: the unmatched input,
+    truncated at the first whitespace."""
+    return re.split(r"\s", rest, maxsplit=1)[0]
+
+
 def _tok_at(fmt: str, fi: int):
     """The DCH token starting at fmt[fi], or None."""
     up = fmt.upper()
@@ -591,8 +599,30 @@ def _from_char_scan(value: str, fmt: str):
         vi = j
         return out
 
+    def _is_sep_char(c: str) -> bool:
+        # formatting.c is_separator_char: ASCII printable, not
+        # letter/digit (space is NOT a separator char there)
+        return 0x20 < ord(c) < 0x7F and not c.isalnum()
+
+    def post_field() -> None:
+        # DCH_from_char: "Ignore all spaces after fields" — resets
+        # and recounts extra_skip so separator nodes can match
+        # nothing and literal nodes skip their consume
+        nonlocal vi, extra_skip
+        extra_skip = 0
+        while vi < n and v[vi].isspace():
+            vi += 1
+            extra_skip += 1
+
     fm_next = False  # FM prefix toggles fill mode for the next node
+    extra_skip = 0  # input chars eaten beyond the format's own nodes
     while fi < len(fmt):
+        if vi >= n:
+            # DCH_from_char loop runs while *s != '\0': an exhausted
+            # source leaves the remaining format nodes unmatched and
+            # is NOT an error (qp_misc_jiras.out:5118 — to_timestamp(
+            # '2011-01-20','YYYY-MM-DD HH24:MI:SS') = midnight)
+            break
         ch = fmt[fi]
         if ch == '"':
             j = fmt.find('"', fi + 1)
@@ -624,27 +654,56 @@ def _from_char_scan(value: str, fmt: str):
                 while vi < n and v[vi].isalpha() and k < 2:
                     vi += 1
                     k += 1
+            post_field()
             continue
         if not ch.isalpha():
-            # separator nodes (formatting.c): a SPACE skips value
-            # whitespace only ('2000 + + JUN' under 'YYYY  MON' still
-            # fails at MON); a PUNCTUATION separator additionally
-            # consumes ONE value separator of ANY kind
-            # (horology.out:2750 — '2011$03!18' under 'YYYY-MM-DD'
-            # succeeds, FX included)
+            # SPACE / SEPARATOR node (DCH_from_char, non-FX): one
+            # format space-or-separator consumes ONE input
+            # space-or-separator if present, else matches nothing;
+            # runs of input whitespace around fields are eaten by the
+            # post-field skip, so '2000 ++ JUN' under 'YYYY  MON'
+            # succeeds while '2000 + + JUN' still fails at MON
+            # (horology.out:3129-3147)
             fi += 1
-            while vi < n and v[vi].isspace():
+            extra_skip -= 1
+            if v[vi].isspace() or _is_sep_char(v[vi]):
                 vi += 1
-            if (
-                not ch.isspace()
-                and vi < n
-                and not v[vi].isalnum()
-            ):
-                vi += 1
+                extra_skip += 1
             continue
         up4 = fmt.upper()[fi : fi + 4]
+        if up4.startswith(("TZH", "TZM")):
+            # DCH_TZH / DCH_TZM are INPUT-capable (only tz/TZ/OF are
+            # output-only). TZH's minus sign may have been swallowed
+            # by a preceding separator node — if extra input chars
+            # were skipped and the previous one was '-', the sign is
+            # negative (horology.out:3150-3161, DCH_from_char TZH)
+            tztok = up4[:3]
+            fi += 3
+            if tztok == "TZH":
+                if v[vi] in "+- ":
+                    set_field(
+                        "tzsign", -1 if v[vi] == "-" else 1, tztok)
+                    vi += 1
+                else:
+                    set_field(
+                        "tzsign",
+                        -1 if (extra_skip > 0 and vi > 0
+                               and v[vi - 1] == "-") else 1,
+                        tztok,
+                    )
+            elif "tzsign" not in f:
+                set_field("tzsign", 1, tztok)
+            nxt = _tok_at(fmt, fi)
+            exact = not fm_next and nxt is not None and nxt[2] > 0
+            got = read_int(2, tztok, exact)
+            if got is None:
+                return None
+            set_field("tzh" if tztok == "TZH" else "tzm", got, tztok)
+            fm_next = False
+            post_field()
+            continue
         if up4.startswith(("TZ", "OF")):
-            # formatting.c: zone fields are output-only for from_char
+            # formatting.c: tz/TZ/OF are output-only for from_char
             raise ValueError(
                 f'formatting field "{up4[:2]}" is only supported'
                 " in to_char"
@@ -661,13 +720,18 @@ def _from_char_scan(value: str, fmt: str):
             if w[:2] == "ad":
                 while vi < n and (v[vi].isalpha() or v[vi] == "."):
                     vi += 1
+            post_field()
             continue
         hit = _tok_at(fmt, fi)
         if hit is None:
             # a bare letter in the picture is a literal node: it
-            # consumes one input character (formatting.c NODE_TYPE_CHAR)
+            # consumes one input character UNLESS earlier skips
+            # already ate extra input (NODE_TYPE_CHAR extra_skip
+            # rescue in DCH_from_char)
             fi += 1
-            if vi < n:
+            if extra_skip > 0:
+                extra_skip -= 1
+            else:
                 vi += 1
             continue
         tok, field, width = hit
@@ -697,7 +761,7 @@ def _from_char_scan(value: str, fmt: str):
                     break
             else:
                 raise ValueError(
-                    f'invalid value "{v[vi : vi + 8]}" for "{tok}"'
+                    f'invalid value "{_seq_bad(v[vi:])}" for "{tok}"'
                 )
         elif field == "monname":
             # MON consumes exactly the 3-char abbreviation; MONTH the
@@ -718,7 +782,7 @@ def _from_char_scan(value: str, fmt: str):
                     break
             else:
                 raise ValueError(
-                    f'invalid value "{v[vi : vi + 8]}" for "{tok}"'
+                    f'invalid value "{_seq_bad(v[vi:])}" for "{tok}"'
                 )
         elif field == "monroman":
             # DCH_RM / DCH_rm: month as a roman numeral
@@ -741,7 +805,7 @@ def _from_char_scan(value: str, fmt: str):
                     vi += 1
             else:
                 raise ValueError(
-                    f'invalid value "{v[vi : vi + 4]}" for "{tok}"'
+                    f'invalid value "{_seq_bad(v[vi:])}" for "{tok}"'
                 )
         else:
             nxt = _tok_at(fmt, fi)
@@ -762,6 +826,7 @@ def _from_char_scan(value: str, fmt: str):
                     vi += 1
                     k += 1
         fm_next = False
+        post_field()
     # do_to_timestamp: ISO-week and Gregorian date conventions must
     # not mix
     iso = {"isoyear", "isoyear3", "isoyear2", "isoyear1", "isoweek",
@@ -899,24 +964,42 @@ def to_timestamp_fold(value: str, fmt: str):
     if d is None:
         return None
     base = _dt.datetime.combine(d, _dt.time())
+    # TZH/TZM parsed: the result is the UTC instant local - offset
+    # (do_to_timestamp applies tmfc.tzh/tzm/tzsign as a displacement)
+    tzoff = _dt.timedelta(0)
+    if "tzh" in f or "tzm" in f:
+        tzoff = f.get("tzsign", 1) * _dt.timedelta(
+            hours=f.get("tzh", 0), minutes=f.get("tzm", 0))
     if "secs_midnight" in f:
-        return base + _dt.timedelta(seconds=f["secs_midnight"])
+        return base + _dt.timedelta(seconds=f["secs_midnight"]) - tzoff
     h = f.get("hour")
     if h is None and "hour12" in f:
         # formatting.c do_to_timestamp: an out-of-range 12-hour value
         # (hour > 12, no meridiem needed) is taken as already-24h —
         # HH12='13' yields 13:00, not 01:00; in-range values ride the
         # 12-hour wheel (12 AM -> 0, 1 PM -> 13)
-        h12 = f["hour12"]
-        if h12 > 12:
-            h = h12
+        # ... but the rescue applies ONLY when tmfc.pm is falsy
+        # (do_to_timestamp: WARNING + pm=true + hour-12, net 24h);
+        # with explicit PM, or hour < 1 in any case, it's an ERROR
+        h12, pm = f["hour12"], f.get("pm", 0)
+        if not (1 <= h12 <= 12):
+            if h12 > 12 and not pm:
+                pm, h12 = 1, h12 - 12
+            else:
+                raise ValueError(
+                    f'hour "{h12}" is invalid for the 12-hour clock'
+                )
+        if pm and h12 < 12:
+            h = h12 + 12
+        elif not pm and h12 == 12:
+            h = 0
         else:
-            h = h12 % 12 + (12 if f.get("pm") else 0)
+            h = h12
     us = f.get("us", 0) + f.get("ms", 0) * 1000
     try:
         return base + _dt.timedelta(
             hours=h or 0, minutes=f.get("minute", 0),
             seconds=f.get("second", 0), microseconds=us,
-        )
+        ) - tzoff
     except OverflowError:
         return None

@@ -448,7 +448,11 @@ def rewrite(sql: str) -> str:
     # jsonb cannot store a NUL codepoint; json, a text type, can)
     def _check_jsonb_nul(m: re.Match) -> str:
         tok = m.group(1) or m.group(2)
-        if "\\u0000" in _lit_value(tok, lits):
+        # only a REAL NUL escape (odd backslash run) is a NUL; a
+        # \\u0000 inside the json text is an escaped backslash
+        # followed by plain text (jsonb.out "not_an_escape" cases)
+        if re.search(r"(?<!\\)(?:\\\\)*(\\u0000)",
+                     _lit_value(tok, lits)):
             raise ValueError(
                 "unsupported Unicode escape sequence")
         return m.group(0)
@@ -465,7 +469,12 @@ def rewrite(sql: str) -> str:
     def _check_repeat_json(m: re.Match) -> str:
         import json as _json
 
-        body = _lit_value(m.group(1), lits) * int(m.group(2))
+        lit, n = _lit_value(m.group(1), lits), int(m.group(2))
+        if len(lit) * n > 8 << 20:
+            # don't materialize gigabytes at plan time — fall through
+            # to the runtime path for absurd repeat counts
+            return m.group(0)
+        body = lit * n
         try:
             _json.loads(body)
         except RecursionError:
@@ -730,7 +739,12 @@ def rewrite(sql: str) -> str:
         )
         if op == "/" and b == 0:
             return m.group(0)  # division by zero: strict_errors path
-        r = a * b if op == "*" else int(a / b) if b else 0
+        # exact truncating division — float `int(a / b)` misrounds
+        # above 2^53 (int8 max / 1 would falsely overflow)
+        if op == "*":
+            r = a * b
+        else:
+            r = (abs(a) // abs(b)) * (1 if (a >= 0) == (b >= 0) else -1)
         lim = max(_INT_RANGES[ta], _INT_RANGES[tb])
         wide = "int2" if lim <= 32767 else (
             "int4" if lim <= 2147483647 else "int8")
@@ -800,6 +814,79 @@ def rewrite(sql: str) -> str:
         rf"(?:float[48]\s*)?({_LIT})(?:\s*::\s*\w+)?\s*\)",
         _check_trig_domain,
         out,
+    )
+
+    # ln/log/power literal DOMAIN errors (numeric.c ln_var/log_var/
+    # power_var; float.c dlog1/dpow raise the same messages): Spark
+    # returns NULL/NaN/Infinity where PG raises
+    def _log_domain(v: float) -> None:
+        if v < 0:
+            raise ValueError(
+                "cannot take logarithm of a negative number")
+        if v == 0:
+            raise ValueError("cannot take logarithm of zero")
+
+    def _check_ln_log(m: re.Match) -> str:
+        _log_domain(float(m.group(2)))
+        if m.group(3) is not None:
+            b = float(m.group(2))
+            _log_domain(float(m.group(3)))
+            if b == 1.0:  # log_var: ln(base)=0 divisor
+                raise ValueError("division by zero")
+        return m.group(0)
+
+    out = re.sub(
+        r"(?i)\b(?:(ln|log|log10)\s*\(\s*(-?\d+(?:\.\d+)?)\s*"
+        r"(?:,\s*(-?\d+(?:\.\d+)?)\s*)?)\)",
+        _check_ln_log,
+        out,
+    )
+
+    def _check_power(m: re.Match) -> str:
+        import math as _math
+
+        x, y = float(m.group(1)), float(m.group(2))
+        if _math.isnan(x) or _math.isnan(y):
+            return m.group(0)
+        if x == 0 and y < 0:
+            raise ValueError(
+                "zero raised to a negative power is undefined")
+        if x < 0 and y != int(y):
+            raise ValueError(
+                "a negative number raised to a non-integer power "
+                "yields a complex result")
+        # power_var overflow: numeric tops out near 1e131071
+        if x != 0 and abs(x) != 1 and y * _math.log10(abs(x)) > 131071:
+            raise ValueError("value overflows numeric format")
+        return m.group(0)
+
+    _num_opnd = r"\(?\s*(-?\d+(?:\.\d+)?)\s*\)?"
+    out = re.sub(
+        rf"(?i)\bpow(?:er)?\s*\(\s*{_num_opnd}\s*,\s*{_num_opnd}\s*\)",
+        _check_power,
+        out,
+    )
+    out = re.sub(
+        rf"(?<![\w.]){_num_opnd}\s*\^\s*{_num_opnd}(?![\w.])",
+        _check_power,
+        out,
+    )
+
+    # float8/float4 ±Infinity -> numeric (numeric.c float8_numeric)
+    def _check_inf_numeric(m: re.Match) -> str:
+        v = _pg_float_text(_lit_value(m.group(1), lits))
+        import math as _math
+
+        if _math.isinf(v):
+            raise ValueError("cannot convert infinity to numeric")
+        return m.group(0)
+
+    out = re.sub(
+        rf"({_LIT})\s*::\s*(?:float[48]|real|double\s+precision)"
+        r"\s*::\s*(?:numeric|decimal)\b",
+        _check_inf_numeric,
+        out,
+        flags=re.IGNORECASE,
     )
 
     # make_date / make_time over integer literals fold at plan time
@@ -2047,6 +2134,20 @@ def rewrite(sql: str) -> str:
 
     # BETWEEN SYMMETRIC → least/greatest bound swap
     out = _rewrite_between_symmetric(out)
+
+    # BETWEEN binds TIGHTER than comparison in PG (gram.y: BETWEEN
+    # is %nonassoc above Op/comparison) while Spark groups the
+    # comparison first — `false <= -1 BETWEEN 1 AND 1` is
+    # `false <= (-1 BETWEEN 1 AND 1)` (create_operator.out:98);
+    # parenthesize the BETWEEN when simple operands follow a
+    # comparison operator
+    out = re.sub(
+        r"(<>|<=|>=|=|<|>)((?:\s|/\*.*?\*/)*)([-+]?\w+)"
+        r"\s+(BETWEEN\s+[-+]?\w+\s+AND\s+[-+]?\w+)",
+        r"\1\2(\3 \4)",
+        out,
+        flags=re.IGNORECASE,
+    )
 
     # COLLATE clauses strip (Spark compares binary, PG's "C")
     out = _COLLATE_RE.sub("", out)

@@ -498,9 +498,39 @@ class UserTypes:
                 body,
             )
             if rm is None:
-                return m.group(0)
+                # rangetypes.c range_parse: an input that doesn't
+                # split into bracket/lo/,/hi/bracket is malformed
+                raise ValueError(
+                    f'malformed range literal: "{body}"')
+            for b in (rm.group(2), rm.group(3)):
+                if not b.startswith('"') and re.search(
+                    r'[\[\]()",\\]', b
+                ):
+                    # range_parse_bound: these need quoting
+                    raise ValueError(
+                        f'malformed range literal: "{body}"')
             li = "true" if rm.group(1) == "[" else "false"
             hi_i = "true" if rm.group(4) == "]" else "false"
+            lo_txt, hi_txt = rm.group(2), rm.group(3)
+            if lo_txt and hi_txt:
+                # make_range: lower must be <= upper; comparable at
+                # plan time for string and numeric families
+                bad = None
+                try:
+                    if sfx in ("", "_i8"):
+                        bad = float(lo_txt) > float(hi_txt)
+                    elif sfx == "_str":
+                        lo_u = (lo_txt[1:-1].replace('""', '"')
+                                if lo_txt.startswith('"') else lo_txt)
+                        hi_u = (hi_txt[1:-1].replace('""', '"')
+                                if hi_txt.startswith('"') else hi_txt)
+                        bad = lo_u > hi_u
+                except ValueError:
+                    bad = None
+                if bad:
+                    raise ValueError(
+                        "range lower bound must be less than or "
+                        "equal to range upper bound")
             return (
                 f"pg_range{sfx}({bound_expr(rm.group(2))}, "
                 f"{bound_expr(rm.group(3))}, {li}, {hi_i})"
