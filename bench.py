@@ -85,6 +85,18 @@ def main() -> None:
     # says the machine is busy the record is STAMPED polluted so a
     # bad number can never pass silently as a regression.
     load_start = read_loadavg()
+    if (
+        os.environ.get("SPARK_GRAFT_REQUIRE_QUIET", "0") == "1"
+        or "--require-quiet" in sys.argv
+    ) and load_start[0] > 0.5:
+        # refuse mode (opt-in; the driver's default run still records
+        # with the polluted stamp rather than losing the round signal)
+        print(json.dumps({
+            "metric": "headline_queries_total_sec",
+            "error": "refused: loadavg above quiet threshold",
+            "loadavg_start": load_start,
+        }))
+        sys.exit(2)
     spark = get_spark(SessionConfig(app_name="warehouse_pg_spark-bench"))
     query_dir = stage_warehouse(spark, SF_DIR) if STAGE else SF_DIR
     bench_queries = {

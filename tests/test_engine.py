@@ -1366,14 +1366,16 @@ def test_regexp_split_to_array(engine):
 def test_jsonb_mutation_functions(engine):
     """jsonb_set / jsonb_insert / #- / json_object (jsonfuncs.c):
     text[] paths with negative array indexes, create_missing /
-    insert_after flags, existing-key insert -> NULL (PG errors)."""
+    insert_after flags, existing-key insert and path errors RAISE
+    per setPath (r15: was NULL)."""
+    import pytest as _pytest
+
     r = engine.sql(
         """SELECT jsonb_set('{"a":[1,2,3]}', '{a,1}', '99') AS set_arr,
                   jsonb_set('{"a":1}', '{c}', '3', false) AS no_create,
                   jsonb_set('{"a":[1,2]}', '{a,-1}', '0') AS neg_idx,
                   jsonb_insert('{"a":[1,3]}', '{a,1}', '2') AS ins,
                   jsonb_insert('{"a":[1,2]}', '{a,1}', '9', true) AS ins_after,
-                  jsonb_insert('{"a":1}', '{a}', '9') AS ins_existing,
                   '{"n":null, "a":1, "b":[1,2]}'::jsonb #- '{b,-1}' AS del_path,
                   json_object('{a,1,b,2}') AS obj1,
                   json_object('{a,b}', '{1,2}') AS obj2"""
@@ -1383,10 +1385,23 @@ def test_jsonb_mutation_functions(engine):
     assert r.neg_idx == '{"a": [1, 0]}'
     assert r.ins == '{"a": [1, 2, 3]}'
     assert r.ins_after == '{"a": [1, 2, 9]}'  # after the path target
-    assert r.ins_existing is None  # PG raises on existing object key
     assert r.del_path == '{"n": null, "a": 1, "b": [1]}'
     assert r.obj1 == '{"a": "1", "b": "2"}'
     assert r.obj2 == '{"a": "1", "b": "2"}'
+    with _pytest.raises(Exception, match="cannot replace existing key"):
+        engine.sql(
+            """SELECT jsonb_insert('{"a":1}', '{a}', '9') AS x"""
+        ).collect()
+    with _pytest.raises(Exception, match="is not an integer"):
+        engine.sql(
+            """SELECT jsonb_set('{"a": [1, 2, 3]}',
+                      '{a, non_integer}', '"v"') AS x"""
+        ).collect()
+    with _pytest.raises(Exception, match="position 3 is null"):
+        engine.sql(
+            """SELECT jsonb_set('{"a": {"b": [1, 2, 3]}}',
+                      '{a, b, NULL}', '"v"') AS x"""
+        ).collect()
 
 
 def test_xml_is_well_formed(engine):
@@ -2773,3 +2788,116 @@ def test_round14_advice_fixes(engine):
     assert engine.sql(
         "SELECT to_timestamp('2011-12-18 12', 'YYYY-MM-DD HH12') AS x"
     ).collect()[0].x == dt.datetime(2011, 12, 18, 0, 0)
+
+
+def test_create_aggregate_sql(engine):
+    """CREATE AGGREGATE over SQL transition/final functions
+    (aggregatecmds.c DefineAggregate; regress aggregates.sql my_avg):
+    the call lowers to aggregate(collect_list(x), initcond, sfunc)
+    with the retained SQL bodies inlined into the lambda."""
+    import pytest as _pytest
+
+    engine.sql("create type r15t_avg_state as (total bigint, count bigint)")
+    engine.sql(
+        "create or replace function r15t_avg_trans(s r15t_avg_state,"
+        " n int) returns r15t_avg_state as $$ select"
+        " row(coalesce(s.total, 0) + n, coalesce(s.count, 0) + 1)"
+        "::r15t_avg_state $$ language sql"
+    )
+    engine.sql(
+        "create function r15t_avg_final(s r15t_avg_state) returns"
+        " int4 as $$ select cast(s.total / s.count as int) $$"
+        " language sql"
+    )
+    engine.sql(
+        "create aggregate r15t_avg(int4) (stype = r15t_avg_state,"
+        " sfunc = r15t_avg_trans, finalfunc = r15t_avg_final)"
+    )
+    engine.spark.sql(
+        "select * from values (1,1),(1,3),(2,5),(2,7) t(g,a)"
+    ).createOrReplaceTempView("r15t_vals")
+    rows = engine.sql(
+        "select g, r15t_avg(a) as avg from r15t_vals group by g"
+        " order by g"
+    ).collect()
+    assert [(r.g, r.avg) for r in rows] == [(1, 2), (2, 6)]
+    engine.sql(
+        "create aggregate r15t_avg10(int4) (stype = r15t_avg_state,"
+        " sfunc = r15t_avg_trans, finalfunc = r15t_avg_final,"
+        " initcond = '(10,0)')"
+    )
+    assert engine.sql(
+        "select r15t_avg10(a) as v from r15t_vals"
+    ).collect()[0].v == 6  # (10+16)/4
+    engine.sql("drop aggregate r15t_avg10(int4)")
+    with _pytest.raises(Exception, match="does not exist"):
+        engine.sql("drop aggregate r15t_avg10(int4)")
+
+
+def test_polymorphic_sql_functions(engine):
+    """anyarray/anyelement SQL functions register as templates and
+    inline per call (parse_coerce.c check_generic_type_consistency):
+    SETOF in FROM, scalar in select list, type follows the call."""
+    engine.sql(
+        "create or replace function r15t_unnest(anyarray) returns"
+        " setof anyelement as $$ select $1[s] from"
+        " generate_subscripts($1, 1) g(s) $$ language sql immutable"
+    )
+    engine.sql(
+        "create function r15t_first(anyarray) returns anyelement"
+        " as $$ select $1[1] $$ language sql"
+    )
+    rows = engine.sql(
+        "select * from r15t_unnest(array[10, 20, 30])"
+    ).collect()
+    assert [r.r15t_unnest for r in rows] == [10, 20, 30]
+    r = engine.sql(
+        "select r15t_first(array['a','b']) as s,"
+        "       r15t_first(array[7, 8]) + 1 as n"
+    ).collect()[0]
+    assert (r.s, r.n) == ("a", 8)
+
+
+def test_composite_domain_checks(engine):
+    """Domain over a composite base enforces its CHECK at cast sites
+    and on json_populate_record results (jsonfuncs.c
+    populate_composite -> domain_check; json.out j_ordered_pair)."""
+    import pytest as _pytest
+
+    engine.sql("create type r15t_pair as (x int, y int)")
+    engine.sql(
+        "create domain r15t_ordered as r15t_pair"
+        " check((value).x <= (value).y)"
+    )
+    r = engine.sql(
+        """SELECT json_populate_record(row(1,2)::r15t_ordered,
+                  '{"x": 0}') AS r"""
+    ).collect()[0].r
+    assert (r.x, r.y) == (0, 2)
+    with _pytest.raises(Exception, match="violates check"):
+        engine.sql(
+            """SELECT json_populate_record(row(1,2)::r15t_ordered,
+                      '{"x": 1, "y": 0}') AS r"""
+        ).collect()
+    with _pytest.raises(Exception, match="violates check"):
+        engine.sql("SELECT row(1,0)::r15t_ordered AS r").collect()
+
+
+def test_numeric_domain_folds(engine):
+    """ln/log/power literal domain errors (numeric.c ln_var/log_var/
+    power_var) and infinity -> numeric raise at plan time."""
+    import pytest as _pytest
+
+    for q, msg in [
+        ("select ln(-12.34)", "negative"),
+        ("select ln(0.0)", "zero"),
+        ("select log(1.0, 12.34)", "division by zero"),
+        ("select 10.0 ^ 2147483647", "overflows numeric"),
+        ("select 0.0 ^ (-12.34)", "zero raised"),
+        ("select power(-1, 0.5)", "complex result"),
+        ("SELECT 'Infinity'::float8::numeric", "infinity"),
+    ]:
+        with _pytest.raises(Exception, match=msg):
+            engine.sql(q)
+    assert engine.sql("select ln(1.0) AS x").collect()[0].x == 0.0
+    assert engine.sql("select 2 ^ 10 AS x").collect()[0].x == 1024.0

@@ -578,6 +578,8 @@ def main() -> None:
             ctx_files += 1
             eng._user_types = UserTypes()
             eng._variadic_functions.clear()
+            eng._poly_functions.clear()
+            eng._sql_aggregates.clear()
             try:
                 eng.sql("RESET ALL")  # custom GUCs must not leak
             except Exception:
@@ -599,6 +601,27 @@ def main() -> None:
                     eng.sql(c)
                     ctx_ok += 1
                 except Exception as cex:
+                    if "ALREADY_EXISTS" in str(cex):
+                        # per-file replay can't interleave the DROP
+                        # that separated two same-named CREATEs in
+                        # the original script — drop and retry (the
+                        # LATER definition is the one probes see,
+                        # matching psql's sequential end state)
+                        nm = re.search(
+                            r"(?i)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?"
+                            r"(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?"
+                            r"\s+|UNLOGGED\s+)?(\w+)\s+"
+                            r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)", c)
+                        try:
+                            if nm:
+                                eng.sql(
+                                    f"DROP {nm.group(1)} IF EXISTS "
+                                    f"{nm.group(2)}")
+                            eng.sql(c)
+                            ctx_ok += 1
+                            continue
+                        except Exception as cex2:
+                            cex = cex2
                     fam = _ctx_family(c)
                     ctx_fail_census[fam] = ctx_fail_census.get(fam, 0) + 1
                     if len(ctx_fail_samples.setdefault(fam, [])) < 5:
@@ -634,10 +657,15 @@ def main() -> None:
                     continue
                 # PySpark exception text often STARTS with a newline —
                 # strip first, or the recorded err is blank and the
-                # missing-object classifier can never fire
+                # missing-object classifier can never fire. Arrow-
+                # worker raises bury the engine's message inside the
+                # Python traceback — surface the ValueError line.
+                es = str(ex).strip()
+                vm = re.search(r"ValueError: (.+)", es)
                 engine_errors.append(
                     {"sql": s,
-                     "err": str(ex).strip().split("\n")[0][:200]}
+                     "err": (vm.group(1).strip() if vm
+                             else es.split("\n")[0])[:200]}
                 )
                 continue
             if exp_err:
@@ -827,7 +855,37 @@ def main() -> None:
                 r"|out of range for type"
                 r"|bigint out of range"
                 r"|integer out of range"
-                r"|smallint out of range",
+                r"|smallint out of range"
+                # r15 validation families
+                r"|cannot take logarithm"
+                r"|zero raised to a negative power"
+                r"|yields a complex result"
+                r"|value overflows numeric format"
+                r"|cannot convert infinity to numeric"
+                r"|malformed range literal"
+                r"|range lower bound must be less"
+                r"|null character not permitted"
+                r"|timestamp cannot be NaN"
+                r"|date/time field value out of range"
+                r"|cannot determine type of empty array"
+                r"|function (?:substr|length)\(integer"
+                r"|operator does not exist:"
+                r"|is not a valid binary digit"
+                r"|syntax error at or near .COLLATE."
+                r"|abscissa type not supported"
+                r"|invalid backreference number"
+                r"|cannot get array length"
+                r"|key value must be scalar"
+                r"|path element at position"
+                r"|cannot replace existing key"
+                r"|jsonpath array subscript"
+                r"|jsonpath item method"
+                r"|thresholds array must not contain"
+                r"|violates check constraint"
+                r"|timestamp out of range"
+                r"|date out of range"
+                r"|hour .* is invalid for the 12-hour clock"
+                r"|linear_interpolate",
                 err,
             ):
                 return (

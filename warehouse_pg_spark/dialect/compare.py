@@ -207,6 +207,10 @@ def _rewrite_decode(m: re.Match) -> str:
     if len(args) < 3:
         return m.group(0)
     expr, rest = args[0], args[1:]
+    if expr.upper() == "NULL" and re.fullmatch(r"-?\d+", rest[0]):
+        # decode_expr.out:808: a bare NULL subject types as text,
+        # and text = integer has no operator in PG
+        raise ValueError("operator does not exist: text = integer")
     pairs, default = [], None
     while len(rest) >= 2:
         pairs.append((rest[0], rest[1]))
@@ -416,6 +420,27 @@ def _rewrite_regex_match(sql: str, lits: list[str]) -> str:
             kw = "ILIKE" if "*" in op else "LIKE"
             expr = f"{lhs} {kw} {pat}"
         else:
+            # Spencer AREs reject a backreference inside a lookahead
+            # constraint (regcomp.c; Java's engine accepts it) —
+            # raise PG's error rather than silently diverging
+            lookaheads = re.finditer(
+                r"\(\?<?[=!]", _lit_value(pat, lits))
+            pv = _lit_value(pat, lits)
+            bad_backref = False
+            for la in lookaheads:
+                depth, j = 1, la.end()
+                while j < len(pv) and depth:
+                    if pv[j] == "\\" and j + 1 < len(pv):
+                        if pv[j + 1].isdigit():
+                            bad_backref = True
+                        j += 2
+                        continue
+                    depth += {"(": 1, ")": -1}.get(pv[j], 0)
+                    j += 1
+            if bad_backref:
+                raise ValueError(
+                    "invalid regular expression: "
+                    "invalid backreference number")
             if "*" in op:  # case-insensitive: inline (?i) flag
                 pat = _new_lit("(?i)" + _lit_value(pat, lits), lits)
             expr = f"{lhs} RLIKE {pat}"

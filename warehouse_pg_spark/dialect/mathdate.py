@@ -8,7 +8,14 @@ anything unrecognized passes through loud).
 from __future__ import annotations
 
 import re
-from warehouse_pg_spark.dialect.mask import _DISTINCT_OPERAND, _new_lit
+from warehouse_pg_spark.dialect.mask import (
+    _DISTINCT_OPERAND,
+    _LIT,
+    _MASK_RE,
+    _lit_value,
+    _new_lit,
+    _split_args,
+)
 
 
 
@@ -519,16 +526,25 @@ def _pg_date_fold(body: str) -> str | None:
         )
     }
     mo = None
+    mo_pos = -1
     nums = []
-    for t in toks:
+    for pos, t in enumerate(toks):
         if t[:3].lower() in months and not t.isdigit():
             mo = months[t[:3].lower()]
+            mo_pos = pos
         elif t.isdigit():
             nums.append(int(t))
         else:
             return None
     if mo is None or len(nums) != 2:
         return None
+    if mo_pos == 2:
+        # datetime.c DecodeDate: with MDY both leading numbers have
+        # already claimed month/day slots before the textual month
+        # arrives — '99-08-Jan' is an error, '99-Jan-08' is not
+        # (date.out:174)
+        raise ValueError(
+            f'invalid input syntax for type date: "{s}"')
     a, b = nums
     y, d = (a, b) if a > 31 else (b, a)
     if y < 100:  # PG's two-digit-year window (datetime.c)
@@ -537,3 +553,271 @@ def _pg_date_fold(body: str) -> str | None:
         return _dt.date(y, mo, d).isoformat()
     except ValueError:
         return None
+
+
+# --- to_char / to_date / timestamptz-literal passes (moved from
+# pgfns.py in the r15 split; behavior unchanged) ---------------
+_ARITH_CHAIN_MD = rf"{_DISTINCT_OPERAND}(?:\s*[-+*/%]\s*{_DISTINCT_OPERAND})*"
+_TO_CHAR_RE = re.compile(
+    rf"\bto_char\s*\(\s*((?:TIMESTAMP|DATE)\s*{_LIT}"
+    rf"|[\w.]+\((?:[^()]|\([^()]*\))*\)"
+    rf"|-?\s*{_ARITH_CHAIN_MD})\s*,\s*({_LIT})\s*\)",
+    re.IGNORECASE,
+)
+# to_date/to_timestamp with a PG DCH pattern (formatting.c parse
+# direction): translated to the Java pattern Spark's parser expects.
+# Gated on distinctly-PG tokens — a Java-style pattern ('yyyy-MM-dd')
+# must pass through untouched, and an uppercase PG pattern handed to
+# Spark raw is already silently wrong (Java D = day-of-year).
+_TO_DATE_RE = re.compile(
+    rf"\bto_(date|timestamp)\s*\(\s*({_ARITH_CHAIN_MD})\s*,\s*({_LIT})\s*\)",
+    re.IGNORECASE,
+)
+_PG_DCH_GATE_RE = re.compile(
+    r"HH24|HH12|YYYY|IYYY|MI|MON|Mon|mon|DAY|Day|day|DDD|Dy|DY|dy"
+    # single-letter / two-letter PG fields with no Java equivalent:
+    # J (julian day), CC (century), W (week-of-month), Q (quarter) —
+    # as a whole-picture match so Java patterns never false-positive
+    r"|^\s*J\s*$|\bCC\b|^W\b|\bW\s+MM\b"
+    # whole-picture 3-digit year (PG completes to 1500-2499; Java YYY
+    # is week-based-year and Spark rejects it outright)
+    r"|^\s*YYY\s*$"
+    # ISO-calendar family, roman months, grouped years, and
+    # backslash separators — all PG-only spellings
+    r"|I(?:YYY|YY|Y|W|DDD|D)|\bRM\b|Y,YYY|\\"
+    # leading short-year pictures ('Y-MMDD', 'YY-MMDD'): PG completes
+    # the year; Java reads uppercase Y as week-based-year and rejects
+    r"|^\s*Y{1,3}[^Y]"
+)
+_TS_ZONE_LIT_RE = re.compile(
+    # the single-word timestamptz spelling takes the same path (Spark
+    # has no TIMESTAMPTZ literal keyword); exclude the
+    # timestamptz(date, time) constructor via the literal lookahead
+    r"\btimestamp(?:\s+with(?:out)?\s+time\s+zone|tz)\s+(\x01\d+\x01)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_to_char_to_date(sql: str, lits: list[str]) -> str:
+    """to_char over numeric/datetime pictures and to_date/
+    to_timestamp DCH translation (formatting.c both directions);
+    the literal folds run the PG from_char scanner first so
+    PG's own plan-time errors fire before Spark parses."""
+    def sub_to_char(m: re.Match) -> str:
+        from warehouse_pg_spark.functions.to_char import (
+            to_char_datetime_sql,
+            to_char_numeric_sql,
+        )
+
+        x, lit_tok = m.group(1).strip(), m.group(2)
+        body = lits[int(_MASK_RE.match(lit_tok).group(1))][1:-1]
+        # strip quoted-literal spans before sniffing for digit slots
+        unquoted = re.sub(r'"[^"]*"', "", body)
+        if re.search(r"[90]", unquoted):
+            out = to_char_numeric_sql(f"({x})", body)
+            return out if out is not None else m.group(0)
+        return to_char_datetime_sql(f"({x})", body)
+
+    sql = _TO_CHAR_RE.sub(sub_to_char, sql)
+
+    def sub_to_date(m: re.Match) -> str:
+        from warehouse_pg_spark.functions.to_char import (
+            dch_parse_pattern,
+            to_date_fold,
+            to_timestamp_fold,
+        )
+
+        kind, x, lit_tok = m.group(1).lower(), m.group(2).strip(), m.group(3)
+        body = lits[int(_MASK_RE.match(lit_tok).group(1))][1:-1]
+        if not _PG_DCH_GATE_RE.search(body):
+            # Java-style pattern: pass through — but still run the
+            # scanner on a literal subject so PG's own plan-time
+            # errors (date out of range &c) fire instead of Spark's
+            # CANNOT_PARSE; non-error results keep the Java path
+            if _MASK_RE.fullmatch(x):
+                try:
+                    (to_date_fold if kind == "date"
+                     else to_timestamp_fold)(_lit_value(x, lits), body)
+                except ValueError as fe:
+                    if "out of range" in str(fe):
+                        raise
+            return m.group(0)
+        xm = _MASK_RE.fullmatch(x)
+        if kind == "date" and xm:
+            # literal subject: fold through the PG from_char scanner —
+            # covers pictures Java patterns can't express (J, CC+YY,
+            # W, Q, leading-space numeric output of to_char)
+            folded = to_date_fold(_lit_value(x, lits), body)
+            if folded is not None:
+                return f"DATE {_new_lit(folded.isoformat(), lits)}"
+        if kind == "timestamp" and xm:
+            ts = to_timestamp_fold(_lit_value(x, lits), body)
+            if ts is not None:
+                return (
+                    f"TIMESTAMP "
+                    f"{_new_lit(ts.isoformat(sep=' '), lits)}"
+                )
+        java = dch_parse_pattern(body).replace("'", "''")
+        if not java.startswith((" ", "'")):
+            # PG's from_char scan skips leading whitespace in the
+            # subject (e.g. to_char numeric output's sign column)
+            x = f"trim({x})"
+        return f"to_{kind}({x}, '{java}')"
+
+    sql = _TO_DATE_RE.sub(sub_to_date, sql)
+
+    # deep-subject fallback: to_date(<any balanced expr>, 'PG pic') —
+    # e.g. the folded CASE that to_char's numeric fold emits. Balanced
+    # scan; only the picture literal is rewritten.
+    def _fold_to_date_deep(s: str) -> str:
+        from warehouse_pg_spark.functions.to_char import dch_parse_pattern
+
+        out_parts: list[str] = []
+        i = 0
+        while True:
+            m2 = re.search(r"(?i)\bto_(date|timestamp)\s*\(", s[i:])
+            if not m2:
+                out_parts.append(s[i:])
+                break
+            start = i + m2.start()
+            op = i + m2.end() - 1
+            depth, j = 0, op
+            while j < len(s):
+                if s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            inner = s[op + 1: j]
+            args = _split_args(inner)
+            lm = _MASK_RE.fullmatch(args[-1].strip()) if len(args) == 2 else None
+            body = lits[int(lm.group(1))][1:-1] if lm else ""
+            if lm and _PG_DCH_GATE_RE.search(body):
+                java = dch_parse_pattern(body).replace("'", "''")
+                subj = args[0].strip()
+                if not java.startswith((" ", "'")):
+                    subj = f"trim({subj})"
+                out_parts.append(s[i:start])
+                out_parts.append(
+                    f"to_{m2.group(1).lower()}({subj}, '{java}')"
+                )
+            else:
+                out_parts.append(s[i: j + 1])
+            i = j + 1
+        return "".join(out_parts)
+
+    sql = _fold_to_date_deep(sql)
+    return sql
+
+
+def _rewrite_ts_zone_literals(sql: str, lits: list[str]) -> str:
+    """timestamptz / compact-ISO / julian-day timestamp literal
+    normalization (datetime.c input forms)."""
+    def sub_ts_zone_lit(m: re.Match) -> str:
+        # compact ISO-8601 input ('20011227T040506.789+08',
+        # datetime.c DecodeISO8601...): normalize to the punctuated
+        # form Spark's parser accepts
+        body = _lit_value(m.group(1), lits).strip()
+        jm = re.fullmatch(
+            # Julian-day timestamp input (datetime.c DecodeDateTime
+            # J-prefix; horology.sql): 'J2452271 04:05:06+08',
+            # 'J2452271.5-08' (fraction of a day), 'J2452271T040506'
+            r"[Jj](\d{1,7})(\.\d+)?"
+            r"(?:[T ](\d{2}):?(\d{2})(?::?(\d{2}(?:\.\d+)?))?)?"
+            r"\s*([+-]\d{1,2}(?::?\d{2})?)?",
+            body,
+        )
+        if jm:
+            import datetime as _dt
+
+            jd, frac, h, mi, s, off = jm.groups()
+            try:
+                base = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                    days=int(jd) - 2440588
+                )
+            except OverflowError:
+                return f"TIMESTAMP {m.group(1)}"  # BC-era: stay loud
+            if frac:
+                base += _dt.timedelta(
+                    microseconds=round(float(frac) * 86400 * 1e6)
+                )
+            elif h:
+                sec = float(s or 0)
+                base += _dt.timedelta(
+                    hours=int(h), minutes=int(mi), seconds=sec
+                )
+            iso = base.strftime("%Y-%m-%d %H:%M:%S")
+            if base.microsecond:
+                iso += f".{base.microsecond:06d}".rstrip("0")
+            if off:
+                o = off.replace(":", "")
+                iso += (
+                    f"{o[0]}{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
+                    + (f":{o[3:5]}" if len(o) >= 5 else "")
+                )
+            return f"TIMESTAMP {_new_lit(iso, lits)}"
+        # PG multi-format date part + time + offset ('12/27/2001
+        # 04:05:06.789-08', '2001.12.27 ...') and the tagged
+        # 'Y2001M12D27H04M05S06.789+08' ISO-alternative form
+        gm = re.fullmatch(
+            r"(?i)Y(\d{4})M(\d{2})D(\d{2})"
+            r"H(\d{2})MM?(\d{2})S(\d{2}(?:\.\d+)?)"
+            r"\s*([+-]\d{1,2}(?::?\d{2})?)?",
+            body,
+        )
+        if gm:
+            y, mo, d, h, mi, s, off = gm.groups()
+            iso = f"{y}-{mo}-{d} {h}:{mi}:{s}"
+            if off:
+                o = off.replace(":", "")
+                iso += (
+                    f"{o[0]}{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
+                    + (f":{o[3:5]}" if len(o) >= 5 else "")
+                )
+            return f"TIMESTAMP {_new_lit(iso, lits)}"
+        dm = re.fullmatch(
+            r"(\S+)\s+(\d{1,2}:\d{2}(?::\d{2}(?:\.\d+)?)?)"
+            r"\s*([+-]\d{1,2}(?::?\d{2})?)?",
+            body,
+        )
+        if dm:
+            folded_d = (
+                dm.group(1)
+                if re.fullmatch(r"\d{4}-\d{2}-\d{2}", dm.group(1))
+                else _pg_date_fold(dm.group(1))
+            )
+            if folded_d is not None:
+                t = dm.group(2)
+                if re.fullmatch(r"\d{1,2}:\d{2}", t):
+                    t += ":00"  # Spark's literal parser needs seconds
+                iso = f"{folded_d} {t}"
+                off = dm.group(3)
+                if off:
+                    o = off.replace(":", "")
+                    iso += (
+                        f"{o[0]}"
+                        f"{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
+                        + (f":{o[3:5]}" if len(o) >= 5 else "")
+                    )
+                return f"TIMESTAMP {_new_lit(iso, lits)}"
+        cm = re.fullmatch(
+            r"(\d{4})(\d{2})(\d{2})(?:[T ]?(\d{2}):?(\d{2}):?"
+            r"(\d{2}(?:\.\d+)?)?)?\s*([+-]\d{1,2}(?::?\d{2})?)?",
+            body,
+        )
+        if cm:
+            y, mo, d, h, mi, s, off = cm.groups()
+            iso = f"{y}-{mo}-{d} {h or '00'}:{mi or '00'}:{s or '00'}"
+            if off:
+                o = off.replace(":", "")
+                iso += (
+                    f"{o[0]}{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
+                    + (f":{o[3:5]}" if len(o) >= 5 else "")
+                )
+            return f"TIMESTAMP {_new_lit(iso, lits)}"
+        return f"TIMESTAMP {m.group(1)}"
+
+    sql = _TS_ZONE_LIT_RE.sub(sub_ts_zone_lit, sql)
+    return sql

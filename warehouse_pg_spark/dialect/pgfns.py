@@ -23,6 +23,8 @@ from warehouse_pg_spark.dialect.mathdate import (
     _pg_date_fold,
     _pg_format_compile,
     _pg_interval_parse,
+    _rewrite_to_char_to_date,
+    _rewrite_ts_zone_literals,
 )
 from warehouse_pg_spark.dialect.typemap import _braced_to_array, map_decl_type
 
@@ -150,37 +152,6 @@ _ARRAY_SUBQ_RE = re.compile(
 # datetime vs numeric by argument type, which SQL text doesn't expose;
 # a 9/0 digit slot anywhere in the picture means numeric (DCH datetime
 # tokens contain none).
-_TO_CHAR_RE = re.compile(
-    rf"\bto_char\s*\(\s*((?:TIMESTAMP|DATE)\s*{_LIT}"
-    rf"|[\w.]+\((?:[^()]|\([^()]*\))*\)"
-    rf"|-?\s*{_ARITH_CHAIN})\s*,\s*({_LIT})\s*\)",
-    re.IGNORECASE,
-)
-# to_date/to_timestamp with a PG DCH pattern (formatting.c parse
-# direction): translated to the Java pattern Spark's parser expects.
-# Gated on distinctly-PG tokens — a Java-style pattern ('yyyy-MM-dd')
-# must pass through untouched, and an uppercase PG pattern handed to
-# Spark raw is already silently wrong (Java D = day-of-year).
-_TO_DATE_RE = re.compile(
-    rf"\bto_(date|timestamp)\s*\(\s*({_ARITH_CHAIN})\s*,\s*({_LIT})\s*\)",
-    re.IGNORECASE,
-)
-_PG_DCH_GATE_RE = re.compile(
-    r"HH24|HH12|YYYY|IYYY|MI|MON|Mon|mon|DAY|Day|day|DDD|Dy|DY|dy"
-    # single-letter / two-letter PG fields with no Java equivalent:
-    # J (julian day), CC (century), W (week-of-month), Q (quarter) —
-    # as a whole-picture match so Java patterns never false-positive
-    r"|^\s*J\s*$|\bCC\b|^W\b|\bW\s+MM\b"
-    # whole-picture 3-digit year (PG completes to 1500-2499; Java YYY
-    # is week-based-year and Spark rejects it outright)
-    r"|^\s*YYY\s*$"
-    # ISO-calendar family, roman months, grouped years, and
-    # backslash separators — all PG-only spellings
-    r"|I(?:YYY|YY|Y|W|DDD|D)|\bRM\b|Y,YYY|\\"
-    # leading short-year pictures ('Y-MMDD', 'YY-MMDD'): PG completes
-    # the year; Java reads uppercase Y as week-based-year and rejects
-    r"|^\s*Y{1,3}[^Y]"
-)
 # FROM/lateral unnest(...) AS t(cols) (nodeFunctionscan.c): explode /
 # inline forms. PG SRFs in a comma FROM item are implicitly LATERAL;
 # Spark's equivalent is LATERAL VIEW. Two parallel arrays zip with
@@ -269,13 +240,6 @@ _HASH_PATH_ARR_RE = re.compile(
 _TIME_LIT_RE = re.compile(r"(?<![\w.])time\s+(\x01\d+\x01)", re.IGNORECASE)
 # `timestamp with[out] time zone '...'` spelled-out typed literals —
 # both collapse to the single TIMESTAMP type (README)
-_TS_ZONE_LIT_RE = re.compile(
-    # the single-word timestamptz spelling takes the same path (Spark
-    # has no TIMESTAMPTZ literal keyword); exclude the
-    # timestamptz(date, time) constructor via the literal lookahead
-    r"\btimestamp(?:\s+with(?:out)?\s+time\s+zone|tz)\s+(\x01\d+\x01)",
-    re.IGNORECASE,
-)
 _DOUBLE_PREC_LIT_RE = re.compile(
     r"\bdouble\s+precision\s+(\x01\d+\x01)", re.IGNORECASE
 )
@@ -336,7 +300,9 @@ _JSON_SRF_FROM_RE = re.compile(
 _NEST3 = _nested_parens(7)
 _IDX_OPERAND = rf"(?:{_LIT}|[\w.]+{_NEST3}|{_NEST3}|[\w.]+)"
 _ARRAY_INDEX_RE = re.compile(
-    rf"({_IDX_OPERAND})\[\s*(\d+)\s*\]"
+    # the index admits a bare column/variable reference too
+    # ($1[s] inside SQL-function bodies — rangefuncs/arrays regress)
+    rf"({_IDX_OPERAND})\[\s*(\d+|[A-Za-z_]\w*)\s*\]"
 )
 _ARRAY_SLICE_RE = re.compile(
     rf"({_IDX_OPERAND})\[\s*(\d+)\s*:\s*(\d+)\s*\]"
@@ -875,101 +841,8 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
 
     sql = _LR_TRIM_RE.sub(sub_lr_trim, sql)
 
-    def sub_to_char(m: re.Match) -> str:
-        from warehouse_pg_spark.functions.to_char import (
-            to_char_datetime_sql,
-            to_char_numeric_sql,
-        )
+    sql = _rewrite_to_char_to_date(sql, lits)
 
-        x, lit_tok = m.group(1).strip(), m.group(2)
-        body = lits[int(_MASK_RE.match(lit_tok).group(1))][1:-1]
-        # strip quoted-literal spans before sniffing for digit slots
-        unquoted = re.sub(r'"[^"]*"', "", body)
-        if re.search(r"[90]", unquoted):
-            out = to_char_numeric_sql(f"({x})", body)
-            return out if out is not None else m.group(0)
-        return to_char_datetime_sql(f"({x})", body)
-
-    sql = _TO_CHAR_RE.sub(sub_to_char, sql)
-
-    def sub_to_date(m: re.Match) -> str:
-        from warehouse_pg_spark.functions.to_char import (
-            dch_parse_pattern,
-            to_date_fold,
-            to_timestamp_fold,
-        )
-
-        kind, x, lit_tok = m.group(1).lower(), m.group(2).strip(), m.group(3)
-        body = lits[int(_MASK_RE.match(lit_tok).group(1))][1:-1]
-        if not _PG_DCH_GATE_RE.search(body):
-            return m.group(0)  # Java-style pattern: pass through
-        xm = _MASK_RE.fullmatch(x)
-        if kind == "date" and xm:
-            # literal subject: fold through the PG from_char scanner —
-            # covers pictures Java patterns can't express (J, CC+YY,
-            # W, Q, leading-space numeric output of to_char)
-            folded = to_date_fold(_lit_value(x, lits), body)
-            if folded is not None:
-                return f"DATE {_new_lit(folded.isoformat(), lits)}"
-        if kind == "timestamp" and xm:
-            ts = to_timestamp_fold(_lit_value(x, lits), body)
-            if ts is not None:
-                return (
-                    f"TIMESTAMP "
-                    f"{_new_lit(ts.isoformat(sep=' '), lits)}"
-                )
-        java = dch_parse_pattern(body).replace("'", "''")
-        if not java.startswith((" ", "'")):
-            # PG's from_char scan skips leading whitespace in the
-            # subject (e.g. to_char numeric output's sign column)
-            x = f"trim({x})"
-        return f"to_{kind}({x}, '{java}')"
-
-    sql = _TO_DATE_RE.sub(sub_to_date, sql)
-
-    # deep-subject fallback: to_date(<any balanced expr>, 'PG pic') —
-    # e.g. the folded CASE that to_char's numeric fold emits. Balanced
-    # scan; only the picture literal is rewritten.
-    def _fold_to_date_deep(s: str) -> str:
-        from warehouse_pg_spark.functions.to_char import dch_parse_pattern
-
-        out_parts: list[str] = []
-        i = 0
-        while True:
-            m2 = re.search(r"(?i)\bto_(date|timestamp)\s*\(", s[i:])
-            if not m2:
-                out_parts.append(s[i:])
-                break
-            start = i + m2.start()
-            op = i + m2.end() - 1
-            depth, j = 0, op
-            while j < len(s):
-                if s[j] == "(":
-                    depth += 1
-                elif s[j] == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
-                j += 1
-            inner = s[op + 1: j]
-            args = _split_args(inner)
-            lm = _MASK_RE.fullmatch(args[-1].strip()) if len(args) == 2 else None
-            body = lits[int(lm.group(1))][1:-1] if lm else ""
-            if lm and _PG_DCH_GATE_RE.search(body):
-                java = dch_parse_pattern(body).replace("'", "''")
-                subj = args[0].strip()
-                if not java.startswith((" ", "'")):
-                    subj = f"trim({subj})"
-                out_parts.append(s[i:start])
-                out_parts.append(
-                    f"to_{m2.group(1).lower()}({subj}, '{java}')"
-                )
-            else:
-                out_parts.append(s[i: j + 1])
-            i = j + 1
-        return "".join(out_parts)
-
-    sql = _fold_to_date_deep(sql)
 
     def sub_unnest(m: re.Match) -> str:
         lead, _lat, fn, args_s, alias, cols_s = (
@@ -1124,6 +997,15 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         args = _split_args(m.group(1))
         for i in range(0, len(args) - 1, 2):
             k = args[i].strip()
+            if re.match(
+                rf"(?is)^(?:jsonb?\s+{_LIT}|{_LIT}\s*::\s*jsonb?\b"
+                r"|array\s*\[|row\s*\()", k,
+            ):
+                # json.c json_build_object_worker: keys must be
+                # scalar — a json/array/composite key is an error
+                raise ValueError(
+                    "key value must be scalar, not array, "
+                    "composite, or json")
             if re.fullmatch(r"-?\d+(?:\.\d+)?|true|false", k, re.IGNORECASE):
                 args[i] = _new_lit(k, lits)
         return f"to_json(named_struct({', '.join(args)}))"
@@ -1134,6 +1016,27 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     sql = re.sub(
         r"(?i)\bjsonb_(array_length|object_keys)\s*\(",
         lambda m: f"json_{m.group(1).lower()}(",
+        sql,
+    )
+    # json[b]_array_length on a non-array RAISES in PG (jsonfuncs.c
+    # json_array_length: "cannot get array length of a non-array" /
+    # "... of a scalar"); Spark's builtin returns NULL — wrap with a
+    # JVM-side type dispatch (no Python, constant-folds for literals)
+    def sub_json_arr_len(m: re.Match) -> str:
+        a = m.group(1).strip()
+        return (
+            f"(CASE WHEN ({a}) IS NULL THEN NULL"
+            f" WHEN left(ltrim({a}), 1) = '[' THEN"
+            f" json_array_length({a})"
+            f" WHEN left(ltrim({a}), 1) = '{{' THEN"
+            f" raise_error('cannot get array length of a non-array')"
+            f" ELSE raise_error("
+            f"'cannot get array length of a scalar') END)"
+        )
+
+    sql = re.sub(
+        r"(?i)\bjson_array_length\s*\(\s*((?:[^()]|\([^()]*\))*)\)",
+        sub_json_arr_len,
         sql,
     )
     # to_json over a SCALAR literal (json.c to_json; PG encodes any
@@ -1160,12 +1063,19 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     sql = re.sub(r"(?i)\bto_jsonb\s*\(", "to_json(", sql)
     # width_bucket(x, thresholds[]) two-arg form (PG 9.5
     # numeric.c width_bucket_array): index of the last threshold <= x
+    def sub_width_bucket_arr(m: re.Match) -> str:
+        if re.search(r"(?i)[\[,]\s*NULL\s*[,\]]", m.group(2)):
+            # width_bucket_array: NULL thresholds RAISE
+            raise ValueError(
+                "thresholds array must not contain NULLs")
+        return (
+            f"size(filter({m.group(2)}, __t -> __t <= ({m.group(1)})))"
+        )
+
     sql = re.sub(
         rf"\bwidth_bucket\s*\(\s*({_ARITH_CHAIN})\s*,\s*"
         rf"((?:array|ARRAY)\s*[\[(](?:[^()\[\]]|\([^()]*\))*[\])])\s*\)",
-        lambda m: (
-            f"size(filter({m.group(2)}, __t -> __t <= ({m.group(1)})))"
-        ),
+        sub_width_bucket_arr,
         sql,
         flags=re.IGNORECASE,
     )
@@ -1418,111 +1328,8 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
 
     sql = _HASH_PATH_ARR_RE.sub(sub_hash_path_arr, sql)
     sql = _HASH_PATH_RE.sub(sub_hash_path, sql)
-    def sub_ts_zone_lit(m: re.Match) -> str:
-        # compact ISO-8601 input ('20011227T040506.789+08',
-        # datetime.c DecodeISO8601...): normalize to the punctuated
-        # form Spark's parser accepts
-        body = _lit_value(m.group(1), lits).strip()
-        jm = re.fullmatch(
-            # Julian-day timestamp input (datetime.c DecodeDateTime
-            # J-prefix; horology.sql): 'J2452271 04:05:06+08',
-            # 'J2452271.5-08' (fraction of a day), 'J2452271T040506'
-            r"[Jj](\d{1,7})(\.\d+)?"
-            r"(?:[T ](\d{2}):?(\d{2})(?::?(\d{2}(?:\.\d+)?))?)?"
-            r"\s*([+-]\d{1,2}(?::?\d{2})?)?",
-            body,
-        )
-        if jm:
-            import datetime as _dt
 
-            jd, frac, h, mi, s, off = jm.groups()
-            try:
-                base = _dt.datetime(1970, 1, 1) + _dt.timedelta(
-                    days=int(jd) - 2440588
-                )
-            except OverflowError:
-                return f"TIMESTAMP {m.group(1)}"  # BC-era: stay loud
-            if frac:
-                base += _dt.timedelta(
-                    microseconds=round(float(frac) * 86400 * 1e6)
-                )
-            elif h:
-                sec = float(s or 0)
-                base += _dt.timedelta(
-                    hours=int(h), minutes=int(mi), seconds=sec
-                )
-            iso = base.strftime("%Y-%m-%d %H:%M:%S")
-            if base.microsecond:
-                iso += f".{base.microsecond:06d}".rstrip("0")
-            if off:
-                o = off.replace(":", "")
-                iso += (
-                    f"{o[0]}{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
-                    + (f":{o[3:5]}" if len(o) >= 5 else "")
-                )
-            return f"TIMESTAMP {_new_lit(iso, lits)}"
-        # PG multi-format date part + time + offset ('12/27/2001
-        # 04:05:06.789-08', '2001.12.27 ...') and the tagged
-        # 'Y2001M12D27H04M05S06.789+08' ISO-alternative form
-        gm = re.fullmatch(
-            r"(?i)Y(\d{4})M(\d{2})D(\d{2})"
-            r"H(\d{2})MM?(\d{2})S(\d{2}(?:\.\d+)?)"
-            r"\s*([+-]\d{1,2}(?::?\d{2})?)?",
-            body,
-        )
-        if gm:
-            y, mo, d, h, mi, s, off = gm.groups()
-            iso = f"{y}-{mo}-{d} {h}:{mi}:{s}"
-            if off:
-                o = off.replace(":", "")
-                iso += (
-                    f"{o[0]}{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
-                    + (f":{o[3:5]}" if len(o) >= 5 else "")
-                )
-            return f"TIMESTAMP {_new_lit(iso, lits)}"
-        dm = re.fullmatch(
-            r"(\S+)\s+(\d{1,2}:\d{2}(?::\d{2}(?:\.\d+)?)?)"
-            r"\s*([+-]\d{1,2}(?::?\d{2})?)?",
-            body,
-        )
-        if dm:
-            folded_d = (
-                dm.group(1)
-                if re.fullmatch(r"\d{4}-\d{2}-\d{2}", dm.group(1))
-                else _pg_date_fold(dm.group(1))
-            )
-            if folded_d is not None:
-                t = dm.group(2)
-                if re.fullmatch(r"\d{1,2}:\d{2}", t):
-                    t += ":00"  # Spark's literal parser needs seconds
-                iso = f"{folded_d} {t}"
-                off = dm.group(3)
-                if off:
-                    o = off.replace(":", "")
-                    iso += (
-                        f"{o[0]}"
-                        f"{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
-                        + (f":{o[3:5]}" if len(o) >= 5 else "")
-                    )
-                return f"TIMESTAMP {_new_lit(iso, lits)}"
-        cm = re.fullmatch(
-            r"(\d{4})(\d{2})(\d{2})(?:[T ]?(\d{2}):?(\d{2}):?"
-            r"(\d{2}(?:\.\d+)?)?)?\s*([+-]\d{1,2}(?::?\d{2})?)?",
-            body,
-        )
-        if cm:
-            y, mo, d, h, mi, s, off = cm.groups()
-            iso = f"{y}-{mo}-{d} {h or '00'}:{mi or '00'}:{s or '00'}"
-            if off:
-                o = off.replace(":", "")
-                iso += (
-                    f"{o[0]}{int(o[1:3] if len(o) > 2 else o[1:]):02d}"
-                    + (f":{o[3:5]}" if len(o) >= 5 else "")
-                )
-            return f"TIMESTAMP {_new_lit(iso, lits)}"
-        return f"TIMESTAMP {m.group(1)}"
-
-    sql = _TS_ZONE_LIT_RE.sub(sub_ts_zone_lit, sql)
+    sql = _rewrite_ts_zone_literals(sql, lits)
 
     # make_interval with PG named arguments (funcapi named notation:
     # make_interval(years := 1, months := 6)) → positional
@@ -2451,7 +2258,7 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         fn = m.group(1).lower()
         args = [a.strip() for a in _split_args(m.group(2))]
         if len(args) >= 2:
-            args[1] = _braced_to_array(args[1], lits)
+            args[1] = _braced_to_array(args[1], lits, null_elems=True)
         if len(args) == 3:
             # pad the optional flag (create_missing / insert_after) to
             # its PG default — the Arrow-batched UDF has fixed arity
@@ -2461,7 +2268,8 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
     sql = _JSONB_MUT_RE.sub(sub_jsonb_mut, sql)
 
     def sub_hash_minus(m: re.Match) -> str:
-        lhs, rhs = m.group(1), _braced_to_array(m.group(2), lits)
+        lhs, rhs = m.group(1), _braced_to_array(
+            m.group(2), lits, null_elems=True)
         return f"jsonb_delete_path({lhs}, {rhs})"
 
     sql = _HASH_MINUS_RE.sub(sub_hash_minus, sql)

@@ -39,14 +39,16 @@ _TYPE_MAP = {
 }
 
 
-def _parse_braced_elems(inner: str) -> list[str] | None:
+def _parse_braced_elems_q(
+    inner: str,
+) -> list[tuple[str, bool]] | None:
     """array_in tokenizer for ONE-dimensional braced literal bodies
     (reference src/backend/utils/adt/arrayfuncs.c array_in): elements
     split on top-level commas; double-quoted elements may contain
     commas/braces/spaces; backslash escapes the next char. Returns None
     for nested arrays ('{' at element level) — those are not
     representable as a flat array<string> and must stay loud."""
-    elems: list[str] = []
+    elems: list[tuple[str, bool]] = []
     buf: list[str] = []
     quoted = in_q = False
     i, n = 0, len(inner)
@@ -77,7 +79,7 @@ def _parse_braced_elems(inner: str) -> list[str] | None:
             return None
         if ch == ",":
             s = "".join(buf)
-            elems.append(s if quoted else s.strip())
+            elems.append((s if quoted else s.strip(), quoted))
             buf, quoted = [], False
             i += 1
             continue
@@ -86,8 +88,13 @@ def _parse_braced_elems(inner: str) -> list[str] | None:
     if in_q:
         return None  # unterminated quote: malformed, stay loud
     s = "".join(buf)
-    elems.append(s if quoted else s.strip())
+    elems.append((s if quoted else s.strip(), quoted))
     return elems
+
+
+def _parse_braced_elems(inner: str) -> list[str] | None:
+    q = _parse_braced_elems_q(inner)
+    return None if q is None else [s for s, _ in q]
 
 
 def _parse_braced_tree(inner: str):
@@ -175,10 +182,14 @@ def _parse_braced_tree(inner: str):
     return elems
 
 
-def _braced_to_array(arr: str, lits: list[str]) -> str:
+def _braced_to_array(
+    arr: str, lits: list[str], null_elems: bool = False
+) -> str:
     """'{1,2,3}' braced array-literal text (array_in) → array('1','2',
     '3'); quoted elements keep embedded commas; nested/malformed bodies
-    pass through unchanged (stay loud downstream)."""
+    pass through unchanged (stay loud downstream). With null_elems,
+    an UNQUOTED null becomes SQL NULL (array_in: only the bare word
+    is the null datum) — the text[] paths of jsonb_set &c need it."""
     m = _MASK_RE.fullmatch(arr.strip())
     if not m:
         return arr
@@ -188,11 +199,14 @@ def _braced_to_array(arr: str, lits: list[str]) -> str:
     inner = body[1:-1].strip()
     if not inner:
         return "array()"
-    elems = _parse_braced_elems(inner)
+    elems = _parse_braced_elems_q(inner)
     if elems is None:
         return arr
     return "array(" + ", ".join(
-        "'" + e.replace("'", "''") + "'" for e in elems
+        "CAST(NULL AS STRING)"
+        if null_elems and not q and e.lower() == "null"
+        else "'" + e.replace("'", "''") + "'"
+        for e, q in elems
     ) + ")"
 
 
@@ -346,6 +360,10 @@ def map_decl_type(t: str) -> str:
         return f"ARRAY<{map_decl_type(tl[:-2])}>"
     if tl == "double precision":
         return "DOUBLE"
+    fm = re.match(r"float\s*\(\s*(\d+)\s*\)$", tl)
+    if fm:
+        # gram.y SimpleTypename float(P): 1-24 is real, 25-53 double
+        return "FLOAT" if int(fm.group(1)) <= 24 else "DOUBLE"
     if tl.startswith("character varying") or tl in ("character", "char"):
         # bare char is char(1) in PG (gram.y CharacterSimple); Spark's
         # CHAR demands a length — STRING keeps the text semantics
@@ -401,6 +419,10 @@ def _rewrite_cast_typenames(sql: str) -> str:
 def _map_type(t: str) -> str:
     if t.upper().startswith("ARRAY<"):  # already a Spark array type
         return t
+    fm = re.match(r"(?is)^\s*float\s*\(\s*(\d+)\s*\)\s*$", t)
+    if fm:
+        # gram.y float(P): 1-24 real, 25-53 double
+        return "FLOAT" if int(fm.group(1)) <= 24 else "DOUBLE"
     base = t.split("(")[0].strip().lower()
     mapped = _TYPE_MAP.get(base)
     if mapped is None:

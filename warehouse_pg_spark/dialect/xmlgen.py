@@ -257,6 +257,17 @@ def _rewrite_xml_ctors(sql: str, lits: list[str] | None = None) -> str:
                             f'XML attribute name "{an}" appears '
                             "more than once")
                     seen_attr.add(an)
+                    if lits is not None and re.match(
+                        rf"(?is)^\s*{_LIT}\s*::\s*timestamp(?:tz)?"
+                        r"\s*$", _e,
+                    ):
+                        tv = _lit_value(
+                            re.match(rf"(?is)^\s*({_LIT})", _e)
+                            .group(1), lits).strip().lower()
+                        if tv.lstrip("+-") == "infinity":
+                            # xml.c map_sql_value_to_xml_value:
+                            # XML has no infinite timestamps
+                            raise ValueError("timestamp out of range")
                 attrs = "concat(" + ", ".join(
                     f"CASE WHEN ({e}) IS NULL THEN '' ELSE concat("
                     f"' {an}=\"', xml_escape_attr(CAST({e} AS STRING)),"

@@ -816,7 +816,12 @@ def _jp_sub_index(doc, n: list, el: str, mode: str):
 
     el = el.strip()
     if _re.fullmatch(r"-?\d+", el):
-        return int(el)
+        v = int(el)
+        if not (-2147483648 <= v <= 2147483647):
+            # getArrayIndex: the subscript must fit in int32
+            raise _JPExecError(
+                "jsonpath array subscript is out of integer range")
+        return v
     if el == "last":
         if not n:
             return None
@@ -883,6 +888,10 @@ def _jp_steps(doc, nodes: list, toks: list, mode: str) -> list:
                 elif body == "last":
                     if n:
                         out.append(n[-1])
+                    elif mode == "strict":
+                        # getArrayIndex: last on an empty array is -1,
+                        # out of bounds under strict
+                        raise _JPStrictError("subscript out of bounds")
                 else:
                     for el in _jp_split_top(body, (",",)):
                         el = el.strip()
@@ -909,6 +918,13 @@ def _jp_steps(doc, nodes: list, toks: list, mode: str) -> list:
                     and name not in ("type", "size") else [n]
                 )
                 for it in items:
+                    if (name == "size" and mode == "strict"
+                            and not isinstance(it, list)):
+                        # executeItemMethod jpiSize: lax treats a
+                        # scalar as size 1; strict raises
+                        raise _JPExecError(
+                            "jsonpath item method .size() can only "
+                            "be applied to an array")
                     r = _jp_apply_method(name, it)
                     if name == "keyvalue":
                         out.extend(r)
@@ -1374,10 +1390,21 @@ def _dumps(v) -> str:
     return _json.dumps(v, separators=(", ", ": "))
 
 
+def _path_null_check(path) -> None:
+    # jsonfuncs.c setPath: a NULL path element RAISES with its
+    # 1-based position (not a silent no-op)
+    for i, k in enumerate(path):
+        if k is None:
+            raise ValueError(
+                f"path element at position {i + 1} is null")
+
+
 def _jsonb_set_py(j, path, newval, create=True):
     """jsonb_set (reference jsonfuncs.c jsonb_set): replace the value
     at a text[] path; negative array indexes count from the end;
-    out-of-range indexes append at that end when create_missing."""
+    out-of-range indexes append at that end when create_missing; a
+    NULL path element or a non-integer subscript into an array
+    RAISES per setPath/setPathArray."""
     import json as _json
 
     if j is None or path is None or newval is None:
@@ -1386,20 +1413,23 @@ def _jsonb_set_py(j, path, newval, create=True):
         doc, nv = _json.loads(j), _json.loads(newval)
     except ValueError:
         return None
+    _path_null_check(path)
 
-    def rec(node, keys):
+    def rec(node, keys, pos):
         k, last = keys[0], len(keys) == 1
         if isinstance(node, dict):
             if last:
                 if k in node or create:
                     node[k] = nv
             elif k in node:
-                rec(node[k], keys[1:])
+                rec(node[k], keys[1:], pos + 1)
         elif isinstance(node, list):
             try:
                 i = int(k)
             except (TypeError, ValueError):
-                return
+                raise ValueError(
+                    f"path element at position {pos} is not an "
+                    f'integer: "{k}"')
             if i < 0:
                 i += len(node)
             if last:
@@ -1408,19 +1438,19 @@ def _jsonb_set_py(j, path, newval, create=True):
                 elif create:
                     node.insert(0, nv) if i < 0 else node.append(nv)
             elif 0 <= i < len(node):
-                rec(node[i], keys[1:])
+                rec(node[i], keys[1:], pos + 1)
 
     if not path:
         return _dumps(doc)
-    rec(doc, list(path))
+    rec(doc, list(path), 1)
     return _dumps(doc)
 
 
 def _jsonb_insert_py(j, path, newval, after=False):
     """jsonb_insert (jsonfuncs.c): insert before/after the array
     element at path; for objects only a MISSING key may be inserted
-    (an existing one is an error in PG → NULL here, never a silent
-    overwrite)."""
+    — an existing one RAISES "cannot replace existing key" like
+    setPathObject with JB_PATH_INSERT_*."""
     import json as _json
 
     if j is None or path is None or newval is None:
@@ -1429,34 +1459,35 @@ def _jsonb_insert_py(j, path, newval, after=False):
         doc, nv = _json.loads(j), _json.loads(newval)
     except ValueError:
         return None
-    bad = []
+    _path_null_check(path)
 
-    def rec(node, keys):
+    def rec(node, keys, pos):
         k, last = keys[0], len(keys) == 1
         if isinstance(node, dict):
             if last:
                 if k in node:
-                    bad.append(True)  # PG: "cannot replace existing key"
-                else:
-                    node[k] = nv
+                    raise ValueError("cannot replace existing key")
+                node[k] = nv
             elif k in node:
-                rec(node[k], keys[1:])
+                rec(node[k], keys[1:], pos + 1)
         elif isinstance(node, list):
             try:
                 i = int(k)
             except (TypeError, ValueError):
-                return
+                raise ValueError(
+                    f"path element at position {pos} is not an "
+                    f'integer: "{k}"')
             if i < 0:
                 i += len(node)
             if last:
                 node.insert(i + 1 if after else i, nv)
             elif 0 <= i < len(node):
-                rec(node[i], keys[1:])
+                rec(node[i], keys[1:], pos + 1)
 
     if not path:
         return None
-    rec(doc, list(path))
-    return None if bad else _dumps(doc)
+    rec(doc, list(path), 1)
+    return _dumps(doc)
 
 
 def _jsonb_delete_path_py(j, path):
@@ -1470,6 +1501,7 @@ def _jsonb_delete_path_py(j, path):
         doc = _json.loads(j)
     except ValueError:
         return None
+    _path_null_check(path)
 
     def rec(node, keys):
         k, last = keys[0], len(keys) == 1

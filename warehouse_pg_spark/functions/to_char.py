@@ -947,6 +947,9 @@ def to_date_fold(value: str, fmt: str):
     """Fold to_date('literal', 'picture') at plan time; returns a
     datetime.date or None when outside the supported subset."""
     f = _from_char_scan(value, fmt)
+    if f is not None and f.get("year", 0) > 5874897:
+        # beyond even PG's julian ceiling (datetime.c JULIAN checks)
+        raise ValueError(f'date out of range: "{value}"')
     return None if f is None else _compose_date(f)
 
 
@@ -960,6 +963,8 @@ def to_timestamp_fold(value: str, fmt: str):
     f = _from_char_scan(value, fmt)
     if f is None:
         return None
+    if f.get("year", 0) > 5874897:
+        raise ValueError(f'timestamp out of range: "{value}"')
     d = _compose_date(f)
     if d is None:
         return None

@@ -45,87 +45,86 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
 # scored, keeping one green representative per family pinned (the
 # family-coverage invariant is cumulative — tests/test_registry.py
 # checks prefix ∪ CORRECTNESS_r* history spans REQUIRED_FAMILY_TAGS).
-# r14 rotation: the ledger entered the round closed (246/246
-# cumulative). The 1 NEW round-14 query leads (pgsql_json_arrow_quoting
-# — the json-returning `->` keeping string-leaf quoting, lowered to a
-# variant extraction). The 5 family anchors stay. The remaining slots
-# re-score prior greens whose code round 14 touched: the SRF lowering
-# (two-level nested lockstep + SRFs in ORDER BY), the json arrow fold
-# (per-step extractor split, bracket paths, jsonb NUL validation), the
-# from_char scanner (now validating: fixed-width reads, name-token
-# widths, field ranges, mixed conventions), format() picture
-# validation, the XML constructors (bytea args per xmlbinary, pi/attr
-# checks, content validation), ranges (reversed-ctor raise), the
-# window no-ORDER-BY rule (named-reference guard), the scalar families
-# around the new literal folds (money, bytea, intN arithmetic,
-# width_bucket, unicode escapes, network), and the dialect-split
-# refactor itself (every pass moved modules — pgsql_q1_text and the
-# flagship TPC-H pair exercise the full pipeline end-to-end).
-# Cumulative if green: 246 + 1 = 247 of 247.
+# r15 rotation: the 2 NEW round-15 queries lead — CREATE AGGREGATE
+# over SQL transition/final functions (the collect_list fold with
+# manually-inlined bodies) and polymorphic anyarray/anyelement SQL
+# functions (template inlining). The 5 family anchors stay. The
+# remaining slots re-score prior greens whose code round 15 touched:
+# the from_char scanner (separator semantics, TZH/TZM, post-field
+# skip, HH12 pm gate), the XML constructors (xmlconcat prolog merge,
+# infinity-attr raise), jsonpath (identifier escapes, like_regex
+# flags, subscript/strict exec errors) and the jsonb mutation family
+# (path errors now raise), ranges (literal validation), the numeric
+# folds (ln/log/power domains, infinity::numeric), linear_interpolate
+# (overflow/type checks), the regex match path (backref-in-lookahead),
+# the BETWEEN precedence rewrite (comparisons), user-type paths
+# (_decl_type in CREATE FUNCTION params, base-type CREATE TYPE), and
+# the engine front path broadly (pgsql_q1_text + the flagship pair).
+# Cumulative if green: 247 + 2 = 249 of 249.
 DRIVER_PREFIX: tuple[str, ...] = (
-    # never-scored: new round-14 query (json-returning arrow keeps
-    # string-leaf quoting via variant extraction)
-    "pgsql_json_arrow_quoting",
+    # never-scored: new round-15 queries
+    "pgsql_create_aggregate",
+    "pgsql_polymorphic_function",
     # anchors (required family tags with no never-scored owner)
     "external_csv_scan",
     "agg_dqa_multi",
     "cte_shared_reuse",
     "udtf_python_split_words",
     "uda_pandas_grouped",
-    # re-scores: SRF lowering (two-level lockstep + ORDER BY SRFs)
-    "srf_unnest_multi",
-    "srf_lockstep_zip",
-    "srf_posexplode_ordinality",
-    "srf_json_each",
-    # re-scores: json arrows + jsonpath (arrow extractor split,
-    # bracket paths, jsonb NUL validation beside these paths)
-    "pgsql_jsonb_concat_silent",
-    "pgsql_jsonb_containment",
-    "pgsql_jsonb_path_vars",
-    "pgsql_jsonpath_filter",
-    "pgsql_jsonpath_match",
-    "events_json_extract",
-    "agg_json_agg",
-    # re-scores: to_char/to_date (validating from_char scanner)
+    # re-scores: from_char scanner rework (separators, TZH/TZM)
     "fn_to_char_formats",
     "pgsql_to_number_pictures",
     "fn_datetime_extended",
-    # re-scores: format() picture validation beside the compiler
-    "pgsql_format_compose",
-    "fn_format_family",
-    "fn_strings_hash_format",
-    # re-scores: xml constructors (bytea args, pi/attr checks)
-    "fn_xpath_extract",
-    "tablefunc_xmltable",
-    "agg_xmlagg_members",
+    "fn_interval_arithmetic",
+    # re-scores: XML constructors (xmlconcat merge, attr validation)
     "pgsql_xml_construction",
+    "fn_xpath_extract",
+    "agg_xmlagg_members",
+    "tablefunc_xmltable",
     "pgsql_xpath_sql_calls",
-    # re-scores: ranges (reversed-ctor validation beside the family)
+    # re-scores: jsonpath exec + jsonb mutations (escapes, flags,
+    # subscript errors, setPath raises)
+    "pgsql_jsonpath_filter",
+    "pgsql_jsonpath_match",
+    "pgsql_jsonb_path_vars",
+    "pgsql_jsonb_concat_silent",
+    "pgsql_jsonb_containment",
+    "pgsql_json_arrow_quoting",
+    "srf_json_each",
+    "events_json_extract",
+    "agg_json_agg",
+    # re-scores: range literal validation beside the family
     "fn_range_types",
     "pgsql_custom_range_type",
-    "ts_range_join_bucketed",
-    # re-scores: window named-reference fix in the no-ORDER-BY rule
-    "window_ranking",
-    "pgsql_named_window_clause",
-    # re-scores: scalar families around the validation folds (money,
-    # bytea, intN arithmetic spellings, width_bucket, unicode)
-    "fn_misc_type_shims",
+    # re-scores: numeric domain folds (ln/log/power, inf::numeric)
     "fn_math",
     "fn_numeric_edge_semantics",
-    "fn_strings",
-    "fn_bitwise",
     "fn_width_bucket",
-    "fn_encode_family",
-    "fn_interval_arithmetic",
-    "pgsql_network_types",
+    "fn_bitwise",
+    # re-scores: linear_interpolate arg checks
+    "ts_linear_interpolate",
+    # re-scores: regex path (backref-in-lookahead gate)
     "fn_regex_family",
-    # re-scores: DDL/type paths behind CREATE TABLE replay widening
+    "fn_strings",
+    # re-scores: comparisons around the BETWEEN precedence rewrite
+    "join_theta_range",
+    "pgsql_quantified_null",
+    # re-scores: user-type paths (_decl_type, base-type CREATE TYPE,
+    # float(N) map) + the CREATE FUNCTION front
     "pgsql_domain_check",
     "pgsql_composite_roundtrip",
     "fn_enum_ordering",
+    "pgsql_setof_table_function",
+    "pgsql_plpgsql_function",
+    # re-scores: scalar families near the misc validation folds
+    "fn_misc_type_shims",
+    "fn_strings_hash_format",
+    "fn_encode_family",
+    "pgsql_network_types",
+    "pgsql_format_compose",
     # re-scores: engine front path, broad
     "pgsql_q1_text",
-    "pgsql_plpgsql_function",
+    "pgsql_distinct_on_latest_order",
     # flagship + bench watch
     "tpch_q1_pricing_summary",
     "tpch_q18_large_volume_customer",

@@ -2374,3 +2374,112 @@ def pgsql_json_arrow_quoting(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_id
         """,
     )
+
+
+@register(
+    "pgsql_polymorphic_function",
+    # the oracle expresses the resolved calls directly: the SETOF
+    # anyelement explode is an unnest, the scalar anyelement pick is
+    # the array's first element (1-based in DuckDB like PG)
+    oracle="""
+    SELECT r AS region_key,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN(n_name) AS first_name
+    FROM (SELECT unnest([0, 1, 2, 3, 4]) AS r) t
+    JOIN nation ON n_regionkey = r
+    GROUP BY r
+    ORDER BY region_key
+    """,
+    tags=("dialect", "udf"),
+)
+def pgsql_polymorphic_function(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Polymorphic SQL functions (parse_coerce.c
+    check_generic_type_consistency; regress rangefuncs/polymorphism):
+    anyarray/anyelement parameters resolve to the CALL site's
+    concrete type. Registered as body templates and inlined per call
+    — Catalyst types the expansion, which is exactly the planner's
+    SQL-function inlining with the catalog lookup replaced by
+    Spark's own type resolution. Covers the SETOF form in FROM
+    (generate_subscripts body) and the scalar form (r15; NEW)."""
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_fixtures(sf_dir)
+    eng.sql(
+        "create or replace function poly_explode(anyarray) returns"
+        " setof anyelement as $$ select $1[s] from"
+        " generate_subscripts($1, 1) g(s) $$ language sql immutable"
+    )
+    eng.sql(
+        "create or replace function poly_first(anyarray) returns"
+        " anyelement as $$ select $1[1] $$ language sql immutable"
+    )
+    return eng.sql(
+        """
+        SELECT p.poly_explode AS region_key,
+               count(*) AS cnt,
+               poly_first(array[min(n.n_name), max(n.n_name)])
+                 AS first_name
+        FROM poly_explode(array[0, 1, 2, 3, 4]) p
+        JOIN nation n ON n.n_regionkey = p.poly_explode
+        GROUP BY p.poly_explode
+        ORDER BY region_key
+        """
+    )
+
+
+@register(
+    "pgsql_create_aggregate",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    tags=("dialect", "agg", "uda"),
+)
+def pgsql_create_aggregate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CREATE AGGREGATE over SQL transition/final functions
+    (commands/aggregatecmds.c DefineAggregate; regress
+    create_aggregate.sql my_avg family): the call lowers to the
+    nodeAgg.c transition fold — aggregate(collect_list(x), initcond,
+    sfunc) wrapped by finalfunc — with the retained SQL bodies
+    inlined into the HOF lambda (r15; NEW)."""
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_fixtures(sf_dir)
+    eng.sql(
+        "create type r15_agg_state as (total bigint, count bigint)"
+    )
+    eng.sql(
+        "create or replace function r15_sum_trans(s r15_agg_state,"
+        " n int) returns r15_agg_state as $$ select"
+        " row(coalesce(s.total, 0) + n, coalesce(s.count, 0) + 1)"
+        "::r15_agg_state $$ language sql"
+    )
+    eng.sql(
+        "create or replace function r15_sum_final(s r15_agg_state)"
+        " returns int8 as $$ select s.total $$ language sql"
+    )
+    eng.sql(
+        "create aggregate r15_nation_sum(int4) (stype ="
+        " r15_agg_state, sfunc = r15_sum_trans, finalfunc ="
+        " r15_sum_final, initcond = '(0,0)')"
+    )
+    return eng.sql(
+        """
+        SELECT n_regionkey,
+               r15_nation_sum(n_nationkey) AS key_sum,
+               count(*) AS cnt
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+        """
+    )

@@ -464,6 +464,23 @@ def rewrite(sql: str) -> str:
         flags=re.IGNORECASE,
     )
 
+    # json (the TEXT type) holds   fine, but extracting the field
+    # AS TEXT (->> / #>>) cannot convert it (jsonfuncs.c,
+    # json_encoding.out:106)
+    def _check_json_nul_text(m: re.Match) -> str:
+        if re.search(r"(?<!\\)(?:\\\\)*(\\u0000)",
+                     _lit_value(m.group(1) or m.group(2), lits)):
+            raise ValueError("unsupported Unicode escape sequence")
+        return m.group(0)
+
+    out = re.sub(
+        rf"\bjson\s+({_LIT})\s*(?:->>|#>>)"
+        rf"|({_LIT})\s*::\s*json\s*(?:->>|#>>)",
+        _check_json_nul_text,
+        out,
+        flags=re.IGNORECASE,
+    )
+
     # repeat(lit, n)::json folds enough to VALIDATE at plan time
     # (json parser depth/structure; repeat('[', 10000)::json raises)
     def _check_repeat_json(m: re.Match) -> str:
@@ -889,6 +906,85 @@ def rewrite(sql: str) -> str:
         flags=re.IGNORECASE,
     )
 
+    # chr(0): PG text cannot hold NUL (oracle_compat.c chr)
+    if re.search(r"(?i)\bchr\s*\(\s*0+\s*\)", out):
+        raise ValueError("null character not permitted")
+
+    # to_timestamp(float8) NaN (timestamp.c float8_timestamptz)
+    def _check_ts_nan(m: re.Match) -> str:
+        txt = _lit_value(m.group(1), lits).strip().lower()
+        if txt in ("nan", "-nan", "+nan"):
+            raise ValueError("timestamp cannot be NaN")
+        return m.group(0)
+
+    out = re.sub(
+        rf"(?i)\bto_timestamp\s*\(\s*({_LIT})\s*::\s*"
+        r"(?:float[48]?|real|double\s+precision|numeric)\s*\)",
+        _check_ts_nan,
+        out,
+    )
+
+    # pure-digit timestamp literals longer than a compact date:
+    # datetime.c DecodeNumber rejects the lone wide field
+    # (gp_types.out:252 '13081205132018'::timestamp)
+    def _check_ts_digits(m: re.Match) -> str:
+        txt = _lit_value(m.group(1) or m.group(2), lits).strip()
+        if re.fullmatch(r"\d{9,}", txt):
+            raise ValueError(
+                f'date/time field value out of range: "{txt}"')
+        return m.group(0)
+
+    out = re.sub(
+        rf"({_LIT})\s*::\s*timestamp(?:tz)?\b"
+        rf"|\btimestamp(?:tz)?\s+({_LIT})",
+        _check_ts_digits,
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    # ARRAY[] with no elements and no cast cannot be typed
+    # (parse_expr.c transformArrayExpr)
+    if re.search(r"(?i)\barray\s*\[\s*\](?!\s*::)", out):
+        raise ValueError(
+            "cannot determine type of empty array")
+
+    # no-such-signature calls PG's resolver rejects but Spark
+    # coerces (parse_func.c; text.out:30, qp_functions.out:626)
+    if re.search(r"(?i)\bsubstr(?:ing)?\s*\(\s*-?\d+\s*,", out):
+        raise ValueError(
+            "function substr(integer, integer) does not exist")
+    if re.search(r"(?i)\blength\s*\(\s*-?\d+\s*\)", out):
+        raise ValueError("function length(integer) does not exist")
+
+    def _check_num_concat(m: re.Match) -> str:
+        t1 = "numeric" if "." in m.group(1) else "integer"
+        t2 = "numeric" if "." in m.group(2) else "integer"
+        raise ValueError(
+            f"operator does not exist: {t1} || {t2}")
+
+    out = re.sub(
+        r"(?<![\w.'])(\d+(?:\.\d+)?)\s*\|\|\s*"
+        r"(\d+(?:\.\d+)?)(?![\w.])",
+        _check_num_concat,
+        out,
+    )
+
+    # unknown-literal || bit: the literal coerces to BIT and must
+    # scan as binary digits (misc_jiras.out:67, varbit.c bit_in)
+    def _check_bit_concat(m: re.Match) -> str:
+        txt = _lit_value(m.group(1), lits)
+        bad = next((c for c in txt if c not in "01"), None)
+        if bad is not None:
+            raise ValueError(
+                f'"{bad}" is not a valid binary digit')
+        return m.group(0)
+
+    out = re.sub(
+        rf"({_LIT})\s*\|\|\s*\(?\s*[Bb]({_LIT})",
+        _check_bit_concat,
+        out,
+    )
+
     # make_date / make_time over integer literals fold at plan time
     # (date.c make_date: out-of-range fields RAISE; valid dates fold
     # to a plain literal — faster and loud, both like PG)
@@ -936,6 +1032,61 @@ def rewrite(sql: str) -> str:
         args = _split_args(m.group(1))
         if len(args) != 5:
             return m.group(0)
+        # interpolate.c signature checks: a text abscissa has no
+        # linear_interpolate at all; text ordinates fail overload
+        # resolution (timeseries.out:390-396)
+        def _is_text(a: str) -> bool:
+            return bool(re.match(
+                rf"(?is)^\s*(?:{_LIT}\s*::\s*(?:text|varchar)"
+                rf"|text\s+{_LIT})\s*$", a))
+
+        if _is_text(args[0]):
+            raise ValueError("abscissa type not supported")
+        if _is_text(args[2]) or _is_text(args[4]):
+            raise ValueError(
+                "function linear_interpolate(integer, integer, "
+                "text, integer, text) does not exist")
+        # int-typed ordinates range-check the interpolated value
+        # (interpolate.c: value "%f" is out of range for type X)
+        ints = {"int8": ("bigint", 63), "bigint": ("bigint", 63),
+                "int4": ("integer", 31), "int": ("integer", 31),
+                "integer": ("integer", 31),
+                "int2": ("smallint", 15), "smallint": ("smallint", 15)}
+
+        def _numval(a: str):
+            nm2 = re.match(
+                r"(?is)^\s*\(?\s*(-?\d+(?:\.\d+)?(?:e-?\d+)?)"
+                r"(?:\s*\^\s*(\d+)|)\s*\)?"
+                r"\s*(?:::\s*(\w+))?\s*$", a)
+            if nm2 is None:
+                nm2 = re.match(
+                    r"(?is)^\s*\(?\s*(-?)\s*pow(?:er)?\s*\(\s*"
+                    r"(-?\d+(?:\.\d+)?)\s*,\s*(\d+)\s*\)\s*\)?"
+                    r"\s*(?:::\s*(\w+))?\s*$", a)
+                if nm2 is None:
+                    return None, None
+                v = float(nm2.group(2)) ** float(nm2.group(3))
+                if nm2.group(1) == "-":
+                    v = -v
+                return v, (nm2.group(4) or "").lower()
+            v = float(nm2.group(1))
+            if nm2.group(2) is not None:
+                # PG >=9.5 binds unary minus tighter than '^':
+                # -2^62 is (-2)^62 (positive for even exponents)
+                v = v ** float(nm2.group(2))
+            return v, (nm2.group(3) or "").lower()
+
+        vals = [_numval(a) for a in args]
+        if all(v is not None for v, _ in vals):
+            (x, _), (x0, _), (y0, t0), (x1, _), (y1, t1) = vals
+            ity = ints.get(t0) or ints.get(t1)
+            if ity is not None and x1 != x0:
+                r = y0 + (y1 - y0) * (x - x0) / (x1 - x0)
+                lim = float(2 ** ity[1])
+                if not (-lim - 1 < r < lim):
+                    raise ValueError(
+                        f'value "{r:f}" is out of range for '
+                        f"type {ity[0]}")
         changed = False
         for i, a in enumerate(args):
             am = re.match(
@@ -1014,6 +1165,15 @@ def rewrite(sql: str) -> str:
     out = re.sub(
         r"(?i)\b(?:public|pg_catalog)\.([A-Za-z_]\w*\s*\()", r"\1", out
     )
+
+    # COLLATE in a CAST target is a gram.y syntax error (collate.out:
+    # 524) — check before the general strip below eats it
+    if re.search(
+        r"(?is)\bCAST\s*\((?:[^()]|\([^()]*\))*?\s+AS\s+"
+        r"\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s+COLLATE\b",
+        out,
+    ):
+        raise ValueError('syntax error at or near "COLLATE"')
 
     # COLLATE qualifiers (gram.y a_expr COLLATE any_name): accepted and
     # dropped — expressions evaluate under the engine's default binary
@@ -2148,6 +2308,15 @@ def rewrite(sql: str) -> str:
         out,
         flags=re.IGNORECASE,
     )
+
+    # COLLATE in a CAST target is a gram.y syntax error (collate.out:
+    # 524) — check before the general strip below eats it
+    if re.search(
+        r"(?is)\bCAST\s*\((?:[^()]|\([^()]*\))*?\s+AS\s+"
+        r"\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s+COLLATE\b",
+        out,
+    ):
+        raise ValueError('syntax error at or near "COLLATE"')
 
     # COLLATE clauses strip (Spark compares binary, PG's "C")
     out = _COLLATE_RE.sub("", out)

@@ -112,6 +112,24 @@ _RANGE_SFX_ELEM = {
 _CREATE_SHELL_RE = re.compile(
     r"^CREATE\s+TYPE\s+([\w.]+)\s*$", re.IGNORECASE
 )
+# full base-type definition (typecmds.c DefineType): CREATE TYPE name
+# (input = fn, output = fn [, storage/compresstype/...]). The GP
+# regress suite defines compression-encoding aliases of the builtins
+# this way (int_rle_type &c) — the storage type follows from the
+# input function's name
+_CREATE_BASE_TYPE_RE = re.compile(
+    r"^CREATE\s+TYPE\s+([\w.]+)\s*\(\s*(.*?\binput\s*=.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INPUT_FN_BASE = {
+    "boolin": "boolean", "int2in": "int2", "int4in": "int4",
+    "int8in": "int8", "float4in": "float4", "float8in": "float8",
+    "numeric_in": "numeric", "textin": "text", "varcharin": "varchar",
+    "bpcharin": "char(8)", "charin": "char(1)", "date_in": "date",
+    "time_in": "time", "timestamp_in": "timestamp",
+    "timestamptz_in": "timestamptz", "byteain": "bytea",
+    "interval_in": "interval", "uuid_in": "text", "cash_in": "money",
+}
 _DROP_TYPE_RE = re.compile(
     r"^DROP\s+TYPE\s+(IF\s+EXISTS\s+)?([\w.,\s]+?)\s*"
     r"(CASCADE|RESTRICT)?\s*$",
@@ -287,6 +305,17 @@ class UserTypes:
                               (self.composites, self.enums,
                                self.ranges),
                               bool(m.group(1)), "type")
+        m = _CREATE_BASE_TYPE_RE.match(s)
+        if m:
+            im = re.search(r"(?i)\binput\s*=\s*([\w.]+)", m.group(2))
+            base = _INPUT_FN_BASE.get(
+                im.group(1).split(".")[-1].lower() if im else "",
+                "text",
+            )
+            # register as a zero-constraint domain: column decls and
+            # ::casts then lower through the existing domain path
+            self.domains[self._key(m.group(1))] = Domain(base=base)
+            return True
         m = _CREATE_SHELL_RE.match(s)
         if m:
             return True  # shell type (typecmds.c): accepted, no body
@@ -503,9 +532,9 @@ class UserTypes:
                 raise ValueError(
                     f'malformed range literal: "{body}"')
             for b in (rm.group(2), rm.group(3)):
-                if not b.startswith('"') and re.search(
-                    r'[\[\]()",\\]', b
-                ):
+                if not re.fullmatch(
+                    r'"(?:[^"]|"")*"', b
+                ) and re.search(r'[\[\]()",\\]', b):
                     # range_parse_bound: these need quoting
                     raise ValueError(
                         f'malformed range literal: "{body}"')
@@ -900,11 +929,74 @@ class UserTypes:
         # a domain over a COMPOSITE base (typecmds.c: domains may wrap
         # row types; regress json.sql j_ordered_pair): resolve the
         # name to the base composite so the composite pass's
-        # populate_record / record-literal lowerings apply. The
-        # domain's CHECKs are not replayed over record values
-        # (documented relaxed-validation posture).
+        # populate_record / record-literal lowerings apply, and wrap
+        # value-producing sites with the domain's CHECKs — the
+        # populate_record RESULT is domain-typed in PG
+        # (jsonfuncs.c populate_composite -> domain_check)
         base_key = self._key(re.sub(r"\(.*\)", "", dom.base).strip())
         if base_key in self.composites:
+            def _checked(val: str) -> str:
+                conds = []
+                if dom.not_null:
+                    conds.append(
+                        (f"{name}_not_null", f"{val} IS NOT NULL"))
+                for cn, body in dom.checks:
+                    from warehouse_pg_spark.sql_dialect import (
+                        _mask, _unmask,
+                    )
+
+                    masked, lits = _mask(body)
+                    cond = _unmask(
+                        re.sub(r"(?i)\bVALUE\b",
+                               val.replace("\\", "\\\\"), masked),
+                        lits,
+                    )
+                    conds.append((cn, f"coalesce({cond}, true)"))
+                expr = val
+                for cn, c in reversed(conds):
+                    expr = (
+                        f"if({c}, {expr}, raise_error('value for "
+                        f"domain {name} violates check constraint "
+                        f'"{cn}"' + "'))"
+                    )
+                return f"({expr})" if conds else val
+
+            def sub_populate(m: re.Match) -> str:
+                # convert the INNER cast to the base spelling (the
+                # composite pass's populate lowering matches on it),
+                # then wrap the call's RESULT with the checks
+                inner = re.sub(
+                    rf"(?is)::\s*{name}\b", f"::{base_key}",
+                    m.group(1),
+                )
+                return _checked(inner)
+
+            sql = re.sub(
+                rf"(?is)(\bjsonb?_populate_record\s*\(\s*"
+                rf"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*?"
+                rf"::\s*{name}\b"
+                rf"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))",
+                sub_populate,
+                sql,
+            )
+            # recordset results explode into rows — inner cast
+            # converts, the per-row check stays relaxed (README)
+            sql = re.sub(
+                rf"(?is)(\bjsonb?_populate_recordset\s*\(\s*"
+                rf"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*?)"
+                rf"::\s*{name}\b",
+                rf"\1::{base_key}",
+                sql,
+            )
+
+            def sub_comp_cast(m: re.Match) -> str:
+                return _checked(f"(({m.group(1)})::{base_key})")
+
+            sql = re.sub(
+                rf"(?is)({_OPERAND})\s*::\s*{name}\b",
+                sub_comp_cast,
+                sql,
+            )
             return re.sub(
                 rf"(?is)::\s*{name}\b", f"::{base_key}", sql
             )
