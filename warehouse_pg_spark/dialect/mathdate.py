@@ -538,11 +538,11 @@ def _pg_date_fold(body: str) -> str | None:
             return None
     if mo is None or len(nums) != 2:
         return None
-    if mo_pos == 2:
-        # datetime.c DecodeDate: with MDY both leading numbers have
-        # already claimed month/day slots before the textual month
-        # arrives — '99-08-Jan' is an error, '99-Jan-08' is not
-        # (date.out:174)
+    if mo_pos == 2 and re.search(r"[-./]", s):
+        # datetime.c DecodeDate: with PUNCTUATED fields both leading
+        # numbers claim month/day slots before the textual month
+        # arrives — '99-08-Jan' errors while '99 08 Jan' (space
+        # separators) and '99-Jan-08' parse (date.out:174 vs :216)
         raise ValueError(
             f'invalid input syntax for type date: "{s}"')
     a, b = nums

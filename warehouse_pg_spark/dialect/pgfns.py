@@ -76,7 +76,11 @@ _JSONB_EXTRACT_PATH_RE = re.compile(
     re.IGNORECASE,
 )
 _GENERATE_SUBSCRIPTS_RE = re.compile(
-    rf"\bgenerate_subscripts\s*\(\s*({_DISTINCT_OPERAND})\s*,\s*1\s*\)",
+    # the operand admits depth-2 call nesting — inlined polymorphic
+    # bodies arrive as array(CAST(x AS STRING)) after the cast pass
+    rf"\bgenerate_subscripts\s*\(\s*"
+    rf"([\w.]+\((?:[^()]|\([^()]*\))*\)|{_DISTINCT_OPERAND})"
+    rf"\s*,\s*1\s*\)",
     re.IGNORECASE,
 )
 _NUM_NULLS_RE = re.compile(
@@ -301,7 +305,8 @@ _NEST3 = _nested_parens(7)
 _IDX_OPERAND = rf"(?:{_LIT}|[\w.]+{_NEST3}|{_NEST3}|[\w.]+)"
 _ARRAY_INDEX_RE = re.compile(
     # the index admits a bare column/variable reference too
-    # ($1[s] inside SQL-function bodies — rangefuncs/arrays regress)
+    # ($1[s] inside SQL-function bodies — rangefuncs/arrays regress);
+    # NULL is handled as a typed null index (array_get returns NULL)
     rf"({_IDX_OPERAND})\[\s*(\d+|[A-Za-z_]\w*)\s*\]"
 )
 _ARRAY_SLICE_RE = re.compile(
@@ -983,7 +988,9 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         )
         sql = _ARRAY_INDEX_RE.sub(
             lambda m: m.group(0) if m.group(1).upper() == "ARRAY"
-            else f"element_at({m.group(1)}, {m.group(2)})",
+            else f"element_at({m.group(1)}, "
+            + ("CAST(NULL AS INT)" if m.group(2).upper() == "NULL"
+               else m.group(2)) + ")",
             sql,
         )
     sql = _SUBSTR_FOR_RE.sub(

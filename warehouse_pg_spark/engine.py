@@ -101,7 +101,7 @@ _CREATE_SEQ_RE = re.compile(
     # options (sequence.c init_params): START is honored; INCREMENT/
     # MIN/MAXVALUE/CACHE/CYCLE/AS/OWNED BY are accepted and ignored —
     # the coordinator-side counter has no caching or wraparound
-    r"^CREATE\s+(?:TEMP(?:ORARY)?\s+)?SEQUENCE\s+"
+    r"^CREATE\s+(?:TEMP(?:ORARY)?\s+|UNLOGGED\s+)?SEQUENCE\s+"
     r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
     r"((?:\s+(?:START(?:\s+WITH)?\s+-?\d+|INCREMENT(?:\s+BY)?\s+-?\d+"
     r"|MINVALUE\s+-?\d+|MAXVALUE\s+-?\d+|CACHE\s+\d+"
@@ -117,6 +117,15 @@ _DROP_SEQ_RE = re.compile(
 )
 _ALTER_SEQ_RE = re.compile(
     r"^ALTER\s+SEQUENCE\s+([\w.]+)\s+RESTART(?:\s+WITH\s+(\d+))?\s*$",
+    re.IGNORECASE,
+)
+# ownership/rename/option forms (sequence.c AlterSequence): OWNED BY
+# binds drop-cascade bookkeeping the engine doesn't track; option
+# changes don't affect the coordinator counter — accepted no-ops
+_ALTER_SEQ_NOOP_RE = re.compile(
+    r"^ALTER\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?[\w.]+\s+"
+    r"(?:OWNED\s+BY\s+|OWNER\s+TO\s+|SET\s+SCHEMA\s+|RENAME\s+TO\s+"
+    r"|INCREMENT|MINVALUE|MAXVALUE|CACHE|NO\s+|CYCLE|AS\s+)",
     re.IGNORECASE,
 )
 _EXPLAIN_ANALYZE_RE = re.compile(
@@ -1232,6 +1241,17 @@ class Engine:
             seq = self._seq(name)
             seq["next"] = int(m.group(2) or seq["start"])
             return self._tag(0)
+        rn = re.match(
+            r"(?is)^ALTER\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?([\w.]+)"
+            r"\s+RENAME\s+TO\s+([\w.]+)\s*$", s)
+        if rn:
+            old = rn.group(1).split(".")[-1]
+            if old in self._sequences:
+                self._sequences[rn.group(2).split(".")[-1]] = (
+                    self._sequences.pop(old))
+            return self._tag(0)
+        if _ALTER_SEQ_NOOP_RE.match(s):
+            return self._tag(0)
         return None
 
     def _seq(self, name: str) -> dict[str, int]:
@@ -1340,10 +1360,27 @@ class Engine:
             body = body_m.group(2 if body_m.re.groups == 2 else 1)
             if body.startswith("'"):
                 body = body[1:-1].replace("''", "'")
+        try:
+            if self.spark.catalog.functionExists(name.lower()):
+                # a template would SHADOW a builtin for every call
+                # (PG overloads by signature; the single-name
+                # registry cannot) — the regress concat(text,
+                # VARIADIC any) overload stays loud instead
+                raise NotImplementedError(
+                    f"polymorphic overload of built-in {name!r} is "
+                    "not supported")
+        except NotImplementedError:
+            raise
+        except Exception:
+            pass
         pnames: list[str] = []
+        variadic_at: int | None = None
         for i, a in enumerate(_split_exprs(rawargs)):
             toks = a.strip().split()
-            if toks and toks[0].upper() in ("IN", "VARIADIC"):
+            if toks and toks[0].upper() == "VARIADIC":
+                variadic_at = i
+                toks = toks[1:]
+            elif toks and toks[0].upper() == "IN":
                 toks = toks[1:]
             pnames.append(
                 toks[0] if len(toks) >= 2 else f"__poly{i + 1}"
@@ -1360,6 +1397,7 @@ class Engine:
             "body": last,
             "setof": bool(re.match(r"(?is)^\s*SETOF\b|^\s*TABLE\b",
                                    rettype)),
+            "variadic_at": variadic_at,
         }
         return self._tag(0)
 
@@ -1388,6 +1426,19 @@ class Engine:
                     j += 1
                 args = [a.strip() for a in
                         _split_exprs(text[m.end(): j - 1])]
+                va = d.get("variadic_at")
+                if va is not None and len(args) >= va:
+                    # spread arguments pack into the one array param
+                    # (funcapi variadic), unless spelled VARIADIC arr
+                    tailargs = args[va:]
+                    if len(tailargs) == 1 and re.match(
+                        r"(?is)^VARIADIC\b", tailargs[0]
+                    ):
+                        packed = re.sub(r"(?is)^VARIADIC\s+", "",
+                                        tailargs[0])
+                    else:
+                        packed = "array(" + ", ".join(tailargs) + ")"
+                    args = args[:va] + [packed]
 
                 def _atomic(a: str) -> bool:
                     # an already-atomic argument substitutes bare so

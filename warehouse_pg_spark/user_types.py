@@ -342,6 +342,16 @@ class UserTypes:
         RenameType, AddEnumLabel; regress enum.sql renames bogus ->
         bogon between probes). Unhandled actions return False so the
         statement stays loud."""
+        if re.match(
+            r"(?is)^SET\s+DEFAULT\s+ENCODING\s*\(|^SET\s+SCHEMA\s+"
+            r"|^OWNER\s+TO\s+",
+            action,
+        ):
+            # GP storage-encoding defaults / schema moves / ownership
+            # (typecmds.c + GP gram.y): catalog bookkeeping with no
+            # engine surface — accepted no-ops (schemas collapse to
+            # the one per-session namespace)
+            return True
         rm = re.match(r"(?is)^RENAME\s+TO\s+([\w.\"]+)\s*$", action)
         if rm:
             new = self._key(rm.group(1).strip('"'))
@@ -442,6 +452,17 @@ class UserTypes:
         d = self.domains.get(name)
         if d is None:
             raise ValueError(f'domain "{name}" does not exist')
+        # NOT VALID defers the check to new values only (typecmds.c
+        # AlterDomainAddConstraint) — the engine has no stored rows
+        # to re-validate, so it reduces to the plain ADD; VALIDATE
+        # CONSTRAINT later is then a no-op
+        action = re.sub(r"(?is)\s+NOT\s+VALID\s*$", "", action)
+        if re.match(
+            r"(?is)^VALIDATE\s+CONSTRAINT\s+|^SET\s+SCHEMA\s+"
+            r"|^OWNER\s+TO\s+",
+            action,
+        ):
+            return True
         mm = re.match(r"(?i)ADD\s+(.+)$", action, re.DOTALL)
         if mm:
             sub = self._parse_domain(f"{d.base} {mm.group(1)}")
