@@ -240,7 +240,10 @@ _COL_TEXT_TYPES = frozenset((
 # ColConstraint): dropped — PG enforces them, a lakehouse records them
 # at best. NOT NULL survives (Spark parses it).
 _COL_CONSTRAINT_RE = re.compile(
-    r"\s+(?:PRIMARY\s+KEY|UNIQUE|REFERENCES\s+[\w.]+(?:\s*\([^)]*\))?"
+    # a named inline constraint (CONSTRAINT con1 CHECK ...) strips
+    # with its clause (gram.y ColConstraint ConstraintAttr)
+    r"\s+(?:CONSTRAINT\s+[\w\"]+\s+)?"
+    r"(?:PRIMARY\s+KEY|UNIQUE|REFERENCES\s+[\w.]+(?:\s*\([^)]*\))?"
     r"|CHECK\s*\((?:[^()]|\([^()]*\))*\)"
     r"|DEFAULT\s+(?:[\w.]+\s*\([^()]*\)|'[^']*'|[\w.+-]+))",
     re.IGNORECASE,

@@ -209,7 +209,9 @@ _ANALYZE_RE = re.compile(
     re.IGNORECASE,
 )
 _CREATE_FUNC_HEAD_RE = re.compile(
-    r"^CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+([\w.]+)\s*\(", re.IGNORECASE
+    r"^CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+"
+    r'([\w.]+|"[^"]+"|[\w.]+\."[^"]+")\s*\(',
+    re.IGNORECASE,
 )
 _RETURNS_CLAUSE_RE = re.compile(
     r"^\s*RETURNS\s+((?:SETOF\s+)?\w+(?:\s+precision|\s+varying)?"
@@ -574,7 +576,7 @@ class Engine:
         from warehouse_pg_spark.plpgsql import compile_plpgsql
 
         map_decl_type = self._decl_type
-        name = m.group(1).split(".")[-1]
+        name = m.group(1).split(".")[-1].strip('"')
         # arg list ends at the MATCHING close paren (types like
         # numeric(10,2) nest)
         depth, i, quote = 1, m.end(), None
@@ -779,22 +781,39 @@ class Engine:
             # supported subset is expression-bodied SELECTs.
             last = [x for x in body.split(";") if x.strip()][-1].strip()
             expr = re.sub(r"^SELECT\b", "", last, flags=re.IGNORECASE).strip()
-            # `select 1 AS result` / `select 1 result` — the output
-            # alias is not part of the expression (functions.c: the
-            # column name is ignored for a scalar SQL function)
-            if "(" not in expr:
-                expr = re.sub(
-                    r"(?is)\s+AS\s+\w+\s*$", "", expr
-                )
+            # `select 1 AS result` / `select $1 + $2 sum` — the
+            # output alias is not part of the expression (functions.c:
+            # the column name is ignored for a scalar SQL function);
+            # a trailing LIMIT over the one result row is a no-op
+            if not re.search(r"(?is)\bFROM\b", expr):
+                expr = re.sub(r"(?is)\s+LIMIT\s+\d+\s*$", "", expr)
+                expr = re.sub(r"(?is)\s+AS\s+\w+\s*$", "", expr)
                 am2 = re.match(
-                    r"(?is)^((?:[\w.$']|\[|\])+)\s+([A-Za-z_]\w*)\s*$",
-                    expr,
+                    r"(?is)^(.+?)\s+([A-Za-z_]\w*)\s*$", expr
                 )
-                if am2 and am2.group(2).upper() not in (
-                    "FROM", "WHERE", "AND", "OR", "IS", "NOT", "NULL",
-                    "TRUE", "FALSE", "IN", "LIKE", "BETWEEN",
-                ):
-                    expr = am2.group(1)
+                if am2:
+                    pre = am2.group(1).rstrip()
+                    lastw = re.search(r"([A-Za-z_]\w*)$", pre)
+                    _KW = {
+                        "and", "or", "not", "like", "ilike",
+                        "between", "in", "is", "as", "then", "else",
+                        "when", "case", "from", "where", "escape",
+                        "similar", "to", "collate", "at", "zone",
+                        "interval", "distinct", "operator", "all",
+                        "any", "some", "symmetric", "over", "using",
+                        "order", "by", "group", "having", "limit",
+                        "offset", "on", "join", "select",
+                    }
+                    if (
+                        pre[-1] not in "+-*/%<>=|~!^@#(,.:["
+                        and (lastw is None
+                             or lastw.group(1).lower() not in _KW)
+                        and am2.group(2).lower() not in _KW | {
+                            "null", "true", "false", "end"}
+                    ):
+                        # the trailing identifier follows a complete
+                        # operand: it is the bare column alias
+                        expr = pre
             expr = f"CAST(({expr}) AS {ret_spark})"
         else:
             raise NotImplementedError(f"LANGUAGE {lang} is not supported")
@@ -1322,7 +1341,8 @@ class Engine:
 
     _CREATE_AGG_RE = re.compile(
         r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:ORDERED\s+)?AGGREGATE"
-        r"\s+([\w.]+)\s*\(([^()]*)\)\s*(?:\((.*)\))?\s*;?\s*$",
+        r"\s+([\w.]+|\"[^\"]+\")\s*"
+        r"\(((?:[^()]|\([^()]*\))*)\)\s*(?:\((.*)\))?\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
     _DROP_AGG_RE = re.compile(
@@ -1544,16 +1564,23 @@ class Engine:
         m = self._CREATE_AGG_RE.match(text)
         if m is None:
             return None
-        name = m.group(1).split(".")[-1].lower()
+        name = m.group(1).split(".")[-1].strip('"').lower()
         first, second = m.group(2) or "", m.group(3)
         opts_src = second if second is not None else first
         if "=" not in opts_src:
             return None  # not an options list: stay loud
         opts: dict[str, str] = {}
         for item in self._split_args(opts_src):
-            km = re.match(r"(?s)^\s*([\w]+)\s*=\s*(.+?)\s*$", item)
+            km = re.match(r'(?s)^\s*"?(\w+)"?\s*=\s*(.+?)\s*$', item)
             if km:
-                opts[km.group(1).lower()] = km.group(2).strip()
+                k = km.group(1).lower()
+                # GP's legacy two-stage spellings (aggregatecmds.c
+                # pre-merge grammar): sfunc1/stype1/initcond1 are the
+                # first-stage transition options
+                if k in ("sfunc1", "stype1", "initcond1",
+                         "finalfunc1"):
+                    k = k[:-1]
+                opts[k] = km.group(2).strip()
         sfunc, stype = opts.get("sfunc"), opts.get("stype")
         if not sfunc or not stype:
             raise ValueError(

@@ -382,6 +382,39 @@ _ALTER_ADD_COL_RE = re.compile(
 def rewrite(sql: str) -> str:
     """Apply all PG→Spark rewrites to a SQL string."""
     sql = _rewrite_dollar_quotes(sql)
+    # declarative partition children (PG10 gram.y PartitionBoundSpec:
+    # CREATE TABLE c PARTITION OF p FOR VALUES ... / DEFAULT): the
+    # child materializes as an empty table with the parent's schema —
+    # Spark's layout keeps partitioning INSIDE one dataset
+    # (partitionBy/bucketing), so per-partition child TABLES reduce
+    # to schema clones; bound routing is not modeled (README)
+    sql = re.sub(
+        r"(?is)^\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+"
+        r"|UNLOGGED\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)\s+"
+        r"PARTITION\s+OF\s+([\w.\"]+)\b.*$",
+        lambda m: (
+            f"CREATE TABLE {m.group(1) or ''}{m.group(2)} "
+            f"AS SELECT * FROM {m.group(3)} LIMIT 0"
+        ),
+        sql,
+    )
+    # CREATE TABLE x (LIKE t [INCLUDING/EXCLUDING ...] [, table
+    # constraints]) — the LIKE clause copies t's columns
+    # (parse_utilcmd.c transformTableLikeClause); constraints carry
+    # no engine surface, so the whole form is a schema clone
+    sql = re.sub(
+        r"(?is)^\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+"
+        r"|UNLOGGED\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)\s*"
+        r"\(\s*LIKE\s+([\w.\"]+)"
+        r"(?:\s+(?:INCLUDING|EXCLUDING)\s+\w+)*\s*"
+        r"(?:,\s*CONSTRAINT\s+(?:[^()]|\([^()]*\))*)?\)"
+        r"(?:\s+PARTITION\s+BY\b[^;]*)?\s*;?\s*$",
+        lambda m: (
+            f"CREATE TABLE {m.group(1) or ''}{m.group(2)} "
+            f"AS SELECT * FROM {m.group(3)} LIMIT 0"
+        ),
+        sql,
+    )
     sql = _rewrite_create_table_defs(sql)
     # CTAS storage options: CREATE TABLE t WITH (appendonly=...) AS
     # SELECT — GP reloptions with no Spark parse form (the column-def
