@@ -510,8 +510,14 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         return f"get_json_object({j}, {_new_lit(path, lits)})"
 
     sql = _JSONB_EXTRACT_PATH_RE.sub(sub_jsonb_extract_path, sql)
+    # slice guards the empty array: sequence(1, 0) would generate a
+    # DESCENDING [1, 0] in Spark — PG yields zero subscript rows
     sql = _GENERATE_SUBSCRIPTS_RE.sub(
-        lambda m: f"explode(sequence(1, size({m.group(1)})))", sql
+        lambda m: (
+            f"explode(slice(sequence(1, greatest(size({m.group(1)})"
+            f", 1)), 1, greatest(size({m.group(1)}), 0)))"
+        ),
+        sql,
     )
 
     def sub_nn(m: re.Match) -> str:
@@ -1778,12 +1784,15 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         )
         sql = sql[:start] + rep + sql[m.end():]
     # array_prepend(elem, arr) (arrayfuncs.c): PG leads with the
-    # ELEMENT; Spark's array_prepend leads with the array — swap
+    # ELEMENT — lowered to concat(array(elem), arr), which also
+    # UNIFIES the element types the way PG's polymorphic resolution
+    # does (Spark's own array_prepend demands an exact match:
+    # decimal(2,1) into array<decimal(3,1)> fails there)
     sql = re.sub(
         r"(?i)\barray_prepend\s*\(\s*((?:[^(),]|\((?:[^()]|\([^()]*\))*\))+)"
         r"\s*,\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))+)\)",
-        lambda m: f"array_prepend({m.group(2).strip()}, "
-                  f"{m.group(1).strip()})",
+        lambda m: f"concat(array({m.group(1).strip()}), "
+                  f"{m.group(2).strip()})",
         sql,
     )
     # get_bit/set_bit over BYTEA operands (varlena.c byteaGetBit /
