@@ -537,10 +537,16 @@ def main() -> None:
         elif a == "--fails-out":
             fails_out = args.pop(0)
 
+    import shutil
+
     import duckdb
 
     from warehouse_pg_spark.engine import Engine
     from warehouse_pg_spark.session import get_spark
+
+    # stale managed-table locations from a previous probe run make
+    # re-CREATEs fail with LOCATION_ALREADY_EXISTS even after DROP
+    shutil.rmtree("spark-warehouse", ignore_errors=True)
 
     eng = Engine(get_spark())
     con = duckdb.connect()

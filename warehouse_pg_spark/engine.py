@@ -814,7 +814,16 @@ class Engine:
                         # the trailing identifier follows a complete
                         # operand: it is the bare column alias
                         expr = pre
-            expr = f"CAST(({expr}) AS {ret_spark})"
+            if rettype.lower() == "void":
+                # functions.c: a void SQL function evaluates its body
+                # and discards the result (SELECT f(x) shows empty)
+                ret_spark = "STRING"
+                expr = (
+                    f"IF(({expr}) IS NULL, CAST(NULL AS STRING), "
+                    "CAST(NULL AS STRING))"
+                )
+            else:
+                expr = f"CAST(({expr}) AS {ret_spark})"
         else:
             raise NotImplementedError(f"LANGUAGE {lang} is not supported")
         expr = self._user_types.rewrite(expr)

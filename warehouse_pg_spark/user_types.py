@@ -342,6 +342,56 @@ class UserTypes:
         RenameType, AddEnumLabel; regress enum.sql renames bogus ->
         bogon between probes). Unhandled actions return False so the
         statement stays loud."""
+        # composite attribute surgery (typecmds.c ATExecAddColumn &c
+        # over rowtypes; regress alter_table.sql test_type family) —
+        # comma-separated multi-action lists apply in order
+        if key in self.composites and re.match(
+            r"(?is)^(ADD|DROP|ALTER|RENAME)\s+ATTRIBUTE\b", action
+        ):
+            comp = self.composites[key]
+            for act in _split_commas(action):
+                act = re.sub(r"(?is)\s+CASCADE\s*$|\s+RESTRICT\s*$",
+                             "", act.strip())
+                am = re.match(
+                    r"(?is)^ADD\s+ATTRIBUTE\s+(\w+)\s+(.+)$", act)
+                if am:
+                    comp.fields.append(
+                        (am.group(1).lower(), am.group(2).strip()))
+                    continue
+                am = re.match(
+                    r"(?is)^DROP\s+ATTRIBUTE\s+(IF\s+EXISTS\s+)?"
+                    r"(\w+)$", act)
+                if am:
+                    k2 = am.group(2).lower()
+                    if not any(f == k2 for f, _ in comp.fields) and \
+                            not am.group(1):
+                        raise ValueError(
+                            f'column "{k2}" of relation "{key}" '
+                            "does not exist")
+                    comp.fields = [
+                        (f, t) for f, t in comp.fields if f != k2]
+                    continue
+                am = re.match(
+                    r"(?is)^ALTER\s+ATTRIBUTE\s+(\w+)\s+(?:SET\s+DATA"
+                    r"\s+)?TYPE\s+(.+)$", act)
+                if am:
+                    k2 = am.group(1).lower()
+                    comp.fields = [
+                        (f, am.group(2).strip() if f == k2 else t)
+                        for f, t in comp.fields]
+                    continue
+                am = re.match(
+                    r"(?is)^RENAME\s+ATTRIBUTE\s+(\w+)\s+TO\s+(\w+)$",
+                    act)
+                if am:
+                    comp.fields = [
+                        (am.group(2).lower() if f == am.group(1).lower()
+                         else f, t)
+                        for f, t in comp.fields]
+                    continue
+                raise ValueError(
+                    f"ALTER TYPE: unsupported attribute action: {act!r}")
+            return True
         if re.match(
             r"(?is)^SET\s+DEFAULT\s+ENCODING\s*\(|^SET\s+SCHEMA\s+"
             r"|^OWNER\s+TO\s+",
