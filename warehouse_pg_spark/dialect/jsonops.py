@@ -274,3 +274,115 @@ def _rewrite_arrows(sql: str, lits: list[str]) -> str:
         else:
             repl = f"{fname}({base}, {_new_lit('$' + step, lits)})"
         sql = sql[:start] + repl + sql[m.end() :]
+
+
+# --- json_object braced-array validation (moved from pgfns.py in
+# the r15 split; behavior unchanged) ---------------------------
+def _braced_tree_null(body: str):
+    """array_in tokenizer mirroring _parse_braced_tree but mapping
+    UNQUOTED null to None (arrayfuncs.c: only a bare NULL is the
+    null datum; "NULL" is the 4-char string). Returns the nested
+    list, or None when malformed/over-complex."""
+    elems: list = []
+    stack: list[list] = []
+    buf: list[str] = []
+    quoted = in_q = have = False
+    cur = elems
+
+    def flush():
+        nonlocal buf, quoted, have
+        if not have:
+            return
+        s = "".join(buf)
+        if quoted:
+            cur.append(s)
+        else:
+            s = s.strip()
+            cur.append(None if s.lower() == "null" else s)
+        buf, quoted, have = [], False, False
+
+    i, n2 = 0, len(body)
+    while i < n2:
+        ch = body[i]
+        if in_q:
+            if ch == "\\" and i + 1 < n2:
+                buf.append(body[i + 1])
+                i += 2
+                continue
+            if ch == '"':
+                in_q = False
+                i += 1
+                continue
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == '"':
+            in_q = quoted = have = True
+            i += 1
+            continue
+        if ch == "{":
+            sub: list = []
+            cur.append(sub)
+            stack.append(cur)
+            cur = sub
+            i += 1
+            continue
+        if ch == "}":
+            flush()
+            if not stack:
+                return None
+            cur = stack.pop()
+            i += 1
+            continue
+        if ch == ",":
+            flush()
+            i += 1
+            continue
+        if not ch.isspace():
+            have = True
+        buf.append(ch)
+        i += 1
+    flush()
+    return None if (in_q or stack) else elems
+
+def _check_json_object_arrays(trees: list) -> None:
+    """jsonfuncs.c json_object / json_object_two_arg shape rules
+    over LITERAL braced arrays: 1-arg must be a flat even-length
+    pair list or an Nx2 matrix; 2-arg takes two flat arrays of
+    equal length; keys must not be null."""
+    if len(trees) == 1:
+        t = trees[0]
+        if any(isinstance(e, list) for e in t):
+            if not all(isinstance(e, list) for e in t):
+                raise ValueError("multidimensional arrays must "
+                                 "have array expressions with "
+                                 "matching dimensions")
+            for sub in t:
+                if any(isinstance(e, list) for e in sub):
+                    raise ValueError(
+                        "wrong number of array subscripts")
+                if len(sub) != 2:
+                    raise ValueError(
+                        "array must have two columns")
+                if sub[0] is None:
+                    raise ValueError(
+                        "null value not allowed for object key")
+        else:
+            if len(t) % 2:
+                raise ValueError(
+                    "array must have even number of elements")
+            if any(k is None for k in t[0::2]):
+                raise ValueError(
+                    "null value not allowed for object key")
+    else:
+        keys, vals = trees
+        for t in (keys, vals):
+            if any(isinstance(e, list) for e in t):
+                raise ValueError(
+                    "wrong number of array subscripts")
+        if len(keys) != len(vals):
+            raise ValueError("mismatched array dimensions")
+        if any(k is None for k in keys):
+            raise ValueError(
+                "null value not allowed for object key")
+
