@@ -888,6 +888,8 @@ def main() -> None:
                 r"|jsonpath item method"
                 r"|thresholds array must not contain"
                 r"|violates check constraint"
+                r"|result is out of range"
+                r"|malformed array literal"
                 r"|timestamp out of range"
                 r"|date out of range"
                 r"|hour .* is invalid for the 12-hour clock"

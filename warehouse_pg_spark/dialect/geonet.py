@@ -307,7 +307,8 @@ def _rewrite_pg_network(out: str, lits: list[str]) -> str:
         try:
             r = iface.ip + n if op == "+" else iface.ip - n
         except ValueError:
-            return m.group(0)  # out of the family's range: loud
+            # network_pl/network_mi: past the family's address space
+            raise ValueError("result is out of range")
         if iface.network.prefixlen != iface.ip.max_prefixlen:
             res = f"{_addr_str(r)}/{iface.network.prefixlen}"
         else:
@@ -323,7 +324,11 @@ def _rewrite_pg_network(out: str, lits: list[str]) -> str:
             return m.group(0)
         if a.version != b.version:
             return m.group(0)
-        return f"CAST({int(a.ip) - int(b.ip)} AS BIGINT)"
+        diff = int(a.ip) - int(b.ip)
+        if not (-(2 ** 63) <= diff < 2 ** 63):
+            # network_mi returns int8; IPv6 spans overflow it
+            raise ValueError("result is out of range")
+        return f"CAST({diff} AS BIGINT)"
 
     prev = None
     while prev != out:  # chained arithmetic folds to a fixpoint

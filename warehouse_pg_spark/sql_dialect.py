@@ -2064,9 +2064,19 @@ def rewrite(sql: str) -> str:
             )
         # multi-dimensional '{{1,2},{3,4}}' bodies: nested array()
         # construction (array_in multi-dim; default [1:n] bounds only)
+        # Junk after a quoted element ('{"1 2" x}') is array_in's
+        # unexpected-character error in PG
+        if re.search(r'"(?:[^"\\]|\\.)*"\s*[^,}\s]', inner):
+            raise ValueError(f'malformed array literal: "{body}"')
         tree = _parse_braced_tree(inner)
         if tree is None or not all(isinstance(e, list) for e in tree):
             return m.group(0)  # malformed / ragged top level: loud
+        if any(isinstance(e, list) and not e for e in tree) or len(
+            {len(e) for e in tree}
+        ) > 1:
+            # array_in: empty sub-arrays and ragged dimensions are
+            # malformed in a multi-dim literal
+            raise ValueError(f'malformed array literal: "{body}"')
 
         def build(node) -> str:
             if isinstance(node, list):
