@@ -22,8 +22,6 @@ class FunctionDDLMixin:
     )
 
     def _register_polymorphic(self, name, rawargs, rettype, tail):
-        from warehouse_pg_spark.engine import _split_exprs  # noqa: F811
-
         """Polymorphic SQL functions (parse_coerce.c
         check_generic_type_consistency: anyarray/anyelement &c): the
         concrete types exist only at the CALL, so the function
@@ -31,6 +29,8 @@ class FunctionDDLMixin:
         and call sites expand by substitution, exactly the view
         inlining the planner does for SQL functions. LANGUAGE sql
         only; anything else stays loud."""
+        from warehouse_pg_spark.engine import _split_exprs
+
         lang_m = re.search(r"\bLANGUAGE\s+'?(\w+)'?", tail, re.IGNORECASE)
         if (lang_m.group(1) if lang_m else "sql").lower() != "sql":
             raise NotImplementedError(
@@ -94,8 +94,6 @@ class FunctionDDLMixin:
         return self._tag(0)
 
     def _substitute_polymorphic_calls(self, text: str) -> str:
-        from warehouse_pg_spark.engine import _split_exprs  # noqa: F811
-
         """Expand calls to registered polymorphic templates: the
         argument expressions substitute into the body text (per-call
         view inlining — the concrete anyelement type is whatever the
@@ -103,6 +101,8 @@ class FunctionDDLMixin:
         resolution, done by Catalyst instead of a catalog). FROM-
         position calls become inline subqueries; scalar/sole-target
         calls become the body's single expression."""
+        from warehouse_pg_spark.engine import _split_exprs
+
         if not self._poly_functions:
             return text
         for name, d in self._poly_functions.items():
