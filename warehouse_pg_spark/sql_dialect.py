@@ -963,8 +963,18 @@ def rewrite(sql: str) -> str:
     def _check_ts_digits(m: re.Match) -> str:
         txt = _lit_value(m.group(1) or m.group(2), lits).strip()
         if re.fullmatch(r"\d{9,}", txt):
-            raise ValueError(
-                f'date/time field value out of range: "{txt}"')
+            # DecodeNumberField: last 2 digits = day, next 2 = month,
+            # rest = year (years run to 294276); only raise when the
+            # decoded field is genuinely out of range
+            day, mon, year = (
+                int(txt[-2:]), int(txt[-4:-2]), int(txt[:-4]))
+            leap = year % 4 == 0 and (year % 100 != 0 or year % 400 == 0)
+            mdays = (31, 29 if leap else 28, 31, 30, 31, 30,
+                     31, 31, 30, 31, 30, 31)
+            if not (1 <= mon <= 12 and 1 <= day <= mdays[mon - 1]
+                    and 1 <= year <= 294276):
+                raise ValueError(
+                    f'date/time field value out of range: "{txt}"')
         return m.group(0)
 
     out = re.sub(
@@ -976,8 +986,9 @@ def rewrite(sql: str) -> str:
     )
 
     # ARRAY[] with no elements and no cast cannot be typed
-    # (parse_expr.c transformArrayExpr)
-    if re.search(r"(?i)\barray\s*\[\s*\](?!\s*::)", out):
+    # (parse_expr.c transformArrayExpr); both cast spellings type it,
+    # so skip `::type[]` and `CAST(ARRAY[] AS type[])`
+    if re.search(r"(?i)\barray\s*\[\s*\](?!\s*(?:::|as\b))", out):
         raise ValueError(
             "cannot determine type of empty array")
 
@@ -990,6 +1001,11 @@ def rewrite(sql: str) -> str:
         raise ValueError("function length(integer) does not exist")
 
     def _check_num_concat(m: re.Match) -> str:
+        # left-associative chains: in `'x' || 1 || 2` the `1 || 2`
+        # pair is really `(text || 1) || 2` — text, not numeric;
+        # skip when the left operand is itself the RHS of a ||
+        if m.string[: m.start()].rstrip().endswith("||"):
+            return m.group(0)
         t1 = "numeric" if "." in m.group(1) else "integer"
         t2 = "numeric" if "." in m.group(2) else "integer"
         raise ValueError(
@@ -2344,24 +2360,20 @@ def rewrite(sql: str) -> str:
     # `false <= (-1 BETWEEN 1 AND 1)` (create_operator.out:98);
     # parenthesize the BETWEEN when simple operands follow a
     # comparison operator
+    # only a genuine comparison operator regroups: generic multi-char
+    # operators (<<, >>, #>, |>, ...) bind TIGHTER than BETWEEN, so a
+    # lookbehind excludes operator chars before the comparison token
     out = re.sub(
-        r"(<>|<=|>=|=|<|>)((?:\s|/\*.*?\*/)*)([-+]?\w+)"
+        r"(?<![<>=!#&|^~+\-*/%@])(<>|<=|>=|=|<|>)(?![<>=])"
+        r"((?:\s|/\*.*?\*/)*)([-+]?\w+)"
         r"\s+(BETWEEN\s+[-+]?\w+\s+AND\s+[-+]?\w+)",
         r"\1\2(\3 \4)",
         out,
         flags=re.IGNORECASE,
     )
 
-    # COLLATE in a CAST target is a gram.y syntax error (collate.out:
-    # 524) — check before the general strip below eats it
-    if re.search(
-        r"(?is)\bCAST\s*\((?:[^()]|\([^()]*\))*?\s+AS\s+"
-        r"\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s+COLLATE\b",
-        out,
-    ):
-        raise ValueError('syntax error at or near "COLLATE"')
-
-    # COLLATE clauses strip (Spark compares binary, PG's "C")
+    # COLLATE clauses strip (Spark compares binary, PG's "C"); the
+    # CAST-target syntax check already ran before the first strip
     out = _COLLATE_RE.sub("", out)
 
     # row-lock clauses strip (nodeLockRows.c; no transactions here) and
