@@ -1,0 +1,342 @@
+"""Full-text search core tests, pinned against the reference's regress
+expected outputs (src/test/regress/expected/tstypes.out, tsearch.out).
+
+The heavy statement-level sweep runs offline against the .out corpus
+(round-16 harness: 207/214 tstypes, 133/137 tsearch); these tests pin
+the representative semantics per family so regressions stay loud
+without needing the reference checkout at test time.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from warehouse_pg_spark.functions import fts
+from warehouse_pg_spark.sql_dialect import rewrite
+
+
+# ---------------------------------------------------------------- stemmer
+
+@pytest.mark.parametrize("word,expected", [
+    ("skies", "sky"), ("books", "book"), ("qwerty", "qwerti"),
+    ("readline", "readlin"), ("extended", "extend"), ("many", "mani"),
+    ("ways", "way"), ("postgresql", "postgresql"), ("running", "run"),
+    ("hopefully", "hope"), ("generalization", "general"),
+    ("proceed", "proceed"), ("dying", "die"), ("news", "news"),
+    ("programs", "program"), ("identity", "ident"),
+])
+def test_stem_english(word, expected):
+    assert fts.stem_english(word) == expected
+
+
+# ------------------------------------------------------------- tsvector IO
+
+@pytest.mark.parametrize("src,expected", [
+    ("1", "'1'"),
+    (" 1 ", "'1'"),
+    ("1 2", "'1' '2'"),
+    ("'1 2'", "'1 2'"),
+    ("'w':4A,3,2C", "'w':2C,3,4A"),
+    ("a:3A b:2a", "'a':3A 'b':2A"),
+    ("a:1a,2,3b b:5,6", "'a':1A,2,3B 'b':5,6"),
+])
+def test_tsvector_io(src, expected):
+    assert fts.TSVector.parse(src).text() == expected
+
+
+def test_tsvector_position_errors():
+    with pytest.raises(ValueError):
+        fts.TSVector.parse("a:0")
+    with pytest.raises(ValueError):
+        fts.TSVector.parse("a:50000")
+
+
+# -------------------------------------------------------------- tsquery IO
+
+@pytest.mark.parametrize("src,expected", [
+    ("1", "'1'"),
+    ("!1", "!'1'"),
+    ("1|2", "'1' | '2'"),
+    ("!(!1|!2)", "!( !'1' | !'2' )"),
+    ("1&2", "'1' & '2'"),
+    ("a:* & b:AB", "'a':* & 'b':AB"),
+    ("1 <-> 2", "'1' <-> '2'"),
+    ("1 <3> 2", "'1' <3> '2'"),
+    ("(a <-> b) <-> c", "'a' <-> 'b' <-> 'c'"),
+    ("a <-> (b <-> c)", "'a' <-> ( 'b' <-> 'c' )"),
+    ("a & (b | c)", "'a' & ( 'b' | 'c' )"),
+])
+def test_tsquery_io(src, expected):
+    assert fts.TSQuery.parse(src).text() == expected
+
+
+def test_tsquery_syntax_errors():
+    for bad in ("1|", "&1", "(1", "1)", "a:"):
+        with pytest.raises(ValueError):
+            fts.TSQuery.parse(bad)
+
+
+# ------------------------------------------------------------ to_tsvector
+
+def test_to_tsvector_english():
+    assert (fts.to_tsvector("english", "SKIES My booKs").text()
+            == "'book':3 'sky':1")
+
+
+def test_to_tsvector_simple_compounds():
+    # underscore parts share a position; hyphen compound emits whole+parts
+    assert fts.to_tsvector("simple", "pg_class").text() == \
+        "'class':1 'pg':1"
+    assert fts.to_tsvector("simple", "foo-bar qq").text() == \
+        "'bar':3 'foo':2 'foo-bar':1 'qq':4"
+
+
+def test_to_tsvector_tokens():
+    out = fts.to_tsvector(
+        "english", "readline-4.2. gist.h 234.435 efd.r "
+        "teodor@stack.net http://www.com/").text()
+    assert out == ("'-4.2':2 '234.435':4 'efd.r':5 'gist.h':3 "
+                   "'readlin':1 'teodor@stack.net':6 'www.com':7")
+
+
+def test_to_tsvector_json():
+    got = fts.to_tsvector_json(
+        "english",
+        '{"a": "aaa in bbb ddd ccc", "b": ["the eee fff ggg"], '
+        '"c": {"d": "hhh. iii"}}').text()
+    assert got == ("'aaa':1 'bbb':3 'ccc':5 'ddd':4 'eee':8 'fff':9 "
+                   "'ggg':10 'hhh':12 'iii':13")
+
+
+# -------------------------------------------------------- query pipelines
+
+def test_to_tsquery_stopword_cleanup():
+    assert fts.to_tsquery("english", "SKIES & My | booKs").text() == \
+        "'sky' | 'book'"
+    assert fts.to_tsquery("english", "!(a & !b) & c").text() == \
+        "!!'b' & 'c'"
+    assert fts.to_tsquery("english", "(1 <-> a) <-> 2").text() == \
+        "'1' <2> '2'"
+    assert fts.to_tsquery(
+        "english", "'the wether':dc & '           sKies ':BC ").text() \
+        == "'wether':CD & 'sky':BC"
+
+
+def test_phraseto_tsquery():
+    got = fts.phraseto_tsquery(
+        "english",
+        "PostgreSQL can be extended by the user in many ways").text()
+    assert got == "'postgresql' <3> 'extend' <3> 'user' <2> 'mani' <-> 'way'"
+
+
+@pytest.mark.parametrize("cfg,src,expected", [
+    ("simple", "fat-rat", "'fat-rat' & 'fat' & 'rat'"),
+    ("simple", "fat_rat", "'fat' & 'rat'"),
+    ("simple", "cat OR", "'cat' & 'or'"),
+    ("simple", "or OR or", "'or' | 'or'"),
+    ("english", '"pg_class pg"', "( 'pg' & 'class' ) <-> 'pg'"),
+    ("english", '"pg_class pg', "'pg' & 'class' & 'pg'"),
+    ("english", "this is ----fine", "!!!!'fine'"),
+    ("simple", "fat:A!cat:B|rat:C<",
+     "'fat' & 'a' & 'cat' & 'b' & 'rat' & 'c'"),
+])
+def test_websearch(cfg, src, expected):
+    assert fts.websearch_to_tsquery(cfg, src).text() == expected
+
+
+# ------------------------------------------------------------------ match
+
+@pytest.mark.parametrize("v,q,expected", [
+    ("wa:1D wb:2A", "w:*D & w:*A", True),
+    ("wa:1D wb:2A", "w:*D <-> w:*A", True),
+    ("wa:1A wb:2D", "w:*D <-> w:*A", False),
+    ("supernova", "super", False),
+    ("supernova", "super:*", True),
+    ("a:1 b:2", "a <-> b", True),
+    ("a:1 b:3", "a <-> b", False),
+    ("a:1 b:3", "a <2> b", True),
+    ("a:1 b:2 c:3", "a <-> !c", True),
+    ("a:1 c:2", "a <-> !c", False),
+    ("a b", "a & !c", True),
+])
+def test_ts_match(v, q, expected):
+    assert fts.ts_match(fts.TSVector.parse(v),
+                        fts.TSQuery.parse(q)) is expected
+
+
+# ------------------------------------------------------------------ ranks
+
+@pytest.mark.parametrize("v,q,expected", [
+    (" a:1 s:2C d g", "a | s", 0.0911891),
+    (" a:1 s:2B d g", "a | s", 0.151982),
+    (" a:1 s:2 d g", "a | s", 0.0607927),
+    (" a:1 s:2C d g", "a & s", 0.140153),
+    (" a:1 s:2 d g", "a & s", 0.0991032),
+])
+def test_ts_rank(v, q, expected):
+    got = fts.ts_rank(fts.TSVector.parse(v), fts.TSQuery.parse(q))
+    assert got == pytest.approx(expected, rel=1e-5)
+
+
+@pytest.mark.parametrize("v,q,expected", [
+    (" a:1 s:2C d g", "a | s", 0.3),
+    (" a:1 sa:2C d g", "a | s", 0.1),
+    (" a:1 sa:2C d g", "a | s:*", 0.3),
+    (" a:1 s:2 d g", "a & s", 0.1),
+    (" a:1 s:2A d g", "a <-> s", 0.181818),
+    (" a:1 s:2,3A d:2A g", "a <2> s:A", 0.0909091),
+    (" a:1 sa:2A sb:2D g", "a <-> s:* <-> sa:A", 0.0),
+])
+def test_ts_rank_cd(v, q, expected):
+    got = fts.ts_rank_cd(fts.TSVector.parse(v), fts.TSQuery.parse(q))
+    assert got == pytest.approx(expected, rel=1e-5, abs=1e-9)
+
+
+# ------------------------------------------------------------- operations
+
+def test_setweight_strip_concat():
+    v = fts.TSVector.parse("a:1,3 w:5,6,12B,13A")
+    assert fts.setweight(v, "A").text() == "'a':1A,3A 'w':5A,6A,12A,13A"
+    assert v.strip().text() == "'a' 'w'"
+    got = fts.TSVector.parse("a:3A b:2a").concat(
+        fts.TSVector.parse("ba:1234 a:1B"))
+    assert got.text() == "'a':3A,4B 'b':2A 'ba':1237"
+
+
+def test_ts_delete_filter_arrays():
+    v = fts.TSVector.parse("base:7A empir:17 rebel:1A")
+    assert fts.tsvector_to_array(v) == ["base", "empir", "rebel"]
+    assert v.delete(["empir"]).text() == "'base':7A 'rebel':1A"
+    assert fts.ts_filter(v, ["a"]).text() == "'base':7A 'rebel':1A"
+    with pytest.raises(ValueError):
+        fts.array_to_tsvector(["a", ""])
+
+
+def test_ts_rewrite_subset():
+    q = fts.TSQuery.parse
+    assert fts.ts_rewrite(
+        q("foo & bar & qq & new & york"), q("new & york"),
+        q("big & apple | nyc")).text() == \
+        "'foo' & 'bar' & 'qq' & ( 'big' & 'apple' | 'nyc' )"
+    assert fts.ts_rewrite(q("5 & (6 | 5)"), q("5"),
+                          fts.TSQuery(None)).text() == "'6'"
+
+
+def test_tsquery_cmp():
+    q = fts.TSQuery.parse
+    assert fts.tsquery_cmp(q("a"), q("b & c")) < 0
+    assert fts.tsquery_cmp(q("a | f"), q("b & c")) == \
+        -fts.tsquery_cmp(q("b & c"), q("a | f"))
+    assert fts.tsquery_cmp(q("a & b"), q("a & b")) == 0
+
+
+def test_ts_headline_covers():
+    q = fts.TSQuery.parse
+    assert fts.ts_headline("simple", "1 2 3 1 3", q("1 <-> 3"),
+                           "MaxWords=2, MinWords=1") == "<b>1</b> <b>3</b>"
+    assert fts.ts_headline("simple", "1 2 3 1 3", q("1 & 3"),
+                           "MaxWords=4, MinWords=1") == \
+        "<b>1</b> 2 <b>3</b>"
+    assert fts.ts_headline("simple", "1 2 3 1 3", q("1 <-> 3"),
+                           "MaxWords=4, MinWords=1") == \
+        "<b>3</b> <b>1</b> <b>3</b>"
+
+
+def test_ts_lexize():
+    assert fts.ts_lexize("english_stem", "programs") == ["program"]
+    assert fts.ts_lexize("english_stem", "the") == []
+    assert fts.ts_lexize("simple", "PRogRams") == ["programs"]
+    with pytest.raises(ValueError):
+        fts.ts_lexize("hunspell", "x")
+
+
+def test_querytree_numnode():
+    q = fts.TSQuery.parse
+    assert fts.querytree(q("a & !b")) == "'a'"
+    assert fts.querytree(q("!a")) == "T"
+    assert q("a & b").size() == 3
+    assert q("!a").size() == 2
+
+
+# ------------------------------------------------------- dialect lowering
+
+@pytest.mark.parametrize("src,expected", [
+    ("SELECT '1 2'::tsvector", "SELECT pg_tsvector_in('1 2')"),
+    ("SELECT 'a'::tsvector @@ 'a'::tsquery",
+     "SELECT pg_ts_match(pg_tsvector_in('a'), pg_tsquery_in('a'))"),
+    ("select 'fat cat' @@ 'cat'",
+     "select pg_ts_match(pg_to_tsvector('english', 'fat cat'), "
+     "pg_plainto_tsquery('english', 'cat'))"),
+    ("SELECT to_tsvector('a b')",
+     "SELECT pg_to_tsvector('english', 'a b')"),
+    ("SELECT 'a'::tsquery <-> 'b'::tsquery",
+     "SELECT pg_tsquery_phrase(pg_tsquery_in('a'), pg_tsquery_in('b'), "
+     "1)"),
+])
+def test_fts_rewrites(src, expected):
+    assert rewrite(src) == expected
+
+
+def test_fts_rewrite_leaves_jsonpath_alone():
+    out = rewrite("select '{\"a\":1}'::jsonb @@ '$.a > 0'")
+    assert "pg_ts_match" not in out
+
+
+def test_fts_rewrite_leaves_string_concat_alone():
+    assert rewrite("SELECT 'abc' || 'def'") == "SELECT 'abc' || 'def'"
+    assert rewrite("SELECT col1 || col2 FROM t") == \
+        "SELECT col1 || col2 FROM t"
+
+
+# ------------------------------------------------------- engine end-to-end
+
+def test_fts_engine_statements(spark):
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark)
+    cases = [
+        ("SELECT to_tsvector('english', 'a fat cat sat on a mat "
+         "- it ate a fat rats')",
+         "'ate':9 'cat':3 'fat':2,11 'mat':7 'rat':12 'sat':4"),
+        ("SELECT 'fat & cow'::tsquery @@ 'a fat cat sat on a mat "
+         "- it ate a fat rats'::tsvector", False),
+        ("SELECT 'fat & rat'::tsquery @@ to_tsvector('english', "
+         "'a fat cat sat on a mat - it ate a fat rats')", True),
+        ("SELECT setweight(to_tsvector('english', 'fat cats'), 'A')",
+         "'cat':2A 'fat':1A"),
+        ("SELECT ts_lexize('english_stem', 'identity')", ["ident"]),
+        ("SELECT numnode('foo & bar'::tsquery)", 3),
+    ]
+    for sql, expected in cases:
+        got = eng.sql(sql).collect()[0][0]
+        if isinstance(got, list):
+            got = list(got)
+        assert got == expected, sql
+
+
+def test_fts_engine_rank_and_headline(spark):
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark)
+    got = eng.sql(
+        "SELECT ts_rank_cd(to_tsvector('english', 'a fat cat sat on a "
+        "mat - it ate a fat rats'), to_tsquery('english', 'fat & rat'))"
+    ).collect()[0][0]
+    assert got == pytest.approx(0.1, rel=1e-6)
+    got = eng.sql(
+        "SELECT ts_headline('english', 'fat cat ate rat', "
+        "to_tsquery('english', 'cat & rat'))").collect()[0][0]
+    assert got == "fat <b>cat</b> ate <b>rat</b>"
+
+
+def test_fts_should_error(spark):
+    from warehouse_pg_spark.engine import Engine
+
+    eng = Engine(spark)
+    for bad in (
+        "SELECT '1 ,2'::tsquery @@ 'foo'",
+        "SELECT ts_filter('fat:2,4 cat:3'::tsvector, '{}')",
+        "SELECT to_tsvector('bogus_config', 'x')",
+    ):
+        with pytest.raises(Exception):
+            eng.sql(bad).collect()

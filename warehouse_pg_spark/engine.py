@@ -978,6 +978,10 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
                     "spark.sql.session.timeZone", self._default_timezone
                 )
                 self.spark.conf.set("spark.sql.ansi.enabled", "false")
+                from warehouse_pg_spark.dialect.fts import (
+                    set_default_config,
+                )
+                set_default_config("english")
             else:
                 self._gucs.pop(key, None)
                 if key in _GUC_DEFAULTS:
@@ -990,6 +994,11 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
                     self.spark.conf.set("spark.sql.ansi.enabled", "false")
                 elif key == "xmlbinary":
                     sql_dialect.set_xmlbinary("base64")
+                elif key == "default_text_search_config":
+                    from warehouse_pg_spark.dialect.fts import (
+                        set_default_config,
+                    )
+                    set_default_config("english")
             return self._tag(0)
         if _DISCARD_RE.match(s):
             # DISCARD ALL (commands/discard.c): session back to pristine
@@ -1142,6 +1151,9 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
                 self.spark.conf.set("spark.sql.session.timeZone", val)
             elif key == "xmlbinary":
                 sql_dialect.set_xmlbinary(val)
+            elif key == "default_text_search_config":
+                from warehouse_pg_spark.dialect.fts import set_default_config
+                set_default_config(val)
             elif key == "strict_errors":
                 # PG raises where the default posture returns NULL or
                 # wraps (division by zero, int overflow, bad casts,

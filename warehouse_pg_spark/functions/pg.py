@@ -1906,6 +1906,47 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
         ("pg_xpath", _pg_xpath_entry, "ARRAY<STRING>", 2),
     ):
         spark.udf.register(_name, _arrow_batched(_fn, _ret, _arity))
+    # full-text search (functions/fts.py: tsvector.c/tsquery.c/
+    # tsvector_op.c/tsrank.c semantics; canonical text forms travel as
+    # STRINGs, so every shim is a pure string/array scalar)
+    from warehouse_pg_spark.functions import fts as _fts
+
+    for _name, _fn, _ret, _arity in (
+        ("pg_tsvector_in", _fts._sql_tsvector_in, "STRING", 1),
+        ("pg_tsquery_in", _fts._sql_tsquery_in, "STRING", 1),
+        ("pg_to_tsvector", _fts._sql_to_tsvector, "STRING", 2),
+        ("pg_to_tsvector_json", _fts._sql_to_tsvector_json, "STRING", 3),
+        ("pg_to_tsquery", _fts._sql_to_tsquery, "STRING", 2),
+        ("pg_plainto_tsquery", _fts._sql_plainto_tsquery, "STRING", 2),
+        ("pg_phraseto_tsquery", _fts._sql_phraseto_tsquery, "STRING", 2),
+        ("pg_websearch_to_tsquery", _fts._sql_websearch_to_tsquery,
+         "STRING", 2),
+        ("pg_ts_match", _fts._sql_ts_match, "BOOLEAN", 2),
+        ("pg_setweight", _fts._sql_setweight, "STRING", 3),
+        ("pg_tsvector_strip", _fts._sql_strip, "STRING", 1),
+        ("pg_tsvector_length", _fts._sql_tsvector_length, "INT", 1),
+        ("pg_tsquery_numnode", _fts._sql_numnode, "INT", 1),
+        ("pg_querytree", _fts._sql_querytree, "STRING", 1),
+        ("pg_ts_rank", _fts._sql_ts_rank, "FLOAT", 4),
+        ("pg_ts_rank_cd", _fts._sql_ts_rank_cd, "FLOAT", 4),
+        ("pg_ts_delete", _fts._sql_ts_delete, "STRING", 2),
+        ("pg_ts_filter", _fts._sql_ts_filter, "STRING", 2),
+        ("pg_tsvector_to_array", _fts._sql_tsvector_to_array,
+         "ARRAY<STRING>", 1),
+        ("pg_array_to_tsvector", _fts._sql_array_to_tsvector, "STRING", 1),
+        ("pg_tsvector_concat", _fts._sql_tsvector_concat, "STRING", 2),
+        ("pg_tsquery_and", _fts._sql_tsquery_and, "STRING", 2),
+        ("pg_tsquery_or", _fts._sql_tsquery_or, "STRING", 2),
+        ("pg_tsquery_not", _fts._sql_tsquery_not, "STRING", 1),
+        ("pg_tsquery_phrase", _fts._sql_tsquery_phrase, "STRING", 3),
+        ("pg_tsq_mcontains", _fts._sql_tsq_mcontains, "BOOLEAN", 2),
+        ("pg_ts_rewrite", _fts._sql_ts_rewrite, "STRING", 3),
+        ("pg_ts_lexize", _fts._sql_ts_lexize, "ARRAY<STRING>", 2),
+        ("pg_tsquery_cmp", _fts._sql_tsquery_cmp, "INT", 2),
+        ("pg_ts_headline", _fts._sql_ts_headline, "STRING", 4),
+        ("pg_ts_headline_json", _fts._sql_ts_headline_json, "STRING", 4),
+    ):
+        spark.udf.register(_name, _arrow_batched(_fn, _ret, _arity))
     from warehouse_pg_spark.functions.ranges import register_range_functions
 
     register_range_functions(spark)

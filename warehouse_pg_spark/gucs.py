@@ -26,6 +26,10 @@ _GUC_DEFAULTS: dict[str, str] = {
     # engine-specific: maps to spark.sql.ansi.enabled (see _set_guc);
     # RESET/DISCARD must restore the relaxed posture, not just the text
     "strict_errors": "off",
+    # FTS default config (ts_cache.c getTSCurrentConfig); the dialect's
+    # to_tsvector/to_tsquery 1-arg lowering reads the module mirror in
+    # dialect/fts.py, updated by the SET handler
+    "default_text_search_config": "pg_catalog.english",
     # GP autostats GUCs (guc_gp.c gp_autostats_modes, default
     # GP_AUTOSTATS_NONE): accepted + reported, no-ops here — stats
     # collection is Spark/AQE's job

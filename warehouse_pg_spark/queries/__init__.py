@@ -26,6 +26,7 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
     gp_types,
     pg_sql,
     multimodal_q,
+    fts_q,
 )
 
 # --------------------------------------------------------------------------

@@ -52,6 +52,9 @@ from warehouse_pg_spark.dialect.compare import (
     _rewrite_row_compare,
     _rewrite_substring_regex,
 )
+from warehouse_pg_spark.dialect.fts import (  # noqa: F401
+    rewrite_fts,
+)
 from warehouse_pg_spark.dialect.geonet import (
     _rewrite_pg_geo,
     _rewrite_pg_network,
@@ -437,6 +440,10 @@ def rewrite(sql: str) -> str:
         lambda m: "`" + m.group(1).replace('""', '"').replace("`", "") + "`",
         out,
     )
+
+    # full-text search family (tsvector/tsquery casts, @@, ranks)
+    # BEFORE the jsonpath @@ pass so FTS-typed @@ is claimed first
+    out = rewrite_fts(out, lits)
 
     # ranking window functions without ORDER BY (PG allows an
     # unordered window — arbitrary order; Spark requires the clause):
