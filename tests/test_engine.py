@@ -1642,16 +1642,25 @@ def test_strict_errors_guc(engine):
     (int.c/float.c ereport) instead of returning NULL."""
     import pytest as _pytest
 
-    assert engine.sql("SELECT 1/0 AS r").collect()[0].r is None
+    # literal / literal-zero raises at PLAN time in every mode (r16:
+    # int.c int4div ereports unconditionally, not only under ANSI)
+    with _pytest.raises(Exception):
+        engine.sql("SELECT 1/0 AS r")
+    # a non-literal division stays on the relaxed/ANSI switch
+    relaxed = engine.sql(
+        "SELECT c/0 AS r FROM (SELECT 1 AS c)").collect()[0].r
+    assert relaxed is None
     engine.sql("SET strict_errors = on")
     try:
-        for q in ("SELECT 1/0", "SELECT CAST('abc' AS INT)",
+        for q in ("SELECT c/0 FROM (SELECT 1 AS c)",
+                  "SELECT CAST('abc' AS INT)",
                   "SELECT CAST(2147483647 AS INT) + CAST(1 AS INT)"):
             with _pytest.raises(Exception):
                 engine.sql(q).collect()
     finally:
         engine.sql("SET strict_errors = off")
-    assert engine.sql("SELECT 1/0 AS r").collect()[0].r is None
+    assert engine.sql(
+        "SELECT c/0 AS r FROM (SELECT 1 AS c)").collect()[0].r is None
 
 
 def test_scale_function(engine):

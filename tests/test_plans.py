@@ -384,3 +384,21 @@ def test_no_row_at_a_time_python_udf_in_any_registry_plan(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders.append((name, "BatchEvalPython"))
     assert not offenders, offenders
+
+
+def test_combinefunc_aggregate_two_stage_plan(spark, sf_dir):
+    """A CREATE AGGREGATE with a combinefunc must lower to the
+    partial/merge shape (engine_fn_ddl._lower_combinefunc_aggregate):
+    the inner stage groups on (keys, spark_partition_id()) so no task
+    folds a whole group, and only states cross the merge boundary."""
+    from warehouse_pg_spark.queries import REGISTRY
+
+    df = REGISTRY["pgsql_combinefunc_aggregate"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    # two aggregation stages: the (key, pid) partial and the key merge
+    import re as _re
+
+    n_aggs = len(_re.findall(
+        r"HashAggregate|ObjectHashAggregate|SortAggregate", plan))
+    assert n_aggs >= 2, plan

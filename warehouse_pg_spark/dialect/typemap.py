@@ -13,6 +13,8 @@ from warehouse_pg_spark.dialect.mask import _MASK_RE, _split_top_level_commas
 
 _TYPE_MAP = {
     "text": "STRING",
+    # fmgr C-string I/O pseudotype: text in the engine's model
+    "cstring": "STRING",
     "varchar": "STRING",
     "bpchar": "STRING",
     "int2": "SMALLINT",
@@ -234,6 +236,8 @@ _COL_TEXT_TYPES = frozenset((
     "macaddr", "macaddr8", "cidr", "inet", "money", "timetz",
     "interval", "tsvector", "tsquery", "uuid", "bit", "varbit",
     "aclitem", "int2vector", "pg_lsn", "txid_snapshot",
+    # cstring: the C-string I/O pseudotype (fmgr) — text here
+    "cstring",
 ))
 
 # per-column constraint clauses Spark's parser rejects (gram.y

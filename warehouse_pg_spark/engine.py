@@ -116,8 +116,18 @@ _DROP_SEQ_RE = re.compile(
     r"^DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
 )
 _ALTER_SEQ_RE = re.compile(
-    r"^ALTER\s+SEQUENCE\s+([\w.]+)\s+RESTART(?:\s+WITH\s+(\d+))?\s*$",
+    # RESTART may carry a sign and mix with other init_params options
+    # in any order (sequence.c AlterSequence); only RESTART moves the
+    # coordinator counter, the rest are accepted no-ops
+    r"^ALTER\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?([\w.]+)"
+    r"((?:\s+(?:RESTART(?:\s+WITH\s+-?\d+)?"
+    r"|START(?:\s+WITH)?\s+-?\d+|INCREMENT(?:\s+BY)?\s+-?\d+"
+    r"|MINVALUE\s+-?\d+|MAXVALUE\s+-?\d+|CACHE\s+\d+"
+    r"|NO\s+(?:MINVALUE|MAXVALUE|CYCLE)|CYCLE|AS\s+\w+))+)\s*$",
     re.IGNORECASE,
+)
+_SEQ_RESTART_RE = re.compile(
+    r"\bRESTART(?:\s+WITH\s+(-?\d+))?", re.IGNORECASE
 )
 # ownership/rename/option forms (sequence.c AlterSequence): OWNED BY
 # binds drop-cascade bookkeeping the engine doesn't track; option
@@ -364,6 +374,15 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
         # polymorphic SQL-function templates (anyarray/anyelement):
         # name -> {params, body, setof}; calls inline by substitution
         self._poly_functions: dict[str, dict] = {}
+        # user functions that shadow Spark builtins (namespace.c:
+        # search_path puts user schemas before pg_catalog, so the user
+        # "decode" wins) — registered under a prefix, call sites with
+        # a matching arity rewrite to it
+        self._shadowed_fns: dict[str, int] = {}
+        # RETURNS VOID functions whose bodies are DML statements:
+        # calling one executes the statements (functions.c SQL-function
+        # execution) and yields the void (NULL) result
+        self._void_procs: dict[str, tuple[list[str], list[str]]] = {}
         register_pg_functions(self.spark)
 
     # ---------------------------------------------------------------- query
@@ -384,6 +403,10 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
         if self._user_types.maybe_ddl(text):
             return self._tag(0)
         self._maybe_register_rowtype(text)
+        vp = self._maybe_call_void_proc(text)
+        if vp is not None:
+            return vp
+        text = self._substitute_shadowed_calls(text)
         text = self._substitute_aggregate_calls(text)
         text = self._substitute_polymorphic_calls(text)
         text = self._user_types.rewrite(text)
@@ -432,7 +455,37 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
             return present_intervals(self.spark.sql(lowered, args=named_args))
         # Calendar/YM interval result columns render as PG interval text
         # (interval_out) — PySpark cannot collect() those types at all
-        return present_intervals(self.spark.sql(lowered))
+        return present_intervals(self._sql_autoschema(lowered))
+
+    def _sql_autoschema(self, lowered: str) -> DataFrame:
+        """spark.sql with on-demand namespace creation: PG contexts
+        CREATE SCHEMA in sessions the replay doesn't see; a Spark
+        namespace is a directory, so creating it at the first
+        qualified CREATE is the catalog-equivalent of that DDL."""
+        try:
+            return self.spark.sql(lowered)
+        except Exception as e:  # noqa: BLE001
+            if not re.match(r"(?is)\s*CREATE\s", lowered):
+                raise
+            sm = re.search(
+                r"The schema `spark_catalog`\.`(\w+)` cannot be found",
+                str(e))
+            if sm is not None:
+                self.spark.sql(
+                    f"CREATE NAMESPACE IF NOT EXISTS {sm.group(1)}")
+                return self.spark.sql(lowered)
+            # table-rowtype column (parse_type.c: a table name is a
+            # type): substitute the table's STRUCT and retry once
+            um = re.search(r'Unsupported data type "(\w+)"', str(e))
+            if um is not None:
+                tcols = self._table_rowtype_cols(um.group(1).lower())
+                if tcols is not None:
+                    struct = "STRUCT<" + ", ".join(
+                        f"{n}: {ty}" for n, ty in tcols) + ">"
+                    fixed = re.sub(
+                        rf"(?i)\b{um.group(1)}\b", struct, lowered)
+                    return self.spark.sql(fixed)
+            raise
 
     def _lower_srf_select(self, text: str) -> str:
         """PG SRF-in-target-list over a registered set-returning SQL
@@ -753,6 +806,13 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
                 params, ret_spark, body,
                 composites=self._user_types.composites,
             )
+        elif lang == "internal" and re.fullmatch(
+                r"\w*(?:in|out|send|recv)", body.strip()):
+            # LANGUAGE internal I/O functions ('int4in', 'textout', ...;
+            # fmgr builtins): with the engine's text-transport model a
+            # type I/O conversion is the declared cast itself
+            expr = params[0][0] if params else "NULL"
+            expr = f"CAST(({expr}) AS {ret_spark})"
         elif lang in ("sql", "internal"):
             # PG SQL functions return the last statement's result; the
             # supported subset is expression-bodied SELECTs.
@@ -791,6 +851,18 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
                         # the trailing identifier follows a complete
                         # operand: it is the bare column alias
                         expr = pre
+            if rettype.lower() == "void" and re.match(
+                    r"(?is)\s*(INSERT|UPDATE|DELETE|TRUNCATE)\b", last):
+                # DML-bodied void function: store the statements; a
+                # call executes them (functions.c runs every statement
+                # of a SQL function, returning the last — void keeps
+                # side effects only). RETURNING clauses are discarded.
+                stmts = [x.strip() for x in body.split(";") if x.strip()]
+                stmts = [re.sub(r"(?is)\s+RETURNING\s+.*$", "", x)
+                         for x in stmts]
+                self._void_procs[name.lower()] = (
+                    [p for p, _t in params], stmts)
+                return self._tag(0)
             if rettype.lower() == "void":
                 # functions.c: a void SQL function evaluates its body
                 # and discards the result (SELECT f(x) shows empty)
@@ -816,10 +888,22 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
             + (f" DEFAULT ({defaults[p]})" if p in defaults else "")
             for p, t in params
         )
-        self.spark.sql(
-            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({arglist}) "
-            f"RETURNS {ret_spark} RETURN {expr}"
-        )
+        try:
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({arglist}) "
+                f"RETURNS {ret_spark} RETURN {expr}"
+            )
+        except Exception as e:  # noqa: BLE001
+            if "CANNOT_REPLACE_NON_SQL_UDF" not in str(e):
+                raise
+            # the name is a Spark builtin Spark refuses to replace:
+            # register under a prefix; same-arity call sites rewrite
+            # to it (PG search_path semantics put the user fn first)
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION __pgudf_{name}"
+                f"({arglist}) RETURNS {ret_spark} RETURN {expr}"
+            )
+            self._shadowed_fns[name.lower()] = len(params)
         if variadic_at is not None:  # only after Spark accepted it
             self._variadic_functions[name.lower()] = variadic_at
         self._scalar_fn_exprs[name.lower()] = (
@@ -864,20 +948,29 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
                     raise ValueError(
                         f"RETURNS TABLE column needs name + type: {item!r}"
                     )
-                cols.append((toks[0], map_decl_type(" ".join(toks[1:]))))
+                cols.append(
+                    (toks[0], self._decl_type(" ".join(toks[1:]))))
         else:
             elem = setof_elem.strip()
             comp = self._user_types.composites.get(elem.lower())
             if comp is not None:
-                cols = [(f, map_decl_type(t)) for f, t in comp.fields]
+                # user-type-aware per-field resolution (composite
+                # fields may themselves be domains/base-type aliases)
+                cols = [(f, self._decl_type(t)) for f, t in comp.fields]
             elif elem.lower() in ("record",):
                 raise NotImplementedError(
                     "RETURNS SETOF record needs an explicit column "
                     "list — use RETURNS TABLE (...) or a composite type"
                 )
             else:
-                # PG names the single result column after the function
-                cols = [(name, map_decl_type(elem))]
+                # SETOF table-rowtype (functioncmds.c: a table name is
+                # a rowtype): the function returns the table's columns
+                tcols = self._table_rowtype_cols(elem)
+                if tcols is not None:
+                    cols = tcols
+                else:
+                    # PG names the single result column after the fn
+                    cols = [(name, self._decl_type(elem))]
         q: str | None = None
         if lang == "plpgsql":
             # the single-RETURN-QUERY body (pl_exec.c
@@ -1255,8 +1348,14 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
         m = _ALTER_SEQ_RE.match(s)
         if m:
             name = m.group(1).split(".")[-1]
+            rm2 = _SEQ_RESTART_RE.search(m.group(2))
+            if name not in self._sequences and re.search(
+                    r"(?i)\bIF\s+EXISTS\b", s):
+                return self._tag(0)
             seq = self._seq(name)
-            seq["next"] = int(m.group(2) or seq["start"])
+            if rm2 is not None:
+                seq["next"] = int(rm2.group(1) or seq["start"])
+                seq.pop("last", None)
             return self._tag(0)
         rn = re.match(
             r"(?is)^ALTER\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?([\w.]+)"
@@ -1589,7 +1688,7 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
             policy = m.group(2).lower()  # randomly | replicated
             policy = {"randomly": "random", "replicated": "replicated"}[policy]
         stripped = _DISTRIBUTED_BY_RE.sub("", text)
-        out = self.spark.sql(stripped)
+        out = self._sql_autoschema(stripped)
         name_m = re.search(r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)", text, re.IGNORECASE)
         if name_m:
             from warehouse_pg_spark.catalog import TableInfo

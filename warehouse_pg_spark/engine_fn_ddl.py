@@ -217,18 +217,26 @@ class FunctionDDLMixin:
                 "hi_i: BOOLEAN, empty: BOOLEAN>"
             )
         else:
-            return map_decl_type(t.strip())
+            tcols = self._table_rowtype_cols(key)
+            if tcols is not None:
+                base = "STRUCT<" + ", ".join(
+                    f"{n}: {ty}" for n, ty in tcols) + ">"
+            else:
+                return map_decl_type(t.strip())
         return f"ARRAY<{base}>" if arr else base
 
     def _maybe_create_aggregate(self, text: str):
         """CREATE AGGREGATE (commands/aggregatecmds.c DefineAggregate):
         both the modern `name(argtypes) (options)` and the old GP
         one-paren `name (basetype = X, sfunc = ...)` forms register
-        {sfunc, stype, finalfunc, initcond}; call sites then lower to
-        a collect_list fold (_substitute_aggregate_calls). Parallel
-        combinefunc/msfunc options are accepted and ignored — the
-        fold is the semantic contract, Spark's exchange handles the
-        distribution."""
+        {sfunc, stype, finalfunc, combinefunc, initcond}; call sites
+        then lower via _substitute_aggregate_calls. When the DDL
+        declares combinefunc/prelimfunc (GP's multi-stage contract,
+        cdb/cdbgroupingpaths.c:258), simple GROUP BY statements
+        restructure into a partial/merge two-stage plan so no task
+        ever buffers a whole group; without one the sequential fold
+        is the semantic contract (group-size bound documented in
+        README deviations)."""
         m = self._DROP_AGG_RE.match(text)
         if m:
             key = m.group(2).split(".")[-1].lower()
@@ -269,9 +277,137 @@ class FunctionDDLMixin:
             "stype": stype,
             "finalfunc": (opts.get("finalfunc") or "").split(".")[-1]
             or None,
+            # GP spells the merge step combinefunc (PG 9.6+) or
+            # prelimfunc (legacy); either enables the two-stage plan
+            "combinefunc": (opts.get("combinefunc")
+                            or opts.get("prelimfunc")
+                            or "").split(".")[-1] or None,
             "initcond": init,
         }
         return self._tag(0)
+
+    def _agg_fold_expr(self, d: dict, arg: str) -> str | None:
+        """The nodeAgg.c transition fold for one aggregate over `arg`:
+        finalless aggregate(collect_list(arg), init, sfunc) with the
+        retained SQL body inlined (Spark's SQL-UDF inliner can't reach
+        inside a HOF lambda under an Aggregate)."""
+        sf = self._scalar_fn_exprs.get(d["sfunc"].lower())
+        if sf is None or len(sf[0]) != 2:
+            return None  # non-SQL sfunc: stay loud
+        stype = d["stype"]
+        if d["initcond"] is not None:
+            esc = d["initcond"].replace("'", "''")
+            init = f"'{esc}'::{stype}"
+        else:
+            init = f"NULL::{stype}"
+        step = sf[1]
+        for pn, var in zip(sf[0], ("__acc", "__v")):
+            step = re.sub(rf"\b{re.escape(pn)}\b", var, step)
+        return (f"aggregate(collect_list({arg}), {init}, "
+                f"(__acc, __v) -> {step})")
+
+    _SIMPLE_GROUPBY_RE = re.compile(
+        r"(?is)^\s*SELECT\s+(?P<list>.*?)\s+FROM\s+"
+        r"(?P<src>[\w.\"]+)\s+GROUP\s+BY\s+"
+        r"(?P<keys>[\w.\",\s]+?)"
+        r"(?P<tail>\s+ORDER\s+BY\b.*|\s+LIMIT\b.*)?\s*;?\s*$"
+    )
+
+    def _lower_combinefunc_aggregate(self, text: str) -> str | None:
+        """Two-stage lowering for combinefunc aggregates
+        (cdb/cdbgroupingpaths.c:258 multi-stage agg): a simple
+        `SELECT keys, my_agg(x)[, builtin aggs] FROM t GROUP BY keys`
+        restructures to
+
+            SELECT keys, final(aggregate(collect_list(__st), init,
+                                         combinefunc))
+            FROM (SELECT keys, aggregate(collect_list(x), init, sfunc)
+                    AS __st
+                  FROM t GROUP BY keys, spark_partition_id())
+            GROUP BY keys
+
+        so the inner transition fold sees one source partition's rows
+        per cell (bounded by partition size, never a whole group) and
+        only per-partition STATES reach the merge — a hot key splits
+        across partitions instead of one task. Returns None (caller
+        falls back to the single fold) for shapes outside the simple
+        GROUP BY form."""
+        from warehouse_pg_spark.engine import _split_exprs
+
+        if re.search(r"(?is)\b(having|union|intersect|except|over|"
+                     r"window|distinct|join)\b", text):
+            return None
+        m = self._SIMPLE_GROUPBY_RE.match(text)
+        if m is None:
+            return None
+        keys = [k.strip() for k in m.group("keys").split(",")]
+        if not all(re.fullmatch(r'[\w."]+', k) for k in keys):
+            return None
+        items = _split_exprs(m.group("list"))
+        agg_names = {n: d for n, d in self._sql_aggregates.items()
+                     if d.get("combinefunc")}
+        if not agg_names:
+            return None
+        inner, outer = [], []
+        n_aux = 0
+        saw_uda = False
+        for item in items:
+            item = item.strip()
+            am = re.match(r"(?is)^(.*?)(?:\s+AS\s+(\w+))?$", item)
+            expr = am.group(1).strip()
+            alias = am.group(2)
+            if expr in keys or expr.split(".")[-1] in [
+                    k.split(".")[-1] for k in keys]:
+                inner.append(expr)
+                outer.append(item)
+                continue
+            cm = re.match(r"(?is)^(\w+)\s*\(([^()]*)\)$", expr)
+            if cm is None:
+                return None
+            fn, arg = cm.group(1).lower(), cm.group(2).strip()
+            out_alias = f" AS {alias}" if alias else f" AS {fn}"
+            if fn in agg_names:
+                d = agg_names[fn]
+                cf = self._scalar_fn_exprs.get(d["combinefunc"].lower())
+                fold = self._agg_fold_expr(d, arg)
+                if (cf is None or len(cf[0]) != 2 or fold is None
+                        or "," in arg or not arg or arg == "*"):
+                    return None
+                saw_uda = True
+                inner.append(f"{fold} AS __st{n_aux}")
+                merge = cf[1]
+                for pn, var in zip(cf[0], ("__acc", "__v")):
+                    merge = re.sub(rf"\b{re.escape(pn)}\b", var, merge)
+                stype = d["stype"]
+                if d["initcond"] is not None:
+                    esc = d["initcond"].replace("'", "''")
+                    init = f"'{esc}'::{stype}"
+                else:
+                    init = f"NULL::{stype}"
+                o = (f"aggregate(collect_list(__st{n_aux}), {init}, "
+                     f"(__acc, __v) -> {merge})")
+                if d["finalfunc"]:
+                    o = f"{d['finalfunc']}({o})"
+                outer.append(f"{o}{out_alias}")
+            elif fn == "count":
+                inner.append(f"count({arg or '*'}) AS __c{n_aux}")
+                outer.append(
+                    f"CAST(sum(__c{n_aux}) AS BIGINT){out_alias}")
+            elif fn in ("sum", "min", "max"):
+                inner.append(f"{fn}({arg}) AS __c{n_aux}")
+                outer.append(f"{fn}(__c{n_aux}){out_alias}")
+            else:
+                return None
+            n_aux += 1
+        if not saw_uda:
+            return None
+        tail = m.group("tail") or ""
+        return (
+            f"SELECT {', '.join(outer)} FROM "
+            f"(SELECT {', '.join(inner)} FROM {m.group('src')} "
+            f"GROUP BY {', '.join(keys)}, spark_partition_id()) "
+            f"__partial GROUP BY {', '.join(keys)}{tail}"
+        )
 
     def _substitute_aggregate_calls(self, text: str) -> str:
         """Lower calls to CREATE AGGREGATE-defined aggregates:
@@ -284,6 +420,9 @@ class FunctionDDLMixin:
         left untouched (loud)."""
         if not self._sql_aggregates:
             return text
+        restructured = self._lower_combinefunc_aggregate(text)
+        if restructured is not None:
+            text = restructured
         for name, d in self._sql_aggregates.items():
             if not re.search(rf"(?i)\b{re.escape(name)}\s*\(", text):
                 continue
@@ -322,3 +461,75 @@ class FunctionDDLMixin:
             )
         return text
 
+
+    def _table_rowtype_cols(self, typename: str):
+        """A table name used as a type is its rowtype
+        (parse_type.c typenameType over a relation): resolve to the
+        table's (name, spark-type) columns, or None if no such table."""
+        key = typename.strip().strip('"').split(".")[-1]
+        try:
+            if not self.spark.catalog.tableExists(key):
+                return None
+            return [(f.name, f.dataType.simpleString().upper())
+                    for f in self.spark.table(key).schema.fields]
+        except Exception:
+            return None
+
+    def _substitute_shadowed_calls(self, text: str) -> str:
+        """Rewrite calls to user functions that shadow Spark builtins
+        (same arity only — other arities stay on the builtin, the
+        closest single-namespace rendering of PG's overload set)."""
+        if not self._shadowed_fns:
+            return text
+        from warehouse_pg_spark.engine import _split_exprs
+
+        for name, arity in self._shadowed_fns.items():
+            pat = re.compile(rf'(?is)(?<![\w.])"?{re.escape(name)}"?\s*\(')
+            pos = 0
+            while True:
+                m = pat.search(text, pos)
+                if m is None:
+                    break
+                depth, j = 1, m.end()
+                while j < len(text) and depth:
+                    if text[j] == "(":
+                        depth += 1
+                    elif text[j] == ")":
+                        depth -= 1
+                    j += 1
+                args = [a for a in _split_exprs(text[m.end(): j - 1])
+                        if a.strip()]
+                if len(args) == arity:
+                    text = (text[: m.start()] + f"__pgudf_{name}("
+                            + text[m.end(): ])
+                pos = m.start() + len(f"__pgudf_{name}")
+        return text
+
+    def _maybe_call_void_proc(self, text: str):
+        """`SELECT voidfn(args)` over a DML-bodied void function:
+        execute the stored statements with the arguments substituted
+        (the planner's SQL-function execution, driver-side because the
+        body is DML, not an expression)."""
+        if not self._void_procs:
+            return None
+        from warehouse_pg_spark.engine import _split_exprs
+
+        m = re.match(
+            r"(?is)^\s*SELECT\s+([\w.]+)\s*\((.*)\)\s*;?\s*$",
+            text.strip())
+        if m is None:
+            return None
+        name = m.group(1).split(".")[-1].lower()
+        proc = self._void_procs.get(name)
+        if proc is None:
+            return None
+        pnames, stmts = proc
+        args = [a.strip() for a in _split_exprs(m.group(2))]
+        if len(args) != len(pnames):
+            return None
+        for stmt in stmts:
+            for pn, av in zip(pnames, args):
+                stmt = re.sub(rf"\b{re.escape(pn)}\b", f"({av})", stmt)
+            self.sql(stmt)
+        return self.spark.sql(
+            f"SELECT CAST(NULL AS STRING) AS {name}")

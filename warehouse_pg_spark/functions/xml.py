@@ -101,7 +101,10 @@ def _xpath_py(doc, path):
     try:
         wrap = ET.fromstring(f"<__pg_doc__>{body}</__pg_doc__>")
     except ET.ParseError:
-        return []
+        # xml.c xpath(): unlike the well-formed checks, evaluation
+        # parses strictly — undeclared ns prefixes and broken markup
+        # raise rather than yield an empty node-set
+        raise ValueError("could not parse XML document")
     p = path.strip()
 
     def select(q):

@@ -534,6 +534,13 @@ def _parse_for(s: str) -> tuple:
                 raise PlpgsqlError("FOR without END LOOP")
             inner = s[mq.end(): tail.start()]
             targets = [t.strip().lower() for t in mq.group(1).split(",")]
+            # a sole target whose fields the body dereferences is an
+            # implicit RECORD (pl_gram.y: the for_variable of a query/
+            # cursor FOR is a record unless declared scalar)
+            if len(targets) == 1 and re.search(
+                    rf"\b{targets[0]}\s*\.\s*\w+", inner,
+                    re.IGNORECASE):
+                targets = [targets[0] + "\x00rec"]
             return (
                 "for_query",
                 targets,
@@ -772,8 +779,13 @@ def _for_query_fold(
         )
     env_loop = dict(env)
     env_loop.update({v: f"{acc}.{v}" for v in state})
+    targets = list(targets)
+    implicit_rec = targets[0].endswith("\x00rec")
+    if implicit_rec:
+        targets[0] = targets[0][:-4]
     declared_record = env.get(targets[0], "").upper().endswith("AS RECORD))")
-    if len(targets) == 1 and (len(cols) > 1 or declared_record):
+    if len(targets) == 1 and (len(cols) > 1 or declared_record
+                              or implicit_rec):
         env_loop[targets[0]] = rec  # RECORD: fields via rec.col
     else:
         if len(targets) > len(cols):
@@ -1136,6 +1148,34 @@ def _base_env(
     return env
 
 
+def _inline_cursor_loops(decl: str, body: str) -> tuple[str, str]:
+    """Bound unparameterized cursors: `c CURSOR [NO SCROLL] FOR q`
+    declarations inline into `FOR r IN c LOOP` sites, which then
+    compile through the existing FOR-over-query path (pl_exec.c
+    exec_stmt_forc runs the same portal machinery as exec_stmt_fors —
+    with a static query the two are one lowering). OPEN/FETCH/CLOSE
+    imperative cursor use stays rejected."""
+    cursors: dict[str, str] = {}
+    kept: list[str] = []
+    for d in decl.split(";"):
+        cm = re.match(
+            r"(?is)^\s*([A-Za-z_]\w*)\s+(?:NO\s+SCROLL\s+"
+            r"|SCROLL\s+)?CURSOR\s+(?:IS|FOR)\s+(.+)$", d)
+        if cm and not re.search(r"(?i)\(", cm.group(1)):
+            cursors[cm.group(1).lower()] = cm.group(2).strip()
+        elif d.strip():
+            kept.append(d)
+    if not cursors:
+        return decl, body
+    for cname, q in cursors.items():
+        body = re.sub(
+            rf"(?is)\bFOR\s+([A-Za-z_]\w*)\s+IN\s+{cname}\s+LOOP\b",
+            lambda m2: f"FOR {m2.group(1)} IN {q} LOOP",
+            body,
+        )
+    return "; ".join(kept), body
+
+
 def compile_plpgsql(
     params: list[tuple[str, str]], returns: str, body: str,
     composites: dict | None = None,
@@ -1149,8 +1189,10 @@ def compile_plpgsql(
     m = _HEADER_RE.search(masked)
     if not m:
         raise PlpgsqlError("body must be [DECLARE ...] BEGIN ... END")
-    env = _base_env(params, m.group("decl") or "", composites)
-    stmts = _parse_stmts(_split_statements(m.group("body")))
+    decl, inner = _inline_cursor_loops(m.group("decl") or "",
+                                       m.group("body"))
+    env = _base_env(params, decl, composites)
+    stmts = _parse_stmts(_split_statements(inner))
     return _unmask(_compile_seq(stmts, env, returns), lits)
 
 

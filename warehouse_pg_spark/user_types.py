@@ -291,6 +291,14 @@ class UserTypes:
         if m:
             return self._alter_domain(self._key(m.group(1)),
                                       m.group(2).strip())
+        # GP column-compression directives over ANY type spelling
+        # (incl. multi-word and parameterized builtins): storage-layer
+        # no-op here — parquet encoding is Spark's job
+        if re.match(
+            r"(?is)^ALTER\s+TYPE\s+.+?\bSET\s+DEFAULT\s+ENCODING\s*\(",
+            s,
+        ):
+            return True
         m = _ALTER_TYPE_RE.match(s)
         if m:
             return self._alter_type(self._key(m.group(1)),
@@ -318,7 +326,12 @@ class UserTypes:
             return True
         m = _CREATE_SHELL_RE.match(s)
         if m:
-            return True  # shell type (typecmds.c): accepted, no body
+            # shell type (typecmds.c): registers as a text-base alias
+            # so I/O-function signatures over it resolve before the
+            # full CREATE TYPE (name (input=...)) arrives
+            self.domains.setdefault(self._key(m.group(1)),
+                                    Domain(base="text"))
+            return True
         return False
 
     @staticmethod
@@ -537,6 +550,18 @@ class UserTypes:
         if re.match(r"(?i)DROP\s+DEFAULT", action):
             d.default = None
             return True
+        mm = re.match(r"(?i)RENAME\s+TO\s+(\w+)", action)
+        if mm:
+            # typecmds.c RenameType over a domain: move the registry
+            # entry; existing lowered casts keep the base type
+            self.domains[mm.group(1).lower()] = self.domains.pop(name)
+            return True
+        mm = re.match(r"(?i)RENAME\s+CONSTRAINT\s+(\w+)\s+TO\s+(\w+)",
+                      action)
+        if mm:
+            d.checks = [(mm.group(2) if cn == mm.group(1) else cn, ck)
+                        for cn, ck in d.checks]
+            return True
         raise ValueError(f"ALTER DOMAIN: unsupported action: {action!r}")
 
     # -------------------------------------------------------- rewrite
@@ -655,6 +680,23 @@ class UserTypes:
                     return m.group(0)
                 li = "true" if bm.group(1) == "[" else "false"
                 hi_i = "true" if bm.group(2) == "]" else "false"
+            # make_range bound order, checkable when both constructor
+            # args are plain literals (rangetypes.c: C-collation text
+            # compare, so 'a' > 'Z' bytewise raises)
+            lm_ = re.match(r"^\s*'((?:[^']|'')*)'\s*$", args[0])
+            hm_ = re.match(r"^\s*'((?:[^']|'')*)'\s*$", args[1])
+            nm_ = (re.match(r"^\s*-?\d+(?:\.\d+)?\s*$", args[0]),
+                   re.match(r"^\s*-?\d+(?:\.\d+)?\s*$", args[1]))
+            bad = None
+            if lm_ and hm_ and sfx == "_str":
+                bad = (lm_.group(1).replace("''", "'")
+                       > hm_.group(1).replace("''", "'"))
+            elif nm_[0] and nm_[1] and sfx in ("", "_i8"):
+                bad = float(nm_[0].group(0)) > float(nm_[1].group(0))
+            if bad:
+                raise ValueError(
+                    "range lower bound must be less than or "
+                    "equal to range upper bound")
             return (
                 f"pg_range{sfx}(CAST(({args[0].strip()}) AS {t}), "
                 f"CAST(({args[1].strip()}) AS {t}), {li}, {hi_i})"
