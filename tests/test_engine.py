@@ -2910,3 +2910,97 @@ def test_numeric_domain_folds(engine):
             engine.sql(q)
     assert engine.sql("select ln(1.0) AS x").collect()[0].x == 0.0
     assert engine.sql("select 2 ^ 10 AS x").collect()[0].x == 1024.0
+
+
+def test_zero_column_and_inherits_tables(engine):
+    """gram.y allows empty column lists; empty-collist INHERITS is a
+    parent-schema clone, own-column INHERITS strips the clause (r16)."""
+    engine.sql("DROP TABLE IF EXISTS r16_zc")
+    engine.sql("create table r16_zc ()")
+    engine.sql("alter table r16_zc add column x int")
+    assert "x" in engine.sql("select * from r16_zc").columns
+    engine.sql("DROP TABLE IF EXISTS r16_parent")
+    engine.sql("create table r16_parent (a int, b text)")
+    engine.sql("DROP TABLE IF EXISTS r16_child")
+    engine.sql("create table r16_child () inherits (r16_parent)")
+    assert engine.sql("select * from r16_child").columns == ["a", "b"]
+    for t in ("r16_zc", "r16_child", "r16_parent"):
+        engine.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_schema_autocreate_and_rowtype_column(engine):
+    """Qualified CREATEs materialize their namespace on demand; a
+    table name used as a column type is its rowtype STRUCT (r16)."""
+    engine.spark.sql("DROP TABLE IF EXISTS r16ns.t1")
+    engine.sql("CREATE TABLE r16ns.t1 (a int) DISTRIBUTED BY (a)")
+    assert engine.spark.catalog.tableExists("r16ns.t1")
+    engine.sql("DROP TABLE IF EXISTS r16_rt_base")
+    engine.sql("create table r16_rt_base (a int, b text)")
+    engine.sql("DROP TABLE IF EXISTS r16_rt_user")
+    engine.sql("create table r16_rt_user (x int, y r16_rt_base)")
+    assert "struct<a:int,b:string>" in (
+        engine.spark.table("r16_rt_user").schema.simpleString())
+    engine.spark.sql("DROP TABLE IF EXISTS r16ns.t1")
+    engine.spark.sql("DROP NAMESPACE IF EXISTS r16ns")
+    for t in ("r16_rt_user", "r16_rt_base"):
+        engine.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_alter_sequence_option_tail(engine):
+    """AlterSequence with RESTART mixed into other init_params
+    options, signed values, and IF EXISTS over a missing name."""
+    engine.sql("DROP SEQUENCE IF EXISTS r16_seq")
+    engine.sql("CREATE SEQUENCE r16_seq START WITH 5")
+    engine.sql(
+        "ALTER SEQUENCE r16_seq RESTART WITH 24 INCREMENT BY 4 "
+        "MAXVALUE 36 MINVALUE 5 CYCLE")
+    assert engine.sql("SELECT nextval('r16_seq')").collect()[0][0] == 24
+    engine.sql("ALTER SEQUENCE r16_seq RESTART WITH -24 NO CYCLE")
+    assert engine.sql("SELECT nextval('r16_seq')").collect()[0][0] == -24
+    engine.sql("ALTER SEQUENCE IF EXISTS r16_nosuch RESTART WITH 2")
+    engine.sql("DROP SEQUENCE r16_seq")
+
+
+def test_void_dml_procedure_and_builtin_shadow(engine):
+    """RETURNS VOID with a DML body executes on call (functions.c);
+    a user fn shadowing a Spark builtin registers under a prefix and
+    same-arity calls rewrite to it (search_path semantics)."""
+    engine.sql("DROP TABLE IF EXISTS r16_sometable")
+    engine.sql("create table r16_sometable (v int)")
+    engine.sql(
+        "CREATE FUNCTION r16_voidins(a int) RETURNS VOID LANGUAGE SQL "
+        "AS $$ INSERT INTO r16_sometable VALUES(a + 1) RETURNING v $$")
+    engine.sql("SELECT r16_voidins(7)")
+    assert engine.sql(
+        "select v from r16_sometable").collect()[0][0] == 8
+    engine.sql(
+        "CREATE OR REPLACE FUNCTION \"decode\"(int, int, int) RETURNS "
+        "int AS 'select $1 * $2 - $3;' LANGUAGE sql")
+    assert engine.sql(
+        "SELECT decode(11, 333, -1)").collect()[0][0] == 3664
+    # other arities stay on the Spark builtin
+    assert engine.sql(
+        "SELECT decode(encode('ab', 'utf-8'), 'utf-8')"
+    ).collect()[0][0] == "ab"
+    engine.sql("DROP TABLE IF EXISTS r16_sometable")
+
+
+def test_plpgsql_cursor_for_loop(engine, sf_dir):
+    """Bound-cursor FOR loops inline the cursor query into the
+    FOR-over-query fold (pl_exec.c exec_stmt_forc); the loop variable
+    is an implicit RECORD when its fields are dereferenced."""
+    engine.attach_fixtures(sf_dir)
+    engine.sql("""
+CREATE OR REPLACE FUNCTION r16_region_total() RETURNS bigint AS $$
+DECLARE
+  c CURSOR FOR SELECT n_nationkey FROM nation ORDER BY n_nationkey;
+  total bigint := 0;
+BEGIN
+  FOR r IN c LOOP
+    total := total + r.n_nationkey;
+  END LOOP;
+  RETURN total;
+END;
+$$ LANGUAGE plpgsql""")
+    assert engine.sql(
+        "SELECT r16_region_total()").collect()[0][0] == 300

@@ -46,86 +46,83 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
 # scored, keeping one green representative per family pinned (the
 # family-coverage invariant is cumulative — tests/test_registry.py
 # checks prefix ∪ CORRECTNESS_r* history spans REQUIRED_FAMILY_TAGS).
-# r15 rotation: the 2 NEW round-15 queries lead — CREATE AGGREGATE
-# over SQL transition/final functions (the collect_list fold with
-# manually-inlined bodies) and polymorphic anyarray/anyelement SQL
-# functions (template inlining). The 5 family anchors stay. The
-# remaining slots re-score prior greens whose code round 15 touched:
-# the from_char scanner (separator semantics, TZH/TZM, post-field
-# skip, HH12 pm gate), the XML constructors (xmlconcat prolog merge,
-# infinity-attr raise), jsonpath (identifier escapes, like_regex
-# flags, subscript/strict exec errors) and the jsonb mutation family
-# (path errors now raise), ranges (literal validation), the numeric
-# folds (ln/log/power domains, infinity::numeric), linear_interpolate
-# (overflow/type checks), the regex match path (backref-in-lookahead),
-# the BETWEEN precedence rewrite (comparisons), user-type paths
-# (_decl_type in CREATE FUNCTION params, base-type CREATE TYPE), and
-# the engine front path broadly (pgsql_q1_text + the flagship pair).
-# Cumulative if green: 247 + 2 = 249 of 249.
+# r16 rotation: the 3 NEW round-16 queries lead — full-text search
+# match + rank (tsvector @@ tsquery, calc_rank_or JVM-side with the
+# Arrow shim cross-check), tsvector construction/setweight text-form
+# parity against an independent DuckDB reconstruction, and the
+# combinefunc CREATE AGGREGATE two-stage partial/merge plan. The 5
+# family anchors stay. The remaining slots re-score prior greens whose
+# code round 16 touched: the numeric literal checks (litchecks.py
+# extraction + quoted-int arithmetic + div-zero), the dialect front
+# (FTS pass ordering before jsonpath @@), the xpath strict-parse
+# change, user-type paths (range ctor bounds, shell types, rowtypes),
+# plpgsql (cursor FOR inlining, implicit record targets), the
+# aggregate substitution path, the BETWEEN/|| ADVICE fixes, the
+# timestamp digit decode, and the engine front broadly.
+# Cumulative if green: 249 + 3 = 252 of 252.
 DRIVER_PREFIX: tuple[str, ...] = (
-    # never-scored: new round-15 queries
-    "pgsql_create_aggregate",
-    "pgsql_polymorphic_function",
+    # never-scored: new round-16 queries
+    "fts_match_rank",
+    "fts_tsvector_ops",
+    "pgsql_combinefunc_aggregate",
     # anchors (required family tags with no never-scored owner)
     "external_csv_scan",
     "agg_dqa_multi",
     "cte_shared_reuse",
     "udtf_python_split_words",
     "uda_pandas_grouped",
-    # re-scores: from_char scanner rework (separators, TZH/TZM)
-    "fn_to_char_formats",
-    "pgsql_to_number_pictures",
-    "fn_datetime_extended",
-    "fn_interval_arithmetic",
-    # re-scores: XML constructors (xmlconcat merge, attr validation)
-    "pgsql_xml_construction",
-    "fn_xpath_extract",
-    "agg_xmlagg_members",
-    "tablefunc_xmltable",
-    "pgsql_xpath_sql_calls",
-    # re-scores: jsonpath exec + jsonb mutations (escapes, flags,
-    # subscript errors, setPath raises)
-    "pgsql_jsonpath_filter",
-    "pgsql_jsonpath_match",
-    "pgsql_jsonb_path_vars",
-    "pgsql_jsonb_concat_silent",
-    "pgsql_jsonb_containment",
-    "pgsql_json_arrow_quoting",
-    "srf_json_each",
-    "events_json_extract",
-    "agg_json_agg",
-    # re-scores: range literal validation beside the family
-    "fn_range_types",
-    "pgsql_custom_range_type",
-    # re-scores: numeric domain folds (ln/log/power, inf::numeric)
+    # re-scores: aggregate substitution path (two-stage detour)
+    "pgsql_create_aggregate",
+    "pgsql_polymorphic_function",
+    # re-scores: numeric literal validation (litchecks extraction,
+    # quoted-int arithmetic, literal div-zero)
     "fn_math",
     "fn_numeric_edge_semantics",
     "fn_width_bucket",
     "fn_bitwise",
-    # re-scores: linear_interpolate arg checks
-    "ts_linear_interpolate",
-    # re-scores: regex path (backref-in-lookahead gate)
-    "fn_regex_family",
-    "fn_strings",
-    # re-scores: comparisons around the BETWEEN precedence rewrite
-    "join_theta_range",
-    "pgsql_quantified_null",
-    # re-scores: user-type paths (_decl_type, base-type CREATE TYPE,
-    # float(N) map) + the CREATE FUNCTION front
+    "fn_interval_arithmetic",
+    # re-scores: timestamp digit decode + format front
+    "fn_datetime_extended",
+    "fn_to_char_formats",
+    "pgsql_to_number_pictures",
+    # re-scores: xpath strict parsing + XML family
+    "fn_xpath_extract",
+    "pgsql_xpath_sql_calls",
+    "tablefunc_xmltable",
+    "pgsql_xml_construction",
+    "agg_xmlagg_members",
+    # re-scores: jsonpath @@ now claimed after the FTS pass
+    "pgsql_jsonpath_filter",
+    "pgsql_jsonpath_match",
+    "pgsql_jsonb_path_vars",
+    "pgsql_jsonb_containment",
+    "events_json_extract",
+    "agg_json_agg",
+    # re-scores: user-type paths (range ctor bound order, shell
+    # types, table rowtypes, SETOF composites)
+    "fn_range_types",
+    "pgsql_custom_range_type",
     "pgsql_domain_check",
     "pgsql_composite_roundtrip",
     "fn_enum_ordering",
     "pgsql_setof_table_function",
+    # re-scores: plpgsql compile (cursor FOR inline, implicit record)
     "pgsql_plpgsql_function",
-    # re-scores: scalar families near the misc validation folds
-    "fn_misc_type_shims",
+    # re-scores: BETWEEN precedence + || chain ADVICE fixes
+    "join_theta_range",
+    "pgsql_quantified_null",
+    "fn_strings",
+    "fn_regex_family",
     "fn_strings_hash_format",
-    "fn_encode_family",
-    "pgsql_network_types",
     "pgsql_format_compose",
-    # re-scores: engine front path, broad
+    # re-scores: engine front path, broad (autoschema wrapper,
+    # shadowed-call/void-proc pre-passes on every statement)
     "pgsql_q1_text",
     "pgsql_distinct_on_latest_order",
+    "pgsql_prepared_execute",
+    "pgsql_merge_upsert",
+    "fn_misc_type_shims",
+    "pgsql_network_types",
     # flagship + bench watch
     "tpch_q1_pricing_summary",
     "tpch_q18_large_volume_customer",
