@@ -138,11 +138,19 @@ def rewrite_fts(out: str, lits: list[str] | None = None) -> str:
     out = re.sub(r"(?i)::\s*regconfig\b", "", out)
 
     # cast spellings --------------------------------------------------
+    # E'...' escape-string spellings keep their masked literal; the E
+    # prefix drops here (the general E-pass runs later than this one)
     out = re.sub(
-        rf"(?i)({_LIT}|[\w.]+)\s*::\s*tsvector\b",
+        rf"(?i)(?:(?<![\w.])E)?({_LIT})\s*::\s*tsvector\b",
         r"pg_tsvector_in(\1)", out)
     out = re.sub(
-        rf"(?i)({_LIT}|[\w.]+)\s*::\s*tsquery\b",
+        rf"(?i)(?<![\w.])([\w.]+)\s*::\s*tsvector\b",
+        r"pg_tsvector_in(\1)", out)
+    out = re.sub(
+        rf"(?i)(?:(?<![\w.])E)?({_LIT})\s*::\s*tsquery\b",
+        r"pg_tsquery_in(\1)", out)
+    out = re.sub(
+        rf"(?i)(?<![\w.])([\w.]+)\s*::\s*tsquery\b",
         r"pg_tsquery_in(\1)", out)
     out = re.sub(
         rf"(?i)(?<![\w.])tsvector\s+({_LIT})", r"pg_tsvector_in(\1)", out)

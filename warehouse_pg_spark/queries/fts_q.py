@@ -69,7 +69,7 @@ def _rank_contrib(n):
     FROM m
     WHERE n_data > 0 AND n_stream > 0
     """,
-    tags=("fts", "text"),
+    tags=("fts", "text", "bench"),
 )
 def fts_match_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tsvector @@ tsquery match + ts_rank('data | stream') scoring.
