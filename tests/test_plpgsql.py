@@ -640,3 +640,48 @@ def test_for_over_query_param_in_body_rejected(engine, spark):
               RETURN c;
             END; $$ LANGUAGE plpgsql"""
         )
+
+
+def test_composite_param_field_assignment(engine):
+    """Composite-typed parameters are record variables (pl_comp.c row
+    datums): field assignment and field reads over a param compile
+    like a declared record's (r16; regress aggregates.sql
+    avg_transfn)."""
+    engine.sql(
+        "create type r16_avgst as (total bigint, count bigint)")
+    engine.sql("""create or replace function r16_transfn(
+        state r16_avgst, n int) returns r16_avgst as $$
+declare new_state r16_avgst;
+begin
+    if state is null then
+        if n is not null then
+            new_state.total := n;
+            new_state.count := 1;
+            return new_state;
+        end if;
+        return null;
+    elsif n is not null then
+        state.total := state.total + n;
+        state.count := state.count + 1;
+        return state;
+    end if;
+    return state;
+end
+$$ language plpgsql""")
+    r = engine.sql(
+        "SELECT r16_transfn(row(10,2)::r16_avgst, 5) AS s"
+    ).collect()[0].s
+    assert (r.total, r["count"]) == (15, 3)
+
+
+def test_set_statement_in_body_is_noop(engine):
+    """SET/RESET inside a PL/pgSQL body (guc.c call-scoped GUCs) are
+    no-ops in the compiled-expression model (r16)."""
+    engine.sql("""create or replace function r16_setty(x int)
+returns int as $$
+begin
+    set enable_seqscan = off;
+    return x + 1;
+end
+$$ language plpgsql""")
+    assert engine.sql("SELECT r16_setty(41)").collect()[0][0] == 42

@@ -205,6 +205,11 @@ def _parse_stmts(stmts: list[str]) -> list[tuple]:
             # discarded evaluation is elided (side effects through
             # volatile callees are not modeled — README deviations)
             out.append(("null",))
+        elif kw in ("SET", "RESET"):
+            # SET/RESET inside a body changes session GUCs for the
+            # call's duration (guc.c); the compiled expression has no
+            # session to mutate — a no-op, like PERFORM's discard
+            out.append(("null",))
         elif kw in _REJECTED:
             raise PlpgsqlError(
                 f"unsupported PL/pgSQL statement: {_REJECTED[kw]} "
@@ -1098,6 +1103,20 @@ def _base_env(
     _CURRENT_PARAMS.update(p.lower() for p, _t in params)
     env: dict[str, str] = {p.lower(): p for p, _t in params}
     from warehouse_pg_spark.sql_dialect import map_decl_type
+
+    # composite-typed PARAMETERS are record variables too (pl_comp.c
+    # builds a row datum for them): expose their field list so
+    # `param.field := expr` compiles like a declared record's
+    for p, t in params:
+        sm = re.match(r"(?is)^STRUCT\s*<(.*)>\s*$", t.strip())
+        if sm:
+            fl = []
+            for item in re.split(r",(?![^<]*>)", sm.group(1)):
+                fm = re.match(r"\s*(\w+)\s*:\s*(.+?)\s*$", item)
+                if fm:
+                    fl.append((fm.group(1), fm.group(2)))
+            if fl:
+                env[_FIELDS_KEY.format(p.lower())] = _record_meta(fl)
 
     for d in [x.strip() for x in decl.split(";") if x.strip()]:
         rm = re.match(
