@@ -53,6 +53,14 @@ _ARRAY_LENGTH_RE = re.compile(
     re.IGNORECASE,
 )
 _ARRAY_CAT_RE = re.compile(r"\barray_cat\s*\(", re.IGNORECASE)
+_ARRAY_UPPER_RE = re.compile(
+    _ARRAY_LENGTH_RE.pattern.replace("array_length", "array_upper"),
+    re.IGNORECASE,
+)
+_ARRAY_LOWER_RE = re.compile(
+    _ARRAY_LENGTH_RE.pattern.replace("array_length", "array_lower"),
+    re.IGNORECASE,
+)
 _STRING_TO_ARRAY_RE = re.compile(
     rf"\bstring_to_array\s*\(\s*"
     # the string operand admits a prior-pass CAST(x AS char(9)) (one
@@ -420,6 +428,14 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
         return f"nullif(size({x}), 0)"
 
     sql = _ARRAY_LENGTH_RE.sub(sub_array_length, sql)
+    # array_upper(x, 1) = array_length (1-based arrays); array_lower
+    # is 1, both NULL on empty/NULL input (arrayfuncs.c)
+    sql = _ARRAY_UPPER_RE.sub(
+        lambda m: sub_array_length(m), sql)
+    sql = _ARRAY_LOWER_RE.sub(
+        lambda m: ("CAST(NULL AS INT)" if int(m.group(2)) < 1 else
+                   f"(CASE WHEN size({m.group(1)}) > 0 THEN 1 END)"),
+        sql)
     sql = _ARRAY_CAT_RE.sub("concat(", sql)
 
     def sub_sta(m: re.Match) -> str:

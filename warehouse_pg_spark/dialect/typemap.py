@@ -452,3 +452,23 @@ def _map_type(t: str) -> str:
             return f"DECIMAL({p},{s})"
         return "STRING"
     return mapped
+
+
+def map_col_type(t: str) -> str:
+    """Schema-position type mapping (table columns, OUT-record
+    fields): like map_decl_type but the text-modeled families
+    (_COL_TEXT_TYPES) collapse to STRING and the remaining PG
+    spellings Spark's schema parser rejects map to concrete types."""
+    low = re.sub(r"\s+", " ", t.strip().lower())
+    base = low.split("(")[0].strip()
+    if base in _COL_TEXT_TYPES or low.startswith("bit varying"):
+        return "STRING"
+    mapped = map_decl_type(t)
+    ml = mapped.strip().lower()
+    if ml == "real":
+        return "FLOAT"
+    if ml == "decimal":
+        return "DECIMAL(38,18)"
+    if re.match(r"^(?:char|varchar)\b", ml):
+        return "STRING"
+    return mapped

@@ -409,6 +409,7 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
         text = self._substitute_shadowed_calls(text)
         text = self._substitute_aggregate_calls(text)
         text = self._substitute_polymorphic_calls(text)
+        text = self._lower_typed_table(text)
         text = self._user_types.rewrite(text)
         text = self._lower_srf_select(text)
         text = self._substitute_variadic_calls(text)
@@ -478,7 +479,12 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
             # type): substitute the table's STRUCT and retry once
             um = re.search(r'Unsupported data type "(\w+)"', str(e))
             if um is not None:
-                tcols = self._table_rowtype_cols(um.group(1).lower())
+                key = um.group(1).lower()
+                tcols = self._table_rowtype_cols(key)
+                comp = self._user_types.composites.get(key)
+                if tcols is None and comp is not None:
+                    tcols = [(f, self._decl_type(t))
+                             for f, t in comp.fields]
                 if tcols is not None:
                     struct = "STRUCT<" + ", ".join(
                         f"{n}: {ty}" for n, ty in tcols) + ">"
@@ -629,7 +635,10 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
         if rm is None:
             # OUT-parameter functions may omit RETURNS — PG infers a
             # record of the OUT columns (functioncmds.c)
-            if not re.search(r"(?i)(?:^|,)\s*(?:IN)?OUT\s+\w+", rawargs):
+            if not re.search(
+                r"(?i)(?:^|,)\s*(?:(?:IN)?OUT\s+\w+"
+                r"|\w+\s+(?:IN)?OUT\s+\w+)", rawargs
+            ):
                 raise NotImplementedError(
                     "CREATE FUNCTION requires an explicit RETURNS type"
                 )
@@ -698,6 +707,13 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
                 a = dm.group(1).strip()
                 default_expr = sql_dialect.rewrite(dm.group(2).strip())
             toks = a.split()
+            # gram.y func_arg also allows param_name BEFORE the mode
+            # (`a inout int`, `a variadic int[]`): normalize to
+            # mode-first so one path handles both spellings
+            if len(toks) >= 3 and toks[0].upper() not in (
+                "IN", "OUT", "INOUT", "VARIADIC"
+            ) and toks[1].upper() in ("IN", "OUT", "INOUT", "VARIADIC"):
+                toks = [toks[1], toks[0]] + toks[2:]
             if toks[0].upper() in ("IN", "OUT", "INOUT", "VARIADIC"):
                 if toks[0].upper() == "OUT":
                     # OUT parameters ARE the result shape
@@ -706,15 +722,17 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
                     toks = toks[1:]
 
                     def _out_type(t: str) -> str:
-                        # the OUT-record schema is a Spark table
-                        # schema, which rejects CHAR/VARCHAR — text
-                        # params collapse to STRING
-                        mt = map_decl_type(t)
-                        return (
-                            "STRING"
-                            if re.match(r"(?i)(?:char|varchar)\b", mt)
-                            else mt
+                        # the OUT-record shape is a Spark table schema
+                        # — text-modeled families collapse to STRING,
+                        # real/decimal spell concretely (typemap
+                        # map_col_type), user types resolve first
+                        from warehouse_pg_spark.dialect.typemap import (
+                            map_col_type,
                         )
+
+                        ut = self._decl_type(t)
+                        return ut if ut != map_decl_type(t) \
+                            else map_col_type(t)
 
                     if len(toks) >= 2:
                         out_params.append(
@@ -731,6 +749,14 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
                     # declared array type; callers' spread arguments
                     # are packed by _substitute_variadic_calls
                     variadic_at = len(params)
+                elif toks[0].upper() == "INOUT":
+                    # INOUT: an argument AND a result column
+                    # (functioncmds.c: both lists)
+                    tname = (toks[1] if len(toks) >= 3
+                             else f"column{len(out_params) + 1}")
+                    ttyp = " ".join(toks[2:] if len(toks) >= 3
+                                    else toks[1:])
+                    out_params.append((tname, map_decl_type(ttyp)))
                 elif toks[0].upper() != "IN":
                     raise NotImplementedError(
                         f"{toks[0].upper()} parameters are not supported"
@@ -1661,6 +1687,25 @@ class Engine(FunctionDDLMixin, MaintenanceMixin):
         ).createOrReplaceTempView("information_schema_columns")
 
     # ----------------------------------------------------------------- DDL
+    def _lower_typed_table(self, text: str) -> str:
+        """CREATE TABLE name OF composite_type (typed tables,
+        parse_utilcmd.c transformOfType): the type's fields become the
+        column list; PARTITION BY/WITH tails drop with the clause."""
+        m = re.match(
+            r"(?is)^(\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?"
+            r"TEMP(?:ORARY)?\s+|UNLOGGED\s+)?TABLE\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?[\w.\"]+)\s+OF\s+"
+            r"([\w.\"]+)\b[^;]*$", text.strip().rstrip(";"))
+        if m is None:
+            return text
+        key = m.group(2).strip('"').split(".")[-1].lower()
+        comp = self._user_types.composites.get(key)
+        if comp is None:
+            return text
+        cols = ", ".join(
+            f"{f} {self._decl_type(t)}" for f, t in comp.fields)
+        return f"{m.group(1)} ({cols})"
+
     def _maybe_ddl(self, text: str) -> DataFrame | None:
         """Handle GP DDL Spark's parser rejects: DISTRIBUTED BY and
         PARTITION BY RANGE (col) (START .. [END ..] EVERY ..) clauses.

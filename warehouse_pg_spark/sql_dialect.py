@@ -449,6 +449,12 @@ def rewrite(sql: str) -> str:
     sql = re.sub(
         r"(?is)(\))\s*INHERITS\s*\(\s*[\w.\",\s]+\)", r"\1", sql
     )
+    # GP table access methods (tableam; USING ao_row / ao_column /
+    # heap): the engine's storage is parquet — drop the clause so the
+    # session default applies
+    sql = re.sub(
+        r"(?i)\bUSING\s+(?:ao_row|ao_column|aoco|heap)\b", "", sql
+    )
     sql = _rewrite_create_table_defs(sql)
     # CTAS storage options: CREATE TABLE t WITH (appendonly=...) AS
     # SELECT — GP reloptions with no Spark parse form (the column-def
