@@ -252,6 +252,57 @@ def _rewrite_pg_network(out: str, lits: list[str]) -> str:
         return f"pg_inet({_new_lit(canon, lits)})"
 
     out = re.sub(r"(?i)(\x01\d+\x01)\s*::\s*cidr\b", sub_cidr, out)
+
+    # PG's abbreviated cidr spellings (network.c cidr_in): missing
+    # octets fill with zeros and the netmask defaults to the bits
+    # actually given — '192.167.2' is 192.167.2.0/24
+    def sub_cidr_abbrev(m: re.Match) -> str:
+        body = _lit_value(m.group(1), lits).strip()
+        base, _, mask = body.partition("/")
+        octs = base.split(".")
+        if not (1 <= len(octs) <= 3
+                and all(re.fullmatch(r"\d{1,3}", o) for o in octs)):
+            return m.group(0)
+        bits = mask or str(8 * len(octs))
+        full = ".".join(octs + ["0"] * (4 - len(octs)))
+        try:
+            canon = str(ipaddress.ip_network(f"{full}/{bits}",
+                                             strict=False))
+        except ValueError:
+            return m.group(0)
+        return f"pg_inet({_new_lit(canon, lits)})"
+
+    out = re.sub(r"(?i)(\x01\d+\x01)\s*::\s*cidr\b",
+                 sub_cidr_abbrev, out)
+
+    # path / lseg / polygon literal casts (geo_ops.c path_in/lseg_in/
+    # poly_in): text-modeled with PG's canonical rendering — lseg
+    # always brackets, polygon always paired parens, path keeps its
+    # open/closed spelling
+    def sub_pathish(m: re.Match) -> str:
+        body = _lit_value(m.group(1), lits).strip()
+        kind = m.group(2).lower()
+        nums = re.findall(r"-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?", body)
+        if len(nums) % 2 or not nums:
+            return m.group(0)  # malformed: stay loud
+        pairs = [f"({nums[i]},{nums[i + 1]})"
+                 for i in range(0, len(nums), 2)]
+        if kind == "lseg":
+            if len(pairs) != 2:
+                return m.group(0)
+            canon = f"[{pairs[0]},{pairs[1]}]"
+        elif kind == "polygon":
+            canon = "(" + ",".join(pairs) + ")"
+        else:  # path: open form keeps brackets, else closed parens
+            if body.startswith("["):
+                canon = "[" + ",".join(pairs) + "]"
+            else:
+                canon = "(" + ",".join(pairs) + ")"
+        return _new_lit(canon, lits)
+
+    out = re.sub(
+        r"(?i)(\x01\d+\x01)\s*::\s*(path|lseg|polygon)\b",
+        sub_pathish, out)
     # non-literal ::inet: taken verbatim as text (no canonicalization
     # at runtime — document deviation; literals above ARE canonical)
     out = re.sub(

@@ -249,6 +249,9 @@ _COL_CONSTRAINT_RE = re.compile(
     r"\s+(?:CONSTRAINT\s+[\w\"]+\s+)?"
     r"(?:PRIMARY\s+KEY|UNIQUE|REFERENCES\s+[\w.]+(?:\s*\([^)]*\))?"
     r"|CHECK\s*\((?:[^()]|\([^()]*\))*\)"
+    # bare NULL (explicit nullability, gram.y ColConstraint NULL_P):
+    # Spark parses NOT NULL but not the affirmative spelling
+    r"|NULL\b(?!\S)(?<!NOT NULL)"
     r"|DEFAULT\s+(?:[\w.]+\s*\([^()]*\)|'[^']*'|[\w.+-]+))",
     re.IGNORECASE,
 )

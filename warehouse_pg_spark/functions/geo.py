@@ -48,6 +48,9 @@ def parse_point(s: str) -> tuple[float, float] | None:
 def parse_box(s: str) -> tuple[float, float, float, float] | None:
     """box_in: '((x1,y1),(x2,y2))' / '(x1,y1),(x2,y2)' / bare commas;
     returns (hx, hy, lx, ly) — corners normalized high/low."""
+    # GP also accepts adjacent point groups without the comma
+    # ('((2,1)(1,5))'): normalize before the strict match
+    s = re.sub(r"\)\s*\(", "),(", s)
     nums = re.findall(_NUM, s)
     if len(nums) != 4 or not re.fullmatch(
         rf"\s*\(?\s*\(?\s*{_NUM}\s*,\s*{_NUM}\s*\)?\s*,\s*\(?\s*"

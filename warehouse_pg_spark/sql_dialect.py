@@ -1626,12 +1626,24 @@ def rewrite(sql: str) -> str:
     # prefixes (handled by the time family in _rewrite_pg_misc_fns);
     # non-literals take the time-of-day of the timestamp (date.c
     # timestamp_time), timetz carrying the session's +00.
+    def _strip_date_part(m: re.Match, kw: str) -> str:
+        # date.c DecodeTimeOnly accepts a full timestamp text for
+        # time/timetz input and keeps only the time of day
+        body = _lit_value(m.group(1), lits)
+        dm = re.match(r"\s*\d{4}-\d{2}-\d{2}[ T](.+)$", body)
+        if dm:
+            lits.append(
+                "'" + dm.group(1).strip().replace("'", "''") + "'")
+            return f"{kw} \x01{len(lits) - 1}\x01"
+        return f"{kw} {m.group(1)}"
+
     out = re.sub(
-        r"(?i)(\x01\d+\x01)\s*::\s*timetz\b", r"timetz \1", out
+        r"(?i)(\x01\d+\x01)\s*::\s*timetz\b",
+        lambda m: _strip_date_part(m, "timetz"), out
     )
     out = re.sub(
         r"(?i)(\x01\d+\x01)\s*::\s*time(?:\s*\(\s*\d+\s*\))?(?!\w)",
-        r"time \1",
+        lambda m: _strip_date_part(m, "time"),
         out,
     )
     # 'lit'::interval: Spark's string→interval CAST handles most PG
@@ -1769,6 +1781,40 @@ def rewrite(sql: str) -> str:
         return f"CAST({lit} AS BINARY)"
 
     out = _BYTEA_CAST_RE.sub(sub_bytea, out)
+
+    # bit / bit varying / varbit literal casts (varbit.c bit_in /
+    # varbit_in): the value is the binary-digit text itself; digits
+    # validate always, length validates when a typmod is given
+    # (bit(n) exact, varying(n) max). Unspecified-length bit keeps
+    # the literal's length (typmod -1).
+    def sub_bit(m: re.Match) -> str:
+        txt = _lit_value(m.group(1), lits)
+        spec = re.sub(r"\s+", " ", m.group(2).lower())
+        n = m.group(3)
+        bad = next((c for c in txt if c not in "01"), None)
+        if bad is not None:
+            raise ValueError(
+                f'"{bad}" is not a valid binary digit')
+        if n is not None:
+            ln = int(n)
+            if spec in ("bit varying", "varbit"):
+                if len(txt) > ln:
+                    raise ValueError(
+                        f"bit string too long for type "
+                        f"bit varying({ln})")
+            elif len(txt) != ln:
+                raise ValueError(
+                    f"bit string length {len(txt)} does not match "
+                    f"type bit({ln})")
+        return m.group(1)
+
+    out = re.sub(
+        rf"(?:\bE)?({_LIT})\s*::\s*(bit\s+varying|varbit|bit)\b"
+        r"(?:\s*\(\s*(\d+)\s*\))?",
+        sub_bit,
+        out,
+        flags=re.IGNORECASE,
+    )
 
     # '::money' input/output (cash.c cash_in/cash_out): parse '$1,234',
     # '(1)' accounting-negative forms to DECIMAL(19,2); render as
