@@ -124,8 +124,14 @@ def _ends_shortv(word: str) -> bool:
     return False
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=65536)
 def stem_english(word: str) -> str:
-    """Snowball english stemmer; input must already be lowercased."""
+    """Snowball english stemmer; input must already be lowercased
+    (memoized: document vocabularies repeat heavily, so the per-call
+    cost on a 100-TB scan is one dict hit per token)."""
     if len(word) <= 2:
         return word
     if word in _EXC1:
@@ -2301,6 +2307,7 @@ def _sql_tsvector_in(s):
     return TSVector.parse(s).text()
 
 
+@functools.lru_cache(maxsize=4096)
 def _sql_tsquery_in(s):
     if s is None:
         return None
@@ -2319,24 +2326,28 @@ def _sql_to_tsvector_json(cfg, doc, filt):
     return to_tsvector_json(cfg, doc, filt).text()
 
 
+@functools.lru_cache(maxsize=4096)
 def _sql_to_tsquery(cfg, s):
     if s is None or cfg is None:
         return None
     return to_tsquery(cfg, s).text()
 
 
+@functools.lru_cache(maxsize=4096)
 def _sql_plainto_tsquery(cfg, s):
     if s is None or cfg is None:
         return None
     return plainto_tsquery(cfg, s).text()
 
 
+@functools.lru_cache(maxsize=4096)
 def _sql_phraseto_tsquery(cfg, s):
     if s is None or cfg is None:
         return None
     return phraseto_tsquery(cfg, s).text()
 
 
+@functools.lru_cache(maxsize=4096)
 def _sql_websearch_to_tsquery(cfg, s):
     if s is None or cfg is None:
         return None
