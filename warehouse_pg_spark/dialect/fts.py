@@ -130,7 +130,7 @@ def rewrite_fts(out: str, lits: list[str] | None = None) -> str:
     if not re.search(
         r"(?i)tsvector|tsquery|ts_rank|ts_headline|ts_lexize|ts_rewrite"
         r"|ts_delete|ts_filter|setweight|websearch|get_current_ts_config"
-        r"|ts_stat|tsq_mcontains|@@", out
+        r"|ts_stat|tsq_mcontains|ts_parse|ts_token_type|@@", out
     ):
         return out
 
@@ -172,6 +172,28 @@ def rewrite_fts(out: str, lits: list[str] | None = None) -> str:
 
     out = re.sub(
         r"(?i)\bget_current_ts_config\s*\(\s*\)", _cfg_lit(), out)
+
+    # ts_parse / ts_token_type SRFs (wparser_def.c): FROM-position
+    # calls become an inline-exploded subquery / a VALUES list
+    out = re.sub(
+        rf"(?i)\b(FROM|JOIN)\s+ts_parse\s*\(\s*(?:{_LIT}|[\w.]+)"
+        rf"\s*,\s*({_LIT}|[\w.]+)\s*\)",
+        r"\1 (SELECT inline(pg_ts_parse(\2)))",
+        out)
+    if re.search(r"(?i)\bts_token_type\s*\(", out):
+        from warehouse_pg_spark.functions.fts import (
+            TOKEN_DESCRIPTIONS,
+            TOKEN_TYPE_NAMES,
+        )
+
+        rows = ", ".join(
+            f"({t}, '{TOKEN_TYPE_NAMES[t]}', '{TOKEN_DESCRIPTIONS[t]}')"
+            for t in sorted(TOKEN_DESCRIPTIONS))
+        out = re.sub(
+            rf"(?i)\b(FROM|JOIN)\s+ts_token_type\s*\(\s*"
+            rf"(?:{_LIT}|[\w.]+)\s*\)",
+            rf"\1 (VALUES {rows}) AS __tt(tokid, alias, description)",
+            out)
 
     # function family ---------------------------------------------------
     def lower_to_tsvector(args, _name):

@@ -309,6 +309,8 @@ _RE_PART = re.compile(_ALNUM_PART, re.UNICODE)
 
 
 def _classify_word(tok: str) -> int:
+    if tok.isdigit():
+        return UINT
     if any(ch.isdigit() for ch in tok):
         return NUMWORD
     if tok.isascii():
@@ -2566,3 +2568,26 @@ def _sql_tsquery_cmp(a, b):
     if a is None or b is None:
         return None
     return tsquery_cmp(TSQuery.parse(a), TSQuery.parse(b))
+
+
+TOKEN_DESCRIPTIONS = {
+    1: "Word, all ASCII", 2: "Word, all letters",
+    3: "Word, letters and digits", 4: "Email address", 5: "URL",
+    6: "Host", 7: "Scientific notation", 8: "Version number",
+    9: "Hyphenated word part, letters and digits",
+    10: "Hyphenated word part, all letters",
+    11: "Hyphenated word part, all ASCII", 12: "Space symbols",
+    13: "XML tag", 14: "Protocol head",
+    15: "Hyphenated word, letters and digits",
+    16: "Hyphenated word, all ASCII", 17: "Hyphenated word, all letters",
+    18: "URL path", 19: "File or path name", 20: "Decimal notation",
+    21: "Signed integer", 22: "Unsigned integer", 23: "XML entity",
+}
+
+
+def _sql_ts_parse(text):
+    """ts_parse('default', text) rows (wparser_def.c tok_alias)."""
+    if text is None:
+        return None
+    return [{"tokid": t, "token": tok}
+            for t, tok, _g in parse_default(text)]

@@ -1945,6 +1945,8 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
         ("pg_tsquery_cmp", _fts._sql_tsquery_cmp, "INT", 2),
         ("pg_ts_headline", _fts._sql_ts_headline, "STRING", 4),
         ("pg_ts_headline_json", _fts._sql_ts_headline_json, "STRING", 4),
+        ("pg_ts_parse", _fts._sql_ts_parse,
+         "ARRAY<STRUCT<tokid: INT, token: STRING>>", 1),
     ):
         spark.udf.register(_name, _arrow_batched(_fn, _ret, _arity))
     from warehouse_pg_spark.functions.ranges import register_range_functions

@@ -455,6 +455,20 @@ def rewrite(sql: str) -> str:
     sql = re.sub(
         r"(?i)\bUSING\s+(?:ao_row|ao_column|aoco|heap)\b", "", sql
     )
+    # CTAS column-alias list (gram.y CreateAsStmt OptCreateAs):
+    # CREATE TABLE t (a, b) AS q renames q's columns positionally —
+    # Spark's CTAS takes no column list, but a subquery alias with a
+    # column list does the same renaming
+    sql = re.sub(
+        r"(?is)^(\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?"
+        r"TEMP(?:ORARY)?\s+|UNLOGGED\s+)?TABLE\s+"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?[\w.\"]+)\s*"
+        r"\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s*"
+        r"AS\s+(SELECT\b.*)$",
+        lambda m: (f"{m.group(1)} AS SELECT * FROM ({m.group(3).rstrip().rstrip(';')}) "
+                   f"AS __ctas({m.group(2)})"),
+        sql,
+    )
     sql = _rewrite_create_table_defs(sql)
     # CTAS storage options: CREATE TABLE t WITH (appendonly=...) AS
     # SELECT — GP reloptions with no Spark parse form (the column-def
