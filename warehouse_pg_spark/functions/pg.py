@@ -1909,7 +1909,7 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
     # full-text search (functions/fts.py: tsvector.c/tsquery.c/
     # tsvector_op.c/tsrank.c semantics; canonical text forms travel as
     # STRINGs, so every shim is a pure string/array scalar)
-    from warehouse_pg_spark.functions import fts as _fts
+    from warehouse_pg_spark.functions import fts_sql as _fts
 
     for _name, _fn, _ret, _arity in (
         ("pg_tsvector_in", _fts._sql_tsvector_in, "STRING", 1),
