@@ -25,6 +25,7 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
     srf_udf,
     gp_types,
     pg_sql,
+    pg_ddl_agg,
     multimodal_q,
     fts_q,
 )
