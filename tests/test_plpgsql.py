@@ -685,3 +685,42 @@ begin
 end
 $$ language plpgsql""")
     assert engine.sql("SELECT r16_setty(41)").collect()[0][0] == 42
+
+
+def test_void_plpgsql_dml_procedure(engine):
+    """RETURNS VOID PL/pgSQL bodies with DML interpret driver-side
+    (engine_proc.py, r16): scalar declares, IF/ELSIF dispatch, WHILE
+    loops, and INSERTs with parameter arithmetic."""
+    engine.sql("DROP TABLE IF EXISTS r16_sales")
+    engine.sql(
+        "create table r16_sales (id int, year int, region varchar(20))")
+    engine.sql("""CREATE FUNCTION r16_ins(VARCHAR, INTEGER, VARCHAR)
+RETURNS VOID AS $$
+DECLARE tablename VARCHAR;
+BEGIN
+   tablename = $1;
+   if (tablename = 'r16_sales')
+     then INSERT INTO r16_sales VALUES ($2, 2002 + ($2 % 7), $3);
+   end if;
+END;
+$$ LANGUAGE plpgsql""")
+    engine.sql("SELECT r16_ins('r16_sales', 15, 'usa')")
+    engine.sql("SELECT r16_ins('elsewhere', 3, 'eu')")
+    rows = engine.sql(
+        "SELECT id, year, region FROM r16_sales").collect()
+    assert [(r.id, r.year, r.region) for r in rows] == \
+        [(15, 2003, "usa")]
+    engine.sql("""CREATE FUNCTION r16_many(n INTEGER) RETURNS VOID AS $$
+DECLARE i INTEGER;
+BEGIN
+   i := 1;
+   WHILE i <= n LOOP
+      INSERT INTO r16_sales VALUES (100 + i, 2002, 'x');
+      i := i + 1;
+   END LOOP;
+END;
+$$ LANGUAGE plpgsql""")
+    engine.sql("SELECT r16_many(3)")
+    assert engine.sql(
+        "SELECT count(*) FROM r16_sales").collect()[0][0] == 4
+    engine.sql("DROP TABLE IF EXISTS r16_sales")

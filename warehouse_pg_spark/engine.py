@@ -243,10 +243,12 @@ class MaterializedView:
 
 from warehouse_pg_spark.engine_fn_ddl import FunctionDDLMixin  # noqa: E402
 from warehouse_pg_spark.engine_maint import MaintenanceMixin
+from warehouse_pg_spark.engine_proc import ProcedureMixin
 from warehouse_pg_spark.engine_seq import SequenceMixin  # noqa: E402
 
 
-class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin):
+class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
+             ProcedureMixin):
     """PySpark-native warehouse engine with a PG-flavored front-end."""
 
     def __init__(
@@ -764,6 +766,12 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin):
             if variadic_at is not None:
                 self._variadic_functions[name.lower()] = variadic_at
             return res
+        if lang == "plpgsql" and rettype.lower() == "void" and re.search(
+            r"(?i)\b(INSERT|UPDATE|DELETE|TRUNCATE)\b", body
+        ) and self._register_plpgsql_proc(name, params, body):
+            # DML-bodied void procedure: interpreted at call time
+            # (engine_proc.py); nothing compiles
+            return self._tag(0)
         if lang == "plpgsql":
             expr = compile_plpgsql(
                 params, ret_spark, body,

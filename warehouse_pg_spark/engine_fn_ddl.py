@@ -523,8 +523,14 @@ class FunctionDDLMixin:
         proc = self._void_procs.get(name)
         if proc is None:
             return None
-        pnames, stmts = proc
         args = [a.strip() for a in _split_exprs(m.group(2))]
+        if proc[0] == "plpgsql":
+            if len(args) != len(proc[1]):
+                return None
+            self._run_plpgsql_proc(proc, args)
+            return self.spark.sql(
+                f"SELECT CAST(NULL AS STRING) AS {name}")
+        pnames, stmts = proc
         if len(args) != len(pnames):
             return None
         for stmt in stmts:

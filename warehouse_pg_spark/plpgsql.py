@@ -210,6 +210,11 @@ def _parse_stmts(stmts: list[str]) -> list[tuple]:
             # call's duration (guc.c); the compiled expression has no
             # session to mutate — a no-op, like PERFORM's discard
             out.append(("null",))
+        elif kw in ("INSERT", "UPDATE", "DELETE", "TRUNCATE"):
+            # DML statements exist only on the interpreted
+            # void-procedure path (engine_proc.py); the compiled
+            # single-expression model rejects them downstream
+            out.append(("dml", s.rstrip(";").strip()))
         elif kw in _REJECTED:
             raise PlpgsqlError(
                 f"unsupported PL/pgSQL statement: {_REJECTED[kw]} "
