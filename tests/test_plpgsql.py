@@ -56,12 +56,18 @@ def test_missing_return_compiles_to_null():
 def test_rejections_are_clear():
     for body, frag in [
         ("BEGIN FOR i IN 1..x LOOP y := i; END LOOP; END", "constant"),
-        ("BEGIN OPEN cur FOR SELECT 1; END", "cursors"),
+        ("BEGIN OPEN cur FOR SELECT 1; END", "void-procedure"),
         ("BEGIN SELECT a, b INTO x FROM t; END", "one target"),
-        ("BEGIN RAISE EXCEPTION 'e' USING HINT = 'h'; END", "USING"),
+        ("BEGIN RAISE EXCEPTION USING DETAIL = 'd'; END", "message"),
     ]:
         with pytest.raises(PlpgsqlError, match=frag):
             compile_plpgsql([("x", "INT")], "INT", body)
+    # RAISE ... USING with a message now compiles (r17): the USING
+    # diagnostics beyond MESSAGE are dropped, the raise survives
+    e = compile_plpgsql(
+        [("x", "INT")], "INT",
+        "BEGIN RAISE EXCEPTION 'e' USING HINT = 'h'; END")
+    assert "raise_error" in e
 
 
 def test_raise_exception_guard_clause(engine, spark):
@@ -724,3 +730,126 @@ $$ LANGUAGE plpgsql""")
     assert engine.sql(
         "SELECT count(*) FROM r16_sales").collect()[0][0] == 4
     engine.sql("DROP TABLE IF EXISTS r16_sales")
+
+
+def test_void_proc_literal_containing_variable_name(engine):
+    """Variable substitution must run on MASKED text (pl_exec.c binds
+    PARAM nodes, never rewrites literal text): a string literal that
+    happens to contain a local variable's name is left intact."""
+    engine.sql("DROP TABLE IF EXISTS r17_log")
+    engine.sql("create table r17_log (msg varchar(40), n int)")
+    engine.sql("""CREATE FUNCTION r17_logit(lim INTEGER)
+RETURNS VOID AS $$
+DECLARE count INTEGER := 42;
+BEGIN
+   IF count > lim THEN
+      INSERT INTO r17_log VALUES ('count exceeded lim', count);
+   END IF;
+END;
+$$ LANGUAGE plpgsql""")
+    engine.sql("SELECT r17_logit(10)")
+    rows = engine.sql("SELECT msg, n FROM r17_log").collect()
+    assert [(r.msg, r.n) for r in rows] == [("count exceeded lim", 42)]
+    engine.sql("DROP TABLE IF EXISTS r17_log")
+
+
+def test_void_proc_dynamic_execute_and_diagnostics(engine):
+    """exec_stmt_dynexecute: the command is an expression; USING binds
+    $n; GET DIAGNOSTICS reads the DML row count; FOUND follows every
+    SQL statement."""
+    engine.sql("DROP TABLE IF EXISTS r17_dyn")
+    engine.sql("create table r17_dyn (k int, v varchar(20))")
+    engine.sql("""CREATE FUNCTION r17_dynins(tbl VARCHAR, n INTEGER)
+RETURNS VOID AS $$
+DECLARE total INTEGER := 0;
+BEGIN
+   EXECUTE 'INSERT INTO ' || tbl || ' VALUES ($1, $2)'
+       USING n, 'row-' || n;
+   GET DIAGNOSTICS total = ROW_COUNT;
+   IF found AND total = 1 THEN
+      INSERT INTO r17_dyn VALUES (0, 'ok');
+   END IF;
+END;
+$$ LANGUAGE plpgsql""")
+    engine.sql("SELECT r17_dynins('r17_dyn', 7)")
+    rows = sorted((r.k, r.v) for r in
+                  engine.sql("SELECT k, v FROM r17_dyn").collect())
+    assert rows == [(0, "ok"), (7, "row-7")]
+    engine.sql("""CREATE FUNCTION r17_dyncnt(tbl VARCHAR)
+RETURNS VOID AS $$
+DECLARE c BIGINT;
+BEGIN
+   EXECUTE 'SELECT count(*) FROM ' || tbl INTO STRICT c;
+   INSERT INTO r17_dyn VALUES (CAST(c AS INT), 'count');
+END;
+$$ LANGUAGE plpgsql""")
+    engine.sql("SELECT r17_dyncnt('r17_dyn')")
+    assert (2, "count") in [(r.k, r.v) for r in
+                            engine.sql("SELECT k, v FROM r17_dyn").collect()]
+    engine.sql("DROP TABLE IF EXISTS r17_dyn")
+
+
+def test_void_proc_cursor_fetch_loop(engine):
+    """exec_stmt_open/fetch/close: a bound cursor drained by the
+    canonical LOOP / FETCH / EXIT WHEN NOT FOUND pattern."""
+    engine.sql("DROP TABLE IF EXISTS r17_src")
+    engine.sql("DROP TABLE IF EXISTS r17_dst")
+    engine.sql("create table r17_src (a int)")
+    engine.sql("create table r17_dst (a int)")
+    engine.sql("INSERT INTO r17_src VALUES (1), (2), (3), (4)")
+    engine.sql("""CREATE FUNCTION r17_copy_odd()
+RETURNS VOID AS $$
+DECLARE
+   cur CURSOR FOR SELECT a FROM r17_src ORDER BY a;
+   x INTEGER;
+BEGIN
+   OPEN cur;
+   LOOP
+      FETCH cur INTO x;
+      EXIT WHEN NOT found;
+      IF x % 2 = 1 THEN
+         INSERT INTO r17_dst VALUES (x * 10);
+      END IF;
+   END LOOP;
+   CLOSE cur;
+END;
+$$ LANGUAGE plpgsql""")
+    engine.sql("SELECT r17_copy_odd()")
+    assert sorted(r.a for r in
+                  engine.sql("SELECT a FROM r17_dst").collect()) == [10, 30]
+    engine.sql("DROP TABLE IF EXISTS r17_src")
+    engine.sql("DROP TABLE IF EXISTS r17_dst")
+
+
+def test_void_proc_for_query_and_raise_using(engine):
+    """Query FOR loops with DML bodies interpret driver-side; RAISE
+    EXCEPTION formats % slots and accepts USING diagnostics."""
+    engine.sql("DROP TABLE IF EXISTS r17_fq")
+    engine.sql("create table r17_fq (a int, b varchar(10))")
+    engine.sql("INSERT INTO r17_fq VALUES (1, 'x'), (2, 'y')")
+    engine.sql("""CREATE FUNCTION r17_double()
+RETURNS VOID AS $$
+DECLARE
+BEGIN
+   FOR r IN SELECT a, b FROM r17_fq ORDER BY a LOOP
+      INSERT INTO r17_fq VALUES (r.a * 100, r.b);
+   END LOOP;
+END;
+$$ LANGUAGE plpgsql""")
+    engine.sql("SELECT r17_double()")
+    assert sorted(r.a for r in
+                  engine.sql("SELECT a FROM r17_fq").collect()) == \
+        [1, 2, 100, 200]
+    engine.sql("""CREATE FUNCTION r17_boom(n INTEGER)
+RETURNS VOID AS $$
+BEGIN
+   IF n > 3 THEN
+      RAISE EXCEPTION 'value % too big', n USING HINT = 'lower it';
+   END IF;
+   INSERT INTO r17_fq VALUES (n, 'ok');
+END;
+$$ LANGUAGE plpgsql""")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="value 9 too big"):
+        engine.sql("SELECT r17_boom(9)")
+    engine.sql("DROP TABLE IF EXISTS r17_fq")

@@ -745,13 +745,21 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
                 )
             body, lang = f"SELECT {rb.group(1).strip()}", "sql"
         # $n positional references resolve to the nth parameter name
-        # (functioncmds.c: valid for both named and unnamed params)
+        # (functioncmds.c: valid for both named and unnamed params).
+        # Substitution runs over the literal-MASKED body: a $n inside
+        # a string constant (e.g. a dynamic EXECUTE command with
+        # USING placeholders) is query text for a later binding, not
+        # a parameter reference of this function.
         def _dollar_ref(m2: re.Match) -> str:
             k = int(m2.group(1))
             return params[k - 1][0] if 1 <= k <= len(params) \
                 else m2.group(0)
 
-        body = re.sub(r"\$(\d+)\b", _dollar_ref, body)
+        from warehouse_pg_spark.sql_dialect import _mask, _unmask
+
+        _masked_b, _lits_b = _mask(body)
+        body = _unmask(
+            re.sub(r"\$(\d+)\b", _dollar_ref, _masked_b), _lits_b)
         if setof_m or table_cols_raw is not None or out_params:
             res = self._register_table_function(
                 name, params, defaults, setof_m.group(1).strip()

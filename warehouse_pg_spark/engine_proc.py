@@ -1,17 +1,25 @@
-"""Interpreted void procedures (split surface, r16): RETURNS VOID
-PL/pgSQL functions whose bodies perform DML.
+"""Interpreted void procedures (split surface, r16; widened r17):
+RETURNS VOID PL/pgSQL functions whose bodies perform DML.
 
 The compiled-expression model (plpgsql.py) cannot hold side effects,
 but pl_exec.c's semantics for these bodies are a small imperative
-subset: scalar DECLAREs, assignments, IF/ELSIF/CASE, WHILE and
-integer-range FOR loops, PERFORM, RAISE, and INSERT/UPDATE/DELETE
-statements whose expressions reference parameters and local scalars.
-This mixin interprets that subset driver-side at CALL time — each
-scalar expression evaluates through one `SELECT` (so every dialect
-rewrite applies), each DML statement runs through Engine.sql with the
-variable values substituted as literals. The loop fuel bound keeps a
-runaway body loud instead of wedging the session (pl_exec.c loops
-unboundedly; replay bodies are small).
+subset: scalar DECLAREs, assignments, IF/ELSIF/CASE, WHILE /
+integer-range FOR / query FOR / bare LOOP loops with EXIT/CONTINUE,
+PERFORM, RAISE, INSERT/UPDATE/DELETE statements, dynamic EXECUTE
+(exec_stmt_dynexecute: the command is an expression, USING values
+bind $n), bound/unbound cursors via OPEN/FETCH/CLOSE
+(exec_stmt_open/fetch/close — the portal materializes driver-side as
+a forward-only row list), GET DIAGNOSTICS ... = ROW_COUNT, and the
+automatic FOUND variable. This mixin interprets that subset
+driver-side at CALL time — each scalar expression evaluates through
+one `SELECT` (so every dialect rewrite applies), each DML statement
+runs through Engine.sql with the variable values substituted as
+literals. Substitution always runs on MASKED text, before string
+literals are restored: pl_exec.c binds variables as PARAM nodes and
+never rewrites literal text, so a literal containing a variable's
+name must survive intact. The loop fuel bound keeps a runaway body
+loud instead of wedging the session (pl_exec.c loops unboundedly;
+replay bodies are small).
 """
 
 from __future__ import annotations
@@ -19,6 +27,25 @@ from __future__ import annotations
 import re
 
 _PROC_MAX_STEPS = 100_000
+# a cursor / query-FOR portal materializes driver-side; this is a
+# session-DDL convenience path, not a data-plane operator — stay loud
+# rather than absorb an unbounded collect
+_PROC_MAX_PORTAL_ROWS = 200_000
+
+_CURSOR_DECL_RE = re.compile(
+    r"(?is)^\s*([A-Za-z_]\w*)\s+(?:NO\s+SCROLL\s+|SCROLL\s+)?"
+    r"CURSOR\s+(?:IS|FOR)\s+(.+)$")
+
+
+def _sql_lit(v) -> str:
+    """Render a Python value as a SQL literal (PARAM-binding stand-in)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
 
 
 class ProcedureMixin:
@@ -35,8 +62,15 @@ class ProcedureMixin:
         m = P._HEADER_RE.search(masked)
         if m is None:
             return False
-        decl, inner = P._inline_cursor_loops(m.group("decl") or "",
-                                             m.group("body"))
+        raw_decl = m.group("decl") or ""
+        # bound-cursor declarations (c CURSOR FOR q) feed OPEN c;
+        # FOR-over-cursor sites additionally inline below
+        cursors: dict[str, str] = {}
+        for d in raw_decl.split(";"):
+            cm = _CURSOR_DECL_RE.match(d)
+            if cm:
+                cursors[cm.group(1).lower()] = cm.group(2).strip()
+        decl, inner = P._inline_cursor_loops(raw_decl, m.group("body"))
         try:
             stmts = P._parse_stmts(P._split_statements(inner))
         except P.PlpgsqlError:
@@ -51,17 +85,21 @@ class ProcedureMixin:
                 d, re.IGNORECASE | re.DOTALL)
             if dm is None:
                 return False
-            declared.append((dm.group(1).lower(),
-                             P._unmask(dm.group(2), lits)
-                             if dm.group(2) else None))
+            # initializer stays MASKED: variable substitution must run
+            # before literals are restored (pl_exec.c binds PARAMs,
+            # never rewrites text inside string constants)
+            declared.append((dm.group(1).lower(), dm.group(2)))
         self._void_procs[name.lower()] = (
-            "plpgsql", [p for p, _t in params], declared, stmts, lits)
+            "plpgsql", [p for p, _t in params], declared, stmts, lits,
+            cursors)
         return True
 
     @staticmethod
     def _stmts_interpretable(stmts) -> bool:
         ok_kinds = {"assign", "dml", "null", "return", "raise",
-                    "if", "case", "while", "for"}
+                    "if", "case", "while", "for", "for_query", "loop",
+                    "perform", "execute", "open", "fetch", "close",
+                    "get_diag", "exit_when", "continue_when"}
 
         def walk(ss) -> bool:
             for s in ss:
@@ -76,8 +114,14 @@ class ProcedureMixin:
                 elif s[0] == "while":
                     if not walk(s[2]):
                         return False
+                elif s[0] == "loop":
+                    if not walk(s[1]):
+                        return False
                 elif s[0] == "for":
                     if not walk(s[5]):
+                        return False
+                elif s[0] == "for_query":
+                    if not walk(s[3]):
                         return False
             return True
 
@@ -85,9 +129,7 @@ class ProcedureMixin:
 
     # ------------------------------------------------------ execution
     def _run_plpgsql_proc(self, proc, arg_exprs: list[str]) -> None:
-        from warehouse_pg_spark import plpgsql as P
-
-        _kind, pnames, declared, stmts, lits = proc
+        _kind, pnames, declared, stmts, lits, cursors = proc
         args = [self._proc_eval_raw(a) for a in arg_exprs]
         env: dict[str, object] = {}
         for i, v in enumerate(args, start=1):
@@ -95,45 +137,170 @@ class ProcedureMixin:
             if i <= len(pnames):
                 env[pnames[i - 1].lower()] = v
         for n, init in declared:
-            env[n] = self._proc_eval(init, env) if init else None
-        fuel = [_PROC_MAX_STEPS]
-        self._proc_run_seq(stmts, env, lits, fuel)
+            env[n] = (self._proc_eval_m(init, env, lits)
+                      if init else None)
+        # exec_stmt_execsql sets FOUND after every SQL statement;
+        # it starts false on function entry (pl_exec.c plpgsql_estate)
+        env.setdefault("found", False)
+        st = {"fuel": _PROC_MAX_STEPS, "row_count": 0,
+              "cursors": {}, "bound": cursors, "lits": lits}
+        self._proc_run_seq(stmts, env, st)
 
     def _proc_sub(self, text: str, env: dict) -> str:
         """Substitute $n and variable names with SQL literals."""
-        def lit(v) -> str:
-            if v is None:
-                return "NULL"
-            if isinstance(v, bool):
-                return "true" if v else "false"
-            if isinstance(v, (int, float)):
-                return repr(v)
-            return "'" + str(v).replace("'", "''") + "'"
-
         text = re.sub(r"\$(\d+)",
-                      lambda m: lit(env.get(f"${m.group(1)}")),
+                      lambda m: _sql_lit(env.get(f"${m.group(1)}")),
                       text)
         names = sorted((k for k in env if not k.startswith("$")),
                        key=len, reverse=True)
         for n in names:
-            text = re.sub(rf"(?i)\b{re.escape(n)}\b(?!\s*\()",
-                          lit(env[n]), text)
+            text = re.sub(rf"(?i)\b{re.escape(n)}\b(?!\s*[(.])",
+                          _sql_lit(env[n]), text)
         return text
 
     def _proc_eval_raw(self, expr: str):
         row = self.sql(f"SELECT {expr}").collect()[0]
         return row[0]
 
-    def _proc_eval(self, expr: str, env: dict):
-        return self._proc_eval_raw(self._proc_sub(expr, env))
-
-    def _proc_run_seq(self, stmts, env, lits, fuel) -> bool:
-        """Returns True when a RETURN unwound the body."""
+    def _proc_eval_m(self, masked_expr: str, env: dict, lits):
+        """Evaluate a still-masked expression: substitute variables
+        FIRST (mask tokens are \\x00N\\x00, never word chars, so the
+        \\b-bounded substitution cannot touch literal text), THEN
+        restore string literals. Ordering matters: unmask-first would
+        let a literal containing a variable's name be corrupted."""
         from warehouse_pg_spark import plpgsql as P
 
+        return self._proc_eval_raw(
+            P._unmask(self._proc_sub(masked_expr, env), lits))
+
+    def _proc_sql(self, masked_stmt: str, env: dict, st) -> None:
+        """Run one SQL statement (substitute → unmask → Engine.sql)
+        and fold its rows_affected into FOUND / ROW_COUNT, as
+        exec_stmt_execsql does after SPI_execute."""
+        from warehouse_pg_spark import plpgsql as P
+
+        sql_text = P._unmask(self._proc_sub(masked_stmt, env),
+                             st["lits"])
+        self._proc_note_dml(self.sql(sql_text), env, st, sql_text)
+
+    def _proc_note_dml(self, out, env: dict, st,
+                       sql_text: str | None = None) -> None:
+        """exec_stmt_execsql: SPI_processed feeds FOUND / ROW_COUNT.
+        The engine's own DML paths return a rows_affected tag; an
+        INSERT delegated to the Spark catalog returns nothing, so the
+        count is recovered from the statement (VALUES tuple count, or
+        one count(*) over the source SELECT — session-DDL path)."""
+        if out is not None and out.columns == ["rows_affected"]:
+            n = int(out.collect()[0][0])
+        elif sql_text is not None:
+            n = self._proc_dml_count(sql_text)
+            if n is None:
+                return
+        else:
+            return
+        st["row_count"] = n
+        env["found"] = n > 0
+
+    def _proc_dml_count(self, sql_text: str) -> int | None:
+        m = re.match(
+            r"(?is)^\s*INSERT\s+INTO\s+[\w.\"]+\s*(?:\([^)]*\))?\s*"
+            r"(VALUES\b.*|SELECT\b.*)$", sql_text.strip().rstrip(";"))
+        if m is None:
+            return None
+        rest = m.group(1)
+        if re.match(r"(?i)^VALUES\b", rest):
+            # top-level commas separate tuples; commas inside a tuple
+            # (or inside literals, which tuples parenthesize) sit at
+            # depth >= 1
+            depth, n, quoted = 0, 1, False
+            for ch in rest[6:]:
+                if quoted:
+                    quoted = ch != "'"
+                elif ch == "'":
+                    quoted = True
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    n += 1
+            return n
+        try:
+            return int(self.sql(
+                f"SELECT count(*) AS c FROM ({rest}) __proc_src"
+            ).collect()[0][0])
+        except Exception:
+            return None
+
+    # one portal open (cursor OPEN / query-FOR): evaluate and
+    # materialize driver-side, loudly bounded
+    def _proc_open_portal(self, masked_q: str, env: dict, st):
+        from warehouse_pg_spark import plpgsql as P
+
+        q = masked_q.strip()
+        if re.match(r"(?is)^EXECUTE\b", q):
+            _k, cmd, _into, using, _strict = P._parse_execute(q)
+            sql = self._proc_dyn_sql(cmd, using, env, st)
+        else:
+            sql = P._unmask(self._proc_sub(q, env), st["lits"])
+        rows = self.sql(sql).limit(_PROC_MAX_PORTAL_ROWS + 1).collect()
+        if len(rows) > _PROC_MAX_PORTAL_ROWS:
+            raise RuntimeError(
+                "cursor/FOR portal exceeds "
+                f"{_PROC_MAX_PORTAL_ROWS} rows — interpreted "
+                "procedures are a session-DDL path, not a data-plane "
+                "operator; express the loop as one SQL statement")
+        return rows
+
+    def _proc_dyn_sql(self, cmd_masked: str, using: list[str],
+                      env: dict, st) -> str:
+        """exec_stmt_dynexecute: evaluate the command expression, then
+        bind the USING values into its $n placeholders as literals."""
+        sql = self._proc_eval_m(cmd_masked, env, st["lits"])
+        if sql is None:
+            raise RuntimeError("EXECUTE of a NULL command string")
+        sql = str(sql)
+        if using:
+            vals = [self._proc_eval_m(u, env, st["lits"])
+                    for u in using]
+            sql = re.sub(
+                r"\$(\d+)",
+                lambda m: _sql_lit(vals[int(m.group(1)) - 1])
+                if int(m.group(1)) <= len(vals) else m.group(0),
+                sql)
+        return sql
+
+    def _proc_bind_row(self, targets: list[str], row, env: dict,
+                       as_record: bool = False) -> None:
+        """Assign one result row into FETCH/FOR targets: positional
+        scalars when arities match, else a sole target binds as a
+        record (env keys `name.field`). as_record forces the record
+        binding for a sole target even over a one-column row (the
+        body dereferences its fields)."""
+        if row is None:
+            for t in targets:
+                env[t] = None
+                for k in [k for k in env if k.startswith(t + ".")]:
+                    env[k] = None
+            return
+        cols = list(row.__fields__)
+        if len(targets) == 1 and (as_record or len(cols) > 1):
+            base = targets[0]
+            for c in cols:
+                env[f"{base}.{c.lower()}"] = row[c]
+            return
+        for i, t in enumerate(targets):
+            env[t] = row[i]
+
+    def _proc_run_seq(self, stmts, env, st) -> str | None:
+        """Returns the control signal that unwound the sequence:
+        'return' | 'exit' | 'continue' | None (fell through)."""
+        from warehouse_pg_spark import plpgsql as P
+
+        lits = st["lits"]
         for s in stmts:
-            fuel[0] -= 1
-            if fuel[0] <= 0:
+            st["fuel"] -= 1
+            if st["fuel"] <= 0:
                 raise RuntimeError(
                     "interpreted procedure exceeded "
                     f"{_PROC_MAX_STEPS} statements (runaway loop?)")
@@ -141,54 +308,171 @@ class ProcedureMixin:
             if k == "null":
                 continue
             if k == "return":
-                return True
-            if k == "assign":
-                env[s[1]] = self._proc_eval(
-                    P._unmask(s[2], lits), env)
+                return "return"
+            if k == "exit_when":
+                if self._proc_truthy(s[1], env, st):
+                    return "exit"
+            elif k == "continue_when":
+                if self._proc_truthy(s[1], env, st):
+                    return "continue"
+            elif k == "assign":
+                env[s[1]] = self._proc_eval_m(s[2], env, lits)
+            elif k == "perform":
+                # evaluate for side effects, discard the value
+                self._proc_eval_m(s[1], env, lits)
             elif k == "dml":
-                self.sql(self._proc_sub(P._unmask(s[1], lits), env))
+                self._proc_sql(s[1], env, st)
+            elif k == "execute":
+                self._proc_execute(s, env, st)
+            elif k == "open":
+                self._proc_open(s, env, st)
+            elif k == "fetch":
+                self._proc_fetch(s, env, st)
+            elif k == "close":
+                if s[1] not in st["cursors"]:
+                    raise RuntimeError(
+                        f'cursor "{s[1]}" is not open')
+                del st["cursors"][s[1]]
+            elif k == "get_diag":
+                env[s[1]] = st["row_count"]
             elif k == "raise":
-                # only EXCEPTION level parses to this kind
-                raise RuntimeError(P._unmask(str(s[1]), lits))
+                self._proc_raise(s, env, st)
             elif k in ("if", "case"):
-                done = False
+                sig = None
                 for cond, branch in s[1]:
-                    if self._proc_truthy(cond, env, lits):
-                        done = self._proc_run_seq(branch, env, lits,
-                                                  fuel)
+                    if self._proc_truthy(cond, env, st):
+                        sig = self._proc_run_seq(branch, env, st)
                         break
                 else:
                     if s[2]:
-                        done = self._proc_run_seq(s[2], env, lits,
-                                                  fuel)
-                if done:
-                    return True
+                        sig = self._proc_run_seq(s[2], env, st)
+                if sig:
+                    return sig
             elif k == "while":
-                while self._proc_truthy(s[1], env, lits):
-                    fuel[0] -= 1
-                    if fuel[0] <= 0:
-                        raise RuntimeError(
-                            "interpreted procedure exceeded "
-                            f"{_PROC_MAX_STEPS} statements")
-                    if self._proc_run_seq(s[2], env, lits, fuel):
-                        return True
+                while self._proc_truthy(s[1], env, st):
+                    sig = self._proc_loop_tick(s[2], env, st)
+                    if sig == "return":
+                        return "return"
+                    if sig == "exit":
+                        break
+            elif k == "loop":
+                while True:
+                    sig = self._proc_loop_tick(s[1], env, st)
+                    if sig == "return":
+                        return "return"
+                    if sig == "exit":
+                        break
             elif k == "for":
                 _, var, lo, hi, rev, body = s
-                lo_v = int(self._proc_eval(P._unmask(lo, lits), env))
-                hi_v = int(self._proc_eval(P._unmask(hi, lits), env))
+                lo_v = int(self._proc_eval_m(lo, env, lits))
+                hi_v = int(self._proc_eval_m(hi, env, lits))
                 rng = (range(lo_v, hi_v - 1, -1) if rev
                        else range(lo_v, hi_v + 1))
                 for i in rng:
                     env[var] = i
-                    if self._proc_run_seq(body, env, lits, fuel):
-                        return True
-            # exit_when/continue_when: desugared flags are assignments
-        return False
+                    sig = self._proc_loop_tick(body, env, st)
+                    if sig == "return":
+                        return "return"
+                    if sig == "exit":
+                        break
+            elif k == "for_query":
+                _, targets, q, body = s
+                targets = [t.replace("\x00rec", "") for t in targets]
+                as_rec = len(s[1]) == 1 and s[1][0].endswith("\x00rec")
+                rows = self._proc_open_portal(q, env, st)
+                env["found"] = bool(rows)
+                for row in rows:
+                    self._proc_bind_row(targets, row, env,
+                                        as_record=as_rec)
+                    sig = self._proc_loop_tick(body, env, st)
+                    if sig == "return":
+                        return "return"
+                    if sig == "exit":
+                        break
+        return None
 
-    def _proc_truthy(self, cond, env, lits) -> bool:
+    def _proc_loop_tick(self, body, env, st) -> str | None:
+        st["fuel"] -= 1
+        if st["fuel"] <= 0:
+            raise RuntimeError(
+                "interpreted procedure exceeded "
+                f"{_PROC_MAX_STEPS} statements")
+        return self._proc_run_seq(body, env, st)
+
+    def _proc_execute(self, s, env, st) -> None:
+        _k, cmd, into, using, strict = s
+        sql = self._proc_dyn_sql(cmd, using, env, st)
+        out = self.sql(sql)
+        if into is None:
+            self._proc_note_dml(out, env, st, sql)
+            return
+        rows = out.limit(2 if strict else 1).collect()
+        if strict and len(rows) != 1:
+            raise RuntimeError(
+                "query returned "
+                + ("no rows" if not rows else "more than one row")
+                + " (EXECUTE ... INTO STRICT)")
+        row = rows[0] if rows else None
+        env["found"] = row is not None
+        st["row_count"] = 1 if row is not None else 0
+        self._proc_bind_row(into, row, env)
+
+    def _proc_open(self, s, env, st) -> None:
+        _k, name, q = s
+        if name in st["cursors"]:
+            raise RuntimeError(f'cursor "{name}" already in use')
+        if q is None:
+            q = st["bound"].get(name)
+            if q is None:
+                # an unbound refcursor variable may hold the query
+                # text assigned at run time; otherwise stay loud
+                raise RuntimeError(
+                    f'cursor "{name}" has no query (declare it '
+                    "CURSOR FOR ... or OPEN ... FOR query)")
+        st["cursors"][name] = {
+            "rows": self._proc_open_portal(q, env, st), "pos": 0}
+
+    def _proc_fetch(self, s, env, st) -> None:
+        _k, name, targets = s
+        cur = st["cursors"].get(name)
+        if cur is None:
+            raise RuntimeError(f'cursor "{name}" is not open')
+        if cur["pos"] < len(cur["rows"]):
+            row = cur["rows"][cur["pos"]]
+            cur["pos"] += 1
+        else:
+            row = None
+        env["found"] = row is not None
+        st["row_count"] = 1 if row is not None else 0
+        self._proc_bind_row(targets, row, env)
+
+    def _proc_raise(self, s, env, st) -> None:
         from warehouse_pg_spark import plpgsql as P
 
+        msg = self._proc_eval_m(s[1], env, st["lits"])
+        msg = "" if msg is None else str(msg)
+        args = [self._proc_eval_m(a, env, st["lits"])
+                for a in (s[2] if len(s) > 2 and s[2] else [])]
+        # PG's % slots; %% is a literal percent (elog.c)
+        out, ai = [], 0
+        i = 0
+        while i < len(msg):
+            if msg[i] == "%":
+                if i + 1 < len(msg) and msg[i + 1] == "%":
+                    out.append("%")
+                    i += 2
+                    continue
+                out.append("<NULL>" if ai >= len(args)
+                           or args[ai] is None else str(args[ai]))
+                ai += 1
+                i += 1
+                continue
+            out.append(msg[i])
+            i += 1
+        raise RuntimeError("".join(out))
+
+    def _proc_truthy(self, cond, env, st) -> bool:
         if cond is True or cond is None:
             return bool(cond is True)
-        v = self._proc_eval(P._unmask(str(cond), lits), env)
+        v = self._proc_eval_m(str(cond), env, st["lits"])
         return bool(v)

@@ -114,12 +114,7 @@ _FOR_RE = re.compile(
 )
 _WORD_RE = re.compile(r"[A-Za-z_]\w*|;|\S")
 
-_REJECTED = {
-    "EXECUTE": "dynamic EXECUTE",
-    "GET": "GET DIAGNOSTICS",
-    "OPEN": "cursors",
-    "FETCH": "cursors",
-}
+_REJECTED: dict[str, str] = {}
 
 
 def _split_statements(body: str) -> list[str]:
@@ -189,6 +184,18 @@ def _parse_stmts(stmts: list[str]) -> list[tuple]:
             out.append(_parse_for(s))
         elif kw == "WHILE":
             out.append(_parse_while(s))
+        elif kw == "LOOP":
+            out.append(_parse_bare_loop(s))
+        elif kw == "EXECUTE":
+            out.append(_parse_execute(s))
+        elif kw == "OPEN":
+            out.append(_parse_open(s))
+        elif kw == "FETCH":
+            out.append(_parse_fetch(s))
+        elif kw == "CLOSE":
+            out.append(_parse_close(s))
+        elif kw == "GET":
+            out.append(_parse_get_diag(s))
         elif kw == "CASE":
             out.append(_parse_case(s))
         elif kw == "SELECT":
@@ -201,10 +208,12 @@ def _parse_stmts(stmts: list[str]) -> list[tuple]:
             out.append(_parse_continue(s))
         elif kw == "PERFORM":
             # pl_exec.c exec_stmt_perform evaluates and DISCARDS the
-            # result; in the compiled single-expression model the
-            # discarded evaluation is elided (side effects through
-            # volatile callees are not modeled — README deviations)
-            out.append(("null",))
+            # result; the compiled single-expression model elides the
+            # evaluation (side effects through volatile callees are
+            # not modeled — README deviations), the interpreted
+            # void-procedure path evaluates it for its side effects
+            out.append(("perform",
+                        s[len("PERFORM"):].strip().rstrip(";").strip()))
         elif kw in ("SET", "RESET"):
             # SET/RESET inside a body changes session GUCs for the
             # call's duration (guc.c); the compiled expression has no
@@ -380,8 +389,11 @@ _SELECT_INTO_RE = re.compile(
 # the message's % placeholders become runtime format_string slots.
 # NOTICE/WARNING/INFO/LOG/DEBUG are result-neutral diagnostics with no
 # message channel in a compiled expression — accepted as no-ops.
+# the level is optional: `RAISE 'msg'` defaults to EXCEPTION
+# (pl_gram.y stmt_raise, elog.h ERROR)
 _RAISE_RE = re.compile(
-    r"^RAISE\s+(EXCEPTION|NOTICE|WARNING|INFO|LOG|DEBUG)\s+(.+)$",
+    r"^RAISE\s+(?:(EXCEPTION|NOTICE|WARNING|INFO|LOG|DEBUG)\s+)?"
+    r"(?=[^\s])(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -390,16 +402,33 @@ def _parse_raise(s: str) -> tuple:
     m = _RAISE_RE.match(s.rstrip(";").strip())
     if not m:
         raise PlpgsqlError(
-            "only RAISE <level> 'message'[, args] is supported "
-            f"(no bare re-RAISE, no USING): {s[:80]!r}"
+            "only RAISE <level> 'message'[, args] [USING opt = expr] "
+            f"is supported (no bare re-RAISE): {s[:80]!r}"
         )
-    level, rest = m.group(1).upper(), m.group(2).strip()
-    if re.search(r"\bUSING\b", rest, re.IGNORECASE):
-        raise PlpgsqlError("RAISE ... USING is not supported")
-    parts = _split_top_commas(rest)
+    level = (m.group(1) or "EXCEPTION").upper()
+    rest = m.group(2).strip()
+    # RAISE ... USING opt = expr, ... (pl_gram.y stmt_raise): MESSAGE
+    # becomes the error text; DETAIL/HINT/ERRCODE are auxiliary
+    # diagnostics the single-message error channel drops
+    opts: dict[str, str] = {}
+    mu = re.search(r"(?i)\bUSING\b", _blank_parens(rest))
+    if mu:
+        for item in _split_top_commas(rest[mu.end():]):
+            om = re.match(
+                r"(?is)^\s*(MESSAGE|DETAIL|HINT|ERRCODE)\s*:?=\s*(.+)$",
+                item)
+            if not om:
+                raise PlpgsqlError(
+                    f"unsupported RAISE USING option: {item[:40]!r}")
+            opts[om.group(1).upper()] = om.group(2).strip()
+        rest = rest[:mu.start()].strip()
     if level != "EXCEPTION":
         return ("null",)
-    return ("raise", parts[0].strip(), [p.strip() for p in parts[1:]])
+    parts = _split_top_commas(rest) if rest.strip() else []
+    msg = parts[0].strip() if parts else opts.get("MESSAGE")
+    if msg is None:
+        raise PlpgsqlError("RAISE EXCEPTION requires a message")
+    return ("raise", msg, [p.strip() for p in parts[1:]])
 
 
 # EXIT [WHEN cond] (pl_gram.y stmt_exit): supported inside WHILE
@@ -494,6 +523,112 @@ def _parse_while(s: str) -> tuple:
     inner = s[m.end(): tail.start()]
     return ("while", m.group(1).strip(),
             _parse_stmts(_split_statements(inner)))
+
+
+def _parse_bare_loop(s: str) -> tuple:
+    """LOOP ... END LOOP — the unconditional loop (pl_gram.y
+    stmt_loop); termination comes from EXIT/RETURN inside the body.
+    Only the interpreted void-procedure path executes it."""
+    m = re.match(r"LOOP\b", s, re.IGNORECASE)
+    tail = re.search(r"END\s+LOOP\s*;?\s*$", s, re.IGNORECASE)
+    if not m or not tail:
+        raise PlpgsqlError("LOOP without END LOOP")
+    inner = s[m.end(): tail.start()]
+    return ("loop", _parse_stmts(_split_statements(inner)))
+
+
+def _blank_parens(s: str) -> str:
+    """Same length as s with every parenthesized span spaced out —
+    for position-preserving top-level keyword scans."""
+    out, depth = [], 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+            out.append(" ")
+        elif ch == ")":
+            depth -= 1
+            out.append(" ")
+        else:
+            out.append(ch if depth == 0 else " ")
+    return "".join(out)
+
+
+def _parse_execute(s: str) -> tuple:
+    """EXECUTE cmd-expr [INTO [STRICT] v, ...] [USING e, ...] —
+    pl_exec.c exec_stmt_dynexecute: the command string is an
+    EXPRESSION evaluated at run time; $n placeholders bind the USING
+    values. Literals are masked upstream, so a top-level INTO/USING
+    scan cannot match words inside the command text."""
+    body = s.rstrip(";").strip()
+    body = body[len("EXECUTE"):].strip()
+    blank = _blank_parens(body)
+    using: list[str] = []
+    mu = re.search(r"(?i)\bUSING\b", blank)
+    if mu:
+        using = [x.strip() for x in _split_top_commas(body[mu.end():])]
+        body, blank = body[:mu.start()], blank[:mu.start()]
+    into, strict = None, False
+    mi = re.search(r"(?i)\bINTO\b", blank)
+    if mi:
+        tgt = body[mi.end():].strip()
+        sm = re.match(r"(?i)^STRICT\b", tgt)
+        if sm:
+            strict, tgt = True, tgt[sm.end():].strip()
+        into = [t.strip().lower() for t in tgt.split(",")]
+        body = body[:mi.start()]
+    return ("execute", body.strip(), into, using, strict)
+
+
+def _parse_open(s: str) -> tuple:
+    """OPEN cur [[NO] SCROLL] [FOR query] — exec_stmt_open. A bound
+    cursor (query in its DECLARE) opens with no FOR clause; the query
+    may itself be dynamic (FOR EXECUTE expr [USING ...])."""
+    m = re.match(
+        r"(?is)^OPEN\s+([A-Za-z_]\w*)\s*"
+        r"(?:(?:NO\s+)?SCROLL\s+)?(?:FOR\s+(.+))?$",
+        s.rstrip(";").strip())
+    if not m:
+        raise PlpgsqlError(f"cannot parse OPEN statement: {s[:80]!r}")
+    q = m.group(2).strip() if m.group(2) else None
+    return ("open", m.group(1).lower(), q)
+
+
+def _parse_fetch(s: str) -> tuple:
+    """FETCH [NEXT] [FROM|IN] cur INTO v, ... — exec_stmt_fetch.
+    Only forward NEXT fetches are supported (the engine materializes
+    the portal as a forward-only row list)."""
+    m = re.match(
+        r"(?is)^FETCH\s+(?:NEXT\s+)?(?:FROM\s+|IN\s+)?"
+        r"([A-Za-z_]\w*)\s+INTO\s+(.+)$",
+        s.rstrip(";").strip())
+    if not m:
+        raise PlpgsqlError(
+            "only FETCH [NEXT] [FROM] cur INTO targets is supported: "
+            f"{s[:80]!r}")
+    return ("fetch", m.group(1).lower(),
+            [t.strip().lower() for t in m.group(2).split(",")])
+
+
+def _parse_close(s: str) -> tuple:
+    m = re.match(r"(?is)^CLOSE\s+([A-Za-z_]\w*)$",
+                 s.rstrip(";").strip())
+    if not m:
+        raise PlpgsqlError(f"cannot parse CLOSE statement: {s[:80]!r}")
+    return ("close", m.group(1).lower())
+
+
+def _parse_get_diag(s: str) -> tuple:
+    """GET [CURRENT] DIAGNOSTICS var = ROW_COUNT — exec_stmt_getdiag;
+    only ROW_COUNT is modeled (the DML path returns rows_affected)."""
+    m = re.match(
+        r"(?is)^GET\s+(?:CURRENT\s+)?DIAGNOSTICS\s+([A-Za-z_]\w*)"
+        r"\s*:?=\s*ROW_COUNT$",
+        s.rstrip(";").strip())
+    if not m:
+        raise PlpgsqlError(
+            "only GET DIAGNOSTICS var = ROW_COUNT is supported: "
+            f"{s[:80]!r}")
+    return ("get_diag", m.group(1).lower(), "row_count")
 
 
 def _parse_select_into(s: str) -> tuple:
@@ -953,6 +1088,17 @@ def _compile_seq(stmts: list[tuple], env: dict[str, str], returns: str) -> str:
     kind = head[0]
     if kind == "null":
         return _compile_seq(tail, env, returns)
+    if kind == "perform":
+        # exec_stmt_perform evaluates and discards; the compiled
+        # expression model elides the evaluation (README deviations)
+        return _compile_seq(tail, env, returns)
+    if kind in ("dml", "execute", "open", "fetch", "close", "loop",
+                "get_diag"):
+        raise PlpgsqlError(
+            f"{kind.upper()} statements run only on the interpreted "
+            "void-procedure path (RETURNS VOID LANGUAGE plpgsql); the "
+            "compiled expression model cannot hold side effects"
+        )
     if kind == "return":
         expr = head[1]
         if expr is None:

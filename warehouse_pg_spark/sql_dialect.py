@@ -422,6 +422,22 @@ def rewrite(sql: str) -> str:
         ),
         sql,
     )
+    # constraint-only column list + INHERITS (gram.y: TableConstraint
+    # without columnDefs): the child adds no columns of its own — a
+    # parent-schema clone; the CHECK drops with the other table
+    # constraints (single-store engine, README deviations)
+    sql = re.sub(
+        r"(?is)^\s*CREATE\s+((?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+"
+        r"|UNLOGGED\s+)?)TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)\s*"
+        r"\(\s*(?:CONSTRAINT\s+[\w\"]+\s+)?CHECK\s*"
+        r"\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)\s*\)\s*"
+        r"INHERITS\s*\(\s*([\w.\"]+)[^)]*\)[^;]*;?\s*$",
+        lambda m: (
+            f"CREATE TABLE {m.group(2) or ''}{m.group(3)} "
+            f"AS SELECT * FROM {m.group(4)} LIMIT 0"
+        ),
+        sql,
+    )
     # zero-column tables (gram.y OptTableElementList can be empty;
     # Spark requires >= 1 column): an empty column list with INHERITS
     # is a parent-schema clone; without, a marker column stands in for
