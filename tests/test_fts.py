@@ -213,11 +213,20 @@ def test_ts_delete_filter_arrays():
 
 
 def test_ts_rewrite_subset():
+    """Member order pins PG's QTN pipeline (tsquery_rewrite.c +
+    tsquery_util.c): legacy-crc QTNSort, QTNBinary re-binarization —
+    the regress-pinned 3-member case is covered by the offline sweep;
+    this exercises the subset-match + re-sort path."""
     q = fts.TSQuery.parse
     assert fts.ts_rewrite(
         q("foo & bar & qq & new & york"), q("new & york"),
         q("big & apple | nyc")).text() == \
-        "'foo' & 'bar' & 'qq' & ( 'big' & 'apple' | 'nyc' )"
+        "'foo' & 'bar' & 'qq' & ( 'nyc' | 'big' & 'apple' )"
+    assert fts.ts_rewrite(
+        q("foo & bar & qq & new & york"), q("new & york"),
+        q("big & apple | nyc | new & york & city")).text() == \
+        ("'foo' & 'bar' & 'qq' & "
+         "( 'city' & 'new' & 'york' | 'nyc' | 'big' & 'apple' )")
     assert fts.ts_rewrite(q("5 & (6 | 5)"), q("5"),
                           fts.TSQuery(None)).text() == "'6'"
 

@@ -48,9 +48,14 @@ def test_if_becomes_case_with_tail():
     assert "'big'" in e and "'mid'" in e and "'small'" in e
 
 
-def test_missing_return_compiles_to_null():
+def test_missing_return_raises_at_runtime():
+    """plpgsql_exec_function: a non-void function whose control falls
+    off the end errors at RUN time; void bodies fall through to NULL
+    (pl_exec.c — 'control reached end of function without RETURN')."""
     e = compile_plpgsql([], "INT", "BEGIN NULL; END")
-    assert "NULL" in e.upper()
+    assert "raise_error" in e and "without RETURN" in e
+    e = compile_plpgsql([], "STRING", "BEGIN NULL; END", void=True)
+    assert "NULL" in e.upper() and "raise_error" not in e
 
 
 def test_rejections_are_clear():

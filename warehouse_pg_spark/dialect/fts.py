@@ -354,6 +354,14 @@ def rewrite_fts(out: str, lits: list[str] | None = None) -> str:
 
     out = _map_calls(out, "ts_rewrite", lower_ts_rewrite)
 
+    # type-IO pairs (tsvector.c tsvectorin/tsvectorout, tsquery.c
+    # tsqueryin/tsqueryout): the engine's travel form IS the canonical
+    # rendered text, so both directions are the normalizing parse
+    out = re.sub(r"(?i)\btsvector(?:in|out)\s*\(",
+                 "pg_tsvector_in(", out)
+    out = re.sub(r"(?i)\btsquery(?:in|out)\s*\(",
+                 "pg_tsquery_in(", out)
+
     # typed wrappers: length/strip/numnode/querytree only when the
     # argument is statically FTS-typed
     out = re.sub(rf"(?i)\blength\s*\(\s*({_TSV_EXPR})\s*\)",

@@ -241,6 +241,7 @@ class MaterializedView:
     path: str
 
 
+from warehouse_pg_spark.engine_catalog import CatalogViewsMixin  # noqa: E402
 from warehouse_pg_spark.engine_fn_ddl import FunctionDDLMixin  # noqa: E402
 from warehouse_pg_spark.engine_maint import MaintenanceMixin
 from warehouse_pg_spark.engine_proc import ProcedureMixin
@@ -248,7 +249,7 @@ from warehouse_pg_spark.engine_seq import SequenceMixin  # noqa: E402
 
 
 class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
-             ProcedureMixin):
+             ProcedureMixin, CatalogViewsMixin):
     """PySpark-native warehouse engine with a PG-flavored front-end."""
 
     def __init__(
@@ -371,6 +372,7 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
                 F.col("n_bytes"),
                 F.col("n_files"),
             ).createOrReplaceTempView("pg_stat_user_tables")
+        text = self._maybe_pg_catalog(text)
         if _CATALOG_VIEW_RE.search(text):
             self._ensure_catalog_views()
             text = re.sub(
@@ -737,6 +739,21 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
             body = body_m.group(2 if body_m.re.groups == 2 else 1)
             if body.startswith("'"):  # AS '...' spelling
                 body = body[1:-1].replace("''", "'")
+            # CREATE FUNCTION ... SET guc = value (functioncmds.c
+            # proconfig): an invalid value poisons every CALL — with
+            # check_function_bodies off PG defers the error to call
+            # time (guc.out func_with_bad_set)
+            opts_tail = tail[:body_m.start()] + tail[body_m.end():]
+            bs = re.search(
+                r"(?i)\bSET\s+default_text_search_config\s*"
+                r"(?:=|\bTO\b)\s*'?\"?([\w.]+)",
+                opts_tail)
+            if bs and bs.group(1).split(".")[-1].lower() not in (
+                    "english", "simple"):
+                body = ("SELECT raise_error('invalid value for "
+                        'parameter "default_text_search_config": '
+                        f"\"{bs.group(1)}\"')")
+                lang = "sql"
         else:
             rb = re.search(r"\bRETURN\b(.*)$", tail, re.IGNORECASE | re.DOTALL)
             if not rb:
@@ -784,6 +801,7 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
             expr = compile_plpgsql(
                 params, ret_spark, body,
                 composites=self._user_types.composites,
+                void=rettype.lower() == "void",
             )
         elif lang == "internal" and re.fullmatch(
                 r"\w*(?:in|out|send|recv)", body.strip()):
@@ -1072,8 +1090,17 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
                     )
                     set_default_config("english")
             return self._tag(0)
-        if _DISCARD_RE.match(s):
-            # DISCARD ALL (commands/discard.c): session back to pristine
+        dm_ = _DISCARD_RE.match(s)
+        if dm_:
+            # DISCARD ALL/SEQUENCES (commands/discard.c): sequence
+            # session state (currval's "last value") resets — a
+            # following currval errors as unset, as in PG
+            if dm_.group(1).upper() in ("ALL", "SEQUENCES"):
+                for _sq in self._sequences.values():
+                    _sq.pop("last", None)
+            if dm_.group(1).upper() != "ALL":
+                return self._tag(0)
+            # DISCARD ALL: session back to pristine
             self._prepared.clear()
             self._gucs.clear()
             self._gucs.update(_GUC_DEFAULTS)

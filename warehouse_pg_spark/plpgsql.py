@@ -422,6 +422,15 @@ def _parse_raise(s: str) -> tuple:
                     f"unsupported RAISE USING option: {item[:40]!r}")
             opts[om.group(1).upper()] = om.group(2).strip()
         rest = rest[:mu.start()].strip()
+    parts0 = _split_top_commas(rest) if rest.strip() else []
+    for p in parts0[1:]:
+        if re.fullmatch(r"(?i)sqlstate|sqlerrm", p.strip()):
+            # SQLSTATE/SQLERRM exist only inside EXCEPTION handlers
+            # (pl_exec.c exec_stmt_block); referencing them elsewhere
+            # errors at RUN time when the RAISE evaluates its args
+            return ("raise",
+                    f"'column \"{p.strip().lower()}\" does not exist'",
+                    [])
     if level != "EXCEPTION":
         return ("null",)
     parts = _split_top_commas(rest) if rest.strip() else []
@@ -1099,6 +1108,11 @@ def _compile_seq(stmts: list[tuple], env: dict[str, str], returns: str) -> str:
             "void-procedure path (RETURNS VOID LANGUAGE plpgsql); the "
             "compiled expression model cannot hold side effects"
         )
+    if kind == "end_noreturn":
+        # pl_exec.c plpgsql_exec_function: a non-void function whose
+        # control falls off the end errors at RUN time, not CREATE
+        return ("CAST(raise_error('control reached end of function "
+                f"without RETURN') AS {returns})")
     if kind == "return":
         expr = head[1]
         if expr is None:
@@ -1348,12 +1362,17 @@ def _inline_cursor_loops(decl: str, body: str) -> tuple[str, str]:
 
 def compile_plpgsql(
     params: list[tuple[str, str]], returns: str, body: str,
-    composites: dict | None = None,
+    composites: dict | None = None, void: bool = False,
 ) -> str:
     """Compile a PL/pgSQL body to one SQL expression over the params.
 
     params: [(name, sql_type), ...] — names stay free identifiers in
     the output (they become the CREATE FUNCTION argument names).
+    void: RETURNS VOID — falling off the end is legal and RETURN must
+    not carry an expression (pl_exec.c exec_stmt_return); a non-void
+    function that falls off the end raises at run time
+    (PLPGSQL_RC_RETURN missing — "control reached end of function
+    without RETURN").
     """
     masked, lits = _mask(_strip_comments(body))
     m = _HEADER_RE.search(masked)
@@ -1363,6 +1382,8 @@ def compile_plpgsql(
                                        m.group("body"))
     env = _base_env(params, decl, composites)
     stmts = _parse_stmts(_split_statements(inner))
+    if not void:
+        stmts = stmts + [("end_noreturn",)]
     return _unmask(_compile_seq(stmts, env, returns), lits)
 
 

@@ -26,6 +26,7 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
     gp_types,
     pg_sql,
     pg_ddl_agg,
+    pg_catalog_q,
     multimodal_q,
     fts_q,
 )
