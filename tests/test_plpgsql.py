@@ -858,3 +858,33 @@ $$ LANGUAGE plpgsql""")
     with _pytest.raises(Exception, match="value 9 too big"):
         engine.sql("SELECT r17_boom(9)")
     engine.sql("DROP TABLE IF EXISTS r17_fq")
+
+
+def test_create_procedure_and_call(engine):
+    """CREATE PROCEDURE / CALL / DROP PROCEDURE (functioncmds.c PG 11
+    procedures) lower onto the void-function machinery; plpgsql and
+    SQL bodies both route through the interpreter / statement list."""
+    engine.sql("DROP TABLE IF EXISTS r17_ptab")
+    engine.sql("create table r17_ptab (a int, b varchar(12))")
+    engine.sql("""CREATE PROCEDURE r17_ptest1(x text)
+LANGUAGE plpgsql
+AS $$
+BEGIN
+   INSERT INTO r17_ptab VALUES (1, x);
+   INSERT INTO r17_ptab VALUES (2, x || '!');
+END;
+$$""")
+    engine.sql("CALL r17_ptest1('hello')")
+    assert sorted((r.a, r.b) for r in
+                  engine.sql("SELECT a, b FROM r17_ptab").collect()) == \
+        [(1, "hello"), (2, "hello!")]
+    engine.sql("""CREATE OR REPLACE PROCEDURE r17_ptest2()
+LANGUAGE SQL
+AS $$
+INSERT INTO r17_ptab VALUES (3, 'sqlproc');
+$$""")
+    engine.sql("CALL r17_ptest2()")
+    assert engine.sql(
+        "SELECT count(*) FROM r17_ptab").collect()[0][0] == 3
+    engine.sql("DROP PROCEDURE r17_ptest1(text)")
+    engine.sql("DROP TABLE IF EXISTS r17_ptab")

@@ -382,6 +382,11 @@ def map_decl_type(t: str) -> str:
         return "TIMESTAMP"
     if tl.startswith("time"):  # no TIME type in Spark; HH:MM:SS sorts
         return "STRING"
+    if tl == "internal":
+        # pg_type.dat pseudo-type for fmgr transition state: opaque
+        # bytes here — such functions register but raise when called
+        # (see engine's LANGUAGE internal handling)
+        return "BINARY"
     return _map_type(t)
 
 

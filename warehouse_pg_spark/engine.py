@@ -156,6 +156,37 @@ _DROP_FUNC_RE = re.compile(
     r"^DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?([\w.]+)\s*(?:\([^)]*\))?\s*$",
     re.IGNORECASE,
 )
+_CALL_RE = re.compile(
+    r"^\s*CALL\s+([\w.]+)\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _lower_procedure_ddl(text: str) -> str:
+    """CREATE/DROP PROCEDURE (functioncmds.c, PG 11 procedures) lower
+    onto the function machinery: a procedure is a RETURNS VOID
+    function here (transaction control inside bodies stays out of
+    scope — such bodies reject downstream, loudly)."""
+    m = re.match(
+        r"(?is)^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?)PROCEDURE\b(.*)$",
+        text)
+    if m:
+        rest = m.group(2)
+        pm = re.match(r'(?s)^(\s*[\w."]+\s*)\(', rest)
+        if pm:
+            depth, i = 1, pm.end()
+            while i < len(rest) and depth:
+                if rest[i] == "(":
+                    depth += 1
+                elif rest[i] == ")":
+                    depth -= 1
+                i += 1
+            return (f"{m.group(1)}FUNCTION{rest[:i]} RETURNS VOID"
+                    f"{rest[i:]}")
+    dm = re.match(r"(?is)^\s*DROP\s+PROCEDURE\b(.*)$", text)
+    if dm:
+        return f"DROP FUNCTION{dm.group(1)}"
+    return text
 _SET_GUC_RE = re.compile(
     r"^SET\s+(?:SESSION\s+|LOCAL\s+)?([\w.]+)\s*(?:=|\bTO\b)\s*(.+)$",
     re.IGNORECASE,
@@ -328,6 +359,13 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
     # ---------------------------------------------------------------- query
     def sql(self, text: str, **named_args) -> DataFrame:
         """Execute SQL through the PG→Spark dialect shim."""
+        if re.search(r"(?i)\bPROCEDURE\b", text):
+            text = _lower_procedure_ddl(text)
+        cm_ = _CALL_RE.match(text)
+        if cm_ is not None:
+            # CALL proc(args) (functioncmds.c ExecuteCallStmt): the
+            # void-function invocation path runs the stored body
+            return self.sql(f"SELECT {cm_.group(1)}({cm_.group(2)})")
         seq = self._maybe_sequence(text)
         if seq is not None:
             return seq
@@ -810,7 +848,18 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
             # type I/O conversion is the declared cast itself
             expr = params[0][0] if params else "NULL"
             expr = f"CAST(({expr}) AS {ret_spark})"
-        elif lang in ("sql", "internal"):
+        elif lang == "internal":
+            # fmgr builtins referenced by symbol (fmgr_builtins:
+            # array_agg_transfn &c): the registration is catalog
+            # bookkeeping for a later CREATE AGGREGATE — no
+            # SQL-callable surface, so a direct call stays loud
+            expr = (
+                "CAST(raise_error('function "
+                f"{body.strip()[:40]} is an fmgr-internal builtin "
+                "with no SQL-callable surface here') "
+                f"AS {ret_spark})"
+            )
+        elif lang == "sql":
             # PG SQL functions return the last statement's result; the
             # supported subset is expression-bodied SELECTs.
             last = [x for x in body.split(";") if x.strip()][-1].strip()

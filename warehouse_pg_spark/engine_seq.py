@@ -185,6 +185,15 @@ class SequenceMixin:
         if fields:
             key = m.group(1).split(".")[-1].strip('"').lower()
             self._user_types.composites[key] = Composite(fields)
+            # serial columns own an implicit sequence named
+            # {table}_{column}_seq (parse_utilcmd.c
+            # transformColumnDefinition) — nextval/ALTER SEQUENCE on
+            # that name must resolve
+            for col, typ in fields:
+                if re.match(r"(?i)^(?:small|big)?serial[248]?\b",
+                            typ):
+                    self._sequences.setdefault(
+                        f"{key}_{col}_seq", {"next": 1, "start": 1})
 
     def _substitute_variadic_calls(self, text: str) -> str:
         from warehouse_pg_spark.engine import _split_exprs

@@ -48,83 +48,78 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
 # scored, keeping one green representative per family pinned (the
 # family-coverage invariant is cumulative — tests/test_registry.py
 # checks prefix ∪ CORRECTNESS_r* history spans REQUIRED_FAMILY_TAGS).
-# r16 rotation: the 3 NEW round-16 queries lead — full-text search
-# match + rank (tsvector @@ tsquery, calc_rank_or JVM-side with the
-# Arrow shim cross-check), tsvector construction/setweight text-form
-# parity against an independent DuckDB reconstruction, and the
-# combinefunc CREATE AGGREGATE two-stage partial/merge plan. The 5
-# family anchors stay. The remaining slots re-score prior greens whose
-# code round 16 touched: the numeric literal checks (litchecks.py
-# extraction + quoted-int arithmetic + div-zero), the dialect front
-# (FTS pass ordering before jsonpath @@), the xpath strict-parse
-# change, user-type paths (range ctor bounds, shell types, rowtypes),
-# plpgsql (cursor FOR inlining, implicit record targets), the
-# aggregate substitution path, the BETWEEN/|| ADVICE fixes, the
-# timestamp digit decode, and the engine front broadly.
-# Cumulative if green: 249 + 3 = 252 of 252.
+# r17 rotation: the 2 NEW round-17 queries lead — pg_class/pg_attribute
+# catalog introspection (engine_catalog.py views) and the widened
+# procedure interpreter end-to-end (bound cursor FETCH loop + dynamic
+# EXECUTE ... USING). The 5 family anchors stay. The remaining slots
+# re-score prior greens whose code round 17 touched: the PL/pgSQL
+# compile front (RAISE level-optional + USING, end-without-RETURN
+# sentinel, masked $n substitution on every CREATE FUNCTION),
+# polymorphic templates (new static consistency checks), the FTS core
+# (QTN ts_rewrite, legacy-crc tsquery compare, type-IO lowerings), the
+# sequence/session front (DISCARD SEQUENCES), user types (enum RENAME
+# VALUE), and the engine front broadly (the pg_catalog pre-pass now
+# runs on every statement).
+# Cumulative if green: 252 + 2 = 254 of 254.
 DRIVER_PREFIX: tuple[str, ...] = (
-    # never-scored: new round-16 queries
-    "fts_match_rank",
-    "fts_tsvector_ops",
-    "pgsql_combinefunc_aggregate",
+    # never-scored: new round-17 queries
+    "pgsql_catalog_introspection",
+    "pgsql_cursor_dynexec_proc",
     # anchors (required family tags with no never-scored owner)
     "external_csv_scan",
     "agg_dqa_multi",
     "cte_shared_reuse",
     "udtf_python_split_words",
     "uda_pandas_grouped",
-    # re-scores: aggregate substitution path (two-stage detour)
+    # re-scores: PL/pgSQL compile front (RAISE forms, end_noreturn
+    # sentinel, $n masked substitution on every CREATE FUNCTION)
+    "pgsql_plpgsql_function",
+    "pgsql_setof_table_function",
     "pgsql_create_aggregate",
+    "pgsql_combinefunc_aggregate",
+    # re-scores: polymorphic template expansion (new static checks)
     "pgsql_polymorphic_function",
-    # re-scores: numeric literal validation (litchecks extraction,
-    # quoted-int arithmetic, literal div-zero)
+    # re-scores: FTS core (QTN rewrite, legacy-crc compare, type IO)
+    "fts_match_rank",
+    "fts_tsvector_ops",
+    # re-scores: sequence/session front (DISCARD SEQUENCES split)
+    "pgsql_prepared_execute",
+    # re-scores: user types (enum RENAME VALUE sits beside ADD VALUE)
+    "fn_enum_ordering",
+    "pgsql_domain_check",
+    "pgsql_composite_roundtrip",
+    "pgsql_custom_range_type",
+    "fn_range_types",
+    # re-scores: engine front path, broad (pg_catalog pre-pass +
+    # gp_dist_random rewrite now run on every statement)
+    "pgsql_q1_text",
+    "pgsql_distinct_on_latest_order",
+    "pgsql_merge_upsert",
+    "fn_misc_type_shims",
+    "pgsql_network_types",
+    "pgsql_quantified_null",
+    "join_theta_range",
+    "fn_strings",
+    "fn_regex_family",
+    "fn_strings_hash_format",
+    "pgsql_format_compose",
     "fn_math",
     "fn_numeric_edge_semantics",
     "fn_width_bucket",
     "fn_bitwise",
     "fn_interval_arithmetic",
-    # re-scores: timestamp digit decode + format front
     "fn_datetime_extended",
     "fn_to_char_formats",
     "pgsql_to_number_pictures",
-    # re-scores: xpath strict parsing + XML family
     "fn_xpath_extract",
     "pgsql_xpath_sql_calls",
     "tablefunc_xmltable",
     "pgsql_xml_construction",
     "agg_xmlagg_members",
-    # re-scores: jsonpath @@ now claimed after the FTS pass
     "pgsql_jsonpath_filter",
-    "pgsql_jsonpath_match",
-    "pgsql_jsonb_path_vars",
     "pgsql_jsonb_containment",
     "events_json_extract",
     "agg_json_agg",
-    # re-scores: user-type paths (range ctor bound order, shell
-    # types, table rowtypes, SETOF composites)
-    "fn_range_types",
-    "pgsql_custom_range_type",
-    "pgsql_domain_check",
-    "pgsql_composite_roundtrip",
-    "fn_enum_ordering",
-    "pgsql_setof_table_function",
-    # re-scores: plpgsql compile (cursor FOR inline, implicit record)
-    "pgsql_plpgsql_function",
-    # re-scores: BETWEEN precedence + || chain ADVICE fixes
-    "join_theta_range",
-    "pgsql_quantified_null",
-    "fn_strings",
-    "fn_regex_family",
-    "fn_strings_hash_format",
-    "pgsql_format_compose",
-    # re-scores: engine front path, broad (autoschema wrapper,
-    # shadowed-call/void-proc pre-passes on every statement)
-    "pgsql_q1_text",
-    "pgsql_distinct_on_latest_order",
-    "pgsql_prepared_execute",
-    "pgsql_merge_upsert",
-    "fn_misc_type_shims",
-    "pgsql_network_types",
     # flagship + bench watch
     "tpch_q1_pricing_summary",
     "tpch_q18_large_volume_customer",

@@ -451,6 +451,22 @@ class UserTypes:
             else:
                 labels.append(label)
             return True
+        # RENAME VALUE 'a' TO 'b' (typecmds.c RenameEnumLabel)
+        rv = re.match(
+            r"(?is)^RENAME\s+VALUE\s+'((?:[^']|'')*)'\s+TO\s+"
+            r"'((?:[^']|'')*)'\s*$", action)
+        if rv and key in self.enums:
+            old = rv.group(1).replace("''", "'")
+            new_l = rv.group(2).replace("''", "'")
+            labels = self.enums[key]
+            if old not in labels:
+                raise ValueError(
+                    f'"{old}" is not an existing enum label')
+            if new_l in labels:
+                raise ValueError(
+                    f'enum label "{new_l}" already exists')
+            labels[labels.index(old)] = new_l
+            return True
         return False
 
     def _parse_domain(self, tail: str) -> Domain:
@@ -1092,8 +1108,43 @@ class UserTypes:
                 sub_populate,
                 sql,
             )
-            # recordset results explode into rows — inner cast
-            # converts, the per-row check stays relaxed (README)
+            # recordset results explode into rows; each produced
+            # record is domain-typed, so the CHECKs apply PER ELEMENT
+            # (jsonfuncs.c populate_recordset_worker -> domain_check)
+            from warehouse_pg_spark.sql_dialect import map_decl_type
+
+            comp = self.composites[base_key]
+            schema = ", ".join(
+                f"{f} {map_decl_type(t)}" for f, t in comp.fields)
+
+            def sub_popset(m: re.Match) -> str:
+                base, j = m.group(1).strip(), m.group(2).strip()
+                if re.match(r"(?is)^NULL$", base):
+                    elem = f"from_json(__o, 'STRUCT<{schema}>')"
+                else:
+                    bs = f"(({base})::{base_key})"
+                    parts = [
+                        f"'{f}', IF(array_contains("
+                        f"json_object_keys(__o), '{f}'), "
+                        f"from_json(__o, '{schema}').{f}, {bs}.{f})"
+                        for f, _t in comp.fields
+                    ]
+                    elem = f"named_struct({', '.join(parts)})"
+                return (
+                    f"explode(transform(from_json({j}, "
+                    f"'array<string>'), __o -> {_checked(elem)}))"
+                )
+
+            _RL = r"'(?:[^']|'')*'"
+            sql = re.sub(
+                rf"(?is)\bjsonb?_populate_recordset\s*\(\s*"
+                rf"(NULL|ROW\s*\((?:[^()']|{_RL})*\))\s*::\s*{name}"
+                rf"\s*,\s*({_RL}|[\w.]+)\s*\)",
+                sub_popset,
+                sql,
+            )
+            # unmatched shapes: inner cast converts, per-row check
+            # stays relaxed (README)
             sql = re.sub(
                 rf"(?is)(\bjsonb?_populate_recordset\s*\(\s*"
                 rf"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*?)"
