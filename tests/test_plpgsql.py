@@ -636,21 +636,28 @@ def test_for_over_query_scalar_and_multi_targets(engine, spark):
     engine.sql("DROP TABLE plq_t2")
 
 
-def test_for_over_query_param_in_body_rejected(engine, spark):
-    """A function param inside the loop BODY would be an outer
-    reference outside WHERE/HAVING (Spark restriction) — must fail at
-    compile time with the workaround, not an opaque analysis error."""
-    with pytest.raises(Exception, match="WHERE"):
-        engine.sql(
-            """CREATE FUNCTION plq_bad(th INT) RETURNS INT AS $$
-            DECLARE r RECORD; c INT := 0;
-            BEGIN
-              FOR r IN SELECT v FROM orders_nonexistent LOOP
-                IF r.v > th THEN c := c + 1; END IF;
-              END LOOP;
-              RETURN c;
-            END; $$ LANGUAGE plpgsql"""
-        )
+def test_for_over_query_param_in_body_interpreted(engine, spark):
+    """A function param inside the loop BODY is an outer reference
+    outside WHERE/HAVING — the expression compiler cannot hold it
+    (Spark restriction), so registration falls back to the r17
+    driver-side interpreter, which evaluates the body per row at
+    top-level call sites (pl_exec.c exec_stmt_fors semantics)."""
+    engine.sql("DROP TABLE IF EXISTS plq_t3")
+    engine.sql("create table plq_t3 (v int)")
+    engine.sql("INSERT INTO plq_t3 VALUES (5), (20), (30)")
+    engine.sql(
+        """CREATE FUNCTION plq_count_above(th INT) RETURNS INT AS $$
+        DECLARE r RECORD; c INT := 0;
+        BEGIN
+          FOR r IN SELECT v FROM plq_t3 LOOP
+            IF r.v > th THEN c := c + 1; END IF;
+          END LOOP;
+          RETURN c;
+        END; $$ LANGUAGE plpgsql"""
+    )
+    assert engine.sql(
+        "SELECT plq_count_above(10)").collect()[0][0] == 2
+    engine.sql("DROP TABLE IF EXISTS plq_t3")
 
 
 def test_composite_param_field_assignment(engine):
@@ -888,3 +895,36 @@ $$""")
         "SELECT count(*) FROM r17_ptab").collect()[0][0] == 3
     engine.sql("DROP PROCEDURE r17_ptest1(text)")
     engine.sql("DROP TABLE IF EXISTS r17_ptab")
+
+
+def test_exception_block_interpreted(engine):
+    """BEGIN ... EXCEPTION WHEN ... (pl_exec.c exec_stmt_block):
+    interpreted bodies catch, bind SQLERRM, and either recover
+    (RETURN from the handler) or re-raise; named conditions match the
+    error shape, OTHERS matches all."""
+    engine.sql("DROP TABLE IF EXISTS r17_elog")
+    engine.sql("create table r17_elog (msg varchar(80))")
+    engine.sql("""create function r17_guarded(a int, b int)
+returns int as $$
+begin
+    if b = 0 then raise exception 'division by zero'; end if;
+    return CAST(a / b AS int);
+exception when division_by_zero then
+    insert into r17_elog values ('recovered: ' || sqlerrm);
+    return -1;
+end; $$ language plpgsql""")
+    assert engine.sql("select r17_guarded(10, 2)").collect()[0][0] == 5
+    assert engine.sql("select r17_guarded(10, 0)").collect()[0][0] == -1
+    assert [r.msg for r in
+            engine.sql("select msg from r17_elog").collect()] == \
+        ["recovered: division by zero"]
+    engine.sql("""create function r17_rethrow() returns void as $$
+begin
+    raise exception 'boom %', 42;
+exception when others then
+    raise exception 'caught: %', sqlerrm;
+end; $$ language plpgsql""")
+    import pytest as _p
+    with _p.raises(Exception, match="caught: boom 42"):
+        engine.sql("select r17_rethrow()")
+    engine.sql("DROP TABLE IF EXISTS r17_elog")

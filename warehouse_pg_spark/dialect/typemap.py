@@ -283,6 +283,11 @@ def _rewrite_create_table_defs(sql: str) -> str:
     cols = []
     for item in _split_top_level_commas(defs):
         item = item.strip()
+        # SQL-standard `col int ARRAY[4]` / `col int ARRAY` spellings
+        # normalize to the bracket form the column regex handles
+        # (gram.y SimpleTypename; dimensions are documentation)
+        item = re.sub(r"(?is)\bARRAY\s*(?:\[\s*\d*\s*\])?(?=\s|$)",
+                      "[]", item)
         if not item or _TABLE_CONSTRAINT_RE.match(item):
             continue  # table-level constraints drop entirely
         if re.match(r"(?is)^(?:DEFAULT\s+)?COLUMN\b", item):
@@ -364,6 +369,9 @@ def map_decl_type(t: str) -> str:
     parameters / RETURNS / PL/pgSQL DECLARE), including the multiword
     spellings the `::cast` rewrite never sees."""
     tl = re.sub(r"\s+", " ", t.strip().lower())
+    # gram.y SimpleTypename: `int ARRAY[4]` / `int ARRAY` are the SQL
+    # standard spellings of `int[]` (dimensions are documentation)
+    tl = re.sub(r"\s*\barray(\s*\[\s*\d*\s*\])?$", "[]", tl)
     if tl.endswith("[]"):
         # PG array type spelling (numeric[], int[][]) — each [] pair
         # is one nesting level
@@ -382,10 +390,10 @@ def map_decl_type(t: str) -> str:
         return "TIMESTAMP"
     if tl.startswith("time"):  # no TIME type in Spark; HH:MM:SS sorts
         return "STRING"
-    if tl == "internal":
-        # pg_type.dat pseudo-type for fmgr transition state: opaque
-        # bytes here — such functions register but raise when called
-        # (see engine's LANGUAGE internal handling)
+    if tl in ("internal", "opaque"):
+        # pg_type.dat pseudo-types (fmgr transition state / legacy
+        # opaque): opaque bytes here — such functions register but
+        # raise when called (see engine's LANGUAGE internal handling)
         return "BINARY"
     return _map_type(t)
 

@@ -830,17 +830,29 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
                 self._variadic_functions[name.lower()] = variadic_at
             return res
         if lang == "plpgsql" and rettype.lower() == "void" and re.search(
-            r"(?i)\b(INSERT|UPDATE|DELETE|TRUNCATE)\b", body
+            r"(?i)\b(INSERT|UPDATE|DELETE|TRUNCATE|EXCEPTION)\b", body
         ) and self._register_plpgsql_proc(name, params, body):
             # DML-bodied void procedure: interpreted at call time
             # (engine_proc.py); nothing compiles
             return self._tag(0)
         if lang == "plpgsql":
-            expr = compile_plpgsql(
-                params, ret_spark, body,
-                composites=self._user_types.composites,
-                void=rettype.lower() == "void",
-            )
+            from warehouse_pg_spark.plpgsql import PlpgsqlError
+
+            try:
+                expr = compile_plpgsql(
+                    params, ret_spark, body,
+                    composites=self._user_types.composites,
+                    void=rettype.lower() == "void",
+                )
+            except PlpgsqlError:
+                # bodies the expression compiler cannot hold (DML,
+                # cursors, dynamic EXECUTE, EXCEPTION handlers) fall
+                # back to the driver-side interpreter — callable at
+                # top-level SELECT f(args) / CALL only
+                if self._register_plpgsql_proc(name, params, body,
+                                               rettype=rettype):
+                    return self._tag(0)
+                raise
         elif lang == "internal" and re.fullmatch(
                 r"\w*(?:in|out|send|recv)", body.strip()):
             # LANGUAGE internal I/O functions ('int4in', 'textout', ...;

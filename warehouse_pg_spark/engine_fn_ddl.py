@@ -594,9 +594,16 @@ class FunctionDDLMixin:
         if proc[0] == "plpgsql":
             if len(args) != len(proc[1]):
                 return None
-            self._run_plpgsql_proc(proc, args)
+            retval = self._run_plpgsql_proc(proc, args)
+            ret_spark = proc[7]
+            if ret_spark is None:
+                return self.spark.sql(
+                    f"SELECT CAST(NULL AS STRING) AS {name}")
+            from warehouse_pg_spark.engine_proc import _sql_lit
+
             return self.spark.sql(
-                f"SELECT CAST(NULL AS STRING) AS {name}")
+                f"SELECT CAST({_sql_lit(retval)} AS {ret_spark}) "
+                f"AS {name}")
         pnames, stmts = proc
         if len(args) != len(pnames):
             return None

@@ -48,14 +48,35 @@ def _sql_lit(v) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+# plpgsql condition names -> error-text heuristics (pl_exec.c matches
+# by SQLSTATE class; the engine's single error channel carries text,
+# so named conditions match on the message shape they produce here)
+_COND_PATTERNS = {
+    "division_by_zero": r"(?i)divi\w*[ _]by[ _]zero",
+    "unique_violation": r"(?i)duplicate|unique",
+    "no_data_found": r"(?i)no rows",
+    "too_many_rows": r"(?i)more than one row",
+    "raise_exception": r"(?i)user_raised_exception|p0001",
+    "numeric_value_out_of_range": r"(?i)out of range|overflow",
+    "invalid_text_representation":
+        r"(?i)invalid|cannot be cast|malformed",
+    "undefined_column": r"(?i)unresolved_column|does not exist",
+    "undefined_table": r"(?i)table_or_view_not_found",
+}
+
+
 class ProcedureMixin:
     def _register_plpgsql_proc(self, name: str,
                                params: list[tuple[str, str]],
-                               body: str) -> bool:
-        """Accept a void plpgsql body containing DML for the
-        interpreter; returns False when the body uses statements the
-        subset cannot interpret (caller falls back to the compiler's
-        loud error path)."""
+                               body: str,
+                               rettype: str = "void") -> bool:
+        """Accept a plpgsql body containing DML / cursors / dynamic
+        EXECUTE / EXCEPTION handlers for the interpreter; returns
+        False when the body uses statements the subset cannot
+        interpret (caller falls back to the compiler's loud error
+        path). Non-void functions interpret only at top-level
+        `SELECT f(args)` call sites — embedded uses stay unresolved,
+        loudly."""
         from warehouse_pg_spark import plpgsql as P
 
         masked, lits = P._mask(P._strip_comments(body))
@@ -70,7 +91,20 @@ class ProcedureMixin:
             cm = _CURSOR_DECL_RE.match(d)
             if cm:
                 cursors[cm.group(1).lower()] = cm.group(2).strip()
-        decl, inner = P._inline_cursor_loops(raw_decl, m.group("body"))
+        main, exc = P._split_exception_section(m.group("body"))
+        handlers: list[tuple[list[str], list]] = []
+        if exc is not None:
+            try:
+                handlers = [
+                    (conds, self._proc_handler_ctx(hs))
+                    for conds, hs in P._parse_exception_handlers(exc)
+                ]
+            except P.PlpgsqlError:
+                return False
+            for _conds, hs in handlers:
+                if not self._stmts_interpretable(hs):
+                    return False
+        decl, inner = P._inline_cursor_loops(raw_decl, main)
         try:
             stmts = P._parse_stmts(P._split_statements(inner))
         except P.PlpgsqlError:
@@ -89,17 +123,51 @@ class ProcedureMixin:
             # before literals are restored (pl_exec.c binds PARAMs,
             # never rewrites text inside string constants)
             declared.append((dm.group(1).lower(), dm.group(2)))
+        from warehouse_pg_spark.sql_dialect import map_decl_type
+
+        ret_spark = (None if rettype.lower() == "void"
+                     else map_decl_type(rettype))
         self._void_procs[name.lower()] = (
             "plpgsql", [p for p, _t in params], declared, stmts, lits,
-            cursors)
+            cursors, handlers, ret_spark)
         return True
+
+    @classmethod
+    def _proc_handler_ctx(cls, stmts) -> list:
+        """Inside an EXCEPTION handler SQLSTATE/SQLERRM are live
+        variables (pl_exec.c exec_stmt_block binds them): convert the
+        parse-time raise_undef_col markers back — EXCEPTION-level
+        re-raises keep their args, message-channel levels discard."""
+        out = []
+        for s in stmts:
+            if s[0] == "raise_undef_col":
+                _k, _ident, level, msg, args = s
+                out.append(("raise", msg, args)
+                           if level == "EXCEPTION" else ("null",))
+            elif s[0] in ("if", "case"):
+                out.append((
+                    s[0],
+                    [(c, cls._proc_handler_ctx(b)) for c, b in s[1]],
+                    cls._proc_handler_ctx(s[2]) if s[2] else s[2]))
+            elif s[0] == "while":
+                out.append((s[0], s[1], cls._proc_handler_ctx(s[2])))
+            elif s[0] == "loop":
+                out.append((s[0], cls._proc_handler_ctx(s[1])))
+            elif s[0] == "for":
+                out.append(s[:5] + (cls._proc_handler_ctx(s[5]),))
+            elif s[0] == "for_query":
+                out.append(s[:3] + (cls._proc_handler_ctx(s[3]),))
+            else:
+                out.append(s)
+        return out
 
     @staticmethod
     def _stmts_interpretable(stmts) -> bool:
         ok_kinds = {"assign", "dml", "null", "return", "raise",
-                    "if", "case", "while", "for", "for_query", "loop",
-                    "perform", "execute", "open", "fetch", "close",
-                    "get_diag", "exit_when", "continue_when"}
+                    "raise_undef_col", "if", "case", "while", "for",
+                    "for_query", "loop", "perform", "execute", "open",
+                    "fetch", "close", "get_diag", "exit_when",
+                    "continue_when"}
 
         def walk(ss) -> bool:
             for s in ss:
@@ -128,8 +196,11 @@ class ProcedureMixin:
         return walk(stmts)
 
     # ------------------------------------------------------ execution
-    def _run_plpgsql_proc(self, proc, arg_exprs: list[str]) -> None:
-        _kind, pnames, declared, stmts, lits, cursors = proc
+    def _run_plpgsql_proc(self, proc, arg_exprs: list[str]):
+        """Execute an interpreted body; returns the RETURN value
+        (None for void / fall-through)."""
+        (_kind, pnames, declared, stmts, lits, cursors, handlers,
+         _ret_spark) = proc
         args = [self._proc_eval_raw(a) for a in arg_exprs]
         env: dict[str, object] = {}
         for i, v in enumerate(args, start=1):
@@ -143,8 +214,37 @@ class ProcedureMixin:
         # it starts false on function entry (pl_exec.c plpgsql_estate)
         env.setdefault("found", False)
         st = {"fuel": _PROC_MAX_STEPS, "row_count": 0,
-              "cursors": {}, "bound": cursors, "lits": lits}
-        self._proc_run_seq(stmts, env, st)
+              "cursors": {}, "bound": cursors, "lits": lits,
+              "retval": None}
+        if not handlers:
+            self._proc_run_seq(stmts, env, st)
+            return st["retval"]
+        try:
+            self._proc_run_seq(stmts, env, st)
+        except Exception as e:  # noqa: BLE001 — exec_stmt_block
+            hs = self._proc_match_handler(handlers, e)
+            if hs is None:
+                raise
+            # the handler scope binds SQLERRM/SQLSTATE (pl_exec.c)
+            msg = re.sub(r"^\[\w+\]\s*", "", str(e).split("\n")[0])
+            env["sqlerrm"] = re.sub(r"\s*SQLSTATE:.*$", "", msg)
+            env["sqlstate"] = ("P0001" if "USER_RAISED" in str(e)
+                               else "XX000")
+            st["cursors"].clear()
+            self._proc_run_seq(hs, env, st)
+        return st["retval"]
+
+    @staticmethod
+    def _proc_match_handler(handlers, e):
+        txt = str(e)
+        for conds, hs in handlers:
+            for c in conds:
+                if c == "others":
+                    return hs
+                pat = _COND_PATTERNS.get(c)
+                if pat and re.search(pat, txt):
+                    return hs
+        return None
 
     def _proc_sub(self, text: str, env: dict) -> str:
         """Substitute $n and variable names with SQL literals."""
@@ -308,7 +408,12 @@ class ProcedureMixin:
             if k == "null":
                 continue
             if k == "return":
+                if len(s) > 1 and s[1]:
+                    st["retval"] = self._proc_eval_m(s[1], env, lits)
                 return "return"
+            if k == "raise_undef_col":
+                raise RuntimeError(
+                    f'column "{s[1]}" does not exist')
             if k == "exit_when":
                 if self._proc_truthy(s[1], env, st):
                     return "exit"

@@ -219,10 +219,13 @@ def _parse_stmts(stmts: list[str]) -> list[tuple]:
             # call's duration (guc.c); the compiled expression has no
             # session to mutate — a no-op, like PERFORM's discard
             out.append(("null",))
-        elif kw in ("INSERT", "UPDATE", "DELETE", "TRUNCATE"):
-            # DML statements exist only on the interpreted
-            # void-procedure path (engine_proc.py); the compiled
-            # single-expression model rejects them downstream
+        elif kw in ("INSERT", "UPDATE", "DELETE", "TRUNCATE",
+                    "CREATE", "DROP", "ALTER", "COPY", "GRANT",
+                    "REVOKE", "ANALYZE", "VACUUM", "COMMENT",
+                    "LOCK"):
+            # SQL statements (DML and utility DDL) exist only on the
+            # interpreted procedure path (engine_proc.py); the
+            # compiled single-expression model rejects them downstream
             out.append(("dml", s.rstrip(";").strip()))
         elif kw in _REJECTED:
             raise PlpgsqlError(
@@ -427,10 +430,12 @@ def _parse_raise(s: str) -> tuple:
         if re.fullmatch(r"(?i)sqlstate|sqlerrm", p.strip()):
             # SQLSTATE/SQLERRM exist only inside EXCEPTION handlers
             # (pl_exec.c exec_stmt_block); referencing them elsewhere
-            # errors at RUN time when the RAISE evaluates its args
-            return ("raise",
-                    f"'column \"{p.strip().lower()}\" does not exist'",
-                    [])
+            # errors at RUN time when the RAISE evaluates its args.
+            # The handler-context rewrite (engine_proc) converts this
+            # marker back into a live raise/no-op.
+            return ("raise_undef_col", p.strip().lower(), level,
+                    parts0[0].strip() if parts0 else None,
+                    [q.strip() for q in parts0[1:]])
     if level != "EXCEPTION":
         return ("null",)
     parts = _split_top_commas(rest) if rest.strip() else []
@@ -1108,6 +1113,11 @@ def _compile_seq(stmts: list[tuple], env: dict[str, str], returns: str) -> str:
             "void-procedure path (RETURNS VOID LANGUAGE plpgsql); the "
             "compiled expression model cannot hold side effects"
         )
+    if kind == "raise_undef_col":
+        # outside an EXCEPTION handler the reference errors when the
+        # RAISE evaluates its args, at any level
+        return ("CAST(raise_error('column \"" + head[1]
+                + f"\" does not exist') AS {returns})")
     if kind == "end_noreturn":
         # pl_exec.c plpgsql_exec_function: a non-void function whose
         # control falls off the end errors at RUN time, not CREATE
@@ -1240,6 +1250,61 @@ _HEADER_RE = re.compile(
     r"^\s*(?:DECLARE\b(?P<decl>.*?))?\s*BEGIN\b(?P<body>.*)\bEND\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _split_exception_section(body: str) -> tuple[str, str | None]:
+    """Split a block body at its top-level EXCEPTION keyword
+    (pl_gram.y proc_exceptions): IF/LOOP/CASE blocks at depth >= 1
+    keep their own text. Returns (main, handlers-or-None)."""
+    depth = 0
+    for m in re.finditer(r"[A-Za-z_]\w*", body):
+        w = m.group(0).upper()
+        prev = body[:m.start()].rstrip()
+        if w in ("IF", "LOOP", "CASE"):
+            if not prev.upper().endswith("END"):
+                depth += 1
+        elif w == "END":
+            depth -= 1
+        elif w == "EXCEPTION" and depth == 0 and (
+                prev == "" or prev.endswith(";")):
+            # statement position only — `RAISE EXCEPTION ...` carries
+            # the same keyword mid-statement
+            return body[:m.start()], body[m.end():]
+    return body, None
+
+
+def _parse_exception_handlers(text: str) -> list[tuple[list[str], list]]:
+    """WHEN cond [OR cond...] THEN stmts, ... (pl_gram.y
+    proc_exception): returns [(condition-names, parsed-stmts)]."""
+    arms: list[tuple[int, int]] = []  # (when_pos, then_end)
+    depth = 0
+    for m in re.finditer(r"[A-Za-z_]\w*", text):
+        w = m.group(0).upper()
+        prev = text[:m.start()].rstrip()
+        if w in ("IF", "LOOP", "CASE"):
+            if not prev.upper().endswith("END"):
+                depth += 1
+        elif w == "END":
+            depth -= 1
+        elif w == "WHEN" and depth == 0 and (
+                prev == "" or prev.endswith(";")):
+            # arm position only — EXIT WHEN / CONTINUE WHEN inside a
+            # handler body carry the same keyword mid-statement
+            arms.append(m.start())
+    if not arms:
+        raise PlpgsqlError("EXCEPTION section without WHEN handler")
+    out: list[tuple[list[str], list]] = []
+    bounds = arms + [len(text)]
+    for s, e in zip(bounds, bounds[1:]):
+        seg = text[s:e]
+        hm = re.match(r"(?is)^WHEN\s+(.+?)\s+THEN\b(.*)$", seg)
+        if hm is None:
+            raise PlpgsqlError("cannot parse EXCEPTION handler")
+        conds = [c.strip().lower()
+                 for c in re.split(r"(?i)\bOR\b", hm.group(1))]
+        out.append((conds,
+                    _parse_stmts(_split_statements(hm.group(2)))))
+    return out
 
 
 _FIELDS_KEY = "\x00fields:{}"  # env side-channel: record var field list
