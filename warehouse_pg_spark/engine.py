@@ -203,9 +203,46 @@ _TRUNCATE_RE = re.compile(
     re.IGNORECASE,
 )
 _TEMP_CTAS_RE = re.compile(
-    r"^CREATE\s+(?:TEMP|TEMPORARY)\s+TABLE\s+([\w.]+)\s+AS\s+(SELECT\b.*)$",
+    r"^CREATE\s+(?:TEMP|TEMPORARY)\s+TABLE\s+([\w.]+)\s+AS\s*"
+    r"\(?\s*((?:SELECT|WITH|VALUES)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_CTAS_DIST_TAIL_RE = re.compile(
+    r"\s+DISTRIBUTED\s+(?:BY\s*\([^)]*\)|RANDOMLY|REPLICATED)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _paren_balance(text: str) -> int:
+    """Net ( vs ) count outside single-quoted spans."""
+    bal, in_q = 0, False
+    for ch in text:
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            bal += ch == "(" and 1 or (ch == ")" and -1 or 0)
+    return bal
+
+
+def _toplevel_from(text: str) -> bool:
+    """True when a statement has a FROM clause at paren depth 0 —
+    `extract(epoch FROM x)` / substring(... FROM ...) sit inside
+    parens and a literal's FROM sits inside quotes, so neither
+    counts."""
+    depth, in_q = 0, False
+    for m in re.finditer(r"'|\(|\)|\bFROM\b", text, re.IGNORECASE):
+        t = m.group(0)
+        if t == "'":
+            in_q = not in_q
+        elif in_q:
+            continue
+        elif t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            return True
+    return False
 _CATALOG_VIEW_RE = re.compile(
     r"\b(pg_catalog\.pg_tables|pg_tables|information_schema\.columns)\b",
     re.IGNORECASE,
@@ -372,6 +409,10 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
         sess = self._maybe_session_stmt(text)
         if sess is not None:
             return sess
+        # pg_catalog views must exist before function DDL analyzes a
+        # body that scans them (Spark validates SQL-UDF bodies at
+        # CREATE time); the hook is a no-op otherwise
+        text = self._maybe_pg_catalog(text)
         fn = self._maybe_create_function(text)
         if fn is not None:
             return fn
@@ -773,6 +814,7 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
             None if (setof_m or table_cols_raw is not None)
             else map_decl_type(rettype)
         )
+        fn_config: dict[str, str] = {}
         if body_m:
             body = body_m.group(2 if body_m.re.groups == 2 else 1)
             if body.startswith("'"):  # AS '...' spelling
@@ -782,6 +824,13 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
             # check_function_bodies off PG defers the error to call
             # time (guc.out func_with_bad_set)
             opts_tail = tail[:body_m.start()] + tail[body_m.end():]
+            for sm in re.finditer(
+                    r"(?i)\bSET\s+([A-Za-z_][\w.]*)\s*(?:=|\bTO\b)\s*"
+                    r"('(?:[^']|'')*'|[\w.-]+)", opts_tail):
+                v = sm.group(2)
+                if v.startswith("'"):
+                    v = v[1:-1].replace("''", "'")
+                fn_config[sm.group(1).lower()] = v
             bs = re.search(
                 r"(?i)\bSET\s+default_text_search_config\s*"
                 r"(?:=|\bTO\b)\s*'?\"?([\w.]+)",
@@ -874,8 +923,27 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
         elif lang == "sql":
             # PG SQL functions return the last statement's result; the
             # supported subset is expression-bodied SELECTs.
-            last = [x for x in body.split(";") if x.strip()][-1].strip()
-            expr = re.sub(r"^SELECT\b", "", last, flags=re.IGNORECASE).strip()
+            all_stmts = [x.strip() for x in body.split(";") if x.strip()]
+            last = all_stmts[-1]
+            if len(all_stmts) > 1 and any(
+                re.match(r"(?is)^(INSERT|UPDATE|DELETE|TRUNCATE|CREATE|"
+                         r"DROP|ALTER|COPY)\b", x)
+                for x in all_stmts[:-1]
+            ) and self._register_sqlbody_proc(
+                    name, params, body, rettype, fn_config):
+                # earlier statements carry side effects functions.c
+                # would run — a Spark SQL UDF holds only the last
+                # expression, so the whole body interprets driver-side
+                return self._tag(0)
+            if re.match(r"(?is)^SELECT\b", last) and _toplevel_from(last):
+                # a FROM-clause body is a whole query; a scalar SQL
+                # function returns the FIRST row of its last query
+                # (functions.c postquel_get_single_result) — a LIMIT 1
+                # scalar subquery in Spark's SQL-UDF surface
+                expr = f"(SELECT * FROM ({last}) LIMIT 1)"
+            else:
+                expr = re.sub(
+                    r"^SELECT\b", "", last, flags=re.IGNORECASE).strip()
             # `select 1 AS result` / `select $1 + $2 sum` — the
             # output alias is not part of the expression (functions.c:
             # the column name is ignored for a scalar SQL function);
@@ -952,16 +1020,27 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
                 f"RETURNS {ret_spark} RETURN {expr}"
             )
         except Exception as e:  # noqa: BLE001
-            if "CANNOT_REPLACE_NON_SQL_UDF" not in str(e):
+            if "CANNOT_REPLACE_NON_SQL_UDF" in str(e):
+                # the name is a Spark builtin Spark refuses to
+                # replace: register under a prefix; same-arity call
+                # sites rewrite to it (PG search_path semantics put
+                # the user fn first)
+                self.spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY FUNCTION __pgudf_{name}"
+                    f"({arglist}) RETURNS {ret_spark} RETURN {expr}"
+                )
+                self._shadowed_fns[name.lower()] = len(params)
+            elif lang == "sql" and self._register_sqlbody_proc(
+                    name, params, body, rettype, fn_config):
+                # bodies Spark's SQL-UDF surface cannot hold (a
+                # recursive CTE over a parameter, DML followed by a
+                # result, current_setting over a runtime key):
+                # interpreted driver-side at top-level call sites
+                # (engine_proc.py), per functions.c run-every-
+                # statement semantics
+                return self._tag(0)
+            else:
                 raise
-            # the name is a Spark builtin Spark refuses to replace:
-            # register under a prefix; same-arity call sites rewrite
-            # to it (PG search_path semantics put the user fn first)
-            self.spark.sql(
-                f"CREATE OR REPLACE TEMPORARY FUNCTION __pgudf_{name}"
-                f"({arglist}) RETURNS {ret_spark} RETURN {expr}"
-            )
-            self._shadowed_fns[name.lower()] = len(params)
         if variadic_at is not None:  # only after Spark accepted it
             self._variadic_functions[name.lower()] = variadic_at
         self._scalar_fn_exprs[name.lower()] = (
@@ -1511,6 +1590,12 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
         maps onto directory partitioning: a CTAS with the clause
         materializes with a derived range-partition id column, so
         partition pruning works exactly as GP's Dynamic*Scan would."""
+        if _TEMP_CTAS_RE.match(text.strip()) and not \
+                _PARTITION_RANGE_RE.search(text):
+            # TEMP CTAS materializes as a session temp view further
+            # down the chain (its handler strips the DISTRIBUTED tail
+            # itself); Spark rejects CREATE TEMPORARY TABLE AS
+            return None
         pm = _PARTITION_RANGE_RE.search(text)
         if pm is not None:
             return self._partitioned_ctas(text, pm)
@@ -1684,7 +1769,12 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
         if m:
             # PG CREATE TEMP TABLE ... AS (temp.sql): session-scoped, never
             # durable — a Spark temp view over the materialized select.
-            name, select = m.group(1).split(".")[-1], m.group(2)
+            # The query may be parenthesized and carry a DISTRIBUTED
+            # clause (gram.y CreateAsStmt + GP distribution suffix).
+            name, select = m.group(1).split(".")[-1], m.group(2).strip()
+            select = _CTAS_DIST_TAIL_RE.sub("", select).strip()
+            if select.endswith(")") and _paren_balance(select) < 0:
+                select = select[:-1].rstrip()
             df = self.spark.sql(select).localCheckpoint(eager=True)
             df.createOrReplaceTempView(name)
             return self._tag(df.count())

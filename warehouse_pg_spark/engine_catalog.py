@@ -111,6 +111,12 @@ class CatalogViewsMixin:
             pass
         for name in getattr(self, "_sequences", {}):
             rels[name.lower()] = "S"
+        # the catalog lists itself (pg_class.dat: bootstrap relations
+        # are rows of pg_class) — deterministic from the first build,
+        # not only once the views exist in the Spark catalog
+        for name in ("pg_class", "pg_attribute", "pg_type",
+                     "pg_namespace", "pg_proc"):
+            rels[name] = "v"
         return sorted(rels.items())
 
     def _ensure_pg_catalog_views(self) -> None:
@@ -136,7 +142,11 @@ class CatalogViewsMixin:
                 try:
                     fields = spark.table(name).schema.fields
                 except Exception:
-                    continue
+                    if not name.startswith("pg_"):
+                        continue
+                    # a catalog view not built yet this session still
+                    # gets its pg_class row (attribute rows follow on
+                    # the next rebuild)
             cls_rows.append((
                 oid, name, 2200, kind, "p", oid, 0, 0,
                 float(len(fields)), len(fields), False, False))
@@ -194,3 +204,13 @@ class CatalogViewsMixin:
             "oid BIGINT, proname STRING, pronamespace BIGINT, "
             "prokind STRING",
         ).createOrReplaceTempView("pg_proc")
+
+        # dbsize.c filenode accessors: this engine has no physical
+        # relfilenode, so filenode ≡ oid (matching pg_class above,
+        # which reports relfilenode = oid) and the pair round-trips
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION pg_relation_filenode"
+            "(rel BIGINT) RETURNS BIGINT RETURN rel")
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION pg_filenode_relation"
+            "(ts BIGINT, fn BIGINT) RETURNS BIGINT RETURN fn")

@@ -604,6 +604,10 @@ class FunctionDDLMixin:
             return self.spark.sql(
                 f"SELECT CAST({_sql_lit(retval)} AS {ret_spark}) "
                 f"AS {name}")
+        if proc[0] == "sqlbody":
+            if len(args) != len(proc[1]):
+                return None
+            return self._run_sqlbody_proc(name, proc, args)
         pnames, stmts = proc
         if len(args) != len(pnames):
             return None

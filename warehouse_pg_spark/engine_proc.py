@@ -66,6 +66,31 @@ _COND_PATTERNS = {
 
 
 class ProcedureMixin:
+    def _register_sqlbody_proc(self, name: str,
+                               params: list[tuple[str, str]],
+                               body: str, rettype: str,
+                               config: dict[str, str]) -> bool:
+        """LANGUAGE sql bodies Spark's SQL-UDF surface cannot hold
+        (a recursive CTE over a parameter, DML followed by a result
+        query, current_setting over a runtime key): functions.c runs
+        every statement and returns the last one's first row —
+        interpreted driver-side at top-level `SELECT f(args)` call
+        sites, with proconfig SET overlays applied for the call's
+        duration (functioncmds.c proconfig / guc.c)."""
+        from warehouse_pg_spark import plpgsql as P
+        from warehouse_pg_spark.sql_dialect import map_decl_type
+
+        masked, lits = P._mask(P._strip_comments(body))
+        stmts = [x.strip() for x in masked.split(";") if x.strip()]
+        if not stmts:
+            return False
+        ret_spark = (None if rettype.lower() == "void"
+                     else map_decl_type(rettype))
+        self._void_procs[name.lower()] = (
+            "sqlbody", [p for p, _t in params], stmts, lits,
+            ret_spark, dict(config))
+        return True
+
     def _register_plpgsql_proc(self, name: str,
                                params: list[tuple[str, str]],
                                body: str,
@@ -196,6 +221,39 @@ class ProcedureMixin:
         return walk(stmts)
 
     # ------------------------------------------------------ execution
+    def _run_sqlbody_proc(self, name: str, proc, arg_exprs: list[str]):
+        """Run an interpreted LANGUAGE sql body: every statement
+        executes with parameters bound as literals (substituted on
+        masked text), the last statement's first row is the result
+        (functions.c postquel_get_single_result). SET overlays apply
+        for the call's duration, then restore (guc.c proconfig)."""
+        from warehouse_pg_spark import plpgsql as P
+
+        _kind, pnames, stmts, lits, ret_spark, config = proc
+        vals = [self._proc_eval_raw(a) for a in arg_exprs]
+        env: dict[str, object] = {
+            pn.lower(): v for pn, v in zip(pnames, vals)}
+        saved = {k: self._gucs.get(k) for k in config}
+        self._gucs.update(config)
+        try:
+            last_df = None
+            for stmt in stmts:
+                sql = P._unmask(self._proc_sub(stmt, env), lits)
+                last_df = self.sql(sql)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    self._gucs.pop(k, None)
+                else:
+                    self._gucs[k] = v
+        if ret_spark is None:
+            return self.spark.sql(
+                f"SELECT CAST(NULL AS STRING) AS {name}")
+        rows = last_df.limit(1).collect() if last_df is not None else []
+        val = rows[0][0] if rows else None
+        return self.spark.sql(
+            f"SELECT CAST({_sql_lit(val)} AS {ret_spark}) AS {name}")
+
     def _run_plpgsql_proc(self, proc, arg_exprs: list[str]):
         """Execute an interpreted body; returns the RETURN value
         (None for void / fall-through)."""

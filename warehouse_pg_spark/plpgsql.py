@@ -684,6 +684,22 @@ def _strip_parens(s: str) -> str:
 
 
 def _parse_for(s: str) -> tuple:
+    mp = re.match(
+        r"(?is)^(FOR\s+[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s+IN)\s*\(",
+        s)
+    if mp:
+        # pl_gram.y exec_stmt_fors: the FOR query may be fully
+        # parenthesized — strip ONE balanced pair so the SELECT form
+        # matches (dotted range FORs never start with a paren'd query
+        # unless it is a subquery, which re-wraps identically)
+        j, depth = mp.end(), 1
+        while j < len(s) and depth:
+            depth += {"(": 1, ")": -1}.get(s[j], 0)
+            j += 1
+        inner = s[mp.end(): j - 1].strip()
+        if depth == 0 and re.match(
+                r"(?is)^(SELECT|VALUES|WITH)\b", inner):
+            s = s[:mp.end() - 1] + " " + inner + " " + s[j:]
     m = _FOR_RE.match(s)
     if not m:
         mq = _FOR_QUERY_RE.match(s)
