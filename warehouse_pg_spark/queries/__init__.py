@@ -60,11 +60,17 @@ from warehouse_pg_spark.queries import (  # noqa: F401, E402
 # sequence/session front (DISCARD SEQUENCES), user types (enum RENAME
 # VALUE), and the engine front broadly (the pg_catalog pre-pass now
 # runs on every statement).
-# Cumulative if green: 252 + 2 = 254 of 254.
+# Late-r17 additions: the interpreted LANGUAGE sql surface
+# (sqlbody fallback) and EXCEPTION-handler interpretation join the
+# never-scored head; two same-family dialect re-scores rotate out to
+# keep the prefix at 50.
+# Cumulative if green: 252 + 4 = 256 of 256.
 DRIVER_PREFIX: tuple[str, ...] = (
     # never-scored: new round-17 queries
     "pgsql_catalog_introspection",
     "pgsql_cursor_dynexec_proc",
+    "pgsql_sqlbody_function",
+    "pgsql_exception_handler",
     # anchors (required family tags with no never-scored owner)
     "external_csv_scan",
     "agg_dqa_multi",
@@ -101,7 +107,6 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "join_theta_range",
     "fn_strings",
     "fn_regex_family",
-    "fn_strings_hash_format",
     "pgsql_format_compose",
     "fn_math",
     "fn_numeric_edge_semantics",
@@ -117,7 +122,6 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "pgsql_xml_construction",
     "agg_xmlagg_members",
     "pgsql_jsonpath_filter",
-    "pgsql_jsonb_containment",
     "events_json_extract",
     "agg_json_agg",
     # flagship + bench watch

@@ -119,3 +119,72 @@ def pgsql_cursor_dynexec_proc(spark: SparkSession,
     return eng.sql(
         "SELECT k, nm, CAST(len AS INT) AS len FROM region_audit "
         "ORDER BY k")
+
+
+@register(
+    "pgsql_sqlbody_function",
+    oracle="""
+    SELECT CAST(n AS INTEGER) AS n, CAST(total AS BIGINT) AS total
+    FROM (VALUES (0, 0), (3, 6), (10, 55)) AS t(n, total)
+    ORDER BY n
+    """,
+    tags=("dialect", "plpgsql"),
+)
+def pgsql_sqlbody_function(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Interpreted LANGUAGE sql function (functions.c: run every
+    statement, return the last one's first row —
+    postquel_get_single_result): a recursive CTE over the parameter
+    is inexpressible as a Spark SQL-UDF body (outer reference inside
+    the recursive member), so registration falls back to the
+    driver-side sqlbody interpreter (engine_proc.py
+    _register_sqlbody_proc) and each top-level call substitutes the
+    argument as a literal on masked text and runs the query whole.
+    The oracle states the closed-form sums 0..n."""
+    eng = _engine(spark, sf_dir)
+    eng.sql(
+        """create function stz(integer) returns bigint as $$
+        with recursive r(i) as (
+          select $1
+          union all
+          select i - 1 from r where i > 0
+        )
+        select sum(i) from r;
+        $$ language sql"""
+    )
+    rows = [(n, eng.sql(f"SELECT stz({n})").collect()[0][0])
+            for n in (0, 3, 10)]
+    return spark.createDataFrame(rows, "n INT, total BIGINT")
+
+
+@register(
+    "pgsql_exception_handler",
+    oracle="""
+    SELECT CAST(a AS INTEGER) AS a, CAST(b AS INTEGER) AS b,
+           CAST(q AS INTEGER) AS q
+    FROM (VALUES (10, 2, 5), (10, 0, -1), (9, 3, 3)) AS t(a, b, q)
+    ORDER BY a, b
+    """,
+    tags=("dialect", "plpgsql"),
+)
+def pgsql_exception_handler(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """BEGIN ... EXCEPTION WHEN division_by_zero (pl_exec.c
+    exec_stmt_block): the body the expression compiler rejects falls
+    back to the driver-side interpreter, which catches the raise,
+    matches the named condition against the error shape, and RETURNs
+    the handler's recovery value; non-error calls return normally."""
+    eng = _engine(spark, sf_dir)
+    eng.sql(
+        """create function safe_div(a int, b int) returns int as $$
+        begin
+            if b = 0 then raise exception 'division by zero'; end if;
+            return CAST(a / b AS int);
+        exception when division_by_zero then
+            return -1;
+        end; $$ language plpgsql"""
+    )
+    rows = [(a, b,
+             eng.sql(f"SELECT safe_div({a}, {b})").collect()[0][0])
+            for a, b in ((10, 2), (10, 0), (9, 3))]
+    return spark.createDataFrame(rows, "a INT, b INT, q INT")
