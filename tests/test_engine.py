@@ -3004,3 +3004,75 @@ END;
 $$ LANGUAGE plpgsql""")
     assert engine.sql(
         "SELECT r16_region_total()").collect()[0][0] == 300
+
+
+# ------------------------------------------- r17 census widenings
+def test_temp_ctas_paren_distributed(engine):
+    """gram.y CreateAsStmt: the AS query may be parenthesized and
+    carry a GP DISTRIBUTED tail — still a session temp view."""
+    engine.sql(
+        "CREATE TEMP TABLE tctas_p AS ( SELECT id FROM "
+        "generate_series(11, 100, 11) AS id ) DISTRIBUTED BY ( id )")
+    assert engine.sql(
+        "SELECT count(*) FROM tctas_p").collect()[0][0] == 9
+
+
+def test_plain_partitioned_create(engine):
+    """OptTabPartitionSpec without AS SELECT: the empty table creates
+    normally — the GP partition spec is physical layout, not
+    semantics (tablecmds.c child creation is storage-side)."""
+    engine.sql("DROP TABLE IF EXISTS part_plain")
+    engine.sql("create table part_plain(a int, b int) "
+               "partition by range(b) (start(1) end(5) every(1))")
+    engine.sql("INSERT INTO part_plain VALUES (1, 2), (3, 4)")
+    assert engine.sql(
+        "SELECT count(*) FROM part_plain").collect()[0][0] == 2
+    engine.sql("DROP TABLE part_plain")
+
+
+def test_sqlfn_from_scalar_subquery(engine, spark):
+    """functions.c postquel_get_single_result: a FROM-clause SQL
+    function body returns the first row of its query — lowered to a
+    Spark scalar subquery, still JVM-side."""
+    engine.sql("CREATE OR REPLACE FUNCTION biggest_nation() RETURNS "
+               "text AS $$ SELECT n_name FROM nation "
+               "ORDER BY n_nationkey DESC LIMIT 1 $$ LANGUAGE sql")
+    top = engine.sql("SELECT max(n_name) FROM nation "
+                     "WHERE n_nationkey = (SELECT max(n_nationkey) "
+                     "FROM nation)").collect()[0][0]
+    assert engine.sql(
+        "SELECT biggest_nation()").collect()[0][0] == top
+
+
+def test_sqlbody_interpreted_function(engine):
+    """Bodies Spark's SQL-UDF surface cannot hold interpret
+    driver-side (engine_proc._register_sqlbody_proc): DML runs with
+    args bound as literals, the last statement's first value returns,
+    proconfig SET overlays apply per call (guc.c)."""
+    engine.sql("DROP TABLE IF EXISTS sqlb_log")
+    engine.sql("create table sqlb_log (v int)")
+    engine.sql("CREATE FUNCTION sqlb_ins(integer) RETURNS int AS $$ "
+               "INSERT INTO sqlb_log VALUES ($1); "
+               "SELECT count(*)::int FROM sqlb_log; $$ LANGUAGE sql")
+    assert engine.sql("SELECT sqlb_ins(7)").collect()[0][0] == 1
+    assert engine.sql("SELECT sqlb_ins(8)").collect()[0][0] == 2
+    engine.sql("create function sqlb_guc(text) returns text as "
+               "$$ select current_setting($1) $$ language sql "
+               "set work_mem = '64MB'")
+    assert engine.sql(
+        "SELECT sqlb_guc('work_mem')").collect()[0][0] == "64MB"
+    engine.sql("DROP TABLE IF EXISTS sqlb_log")
+
+
+def test_create_type_quoted_attributes(engine):
+    """typecmds.c DefineType matches attribute labels
+    case-insensitively — quoted mixed-case spellings parse."""
+    engine.sql('CREATE TYPE q_int42 ("Internallength" = 4, '
+               '"Input" = int4in, "Output" = int4out, '
+               '"Passedbyvalue")')
+    engine.sql("DROP TABLE IF EXISTS qi42_t")
+    engine.sql("create table qi42_t (v q_int42)")
+    engine.sql("INSERT INTO qi42_t VALUES (7)")
+    assert engine.sql(
+        "SELECT v + 1 FROM qi42_t").collect()[0][0] == 8
+    engine.sql("DROP TABLE qi42_t")

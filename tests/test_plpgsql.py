@@ -928,3 +928,18 @@ end; $$ language plpgsql""")
     with _p.raises(Exception, match="caught: boom 42"):
         engine.sql("select r17_rethrow()")
     engine.sql("DROP TABLE IF EXISTS r17_elog")
+
+
+def test_for_over_parenthesized_query(engine):
+    """pl_gram.y exec_stmt_fors: the FOR query may be fully
+    parenthesized — one balanced pair strips before parsing."""
+    engine.sql("""CREATE FUNCTION paren_for_count() RETURNS int AS $$
+    DECLARE c int := 0; line text;
+    BEGIN
+      FOR line IN (SELECT unnest(string_to_array('a b c', ' '))) LOOP
+        c := c + 1;
+      END LOOP;
+      RETURN c;
+    END; $$ LANGUAGE plpgsql""")
+    assert engine.sql(
+        "SELECT paren_for_count()").collect()[0][0] == 3

@@ -1639,6 +1639,15 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
         stripped = _DISTRIBUTED_BY_RE.sub("", stripped)
         cm = _CTAS_RE.match(stripped.strip())
         if cm is None:
+            if re.match(r"(?is)^CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE"
+                        r"\s+[\w.]+\s*\(", stripped.strip()):
+                # plain partitioned CREATE (gram.y OptTabPartitionSpec
+                # without AS): the GP partition spec is physical
+                # layout, not semantics — the empty table creates
+                # normally and the spec stays a layout hint (a later
+                # CTAS through this path materializes directories;
+                # parquet row-group pruning covers the scan side)
+                return self.sql(stripped)
             raise NotImplementedError(
                 "PARTITION BY RANGE is supported on CREATE TABLE ... AS "
                 "SELECT (directory-partitioned materialization)"

@@ -224,6 +224,12 @@ class UserTypes:
         """Consume a CREATE/ALTER/DROP DOMAIN|TYPE statement; True if
         handled."""
         s = text.strip().rstrip(";").strip()
+        if re.match(r"(?i)^CREATE\s+TYPE\b", s):
+            # quoted attribute labels ("Internallength" = 4, "Input" =
+            # fn): DefineType matches defel names case-insensitively
+            # (typecmds.c via pg_strcasecmp) — unquote identifiers so
+            # the attribute regexes below see them
+            s = re.sub(r'"([A-Za-z_]\w*)"', r"\1", s)
         m = _CREATE_ENUM_RE.match(s)
         if m:
             labels = [
