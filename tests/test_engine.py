@@ -3076,3 +3076,104 @@ def test_create_type_quoted_attributes(engine):
     assert engine.sql(
         "SELECT v + 1 FROM qi42_t").collect()[0][0] == 8
     engine.sql("DROP TABLE qi42_t")
+
+
+def test_quoted_column_names_text_type(engine):
+    """Quoted column names still get their PG types mapped (the
+    column regex admits quoted/backticked identifiers)."""
+    engine.sql("DROP TABLE IF EXISTS qcols_t")
+    engine.sql('create table qcols_t ("B B" text, "C" text) '
+               'DISTRIBUTED RANDOMLY')
+    engine.sql("INSERT INTO qcols_t VALUES ('a', 'b')")
+    assert engine.sql(
+        'SELECT `B B` FROM qcols_t').collect()[0][0] == "a"
+    engine.sql("DROP TABLE qcols_t")
+
+
+def test_char_quoted_type_and_collate_decl(engine):
+    """'"char"' (the pg_attribute class tag) folds like char; a
+    COLLATE clause in a PL/pgSQL declaration drops (decl_collate —
+    Spark strings compare binary, README deviations)."""
+    engine.sql('CREATE OR REPLACE FUNCTION deps_q() RETURNS '
+               'TABLE(depname TEXT, classtype "char") LANGUAGE SQL '
+               "AS $fn$ SELECT 'x', 'r' $fn$")
+    assert engine.sql(
+        "SELECT classtype FROM deps_q()").collect()[0][0] == "r"
+    engine.sql("""CREATE OR REPLACE FUNCTION lt_posix(x text, y text)
+    RETURNS boolean LANGUAGE plpgsql AS $$
+    declare xx text COLLATE "POSIX" := x;
+    begin return xx < y; end $$""")
+    assert engine.sql(
+        "SELECT lt_posix('a','b')").collect()[0][0] is True
+
+
+def test_array_cmp_fmgr_functions(engine):
+    """arrayfuncs.c array_eq/array_ne by name lower to Spark's
+    binary array comparisons."""
+    r = engine.sql("SELECT array_eq(ARRAY[1,2], ARRAY[1,2]) AS a, "
+                   "array_ne(ARRAY[1], ARRAY[2]) AS b").collect()[0]
+    assert (r.a, r.b) == (True, True)
+
+
+def test_stale_managed_location_reclaimed(engine):
+    """A leftover managed-table directory with no catalog entry does
+    not block CREATE TABLE of the same name (the engine reclaims
+    paths inside *-warehouse dirs only)."""
+    import os
+    from urllib.parse import urlparse
+    wh = urlparse(
+        engine.spark.conf.get("spark.sql.warehouse.dir")).path
+    engine.sql("DROP TABLE IF EXISTS stale_x1")
+    os.makedirs(os.path.join(wh, "stale_x1", "j"), exist_ok=True)
+    engine.sql("CREATE TABLE stale_x1 (a int)")
+    engine.sql("DROP TABLE stale_x1")
+
+
+def test_complex_type_functions(engine):
+    """GP complex type (gpcontrib complex_type.c) as STRUCT<re,im>:
+    constructor + re/im/conj, usable as a function parameter type."""
+    r = engine.sql("SELECT re(COMPLEX(5, 3)) AS a, "
+                   "im(conj(COMPLEX(1, 2))) AS b, "
+                   "re(COMPLEX('infinity', 0)) AS c").collect()[0]
+    assert (r.a, r.b) == (5.0, -2.0)
+    assert r.c == float("inf")
+    engine.sql("""CREATE OR REPLACE FUNCTION cx_eq(a COMPLEX,
+    b COMPLEX, diff FLOAT8) RETURNS BOOLEAN AS $$
+    BEGIN RETURN (abs(re(a) - re(b)) < diff)
+      AND (abs(im(a) - im(b)) < diff); END;
+    $$ LANGUAGE PLPGSQL""")
+    assert engine.sql("SELECT cx_eq(COMPLEX(1,2), COMPLEX(1,2), "
+                      "0.001)").collect()[0][0] is True
+
+
+def test_acl_ledger_privilege_fold(engine):
+    """aclchk.c has_table_privilege over the GRANT/REVOKE ledger:
+    all-granted until REVOKE; GRANT restores; the 2-arg form answers
+    for the current role (SET ROLE)."""
+    engine.sql("DROP TABLE IF EXISTS aclt")
+    engine.sql("CREATE TABLE aclt (x int)")
+    q = "SELECT has_table_privilege('alice', 'aclt', 'SELECT')"
+    assert engine.sql(q).collect()[0][0] is True
+    engine.sql("REVOKE SELECT ON aclt FROM alice")
+    assert engine.sql(q).collect()[0][0] is False
+    assert engine.sql("SELECT has_table_privilege('alice', 'aclt', "
+                      "'INSERT')").collect()[0][0] is True
+    engine.sql("GRANT SELECT ON aclt TO alice")
+    assert engine.sql(q).collect()[0][0] is True
+    engine.sql("SET ROLE alice")
+    engine.sql("REVOKE ALL ON aclt FROM alice")
+    assert engine.sql("SELECT has_table_privilege('aclt', "
+                      "'SELECT')").collect()[0][0] is False
+    engine.sql("RESET ROLE")
+    assert engine.sql("SELECT has_table_privilege('aclt', "
+                      "'SELECT')").collect()[0][0] is True
+    engine.sql("DROP TABLE aclt")
+
+
+def test_select_into_fromless(engine):
+    """gram.y into_clause without FROM: one computed row
+    materializes, same as the CTAS form."""
+    engine.sql("DROP TABLE IF EXISTS sint_x")
+    engine.sql("SELECT 1 + 2 AS v INTO sint_x")
+    assert engine.sql("SELECT v FROM sint_x").collect()[0][0] == 3
+    engine.sql("DROP TABLE sint_x")

@@ -53,6 +53,10 @@ _ARRAY_LENGTH_RE = re.compile(
     re.IGNORECASE,
 )
 _ARRAY_CAT_RE = re.compile(r"\barray_cat\s*\(", re.IGNORECASE)
+_ARRAY_CMP_FNS = {"array_eq": "=", "array_ne": "!=", "array_lt": "<",
+                  "array_le": "<=", "array_gt": ">", "array_ge": ">="}
+_ARRAY_CMP_RE = re.compile(
+    r"\b(array_(?:eq|ne|lt|le|gt|ge))\s*\(", re.IGNORECASE)
 _ARRAY_UPPER_RE = re.compile(
     _ARRAY_LENGTH_RE.pattern.replace("array_length", "array_upper"),
     re.IGNORECASE,
@@ -437,6 +441,27 @@ def _rewrite_pg_misc_fns(sql: str, lits: list[str]) -> str:
                    f"(CASE WHEN size({m.group(1)}) > 0 THEN 1 END)"),
         sql)
     sql = _ARRAY_CAT_RE.sub("concat(", sql)
+
+    # arrayfuncs.c array_eq/array_ne &c — the array comparison
+    # operators' fmgr functions, callable by name in fmgr-heavy
+    # regress bodies; Spark's binary comparisons cover arrays
+    pos = 0
+    while True:
+        m = _ARRAY_CMP_RE.search(sql, pos)
+        if m is None:
+            break
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            depth += {"(": 1, ")": -1}.get(sql[j], 0)
+            j += 1
+        args = [a.strip() for a in _split_args(sql[m.end(): j - 1])]
+        if depth or len(args) != 2:
+            pos = m.end()
+            continue
+        op = _ARRAY_CMP_FNS[m.group(1).lower()]
+        repl = f"(({args[0]}) {op} ({args[1]}))"
+        sql = sql[: m.start()] + repl + sql[j:]
+        pos = m.start() + len(repl)
 
     def sub_sta(m: re.Match) -> str:
         s, d = m.group(1).strip(), m.group(2).strip()

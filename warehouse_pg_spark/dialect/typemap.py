@@ -294,7 +294,7 @@ def _rewrite_create_table_defs(sql: str) -> str:
             continue  # GP per-column ENCODING items (gram.y
             # column_reference_storage_directive) are storage hints
         cm = re.match(
-            r"^(\w+)\s+"
+            r"^(\w+|`[^`]+`|\"[^\"]+\")\s+"
             r"(double\s+precision"
             r"|character\s+varying(?:\(\s*\d+\s*\))?"
             r"|bit\s+varying(?:\(\s*\d+\s*\))?"
@@ -369,6 +369,10 @@ def map_decl_type(t: str) -> str:
     parameters / RETURNS / PL/pgSQL DECLARE), including the multiword
     spellings the `::cast` rewrite never sees."""
     tl = re.sub(r"\s+", " ", t.strip().lower())
+    # quoted type spellings ('"char"' — the pg_attribute one-byte
+    # class tag — and quoted user types) fold like unquoted: the
+    # engine's type names are case-folded anyway
+    tl = tl.replace('"', "")
     # gram.y SimpleTypename: `int ARRAY[4]` / `int ARRAY` are the SQL
     # standard spellings of `int[]` (dimensions are documentation)
     tl = re.sub(r"\s*\barray(\s*\[\s*\d*\s*\])?$", "[]", tl)
@@ -390,6 +394,11 @@ def map_decl_type(t: str) -> str:
         return "TIMESTAMP"
     if tl.startswith("time"):  # no TIME type in Spark; HH:MM:SS sorts
         return "STRING"
+    if tl == "complex":
+        # GP complex number type (gpcontrib complex_type.c): the
+        # engine's struct model — functions re/im/conj/complex()
+        # operate on it (functions/pg.py)
+        return "STRUCT<re: DOUBLE, im: DOUBLE>"
     if tl in ("internal", "opaque"):
         # pg_type.dat pseudo-types (fmgr transition state / legacy
         # opaque): opaque bytes here — such functions register but

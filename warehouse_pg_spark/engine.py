@@ -76,6 +76,16 @@ _NOOP_DDL_RE = re.compile(
     r"^(COMMENT\s+ON\b|GRANT\b|REVOKE\b|ALTER\s+TABLE\s+[\w.]+\s+OWNER\s+TO\b)",
     re.IGNORECASE,
 )
+# privilege kinds GRANT ALL expands to (parsenodes.h ACL_ALL_RIGHTS)
+_ALL_PRIVS = ("SELECT", "INSERT", "UPDATE", "DELETE", "TRUNCATE",
+              "REFERENCES", "TRIGGER", "USAGE", "EXECUTE", "CREATE",
+              "CONNECT", "TEMPORARY")
+_HAS_PRIV_RE = re.compile(
+    r"\bhas_(table|schema|database|sequence|function|column|language|"
+    r"foreign_data_wrapper|server|type|any_column)_privilege\s*\(\s*"
+    r"'([^']*)'\s*,\s*'([^']*)'\s*(?:,\s*'([^']*)'\s*)?\)",
+    re.IGNORECASE,
+)
 _COPY_TO_RE = re.compile(
     r"^COPY\s+(?:\((.+)\)|([\w.]+))\s+TO\s+'([^']+)'"
     r"\s*(?:WITH\s*)?(?:\(([^)]*)\))?\s*$",
@@ -90,7 +100,8 @@ _CTAS_RE = re.compile(
     r"^CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(SELECT\b.*)$", re.IGNORECASE | re.DOTALL
 )
 _SELECT_INTO_RE = re.compile(
-    r"^(SELECT\b.*?)\sINTO\s+([\w.]+)\s+(FROM\s.*)$", re.IGNORECASE | re.DOTALL
+    r"^(SELECT\b.*?)\sINTO\s+(?:(?:TEMPORARY|TEMP|UNLOGGED)\s+)?"
+    r"(?:TABLE\s+)?([\w.]+)\s*(FROM\s.*)?$", re.IGNORECASE | re.DOTALL
 )
 _ON_CONFLICT_RE = re.compile(
     r"\sON\s+CONFLICT\s*\(([^)]*)\)\s*DO\s+(NOTHING|UPDATE)\s*(?:SET\s+(.*))?$",
@@ -353,6 +364,10 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
         # loud until SET, matching PG's unrecognized-parameter error.
         # RESET [ALL] restores these defaults, never an empty table.
         self._gucs: dict[str, str] = dict(_GUC_DEFAULTS)
+        # ACL ledger (aclchk.c): GRANT/REVOKE record (who, object,
+        # priv) revocations; has_*_privilege() folds from it.
+        # All-granted at start — the session user owns everything.
+        self._acl_revoked: set[tuple[str, str, str]] = set()
         # snapshot for SET TIME ZONE DEFAULT/LOCAL (gram.y zone_value
         # resets to the session's startup default)
         self._default_timezone = self.spark.conf.get(
@@ -437,6 +452,7 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
             return self._explain_analyze(ea.group(1))
         text = self._substitute_sequence_calls(text)
         text = self._substitute_setting_calls(text)
+        text = self._substitute_privilege_calls(text)
         if _PG_STAT_RE.search(text):
             # pg_stat_user_tables (system_views.sql; the DBA's row-count
             # dashboard): relname + n_live_tup from the engine's
@@ -511,6 +527,24 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
                     fixed = re.sub(
                         rf"(?i)\b{um.group(1)}\b", struct, lowered)
                     return self.spark.sql(fixed)
+            # LOCATION_ALREADY_EXISTS with no catalog entry: a stale
+            # managed-table directory from a dropped table of the
+            # same name (Spark's DROP can leave files when the
+            # catalog entry was removed through a different path).
+            # Only a path inside a *-warehouse dir is reclaimed —
+            # user data locations stay untouched.
+            lm = re.search(r"location 'file:([^']+)'", str(e)) if (
+                "LOCATION_ALREADY_EXISTS" in str(e)) else None
+            if lm is not None:
+                import shutil
+
+                p = os.path.abspath(lm.group(1))
+                parent = os.path.basename(os.path.dirname(p))
+                if parent.endswith("warehouse") or (
+                        self.warehouse_dir and p.startswith(
+                            os.path.abspath(self.warehouse_dir))):
+                    shutil.rmtree(p, ignore_errors=True)
+                    return self.spark.sql(lowered)
             raise
 
     def _lower_srf_select(self, text: str) -> str:
@@ -1198,6 +1232,19 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
         (commands/vacuum.c, analyze.c) — the session-protocol surface
         every PG client and pg_dump script drives."""
         s = text.strip().rstrip(";").strip()
+        m = re.match(
+            r"(?is)^SET\s+(?:(?:SESSION|LOCAL)\s+)?"
+            r"(ROLE|SESSION\s+AUTHORIZATION)\s+(\w+|'[^']*')$", s)
+        if m:
+            # SET ROLE / SESSION AUTHORIZATION (guc.c assign_role):
+            # single-user engine — the identity records so the ACL
+            # ledger and current_setting('role') answer consistently
+            who = m.group(2).strip("'")
+            key = ("role" if m.group(1).upper() == "ROLE"
+                   else "session_authorization")
+            self._gucs[key] = ("none" if who.upper() in
+                               ("NONE", "DEFAULT") else who.lower())
+            return self._tag(0)
         m = _RESET_RE.match(s)
         if m:
             key = m.group(1).lower()
@@ -1735,8 +1782,36 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
 
         if _NOOP_DDL_RE.match(s):
             # COMMENT ON / GRANT / REVOKE / OWNER TO: metadata-only in
-            # PG (commands/comment.c, aclchk.c) with no analogue here —
-            # accepted as no-ops so pg_dump scripts replay unchanged.
+            # PG (commands/comment.c, aclchk.c) — there is no second
+            # user to enforce against, but GRANT/REVOKE record into the
+            # ACL ledger so has_*_privilege() answers match (aclchk.c
+            # pg_class_aclcheck; the ledger starts all-granted).
+            gm = re.match(
+                r"(?is)^(GRANT|REVOKE)\s+(?:GRANT\s+OPTION\s+FOR\s+)?"
+                r"(.+?)\s+ON\s+(?:TABLE\s+|SEQUENCE\s+|SCHEMA\s+|"
+                r"DATABASE\s+|FUNCTION\s+)?(.+?)\s+(?:TO|FROM)\s+"
+                r"(?:GROUP\s+)?([\w\",.\s]+?)(?:\s+WITH\s+GRANT\s+"
+                r"OPTION|\s+CASCADE|\s+RESTRICT)?\s*$", s)
+            if gm is not None:
+                revoke = gm.group(1).upper() == "REVOKE"
+                privs = [p.strip().upper().split()[0]
+                         for p in gm.group(2).split(",") if p.strip()]
+                objs = [re.sub(r"\(.*\)", "", o).strip().strip('"')
+                        .split(".")[-1].lower()
+                        for o in gm.group(3).split(",") if o.strip()]
+                whos = [w.strip().strip('"').lower()
+                        for w in gm.group(4).split(",") if w.strip()]
+                for ob in objs:
+                    for who in whos:
+                        for pr in privs:
+                            keys = ([(who, ob, pr)] if pr != "ALL"
+                                    else [(who, ob, p) for p in
+                                          _ALL_PRIVS])
+                            for k in keys:
+                                if revoke:
+                                    self._acl_revoked.add(k)
+                                else:
+                                    self._acl_revoked.discard(k)
             return self._tag(0)
 
         if _TXN_RE.match(s):
@@ -1815,9 +1890,12 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
 
         m = _SELECT_INTO_RE.match(s)
         if m:
-            # PG SELECT ... INTO tbl FROM ... (gram.y into_clause —
-            # the pre-CTAS spelling): same materialization as CTAS.
-            s = f"CREATE TABLE {m.group(2)} AS {m.group(1)} {m.group(3)}"
+            # PG SELECT ... INTO [TEMP] tbl [FROM ...] (gram.y
+            # into_clause — the pre-CTAS spelling): same
+            # materialization as CTAS; the FROM-less form holds one
+            # computed row.
+            s = (f"CREATE TABLE {m.group(2)} AS {m.group(1)} "
+                 f"{m.group(3) or ''}").strip()
 
         m = _CTAS_RE.match(s)
         if m:

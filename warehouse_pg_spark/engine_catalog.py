@@ -74,7 +74,36 @@ def _pg_type_of(spark_type: str) -> str:
 
 _PG_CATALOG_RE = re.compile(
     r"\b(?:pg_catalog\.)?(pg_class|pg_attribute|pg_type|pg_namespace|"
-    r"pg_proc)\b", re.IGNORECASE)
+    r"pg_proc|pg_trigger|pg_index|pg_constraint|pg_inherits|"
+    r"pg_stat_activity|gp_stat_activity|gp_stat_replication)\b",
+    re.IGNORECASE)
+
+# catalog relations that exist but hold nothing in this engine —
+# no triggers/b-tree indexes/table constraints/inheritance links are
+# materialized (constraints drop at CREATE, CREATE INDEX is advisory),
+# and the single-session engine has no peer backends to report.
+# Empty views keep regress wait-/verify-functions honest and fast.
+_EMPTY_CATALOG_VIEWS: dict[str, str] = {
+    "pg_trigger": ("oid BIGINT, tgrelid BIGINT, tgname STRING, "
+                   "tgfoid BIGINT, tgtype INT, tgenabled STRING, "
+                   "tgisinternal BOOLEAN"),
+    "pg_index": ("indexrelid BIGINT, indrelid BIGINT, indnatts INT, "
+                 "indisunique BOOLEAN, indisprimary BOOLEAN, "
+                 "indisvalid BOOLEAN"),
+    "pg_constraint": ("oid BIGINT, conname STRING, "
+                      "connamespace BIGINT, contype STRING, "
+                      "conrelid BIGINT, confrelid BIGINT"),
+    "pg_inherits": ("inhrelid BIGINT, inhparent BIGINT, "
+                    "inhseqno INT"),
+    "pg_stat_activity": ("pid INT, sess_id INT, usename STRING, "
+                         "datname STRING, state STRING, query STRING"),
+    "gp_stat_activity": ("gp_segment_id INT, pid INT, sess_id INT, "
+                         "usename STRING, datname STRING, "
+                         "state STRING, query STRING"),
+    "gp_stat_replication": ("gp_segment_id INT, pid INT, "
+                            "state STRING, sync_state STRING, "
+                            "application_name STRING"),
+}
 _GP_DIST_RANDOM_RE = re.compile(
     r"\bgp_dist_random\s*\(\s*'([\w.]+)'\s*\)", re.IGNORECASE)
 
@@ -204,6 +233,10 @@ class CatalogViewsMixin:
             "oid BIGINT, proname STRING, pronamespace BIGINT, "
             "prokind STRING",
         ).createOrReplaceTempView("pg_proc")
+
+        for vname, schema in _EMPTY_CATALOG_VIEWS.items():
+            spark.createDataFrame([], schema).createOrReplaceTempView(
+                vname)
 
         # dbsize.c filenode accessors: this engine has no physical
         # relfilenode, so filenode ≡ oid (matching pg_class above,

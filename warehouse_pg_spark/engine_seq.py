@@ -287,6 +287,37 @@ class SequenceMixin:
         text = _SET_CONFIG_RE.sub(setc, text)
         return _CURRENT_SETTING_RE.sub(cur, text)
 
+    def _substitute_privilege_calls(self, text: str) -> str:
+        """has_*_privilege() over literal args folds driver-side from
+        the GRANT/REVOKE ledger (aclchk.c has_table_privilege family):
+        all-granted until a REVOKE lands; a comma list of privileges
+        is true when ANY is held (aclchk.c string_to_privilege loop).
+        The 2-arg form checks the current role (SET ROLE /
+        SESSION AUTHORIZATION, else public)."""
+        from warehouse_pg_spark.engine import _HAS_PRIV_RE
+
+        if "_privilege" not in text.lower():
+            return text
+
+        def sub(m: re.Match) -> str:
+            a, b, c = m.group(2), m.group(3), m.group(4)
+            if c is None:
+                role = self._gucs.get("role", "none")
+                who = (role if role != "none" else
+                       self._gucs.get("session_authorization",
+                                      "public")).lower()
+                obj, privs = a, b
+            else:
+                who, obj, privs = a.lower(), b, c
+            obj = obj.split(".")[-1].strip('"').lower()
+            held = any(
+                (who, obj, p.strip().upper().split()[0])
+                not in self._acl_revoked
+                for p in privs.split(",") if p.strip())
+            return "TRUE" if held else "FALSE"
+
+        return _HAS_PRIV_RE.sub(sub, text)
+
     def _substitute_sequence_calls(self, text: str) -> str:
         """Replace nextval/currval/setval('seq') literals in a statement.
 

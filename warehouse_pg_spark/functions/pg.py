@@ -82,6 +82,32 @@ _STRIDE_US = (
 )
 
 _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
+    # GP complex number type (gpcontrib complex_type.c): modeled as
+    # STRUCT<re, im> over doubles — constructor + accessors; the
+    # string spellings ('infinity', 'nan') ride Spark's string→double
+    # cast. Arithmetic OPERATORS over complex stay out of scope (no
+    # operator overloading on structs).
+    "complex": (
+        "re_p DOUBLE, im_p DOUBLE",
+        "STRUCT<re: DOUBLE, im: DOUBLE>",
+        "named_struct('re', re_p, 'im', im_p)",
+    ),
+    "re": ("z STRUCT<re: DOUBLE, im: DOUBLE>", "DOUBLE", "z.re"),
+    "im": ("z STRUCT<re: DOUBLE, im: DOUBLE>", "DOUBLE", "z.im"),
+    "conj": (
+        "z STRUCT<re: DOUBLE, im: DOUBLE>",
+        "STRUCT<re: DOUBLE, im: DOUBLE>",
+        "named_struct('re', z.re, 'im', -z.im)",
+    ),
+    # GP planner/test knobs: disable_xform/enable_xform toggle ORCA
+    # transforms and gp_debug_set_create_table_default_numsegments
+    # sets a physical distribution width — pure planner/layout hints
+    # with no semantic effect here (one logical segment, Catalyst
+    # plans); they echo their argument like a no-op acknowledgment
+    "disable_xform": ("s STRING", "STRING", "s"),
+    "enable_xform": ("s STRING", "STRING", "s"),
+    "gp_debug_set_create_table_default_numsegments": (
+        "s STRING", "STRING", "s"),
     "strpos": ("s STRING, sub STRING", "INT", "instr(s, sub)"),
     "to_hex": ("n BIGINT", "STRING", "lower(hex(n))"),
     "quote_literal": (

@@ -1365,6 +1365,10 @@ def _base_env(
                 env[_FIELDS_KEY.format(p.lower())] = _record_meta(fl)
 
     for d in [x.strip() for x in decl.split(";") if x.strip()]:
+        # COLLATE in a declaration (pl_gram.y decl_collate) picks a
+        # comparison collation; Spark strings compare binary — the
+        # clause drops (README Known deviations: collations)
+        d = re.sub(r'(?is)\s+COLLATE\s+(?:"[^"]+"|[\w.]+)', "", d)
         rm = re.match(
             r"^([A-Za-z_]\w*)\s+([\w.]+)\s*%\s*rowtype$",
             d,

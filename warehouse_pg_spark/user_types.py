@@ -189,6 +189,80 @@ def _split_commas(s: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _range_parse_body(body: str) -> tuple[str | None, str | None]:
+    """rangetypes.c range_parse over an unquoted-literal body: the
+    first char is the open flag, the last the close flag; bounds
+    split at the top-level comma with CSV-like quoting — double
+    quotes delimit verbatim segments ('""' is one quote), backslash
+    escapes the next char anywhere, adjacent segments concatenate,
+    and unquoted whitespace drops. An unquoted empty bound is
+    infinite (None); a quoted empty bound is the empty string."""
+    if (len(body) < 3 or body[0] not in "[(" or body[-1] not in ")]"):
+        raise ValueError(f'malformed range literal: "{body}"')
+    inner = body[1:-1]
+    # raw keeps every char (unquoted-bound reading, edges stripped);
+    # nows drops unquoted whitespace (quoted/escaped-bound reading)
+    bounds: list[tuple[str, str, bool]] = []
+    raw: list[str] = []
+    nows: list[str] = []
+    had_quote = False
+    i, n = 0, len(inner)
+
+    def push(ch: str) -> None:
+        raw.append(ch)
+        nows.append(ch)
+
+    while i < n:
+        ch = inner[i]
+        if ch == "\\":
+            if i + 1 >= n:
+                raise ValueError(f'malformed range literal: "{body}"')
+            had_quote = True  # escaped chars are verbatim content
+            push(inner[i + 1])
+            i += 2
+        elif ch == '"':
+            had_quote = True
+            i += 1
+            closed = False
+            while i < n:
+                if inner[i] == "\\" and i + 1 < n:
+                    push(inner[i + 1])
+                    i += 2
+                elif inner[i] == '"':
+                    if i + 1 < n and inner[i + 1] == '"':
+                        push('"')
+                        i += 2
+                    else:
+                        i += 1
+                        closed = True
+                        break
+                else:
+                    push(inner[i])
+                    i += 1
+            if not closed:
+                raise ValueError(f'malformed range literal: "{body}"')
+        elif ch == ",":
+            bounds.append(("".join(raw), "".join(nows), had_quote))
+            raw, nows, had_quote = [], [], False
+            i += 1
+        else:
+            raw.append(ch)
+            if not ch.isspace():
+                nows.append(ch)
+            i += 1
+    bounds.append(("".join(raw), "".join(nows), had_quote))
+    if len(bounds) != 2:
+        raise ValueError(f'malformed range literal: "{body}"')
+
+    def finish(rawv: str, nowsv: str, quoted: bool) -> str | None:
+        if quoted:
+            return nowsv
+        rawv = rawv.strip()
+        return rawv if rawv else None
+
+    return finish(*bounds[0]), finish(*bounds[1])
+
+
 def _take_balanced(s: str, start: int) -> int:
     """s[start] == '(' -> index just past the matching ')'."""
     depth = 0
@@ -626,12 +700,9 @@ class UserTypes:
             "'empty', true)"
         )
 
-        def bound_expr(v: str) -> str:
-            v = v.strip()
-            if not v:
+        def bound_expr(v: str | None) -> str:
+            if v is None:
                 return f"CAST(NULL AS {t})"
-            if v.startswith('"') and v.endswith('"') and len(v) >= 2:
-                v = v[1:-1].replace('""', '"')
             esc = v.replace("'", "''")
             return f"CAST('{esc}' AS {t})"
 
@@ -639,39 +710,18 @@ class UserTypes:
             body = m.group(1)[1:-1].replace("''", "'").strip()
             if body.lower() == "empty":
                 return empty_struct
-            rm = re.match(
-                r'^([\[(])\s*("(?:[^"]|"")*"|[^,]*?)\s*,'
-                r'\s*("(?:[^"]|"")*"|[^,]*?)\s*([\])])$',
-                body,
-            )
-            if rm is None:
-                # rangetypes.c range_parse: an input that doesn't
-                # split into bracket/lo/,/hi/bracket is malformed
-                raise ValueError(
-                    f'malformed range literal: "{body}"')
-            for b in (rm.group(2), rm.group(3)):
-                if not re.fullmatch(
-                    r'"(?:[^"]|"")*"', b
-                ) and re.search(r'[\[\]()",\\]', b):
-                    # range_parse_bound: these need quoting
-                    raise ValueError(
-                        f'malformed range literal: "{body}"')
-            li = "true" if rm.group(1) == "[" else "false"
-            hi_i = "true" if rm.group(4) == "]" else "false"
-            lo_txt, hi_txt = rm.group(2), rm.group(3)
-            if lo_txt and hi_txt:
+            lo, hi = _range_parse_body(body)
+            li = "true" if body[0] == "[" else "false"
+            hi_i = "true" if body[-1] == "]" else "false"
+            if lo is not None and hi is not None:
                 # make_range: lower must be <= upper; comparable at
                 # plan time for string and numeric families
                 bad = None
                 try:
                     if sfx in ("", "_i8"):
-                        bad = float(lo_txt) > float(hi_txt)
+                        bad = float(lo) > float(hi)
                     elif sfx == "_str":
-                        lo_u = (lo_txt[1:-1].replace('""', '"')
-                                if lo_txt.startswith('"') else lo_txt)
-                        hi_u = (hi_txt[1:-1].replace('""', '"')
-                                if hi_txt.startswith('"') else hi_txt)
-                        bad = lo_u > hi_u
+                        bad = lo > hi
                 except ValueError:
                     bad = None
                 if bad:
@@ -679,8 +729,8 @@ class UserTypes:
                         "range lower bound must be less than or "
                         "equal to range upper bound")
             return (
-                f"pg_range{sfx}({bound_expr(rm.group(2))}, "
-                f"{bound_expr(rm.group(3))}, {li}, {hi_i})"
+                f"pg_range{sfx}({bound_expr(lo)}, "
+                f"{bound_expr(hi)}, {li}, {hi_i})"
             )
 
         sql = re.sub(
