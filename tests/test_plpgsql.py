@@ -943,3 +943,35 @@ def test_for_over_parenthesized_query(engine):
     END; $$ LANGUAGE plpgsql""")
     assert engine.sql(
         "SELECT paren_for_count()").collect()[0][0] == 3
+
+
+def test_embedded_interpreted_call_substitution(engine):
+    """An interpreted function inside a larger statement evaluates
+    driver-side when its args are constants (per-occurrence, like
+    PG's per-call execution); column-referencing calls stay loud."""
+    engine.sql("DROP TABLE IF EXISTS emb_log")
+    engine.sql("create table emb_log (v int)")
+    engine.sql("CREATE FUNCTION emb_ins(integer) RETURNS int AS $$ "
+               "INSERT INTO emb_log VALUES ($1); "
+               "SELECT count(*)::int FROM emb_log; $$ LANGUAGE sql")
+    assert engine.sql(
+        "SELECT emb_ins(5) + 100 AS x").collect()[0][0] == 101
+    engine.sql("INSERT INTO emb_log VALUES (emb_ins(6) + 50)")
+    r = engine.sql("SELECT count(*) AS n, max(v) AS mx "
+                   "FROM emb_log").collect()[0]
+    assert (r.n, r.mx) == (3, 52)
+    import pytest as _p
+    with _p.raises(Exception, match="emb_ins"):
+        engine.sql("SELECT emb_ins(v) FROM emb_log").collect()
+    engine.sql("DROP TABLE IF EXISTS emb_log")
+
+
+def test_proconfig_set_overlay(engine):
+    """CREATE FUNCTION ... SET guc = value (functioncmds.c
+    proconfig): the overlay applies for the call's duration only."""
+    engine.sql("create or replace function rguc(text) returns text "
+               "as $$ select current_setting($1) $$ language sql "
+               "set work_mem = '1MB'")
+    r = engine.sql("select rguc('work_mem') AS a, "
+                   "current_setting('work_mem') AS b").collect()[0]
+    assert r.a == "1MB" and r.b != "1MB"

@@ -440,6 +440,7 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
         vp = self._maybe_call_void_proc(text)
         if vp is not None:
             return vp
+        text = self._substitute_interpreted_calls(text)
         text = self._substitute_shadowed_calls(text)
         text = self._substitute_aggregate_calls(text)
         text = self._substitute_polymorphic_calls(text)

@@ -75,7 +75,9 @@ def _pg_type_of(spark_type: str) -> str:
 _PG_CATALOG_RE = re.compile(
     r"\b(?:pg_catalog\.)?(pg_class|pg_attribute|pg_type|pg_namespace|"
     r"pg_proc|pg_trigger|pg_index|pg_constraint|pg_inherits|"
-    r"pg_stat_activity|gp_stat_activity|gp_stat_replication)\b",
+    r"pg_stat_activity|gp_stat_activity|gp_stat_replication|"
+    r"pg_partition_tree|pg_partition_root|pg_relation_filenode|"
+    r"pg_filenode_relation)\b",
     re.IGNORECASE)
 
 # catalog relations that exist but hold nothing in this engine —
@@ -247,3 +249,14 @@ class CatalogViewsMixin:
         spark.sql(
             "CREATE OR REPLACE TEMPORARY FUNCTION pg_filenode_relation"
             "(ts BIGINT, fn BIGINT) RETURNS BIGINT RETURN fn")
+        # partition introspection (partitioning/partdesc.c): GP
+        # partition specs are layout hints here (README deviations) —
+        # every relation is its own single-node partition tree
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION pg_partition_root"
+            "(rel STRING) RETURNS STRING RETURN rel")
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION pg_partition_tree"
+            "(rel STRING) RETURNS TABLE(relid STRING, "
+            "parentrelid STRING, isleaf BOOLEAN, level INT) "
+            "RETURN SELECT rel, CAST(NULL AS STRING), true, 0")

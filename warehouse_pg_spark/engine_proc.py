@@ -220,6 +220,70 @@ class ProcedureMixin:
 
         return walk(stmts)
 
+    def _substitute_interpreted_calls(self, text: str) -> str:
+        """An interpreted function (sqlbody / driver-side plpgsql)
+        embedded in a larger statement: when every argument is a
+        CONSTANT expression the call evaluates driver-side and its
+        result substitutes as a typed literal — one evaluation per
+        occurrence, matching PG's per-call execution. Calls with
+        column references stay unresolved, loudly (the interpreter
+        cannot run per row)."""
+        if not self._void_procs:
+            return text
+        if re.match(r"(?is)\s*(?:CREATE|ALTER)\s+(?:OR\s+REPLACE\s+)?"
+                    r"(?:FUNCTION|PROCEDURE|AGGREGATE|TYPE|TRIGGER)\b",
+                    text):
+            return text  # never freeze call results into stored bodies
+        from warehouse_pg_spark.engine import _split_exprs
+
+        for name in list(self._void_procs):
+            if name not in text.lower():
+                continue
+            pat = re.compile(rf"(?is)\b{re.escape(name)}\s*\(")
+            pos = 0
+            while True:
+                m = pat.search(text, pos)
+                if m is None:
+                    break
+                depth, j = 1, m.end()
+                while j < len(text) and depth:
+                    depth += {"(": 1, ")": -1}.get(text[j], 0)
+                    j += 1
+                if depth:
+                    break
+                raw = text[m.end(): j - 1]
+                args = ([a.strip() for a in _split_exprs(raw)]
+                        if raw.strip() else [])
+                lit = self._eval_interpreted_call(name, args)
+                if lit is None:
+                    pos = j
+                    continue
+                text = text[: m.start()] + lit + text[j:]
+                pos = m.start() + len(lit)
+        return text
+
+    def _eval_interpreted_call(self, name: str,
+                               args: list[str]) -> str | None:
+        """Run one interpreted call over constant args; returns the
+        SQL literal to splice, or None when not substitutable."""
+        proc = self._void_procs[name]
+        try:
+            for a in args:
+                self._proc_eval_raw(a)
+        except Exception:  # noqa: BLE001 — column refs / non-constant
+            return None
+        if proc[0] == "sqlbody":
+            if len(args) != len(proc[1]):
+                return None
+            df = self._run_sqlbody_proc(name, proc, args)
+            typ = df.schema[0].dataType.simpleString()
+            return f"CAST({_sql_lit(df.collect()[0][0])} AS {typ})"
+        if proc[0] == "plpgsql":
+            if len(args) != len(proc[1]):
+                return None
+            return _sql_lit(self._run_plpgsql_proc(proc, args))
+        return None
+
     # ------------------------------------------------------ execution
     def _run_sqlbody_proc(self, name: str, proc, arg_exprs: list[str]):
         """Run an interpreted LANGUAGE sql body: every statement
