@@ -3177,3 +3177,61 @@ def test_select_into_fromless(engine):
     engine.sql("SELECT 1 + 2 AS v INTO sint_x")
     assert engine.sql("SELECT v FROM sint_x").collect()[0][0] == 3
     engine.sql("DROP TABLE sint_x")
+
+
+def test_role_ddl_bookkeeping(engine):
+    """commands/user.c: role DDL is bookkeeping with PG's existence
+    errors; DROP IF EXISTS tolerates absence."""
+    engine.sql("DROP ROLE IF EXISTS regress_tr1")
+    engine.sql("CREATE ROLE regress_tr1 WITH LOGIN")
+    with pytest.raises(Exception, match="already exists"):
+        engine.sql("CREATE ROLE regress_tr1")
+    engine.sql("ALTER ROLE regress_tr1 NOLOGIN")
+    engine.sql("DROP ROLE regress_tr1")
+    with pytest.raises(Exception, match="does not exist"):
+        engine.sql("DROP ROLE regress_tr1")
+
+
+def test_privilege_name_validation(engine):
+    """acl.c string_to_privilege: an unknown privilege name errors
+    even though the single-user ledger would answer TRUE."""
+    engine.sql("DROP TABLE IF EXISTS pvt1")
+    engine.sql("CREATE TABLE pvt1 (x int)")
+    with pytest.raises(Exception, match="unrecognized privilege"):
+        engine.sql("SELECT has_table_privilege('pvt1', 'FROOB')")
+    engine.sql("DROP TABLE pvt1")
+
+
+def test_range_literal_junk_close(engine):
+    """range_parse: an unquoted ) or ] before the final position is
+    malformed (junk after right parenthesis)."""
+    engine.sql("create type jrange as range (subtype = text)")
+    with pytest.raises(Exception, match="malformed range literal"):
+        engine.sql("select '(),a)'::jrange")
+    assert engine.sql(
+        "select '((,z)'::jrange.lo").collect()[0][0] == "("
+
+
+def test_select_into_existing_errors(engine):
+    """execMain.c intorel: SELECT INTO an existing relation errors."""
+    engine.sql("DROP TABLE IF EXISTS sie_t")
+    engine.sql("SELECT 1 AS v INTO sie_t")
+    with pytest.raises(Exception, match="already exists"):
+        engine.sql("SELECT 2 AS v INTO sie_t")
+    engine.sql("DROP TABLE sie_t")
+
+
+def test_update_adopts_spark_table(engine, spark):
+    """A relation living only in the Spark catalog (raw-DDL path)
+    adopts into the engine warehouse on first UPDATE/DELETE — the
+    copy-on-write heap ModifyTable needs."""
+    engine.sql("""CREATE OR REPLACE FUNCTION adoptions() RETURNS int AS $$
+    BEGIN
+      CREATE TABLE adopt_t (a int, b int);
+      INSERT INTO adopt_t VALUES (1, 10), (2, 20);
+      UPDATE adopt_t SET b = b + 1 WHERE a = 1;
+      DELETE FROM adopt_t WHERE a = 2;
+      RETURN (SELECT sum(b) FROM adopt_t);
+    END $$ LANGUAGE plpgsql""")
+    assert engine.sql("SELECT adoptions()").collect()[0][0] == 11
+    engine.sql("DROP TABLE IF EXISTS adopt_t")

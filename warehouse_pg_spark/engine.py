@@ -80,12 +80,21 @@ _NOOP_DDL_RE = re.compile(
 _ALL_PRIVS = ("SELECT", "INSERT", "UPDATE", "DELETE", "TRUNCATE",
               "REFERENCES", "TRIGGER", "USAGE", "EXECUTE", "CREATE",
               "CONNECT", "TEMPORARY")
+# only the kinds whose 2-/3-arg shapes are (obj, priv) / (user, obj,
+# priv) fold; has_column/sequence/function_privilege carry extra
+# validation (wrong relkind, per-kind privilege sets) and stay loud
 _HAS_PRIV_RE = re.compile(
-    r"\bhas_(table|schema|database|sequence|function|column|language|"
-    r"foreign_data_wrapper|server|type|any_column)_privilege\s*\(\s*"
+    r"\bhas_(table|schema|database)_privilege\s*\(\s*"
     r"'([^']*)'\s*,\s*'([^']*)'\s*(?:,\s*'([^']*)'\s*)?\)",
     re.IGNORECASE,
 )
+# acl.c string_to_privilege: valid names per object kind
+_PRIV_NAMES = {
+    "table": {"SELECT", "INSERT", "UPDATE", "DELETE", "TRUNCATE",
+              "REFERENCES", "TRIGGER", "MAINTAIN", "ALL"},
+    "schema": {"CREATE", "USAGE", "ALL"},
+    "database": {"CREATE", "CONNECT", "TEMPORARY", "TEMP", "ALL"},
+}
 _COPY_TO_RE = re.compile(
     r"^COPY\s+(?:\((.+)\)|([\w.]+))\s+TO\s+'([^']+)'"
     r"\s*(?:WITH\s*)?(?:\(([^)]*)\))?\s*$",
@@ -368,6 +377,9 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
         # priv) revocations; has_*_privilege() folds from it.
         # All-granted at start — the session user owns everything.
         self._acl_revoked: set[tuple[str, str, str]] = set()
+        # role bookkeeping (commands/user.c): names for the ACL
+        # ledger / SET ROLE, with PG's existence errors
+        self._roles: set[str] = set()
         # snapshot for SET TIME ZONE DEFAULT/LOCAL (gram.y zone_value
         # resets to the session's startup default)
         self._default_timezone = self.spark.conf.get(
@@ -1781,6 +1793,43 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
                 + s[mm.end():]
             )
 
+        rl = re.match(
+            r"(?is)^(CREATE|DROP|ALTER)\s+(?:ROLE|USER|GROUP)\s+(.*)$",
+            s)
+        if rl:
+            # role DDL (commands/user.c): single-user engine — roles
+            # are bookkeeping names for the ACL ledger and
+            # SET ROLE, with PG's existence errors
+            verb, rest = rl.group(1).upper(), rl.group(2).strip()
+            if verb == "DROP":
+                ifex = False
+                mex = re.match(r"(?is)^IF\s+EXISTS\s+(.*)$", rest)
+                if mex:
+                    ifex, rest = True, mex.group(1)
+                for nm in rest.split(","):
+                    nm = nm.strip().strip('"').lower()
+                    if nm in self._roles:
+                        self._roles.discard(nm)
+                    elif nm and not ifex:
+                        raise ValueError(
+                            f'role "{nm}" does not exist')
+            else:
+                nm_m = re.match(r'("[^"]+"|[\w$]+)', rest)
+                name = (nm_m.group(1).strip('"').lower()
+                        if nm_m else "")
+                if verb == "CREATE":
+                    if name in self._roles:
+                        raise ValueError(
+                            f'role "{name}" already exists')
+                    self._roles.add(name)
+                elif name not in self._roles and name not in (
+                        "current_user", "session_user", "public",
+                        "all"):
+                    raise ValueError(f'role "{name}" does not exist')
+            return self._tag(0)
+        if re.match(r"(?is)^(REASSIGN\s+OWNED|DROP\s+OWNED)\b", s):
+            # ownership bookkeeping over the single user: no-op
+            return self._tag(0)
         if _NOOP_DDL_RE.match(s):
             # COMMENT ON / GRANT / REVOKE / OWNER TO: metadata-only in
             # PG (commands/comment.c, aclchk.c) — there is no second
@@ -1894,7 +1943,18 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
             # PG SELECT ... INTO [TEMP] tbl [FROM ...] (gram.y
             # into_clause — the pre-CTAS spelling): same
             # materialization as CTAS; the FROM-less form holds one
-            # computed row.
+            # computed row. Like CREATE TABLE AS, an existing target
+            # errors (execMain.c CreateIntoRelDestReceiver).
+            tgt = m.group(2).split(".")[-1].lower()
+            exists = tgt in self.catalog.tables
+            if not exists:
+                try:
+                    exists = self.spark.catalog.tableExists(tgt)
+                except Exception:  # noqa: BLE001
+                    exists = False
+            if exists:
+                raise ValueError(
+                    f'relation "{tgt}" already exists')
             s = (f"CREATE TABLE {m.group(2)} AS {m.group(1)} "
                  f"{m.group(3) or ''}").strip()
 
@@ -2458,7 +2518,25 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
     def _writable_by_name(self, name: str) -> ParquetTable | None:
         info = self.catalog.tables.get(name)
         if info is None or not info.path or not os.path.isdir(info.path):
-            return None
+            # a relation living only in the Spark catalog (raw-DDL
+            # CREATE, TEMP CTAS view, DISTRIBUTED-hint create):
+            # ADOPT it — materialize into the engine warehouse and
+            # register, so UPDATE/DELETE/TRUNCATE get the
+            # copy-on-write parquet heap they mutate
+            # (nodeModifyTable.c needs a table the executor owns);
+            # the refreshed temp view shadows the original
+            if name.startswith(("pg_", "gp_")) or \
+                    name in self._matviews:
+                return None
+            try:
+                df = self.spark.table(name)
+                self.create_table_from(name, df)
+            except Exception:  # noqa: BLE001 — not a relation
+                return None
+            info = self.catalog.tables.get(name)
+            if info is None or not info.path or not os.path.isdir(
+                    info.path):
+                return None
         return ParquetTable(self.spark, info.path)
 
     def _refresh_view(self, name: str, t: ParquetTable) -> None:

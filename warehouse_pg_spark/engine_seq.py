@@ -294,12 +294,13 @@ class SequenceMixin:
         is true when ANY is held (aclchk.c string_to_privilege loop).
         The 2-arg form checks the current role (SET ROLE /
         SESSION AUTHORIZATION, else public)."""
-        from warehouse_pg_spark.engine import _HAS_PRIV_RE
+        from warehouse_pg_spark.engine import _HAS_PRIV_RE, _PRIV_NAMES
 
         if "_privilege" not in text.lower():
             return text
 
         def sub(m: re.Match) -> str:
+            kind = m.group(1).lower()
             a, b, c = m.group(2), m.group(3), m.group(4)
             if c is None:
                 role = self._gucs.get("role", "none")
@@ -310,10 +311,19 @@ class SequenceMixin:
             else:
                 who, obj, privs = a.lower(), b, c
             obj = obj.split(".")[-1].strip('"').lower()
-            held = any(
-                (who, obj, p.strip().upper().split()[0])
-                not in self._acl_revoked
-                for p in privs.split(",") if p.strip())
+            names = []
+            for p in privs.split(","):
+                if not p.strip():
+                    continue
+                tok = p.strip().upper()
+                name = tok.split()[0]  # 'SELECT WITH GRANT OPTION'
+                if name not in _PRIV_NAMES[kind]:
+                    # acl.c string_to_privilege
+                    raise ValueError(
+                        f'unrecognized privilege type: "{p.strip()}"')
+                names.append(name)
+            held = any((who, obj, n) not in self._acl_revoked
+                       for n in names)
             return "TRUE" if held else "FALSE"
 
         return _HAS_PRIV_RE.sub(sub, text)

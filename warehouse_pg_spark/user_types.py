@@ -245,6 +245,11 @@ def _range_parse_body(body: str) -> tuple[str | None, str | None]:
             bounds.append(("".join(raw), "".join(nows), had_quote))
             raw, nows, had_quote = [], [], False
             i += 1
+        elif ch in ")]":
+            # range_parse: an unquoted close char terminates the
+            # range — anything before the final position is "junk
+            # after right parenthesis" territory
+            raise ValueError(f'malformed range literal: "{body}"')
         else:
             raw.append(ch)
             if not ch.isspace():
