@@ -2530,9 +2530,26 @@ class Engine(FunctionDDLMixin, MaintenanceMixin, SequenceMixin,
                 return None
             try:
                 df = self.spark.table(name)
-                self.create_table_from(name, df)
+                path = os.path.join(self.warehouse_dir, name)
+                # eager write: reads the source fully BEFORE the
+                # originals drop below
+                df.write.mode("overwrite").parquet(path)
             except Exception:  # noqa: BLE001 — not a relation
                 return None
+            # adoption takes OWNERSHIP: the Spark-catalog original
+            # (managed table or temp view) drops BEFORE the engine
+            # view registers — otherwise Spark's DROP TABLE resolves
+            # the new shadow view and the orphaned managed table
+            # collides with a later re-CREATE
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:  # noqa: BLE001
+                pass
+            try:
+                self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            except Exception:  # noqa: BLE001
+                pass
+            self.catalog.register_parquet(name, path)
             info = self.catalog.tables.get(name)
             if info is None or not info.path or not os.path.isdir(
                     info.path):
