@@ -34,6 +34,17 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 STAGE = os.environ.get("SPARK_GRAFT_BENCH_RAW", "0") != "1"
 
 
+# Content tables carry a heavy per-row payload (document text, embedding
+# vectors) whose per-row compute — tokenize/regex/stem, vector math —
+# dominates scan bytes by orders of magnitude. Their file layout must
+# provide scan parallelism by ROW count, not byte count: a 5,000-doc
+# table staged as one row group serializes every downstream tokenize
+# pass into a single task (guide §6: file layout determines reader
+# parallelism; found r17 — fts_match_rank ran its whole Python FTS
+# column on 1 of 32 cores).
+CONTENT_TABLES = {"documents", "embeddings"}
+
+
 def stage_warehouse(spark, src_dir: str) -> str:
     """One-time load of fixture tables into the engine's layout."""
     import hashlib
@@ -51,8 +62,14 @@ def stage_warehouse(spark, src_dir: str) -> str:
                 continue
             df = read_parquet_table(spark, src)
             n = df.count()
-            # dims stay single-file; facts split across the cores
-            parts = max(1, min(cores, n // 10_000))
+            # dims stay single-file; facts split across the cores.
+            # Content tables split by a per-row-compute floor (200
+            # rows/file) so CPU-bound map work parallelizes; tabular
+            # facts by a bytes-ish floor (10k rows/file). Both derive
+            # from `cores`, so the layout adapts to the core count the
+            # driver runs at.
+            floor = 200 if name in CONTENT_TABLES else 10_000
+            parts = max(1, min(cores, n // floor))
             df.repartition(parts).write.mode("overwrite").parquet(
                 os.path.join(dst, f"{name}.parquet")
             )

@@ -24,6 +24,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Driver-side schema cache: (path, mtime) -> (raw inferred schema,
+# needs nanosAsLong). A bare spark.read.parquet(path) runs a footer-
+# inference JOB on every call (~0.2 s of pure job roundtrip on the
+# bench box — measured r17); passing the schema explicitly skips it.
+# This caches METADATA only, never data or results — a warehouse
+# resolves schemas from its catalog, not by re-reading file footers
+# per query (reference: relcache, not per-query header reads). The
+# mtime in the key invalidates the entry if the file/dir is rewritten.
+_SCHEMA_CACHE: dict[tuple[str, float], tuple[object, bool]] = {}
+
+
+def _path_mtime(path: str) -> float:
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return -1.0
+
+
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     """spark.read.parquet with physical-type normalization.
 
@@ -40,12 +58,28 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     the session TZ pinned to UTC the NTZ→LTZ cast is value-preserving,
     so normalize every timestamp_ntz column here, at the one read
     boundary every query goes through."""
-    try:
-        df = spark.read.parquet(path)
-        _ = df.schema
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    key = (path, _path_mtime(path))
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is not None:
+        schema, needs_nanos = hit
+        if needs_nanos:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        needs_nanos = False
+        try:
+            df = spark.read.parquet(path)
+            _ = df.schema
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            needs_nanos = True
+            df = spark.read.parquet(path)
+        # a bigint 'ts' means the nanos legacy conf was (or already
+        # is) in force for this table — a cache-hit read in a fresh
+        # session must re-establish it before the footer is parsed
+        if dict(df.dtypes).get("ts") == "bigint":
+            needs_nanos = True
+        _SCHEMA_CACHE[key] = (df.schema, needs_nanos)
     # Re-read under nanosAsLong leaves ns columns as bigint; detect the
     # known shape (events.ts) generically: any *ts* bigint col whose
     # values are ns-scale would be wrong to guess — only rebuild 'ts'.
