@@ -63,12 +63,12 @@ def stage_warehouse(spark, src_dir: str) -> str:
             df = read_parquet_table(spark, src)
             n = df.count()
             # dims stay single-file; facts split across the cores.
-            # Content tables split by a per-row-compute floor (200
-            # rows/file) so CPU-bound map work parallelizes; tabular
-            # facts by a bytes-ish floor (10k rows/file). Both derive
-            # from `cores`, so the layout adapts to the core count the
-            # driver runs at.
-            floor = 200 if name in CONTENT_TABLES else 10_000
+            # Content tables split by a per-row-compute floor (625
+            # rows/file — the measured frontier between map-CPU spread
+            # and per-file open overhead); tabular facts by a bytes-ish
+            # floor (10k rows/file). Both cap at `cores`, so the layout
+            # adapts to the core count the driver runs at.
+            floor = 625 if name in CONTENT_TABLES else 10_000
             parts = max(1, min(cores, n // floor))
             df.repartition(parts).write.mode("overwrite").parquet(
                 os.path.join(dst, f"{name}.parquet")

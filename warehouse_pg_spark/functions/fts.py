@@ -307,6 +307,19 @@ _RE_USCOREWORD = re.compile(
 )
 _RE_PART = re.compile(_ALNUM_PART, re.UNICODE)
 
+# Fast-path for plain ASCII letter runs (the overwhelming majority of
+# prose tokens). A run [A-Za-z]+ whose following character cannot
+# extend it into any composite token — '@' (email), '.' (host/file),
+# '-' (hyphenword), '_' (underscore word), ':' (protocol), '/' (path),
+# a digit (numword via _RE_PART), or a non-ASCII alnum (unicode word
+# continuation) — is classified ASCIIWORD by the full state machine
+# unconditionally, so it can be emitted without trying the ~10
+# composite regexes. Cuts parse_default's regex calls ~10x on prose
+# (the to_tsvector hot path; r17 measurement: 0.33 ms/doc -> see
+# OPTIMIZATION_r17.md).
+_RE_ASCII_RUN = re.compile(r"[A-Za-z]+")
+_UNSAFE_FOLLOW = frozenset("@.-_:/")
+
 
 def _classify_word(tok: str) -> int:
     if tok.isdigit():
@@ -346,6 +359,17 @@ def parse_default(text: str) -> list[tuple[int, str, bool]]:
             out.append((BLANK, text[i:j], False))
             i = j
             continue
+        if ("a" <= ch <= "z") or ("A" <= ch <= "Z"):
+            m = _RE_ASCII_RUN.match(text, i)
+            j = m.end()
+            if j >= n or (
+                (nx := text[j]).isascii()
+                and not nx.isalnum()
+                and nx not in _UNSAFE_FOLLOW
+            ):
+                out.append((ASCIIWORD, m.group(0), False))
+                i = j
+                continue
         if ch == "<":
             m = _RE_TAG.match(text, i)
             if m:
