@@ -192,6 +192,27 @@ def test_ts_rank_cd(v, q, expected):
     assert got == pytest.approx(expected, rel=1e-5, abs=1e-9)
 
 
+@pytest.mark.parametrize("text,q", [
+    ("the data stream flows with more data", "data | stream"),
+    ("data and streams of data", "data & stream"),
+    ("nothing matching here", "data | stream"),
+    ("Data STREAM data stream data", "data | stream"),
+])
+def test_ts_rank_doc_fused_equals_chain(text, q):
+    """The fused document-rank shim must equal the chained
+    to_tsvector → render → parse → ts_rank path bit for bit."""
+    from warehouse_pg_spark.functions import fts_sql
+
+    fused = fts_sql._sql_ts_rank_doc("english", text, q)
+    chained = fts_sql._sql_ts_rank(
+        None,
+        fts_sql._sql_to_tsvector("english", text),
+        fts_sql._sql_to_tsquery("english", q),
+        None,
+    )
+    assert fused == pytest.approx(chained, rel=0, abs=0)
+
+
 # ------------------------------------------------------------- operations
 
 def test_setweight_strip_concat():

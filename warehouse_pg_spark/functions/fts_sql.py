@@ -151,6 +151,29 @@ def _sql_ts_rank(weights, v, q, method):
                          weights, _as_int(method)))
 
 
+@functools.lru_cache(maxsize=1024)
+def _tsquery_obj(cfg: str, q: str) -> TSQuery:
+    """Parsed-object cache for constant query strings (the per-row
+    argument is almost always a literal)."""
+    return to_tsquery(cfg, q)
+
+
+def _sql_ts_rank_doc(cfg, text, q):
+    """Fused to_tsvector + ts_rank over raw document text.
+
+    Semantically identical to
+    ts_rank(to_tsvector(cfg, text), to_tsquery(cfg, q)) — same core
+    functions — but in ONE UDF call: the tsvector never makes the
+    render-to-text → JVM → re-parse round trip that chaining
+    pg_to_tsvector into pg_ts_rank costs (two ArrowEvalPython nodes,
+    the vector text crossing the Python boundary twice, and a full
+    TSVector.parse per row). Guide §4.1: control how many columns —
+    and how many times — data crosses the boundary."""
+    if text is None or cfg is None or q is None:
+        return None
+    return float(ts_rank(to_tsvector(cfg, text), _tsquery_obj(cfg, q), None, 0))
+
+
 def _sql_ts_rank_cd(weights, v, q, method):
     if v is None or q is None:
         return None

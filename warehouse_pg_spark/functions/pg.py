@@ -1954,6 +1954,7 @@ def register_pg_functions(spark: SparkSession, force: bool = False) -> list[str]
         ("pg_tsquery_numnode", _fts._sql_numnode, "INT", 1),
         ("pg_querytree", _fts._sql_querytree, "STRING", 1),
         ("pg_ts_rank", _fts._sql_ts_rank, "FLOAT", 4),
+        ("pg_ts_rank_doc", _fts._sql_ts_rank_doc, "FLOAT", 3),
         ("pg_ts_rank_cd", _fts._sql_ts_rank_cd, "FLOAT", 4),
         ("pg_ts_delete", _fts._sql_ts_delete, "STRING", 2),
         ("pg_ts_filter", _fts._sql_ts_filter, "STRING", 2),

@@ -94,11 +94,11 @@ def fts_match_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_rank_contrib(F.col("n_data")) + _rank_contrib(F.col("n_stream")))
         / F.lit(2.0)
     )
-    pg_rank = F.expr(
-        "pg_ts_rank(CAST(NULL AS ARRAY<DOUBLE>), "
-        "pg_to_tsvector('english', text), "
-        "pg_to_tsquery('english', 'data | stream'), CAST(NULL AS INT))"
-    )
+    # Fused rank shim: to_tsvector + ts_rank in ONE Arrow UDF call
+    # (same Python core as the pg_to_tsvector → pg_ts_rank chain, but
+    # the tsvector skips the render-to-text → JVM → re-parse round
+    # trip; plan: 2 ArrowEvalPython → 1 — see OPTIMIZATION_r17.md).
+    pg_rank = F.expr("pg_ts_rank_doc('english', text, 'data | stream')")
     return base.select(
         "doc_id",
         F.col("n_data").cast("long").alias("n_data"),
