@@ -106,7 +106,14 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "topk", "bench"),
 )
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: join-agg-topK. Dims broadcast; fact join on orderkey."""
+    """TPC-H Q3: join-agg-topK. Dims broadcast; fact join on orderkey.
+
+    Join order: orders ⋈ customer FIRST (dim ⋈ dim — CBO would need
+    stats to find this; r17 measured it), so the fact side sees ONE
+    join against a side pre-reduced by the segment filter (~5x smaller
+    than orders alone) instead of two joins; at 100 TB the same order
+    halves the passes over lineitem and, if the broadcast ever falls
+    back to shuffle, shuffles lineitem against the reduced side."""
     cust = table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -116,9 +123,11 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
+    oc = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(oc, li.l_orderkey == oc.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(_disc_price(), 4).alias("revenue"))
         .select(

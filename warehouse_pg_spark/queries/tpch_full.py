@@ -323,11 +323,16 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         * dec("p_retailprice", "decimal(12,2)")
         * dec("l_quantity", "decimal(12,2)")
     )
+    # supplier ⋈ nation prejoined dim-side (1 tiny broadcast join) so
+    # the fact pays 3 join passes instead of 4 (r17: −5% here, one
+    # fewer full pass over lineitem at any scale).
+    supp_n = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
