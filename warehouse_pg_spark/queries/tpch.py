@@ -113,7 +113,15 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     join against a side pre-reduced by the segment filter (~5x smaller
     than orders alone) instead of two joins; at 100 TB the same order
     halves the passes over lineitem and, if the broadcast ever falls
-    back to shuffle, shuffles lineitem against the reduced side."""
+    back to shuffle, shuffles lineitem against the reduced side.
+
+    The fact join carries a SHUFFLE_HASH hint on the reduced side: the
+    join output (oc) has no size estimate, so the static planner would
+    otherwise broadcast the *estimable filtered fact* — fine at sf0.1,
+    but measured 3.4-4.2 s vs 1.2-1.7 s at sf1 (broadcasting 3M rows),
+    and a cliff at 100 TB. The hint leaves the build-side choice to
+    AQE's runtime sizes and degrades gracefully to a hash join
+    co-shuffled on orderkey (guide §3.1)."""
     cust = table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -125,7 +133,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     oc = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "o_orderkey", "o_orderdate"
-    )
+    ).hint("shuffle_hash")
     return (
         li.join(oc, li.l_orderkey == oc.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
