@@ -432,6 +432,31 @@ def test_ngram_dedup_hot_shingle_cap(spark):
     assert all(a >= 900 for a, _ in ids), ids
 
 
+def test_shingle_rows_unique_by_construction(spark):
+    """Load-bearing invariant for the r17 shuffle removals: the exploded
+    (doc_id, shingle) rows are ALREADY unique because _shingles applies
+    array_distinct per document — dedup/minhash/cluster dropped their
+    .distinct() on this set (one full shuffle each) on the strength of
+    this. Repeated shingles inside one document must collapse."""
+    from pyspark.sql import functions as F
+
+    from warehouse_pg_spark.queries.dedup import _shingles
+
+    rows = [
+        (1, "a b c a b c a b c"),          # every 3-gram repeats 2-3x
+        (2, "x y z"),                        # single shingle
+        (3, "one two"),                      # shorter than n: slice pads
+        (4, "spam spam spam spam spam"),     # one distinct shingle only
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    total = sh.count()
+    distinct = sh.distinct().count()
+    assert total == distinct, (total, distinct)
+    # and the degenerate repeat-doc really did collapse to one shingle
+    assert sh.filter("doc_id = 4").count() == 1
+
+
 def test_asof_forward_and_nearest(spark, asof_frames):
     trades, quotes = asof_frames
     fwd = asof_join(

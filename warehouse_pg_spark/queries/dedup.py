@@ -139,9 +139,12 @@ def ngram_jaccard_pairs(
     (doc_id, text). Blocked self-join on shared shingles, with hot
     shingles (df > df_cap) dropped first so no join bucket exceeds
     df_cap² candidates."""
+    # No distinct: _shingles applies array_distinct per document, so the
+    # exploded (doc_id, shingle) rows are unique by construction — the
+    # distinct here was a full extra shuffle of the largest intermediate
+    # (r17; pinned by test_shingle_rows_unique_by_construction).
     sh_all = (
         d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
-        .distinct()
         .cache()
     )
     hot = (
@@ -279,9 +282,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the candidate verification join (3 consumers).
     par = spark.sparkContext.defaultParallelism
     d = table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    # No distinct on the exploded shingles: rows are unique by
+    # construction (array_distinct per doc) and every signature
+    # component is a MIN — duplicate-insensitive even in principle.
+    # Removing it removed a full shuffle of the shingle table ahead of
+    # the signature agg (r17: −19% interleaved A/B, rows identical).
     sh = d.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
-    ).distinct()
+    )
     sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols()).cache()
 
     bands = None
@@ -440,12 +448,26 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard large-scale dedup-cluster algorithm (alternating
     small-star/large-star is the same loop with smarter edges)."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    # Both edge orientations exploded from ONE evaluation of the pairs
+    # subtree. The previous unionAll(pairs, pairs.swapped) re-ran the
+    # whole candidate self-join + Jaccard verification once per branch
+    # (only the shingle scan behind it is cached), and its .distinct()
+    # was a pure extra shuffle — (id_a < id_b) pairs are unique, so both
+    # orientations are too (r17: −15% interleaved A/B, rows identical).
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionAll(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
-        .distinct()
+        .select("e.src", "e.dst")
         .cache()
     )
     labels = edges.select("src").distinct().select(
@@ -546,9 +568,11 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the matches*1e6+id scalar encoding) at est_jaccard >= 0.5."""
     par = spark.sparkContext.defaultParallelism
     d = table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    # Same no-distinct reasoning as dedup_minhash_lsh (rows unique by
+    # construction; MIN ignores duplicates anyway).
     sh = d.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
-    ).distinct()
+    )
     sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols()).cache()
 
     bands = None

@@ -36,10 +36,13 @@ def _signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, h0..h7) minhash signatures — same algebra as queries/dedup."""
     from warehouse_pg_spark.queries.dedup import _minhash_sig_cols, _shingles
 
+    # No distinct: exploded shingle rows are unique by construction
+    # (array_distinct per doc) and the signature MINs ignore duplicates;
+    # same shuffle removal as queries/dedup (r17).
     sh = docs.select(
         F.col(id_col).alias("__id"),
         F.explode(_shingles(F.col(text_col))).alias("shingle"),
-    ).distinct()
+    )
     return sh.groupBy("__id").agg(*_minhash_sig_cols())
 
 
