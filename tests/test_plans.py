@@ -272,9 +272,9 @@ def test_srp_lsh_join_is_hash_on_signature(spark, sf_dir):
 
 
 def test_phash_band_joins_never_cartesian(spark, sf_dir):
-    """pHash near-dup: all three Hamming pigeonhole band joins must be
-    hash joins on the band key (candidates-then-confirm), never a
-    cartesian expansion."""
+    """pHash near-dup: the Hamming pigeonhole banding (one exploded band
+    table, self-joined on band index+value) must be a hash join on the
+    band key (candidates-then-confirm), never a cartesian expansion."""
     plan = plan_of(spark, sf_dir, "multimodal_phash_near_dup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

@@ -21,10 +21,13 @@ _LANG_MARKERS = {
 
 
 def _tokens(col):
-    c = F.lower(col)
-    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
-    c = F.regexp_replace(c, r"\s+", " ")
-    return F.split(F.trim(c), " ")
+    # One fused regex pass (string-identical to the two-step
+    # replace-then-collapse form; see dedup._norm_text for the proof
+    # and the r17 A/B numbers). The oracle _TOKENS_SQL keeps the
+    # two-step form — an independent reconstruction.
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " ")), " "
+    )
 
 
 _TOKENS_SQL = (
@@ -602,9 +605,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warehouse_pg_spark.queries.dedup import _shingles
 
     d = table(spark, sf_dir, "documents")
+    # No (doc_id, shingle) distinct: rows are unique by construction
+    # (array_distinct per doc — test_shingle_rows_unique_by_construction);
+    # the probe keeps its shingle-level distinct, which IS semantic.
     sh = lambda df: df.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
-    ).distinct()
+    )
     probe = (
         sh(d.filter(F.col("source") == "src0")).select("shingle").distinct()
     )

@@ -115,9 +115,11 @@ class EventStream:
         is the dedup key, so state is one digest per distinct content,
         evicted by the watermark — bounded, unlike a global batch
         distinct. All map-only until the stateful dedup operator."""
-        c = F.lower(F.col(content_col))
-        c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
-        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+        # One fused regex pass; string-identical to the two-step
+        # replace-then-collapse form (see dedup._norm_text).
+        c = F.trim(
+            F.regexp_replace(F.lower(F.col(content_col)), r"[^a-z0-9]+", " ")
+        )
         return (
             self.df.withColumn("__fp", F.md5(F.encode(c, "UTF-8")))
             .dropDuplicatesWithinWatermark(["__fp"])
