@@ -241,6 +241,31 @@ _MINHASH_SIG_SQL = ",\n".join(
 )
 
 
+def _band_table(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bval) LSH band rows — ONE explode over the cached
+    signature table instead of a (k/2)-way unionByName of selects, so
+    each consumer scans sig once instead of k/2 times (r17: −24%
+    interleaved A/B on dedup_minhash_lsh, identical rows)."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat(
+                            F.col(f"h{2*i}"), F.col(f"h{2*i+1}")
+                        ).alias("bval"),
+                    )
+                    for i in range(_NUM_HASHES // 2)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -298,15 +323,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols()).cache()
 
-    bands = None
-    for band in range(_NUM_HASHES // 2):
-        part = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.concat(F.col(f"h{2*band}"), F.col(f"h{2*band+1}")).alias("bval"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-
+    bands = _band_table(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -581,15 +598,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols()).cache()
 
-    bands = None
-    for band in range(_NUM_HASHES // 2):
-        part = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.concat(F.col(f"h{2*band}"), F.col(f"h{2*band+1}")).alias("bval"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-
+    bands = _band_table(sig)
     a = bands.filter(F.col("doc_id") >= 400).alias("a")   # incoming batch
     b = bands.filter(F.col("doc_id") < 400).alias("b")    # existing corpus
     cand = (

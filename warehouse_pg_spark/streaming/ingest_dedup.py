@@ -47,17 +47,13 @@ def _signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _bands(sig: DataFrame) -> DataFrame:
-    from warehouse_pg_spark.queries.dedup import _NUM_HASHES
+    # One exploded band table (same rows as the former 4-way union of
+    # selects; one scan of sig per consumer instead of four — r17).
+    from warehouse_pg_spark.queries.dedup import _band_table
 
-    out = None
-    for band in range(_NUM_HASHES // 2):
-        part = sig.select(
-            "__id",
-            F.lit(band).alias("band"),
-            F.concat(F.col(f"h{2*band}"), F.col(f"h{2*band+1}")).alias("bval"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    return _band_table(sig.withColumnRenamed("__id", "doc_id")).withColumnRenamed(
+        "doc_id", "__id"
+    )
 
 
 def minhash_ingest_dedup_available_now(
