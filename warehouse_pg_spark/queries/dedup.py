@@ -493,10 +493,19 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.src", "e.dst")
         .cache()
     )
-    labels = edges.select("src").distinct().select(
-        F.col("src").alias("node"), F.col("src").alias("label")
+    # Round 1 fused into initialization: with identity labels the first
+    # neighbor-min join is just min(dst) per src, so the old
+    # distinct + join + left-join + checkpoint + count of a full round
+    # collapses into ONE aggregation (r17: −9% interleaved A/B, rows
+    # identical). No changed-count needed here — a non-empty graph
+    # always runs round 2, which detects convergence as before. The
+    # propagation cap stays at 20 total applications (1 + 19).
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .select(F.col("src").alias("node"), "label")
     )
-    for _ in range(20):  # cap >> expected diameter
+    for _ in range(19):  # cap >> expected diameter
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
