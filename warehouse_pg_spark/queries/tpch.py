@@ -47,6 +47,25 @@ def _disc_price() -> F.Column:
     return dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
 
 
+def _table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a fixture table (file or directory) — the
+    engine's zero-cost stand-in for catalog size statistics when
+    choosing a join strategy at plan-build time."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def _charge() -> F.Column:
     return _disc_price() * (F.lit(1) + dec("l_tax"))
 
@@ -115,13 +134,18 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves the passes over lineitem and, if the broadcast ever falls
     back to shuffle, shuffles lineitem against the reduced side.
 
-    The fact join carries a SHUFFLE_HASH hint on the reduced side: the
-    join output (oc) has no size estimate, so the static planner would
-    otherwise broadcast the *estimable filtered fact* — fine at sf0.1,
-    but measured 3.4-4.2 s vs 1.2-1.7 s at sf1 (broadcasting 3M rows),
-    and a cliff at 100 TB. The hint leaves the build-side choice to
-    AQE's runtime sizes and degrades gracefully to a hash join
-    co-shuffled on orderkey (guide §3.1)."""
+    The reduced side (oc) is explicitly broadcast while the orders
+    input is small enough that oc provably fits: the join output has
+    no size estimate, so the static planner would otherwise broadcast
+    the *estimable filtered fact* — fine at sf0.1, but a measured
+    cliff at sf1 (fact BuildLeft: 3.3 s vs 0.95 s broadcast-oc, r18
+    final-plan A/B) and fatal at 100 TB. r17's SHUFFLE_HASH hint
+    avoided the cliff but paid a fact-side shuffle write AQE cannot
+    undo (r18: 1.46 s at sf1, 0.88 vs 0.84 broadcast-oc at sf0.1).
+    Broadcasting oc keeps the fact streaming with zero exchanges on
+    it at every measured scale; past the size guard (orders on disk >
+    2 GiB ⇒ oc in the hundreds of MB) it degrades to the co-shuffled
+    hash join (guide §3.1)."""
     cust = table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -133,7 +157,11 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     oc = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "o_orderkey", "o_orderdate"
-    ).hint("shuffle_hash")
+    )
+    if _table_bytes(sf_dir, "orders") < 2 << 30:
+        oc = F.broadcast(oc)
+    else:
+        oc = oc.hint("shuffle_hash")
     return (
         li.join(oc, li.l_orderkey == oc.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
