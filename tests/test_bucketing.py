@@ -118,7 +118,7 @@ def test_scale_fixture_preserves_dup_rate(spark):
     )
     out = gen_scale.replicate(df, {"doc_id": 100}, 3)
     rows = out.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
+        "doc_id", F.explode(_shingles("text")).alias("sh")
     ).collect()
     by_copy = {}
     for r in rows:

@@ -449,12 +449,35 @@ def test_shingle_rows_unique_by_construction(spark):
         (4, "spam spam spam spam spam"),     # one distinct shingle only
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
-    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    sh = d.select("doc_id", F.explode(_shingles("text")).alias("shingle"))
     total = sh.count()
     distinct = sh.distinct().count()
     assert total == distinct, (total, distinct)
     # and the degenerate repeat-doc really did collapse to one shingle
     assert sh.filter("doc_id = 4").count() == 1
+
+
+def test_label_propagation_cap_exhaustion_raises(spark):
+    """Exhausting the propagation cap with labels still changing must
+    RAISE, not silently return non-converged (wrong) cluster ids
+    (r17 advice). A path graph propagates the min label one hop per
+    application, so an 8-node path cannot converge in 1+2 applications
+    but does in 1+10 (labels all collapse to node 0)."""
+    import pytest
+
+    from warehouse_pg_spark.queries.dedup import _propagate_min_labels
+
+    n = 8
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    )
+    with pytest.raises(RuntimeError, match="cap"):
+        _propagate_min_labels(edges, max_rounds=2)
+    labels = _propagate_min_labels(edges, max_rounds=10).collect()
+    assert len(labels) == n
+    assert all(r.label == 0 for r in labels), labels
 
 
 def test_asof_forward_and_nearest(spark, asof_frames):

@@ -30,7 +30,6 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def asof_join(
@@ -58,44 +57,57 @@ def asof_join(
     on = list(on)
     lcols = left.columns
 
-    l_tagged = left.select(
-        *[F.col(c) for c in lcols],
-        F.col(left_ts).cast("timestamp").alias("__ts"),
-        F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
+    # Tagged sides built as SQL-string selects: one py4j round-trip +
+    # JVM parse per select instead of per-column Column-API chatter
+    # (r18 driver-overhead work; parsed trees identical).
+    l_tagged = left.selectExpr(
+        *[f"`{c}`" for c in lcols],
+        f"CAST(`{left_ts}` AS TIMESTAMP) AS __ts",
+        "1 AS __side",
+        *[
+            f"CAST(NULL AS {right.schema[c].dataType.simpleString()})"
+            f" AS `__r_{c}`"
+            for c in right_values
+        ],
     )
-    r_tagged = right.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
-        *[F.col(k) for k in on],
-        F.col(right_ts).cast("timestamp").alias("__ts"),
-        F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_values],
+    r_tagged = right.selectExpr(
+        *[
+            f"CAST(NULL AS {left.schema[c].dataType.simpleString()}) AS `{c}`"
+            for c in lcols
+            if c not in on
+        ],
+        *[f"`{k}`" for k in on],
+        f"CAST(`{right_ts}` AS TIMESTAMP) AS __ts",
+        "0 AS __side",
+        *[f"`{c}` AS `__r_{c}`" for c in right_values],
     ).select(  # align column order with l_tagged
-        *[F.col(c) for c in lcols],
+        *lcols,
         "__ts",
         "__side",
-        *[F.col(f"__r_{c}") for c in right_values],
+        *[f"__r_{c}" for c in right_values],
     )
 
     unioned = l_tagged.unionByName(r_tagged)
 
     def fill_cols(ts_desc: bool, prefix: str) -> list[Column]:
         # non-strict: right rows at equal ts must precede the left row
-        # in scan order (side 0 first); strict flips that.
-        side_order = F.col("__side").desc() if strict else F.col("__side").asc()
-        ts_order = F.col("__ts").desc() if ts_desc else F.col("__ts").asc()
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(ts_order, side_order)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        # in scan order (side 0 first); strict flips that. (SQL ASC =
+        # NULLS FIRST, DESC = NULLS LAST — identical to Column
+        # .asc()/.desc() defaults.)
+        side_order = "DESC" if strict else "ASC"
+        ts_order = "DESC" if ts_desc else "ASC"
+        over = (
+            f"OVER (PARTITION BY {', '.join(f'`{k}`' for k in on)} "
+            f"ORDER BY __ts {ts_order}, __side {side_order} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         )
         return [
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{prefix}_{c}")
+            F.expr(f"last(`__r_{c}`, true) {over}").alias(f"{prefix}_{c}")
             for c in right_values
         ] + [
-            F.last(
-                F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
-            ).over(w).alias(f"{prefix}_ts")
+            F.expr(
+                f"last(CASE WHEN __side = 0 THEN __ts END, true) {over}"
+            ).alias(f"{prefix}_ts")
         ]
 
     want_back = direction in ("backward", "nearest")

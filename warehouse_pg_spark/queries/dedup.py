@@ -83,7 +83,7 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(col, n=3):
+def _shingles(colname: str, n: int = 3):
     """Word n-gram shingles of normalized text (array of strings).
 
     The words array is let-bound as a lambda variable (transform over a
@@ -93,22 +93,18 @@ def _shingles(col, n=3):
     order-function lambdas are interpreted with no common-subexpression
     elimination, which made shingling quadratic in document length
     (found at the sf10 scale check: 32 cores pinned in RegExpReplace).
+
+    Built as ONE SQL-string expression (one py4j round-trip + JVM
+    parse) instead of ~30 nested Column-API round-trips; the parsed
+    expression tree is identical (r18 driver-overhead work).
     """
-    words = F.split(_norm_text(col), " ")
     # shingle i = ws[i..i+n-1] joined; sequence over 0..len-n
-    return F.element_at(
-        F.transform(
-            F.array(words),
-            lambda ws: F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))
-                    ),
-                    lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
-                )
-            ),
-        ),
-        1,
+    return F.expr(
+        f"element_at(transform(array("
+        f"split(trim(regexp_replace(lower({colname}), '[^a-z0-9]+', ' ')), ' ')"
+        f"), ws -> array_distinct(transform("
+        f"sequence(0, greatest(size(ws) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(ws, i + 1, {n}))))), 1)"
     )
 
 
@@ -150,7 +146,7 @@ def ngram_jaccard_pairs(
     # distinct here was a full extra shuffle of the largest intermediate
     # (r17; pinned by test_shingle_rows_unique_by_construction).
     sh_all = (
-        d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+        d.select("doc_id", F.explode(_shingles("text")).alias("shingle"))
         .cache()
     )
     hot = (
@@ -229,9 +225,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_cols():
-    """k minhash components: min over shingles of md5(salt_i || shingle)."""
+    """k minhash components: min over shingles of md5(salt_i || shingle).
+
+    Built as SQL-string expressions: ONE py4j round-trip + JVM parse
+    per component instead of ~5 Column-API round-trips each. The
+    parsed expression tree is identical (r18 driver-overhead work —
+    36% of the sf0.1 bench total was py4j/plan-construction time)."""
     return [
-        F.min(F.md5(F.concat(F.lit(s), F.col("shingle")))).alias(f"h{i}")
+        F.expr(f"min(md5('{s}' || shingle)) AS h{i}")
         for i, s in enumerate(_SALTS)
     ]
 
@@ -245,25 +246,17 @@ def _band_table(sig: DataFrame) -> DataFrame:
     """(doc_id, band, bval) LSH band rows — ONE explode over the cached
     signature table instead of a (k/2)-way unionByName of selects, so
     each consumer scans sig once instead of k/2 times (r17: −24%
-    interleaved A/B on dedup_minhash_lsh, identical rows)."""
-    return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.concat(
-                            F.col(f"h{2*i}"), F.col(f"h{2*i+1}")
-                        ).alias("bval"),
-                    )
-                    for i in range(_NUM_HASHES // 2)
-                ]
-            )
-        ).alias("bb"),
-    ).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    interleaved A/B on dedup_minhash_lsh, identical rows).
+
+    `inline` generates the struct fields as columns directly — same
+    Generate node, no struct-extraction Project — and the whole band
+    list is ONE parsed SQL expression instead of ~40 Column-API py4j
+    round-trips (r18 driver-overhead work)."""
+    structs = ", ".join(
+        f"named_struct('band', {i}, 'bval', h{2*i} || h{2*i+1})"
+        for i in range(_NUM_HASHES // 2)
     )
+    return sig.selectExpr("doc_id", f"inline(array({structs}))")
 
 
 @register(
@@ -319,7 +312,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Removing it removed a full shuffle of the shingle table ahead of
     # the signature agg (r17: −19% interleaved A/B, rows identical).
     sh = d.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+        "doc_id", F.explode(_shingles("text")).alias("shingle")
     )
     sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols()).cache()
 
@@ -340,17 +333,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sig.alias("sa")
     sb = sig.alias("sb")
-    matches = sum(
-        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
         for i in range(_NUM_HASHES)
     )
     return (
         cand.join(sa, F.col("id_a") == F.col("sa.doc_id"))
         .join(sb, F.col("id_b") == F.col("sb.doc_id"))
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            F.round(matches / F.lit(float(_NUM_HASHES)), 6).alias("est_jaccard"),
+            f"round(({matches}) / {float(_NUM_HASHES)}, 6) AS est_jaccard",
         )
     )
 
@@ -430,6 +423,65 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return digits.groupBy("doc_id").agg(simhash)
 
 
+def _propagate_min_labels(edges: DataFrame, max_rounds: int = 19) -> DataFrame:
+    """Min-label propagation to fixpoint over (src, dst) edges (both
+    orientations present) → (node, label) with label = component min.
+
+    Round 1 is fused into the initialization: with identity labels the
+    first neighbor-min join is just min(dst) per src, so a full round's
+    distinct + join + left-join + checkpoint + count collapses into ONE
+    aggregation (r17: −9% interleaved A/B, rows identical). No
+    changed-count needed there — a non-empty graph always runs round 2,
+    which detects convergence as before. The propagation cap stays at
+    1 + max_rounds total applications; exhausting it with labels still
+    changing RAISES instead of silently returning non-converged (wrong)
+    cluster ids (r17 advice) — a component whose diameter exceeds the
+    cap is a data regime the operator was not sized for, and an error
+    beats wrong output."""
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .select(F.col("src").alias("node"), "label")
+    )
+    changed = 0
+    for _ in range(max_rounds):  # cap >> expected diameter
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # carry old+new label through ONE checkpointed frame so the
+        # convergence check is a filter-count on it, not an extra join.
+        # Lazy checkpoint: the count() below materializes it, so each
+        # round costs ONE action instead of an eager-checkpoint job
+        # plus a count job (~0.3s/invocation at sf0.1, r17).
+        merged = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)  # cut lineage at next action
+        )
+        changed = merged.filter(
+            F.col("label") != F.col("old_label")
+        ).count()
+        labels = merged.select("node", "label")
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"label propagation exhausted its {1 + max_rounds}-application "
+            f"cap with {changed} labels still changing — component diameter "
+            "exceeds the cap; raise max_rounds rather than emit wrong "
+            "cluster ids"
+        )
+    return labels
+
+
 @register(
     "dedup_cluster_components",
     oracle=f"""
@@ -477,62 +529,11 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (only the shingle scan behind it is cached), and its .distinct()
     # was a pure extra shuffle — (id_a < id_b) pairs are unique, so both
     # orientations are too (r17: −15% interleaved A/B, rows identical).
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-                    ),
-                    F.struct(
-                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .cache()
-    )
-    # Round 1 fused into initialization: with identity labels the first
-    # neighbor-min join is just min(dst) per src, so the old
-    # distinct + join + left-join + checkpoint + count of a full round
-    # collapses into ONE aggregation (r17: −9% interleaved A/B, rows
-    # identical). No changed-count needed here — a non-empty graph
-    # always runs round 2, which detects convergence as before. The
-    # propagation cap stays at 20 total applications (1 + 19).
-    labels = (
-        edges.groupBy("src")
-        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
-        .select(F.col("src").alias("node"), "label")
-    )
-    for _ in range(19):  # cap >> expected diameter
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # carry old+new label through ONE checkpointed frame so the
-        # convergence check is a filter-count on it, not an extra join.
-        # Lazy checkpoint: the count() below materializes it, so each
-        # round costs ONE action instead of an eager-checkpoint job
-        # plus a count job (~0.3s/invocation at sf0.1, r17).
-        merged = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=False)  # cut lineage at next action
-        )
-        changed = merged.filter(
-            F.col("label") != F.col("old_label")
-        ).count()
-        labels = merged.select("node", "label")
-        if changed == 0:
-            break
+    edges = pairs.selectExpr(
+        "inline(array(named_struct('src', id_a, 'dst', id_b), "
+        "named_struct('src', id_b, 'dst', id_a)))"
+    ).cache()
+    labels = _propagate_min_labels(edges)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -603,7 +604,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same no-distinct reasoning as dedup_minhash_lsh (rows unique by
     # construction; MIN ignores duplicates anyway).
     sh = d.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+        "doc_id", F.explode(_shingles("text")).alias("shingle")
     )
     sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols()).cache()
 

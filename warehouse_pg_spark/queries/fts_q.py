@@ -23,22 +23,22 @@ from warehouse_pg_spark.queries.registry import register, table
 _RANK_DENOM = 1.64493406685  # pi^2/6 (tsrank.c calc_rank_or)
 
 
-def _n_occ(toks, word: str):
-    return F.size(F.filter(toks, lambda x: x == F.lit(word)))
+def _n_occ(word: str) -> str:
+    """SQL: occurrences of `word` in split(text, ' ') — a string
+    expression (one py4j round-trip per selectExpr instead of ~8
+    Column-API calls; r18 driver-overhead work, tree unchanged)."""
+    return f"size(filter(split(text, ' '), x -> x = '{word}'))"
 
 
-def _rank_contrib(n):
-    """calc_rank_or per-term contribution for weight-D positions:
-    sum_{j=1..n} 0.1/j^2 / (pi^2/6)."""
-    return F.when(
-        n > 0,
-        F.aggregate(
-            F.sequence(F.lit(1), n),
-            F.lit(0.0),
-            lambda acc, x: acc + F.lit(0.1) / (x * x).cast("double"),
-        )
-        / F.lit(_RANK_DENOM),
-    ).otherwise(F.lit(0.0))
+def _rank_contrib(n: str) -> str:
+    """SQL: calc_rank_or per-term contribution for weight-D positions:
+    sum_{j=1..n} 0.1/j^2 / (pi^2/6). `D` suffixes keep every literal
+    DOUBLE, exactly as the previous Column form's F.lit floats."""
+    return (
+        f"(CASE WHEN {n} > 0 THEN aggregate(sequence(1, {n}), 0.0D, "
+        f"(acc, x) -> acc + 0.1D / CAST(x * x AS DOUBLE)) "
+        f"/ {_RANK_DENOM}D ELSE 0.0D END)"
+    )
 
 
 @register(
@@ -84,9 +84,6 @@ def fts_match_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_pg_functions(spark)
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_data = _n_occ(toks, "data").alias("n_data")
-    n_stream = _n_occ(toks, "stream").alias("n_stream")
     # Implied substring pre-filter: token 'data' ∈ split(text) implies
     # contains(text,'data'), so the conjunct keeps the result set
     # identical while short-circuiting the 4 split+filter evaluations
@@ -95,27 +92,29 @@ def fts_match_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # StringContains pushed filter (r17: −6% interleaved A/B; at scale
     # it also lets the reader skip row groups via dictionary filters).
     base = (
-        d.where(
-            F.col("text").contains("data") & F.col("text").contains("stream")
+        d.where("contains(text, 'data') AND contains(text, 'stream')")
+        .selectExpr(
+            "doc_id",
+            "text",
+            f"{_n_occ('data')} AS n_data",
+            f"{_n_occ('stream')} AS n_stream",
         )
-        .select("doc_id", "text", n_data, n_stream)
-        .where((F.col("n_data") > 0) & (F.col("n_stream") > 0))
+        .where("n_data > 0 AND n_stream > 0")
     )
     rank = (
-        (_rank_contrib(F.col("n_data")) + _rank_contrib(F.col("n_stream")))
-        / F.lit(2.0)
+        f"(({_rank_contrib('n_data')} + {_rank_contrib('n_stream')}) / 2.0D)"
     )
     # Fused rank shim: to_tsvector + ts_rank in ONE Arrow UDF call
     # (same Python core as the pg_to_tsvector → pg_ts_rank chain, but
     # the tsvector skips the render-to-text → JVM → re-parse round
     # trip; plan: 2 ArrowEvalPython → 1 — see OPTIMIZATION_r17.md).
-    pg_rank = F.expr("pg_ts_rank_doc('english', text, 'data | stream')")
-    return base.select(
+    return base.selectExpr(
         "doc_id",
-        F.col("n_data").cast("long").alias("n_data"),
-        F.col("n_stream").cast("long").alias("n_stream"),
-        F.round(rank, 6).alias("rank_or"),
-        (F.abs(rank - pg_rank) < 1e-5).alias("pg_rank_agrees"),
+        "CAST(n_data AS BIGINT) AS n_data",
+        "CAST(n_stream AS BIGINT) AS n_stream",
+        f"round({rank}, 6) AS rank_or",
+        f"(abs({rank} - pg_ts_rank_doc('english', text, 'data | stream'))"
+        f" < 1e-5d) AS pg_rank_agrees",
     )
 
 

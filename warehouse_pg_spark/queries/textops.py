@@ -609,7 +609,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (array_distinct per doc — test_shingle_rows_unique_by_construction);
     # the probe keeps its shingle-level distinct, which IS semantic.
     sh = lambda df: df.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+        "doc_id", F.explode(_shingles("text")).alias("shingle")
     )
     probe = (
         sh(d.filter(F.col("source") == "src0")).select("shingle").distinct()

@@ -41,7 +41,7 @@ def _signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # same shuffle removal as queries/dedup (r17).
     sh = docs.select(
         F.col(id_col).alias("__id"),
-        F.explode(_shingles(F.col(text_col))).alias("shingle"),
+        F.explode(_shingles(text_col)).alias("shingle"),
     )
     return sh.groupBy("__id").agg(*_minhash_sig_cols())
 
