@@ -34,6 +34,17 @@ from pyspark.sql import functions as F
 # mtime in the key invalidates the entry if the file/dir is rewritten.
 _SCHEMA_CACHE: dict[tuple[str, float], tuple[object, bool]] = {}
 
+# Reader-DataFrame cache: (session id, path, mtime) -> analyzed reader
+# DataFrame (post type-normalization). One level up from the schema
+# cache, same relcache argument: even with an explicit schema,
+# spark.read.parquet re-resolves the relation (file-index listing +
+# analysis py4j round-trips, ~35 ms/call measured r18) on EVERY call,
+# and bench queries make ~35 table() calls per run. The cached object
+# is an immutable logical plan — executing it always scans the parquet
+# files; no data or results are ever cached, and a rewrite of the
+# files (new mtime) invalidates the entry.
+_READER_CACHE: dict[tuple[int, str, float], DataFrame] = {}
+
 
 def _path_mtime(path: str) -> float:
     try:
@@ -58,6 +69,10 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     the session TZ pinned to UTC the NTZ→LTZ cast is value-preserving,
     so normalize every timestamp_ntz column here, at the one read
     boundary every query goes through."""
+    rkey = (id(spark), path, _path_mtime(path))
+    cached = _READER_CACHE.get(rkey)
+    if cached is not None:
+        return cached
     key = (path, _path_mtime(path))
     hit = _SCHEMA_CACHE.get(key)
     if hit is not None:
@@ -90,6 +105,7 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
         df = df.withColumns(
             {c: F.col(c).cast("timestamp") for c in ntz_cols}
         )
+    _READER_CACHE[rkey] = df
     return df
 
 # The driver's fixture tables (TESTDATA.md).
