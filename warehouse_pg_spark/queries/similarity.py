@@ -65,10 +65,19 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors of vec_id=0.
 
     The query vector is broadcast (single row) → no shuffle of the
-    corpus; top-K via TakeOrderedAndProject."""
+    corpus; top-K via TakeOrderedAndProject. The query vector's norm
+    is computed ONCE on the broadcast side — the inlined _cosine form
+    re-evaluated sqrt(dot(qv,qv)) (a 64-element interpreted HOF fold)
+    for every corpus row, a third of the per-row compute for a
+    constant (r18; same operand order, bit-identical doubles)."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    cos = _cosine(F.col("embedding"), F.col("qv"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qnorm"),
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * F.col("qnorm")
+    )
     return (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
