@@ -120,6 +120,7 @@ def main() -> None:
         name: q for name, q in REGISTRY.items() if "bench" in q.tags
     }
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, q in sorted(bench_queries.items()):
         # Bench the raw query plan. q.fn is wrapped with the registry's
@@ -127,6 +128,14 @@ def main() -> None:
         # date→string) that exists only for the cross-engine comparison
         # channel; engine throughput is the unwrapped plan.
         fn = getattr(q.fn, "__wrapped__", q.fn)
+        # Hygiene (r17 verdict item 5): a previous QUERY's intra-query
+        # caches must never warm this one (Spark's CacheManager matches
+        # by logical plan, so shared subtrees would leak across
+        # queries). Within one query's RUNS the caches stay — best-of-N
+        # measures the engine's warm steady state, same methodology as
+        # every prior round; the cleared-cache recompute is recorded
+        # separately below as queries_steady.
+        spark.catalog.clearCache()
         best = float("inf")
         try:
             for _ in range(max(1, RUNS)):
@@ -137,6 +146,14 @@ def main() -> None:
                 # IPC time)
                 df.write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
+            # steady-state recompute: one run with the cache registry
+            # empty, so every intra-query cache pays its build. This is
+            # ADDITIVE instrumentation — `queries`/`value` keep the
+            # exact methodology of every prior round.
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, query_dir).write.mode("overwrite").format("noop").save()
+            steady[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # one broken query costs one entry,
             # never the round's whole performance signal
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -164,6 +181,8 @@ def main() -> None:
             sum(t for n, t in timings.items() if n in core15), 4
         ),
         "queries": timings,
+        "queries_steady": steady,
+        "steady_total_sec": round(sum(steady.values()), 4),
         "sf": sf_of(SF_DIR),
         "loadavg_start": load_start,
         "loadavg_end": load_end,
