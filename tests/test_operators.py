@@ -432,6 +432,27 @@ def test_ngram_dedup_hot_shingle_cap(spark):
     assert all(a >= 900 for a, _ in ids), ids
 
 
+def test_ngram_grouped_pairs_strategy_equivalent(spark):
+    """The large-input pair strategy (groupBy(shingle) + in-group pair
+    explosion) must produce exactly the self-join strategy's rows —
+    dedup_ngram_jaccard switches between them on input size (r18), so
+    the two physical plans must be interchangeable."""
+    from warehouse_pg_spark.queries.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "alpha beta gamma delta theta iota"),
+        (4, "one two three four five six seven"),
+        (5, "one two three four five six eight"),
+        (6, "totally different content in this document"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sj = sorted(map(tuple, ngram_jaccard_pairs(d, grouped=False).collect()))
+    gp = sorted(map(tuple, ngram_jaccard_pairs(d, grouped=True).collect()))
+    assert sj == gp and len(sj) > 0, (sj, gp)
+
+
 def test_shingle_rows_unique_by_construction(spark):
     """Load-bearing invariant for the r17 shuffle removals: the exploded
     (doc_id, shingle) rows are ALREADY unique because _shingles applies

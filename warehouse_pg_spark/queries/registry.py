@@ -140,6 +140,25 @@ def register(
     return deco
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a fixture table (file or directory) — the
+    engine's zero-cost stand-in for catalog size statistics when
+    choosing a physical strategy at plan-build time."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a fixture table, normalizing physical-type quirks
     (TIMESTAMP(NANOS) → µs; see catalog.read_parquet_table)."""

@@ -37,6 +37,7 @@ from warehouse_pg_spark.queries.registry import (
     register,
     table,
 )
+from warehouse_pg_spark.queries.registry import table_bytes as _table_bytes
 
 # Reused expressions: exact decimal arithmetic (parity rule 1).
 _DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -45,25 +46,6 @@ _CHARGE = f"{_DISC_PRICE} * (1 + CAST(l_tax AS DECIMAL(18,2)))"
 
 def _disc_price() -> F.Column:
     return dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
-
-
-def _table_bytes(sf_dir: str, name: str) -> int:
-    """On-disk size of a fixture table (file or directory) — the
-    engine's zero-cost stand-in for catalog size statistics when
-    choosing a join strategy at plan-build time."""
-    import os
-
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if os.path.isfile(path):
-        return os.path.getsize(path)
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
-    return total
 
 
 def _charge() -> F.Column:
