@@ -146,20 +146,24 @@ def main() -> None:
                 # IPC time)
                 df.write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
-            # steady-state recompute: one run with the cache registry
-            # empty, so every intra-query cache pays its build. This is
-            # ADDITIVE instrumentation — `queries`/`value` keep the
-            # exact methodology of every prior round.
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(spark, query_dir).write.mode("overwrite").format("noop").save()
-            steady[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # one broken query costs one entry,
             # never the round's whole performance signal
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(best, 4)
+        # steady-state recompute: one run with the cache registry
+        # empty, so every intra-query cache pays its build. This is
+        # ADDITIVE instrumentation — `queries`/`value` keep the exact
+        # methodology of every prior round, and a steady-pass failure
+        # can never cost the headline entry.
+        try:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, query_dir).write.mode("overwrite").format("noop").save()
+            steady[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:
+            print(f"bench: {name} steady pass failed: {exc}", file=sys.stderr)
     total = round(sum(timings.values()), 4)
     # Rounds 1-6 benched exactly these 15; the subtotal keeps the
     # round-over-round trend comparable as new anchors join the set.
